@@ -1,0 +1,107 @@
+package etlmudah.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics operators — SURVEY.md §2.5/§2.6/§2.7.
+  *
+  * Each re-expresses a pandas idiom from the reference dashboard
+  * (`streamlit/app.py`, `streamlit/pages/*.py`) as a declarative Spark plan
+  * so Catalyst plans partial (map-side) aggregation, and AQE sizes the
+  * shuffle. Nothing here collects to the driver; every operator is a
+  * DataFrame→DataFrame transform that scales with partition count.
+  */
+object Analytics {
+
+  /** Headline scalar metrics (app.py:84-92): one-row global aggregate.
+    * Exact `median` (not approx) for oracle parity — at 100 TB swap for
+    * `percentile_approx` behind the same API if exactness can be relaxed.
+    */
+  def headlineMetrics(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n"),
+      round(avg(col(valueCol)), 2).as("avg_value"),
+      round(median(col(valueCol)), 2).as("median_value"),
+      round(min(col(valueCol)), 2).as("min_value"),
+      round(max(col(valueCol)), 2).as("max_value"))
+
+  /** Top-K groups by frequency (market_overview.py:34) — plans as partial
+    * hash agg + TakeOrderedAndProject: only K rows cross the final exchange.
+    */
+  def topKByCount(df: DataFrame, key: String, k: Int): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key).asc)
+      .limit(k)
+
+  /** Full frequency table (value_counts, market_overview.py:68). */
+  def freqTable(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).orderBy(col(key))
+
+  /** Per-group stats suite (regional_analysis.py:48-53):
+    * count / mean / median / stddev (sample, matching pandas default).
+    */
+  def statsBy(df: DataFrame, key: Column, keyName: String, value: Column): DataFrame =
+    df.groupBy(key.as(keyName)).agg(
+      count(lit(1)).as("n"),
+      round(avg(value), 2).as("avg_value"),
+      round(median(value), 2).as("median_value"),
+      round(stddev_samp(value), 2).as("stddev_value"))
+      .orderBy(col(keyName))
+
+  /** Fixed-width binning / histogram (pd.cut, price_analysis.py:139-148).
+    * One hash aggregate over a derived bin key — no per-bucket rescans.
+    */
+  def histogram(df: DataFrame, value: Column, binWidth: Double): DataFrame =
+    df.groupBy(floor(value / binWidth).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(min(value), 2).as("bin_min"),
+        round(max(value), 2).as("bin_max"))
+      .withColumn("bin_lo", round(col("bin") * binWidth, 2))
+      .orderBy(col("bin"))
+
+  /** Percent-of-total by group (A9/A16): group agg + empty-frame window.
+    * The window `sum() over ()` is a single-partition exchange of the
+    * already-aggregated (small) result — never of the base data.
+    */
+  def shareOfTotal(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("share_pct",
+        round(col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()), 4))
+      .orderBy(col(key))
+  }
+
+  /** Conditional proportion (A9: `(pred).mean()` in pandas). */
+  def proportionWhere(df: DataFrame, pred: Column, name: String): DataFrame =
+    df.agg(round(avg(when(pred, 1.0).otherwise(0.0)), 6).as(name))
+
+  /** Per-group quartiles (px.box, price_analysis.py:296-301). Exact
+    * interpolating percentile == DuckDB quantile_cont. */
+  def quartilesBy(df: DataFrame, key: String, value: Column): DataFrame =
+    df.groupBy(col(key)).agg(
+      round(percentile(value, lit(0.25)), 2).as("q1"),
+      round(percentile(value, lit(0.5)), 2).as("q2"),
+      round(percentile(value, lit(0.75)), 2).as("q3"))
+      .orderBy(col(key))
+
+  /** Deterministic "DISTINCT ON (key) ... pick latest" dedup (D2): the
+    * reference's nondeterministic first-wins set-dedup (dag.py:97-105) made
+    * reproducible with an explicit ordering. Single shuffle on the key.
+    */
+  def latestPerKey(df: DataFrame, key: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Top-N rows per group by an ordering (rank window, §2.6). */
+  def topNPerGroup(df: DataFrame, key: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Sorted distinct domain (D3/O3: pickers, app.py:53-59). */
+  def distinctDomain(df: DataFrame, key: String): DataFrame =
+    df.select(col(key)).distinct().orderBy(col(key))
+}

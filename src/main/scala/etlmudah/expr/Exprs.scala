@@ -1,0 +1,59 @@
+package etlmudah.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar expression library re-expressing the reference's row-wise Python
+  * helpers as native Catalyst column expressions (no UDFs — everything here
+  * stays inside whole-stage codegen).
+  *
+  * Reference provenance:
+  *  - priceSegment: `streamlit/utils/constants.py:26-48`
+  *    (`create_price_segment` / `create_motorcycle_price_segment`) —
+  *    a 5-way threshold bucketing applied via `df[col].apply(...)`.
+  *  - standardizeLocation: `streamlit/pages/regional_analysis.py:15-32` —
+  *    alias → canonical-name dict lookup with identity fallback.
+  *  - cleanNumeric: `streamlit/utils/data_loader.py:60,64-65` —
+  *    `pd.to_numeric(errors='coerce')` null-on-failure cast.
+  *  - validYear: `streamlit/utils/data_loader.py:28,49` — SQL regex
+  *    `year ~ '^[0-9]{4}$'`.
+  */
+object Exprs {
+
+  /** 5-way half-open price bucketing (CaseWhen, codegen'd).
+    * Thresholds are parameters; the reference ships two variants
+    * (cars 25k/50k/100k/200k, motorcycles 5k/10k/20k/40k). Labels follow
+    * the reference's shape ("Budget (< RM25k)" etc.) but are generic here.
+    */
+  def priceSegment(price: Column, t1: Double, t2: Double, t3: Double, t4: Double): Column = {
+    def fmt(d: Double): String =
+      if (d >= 1000 && d % 1000 == 0) s"${(d / 1000).toLong}k" else d.toString
+    when(price < t1, lit(s"Budget (< ${fmt(t1)})"))
+      .when(price < t2, lit(s"Economy (${fmt(t1)} - ${fmt(t2)})"))
+      .when(price < t3, lit(s"Mid-Range (${fmt(t2)} - ${fmt(t3)})"))
+      .when(price < t4, lit(s"Premium (${fmt(t3)} - ${fmt(t4)})"))
+      .otherwise(lit(s"Luxury (> ${fmt(t4)})"))
+  }
+
+  /** Alias → canonical mapping with identity fallback: a literal map lookup
+    * (broadcast-free; the map is folded into the plan as a constant).
+    * For large dimension tables use a broadcast join instead.
+    */
+  def standardize(col: Column, aliases: Map[String, String]): Column = {
+    val kvs = aliases.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    coalesce(element_at(map(kvs: _*), col), col)
+  }
+
+  /** Null-on-malformed numeric coercion (pandas `errors='coerce'`). */
+  def cleanNumeric(c: Column): Column = c.try_cast("double")
+
+  /** The reference's load-bearing dirty-year predicate. */
+  def validYear(c: Column): Column = c.rlike("^[0-9]{4}$")
+
+  /** Clip-to-upper (pandas `.clip(upper=x)`). */
+  def clipUpper(c: Column, upper: Double): Column = least(c, lit(upper))
+
+  /** Percent share helper: 100*x/total rounded. */
+  def pct(x: Column, total: Column, scale: Int = 2): Column =
+    round(x * 100.0 / total, scale)
+}
