@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Relational analytics operators — SURVEY.md §2.5/§2.6/§2.7.
   *
   * Each re-expresses a pandas idiom from the reference dashboard
-  * (`streamlit/app.py`, `streamlit/pages/*.py`) as a declarative Spark plan
+  * (`streamlit/app.py`, the `streamlit/pages/` modules) as a declarative Spark plan
   * so Catalyst plans partial (map-side) aggregation, and AQE sizes the
   * shuffle. Nothing here collects to the driver; every operator is a
   * DataFrame→DataFrame transform that scales with partition count.
@@ -34,20 +34,27 @@ object Analytics {
       .orderBy(col("cnt").desc, col(key).asc)
       .limit(k)
 
-  /** Full frequency table (value_counts, market_overview.py:68). */
+  /** Full frequency table (value_counts, market_overview.py:68).
+    * Ordered count-desc like pandas value_counts, key asc as tie-breaker
+    * so hash-compared output is deterministic. */
   def freqTable(df: DataFrame, key: String): DataFrame =
-    df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).orderBy(col(key))
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key).asc)
 
   /** Per-group stats suite (regional_analysis.py:48-53):
     * count / mean / median / stddev (sample, matching pandas default).
     */
-  def statsBy(df: DataFrame, key: Column, keyName: String, value: Column): DataFrame =
-    df.groupBy(key.as(keyName)).agg(
+  def statsBy(df: DataFrame, key: Column, keyName: String, value: Column,
+              extraAggs: Seq[Column] = Nil): DataFrame = {
+    val base = Seq(
       count(lit(1)).as("n"),
       round(avg(value), 2).as("avg_value"),
       round(median(value), 2).as("median_value"),
       round(stddev_samp(value), 2).as("stddev_value"))
+    val aggs = base ++ extraAggs
+    df.groupBy(key.as(keyName)).agg(aggs.head, aggs.tail: _*)
       .orderBy(col(keyName))
+  }
 
   /** Fixed-width binning / histogram (pd.cut, price_analysis.py:139-148).
     * One hash aggregate over a derived bin key — no per-bucket rescans.

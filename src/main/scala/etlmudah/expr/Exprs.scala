@@ -40,8 +40,11 @@ object Exprs {
     * For large dimension tables use a broadcast join instead.
     */
   def standardize(col: Column, aliases: Map[String, String]): Column = {
+    // try_element_at (not element_at): under Spark 4's default ANSI mode
+    // element_at throws MAP_KEY_DOES_NOT_EXIST for absent keys, but the
+    // identity-fallback is this function's main case (dict.get(loc, loc)).
     val kvs = aliases.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-    coalesce(element_at(map(kvs: _*), col), col)
+    coalesce(try_element_at(map(kvs: _*), col), col)
   }
 
   /** Null-on-malformed numeric coercion (pandas `errors='coerce'`). */
@@ -50,8 +53,11 @@ object Exprs {
   /** The reference's load-bearing dirty-year predicate. */
   def validYear(c: Column): Column = c.rlike("^[0-9]{4}$")
 
-  /** Clip-to-upper (pandas `.clip(upper=x)`). */
-  def clipUpper(c: Column, upper: Double): Column = least(c, lit(upper))
+  /** Clip-to-upper (pandas `.clip(upper=x)`). Null-preserving: `least`
+    * alone would turn a null into the cap (least skips nulls), but pandas
+    * clip keeps NaN as NaN. */
+  def clipUpper(c: Column, upper: Double): Column =
+    when(c.isNull, lit(null).cast("double")).otherwise(least(c, lit(upper)))
 
   /** Percent share helper: 100*x/total rounded. */
   def pct(x: Column, total: Column, scale: Int = 2): Column =

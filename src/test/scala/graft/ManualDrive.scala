@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import etlmudah._
+import etlmudah.analytics._
+import etlmudah.expr._
+
+/** Dev-only drive harness: exercises library operators end-to-end on the
+  * sf0.001 testdata. Run with `sbt "Test/runMain graft.ManualDrive"`.
+  * Not a ScalaTest suite — a manual smoke surface for quick verification.
+  */
+object ManualDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+
+    println("== standardize with absent keys (ANSI crash path)")
+    li.select(Exprs.standardize(col("l_returnflag"), Map("N" -> "None")).as("flag"))
+      .groupBy("flag").count().orderBy("flag").show()
+
+    println("== clipUpper null preservation")
+    li.select(when(col("l_quantity") > 25, lit(null).cast("double"))
+        .otherwise(col("l_quantity")).as("q"))
+      .select(Exprs.clipUpper(col("q"), 10.0).as("clipped"))
+      .agg(sum(when(col("clipped").isNull, 1).otherwise(0)).as("nulls_preserved"),
+           max("clipped").as("max_clip")).show()
+
+    println("== statsBy multi-measure")
+    Analytics.statsBy(li, col("l_returnflag"), "flag", col("l_extendedprice"),
+      Seq(round(avg(col("l_quantity")), 2).as("avg_qty"))).show()
+
+    println("== freqTable ordering")
+    Analytics.freqTable(li, "l_linestatus").show()
+
+    spark.stop()
+  }
+}
