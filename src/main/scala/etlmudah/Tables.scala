@@ -21,6 +21,16 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "events")
+
+  /** events with `ts` as a proper TimestampType. The file stores
+    * TIMESTAMP(NANOS) which Spark lacks; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong` so `ts` arrives as epoch-nanos
+    * LongType, converted here with integer division (a double `/` would
+    * lose precision above 2^53 nanos ≈ 1970+104 days). */
+  def eventsTyped(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }

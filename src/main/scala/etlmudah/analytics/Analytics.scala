@@ -22,7 +22,7 @@ object Analytics {
     df.agg(
       count(lit(1)).as("n"),
       round(avg(col(valueCol)), 2).as("avg_value"),
-      round(median(col(valueCol)), 2).as("median_value"),
+      median(col(valueCol)).as("median_value"),
       round(min(col(valueCol)), 2).as("min_value"),
       round(max(col(valueCol)), 2).as("max_value"))
 
@@ -49,7 +49,7 @@ object Analytics {
     val base = Seq(
       count(lit(1)).as("n"),
       round(avg(value), 2).as("avg_value"),
-      round(median(value), 2).as("median_value"),
+      median(value).as("median_value"),
       round(stddev_samp(value), 2).as("stddev_value"))
     val aggs = base ++ extraAggs
     df.groupBy(key.as(keyName)).agg(aggs.head, aggs.tail: _*)
@@ -88,9 +88,9 @@ object Analytics {
     * interpolating percentile == DuckDB quantile_cont. */
   def quartilesBy(df: DataFrame, key: String, value: Column): DataFrame =
     df.groupBy(col(key)).agg(
-      round(percentile(value, lit(0.25)), 2).as("q1"),
-      round(percentile(value, lit(0.5)), 2).as("q2"),
-      round(percentile(value, lit(0.75)), 2).as("q3"))
+      percentile(value, lit(0.25)).as("q1"),
+      percentile(value, lit(0.5)).as("q2"),
+      percentile(value, lit(0.75)).as("q3"))
       .orderBy(col(key))
 
   /** Deterministic "DISTINCT ON (key) ... pick latest" dedup (D2): the

@@ -1,0 +1,54 @@
+package etlmudah.joins
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join builders (SURVEY.md §2.3) for the star schema testdata.
+  *
+  * Design-for-scale notes:
+  *  - Dimension tables (nation 25 rows, region 5 rows, and at any realistic
+  *    scale factor supplier/part stay orders-of-magnitude below the facts)
+  *    are joined with an explicit `broadcast()` hint so the plan is a
+  *    BroadcastHashJoin — zero shuffle of the fact side.
+  *  - Fact-to-fact joins (lineitem ⋈ orders) are left to Catalyst: with AQE
+  *    enabled it picks shuffled hash / sort-merge by size; both sides
+  *    shuffle-partition on the join key only once.
+  *
+  * Reference provenance: the upsert key-join of dags/dag.py:250-266 (J1),
+  * the geo/dimension enrichment joins of streamlit/pages/regional_analysis.py:76-95
+  * and streamlit/utils/constants.py:2-24 (J2/J3) — re-shaped onto the
+  * TPC-H-ish harness tables.
+  */
+object Joins {
+
+  /** lineitem ⋈ orders ⋈ customer ⋈ nation: the engine's flagship star.
+    * nation is broadcast; customer is small relative to the facts but can
+    * exceed broadcast thresholds at large SF, so it is joined normally and
+    * AQE decides (at sf<=0.1 it auto-broadcasts under the 10 MB default).
+    */
+  def lineitemStar(lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+
+  /** customer ⋈ nation ⋈ region: dimension enrichment (J2/J3). */
+  def customerGeo(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+
+  /** Band join (J4/F5): equi-keys plus a bounded numeric residual, e.g.
+    * "same brand, size within ±tolerance". Spark plans the equi-part as a
+    * hash join and evaluates the band predicate as a post-join filter, so
+    * the cost is |pairs within equi-buckets|, never a full cross product.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               equiKeys: Seq[(String, String)],
+               bandCol: (String, String), tolerance: Double): DataFrame = {
+    val equi = equiKeys.map { case (l, r) => left(l) === right(r) }
+    val band = abs(left(bandCol._1) - right(bandCol._2)) <= tolerance
+    left.join(right, (equi :+ band).reduce(_ && _))
+  }
+}

@@ -1,13 +1,311 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import etlmudah.Tables
+import etlmudah.analytics.Analytics
+import etlmudah.expr.Exprs
+import etlmudah.ingest.Ingest
+import etlmudah.joins.Joins
+import etlmudah.load.Upsert
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with matching DuckDB-runnable ANSI SQL in `oracleSql`.
+  *
+  * Determinism rules (SURVEY §7.5): every query ends in an explicit
+  * `orderBy` with a full tie-break key list; percentiles are exact
+  * (`median`/`percentile` ↔ DuckDB `quantile_cont`); timestamps leave the
+  * engine as epoch microseconds (`unix_micros` ↔ `epoch_us`) so the
+  * parquet/duckdb type round-trip cannot skew the compare; counts and
+  * ranks are cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship (SURVEY §7.3): lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation)
+    * → per-nation price stats. Driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    statsByNation(spark, "/root/testdata/sf0.001")
+
+  private def statsByNation(s: SparkSession, dir: String): DataFrame = {
+    val star = Joins.lineitemStar(
+      Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.nation(s, dir))
+    Analytics.statsBy(star, col("n_name"), "n_name", col("l_extendedprice"),
+      Seq(round(avg(col("l_quantity")), 2).as("avg_qty")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — global scalar aggregates (headline metrics)
+    "q01_headline_orders" -> ((s, dir) =>
+      Analytics.headlineMetrics(Tables.orders(s, dir), "o_totalprice")),
+
+    // A6/J3 flagship — per-nation multi-agg over the star join
+    "q02_stats_by_nation" -> ((s, dir) => statsByNation(s, dir)),
+
+    // A2/O2 — top-K by frequency
+    "q03_top_parts" -> ((s, dir) =>
+      Analytics.topKByCount(Tables.lineitem(s, dir), "l_partkey", 10)),
+
+    // A3 — full frequency table
+    "q04_freq_priority" -> ((s, dir) =>
+      Analytics.freqTable(Tables.orders(s, dir), "o_orderpriority")),
+
+    // F12/U1 — CASE segment bucketing + frequency
+    "q05_segment_freq" -> ((s, dir) =>
+      Analytics.freqTable(
+        Tables.orders(s, dir).withColumn("segment",
+          Exprs.priceSegment(col("o_totalprice"), 50000, 100000, 200000, 400000)),
+        "segment")),
+
+    // A9/A16/W2 — percent-of-total by region over the geo join
+    "q06_share_by_region" -> ((s, dir) =>
+      Analytics.shareOfTotal(
+        Joins.customerGeo(Tables.customer(s, dir), Tables.nation(s, dir),
+          Tables.region(s, dir)),
+        "r_name")),
+
+    // A8 — fixed-width histogram
+    "q07_histogram_totalprice" -> ((s, dir) =>
+      Analytics.histogram(Tables.orders(s, dir), col("o_totalprice"), 20000.0)),
+
+    // A14 — per-group quartiles
+    "q08_quartiles_by_status" -> ((s, dir) =>
+      Analytics.quartilesBy(Tables.orders(s, dir), "o_orderstatus", col("o_totalprice"))),
+
+    // D2/W1 — deterministic latest-per-key dedup
+    "q09_latest_order_per_customer" -> ((s, dir) =>
+      Analytics.latestPerKey(Tables.orders(s, dir), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"))
+        .orderBy(col("o_custkey"))),
+
+    // D3/O3 — sorted distinct domain
+    "q10_distinct_priorities" -> ((s, dir) =>
+      Analytics.distinctDomain(Tables.orders(s, dir), "o_orderpriority")),
+
+    // S5/C13/C4/F6 — JSON flatten + clean (ingest pipeline)
+    "q11_events_flatten_clean" -> ((s, dir) =>
+      Ingest.flattenEvents(Tables.events(s, dir)).orderBy(col("event_id"))),
+
+    // A10 — Pearson correlation
+    "q12_corr_lineitem" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 4).as("corr_price_disc"))),
+
+    // A11 — coefficient of variation per group
+    "q13_cv_by_priority" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 2).as("avg_value"),
+          round(stddev_samp(col("o_totalprice")) / avg(col("o_totalprice")) * 100, 2)
+            .as("cv_pct"))
+        .orderBy(col("o_orderpriority"))),
+
+    // A12 — argmax group (most customers by region)
+    "q14_top_region" -> ((s, dir) =>
+      Analytics.topKByCount(
+        Joins.customerGeo(Tables.customer(s, dir), Tables.nation(s, dir),
+          Tables.region(s, dir)),
+        "r_name", 1)),
+
+    // A9/C7 — conditional proportions
+    "q15_proportions" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(
+        round(avg(when(col("o_totalprice") < 100000, 1.0).otherwise(0.0)), 6)
+          .as("pct_low"),
+        round(avg(when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0)), 6)
+          .as("pct_urgent"))),
+
+    // S8/J1 — upsert merge (last-writer-wins)
+    "q16_upsert_orders" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val base = orders.withColumn("batch_ts", lit(1L))
+      val batch = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("batch_ts", lit(2L))
+      Upsert.upsert(base, batch, Seq("o_orderkey"), Seq(col("batch_ts").desc))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // W3 — ranked top-N per group
+    "q17_top3_per_priority" -> ((s, dir) =>
+      Analytics.topNPerGroup(Tables.orders(s, dir), Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("o_orderpriority"), col("rn"))),
+
+    // F3/C1/C2/C3 — case-insensitive search + initcap
+    "q18_promo_parts" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .filter(lower(col("p_type")).contains("promo"))
+        .select(col("p_partkey"), initcap(lower(col("p_type"))).as("type_label"),
+          col("p_retailprice"))
+        .orderBy(col("p_partkey"))),
+
+    // text analysis — token/length stats per language
+    "q19_doc_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang"))),
+
+    // ST — tumbling-window aggregation (batch-equivalent of the streaming slice)
+    "q20_events_hourly" -> ((s, dir) =>
+      Tables.eventsTyped(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("hour_us"), col("event_type"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_headline_orders" ->
+      """SELECT count(*) AS n, round(avg(o_totalprice),2) AS avg_value,
+        | quantile_cont(o_totalprice,0.5) AS median_value,
+        | round(min(o_totalprice),2) AS min_value,
+        | round(max(o_totalprice),2) AS max_value FROM orders""".stripMargin,
+
+    "q02_stats_by_nation" ->
+      """SELECT n_name, count(*) AS n,
+        | round(avg(l_extendedprice),2) AS avg_value,
+        | quantile_cont(l_extendedprice,0.5) AS median_value,
+        | round(stddev_samp(l_extendedprice),2) AS stddev_value,
+        | round(avg(l_quantity),2) AS avg_qty
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q03_top_parts" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem
+        | GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 10""".stripMargin,
+
+    "q04_freq_priority" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        | GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority ASC""".stripMargin,
+
+    "q05_segment_freq" ->
+      """SELECT CASE
+        |  WHEN o_totalprice < 50000 THEN 'Budget (< 50k)'
+        |  WHEN o_totalprice < 100000 THEN 'Economy (50k - 100k)'
+        |  WHEN o_totalprice < 200000 THEN 'Mid-Range (100k - 200k)'
+        |  WHEN o_totalprice < 400000 THEN 'Premium (200k - 400k)'
+        |  ELSE 'Luxury (> 400k)' END AS segment, count(*) AS cnt
+        | FROM orders GROUP BY segment ORDER BY cnt DESC, segment ASC""".stripMargin,
+
+    "q06_share_by_region" ->
+      """SELECT r_name, count(*) AS cnt,
+        | round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS share_pct
+        | FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q07_histogram_totalprice" ->
+      """SELECT CAST(floor(o_totalprice/20000.0) AS BIGINT) AS bin,
+        | count(*) AS cnt,
+        | round(min(o_totalprice),2) AS bin_min,
+        | round(max(o_totalprice),2) AS bin_max,
+        | round(CAST(floor(o_totalprice/20000.0) AS BIGINT) * 20000.0, 2) AS bin_lo
+        | FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q08_quartiles_by_status" ->
+      """SELECT o_orderstatus,
+        | quantile_cont(o_totalprice,0.25) AS q1,
+        | quantile_cont(o_totalprice,0.5) AS q2,
+        | quantile_cont(o_totalprice,0.75) AS q3
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q09_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | epoch_us(o_orderdate) AS o_date_us
+        | FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        | WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q10_distinct_priorities" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+
+    "q11_events_flatten_clean" ->
+      """SELECT event_id, event_type,
+        | TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        | CASE WHEN value IS NULL THEN NULL ELSE least(value, 100.0) END AS value_clip
+        | FROM events
+        | WHERE regexp_matches(event_type, '^[a-z]+$')
+        |   AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+        | ORDER BY event_id""".stripMargin,
+
+    "q12_corr_lineitem" ->
+      """SELECT round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price,
+        | round(corr(l_extendedprice, l_discount),4) AS corr_price_disc
+        | FROM lineitem""".stripMargin,
+
+    "q13_cv_by_priority" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(avg(o_totalprice),2) AS avg_value,
+        | round(stddev_samp(o_totalprice)/avg(o_totalprice)*100, 2) AS cv_pct
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q14_top_region" ->
+      """SELECT r_name, count(*) AS cnt
+        | FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name ORDER BY cnt DESC, r_name ASC LIMIT 1""".stripMargin,
+
+    "q15_proportions" ->
+      """SELECT round(avg(CASE WHEN o_totalprice < 100000 THEN 1.0 ELSE 0.0 END),6)
+        |   AS pct_low,
+        | round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END),6)
+        |   AS pct_urgent
+        | FROM orders""".stripMargin,
+
+    "q16_upsert_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |      ELSE o_totalprice END AS o_totalprice,
+        | o_orderpriority, epoch_us(o_orderdate) AS o_date_us
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q17_top3_per_priority" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+        | FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+        | WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q18_promo_parts" ->
+      """SELECT p_partkey,
+        | concat(upper(substr(lower(p_type),1,1)), substr(lower(p_type),2)) AS type_label,
+        | p_retailprice
+        | FROM part WHERE contains(lower(p_type), 'promo')
+        | ORDER BY p_partkey""".stripMargin,
+
+    "q19_doc_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | round(avg(n_chars),2) AS avg_chars,
+        | round(avg(len(string_split(text, ' '))),2) AS avg_tokens,
+        | max(len(string_split(text, ' '))) AS max_tokens
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q20_events_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        | count(*) AS cnt, round(sum(value),2) AS sum_value
+        | FROM events GROUP BY hour_us, event_type
+        | ORDER BY hour_us, event_type""".stripMargin,
+  )
 }

@@ -22,6 +22,11 @@ object ManualDrive {
     val dir = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, dir)
 
+    println("== SparkEntry.entry smoke (driver contract)")
+    val e = SparkEntry.entry(spark)
+    println(s"entry rows = ${e.count()}")
+    e.show(3)
+
     println("== standardize with absent keys (ANSI crash path)")
     li.select(Exprs.standardize(col("l_returnflag"), Map("N" -> "None")).as("flag"))
       .groupBy("flag").count().orderBy("flag").show()
