@@ -1,0 +1,81 @@
+package etlmudah.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  private lazy val sales = {
+    import spark.implicits._
+    Seq(
+      ("a", "x", 10.0, 1), ("a", "y", 20.0, 2), ("a", "y", 30.0, 3),
+      ("b", "x", 40.0, 4), ("b", "x", 50.0, 5), ("c", "z", 60.0, 6)
+    ).toDF("grp", "sub", "value", "id")
+  }
+
+  test("headlineMetrics: count/avg/median/min/max on a known frame") {
+    val r = Analytics.headlineMetrics(sales, "value").collect().head
+    assert(r.getAs[Long]("n") == 6)
+    assert(r.getAs[Double]("avg_value") == 35.0)
+    assert(r.getAs[Double]("median_value") == 35.0)   // (30+40)/2
+    assert(r.getAs[Double]("min_value") == 10.0)
+    assert(r.getAs[Double]("max_value") == 60.0)
+  }
+
+  test("topKByCount: deterministic tie-break by key asc") {
+    val r = Analytics.topKByCount(sales, "grp", 2).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("a", "b"))   // a=3, b=2
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+  }
+
+  test("freqTable: count desc then key asc") {
+    val r = Analytics.freqTable(sales, "sub").collect()
+    assert(r.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x", 3L), ("y", 2L), ("z", 1L)))
+  }
+
+  test("histogram: floor binning with min/max per bin") {
+    val r = Analytics.histogram(sales, col("value"), 25.0).collect()
+    // bins: 10,20 -> 0; 30,40 -> 1; 50,60 -> 2
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L))
+    assert(r.head.getAs[Double]("bin_min") == 10.0)
+    assert(r.head.getAs[Double]("bin_lo") == 0.0)
+  }
+
+  test("shareOfTotal: shares sum to 100") {
+    val shares = Analytics.shareOfTotal(sales, "grp").collect()
+      .map(_.getAs[Double]("share_pct"))
+    assert(math.abs(shares.sum - 100.0) < 1e-6)
+  }
+
+  test("latestPerKey: deterministic winner under duplicate keys") {
+    import spark.implicits._
+    val dup = Seq(("k1", 1, "old"), ("k1", 2, "new"), ("k2", 5, "only"))
+      .toDF("k", "ver", "payload")
+    val r = Analytics.latestPerKey(dup, Seq("k"), Seq(col("ver").desc))
+      .orderBy("k").collect()
+    assert(r.map(_.getString(2)).toSeq == Seq("new", "only"))
+  }
+
+  test("quartilesBy: interpolating percentiles on known values") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")
+    val r = Analytics.quartilesBy(df, "k", col("v")).collect().head
+    assert(r.getAs[Double]("q1") == 1.75)
+    assert(r.getAs[Double]("q2") == 2.5)
+    assert(r.getAs[Double]("q3") == 3.25)
+  }
+
+  test("topNPerGroup: rank within group with explicit ordering") {
+    val r = Analytics.topNPerGroup(sales, Seq("grp"),
+      Seq(col("value").desc, col("id").asc), 1)
+    assert(r.filter(col("grp") === "a").collect().head.getAs[Double]("value") == 30.0)
+    assert(r.count() == 3)
+  }
+
+  test("distinctDomain: sorted unique values") {
+    val r = Analytics.distinctDomain(sales, "sub").collect().map(_.getString(0))
+    assert(r.toSeq == Seq("x", "y", "z"))
+  }
+}

@@ -1,0 +1,56 @@
+package etlmudah.load
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class UpsertSpec extends SparkSpec {
+
+  private def frame(rows: Seq[(Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "payload", "batch_ts")
+  }
+
+  private def asMap(df: DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("upsert: insert new keys, update existing, last writer wins") {
+    val base = frame(Seq((1L, "a", 1L), (2L, "b", 1L)))
+    val batch = frame(Seq((2L, "b2", 2L), (3L, "c", 2L)))
+    val out = asMap(Upsert.upsert(base, batch, Seq("id"), Seq(col("batch_ts").desc)))
+    assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("upsert: idempotent — re-applying the same batch is a no-op") {
+    val base = frame(Seq((1L, "a", 1L), (2L, "b", 1L)))
+    val batch = frame(Seq((2L, "b2", 2L), (3L, "c", 2L)))
+    val once = Upsert.upsert(base, batch, Seq("id"), Seq(col("batch_ts").desc))
+    val twice = Upsert.upsert(once, batch, Seq("id"), Seq(col("batch_ts").desc))
+    assert(asMap(once) == asMap(twice))
+  }
+
+  test("upsert: property — random bases/batches, merge equals map-union (seeded)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val baseRows = (0 until rnd.nextInt(30)).map(_ =>
+        (rnd.nextInt(15).toLong, "base" + rnd.nextInt(100), 1L))
+        .groupBy(_._1).map(_._2.head).toSeq   // unique keys in base
+      val batchRows = (0 until rnd.nextInt(30)).map(_ =>
+        (rnd.nextInt(15).toLong, "batch" + rnd.nextInt(100), 2L))
+        .groupBy(_._1).map(_._2.head).toSeq
+      val expected = baseRows.map(r => r._1 -> r._2).toMap ++
+        batchRows.map(r => r._1 -> r._2).toMap
+      val got = asMap(Upsert.upsert(frame(baseRows), frame(batchRows),
+        Seq("id"), Seq(col("batch_ts").desc)))
+      assert(got == expected)
+    }
+  }
+
+  test("inserts/updates decomposition partitions the batch") {
+    val base = frame(Seq((1L, "a", 1L), (2L, "b", 1L)))
+    val batch = frame(Seq((2L, "b2", 2L), (3L, "c", 2L)))
+    val ins = Upsert.inserts(base, batch, Seq("id")).collect().map(_.getLong(0)).toSet
+    val upd = Upsert.updates(base, batch, Seq("id")).collect().map(_.getLong(0)).toSet
+    assert(ins == Set(3L) && upd == Set(2L))
+  }
+}
