@@ -1,0 +1,55 @@
+package etlmudah.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns with a
+  * typed metadata struct, plus decode / feature-extract / frame-sample
+  * plumbing.
+  *
+  * The actual codec step is STUBBED (this environment ships no
+  * image/audio libraries): `decodeFeaturesStub` produces deterministic
+  * pseudo-features from the bytes via xxhash64 so the Spark-side
+  * contract — schema, batch shape, partition-parallel execution,
+  * downstream joins — is real and testable. Swap `decodeFeaturesStub`
+  * for a mapPartitions/Pandas-UDF decoder with the same signature
+  * (binary -> array<float>) in production; nothing downstream changes.
+  *
+  * Scale: all derivations are per-row expressions (no shuffle); media
+  * bytes never leave their partition; metadata-only queries prune the
+  * binary column at the parquet scan.
+  */
+object Multimodal {
+
+  /** Attach a synthetic media column to any text table: bytes = utf8 of
+    * the text, metadata struct carrying (format, n_bytes). Stands in for
+    * real image/audio blobs in the testdata. */
+  def withFakeMedia(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("media", col(textCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit("fake/raw").as("format"),
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes")))
+
+  /** STUB decode: deterministic `dims`-length float features in [0,1)
+    * derived from the bytes. Real impl: image decode + model forward
+    * pass per batch behind the same (binary -> array<float>) shape. */
+  def decodeFeaturesStub(media: Column, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      i => (pmod(xxhash64(media, i), lit(100000L)).cast("double") / 100000.0)
+        .cast("float"))
+
+  /** STUB resize/re-embed: fold `features` down to `outDims` by striding —
+    * keeps the pipeline shape of a resolution change. */
+  def resizeStub(features: Column, outDims: Int): Column =
+    transform(sequence(lit(0), lit(outDims - 1)), i => element_at(features, i + 1))
+
+  /** Frame sampling for video-like blobs: n equal-spaced byte windows as
+    * an array<binary>; empty media yields an empty array, never a crash. */
+  def frameSample(media: Column, frames: Int, frameBytes: Int = 16): Column = {
+    val len = length(media)
+    when(len >= frames,
+      transform(sequence(lit(0), lit(frames - 1)),
+        i => substring(media, (i * (len / frames) + 1).cast("int"), lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
+  }
+}

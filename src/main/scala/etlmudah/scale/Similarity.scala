@@ -1,0 +1,103 @@
+package etlmudah.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers, per the 100 TB contract:
+  *  - `bruteForceTopK`: exact cosine against one query vector — a single
+  *    map + TakeOrderedAndProject; linear scan, no shuffle of the corpus.
+  *    Correct baseline and the refine step of the ANN path.
+  *  - `lshTopK`: random-hyperplane LSH — L tables x B hyperplane sign
+  *    bits per vector, computed as pure expressions (hyperplane weights
+  *    are pseudo-random from xxhash64(table,bit,dim), so no driver-side
+  *    state, no broadcast, byte-identical across executors). Candidates
+  *    are bucket-equality joins; cosine refine only within buckets.
+  *    At 1000 executors the bucket join shuffles only (key, id, vec)
+  *    pairs, never the n^2 pair space.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float arrays, computed in double.
+    * Sequential left-fold keeps the summation order deterministic. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k by cosine against the vector of `queryId` (excluded from
+    * results). The query row is broadcast; the corpus is scanned once. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    embeddings.filter(col(idCol) =!= queryId)
+      .join(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Seeded hyperplane weights, generated driver-side once and folded
+    * into the plan as literals — tiny (tables x bits x dims doubles),
+    * identical on every executor, no broadcast, no per-eval hashing. */
+  private def hyperplanes(tables: Int, bits: Int, dims: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(tables, bits, dims)(rnd.nextGaussian())
+  }
+
+  /** Bucket keys for one vector: for each of L tables, pack B sign bits
+    * of hyperplane projections into a long. Returns array<long> size L.
+    * `dims` must match the embedding length. */
+  def lshBuckets(vec: Column, tables: Int, bits: Int, dims: Int): Column = {
+    val hp = hyperplanes(tables, bits, dims)
+    val keys = (0 until tables).map { t =>
+      val bitVals = (0 until bits).map { j =>
+        val w = typedLit(hp(t)(j))
+        val proj = aggregate(zip_with(vec, w, (x, wv) => x.cast("double") * wv),
+          lit(0.0), (s, x) => s + x)
+        when(proj > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+      }
+      bitVals.reduce(_ + _)
+    }
+    array(keys: _*)
+  }
+
+  /** ANN top-k for ALL vectors at once (the scale path): bucket-join
+    * candidates from L tables, refine with exact cosine, rank per query.
+    * Output: (query_id, neighbor_id, cos_sim, rank<=k). */
+  def lshTopKAll(embeddings: DataFrame, idCol: String, vecCol: String,
+                 k: Int, tables: Int = 8, bits: Int = 10,
+                 dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // Bucket rows and the candidate join are ID-ONLY — vectors are never
+    // replicated through the band explode or deduped through distinct();
+    // they re-join only for the refine, which is bounded by the candidate
+    // count, not tables x corpus.
+    val withBuckets = vecs
+      .select(col("id"), posexplode(lshBuckets(col("vec"), tables, bits, dims))
+        .as(Seq("tbl", "bkt")))
+    val cands = withBuckets.select(col("tbl"), col("bkt"), col("id").as("qid"))
+      .join(withBuckets.select(col("tbl"), col("bkt"), col("id").as("nid")),
+        Seq("tbl", "bkt"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .distinct()
+    val scored = cands
+      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec")), Seq("qid"))
+      .join(vecs.select(col("id").as("nid"), col("vec").as("nvec")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid").asc, col("rank").asc)
+  }
+}

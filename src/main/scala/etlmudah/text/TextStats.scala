@@ -1,0 +1,84 @@
+package etlmudah.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, n-gram language ID, fingerprinting.
+  *
+  * Everything is a native Catalyst column expression (split / higher-order
+  * array functions / regexp) — no UDFs, fully codegen'd, linear per-row
+  * cost, embarrassingly parallel at any scale. No shuffles are introduced
+  * by this module; downstream group-bys decide partitioning.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (the testdata documents are single-space
+    * separated; `\s+` keeps it robust to real text). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Punctuation density: punct chars / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      regexp_count(text, lit("[.,;:!?]")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Fraction of tokens found in a stopword list — high values indicate
+    * natural prose, very low values indicate tables/code/garbage. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length factor x stopword factor,
+    * penalizing extreme punctuation (heuristic in the spirit of C4/Gopher
+    * quality filters, arbitrary fixed weights for determinism). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenFactor = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val stopFactor = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round(lenFactor * 0.4 + stopFactor * 0.4 + punctPenalty * 0.2, 6)
+  }
+
+  /** Marker-word hit count for one language's marker list. */
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(text)
+    val m = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(m, lower(t)))).cast("long")
+  }
+
+  /** Heuristic n-gram/marker language ID: argmax of per-language marker
+    * hits with a fixed tie-break order (first in `langs` wins ties).
+    * Mirrors fastText-style langid at the "cheap deterministic filter"
+    * end of the spectrum; scores are exposed for downstream thresholds. */
+  def langIdByMarkers(text: Column, langs: Seq[(String, Seq[String])]): Column = {
+    val scores = langs.map { case (lang, markers) => lang -> markerHits(text, markers) }
+    // fold right: earlier languages win ties because `>=` replaces later picks
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (greatest(bestScore, score),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Stable document fingerprint for exact dedup: md5 of
+    * case-and-whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Word n-gram shingles (n>=1) as space-joined strings; documents
+    * shorter than n tokens yield their full token string as one shingle
+    * so no row silently drops out of dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+}

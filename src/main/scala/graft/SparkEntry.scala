@@ -9,6 +9,9 @@ import etlmudah.expr.Exprs
 import etlmudah.ingest.Ingest
 import etlmudah.joins.Joins
 import etlmudah.load.Upsert
+import etlmudah.multimodal.Multimodal
+import etlmudah.scale.{Dedup, Similarity}
+import etlmudah.text.TextStats
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with matching DuckDB-runnable ANSI SQL in `oracleSql`.
@@ -169,7 +172,122 @@ object SparkEntry {
         .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
           col("cnt"), col("sum_value"))
         .orderBy(col("hour_us"), col("event_type"))),
+
+    // text quality scoring per source
+    "q21_doc_quality_by_source" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.qualityScore(col("text"), qualityStops).as("q"),
+          TextStats.stopwordRatio(col("text"), qualityStops).as("sr"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          round(avg(col("q")), 4).as("avg_quality"),
+          round(avg(col("sr")), 4).as("avg_stop_ratio"))
+        .orderBy(col("source"))),
+
+    // heuristic language ID vs labeled lang
+    "q22_langid_agreement" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextStats.langIdByMarkers(col("text"), langMarkers).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred"))),
+
+    // document fingerprinting (rolling-hash dedup key)
+    "q23_fingerprint_collisions" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextStats.fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("cnt").desc, col("fp").asc)
+        .limit(20)),
+
+    // exact dedup: surviving doc ids
+    "q24_exact_dedup_docs" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash LSH near-duplicate pairs (no SQL oracle: probabilistic
+    // candidate generation; verified by recall tests in DedupSpec)
+    "q25_near_dup_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(Tables.documents(s, dir), "text", "doc_id",
+        minJaccard = 0.8)),
+
+    // SimHash near-duplicate pairs (no SQL oracle; spec-verified)
+    "q26_simhash_near_dups" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "text", "doc_id",
+        maxHamming = 6)),
+
+    // exact cosine top-k against one query vector
+    "q27_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    // ANN via random-hyperplane LSH, first 20 query ids (no SQL oracle;
+    // recall vs brute force is spec-verified)
+    "q28_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopKAll(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, tables = 16, bits = 6)
+        .filter(col("qid") < 20)),
+
+    // multimodal plumbing: media metadata + stub features + frame counts
+    "q29_multimodal_features" -> ((s, dir) => {
+      val m = Multimodal.withFakeMedia(Tables.documents(s, dir), "text")
+      m.select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          size(Multimodal.frameSample(col("media"), 4, 8)).cast("long").as("n_frames"),
+          element_at(Multimodal.decodeFeaturesStub(col("media"), 8), 1).as("f0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // J4/F5 — band join: same-brand parts within size tolerance
+    "q30_band_join_parts" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val a = p.select(col("p_partkey").as("pk_a"), col("p_brand").as("brand"),
+        col("p_size").as("size_a"))
+      val b = p.select(col("p_partkey").as("pk_b"), col("p_brand").as("brand"),
+        col("p_size").as("size_b"))
+      a.join(b, Seq("brand"))
+        .filter(col("pk_a") < col("pk_b") &&
+          abs(col("size_a") - col("size_b")) <= 2)
+        .groupBy(col("brand")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("brand"))
+    }),
+
+    // A13 — depreciation-style point lookups on an aggregate curve
+    "q31_depreciation" -> ((s, dir) => {
+      val withAge = Tables.orders(s, dir)
+        .withColumn("age", lit(2026) - year(col("o_orderdate")))
+      withAge.agg(
+          round(avg(when(col("age") === 29, col("o_totalprice"))), 2).as("avg_age29"),
+          round(avg(when(col("age") === 30, col("o_totalprice"))), 2).as("avg_age30"),
+          round(avg(when(col("age") === 31, col("o_totalprice"))), 2).as("avg_age31"))
+        .withColumn("drop_29_to_31_pct",
+          round((col("avg_age29") - col("avg_age31")) / col("avg_age29") * 100, 4))
+    }),
+
+    // F1/F2/F4/F10/F11 — compound filter pipeline with projection
+    "q32_filter_pipeline" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice").between(50000, 300000))
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
   )
+
+  /** Stopword list shared by quality/text queries (and their oracles). */
+  private val qualityStops = Seq("the", "a", "of", "and", "to")
+
+  /** Marker lists for the langid heuristic; first lang wins ties. */
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("的"))
 
   def oracleSql: Map[String, String] = Map(
     "q01_headline_orders" ->
@@ -307,5 +425,90 @@ object SparkEntry {
         | count(*) AS cnt, round(sum(value),2) AS sum_value
         | FROM events GROUP BY hour_us, event_type
         | ORDER BY hour_us, event_type""".stripMargin,
+
+    "q21_doc_quality_by_source" ->
+      """WITH t AS (SELECT source,
+        |  string_split_regex(trim(text), '\s+') AS toks,
+        |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+        |    / nullif(length(text), 0) AS pr
+        |  FROM documents),
+        |m AS (SELECT source, len(toks)::BIGINT AS n_tokens,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to')))::DOUBLE
+        |      / len(toks) ELSE 0.0 END AS sr,
+        |  coalesce(pr, 0.0) AS pr FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | round(avg(n_tokens), 4) AS avg_tokens,
+        | round(avg(round(
+        |   least(n_tokens / 50.0, 1.0) * 0.4
+        |   + least(sr * 5.0, 1.0) * 0.4
+        |   + greatest(0.0, 1.0 - pr * 5.0) * 0.2, 6)), 4) AS avg_quality,
+        | round(avg(sr), 4) AS avg_stop_ratio
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q22_langid_agreement" ->
+      """WITH t AS (SELECT lang,
+        |  list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS toks
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of')))::BIGINT AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und')))::BIGINT AS s_de,
+        |  len(list_filter(toks, x -> x IN ('el','la','los')))::BIGINT AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','les','des')))::BIGINT AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('的')))::BIGINT AS s_zh
+        |  FROM t)
+        |SELECT lang,
+        | CASE WHEN s_zh > greatest(s_en, s_de, s_es, s_fr) THEN 'zh'
+        |      WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+        |      WHEN s_es > greatest(s_en, s_de) THEN 'es'
+        |      WHEN s_de > s_en THEN 'de'
+        |      ELSE 'en' END AS pred,
+        | count(*) AS cnt
+        |FROM s GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    "q23_fingerprint_collisions" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | count(*) AS cnt, min(doc_id) AS first_doc
+        | FROM documents GROUP BY fp
+        | ORDER BY cnt DESC, fp ASC LIMIT 20""".stripMargin,
+
+    "q24_exact_dedup_docs" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        | GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        | ORDER BY doc_id""".stripMargin,
+
+    "q27_cosine_topk" ->
+      """SELECT vec_id,
+        | round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cos_sim
+        | FROM embeddings, (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |   WHERE vec_id = 0) q
+        | WHERE vec_id <> 0
+        | ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q30_band_join_parts" ->
+      """SELECT a.p_brand AS brand, count(*) AS n_pairs
+        | FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |  AND a.p_partkey < b.p_partkey
+        |  AND abs(a.p_size - b.p_size) <= 2
+        | GROUP BY a.p_brand ORDER BY brand""".stripMargin,
+
+    "q31_depreciation" ->
+      """WITH a AS (SELECT 2026 - year(o_orderdate) AS age, o_totalprice
+        |  FROM orders)
+        |, g AS (SELECT
+        |  round(avg(CASE WHEN age = 29 THEN o_totalprice END), 2) AS avg_age29,
+        |  round(avg(CASE WHEN age = 30 THEN o_totalprice END), 2) AS avg_age30,
+        |  round(avg(CASE WHEN age = 31 THEN o_totalprice END), 2) AS avg_age31
+        |  FROM a)
+        |SELECT avg_age29, avg_age30, avg_age31,
+        | round((avg_age29 - avg_age31) / avg_age29 * 100, 4) AS drop_29_to_31_pct
+        |FROM g""".stripMargin,
+
+    "q32_filter_pipeline" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_totalprice BETWEEN 50000 AND 300000
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderstatus = 'F'
+        | ORDER BY o_orderkey""".stripMargin,
   )
 }

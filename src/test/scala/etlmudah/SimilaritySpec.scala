@@ -1,0 +1,53 @@
+package etlmudah.scale
+
+import graft.SparkSpec
+import etlmudah.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine: identity = 1, orthogonal = 0, zero vector = 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(0f, 0f), Array(1f, 1f))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) == 0.0 && out(2) == 0.0)
+  }
+
+  test("bruteForceTopK: k rows, descending, excludes the query row") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10).collect()
+    assert(out.length == 10)
+    assert(!out.map(_.getLong(0)).contains(0L))
+    val sims = out.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("lshTopKAll: recall vs brute force on sf0.001") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val k = 10
+    val queries = Seq(0L, 7L, 42L, 99L)
+    // testdata embeddings are unclustered uniform noise (top-10 cosine
+    // ~0.3-0.48, i.e. ~65-72 deg), the hardest case for angular LSH —
+    // widen buckets: 16 tables x 6 bits. Real embedding corpora have far
+    // stronger neighbor structure and take more bits.
+    val ann = Similarity.lshTopKAll(emb, "vec_id", "embedding", k,
+        tables = 16, bits = 6)
+      .filter(col("qid").isin(queries: _*))
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = queries.map { q =>
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k)
+        .collect().map(_.getLong(0)).toSet
+      val got = ann.getOrElse(q, Set.empty)
+      got.intersect(truth).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.35, s"mean recall@$k = $mean (per-query: $recalls)")
+  }
+}

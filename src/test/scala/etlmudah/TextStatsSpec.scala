@@ -1,0 +1,59 @@
+package etlmudah.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import TextStats._
+
+  private def one[T](c: org.apache.spark.sql.Column): T = {
+    spark.range(1).select(c.as("v")).collect().head.getAs[T]("v")
+  }
+
+  test("tokens + tokenCount on messy whitespace") {
+    assert(one[Long](tokenCount(lit("  the  quick   fox "))) == 3L)
+  }
+
+  test("punctRatio counts sentence punctuation per char") {
+    val r = one[Double](punctRatio(lit("ab,cd!")))
+    assert(math.abs(r - 2.0 / 6.0) < 1e-9)
+    assert(one[Double](punctRatio(lit(""))) == 0.0)
+  }
+
+  test("stopwordRatio fraction of stopword tokens") {
+    val r = one[Double](stopwordRatio(lit("the cat sat on the mat"), Seq("the", "on")))
+    assert(math.abs(r - 3.0 / 6.0) < 1e-9)
+  }
+
+  test("qualityScore bounded in [0,1]") {
+    val texts = Seq("", "the", "a b c d e f g h i j the of and to a " * 5, "!!!!!!")
+    import spark.implicits._
+    val scores = texts.toDF("t")
+      .select(qualityScore(col("t"), Seq("the", "a", "of", "and", "to")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("langIdByMarkers: argmax with first-lang tie-break") {
+    val langs = Seq(
+      "en" -> Seq("the", "of"), "de" -> Seq("der", "und"), "es" -> Seq("el", "los"))
+    assert(one[String](langIdByMarkers(lit("the house of cards"), langs)) == "en")
+    assert(one[String](langIdByMarkers(lit("der hund und die katze"), langs)) == "de")
+    // zero hits everywhere -> first language wins the tie
+    assert(one[String](langIdByMarkers(lit("xyz qrs"), langs)) == "en")
+  }
+
+  test("fingerprint invariant to case and whitespace runs") {
+    val a = one[String](fingerprint(lit("Hello   World")))
+    val b = one[String](fingerprint(lit("hello world")))
+    val c = one[String](fingerprint(lit("hello worlds")))
+    assert(a == b && a != c)
+  }
+
+  test("shingles: distinct n-grams, short-doc fallback") {
+    def seqOf(c: org.apache.spark.sql.Column): Seq[String] =
+      spark.range(1).select(c.as("v")).collect().head.getSeq[String](0)
+    assert(seqOf(shingles(lit("a b c d"), 3)).toSet == Set("a b c", "b c d"))
+    assert(seqOf(shingles(lit("a b"), 3)) == Seq("a b"))
+  }
+}
