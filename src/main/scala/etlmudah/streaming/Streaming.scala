@@ -1,0 +1,88 @@
+package etlmudah.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import etlmudah.load.Upsert
+
+/** Structured Streaming slice (SURVEY.md §2.9): the reference's 12-hour
+  * micro-batch ingest (dags/dag.py:288, catchup=False) made
+  * streaming-native — file-source stream, watermarked tumbling-window
+  * aggregation, keyed dedup, and an idempotent foreachBatch upsert.
+  *
+  * State is bounded by the watermark (the reference sidesteps unbounded
+  * state by full-merge every 12 h; here late data past the watermark is
+  * dropped and documented). The batch twin of `hourlyCounts` is
+  * SparkEntry q20 — the DuckDB-oracled query — and StreamingSpec asserts
+  * stream==batch on the same input, which is the exactly-once contract.
+  */
+object Streaming {
+
+  /** Schema of the events parquet as read with nanosAsLong (ts arrives
+    * as epoch-nanos long; see Tables.eventsTyped). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events directory; ts converted to a real
+    * timestamp for event-time semantics. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsFileSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * twin of SparkEntry q20. Late events beyond `lateness` are dropped;
+    * state per open window is O(|event types|). */
+  def hourlyCounts(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Keyed dedup with watermark-bounded state (D1 made streaming):
+    * duplicates of event_id within the lateness horizon are dropped. */
+  def dedupEvents(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Idempotent micro-batch upsert: each batch merges into the parquet
+    * base last-writer-wins (S8 semantics); re-delivered batches converge
+    * to the same state, matching the reference's ON CONFLICT idempotency
+    * (dag.py:259-265). Write-temp-then-swap echoes the reference's
+    * staged temp-table + transaction pattern (SURVEY §7.5.7). */
+  def upsertSink(events: DataFrame, basePath: String, checkpoint: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stamped = batch.withColumn("batch_ts", lit(batchId))
+        val merged =
+          if (new java.io.File(basePath).exists()) {
+            val base = spark.read.parquet(basePath)
+            Upsert.upsert(base, stamped, Seq("event_id"),
+              Seq(col("batch_ts").desc, col("event_id").asc))
+          } else stamped
+        val tmp = basePath + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        deleteRecursively(new java.io.File(basePath))
+        new java.io.File(tmp).renameTo(new java.io.File(basePath))
+        ()
+      }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

@@ -276,6 +276,16 @@ object SparkEntry {
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
+
+    // M1-M8 — RF price pipeline feature importances (no SQL oracle:
+    // tree ensembles have no DuckDB twin; invariants in PricePipelineSpec)
+    "q33_ml_importances" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val t = etlmudah.ml.PricePipeline.train(Tables.part(s, dir),
+        catCols = Seq("p_brand", "p_type"), numCols = Seq("p_size"),
+        labelCol = "p_retailprice")
+      etlmudah.ml.PricePipeline.importances(t)
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */

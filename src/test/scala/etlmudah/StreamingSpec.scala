@@ -1,0 +1,87 @@
+package etlmudah.streaming
+
+import graft.SparkSpec
+import etlmudah.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  /** File-stream sources need a directory; stage the events file into one. */
+  private def stageEvents(tag: String): String = {
+    val dir = Files.createTempDirectory(tag).toString + "/events"
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("hourlyCounts stream == batch twin on the same input (exactly-once contract)") {
+    val out = Files.createTempDirectory("stream_out").toString
+    val q = Streaming.hourlyCounts(
+        Streaming.readEvents(spark, stageEvents("src_hourly")))
+      .writeStream
+      .format("memory").queryName("hourly")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hourly")
+      .orderBy("hour_us", "event_type").collect()
+    val batch = Tables.eventsTyped(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("hour_us", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("dedupEvents drops duplicate event_ids within the watermark") {
+    val out = Files.createTempDirectory("stream_dedup").toString
+    val src = s"$out/src"
+    new java.io.File(src).mkdirs()
+    // duplicate the events file -> every event_id arrives twice
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+    val extra = spark.read.parquet(src)
+    extra.write.mode("append").parquet(src)
+
+    val q = Streaming.dedupEvents(Streaming.readEvents(spark, src))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val n = spark.table("dedup").count()
+    val distinct = events.select("event_id").distinct().count()
+    assert(n == distinct, s"expected $distinct deduped rows, got $n")
+  }
+
+  test("upsertSink: micro-batch merge is idempotent (re-running converges)") {
+    val out = Files.createTempDirectory("stream_upsert").toString
+    val base = s"$out/base"
+    val src = stageEvents("src_upsert")
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.upsertSink(
+          Streaming.readEvents(spark, src),
+          base, cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce(s"$out/cp1")
+    val first = spark.read.parquet(base)
+      .select("event_id", "value").orderBy("event_id").collect()
+    runOnce(s"$out/cp2")   // fresh checkpoint -> same batch re-delivered
+    val second = spark.read.parquet(base)
+      .select("event_id", "value").orderBy("event_id").collect()
+    assert(first.length > 0)
+    assert(first.zip(second).forall { case (a, b) => a == b })
+  }
+}
