@@ -39,39 +39,80 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
-  /** Per-document LSH band hashes via distributed MinHash:
-    * explode (id, shingle) -> k seeded hashes each -> partial min per
-    * (id, seed) -> band hash over each r-seed slice. Returns
-    * (id, band, bhash). Documents with zero shingles drop out (nothing
-    * to match on). */
+  /** Per-document LSH band hashes via distributed MinHash. Returns
+    * (id, band, bhash); documents with zero shingles drop out.
+    *
+    * Cost shape: each shingle is string-hashed ONCE (xxhash64); the k
+    * hash families re-hash that single long with a seed literal —
+    * an 8-byte codegen'd hash, no string re-hashing, no ANSI overflow
+    * (affine a*h+b would throw under ANSI mode). Accumulated by a single
+    * groupBy(id) hash aggregate with k min() columns — one shuffle of
+    * k longs per doc, every operator codegen'd, no k-times explode. */
   def minhashBands(shingled: DataFrame, idCol: String, shCol: String,
-                   k: Int, bands: Int): DataFrame = {
+                   k: Int, bands: Int): DataFrame =
+    minhashBandsRows(
+      shingled.select(col(idCol).as("id"), explode(col(shCol)).as("shingle")),
+      k, bands)
+
+  /** Same as `minhashBands` but over exploded (id, shingle) rows — the
+    * codegen-native form used by `nearDupPairs`. */
+  def minhashBandsRows(shingleRows: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
-    val hashed = shingled
-      .select(col(idCol).as("id"), explode(col(shCol)).as("shingle"))
+
+    val th = shingleRows.select(col("id"), xxhash64(col("shingle")).as("th"))
+    val minAggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("th"))).as(s"m$i"))
+    val sig = th.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPerBand).map(j => col(s"m${b * rowsPerBand + j}").cast("string")): _*))
+        .as(s"bh$b")
+    }
+    sig.select(col("id") +: bandCols: _*)
       .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(k - 1)),
-          i => xxhash64(i, col("shingle")))).as(Seq("seed", "h")))
-    val sig = hashed.groupBy(col("id"), col("seed")).agg(min(col("h")).as("mh"))
-    sig.groupBy(col("id"),
-        (col("seed") / lit(rowsPerBand)).cast("int").as("band"))
-      .agg(xxhash64(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("seed"), col("mh")))),
-          s => s.getField("mh").cast("string")))).as("bhash"))
+        posexplode(array((0 until bands).map(b => col(s"bh$b")): _*))
+          .as(Seq("band", "bhash")))
   }
 
   /** Candidate pairs from MinHash LSH + exact n-gram Jaccard refine.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minJaccard,
     * ordered desc. k=128, bands=32 (r=4) targets the ~0.7+ band with
     * near-total recall. */
+  /** Distinct word-n-gram shingles as (id, shingle) ROWS, built with
+    * posexplode + window lead() — every operator codegen'd. The
+    * array-HOF equivalent (TextStats.shingles) runs interpreted at
+    * ~0.8 ms/row; this form is for the hot path. Documents shorter than
+    * n tokens contribute their full token string so they stay
+    * dedup-eligible. The window shuffle doubles as the parallelism
+    * barrier for single-split inputs. */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("t"), j).over(w))
+    val grams = tok
+      .select(col("id"), concat_ws(" ", col("t") +: leads: _*).as("shingle"),
+        leads.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select("id", "shingle")
+    // Docs with < n tokens produce no grams; give them their whole token
+    // string via a tiny anti-join branch so the common path stays free of
+    // per-row list collection.
+    val short = df
+      .select(col(idCol).as("id"),
+        concat_ws(" ", TextStats.tokens(col(textCol))).as("shingle"))
+      .join(grams.select("id").distinct(), Seq("id"), "left_anti")
+    grams.union(short).distinct()
+  }
+
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                    minJaccard: Double = 0.7,
                    maxBucketSize: Int = 1000): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"),
-      TextStats.shingles(col(textCol), shingleN).as("sh"))
-    val buckets = minhashBands(shingled, "id", "sh", k, bands)
+    val sh = shingleRows(df, textCol, idCol, shingleN)
+    val buckets = minhashBandsRows(sh, k, bands)
 
     // Degenerate-bucket guard before the quadratic-in-bucket-size join.
     val sized = buckets.withColumn("bsz",
@@ -85,32 +126,42 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()   // a pair may collide in several bands; ids only -> cheap
 
-    cands
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+    // Exact Jaccard refine in exploded form: |intersection| is a count of
+    // matching (shingle) rows between the two candidate docs; no array
+    // intersect/union materializes.
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
   }
 
-  /** 64-bit SimHash per document, computed explode-side (codegen-friendly):
-    * one vote row per (doc, bit) summed from token hashes, then packed.
-    * Returns (id, sh64). Empty-token docs drop out. */
+  /** 64-bit SimHash per document: one string hash per token, then a
+    * single groupBy(id) with 64 conditional-sum vote columns (codegen'd,
+    * map-side combined; one shuffle of 64 longs per doc), packed into a
+    * long by a static projection. Returns (id, sh64); empty-token docs
+    * drop out. */
   def simhashAll(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df
       .select(col(idCol).as("id"), explode(TextStats.tokens(col(textCol))).as("t"))
+      .repartition(col("id"))   // single-split inputs would serialize the agg
       .select(col("id"), xxhash64(col("t")).as("th"))
-    val votes = tok.select(col("id"), posexplode(expr(
-      "transform(sequence(0, 63), b -> " +
-        "CASE WHEN (th >> CAST(b AS INT)) & 1L = 1L THEN 1L ELSE -1L END)"))
-      .as(Seq("bit", "vote")))
-    votes.groupBy("id", "bit").agg(sum("vote").as("v"))
-      .groupBy("id")
-      .agg(expr("sum(CASE WHEN v > 0 THEN shiftleft(1L, 63 - CAST(bit AS INT)) " +
-        "ELSE 0L END)").as("sh64"))
+    val voteAggs = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(lit(1L)) === 1L,
+        lit(1L)).otherwise(lit(-1L))).as(s"v$b"))
+    tok.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << (63 - b))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh64"))
   }
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -68,6 +68,30 @@ object Similarity {
     array(keys: _*)
   }
 
+  /** Bucket keys for a whole corpus, the codegen path: explode vectors
+    * to (id, dim, x), compute all tables x bits hyperplane projections
+    * as sum() aggregate columns with literal-array weight lookups
+    * (element_at on a constant array is O(1) and codegen'd), then pack
+    * sign bits per table. Returns (id, tbl, bkt). One shuffle of
+    * tables x bits doubles per vector. */
+  def lshBucketsAll(vecs: DataFrame, tables: Int, bits: Int, dims: Int): DataFrame = {
+    val hp = hyperplanes(tables, bits, dims)
+    val ex = vecs.select(col("id"), posexplode(col("vec")).as(Seq("dim", "x")))
+    val projAggs = for (t <- 0 until tables; j <- 0 until bits) yield
+      sum(element_at(typedLit(hp(t)(j)), col("dim") + 1) * col("x").cast("double"))
+        .as(s"p_${t}_$j")
+    val proj = ex.groupBy(col("id")).agg(projAggs.head, projAggs.tail: _*)
+    val keyCols = (0 until tables).map { t =>
+      (0 until bits).map(j =>
+        when(col(s"p_${t}_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"k$t")
+    }
+    proj.select(col("id") +: keyCols: _*)
+      .select(col("id"),
+        posexplode(array((0 until tables).map(t => col(s"k$t")): _*))
+          .as(Seq("tbl", "bkt")))
+  }
+
   /** ANN top-k for ALL vectors at once (the scale path): bucket-join
     * candidates from L tables, refine with exact cosine, rank per query.
     * Output: (query_id, neighbor_id, cos_sim, rank<=k). */
@@ -75,25 +99,37 @@ object Similarity {
                  k: Int, tables: Int = 8, bits: Int = 10,
                  dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Repartition by id first: a single-split corpus would serialize the
+    // projection aggregate on one core otherwise.
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    // Norms precomputed once per vector: the per-candidate refine then
+    // needs a single dot-product pass instead of three.
+    val vecsN = vecs.withColumn("nrm",
+      sqrt(aggregate(transform(col("vec"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (s, x) => s + x)))
     // Bucket rows and the candidate join are ID-ONLY — vectors are never
     // replicated through the band explode or deduped through distinct();
     // they re-join only for the refine, which is bounded by the candidate
     // count, not tables x corpus.
-    val withBuckets = vecs
-      .select(col("id"), posexplode(lshBuckets(col("vec"), tables, bits, dims))
-        .as(Seq("tbl", "bkt")))
+    val withBuckets = lshBucketsAll(vecs, tables, bits, dims)
     val cands = withBuckets.select(col("tbl"), col("bkt"), col("id").as("qid"))
       .join(withBuckets.select(col("tbl"), col("bkt"), col("id").as("nid")),
         Seq("tbl", "bkt"))
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid")
       .distinct()
+    val dot = aggregate(
+      zip_with(col("qvec"), col("nvec"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, x) => s + x)
     val scored = cands
-      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec")), Seq("qid"))
-      .join(vecs.select(col("id").as("nid"), col("vec").as("nvec")), Seq("nid"))
+      .join(vecsN.select(col("id").as("qid"), col("vec").as("qvec"),
+        col("nrm").as("qnrm")), Seq("qid"))
+      .join(vecsN.select(col("id").as("nid"), col("vec").as("nvec"),
+        col("nrm").as("nnrm")), Seq("nid"))
       .select(col("qid"), col("nid"),
-        round(cosine(col("qvec"), col("nvec")), 6).as("cos_sim"))
+        round(when(col("qnrm") > 0 && col("nnrm") > 0,
+          dot / (col("qnrm") * col("nnrm"))).otherwise(lit(0.0)), 6).as("cos_sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
