@@ -62,4 +62,13 @@ object Exprs {
   /** Percent share helper: 100*x/total rounded. */
   def pct(x: Column, total: Column, scale: Int = 2): Column =
     round(x * 100.0 / total, scale)
+
+  /** C11: URL -> HTML anchor (price_prediction.py:188-190). */
+  def anchorTag(url: Column, label: Column): Column =
+    concat(lit("<a href=\""), url, lit("\">"), label, lit("</a>"))
+
+  /** C9: currency-style presentation string (price_analysis.py:326-327,
+    * "RM 1,234.56"). format_number gives the thousands grouping. */
+  def currency(amount: Column, symbol: String = "RM "): Column =
+    concat(lit(symbol), format_number(amount, 2))
 }

@@ -1,0 +1,74 @@
+package etlmudah.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sink-side operators (SURVEY §2.1 S6/S7/S9/S12).
+  *
+  * The reference's load path is: TSV-encode (dag.py:209-240) -> COPY into
+  * an ON COMMIT DROP staging table (dag.py:183-246) -> set-based MERGE.
+  * In Spark the wire-encode disappears (columnar parquet is the wire),
+  * but the STAGED write survives as write-temp-then-swap, and the
+  * "secondary index" (dag.py:319-320) becomes partition layout + parquet
+  * min/max stats, which Catalyst prunes automatically.
+  */
+object Writers {
+
+  /** S6: TSV encode — tab-delimited, header, minimal quoting (the COPY
+    * wire format of dag.py:209-240). For interchange only; parquet is
+    * the performance path. */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("delimiter", "\t").option("header", "true")
+      .csv(path)
+
+  /** S7: staged bulk load — write to a temp location, swap atomically at
+    * the directory level (the reference's temp-table + transaction,
+    * dag.py:183-268). Readers never observe a half-written target. */
+  def writeStaged(df: DataFrame, path: String): Unit = {
+    val tmp = path + "__staging"
+    df.write.mode("overwrite").parquet(tmp)
+    deleteRecursively(new java.io.File(path))
+    new java.io.File(tmp).renameTo(new java.io.File(path))
+    ()
+  }
+
+  /** S9: partitioned table layout — `partitionBy` replaces the btree
+    * secondary index on region_id (dag.py:319): equality/IN predicates
+    * on the partition column prune whole directories at plan time
+    * (PruneFileSourcePartitions), and range predicates on sorted
+    * columns skip row groups via parquet min/max stats. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** S12: result cache with TTL (the dashboard's @st.cache_data(ttl=300),
+    * data_loader.py:15,37). Entries past their deadline are unpersisted
+    * and recomputed on next access. Driver-side registry: the cache
+    * blocks live distributed on executors; only bookkeeping is local. */
+  final class TtlCache(spark: SparkSession) {
+    private case class Entry(df: DataFrame, deadlineMs: Long)
+    private val entries = scala.collection.mutable.Map.empty[String, Entry]
+
+    def getOrCompute(key: String, ttlMs: Long)(compute: => DataFrame): DataFrame =
+      synchronized {
+        val now = System.currentTimeMillis()
+        entries.get(key) match {
+          case Some(e) if e.deadlineMs > now => e.df
+          case stale =>
+            stale.foreach(_.df.unpersist())
+            val df = compute.cache()
+            entries(key) = Entry(df, now + ttlMs)
+            df
+        }
+      }
+
+    def invalidate(key: String): Unit = synchronized {
+      entries.remove(key).foreach(_.df.unpersist()); ()
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

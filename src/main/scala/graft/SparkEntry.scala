@@ -280,6 +280,41 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
 
+    // S1-S4 — DSv2 paginated source (pagination + rate limit + retry),
+    // cleaned and aggregated per region; the simulated API is integer
+    // arithmetic so DuckDB generate_series rebuilds it exactly
+    "q34_paged_ingest" -> ((s, dir) =>
+      s.read.format("etlmudah.sources.PagedSource")
+        .option("regions", "5").option("perRegion", "1000")
+        .option("pageSize", "200").option("failEveryNPages", "3")
+        .load()
+        .filter(col("price") > 0)   // F7 sentinel gate
+        .groupBy(col("region_id")).agg(
+          count(lit(1)).as("n"),
+          round(avg(col("price")), 2).as("avg_price"),
+          min(col("mileage_min")).as("min_mileage"),
+          max(col("mileage_max")).as("max_mileage"))
+        .orderBy(col("region_id"))),
+
+    // A15 — KDE curve over order totals at a fixed grid
+    "q35_kde_totalprice" -> ((s, dir) =>
+      etlmudah.analytics.Density.kdeAtGrid(
+          Tables.orders(s, dir), col("o_totalprice"),
+          bandwidth = 50000.0,
+          grid = (0 to 10).map(_ * 50000.0))
+        .select(col("grid_point"),
+          round(col("density") * 1e6, 4).as("density_ppm"))),
+
+    // C9/C11 — presentation strings: anchor tag + currency formatting
+    "q36_anchor_labels" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_partkey") <= 50)
+        .select(col("p_partkey"),
+          Exprs.anchorTag(
+            concat(lit("https://example.com/part/"), col("p_partkey").cast("string")),
+            col("p_name")).as("anchor"))
+        .orderBy(col("p_partkey"))),
+
     // M1-M8 — RF price pipeline feature importances (no SQL oracle:
     // tree ensembles have no DuckDB twin; invariants in PricePipelineSpec)
     "q33_ml_importances" -> ((s, dir) => {
@@ -523,5 +558,37 @@ object SparkEntry {
         |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
         |  AND o_orderstatus = 'F'
         | ORDER BY o_orderkey""".stripMargin,
+
+    "q34_paged_ingest" ->
+      """WITH s AS (SELECT CAST(i // 1000 AS INTEGER) AS region_id,
+        |   (i // 1000) * 1000000 + (i % 1000) AS id
+        |  FROM generate_series(0, 4999) t(i)),
+        |r AS (SELECT region_id, id,
+        |   ((id * 9973) % 1000000) / 100.0 AS price,
+        |   (id * 31) % 200000 AS mileage_min,
+        |   (id * 31) % 200000 + id % 50000 AS mileage_max
+        |  FROM s)
+        |SELECT region_id, count(*) AS n,
+        | round(avg(price), 2) AS avg_price,
+        | min(mileage_min) AS min_mileage,
+        | max(mileage_max) AS max_mileage
+        |FROM r WHERE price > 0
+        |GROUP BY region_id ORDER BY region_id""".stripMargin,
+
+    "q35_kde_totalprice" ->
+      """WITH g AS (SELECT i * 50000.0 AS grid_point
+        |  FROM generate_series(0, 10) t(i))
+        |SELECT grid_point,
+        | round(avg(exp(-0.5 * pow((grid_point - o_totalprice) / 50000.0, 2)))
+        |   * (1.0 / sqrt(2 * pi())) / 50000.0 * 1e6, 4) AS density_ppm
+        |FROM g CROSS JOIN orders
+        |GROUP BY grid_point ORDER BY grid_point""".stripMargin,
+
+    "q36_anchor_labels" ->
+      """SELECT p_partkey,
+        | concat('<a href="', 'https://example.com/part/',
+        |   CAST(p_partkey AS VARCHAR), '">', p_name, '</a>') AS anchor
+        | FROM part WHERE p_partkey <= 50
+        | ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -1,0 +1,54 @@
+package etlmudah.sinks
+
+import graft.SparkSpec
+import etlmudah.Tables
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class WritersSpec extends SparkSpec {
+
+  test("S6: TSV roundtrip preserves rows") {
+    val out = Files.createTempDirectory("tsv").toString + "/t"
+    val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderstatus")
+    Writers.writeTsv(orders, out)
+    val back = spark.read.option("delimiter", "\t").option("header", "true").csv(out)
+    assert(back.count() == orders.count())
+  }
+
+  test("S7: staged write swaps atomically and is re-runnable") {
+    val out = Files.createTempDirectory("staged").toString + "/t"
+    val df = Tables.region(spark, sf0001)
+    Writers.writeStaged(df, out)
+    assert(spark.read.parquet(out).count() == 5)
+    Writers.writeStaged(df.limit(3), out)   // second run replaces
+    assert(spark.read.parquet(out).count() == 3)
+    assert(!new java.io.File(out + "__staging").exists())
+  }
+
+  test("S9: partitioned layout prunes non-matching partitions at scan") {
+    val out = Files.createTempDirectory("part").toString + "/t"
+    Writers.writePartitioned(Tables.orders(spark, sf0001), out, Seq("o_orderpriority"))
+    val pruned = spark.read.parquet(out).filter(col("o_orderpriority") === "1-URGENT")
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles
+      }).flatten
+    assert(files.nonEmpty)
+    val scanned = pruned.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scanned.forall(_.contains("o_orderpriority=1-URGENT")))
+  }
+
+  test("S12: TTL cache returns same plan within TTL, recomputes after") {
+    val cache = new Writers.TtlCache(spark)
+    var computes = 0
+    def load() = { computes += 1; Tables.nation(spark, sf0001) }
+    cache.getOrCompute("nation", ttlMs = 60000)(load()).count()
+    cache.getOrCompute("nation", ttlMs = 60000)(load()).count()
+    assert(computes == 1)
+    cache.invalidate("nation")
+    cache.getOrCompute("nation", ttlMs = 60000)(load()).count()
+    assert(computes == 2)
+  }
+}
