@@ -315,6 +315,17 @@ object SparkEntry {
             col("p_name")).as("anchor"))
         .orderBy(col("p_partkey"))),
 
+    // F13/U2/A4/C6/C10 — alias standardization + stats over a derived age
+    "q37_standardize_age_stats" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("status_std", Exprs.standardize(col("o_orderstatus"),
+          Map("F" -> "FINAL", "O" -> "OPEN")))
+        .withColumn("age", (lit(2026) - year(col("o_orderdate"))).cast("long"))
+        .groupBy(col("status_std"), col("age")).agg(
+          count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("status_std"), col("age"))),
+
     // M1-M8 — RF price pipeline feature importances (no SQL oracle:
     // tree ensembles have no DuckDB twin; invariants in PricePipelineSpec)
     "q33_ml_importances" -> ((s, dir) => {
@@ -590,5 +601,14 @@ object SparkEntry {
         |   CAST(p_partkey AS VARCHAR), '">', p_name, '</a>') AS anchor
         | FROM part WHERE p_partkey <= 50
         | ORDER BY p_partkey""".stripMargin,
+
+    "q37_standardize_age_stats" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN 'FINAL'
+        |  WHEN o_orderstatus = 'O' THEN 'OPEN'
+        |  ELSE o_orderstatus END AS status_std,
+        | 2026 - year(o_orderdate) AS age,
+        | count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        | FROM orders GROUP BY status_std, age
+        | ORDER BY status_std, age""".stripMargin,
   )
 }
