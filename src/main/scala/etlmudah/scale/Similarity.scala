@@ -30,6 +30,15 @@ object Similarity {
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
   }
 
+  /** Cosine via the native codegen'd CosineSimilarity expression
+    * (registered by etlmudah.GraftExtensions). Bit-identical to
+    * `cosine` (same sequential double fold) but runs inside
+    * whole-stage codegen instead of interpreted lambdas — this is the
+    * hot loop of brute-force scans and LSH refines. Requires the
+    * session to carry spark.sql.extensions=etlmudah.GraftExtensions. */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   /** Exact top-k by cosine against the vector of `queryId` (excluded from
     * results). The query row is broadcast; the corpus is scanned once. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
@@ -38,7 +47,8 @@ object Similarity {
       .select(col(vecCol).as("__qvec"))
     embeddings.filter(col(idCol) =!= queryId)
       .join(broadcast(q))
-      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+      .select(col(idCol),
+        round(cosineFast(col(vecCol), col("__qvec")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -103,15 +113,11 @@ object Similarity {
     // projection aggregate on one core otherwise.
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
-    // Norms precomputed once per vector: the per-candidate refine then
-    // needs a single dot-product pass instead of three.
-    val vecsN = vecs.withColumn("nrm",
-      sqrt(aggregate(transform(col("vec"), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (s, x) => s + x)))
     // Bucket rows and the candidate join are ID-ONLY — vectors are never
     // replicated through the band explode or deduped through distinct();
     // they re-join only for the refine, which is bounded by the candidate
-    // count, not tables x corpus.
+    // count, not tables x corpus. The refine itself is the native
+    // codegen'd cosine expression.
     val withBuckets = lshBucketsAll(vecs, tables, bits, dims)
     val cands = withBuckets.select(col("tbl"), col("bkt"), col("id").as("qid"))
       .join(withBuckets.select(col("tbl"), col("bkt"), col("id").as("nid")),
@@ -119,17 +125,11 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid")
       .distinct()
-    val dot = aggregate(
-      zip_with(col("qvec"), col("nvec"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, x) => s + x)
     val scored = cands
-      .join(vecsN.select(col("id").as("qid"), col("vec").as("qvec"),
-        col("nrm").as("qnrm")), Seq("qid"))
-      .join(vecsN.select(col("id").as("nid"), col("vec").as("nvec"),
-        col("nrm").as("nnrm")), Seq("nid"))
+      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec")), Seq("qid"))
+      .join(vecs.select(col("id").as("nid"), col("vec").as("nvec")), Seq("nid"))
       .select(col("qid"), col("nid"),
-        round(when(col("qnrm") > 0 && col("nnrm") > 0,
-          dot / (col("qnrm") * col("nnrm"))).otherwise(lit(0.0)), 6).as("cos_sim"))
+        round(cosineFast(col("qvec"), col("nvec")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))

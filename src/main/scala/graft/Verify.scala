@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "etlmudah.GraftExtensions")
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type —
       // read as epoch-nanos long (Tables.eventsTyped derives micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

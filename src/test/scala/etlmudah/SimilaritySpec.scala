@@ -19,6 +19,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) == 0.0 && out(2) == 0.0)
   }
 
+  test("native graft_cosine expression is bit-identical to the HOF cosine") {
+    val emb = Tables.embeddings(spark, sf0001).limit(100)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val diffs = pairs.select(
+        Similarity.cosine(col("va"), col("vb")).as("hof"),
+        Similarity.cosineFast(col("va"), col("vb")).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diffs == 0)
+    // and it resolves from SQL via the session extension
+    emb.createOrReplaceTempView("emb_cos_test")
+    val sqlVal = spark.sql(
+      """SELECT graft_cosine(a.embedding, a.embedding) FROM emb_cos_test a
+        | WHERE a.vec_id = 0""".stripMargin).collect().head.getDouble(0)
+    assert(math.abs(sqlVal - 1.0) < 1e-12)
+  }
+
   test("bruteForceTopK: k rows, descending, excludes the query row") {
     val emb = Tables.embeddings(spark, sf0001)
     val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10).collect()
