@@ -102,6 +102,65 @@ object Similarity {
           .as(Seq("tbl", "bkt")))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer -> each vector is
+    * indexed under its nearest centroid; a query probes only its
+    * `nprobe` most-similar centroids and refines within those lists.
+    * Classic FAISS-style recall/cost dial: cost ~ nprobe/nlist of the
+    * corpus per query. Centroids are tiny and broadcast; candidate
+    * generation is an equi-join on cluster id — never all-pairs. */
+  def ivfTopKAll(embeddings: DataFrame, idCol: String, vecCol: String,
+                 k: Int, nlist: Int = 16, nprobe: Int = 4,
+                 seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val withVec = vecs.withColumn("mlvec", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("mlvec").setPredictionCol("cluster")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("cluster").as("cid"), col("id").as("nid"), col("vec").as("nvec"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cid", "cvec")
+
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = vecs.select(col("id").as("qid"), col("vec").as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosineFast(col("qvec"), col("cvec")).as("csim"))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select("qid", "qvec", "cid")
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    probes.join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosineFast(col("qvec"), col("nvec")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid").asc, col("rank").asc)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding
+    * method): LSH-bucketed candidates refined to pairs above a cosine
+    * threshold. Returns (id_a, id_b, cos_sim), id_a < id_b. */
+  def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double, tables: Int = 8, bits: Int = 8,
+                        dims: Int = 64): DataFrame =
+    lshTopKAll(embeddings, idCol, vecCol, k = 50, tables, bits, dims)
+      .filter(col("cos_sim") >= minCosine && col("qid") < col("nid"))
+      .select(col("qid").as("id_a"), col("nid").as("id_b"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+
   /** ANN top-k for ALL vectors at once (the scale path): bucket-join
     * candidates from L tables, refine with exact cosine, rank per query.
     * Output: (query_id, neighbor_id, cos_sim, rank<=k). */

@@ -40,6 +40,20 @@ object Writers {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed table layout: pre-shuffle a fact table by its join key at
+    * write time so later joins between co-bucketed tables plan as
+    * sort-merge with ZERO runtime exchange — the scale lever for
+    * repeated fact-to-fact joins (a 100 TB lineitem ⋈ orders pays its
+    * shuffle once, at load). Requires saveAsTable (bucket metadata lives
+    * in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keyCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S12: result cache with TTL (the dashboard's @st.cache_data(ttl=300),
     * data_loader.py:15,37). Entries past their deadline are unpersisted
     * and recomputed on next access. Driver-side registry: the cache

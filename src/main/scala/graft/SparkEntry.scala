@@ -326,6 +326,14 @@ object SparkEntry {
           round(avg(col("o_totalprice")), 2).as("avg_price"))
         .orderBy(col("status_std"), col("age"))),
 
+    // IVF ANN: k-means coarse quantizer + probe-limited refine (no SQL
+    // oracle: k-means assignment has no DuckDB twin; recall-verified in
+    // SimilaritySpec)
+    "q38_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopKAll(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4)
+        .filter(col("qid") < 20)),
+
     // M1-M8 — RF price pipeline feature importances (no SQL oracle:
     // tree ensembles have no DuckDB twin; invariants in PricePipelineSpec)
     "q33_ml_importances" -> ((s, dir) => {

@@ -47,6 +47,35 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
   }
 
+  test("ivfTopKAll: recall vs brute force on sf0.001") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val k = 10
+    val queries = Seq(0L, 7L, 42L, 99L)
+    val ann = Similarity.ivfTopKAll(emb, "vec_id", "embedding", k,
+        nlist = 8, nprobe = 4)
+      .filter(col("qid").isin(queries: _*))
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = queries.map { q =>
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k)
+        .collect().map(_.getLong(0)).toSet
+      ann.getOrElse(q, Set.empty).intersect(truth).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe/nlist = 1/2 of the corpus scanned; unclustered uniform
+    // noise makes this the worst case — real embeddings cluster and
+    // recall rises sharply with structure
+    assert(mean >= 0.35, s"mean recall@$k = $mean (per-query: $recalls)")
+  }
+
+  test("embeddingNearDups: symmetric pairs above threshold, none below") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pairs = Similarity.embeddingNearDups(emb, "vec_id", "embedding",
+      minCosine = 0.3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.3))
+  }
+
   test("lshTopKAll: recall vs brute force on sf0.001") {
     val emb = Tables.embeddings(spark, sf0001)
     val k = 10
