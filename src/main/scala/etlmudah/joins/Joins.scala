@@ -39,6 +39,22 @@ object Joins {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
 
+  /** Skew-resistant equi-join: salt the skewed (left) side's key into
+    * `saltFactor` sub-keys and explode the build (right) side across all
+    * salts, so one hot key's rows spread over `saltFactor` tasks instead
+    * of melting a single reducer. Use when AQE's skew-join split isn't
+    * available/enough (e.g. a single key holding >1 partition budget at
+    * 100 TB). Cost: right side replicated x saltFactor — keep it the
+    * smaller input. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Band join (J4/F5): equi-keys plus a bounded numeric residual, e.g.
     * "same brand, size within ±tolerance". Spark plans the equi-part as a
     * hash join and evaluates the band predicate as a post-join filter, so

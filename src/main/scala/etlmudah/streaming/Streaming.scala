@@ -55,6 +55,37 @@ object Streaming {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Arbitrary-stateful aggregation via mapGroupsWithState: a running
+    * per-user profile (event count, value sum, last-seen micros) that
+    * survives across micro-batches — state the built-in windowed aggs
+    * can't express. State is bounded by the key domain; pair with a
+    * timeout in unbounded-key deployments. */
+  final case class UserProfile(userId: Long, events: Long, valueSum: Double,
+                               lastSeenUs: Long)
+
+  def userProfiles(events: DataFrame): org.apache.spark.sql.Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Double, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[UserProfile, UserProfile] {
+        (userId: Long, rows: Iterator[(Long, Double, Long)],
+         state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, 0L))
+          val batch = rows.toSeq
+          val next = UserProfile(
+            userId,
+            prev.events + batch.size,
+            prev.valueSum + batch.map(_._2).sum,
+            math.max(prev.lastSeenUs, if (batch.isEmpty) 0L else batch.map(_._3).max))
+          state.update(next)
+          next
+      }
+  }
+
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge
     * to the same state, matching the reference's ON CONFLICT idempotency

@@ -63,6 +63,31 @@ class StreamingSpec extends SparkSpec {
     assert(n == distinct, s"expected $distinct deduped rows, got $n")
   }
 
+  test("userProfiles: mapGroupsWithState accumulates across batches == batch aggregate") {
+    val out = Files.createTempDirectory("stream_state").toString
+    val src = stageEvents("src_state")
+    val q = Streaming.userProfiles(Streaming.readEvents(spark, src))
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode("update")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("profiles")
+      .groupBy("userId")   // keep the LAST update per user
+      .agg(max("events").as("events"), max("valueSum").as("valueSum"))
+      .orderBy("userId").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    val batch = etlmudah.Tables.eventsTyped(spark, sf0001)
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("events"), sum("value").as("valueSum"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
   test("upsertSink: micro-batch merge is idempotent (re-running converges)") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"
