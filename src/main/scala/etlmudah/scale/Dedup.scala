@@ -88,8 +88,12 @@ object Dedup {
     * dedup-eligible. The window shuffle doubles as the parallelism
     * barrier for single-split inputs. */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+    // Repartition the raw docs BEFORE exploding: single-split inputs
+    // would tokenize on one core, and hashpartitioning(id) here is
+    // reused by the lead() window below (no second shuffle).
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val leads = (1 until n).map(j => lead(col("t"), j).over(w))
     val grams = tok
@@ -150,9 +154,8 @@ object Dedup {
     * long by a static projection. Returns (id, sh64); empty-token docs
     * drop out. */
   def simhashAll(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df
+    val tok = df.repartition(col(idCol))   // parallelize tokenization itself
       .select(col(idCol).as("id"), explode(TextStats.tokens(col(textCol))).as("t"))
-      .repartition(col("id"))   // single-split inputs would serialize the agg
       .select(col("id"), xxhash64(col("t")).as("th"))
     val voteAggs = (0 until 64).map(b =>
       sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(lit(1L)) === 1L,
