@@ -63,15 +63,19 @@ object Dedup {
     val th = shingleRows.select(col("id"), xxhash64(col("shingle")).as("th"))
     val minAggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("th"))).as(s"m$i"))
-    val sig = th.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    // carry the shingle count through the same aggregate: callers needing
+    // |shingles(id)| (the Jaccard denominator) read it from here instead
+    // of re-deriving the whole shingle pipeline
+    val aggs = minAggs :+ count(lit(1)).as("n_shingles")
+    val sig = th.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
 
     val bandCols = (0 until bands).map { b =>
       xxhash64(concat_ws(",",
         (0 until rowsPerBand).map(j => col(s"m${b * rowsPerBand + j}").cast("string")): _*))
         .as(s"bh$b")
     }
-    sig.select(col("id") +: bandCols: _*)
-      .select(col("id"),
+    sig.select(col("id") +: col("n_shingles") +: bandCols: _*)
+      .select(col("id"), col("n_shingles"),
         posexplode(array((0 until bands).map(b => col(s"bh$b")): _*))
           .as(Seq("band", "bhash")))
   }
@@ -123,24 +127,26 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
       .filter(col("bsz") <= maxBucketSize)
 
-    val cands = sized.select(col("band"), col("bhash"), col("id").as("id_a"))
-      .join(sized.select(col("band"), col("bhash"), col("id").as("id_b")),
-        Seq("band", "bhash"))
+    val cands = sized
+      .select(col("band"), col("bhash"), col("id").as("id_a"),
+        col("n_shingles").as("na"))
+      .join(sized.select(col("band"), col("bhash"), col("id").as("id_b"),
+        col("n_shingles").as("nb")), Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .select("id_a", "id_b", "na", "nb")
       .distinct()   // a pair may collide in several bands; ids only -> cheap
 
     // Exact Jaccard refine in exploded form: |intersection| is a count of
-    // matching (shingle) rows between the two candidate docs; no array
-    // intersect/union materializes.
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // matching (shingle) rows between the two candidate docs; sizes ride
+    // along from the signature aggregate, so the shingle pipeline is
+    // evaluated once for buckets and once for the refine join — never a
+    // third time for denominators.
     val inter = cands
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= minJaccard)

@@ -10,6 +10,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "etlmudah.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata ships one parquet file per table; 128MB splits would scan
+      // each fact on a single task at local SFs (row-group-bounded)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

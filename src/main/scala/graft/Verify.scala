@@ -15,6 +15,9 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type —
       // read as epoch-nanos long (Tables.eventsTyped derives micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata ships one parquet file per table; 128MB splits would scan
+      // each fact on a single task at local SFs (row-group-bounded)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,7 @@ class DedupSpec extends SparkSpec {
     val shingled = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
       .select(col("id"), TextStats.shingles(col("text"), 3).as("sh"))
     val bands = Dedup.minhashBands(shingled, "id", "sh", 128, 32)
+      .select("id", "band", "bhash")
       .collect().groupBy(_.getLong(0))
       .map { case (id, rows) =>
         id -> rows.map(r => (r.getInt(1), r.getLong(2))).toSet }
