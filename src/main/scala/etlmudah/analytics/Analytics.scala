@@ -58,15 +58,27 @@ object Analytics {
 
   /** Fixed-width binning / histogram (pd.cut, price_analysis.py:139-148).
     * One hash aggregate over a derived bin key — no per-bucket rescans.
+    *
+    * Default bins are half-open [lo, hi) via floor. Pass
+    * `rightClosed = true` for pandas pd.cut parity — (lo, hi] bins where
+    * exact multiples of binWidth belong to the LOWER bin (so a value
+    * clipped to the cap lands in the last real bin, not a spurious
+    * overflow bin).
     */
-  def histogram(df: DataFrame, value: Column, binWidth: Double): DataFrame =
-    df.groupBy(floor(value / binWidth).cast("long").as("bin"))
+  def histogram(df: DataFrame, value: Column, binWidth: Double,
+                rightClosed: Boolean = false): DataFrame = {
+    val bin =
+      if (rightClosed)
+        greatest(ceil(value / binWidth) - 1, lit(0)).cast("long")
+      else floor(value / binWidth).cast("long")
+    df.groupBy(bin.as("bin"))
       .agg(
         count(lit(1)).as("cnt"),
         round(min(value), 2).as("bin_min"),
         round(max(value), 2).as("bin_max"))
       .withColumn("bin_lo", round(col("bin") * binWidth, 2))
       .orderBy(col("bin"))
+  }
 
   /** Percent-of-total by group (A9/A16): group agg + empty-frame window.
     * The window `sum() over ()` is a single-partition exchange of the

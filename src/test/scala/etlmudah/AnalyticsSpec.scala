@@ -43,6 +43,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("bin_lo") == 0.0)
   }
 
+  test("histogram rightClosed: boundary values join the lower bin (pd.cut parity)") {
+    import spark.implicits._
+    val df = Seq(25.0, 50.0, 50.1, 0.0).toDF("v")
+    val bins = Analytics.histogram(df, col("v"), 25.0, rightClosed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (0,25] -> bin 0 gets {25.0, 0.0-floor}, (25,50] -> bin 1 gets {50.0},
+    // (50,75] -> bin 2 gets {50.1}
+    assert(bins == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("shareOfTotal: shares sum to 100") {
     val shares = Analytics.shareOfTotal(sales, "grp").collect()
       .map(_.getAs[Double]("share_pct"))
