@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Pins the physical-plan claims made in README/SCALE.md: filter
+  * pushdown reaches the parquet scan, column pruning narrows ReadSchema,
+  * dimension joins broadcast, and top-k plans as TakeOrderedAndProject.
+  * A regression that silently de-optimizes a plan fails here even while
+  * results stay correct. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
+
+  // sparkPlan (pre-AQE): AdaptiveSparkPlanExec hides its inner tree
+  // from collect()
+  private def scansOf(q: String): Seq[FileSourceScanExec] =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+
+  test("q32: filters pushed to the parquet scan, projection pruned") {
+    val scan = scansOf("q32_filter_pipeline").head
+    val meta = scan.metadata("PushedFilters")
+    assert(meta.contains("GreaterThanOrEqual(o_totalprice"), meta)
+    assert(meta.contains("In(o_orderpriority"), meta)
+    assert(meta.contains("EqualTo(o_orderstatus,F)"), meta)
+    // 3 output cols + 3 filter cols, never the whole table
+    assert(scan.schema.fieldNames.length <= 5, scan.schema.treeString)
+  }
+
+  test("q02: star join broadcasts all three dimension sides") {
+    val plan = planOf("q02_stats_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 3, plan.take(800))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("q03_top_parts")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("q19: aggregation reads only the needed columns") {
+    val scan = scansOf("q19_doc_token_stats").head
+    val fields = scan.schema.fieldNames.toSet
+    assert(fields == Set("lang", "n_chars", "text"), fields.toString)
+  }
+}
