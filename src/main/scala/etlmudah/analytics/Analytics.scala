@@ -123,4 +123,20 @@ object Analytics {
   /** Sorted distinct domain (D3/O3: pickers, app.py:53-59). */
   def distinctDomain(df: DataFrame, key: String): DataFrame =
     df.select(col(key)).distinct().orderBy(col(key))
+
+  /** Hierarchical subtotals (ROLLUP): per (a,b), per a, grand total —
+    * one pass, Expand + hash aggregate; NULL marks the rolled-up level. */
+  def rollupCounts(df: DataFrame, a: String, b: String, measure: Column): DataFrame =
+    df.rollup(col(a), col(b)).agg(
+        count(lit(1)).as("n"), round(sum(measure), 2).as("total"))
+      .orderBy(col(a).asc_nulls_first, col(b).asc_nulls_first)
+
+  /** Pivot with an EXPLICIT value list (dynamic pivots scan twice and
+    * produce nondeterministic column sets — never at scale). */
+  def pivotAvg(df: DataFrame, rowKey: String, pivotKey: String,
+               values: Seq[String], measure: Column): DataFrame =
+    df.groupBy(col(rowKey))
+      .pivot(pivotKey, values)
+      .agg(round(avg(measure), 2))
+      .orderBy(col(rowKey))
 }

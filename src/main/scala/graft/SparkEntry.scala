@@ -326,6 +326,26 @@ object SparkEntry {
           round(avg(col("o_totalprice")), 2).as("avg_price"))
         .orderBy(col("status_std"), col("age"))),
 
+    // sliding-window aggregation (2h window, 1h slide): each event lands
+    // in two overlapping windows
+    "q39_events_sliding" -> ((s, dir) =>
+      Tables.eventsTyped(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+          col("cnt"))
+        .orderBy(col("win_us"), col("event_type"))),
+
+    // ROLLUP subtotals over (priority, status)
+    "q40_rollup_orders" -> ((s, dir) =>
+      Analytics.rollupCounts(Tables.orders(s, dir), "o_orderpriority",
+        "o_orderstatus", col("o_totalprice"))),
+
+    // pivot with an explicit value list
+    "q41_pivot_status" -> ((s, dir) =>
+      Analytics.pivotAvg(Tables.orders(s, dir), "o_orderpriority",
+        "o_orderstatus", Seq("F", "O", "P"), col("o_totalprice"))),
+
     // IVF ANN: k-means coarse quantizer + probe-limited refine (no SQL
     // oracle: k-means assignment has no DuckDB twin; recall-verified in
     // SimilaritySpec)
@@ -618,5 +638,27 @@ object SparkEntry {
         | count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
         | FROM orders GROUP BY status_std, age
         | ORDER BY status_std, age""".stripMargin,
+
+    "q39_events_sliding" ->
+      """SELECT epoch_us(date_trunc('hour', ts) - (off * INTERVAL 1 HOUR)) AS win_us,
+        | event_type, count(*) AS cnt
+        | FROM events CROSS JOIN (VALUES (0), (1)) o(off)
+        | GROUP BY win_us, event_type
+        | ORDER BY win_us, event_type""".stripMargin,
+
+    "q40_rollup_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        | FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        | ORDER BY o_orderpriority ASC NULLS FIRST,
+        |   o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q41_pivot_status" ->
+      """SELECT o_orderpriority,
+        | round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        | round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        | round(avg(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        | FROM orders GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
   )
 }
