@@ -336,6 +336,17 @@ object SparkEntry {
           col("cnt"))
         .orderBy(col("win_us"), col("event_type"))),
 
+    // session windows: activity sessions per user split by 30-min gaps;
+    // output = sessions per user (count matches the gaps-and-islands SQL)
+    "q42_user_sessions" -> ((s, dir) =>
+      Tables.eventsTyped(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("events_in_session"))
+        .groupBy(col("user_id")).agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("events_in_session")).as("max_session_events"))
+        .orderBy(col("user_id"))),
+
     // ROLLUP subtotals over (priority, status)
     "q40_rollup_orders" -> ((s, dir) =>
       Analytics.rollupCounts(Tables.orders(s, dir), "o_orderpriority",
@@ -645,6 +656,22 @@ object SparkEntry {
         | FROM events CROSS JOIN (VALUES (0), (1)) o(off)
         | GROUP BY win_us, event_type
         | ORDER BY win_us, event_type""".stripMargin,
+
+    "q42_user_sessions" ->
+      """WITH marked AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |    IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |    >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (SELECT user_id,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |per_session AS (SELECT user_id, session_id, count(*) AS n
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        | max(n) AS max_session_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q40_rollup_orders" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
