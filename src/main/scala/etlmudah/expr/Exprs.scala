@@ -25,15 +25,35 @@ object Exprs {
     * (cars 25k/50k/100k/200k, motorcycles 5k/10k/20k/40k). Labels follow
     * the reference's shape ("Budget (< RM25k)" etc.) but are generic here.
     */
-  def priceSegment(price: Column, t1: Double, t2: Double, t3: Double, t4: Double): Column = {
+  def priceSegment(price: Column, t1: Double, t2: Double, t3: Double, t4: Double,
+                   labels: Option[Seq[String]] = None): Column = {
     def fmt(d: Double): String =
       if (d >= 1000 && d % 1000 == 0) s"${(d / 1000).toLong}k" else d.toString
-    when(price < t1, lit(s"Budget (< ${fmt(t1)})"))
-      .when(price < t2, lit(s"Economy (${fmt(t1)} - ${fmt(t2)})"))
-      .when(price < t3, lit(s"Mid-Range (${fmt(t2)} - ${fmt(t3)})"))
-      .when(price < t4, lit(s"Premium (${fmt(t3)} - ${fmt(t4)})"))
-      .otherwise(lit(s"Luxury (> ${fmt(t4)})"))
+    val ls = labels.getOrElse(Seq(
+      s"Budget (< ${fmt(t1)})", s"Economy (${fmt(t1)} - ${fmt(t2)})",
+      s"Mid-Range (${fmt(t2)} - ${fmt(t3)})", s"Premium (${fmt(t3)} - ${fmt(t4)})",
+      s"Luxury (> ${fmt(t4)})"))
+    require(ls.length == 5, "priceSegment needs exactly 5 labels")
+    when(price < t1, lit(ls(0)))
+      .when(price < t2, lit(ls(1)))
+      .when(price < t3, lit(ls(2)))
+      .when(price < t4, lit(ls(3)))
+      .otherwise(lit(ls(4)))
   }
+
+  /** The reference's exact car-segment preset (constants.py:26-36):
+    * thresholds 25k/50k/100k/200k with the RM-prefixed labels, so
+    * value-level comparisons against reference-derived outputs match. */
+  def carPriceSegment(price: Column): Column =
+    priceSegment(price, 25000, 50000, 100000, 200000, Some(Seq(
+      "Budget (< RM25k)", "Entry Level (RM25k-50k)", "Mid-Range (RM50k-100k)",
+      "Premium (RM100k-200k)", "Luxury (> RM200k)")))
+
+  /** Motorcycle preset (constants.py:38-48): 5k/10k/20k/40k. */
+  def motoPriceSegment(price: Column): Column =
+    priceSegment(price, 5000, 10000, 20000, 40000, Some(Seq(
+      "Budget (< RM5k)", "Entry Level (RM5k-10k)", "Mid-Range (RM10k-20k)",
+      "Premium (RM20k-40k)", "Luxury (> RM40k)")))
 
   /** Alias → canonical mapping with identity fallback: a literal map lookup
     * (broadcast-free; the map is folded into the plan as a constant).

@@ -28,6 +28,24 @@ class ExprsSpec extends SparkSpec {
     assert(segsOf(prices).forall(labels.contains))
   }
 
+  test("carPriceSegment: reference-exact labels at the boundaries") {
+    import spark.implicits._
+    val out = Seq(1000.0, 25000.0, 60000.0, 150000.0, 500000.0).toDF("p")
+      .select(Exprs.carPriceSegment(col("p")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("Budget (< RM25k)", "Entry Level (RM25k-50k)",
+      "Mid-Range (RM50k-100k)", "Premium (RM100k-200k)", "Luxury (> RM200k)"))
+  }
+
+  test("motoPriceSegment: moto thresholds preset") {
+    import spark.implicits._
+    val out = Seq(3000.0, 15000.0, 99999.0).toDF("p")
+      .select(Exprs.motoPriceSegment(col("p")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("Budget (< RM5k)", "Mid-Range (RM10k-20k)",
+      "Luxury (> RM40k)"))
+  }
+
   test("standardize: alias mapped, unknown passes through, null stays null") {
     import spark.implicits._
     val df = Seq(Some("kl"), Some("penang"), Some("unknown city"), None).toDF("loc")
