@@ -43,6 +43,34 @@ object Multimodal {
   def resizeStub(features: Column, outDims: Int): Column =
     transform(sequence(lit(0), lit(outDims - 1)), i => element_at(features, i + 1))
 
+  /** Batched decode path — the Scala analog of a Pandas UDF over
+    * mapInPandas: an iterator-in/iterator-out partition transform where
+    * a real implementation would accumulate rows into fixed-size
+    * batches, run the image/audio codec + model forward pass per batch,
+    * and stream results without materializing the partition. The codec
+    * is STUBBED (deterministic byte-fold features); the signature,
+    * laziness, schema, and partition-parallel execution are the real
+    * contract a production decoder drops into. */
+  def decodeBatchedStub(df: DataFrame, idCol: String, mediaCol: String,
+                        dims: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val feats = Array.tabulate(dims) { d =>
+            var h = 1125899906842597L + d
+            var i = 0
+            while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xFF); i += 1 }
+            ((h & 0xFFFFFL).toFloat / 0x100000L.toFloat)
+          }
+          (id, feats)
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
   /** Frame sampling for video-like blobs: n equal-spaced byte windows as
     * an array<binary>; empty media yields an empty array, never a crash. */
   def frameSample(media: Column, frames: Int, frameBytes: Int = 16): Column = {

@@ -28,6 +28,18 @@ class MultimodalSpec extends SparkSpec {
     assert(a.flatten.forall(v => v >= 0f && v < 1f))
   }
 
+  test("decodeBatchedStub: mapPartitions path — schema, determinism, bounds") {
+    val docs = Multimodal.withFakeMedia(
+      Tables.documents(spark, sf0001).limit(20), "text")
+    val out = Multimodal.decodeBatchedStub(docs, "doc_id", "media", 8)
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "features"))
+    val a = out.orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    val b = out.orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    assert(a.length == 20)
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    assert(a.forall(f => f.length == 8 && f.forall(v => v >= 0f && v < 1f)))
+  }
+
   test("frameSample: n frames of fixed size; tiny media yields empty") {
     import spark.implicits._
     val df = Seq(("long", "x" * 100), ("tiny", "ab")).toDF("id", "text")
