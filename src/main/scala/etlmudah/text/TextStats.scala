@@ -19,6 +19,13 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish token estimate: counts letter runs, digit runs, and
+    * individual punctuation marks separately — the segmentation most
+    * subword tokenizers approximate before merges, and a far better
+    * LLM-token-cost proxy than whitespace words. Pure regexp_count. */
+  def tokenCountBpeIsh(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
   /** Punctuation density: punct chars / total chars. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

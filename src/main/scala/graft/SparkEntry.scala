@@ -156,12 +156,14 @@ object SparkEntry {
     "q19_doc_token_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("lang"), col("n_chars"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          etlmudah.text.TextStats.tokenCountBpeIsh(col("text")).as("n_bpe"))
         .groupBy(col("lang")).agg(
           count(lit(1)).as("n_docs"),
           round(avg(col("n_chars")), 2).as("avg_chars"),
           round(avg(col("n_tokens")), 2).as("avg_tokens"),
-          max(col("n_tokens")).as("max_tokens"))
+          max(col("n_tokens")).as("max_tokens"),
+          round(avg(col("n_bpe")), 2).as("avg_bpe_tokens"))
         .orderBy(col("lang"))),
 
     // ST — tumbling-window aggregation (batch-equivalent of the streaming slice)
@@ -515,7 +517,9 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         | round(avg(n_chars),2) AS avg_chars,
         | round(avg(len(string_split(text, ' '))),2) AS avg_tokens,
-        | max(len(string_split(text, ' '))) AS max_tokens
+        | max(len(string_split(text, ' '))) AS max_tokens,
+        | round(avg(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))),2) AS avg_bpe_tokens
         | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q20_events_hourly" ->

@@ -14,6 +14,12 @@ class TextStatsSpec extends SparkSpec {
     assert(one[Long](tokenCount(lit("  the  quick   fox "))) == 3L)
   }
 
+  test("tokenCountBpeIsh: letter runs + digit runs + punctuation marks") {
+    // "don't stop, v2.0!" -> don,',t,stop,',',v,2,'.',0,'!' = 10
+    assert(one[Long](tokenCountBpeIsh(lit("don't stop, v2.0!"))) == 10L)
+    assert(one[Long](tokenCountBpeIsh(lit("plain words here"))) == 3L)
+  }
+
   test("punctRatio counts sentence punctuation per char") {
     val r = one[Double](punctRatio(lit("ab,cd!")))
     assert(math.abs(r - 2.0 / 6.0) < 1e-9)
