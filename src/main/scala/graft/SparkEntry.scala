@@ -359,6 +359,18 @@ object SparkEntry {
       Analytics.pivotAvg(Tables.orders(s, dir), "o_orderpriority",
         "o_orderstatus", Seq("F", "O", "P"), col("o_totalprice"))),
 
+    // cardinality profile: exact distinct counts per column (the
+    // vocabulary/key-domain sizing every pipeline audit starts with);
+    // the approx_count_distinct variant is invariant-tested in
+    // AnalyticsSpec (HLL sketches differ across engines)
+    "q43_cardinalities" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))),
+
     // IVF ANN: k-means coarse quantizer + probe-limited refine (no SQL
     // oracle: k-means assignment has no DuckDB twin; recall-verified in
     // SimilaritySpec)
@@ -660,6 +672,14 @@ object SparkEntry {
         | FROM events CROSS JOIN (VALUES (0), (1)) o(off)
         | GROUP BY win_us, event_type
         | ORDER BY win_us, event_type""".stripMargin,
+
+    "q43_cardinalities" ->
+      """SELECT count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        | FROM lineitem""".stripMargin,
 
     "q42_user_sessions" ->
       """WITH marked AS (SELECT user_id, ts,

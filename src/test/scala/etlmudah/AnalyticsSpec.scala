@@ -84,6 +84,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.count() == 3)
   }
 
+  test("approx_count_distinct within 5% of exact on the testdata") {
+    val li = etlmudah.Tables.lineitem(spark, sf0001)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect().head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
   test("distinctDomain: sorted unique values") {
     val r = Analytics.distinctDomain(sales, "sub").collect().map(_.getString(0))
     assert(r.toSeq == Seq("x", "y", "z"))

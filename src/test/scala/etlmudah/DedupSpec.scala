@@ -67,6 +67,21 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("nearDupPairs: degenerate-bucket cap suppresses quadratic blowup") {
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val clones = (1L to 40L).map(i => (i, text)).toDF("doc_id", "text")
+    // 40 identical docs -> every band bucket holds 40; cap of 10 drops
+    // them all, so the pair join never sees the 780-pair blowup
+    val capped = Dedup.nearDupPairs(clones, "text", "doc_id",
+      minJaccard = 0.8, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    // with the cap lifted the full clique comes back
+    val full = Dedup.nearDupPairs(clones, "text", "doc_id",
+      minJaccard = 0.8, maxBucketSize = 1000)
+    assert(full.count() == 40L * 39 / 2)
+  }
+
   test("simhash: identical texts collide, near-identical within small hamming") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
