@@ -40,7 +40,8 @@ object Dedup {
   }
 
   /** Per-document LSH band hashes via distributed MinHash. Returns
-    * (id, band, bhash); documents with zero shingles drop out.
+    * (id, n_shingles, band, bhash); documents with zero shingles drop
+    * out.
     *
     * Cost shape: each shingle is string-hashed ONCE (xxhash64); the k
     * hash families re-hash that single long with a seed literal —
