@@ -40,6 +40,20 @@ class WritersSpec extends SparkSpec {
     assert(scanned.forall(_.contains("o_orderpriority=1-URGENT")))
   }
 
+  test("format coverage: JSON and ORC round-trip the star schema") {
+    val out = Files.createTempDirectory("fmt").toString
+    val nation = Tables.nation(spark, sf0001)
+    nation.write.mode("overwrite").json(s"$out/j")
+    nation.write.mode("overwrite").orc(s"$out/o")
+    val j = spark.read.json(s"$out/j")
+    val o = spark.read.orc(s"$out/o")
+    assert(j.count() == 25 && o.count() == 25)
+    assert(o.schema == nation.schema)   // ORC preserves types exactly
+    // JSON infers long for ints; values still match
+    val names = j.select("n_name").collect().map(_.getString(0)).toSet
+    assert(names == nation.select("n_name").collect().map(_.getString(0)).toSet)
+  }
+
   test("S12: TTL cache returns same plan within TTL, recomputes after") {
     val cache = new Writers.TtlCache(spark)
     var computes = 0
