@@ -120,7 +120,9 @@ object Similarity {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
     val withVec = vecs.withColumn("mlvec", array_to_vector(col("vec")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+    // 10 iterations: bucket assignment quality plateaus early — the
+    // quantizer only needs rough Voronoi cells, not converged centroids
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("mlvec").setPredictionCol("cluster")
       .fit(withVec)
     val assigned = model.transform(withVec)
