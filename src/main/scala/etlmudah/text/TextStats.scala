@@ -73,6 +73,58 @@ object TextStats {
     }._2
   }
 
+  /** Per-document token profile in EXPLODE form — the hot-path variant
+    * of tokenCount/stopwordRatio/qualityScore/langIdByMarkers for corpus
+    * scans: one explode + one codegen'd conditional-sum aggregate
+    * instead of per-row array lambdas (interpreted, with the split
+    * re-inlined into every lambda by CollapseProject). Emits
+    * (id, n_tokens, punct_ratio, stop_ratio, quality, pred_lang, <carry...>).
+    *
+    * Precondition: `textCol` must be non-null — explode drops null-array
+    * rows, whereas the per-row expression APIs would keep them with null
+    * stats. Filter or `coalesce(text, '')` upstream if the corpus can
+    * contain null documents.
+    */
+  def docTokenProfile(df: DataFrame, textCol: String, idCol: String,
+                      stopwords: Seq[String],
+                      langs: Seq[(String, Seq[String])],
+                      carryCols: Seq[String] = Nil): DataFrame = {
+    val base = df.select(
+      (Seq(col(idCol).as("id"), col(textCol).as("__text"),
+        punctRatio(col(textCol)).as("__pr")) ++ carryCols.map(col)): _*)
+    val tok = base.repartition(col("id"))
+      .select((Seq(col("id"), col("__pr"),
+        explode(tokens(col("__text"))).as("__t")) ++ carryCols.map(col)): _*)
+      .withColumn("__lt", lower(col("__t")))
+    val langAggs = langs.map { case (lang, markers) =>
+      sum(when(col("__lt").isin(markers: _*), 1L).otherwise(0L)).as(s"__s_$lang")
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_tokens"),
+      first(col("__pr")).as("punct_ratio"),
+      sum(when(col("__t").isin(stopwords: _*), 1L).otherwise(0L)).as("__stop_hits")
+    ) ++ langAggs ++ carryCols.map(c => first(col(c)).as(c))
+    val agg = tok.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+
+    val stopRatio = col("__stop_hits").cast("double") / col("n_tokens")
+    val quality = round(
+      least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.4 +
+        greatest(lit(0.0), lit(1.0) - col("punct_ratio") * 5.0) * 0.2, 6)
+    // argmax with first-lang-wins ties, mirroring langIdByMarkers
+    val pred = langs.tail.foldLeft(
+      (col(s"__s_${langs.head._1}"), lit(langs.head._1))) {
+      case ((bestScore, bestLang), (lang, _)) =>
+        (greatest(bestScore, col(s"__s_$lang")),
+          when(col(s"__s_$lang") > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+    agg
+      .withColumn("stop_ratio", stopRatio)
+      .withColumn("quality", quality)
+      .withColumn("pred_lang", pred)
+      .drop((Seq("__stop_hits") ++ langs.map(l => s"__s_${l._1}")): _*)
+  }
+
   /** Stable document fingerprint for exact dedup: md5 of
     * case-and-whitespace-normalized text. */
   def fingerprint(text: Column): Column =

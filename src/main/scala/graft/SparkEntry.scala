@@ -175,26 +175,24 @@ object SparkEntry {
           col("cnt"), col("sum_value"))
         .orderBy(col("hour_us"), col("event_type"))),
 
-    // text quality scoring per source
+    // text quality scoring per source — explode-form token profile
+    // (codegen'd conditional sums; no per-row array lambdas)
     "q21_doc_quality_by_source" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("source"),
-          TextStats.tokenCount(col("text")).as("n_tokens"),
-          TextStats.qualityScore(col("text"), qualityStops).as("q"),
-          TextStats.stopwordRatio(col("text"), qualityStops).as("sr"))
+      TextStats.docTokenProfile(Tables.documents(s, dir), "text", "doc_id",
+          qualityStops, langMarkers, carryCols = Seq("source"))
         .groupBy(col("source")).agg(
           count(lit(1)).as("n_docs"),
           round(avg(col("n_tokens")), 4).as("avg_tokens"),
-          round(avg(col("q")), 4).as("avg_quality"),
-          round(avg(col("sr")), 4).as("avg_stop_ratio"))
+          round(avg(col("quality")), 4).as("avg_quality"),
+          round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
         .orderBy(col("source"))),
 
-    // heuristic language ID vs labeled lang
+    // heuristic language ID vs labeled lang — same explode-form profile
     "q22_langid_agreement" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          TextStats.langIdByMarkers(col("text"), langMarkers).as("pred"))
-        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
+      TextStats.docTokenProfile(Tables.documents(s, dir), "text", "doc_id",
+          qualityStops, langMarkers, carryCols = Seq("lang"))
+        .groupBy(col("lang"), col("pred_lang").as("pred"))
+        .agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"), col("pred"))),
 
     // document fingerprinting (rolling-hash dedup key)

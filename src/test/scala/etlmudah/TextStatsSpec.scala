@@ -49,6 +49,25 @@ class TextStatsSpec extends SparkSpec {
     assert(one[String](langIdByMarkers(lit("xyz qrs"), langs)) == "en")
   }
 
+  test("docTokenProfile (explode form) matches the per-row expression APIs") {
+    val docs = etlmudah.Tables.documents(spark, sf0001).limit(100)
+    val stops = Seq("the", "a", "of", "and", "to")
+    val langs = Seq("en" -> Seq("the", "a", "of"), "de" -> Seq("der", "die", "und"))
+    val profile = docTokenProfile(docs, "text", "doc_id", stops, langs)
+      .select("id", "n_tokens", "stop_ratio", "quality", "pred_lang")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4))).toMap
+    val colForm = docs.select(col("doc_id"),
+        tokenCount(col("text")).as("n"),
+        stopwordRatio(col("text"), stops).as("sr"),
+        qualityScore(col("text"), stops).as("q"),
+        langIdByMarkers(col("text"), langs).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4))).toMap
+    assert(profile.size == 100)
+    assert(profile == colForm)
+  }
+
   test("fingerprint invariant to case and whitespace runs") {
     val a = one[String](fingerprint(lit("Hello   World")))
     val b = one[String](fingerprint(lit("hello world")))

@@ -46,6 +46,21 @@ object ManualDrive {
     println("== freqTable ordering")
     Analytics.freqTable(li, "l_linestatus").show()
 
+    println("== docTokenProfile explode form (changed operator)")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val langs = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "ms" -> Seq("yang", "dan", "di", "untuk", "dengan"),
+      "de" -> Seq("der", "die", "und", "das", "ist"))
+    val prof = etlmudah.text.TextStats.docTokenProfile(
+      Tables.documents(spark, dir), "text", "doc_id", stops, langs,
+      carryCols = Seq("source", "lang"))
+    println(s"profile rows = ${prof.count()} (docs = ${Tables.documents(spark, dir).count()})")
+    prof.orderBy("id").show(5)
+    println("== q21/q22 registered queries over the new path")
+    SparkEntry.queries("q21_doc_quality_by_source")(spark, dir).show(5)
+    SparkEntry.queries("q22_langid_agreement")(spark, dir).show(10)
+
     spark.stop()
   }
 }
