@@ -102,34 +102,88 @@ object Similarity {
           .as(Seq("tbl", "bkt")))
   }
 
+  /** Spherical-k-means quantizer trained DRIVER-SIDE on a bounded,
+    * deterministic sample (hash-ordered `limit(sampleCap)`). This is the
+    * FAISS recipe: at any corpus size the quantizer sees O(sampleCap)
+    * vectors, so training cost is constant — one bounded collect plus
+    * in-memory Lloyd's iterations — instead of `iters` distributed jobs
+    * over the full corpus. Assignment metric is cosine (matches the
+    * probe/refine metric). Returns `nlist` (or fewer, if the sample is
+    * smaller) centroids. */
+  private[scale] def trainQuantizer(vecs: DataFrame, nlist: Int, iters: Int,
+                                    seed: Long, sampleCap: Int): Array[Array[Float]] = {
+    val sample: Array[Array[Double]] = vecs
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleCap)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val dims = sample.head.length
+    val k = math.min(nlist, sample.length)
+    val rnd = new scala.util.Random(seed)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na > 0 && nb > 0) dot / math.sqrt(na * nb) else 0.0
+    }
+    def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+      while (c < cents.length) {
+        val s = cos(cents(c), v)
+        if (s > bestSim) { bestSim = s; best = c }
+        c += 1
+      }
+      best
+    }
+    var cents = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dims)(0.0)
+      val counts = new Array[Long](k)
+      for (v <- sample) {
+        val c = nearest(cents, v)
+        counts(c) += 1
+        var d = 0; while (d < dims) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c))
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer -> each vector is
     * indexed under its nearest centroid; a query probes only its
     * `nprobe` most-similar centroids and refines within those lists.
     * Classic FAISS-style recall/cost dial: cost ~ nprobe/nlist of the
-    * corpus per query. Centroids are tiny and broadcast; candidate
-    * generation is an equi-join on cluster id — never all-pairs. */
+    * corpus per query. The quantizer trains on a bounded driver-side
+    * sample (see `trainQuantizer`); assignment is one broadcast-join
+    * pass with the codegen'd cosine and a map-side-combined argmax —
+    * candidate generation is an equi-join on cluster id, never
+    * all-pairs. */
   def ivfTopKAll(embeddings: DataFrame, idCol: String, vecCol: String,
                  k: Int, nlist: Int = 16, nprobe: Int = 4,
-                 seed: Long = 42): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                 seed: Long = 42, sampleCap: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
     import spark.implicits._
 
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
-    val withVec = vecs.withColumn("mlvec", array_to_vector(col("vec")))
-    // 10 iterations: bucket assignment quality plateaus early — the
-    // quantizer only needs rough Voronoi cells, not converged centroids
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("mlvec").setPredictionCol("cluster")
-      .fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col("cluster").as("cid"), col("id").as("nid"), col("vec").as("nvec"))
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cid", "cvec")
+    val centArr = trainQuantizer(vecs, nlist, iters = 10, seed, sampleCap)
+    val centroids = centArr.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cid", "cvec")
+
+    // Assignment: corpus x nlist cosine scores against broadcast
+    // centroids, argmax per id via max_by on (sim, -cid) — partial
+    // aggregation collapses the fan-out map-side, and groupBy(id) reuses
+    // the repartition(id) exchange, so no extra shuffle of the corpus.
+    val assigned = vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        cosineFast(col("vec"), col("cvec")).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("vec")).as("vec"))
+      .select(col("cid"), col("id").as("nid"), col("vec").as("nvec"))
 
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid").asc)

@@ -61,6 +61,14 @@ object ManualDrive {
     SparkEntry.queries("q21_doc_quality_by_source")(spark, dir).show(5)
     SparkEntry.queries("q22_langid_agreement")(spark, dir).show(10)
 
+    println("== IVF top-k with driver-side sampled quantizer (changed operator)")
+    val ivf = etlmudah.scale.Similarity.ivfTopKAll(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
+    println(s"ivf rows = ${ivf.count()}")
+    ivf.filter(col("qid") < 3).show(20)
+    println("== q38 registered query over the new path")
+    SparkEntry.queries("q38_ivf_topk")(spark, dir).show(10)
+
     spark.stop()
   }
 }
