@@ -26,6 +26,11 @@ import etlmudah.text.TextStats
   *    size.
   *  - Candidate pair joins carry IDs only; shingle payloads re-join for
   *    the exact-Jaccard refine, bounded by candidate count, not corpus.
+  *  - Sessions running these operators should set
+  *    `spark.sql.codegen.maxFields >= 200`: the signature aggregates
+  *    (128 min columns / 64 vote columns) exceed the default 100-field
+  *    whole-stage-codegen cutoff and silently drop to interpreted
+  *    aggregation (~2x measured) otherwise.
   */
 object Dedup {
 
@@ -92,7 +97,20 @@ object Dedup {
     * n tokens contribute their full token string so they stay
     * dedup-eligible. The window shuffle doubles as the parallelism
     * barrier for single-split inputs. */
-  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    gramRows(df, textCol, idCol, n).distinct()
+
+  /** Hashed form for the hot path: shingles are xxhash64 longs, so the
+    * distinct and every downstream join/shuffle moves 8 bytes per
+    * shingle instead of the gram string. Collisions (~n^2/2^64) are
+    * negligible against MinHash's own approximation error. */
+  private[scale] def shingleHashRows(df: DataFrame, textCol: String,
+                                     idCol: String, n: Int): DataFrame =
+    gramRows(df, textCol, idCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+
+  private def gramRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     // Repartition the raw docs BEFORE exploding: single-split inputs
     // would tokenize on one core, and hashpartitioning(id) here is
     // reused by the lead() window below (no second shuffle).
@@ -106,21 +124,21 @@ object Dedup {
         leads.last.isNotNull.as("__full"))
       .filter(col("__full"))
       .select("id", "shingle")
-    // Docs with < n tokens produce no grams; give them their whole token
-    // string via a tiny anti-join branch so the common path stays free of
-    // per-row list collection.
+    // Docs with < n tokens produce no grams — exactly the docs a cheap
+    // per-row predicate finds; give them their whole token string (no
+    // anti-join, which would recompute the gram pipeline a second time).
     val short = df
+      .filter(size(TextStats.tokens(col(textCol))) < n)
       .select(col(idCol).as("id"),
         concat_ws(" ", TextStats.tokens(col(textCol))).as("shingle"))
-      .join(grams.select("id").distinct(), Seq("id"), "left_anti")
-    grams.union(short).distinct()
+    grams.union(short)
   }
 
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                    minJaccard: Double = 0.7,
                    maxBucketSize: Int = 1000): DataFrame = {
-    val sh = shingleRows(df, textCol, idCol, shingleN)
+    val sh = shingleHashRows(df, textCol, idCol, shingleN)
     val buckets = minhashBandsRows(sh, k, bands)
 
     // Degenerate-bucket guard before the quadratic-in-bucket-size join.

@@ -13,6 +13,10 @@ object Bench {
       // testdata ships one parquet file per table; 128MB splits would scan
       // each fact on a single task at local SFs (row-group-bounded)
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // signature aggregates (128 minhash mins, 64 simhash votes) exceed
+      // the default 100-field codegen cutoff and silently fall back to
+      // interpreted aggregation (~2x slower) without this
+      .config("spark.sql.codegen.maxFields", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

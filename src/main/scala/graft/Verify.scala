@@ -18,6 +18,8 @@ object Verify {
       // testdata ships one parquet file per table; 128MB splits would scan
       // each fact on a single task at local SFs (row-group-bounded)
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // wide signature aggregates need this to stay in codegen (see Bench)
+      .config("spark.sql.codegen.maxFields", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
