@@ -377,6 +377,61 @@ object SparkEntry {
           k = 5, nlist = 16, nprobe = 4)
         .filter(col("qid") < 20)),
 
+    // S6 — TSV encode + parse round-trip: write orders as TSV, read it
+    // back, aggregate. Exact decimal sums + count/min/max keep the
+    // compare independent of float summation order. Oracle runs on the
+    // ORIGINAL parquet — a lossy encode would hash-mismatch.
+    "q44_tsv_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink_q44_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      etlmudah.sinks.Writers.writeTsv(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        out)
+      s.read.option("delimiter", "\t").option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+        .csv(out)
+        .groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // S9 — partitioned layout round-trip: write orders partitioned by
+    // status, read back ONE partition (directory pruning exercised; the
+    // pruning itself is pinned in WritersSpec), aggregate.
+    "q45_partitioned_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink_q45_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      etlmudah.sinks.Writers.writePartitioned(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus",
+          "o_orderpriority", "o_totalprice"),
+        out, Seq("o_orderstatus"))
+      s.read.parquet(out)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // S7+S12 — staged (write-then-swap) load read through the TTL cache;
+    // two getOrCompute calls, second is served from cache (plan identity
+    // pinned in WritersSpec) — values must still match the source table.
+    "q46_staged_cached" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink_q46_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      etlmudah.sinks.Writers.writeStaged(
+        Tables.customer(s, dir).select("c_custkey", "c_nationkey", "c_acctbal"),
+        out)
+      val cache = new etlmudah.sinks.Writers.TtlCache(s)
+      def load() = cache.getOrCompute(s"q46_$dir", ttlMs = 600000L)(
+        s.read.parquet(out)
+          .groupBy(col("c_nationkey")).agg(
+            count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal")))
+      load()
+      load().orderBy(col("c_nationkey"))
+    }),
+
     // M1-M8 — RF price pipeline feature importances (no SQL oracle:
     // tree ensembles have no DuckDB twin; invariants in PricePipelineSpec)
     "q33_ml_importances" -> ((s, dir) => {
@@ -709,5 +764,25 @@ object SparkEntry {
         | round(avg(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
         | FROM orders GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
+
+    // sink round-trips: the oracle reads the ORIGINAL table — a lossy
+    // encode/partition/stage step would show up as a value mismatch
+    "q44_tsv_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        | FROM orders GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
+
+    "q45_partitioned_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM orders WHERE o_orderstatus = 'F'
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q46_staged_cached" ->
+      """SELECT c_nationkey, count(*) AS n,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        | FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
   )
 }

@@ -39,6 +39,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("minhash signature aggregate stays inside whole-stage codegen") {
+    // the 128-min-column aggregate silently drops to interpreted mode
+    // when spark.sql.codegen.maxFields is left at its default 100 — this
+    // pins the fix (maxFields=512 in every session builder we own)
+    // AQE defers codegen-collapsing above exchanges until stages run, so
+    // inspect the non-adaptive plan where the whole tree is visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      val docs = etlmudah.Tables.documents(spark, sf0001).limit(50)
+      val sh = etlmudah.scale.Dedup.shingleRows(docs, "text", "doc_id", 3)
+      etlmudah.scale.Dedup.minhashBandsRows(sh, 128, 32)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val aggLines = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("min(")).toSeq
+    assert(aggLines.nonEmpty, plan.take(800))
+    assert(aggLines.forall(_.contains("*(")), aggLines.mkString("\n").take(800))
+  }
+
   test("q19: aggregation reads only the needed columns") {
     val scan = scansOf("q19_doc_token_stats").head
     val fields = scan.schema.fieldNames.toSet
