@@ -142,9 +142,7 @@ object Dedup {
     val buckets = minhashBandsRows(sh, k, bands)
 
     // Degenerate-bucket guard before the quadratic-in-bucket-size join.
-    val sized = buckets.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
-      .filter(col("bsz") <= maxBucketSize)
+    val sized = capBuckets(buckets, maxBucketSize)
 
     val cands = sized
       .select(col("band"), col("bhash"), col("id").as("id_a"),
@@ -172,6 +170,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
   }
+
+  /** Cross-corpus near-duplicate detection — DECONTAMINATION: find
+    * training documents that are near-dups of a reference corpus (eval
+    * benchmarks, held-out sets). Same banded-LSH shape as
+    * `nearDupPairs`, but candidates come from joining the two corpora's
+    * band buckets, so cost is sum over buckets of |left| x |right| —
+    * bounded by banding exactly like the self-join case, never
+    * |train| x |ref|. Returns (train_id, ref_id, jaccard) >= minJaccard.
+    * At 100 TB the reference side is typically tiny (benchmarks);
+    * everything per-side is the same bounded pipeline as nearDupPairs. */
+  def crossCorpusNearDups(train: DataFrame, ref: DataFrame,
+                          textCol: String, idCol: String,
+                          shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                          minJaccard: Double = 0.7,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    val shT = shingleHashRows(train, textCol, idCol, shingleN)
+    val shR = shingleHashRows(ref, textCol, idCol, shingleN)
+    val bT = capBuckets(minhashBandsRows(shT, k, bands), maxBucketSize)
+    val bR = capBuckets(minhashBandsRows(shR, k, bands), maxBucketSize)
+
+    val cands = bT.select(col("band"), col("bhash"), col("id").as("train_id"),
+        col("n_shingles").as("na"))
+      .join(bR.select(col("band"), col("bhash"), col("id").as("ref_id"),
+        col("n_shingles").as("nb")), Seq("band", "bhash"))
+      .select("train_id", "ref_id", "na", "nb")
+      .distinct()
+
+    val inter = cands
+      .join(shT.select(col("id").as("train_id"), col("shingle")), Seq("train_id"))
+      .join(shR.select(col("id").as("ref_id"), col("shingle")),
+        Seq("ref_id", "shingle"))
+      .groupBy(col("train_id"), col("ref_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("train_id"), col("ref_id"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("train_id").asc, col("ref_id").asc)
+  }
+
+  /** Degenerate-bucket guard shared by the self- and cross-corpus joins. */
+  private def capBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
 
   /** 64-bit SimHash per document: one string hash per token, then a
     * single groupBy(id) with 64 conditional-sum vote columns (codegen'd,

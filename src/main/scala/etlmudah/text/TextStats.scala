@@ -125,6 +125,31 @@ object TextStats {
       .drop((Seq("__stop_hits") ++ langs.map(l => s"__s_${l._1}")): _*)
   }
 
+  /** Gopher/C4-style quality filter over the explode-form profile:
+    * labels every document keep/drop with the FIRST failing rule as the
+    * reason (rule order = argument order, mirroring how published
+    * quality-filter stacks report rejection reasons). Thresholds are
+    * half-open: a doc is dropped when n_tokens < minTokens, n_tokens >
+    * maxTokens, stop_ratio < minStopRatio, or punct_ratio >
+    * maxPunctRatio. Pure projection over `docTokenProfile` — one
+    * explode + one aggregate, no extra shuffle. */
+  def qualityFilter(df: DataFrame, textCol: String, idCol: String,
+                    stopwords: Seq[String],
+                    minTokens: Long = 10, maxTokens: Long = 100000,
+                    minStopRatio: Double = 0.01,
+                    maxPunctRatio: Double = 0.2,
+                    carryCols: Seq[String] = Nil): DataFrame = {
+    val prof = docTokenProfile(df, textCol, idCol, stopwords,
+      langs = Seq("und" -> Nil), carryCols = carryCols)
+    val reason = when(col("n_tokens") < minTokens, lit("too_short"))
+      .when(col("n_tokens") > maxTokens, lit("too_long"))
+      .when(col("stop_ratio") < minStopRatio, lit("low_stopwords"))
+      .when(col("punct_ratio") > maxPunctRatio, lit("high_punct"))
+      .otherwise(lit("keep"))
+    prof.select((Seq(col("id"), col("n_tokens"), col("stop_ratio"),
+      col("punct_ratio"), reason.as("verdict")) ++ carryCols.map(col)): _*)
+  }
+
   /** Stable document fingerprint for exact dedup: md5 of
     * case-and-whitespace-normalized text. */
   def fingerprint(text: Column): Column =

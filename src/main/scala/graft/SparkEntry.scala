@@ -432,6 +432,28 @@ object SparkEntry {
       load().orderBy(col("c_nationkey"))
     }),
 
+    // decontamination: near-dups of the "training" half of documents
+    // against the "reference" half (no SQL oracle: banded minhash
+    // candidate generation; planted-pair recall verified in DedupSpec)
+    "q47_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossCorpusNearDups(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", minJaccard = 0.8)
+    }),
+
+    // Gopher/C4-style quality filter: verdict distribution with the
+    // first failing rule as the reason
+    "q48_quality_filter" -> ((s, dir) =>
+      TextStats.qualityFilter(Tables.documents(s, dir), "text", "doc_id",
+          qualityStops, minTokens = 30, maxTokens = 100000,
+          minStopRatio = 0.03, maxPunctRatio = 0.05)
+        .groupBy(col("verdict")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy(col("verdict"))),
+
     // M1-M8 — RF price pipeline feature importances (no SQL oracle:
     // tree ensembles have no DuckDB twin; invariants in PricePipelineSpec)
     "q33_ml_importances" -> ((s, dir) => {
@@ -784,5 +806,25 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         | FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q48_quality_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks,
+        |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+        |    / nullif(length(text), 0) AS pr
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to')))::DOUBLE
+        |      / len(toks) ELSE 0.0 END AS sr,
+        |  coalesce(pr, 0.0) AS pr FROM t)
+        |SELECT CASE WHEN n_tokens < 30 THEN 'too_short'
+        |  WHEN n_tokens > 100000 THEN 'too_long'
+        |  WHEN sr < 0.03 THEN 'low_stopwords'
+        |  WHEN pr > 0.05 THEN 'high_punct'
+        |  ELSE 'keep' END AS verdict,
+        | count(*) AS n_docs,
+        | round(avg(n_tokens), 4) AS avg_tokens
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

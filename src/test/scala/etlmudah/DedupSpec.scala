@@ -67,6 +67,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("crossCorpusNearDups: decontamination equals the cross-parity slice of self-join pairs") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    // truth: the verified self-join pairs, restricted to (even, odd) ids
+    val selfPairs = Dedup.nearDupPairs(docs, "text", "doc_id", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = selfPairs.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)) // orient as (train=even, ref=odd)
+    }.collect { case (t, r, j) if t % 2 == 0 && r % 2 == 1 => (t, r, j) }.toSet
+    assert(truth.nonEmpty, "planted pairs should cross the parity split")
+
+    val found = Dedup.crossCorpusNearDups(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(found == truth)
+  }
+
   test("nearDupPairs: degenerate-bucket cap suppresses quadratic blowup") {
     import spark.implicits._
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
