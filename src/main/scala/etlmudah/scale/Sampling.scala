@@ -1,0 +1,64 @@
+package etlmudah.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training-data
+  * curation: train/val/test splits, per-domain (stratified) downsampling,
+  * and mixture reweighting.
+  *
+  * Everything derives from ONE primitive: a uniform in [0,1) computed
+  * from md5 of the row key. That makes every operation
+  *  - a pure per-row projection: no shuffle, no RNG state, no
+  *    `sample()` nondeterminism — embarrassingly parallel at any scale
+  *    and stable across reruns, executors, and engines;
+  *  - re-derivable: membership of a row in a split is a function of its
+  *    key alone, so late-arriving data lands in the same split and a
+  *    split can be reproduced years later from the key;
+  *  - oracle-checkable: DuckDB computes the identical uniform via
+  *    `('0x' || substr(md5(key), 1, 8))::UBIGINT / 4294967296.0`.
+  *
+  * Thresholds are passed as explicit cumulative UPPER BOUNDS (not
+  * weights) so the literals compared against are bit-identical on both
+  * engines — `0.8 + 0.1` in double arithmetic is NOT `0.9`.
+  */
+object Sampling {
+
+  /** Uniform in [0,1) from md5 of the key (first 32 bits / 2^32).
+    * `salt` decorrelates independent splits over the same keys. */
+  def hashUniform(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+
+  /** Deterministic split assignment: label = first entry whose upper
+    * bound exceeds the key's uniform. Bounds must be ascending; rows at
+    * or above the last bound get `restLabel` (use 1.0 as the final
+    * bound to cover everything). */
+  def hashSplit(df: DataFrame, keyCol: String,
+                bounds: Seq[(String, Double)], salt: String = "",
+                restLabel: String = "rest"): DataFrame = {
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      "split bounds must be ascending")
+    val u = hashUniform(col(keyCol), salt)
+    val label = bounds.foldRight(lit(restLabel): Column) {
+      case ((name, hi), otherwise) => when(u < hi, lit(name)).otherwise(otherwise)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Per-stratum deterministic downsampling: keep a row iff its uniform
+    * is below the stratum's fraction (strata absent from the map keep
+    * `defaultFraction`). The mixture-reweighting primitive: fractions
+    * chosen per domain/source/language reshape the corpus composition
+    * without a shuffle or an RNG. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       salt: String = ""): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction): Column) {
+      case (otherwise, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(otherwise)
+    }
+    df.filter(hashUniform(col(keyCol), salt) < frac)
+  }
+}

@@ -454,6 +454,26 @@ object SparkEntry {
           round(avg(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy(col("verdict"))),
 
+    // deterministic train/val/test split from md5 of the key — split
+    // composition per language (oracle recomputes the identical uniform)
+    "q49_dataset_split" -> ((s, dir) =>
+      etlmudah.scale.Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))),
+
+    // deterministic mixture reweighting: per-language downsampling
+    "q50_stratified_sample" -> ((s, dir) =>
+      etlmudah.scale.Sampling.stratifiedSample(Tables.documents(s, dir),
+          "doc_id", "lang",
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25),
+          defaultFraction = 0.1, salt = "mix")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))),
+
     // M1-M8 — RF price pipeline feature importances (no SQL oracle:
     // tree ensembles have no DuckDB twin; invariants in PricePipelineSpec)
     "q33_ml_importances" -> ((s, dir) => {
@@ -826,5 +846,28 @@ object SparkEntry {
         | count(*) AS n_docs,
         | round(avg(n_tokens), 4) AS avg_tokens
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_dataset_split" ->
+      """WITH u AS (SELECT lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.9 THEN 'val'
+        |            WHEN u < 1.0 THEN 'test' ELSE 'rest' END AS split,
+        | lang, count(*) AS n_docs
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q50_stratified_sample" ->
+      """WITH u AS (SELECT lang, doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM u
+        |WHERE u < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+        |               WHEN 'fr' THEN 0.25 ELSE 0.1 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -1,0 +1,61 @@
+package etlmudah.scale
+
+import graft.SparkSpec
+import etlmudah.Tables
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+  private val bounds = Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))
+
+  test("hashSplit: labels partition the corpus, proportions near bounds") {
+    val split = Sampling.hashSplit(docs, "doc_id", bounds)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count())
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // 500 docs: binomial noise ~2%; just sanity-band the 80/10/10
+    assert(counts("train") > 350 && counts("train") < 450, counts.toString)
+    assert(counts("val") > 20 && counts("test") > 20, counts.toString)
+  }
+
+  test("hashSplit: membership is a function of the key alone (stable under corpus growth)") {
+    val full = Sampling.hashSplit(docs, "doc_id", bounds)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val subset = Sampling.hashSplit(docs.filter(col("doc_id") < 100), "doc_id", bounds)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(subset.nonEmpty)
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("hashSplit: different salts decorrelate") {
+    val a = Sampling.hashSplit(docs, "doc_id", bounds, salt = "a")
+      .filter(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSplit(docs, "doc_id", bounds, salt = "b")
+      .filter(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != b)
+    // overlap ~ 0.8*0.8 of corpus, not ~0.8 (which correlation would give)
+    val overlap = a.intersect(b).size.toDouble / docs.count()
+    assert(overlap > 0.5 && overlap < 0.75, overlap.toString)
+  }
+
+  test("stratifiedSample: per-stratum fractions, deterministic, subset of input") {
+    val fr = Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.0)
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang", fr,
+      defaultFraction = 0.25)
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang", fr,
+      defaultFraction = 0.25)
+    assert(s1.collect().toSeq == s2.collect().toSeq)
+    val kept = s1.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == orig("en"))          // fraction 1.0 keeps all
+    assert(!kept.contains("zh"))              // fraction 0.0 drops all
+    val deRatio = kept("de").toDouble / orig("de")
+    assert(deRatio > 0.3 && deRatio < 0.7, deRatio.toString)
+  }
+}
