@@ -100,15 +100,36 @@ object Dedup {
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     gramRows(df, textCol, idCol, n).distinct()
 
-  /** Hashed form for the hot path: shingles are xxhash64 longs, so the
-    * distinct and every downstream join/shuffle moves 8 bytes per
-    * shingle instead of the gram string. Collisions (~n^2/2^64) are
-    * negligible against MinHash's own approximation error. */
+  /** Hashed form for the hot path: tokens are hashed FIRST and the
+    * shingle value is a rolling hash of n consecutive token hashes, so
+    * the lead() window sorts 8-byte longs instead of token strings, the
+    * gram string is never materialized, and the distinct plus every
+    * downstream join/shuffle moves 8 bytes per shingle. Collisions
+    * (~n^2/2^64) are negligible against MinHash's own approximation
+    * error; DedupSpec still validates recall against a string-shingle
+    * brute force. */
   private[scale] def shingleHashRows(df: DataFrame, textCol: String,
-                                     idCol: String, n: Int): DataFrame =
-    gramRows(df, textCol, idCol, n)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
+                                     idCol: String, n: Int): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("id"), col("pos"), xxhash64(col("t")).as("th"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("th"), j).over(w))
+    val grams = tok
+      .select(col("id"), xxhash64(col("th") +: leads: _*).as("shingle"),
+        leads.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select("id", "shingle")
+    // short docs (< n tokens): one shingle from the hash of the whole
+    // token-hash sequence — same value for identical text, and distinct
+    // from any n-gram (token counts differ)
+    val short = df
+      .filter(size(TextStats.tokens(col(textCol))) < n)
+      .select(col(idCol).as("id"),
+        xxhash64(concat_ws(" ", TextStats.tokens(col(textCol)))).as("shingle"))
+    grams.union(short).distinct()
+  }
 
   private def gramRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     // Repartition the raw docs BEFORE exploding: single-split inputs
