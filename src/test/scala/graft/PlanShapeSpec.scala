@@ -58,6 +58,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggLines.forall(_.contains("*(")), aggLines.mkString("\n").take(800))
   }
 
+  test("sampling operators are pure projections — no exchange, no shuffle") {
+    val docs = etlmudah.Tables.documents(spark, sf0001)
+    val split = etlmudah.scale.Sampling.hashSplit(docs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+    val sampled = etlmudah.scale.Sampling.stratifiedSample(docs, "doc_id",
+      "lang", Map("en" -> 0.5), defaultFraction = 0.1)
+    for (df <- Seq(split, sampled)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(500))
+    }
+  }
+
   test("q19: aggregation reads only the needed columns") {
     val scan = scansOf("q19_doc_token_stats").head
     val fields = scan.schema.fieldNames.toSet
