@@ -206,6 +206,26 @@ object Similarity {
       .orderBy(col("qid").asc, col("rank").asc)
   }
 
+  /** Neighborhood profile for a bounded probe set: exact max cosine and
+    * count of neighbors at/above `simThreshold` per probe — the
+    * diagnostic run before choosing ANN parameters (nlist/nprobe, LSH
+    * bits) or a near-dup threshold. Probes broadcast; the corpus is
+    * scanned once with the codegen'd cosine; aggregates are
+    * order-independent (max/count), so results are deterministic. Cost
+    * is |corpus| x |probes| — bound the probe set, not the corpus. */
+  def similarityProfile(embeddings: DataFrame, idCol: String, vecCol: String,
+                        maxProbeId: Long, simThreshold: Double): DataFrame = {
+    val corpus = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val probes = embeddings.filter(col(idCol) < maxProbeId)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    corpus.join(broadcast(probes), col("qid") =!= col("nid"))
+      .select(col("qid"), cosineFast(col("qvec"), col("nvec")).as("cos"))
+      .groupBy(col("qid")).agg(
+        round(max(col("cos")), 6).as("max_cos"),
+        sum(when(col("cos") >= simThreshold, 1L).otherwise(0L)).as("n_above"))
+      .orderBy(col("qid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     * method): LSH-bucketed candidates refined to pairs above a cosine
     * threshold. Returns (id_a, id_b, cos_sim), id_a < id_b. */

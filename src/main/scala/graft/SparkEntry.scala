@@ -454,6 +454,12 @@ object SparkEntry {
           round(avg(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy(col("verdict"))),
 
+    // exact similarity profile over a bounded probe set (the ANN-tuning
+    // diagnostic): max cosine + neighbors above threshold per probe
+    "q51_similarity_profile" -> ((s, dir) =>
+      Similarity.similarityProfile(Tables.embeddings(s, dir), "vec_id",
+        "embedding", maxProbeId = 50L, simThreshold = 0.3)),
+
     // deterministic train/val/test split from md5 of the key — split
     // composition per language (oracle recomputes the identical uniform)
     "q49_dataset_split" -> ((s, dir) =>
@@ -846,6 +852,16 @@ object SparkEntry {
         | count(*) AS n_docs,
         | round(avg(n_tokens), 4) AS avg_tokens
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q51_similarity_profile" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50)
+        |SELECT qid,
+        | round(max(list_cosine_similarity(qv, v)), 6) AS max_cos,
+        | sum(CASE WHEN list_cosine_similarity(qv, v) >= 0.3
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_above
+        |FROM p JOIN e ON e.vec_id <> p.qid
+        |GROUP BY qid ORDER BY qid""".stripMargin,
 
     "q49_dataset_split" ->
       """WITH u AS (SELECT lang,
