@@ -35,9 +35,9 @@ object Bench {
     // says nothing about query-plan quality and would dominate the total).
     val exclude = Set("q33_ml_importances")
     val results = (SparkEntry.queries -- exclude).toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of 2 runs: this sandbox shows 2-3x run-to-run noise from the
+      // best of 3 runs: this sandbox shows 2-3x run-to-run noise from the
       // shared host; min is the standard noise-resistant point estimate.
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         // noop-format write forces every expression/column (a bare count()
         // would let Catalyst prune projections and under-measure).
