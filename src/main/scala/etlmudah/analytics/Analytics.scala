@@ -56,6 +56,25 @@ object Analytics {
       .orderBy(col(keyName))
   }
 
+  /** The 100 TB dial for `statsBy`: `percentile_approx` (t-digest-style
+    * sketch, mergeable, map-side combined, O(accuracy) state per group)
+    * replaces the exact sort-based median. `accuracy` trades memory for
+    * error; 10000 keeps the median within a fraction of a percent on
+    * unimodal data (AnalyticsSpec pins the closeness against the exact
+    * form). Use the exact variant when oracle parity matters. */
+  def statsByApprox(df: DataFrame, key: Column, keyName: String, value: Column,
+                    extraAggs: Seq[Column] = Nil,
+                    accuracy: Int = 10000): DataFrame = {
+    val base = Seq(
+      count(lit(1)).as("n"),
+      round(avg(value), 2).as("avg_value"),
+      percentile_approx(value, lit(0.5), lit(accuracy)).as("median_value"),
+      round(stddev_samp(value), 2).as("stddev_value"))
+    val aggs = base ++ extraAggs
+    df.groupBy(key.as(keyName)).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(keyName))
+  }
+
   /** Fixed-width binning / histogram (pd.cut, price_analysis.py:139-148).
     * One hash aggregate over a derived bin key — no per-bucket rescans.
     *

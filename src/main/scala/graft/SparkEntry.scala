@@ -454,6 +454,18 @@ object SparkEntry {
           round(avg(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy(col("verdict"))),
 
+    // the 100 TB dial of q02: sketch-based approx median (no SQL oracle:
+    // t-digest has no deterministic DuckDB twin; closeness to the exact
+    // form is pinned in AnalyticsSpec)
+    "q52_stats_by_nation_approx" -> ((s, dir) => {
+      val star = Joins.lineitemStar(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))
+      Analytics.statsByApprox(star, col("n_name"), "n_name",
+        col("l_extendedprice"),
+        Seq(round(avg(col("l_quantity")), 2).as("avg_qty")))
+    }),
+
     // exact similarity profile over a bounded probe set (the ANN-tuning
     // diagnostic): max cosine + neighbors above threshold per probe
     "q51_similarity_profile" -> ((s, dir) =>

@@ -94,6 +94,21 @@ class AnalyticsSpec extends SparkSpec {
       s"exact=$exact approx=$approx")
   }
 
+  test("statsByApprox: approx median within 1% of exact per group") {
+    val orders = etlmudah.Tables.orders(spark, sf0001)
+    val exact = Analytics.statsBy(orders, col("o_orderstatus"), "k",
+        col("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val approx = Analytics.statsByApprox(orders, col("o_orderstatus"), "k",
+        col("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, m) =>
+      assert(math.abs(approx(k) - m) / m < 0.01,
+        s"group $k: exact=$m approx=${approx(k)}")
+    }
+  }
+
   test("distinctDomain: sorted unique values") {
     val r = Analytics.distinctDomain(sales, "sub").collect().map(_.getString(0))
     assert(r.toSeq == Seq("x", "y", "z"))
