@@ -1,0 +1,84 @@
+package etlmudah
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import etlmudah.analytics.Analytics
+import etlmudah.expr.Exprs
+import etlmudah.load.Upsert
+import etlmudah.scale.{Dedup, Sampling}
+import etlmudah.text.TextStats
+
+/** Empty-input and degenerate-value behavior of the core operators —
+  * the surface where Spark 4's default ANSI mode turns silent pandas
+  * NaNs into hard job failures. Every operator here must return a
+  * well-formed (possibly empty) result, never throw. */
+class EdgeCasesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptySales = Seq.empty[(String, Double)].toDF("k", "v")
+
+  test("aggregation operators return empty/zero-row results on empty input") {
+    assert(Analytics.statsBy(emptySales, col("k"), "k", col("v")).count() == 0)
+    assert(Analytics.freqTable(emptySales, "k").count() == 0)
+    assert(Analytics.topKByCount(emptySales, "k", 5).count() == 0)
+    assert(Analytics.histogram(emptySales, col("v"), 10.0).count() == 0)
+    assert(Analytics.quartilesBy(emptySales, "k", col("v")).count() == 0)
+    assert(Analytics.shareOfTotal(emptySales, "k").count() == 0)
+    assert(Analytics.distinctDomain(emptySales, "k").count() == 0)
+  }
+
+  test("headlineMetrics on empty input: one row of nulls/zero count, no throw") {
+    val r = Analytics.headlineMetrics(emptySales, "v").collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 0L)
+  }
+
+  test("dedup operators tolerate empty corpora") {
+    assert(Dedup.exactDedup(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.nearDupPairs(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.simhashNearDups(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.crossCorpusNearDups(emptyDocs, emptyDocs, "text", "doc_id")
+      .count() == 0)
+  }
+
+  test("text operators on empty and whitespace-only strings") {
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    // per-row expression forms: no ANSI divide-by-zero, no crash
+    val r = weird.select(
+      TextStats.tokenCount(col("text")).as("n"),
+      TextStats.stopwordRatio(col("text"), Seq("a")).as("sr"),
+      TextStats.qualityScore(col("text"), Seq("a")).as("q"),
+      TextStats.fingerprint(col("text")).as("fp")).collect()
+    assert(r.length == 4)
+    assert(r.forall(row => !row.isNullAt(1) && !row.isNullAt(2)))
+    // explode-form profile keeps every non-null doc (empty split -> [""]
+    // is one token)
+    val prof = TextStats.docTokenProfile(weird, "text", "doc_id",
+      Seq("a"), Seq("en" -> Seq("a")))
+    assert(prof.count() == 4)
+    // shingles of sub-n docs fall back to the whole token string
+    assert(Dedup.shingleRows(weird, "text", "doc_id", 3).count() > 0)
+  }
+
+  test("upsert with an empty batch or empty base is the other side") {
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "batch_ts")
+    val none = Seq.empty[(Long, String, Long)].toDF("id", "v", "batch_ts")
+    val keepBase = Upsert.upsert(base, none, Seq("id"), Seq(col("batch_ts").desc))
+    assert(keepBase.select("id", "v").collect().toSet ==
+      base.select("id", "v").collect().toSet)
+    val fromBatch = Upsert.upsert(none, base, Seq("id"), Seq(col("batch_ts").desc))
+    assert(fromBatch.count() == 2)
+  }
+
+  test("sampling on empty input and clipUpper on all-null column") {
+    assert(Sampling.hashSplit(emptyDocs, "doc_id",
+      Seq(("train", 1.0))).count() == 0)
+    val nulls = Seq.empty[Option[Double]].toDF("v")
+      .union(Seq(Option.empty[Double], Option.empty[Double]).toDF("v"))
+    val clipped = nulls.select(Exprs.clipUpper(col("v"), 5.0).as("c")).collect()
+    assert(clipped.forall(_.isNullAt(0)))
+  }
+}
