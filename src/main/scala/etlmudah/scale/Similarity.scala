@@ -5,17 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * Two tiers, per the 100 TB contract:
+  * Tiers, per the 100 TB contract:
   *  - `bruteForceTopK`: exact cosine against one query vector — a single
   *    map + TakeOrderedAndProject; linear scan, no shuffle of the corpus.
-  *    Correct baseline and the refine step of the ANN path.
-  *  - `lshTopK`: random-hyperplane LSH — L tables x B hyperplane sign
-  *    bits per vector, computed as pure expressions (hyperplane weights
-  *    are pseudo-random from xxhash64(table,bit,dim), so no driver-side
-  *    state, no broadcast, byte-identical across executors). Candidates
-  *    are bucket-equality joins; cosine refine only within buckets.
-  *    At 1000 executors the bucket join shuffles only (key, id, vec)
-  *    pairs, never the n^2 pair space.
+  *    Correct baseline and the refine step of the ANN paths.
+  *  - `similarityProfile`: exact neighborhood diagnostic for a bounded
+  *    probe set (broadcast probes, one corpus scan) — run before
+  *    choosing ANN parameters.
+  *  - `lshTopKAll`: random-hyperplane LSH — L tables x B hyperplane sign
+  *    bits per vector, computed as pure expressions. Candidates are
+  *    bucket-equality joins carrying IDs only; cosine refine only within
+  *    buckets. At 1000 executors the bucket join shuffles fixed-width
+  *    keys, never the n^2 pair space.
+  *  - `ivfTopKAll`: FAISS-style inverted file — a coarse quantizer
+  *    trained driver-side on a bounded sample, broadcast centroids, and
+  *    an nprobe/nlist cost dial on the cluster-equi-join candidates.
+  *  - `embeddingNearDups`: LSH-bucketed near-duplicate pairs above a
+  *    cosine threshold (dedup-by-embedding).
   */
 object Similarity {
 

@@ -49,6 +49,20 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Watermarked session windows per user (the streaming twin of
+    * SparkEntry q42's batch session_window): sessions close `gap` after
+    * their last event; state per open session is O(1) and bounded by
+    * the watermark. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+                   lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("events_in_session"))
+
   /** Keyed dedup with watermark-bounded state (D1 made streaming):
     * duplicates of event_id within the lateness horizon are dropped. */
   def dedupEvents(events: DataFrame, lateness: String = "2 hours"): DataFrame =

@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("userSessions stream == batch session_window on the same input") {
+    val out = Files.createTempDirectory("stream_sess").toString
+    val q = Streaming.userSessions(
+        Streaming.readEvents(spark, stageEvents("src_sess")))
+      .writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessions")
+      .orderBy("user_id", "session_start_us").collect()
+    val batch = Tables.eventsTyped(spark, sf0001)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("events_in_session"))
+      .orderBy("user_id", "session_start_us").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
   test("dedupEvents drops duplicate event_ids within the watermark") {
     val out = Files.createTempDirectory("stream_dedup").toString
     val src = s"$out/src"
