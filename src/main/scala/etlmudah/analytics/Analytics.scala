@@ -34,6 +34,21 @@ object Analytics {
       .orderBy(col("cnt").desc, col(key).asc)
       .limit(k)
 
+  /** The 100 TB dial for `topKByCount`: sketch-based heavy hitters via
+    * `approx_top_k` — one mergeable sketch instead of a full
+    * per-key aggregate, so driver/executor state is O(maxItemsTracked)
+    * regardless of key cardinality. Counts are EXACT while the distinct
+    * key count stays within `maxItemsTracked` (the sketch only
+    * approximates past that), which AnalyticsSpec pins against the exact
+    * form. Output re-sorted (cnt desc, key asc) so ties are
+    * deterministic. */
+  def topKByCountApprox(df: DataFrame, key: String, k: Int,
+                        maxItemsTracked: Int = 10000): DataFrame =
+    df.select(expr(s"approx_top_k($key, $k, $maxItemsTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as(key), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col(key).asc)
+
   /** Full frequency table (value_counts, market_overview.py:68).
     * Ordered count-desc like pandas value_counts, key asc as tie-breaker
     * so hash-compared output is deterministic. */

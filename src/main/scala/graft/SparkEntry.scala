@@ -454,6 +454,12 @@ object SparkEntry {
           round(avg(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy(col("verdict"))),
 
+    // the 100 TB dial of q03: sketch-based heavy hitters. Cardinality
+    // (5 priorities) is far below maxItemsTracked, so counts are exact
+    // and the deterministic re-sort makes this SQL-oracle-checkable.
+    "q53_top_priorities_approx" -> ((s, dir) =>
+      Analytics.topKByCountApprox(Tables.orders(s, dir), "o_orderpriority", 5)),
+
     // the 100 TB dial of q02: sketch-based approx median (no SQL oracle:
     // t-digest has no deterministic DuckDB twin; closeness to the exact
     // form is pinned in AnalyticsSpec)
@@ -874,6 +880,11 @@ object SparkEntry {
         |     THEN 1 ELSE 0 END)::BIGINT AS n_above
         |FROM p JOIN e ON e.vec_id <> p.qid
         |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q53_top_priorities_approx" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        | GROUP BY o_orderpriority
+        | ORDER BY cnt DESC, o_orderpriority ASC LIMIT 5""".stripMargin,
 
     "q49_dataset_split" ->
       """WITH u AS (SELECT lang,

@@ -109,6 +109,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("topKByCountApprox == exact topKByCount while cardinality fits the sketch") {
+    val li = etlmudah.Tables.lineitem(spark, sf0001)
+    for (key <- Seq("l_returnflag", "l_partkey")) {
+      val exact = Analytics.topKByCount(li, key, 10).collect()
+        .map(r => r.get(0) -> r.getLong(1))
+      val approx = Analytics.topKByCountApprox(li, key, 10).collect()
+        .map(r => r.get(0) -> r.getLong(1))
+      // counts identical (sketch is exact below maxItemsTracked); item
+      // order identical thanks to the deterministic re-sort
+      assert(approx.toSeq == exact.toSeq, s"key=$key")
+    }
+  }
+
   test("distinctDomain: sorted unique values") {
     val r = Analytics.distinctDomain(sales, "sub").collect().map(_.getString(0))
     assert(r.toSeq == Seq("x", "y", "z"))
