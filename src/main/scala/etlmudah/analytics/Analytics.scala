@@ -49,6 +49,27 @@ object Analytics {
       .select(col("e.item").as(key), col("e.count").as("cnt"))
       .orderBy(col("cnt").desc, col(key).asc)
 
+  /** Mergeable cardinality sketches (Apache DataSketches HLL): per-group
+    * distinct-count estimates whose sketches union to ANY rollup level
+    * without rescanning base data — the incremental pattern at 100 TB
+    * (sketch per day/partition at ingest, merge at query time).
+    * Returns (group, n_distinct_est) plus one __total__ row from the
+    * union of the per-group sketches — distinct counts are NOT additive
+    * across groups, sketches are. Estimates are exact while a group's
+    * cardinality stays in the sketch's sparse regime; AnalyticsSpec pins
+    * the 5% envelope and union-vs-direct agreement. */
+  def cardinalityRollup(df: DataFrame, groupCol: String, valueCol: String,
+                        totalLabel: String = "__total__"): DataFrame = {
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+    val total = perGroup.agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit(totalLabel).as(groupCol), col("sk"))
+    perGroup.unionByName(total)
+      .select(col(groupCol),
+        hll_sketch_estimate(col("sk")).as("n_distinct_est"))
+      .orderBy(col(groupCol))
+  }
+
   /** Full frequency table (value_counts, market_overview.py:68).
     * Ordered count-desc like pandas value_counts, key asc as tie-breaker
     * so hash-compared output is deterministic. */

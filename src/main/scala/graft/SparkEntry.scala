@@ -454,6 +454,13 @@ object SparkEntry {
           round(avg(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy(col("verdict"))),
 
+    // mergeable HLL cardinality rollup (no SQL oracle: DataSketches
+    // estimates have no DuckDB twin; the 5% envelope and union-vs-exact
+    // agreement are pinned in AnalyticsSpec)
+    "q54_distinct_customers_sketch" -> ((s, dir) =>
+      Analytics.cardinalityRollup(Tables.orders(s, dir),
+        "o_orderstatus", "o_custkey")),
+
     // the 100 TB dial of q03: sketch-based heavy hitters. Cardinality
     // (5 priorities) is far below maxItemsTracked, so counts are exact
     // and the deterministic re-sort makes this SQL-oracle-checkable.

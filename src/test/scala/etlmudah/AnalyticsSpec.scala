@@ -122,6 +122,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cardinalityRollup: per-group and merged estimates within 5% of exact") {
+    val orders = etlmudah.Tables.orders(spark, sf0001)
+    val est = Analytics.cardinalityRollup(orders, "o_orderstatus", "o_custkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactGroups = orders.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactTotal = orders.select(countDistinct(col("o_custkey")))
+      .collect().head.getLong(0)
+    exactGroups.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n < 0.05, s"$k: est=${est(k)} exact=$n")
+    }
+    // the union row must track the TRUE distinct total (not the sum of
+    // groups, which double-counts customers active in several statuses)
+    assert(math.abs(est("__total__") - exactTotal).toDouble / exactTotal < 0.05)
+    assert(exactGroups.values.sum > exactTotal, "overlap exists; sums would be wrong")
+  }
+
   test("distinctDomain: sorted unique values") {
     val r = Analytics.distinctDomain(sales, "sub").collect().map(_.getString(0))
     assert(r.toSeq == Seq("x", "y", "z"))
