@@ -150,6 +150,41 @@ object TextStats {
       col("punct_ratio"), reason.as("verdict")) ++ carryCols.map(col)): _*)
   }
 
+  /** Sliding token-window chunking — the op feeding embedding and
+    * context-window pipelines: chunk k covers token positions
+    * [k*stride, k*stride + chunkTokens). With stride < chunkTokens
+    * chunks overlap; stride == chunkTokens tiles. Emits
+    * (id, chunk, n_tokens, chunk_text), ordered.
+    *
+    * Shape: posexplode -> per-token chunk-membership fan-out (bounded by
+    * ceil(chunkTokens/stride), a constant) -> one aggregate. Chunk text
+    * reassembles via array_sort over collected (pos, token) structs —
+    * an interpreted lambda, but once per CHUNK over <= chunkTokens
+    * elements, not per token. The lower chunk bound guards pos <
+    * chunkTokens with a conditional instead of dividing a negative
+    * (floor vs truncate-toward-zero differs across engines). */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                chunkTokens: Int = 32, stride: Int = 16): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      "need 0 < stride <= chunkTokens")
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    // non-negative operands only, so floor(double div) == integer div
+    val lo = when(col("pos") < chunkTokens, lit(0L))
+      .otherwise(floor((col("pos") - chunkTokens) / lit(stride)) + 1)
+      .cast("long")
+    val hi = floor(col("pos") / lit(stride)).cast("long")
+    val memb = tok.select(col("id"), col("pos"), col("t"),
+      explode(sequence(lo, hi)).as("chunk"))
+    memb.groupBy(col("id"), col("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          s => s.getField("t")), " ").as("chunk_text"))
+      .orderBy(col("id"), col("chunk"))
+  }
+
   /** Stable document fingerprint for exact dedup: md5 of
     * case-and-whitespace-normalized text. */
   def fingerprint(text: Column): Column =

@@ -454,6 +454,14 @@ object SparkEntry {
           round(avg(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy(col("verdict"))),
 
+    // sliding token-window chunking (the embedding/context-window prep
+    // op); chunk text is compared verbatim against the oracle
+    "q55_doc_chunks" -> ((s, dir) =>
+      TextStats.chunkDocs(Tables.documents(s, dir), "text", "doc_id",
+          chunkTokens = 32, stride = 16)
+        .select(col("id").as("doc_id"), col("chunk"), col("n_tokens"),
+          col("chunk_text"))),
+
     // mergeable HLL cardinality rollup (no SQL oracle: DataSketches
     // estimates have no DuckDB twin; the 5% envelope and union-vs-exact
     // agreement are pinned in AnalyticsSpec)
@@ -887,6 +895,22 @@ object SparkEntry {
         |     THEN 1 ELSE 0 END)::BIGINT AS n_above
         |FROM p JOIN e ON e.vec_id <> p.qid
         |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q55_doc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS pos
+        |  FROM documents),
+        |memb AS (
+        |  SELECT doc_id, pos, t,
+        |    unnest(range(CASE WHEN pos < 32 THEN 0 ELSE (pos - 32) // 16 + 1 END,
+        |                 pos // 16 + 1)) AS chunk
+        |  FROM tok)
+        |SELECT doc_id, chunk, count(*) AS n_tokens,
+        | string_agg(t, ' ' ORDER BY pos) AS chunk_text
+        |FROM memb GROUP BY doc_id, chunk
+        |ORDER BY doc_id, chunk""".stripMargin,
 
     "q53_top_priorities_approx" ->
       """SELECT o_orderpriority, count(*) AS cnt FROM orders

@@ -68,6 +68,24 @@ class TextStatsSpec extends SparkSpec {
     assert(profile == colForm)
   }
 
+  test("chunkDocs: sliding windows cover every token, overlap by stride, reassemble in order") {
+    import spark.implicits._
+    val doc = (0 until 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, doc)).toDF("doc_id", "text")
+    val chunks = chunkDocs(df, "text", "doc_id", chunkTokens = 32, stride = 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // 40 tokens, size 32, stride 16 -> chunks at 0, 16, 32
+    assert(chunks.map(c => (c._1, c._2)).toSeq ==
+      Seq((0L, 32L), (1L, 24L), (2L, 8L)))
+    assert(chunks(0)._3.startsWith("w0 w1 ") && chunks(0)._3.endsWith(" w31"))
+    assert(chunks(1)._3.startsWith("w16 ") && chunks(1)._3.endsWith(" w39"))
+    assert(chunks(2)._3 == (32 until 40).map(i => s"w$i").mkString(" "))
+    // tiling (stride == size): partitions exactly, no overlap
+    val tiled = chunkDocs(df, "text", "doc_id", chunkTokens = 16, stride = 16)
+      .collect().map(_.getLong(2)).sum
+    assert(tiled == 40L)
+  }
+
   test("fingerprint invariant to case and whitespace runs") {
     val a = one[String](fingerprint(lit("Hello   World")))
     val b = one[String](fingerprint(lit("hello world")))
