@@ -190,6 +190,32 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** Corpus-wide top-k word n-grams — vocabulary/phrase frequency, the
+    * first diagnostic of any text corpus (and the input to BPE-merge or
+    * stopword-list construction). Same explode + lead shape as the
+    * dedup shingles but WITHOUT per-document distinct: counts are
+    * occurrence counts. One window shuffle + one partial-aggregated
+    * count + TakeOrderedAndProject. */
+  def topNgrams(df: DataFrame, textCol: String, idCol: String,
+                n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("t"), j).over(w))
+    val grams =
+      if (n == 1) tok.select(col("t").as("ngram"))
+      else tok
+        .select(concat_ws(" ", col("t") +: leads: _*).as("ngram"),
+          leads.last.isNotNull.as("__full"))
+        .filter(col("__full"))
+        .select("ngram")
+    grams.groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Word n-gram shingles (n>=1) as space-joined strings; documents
     * shorter than n tokens yield their full token string as one shingle
     * so no row silently drops out of dedup. */

@@ -454,6 +454,11 @@ object SparkEntry {
           round(avg(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy(col("verdict"))),
 
+    // corpus-wide bigram frequency (vocabulary/phrase stats)
+    "q56_top_bigrams" -> ((s, dir) =>
+      TextStats.topNgrams(Tables.documents(s, dir), "text", "doc_id",
+        n = 2, k = 20)),
+
     // sliding token-window chunking (the embedding/context-window prep
     // op); chunk text is compared verbatim against the oracle
     "q55_doc_chunks" -> ((s, dir) =>
@@ -895,6 +900,19 @@ object SparkEntry {
         |     THEN 1 ELSE 0 END)::BIGINT AS n_above
         |FROM p JOIN e ON e.vec_id <> p.qid
         |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q56_top_bigrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT a.t || ' ' || b.t AS ngram
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        |SELECT ngram, count(*) AS cnt FROM bg
+        |GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
 
     "q55_doc_chunks" ->
       """WITH tok AS (

@@ -86,6 +86,20 @@ class TextStatsSpec extends SparkSpec {
     assert(tiled == 40L)
   }
 
+  test("topNgrams: occurrence counts with deterministic tie order") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val bi = topNgrams(df, "text", "doc_id", n = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // "a b" x3 (twice in doc1, once in doc2); then ties count-1 sorted asc
+    assert(bi.head == ("a b" -> 3L))
+    assert(bi.tail.map(_._2).forall(_ == 1L))
+    assert(bi.tail.map(_._1) == bi.tail.map(_._1).sorted)
+    val uni = topNgrams(df, "text", "doc_id", n = 1, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(uni.take(2) == Seq("a" -> 3L, "b" -> 3L))
+  }
+
   test("fingerprint invariant to case and whitespace runs") {
     val a = one[String](fingerprint(lit("Hello   World")))
     val b = one[String](fingerprint(lit("hello world")))
