@@ -216,6 +216,30 @@ object TextStats {
       .limit(k)
   }
 
+  /** TF-IDF term scores: tf(doc, term) x ln(N / df(term)). The corpus
+    * size N comes from a broadcast single-row aggregate (never a driver
+    * collect), document frequency from one aggregate over the (doc,
+    * term) counts; the only corpus-sized shuffles are the two hash
+    * aggregates and the term-keyed join. Returns
+    * (id, term, tf, score[rounded 4dp]).
+    *
+    * Ranking note: callers wanting top terms per doc compose with
+    * `Analytics.topNPerGroup` on (score desc, term asc); oracle-compared
+    * outputs should order by (id, term) instead, so cross-engine
+    * 1-ulp `ln` differences can never flip a row order. */
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    tf.join(docFreq, Seq("term"))
+      .join(broadcast(n))
+      .select(col("id"), col("term"), col("tf"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+          .as("score"))
+  }
+
   /** Word n-gram shingles (n>=1) as space-joined strings; documents
     * shorter than n tokens yield their full token string as one shingle
     * so no row silently drops out of dedup. */

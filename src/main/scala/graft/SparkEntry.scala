@@ -454,6 +454,15 @@ object SparkEntry {
           round(avg(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy(col("verdict"))),
 
+    // TF-IDF term scores for a bounded doc subset, ordered by (doc,
+    // term) — never by the float score — so 1-ulp ln() differences
+    // can't flip row order (score VALUES are compared, rounded 4dp)
+    "q57_tfidf" -> ((s, dir) =>
+      TextStats.tfidf(Tables.documents(s, dir), "text", "doc_id")
+        .filter(col("id") < 20)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("term"))),
+
     // corpus-wide bigram frequency (vocabulary/phrase stats)
     "q56_top_bigrams" -> ((s, dir) =>
       TextStats.topNgrams(Tables.documents(s, dir), "text", "doc_id",
@@ -900,6 +909,19 @@ object SparkEntry {
         |     THEN 1 ELSE 0 END)::BIGINT AS n_above
         |FROM p JOIN e ON e.vec_id <> p.qid
         |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q57_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+        |SELECT doc_id, term, tf,
+        | round(tf * ln(n::DOUBLE / df), 4) AS score
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, term""".stripMargin,
 
     "q56_top_bigrams" ->
       """WITH tok AS (

@@ -100,6 +100,24 @@ class TextStatsSpec extends SparkSpec {
     assert(uni.take(2) == Seq("a" -> 3L, "b" -> 3L))
   }
 
+  test("tfidf: ubiquitous terms score 0, rarer terms higher; topNPerGroup composes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare2")).toDF("doc_id", "text")
+    val scored = tfidf(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byKey = scored.map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(byKey((1L, "common")) == (2L, 0.0))       // df == N -> ln(1) = 0
+    assert(byKey((1L, "rare1"))._2 > byKey((2L, "rare2"))._2) // df 1 beats df 2
+    val top = etlmudah.analytics.Analytics.topNPerGroup(
+      tfidf(df, "text", "doc_id"), Seq("id"),
+      Seq(col("score").desc, col("term").asc), 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("term")).toMap
+    assert(top == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare2"))
+  }
+
   test("fingerprint invariant to case and whitespace runs") {
     val a = one[String](fingerprint(lit("Hello   World")))
     val b = one[String](fingerprint(lit("hello world")))
