@@ -33,7 +33,9 @@ object Sampling {
   /** Deterministic split assignment: label = first entry whose upper
     * bound exceeds the key's uniform. Bounds must be ascending; rows at
     * or above the last bound get `restLabel` (use 1.0 as the final
-    * bound to cover everything). */
+    * bound to cover everything). Null keys have no uniform and land in
+    * `restLabel` (in `stratifiedSample` they are dropped) — filter
+    * upstream if null keys should be handled differently. */
   def hashSplit(df: DataFrame, keyCol: String,
                 bounds: Seq[(String, Double)], salt: String = "",
                 restLabel: String = "rest"): DataFrame = {
