@@ -185,6 +185,49 @@ object TextStats {
       .orderBy(col("id"), col("chunk"))
   }
 
+  /** Within-document repetition ratio (the Gopher boilerplate rule):
+    * 1 - distinct_ngrams/total_ngrams per doc. Spam and templated text
+    * repeat phrases; clean prose mostly doesn't. Emits (id,
+    * total_ngrams, distinct_ngrams, rep_ratio). Same explode + lead
+    * window as the dedup shingles; docs with fewer than n tokens have
+    * no n-grams and drop out (they're `too_short` for qualityFilter
+    * anyway). */
+  def repetitionRatio(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("t"), j).over(w))
+    val grams = tok
+      .select(col("id"), concat_ws(" ", col("t") +: leads: _*).as("g"),
+        leads.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+    grams.groupBy(col("id")).agg(
+        count(lit(1)).as("total_ngrams"),
+        countDistinct(col("g")).as("distinct_ngrams"))
+      .select(col("id"), col("total_ngrams"), col("distinct_ngrams"),
+        round(lit(1.0) - col("distinct_ngrams").cast("double") /
+          col("total_ngrams"), 6).as("rep_ratio"))
+      .orderBy(col("id"))
+  }
+
+  /** PII-pattern scan (the C4-style scrub diagnostic): per-document
+    * counts of email-, phone-, and long-digit-run-shaped substrings.
+    * Pure regexp_count projections — codegen'd, shuffle-free. The
+    * patterns are deliberately simple/portable (no lookarounds) so the
+    * same regexes run in any engine. */
+  def piiScan(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      regexp_count(col(textCol),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+        .cast("long").as("n_emails"),
+      regexp_count(col(textCol),
+        lit("\\+?[0-9][0-9() -]{7,}[0-9]")).cast("long").as("n_phones"),
+      regexp_count(col(textCol), lit("[0-9]{9,}"))
+        .cast("long").as("n_long_digit_runs"))
+
   /** Stable document fingerprint for exact dedup: md5 of
     * case-and-whitespace-normalized text. */
   def fingerprint(text: Column): Column =

@@ -463,6 +463,29 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("score"))
         .orderBy(col("doc_id"), col("term"))),
 
+    // within-doc repetition (Gopher boilerplate rule): distribution of
+    // duplicate-trigram ratios per source
+    "q58_repetition_by_source" -> ((s, dir) =>
+      TextStats.repetitionRatio(Tables.documents(s, dir), "text", "doc_id")
+        .join(Tables.documents(s, dir).select(col("doc_id").as("id"),
+          col("source")), Seq("id"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("rep_ratio")), 6).as("avg_rep_ratio"),
+          round(max(col("rep_ratio")), 6).as("max_rep_ratio"))
+        .orderBy(col("source"))),
+
+    // PII-pattern scan totals (C4-style scrub diagnostic)
+    "q59_pii_scan" -> ((s, dir) =>
+      TextStats.piiScan(Tables.documents(s, dir), "text", "doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).as("total_emails"),
+          sum(col("n_phones")).as("total_phones"),
+          sum(col("n_long_digit_runs")).as("total_digit_runs"),
+          sum(when(col("n_emails") + col("n_phones") +
+            col("n_long_digit_runs") > 0, 1L).otherwise(0L)).as("docs_with_pii"))),
+
     // corpus-wide bigram frequency (vocabulary/phrase stats)
     "q56_top_bigrams" -> ((s, dir) =>
       TextStats.topNgrams(Tables.documents(s, dir), "text", "doc_id",
@@ -909,6 +932,41 @@ object SparkEntry {
         |     THEN 1 ELSE 0 END)::BIGINT AS n_above
         |FROM p JOIN e ON e.vec_id <> p.qid
         |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q58_repetition_by_source" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |r AS (
+        |  SELECT doc_id,
+        |    round(1 - count(DISTINCT g)::DOUBLE / count(*), 6) AS rep_ratio
+        |  FROM g GROUP BY doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        | round(avg(rep_ratio), 6) AS avg_rep_ratio,
+        | round(max(rep_ratio), 6) AS max_rep_ratio
+        |FROM r JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q59_pii_scan" ->
+      """WITH p AS (SELECT
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS e,
+        |  len(regexp_extract_all(text, '\+?[0-9][0-9() -]{7,}[0-9]'))::BIGINT AS ph,
+        |  len(regexp_extract_all(text, '[0-9]{9,}'))::BIGINT AS dr
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        | sum(e)::BIGINT AS total_emails,
+        | sum(ph)::BIGINT AS total_phones,
+        | sum(dr)::BIGINT AS total_digit_runs,
+        | sum(CASE WHEN e + ph + dr > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii
+        |FROM p""".stripMargin,
 
     "q57_tfidf" ->
       """WITH tok AS (

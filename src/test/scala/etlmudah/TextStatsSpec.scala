@@ -118,6 +118,30 @@ class TextStatsSpec extends SparkSpec {
     assert(top == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare2"))
   }
 
+  test("repetitionRatio: repeated phrases raise the ratio, unique prose stays 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),     // 4 trigrams, 1 distinct
+      (2L, "all words here are fully unique")).toDF("doc_id", "text")
+    val r = repetitionRatio(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((4L, 1L, 0.75)))
+    assert(r(2L)._3 == 0.0)
+  }
+
+  test("piiScan counts email/phone/digit-run shapes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at a.b@example.com or +60 12-345 6789 ok"),
+      (2L, "id 123456789012 plain text"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val r = piiScan(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L)._1 == 1L && r(1L)._2 >= 1L)
+    assert(r(2L)._3 == 1L)
+    assert(r(3L) == ((0L, 0L, 0L)))
+  }
+
   test("fingerprint invariant to case and whitespace runs") {
     val a = one[String](fingerprint(lit("Hello   World")))
     val b = one[String](fingerprint(lit("hello world")))
