@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract itself: Map literals silently drop
+  * duplicate keys, so a copy-pasted query id would erase an existing
+  * entry without any compile error. */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracle has a query; ids are well-formed and collision-free") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    assert(q.forall(_.matches("^q\\d+_[a-z0-9_]+$")), q.filterNot(_.matches("^q\\d+_[a-z0-9_]+$")))
+    val nums = q.toSeq.map(_.takeWhile(_ != '_'))
+    assert(nums.distinct.size == q.size, "duplicate q-number prefixes (a Map key collision ate one)")
+  }
+
+  test("oracle SQL strings are non-empty and reference a harness table") {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, name)
+      assert(tables.exists(sql.contains), s"$name references no harness table")
+    }
+  }
+}
