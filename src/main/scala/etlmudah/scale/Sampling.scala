@@ -48,6 +48,33 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Approximate sequence packing for training batches: assign each
+    * document to a (bucket, bin) so bins hold ~`capacity` tokens.
+    * Documents hash into `buckets` independent streams (so packing
+    * parallelizes — the cumulative window runs per bucket, never
+    * globally); within a bucket, bins are cut by cumulative token count
+    * in key order. Next-fit-by-cumsum is approximate: a document
+    * straddling a boundary lands in the bin its PRECEDING total points
+    * at, so bins can overflow by at most one document — the standard
+    * streaming-packing tradeoff, deterministic and shuffle-minimal (one
+    * exchange on the bucket key). Returns the input plus (bucket, bin).
+    */
+  def packIntoBins(df: DataFrame, keyCol: String, tokenCol: String,
+                   capacity: Long, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = floor(hashUniform(col(keyCol)) * buckets).cast("int")
+    val withBucket = df.withColumn("bucket", b)
+    val w = Window.partitionBy(col("bucket")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // non-negative operands: floor(double div) == integer div on both engines
+    withBucket
+      .withColumn("__running", sum(col(tokenCol)).over(w))
+      .withColumn("bin",
+        floor((col("__running") - col(tokenCol)) / lit(capacity.toDouble))
+          .cast("long"))
+      .drop("__running")
+  }
+
   /** Per-stratum deterministic downsampling: keep a row iff its uniform
     * is below the stratum's fraction (strata absent from the map keep
     * `defaultFraction`). The mixture-reweighting primitive: fractions

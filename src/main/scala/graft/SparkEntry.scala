@@ -463,6 +463,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("score"))
         .orderBy(col("doc_id"), col("term"))),
 
+    // approximate sequence packing: docs into ~512-token training bins,
+    // summarized per (bucket, bin)
+    "q60_pack_documents" -> ((s, dir) => {
+      val sized = Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"))
+      etlmudah.scale.Sampling.packIntoBins(sized, "doc_id", "n_tokens",
+          capacity = 512L, buckets = 8)
+        .groupBy(col("bucket"), col("bin")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("bucket"), col("bin"))
+    }),
+
     // within-doc repetition (Gopher boilerplate rule): distribution of
     // duplicate-trigram ratios per source
     "q58_repetition_by_source" -> ((s, dir) =>
@@ -932,6 +945,23 @@ object SparkEntry {
         |     THEN 1 ELSE 0 END)::BIGINT AS n_above
         |FROM p JOIN e ON e.vec_id <> p.qid
         |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q60_pack_documents" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      / 4294967296.0 * 8)::INTEGER AS bucket
+        |  FROM documents),
+        |run AS (
+        |  SELECT bucket, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM sized)
+        |SELECT bucket, ((running - n_tokens) // 512)::BIGINT AS bin,
+        | count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens
+        |FROM run GROUP BY bucket, bin
+        |ORDER BY bucket, bin""".stripMargin,
 
     "q58_repetition_by_source" ->
       """WITH tok AS (

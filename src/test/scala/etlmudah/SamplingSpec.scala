@@ -42,6 +42,28 @@ class SamplingSpec extends SparkSpec {
     assert(overlap > 0.5 && overlap < 0.75, overlap.toString)
   }
 
+  test("packIntoBins: bins hold ~capacity tokens, overflow bounded by one doc") {
+    val sized = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        etlmudah.text.TextStats.tokenCount(col("text")).as("n_tokens"))
+    val packed = Sampling.packIntoBins(sized, "doc_id", "n_tokens",
+      capacity = 256L, buckets = 4)
+    // every doc assigned exactly once
+    assert(packed.count() == sized.count())
+    val bins = packed.groupBy("bucket", "bin")
+      .agg(sum(col("n_tokens")).as("t"), max(col("n_tokens")).as("m"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // a bin exceeds capacity only by (part of) its last doc: t < cap + m
+    bins.foreach { case (t, m, _) => assert(t < 256L + m, s"t=$t m=$m") }
+    // non-final bins are at least half full on this data (sanity, not a
+    // tight bound: next-fit-by-cumsum wastes at most one doc per cut)
+    assert(bins.count(_._1 >= 128L) >= bins.length / 2)
+    // deterministic
+    assert(packed.collect().toSeq ==
+      Sampling.packIntoBins(sized, "doc_id", "n_tokens", 256L, 4).collect().toSeq)
+  }
+
   test("stratifiedSample: per-stratum fractions, deterministic, subset of input") {
     val fr = Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.0)
     val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang", fr,
