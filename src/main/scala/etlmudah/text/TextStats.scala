@@ -228,6 +228,37 @@ object TextStats {
       regexp_count(col(textCol), lit("[0-9]{9,}"))
         .cast("long").as("n_long_digit_runs"))
 
+  /** Compression-ratio quality proxy: deflate(text).length /
+    * text.length. Highly repetitive or templated text compresses far
+    * below clean prose (~0.4-0.6); random noise approaches 1. This is
+    * the one TextStats op that genuinely needs per-row imperative code
+    * (a codec), so it is the module's mapPartitions tier: iterator-in /
+    * iterator-out, one Deflater per PARTITION (not per row), no
+    * shuffle, streaming through each partition. Level 6, fixed
+    * strategy — deterministic for a given input. Returns
+    * (id, n_bytes, n_compressed, compression_ratio). */
+  def compressionRatio(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio = if (bytes.length > 0) n.toDouble / bytes.length else 1.0
+          (id, bytes.length.toLong, n, math.rint(ratio * 1e6) / 1e6)
+        }
+      }
+      .toDF("id", "n_bytes", "n_compressed", "compression_ratio")
+  }
+
   /** Stable document fingerprint for exact dedup: md5 of
     * case-and-whitespace-normalized text. */
   def fingerprint(text: Column): Column =

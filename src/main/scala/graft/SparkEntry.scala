@@ -476,6 +476,17 @@ object SparkEntry {
         .orderBy(col("bucket"), col("bin"))
     }),
 
+    // deflate-ratio quality proxy per source (no SQL oracle: DuckDB has
+    // no deflate; determinism + discrimination pinned in TextStatsSpec)
+    "q61_compression_by_source" -> ((s, dir) =>
+      TextStats.compressionRatio(Tables.documents(s, dir), "text", "doc_id")
+        .join(Tables.documents(s, dir).select(col("doc_id").as("id"),
+          col("source")), Seq("id"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("compression_ratio")), 6).as("avg_ratio"))
+        .orderBy(col("source"))),
+
     // within-doc repetition (Gopher boilerplate rule): distribution of
     // duplicate-trigram ratios per source
     "q58_repetition_by_source" -> ((s, dir) =>

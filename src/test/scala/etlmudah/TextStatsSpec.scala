@@ -142,6 +142,24 @@ class TextStatsSpec extends SparkSpec {
     assert(r(3L) == ((0L, 0L, 0L)))
   }
 
+  test("compressionRatio: repetitive text compresses far below varied text; deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val varied = (0 until 200).map(_ => rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val df = Seq(
+      (1L, "spam " * 400),
+      (2L, varied),
+      (3L, "")).toDF("doc_id", "text")
+    val r = compressionRatio(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(3))).toMap
+    assert(r(1L)._2 < 0.05, s"repetitive ratio ${r(1L)._2}")
+    assert(r(2L)._2 > 3 * r(1L)._2, s"varied ${r(2L)._2} vs ${r(1L)._2}")
+    assert(r(3L) == ((0L, 1.0)))
+    val again = compressionRatio(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(again == r.map { case (k, v) => k -> v._2 })
+  }
+
   test("fingerprint invariant to case and whitespace runs") {
     val a = one[String](fingerprint(lit("Hello   World")))
     val b = one[String](fingerprint(lit("hello world")))
