@@ -369,6 +369,14 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))),
 
+    // embedding-cosine near-duplicate pairs (no SQL oracle: LSH
+    // candidate generation; pair correctness in SimilaritySpec). The
+    // testdata embeddings are near-random, so the 0.5 threshold keeps
+    // the result small but non-vacuous at sf0.01.
+    "q62_embedding_near_dups" -> ((s, dir) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, dir), "vec_id",
+        "embedding", minCosine = 0.5)),
+
     // IVF ANN: k-means coarse quantizer + probe-limited refine (no SQL
     // oracle: k-means assignment has no DuckDB twin; recall-verified in
     // SimilaritySpec)
