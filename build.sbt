@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 scalacOptions ++= Seq("-encoding", "UTF-8")
+// Bench/Verify print a single machine-readable JSON line that must be the
+// LAST line of stdout; sbt's "[success] Total time: ..." epilogue would
+// otherwise land after it and break line-oriented parsers.
+Global / showSuccess := false
+// Forward the forked JVM's stdout/stderr verbatim instead of through the
+// sbt logger, which would prepend "[info] " to the JSON line.
+run / outputStrategy := Some(StdoutOutput)
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
