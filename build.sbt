@@ -14,6 +14,7 @@ scalacOptions ++= Seq("-encoding", "UTF-8")
 // LAST line of stdout; sbt's "[success] Total time: ..." epilogue would
 // otherwise land after it and break line-oriented parsers.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Forward the forked JVM's stdout/stderr verbatim instead of through the
 // sbt logger, which would prepend "[info] " to the JSON line.
 run / outputStrategy := Some(StdoutOutput)

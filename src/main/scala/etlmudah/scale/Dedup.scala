@@ -192,6 +192,90 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs — the oracle-checkable tier of
+    * near-dup detection. Candidates come from an inverted-index
+    * self-join on shingles (any pair with jaccard >= t > 0 shares at
+    * least one shingle, so recall is 1.0 by construction — no
+    * probabilistic banding), and the same join doubles as the
+    * intersection count, so the refine step of `nearDupPairs`
+    * disappears. Shingles are hashed to longs first (`shingleHashRows`),
+    * so the self-join shuffles 8-byte keys, never gram strings.
+    *
+    * Scale shape: cost is sum over shingles of df(s)^2 — linear for
+    * corpora whose shingle document-frequency is bounded (true after
+    * exact dedup removes identical boilerplate). For heavy-tailed
+    * shingle DF at 100 TB, `nearDupPairs` (MinHash-banded) is the scale
+    * path; this operator is the exact tier used on bounded slices and
+    * as the recall oracle for the banded one. */
+  def exactJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3,
+                        minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingleHashRows(df, textCol, idCol, shingleN)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Duplicate-CLUSTER assignment: connected components over a near-dup
+    * pair graph by iterative min-label propagation. Each node's label
+    * becomes the minimum label among itself and its neighbors until a
+    * fixpoint; near-dup components are near-cliques, so convergence is
+    * 2-3 rounds regardless of corpus size. Returns (doc_id, cluster_id,
+    * cluster_size) for every node that appears in a pair; cluster_id is
+    * the component's minimum doc id (the canonical survivor).
+    *
+    * Scale notes: the edge set is near-dup pairs only — a vanishing
+    * fraction of the corpus — and is cached for the iteration. Labels
+    * are `localCheckpoint`ed each round so the plan does not grow with
+    * iteration count. For adversarial long-chain graphs (diameter
+    * >> 3) swap the propagation step for the alternating
+    * large-star/small-star rounds of the MapReduce-CC literature; the
+    * driver loop and convergence check stay identical. */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a",
+                  bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label").as("nl")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("nl")).as("min_nbr"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-corpus near-duplicate detection — DECONTAMINATION: find
     * training documents that are near-dups of a reference corpus (eval
     * benchmarks, held-out sets). Same banded-LSH shape as

@@ -591,6 +591,19 @@ object SparkEntry {
         labelCol = "p_retailprice")
       etlmudah.ml.PricePipeline.importances(t)
     }),
+
+    // exact n-gram Jaccard near-dup pairs (the oracle-checkable exact
+    // tier of q25: inverted-index candidates, recall 1.0 by construction)
+    "q63_jaccard_pairs" -> ((s, dir) =>
+      Dedup.exactJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        minJaccard = 0.8)),
+
+    // duplicate-cluster assignment: connected components over the exact
+    // near-dup pair graph; cluster_id = min doc_id (canonical survivor)
+    "q64_dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.exactJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+          minJaccard = 0.8))),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -1086,5 +1099,74 @@ object SparkEntry {
         |WHERE u < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
         |               WHEN 'fr' THEN 0.25 ELSE 0.1 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Exact 3-gram Jaccard: distinct word trigrams per doc (docs shorter
+    // than 3 tokens contribute their whole token string), inverted-index
+    // self-join as both candidate generation and intersection count.
+    "q63_jaccard_pairs" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |           JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components over the exact near-dup pair graph via a
+    // recursive reachability CTE; cluster_id = min reachable doc_id.
+    "q64_dedup_clusters" ->
+      """WITH RECURSIVE tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |             JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id AS n, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |cc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n)
+        |SELECT doc_id, cluster_id,
+        | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin,
   )
 }

@@ -121,4 +121,34 @@ class DedupSpec extends SparkSpec {
     assert(out.map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSeq
       == Seq((1L, 2L, 0)))
   }
+
+  test("exactJaccardPairs: superset of banded pairs, exact values, full recall") {
+    // exact tier must find at least everything the probabilistic tier
+    // finds on real data, at identical jaccard values
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Dedup.nearDupPairs(docs, "text", "doc_id", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded.subsetOf(exact))
+    assert(exact.nonEmpty)
+  }
+
+  test("dupClusters: min-label components over a known graph") {
+    import spark.implicits._
+    // two components: {1,2,3} (chain 1-2, 2-3) and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (9L, 7L, 2L)))
+  }
+
+  test("dupClusters: long chain converges (diameter > one round)") {
+    import spark.implicits._
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(chain).collect()
+    assert(out.length == 13 && out.forall(_.getLong(1) == 0L))
+    assert(out.forall(_.getLong(2) == 13L))
+  }
 }
