@@ -31,12 +31,16 @@ object Multimodal {
         length(col(textCol).cast("binary")).cast("long").as("n_bytes")))
 
   /** STUB decode: deterministic `dims`-length float features in [0,1)
-    * derived from the bytes. Real impl: image decode + model forward
-    * pass per batch behind the same (binary -> array<float>) shape. */
+    * derived from the bytes via the md5-uniform construction
+    * (`md5(bytes ++ utf8(i))` hex prefix / 2^32) — reproducible in any
+    * engine that has md5, so the stub pipeline can be validated
+    * end-to-end against an external oracle. Real impl: image decode +
+    * model forward pass per batch behind the same
+    * (binary -> array<float>) shape. */
   def decodeFeaturesStub(media: Column, dims: Int): Column =
     transform(sequence(lit(0), lit(dims - 1)),
-      i => (pmod(xxhash64(media, i), lit(100000L)).cast("double") / 100000.0)
-        .cast("float"))
+      i => (conv(substring(md5(concat(media, i.cast("string").cast("binary"))),
+        1, 8), 16, 10).cast("double") / 4294967296.0).cast("float"))
 
   /** STUB resize/re-embed: fold `features` down to `outDims` by striding —
     * keeps the pipeline shape of a resolution change. */

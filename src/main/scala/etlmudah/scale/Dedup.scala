@@ -323,37 +323,59 @@ object Dedup {
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
 
-  /** 64-bit SimHash per document: one string hash per token, then a
-    * single groupBy(id) with 64 conditional-sum vote columns (codegen'd,
-    * map-side combined; one shuffle of 64 longs per doc), packed into a
-    * long by a static projection. Returns (id, sh64); empty-token docs
-    * drop out. */
-  def simhashAll(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** SimHash per document: one hash per token occurrence, then a single
+    * groupBy(id) with one conditional-sum vote column per bit (codegen'd,
+    * map-side combined; one shuffle of `bits` longs per doc), packed into
+    * a long by a static projection. Returns (id, sh); empty-token docs
+    * drop out.
+    *
+    * `portable = false` (default): 64-bit xxhash64 token hashes — the
+    * fast tier. `portable = true`: 60-bit token hashes from the first 15
+    * hex chars of md5 — ~20% slower but reproducible in any engine with
+    * md5 (DuckDB, Postgres, Trino), which makes the whole simhash
+    * pipeline externally auditable; 60 bits because a 16-hex-char prefix
+    * would not fit a signed long under ANSI mode. */
+  def simhashAll(df: DataFrame, textCol: String, idCol: String,
+                 portable: Boolean = false): DataFrame = {
+    val bits = simhashBits(portable)
     val tok = df.repartition(col(idCol))   // parallelize tokenization itself
       .select(col(idCol).as("id"), explode(TextStats.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("th"))
-    val voteAggs = (0 until 64).map(b =>
+    val th =
+      if (portable)
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("t"))
+    val hashed = tok.select(col("id"), th.as("th"))
+    val voteAggs = (0 until bits).map(b =>
       sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(lit(1L)) === 1L,
         lit(1L)).otherwise(lit(-1L))).as(s"v$b"))
-    tok.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
+    hashed.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, lit(1L << (63 - b))).otherwise(lit(0L)))
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << (bits - 1 - b))).otherwise(lit(0L)))
           .reduce(_ + _).as("sh64"))
   }
 
+  private def simhashBits(portable: Boolean): Int = if (portable) 60 else 64
+
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the 64-bit hash into 4 x 16-bit chunks;
+  /** SimHash near-dup pairs: band the hash into 4 equal-width chunks;
     * any pair within Hamming distance 3 must agree on at least one chunk
     * (pigeonhole), so the candidate join is exact-match on
-    * (chunk index, chunk value) — never all-pairs. */
+    * (chunk index, chunk value) — never all-pairs. With maxHamming above
+    * 3, pairs differing in all 4 chunks are (deliberately) not
+    * candidates; the portable variant's external oracle replicates the
+    * same banding, so the function stays exactly reproducible. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val withHash = simhashAll(df, textCol, idCol)
+                      maxHamming: Int = 3,
+                      portable: Boolean = false): DataFrame = {
+    val bits = simhashBits(portable)
+    val cw = bits / 4
+    val mask = (1L << cw) - 1
+    val withHash = simhashAll(df, textCol, idCol, portable)
     val chunked = withHash.select(col("id"), col("sh64"),
       posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sh64"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("sh64"), cw * i).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "cval")))
     val l = chunked.select(col("chunk"), col("cval"),
       col("id").as("id_a"), col("sh64").as("h_a"))
@@ -366,5 +388,32 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
+  }
+
+  /** Cross-corpus EXACT n-gram Jaccard — the oracle-checkable tier of
+    * `crossCorpusNearDups`, same inverted-index construction as
+    * `exactJaccardPairs`: any (train, ref) pair with jaccard >= t > 0
+    * shares a shingle, so joining the two corpora's shingle sets is both
+    * complete candidate generation and the intersection count. Same
+    * scale caveat as `exactJaccardPairs`; the banded variant is the
+    * heavy-tail path. */
+  def exactCrossJaccard(train: DataFrame, ref: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleN: Int = 3,
+                        minJaccard: Double = 0.8): DataFrame = {
+    val shT = shingleHashRows(train, textCol, idCol, shingleN)
+    val shR = shingleHashRows(ref, textCol, idCol, shingleN)
+    val szT = shT.groupBy(col("id")).agg(count(lit(1)).as("na"))
+    val szR = shR.groupBy(col("id")).agg(count(lit(1)).as("nb"))
+    shT.select(col("id").as("train_id"), col("shingle"))
+      .join(shR.select(col("id").as("ref_id"), col("shingle")), Seq("shingle"))
+      .groupBy(col("train_id"), col("ref_id")).agg(count(lit(1)).as("inter"))
+      .join(szT.select(col("id").as("train_id"), col("na")), Seq("train_id"))
+      .join(szR.select(col("id").as("ref_id"), col("nb")), Seq("ref_id"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("train_id"), col("ref_id"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("train_id"), col("ref_id"))
   }
 }

@@ -215,10 +215,13 @@ object SparkEntry {
       Dedup.nearDupPairs(Tables.documents(s, dir), "text", "doc_id",
         minJaccard = 0.8)),
 
-    // SimHash near-duplicate pairs (no SQL oracle; spec-verified)
+    // SimHash near-duplicate pairs — portable (md5-60bit) token hashes,
+    // so the DuckDB oracle reproduces the signature, the chunk banding,
+    // and the hamming refine exactly
     "q26_simhash_near_dups" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), "text", "doc_id",
-        maxHamming = 6)),
+          maxHamming = 6, portable = true)
+        .withColumn("hamming", col("hamming").cast("long"))),
 
     // exact cosine top-k against one query vector
     "q27_cosine_topk" -> ((s, dir) =>
@@ -235,7 +238,9 @@ object SparkEntry {
           k = 5, tables = 8, bits = 8)
         .filter(col("qid") < 20)),
 
-    // multimodal plumbing: media metadata + stub features + frame counts
+    // multimodal plumbing: media metadata + stub features + frame
+    // counts; the md5-uniform stub makes even the fake decode
+    // oracle-reproducible
     "q29_multimodal_features" -> ((s, dir) => {
       val m = Multimodal.withFakeMedia(Tables.documents(s, dir), "text")
       m.select(col("doc_id"),
@@ -604,6 +609,16 @@ object SparkEntry {
       Dedup.dupClusters(
         Dedup.exactJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
           minJaccard = 0.8))),
+
+    // exact-tier decontamination (oracle-checkable twin of q47): train =
+    // even doc ids, reference = odd doc ids, inverted-index exact Jaccard
+    "q65_decontamination_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactCrossJaccard(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", minJaccard = 0.8)
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -617,7 +632,69 @@ object SparkEntry {
     "fr" -> Seq("le", "les", "des"),
     "zh" -> Seq("的"))
 
+  /** q26's oracle, generated: 60 per-bit vote sums over md5-prefix token
+    * hashes, packed to a BIGINT, 4x15-bit chunk banding, hamming refine —
+    * the exact computation `Dedup.simhashNearDups(portable = true)` runs. */
+  private val simhashOracleSql: String = {
+    val votes = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val pack = (0 until 60).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << (59 - b)} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS h
+       |  FROM tok),
+       |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($pack AS BIGINT) AS sh60 FROM votes),
+       |chunks AS (
+       |  SELECT doc_id, sh60, i, (sh60 >> (15 * i)) & 32767 AS cval
+       |  FROM sh CROSS JOIN range(4) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sh60, b.sh60)) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.i = b.i AND a.cval = b.cval AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM cand WHERE hamming <= 6
+       |ORDER BY hamming, id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q26_simhash_near_dups" -> simhashOracleSql,
+
+    // Cross-corpus exact Jaccard (decontamination, oracle tier): same
+    // shingle CTEs as q63, split even/odd, two-sided inverted-index join.
+    "q65_decontamination_exact" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT t.doc_id AS train_id, r.doc_id AS ref_id, count(*) AS i
+        |  FROM sh t JOIN sh r ON t.g = r.g
+        |  WHERE t.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT train_id, ref_id,
+        | round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = train_id
+        |           JOIN sizes sb ON sb.doc_id = ref_id
+        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY train_id, ref_id""".stripMargin,
+
     "q01_headline_orders" ->
       """SELECT count(*) AS n, round(avg(o_totalprice),2) AS avg_value,
         | quantile_cont(o_totalprice,0.5) AS median_value,
@@ -1099,6 +1176,18 @@ object SparkEntry {
         |WHERE u < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
         |               WHEN 'fr' THEN 0.25 ELSE 0.1 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Multimodal stub plumbing: media = utf8(text), so n_bytes is the
+    // utf8 length, frameSample yields 4 frames when len >= 4, and the
+    // stub feature 0 is the md5-uniform of (bytes ++ '0') cast float.
+    "q29_multimodal_features" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | CASE WHEN octet_length(encode(text)) >= 4
+        |      THEN 4::BIGINT ELSE 0::BIGINT END AS n_frames,
+        | (CAST(('0x' || substr(md5(text || '0'), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0)::FLOAT AS f0
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Exact 3-gram Jaccard: distinct word trigrams per doc (docs shorter
     // than 3 tokens contribute their whole token string), inverted-index
