@@ -243,14 +243,22 @@ object Dedup {
     * driver loop and convergence check stay identical. */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a",
                   bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // The edge set (near-dup pairs only) is a vanishing fraction of the
+    // corpus: materialize it ONCE, then run the whole iteration on
+    // single-partition checkpoints — per-round cost is scheduling, not
+    // shuffling, so rounds are ~constant-time regardless of the upstream
+    // pair-mining plan. At a scale where the edge set itself is huge,
+    // drop the coalesce(1) and let AQE size the rounds instead.
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
+      .coalesce(1)
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .coalesce(1)
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -258,15 +266,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label").as("nl")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("nl")).as("min_nbr"))
+      // convergence flag rides along in the same materialization, so each
+      // round is exactly one job plus a single-partition isEmpty probe
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("new_label"),
+          (col("min_nbr") < col("label")).as("chg"))
+        .coalesce(1)
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("chg")).isEmpty
+      labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
