@@ -619,6 +619,40 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         "text", "doc_id", minJaccard = 0.8)
     }),
+
+    // dedup APPLIED: drop non-canonical cluster members (keep the min
+    // doc id per near-dup cluster), report per-source survival — the
+    // filter step an actual training-data pipeline ships
+    "q66_dedup_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val drops = Dedup.dupClusters(
+          Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), lit(1).as("__drop"))
+      docs.join(drops, Seq("doc_id"), "left")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("__drop").isNull, 1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // W+ — running/cumulative windows over monthly order volume:
+    // cumulative count, month-over-month delta (lag), 3-month moving
+    // average (bounded frame)
+    "q67_monthly_momentum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.orders(s, dir)
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("yyyymm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      val w = Window.orderBy(col("yyyymm"))
+      monthly.select(col("yyyymm"), col("n"), col("total"),
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum_n"),
+          (col("n") - lag(col("n"), 1).over(w)).as("delta_n"),
+          round(avg(col("n")).over(w.rowsBetween(-2, 0)), 4).as("ma3"))
+        .orderBy(col("yyyymm"))
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -1257,5 +1291,64 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // Dedup applied: q64's clusters -> drop non-canonical members ->
+    // per-source survival counts.
+    "q66_dedup_apply" ->
+      """WITH RECURSIVE tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |             JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id AS n, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |cc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+        |drops AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+        |SELECT source, count(*) AS n_docs,
+        | count(*) FILTER (WHERE d.doc_id IS NULL) AS n_kept
+        |FROM documents LEFT JOIN drops d USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Running/cumulative windows over monthly order volume. The window
+    // sum is cast back to BIGINT (DuckDB widens window sums to HUGEINT).
+    "q67_monthly_momentum" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS yyyymm,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT yyyymm, n, total,
+        | CAST(sum(n) OVER (ORDER BY yyyymm ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |   AS cum_n,
+        | n - lag(n, 1) OVER (ORDER BY yyyymm) AS delta_n,
+        | round(avg(n) OVER (ORDER BY yyyymm
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+        |FROM monthly ORDER BY yyyymm""".stripMargin,
   )
 }
