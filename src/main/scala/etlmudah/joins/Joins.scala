@@ -55,6 +55,50 @@ object Joins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** AS-OF join: for each left row, the single most recent right row with
+    * the same key and right.ts <= left.ts (inclusive) — last-touch
+    * attribution, point-in-time feature lookup, slowly-changing-dimension
+    * reads.
+    *
+    * Spark has no native as-of join; the naive forms are a per-row
+    * correlated subquery (not plannable) or a range join + row_number
+    * (shuffles |matches| rows, quadratic for long histories). This is the
+    * scale-correct UNION + SORTED WINDOW form: tag both inputs, union,
+    * and take a running `last(..., ignoreNulls)` of the right payload
+    * over (key, ts, side) — ONE shuffle of |left| + |right| rows total,
+    * each row carried exactly once regardless of history length. Right
+    * rows order before left rows at equal ts, giving the inclusive <=
+    * semantics of DuckDB/kdb ASOF. Unmatched left rows keep null payload
+    * (left-outer semantics).
+    *
+    * `payload` maps right-side columns to their output names (which must
+    * not collide with left column names). Rows with null key or ts on
+    * either side are dropped (no meaningful as-of position).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payload: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val rTagged = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol) +: col(tsCol) +:
+        payload.map { case (c, out) => col(c).as(out) }: _*)
+      .withColumn("__side", lit(0))
+    val lTagged = payload.foldLeft(
+      left.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)) {
+      case (df, (_, out)) => df.withColumn(out, lit(null))
+    }.withColumn("__side", lit(1))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .select((col(keyCol) +: col(tsCol) +: col("__side") +:
+        (leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+          payload.map { case (_, out) => last(col(out), ignoreNulls = true).over(w).as(out) })): _*)
+      .filter(col("__side") === 1)
+      .select((leftCols ++ payload.map(_._2)).map(col): _*)
+  }
+
   /** Band join (J4/F5): equi-keys plus a bounded numeric residual, e.g.
     * "same brand, size within ±tolerance". Spark plans the equi-part as a
     * hash join and evaluates the band predicate as a post-join filter, so

@@ -636,6 +636,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // AS-OF join — last-touch attribution: each purchase matched to the
+    // user's most recent prior click (union + sorted-window form, one
+    // shuffle of |left|+|right|; never a range join or per-row subquery)
+    "q68_asof_attribution" -> ((s, dir) => {
+      val ev = Tables.eventsTyped(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("cid"), col("ts").as("cts"))
+      Joins.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("cid" -> "click_id", "cts" -> "click_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // W+ — running/cumulative windows over monthly order volume:
     // cumulative count, month-over-month delta (lag), 3-month moving
     // average (bounded frame)
@@ -1333,6 +1351,21 @@ object SparkEntry {
         | count(*) FILTER (WHERE d.doc_id IS NULL) AS n_kept
         |FROM documents LEFT JOIN drops d USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // DuckDB has a native ASOF JOIN with exactly the inclusive
+    // greatest-ts-<= semantics of Joins.asofJoin.
+    "q68_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.click_id,
+        | epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.cts
+        |ORDER BY p.event_id""".stripMargin,
 
     // Running/cumulative windows over monthly order volume. The window
     // sum is cast back to BIGINT (DuckDB widens window sums to HUGEINT).
