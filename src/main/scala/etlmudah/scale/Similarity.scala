@@ -232,6 +232,20 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Per-class embedding centroids in EXPLODE form: (label, dim) ->
+    * mean component. One posexplode + one hash aggregate — partial
+    * aggregation combines map-side, the shuffle carries |labels| x dims
+    * rows, and no per-row array lambda runs interpreted (the HOF
+    * `aggregate()` form would). Centroids feed classifier probes,
+    * per-class drift monitoring, and IVF seeding at any corpus size. */
+  def labelCentroids(embeddings: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    embeddings
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), round(avg(col("v")), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
   /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     * method): LSH-bucketed candidates refined to pairs above a cosine
     * threshold. Returns (id_a, id_b, cos_sim), id_a < id_b. */

@@ -636,6 +636,10 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // per-label embedding centroids (class centroids, explode-form)
+    "q69_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")),
+
     // AS-OF join — last-touch attribution: each purchase matched to the
     // user's most recent prior click (union + sorted-window form, one
     // shuffle of |left|+|right|; never a range join or per-row subquery)
@@ -1351,6 +1355,15 @@ object SparkEntry {
         | count(*) FILTER (WHERE d.doc_id IS NULL) AS n_kept
         |FROM documents LEFT JOIN drops d USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q69_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        | round(avg(v), 6) AS centroid
+        |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     // DuckDB has a native ASOF JOIN with exactly the inclusive
     // greatest-ts-<= semantics of Joins.asofJoin.
