@@ -636,6 +636,40 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // skew-resistant salted join — same result as the plain equi-join
+    // (which is exactly what the oracle runs), hot keys spread over 8
+    // salts
+    "q70_salted_join" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      Joins.saltedJoin(orders, cust, "o_custkey", 8)
+        .groupBy(col("c_nationkey")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // bucketed co-located join: both sides pre-bucketed on the join key,
+    // so the SMJ runs with NO runtime exchange (pinned in BucketingSpec);
+    // values must still round-trip exactly vs the source tables
+    "q71_bucketed_join" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      etlmudah.sinks.Writers.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        s"orders_b71_$tag", 8, Seq("o_orderkey"))
+      etlmudah.sinks.Writers.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
+        s"lineitem_b71_$tag", 8, Seq("l_orderkey"))
+      s.table(s"lineitem_b71_$tag")
+        .join(s.table(s"orders_b71_$tag"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // per-label embedding centroids (class centroids, explode-form)
     "q69_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")),
@@ -1355,6 +1389,22 @@ object SparkEntry {
         | count(*) FILTER (WHERE d.doc_id IS NULL) AS n_kept
         |FROM documents LEFT JOIN drops d USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Bucketing only changes the physical layout; values must equal the
+    // plain join over the source tables.
+    "q71_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The salted join is an execution-strategy change only; its result
+    // set is definitionally the plain equi-join below.
+    "q70_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q69_label_centroids" ->
       """WITH ex AS (
