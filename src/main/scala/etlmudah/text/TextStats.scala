@@ -228,6 +228,23 @@ object TextStats {
       regexp_count(col(textCol), lit("[0-9]{9,}"))
         .cast("long").as("n_long_digit_runs"))
 
+  /** PII redaction APPLIED (the scrub step `piiScan` diagnoses):
+    * email-, phone-, and long-digit-run-shaped substrings replaced with
+    * fixed tags. Pure chained regexp_replace (global by default in
+    * Spark; external engines need their 'g' flag) — codegen'd,
+    * shuffle-free, order of passes fixed so overlapping matches resolve
+    * deterministically. */
+  def piiRedact(text: Column): Column = {
+    // Order matters: emails first (their local parts may contain digit
+    // runs), then raw digit runs (IDs/account numbers), then phone-shaped
+    // sequences — the phone pattern also matches any 9+ digit run, so it
+    // must come LAST or the digits pass is unreachable.
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val digits = regexp_replace(email, "[0-9]{9,}", "<DIGITS>")
+    regexp_replace(digits, "\\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>")
+  }
+
   /** Compression-ratio quality proxy: deflate(text).length /
     * text.length. Highly repetitive or templated text compresses far
     * below clean prose (~0.4-0.6); random noise approaches 1. This is

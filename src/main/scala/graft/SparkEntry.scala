@@ -636,6 +636,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // PII redaction applied (the scrub step q59 diagnoses): per-source
+    // docs-touched and characters removed
+    "q72_pii_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("text"),
+          TextStats.piiRedact(col("text")).as("red"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("red") =!= col("text"), 1)).as("n_redacted"),
+          sum((length(col("text")) - length(col("red"))).cast("long")).as("chars_removed"))
+        .orderBy(col("source"))),
+
     // skew-resistant salted join — same result as the plain equi-join
     // (which is exactly what the oracle runs), hot keys spread over 8
     // salts
@@ -1389,6 +1401,21 @@ object SparkEntry {
         | count(*) FILTER (WHERE d.doc_id IS NULL) AS n_kept
         |FROM documents LEFT JOIN drops d USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same regexes as the Spark side; DuckDB regexp_replace needs the
+    // explicit 'g' flag to match Spark's global-replace default.
+    "q72_pii_redact" ->
+      """WITH r AS (
+        |  SELECT source, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{9,}', '<DIGITS>', 'g'),
+        |      '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS red
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | count(*) FILTER (WHERE red <> text) AS n_redacted,
+        | CAST(sum(length(text) - length(red)) AS BIGINT) AS chars_removed
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // Bucketing only changes the physical layout; values must equal the
     // plain join over the source tables.

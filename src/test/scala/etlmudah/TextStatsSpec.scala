@@ -167,6 +167,18 @@ class TextStatsSpec extends SparkSpec {
     assert(a == b && a != c)
   }
 
+  test("piiRedact: replaces all three shapes, idempotent, clean text unchanged") {
+    def red(s: String): String =
+      spark.range(1).select(piiRedact(lit(s)).as("r")).collect().head.getString(0)
+    val dirty = "mail a.b@example.com or +1 (555) 123-4567 ref 1234567890 twice 9876543210"
+    val out = red(dirty)
+    assert(!out.contains("@") && out.contains("<EMAIL>"))
+    assert(out.contains("<PHONE>") && out.contains("<DIGITS>"))
+    // tags contain nothing the patterns can re-match -> idempotent
+    assert(red(out) == out)
+    assert(red("clean prose with no contacts") == "clean prose with no contacts")
+  }
+
   test("shingles: distinct n-grams, short-doc fallback") {
     def seqOf(c: org.apache.spark.sql.Column): Seq[String] =
       spark.range(1).select(c.as("v")).collect().head.getSeq[String](0)
