@@ -636,6 +636,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // price deciles via ntile over a fully tie-broken global sort; at
+    // 100 TB the same table comes from percentile boundaries + bucketing
+    // (no global window) — this is the exact tier
+    "q73_price_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_totalprice"), ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("decile")).agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("decile"))
+    }),
+
     // PII redaction applied (the scrub step q59 diagnoses): per-source
     // docs-touched and characters removed
     "q72_pii_redact" -> ((s, dir) =>
@@ -1401,6 +1417,15 @@ object SparkEntry {
         | count(*) FILTER (WHERE d.doc_id IS NULL) AS n_kept
         |FROM documents LEFT JOIN drops d USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q73_price_deciles" ->
+      """WITH t AS (
+        |  SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT decile, count(*) AS n, min(o_totalprice) AS lo,
+        | max(o_totalprice) AS hi, round(avg(o_totalprice), 2) AS avg_price
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
 
     // Same regexes as the Spark side; DuckDB regexp_replace needs the
     // explicit 'g' flag to match Spark's global-replace default.
