@@ -70,6 +70,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: exactly one exchange — the keyed window; no join operator") {
+    // the union + sorted-window form must never plan an actual join
+    // (range join / BroadcastNestedLoop would be the quadratic failure
+    // mode) and must shuffle the unioned stream exactly once
+    import org.apache.spark.sql.functions._
+    val ev = etlmudah.Tables.eventsTyped(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("cid"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try etlmudah.joins.Joins
+      .asofJoin(purchases, clicks, "user_id", "ts", Seq("cid" -> "click_id"))
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!plan.contains("Join"), plan.take(600))
+    assert("Exchange".r.findAllIn(plan).length == 1, plan.take(600))
+  }
+
+  test("q69: centroid aggregate is partially aggregated and codegen'd") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try planOf("q69_label_centroids")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val aggLines = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("avg(")).toSeq
+    assert(aggLines.size >= 2, plan.take(600))        // partial + final
+    assert(aggLines.forall(_.contains("*(")), aggLines.mkString("\n").take(600))
+  }
+
   test("q19: aggregation reads only the needed columns") {
     val scan = scansOf("q19_doc_token_stats").head
     val fields = scan.schema.fieldNames.toSet
