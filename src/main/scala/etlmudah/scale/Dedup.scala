@@ -75,9 +75,11 @@ object Dedup {
     val aggs = minAggs :+ count(lit(1)).as("n_shingles")
     val sig = th.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
 
+    // band hash = one multi-column xxhash64 over the band's r min-values
+    // (longs hashed directly — a string concat here would materialize
+    // bands x docs temporary strings for no semantic gain)
     val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until rowsPerBand).map(j => col(s"m${b * rowsPerBand + j}").cast("string")): _*))
+      xxhash64((0 until rowsPerBand).map(j => col(s"m${b * rowsPerBand + j}")): _*)
         .as(s"bh$b")
     }
     sig.select(col("id") +: col("n_shingles") +: bandCols: _*)

@@ -19,7 +19,7 @@ object ProbeCC {
     val dir = "/root/testdata/sf0.1"
     spark.range(1 << 20).selectExpr("sum(id)").write.format("noop")
       .mode("overwrite").save()
-    for (q <- Seq("q63_jaccard_pairs", "q64_dedup_clusters")) {
+    for (q <- Seq("q25_near_dup_pairs", "q47_decontamination")) {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).write.format("noop")
