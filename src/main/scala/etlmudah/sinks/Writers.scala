@@ -47,12 +47,22 @@ object Writers {
     * shuffle once, at load). Requires saveAsTable (bucket metadata lives
     * in the catalog). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    keyCols: Seq[String]): Unit =
+                    keyCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    // Idempotent across catalog resets: a session with a fresh
+    // (in-memory) catalog but a persistent warehouse dir would otherwise
+    // fail with LOCATION_ALREADY_EXISTS on the stale directory.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** S12: result cache with TTL (the dashboard's @st.cache_data(ttl=300),
     * data_loader.py:15,37). Entries past their deadline are unpersisted

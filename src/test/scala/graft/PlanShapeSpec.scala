@@ -99,6 +99,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggLines.forall(_.contains("*(")), aggLines.mkString("\n").take(600))
   }
 
+  test("no query plans a cartesian product; nested-loop joins only where bounded") {
+    // BroadcastNestedLoopJoin is legitimate exactly where the build side
+    // is a bounded frame by construction: q57's single-row corpus size,
+    // q27's single query vector, q51's probe set, q38's nlist-row
+    // centroid table. Anything else — and any CartesianProduct — is an
+    // accident this pins against.
+    val bnljAllowed = Set("q57_tfidf", "q27_cosine_topk",
+      "q51_similarity_profile", "q38_ivf_topk")
+    val skip = Set("q33_ml_importances") // trains a model; no single plan
+    for ((name, fn) <- SparkEntry.queries if !skip(name)) {
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join")
+    }
+  }
+
   test("q19: aggregation reads only the needed columns") {
     val scan = scansOf("q19_doc_token_stats").head
     val fields = scan.schema.fieldNames.toSet
