@@ -44,4 +44,32 @@ object Upsert {
   /** Rows in `batch` whose key already exists in `base` (the UPDATE half). */
   def updates(base: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
     batch.join(base.select(keys.map(col): _*), keys, "left_semi")
+
+  /** SCD2 history build: collapse an event/change log into
+    * slowly-changing-dimension validity intervals per key. Rows where
+    * the tracked attributes equal the previous row's values (per key,
+    * time-ordered) are dropped as no-ops; survivors get
+    * `valid_from` = their timestamp, `valid_to` = the next change's
+    * timestamp (null while current), and `is_current`.
+    *
+    * Shape: ONE shuffle on the key serves both windows (lag for change
+    * detection, lead for interval close) — Spark reuses the exchange
+    * and sort for window functions over the same (partition, order)
+    * spec, so the second window is free. This is the standard
+    * warehouse-dimension load re-expressed declaratively; at any scale
+    * the cost is the keyed sort, exactly like `upsert`. */
+  def scd2History(df: DataFrame, keyCol: String, tsCol: String,
+                  attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    val changed = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    df.select(col(keyCol) +: col(tsCol) +: attrCols.map(col): _*)
+      .withColumn("__chg", changed || lag(col(tsCol), 1).over(w).isNull)
+      .filter(col("__chg"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__chg", tsCol)
+  }
 }

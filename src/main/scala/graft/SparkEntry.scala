@@ -636,6 +636,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // SCD2 dimension history: change-collapsed validity intervals from
+    // the event log (the warehouse slowly-changing-dimension load)
+    "q74_scd2_history" -> ((s, dir) =>
+      Upsert.scd2History(
+        Tables.eventsTyped(s, dir).filter(col("user_id") < 5),
+        "user_id", "ts", Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("from_us"))),
+
     // price deciles via ntile over a fully tie-broken global sort; at
     // 100 TB the same table comes from percentile boundaries + bucketing
     // (no global window) — this is the exact tier
@@ -1417,6 +1429,23 @@ object SparkEntry {
         | count(*) FILTER (WHERE d.doc_id IS NULL) AS n_kept
         |FROM documents LEFT JOIN drops d USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q74_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events WHERE user_id < 5),
+        |chg AS (
+        |  SELECT user_id, ts, event_type FROM e
+        |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+        |  FROM chg)
+        |SELECT user_id, event_type, epoch_us(vf) AS from_us,
+        | epoch_us(vt) AS to_us, vt IS NULL AS is_current
+        |FROM iv ORDER BY user_id, from_us""".stripMargin,
 
     "q73_price_deciles" ->
       """WITH t AS (

@@ -46,6 +46,26 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("scd2History: collapses no-op rows, closes intervals, keeps null-attr first row") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, "bronze"), (1L, 20L, "bronze"),  // no-op at 20 collapses
+      (1L, 30L, "silver"), (1L, 40L, "gold"),
+      (2L, 15L, null.asInstanceOf[String]),       // first row with null attr survives
+      (2L, 25L, "bronze"))
+      .toDF("uid", "ts", "tier")
+    val out = Upsert.scd2History(log, "uid", "ts", Seq("tier"))
+      .orderBy("uid", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "bronze", 10L, 30L, false),
+      (1L, "silver", 30L, 40L, false),
+      (1L, "gold", 40L, -1L, true),
+      (2L, null, 15L, 25L, false),
+      (2L, "bronze", 25L, -1L, true)))
+  }
+
   test("inserts/updates decomposition partitions the batch") {
     val base = frame(Seq((1L, "a", 1L), (2L, "b", 1L)))
     val batch = frame(Seq((2L, "b2", 2L), (3L, "c", 2L)))
