@@ -194,4 +194,20 @@ object Analytics {
       .pivot(pivotKey, values)
       .agg(round(avg(measure), 2))
       .orderBy(col(rowKey))
+
+  /** All-subtotals CUBE over (a,b): per (a,b), per a, per b, grand total
+    * — one Expand + one hash aggregate, same single-pass shape as
+    * `rollupCounts`. Emits explicit `grouping(...)` indicators so a NULL
+    * data value is never confused with a rolled-up level (the classic
+    * CUBE pitfall; indicators are part of the sort key for determinism).
+    */
+  def cubeCounts(df: DataFrame, a: String, b: String, measure: Column): DataFrame =
+    df.cube(col(a), col(b)).agg(
+        // grouping() is only resolvable inside the cube's own aggregate
+        grouping(col(a)).cast("long").as("grp_a"),
+        grouping(col(b)).cast("long").as("grp_b"),
+        count(lit(1)).as("n"), round(sum(measure), 2).as("total"))
+      .select(col(a), col(b), col("grp_a"), col("grp_b"), col("n"), col("total"))
+      .orderBy(col("grp_a").asc, col("grp_b").asc,
+        col(a).asc_nulls_first, col(b).asc_nulls_first)
 }

@@ -1,6 +1,7 @@
 package etlmudah.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting and sampling for training-data
@@ -73,6 +74,38 @@ object Sampling {
         floor((col("__running") - col(tokenCol)) / lit(capacity.toDouble))
           .cast("long"))
       .drop("__running")
+  }
+
+  /** Temperature-based mixture resampling — the multinomial rule of
+    * multilingual LM corpus balancing: stratum s with n_s rows gets
+    * target share n_s^alpha / sum_t n_t^alpha (alpha in (0,1] flattens
+    * the mixture toward uniform; alpha=1 keeps natural proportions), so
+    * its per-row keep probability is min(1, targetTotal*share/n_s).
+    * Rows are kept by the same deterministic md5-uniform as
+    * `stratifiedSample` — re-running reproduces the sample exactly, and
+    * growing the corpus only adds/removes rows whose own uniform flips.
+    *
+    * Scale shape: the stratum census is a tiny partial-agg'd groupBy
+    * (|strata| rows) broadcast back onto the corpus — the big side is
+    * never shuffled, exactly like `stratifiedSample` with computed
+    * fractions. Use alpha=0.5 when cross-engine bit-parity matters:
+    * sqrt is correctly rounded per IEEE 754 while pow(x, a) is not. */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        alpha: Double, targetTotal: Long,
+                        salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val weight: Column => Column =
+      if (alpha == 0.5) sqrt(_) else pow(_, lit(alpha))
+    val census = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    // |strata| rows: the empty-frame window is a single-partition
+    // exchange of the census only, never of the corpus
+    val z = sum(weight(col("__n"))).over(Window.partitionBy())
+    val frac = census.select(col(strataCol),
+      least(lit(1.0), lit(targetTotal.toDouble) * weight(col("__n")) / z / col("__n"))
+        .as("__f"))
+    df.join(broadcast(frac), Seq(strataCol))
+      .filter(hashUniform(col(keyCol), salt) < col("__f"))
+      .drop("__f")
   }
 
   /** Per-stratum deterministic downsampling: keep a row iff its uniform

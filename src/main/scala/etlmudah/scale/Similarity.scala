@@ -291,4 +291,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("qid").asc, col("rank").asc)
   }
+
+  /** Symmetric per-vector int8 quantization fidelity report — the sizing
+    * study behind every quantized ANN index (4x memory cut vs float32):
+    * each vector is scaled by max|x|/127, elements round to [-127,127],
+    * and the report aggregates reconstruction error per label so the
+    * drop in fidelity is visible per class before committing the index.
+    *
+    * Shape: posexplode -> per-vector max|x| via a window over the id
+    * (one shuffle, reused by the aggregate) -> per-element |x - q*scale|
+    * -> one hash aggregate per label. All codegen'd; no array HOFs
+    * (CodegenFallback), no vector ever collected. Rounding is
+    * half-away-from-zero on both engines (Spark BigDecimal HALF_UP,
+    * DuckDB round), so `q` is oracle-exact. */
+  def quantizeInt8Report(embeddings: DataFrame, idCol: String,
+                         vecCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = embeddings.repartition(col(idCol))
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("id"), col("label"), col("x").cast("double").as("x"))
+    val scale = (max(abs(col("x"))).over(Window.partitionBy(col("id"))) /
+      lit(127.0)).as("scale")
+    val q = when(col("scale") === 0d, lit(0d))
+      .otherwise(round(col("x") / col("scale"), 0))
+    ex.select(col("id"), col("label"), col("x"), scale)
+      .select(col("label"), col("x"), col("scale"), q.as("q"))
+      .withColumn("err", abs(col("x") - col("q") * col("scale")))
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_values"),
+        round(avg(col("err")), 9).as("avg_abs_err"),
+        round(max(col("err")), 9).as("max_abs_err"),
+        round(avg(abs(col("q"))), 4).as("avg_abs_q"))
+      .orderBy(col("label"))
+  }
 }

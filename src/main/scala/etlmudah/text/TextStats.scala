@@ -213,6 +213,35 @@ object TextStats {
       .orderBy(col("id"))
   }
 
+  /** Lexical diversity (type-token ratio) per corpus slice: distinct
+    * token types vs total token occurrences, both per average document
+    * and pooled across the slice. Low pooled TTR flags templated or
+    * machine-generated slices that per-document metrics miss (every doc
+    * distinct, corpus vocabulary tiny). Complements `repetitionRatio`
+    * (within-doc phrase reuse) with the across-doc vocabulary view.
+    *
+    * Shape: one explode, then a single hash aggregate per slice with a
+    * distinct-count — Spark plans `countDistinct` as a two-stage
+    * partial/expand aggregate, so token rows never concentrate on one
+    * node. At 100 TB swap the exact distinct for `approx_count_distinct`
+    * behind the same signature (the q43/q54 cardinality pattern). */
+  def ttrBySlice(df: DataFrame, textCol: String, idCol: String,
+                 sliceCol: String): DataFrame =
+    df.repartition(col(idCol))
+      .select(col(sliceCol).as("slice"), col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("slice")).agg(
+        countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("t")).as("distinct_tokens"))
+      .select(col("slice"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"),
+        round(col("distinct_tokens").cast("double") /
+          col("total_tokens"), 6).as("pooled_ttr"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 2)
+          .as("avg_doc_tokens"))
+      .orderBy(col("slice"))
+
   /** PII-pattern scan (the C4-style scrub diagnostic): per-document
     * counts of email-, phone-, and long-digit-run-shaped substrings.
     * Pure regexp_count projections — codegen'd, shuffle-free. The

@@ -636,6 +636,36 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // all-subtotals CUBE with grouping indicators (completes the
+    // rollup/pivot grouping family; one Expand + one hash aggregate)
+    "q75_cube_orders" -> ((s, dir) =>
+      Analytics.cubeCounts(Tables.orders(s, dir), "o_orderpriority",
+        "o_orderstatus", col("o_totalprice"))),
+
+    // temperature-based mixture resampling (alpha=0.5): the multilingual
+    // corpus-balancing rule; deterministic md5-uniform keeps, census
+    // broadcast back — the big side never shuffles
+    "q76_temperature_mix" -> ((s, dir) =>
+      etlmudah.scale.Sampling.temperatureSample(Tables.documents(s, dir),
+          "doc_id", "lang", alpha = 0.5, targetTotal = 300, salt = "temp")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))),
+
+    // int8 embedding quantization fidelity by label (the 4x-memory ANN
+    // sizing study; explode + window + one aggregate, no HOFs)
+    "q77_embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8Report(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label")),
+
+    // lexical diversity (pooled type-token ratio) per source — the
+    // across-doc vocabulary view complementing q58's within-doc one
+    "q78_ttr_by_source" -> ((s, dir) =>
+      TextStats.ttrBySlice(Tables.documents(s, dir), "text", "doc_id",
+        "source")),
+
     // SCD2 dimension history: change-collapsed validity intervals from
     // the event log (the warehouse slowly-changing-dimension load)
     "q74_scd2_history" -> ((s, dir) =>
@@ -1429,6 +1459,62 @@ object SparkEntry {
         | count(*) FILTER (WHERE d.doc_id IS NULL) AS n_kept
         |FROM documents LEFT JOIN drops d USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q75_cube_orders" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(GROUPING(o_orderpriority) AS BIGINT) AS grp_a,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS grp_b,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY grp_a, grp_b, o_orderpriority NULLS FIRST,
+        | o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q76_temperature_mix" ->
+      """WITH census AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |fr AS (
+        |  SELECT lang,
+        |    least(1.0, 300.0 * sqrt(n) / sum(sqrt(n)) OVER () / n) AS f
+        |  FROM census),
+        |u AS (
+        |  SELECT d.lang, d.doc_id, f,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 AS u
+        |  FROM documents d JOIN fr USING (lang))
+        |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id,
+        | max(doc_id) AS max_id
+        |FROM u WHERE u < f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q77_embedding_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, label, x,
+        |    max(abs(x)) OVER (PARTITION BY vec_id) / 127.0 AS scale
+        |  FROM ex),
+        |qq AS (
+        |  SELECT label, x, scale,
+        |    CASE WHEN scale = 0 THEN 0.0 ELSE round(x / scale, 0) END AS q
+        |  FROM sc)
+        |SELECT label, count(*) AS n_values,
+        | round(avg(abs(x - q * scale)), 9) AS avg_abs_err,
+        | round(max(abs(x - q * scale)), 9) AS max_abs_err,
+        | round(avg(abs(q)), 4) AS avg_abs_q
+        |FROM qq GROUP BY label ORDER BY label""".stripMargin,
+
+    "q78_ttr_by_source" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents)
+        |SELECT source AS slice, count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS total_tokens, count(DISTINCT t) AS distinct_tokens,
+        | round(CAST(count(DISTINCT t) AS DOUBLE) / count(*), 6) AS pooled_ttr,
+        | round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 2)
+        |   AS avg_doc_tokens
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     "q74_scd2_history" ->
       """WITH e AS (

@@ -144,4 +144,24 @@ class AnalyticsSpec extends SparkSpec {
     val r = Analytics.distinctDomain(sales, "sub").collect().map(_.getString(0))
     assert(r.toSeq == Seq("x", "y", "z"))
   }
+
+  test("cubeCounts: every grouping-set level present, indicators disambiguate") {
+    val orders = etlmudah.Tables.orders(spark, sf0001)
+    val rows = Analytics.cubeCounts(orders, "o_orderpriority",
+      "o_orderstatus", col("o_totalprice")).collect()
+    val total = orders.count()
+    // exactly one grand-total row, carrying the full count
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1 && grand.head.getLong(4) == total)
+    // per-level counts each re-sum to the grand total
+    Seq((0L, 0L), (0L, 1L), (1L, 0L)).foreach { case (ga, gb) =>
+      val level = rows.filter(r => r.getLong(2) == ga && r.getLong(3) == gb)
+      assert(level.map(_.getLong(4)).sum == total, s"level ($ga,$gb)")
+    }
+    // indicator == 1 iff the key column is rolled up (NULL from Expand)
+    rows.foreach { r =>
+      assert((r.getLong(2) == 1) == r.isNullAt(0), r.toString)
+      assert((r.getLong(3) == 1) == r.isNullAt(1), r.toString)
+    }
+  }
 }

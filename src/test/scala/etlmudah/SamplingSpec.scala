@@ -80,4 +80,43 @@ class SamplingSpec extends SparkSpec {
     val deRatio = kept("de").toDouble / orig("de")
     assert(deRatio > 0.3 && deRatio < 0.7, deRatio.toString)
   }
+
+  test("temperatureSample: flattens the mixture toward uniform, deterministic") {
+    val t1 = Sampling.temperatureSample(docs, "doc_id", "lang",
+      alpha = 0.5, targetTotal = 200)
+    val t2 = Sampling.temperatureSample(docs, "doc_id", "lang",
+      alpha = 0.5, targetTotal = 200)
+    assert(t1.collect().toSeq.sortBy(_.getLong(0)) ==
+      t2.collect().toSeq.sortBy(_.getLong(0)))
+    val kept = t1.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // temperature sampling narrows the head/tail spread: the kept share
+    // of the rarest stratum must exceed the kept share of the commonest
+    val maxLang = orig.maxBy(_._2)._1
+    val minLang = orig.minBy(_._2)._1
+    val shareMax = kept.getOrElse(maxLang, 0L).toDouble / orig(maxLang)
+    val shareMin = kept.getOrElse(minLang, 0L).toDouble / orig(minLang)
+    assert(shareMin >= shareMax,
+      s"rare stratum share $shareMin < common stratum share $shareMax")
+    // total lands near the target (binomial noise at n=200)
+    val total = kept.values.sum
+    assert(total > 140 && total < 260, total.toString)
+  }
+
+  test("temperatureSample: alpha=1 keeps natural proportions (uniform global rate)") {
+    val orig = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.temperatureSample(docs, "doc_id", "lang",
+        alpha = 1.0, targetTotal = 250)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1: every stratum gets the same keep fraction (here 0.5), so
+    // per-stratum keep ratios concentrate around it
+    orig.foreach { case (lang, n) =>
+      val ratio = kept.getOrElse(lang, 0L).toDouble / n
+      assert(ratio > 0.25 && ratio < 0.75, s"$lang ratio $ratio")
+    }
+  }
 }

@@ -98,4 +98,23 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.35, s"mean recall@$k = $mean (per-query: $recalls)")
   }
+
+  test("quantizeInt8Report: error bounded by scale/2, q within [-127,127]") {
+    val emb = etlmudah.Tables.embeddings(spark, sf0001)
+    val rows = Similarity.quantizeInt8Report(emb, "vec_id", "embedding", "label")
+      .collect()
+    assert(rows.nonEmpty)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val nVecs = emb.count()
+    // every element of every vector is accounted for exactly once
+    assert(rows.map(_.getLong(1)).sum == nVecs * dim)
+    rows.foreach { r =>
+      val (avgErr, maxErr, avgQ) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(avgErr >= 0 && maxErr >= avgErr, r.toString)
+      // symmetric rounding: per-element error <= scale/2, and scale =
+      // max|x|/127 <= ~max-norm/127; with unit-ish floats that is << 1
+      assert(maxErr < 0.5, s"max_abs_err $maxErr")
+      assert(avgQ >= 0 && avgQ <= 127, s"avg_abs_q $avgQ")
+    }
+  }
 }

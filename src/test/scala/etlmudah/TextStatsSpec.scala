@@ -185,4 +185,24 @@ class TextStatsSpec extends SparkSpec {
     assert(seqOf(shingles(lit("a b c d"), 3)).toSet == Set("a b c", "b c d"))
     assert(seqOf(shingles(lit("a b"), 3)) == Seq("a b"))
   }
+
+  test("ttrBySlice: pooled TTR separates templated from diverse slices") {
+    import spark.implicits._
+    val docs = Seq(
+      // templated slice: every doc reuses the same 3-word vocabulary
+      (1L, "spam", "buy now cheap"), (2L, "spam", "buy cheap now"),
+      (3L, "spam", "now buy cheap buy"),
+      // diverse slice: disjoint vocabularies
+      (4L, "prose", "alpha beta gamma"), (5L, "prose", "delta epsilon zeta"),
+      (6L, "prose", "eta theta iota kappa")
+    ).toDF("doc_id", "source", "text")
+    val r = TextStats.ttrBySlice(docs, "text", "doc_id", "source")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    val (spamDocs, spamTok, spamTypes, spamTtr) = r("spam")
+    val (_, proseTok, proseTypes, proseTtr) = r("prose")
+    assert(spamDocs == 3 && spamTok == 10 && spamTypes == 3)
+    assert(proseTok == 10 && proseTypes == 10 && proseTtr == 1.0)
+    assert(spamTtr < proseTtr)
+  }
 }
