@@ -237,45 +237,55 @@ object Dedup {
     * the component's minimum doc id (the canonical survivor).
     *
     * Scale notes: the edge set is near-dup pairs only — a vanishing
-    * fraction of the corpus — and is cached for the iteration. Labels
-    * are `localCheckpoint`ed each round so the plan does not grow with
-    * iteration count. For adversarial long-chain graphs (diameter
-    * >> 3) swap the propagation step for the alternating
-    * large-star/small-star rounds of the MapReduce-CC literature; the
-    * driver loop and convergence check stay identical. */
+    * fraction of the corpus — and is materialized once for the
+    * iteration. Labels are `localCheckpoint`ed each round so the plan
+    * does not grow with iteration count. Each round also pointer-jumps
+    * (label := label(label), path halving), so even adversarial
+    * long-chain graphs converge in O(log diameter) rounds instead of
+    * O(diameter) — near-dup components in practice are near-cliques
+    * and finish in 2-3 rounds either way.
+    *
+    * Round layout: edge sets at or below `localEdgeThreshold` rows run
+    * every round on a single partition — per-round cost is scheduling,
+    * not shuffling, the right shape for the post-mining edge set on one
+    * machine. Larger edge sets keep their natural partitioning and let
+    * AQE size each round's exchanges (pass 0 to force that path). */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a",
-                  bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    // The edge set (near-dup pairs only) is a vanishing fraction of the
-    // corpus: materialize it ONCE, then run the whole iteration on
-    // single-partition checkpoints — per-round cost is scheduling, not
-    // shuffling, so rounds are ~constant-time regardless of the upstream
-    // pair-mining plan. At a scale where the edge set itself is huge,
-    // drop the coalesce(1) and let AQE size the rounds instead.
-    val edges = pairs
+                  bCol: String = "id_b", maxIter: Int = 25,
+                  localEdgeThreshold: Long = 5000000L): DataFrame = {
+    val rawEdges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
-      .coalesce(1)
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .coalesce(1)
-      .localCheckpoint(true)
+    // auto-select the round layout from the materialized edge count
+    // (count on a checkpointed frame is a cheap metadata-ish pass)
+    val local = rawEdges.count() <= localEdgeThreshold
+    def pin(df: DataFrame): DataFrame =
+      (if (local) df.coalesce(1) else df).localCheckpoint(true)
+    val edges = if (local) pin(rawEdges) else rawEdges
+    var labels = pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label").as("nl")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("nl")).as("min_nbr"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("l1"))
+      // pointer jumping: a label is itself a node id, so chase one level
+      // (label of my label) — halves chain length every round
+      val jumped = prop.join(
+          labels.select(col("id").as("l1"), col("label").as("ll")), Seq("l1"), "left")
+        .select(col("id"), col("label"),
+          least(col("l1"), coalesce(col("ll"), col("l1"))).as("new_label"))
       // convergence flag rides along in the same materialization, so each
-      // round is exactly one job plus a single-partition isEmpty probe
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("new_label"),
-          (col("min_nbr") < col("label")).as("chg"))
-        .coalesce(1)
-        .localCheckpoint(true)
+      // round is exactly one job plus a cheap isEmpty probe
+      val updated = pin(jumped.select(col("id"), col("new_label"),
+        (col("new_label") < col("label")).as("chg")))
       converged = updated.filter(col("chg")).isEmpty
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1

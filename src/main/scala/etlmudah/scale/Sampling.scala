@@ -88,8 +88,16 @@ object Sampling {
     * Scale shape: the stratum census is a tiny partial-agg'd groupBy
     * (|strata| rows) broadcast back onto the corpus — the big side is
     * never shuffled, exactly like `stratifiedSample` with computed
-    * fractions. Use alpha=0.5 when cross-engine bit-parity matters:
-    * sqrt is correctly rounded per IEEE 754 while pow(x, a) is not. */
+    * fractions. Output preserves the input's column order.
+    *
+    * Cross-engine parity: use alpha=0.5 when bit-parity matters (sqrt
+    * is correctly rounded per IEEE 754 while pow(x, a) is not). The
+    * normalizer z = sum of stratum weights is a floating sum whose
+    * accumulation order is engine/partitioning dependent; a key whose
+    * uniform lands within an ulp of its keep threshold could therefore
+    * flip between engines. With realistic strata counts (tens to
+    * thousands) the error is a few ulps — treat per-row membership as
+    * exact only up to that tolerance. */
   def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
                         alpha: Double, targetTotal: Long,
                         salt: String = ""): DataFrame = {
@@ -105,7 +113,7 @@ object Sampling {
         .as("__f"))
     df.join(broadcast(frac), Seq(strataCol))
       .filter(hashUniform(col(keyCol), salt) < col("__f"))
-      .drop("__f")
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Per-stratum deterministic downsampling: keep a row iff its uniform

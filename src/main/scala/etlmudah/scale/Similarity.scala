@@ -168,13 +168,19 @@ object Similarity {
     * all-pairs. */
   def ivfTopKAll(embeddings: DataFrame, idCol: String, vecCol: String,
                  k: Int, nlist: Int = 16, nprobe: Int = 4,
-                 seed: Long = 42, sampleCap: Int = 4096): DataFrame = {
+                 seed: Long = 42, sampleCap: Int = 4096,
+                 probeFilter: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
     import spark.implicits._
 
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
+    // probe pushdown: the query side shrinks BEFORE centroid scoring and
+    // the candidate join, so query-side cost scales with |probes|, not
+    // |corpus| (the index side must stay full — it is what's searched).
+    // The predicate is over the normalized columns (id, vec).
+    val probeVecs = probeFilter.map(vecs.filter).getOrElse(vecs)
     val centArr = trainQuantizer(vecs, nlist, iters = 10, seed, sampleCap)
     val centroids = centArr.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cid", "cvec")
@@ -193,7 +199,7 @@ object Similarity {
 
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid").asc)
-    val probes = vecs.select(col("id").as("qid"), col("vec").as("qvec"))
+    val probes = probeVecs.select(col("id").as("qid"), col("vec").as("qvec"))
       .crossJoin(broadcast(centroids))
       .select(col("qid"), col("qvec"), col("cid"),
         cosineFast(col("qvec"), col("cvec")).as("csim"))
@@ -262,7 +268,8 @@ object Similarity {
     * Output: (query_id, neighbor_id, cos_sim, rank<=k). */
   def lshTopKAll(embeddings: DataFrame, idCol: String, vecCol: String,
                  k: Int, tables: Int = 8, bits: Int = 10,
-                 dims: Int = 64): DataFrame = {
+                 dims: Int = 64,
+                 probeFilter: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Repartition by id first: a single-split corpus would serialize the
     // projection aggregate on one core otherwise.
@@ -274,14 +281,22 @@ object Similarity {
     // count, not tables x corpus. The refine itself is the native
     // codegen'd cosine expression.
     val withBuckets = lshBucketsAll(vecs, tables, bits, dims)
-    val cands = withBuckets.select(col("tbl"), col("bkt"), col("id").as("qid"))
+    // probe pushdown: bucket only the probe side when a filter is given —
+    // projection aggregates, candidate join, and refine then scale with
+    // |probes| on the query side while the searched side stays full.
+    // The predicate is over the normalized columns (id, vec).
+    val probeBuckets = probeFilter
+      .map(f => lshBucketsAll(vecs.filter(f), tables, bits, dims))
+      .getOrElse(withBuckets)
+    val probeVecs = probeFilter.map(vecs.filter).getOrElse(vecs)
+    val cands = probeBuckets.select(col("tbl"), col("bkt"), col("id").as("qid"))
       .join(withBuckets.select(col("tbl"), col("bkt"), col("id").as("nid")),
         Seq("tbl", "bkt"))
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid")
       .distinct()
     val scored = cands
-      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec")), Seq("qid"))
+      .join(probeVecs.select(col("id").as("qid"), col("vec").as("qvec")), Seq("qid"))
       .join(vecs.select(col("id").as("nid"), col("vec").as("nvec")), Seq("nid"))
       .select(col("qid"), col("nid"),
         round(cosineFast(col("qvec"), col("nvec")), 6).as("cos_sim"))

@@ -234,9 +234,11 @@ object SparkEntry {
       // 8x8 bits: bucket count scales with corpus so the candidate join
       // stays ~linear; the recall-vs-brute-force guarantee is asserted in
       // SimilaritySpec with wider buckets on the small sf.
+      // probe filter pushed below candidate generation: query-side cost
+      // scales with the 20 probes, not the corpus
       Similarity.lshTopKAll(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 5, tables = 8, bits = 8)
-        .filter(col("qid") < 20)),
+          k = 5, tables = 8, bits = 8,
+          probeFilter = Some(col("id") < 20))),
 
     // multimodal plumbing: media metadata + stub features + frame
     // counts; the md5-uniform stub makes even the fake decode
@@ -387,8 +389,8 @@ object SparkEntry {
     // SimilaritySpec)
     "q38_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopKAll(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 4)
-        .filter(col("qid") < 20)),
+          k = 5, nlist = 16, nprobe = 4,
+          probeFilter = Some(col("id") < 20))),
 
     // S6 — TSV encode + parse round-trip: write orders as TSV, read it
     // back, aggregate. Exact decimal sums + count/min/max keep the

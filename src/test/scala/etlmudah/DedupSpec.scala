@@ -151,4 +151,21 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 13 && out.forall(_.getLong(1) == 0L))
     assert(out.forall(_.getLong(2) == 13L))
   }
+
+  test("dupClusters: distributed round layout (threshold 0) matches on a long chain") {
+    import spark.implicits._
+    // 60-node chain (diameter 59) plus a separate clique-ish component;
+    // pointer jumping must converge well inside maxIter even with the
+    // single-partition fast path disabled
+    val chain = (100L until 159L).map(i => (i, i + 1)) ++
+      Seq((7L, 9L), (9L, 11L), (7L, 11L))
+    val pairs = chain.toDF("id_a", "id_b")
+    val dist = Dedup.dupClusters(pairs, localEdgeThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist == local)
+    assert(dist.filter(_._2 == 100L).map(_._1) == (100L to 159L).toSet)
+    assert(dist.filter(_._2 == 7L).map(_._1) == Set(7L, 9L, 11L))
+  }
 }

@@ -86,8 +86,10 @@ class SamplingSpec extends SparkSpec {
       alpha = 0.5, targetTotal = 200)
     val t2 = Sampling.temperatureSample(docs, "doc_id", "lang",
       alpha = 0.5, targetTotal = 200)
-    assert(t1.collect().toSeq.sortBy(_.getLong(0)) ==
-      t2.collect().toSeq.sortBy(_.getLong(0)))
+    assert(t1.collect().toSeq.sortBy(_.getAs[Long]("doc_id")) ==
+      t2.collect().toSeq.sortBy(_.getAs[Long]("doc_id")))
+    // the operator must not permute the input's column order
+    assert(t1.columns.toSeq == docs.columns.toSeq)
     val kept = t1.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val orig = docs.groupBy("lang").count()

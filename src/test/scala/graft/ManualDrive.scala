@@ -3,8 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import etlmudah._
-import etlmudah.analytics._
-import etlmudah.expr._
+import etlmudah.scale.{Dedup, Sampling, Similarity}
 
 /** Dev-only drive harness: exercises library operators end-to-end on the
   * sf0.001 testdata. Run with `sbt "Test/runMain graft.ManualDrive"`.
@@ -20,54 +19,46 @@ object ManualDrive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
     val dir = "/root/testdata/sf0.001"
-    val li = Tables.lineitem(spark, dir)
 
     println("== SparkEntry.entry smoke (driver contract)")
     val e = SparkEntry.entry(spark)
     println(s"entry rows = ${e.count()}")
     e.show(3)
 
-    println("== standardize with absent keys (ANSI crash path)")
-    li.select(Exprs.standardize(col("l_returnflag"), Map("N" -> "None")).as("flag"))
-      .groupBy("flag").count().orderBy("flag").show()
+    println("== temperatureSample: column order preserved, flattening visible")
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+    val ts = Sampling.temperatureSample(docs, "doc_id", "lang",
+      alpha = 0.5, targetTotal = 200)
+    println(s"columns in == ${docs.columns.mkString(",")} / out == ${ts.columns.mkString(",")}")
+    ts.groupBy("lang").count().orderBy("lang").show()
 
-    println("== clipUpper null preservation")
-    li.select(when(col("l_quantity") > 25, lit(null).cast("double"))
-        .otherwise(col("l_quantity")).as("q"))
-      .select(Exprs.clipUpper(col("q"), 10.0).as("clipped"))
-      .agg(sum(when(col("clipped").isNull, 1).otherwise(0)).as("nulls_preserved"),
-           max("clipped").as("max_clip")).show()
+    println("== dupClusters: local vs forced-distributed layout on a 60-chain")
+    val chain = ((100L until 159L).map(i => (i, i + 1)) ++
+      Seq((7L, 9L), (9L, 11L))).toDF("id_a", "id_b")
+    val loc = Dedup.dupClusters(chain)
+    val dst = Dedup.dupClusters(chain, localEdgeThreshold = 0L)
+    println(s"local rows=${loc.count()} distributed rows=${dst.count()}")
+    dst.groupBy("cluster_id").agg(count(lit(1)).as("n")).orderBy("cluster_id").show()
 
-    println("== statsBy multi-measure")
-    Analytics.statsBy(li, col("l_returnflag"), "flag", col("l_extendedprice"),
-      Seq(round(avg(col("l_quantity")), 2).as("avg_qty"))).show()
+    println("== q64/q66 registered queries over the new dupClusters")
+    SparkEntry.queries("q64_dedup_clusters")(spark, dir).show(5)
+    println(s"q66 rows = ${SparkEntry.queries("q66_dedup_apply")(spark, dir).count()}")
 
-    println("== freqTable ordering")
-    Analytics.freqTable(li, "l_linestatus").show()
-
-    println("== docTokenProfile explode form (changed operator)")
-    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
-    val langs = Seq(
-      "en" -> Seq("the", "a", "of", "and", "to"),
-      "ms" -> Seq("yang", "dan", "di", "untuk", "dengan"),
-      "de" -> Seq("der", "die", "und", "das", "ist"))
-    val prof = etlmudah.text.TextStats.docTokenProfile(
-      Tables.documents(spark, dir), "text", "doc_id", stops, langs,
-      carryCols = Seq("source", "lang"))
-    println(s"profile rows = ${prof.count()} (docs = ${Tables.documents(spark, dir).count()})")
-    prof.orderBy("id").show(5)
-    println("== q21/q22 registered queries over the new path")
-    SparkEntry.queries("q21_doc_quality_by_source")(spark, dir).show(5)
-    SparkEntry.queries("q22_langid_agreement")(spark, dir).show(10)
-
-    println("== IVF top-k with driver-side sampled quantizer (changed operator)")
-    val ivf = etlmudah.scale.Similarity.ivfTopKAll(
-      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
-    println(s"ivf rows = ${ivf.count()}")
-    ivf.filter(col("qid") < 3).show(20)
-    println("== q38 registered query over the new path")
-    SparkEntry.queries("q38_ivf_topk")(spark, dir).show(10)
+    println("== q28/q38 ANN with probe pushdown (must equal post-filter form)")
+    val emb = Tables.embeddings(spark, dir)
+    val lshNew = Similarity.lshTopKAll(emb, "vec_id", "embedding",
+      k = 5, tables = 8, bits = 8, probeFilter = Some(col("id") < 20))
+    val lshOld = Similarity.lshTopKAll(emb, "vec_id", "embedding",
+      k = 5, tables = 8, bits = 8).filter(col("qid") < 20)
+    println(s"lsh pushdown==postfilter: ${lshNew.collect().toSeq == lshOld.collect().toSeq}")
+    val ivfNew = Similarity.ivfTopKAll(emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, probeFilter = Some(col("id") < 20))
+    val ivfOld = Similarity.ivfTopKAll(emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4).filter(col("qid") < 20)
+    println(s"ivf pushdown==postfilter: ${ivfNew.collect().toSeq == ivfOld.collect().toSeq}")
+    lshNew.show(5)
 
     spark.stop()
   }
