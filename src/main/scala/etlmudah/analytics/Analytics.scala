@@ -160,6 +160,37 @@ object Analytics {
       percentile(value, lit(0.75)).as("q3"))
       .orderBy(col(key))
 
+  /** Quantile-bucket distribution table — the SCALE tier of the decile
+    * report: bucket boundaries are exact interpolating percentiles
+    * (== DuckDB quantile_cont), computed by ONE two-stage aggregate to a
+    * single row, broadcast back, and each row range-buckets against the
+    * expanded boundary scalars. No partition-less window anywhere —
+    * `ntile` over a global sort moves the whole table to one partition,
+    * which is the plan this replaces. Buckets are half-open
+    * [b_{i-1}, b_i), so counts are near-equal rather than exactly equal
+    * (ties and interpolation land where the data does) — the trade that
+    * buys a shuffle-free, any-scale plan. Returns per bucket (1-based):
+    * n, lo, hi, avg rounded to 2dp. */
+  def quantileBuckets(df: DataFrame, value: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val v = value.cast("double")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.agg(percentile(v, typedlit(qs)).as("__bs"))
+      .select((1 until buckets).map(i =>
+        element_at(col("__bs"), i).as(s"__b$i")): _*)
+    val bucket = (1 until buckets)
+      .map(i => when(v >= col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.join(broadcast(bounds))
+      .select(v.as("__v"), bucket.cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n"),
+        round(min(col("__v")), 2).as("lo"),
+        round(max(col("__v")), 2).as("hi"),
+        round(avg(col("__v")), 2).as("avg_value"))
+      .orderBy(col("bucket"))
+  }
+
   /** Deterministic "DISTINCT ON (key) ... pick latest" dedup (D2): the
     * reference's nondeterministic first-wins set-dedup (dag.py:97-105) made
     * reproducible with an explicit ordering. Single shuffle on the key.

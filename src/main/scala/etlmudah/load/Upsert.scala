@@ -36,6 +36,49 @@ object Upsert {
       .drop("__rn")
   }
 
+  /** Partial-column merge — the reference's actual ON CONFLICT shape
+    * (dags/dag.py:259-265): matched keys take the incoming row's values
+    * for `updateCols` ONLY and keep the base row's values for every
+    * other column (`created_at` survives re-ingestion; `price`,
+    * `updated_at` refresh). Unmatched keys insert the whole batch row.
+    * The whole-row overload above is last-writer-wins; this one is the
+    * column-safe variant — a batch that defaults a non-listed column
+    * can no longer clobber base values.
+    *
+    * `orderCols` totally orders rows WITHIN the batch (highest first
+    * wins) so multi-row batches stay deterministic; the base is assumed
+    * key-unique (it is the output of a previous merge).
+    *
+    * Scale: one keyed window over the batch + one null-safe equi-join on
+    * the key — two shuffles of the batch, one of the base; no broadcast
+    * assumption, no driver involvement. */
+  def upsert(base: DataFrame, batch: DataFrame, keys: Seq[String],
+             orderCols: Seq[Column], updateCols: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    require(updateCols.forall(cols.contains), "updateCols must exist in base")
+    require(keys.forall(k => !updateCols.contains(k)), "keys are not updatable")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val winner = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+    val b = base.select(cols.map(c => col(c).as(s"__b_$c")) :+
+      lit(true).as("__in_b"): _*)
+    val n = winner.select(cols.map(c => col(c).as(s"__n_$c")) :+
+      lit(true).as("__in_n"): _*)
+    val joinCond = keys.map(k => col(s"__b_$k") <=> col(s"__n_$k")).reduce(_ && _)
+    val inB = coalesce(col("__in_b"), lit(false))
+    val inN = coalesce(col("__in_n"), lit(false))
+    b.join(n, joinCond, "full_outer")
+      .select(cols.map { c =>
+        val pick =
+          if (keys.contains(c)) coalesce(col(s"__b_$c"), col(s"__n_$c"))
+          else if (updateCols.contains(c))
+            when(inN, col(s"__n_$c")).otherwise(col(s"__b_$c"))
+          else when(inB, col(s"__b_$c")).otherwise(col(s"__n_$c"))
+        pick.as(c)
+      }: _*)
+  }
+
   /** Decomposition views of the same merge (useful for audit):
     * rows in `batch` whose key is new to `base` (the INSERT half). */
   def inserts(base: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =

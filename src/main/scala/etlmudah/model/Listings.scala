@@ -77,6 +77,50 @@ object Listings {
         .as("image_count"))
   }
 
+  /** The motorcycle variant's nested attributes — same envelope, its own
+    * field names (dags/motor_dag.py:81-98): make/model/year live under
+    * `motorcycle_make_name`/`motorcycle_model_name`/`manufactured_year`,
+    * location is `region_name`, the seller is `name`, the URL is
+    * `adview_url`, and it carries a `date` the car shape lacks. */
+  val motoAttributesSchema: StructType = StructType(Seq(
+    StructField("subject", StringType),
+    StructField("price", DoubleType),
+    StructField("motorcycle_make_name", StringType),
+    StructField("motorcycle_model_name", StringType),
+    StructField("manufactured_year", StringType),
+    StructField("region_name", StringType),
+    StructField("name", StringType),
+    StructField("date", StringType),
+    StructField("image_count", IntegerType),
+    StructField("adview_url", StringType),
+    StructField("region_id", StringType)))
+
+  val motoApiSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("attributes", motoAttributesSchema)))
+
+  /** S5 (moto variant): one raw JSON payload column -> the 12 flat
+    * columns with the reference's defaults ('' strings, 0 price/counts —
+    * motor_dag.py:81-98). */
+  def flattenMotoListing(rawJson: Column): Seq[Column] = {
+    val p = from_json(rawJson, motoApiSchema)
+    val a = p.getField("attributes")
+    def str(c: Column): Column = coalesce(c, lit(""))
+    Seq(
+      p.getField("id").as("listing_id"),
+      str(a.getField("subject")).as("title"),
+      coalesce(a.getField("price"), lit(0.0)).as("price"),
+      str(a.getField("motorcycle_make_name")).as("make"),
+      str(a.getField("motorcycle_model_name")).as("model"),
+      str(a.getField("manufactured_year")).as("year"),
+      str(a.getField("region_name")).as("location"),
+      str(a.getField("name")).as("seller_name"),
+      str(a.getField("date")).as("listing_date"),
+      coalesce(a.getField("image_count"), lit(0)).as("image_count"),
+      str(a.getField("adview_url")).as("ad_url"),
+      str(a.getField("region_id")).as("region_id"))
+  }
+
   /** The read-side cleaning pipeline (data_loader.py:58-66 semantics):
     * regex-valid year, coerce-to-null numerics, sentinel price gate,
     * derived age and mileage_avg with an injected frozen now-year. */

@@ -21,14 +21,22 @@ object Writers {
       .option("delimiter", "\t").option("header", "true")
       .csv(path)
 
-  /** S7: staged bulk load — write to a temp location, swap atomically at
-    * the directory level (the reference's temp-table + transaction,
-    * dag.py:183-268). Readers never observe a half-written target. */
+  /** S7: staged bulk load — write to a temp location, swap at the
+    * directory level (the reference's temp-table + transaction,
+    * dag.py:183-268). Readers never observe a half-written target.
+    * Goes through the Hadoop `FileSystem` API so the same code runs on
+    * HDFS/object stores, not just the local FS; note directory rename is
+    * atomic on HDFS but copy-based on S3-style stores — there, prefer a
+    * manifest/table format for true atomicity. */
   def writeStaged(df: DataFrame, path: String): Unit = {
     val tmp = path + "__staging"
     df.write.mode("overwrite").parquet(tmp)
-    deleteRecursively(new java.io.File(path))
-    new java.io.File(tmp).renameTo(new java.io.File(path))
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(tmp)
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
     ()
   }
 
@@ -88,11 +96,5 @@ object Writers {
     def invalidate(key: String): Unit = synchronized {
       entries.remove(key).foreach(_.df.unpersist()); ()
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-    ()
   }
 }

@@ -111,23 +111,22 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // Hadoop FileSystem API, not java.io.File: the sink must run
+        // against HDFS/object-store paths, not just the local FS
+        val conf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(basePath)
+        val fs = target.getFileSystem(conf)
         val stamped = batch.withColumn("batch_ts", lit(batchId))
         val merged =
-          if (new java.io.File(basePath).exists()) {
+          if (fs.exists(target)) {
             val base = spark.read.parquet(basePath)
             Upsert.upsert(base, stamped, Seq("event_id"),
               Seq(col("batch_ts").desc, col("event_id").asc))
           } else stamped
-        val tmp = basePath + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        deleteRecursively(new java.io.File(basePath))
-        new java.io.File(tmp).renameTo(new java.io.File(basePath))
+        val tmp = new org.apache.hadoop.fs.Path(basePath + "__tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.rename(tmp, target)
         ()
       }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
 }

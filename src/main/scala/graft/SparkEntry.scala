@@ -136,6 +136,27 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // S8/J1 — partial-column merge (the reference's ON CONFLICT ... DO
+    // UPDATE SET <mutable cols>): matched keys refresh o_totalprice and
+    // batch_ts ONLY — the batch's clobbered o_orderpriority must NOT
+    // survive; new keys insert whole rows
+    "q80_partial_upsert" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val base = orders.withColumn("batch_ts", lit(1L))
+      val upd = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("o_orderpriority", lit("X-REINGEST"))
+        .withColumn("batch_ts", lit(2L))
+      val ins = orders.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderpriority", lit("X-NEWROW"))
+        .withColumn("batch_ts", lit(2L))
+      Upsert.upsert(base, upd.unionByName(ins), Seq("o_orderkey"),
+          Seq(col("batch_ts").desc), Seq("o_totalprice", "batch_ts"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // W3 — ranked top-N per group
     "q17_top3_per_priority" -> ((s, dir) =>
       Analytics.topNPerGroup(Tables.orders(s, dir), Seq("o_orderpriority"),
@@ -696,6 +717,12 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    // the SCALE tier of q73: exact-percentile boundaries + range
+    // bucketing — no global window, no single-partition sort; counts are
+    // near-equal (half-open buckets) instead of ntile's exactly-equal
+    "q79_price_deciles_scale" -> ((s, dir) =>
+      Analytics.quantileBuckets(Tables.orders(s, dir), col("o_totalprice"), 10)),
+
     // PII redaction applied (the scrub step q59 diagnoses): per-source
     // docs-touched and characters removed
     "q72_pii_redact" -> ((s, dir) =>
@@ -965,6 +992,21 @@ object SparkEntry {
         |      ELSE o_totalprice END AS o_totalprice,
         | o_orderpriority, epoch_us(o_orderdate) AS o_date_us
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // matched keys: price+1000 and batch_ts refresh, priority PRESERVED
+    // from base (the batch's X-REINGEST never appears); %10=3 keys insert
+    "q80_partial_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |      ELSE o_totalprice END AS o_totalprice,
+        | o_orderpriority,
+        | (CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END)::BIGINT AS batch_ts
+        | FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+        | 'X-NEWROW', 2::BIGINT
+        | FROM orders WHERE o_orderkey % 10 = 3
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q17_top3_per_priority" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn
@@ -1543,6 +1585,21 @@ object SparkEntry {
         |SELECT decile, count(*) AS n, min(o_totalprice) AS lo,
         | max(o_totalprice) AS hi, round(avg(o_totalprice), 2) AS avg_price
         |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // same half-open range-bucket definition as Analytics.quantileBuckets;
+    // quantile_cont == Spark's exact interpolating percentile
+    "q79_price_deciles_scale" -> {
+      val cmp = (1 to 9).map(i => s"(v >= bs[$i])::INT").mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT quantile_cont(o_totalprice::DOUBLE,
+         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM orders),
+         |t AS (
+         |  SELECT o_totalprice::DOUBLE AS v, (1 + $cmp)::BIGINT AS bucket
+         |  FROM orders, b)
+         |SELECT bucket, count(*) AS n, round(min(v), 2) AS lo,
+         | round(max(v), 2) AS hi, round(avg(v), 2) AS avg_value
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     // Same regexes as the Spark side; DuckDB regexp_replace needs the
     // explicit 'g' flag to match Spark's global-replace default.

@@ -39,6 +39,39 @@ class ListingsSpec extends SparkSpec {
     assert(r.getAs[Double]("price") == 5000.0)
   }
 
+  test("flattenMotoListing: moto field names map to the 12-column shape") {
+    import spark.implicits._
+    val motoJson =
+      """{"id": 201, "attributes": {"subject": "Yamaha Y15ZR",
+        |"price": 7800.0, "motorcycle_make_name": "Yamaha",
+        |"motorcycle_model_name": "Y15ZR", "manufactured_year": "2021",
+        |"region_name": "Selangor", "name": "Abu", "date": "2024-01-02",
+        |"image_count": 3, "adview_url": "https://x/201",
+        |"region_id": "12"}}""".stripMargin.replace("\n", " ")
+    val flat = Seq(motoJson).toDF("raw")
+      .select(Listings.flattenMotoListing(col("raw")): _*)
+    val r = flat.collect().head
+    assert(flat.columns.length == 12)
+    assert(r.getAs[Long]("listing_id") == 201L)
+    assert(r.getAs[String]("make") == "Yamaha")
+    assert(r.getAs[String]("year") == "2021")
+    assert(r.getAs[String]("location") == "Selangor")
+    assert(r.getAs[String]("seller_name") == "Abu")
+    assert(r.getAs[String]("listing_date") == "2024-01-02")
+    assert(r.getAs[String]("ad_url") == "https://x/201")
+  }
+
+  test("flattenMotoListing: missing attributes get the reference defaults") {
+    import spark.implicits._
+    val sparse = """{"id": 202, "attributes": {"subject": "RS150"}}"""
+    val r = Seq(sparse).toDF("raw")
+      .select(Listings.flattenMotoListing(col("raw")): _*).collect().head
+    assert(r.getAs[Double]("price") == 0.0)
+    assert(r.getAs[String]("make") == "")
+    assert(r.getAs[String]("listing_date") == "")
+    assert(r.getAs[Int]("image_count") == 0)
+  }
+
   test("cleanListings: dirty rows drop, derived columns computed") {
     import spark.implicits._
     val dirtyYear = """{"id": 103, "attributes": {"year": "20x8", "price": 9000.0}}"""

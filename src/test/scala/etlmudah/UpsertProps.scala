@@ -46,4 +46,38 @@ object UpsertProps extends Properties("Upsert") {
         Seq(col("batch_ts").desc))
       out.count() == out.select("id").distinct().count()
     }
+
+  // ---- partial-column form: updateCols refresh, everything else is
+  // preserved from the base row on matched keys ----
+
+  private def frame2(rows: Map[Long, (String, String)], ts: Long) = {
+    import spark.implicits._
+    rows.toSeq.map { case (k, (p, e)) => (k, p, e, ts) }
+      .toDF("id", "payload", "extra", "batch_ts")
+  }
+
+  private def runPartial(base: Map[Long, (String, String)],
+                         batch: Map[Long, (String, String)]): Map[Long, (String, String)] =
+    Upsert.upsert(frame2(base, 1L), frame2(batch, 2L), Seq("id"),
+        Seq(col("batch_ts").desc), Seq("payload", "batch_ts"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+
+  property("partial merge: updateCols take batch values, others keep base's") =
+    forAll(keyedRows, keyedRows) { (b0, n0) =>
+      val base = b0.map { case (k, v) => k -> (v, s"base-extra-$k") }
+      // the batch carries a poisoned `extra` that must never survive a match
+      val batch = n0.map { case (k, v) => k -> (v + "-v2", "CLOBBER") }
+      val expect = base.map { case (k, (p, e)) =>
+        k -> (batch.get(k).map(_._1).getOrElse(p), e)
+      } ++ (batch -- base.keySet)
+      runPartial(base, batch) == expect
+    }
+
+  property("partial merge idempotent: re-applying the batch is a no-op") =
+    forAll(keyedRows, keyedRows) { (b0, n0) =>
+      val base = b0.map { case (k, v) => k -> (v, s"e$k") }
+      val batch = n0.map { case (k, v) => k -> (v + "N", "X") }
+      val once = runPartial(base, batch)
+      runPartial(once, batch) == once
+    }
 }

@@ -103,10 +103,10 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin is legitimate exactly where the build side
     // is a bounded frame by construction: q57's single-row corpus size,
     // q27's single query vector, q51's probe set, q38's nlist-row
-    // centroid table. Anything else — and any CartesianProduct — is an
-    // accident this pins against.
+    // centroid table, q79's single-row percentile bounds. Anything
+    // else — and any CartesianProduct — is an accident this pins against.
     val bnljAllowed = Set("q57_tfidf", "q27_cosine_topk",
-      "q51_similarity_profile", "q38_ivf_topk")
+      "q51_similarity_profile", "q38_ivf_topk", "q79_price_deciles_scale")
     val skip = Set("q33_ml_importances") // trains a model; no single plan
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -115,6 +115,14 @@ class PlanShapeSpec extends SparkSpec {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join")
     }
+  }
+
+  test("q79: decile scale tier plans no window (vs q73's single-partition ntile)") {
+    val plan = planOf("q79_price_deciles_scale")
+    assert(!plan.contains("Window"), plan.take(600))
+    // the exact tier it replaces DOES carry the global window — the two
+    // tiers are meaningfully different plans, not renames
+    assert(planOf("q73_price_deciles").contains("Window"))
   }
 
   test("q19: aggregation reads only the needed columns") {
