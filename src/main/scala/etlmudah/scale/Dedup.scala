@@ -297,6 +297,27 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Survivor-selection POLICY over duplicate clusters: keep the
+    * highest-`scoreCol` member per cluster (ties -> lowest id) instead
+    * of `dupClusters`' canonical min-id — the curation rule that keeps
+    * the best-quality copy of a boilerplate family rather than an
+    * arbitrary one. `clusters` is `dupClusters` output; `scores` maps
+    * `idCol` -> quality. Cost: one equi-join of the (tiny) cluster
+    * table against the score table plus one map-side-combined argmax —
+    * nothing touches the full corpus. */
+  def dupSurvivorsBy(clusters: DataFrame, scores: DataFrame,
+                     idCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),
+        Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(
+        max_by(col("doc_id"), struct(col("__score"), -col("doc_id")))
+          .as("survivor_id"),
+        max(col("__score")).as("survivor_score"))
+      .select("cluster_id", "cluster_size", "survivor_id", "survivor_score")
+      .orderBy(col("cluster_id"))
+
   /** Cross-corpus near-duplicate detection — DECONTAMINATION: find
     * training documents that are near-dups of a reference corpus (eval
     * benchmarks, held-out sets). Same banded-LSH shape as

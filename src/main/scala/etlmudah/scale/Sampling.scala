@@ -116,6 +116,28 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Per-stratum TOKEN-budget sampling — corpus mixing by token count,
+    * not document count (the unit LM training actually consumes):
+    * within each stratum, documents are taken in deterministic
+    * md5-uniform order until the stratum's cumulative token total
+    * reaches `budget`. Next-fit semantics: a document straddling the
+    * boundary is kept (its PRECEDING total is under budget), so each
+    * stratum overshoots by at most one document — same convention as
+    * `packIntoBins`, and oracle-reproducible because no look-ahead is
+    * needed. One keyed window shuffle; no RNG; growing the corpus only
+    * appends to each stratum's uniform order, so the kept prefix is
+    * stable under growth until the budget boundary moves. */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, strataCol: String,
+                        tokenCol: String, budget: Long,
+                        salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashUniform(col(keyCol), salt).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") - col(tokenCol) < budget)
+      .drop("__cum")
+  }
+
   /** Per-stratum deterministic downsampling: keep a row iff its uniform
     * is below the stratum's fraction (strata absent from the map keep
     * `defaultFraction`). The mixture-reweighting primitive: fractions

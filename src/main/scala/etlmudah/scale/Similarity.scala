@@ -335,7 +335,9 @@ object Similarity {
       .withColumn("err", abs(col("x") - col("q") * col("scale")))
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_values"),
-        round(avg(col("err")), 9).as("avg_abs_err"),
+        // avg over doubles depends on partial-agg combine order; 6dp is
+        // the parity-safe precision (max is order-independent — 9dp holds)
+        round(avg(col("err")), 6).as("avg_abs_err"),
         round(max(col("err")), 9).as("max_abs_err"),
         round(avg(abs(col("q"))), 4).as("avg_abs_q"))
       .orderBy(col("label"))

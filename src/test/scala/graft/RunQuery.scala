@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   */
 object RunQuery {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: RunQuery <query_name> [sf_dir]\nknown queries:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -21,7 +26,8 @@ object RunQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, dir)
+    // cache: show/count/explain otherwise recompute the query three times
+    val df = SparkEntry.queries(name)(spark, dir).cache()
     df.show(50, truncate = false)
     println(s"rows = ${df.count()}")
     df.explain("formatted")
