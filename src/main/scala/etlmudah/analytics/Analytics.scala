@@ -170,12 +170,24 @@ object Analytics {
     * [b_{i-1}, b_i), so counts are near-equal rather than exactly equal
     * (ties and interpolation land where the data does) — the trade that
     * buys a shuffle-free, any-scale plan. Returns per bucket (1-based):
-    * n, lo, hi, avg rounded to 2dp. */
-  def quantileBuckets(df: DataFrame, value: Column, buckets: Int = 10): DataFrame = {
+    * n, lo, hi, avg rounded to 2dp.
+    *
+    * `exact = true` uses Spark's interpolating `percentile`, which
+    * BUFFERS the column's values on the final reducer — oracle-exact
+    * and fine into the ~10^8-row range, a memory hazard beyond. At
+    * 100 TB flip to `exact = false`: `approx_percentile` (t-digest) is
+    * mergeable with bounded memory at any cardinality; boundaries move
+    * by at most 1/`accuracy` of rank, and the bucketing itself stays
+    * exact either way (a fixed comparison against broadcast scalars). */
+  def quantileBuckets(df: DataFrame, value: Column, buckets: Int = 10,
+                      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
     val v = value.cast("double")
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds = df.agg(percentile(v, typedlit(qs)).as("__bs"))
+    val boundAgg =
+      if (exact) percentile(v, typedlit(qs))
+      else approx_percentile(v, typedlit(qs), lit(accuracy))
+    val bounds = df.agg(boundAgg.as("__bs"))
       .select((1 until buckets).map(i =>
         element_at(col("__bs"), i).as(s"__b$i")): _*)
     val bucket = (1 until buckets)

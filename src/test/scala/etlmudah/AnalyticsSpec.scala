@@ -164,4 +164,26 @@ class AnalyticsSpec extends SparkSpec {
       assert((r.getLong(3) == 1) == r.isNullAt(1), r.toString)
     }
   }
+
+  test("quantileBuckets: partition of the input, near-equal counts, t-digest dial agrees") {
+    val orders = etlmudah.Tables.orders(spark, sf0001)
+    val n = orders.count()
+    def check(exact: Boolean): Map[Long, Long] = {
+      val rows = Analytics.quantileBuckets(orders, col("o_totalprice"),
+          buckets = 10, exact = exact)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.keySet == (1L to 10L).toSet, rows.keySet.toString)
+      assert(rows.values.sum == n)          // every row lands in one bucket
+      // half-open percentile buckets: counts near n/10, not exactly
+      rows.values.foreach(c => assert(c > n / 20 && c < n / 5, rows.toString))
+      rows
+    }
+    val ex = check(exact = true)
+    val ap = check(exact = false)
+    // at this size the t-digest is near-lossless: bucket counts track the
+    // exact tier within 2% of n
+    ex.foreach { case (b, c) =>
+      assert(math.abs(ap(b) - c) <= n / 50, s"bucket $b: $c vs ${ap(b)}")
+    }
+  }
 }
