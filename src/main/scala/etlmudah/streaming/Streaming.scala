@@ -100,6 +100,33 @@ object Streaming {
       }
   }
 
+  /** Stream-stream INTERVAL join — windowed click->purchase attribution
+    * candidates: each purchase joins the same user's clicks within
+    * `horizon` before it. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can evict state: a
+    * buffered click is dropped once the purchase-side watermark passes
+    * `c_ts + horizon`, a purchase when its own side's passes. Append
+    * mode; the as-of (last-touch) refinement of these candidates is the
+    * batch `Joins.asofJoin` (q68) — a stream cannot argmax over a
+    * not-yet-closed candidate set without waiting out the watermark. */
+  def clickAttribution(events: DataFrame, horizon: String = "1 hour",
+                       lateness: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge
     * to the same state, matching the reference's ON CONFLICT idempotency

@@ -828,6 +828,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // windowed attribution CANDIDATES — the batch twin of the
+    // stream-stream interval join (Streaming.clickAttribution): clicks
+    // within 1h before the same user's purchase; equi-join on user +
+    // time-band post-filter, never a range/cross join
+    "q84_attribution_window" -> ((s, dir) => {
+      val ev = Tables.eventsTyped(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      p.join(c, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 hour"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // W+ — running/cumulative windows over monthly order volume:
     // cumulative count, month-over-month delta (lag), 3-month moving
     // average (bounded frame)
@@ -1757,6 +1777,15 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.cts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q84_attribution_window" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        | epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     // Running/cumulative windows over monthly order volume. The window
     // sum is cast back to BIGINT (DuckDB widens window sums to HUGEINT).

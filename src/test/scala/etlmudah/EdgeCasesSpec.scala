@@ -73,6 +73,35 @@ class EdgeCasesSpec extends SparkSpec {
     assert(fromBatch.count() == 2)
   }
 
+  test("partial upsert with empty batch keeps the base; empty base inserts the batch") {
+    val base = Seq((1L, "a", "keep", 1L), (2L, "b", "keep", 1L))
+      .toDF("id", "v", "extra", "batch_ts")
+    val none = Seq.empty[(Long, String, String, Long)]
+      .toDF("id", "v", "extra", "batch_ts")
+    val keep = Upsert.upsert(base, none, Seq("id"),
+      Seq(col("batch_ts").desc), Seq("v", "batch_ts"))
+    assert(keep.collect().toSet == base.collect().toSet)
+    val ins = Upsert.upsert(none, base, Seq("id"),
+      Seq(col("batch_ts").desc), Seq("v", "batch_ts"))
+    assert(ins.collect().toSet == base.collect().toSet)
+  }
+
+  test("new round-4 operators tolerate empty input") {
+    // quantileBuckets: no rows -> null boundaries -> no buckets, no throw
+    val emptyVals = Seq.empty[Option[Double]].toDF("v")
+    assert(Analytics.quantileBuckets(emptyVals, col("v"), 4).count() == 0)
+    // tokenBudgetSample / dupSurvivorsBy on empty frames
+    val emptySized = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "lang", "n_tokens")
+    assert(Sampling.tokenBudgetSample(emptySized, "doc_id", "lang",
+      "n_tokens", 100L).count() == 0)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(emptyPairs)
+    assert(clusters.count() == 0)
+    val scores = Seq((1L, 2L)).toDF("doc_id", "score")
+    assert(Dedup.dupSurvivorsBy(clusters, scores, "doc_id", "score").count() == 0)
+  }
+
   test("sampling on empty input and clipUpper on all-null column") {
     assert(Sampling.hashSplit(emptyDocs, "doc_id",
       Seq(("train", 1.0))).count() == 0)

@@ -113,6 +113,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("clickAttribution stream-stream interval join == batch interval join") {
+    val out = Files.createTempDirectory("stream_attr").toString
+    val src = stageEvents("src_attr")
+    val q = Streaming.clickAttribution(Streaming.readEvents(spark, src))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("attr")
+      .orderBy("purchase_id", "click_id").collect()
+    val ev = Tables.eventsTyped(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val batch = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 hour"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+      .orderBy("purchase_id", "click_id").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
   test("upsertSink: micro-batch merge is idempotent (re-running converges)") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"
