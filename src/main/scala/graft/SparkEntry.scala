@@ -433,6 +433,22 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // range-clustered layout round-trip: write orders range-sorted by
+    // totalprice (disjoint file min/max -> data skipping; clustering is
+    // pinned in WritersSpec), read a range slice back, aggregate
+    "q85_range_sorted_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink_q85_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      etlmudah.sinks.Writers.writeRangeSorted(
+        Tables.orders(s, dir), out, Seq("o_totalprice"), files = 8)
+      s.read.parquet(out)
+        .filter(col("o_totalprice") < 100000)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
     // S9 — partitioned layout round-trip: write orders partitioned by
     // status, read back ONE partition (directory pruning exercised; the
     // pruning itself is pinned in WritersSpec), aggregate.
@@ -1274,6 +1290,12 @@ object SparkEntry {
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         | FROM orders GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
+
+    "q85_range_sorted_roundtrip" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        | FROM orders WHERE o_totalprice < 100000""".stripMargin,
 
     "q45_partitioned_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -40,6 +40,27 @@ class WritersSpec extends SparkSpec {
     assert(scanned.forall(_.contains("o_orderpriority=1-URGENT")))
   }
 
+  test("range-sorted layout clusters a range predicate into few files") {
+    val orders = Tables.orders(spark, sf0001)
+    val sorted = Files.createTempDirectory("rs").toString + "/sorted"
+    val shuffled = Files.createTempDirectory("rs").toString + "/shuffled"
+    Writers.writeRangeSorted(orders, sorted, Seq("o_totalprice"), files = 8)
+    // adversarial baseline: same file count, rows scattered by hash
+    orders.repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(shuffled)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("o_totalprice") < 50000)
+        .select(input_file_name()).distinct().count()
+    // rows survive intact...
+    assert(spark.read.parquet(sorted).count() == orders.count())
+    // ...and the narrow range concentrates in a fraction of the files
+    // while the hash layout spreads it across (nearly) all of them
+    assert(filesTouched(sorted) < filesTouched(shuffled),
+      s"sorted=${filesTouched(sorted)} shuffled=${filesTouched(shuffled)}")
+    assert(filesTouched(sorted) <= 3)
+  }
+
   test("format coverage: JSON and ORC round-trip the star schema") {
     val out = Files.createTempDirectory("fmt").toString
     val nation = Tables.nation(spark, sf0001)
