@@ -126,6 +126,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("q73_price_deciles").contains("Window"))
   }
 
+  test("q83: one strata-keyed window, never a global one") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try planOf("q83_token_budget_sample")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size == 1, plan.take(600))
+    // the cumulative sum must partition by the stratum — a missing
+    // partitionBy would single-partition the whole corpus
+    assert(plan.contains("hashpartitioning(lang"), plan.take(600))
+  }
+
   test("q19: aggregation reads only the needed columns") {
     val scan = scansOf("q19_doc_token_stats").head
     val fields = scan.schema.fieldNames.toSet
