@@ -185,6 +185,34 @@ object TextStats {
       .orderBy(col("id"), col("chunk"))
   }
 
+  /** Vocabulary pruning — the closed-vocab LM preprocessing step:
+    * replace tokens whose CORPUS-WIDE occurrence count is below
+    * `minCount` with `unk`, reassembling each document in token order.
+    * Returns (id, text, n_unk).
+    *
+    * Scale shape: the frequency table is one partial-agg'd groupBy of
+    * 8-byte-ish token rows (|vocab| results — tiny after pruning is
+    * worth doing); the join back is token-keyed, and reassembly is the
+    * same array_sort(collect_list) per document as `chunkDocs` — one
+    * doc-keyed shuffle, bounded by document length. The collect_list
+    * is per document, never per corpus. */
+  def unkRewrite(df: DataFrame, textCol: String, idCol: String,
+                 minCount: Long, unk: String = "<unk>"): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("__n"))
+    tok.join(freq, Seq("t"), "left")
+      .select(col("id"), col("pos"),
+        when(col("__n") >= minCount, col("t")).otherwise(lit(unk)).as("t2"))
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("t2")))),
+          s => s.getField("t2")), " ").as("text"),
+        sum(when(col("t2") === unk, 1L).otherwise(0L)).as("n_unk"))
+  }
+
   /** Within-document repetition ratio (the Gopher boilerplate rule):
     * 1 - distinct_ngrams/total_ngrams per doc. Spam and templated text
     * repeat phrases; clean prose mostly doesn't. Emits (id,

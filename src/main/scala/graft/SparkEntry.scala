@@ -650,6 +650,14 @@ object SparkEntry {
       etlmudah.ml.PricePipeline.predictOne(t, point)
     }),
 
+    // vocabulary pruning: corpus-wide token counts, rare tokens -> <unk>,
+    // documents reassembled in token order
+    "q86_unk_rewrite" -> ((s, dir) =>
+      TextStats.unkRewrite(Tables.documents(s, dir), "text", "doc_id",
+          minCount = 900L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // survivor POLICY over q64's clusters: keep the highest-quality
     // member (n_chars, ties -> lowest id) instead of the min-id canonical
     "q82_dedup_survivor_quality" -> ((s, dir) => {
@@ -1354,6 +1362,22 @@ object SparkEntry {
         | count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens
         |FROM run GROUP BY bucket, bin
         |ORDER BY bucket, bin""".stripMargin,
+
+    "q86_unk_rewrite" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |freq AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+        |rw AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN n >= 900 THEN tok.t ELSE '<unk>' END AS t2
+        |  FROM tok JOIN freq USING (t))
+        |SELECT doc_id, string_agg(t2, ' ' ORDER BY pos) AS text,
+        | sum(CASE WHEN t2 = '<unk>' THEN 1 ELSE 0 END)::BIGINT AS n_unk
+        |FROM rw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same md5-uniform order + next-fit budget cut as the Spark side
     "q83_token_budget_sample" ->

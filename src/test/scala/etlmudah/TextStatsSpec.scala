@@ -186,6 +186,24 @@ class TextStatsSpec extends SparkSpec {
     assert(seqOf(shingles(lit("a b"), 3)) == Seq("a b"))
   }
 
+  test("unkRewrite: corpus-wide counts drive <unk>, token order preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "a rare token")).toDF("doc_id", "text")
+    // corpus counts: the=3, sat=2, cat/on/mat/dog/a/rare/token=1
+    val r = unkRewrite(df, "text", "doc_id", minCount = 2L)
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == (("the <unk> sat <unk> the <unk>", 3L)))
+    assert(r(2L) == (("the <unk> sat", 1L)))
+    assert(r(3L) == (("<unk> <unk> <unk>", 3L)))
+    // minCount=1 is the identity rewrite
+    val id = unkRewrite(df, "text", "doc_id", minCount = 1L)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(id(1L) == "the cat sat on the mat" && id(3L) == "a rare token")
+  }
+
   test("ttrBySlice: pooled TTR separates templated from diverse slices") {
     import spark.implicits._
     val docs = Seq(

@@ -60,6 +60,12 @@ object ManualDrive {
     println(s"ivf pushdown==postfilter: ${ivfNew.collect().toSeq == ivfOld.collect().toSeq}")
     lshNew.show(5)
 
+    println("== unkRewrite (q86): vocab pruning on sf0.001 documents")
+    val uk = etlmudah.text.TextStats.unkRewrite(
+      Tables.documents(spark, dir), "text", "doc_id", minCount = 900L)
+    println(s"q86 rows = ${uk.count()}")
+    uk.orderBy(desc("n_unk")).show(5, truncate = 60)
+
     spark.stop()
   }
 }
