@@ -458,4 +458,33 @@ object Dedup {
       .select(col("train_id"), col("ref_id"), round(col("jac"), 6).as("jaccard"))
       .orderBy(col("train_id"), col("ref_id"))
   }
+
+  /** Per-document contamination FRACTION — the GPT-3/PaLM-style
+    * decontamination rule (different axis than pairwise Jaccard): for
+    * each training document, the fraction of its distinct n-grams that
+    * appear ANYWHERE in the reference corpus. Pairwise Jaccard (q65)
+    * misses a train doc stitched together from many eval documents;
+    * this catches it, because the reference side is pooled into one
+    * gram set before matching. Returns (id, n_grams, n_contaminated,
+    * contam_frac) for every training document.
+    *
+    * Scale shape: both corpora reduce to distinct 8-byte gram-hash rows
+    * (`shingleHashRows`); the reference pool is one partial-agg'd
+    * distinct (|ref vocab| rows, never the ref corpus), and the match
+    * is a single gram-keyed left join — cost O(|train grams| +
+    * |ref vocab|), never |train|x|ref|. The fraction is a ratio of two
+    * exact counts, so the 6-dp round is combine-order-safe. */
+  def contaminationFraction(train: DataFrame, ref: DataFrame,
+                            textCol: String, idCol: String,
+                            shingleN: Int = 3): DataFrame = {
+    val shT = shingleHashRows(train, textCol, idCol, shingleN)
+    val refSet = shingleHashRows(ref, textCol, idCol, shingleN)
+      .select(col("shingle")).distinct()
+    shT.join(refSet.withColumn("__hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_frac",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
 }

@@ -704,6 +704,19 @@ object SparkEntry {
         "text", "doc_id", minJaccard = 0.8)
     }),
 
+    // contamination FRACTION per training doc (GPT-3/PaLM rule): share
+    // of each even-id doc's distinct 3-grams found anywhere in the
+    // pooled odd-id reference corpus
+    "q87_contamination_fraction" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationFraction(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // dedup APPLIED: drop non-canonical cluster members (keep the min
     // doc id per near-dup cluster), report per-source survival — the
     // filter step an actual training-data pipeline ships
@@ -964,6 +977,33 @@ object SparkEntry {
         |           JOIN sizes sb ON sb.doc_id = ref_id
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
         |ORDER BY train_id, ref_id""".stripMargin,
+
+    // same gram construction as q65; reference side pooled to one
+    // distinct gram set, then a gram-keyed left join per train doc
+    "q87_contamination_fraction" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |refset AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 1)
+        |SELECT t.doc_id, count(*) AS n_grams,
+        | sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_contaminated,
+        | round(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |   / count(*), 6) AS contam_frac
+        |FROM sh t LEFT JOIN refset r ON t.g = r.g
+        |WHERE t.doc_id % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q01_headline_orders" ->
       """SELECT count(*) AS n, round(avg(o_totalprice),2) AS avg_value,

@@ -84,6 +84,28 @@ class DedupSpec extends SparkSpec {
     assert(found == truth)
   }
 
+  test("contaminationFraction: hand-computed gram overlap, pooled reference") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "a b c d"),        // grams: "a b c","b c d"
+      (2L, "x y z w"),        // grams: "x y z","y z w"
+      (4L, "a b c x y z q")). // grams: abc,bcx,cxy,xyz,yzq
+      toDF("doc_id", "text")
+    val ref = Seq(
+      (1L, "a b c d e"),      // pooled set gains: abc,bcd,cde
+      (3L, "x y z")).         // pooled set gains: xyz (3 tokens = 1 gram)
+      toDF("doc_id", "text")
+    val r = Dedup.contaminationFraction(train, ref, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) == ((2L, 2L)))  // both grams in ref
+    assert(r(2L) == ((2L, 1L)))  // only "x y z" hits; "y z w" doesn't
+    assert(r(4L) == ((5L, 2L)))  // "a b c" and "x y z" hit; stitched doc caught
+    // pairwise-Jaccard blind spot: doc 4 has jaccard < 0.8 with BOTH refs
+    val pj = Dedup.exactCrossJaccard(train, ref, "text", "doc_id",
+      minJaccard = 0.3)
+    assert(!pj.collect().exists(_.getLong(0) == 4L))
+  }
+
   test("nearDupPairs: degenerate-bucket cap suppresses quadratic blowup") {
     import spark.implicits._
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
