@@ -2,7 +2,8 @@ package etlmudah
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import etlmudah.expr.CosineSimilarity
 
@@ -10,7 +11,16 @@ import etlmudah.expr.CosineSimilarity
   * expressions. Enable with:
   *   .config("spark.sql.extensions", "etlmudah.GraftExtensions")
   * after which `graft_cosine(a, b)` resolves in SQL and via
-  * functions.call_function. */
+  * functions.call_function.
+  *
+  * `graft_bloom_agg` / `graft_might_contain` expose Spark's OWN
+  * codegen'd bloom-filter expressions (the ones the optimizer injects
+  * for runtime row-level filtering, not SQL-registered by default) so
+  * the decontamination operators can build a distributed, mergeable
+  * bloom filter and probe it — no driver-side `stat.bloomFilter`
+  * collect, no UDF. `graft_might_contain`'s filter argument must be a
+  * scalar subquery or literal (the expression enforces this — the
+  * bloom is evaluated once, then inlined). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -18,5 +28,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(value[, estimatedItems[, numBits]])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children.head, children(1))))
   }
 }

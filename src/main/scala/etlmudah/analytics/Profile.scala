@@ -1,0 +1,64 @@
+package etlmudah.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling — the first query anyone runs against an unfamiliar
+  * dataset, and the health check every scheduled pipeline ships: per
+  * column, how many rows, how many nulls, how many distinct values,
+  * and the value range.
+  */
+object Profile {
+
+  /** Per-column profile in ONE aggregate pass over the table: null
+    * count, exact distinct count, and typed min/max (numerics as
+    * double, strings as-is, timestamps formatted) — returned as one
+    * row per column, (col_name, n_rows, n_null, n_distinct, min_num,
+    * max_num, min_str, max_str), ordered by column name.
+    *
+    * Plan shape: the multi-column `countDistinct` set plans as a
+    * single Expand + partial-aggregated hash aggregate — one scan of
+    * the table regardless of column count, with map-side combine on
+    * every measure; the per-column unpivot happens on the ONE result
+    * row (explode of a literal-sized struct array, driver-free). The
+    * Expand multiplies scan rows by the column count before the
+    * partial aggregate, which is the textbook exact-distinct cost; at
+    * 100 TB the dial is `approx_count_distinct` (HLL, no Expand), the
+    * same swap `Analytics.statsByApprox` documents. */
+  def profileTable(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val tsFmt = "yyyy-MM-dd HH:mm:ss"
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val (mnN, mxN, mnS, mxS) = f.dataType match {
+        case _: NumericType =>
+          (min(c).cast("double"), max(c).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case TimestampType =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            date_format(min(c), tsFmt), date_format(max(c), tsFmt))
+        case _ =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            min(c).cast("string"), max(c).cast("string"))
+      }
+      Seq(count(c).as(s"__nn_${f.name}"),
+        countDistinct(c).as(s"__nd_${f.name}"),
+        mnN.as(s"__mnn_${f.name}"), mxN.as(s"__mxn_${f.name}"),
+        mnS.as(s"__mns_${f.name}"), mxS.as(s"__mxs_${f.name}"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perCol = fields.map { f =>
+      struct(lit(f.name).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_${f.name}")).as("n_null"),
+        col(s"__nd_${f.name}").as("n_distinct"),
+        col(s"__mnn_${f.name}").as("min_num"),
+        col(s"__mxn_${f.name}").as("max_num"),
+        col(s"__mns_${f.name}").as("min_str"),
+        col(s"__mxs_${f.name}").as("max_str"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+}

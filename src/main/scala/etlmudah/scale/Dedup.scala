@@ -111,7 +111,8 @@ object Dedup {
     * error; DedupSpec still validates recall against a string-shingle
     * brute force. */
   private[scale] def shingleHashRows(df: DataFrame, textCol: String,
-                                     idCol: String, n: Int): DataFrame = {
+                                     idCol: String, n: Int,
+                                     includeShort: Boolean = true): DataFrame = {
     val tok = df.repartition(col(idCol))
       .select(col(idCol).as("id"),
         posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -125,7 +126,11 @@ object Dedup {
       .select("id", "shingle")
     // short docs (< n tokens): one shingle from the hash of the whole
     // token-hash sequence — same value for identical text, and distinct
-    // from any n-gram (token counts differ)
+    // from any n-gram (token counts differ). Jaccard callers want this
+    // (identical short docs should still pair); strict-n-gram callers
+    // (bloom containment) pass includeShort = false — a doc with < n
+    // tokens HAS no n-gram.
+    if (!includeShort) return grams.distinct()
     val short = df
       .filter(size(TextStats.tokens(col(textCol))) < n)
       .select(col(idCol).as("id"),
@@ -486,5 +491,101 @@ object Dedup {
         sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
       .withColumn("contam_frac",
         round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Bloom-prefiltered exact containment decontamination: ids of train
+    * documents sharing at least one verbatim n-token shingle with the
+    * reference corpus. The RESULT is exact (a confirming semi-join
+    * removes every bloom false positive); the bloom is purely a
+    * prefilter, and it is where the scale win lives: the reference
+    * vocabulary folds into a fixed-size bitset via Spark's own
+    * distributed, mergeable `BloomFilterAggregate` (exposed here as
+    * `graft_bloom_agg` — map-side partial blooms OR-merge, so the
+    * reference corpus never moves), the probe (`graft_might_contain`,
+    * codegen'd) is a per-row projection on the train side, and only the
+    * surviving sliver — true hits plus the bloom's ~1% false positives
+    * — pays the exact shingle-keyed semi-join. Probing 100 TB of train
+    * grams against a 10 GB reference thus shuffles ~nothing instead of
+    * the full train gram stream.
+    *
+    * The bloom travels as an uncorrelated scalar subquery (evaluated
+    * once, inlined as a literal — `might_contain` requires that form);
+    * its size is `expectedItems`-driven and bounded, the same contract
+    * as Spark's own runtime join filters. Strict n-gram semantics:
+    * documents with fewer than `shingleN` tokens have no shingle and
+    * cannot match. */
+  def bloomContaminatedIds(train: DataFrame, ref: DataFrame,
+                           textCol: String, idCol: String,
+                           shingleN: Int = 8,
+                           expectedItems: Long = 4L << 20): DataFrame = {
+    val spark = train.sparkSession
+    shingleHashRows(ref, textCol, idCol, shingleN, includeShort = false)
+      .select(col("shingle")).distinct()
+      .createOrReplaceTempView("__graft_bloom_ref")
+    shingleHashRows(train, textCol, idCol, shingleN, includeShort = false)
+      .createOrReplaceTempView("__graft_bloom_train")
+    spark.sql(
+      s"""WITH cand AS (
+         |  SELECT id, shingle FROM __graft_bloom_train
+         |  WHERE graft_might_contain(
+         |    (SELECT graft_bloom_agg(shingle, ${expectedItems}L)
+         |     FROM __graft_bloom_ref),
+         |    shingle))
+         |SELECT DISTINCT id FROM cand
+         |LEFT SEMI JOIN __graft_bloom_ref r ON cand.shingle = r.shingle
+         |""".stripMargin)
+  }
+
+  /** Duplicate-SPAN coverage — the exact-substring-dedup diagnostic
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, the fraction of its tokens
+    * lying inside some k-token span that also occurs verbatim in a
+    * DIFFERENT document. Pairwise Jaccard scores whole documents; this
+    * measures how much of each document is boilerplate shared with the
+    * rest of the corpus — the quantity suffix-array dedup removes.
+    *
+    * Not a suffix array: every k-gram occurrence is hashed (8-byte
+    * rolling hash over token hashes, gram strings never materialized),
+    * cross-document grams are found with one map-side-combinable
+    * min/max aggregate (min(id) != max(id) beats count(distinct id)),
+    * and per-document covered-token counts come from the classic
+    * fixed-length interval-union trick: sorted duplicate-gram starts
+    * contribute least(k, pos - lag(pos)) each, so the union needs one
+    * doc-keyed window over DUPLICATE STARTS ONLY — never a token-level
+    * mark-and-count. Shuffles: one by doc (tokenize+window, reused),
+    * one by gram hash (8-byte keys), one by doc for the union window.
+    * Documents with fewer than k tokens have no k-spans and report 0.
+    *
+    * Returns (id, n_tokens, n_covered, coverage) per document. */
+  def dupSpanCoverage(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 8): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("id"), col("pos"), xxhash64(col("t")).as("th"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until k).map(j => lead(col("th"), j).over(w))
+    val grams = tok
+      .select(col("id"), col("pos"),
+        xxhash64(col("th") +: leads: _*).as("g"),
+        leads.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+    val dup = grams.groupBy(col("g"))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("g"))
+    val starts = grams.join(dup, Seq("g")).select(col("id"), col("pos"))
+    val cw = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val covered = starts
+      .withColumn("__c", least(lit(k),
+        col("pos") - coalesce(lag(col("pos"), 1).over(cw), col("pos") - k)))
+      .groupBy(col("id")).agg(sum(col("__c")).as("n_covered"))
+    df.select(col(idCol).as("id"),
+        TextStats.tokenCount(col(textCol)).as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("coverage"))
   }
 }

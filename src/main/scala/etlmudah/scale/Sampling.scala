@@ -153,4 +153,47 @@ object Sampling {
     }
     df.filter(hashUniform(col(keyCol), salt) < frac)
   }
+
+  /** Per-stratum document CAP (the RefinedWeb "at most N pages per
+    * domain" rule): keep at most `cap` rows per stratum, chosen in
+    * deterministic md5-uniform order (ties break on the key). A count
+    * quota — unlike `stratifiedSample`'s rate quota — so a stratum with
+    * a million rows and one with twenty both land at <= cap.
+    *
+    * One stratum-keyed window shuffle; never a global sort. A stratum
+    * hot enough that even its (key, uniform) rows skew one reducer is
+    * the AQE-skew case, not a different algorithm. */
+  def capPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                    cap: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashUniform(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Weighted sampling WITHOUT replacement, k winners (Efraimidis &
+    * Spirakis A-Res): rank rows by ln(u)/w — monotone in the classic
+    * u^(1/w) key, so the global top-k by it IS the weighted sample —
+    * and keep the k largest. Deterministic: u is the md5-uniform of the
+    * row key, so the sample is reproducible and oracle-checkable.
+    *
+    * The key is a pure projection and top-k plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows), so cost is one scan — no global sort, no shuffle of the
+    * corpus. The key is rounded to 12 dp before ranking so a last-ulp
+    * ln()/division difference between engines cannot flip the k-th
+    * boundary; u is floored at 1e-12 so a zero uniform (p = 2^-32 per
+    * row — real at corpus scale) cannot produce -Infinity.
+    *
+    * Returns the winners with their ranking key as `ares_key`. Weights
+    * must be strictly positive. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    val u = greatest(hashUniform(col(keyCol), salt), lit(1e-12))
+    val key = round(log(u) / col(weightCol).cast("double"), 12)
+    df.withColumn("ares_key", key)
+      .orderBy(col("ares_key").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

@@ -150,6 +150,33 @@ object TextStats {
       col("punct_ratio"), reason.as("verdict")) ++ carryCols.map(col)): _*)
   }
 
+  /** Quality-filter FUNNEL — the observability twin of `qualityFilter`:
+    * per-slice survivor counts after each rule stage, applied in order
+    * (the report every production filter stack ships, because "we kept
+    * 61%" is useless without knowing WHICH rule ate the other 39%).
+    * Same profile pass as `qualityFilter` — one explode + one
+    * aggregate — then a handful of codegen'd conditional sums; adding
+    * the funnel costs no extra shuffle over the filter itself. */
+  def filterFunnel(df: DataFrame, textCol: String, idCol: String,
+                   stopwords: Seq[String], sliceCol: String,
+                   minTokens: Long = 10, maxTokens: Long = 100000,
+                   minStopRatio: Double = 0.01,
+                   maxPunctRatio: Double = 0.2): DataFrame = {
+    val prof = docTokenProfile(df, textCol, idCol, stopwords,
+      langs = Seq("und" -> Nil), carryCols = Seq(sliceCol))
+    val p1 = col("n_tokens") >= minTokens
+    val p2 = p1 && col("n_tokens") <= maxTokens
+    val p3 = p2 && col("stop_ratio") >= minStopRatio
+    val p4 = p3 && col("punct_ratio") <= maxPunctRatio
+    prof.groupBy(col(sliceCol)).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(p1, 1)).as("after_min_len"),
+        count(when(p2, 1)).as("after_max_len"),
+        count(when(p3, 1)).as("after_stopwords"),
+        count(when(p4, 1)).as("after_punct"))
+      .orderBy(col(sliceCol))
+  }
+
   /** Sliding token-window chunking — the op feeding embedding and
     * context-window pipelines: chunk k covers token positions
     * [k*stride, k*stride + chunkTokens). With stride < chunkTokens

@@ -506,6 +506,18 @@ object SparkEntry {
           round(avg(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy(col("verdict"))),
 
+    // one-pass table profiler: per-column nulls / exact distincts /
+    // typed min-max over orders (single Expand + hash aggregate)
+    "q93_profile_orders" -> ((s, dir) =>
+      etlmudah.analytics.Profile.profileTable(Tables.orders(s, dir))),
+
+    // funnel report over q48's rule stack: per-source survivors after
+    // each ordered rule — which rule eats the corpus, by slice
+    "q92_filter_funnel" -> ((s, dir) =>
+      TextStats.filterFunnel(Tables.documents(s, dir), "text", "doc_id",
+        qualityStops, sliceCol = "source", minTokens = 30,
+        maxTokens = 100000, minStopRatio = 0.03, maxPunctRatio = 0.05)),
+
     // TF-IDF term scores for a bounded doc subset, ordered by (doc,
     // term) — never by the float score — so 1-ulp ln() differences
     // can't flip row order (score VALUES are compared, rounded 4dp)
@@ -626,6 +638,25 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))),
 
+    // per-source document cap (RefinedWeb "at most N pages per domain"):
+    // count quota per stratum in deterministic md5-uniform order
+    "q89_source_cap" -> ((s, dir) =>
+      etlmudah.scale.Sampling.capPerStratum(Tables.documents(s, dir),
+          "doc_id", "source", cap = 15, salt = "cap")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))),
+
+    // weighted sampling without replacement (A-Res): 50 winners by
+    // ln(u)/n_chars — long docs proportionally likelier, deterministic
+    "q90_weighted_sample" -> ((s, dir) =>
+      etlmudah.scale.Sampling.weightedSample(Tables.documents(s, dir),
+          "doc_id", "n_chars", k = 50, salt = "ws")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          round(col("ares_key"), 6).as("ares_key"))
+        .orderBy(col("ares_key").desc, col("doc_id").asc)),
+
     // M1-M8 — RF price pipeline feature importances (no SQL oracle:
     // tree ensembles have no DuckDB twin; invariants in PricePipelineSpec)
     "q33_ml_importances" -> ((s, dir) => {
@@ -713,6 +744,35 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1),
           "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // duplicate-SPAN coverage (the suffix-array-dedup diagnostic):
+    // per-source share of tokens inside verbatim 8-token spans shared
+    // with another document, pooled ratio + heavily-duplicated count
+    "q88_dup_span_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dupSpanCoverage(docs, "text", "doc_id", k = 8)
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("n_covered")).cast("double") / sum(col("n_tokens")), 6)
+            .as("dup_coverage"),
+          count(when(col("n_covered").cast("double") / col("n_tokens") >= 0.5, 1))
+            .as("n_half_dup"))
+        .orderBy(col("source"))
+    }),
+
+    // bloom-prefiltered exact containment decontamination: train docs
+    // (even ids) sharing a verbatim 8-gram with the reference corpus
+    // (odd ids); result exact, bloom only prunes the probe stream
+    "q91_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomContaminatedIds(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", shingleN = 8)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -977,6 +1037,45 @@ object SparkEntry {
         |           JOIN sizes sb ON sb.doc_id = ref_id
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
         |ORDER BY train_id, ref_id""".stripMargin,
+
+    // string grams stand in for the engine's rolling hashes (same
+    // equality); the interval-union lag trick is shared verbatim
+    "q88_dup_span_coverage" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, t.i AS pos, array_to_string(arr[t.i:t.i+7], ' ') AS g
+        |  FROM tokarr, unnest(generate_series(1, len(arr) - 7)) AS t(i)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+        |ds AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        |contrib AS (SELECT doc_id,
+        |  least(8, pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+        |                          pos - 8)) AS c
+        |  FROM ds),
+        |cov AS (SELECT doc_id, sum(c) AS n_covered FROM contrib GROUP BY doc_id),
+        |n AS (SELECT doc_id, source,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | round(sum(coalesce(n_covered, 0))::DOUBLE / sum(n_tokens), 6)
+        |   AS dup_coverage,
+        | sum(CASE WHEN coalesce(n_covered, 0)::DOUBLE / n_tokens >= 0.5
+        |          THEN 1 ELSE 0 END)::BIGINT AS n_half_dup
+        |FROM n LEFT JOIN cov USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the bloom is invisible to the oracle — it only prunes; the exact
+    // semantics are "shares any verbatim 8-gram with the odd-id corpus"
+    "q91_bloom_decontaminate" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(arr[t.i:t.i+7], ' ') AS g
+        |  FROM tokarr, unnest(generate_series(1, len(arr) - 7)) AS t(i)),
+        |refg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 1)
+        |SELECT DISTINCT doc_id FROM grams JOIN refg USING (g)
+        |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
 
     // same gram construction as q65; reference side pooled to one
     // distinct gram set, then a gram-keyed left join per train doc
@@ -1376,6 +1475,61 @@ object SparkEntry {
         | round(avg(n_tokens), 4) AS avg_tokens
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q93_profile_orders" ->
+      """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        | count(*) - count(o_custkey) AS n_null,
+        | count(DISTINCT o_custkey) AS n_distinct,
+        | min(o_custkey)::DOUBLE AS min_num, max(o_custkey)::DOUBLE AS max_num,
+        | NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        | count(DISTINCT o_orderdate), NULL::DOUBLE, NULL::DOUBLE,
+        | strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        | strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        | count(DISTINCT o_orderkey),
+        | min(o_orderkey)::DOUBLE, max(o_orderkey)::DOUBLE,
+        | NULL::VARCHAR, NULL::VARCHAR FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        | count(DISTINCT o_orderpriority), NULL::DOUBLE, NULL::DOUBLE,
+        | min(o_orderpriority), max(o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        | count(DISTINCT o_orderstatus), NULL::DOUBLE, NULL::DOUBLE,
+        | min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        | count(DISTINCT o_totalprice),
+        | min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE,
+        | NULL::VARCHAR, NULL::VARCHAR FROM orders
+        |ORDER BY col_name""".stripMargin,
+
+    // q48's profile expressions verbatim; the funnel is cumulative
+    // conditional counts in rule order
+    "q92_filter_funnel" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  string_split_regex(trim(text), '\s+') AS toks,
+        |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+        |    / nullif(length(text), 0) AS pr
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to')))::DOUBLE
+        |      / len(toks) ELSE 0.0 END AS sr,
+        |  coalesce(pr, 0.0) AS pr FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | sum(CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END)::BIGINT
+        |   AS after_min_len,
+        | sum(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000
+        |          THEN 1 ELSE 0 END)::BIGINT AS after_max_len,
+        | sum(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000 AND sr >= 0.03
+        |          THEN 1 ELSE 0 END)::BIGINT AS after_stopwords,
+        | sum(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000 AND sr >= 0.03
+        |          AND pr <= 0.05 THEN 1 ELSE 0 END)::BIGINT AS after_punct
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
     "q51_similarity_profile" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50)
@@ -1540,6 +1694,32 @@ object SparkEntry {
         |WHERE u < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
         |               WHEN 'fr' THEN 0.25 ELSE 0.1 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q89_source_cap" ->
+      """WITH u AS (SELECT source, doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rn
+        |  FROM u)
+        |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
+        |FROM r WHERE rn <= 15
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // same A-Res construction: u floored at 1e-12, key rounded to 12 dp
+    // BEFORE ranking (ulp armor), display rounding to 6 dp after
+    "q90_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, lang, source, n_chars,
+        |  greatest(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0, 1e-12) AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, source, n_chars,
+        |  round(ln(u) / n_chars, 12) AS ares
+        |  FROM u),
+        |win AS (SELECT * FROM k ORDER BY ares DESC, doc_id ASC LIMIT 50)
+        |SELECT doc_id, lang, source, n_chars, round(ares, 6) AS ares_key
+        |FROM win ORDER BY ares_key DESC, doc_id ASC""".stripMargin,
 
     // Multimodal stub plumbing: media = utf8(text), so n_bytes is the
     // utf8 length, frameSample yields 4 frames when len >= 4, and the

@@ -203,4 +203,53 @@ class DedupSpec extends SparkSpec {
     assert(dist.filter(_._2 == 100L).map(_._1) == (100L to 159L).toSet)
     assert(dist.filter(_._2 == 7L).map(_._1) == Set(7L, 9L, 11L))
   }
+
+  test("dupSpanCoverage: interval union over duplicated k-gram starts") {
+    import spark.implicits._
+    // docs 1 and 2 share the 4-token run "a b c d": with k=3 the dup
+    // grams are (a b c) and (b c d); their overlapping spans must union
+    // to 4 covered tokens, not 6
+    val df = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "q r a b c d"),
+      (3L, "m n o p qq rr")
+    ).toDF("doc_id", "text")
+    val cov = Dedup.dupSpanCoverage(df, "text", "doc_id", k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cov(1L) == ((7L, 4L)))
+    assert(cov(2L) == ((6L, 4L)))
+    assert(cov(3L) == ((6L, 0L)))
+  }
+
+  test("bloomContaminatedIds: exact hits survive, bloom only prunes, short docs exempt") {
+    import spark.implicits._
+    val train = Seq(
+      (2L, "t1 t2 a b c d e f g h t3"),  // contains ref's 8-gram
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // no shared gram
+      (6L, "a b c")                       // < 8 tokens: cannot match
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (1L, "zz a b c d e f g h yy"),
+      (3L, "a b c")                       // identical short doc — still no 8-gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomContaminatedIds(train, ref, "text", "doc_id",
+      shingleN = 8).collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L))
+  }
+
+  test("bloomContaminatedIds: matches the unbloomed shingle join on real docs") {
+    val docsF = Tables.documents(spark, sf0001)
+    val train = docsF.filter(col("doc_id") % 2 === 0)
+    val ref = docsF.filter(col("doc_id") % 2 === 1)
+    val got = Dedup.bloomContaminatedIds(train, ref, "text", "doc_id",
+      shingleN = 8).collect().map(_.getLong(0)).toSet
+    // ground truth: the same strict-8-gram semi-join without the bloom
+    val refG = Dedup.shingleHashRows(ref, "text", "doc_id", 8,
+      includeShort = false).select("shingle").distinct()
+    val expect = Dedup.shingleHashRows(train, "text", "doc_id", 8,
+        includeShort = false)
+      .join(refG, Seq("shingle"), "left_semi")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
 }

@@ -147,4 +147,38 @@ class SamplingSpec extends SparkSpec {
       assert(ratio > 0.25 && ratio < 0.75, s"$lang ratio $ratio")
     }
   }
+
+  test("capPerStratum: count quota per stratum, deterministic, column order kept") {
+    val full = Tables.documents(spark, sf0001)
+    val capped = Sampling.capPerStratum(full, "doc_id", "source", cap = 7,
+      salt = "t")
+    val per = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // 25 docs per source at sf0.001: every source saturates the cap
+    assert(per.length == 20 && per.forall(_._2 == 7L), per.toSeq.toString)
+    val ids = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.capPerStratum(full, "doc_id", "source", cap = 7,
+      salt = "t").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+    assert(capped.columns.toSeq == full.columns.toSeq)
+  }
+
+  test("weightedSample: matches a local replay of the A-Res key exactly") {
+    val sized = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    val got = Sampling.weightedSample(sized, "doc_id", "n_chars", k = 25,
+      salt = "t").select("doc_id").collect().map(_.getLong(0)).toSet
+    // local replay of the identical md5-uniform + ln(u)/w + 12-dp key
+    val expect = sized.collect().map { r =>
+      val (id, w) = (r.getLong(0), r.getLong(1))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + "t").getBytes("UTF-8"))
+      val u32 = md.take(4).map(b => (b & 0xff).toLong)
+        .foldLeft(0L)((acc, b) => (acc << 8) | b)
+      val u = math.max(u32.toDouble / 4294967296.0, 1e-12)
+      val key = BigDecimal(math.log(u) / w)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, key)
+    }.sortBy { case (id, key) => (-key, id) }.take(25).map(_._1).toSet
+    assert(got == expect)
+  }
 }

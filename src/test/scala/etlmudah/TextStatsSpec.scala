@@ -223,4 +223,27 @@ class TextStatsSpec extends SparkSpec {
     assert(proseTok == 10 && proseTypes == 10 && proseTtr == 1.0)
     assert(spamTtr < proseTtr)
   }
+
+  test("filterFunnel: stages shrink monotonically; last stage == qualityFilter keeps") {
+    val docs = etlmudah.Tables.documents(spark, sf0001)
+    val stops = Seq("the", "a", "of", "and", "to")
+    val funnel = filterFunnel(docs, "text", "doc_id", stops,
+      sliceCol = "source", minTokens = 30, maxTokens = 100000,
+      minStopRatio = 0.03, maxPunctRatio = 0.05).collect()
+    funnel.foreach { r =>
+      val stages = (1 to 5).map(r.getLong)
+      stages.sliding(2).foreach { case Seq(a, b) =>
+        assert(a >= b, s"${r.getString(0)}: $stages not monotone")
+      }
+    }
+    val keeps = qualityFilter(docs, "text", "doc_id", stops,
+        minTokens = 30, maxTokens = 100000, minStopRatio = 0.03,
+        maxPunctRatio = 0.05, carryCols = Seq("source"))
+      .filter(col("verdict") === "keep").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    funnel.foreach { r =>
+      assert(r.getLong(5) == keeps.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)}: funnel end != keep count")
+    }
+  }
 }
