@@ -218,6 +218,69 @@ object Similarity {
       .orderBy(col("qid").asc, col("rank").asc)
   }
 
+  /** Distributed Lloyd refinement — the full-corpus scale path layered
+    * over the FAISS-style sampled quantizer. `trainQuantizer`'s bounded
+    * sample is the right COST recipe at any corpus size, but a 4096-row
+    * sample can under-represent a skewed 100 TB corpus; this starts from
+    * those centroids and runs `rounds` exact Lloyd iterations over every
+    * vector. Per round: one corpus scan (broadcast centroids, codegen'd
+    * cosine argmax reusing the q38 assignment shape) plus one
+    * explode-form partial-aggregated (cid, dim) sum — the corpus never
+    * shuffles; only k x dims aggregated doubles return to the driver,
+    * which is driver-sized BY DEFINITION (the centroid table is the
+    * model). Same bounded-collect contract as `trainQuantizer`.
+    *
+    * Returns (cid, cvec, n_members, cohesion) where cohesion is the
+    * mean cosine of a centroid's members to it — the per-list quality
+    * dial that decides nprobe. No SQL oracle exists (iterative,
+    * seed-initialized); invariants live in SimilaritySpec. */
+  def kmeansRefine(embeddings: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int = 16, rounds: Int = 3, seed: Long = 42,
+                   sampleCap: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    var cents = trainQuantizer(vecs, nlist, iters = 10, seed, sampleCap)
+    val dims = cents.head.length
+    for (_ <- 0 until rounds) {
+      val centroids = cents.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq.toDF("cid", "cvec")
+      val sums = vecs.crossJoin(broadcast(centroids))
+        .select(col("id"), col("vec"), col("cid"),
+          cosineFast(col("vec"), col("cvec")).as("csim"))
+        .groupBy(col("id"))
+        .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+          first(col("vec")).as("vec"))
+        .select(col("cid"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val acc = Array.fill(cents.length, dims)(0.0)
+      val cnt = new Array[Long](cents.length)
+      sums.foreach { r =>
+        acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        cnt(r.getInt(0)) = r.getLong(3)
+      }
+      cents = Array.tabulate(cents.length)(c =>
+        if (cnt(c) > 0) acc(c).map(v => (v / cnt(c)).toFloat) else cents(c))
+    }
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cid", "cvec")
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"), col("cvec"),
+        cosineFast(col("vec"), col("cvec")).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("cvec"), col("csim")),
+        struct(col("csim"), -col("cid"))).as("b"))
+      .select(col("b.cid").as("cid"), col("b.cvec").as("cvec"),
+        col("b.csim").as("csim"))
+      .groupBy(col("cid"))
+      .agg(first(col("cvec")).as("cvec"),
+        count(lit(1)).as("n_members"),
+        round(avg(col("csim")), 6).as("cohesion"))
+      .orderBy(col("cid"))
+  }
+
   /** Neighborhood profile for a bounded probe set: exact max cosine and
     * count of neighbors at/above `simThreshold` per probe — the
     * diagnostic run before choosing ANN parameters (nlist/nprobe, LSH

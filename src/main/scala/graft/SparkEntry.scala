@@ -811,6 +811,14 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))),
 
+    // distributed Lloyd refinement of the IVF quantizer: per-list size
+    // + cohesion after full-corpus rounds (no SQL oracle — iterative,
+    // seed-initialized; invariants in SimilaritySpec)
+    "q94_kmeans_refine" -> ((s, dir) =>
+      Similarity.kmeansRefine(Tables.embeddings(s, dir), "vec_id",
+          "embedding", nlist = 8, rounds = 2)
+        .select(col("cid"), col("n_members"), col("cohesion"))),
+
     // int8 embedding quantization fidelity by label (the 4x-memory ANN
     // sizing study; explode + window + one aggregate, no HOFs)
     "q77_embedding_quantize" -> ((s, dir) =>

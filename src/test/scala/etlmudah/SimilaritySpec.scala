@@ -117,4 +117,33 @@ class SimilaritySpec extends SparkSpec {
       assert(avgQ >= 0 && avgQ <= 127, s"avg_abs_q $avgQ")
     }
   }
+
+  test("kmeansRefine: full-corpus Lloyd rounds improve a starved quantizer") {
+    import spark.implicits._
+    // three well-separated axis blobs, deterministic jitter (no RNG);
+    // a sampleCap of 3 starves the initial quantizer so refinement has
+    // real work to do
+    val blobs = (0 until 60).map { i =>
+      val c = i % 3
+      val jit = 0.05f * ((i * 37) % 10) / 10f
+      val v = Array.fill(4)(jit)
+      v(c) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    def pooled(rounds: Int): Double = {
+      val rows = Similarity.kmeansRefine(blobs, "vec_id", "embedding",
+        nlist = 3, rounds = rounds, sampleCap = 3).collect()
+      assert(rows.map(_.getLong(2)).sum == 60L)
+      assert(rows.length <= 3 && rows.nonEmpty)
+      rows.map(r => r.getLong(2) * r.getDouble(3)).sum / 60.0
+    }
+    val before = pooled(0)
+    val after = pooled(4)
+    // Lloyd is monotone-ish but only locally optimal: demand no
+    // regression and a sane absolute level, not global optimality
+    assert(after >= before - 1e-9, s"cohesion fell: $before -> $after")
+    assert(after >= 0.5, s"refined pooled cohesion $after")
+    // deterministic: same seed + data -> identical report
+    assert(pooled(4) == after)
+  }
 }
