@@ -115,4 +115,35 @@ object Upsert {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__chg", tsCol)
   }
+
+  /** Snapshot CDC diff — the audit companion to `upsert`: classify
+    * every key across two snapshots of the same table as `inserted`
+    * (key only in `next`), `deleted` (only in `base`), `updated` (in
+    * both, some `compareCols` value differs, null-safely), or
+    * `unchanged`. This is how a pipeline without a transactional table
+    * format derives a change feed from periodic full extracts.
+    *
+    * One null-safe full-outer join on the key — both sides shuffle
+    * once, co-partitioned, no broadcast assumption; the comparison is a
+    * codegen'd per-row projection. Both snapshots must be key-unique
+    * (they are table snapshots). Returns the key columns + `change`. */
+  def snapshotDiff(base: DataFrame, next: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val b = base.select((keys ++ compareCols).map(c => col(c).as(s"__b_$c"))
+      :+ lit(true).as("__in_b"): _*)
+    val n = next.select((keys ++ compareCols).map(c => col(c).as(s"__n_$c"))
+      :+ lit(true).as("__in_n"): _*)
+    val joinCond = keys.map(k => col(s"__b_$k") <=> col(s"__n_$k")).reduce(_ && _)
+    val inB = coalesce(col("__in_b"), lit(false))
+    val inN = coalesce(col("__in_n"), lit(false))
+    val same = compareCols.map(c => col(s"__b_$c") <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val change = when(inB && !inN, "deleted")
+      .when(!inB && inN, "inserted")
+      .when(same, "unchanged")
+      .otherwise("updated")
+    b.join(n, joinCond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"__b_$k"), col(s"__n_$k")).as(k))
+        :+ change.as("change"): _*)
+  }
 }

@@ -136,6 +136,26 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // CDC snapshot diff: change feed derived from two full extracts —
+    // %10==3 keys vanish (deleted), %10==0 reprice (updated), shifted
+    // %10==7 keys appear (inserted), the rest unchanged
+    "q95_snapshot_diff" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val next = orders.filter(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+      Upsert.snapshotDiff(orders, next, Seq("o_orderkey"),
+          Seq("o_custkey", "o_totalprice", "o_orderpriority"))
+        .groupBy(col("change")).agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("change"))
+    }),
+
     // S8/J1 — partial-column merge (the reference's ON CONFLICT ... DO
     // UPDATE SET <mutable cols>): matched keys refresh o_totalprice and
     // batch_ts ONLY — the batch's clobbered o_orderpriority must NOT
@@ -1220,6 +1240,21 @@ object SparkEntry {
         |      ELSE o_totalprice END AS o_totalprice,
         | o_orderpriority, epoch_us(o_orderdate) AS o_date_us
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the diff is synthesized deterministically from orders, so the
+    // change classes are closed-form over the key
+    "q95_snapshot_diff" ->
+      """SELECT change, count(*) AS n_keys, sum(o_orderkey)::BIGINT AS key_sum
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'deleted'
+        |         WHEN o_orderkey % 10 = 0 THEN 'updated'
+        |         ELSE 'unchanged' END AS change
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'inserted'
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |GROUP BY change ORDER BY change""".stripMargin,
 
     // matched keys: price+1000 and batch_ts refresh, priority PRESERVED
     // from base (the batch's X-REINGEST never appears); %10=3 keys insert

@@ -73,4 +73,21 @@ class UpsertSpec extends SparkSpec {
     val upd = Upsert.updates(base, batch, Seq("id")).collect().map(_.getLong(0)).toSet
     assert(ins == Set(3L) && upd == Set(2L))
   }
+
+  test("snapshotDiff: all four classes; null values compare null-safely") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, None), (4L, Option("d"))
+    ).toDF("id", "v")
+    val next = Seq(
+      (1L, Option("a")),   // unchanged
+      (2L, Option("b2")),  // updated
+      (3L, None),          // unchanged: null <=> null
+      (5L, Option("e"))    // inserted; 4 deleted
+    ).toDF("id", "v")
+    val out = Upsert.snapshotDiff(base, next, Seq("id"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "updated",
+      3L -> "unchanged", 4L -> "deleted", 5L -> "inserted"))
+  }
 }
