@@ -55,6 +55,45 @@ object Joins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Join-key skew report — the diagnostic run BEFORE reaching for
+    * `saltedJoin` or AQE skew splits: the `topK` hottest keys with
+    * their row counts, share of the table, and multiple-of-the-average
+    * (`x_avg`; a key at x_avg >> shuffle-partition count is the one
+    * that melts a reducer). One map-side-combined count aggregate +
+    * a broadcast one-row total + a TakeOrderedAndProject of k rows —
+    * no global sort, nothing driver-side. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__tot"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt") * 100.0 / col("__tot"), 6).as("share_pct"),
+        round(col("cnt").cast("double") * col("__nkeys") / col("__tot"), 6)
+          .as("x_avg"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
+  /** Referential-integrity (FK coverage) check: how many child rows
+    * reference a key actually present in the parent — null FKs, orphan
+    * rows, and the coverage ratio. The data-quality gate run after
+    * every load. Parent side reduces to its DISTINCT key before the
+    * join (|parent keys| rows, never the parent table); one equi-join
+    * + one aggregate, both partial-aggregated. */
+  def fkCoverage(child: DataFrame, parent: DataFrame,
+                 childKey: String, parentKey: String): DataFrame = {
+    val p = parent.select(col(parentKey).as("__pk")).distinct()
+    child.select(col(childKey).as("__fk"))
+      .join(p, col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("__fk").isNull, 1)).as("n_null_fk"),
+        count(when(col("__fk").isNotNull && col("__pk").isNull, 1))
+          .as("n_orphans"),
+        round(count(col("__pk")).cast("double") / count(lit(1)), 6)
+          .as("coverage"))
+  }
+
   /** AS-OF join: for each left row, the single most recent right row with
     * the same key and right.ts <= left.ts (inclusive) — last-touch
     * attribution, point-in-time feature lookup, slowly-changing-dimension

@@ -136,6 +136,18 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // join-key skew report: the hottest keys with share + multiple-of-
+    // average — the pre-salting diagnostic (q70 is the cure)
+    "q96_skew_report" -> ((s, dir) =>
+      Joins.skewReport(Tables.events(s, dir), "user_id", topK = 10)),
+
+    // referential-integrity gate: lineitem FK coverage against a parent
+    // with every 7th part removed (synthesized orphans)
+    "q97_fk_coverage" -> ((s, dir) =>
+      Joins.fkCoverage(Tables.lineitem(s, dir),
+        Tables.part(s, dir).filter(col("p_partkey") % 7 =!= 0),
+        "l_partkey", "p_partkey")),
+
     // CDC snapshot diff: change feed derived from two full extracts —
     // %10==3 keys vanish (deleted), %10==0 reprice (updated), shifted
     // %10==7 keys appear (inserted), the rest unchanged
@@ -1240,6 +1252,24 @@ object SparkEntry {
         |      ELSE o_totalprice END AS o_totalprice,
         | o_orderpriority, epoch_us(o_orderdate) AS o_date_us
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q96_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS tot, count(*) AS nkeys FROM c)
+        |SELECT user_id, cnt, round(cnt * 100.0 / tot, 6) AS share_pct,
+        | round(cnt::DOUBLE * nkeys / tot, 6) AS x_avg
+        |FROM c, t ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "q97_fk_coverage" ->
+      """SELECT count(*) AS n_rows,
+        | sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_null_fk,
+        | sum(CASE WHEN l_partkey IS NOT NULL AND p.p_partkey IS NULL
+        |          THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+        | round(count(p.p_partkey)::DOUBLE / count(*), 6) AS coverage
+        |FROM lineitem l LEFT JOIN
+        | (SELECT DISTINCT p_partkey FROM part WHERE p_partkey % 7 <> 0) p
+        | ON l.l_partkey = p.p_partkey""".stripMargin,
 
     // the diff is synthesized deterministically from orders, so the
     // change classes are closed-form over the key

@@ -54,4 +54,26 @@ class JoinsSpec extends SparkSpec {
       .agg(count(lit(1)), round(sum("o_totalprice"), 2)).collect().head
     assert(plain == salted)
   }
+
+  test("skewReport: hot key surfaces with correct share and x_avg") {
+    import spark.implicits._
+    // 10 rows of key 1, one row each of keys 2..6 -> 15 rows, 6 keys
+    val df = (Seq.fill(10)(1L) ++ (2L to 6L)).map(Tuple1(_)).toDF("k")
+    val top = Joins.skewReport(df, "k", topK = 2).collect()
+    assert(top.length == 2)
+    val hot = top.head
+    assert(hot.getLong(0) == 1L && hot.getLong(1) == 10L)
+    assert(math.abs(hot.getDouble(2) - 10 * 100.0 / 15) < 1e-6)
+    assert(math.abs(hot.getDouble(3) - 4.0) < 1e-6) // 10 / (15/6 avg)
+  }
+
+  test("fkCoverage: orphans, null FKs, and coverage ratio") {
+    import spark.implicits._
+    val child = Seq(Option(1L), Option(1L), Option(2L), Option(9L), None)
+      .map(Tuple1(_)).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("pk")
+    val r = Joins.fkCoverage(child, parent, "fk", "pk").collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    assert(math.abs(r.getDouble(3) - 0.6) < 1e-9)
+  }
 }
