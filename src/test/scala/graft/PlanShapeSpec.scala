@@ -103,10 +103,13 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin is legitimate exactly where the build side
     // is a bounded frame by construction: q57's single-row corpus size,
     // q27's single query vector, q51's probe set, q38's nlist-row
-    // centroid table, q79's single-row percentile bounds. Anything
-    // else — and any CartesianProduct — is an accident this pins against.
+    // centroid table, q79's single-row percentile bounds, q96's
+    // single-row grand-total, q94's nlist-row refined centroids, q93's
+    // two single-row profile aggregates. Anything else — and any
+    // CartesianProduct — is an accident this pins against.
     val bnljAllowed = Set("q57_tfidf", "q27_cosine_topk",
-      "q51_similarity_profile", "q38_ivf_topk", "q79_price_deciles_scale")
+      "q51_similarity_profile", "q38_ivf_topk", "q79_price_deciles_scale",
+      "q96_skew_report", "q94_kmeans_refine", "q93_profile_orders")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
