@@ -370,6 +370,68 @@ object Similarity {
       .orderBy(col("qid").asc, col("rank").asc)
   }
 
+  /** SemDeDup-style semantic deduplication (cluster-then-dedup, after
+    * the published LAION/C4 recipe): every vector is assigned to its
+    * nearest coarse-quantizer centroid, and cosine near-duplicates are
+    * searched WITHIN each cluster only — the quadratic refine is
+    * bounded by cluster size, which is exactly the cost envelope the
+    * method is built on (k clusters make per-cluster cost ~(n/k)^2,
+    * never n^2; at 100 TB you raise `nlist`, not the join size).
+    *
+    * Output is the DROP LIST: (vec_id, kept_by, max_cos) where a
+    * vector drops when a cluster-mate with a SMALLER id sits at/above
+    * `simThreshold`, and `kept_by` is its most-similar such mate (ties
+    * -> lowest id). The min-id survivor rule makes the result
+    * deterministic, and it guarantees no two SURVIVORS in the same
+    * cluster are >= threshold (if x < y both survived with cos(x,y) >=
+    * t, y would have dropped — contradiction).
+    *
+    * `maxClusterSize` guards the quadratic against a degenerate
+    * quantizer: oversized clusters are capped to a deterministic
+    * hash-ordered slice (the same contract as the LSH bucket cap in
+    * Dedup). No SQL oracle exists (k-means assignment has no DuckDB
+    * twin); precision/containment/determinism invariants live in
+    * SimilaritySpec. */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    simThreshold: Double, nlist: Int = 16,
+                    seed: Long = 42, sampleCap: Int = 4096,
+                    maxClusterSize: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val centArr = trainQuantizer(vecs, nlist, iters = 10, seed, sampleCap)
+    val centroids = centArr.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cid", "cvec")
+    // q38's assignment shape: broadcast centroids, codegen'd cosine,
+    // map-side-combined argmax reusing the repartition(id) exchange
+    val assigned = vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        cosineFast(col("vec"), col("cvec")).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("vec")).as("vec"))
+    val capped = assigned.withColumn("__rn",
+        row_number().over(Window.partitionBy(col("cid"))
+          .orderBy(xxhash64(col("id"), lit(seed)), col("id"))))
+      .filter(col("__rn") <= maxClusterSize).drop("__rn")
+    val left = capped.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val right = capped.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    left.join(right, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("vec_id"), col("id_a").as("keep_id"),
+        round(cosineFast(col("vec_a"), col("vec_b")), 6).as("cos"))
+      .filter(col("cos") >= simThreshold)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("keep_id"), struct(col("cos"), -col("keep_id")))
+          .as("kept_by"),
+        max(col("cos")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Symmetric per-vector int8 quantization fidelity report — the sizing
     * study behind every quantized ANN index (4x memory cut vs float32):
     * each vector is scaled by max|x|/127, elements round to [-127,127],

@@ -437,6 +437,14 @@ object SparkEntry {
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), "vec_id",
         "embedding", minCosine = 0.5)),
 
+    // SemDeDup: cluster-then-dedup semantic near-dup drop list (no SQL
+    // oracle: k-means assignment has no DuckDB twin; precision and
+    // single-cluster equivalence are spec'd in SimilaritySpec). 0.35 on
+    // near-random testdata keeps the drop list small but non-vacuous.
+    "q100_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+        "embedding", simThreshold = 0.35, nlist = 8)),
+
     // IVF ANN: k-means coarse quantizer + probe-limited refine (no SQL
     // oracle: k-means assignment has no DuckDB twin; recall-verified in
     // SimilaritySpec)

@@ -146,4 +146,53 @@ class SimilaritySpec extends SparkSpec {
     // deterministic: same seed + data -> identical report
     assert(pooled(4) == after)
   }
+
+  test("semanticDedup: precision, min-id survivor rule, determinism") {
+    val emb = etlmudah.Tables.embeddings(spark, sf0001)
+    val tau = 0.35
+    val drops = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      simThreshold = tau, nlist = 8).collect()
+    assert(drops.nonEmpty)
+    // survivor rule: kept_by is always an earlier id
+    drops.foreach(r => assert(r.getLong(1) < r.getLong(0), r.toString))
+    // precision: every reported (vec_id, kept_by) really sits at/above
+    // the threshold, and max_cos matches a recompute
+    val byId = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    drops.foreach { r =>
+      val c = cos(byId(r.getLong(0)), byId(r.getLong(1)))
+      assert(c >= tau - 1e-6, s"reported pair below threshold: $r ($c)")
+      assert(math.abs(c - r.getDouble(2)) < 1e-5, s"max_cos drifted: $r vs $c")
+    }
+    // determinism: same seed + data -> identical drop list
+    val again = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      simThreshold = tau, nlist = 8).collect()
+    assert(drops.toSeq == again.toSeq)
+  }
+
+  test("semanticDedup: single cluster equals the brute-force greedy rule") {
+    val emb = etlmudah.Tables.embeddings(spark, sf0001)
+    val tau = 0.35
+    // nlist = 1 removes the cluster restriction, so the drop list must
+    // equal the global greedy min-id rule computed by brute force
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        simThreshold = tau, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val want = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ib").as("vec_id"), col("ia").as("keep_id"),
+        round(Similarity.cosineFast(col("va"), col("vb")), 6).as("c"))
+      .filter(col("c") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("keep_id"), struct(col("c"), -col("keep_id")))
+        .as("kept_by"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want)
+  }
 }
