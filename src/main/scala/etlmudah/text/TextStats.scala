@@ -177,6 +177,76 @@ object TextStats {
       .orderBy(col(sliceCol))
   }
 
+  /** Gopher-rule quality report: the published heuristic rule stack
+    * (word-count bounds, mean-word-length bounds, alphabetic-word
+    * fraction, symbol-to-word ratio, bullet-line and ellipsis-line
+    * fractions) evaluated per document, reported as INDEPENDENT
+    * per-rule pass counts per corpus slice — the complement of
+    * `filterFunnel`'s cumulative view (a funnel tells you which rule
+    * fired first; this tells you how each rule would prune on its own).
+    *
+    * Shape: line-level metrics are whole-text regexp counts computed
+    * BEFORE the token explode (codegen'd, no second explode); word
+    * metrics ride the same one-explode-one-aggregate profile as
+    * `docTokenProfile`; the report is one further slice aggregate of
+    * codegen'd conditional sums. Two shuffles total (doc ids, then
+    * slices), both map-side combined — scan-dominated at any corpus
+    * size. Same non-null `textCol` precondition as `docTokenProfile`. */
+  def gopherStats(df: DataFrame, textCol: String, idCol: String,
+                  sliceCol: String,
+                  minTokens: Long = 50, maxTokens: Long = 100000,
+                  minMeanWordLen: Double = 3.0,
+                  maxMeanWordLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3): DataFrame = {
+    val base = df.repartition(col(idCol)).select(
+      col(idCol).as("id"), col(sliceCol).as("__slice"),
+      col(textCol).as("__text"),
+      size(split(col(textCol), "\n", -1)).cast("double").as("__nl"),
+      regexp_count(col(textCol), lit("(^|\n)[ \t]*[-*•]"))
+        .cast("double").as("__bul"),
+      regexp_count(col(textCol), lit("\\.\\.\\.(\n|$)"))
+        .cast("double").as("__ell"),
+      (regexp_count(col(textCol), lit("#")) +
+        regexp_count(col(textCol), lit("\\.\\.\\.")))
+        .cast("double").as("__sym"))
+    val tok = base.select(col("id"), col("__slice"), col("__nl"),
+      col("__bul"), col("__ell"), col("__sym"),
+      explode(tokens(col("__text"))).as("__t"))
+    val perDoc = tok.groupBy(col("id")).agg(
+      first(col("__slice")).as("__slice"),
+      first(col("__nl")).as("__nl"),
+      first(col("__bul")).as("__bul"),
+      first(col("__ell")).as("__ell"),
+      first(col("__sym")).as("__sym"),
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("__t"))).as("__sum_len"),
+      sum(when(col("__t").rlike("[A-Za-z]"), 1L).otherwise(0L))
+        .as("__alpha_hits"))
+    val n = col("n_tokens").cast("double")
+    val mwl = col("__sum_len").cast("double") / n
+    val pLen = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
+    val pMwl = mwl >= minMeanWordLen && mwl <= maxMeanWordLen
+    val pAlpha = col("__alpha_hits").cast("double") / n >= minAlphaFrac
+    val pSym = col("__sym") / n <= maxSymbolRatio
+    val pBul = col("__bul") / col("__nl") <= maxBulletFrac
+    val pEll = col("__ell") / col("__nl") <= maxEllipsisFrac
+    perDoc.groupBy(col("__slice").as(sliceCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(pLen, 1L).otherwise(0L)).as("pass_len"),
+        sum(when(pMwl, 1L).otherwise(0L)).as("pass_word_len"),
+        sum(when(pAlpha, 1L).otherwise(0L)).as("pass_alpha"),
+        sum(when(pSym, 1L).otherwise(0L)).as("pass_symbol"),
+        sum(when(pBul, 1L).otherwise(0L)).as("pass_bullet"),
+        sum(when(pEll, 1L).otherwise(0L)).as("pass_ellipsis"),
+        sum(when(pLen && pMwl && pAlpha && pSym && pBul && pEll, 1L)
+          .otherwise(0L)).as("pass_all"),
+        round(avg(mwl), 4).as("avg_word_len"))
+      .orderBy(col(sliceCol))
+  }
+
   /** Sliding token-window chunking — the op feeding embedding and
     * context-window pipelines: chunk k covers token positions
     * [k*stride, k*stride + chunkTokens). With stride < chunkTokens

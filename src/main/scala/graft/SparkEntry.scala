@@ -558,6 +558,13 @@ object SparkEntry {
         qualityStops, sliceCol = "source", minTokens = 30,
         maxTokens = 100000, minStopRatio = 0.03, maxPunctRatio = 0.05)),
 
+    // Gopher-rule report: independent per-rule pass counts by source
+    // (the complement of q92's cumulative funnel). minTokens=30 keeps
+    // the length rule non-vacuous on the short synthetic docs.
+    "q98_gopher_rules" -> ((s, dir) =>
+      TextStats.gopherStats(Tables.documents(s, dir), "text", "doc_id",
+        sliceCol = "source", minTokens = 30)),
+
     // TF-IDF term scores for a bounded doc subset, ordered by (doc,
     // term) — never by the float score — so 1-ulp ln() differences
     // can't flip row order (score VALUES are compared, rounded 4dp)
@@ -1609,6 +1616,46 @@ object SparkEntry {
         |          THEN 1 ELSE 0 END)::BIGINT AS after_stopwords,
         | sum(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000 AND sr >= 0.03
         |          AND pr <= 0.05 THEN 1 ELSE 0 END)::BIGINT AS after_punct
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Gopher rules: word stats over the same \s+ tokenization; line
+    // stats via the identical regexes (RE2 and java.util.regex agree on
+    // these patterns — no flags, no backrefs)
+    "q98_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT source,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |      / len(toks) AS mwl,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |      / len(toks) AS alpha_frac,
+        |    (len(regexp_extract_all(text, '#')) +
+        |     len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+        |      / len(toks) AS sym_ratio,
+        |    len(regexp_extract_all(text, '(^|\n)[ \t]*[-*•]'))::DOUBLE
+        |      / len(string_split(text, chr(10))) AS bullet_frac,
+        |    len(regexp_extract_all(text, '\.\.\.(\n|$)'))::DOUBLE
+        |      / len(string_split(text, chr(10))) AS ellipsis_frac
+        |  FROM t)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000
+        |     THEN 1 ELSE 0 END)::BIGINT AS pass_len,
+        | sum(CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+        |     THEN 1 ELSE 0 END)::BIGINT AS pass_word_len,
+        | sum(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END)::BIGINT
+        |   AS pass_alpha,
+        | sum(CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END)::BIGINT
+        |   AS pass_symbol,
+        | sum(CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END)::BIGINT
+        |   AS pass_bullet,
+        | sum(CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END)::BIGINT
+        |   AS pass_ellipsis,
+        | sum(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000
+        |     AND mwl >= 3.0 AND mwl <= 10.0 AND alpha_frac >= 0.8
+        |     AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+        |     AND ellipsis_frac <= 0.3 THEN 1 ELSE 0 END)::BIGINT AS pass_all,
+        | round(avg(mwl), 4) AS avg_word_len
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     "q51_similarity_profile" ->

@@ -246,4 +246,30 @@ class TextStatsSpec extends SparkSpec {
         s"${r.getString(0)}: funnel end != keep count")
     }
   }
+
+  test("gopherStats: each rule catches its crafted violator independently") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy sleeping dog " * 5
+    val docs = Seq(
+      (1L, good, "s"),                                  // passes everything
+      (2L, "too short", "s"),                           // fails len only
+      (3L, ("a " * 60).trim, "s"),                      // fails mean word len (1.0)
+      (4L, (1000 to 1059).map(_.toString).mkString(" "), "s"), // fails alpha frac
+      (5L, good + " " + "### ... ### ... ### ... ### ... ### ... ### end", "s"),
+      (6L, (1 to 10).map(_ => "- bullet line of text here now ok").mkString("\n"), "s"),
+      (7L, (1 to 10).map(_ =>
+        "a much longer line of ordinary prose text that keeps going for " +
+          "quite a while before trailing off into dots ...").mkString("\n"), "s")
+    ).toDF("doc_id", "text", "source")
+    val r = gopherStats(docs, "text", "doc_id", "source", minTokens = 20)
+      .collect().head
+    assert(r.getLong(1) == 7)                           // n_docs
+    assert(r.getLong(2) == 6, s"pass_len ${r.getLong(2)}")
+    assert(r.getLong(3) == 6, s"pass_word_len ${r.getLong(3)}")
+    assert(r.getLong(4) == 6, s"pass_alpha ${r.getLong(4)}")
+    assert(r.getLong(5) == 6, s"pass_symbol ${r.getLong(5)}")
+    assert(r.getLong(6) == 6, s"pass_bullet ${r.getLong(6)}")
+    assert(r.getLong(7) == 6, s"pass_ellipsis ${r.getLong(7)}")
+    assert(r.getLong(8) == 1, s"pass_all ${r.getLong(8)}")
+  }
 }
