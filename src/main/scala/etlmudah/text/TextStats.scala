@@ -247,6 +247,50 @@ object TextStats {
       .orderBy(col(sliceCol))
   }
 
+  /** Unigram-LM quality scoring — the oracle-checkable little sibling
+    * of the KenLM/CCNet perplexity filter: a unigram language model is
+    * trained on the corpus itself (token -> ln(count/total)), every
+    * document is scored by its length-weighted mean token
+    * log-probability, and the report aggregates per slice (documents
+    * full of rare tokens score low; templated/common text scores high
+    * — the CCNet head/middle/tail dial).
+    *
+    * Shape: one explode into a (doc, token, m) term-frequency
+    * aggregate; the vocabulary and its grand total DERIVE from that
+    * same aggregate (no second corpus scan). The occurrence join is
+    * tf-to-vocab on the token key with a broadcast hint — vocabulary
+    * size is corpus-bounded (Heaps' law), and broadcasting it sidesteps
+    * the severe key skew a shuffled token join would have (every "the"
+    * row landing on one reducer). At vocabularies too big to broadcast,
+    * drop the hint and let AQE's skew-join split the hot keys — the
+    * tf shape (one row per DISTINCT (doc, token)) already bounds the
+    * skew to one row per document. Per-doc scores round to 6dp, slice
+    * aggregates to 4dp (double-sum combine order, same convention as
+    * q57's tfidf). */
+  def unigramScore(df: DataFrame, textCol: String, idCol: String,
+                   sliceCol: String): DataFrame = {
+    val tok = df.repartition(col(idCol)).select(
+      col(idCol).as("id"), col(sliceCol).as("__slice"),
+      explode(tokens(col(textCol))).as("__t"))
+    val tf = tok.groupBy(col("id"), col("__t")).agg(
+      first(col("__slice")).as("__slice"), count(lit(1)).as("__m"))
+    val vocab = tf.groupBy(col("__t")).agg(sum(col("__m")).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt")).as("__total"))
+    val perDoc = tf.join(broadcast(vocab), Seq("__t"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id")).agg(
+        first(col("__slice")).as("__slice"),
+        round(
+          sum(col("__m") * (log(col("__cnt")) - log(col("__total")))) /
+            sum(col("__m")), 6).as("doc_lp"))
+    perDoc.groupBy(col("__slice").as(sliceCol)).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("doc_lp")), 4).as("avg_logprob"),
+        round(min(col("doc_lp")), 6).as("min_logprob"),
+        round(max(col("doc_lp")), 6).as("max_logprob"))
+      .orderBy(col(sliceCol))
+  }
+
   /** Sliding token-window chunking — the op feeding embedding and
     * context-window pipelines: chunk k covers token positions
     * [k*stride, k*stride + chunkTokens). With stride < chunkTokens

@@ -565,6 +565,13 @@ object SparkEntry {
       TextStats.gopherStats(Tables.documents(s, dir), "text", "doc_id",
         sliceCol = "source", minTokens = 30)),
 
+    // unigram-LM log-prob scoring per source (the perplexity-filter
+    // proxy): LM trained on the corpus itself, docs scored by mean
+    // token log-probability
+    "q99_unigram_logprob" -> ((s, dir) =>
+      TextStats.unigramScore(Tables.documents(s, dir), "text", "doc_id",
+        sliceCol = "source")),
+
     // TF-IDF term scores for a bounded doc subset, ordered by (doc,
     // term) — never by the float score — so 1-ulp ln() differences
     // can't flip row order (score VALUES are compared, rounded 4dp)
@@ -1617,6 +1624,27 @@ object SparkEntry {
         | sum(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000 AND sr >= 0.03
         |          AND pr <= 0.05 THEN 1 ELSE 0 END)::BIGINT AS after_punct
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // unigram LM: same tf shape; ln on identical integer inputs agrees
+    // across engines, and 6dp doc / 4dp slice rounding absorbs
+    // double-sum combine order (q57's convention)
+    "q99_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, source, t, count(*)::BIGINT AS m
+        |  FROM tok GROUP BY doc_id, source, t),
+        |vocab AS (SELECT t AS vt, sum(m)::BIGINT AS cnt FROM tf GROUP BY t),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+        |doc AS (SELECT doc_id, source,
+        |    round(sum(m * (ln(cnt) - ln(total))) / sum(m), 6) AS doc_lp
+        |  FROM tf JOIN vocab ON tf.t = vocab.vt CROSS JOIN tot
+        |  GROUP BY doc_id, source)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | round(avg(doc_lp), 4) AS avg_logprob,
+        | round(min(doc_lp), 6) AS min_logprob,
+        | round(max(doc_lp), 6) AS max_logprob
+        |FROM doc GROUP BY source ORDER BY source""".stripMargin,
 
     // Gopher rules: word stats over the same \s+ tokenization; line
     // stats via the identical regexes (RE2 and java.util.regex agree on

@@ -247,6 +247,21 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("unigramScore: common-token docs outscore rare-token docs; exact unigram math") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common common", "hi"),
+      (2L, "common common common common common", "hi"),
+      (3L, "rare1 rare2 rare3 rare4 rare5", "lo")
+    ).toDF("doc_id", "text", "source")
+    val r = unigramScore(docs, "text", "doc_id", "source")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    // total = 15 tokens; "common" has count 10, each rare token count 1
+    assert(math.abs(r("hi") - math.log(10.0 / 15)) < 1e-3, r.toString)
+    assert(math.abs(r("lo") - math.log(1.0 / 15)) < 1e-3, r.toString)
+    assert(r("hi") > r("lo") && r.values.forall(_ < 0))
+  }
+
   test("gopherStats: each rule catches its crafted violator independently") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy sleeping dog " * 5

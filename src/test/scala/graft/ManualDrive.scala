@@ -19,10 +19,10 @@ object ManualDrive {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
 
-    println("== q98 gopher rules on sf0.01, dumped for DuckDB comparison")
-    val q = SparkEntry.queries("q98_gopher_rules")(spark, dir)
+    println("== q99 unigram logprob on sf0.01, dumped for DuckDB comparison")
+    val q = SparkEntry.queries("q99_unigram_logprob")(spark, dir)
     q.show(25)
-    q.coalesce(1).write.mode("overwrite").parquet("/tmp/q98_spark")
+    q.coalesce(1).write.mode("overwrite").parquet("/tmp/q99_spark")
 
     spark.stop()
   }
