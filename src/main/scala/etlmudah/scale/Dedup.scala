@@ -44,6 +44,37 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Incremental exact dedup — the arriving-batch twin of `exactDedup`,
+    * the shape every continuously-crawled corpus needs (re-deduping
+    * 100 TB from scratch per batch is not a plan): classifies each
+    * batch document as 'new' (first sighting anywhere), 'dup_corpus'
+    * (fingerprint already present in the base corpus), or 'dup_batch'
+    * (absent from the corpus, but a batch-mate with a smaller id
+    * carries the same fingerprint — the deterministic min-id winner
+    * rule of `exactDedup`, applied within the batch).
+    *
+    * Cost: one shuffle of each side on the 16-byte fingerprint; the
+    * corpus reduces to DISTINCT fingerprints before the left join
+    * (fingerprint-set semi-join — at scale this is the only corpus
+    * state the operator needs, so it can be a maintained fingerprint
+    * table rather than a rescan of the raw text). */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String,
+                       carryCols: Seq[String] = Nil): DataFrame = {
+    val b = batch.select((Seq(col(idCol).as("id"),
+      TextStats.fingerprint(col(textCol)).as("__fp")) ++
+      carryCols.map(col)): _*)
+    val c = corpus.select(TextStats.fingerprint(col(textCol)).as("__fp"))
+      .distinct().withColumn("__in_corpus", lit(true))
+    val w = Window.partitionBy(col("__fp")).orderBy(col("id").asc)
+    b.join(c, Seq("__fp"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .select((Seq(col("id"),
+        when(col("__in_corpus"), lit("dup_corpus"))
+          .when(col("__rn") > 1, lit("dup_batch"))
+          .otherwise(lit("new")).as("status")) ++ carryCols.map(col)): _*)
+  }
+
   /** Per-document LSH band hashes via distributed MinHash. Returns
     * (id, n_shingles, band, bhash); documents with zero shingles drop
     * out.

@@ -262,6 +262,30 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // incremental dedup of an arriving batch vs the standing corpus.
+    // The testdata has no exact twins, so the batch synthesizes each
+    // class: %5==0 re-crawls (dup_corpus), %5==1 with a novel suffix
+    // (new), %5==2 twinned under two ids (first=new, second=dup_batch).
+    "q101_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("source"))
+        .unionAll(docs.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" novel suffix")).as("text"), col("source")))
+        .unionAll(docs.filter(col("doc_id") % 5 === 2)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            concat(col("text"), lit(" batch twin")).as("text"), col("source")))
+        .unionAll(docs.filter(col("doc_id") % 5 === 2)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" batch twin")).as("text"), col("source")))
+      Dedup.incrementalDedup(batch, docs, "text", "doc_id",
+          carryCols = Seq("source"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("status"))
+    }),
+
     // MinHash LSH near-duplicate pairs (no SQL oracle: probabilistic
     // candidate generation; verified by recall tests in DedupSpec)
     "q25_near_dup_pairs" -> ((s, dir) =>
@@ -1402,6 +1426,33 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id FROM documents
         | GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         | ORDER BY doc_id""".stripMargin,
+
+    // same synthesized batch; status logic replicated with the q24
+    // fingerprint and a min-id window within the batch
+    "q101_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 10000 AS id, text, source
+        |    FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 20000, text || ' novel suffix', source
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT doc_id + 30000, text || ' batch twin', source
+        |    FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL SELECT doc_id + 40000, text || ' batch twin', source
+        |    FROM documents WHERE doc_id % 5 = 2),
+        |b AS (SELECT id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM batch),
+        |lab AS (SELECT id, source,
+        |    CASE WHEN fp IN (SELECT fp FROM corpus) THEN 'dup_corpus'
+        |         WHEN row_number() OVER (PARTITION BY fp ORDER BY id) > 1
+        |           THEN 'dup_batch'
+        |         ELSE 'new' END AS status
+        |  FROM b)
+        |SELECT source, status, count(*)::BIGINT AS n_docs
+        |FROM lab GROUP BY source, status ORDER BY source, status""".stripMargin,
 
     "q27_cosine_topk" ->
       """SELECT vec_id,

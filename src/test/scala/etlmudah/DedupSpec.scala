@@ -252,4 +252,21 @@ class DedupSpec extends SparkSpec {
       .select("id").distinct().collect().map(_.getLong(0)).toSet
     assert(got == expect && got.nonEmpty)
   }
+
+  test("incrementalDedup: corpus hit, batch twin, and first sighting classify correctly") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA  beta gamma"),   // normalizes to corpus doc 1 -> dup_corpus
+      (11L, "fresh new words"),     // first sighting -> new
+      (12L, "twin text here"),      // first of a batch pair -> new
+      (13L, "twin  TEXT here"),     // same fingerprint, larger id -> dup_batch
+      (14L, "another new one")      // new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "dup_corpus", 11L -> "new", 12L -> "new",
+      13L -> "dup_batch", 14L -> "new"), got.toString)
+  }
 }

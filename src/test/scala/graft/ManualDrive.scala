@@ -19,10 +19,10 @@ object ManualDrive {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
 
-    println("== q99 unigram logprob on sf0.01, dumped for DuckDB comparison")
-    val q = SparkEntry.queries("q99_unigram_logprob")(spark, dir)
+    println("== q101 incremental dedup on sf0.01, dumped for DuckDB comparison")
+    val q = SparkEntry.queries("q101_incremental_dedup")(spark, dir)
     q.show(25)
-    q.coalesce(1).write.mode("overwrite").parquet("/tmp/q99_spark")
+    q.coalesce(1).write.mode("overwrite").parquet("/tmp/q101_spark")
 
     spark.stop()
   }
