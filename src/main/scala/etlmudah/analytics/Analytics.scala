@@ -253,4 +253,72 @@ object Analytics {
       .select(col(a), col(b), col("grp_a"), col("grp_b"), col("n"), col("total"))
       .orderBy(col("grp_a").asc, col("grp_b").asc,
         col(a).asc_nulls_first, col(b).asc_nulls_first)
+
+  /** Robust (median/MAD) outlier report per group — the screen that
+    * survives the skewed heavy-tailed value distributions where
+    * mean/stddev z-scores drown (one whale order inflates sigma until
+    * nothing is an outlier). Flags |x - median| > k * 1.4826 * MAD
+    * (1.4826 scales MAD to sigma under normality; k=3 is the
+    * conventional fence).
+    *
+    * Two grouped aggregate passes (median, then MAD of residuals) and
+    * one flagging pass, joined back on the group key — the two joins
+    * reuse the same hash partitioning, and exact `percentile` matches
+    * DuckDB's `quantile_cont` bit-for-bit (q08's precedent). At 100 TB
+    * swap the exact medians for `approx_percentile` — same plan, no
+    * sort-based aggregate — the q52/q79 dial convention.
+    *
+    * `fence` is the FULL multiplier on MAD (k * 1.4826 for a k-sigma
+    * fence, e.g. 4.4478 ~= 3 sigma) passed as ONE literal so external
+    * engines replaying the rule parse the identical double — a k *
+    * 1.4826 product would fold in decimal arithmetic in DuckDB but
+    * binary doubles here, and a 1-ulp fence difference flips
+    * borderline rows. */
+  def robustOutliers(df: DataFrame, key: String, value: Column,
+                     fence: Double = 4.4478): DataFrame = {
+    val v = value.cast("double")
+    val med = df.groupBy(col(key)).agg(percentile(v, lit(0.5)).as("med"))
+    val mad = df.join(med, Seq(key))
+      .groupBy(col(key)).agg(
+        percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+    df.join(med, Seq(key)).join(mad, Seq(key))
+      .groupBy(col(key)).agg(
+        count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(v - col("med")) > lit(fence) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_pct",
+        round(col("n_outliers") * 100.0 / col("n"), 4))
+      .orderBy(col(key))
+  }
+
+  /** Chi-square test of independence over a two-column contingency
+    * table: observed cell counts vs the expected n_a*n_b/N under
+    * independence, the per-cell contribution, and the total statistic
+    * with degrees of freedom — the drift/association screen run between
+    * categorical columns before trusting a mixture change.
+    *
+    * One hash aggregate to the contingency cells (|A|x|B| rows — small
+    * by definition for categoricals), then window sums over that
+    * aggregated frame only (never over the raw table; same discipline
+    * as W2's percent-of-total). */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("obs"))
+    val wa = Window.partitionBy(col(a))
+    val wb = Window.partitionBy(col(b))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("__na", sum(col("obs")).over(wa))
+      .withColumn("__nb", sum(col("obs")).over(wb))
+      .withColumn("__n", sum(col("obs")).over(wAll))
+      .withColumn("expected",
+        col("__na").cast("double") * col("__nb") / col("__n"))
+      .withColumn("contrib",
+        pow(col("obs") - col("expected"), 2) / col("expected"))
+      .select(col(a), col(b), col("obs"),
+        round(col("expected"), 4).as("expected"),
+        round(col("contrib"), 6).as("contrib"))
+      .orderBy(col(a), col(b))
+  }
 }

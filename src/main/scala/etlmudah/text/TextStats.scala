@@ -291,6 +291,36 @@ object TextStats {
       .orderBy(col(sliceCol))
   }
 
+  /** Sequence-length distribution — the report every training pipeline
+    * publishes before fixing a context length or packing strategy: per
+    * slice, documents bucketed by power-of-two token count (bucket b
+    * holds [2^b, 2^(b+1))), with doc counts, token mass, and the
+    * within-slice share. Buckets come from the binary digit count of
+    * the integer token count — exact integer arithmetic on both
+    * engines, no floor(log2(x)) float edge cases at the powers of two.
+    * One scan + one map-side-combined aggregate; the share window runs
+    * over the aggregated (slice, bucket) frame only (~60 rows per
+    * slice at any corpus size). */
+  def lengthHistogram(df: DataFrame, textCol: String, idCol: String,
+                      sliceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = df.select(col(sliceCol).as("__slice"),
+      tokenCount(col(textCol)).as("__n"))
+    val bucket = (length(bin(col("__n"))) - 1).cast("long")
+    val lo = pow(lit(2.0), col("bucket")).cast("long")
+    counted.select(col("__slice"), col("__n"), bucket.as("bucket"))
+      .groupBy(col("__slice").as(sliceCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("sum_tokens"))
+      .withColumn("lo", lo)
+      .withColumn("hi", lo * 2 - 1)
+      .withColumn("share_pct",
+        round(col("n_docs") * 100.0 /
+          sum(col("n_docs")).over(Window.partitionBy(col(sliceCol))), 4))
+      .select(col(sliceCol), col("bucket"), col("lo"), col("hi"),
+        col("n_docs"), col("sum_tokens"), col("share_pct"))
+      .orderBy(col(sliceCol), col("bucket"))
+  }
+
   /** Sliding token-window chunking — the op feeding embedding and
     * context-window pipelines: chunk k covers token positions
     * [k*stride, k*stride + chunkTokens). With stride < chunkTokens

@@ -596,6 +596,27 @@ object SparkEntry {
       TextStats.unigramScore(Tables.documents(s, dir), "text", "doc_id",
         sliceCol = "source")),
 
+    // sequence-length distribution: power-of-two token buckets per
+    // source with within-slice shares
+    "q102_length_histogram" -> ((s, dir) =>
+      TextStats.lengthHistogram(Tables.documents(s, dir), "text",
+        "doc_id", sliceCol = "source")),
+
+    // robust median/MAD outlier fence per order priority (the screen
+    // that survives heavy tails where mean/stddev z-scores drown).
+    // fence=1.78 (~1.2 sigma) because TPC-H totalprice is bounded
+    // uniform-ish — the conventional 3-sigma fence flags nothing here.
+    "q103_robust_outliers" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.robustOutliers(
+        Tables.orders(s, dir), "o_orderpriority", col("o_totalprice"),
+        fence = 1.78)),
+
+    // chi-square independence cells for priority x status (categorical
+    // association/drift screen)
+    "q104_chi_square" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.chiSquare(
+        Tables.orders(s, dir), "o_orderpriority", "o_orderstatus")),
+
     // TF-IDF term scores for a bounded doc subset, ordered by (doc,
     // term) — never by the float score — so 1-ulp ln() differences
     // can't flip row order (score VALUES are compared, rounded 4dp)
@@ -1675,6 +1696,59 @@ object SparkEntry {
         | sum(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000 AND sr >= 0.03
         |          AND pr <= 0.05 THEN 1 ELSE 0 END)::BIGINT AS after_punct
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // power-of-two buckets via binary digit count — exact integer
+    // arithmetic, no floor(log2) float edges
+    "q102_length_histogram" ->
+      """WITH t AS (SELECT source,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+        |  FROM documents),
+        |h AS (SELECT source,
+        |    (length(format('{:b}', n)) - 1)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS sum_tokens
+        |  FROM t GROUP BY source, bucket)
+        |SELECT source, bucket, (2**bucket)::BIGINT AS lo,
+        | (2**(bucket+1) - 1)::BIGINT AS hi, n_docs, sum_tokens,
+        | round(n_docs * 100.0 / sum(n_docs) OVER (PARTITION BY source), 4)
+        |   AS share_pct
+        |FROM h ORDER BY source, bucket""".stripMargin,
+
+    // median/MAD fence: quantile_cont == Spark's interpolating
+    // percentile (q08 precedent); the fence multiplier is ONE literal
+    // so both engines parse the identical double
+    "q103_robust_outliers" ->
+      """WITH med AS (SELECT o_orderpriority AS k,
+        |    quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |mad AS (SELECT o_orderpriority AS k,
+        |    quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+        |  FROM orders JOIN med ON o_orderpriority = med.k GROUP BY 1)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n,
+        | round(any_value(med.med), 4) AS med,
+        | round(any_value(mad.mad), 4) AS mad,
+        | sum(CASE WHEN abs(o_totalprice - med.med) > 1.78 * mad.mad
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        | round(sum(CASE WHEN abs(o_totalprice - med.med) > 1.78 * mad.mad
+        |     THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS outlier_pct
+        |FROM orders JOIN med ON o_orderpriority = med.k
+        | JOIN mad ON o_orderpriority = mad.k
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // contingency cells + expected/contrib via window sums over the
+    // aggregated cells only
+    "q104_chi_square" ->
+      """WITH cells AS (SELECT o_orderpriority, o_orderstatus,
+        |    count(*)::BIGINT AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT o_orderpriority, o_orderstatus, obs,
+        |    sum(obs) OVER (PARTITION BY o_orderpriority)::DOUBLE
+        |      * sum(obs) OVER (PARTITION BY o_orderstatus)
+        |      / sum(obs) OVER () AS expected
+        |  FROM cells)
+        |SELECT o_orderpriority, o_orderstatus, obs,
+        | round(expected, 4) AS expected,
+        | round(pow(obs - expected, 2) / expected, 6) AS contrib
+        |FROM e ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
     // unigram LM: same tf shape; ln on identical integer inputs agrees
     // across engines, and 6dp doc / 4dp slice rounding absorbs

@@ -186,4 +186,35 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(ap(b) - c) <= n / 50, s"bucket $b: $c vs ${ap(b)}")
     }
   }
+
+  test("robustOutliers: flags the planted whale, not the tight cluster") {
+    import spark.implicits._
+    val df = (Seq.tabulate(20)(i => ("a", 10.0 + i % 5)) :+ (("a", 1000.0)))
+      .++(Seq.tabulate(21)(i => ("b", 50.0 + i % 3)))
+      .toDF("k", "v")
+    val rows = Analytics.robustOutliers(df, "k", col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(4))).toMap
+    val (na, medA, outA) = rows("a")
+    val (nb, _, outB) = rows("b")
+    assert(na == 21 && nb == 21)
+    assert(medA == 12.0, s"median $medA")
+    assert(outA == 1, s"whale not flagged: $outA")  // only the 1000.0
+    assert(outB == 0, s"false positives in tight group: $outB")
+  }
+
+  test("chiSquare: independent table contributes ~0, dependent table > 0") {
+    import spark.implicits._
+    // perfectly independent 2x2: obs == expected in every cell
+    val indep = (Seq.fill(40)(("x", "p")) ++ Seq.fill(40)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val ci = Analytics.chiSquare(indep, "a", "b").collect()
+    assert(ci.length == 4)
+    ci.foreach(r => assert(r.getDouble(4) == 0.0, r.toString))
+    assert(ci.map(_.getLong(2)).sum == 100)
+    // fully dependent: diagonal only -> large contributions
+    val dep = (Seq.fill(50)(("x", "p")) ++ Seq.fill(50)(("y", "q"))).toDF("a", "b")
+    val cd = Analytics.chiSquare(dep, "a", "b").collect()
+    assert(cd.forall(_.getDouble(4) > 0.0))
+  }
 }

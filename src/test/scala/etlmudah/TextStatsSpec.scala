@@ -247,6 +247,25 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("lengthHistogram: power-of-two buckets partition docs; shares sum to 100") {
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(1, 2, 3, 4, 7, 8, 31, 32).zipWithIndex
+      .map { case (n, i) => (i.toLong, words(n), "s") }
+      .toDF("doc_id", "text", "source")
+    val rows = lengthHistogram(docs, "text", "doc_id", "source").collect()
+    val byBucket = rows.map(r => r.getLong(1) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 1 -> b0; 2,3 -> b1; 4,7 -> b2; 8 -> b3; 31 -> b4; 32 -> b5
+    assert(byBucket.view.mapValues(_._3).toMap ==
+      Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    byBucket.foreach { case (b, (lo, hi, _)) =>
+      assert(lo == (1L << b) && hi == (1L << (b + 1)) - 1)
+    }
+    assert(math.abs(rows.map(_.getDouble(6)).sum - 100.0) < 1e-6)
+    assert(rows.map(_.getLong(4)).sum == 8)
+  }
+
   test("unigramScore: common-token docs outscore rare-token docs; exact unigram math") {
     import spark.implicits._
     val docs = Seq(

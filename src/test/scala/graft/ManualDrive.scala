@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only drive harness: exercises library operators end-to-end on the
   * testdata. Run with `sbt "Test/runMain graft.ManualDrive"`.
@@ -18,12 +17,13 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-
-    println("== q101 incremental dedup on sf0.01, dumped for DuckDB comparison")
-    val q = SparkEntry.queries("q101_incremental_dedup")(spark, dir)
-    q.show(25)
-    q.coalesce(1).write.mode("overwrite").parquet("/tmp/q101_spark")
-
+    for (name <- Seq("q102_length_histogram", "q103_robust_outliers",
+        "q104_chi_square")) {
+      println(s"== $name")
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.show(8)
+      q.coalesce(1).write.mode("overwrite").parquet(s"/tmp/drive_$name")
+    }
     spark.stop()
   }
 }

@@ -105,11 +105,13 @@ class PlanShapeSpec extends SparkSpec {
     // q27's single query vector, q51's probe set, q38's nlist-row
     // centroid table, q79's single-row percentile bounds, q96's
     // single-row grand-total, q94's nlist-row refined centroids, q93's
-    // two single-row profile aggregates. Anything else — and any
-    // CartesianProduct — is an accident this pins against.
+    // two single-row profile aggregates, q99's single-row vocabulary
+    // total. Anything else — and any CartesianProduct — is an accident
+    // this pins against.
     val bnljAllowed = Set("q57_tfidf", "q27_cosine_topk",
       "q51_similarity_profile", "q38_ivf_topk", "q79_price_deciles_scale",
-      "q96_skew_report", "q94_kmeans_refine", "q93_profile_orders")
+      "q96_skew_report", "q94_kmeans_refine", "q93_profile_orders",
+      "q99_unigram_logprob", "q100_semantic_dedup")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
