@@ -321,4 +321,44 @@ object Analytics {
         round(col("contrib"), 6).as("contrib"))
       .orderBy(col(a), col(b))
   }
+
+  /** Trailing-window anomaly screen over a keyed time series: bucket
+    * events to the hour, and score each (key, hour)'s count against
+    * the mean/stddev of the previous `lookback` buckets for that key —
+    * the volume-spike / outage monitor every ingestion pipeline runs.
+    * Only rows with a FULL trailing window are scored (a partial
+    * baseline early in the series would manufacture anomalies).
+    *
+    * Determinism note: the built-in stddev over a window is a
+    * Welford-style incremental whose fp op order is engine-specific —
+    * so the baseline is built from exact INTEGER window sums (sum x,
+    * sum x^2) and the sample variance derives from them in one fixed
+    * double expression, bit-reproducible in any engine that evaluates
+    * the same formula (4dp rounding is display-only).
+    *
+    * Scale: one hash aggregate corpus-wide (events -> |keys|x|hours|
+    * buckets), then one keyed window over the AGGREGATED frame —
+    * window state per key is O(lookback). Hot keys are hot only in
+    * bucket count (bounded by the time range), not event volume. */
+  def anomalyZ(events: DataFrame, tsCol: String, keyCol: String,
+               lookback: Int = 24): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("__hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__hour"))
+      .rowsBetween(-lookback, -1)
+    val n = lit(lookback.toDouble)
+    val mean = col("__s1") / n
+    val variance = (col("__s2") - col("__s1") * col("__s1") / n) / (n - 1)
+    hourly
+      .withColumn("__nw", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("cnt")).over(w).cast("double"))
+      .withColumn("__s2", sum(col("cnt") * col("cnt")).over(w).cast("double"))
+      .filter(col("__nw") === lookback && variance > 0)
+      .select(col(keyCol),
+        unix_micros(col("__hour")).as("hour_us"), col("cnt"),
+        round(mean, 4).as("baseline_mean"),
+        round((col("cnt") - mean) / sqrt(variance), 4).as("z"))
+      .orderBy(col(keyCol), col("hour_us"))
+  }
 }

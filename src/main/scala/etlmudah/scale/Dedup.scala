@@ -264,6 +264,61 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Prefix-filtered exact Jaccard join — the PPJoin-style scale tier
+    * of [[exactJaccardPairs]] (Chaudhuri et al. ICDE'06 / Bayardo et
+    * al. WWW'07 prefix-filtering principle): under a global rare-first
+    * shingle order, any pair with Jaccard >= t must share a shingle
+    * inside both docs' first (n - ceil(t*n) + 1) shingles, so the
+    * candidate join runs on PREFIXES only. Where [[exactJaccardPairs]]
+    * pays sum(df^2) over EVERY shingle — quadratic in the corpus-wide
+    * boilerplate shingles with the heaviest document frequency — the
+    * prefix join, by putting the RAREST shingles in the prefix,
+    * excludes exactly those hot keys from candidate generation. Same
+    * exact output (recall 1.0 by the prefix lemma, verified against
+    * the unfiltered tier in DedupSpec), so q63's oracle applies
+    * verbatim.
+    *
+    * Verify phase: candidate pairs re-join the two full shingle SETS
+    * (collected arrays of 8-byte hashes) and intersect in-row — cost
+    * |candidates| x doc length, the PPJoin verify shape, never an
+    * index-wide rescan. */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3,
+                         minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingleHashRows(df, textCol, idCol, shingleN)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    // global canonical order: document frequency asc (rarest first),
+    // shingle hash as the deterministic tiebreak
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__df").asc, col("shingle").asc)
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("__rk", row_number().over(w))
+      .join(sizes, Seq("id"))
+      .filter(col("__rk") <=
+        col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.select(col("id").as("id_a"), col("shingle"))
+      .join(prefix.select(col("id").as("id_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = sh.groupBy(col("id")).agg(
+      collect_list(col("shingle")).as("__set"),
+      count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("__set").as("__sa"),
+        col("n_sh").as("na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("__set").as("__sb"),
+        col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jac",
+        col("__i").cast("double") / (col("na") + col("nb") - col("__i")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Duplicate-CLUSTER assignment: connected components over a near-dup
     * pair graph by iterative min-label propagation. Each node's label
     * becomes the minimum label among itself and its neighbors until a

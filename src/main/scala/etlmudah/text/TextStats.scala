@@ -569,4 +569,96 @@ object TextStats {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", toks)))
   }
+
+  /** Shannon entropy of the token distribution per slice — the corpus
+    * diversity dial (low entropy = templated/boilerplate-heavy slice,
+    * high = lexically diverse; the signal behind "this crawl slice is
+    * 40% the same cookie banner"). Reported in bits, with the
+    * normalized form entropy/log2(V) in [0,1] for cross-slice
+    * comparison at different vocabulary sizes.
+    *
+    * Math shape: H = log2(T) - sum(m*ln m)/(T*ln 2) over term counts m
+    * with total T — one pass over the (slice, token) frequency table,
+    * all per-term work on exact integers (ln of an integer count is
+    * order-independent), only the final sum subject to combine-order
+    * noise, absorbed by 4dp rounding (q99's convention).
+    *
+    * Scale: one explode + two map-side-combined aggregates; the final
+    * per-slice reduce moves one row per distinct (slice, token) —
+    * Heaps'-law bounded, never corpus-sized. */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String,
+                   sliceCol: String): DataFrame = {
+    val ln2 = math.log(2.0)
+    val tf = df.repartition(col(idCol))
+      .select(col(sliceCol).as("__slice"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__slice"), col("__t"))
+      .agg(count(lit(1)).as("__m"))
+    tf.groupBy(col("__slice").as(sliceCol))
+      .agg(sum(col("__m")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__m") * log(col("__m"))).as("__mlnm"))
+      .withColumn("entropy_bits",
+        round(log(2.0, col("n_tokens")) -
+          col("__mlnm") / (col("n_tokens") * ln2), 4))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          round((log(2.0, col("n_tokens")) -
+            col("__mlnm") / (col("n_tokens") * ln2)) /
+            log(2.0, col("n_distinct")), 4))
+          .otherwise(lit(0.0)))
+      .select(col(sliceCol), col("n_tokens"), col("n_distinct"),
+        col("entropy_bits"), col("norm_entropy"))
+      .orderBy(col(sliceCol))
+  }
+
+  /** Bigram-LM scoring — the conditional upgrade of [[unigramScore]]
+    * and the closest oracle-checkable stand-in for the KenLM
+    * perplexity filter: an MLE bigram model is trained on the corpus
+    * itself (P(w|prev) = c(prev,w)/c(prev,·)), and each document is
+    * scored by the mean log-probability of its bigram transitions.
+    * Because the model is trained on the text being scored, every
+    * observed bigram has count >= 1 — no smoothing needed, and the
+    * math stays exactly reproducible in any SQL engine. Repetitive/
+    * templated text scores near 0 (predictable transitions); documents
+    * of rare transitions score very negative. Docs with < 2 tokens
+    * have no transitions and drop out (counted nowhere — callers
+    * screening for those use the length rules of [[gopherStats]]).
+    *
+    * Shape mirrors [[unigramScore]]: one explode + keyed window builds
+    * the (doc, prev, cur, m) transition-frequency table; corpus bigram
+    * counts AND context totals both derive from that same aggregate
+    * (no second scan). The count joins are token-keyed with broadcast
+    * hints — bigram vocabulary is Heaps'-bounded; at corpora where it
+    * outgrows the broadcast ceiling, drop the hints and AQE's
+    * skew-join splits the hot "the ->" keys, with skew already bounded
+    * to one row per distinct (doc, transition). */
+  def bigramScore(df: DataFrame, textCol: String, idCol: String,
+                  sliceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("__pos"))
+    val trans = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), col(sliceCol).as("__slice"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__cur")))
+      .withColumn("__prev", lag(col("__cur"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    val tf = trans.groupBy(col("id"), col("__prev"), col("__cur")).agg(
+      first(col("__slice")).as("__slice"), count(lit(1)).as("__m"))
+    val big = tf.groupBy(col("__prev"), col("__cur"))
+      .agg(sum(col("__m")).as("__c2"))
+    val ctx = big.groupBy(col("__prev")).agg(sum(col("__c2")).as("__c1"))
+    val perDoc = tf
+      .join(broadcast(big), Seq("__prev", "__cur"))
+      .join(broadcast(ctx), Seq("__prev"))
+      .groupBy(col("id")).agg(
+        first(col("__slice")).as("__slice"),
+        round(sum(col("__m") * (log(col("__c2")) - log(col("__c1")))) /
+          sum(col("__m")), 6).as("doc_lp"))
+    perDoc.groupBy(col("__slice").as(sliceCol)).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("doc_lp")), 4).as("avg_logprob"),
+        round(min(col("doc_lp")), 6).as("min_logprob"),
+        round(max(col("doc_lp")), 6).as("max_logprob"))
+      .orderBy(col(sliceCol))
+  }
 }

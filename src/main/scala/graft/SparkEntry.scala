@@ -617,6 +617,49 @@ object SparkEntry {
       etlmudah.analytics.Analytics.chiSquare(
         Tables.orders(s, dir), "o_orderpriority", "o_orderstatus")),
 
+    // token-distribution entropy per source (corpus diversity /
+    // boilerplate dial)
+    "q105_token_entropy" -> ((s, dir) =>
+      TextStats.tokenEntropy(Tables.documents(s, dir), "text", "doc_id",
+        sliceCol = "source")),
+
+    // bigram conditional LM scoring per source — the KenLM-ish
+    // perplexity-filter proxy, conditional upgrade of q99
+    "q106_bigram_logprob" -> ((s, dir) =>
+      TextStats.bigramScore(Tables.documents(s, dir), "text", "doc_id",
+        sliceCol = "source")),
+
+    // hourly volume anomalies per event type: z-score vs the trailing
+    // 24-hour baseline (the ingestion spike/outage monitor)
+    "q107_hourly_anomaly" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.anomalyZ(
+        Tables.eventsTyped(s, dir), "ts", "event_type", lookback = 24)),
+
+    // prefix-filtered exact Jaccard pairs (PPJoin tier): identical
+    // output to q63, candidates from rare-first prefixes only
+    "q108_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        minJaccard = 0.8)),
+
+    // split-leakage audit: exact near-dup pairs whose members land in
+    // DIFFERENT md5-hash splits — the train/test contamination check
+    // run before any eval on a held-out slice
+    "q109_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val splits = etlmudah.scale.Sampling.hashSplit(docs, "doc_id",
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        .select(col("doc_id"), col("split"))
+      Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8)
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // TF-IDF term scores for a bounded doc subset, ordered by (doc,
     // term) — never by the float score — so 1-ulp ln() differences
     // can't flip row order (score VALUES are compared, rounded 4dp)
@@ -1749,6 +1792,143 @@ object SparkEntry {
         | round(expected, 4) AS expected,
         | round(pow(obs - expected, 2) / expected, 6) AS contrib
         |FROM e ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    // entropy from the same H = log2(T) - sum(m ln m)/(T ln 2) formula:
+    // per-term ln runs on exact integers, only the final double sum is
+    // combine-order sensitive (absorbed at 4dp, q99's convention).
+    // log2 is spelled ln(x)/ln(2) to match Spark's Logarithm(base, x)
+    "q105_token_entropy" ->
+      """WITH tf AS (SELECT source, t, count(*)::BIGINT AS m
+        |  FROM (SELECT source,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS t
+        |        FROM documents)
+        |  GROUP BY source, t),
+        |agg AS (SELECT source, sum(m)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_distinct, sum(m * ln(m)) AS mlnm
+        |  FROM tf GROUP BY source)
+        |SELECT source, n_tokens, n_distinct,
+        | round(ln(n_tokens)/ln(2) - mlnm / (n_tokens * ln(2)), 4)
+        |   AS entropy_bits,
+        | CASE WHEN n_distinct > 1 THEN
+        |   round((ln(n_tokens)/ln(2) - mlnm / (n_tokens * ln(2)))
+        |     / (ln(n_distinct)/ln(2)), 4) ELSE 0.0 END AS norm_entropy
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // bigram LM: transition tf via the pos self-join; MLE on the
+    // corpus itself so every scored bigram has c2>=1 (no smoothing
+    // constant to keep in sync); ln on exact integer counts
+    "q106_bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |bg AS (SELECT a.doc_id, a.source, a.t AS prev, b.t AS cur
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |tf AS (SELECT doc_id, source, prev, cur, count(*)::BIGINT AS m
+        |  FROM bg GROUP BY doc_id, source, prev, cur),
+        |big AS (SELECT prev, cur, sum(m)::BIGINT AS c2
+        |  FROM tf GROUP BY prev, cur),
+        |ctx AS (SELECT prev, sum(c2)::BIGINT AS c1 FROM big GROUP BY prev),
+        |doc AS (SELECT doc_id, source,
+        |    round(sum(m * (ln(c2) - ln(c1))) / sum(m), 6) AS doc_lp
+        |  FROM tf JOIN big USING (prev, cur) JOIN ctx USING (prev)
+        |  GROUP BY doc_id, source)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | round(avg(doc_lp), 4) AS avg_logprob,
+        | round(min(doc_lp), 6) AS min_logprob,
+        | round(max(doc_lp), 6) AS max_logprob
+        |FROM doc GROUP BY source ORDER BY source""".stripMargin,
+
+    // trailing-window z from exact integer window sums (sum x, sum
+    // x^2) — the variance expression is ONE fixed double formula in
+    // both engines, so no Welford order sensitivity
+    "q107_hourly_anomaly" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, h, cnt,
+        |    count(*) OVER tw AS nw,
+        |    CAST(sum(cnt) OVER tw AS DOUBLE) AS s1,
+        |    CAST(sum(cnt*cnt) OVER tw AS DOUBLE) AS s2
+        |  FROM hourly
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, epoch_us(h) AS hour_us, cnt,
+        | round(s1/24.0, 4) AS baseline_mean,
+        | round((cnt - s1/24.0) / sqrt((s2 - s1*s1/24.0) / 23.0), 4) AS z
+        |FROM w WHERE nw = 24 AND (s2 - s1*s1/24.0) / 23.0 > 0
+        |ORDER BY event_type, hour_us""".stripMargin,
+
+    // PPJoin tier returns the identical pair set — q63's oracle applies
+    // verbatim (prefix filtering is lossless by the prefix lemma)
+    "q108_prefix_jaccard" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |           JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q63's pair set joined to the q49 md5 split labels; leaked =
+    // members in different splits
+    "q109_split_leakage" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |             JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       WHEN u < 1.0 THEN 'test' ELSE 'rest' END AS split
+        |  FROM (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 AS u FROM documents))
+        |SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b,
+        | jaccard
+        |FROM pairs JOIN sp sa ON sa.doc_id = id_a
+        |           JOIN sp sb ON sb.doc_id = id_b
+        |WHERE sa.split <> sb.split
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // unigram LM: same tf shape; ln on identical integer inputs agrees
     // across engines, and 6dp doc / 4dp slice rounding absorbs

@@ -217,4 +217,24 @@ class AnalyticsSpec extends SparkSpec {
     val cd = Analytics.chiSquare(dep, "a", "b").collect()
     assert(cd.forall(_.getDouble(4) > 0.0))
   }
+
+  test("anomalyZ: flags a planted spike, skips partial baselines") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 30 hours of steady traffic (alternating 4/6 events/hour so the
+    // baseline variance is nonzero), with hour 28 spiked to 40
+    val rows = (0 until 30).flatMap { h =>
+      val n = if (h == 28) 40 else if (h % 2 == 0) 4 else 6
+      (0 until n).map(i =>
+        (Timestamp.valueOf(f"2024-01-01 ${h % 24}%02d:15:00").toInstant
+          .plusSeconds(h / 24 * 86400L + i), "load"))
+    }.map { case (t, k) => (Timestamp.from(t), k) }.toDF("ts", "key")
+    val out = Analytics.anomalyZ(rows, "ts", "key", lookback = 24)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // first scored hour is hour 24 (full window); 6 scored hours total
+    assert(out.length == 6, s"scored ${out.length}")
+    val zByCnt = out.map(r => (r._2, r._3)).toMap
+    assert(zByCnt(40L) > 10.0, s"spike z ${zByCnt(40L)}")   // the whale
+    assert(out.filter(_._2 != 40L).forall(r => math.abs(r._3) < 2.0))
+  }
 }

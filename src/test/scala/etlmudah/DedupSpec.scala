@@ -156,6 +156,33 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("prefixJaccardPairs: identical output to the unfiltered exact tier") {
+    // the prefix lemma promises recall 1.0 — the PPJoin tier must be
+    // bit-identical to the full inverted-index join on real data
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.prefixJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full)
+    assert(pref.nonEmpty)
+  }
+
+  test("prefixJaccardPairs: exact values on a hand-built corpus") {
+    import spark.implicits._
+    // doc1/doc2 share 9 of 10 shingles (j=9/11≈0.818); doc3 disjoint
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")          // shingles w1..w10 starts
+    val b = (1 to 11).map(i => s"w$i").mkString(" ") + " zz"  // differs in last token
+    val df = Seq((1L, a), (2L, b), (3L, "x y z q r s t u v")).toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardPairs(df, "text", "doc_id", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    val (ia, ib, j) = out.head
+    assert(ia == 1L && ib == 2L)
+    // |A|=10, |B|=10, inter=9 (trigrams starting at w1..w9), union=11
+    assert(math.abs(j - math.rint(9.0 / 11.0 * 1e6) / 1e6) < 1e-9)
+  }
+
   test("dupClusters: min-label components over a known graph") {
     import spark.implicits._
     // two components: {1,2,3} (chain 1-2, 2-3) and {7,9}

@@ -306,4 +306,58 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getLong(7) == 6, s"pass_ellipsis ${r.getLong(7)}")
     assert(r.getLong(8) == 1, s"pass_all ${r.getLong(8)}")
   }
+
+  test("tokenEntropy: uniform slice hits log2(V) with norm 1, constant slice 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "uniform"),       // 4 distinct tokens, once each
+      (2L, "e f g h", "uniform"),       // -> 8 tokens over V=8, H=3 bits
+      (3L, "x x x x x x", "constant")   // one token -> H=0
+    ).toDF("doc_id", "text", "source")
+    val r = tokenEntropy(docs, "text", "doc_id", "source").collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r("uniform") == ((8L, 8L, 3.0, 1.0)))
+    assert(r("constant")._1 == 6L && r("constant")._2 == 1L)
+    assert(r("constant")._3 == 0.0)
+  }
+
+  test("tokenEntropy: skewed distribution matches hand-computed H") {
+    import spark.implicits._
+    // counts: a=3, b=1 over T=4 -> H = 2 - (3 ln3)/(4 ln2) ≈ 0.811278
+    val docs = Seq((1L, "a a a b", "s")).toDF("doc_id", "text", "source")
+    val h = tokenEntropy(docs, "text", "doc_id", "source")
+      .collect().head.getDouble(3)
+    val expect = 2.0 - 3.0 * math.log(3.0) / (4.0 * math.log(2.0))
+    assert(math.abs(h - math.rint(expect * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("bigramScore: MLE transition math on a hand corpus") {
+    import spark.implicits._
+    // corpus transitions: (a->b) x2, (b->a) x1, (b->c) x1
+    // c(a,b)=2 c1(a)=2 -> ln 1 = 0 ; c(b,a)=1, c(b,c)=1, c1(b)=2 -> ln .5
+    val docs = Seq((1L, "a b a b c", "s")).toDF("doc_id", "text", "source")
+    val r = bigramScore(docs, "text", "doc_id", "source").collect().head
+    // doc_lp = (2*0 + 1*ln.5 + 1*ln.5)/4 = ln(0.5)/2 ≈ -0.346574
+    val expect = math.log(0.5) / 2.0
+    assert(r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - math.rint(expect * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("bigramScore: common transitions outscore rare ones in shared contexts") {
+    import spark.implicits._
+    // context "the" continues to cat 4x but dog/bird once each; the
+    // doc riding the dominant transition must score strictly higher
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat the cat sat", "s"),
+      (2L, "the dog sat the bird sat", "s"))
+      .toDF("doc_id", "text", "source")
+    val perDoc = bigramScore(docs.withColumn("source",
+        concat(col("source"), col("doc_id"))), "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // doc1: (4 ln(4/6))/11 ≈ -0.1474 ; doc2: (2 ln(1/6))/5 ≈ -0.7167
+    assert(perDoc("s1") > perDoc("s2"))
+    assert(math.abs(perDoc("s1") - 4.0 * math.log(4.0 / 6.0) / 11.0) < 1e-3)
+    assert(math.abs(perDoc("s2") - 2.0 * math.log(1.0 / 6.0) / 5.0) < 1e-3)
+  }
 }

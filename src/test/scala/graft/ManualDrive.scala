@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Dev-only drive harness: exercises library operators end-to-end on the
   * testdata. Run with `sbt "Test/runMain graft.ManualDrive"`.
@@ -13,16 +14,20 @@ object ManualDrive {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "etlmudah.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q102_length_histogram", "q103_robust_outliers",
-        "q104_chi_square")) {
+    for (name <- Seq("q105_token_entropy", "q106_bigram_logprob",
+        "q107_hourly_anomaly", "q108_prefix_jaccard", "q109_split_leakage")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
       q.coalesce(1).write.mode("overwrite").parquet(s"/tmp/drive_$name")
+      SparkEntry.oracleSql.get(name).foreach(sql =>
+        Files.writeString(Paths.get(s"/tmp/drive_$name.sql"), sql))
     }
     spark.stop()
   }
