@@ -1,0 +1,103 @@
+package etlmudah.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the activity stream: cohort
+  * retention and funnel conversion — the two reports every product/
+  * ingestion dashboard derives from an append-only event log
+  * (complementing the hourly rollups of q20/q39 and the session
+  * windows of q42).
+  *
+  * Both operators reduce the event log to a bounded frame FIRST (one
+  * distinct or filtered keyed aggregate) and do all ratio math on the
+  * aggregated rows, so the expensive exchanges move keys and days, not
+  * raw events.
+  */
+object Events {
+
+  /** Daily cohort retention: users are assigned to the cohort of their
+    * first active day; cell (cohort_day, day_offset) counts how many of
+    * that cohort were active again `day_offset` days later, with the
+    * retention share. The triangle is capped at `maxOffsetDays` (the
+    * classic D0..D14 view) so output stays |cohorts| x offsets.
+    *
+    * Scale: the event log collapses to DISTINCT (user, day) in one
+    * map-side-combined exchange — everything after runs on user-days
+    * (bounded by users x horizon, orders of magnitude below event
+    * volume). The cohort frame joins back on the user key (AQE picks
+    * broadcast vs shuffle by actual size); per-cohort sizes join
+    * broadcast (|cohort days| rows). All counts are exact integers —
+    * cross-engine stable; only the display share is a rounded double. */
+  def cohortRetention(events: DataFrame, tsCol: String, userCol: String,
+                      maxOffsetDays: Int = 14): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user"))
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort"))
+    days.join(cohorts, Seq("user"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("retention_pct",
+        round(col("n_active") * 100.0 / col("n_cohort"), 4))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("n_cohort"), col("retention_pct"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Ordered funnel conversion: for each user, stage k counts only if
+    * an event of stage k's type happened STRICTLY AFTER the user's
+    * first qualifying stage-(k-1) event (first-touch semantics — the
+    * standard "view then click then purchase" funnel, not a bag-of-
+    * events intersection). Returns one row per stage with the user
+    * count, share of all users, and share of the previous stage.
+    *
+    * Timestamps compare as integer epoch-MICROseconds: the storage is
+    * nanos but Spark's timestamp truncates to micros, so doing the
+    * same in the operator (and oracle) keeps the strict `>` exact in
+    * every engine rather than hinging on sub-micro residue.
+    *
+    * Scale: stage k is one filtered keyed aggregate over the event log
+    * joined to the (user, t_{k-1}) frame — the join key is the user
+    * id, AQE-sized; each stage frame shrinks monotonically. The final
+    * assembly is a |stages|-row union with a single-partition window —
+    * constant-size by construction. */
+  def funnel(events: DataFrame, tsCol: String, userCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events.select(col(userCol).as("user"),
+      col(typeCol).as("et"), unix_micros(col(tsCol)).as("tus"))
+    val total = base.agg(countDistinct(col("user")).as("n0"))
+    // fold: frame k = (user, t_k = min event time of stage k after t_{k-1})
+    val frames = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val hits = base.filter(col("et") === stage)
+        val qualified = prev match {
+          case None => hits
+          case Some(p) => hits.join(p.select(col("user"), col("tk").as("__tp")),
+            Seq("user")).filter(col("tus") > col("__tp"))
+        }
+        Some(qualified.groupBy(col("user")).agg(min(col("tus")).as("tk")))
+    }.flatten
+    val counts = frames.zip(stages).zipWithIndex.map {
+      case ((f, stage), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"))
+    }.reduce(_.unionAll(_))
+    val w = Window.orderBy(col("stage_idx"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("__prev", coalesce(lag(col("n_users"), 1).over(w), col("n0")))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        round(col("n_users") * 100.0 / col("n0"), 4).as("pct_of_all"),
+        round(col("n_users") * 100.0 / col("__prev"), 4).as("pct_of_prev"))
+      .orderBy(col("stage_idx"))
+  }
+}

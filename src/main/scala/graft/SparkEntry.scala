@@ -641,6 +641,17 @@ object SparkEntry {
       Dedup.prefixJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
         minJaccard = 0.8)),
 
+    // daily cohort retention triangle (D0..D14) over the event log
+    "q110_cohort_retention" -> ((s, dir) =>
+      etlmudah.analytics.Events.cohortRetention(
+        Tables.eventsTyped(s, dir), "ts", "user_id", maxOffsetDays = 14)),
+
+    // ordered funnel: view -> click -> purchase with first-touch
+    // strictly-after semantics, per-stage conversion shares
+    "q111_event_funnel" -> ((s, dir) =>
+      etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
+        "user_id", "event_type", Seq("view", "click", "purchase"))),
+
     // split-leakage audit: exact near-dup pairs whose members land in
     // DIFFERENT md5-hash splits — the train/test contamination check
     // run before any eval on a held-out slice
@@ -1888,6 +1899,50 @@ object SparkEntry {
         |           JOIN sizes sb ON sb.doc_id = id_b
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // day-level buckets, exact integer counts; only the display share
+    // is a rounded double
+    "q110_cohort_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    date_trunc('day', ts)::DATE AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM days GROUP BY 1),
+        |sizes AS (SELECT cohort_day, count(*)::BIGINT AS n_cohort
+        |  FROM cohorts GROUP BY 1),
+        |cells AS (SELECT cohort_day,
+        |    date_diff('day', cohort_day, day)::INT AS day_offset,
+        |    count(*)::BIGINT AS n_active
+        |  FROM days JOIN cohorts USING (user_id)
+        |  WHERE date_diff('day', cohort_day, day) <= 14
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_active, n_cohort,
+        | round(n_active * 100.0 / n_cohort, 4) AS retention_pct
+        |FROM cells JOIN sizes USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // first-touch funnel; epoch_us comparisons mirror Spark's micros
+    // truncation so the strict > is integer-exact in both engines
+    "q111_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(ts)) AS t2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND epoch_us(ts) > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(ts)) AS t3
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND epoch_us(ts) > t2 GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n0 FROM events),
+        |s AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |    (SELECT count(*) FROM v)::BIGINT AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)::BIGINT
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)::BIGINT)
+        |SELECT stage_idx, stage, n_users,
+        | round(n_users * 100.0 / n0, 4) AS pct_of_all,
+        | round(n_users * 100.0 /
+        |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
+        |   AS pct_of_prev
+        |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
 
     // q63's pair set joined to the q49 md5 split labels; leaked =
     // members in different splits

@@ -1,0 +1,67 @@
+package etlmudah.analytics
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class EventsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cohortRetention: offsets, shares, and cap on a two-cohort log") {
+    import spark.implicits._
+    val events = Seq(
+      // cohort 2024-01-01: users 1,2; user 1 returns D1, user 2 returns D2
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-01 23:59:59")),                   // same-day dup: D0 once
+      // cohort 2024-01-05: user 3 only, returns far outside the cap
+      (3L, ts("2024-01-05 08:00:00")), (3L, ts("2024-03-01 08:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Events.cohortRetention(events, "ts", "user_id", maxOffsetDays = 14)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 100.0),
+      ("2024-01-01", 1, 1L, 2L, 50.0),
+      ("2024-01-01", 2, 1L, 2L, 50.0),
+      ("2024-01-05", 0, 1L, 1L, 100.0)))   // the March return is capped away
+  }
+
+  test("funnel: strictly-after ordering drops out-of-order conversions") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts("2024-01-01 09:00:00")),
+      (1L, "click", ts("2024-01-01 09:05:00")),
+      (1L, "purchase", ts("2024-01-01 09:10:00")),
+      // user 2: clicked BEFORE the first view — click must not count
+      (2L, "click", ts("2024-01-01 08:00:00")),
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:00:00")),
+      // user 3: view only
+      (3L, "view", ts("2024-01-01 11:00:00")),
+      // user 4: never viewed (enters the denominator only)
+      (4L, "error", ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(events, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1, "view", 3L, 75.0, 75.0),          // of 4 users
+      (2, "click", 1L, 25.0, 33.3333),      // only user 1's ordered click
+      (3, "purchase", 1L, 25.0, 100.0)))
+  }
+
+  test("funnel: same-microsecond event does not satisfy strict order") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 09:00:00")),
+      (1L, "click", ts("2024-01-01 09:00:00"))  // ties the view exactly
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(events, "ts", "user_id", "event_type",
+        Seq("view", "click")).collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("view", 1L), ("click", 0L)))
+  }
+}

@@ -20,8 +20,7 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q105_token_entropy", "q106_bigram_logprob",
-        "q107_hourly_anomaly", "q108_prefix_jaccard", "q109_split_leakage")) {
+    for (name <- Seq("q110_cohort_retention", "q111_event_funnel")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
