@@ -277,11 +277,13 @@ object Analytics {
   def robustOutliers(df: DataFrame, key: String, value: Column,
                      fence: Double = 4.4478): DataFrame = {
     val v = value.cast("double")
+    // med/mad are one row per key (categorical screens) — broadcast
+    // outright instead of waiting for AQE to discover they're tiny
     val med = df.groupBy(col(key)).agg(percentile(v, lit(0.5)).as("med"))
-    val mad = df.join(med, Seq(key))
+    val mad = df.join(broadcast(med), Seq(key))
       .groupBy(col(key)).agg(
         percentile(abs(v - col("med")), lit(0.5)).as("mad"))
-    df.join(med, Seq(key)).join(mad, Seq(key))
+    df.join(broadcast(med), Seq(key)).join(broadcast(mad), Seq(key))
       .groupBy(col(key)).agg(
         count(lit(1)).as("n"),
         round(first(col("med")), 4).as("med"),

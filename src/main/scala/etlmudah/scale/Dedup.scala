@@ -281,11 +281,18 @@ object Dedup {
     * Verify phase: candidate pairs re-join the two full shingle SETS
     * (collected arrays of 8-byte hashes) and intersect in-row — cost
     * |candidates| x doc length, the PPJoin verify shape, never an
-    * index-wide rescan. */
+    * index-wide rescan.
+    *
+    * The shingle rows are materialized ONCE (`localCheckpoint`, the
+    * `dupClusters` precedent): four consumers read them (document
+    * frequencies, the prefix window, sizes, and the verify sets), and
+    * re-running tokenize+window per consumer measured ~2x the whole
+    * query. At cluster scale the same move is writing the (id,
+    * shingle) table once — 8 bytes a shingle — before indexing it. */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int = 3,
                          minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingleHashRows(df, textCol, idCol, shingleN)
+    val sh = shingleHashRows(df, textCol, idCol, shingleN).localCheckpoint(true)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     // global canonical order: document frequency asc (rarest first),

@@ -20,7 +20,7 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q110_cohort_retention", "q111_event_funnel")) {
+    for (name <- Seq("q103_robust_outliers", "q108_prefix_jaccard")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
