@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import etlmudah.load.Upsert
+import etlmudah.text.TextStats
 
 /** Structured Streaming slice (SURVEY.md §2.9): the reference's 12-hour
   * micro-batch ingest (dags/dag.py:288, catchup=False) made
@@ -28,6 +29,24 @@ object Streaming {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Schema of the documents parquet (for file-source document streams). */
+  val documentsFileSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a documents directory — the arriving-crawl
+    * side of [[dedupIngestSink]]. */
+  def readDocuments(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(documentsFileSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
 
   /** File-source stream over an events directory; ts converted to a real
     * timestamp for event-time semantics. */
@@ -126,6 +145,57 @@ object Streaming {
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
   }
+
+  /** Continuous dedup ingest — `Dedup.incrementalDedup` as a stream
+    * sink: every micro-batch classifies its documents against the
+    * standing FINGERPRINT table (never the raw corpus — the only state
+    * a 100 TB dedup needs is 16 bytes per distinct document), appends
+    * only first sightings, and advances the fingerprint set.
+    *
+    * Idempotency without a transaction log: survivors land in a
+    * `batch_id=<n>` partition via DYNAMIC partition overwrite, so a
+    * re-delivered batch rewrites exactly its own partition (or touches
+    * nothing when it now classifies as all-duplicate); the fingerprint
+    * table is a distinct set union — re-applying it is a no-op — and
+    * swaps in via the Hadoop FileSystem temp+rename. Every crash point
+    * between the two writes replays to the same converged state. */
+  def dedupIngestSink(docs: DataFrame, basePath: String, fpPath: String,
+                      checkpoint: String, textCol: String = "text",
+                      idCol: String = "doc_id"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fpTarget = new org.apache.hadoop.fs.Path(fpPath)
+        val fs = fpTarget.getFileSystem(conf)
+        val batchFp = batch.withColumn("__fp",
+          TextStats.fingerprint(col(textCol)))
+        val corpusFp =
+          if (fs.exists(fpTarget)) spark.read.parquet(fpPath)
+          else batchFp.select(col("__fp")).limit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp")).orderBy(col(idCol).asc)
+        val survivors = batchFp
+          .join(corpusFp.select(col("__fp")).distinct()
+            .withColumn("__in", lit(true)), Seq("__fp"), "left")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__in").isNull && col("__rn") === 1)
+          .drop("__in", "__rn", "__fp")
+        survivors.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(basePath)
+        val advanced = batchFp.select(col("__fp"))
+          .union(corpusFp.select(col("__fp"))).distinct()
+        val tmp = new org.apache.hadoop.fs.Path(fpPath + "__tmp")
+        advanced.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(fpTarget)) fs.delete(fpTarget, true)
+        fs.rename(tmp, fpTarget)
+        ()
+      }
 
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge

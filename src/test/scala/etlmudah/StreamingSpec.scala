@@ -143,6 +143,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("dedupIngestSink: one survivor per fingerprint across batches, re-run converges") {
+    val out = Files.createTempDirectory("stream_dedup").toString
+    val src = s"$out/src"
+    // two files -> two micro-batches (maxFilesPerTrigger=1); plant a dup
+    // within batch 1, a cross-batch dup in batch 2, and a fresh doc
+    import spark.implicits._
+    // the file source lists FLAT files: write each batch to a temp dir
+    // and move its single part-file into the source dir
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_dedup").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(src).mkdirs()
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    stageFile(Seq((1L, "alpha beta gamma", "en", "s", 16L),
+        (2L, "alpha beta gamma", "en", "s", 16L),     // in-batch dup of 1
+        (3L, "delta epsilon zeta", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), "f1.parquet")
+    Thread.sleep(100)   // file source orders by modTime: keep f1 < f2
+    stageFile(Seq((4L, "ALPHA   beta gamma", "en", "s", 18L),  // dup of 1
+        (5L, "eta theta iota", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), "f2.parquet")
+    val base = s"$out/base"
+    val fps = s"$out/fps"
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.dedupIngestSink(
+          Streaming.readDocuments(spark, src), base, fps, cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce(s"$out/cp1")
+    val ids = spark.read.parquet(base).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // survivors: 1 (min id of the in-batch pair), 3, 5; 4 is a corpus dup
+    assert(ids == Set(1L, 3L, 5L))
+    assert(spark.read.parquet(fps).distinct().count() == 3)
+    runOnce(s"$out/cp2")   // full re-delivery against standing state
+    val again = spark.read.parquet(base).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == Set(1L, 3L, 5L))
+  }
+
   test("upsertSink: micro-batch merge is idempotent (re-running converges)") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"
