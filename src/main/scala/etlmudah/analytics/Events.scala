@@ -52,6 +52,40 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Rolling active users: per calendar day, the daily actives (DAU),
+    * the distinct actives over the trailing `windowDays` window (WAU
+    * for the default 7), and the DAU/WAU stickiness share — the
+    * engagement chart next to every retention triangle. Days without a
+    * full trailing window are excluded (a 3-day-old product is not
+    * "100% sticky").
+    *
+    * Scale: the event log collapses to DISTINCT (user, day) first; the
+    * window membership is an EXPLODE of at most `windowDays` calendar
+    * days per user-day (constant fan-out, the chunking trick of q55) —
+    * never a theta/range join that would plan a nested loop over the
+    * corpus. The distinct-user count per window day partial-aggregates
+    * map-side; the calendar and min-day frames broadcast. */
+  def rollingActive(events: DataFrame, tsCol: String, userCol: String,
+                    windowDays: Int = 7): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val cal = days.select(col("day")).distinct()
+    val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val windowed = days
+      .select(col("user"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("day"))
+      .join(broadcast(cal), Seq("day"))     // only observed days report
+      .groupBy(col("day")).agg(countDistinct(col("user")).as("wau"))
+    val firstDay = cal.agg(min(col("day")).as("__d0"))
+    dau.join(windowed, Seq("day"))
+      .crossJoin(broadcast(firstDay))
+      .filter(col("day") >= date_add(col("__d0"), windowDays - 1))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") * 100.0 / col("wau"), 4).as("stickiness_pct"))
+      .orderBy(col("day"))
+  }
+
   /** Ordered funnel conversion: for each user, stage k counts only if
     * an event of stage k's type happened STRICTLY AFTER the user's
     * first qualifying stage-(k-1) event (first-touch semantics — the

@@ -570,6 +570,51 @@ object TextStats {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Collocation mining by pointwise mutual information: bigrams whose
+    * observed co-occurrence beats the independence expectation by
+    * `minPmi` nats, with a `minCount` support floor (PMI's classic
+    * failure mode is hapax pairs scoring infinitely high — the floor
+    * is the published fix). The multiword-expression detector run
+    * before tokenizer/vocabulary decisions.
+    *
+    * PMI is computed as ln(c2) + ln(T1) + ln(T1) - ln(T2) - ln(ca) -
+    * ln(cb) — each ln on an exact integer count, summed in one fixed
+    * expression tree — rather than ln of a product whose integer
+    * arithmetic would exceed double exactness on corpus-scale totals.
+    *
+    * Scale: unigram and bigram counts are two map-side-combined
+    * aggregates over the same explode; totals are broadcast 1-row
+    * aggregates; the count joins are token-keyed with Heaps'-bounded
+    * broadcast sides (AQE skew-join fallback past the ceiling). */
+  def collocations(df: DataFrame, textCol: String, idCol: String,
+                   minCount: Long = 5, minPmi: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("__pos"))
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__t")))
+    val uni = tok.groupBy(col("__t")).agg(count(lit(1)).as("__c1"))
+    val t1 = uni.agg(sum(col("__c1")).as("__t1"))
+    val bg = tok
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("__t").as("w1"), col("__next").as("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val t2 = bg.agg(sum(col("pair_count")).as("__t2"))
+    val pmi = log(col("pair_count")) + log(col("__t1")) + log(col("__t1")) -
+      log(col("__t2")) - log(col("__ca")) - log(col("__cb"))
+    bg.filter(col("pair_count") >= minCount)
+      .join(broadcast(uni.select(col("__t").as("w1"), col("__c1").as("__ca"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("__t").as("w2"), col("__c1").as("__cb"))),
+        Seq("w2"))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .withColumn("pmi", round(pmi, 4))
+      .filter(col("pmi") >= minPmi)
+      .select(col("w1"), col("w2"), col("pair_count"), col("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** Shannon entropy of the token distribution per slice — the corpus
     * diversity dial (low entropy = templated/boilerplate-heavy slice,
     * high = lexically diverse; the signal behind "this crawl slice is

@@ -652,6 +652,17 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // PMI collocations: bigrams beating the independence expectation
+    // (multiword-expression mining with a support floor)
+    "q112_collocations" -> ((s, dir) =>
+      TextStats.collocations(Tables.documents(s, dir), "text", "doc_id",
+        minCount = 3, minPmi = 1.0)),
+
+    // rolling DAU/WAU actives with stickiness share over the event log
+    "q113_rolling_active" -> ((s, dir) =>
+      etlmudah.analytics.Events.rollingActive(Tables.eventsTyped(s, dir),
+        "ts", "user_id", windowDays = 7)),
+
     // split-leakage audit: exact near-dup pairs whose members land in
     // DIFFERENT md5-hash splits — the train/test contamination check
     // run before any eval on a held-out slice
@@ -1943,6 +1954,46 @@ object SparkEntry {
         |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
         |   AS pct_of_prev
         |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    // PMI spelled as a fixed sum of ln's on exact integer counts (a
+    // product form would exceed double exactness on corpus totals)
+    "q112_collocations" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |uni AS (SELECT t, count(*)::BIGINT AS c1 FROM tok GROUP BY t),
+        |t1 AS (SELECT sum(c1)::BIGINT AS t1 FROM uni),
+        |bg AS (SELECT a.t AS w1, b.t AS w2, count(*)::BIGINT AS pair_count
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT sum(pair_count)::BIGINT AS t2 FROM bg),
+        |scored AS (SELECT w1, w2, pair_count,
+        |    round(ln(pair_count) + ln(t1) + ln(t1) - ln(t2)
+        |      - ln(ua.c1) - ln(ub.c1), 4) AS pmi
+        |  FROM bg JOIN uni ua ON ua.t = w1 JOIN uni ub ON ub.t = w2
+        |  CROSS JOIN t1 CROSS JOIN t2
+        |  WHERE pair_count >= 3)
+        |SELECT w1, w2, pair_count, pmi FROM scored
+        |WHERE pmi >= 1.0 ORDER BY w1, w2""".stripMargin,
+
+    // day-level buckets; WAU via the constant-fan-out explode (each
+    // user-day contributes to <= 7 window days), exact integer counts
+    "q113_rolling_active" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    date_trunc('day', ts)::DATE AS day FROM events),
+        |cal AS (SELECT DISTINCT day FROM days),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM days GROUP BY 1),
+        |wau AS (SELECT c.day, count(DISTINCT d.user_id)::BIGINT AS wau
+        |  FROM cal c JOIN days d ON d.day BETWEEN c.day - 6 AND c.day
+        |  GROUP BY 1),
+        |mn AS (SELECT min(day) AS d0 FROM cal)
+        |SELECT day, dau, wau,
+        | round(dau * 100.0 / wau, 4) AS stickiness_pct
+        |FROM dau JOIN wau USING (day) CROSS JOIN mn
+        |WHERE day >= d0 + 6
+        |ORDER BY day""".stripMargin,
 
     // q63's pair set joined to the q49 md5 split labels; leaked =
     // members in different splits

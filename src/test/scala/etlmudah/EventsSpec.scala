@@ -28,6 +28,22 @@ class EventsSpec extends SparkSpec {
       ("2024-01-05", 0, 1L, 1L, 100.0)))   // the March return is capped away
   }
 
+  test("rollingActive: trailing-window distinct actives, ramp days excluded") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),
+      (3L, ts("2024-01-04 09:00:00")), (3L, ts("2024-01-04 12:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Events.rollingActive(events, "ts", "user_id", windowDays = 3)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // only 01-04 has a full 3-day trailing window past the first day;
+    // window [01-02, 01-04] saw users {1, 3}, DAU(01-04) = {3}
+    assert(out.toSeq == Seq(("2024-01-04", 1L, 2L, 50.0)))
+  }
+
   test("funnel: strictly-after ordering drops out-of-order conversions") {
     import spark.implicits._
     val events = Seq(

@@ -307,6 +307,27 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getLong(8) == 1, s"pass_all ${r.getLong(8)}")
   }
 
+  test("collocations: planted pair scores exact PMI, hapax pair floored out") {
+    import spark.implicits._
+    // "new york" always together (5x); filler tokens independent; the
+    // pair "rare gem" occurs once -> support floor must drop it
+    val text = (1 to 5).map(_ => "new york").mkString(" ") +
+      " alpha beta gamma delta rare gem"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = collocations(docs, "text", "doc_id", minCount = 3, minPmi = 0.5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.contains(("new", "york")))
+    assert(!out.keySet.contains(("rare", "gem")))
+    val (cnt, pmi) = out(("new", "york"))
+    // c2=5, T1=16, T2=15, c(new)=5, c(york)=5 ->
+    // pmi = ln5 + 2ln16 - ln15 - ln5 - ln5
+    val expect = math.log(5) + 2 * math.log(16) - math.log(15) -
+      math.log(5) - math.log(5)
+    assert(cnt == 5L)
+    assert(math.abs(pmi - math.rint(expect * 1e4) / 1e4) < 1e-9)
+  }
+
   test("tokenEntropy: uniform slice hits log2(V) with norm 1, constant slice 0") {
     import spark.implicits._
     val docs = Seq(

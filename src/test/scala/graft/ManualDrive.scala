@@ -20,7 +20,7 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q103_robust_outliers", "q108_prefix_jaccard")) {
+    for (name <- Seq("q112_collocations", "q113_rolling_active")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
