@@ -641,16 +641,42 @@ object SparkEntry {
       Dedup.prefixJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
         minJaccard = 0.8)),
 
-    // daily cohort retention triangle (D0..D14) over the event log
+    // daily cohort retention triangle (D0..D14) over the event log.
+    // day columns ship as ISO strings: a DATE round-trips differently
+    // through parquet/pandas/duckdb (date32 vs datetime64) and the
+    // hash compare sees a dtype mismatch on identical values
     "q110_cohort_retention" -> ((s, dir) =>
       etlmudah.analytics.Events.cohortRetention(
-        Tables.eventsTyped(s, dir), "ts", "user_id", maxOffsetDays = 14)),
+          Tables.eventsTyped(s, dir), "ts", "user_id", maxOffsetDays = 14)
+        .withColumn("cohort_day",
+          date_format(col("cohort_day"), "yyyy-MM-dd"))),
 
     // ordered funnel: view -> click -> purchase with first-touch
     // strictly-after semantics, per-stage conversion shares
     "q111_event_funnel" -> ((s, dir) =>
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
+
+    // end-to-end curation composite: quality gate (q48 rules) -> exact
+    // dedup (q24 fingerprint) -> md5 split (q49) -> per-(split, source)
+    // doc/token report. Every stage is deterministic, so the WHOLE
+    // pipeline carries a DuckDB oracle — the composition proof that the
+    // operators snap together without driver-side glue.
+    "q114_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepIds = TextStats.qualityFilter(docs, "text", "doc_id",
+          qualityStops, minTokens = 30, maxTokens = 100000,
+          minStopRatio = 0.03, maxPunctRatio = 0.05)
+        .filter(col("verdict") === "keep").select(col("id").as("doc_id"))
+      val deduped = Dedup.exactDedup(docs.join(keepIds, Seq("doc_id")),
+        "text", "doc_id")
+      etlmudah.scale.Sampling.hashSplit(deduped, "doc_id",
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        .groupBy(col("split"), col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy(col("split"), col("source"))
+    }),
 
     // PMI collocations: bigrams beating the independence expectation
     // (multiword-expression mining with a support floor)
@@ -659,9 +685,11 @@ object SparkEntry {
         minCount = 3, minPmi = 1.0)),
 
     // rolling DAU/WAU actives with stickiness share over the event log
+    // (day as ISO string — see q110 note)
     "q113_rolling_active" -> ((s, dir) =>
       etlmudah.analytics.Events.rollingActive(Tables.eventsTyped(s, dir),
-        "ts", "user_id", windowDays = 7)),
+          "ts", "user_id", windowDays = 7)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))),
 
     // split-leakage audit: exact near-dup pairs whose members land in
     // DIFFERENT md5-hash splits — the train/test contamination check
@@ -1926,10 +1954,10 @@ object SparkEntry {
         |  FROM days JOIN cohorts USING (user_id)
         |  WHERE date_diff('day', cohort_day, day) <= 14
         |  GROUP BY 1, 2)
-        |SELECT cohort_day, day_offset, n_active, n_cohort,
-        | round(n_active * 100.0 / n_cohort, 4) AS retention_pct
+        |SELECT cohort_day::VARCHAR AS cohort_day, day_offset, n_active,
+        | n_cohort, round(n_active * 100.0 / n_cohort, 4) AS retention_pct
         |FROM cells JOIN sizes USING (cohort_day)
-        |ORDER BY cohort_day, day_offset""".stripMargin,
+        |ORDER BY 1, day_offset""".stripMargin,
 
     // first-touch funnel; epoch_us comparisons mirror Spark's micros
     // truncation so the strict > is integer-exact in both engines
@@ -1954,6 +1982,36 @@ object SparkEntry {
         |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
         |   AS pct_of_prev
         |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    // the q48 keep-rules, q24 fingerprint dedup, and q49 md5 split
+    // composed in one statement
+    "q114_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  string_split_regex(trim(text), '\s+') AS toks,
+        |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+        |    / nullif(length(text), 0) AS pr
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, text, len(toks)::BIGINT AS n_tokens,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to')))::DOUBLE
+        |      / len(toks) ELSE 0.0 END AS sr,
+        |  coalesce(pr, 0.0) AS pr FROM t),
+        |kept AS (SELECT doc_id, source, text, n_tokens FROM m
+        |  WHERE n_tokens >= 30 AND n_tokens <= 100000
+        |    AND sr >= 0.03 AND pr <= 0.05),
+        |dedup AS (SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |surv AS (SELECT k.* FROM kept k JOIN dedup USING (doc_id)),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       WHEN u < 1.0 THEN 'test' ELSE 'rest' END AS split
+        |  FROM (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 AS u FROM surv))
+        |SELECT split, source, count(*)::BIGINT AS n_docs,
+        | sum(n_tokens)::BIGINT AS sum_tokens
+        |FROM surv JOIN sp USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // PMI spelled as a fixed sum of ln's on exact integer counts (a
     // product form would exceed double exactness on corpus totals)
@@ -1989,11 +2047,11 @@ object SparkEntry {
         |  FROM cal c JOIN days d ON d.day BETWEEN c.day - 6 AND c.day
         |  GROUP BY 1),
         |mn AS (SELECT min(day) AS d0 FROM cal)
-        |SELECT day, dau, wau,
+        |SELECT day::VARCHAR AS day, dau, wau,
         | round(dau * 100.0 / wau, 4) AS stickiness_pct
         |FROM dau JOIN wau USING (day) CROSS JOIN mn
         |WHERE day >= d0 + 6
-        |ORDER BY day""".stripMargin,
+        |ORDER BY 1""".stripMargin,
 
     // q63's pair set joined to the q49 md5 split labels; leaked =
     // members in different splits
