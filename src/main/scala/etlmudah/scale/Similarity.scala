@@ -370,6 +370,57 @@ object Similarity {
       .orderBy(col("qid").asc, col("rank").asc)
   }
 
+  /** Recall@k evaluation of the ANN indexes against the exact answer —
+    * the index-quality report that belongs NEXT TO any approximate
+    * index in production (an ANN whose recall nobody measures is a
+    * wrong-answers generator with good latency). For every probe, the
+    * exact top-k comes from a broadcast-probe brute-force scan (q51's
+    * cost shape: |probes| x corpus, the honest baseline); each method's
+    * top-k set is intersected per probe and the report carries mean
+    * and worst-case recall per method.
+    *
+    * Scale: both ANN sides use the probe pushdown, so the whole report
+    * costs O(|probes| x corpus) on the exact side and the usual
+    * bucketed costs on the approximate sides — a fixed, budgetable
+    * evaluation pass, run on a sampled probe set in practice. */
+  def annRecallReport(embeddings: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 5, maxProbeId: Long = 20L,
+                      tables: Int = 8, bits: Int = 8,
+                      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val probes = vecs.filter(col("id") < maxProbeId)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    val exact = vecs.join(broadcast(probes))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        round(cosineFast(col("vec"), col("qvec")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"))
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact
+        .join(approx.select(col("qid"), col("nid"), lit(1L).as("__hit")),
+          Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / k)
+          .as("recall"))
+        .agg(count(lit(1)).as("n_probes"),
+          round(avg(col("recall")), 4).as("avg_recall"),
+          round(min(col("recall")), 4).as("min_recall"))
+        .select(lit(method).as("method"), col("n_probes"),
+          col("avg_recall"), col("min_recall"))
+    val pf = Some(col("id") < maxProbeId)
+    recallOf("lsh",
+        lshTopKAll(embeddings, idCol, vecCol, k, tables, bits, probeFilter = pf))
+      .unionAll(recallOf("ivf",
+        ivfTopKAll(embeddings, idCol, vecCol, k, nlist, nprobe, probeFilter = pf)))
+      .orderBy(col("method"))
+  }
+
   /** SemDeDup-style semantic deduplication (cluster-then-dedup, after
     * the published LAION/C4 recipe): every vector is assigned to its
     * nearest coarse-quantizer centroid, and cosine near-duplicates are

@@ -657,6 +657,14 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // ANN recall@5 report for the LSH and IVF indexes vs the exact
+    // brute-force answer over the first 20 probes (no SQL oracle:
+    // hyperplane/k-means assignment has no DuckDB twin; bounds and
+    // exhaustive-config behavior are spec-verified)
+    "q115_ann_recall" -> ((s, dir) =>
+      Similarity.annRecallReport(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 5, maxProbeId = 20L)),
+
     // end-to-end curation composite: quality gate (q48 rules) -> exact
     // dedup (q24 fingerprint) -> md5 split (q49) -> per-(split, source)
     // doc/token report. Every stage is deterministic, so the WHOLE

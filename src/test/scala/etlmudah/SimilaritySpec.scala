@@ -99,6 +99,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.35, s"mean recall@$k = $mean (per-query: $recalls)")
   }
 
+  test("annRecallReport: per-method bounds; exhaustive LSH config hits recall 1") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // bits = 0 would be degenerate; 1 bit x 16 tables makes buckets so
+    // wide that candidates ~ corpus -> LSH recall must be exactly 1.0
+    val report = Similarity.annRecallReport(emb, "vec_id", "embedding",
+        k = 5, maxProbeId = 10L, tables = 16, bits = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(report.keySet == Set("lsh", "ivf"))
+    val (nLsh, avgLsh, minLsh) = report("lsh")
+    assert(nLsh == 10L && avgLsh == 1.0 && minLsh == 1.0)
+    val (nIvf, avgIvf, minIvf) = report("ivf")
+    assert(nIvf == 10L)
+    assert(avgIvf >= minIvf && minIvf >= 0.0 && avgIvf <= 1.0)
+  }
+
   test("quantizeInt8Report: error bounded by scale/2, q within [-127,127]") {
     val emb = etlmudah.Tables.embeddings(spark, sf0001)
     val rows = Similarity.quantizeInt8Report(emb, "vec_id", "embedding", "label")
