@@ -21,6 +21,15 @@ object Writers {
       .option("delimiter", "\t").option("header", "true")
       .csv(path)
 
+  /** S6+: JSON-lines encode — one JSON object per line, the interchange
+    * format of every crawl/annotation pipeline (and of most LLM
+    * training-data drops). Like the TSV twin this is for interchange
+    * only — schema travels per-row, which is the point (downstream
+    * consumers needn't share a schema registry) and the cost (parquet
+    * stays the performance path). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** S7: staged bulk load — write to a temp location, swap at the
     * directory level (the reference's temp-table + transaction,
     * dag.py:183-268). Readers never observe a half-written target.

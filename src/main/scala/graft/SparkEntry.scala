@@ -657,6 +657,22 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // JSONL sink round-trip (the crawl/annotation interchange format):
+    // write documents as JSON lines, read back, re-aggregate — values
+    // must survive the text encoding exactly (q44's TSV contract)
+    "q116_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink_q116_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      etlmudah.sinks.Writers.writeJsonl(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"), out)
+      s.read.schema("doc_id BIGINT, source STRING, n_chars BIGINT").json(out)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
     // ANN recall@5 report for the LSH and IVF indexes vs the exact
     // brute-force answer over the first 20 probes (no SQL oracle:
     // hyperplane/k-means assignment has no DuckDB twin; bounds and
@@ -1990,6 +2006,15 @@ object SparkEntry {
         |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
         |   AS pct_of_prev
         |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    // round-trip identity: integer/string columns through JSONL must
+    // re-aggregate to exactly the source-table numbers
+    "q116_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        | sum(n_chars)::BIGINT AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        | FROM documents GROUP BY source
+        | ORDER BY source""".stripMargin,
 
     // the q48 keep-rules, q24 fingerprint dedup, and q49 md5 split
     // composed in one statement

@@ -75,6 +75,20 @@ class WritersSpec extends SparkSpec {
     assert(names == nation.select("n_name").collect().map(_.getString(0)).toSet)
   }
 
+  test("writeJsonl: hostile strings survive the line encoding verbatim") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("jsonl").toString + "/d"
+    val rows = Seq(
+      (1L, "plain text"),
+      (2L, "tab\there \"quotes\" back\\slash"),
+      (3L, "newline\nin value and unicode é中"),
+      (4L, ""))
+    Writers.writeJsonl(rows.toDF("id", "text"), out)
+    val back = spark.read.schema("id BIGINT, text STRING").json(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == rows.toSet)
+  }
+
   test("S12: TTL cache returns same plan within TTL, recomputes after") {
     val cache = new Writers.TtlCache(spark)
     var computes = 0
