@@ -324,6 +324,36 @@ object Analytics {
       .orderBy(col(a), col(b))
   }
 
+  /** Per-group proportion with a Wilson score interval — the error bar
+    * every eval/quality dashboard should carry instead of a bare rate
+    * (at small n a 90% pass rate and its 62%..98% interval are very
+    * different findings). z defaults to 1.96 (95%); the interval is
+    * the standard Wilson form, one fixed double expression from the
+    * exact integer (successes, n) pair, so any engine evaluating the
+    * same formula reproduces it bit-for-bit.
+    *
+    * Scale: one map-side-combined aggregate to |groups| rows; all the
+    * interval math happens on the aggregated frame. */
+  def proportionCI(df: DataFrame, key: String, success: Column,
+                   z: Double = 1.96): DataFrame = {
+    val agg = df.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(when(success, 1L).otherwise(0L)).as("successes"))
+    val n = col("n").cast("double")
+    val p = col("successes") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (n * 2)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (n * n * 4))
+    agg
+      .withColumn("rate_pct", round(p * 100.0, 4))
+      .withColumn("ci_lo_pct",
+        round((center - spread) / denom * 100.0, 4))
+      .withColumn("ci_hi_pct",
+        round((center + spread) / denom * 100.0, 4))
+      .orderBy(col(key))
+  }
+
   /** Trailing-window anomaly screen over a keyed time series: bucket
     * events to the hour, and score each (key, hour)'s count against
     * the mean/stddev of the previous `lookback` buckets for that key —

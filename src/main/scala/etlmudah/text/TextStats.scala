@@ -615,6 +615,41 @@ object TextStats {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Vocabulary coverage report — the go/no-go check before freezing a
+    * tokenizer or vocab list: build the top-`vocabSize` tokens by
+    * corpus frequency (count desc, token asc — the q56 tie-break) and
+    * report, per slice, the share of token OCCURRENCES covered and the
+    * out-of-vocabulary mass. A slice whose OOV rate is an outlier is
+    * drifting away from the vocabulary's training mix.
+    *
+    * Scale: the vocabulary is a TakeOrderedAndProject over the
+    * Heaps'-bounded token frequency table (distributed top-V, never a
+    * global window) and joins back broadcast; per-slice sums are one
+    * map-side-combined aggregate over the (slice, token) tf frame. */
+  def vocabCoverage(df: DataFrame, textCol: String, idCol: String,
+                    sliceCol: String, vocabSize: Int = 1000): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(sliceCol).as("__slice"),
+        explode(tokens(col(textCol))).as("__t"))
+    val tf = tok.groupBy(col("__slice"), col("__t"))
+      .agg(count(lit(1)).as("__m"))
+    val vocab = tf.groupBy(col("__t")).agg(sum(col("__m")).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__t").asc).limit(vocabSize)
+      .select(col("__t"), lit(true).as("__inv"))
+    tf.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(col("__slice").as(sliceCol))
+      .agg(sum(col("__m")).as("n_tokens"),
+        sum(when(col("__inv"), col("__m")).otherwise(0L)).as("covered_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__inv"), 1L).otherwise(0L)).as("covered_distinct"))
+      .withColumn("coverage_pct",
+        round(col("covered_tokens") * 100.0 / col("n_tokens"), 4))
+      .withColumn("oov_pct",
+        round((col("n_tokens") - col("covered_tokens")) * 100.0 /
+          col("n_tokens"), 4))
+      .orderBy(col(sliceCol))
+  }
+
   /** Shannon entropy of the token distribution per slice — the corpus
     * diversity dial (low entropy = templated/boilerplate-heavy slice,
     * high = lexically diverse; the signal behind "this crawl slice is

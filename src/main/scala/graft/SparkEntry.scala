@@ -657,6 +657,20 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // vocabulary coverage / OOV mass per source against the corpus
+    // top-1000 token vocabulary (the tokenizer-freeze gate)
+    "q117_vocab_coverage" -> ((s, dir) =>
+      // the synthetic corpus has ~31 distinct tokens — V=20 leaves real
+      // OOV mass for the query to measure (V=1000 covers everything)
+      TextStats.vocabCoverage(Tables.documents(s, dir), "text", "doc_id",
+        sliceCol = "source", vocabSize = 20)),
+
+    // per-priority share of high-value orders with a Wilson 95%
+    // interval — the error bar a bare rate hides
+    "q118_proportion_ci" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.proportionCI(Tables.orders(s, dir),
+        "o_orderpriority", col("o_totalprice") > 150000)),
+
     // JSONL sink round-trip (the crawl/annotation interchange format):
     // write documents as JSON lines, read back, re-aggregate — values
     // must survive the text encoding exactly (q44's TSV contract)
@@ -2006,6 +2020,50 @@ object SparkEntry {
         |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
         |   AS pct_of_prev
         |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    // top-V vocabulary with the q56 tie-break (count desc, token asc)
+    // in both engines; coverage sums on exact integers
+    "q117_vocab_coverage" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT source, t, count(*)::BIGINT AS m
+        |  FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT t FROM (SELECT t, sum(m) AS cnt FROM tf
+        |  GROUP BY t ORDER BY cnt DESC, t ASC LIMIT 20)),
+        |j AS (SELECT tf.source, tf.m,
+        |    (vocab.t IS NOT NULL) AS inv
+        |  FROM tf LEFT JOIN vocab ON tf.t = vocab.t)
+        |SELECT source, sum(m)::BIGINT AS n_tokens,
+        | sum(CASE WHEN inv THEN m ELSE 0 END)::BIGINT AS covered_tokens,
+        | count(*)::BIGINT AS n_distinct,
+        | sum(CASE WHEN inv THEN 1 ELSE 0 END)::BIGINT AS covered_distinct,
+        | round(sum(CASE WHEN inv THEN m ELSE 0 END) * 100.0 / sum(m), 4)
+        |   AS coverage_pct,
+        | round((sum(m) - sum(CASE WHEN inv THEN m ELSE 0 END)) * 100.0
+        |   / sum(m), 4) AS oov_pct
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // Wilson interval spelled as the identical double expression tree
+    // (z*z written as 1.96*1.96 so both engines fold the same product)
+    "q118_proportion_ci" ->
+      """WITH a AS (SELECT o_orderpriority,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)::BIGINT
+        |      AS successes
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT o_orderpriority, n, successes,
+        |    successes / CAST(n AS DOUBLE) AS p, CAST(n AS DOUBLE) AS nd
+        |  FROM a)
+        |SELECT o_orderpriority, n, successes,
+        | round(p * 100.0, 4) AS rate_pct,
+        | round((p + (1.96*1.96) / (nd*2) - 1.96 * sqrt(p*(1.0-p)/nd
+        |   + (1.96*1.96)/(nd*nd*4))) / (1.0 + (1.96*1.96)/nd) * 100.0, 4)
+        |   AS ci_lo_pct,
+        | round((p + (1.96*1.96) / (nd*2) + 1.96 * sqrt(p*(1.0-p)/nd
+        |   + (1.96*1.96)/(nd*nd*4))) / (1.0 + (1.96*1.96)/nd) * 100.0, 4)
+        |   AS ci_hi_pct
+        |FROM b ORDER BY o_orderpriority""".stripMargin,
 
     // round-trip identity: integer/string columns through JSONL must
     // re-aggregate to exactly the source-table numbers

@@ -218,6 +218,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(cd.forall(_.getDouble(4) > 0.0))
   }
 
+  test("proportionCI: Wilson interval matches the closed form, brackets the rate") {
+    import spark.implicits._
+    val df = (Seq.fill(90)(("g", 1)) ++ Seq.fill(10)(("g", 0)))
+      .toDF("k", "ok")
+    val r = Analytics.proportionCI(df, "k", col("ok") === 1).collect().head
+    assert(r.getLong(1) == 100L && r.getLong(2) == 90L)
+    assert(r.getDouble(3) == 90.0)
+    val (n, p, z) = (100.0, 0.9, 1.96)
+    val denom = 1.0 + z * z / n
+    val center = p + z * z / (2 * n)
+    val spread = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(r.getDouble(4) == r4((center - spread) / denom * 100.0))
+    assert(r.getDouble(5) == r4((center + spread) / denom * 100.0))
+    // the interval brackets the point rate and stays inside [0, 100]
+    assert(r.getDouble(4) > 80.0 && r.getDouble(4) < 90.0)
+    assert(r.getDouble(5) > 90.0 && r.getDouble(5) < 100.0)
+  }
+
   test("anomalyZ: flags a planted spike, skips partial baselines") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -307,6 +307,18 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getLong(8) == 1, s"pass_all ${r.getLong(8)}")
   }
 
+  test("vocabCoverage: boundary tie breaks to token asc, OOV mass exact") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=2, d=1. V=2 -> vocab {a, b} (b beats c on the
+    // asc tie-break). slice coverage: 5 of 8 occurrences, 2 of 4 distinct
+    val docs = Seq((1L, "a a a b b c c d", "s")).toDF("doc_id", "text", "source")
+    val r = vocabCoverage(docs, "text", "doc_id", "source", vocabSize = 2)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((8L, 5L, 4L, 2L)))
+    assert(r.getDouble(5) == 62.5 && r.getDouble(6) == 37.5)
+  }
+
   test("collocations: planted pair scores exact PMI, hapax pair floored out") {
     import spark.implicits._
     // "new york" always together (5x); filler tokens independent; the

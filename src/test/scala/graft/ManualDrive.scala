@@ -20,7 +20,7 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q116_jsonl_roundtrip")) {
+    for (name <- Seq("q117_vocab_coverage", "q118_proportion_ci")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
