@@ -127,11 +127,15 @@ object Events {
             col("n_users"))
     }.reduce(_.unionAll(_))
     val w = Window.orderBy(col("stage_idx"))
+    // ANSI mode: an empty log (or a dry stage) makes these divisors 0 —
+    // shares are null then, not a DIVIDE_BY_ZERO job failure
     counts.crossJoin(broadcast(total))
       .withColumn("__prev", coalesce(lag(col("n_users"), 1).over(w), col("n0")))
       .select(col("stage_idx"), col("stage"), col("n_users"),
-        round(col("n_users") * 100.0 / col("n0"), 4).as("pct_of_all"),
-        round(col("n_users") * 100.0 / col("__prev"), 4).as("pct_of_prev"))
+        round(when(col("n0") > 0, col("n_users") * 100.0 / col("n0")), 4)
+          .as("pct_of_all"),
+        round(when(col("__prev") > 0, col("n_users") * 100.0 / col("__prev")), 4)
+          .as("pct_of_prev"))
       .orderBy(col("stage_idx"))
   }
 }

@@ -737,7 +737,9 @@ object SparkEntry {
       val splits = etlmudah.scale.Sampling.hashSplit(docs, "doc_id",
           Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
         .select(col("doc_id"), col("split"))
-      Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8)
+      // the PPJoin tier: identical pair set (DedupSpec identity), one
+      // shingle materialization instead of exactJaccardPairs' three
+      Dedup.prefixJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8)
         .join(splits.select(col("doc_id").as("id_a"),
           col("split").as("split_a")), Seq("id_a"))
         .join(splits.select(col("doc_id").as("id_b"),

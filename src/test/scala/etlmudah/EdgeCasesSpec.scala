@@ -102,6 +102,38 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.dupSurvivorsBy(clusters, scores, "doc_id", "score").count() == 0)
   }
 
+  test("this session's operators tolerate empty and degenerate input") {
+    import etlmudah.analytics.Events
+    import java.sql.Timestamp
+    val emptyEvents = Seq.empty[(Long, Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    // cohort/rolling/funnel/anomaly on an empty log: empty, no throw
+    assert(Events.cohortRetention(emptyEvents, "ts", "user_id").count() == 0)
+    assert(Events.rollingActive(emptyEvents, "ts", "user_id").count() == 0)
+    val fu = Events.funnel(emptyEvents, "ts", "user_id", "event_type",
+      Seq("view", "click")).collect()
+    assert(fu.length == 2 && fu.forall(_.getLong(2) == 0L))
+    assert(Analytics.anomalyZ(emptyEvents, "ts", "event_type").count() == 0)
+    // text ops: empty corpus -> empty reports, no divide-by-zero
+    val ed = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextStats.tokenEntropy(ed, "text", "doc_id", "source").count() == 0)
+    assert(TextStats.bigramScore(ed, "text", "doc_id", "source").count() == 0)
+    assert(TextStats.collocations(ed, "text", "doc_id").count() == 0)
+    assert(TextStats.vocabCoverage(ed, "text", "doc_id", "source").count() == 0)
+    // single-token docs: bigram scoring has no transitions -> empty
+    val one = Seq((1L, "solo", "s")).toDF("doc_id", "text", "source")
+    assert(TextStats.bigramScore(one, "text", "doc_id", "source").count() == 0)
+    // prefix Jaccard: empty corpus and a corpus with no qualifying pair
+    assert(Dedup.prefixJaccardPairs(emptyDocs, "text", "doc_id").count() == 0)
+    val solo = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.prefixJaccardPairs(solo, "text", "doc_id").count() == 0)
+    // proportionCI: zero successes and all successes stay inside [0,100]
+    val allFail = Seq(("g", 0), ("g", 0)).toDF("k", "ok")
+    val lo = Analytics.proportionCI(allFail, "k", col("ok") === 1)
+      .collect().head
+    assert(lo.getDouble(3) == 0.0 && lo.getDouble(4) >= 0.0)
+  }
+
   test("sampling on empty input and clipUpper on all-null column") {
     assert(Sampling.hashSplit(emptyDocs, "doc_id",
       Seq(("train", 1.0))).count() == 0)

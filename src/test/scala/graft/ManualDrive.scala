@@ -20,7 +20,7 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q117_vocab_coverage", "q118_proportion_ci")) {
+    for (name <- Seq("q109_split_leakage", "q111_event_funnel")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
