@@ -615,6 +615,54 @@ object TextStats {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Zipf rank-frequency fit: least-squares slope of ln(freq) against
+    * ln(rank) over the token frequency table — natural corpora sit
+    * near slope -1; templated/synthetic text flattens toward 0 and
+    * boilerplate-dominated crawls steepen past -1, so the slope is a
+    * one-number corpus-health signal (and its r² says whether the
+    * power law holds at all). Rank ties break by token asc (the q56
+    * convention) so the fit is deterministic.
+    *
+    * The regression runs as explicit sums — n, Σx, Σy, Σxy, Σx² with
+    * x = ln(rank), y = ln(freq), both ln's on exact integers — in one
+    * fixed expression, not the engine's regr_* aggregates (whose
+    * accumulation internals differ); 4dp rounding absorbs the
+    * remaining double-sum combine-order noise.
+    *
+    * Scale: the rank is a row_number over the VOCABULARY frame —
+    * Heaps'-bounded, fine to ~10^8 distinct tokens on one reducer; for
+    * corpora beyond that, fit on the top-V slice (`maxRank`), which is
+    * also statistically sensible (the head is where Zipf holds). */
+  def zipfFit(df: DataFrame, textCol: String, idCol: String,
+              maxRank: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.repartition(col(idCol))
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
+    val ranked = tf
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__cnt").desc, col("__t").asc)))
+      .filter(col("__rank") <= maxRank)
+      .select(log(col("__rank")).as("__x"), log(col("__cnt")).as("__y"))
+    val n = col("__n").cast("double")
+    val slope = (n * col("__sxy") - col("__sx") * col("__sy")) /
+      (n * col("__sxx") - col("__sx") * col("__sx"))
+    val intercept = (col("__sy") - slope * col("__sx")) / n
+    val r2num = n * col("__sxy") - col("__sx") * col("__sy")
+    val r2 = r2num * r2num /
+      ((n * col("__sxx") - col("__sx") * col("__sx")) *
+        (n * col("__syy") - col("__sy") * col("__sy")))
+    ranked.agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select(col("__n").as("n_tokens_ranked"),
+        round(slope, 4).as("zipf_slope"),
+        round(intercept, 4).as("intercept"),
+        round(r2, 4).as("r2"))
+  }
+
   /** Vocabulary coverage report — the go/no-go check before freezing a
     * tokenizer or vocab list: build the top-`vocabSize` tokens by
     * corpus frequency (count desc, token asc — the q56 tie-break) and

@@ -657,6 +657,12 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // Zipf rank-frequency fit over the corpus vocabulary (slope ~ -1
+    // for natural text; the one-number corpus-health signal)
+    "q119_zipf_fit" -> ((s, dir) =>
+      TextStats.zipfFit(Tables.documents(s, dir), "text", "doc_id",
+        maxRank = 10000)),
+
     // vocabulary coverage / OOV mass per source against the corpus
     // top-1000 token vocabulary (the tokenizer-freeze gate)
     "q117_vocab_coverage" -> ((s, dir) =>
@@ -2022,6 +2028,28 @@ object SparkEntry {
         |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
         |   AS pct_of_prev
         |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    // identical explicit least-squares sums (NOT regr_* aggregates,
+    // whose accumulation internals differ across engines)
+    "q119_zipf_fit" ->
+      """WITH tf AS (SELECT t, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |        FROM documents)
+        |  GROUP BY t),
+        |ranked AS (SELECT ln(row_number() OVER
+        |    (ORDER BY cnt DESC, t ASC)) AS x, ln(cnt) AS y
+        |  FROM tf QUALIFY row_number() OVER (ORDER BY cnt DESC, t ASC)
+        |    <= 10000),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM ranked)
+        |SELECT n AS n_tokens_ranked,
+        | round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS zipf_slope,
+        | round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4)
+        |   AS intercept,
+        | round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |   / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+        |FROM s""".stripMargin,
 
     // top-V vocabulary with the q56 tie-break (count desc, token asc)
     // in both engines; coverage sums on exact integers

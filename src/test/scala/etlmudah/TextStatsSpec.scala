@@ -307,6 +307,19 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getLong(8) == 1, s"pass_all ${r.getLong(8)}")
   }
 
+  test("zipfFit: exact power law fits slope -1 with r2 = 1") {
+    import spark.implicits._
+    // counts 12/r for ranks 1..4: a perfect Zipf corpus
+    val text = ("a " * 12) + ("b " * 6) + ("c " * 4) + ("d " * 3)
+    val docs = Seq((1L, text.trim)).toDF("doc_id", "text")
+    val r = zipfFit(docs, "text", "doc_id").collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.0, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(3) == 1.0, s"r2 ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(2) - math.rint(math.log(12.0) * 1e4) / 1e4)
+      < 1e-9)
+  }
+
   test("vocabCoverage: boundary tie breaks to token asc, OOV mass exact") {
     import spark.implicits._
     // counts: a=3, b=2, c=2, d=1. V=2 -> vocab {a, b} (b beats c on the
