@@ -108,14 +108,16 @@ class PlanShapeSpec extends SparkSpec {
     // two single-row profile aggregates, q99's single-row vocabulary
     // total, q106's single-row transition total, q111's single-row user
     // total, q112's single-row unigram/bigram totals, q113's single-row
-    // first-day frame, q105's nothing (entropy has no cross join).
-    // Anything else — and any CartesianProduct — is an accident this
-    // pins against.
+    // first-day frame, q115's bounded probe set (the exact-baseline
+    // broadcast scan is the point of the recall report), q105's
+    // nothing (entropy has no cross join). Anything else — and any
+    // CartesianProduct — is an accident this pins against.
     val bnljAllowed = Set("q57_tfidf", "q27_cosine_topk",
       "q51_similarity_profile", "q38_ivf_topk", "q79_price_deciles_scale",
       "q96_skew_report", "q94_kmeans_refine", "q93_profile_orders",
       "q99_unigram_logprob", "q100_semantic_dedup", "q106_bigram_logprob",
-      "q111_event_funnel", "q112_collocations", "q113_rolling_active")
+      "q111_event_funnel", "q112_collocations", "q113_rolling_active",
+      "q115_ann_recall")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
