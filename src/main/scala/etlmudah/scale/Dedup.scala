@@ -75,6 +75,41 @@ object Dedup {
           .otherwise(lit("new")).as("status")) ++ carryCols.map(col)): _*)
   }
 
+  /** Normalization ladder — how much duplication each normalization
+    * level would surface, BEFORE committing the pipeline to one: raw
+    * bytes, whitespace+case folding (the [[exactDedup]] fingerprint),
+    * punctuation stripping, digit masking. Each row reports the
+    * distinct-fingerprint count and the duplicate mass at that level;
+    * the jump between rows is the signal (a big raw->ws_case jump
+    * means trivial recrawl dups; a big punct->digits jump means
+    * templated numeric boilerplate).
+    *
+    * One scan: all four fingerprints are projections of the same text,
+    * counted in a single multi-distinct aggregate (the q93 profiler's
+    * Expand shape — rows x 4, bounded and map-side combined); the
+    * ladder unpivots from the one-row aggregate, so nothing here
+    * depends on corpus size except the scan. */
+  def normalizationLadder(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
+    val ws = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val punct = regexp_replace(ws, "[^a-z0-9 ]", "")
+    val digits = regexp_replace(punct, "[0-9]+", "0")
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      countDistinct(md5(col(textCol).cast("binary"))).as("d0"),
+      countDistinct(md5(ws.cast("binary"))).as("d1"),
+      countDistinct(md5(punct.cast("binary"))).as("d2"),
+      countDistinct(md5(digits.cast("binary"))).as("d3"))
+    agg.selectExpr("n",
+        "stack(4, 1, 'raw', d0, 2, 'ws_case', d1, 3, 'punct', d2, " +
+          "4, 'digits', d3) as (level, normalization, n_distinct)")
+      .select(col("level"), col("normalization"), col("n").as("n_docs"),
+        col("n_distinct"), (col("n") - col("n_distinct")).as("n_dups"),
+        round((col("n") - col("n_distinct")) * 100.0 / col("n"), 4)
+          .as("dup_pct"))
+      .orderBy(col("level"))
+  }
+
   /** Per-document LSH band hashes via distributed MinHash. Returns
     * (id, n_shingles, band, bhash); documents with zero shingles drop
     * out.

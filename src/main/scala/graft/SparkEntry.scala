@@ -657,6 +657,24 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // dedup normalization ladder: duplicate mass surfaced at each
+    // normalization level (raw -> case/ws -> punct -> digit-mask)
+    "q120_norm_ladder" -> ((s, dir) =>
+      Dedup.normalizationLadder(Tables.documents(s, dir), "text", "doc_id")),
+
+    // LLM-token cost estimate: BPE-ish token count (letter runs, digit
+    // runs, punctuation marks) vs whitespace words per source — the
+    // per-slice budget multiplier before a real tokenizer pass
+    "q121_token_cost" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextStats.tokenCountBpeIsh(col("text"))).as("bpeish_tokens"))
+        .withColumn("cost_ratio",
+          round(col("bpeish_tokens") * 1.0 / col("ws_tokens"), 4))
+        .orderBy(col("source"))),
+
     // Zipf rank-frequency fit over the corpus vocabulary (slope ~ -1
     // for natural text; the one-number corpus-health signal)
     "q119_zipf_fit" -> ((s, dir) =>
@@ -2028,6 +2046,43 @@ object SparkEntry {
         |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
         |   AS pct_of_prev
         |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    // same four fingerprint projections; exact distinct counts
+    "q120_norm_ladder" ->
+      """WITH f AS (SELECT md5(text) AS f0,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f1,
+        |  md5(regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |    'g'), '[^a-z0-9 ]', '', 'g')) AS f2,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'))
+        |    AS f3
+        |  FROM documents),
+        |a AS (SELECT count(*)::BIGINT AS n,
+        |    count(DISTINCT f0)::BIGINT AS d0, count(DISTINCT f1)::BIGINT AS d1,
+        |    count(DISTINCT f2)::BIGINT AS d2, count(DISTINCT f3)::BIGINT AS d3
+        |  FROM f),
+        |l AS (SELECT 1 AS level, 'raw' AS normalization, n, d0 AS n_distinct FROM a
+        |  UNION ALL SELECT 2, 'ws_case', n, d1 FROM a
+        |  UNION ALL SELECT 3, 'punct', n, d2 FROM a
+        |  UNION ALL SELECT 4, 'digits', n, d3 FROM a)
+        |SELECT level, normalization, n AS n_docs, n_distinct,
+        | n - n_distinct AS n_dups,
+        | round((n - n_distinct) * 100.0 / n, 4) AS dup_pct
+        |FROM l ORDER BY level""".stripMargin,
+
+    // identical BPE-ish segmentation regex (letter runs | digit runs |
+    // single non-alnum marks) — char classes only, RE2/Java-identical
+    "q121_token_cost" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        | sum(len(string_split_regex(trim(text), '\s+')))::BIGINT
+        |   AS ws_tokens,
+        | sum(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS bpeish_tokens,
+        | round(sum(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) * 1.0
+        |   / sum(len(string_split_regex(trim(text), '\s+'))), 4)
+        |   AS cost_ratio
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // identical explicit least-squares sums (NOT regr_* aggregates,
     // whose accumulation internals differ across engines)

@@ -183,6 +183,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - math.rint(9.0 / 11.0 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("normalizationLadder: each level surfaces exactly its own dup class") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello World"),
+      (2L, "hello   world"),        // dup of 1 at ws_case
+      (3L, "hello, world!"),        // dup at punct
+      (4L, "hello world 42"),
+      (5L, "hello world 99"),       // dup of 4 at digit-mask
+      (6L, "something else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.normalizationLadder(docs, "text", "doc_id").collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out("raw") == ((6L, 0L)))
+    assert(out("ws_case") == ((5L, 1L)))   // 1==2
+    assert(out("punct") == ((4L, 2L)))     // 1==2==3
+    assert(out("digits") == ((3L, 3L)))    // + 4==5
+  }
+
   test("dupClusters: min-label components over a known graph") {
     import spark.implicits._
     // two components: {1,2,3} (chain 1-2, 2-3) and {7,9}
