@@ -203,6 +203,58 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Quantile-dial calibration report — how far the mergeable t-digest
+    * boundaries (the 100 TB tier of [[quantileBuckets]]) sit from the
+    * exact percentiles, per quantile: the evidence one needs before
+    * flipping `exact = false` at scale (the same trust-the-dial
+    * discipline as the ANN recall report). Relative error is against
+    * the exact boundary; both boundary vectors come from single 1-row
+    * aggregates. */
+  def quantileCalibration(df: DataFrame, value: Column, buckets: Int = 10,
+                          accuracy: Int = 10000): DataFrame = {
+    val v = value.cast("double")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val both = df.agg(
+      percentile(v, typedlit(qs)).as("__ex"),
+      approx_percentile(v, typedlit(qs), lit(accuracy)).as("__ap"))
+    both.select(posexplode(arrays_zip(col("__ex"), col("__ap")))
+        .as(Seq("__i", "__pair")))
+      .select((col("__i") + 1).as("q_idx"),
+        round((col("__i") + 1).cast("double") / buckets, 4).as("q"),
+        round(col("__pair.__ex"), 4).as("exact_boundary"),
+        round(col("__pair.__ap"), 4).as("approx_boundary"),
+        round(abs(col("__pair.__ap") - col("__pair.__ex")) /
+          abs(col("__pair.__ex")), 6).as("rel_err"))
+      .orderBy(col("q_idx"))
+  }
+
+  /** Per-key inter-event gap statistics: the arrival-cadence profile
+    * (median and p90 seconds between a user's consecutive events, per
+    * event type) that sizes session-gap and watermark parameters from
+    * the data instead of folklore. Gaps are computed once per event
+    * over the user-ordered log (ties broken by event id — the gap
+    * definition must be total for cross-engine determinism), in
+    * integer microseconds scaled to seconds by one fixed division.
+    *
+    * Scale: one keyed window over (user, time) — the q09 shape; the
+    * percentile is the exact tier (sort per event-type group), with
+    * the same `approx_percentile` dial note as q08/q02. */
+  def interEventGaps(events: DataFrame, tsCol: String, userCol: String,
+                     keyCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val gap = ((us - lag(us, 1).over(w)) / 1e6).as("__gap")
+    events.select(col(keyCol).as("key"), gap)
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("key")).agg(
+        count(lit(1)).as("n_gaps"),
+        round(avg(col("__gap")), 4).as("avg_gap_s"),
+        round(percentile(col("__gap"), lit(0.5)), 4).as("median_gap_s"),
+        round(percentile(col("__gap"), lit(0.9)), 4).as("p90_gap_s"))
+      .orderBy(col("key"))
+  }
+
   /** Deterministic "DISTINCT ON (key) ... pick latest" dedup (D2): the
     * reference's nondeterministic first-wins set-dedup (dag.py:97-105) made
     * reproducible with an explicit ordering. Single shuffle on the key.

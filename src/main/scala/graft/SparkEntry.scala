@@ -657,6 +657,18 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // inter-event gap cadence per event type (sizes session gaps and
+    // watermarks from the data)
+    "q122_event_gaps" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.interEventGaps(Tables.eventsTyped(s, dir),
+        "ts", "user_id", "event_type", "event_id")),
+
+    // t-digest decile calibration vs exact percentiles (no SQL oracle:
+    // the sketch has no DuckDB twin; envelope spec'd in AnalyticsSpec)
+    "q123_decile_calibration" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.quantileCalibration(
+        Tables.orders(s, dir), col("o_totalprice"), buckets = 10)),
+
     // dedup normalization ladder: duplicate mass surfaced at each
     // normalization level (raw -> case/ws -> punct -> digit-mask)
     "q120_norm_ladder" -> ((s, dir) =>
@@ -2046,6 +2058,21 @@ object SparkEntry {
         |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
         |   AS pct_of_prev
         |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    // gap = fixed integer-micros subtraction / 1e6; quantile_cont ==
+    // Spark's interpolating percentile (q08 precedent); ties in the
+    // user order broken by event_id in BOTH engines
+    "q122_event_gaps" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap
+        |  FROM events)
+        |SELECT event_type AS key, count(*)::BIGINT AS n_gaps,
+        | round(avg(gap), 4) AS avg_gap_s,
+        | round(quantile_cont(gap, 0.5), 4) AS median_gap_s,
+        | round(quantile_cont(gap, 0.9), 4) AS p90_gap_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same four fingerprint projections; exact distinct counts
     "q120_norm_ladder" ->

@@ -218,6 +218,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(cd.forall(_.getDouble(4) > 0.0))
   }
 
+  test("quantileCalibration: t-digest boundaries inside a 1% envelope") {
+    val orders = etlmudah.Tables.orders(spark, sf0001)
+    val out = Analytics.quantileCalibration(orders, col("o_totalprice"), 10)
+      .collect()
+    assert(out.length == 9)
+    assert(out.forall(_.getDouble(4) <= 0.01),
+      out.map(_.getDouble(4)).mkString(","))
+    // boundaries are monotone in q
+    val ex = out.map(_.getDouble(2))
+    assert(ex.zip(ex.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("interEventGaps: hand log with exact gap stats, ties broken by id") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: events at 0s, 10s, 40s -> gaps 10 (click), 30 (buy)
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 00:00:10"), "click"),
+      (3L, 1L, ts("2024-01-01 00:00:40"), "buy"),
+      // user 2: simultaneous pair — id order makes the gap exactly 0
+      (4L, 2L, ts("2024-01-01 00:01:00"), "view"),
+      (5L, 2L, ts("2024-01-01 00:01:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Analytics.interEventGaps(events, "ts", "user_id",
+        "event_type", "event_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out("click") == ((2L, 5.0, 5.0)))   // gaps 10 and 0
+    assert(out("buy") == ((1L, 30.0, 30.0)))
+    assert(!out.contains("view"))              // first events have no gap
+  }
+
   test("proportionCI: Wilson interval matches the closed form, brackets the rate") {
     import spark.implicits._
     val df = (Seq.fill(90)(("g", 1)) ++ Seq.fill(10)(("g", 0)))
