@@ -657,6 +657,42 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // per-frame table from video-like blobs: one row per sampled frame
+    // with its fingerprint — the shape a frame-dedup/caption pipeline
+    // materializes. frames=4 keeps len/4.0 exact in binary, so the
+    // window positions truncate identically in any engine; the synth
+    // corpus is ASCII, so byte windows == char windows for the oracle
+    "q124_frame_table" -> ((s, dir) => {
+      val m = Multimodal.withFakeMedia(
+        Tables.documents(s, dir).filter(col("doc_id") < 50), "text")
+      m.select(col("doc_id"),
+          posexplode(Multimodal.frameSample(col("media"), 4, 8))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_fp"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // per-dimension embedding diagnostics (dead/saturated dimension
+    // screen): mean/variance/extremes per vector position
+    "q125_embedding_dims" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "__v")))
+        .select(col("dim"), col("__v").cast("double").as("__v"))
+        .groupBy(col("dim")).agg(
+          count(lit(1)).as("n"),
+          sum(col("__v")).as("__s1"),
+          sum(col("__v") * col("__v")).as("__s2"),
+          round(min(col("__v")), 6).as("min_v"),
+          round(max(col("__v")), 6).as("max_v"))
+        .select(col("dim"), col("n"),
+          round(col("__s1") / col("n"), 4).as("avg_v"),
+          round((col("__s2") - col("__s1") * col("__s1") / col("n")) /
+            (col("n") - 1), 4).as("var_v"),
+          col("min_v"), col("max_v"))
+        .orderBy(col("dim"))),
+
     // inter-event gap cadence per event type (sizes session gaps and
     // watermarks from the data)
     "q122_event_gaps" -> ((s, dir) =>
@@ -2058,6 +2094,35 @@ object SparkEntry {
         |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
         |   AS pct_of_prev
         |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    // same truncated positions (len/4.0 is exact — no round-vs-trunc
+    // ambiguity); md5 of the char window == md5 of the byte window on
+    // this ASCII corpus
+    "q124_frame_table" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT doc_id, i AS frame_idx,
+        |    substring(text, CAST(trunc(i * (len / 4.0) + 1) AS INTEGER), 8)
+        |      AS frame
+        |  FROM d, unnest(range(0, 4)) AS t(i)
+        |  WHERE len >= 4)
+        |SELECT doc_id, frame_idx::INT AS frame_idx, md5(frame) AS frame_fp,
+        | length(frame)::BIGINT AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // variance from explicit sums (engine-stable formula); element
+    // floats cast to double before summing in both engines
+    "q125_embedding_dims" ->
+      """WITH v AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |a AS (SELECT dim, count(*)::BIGINT AS n, sum(v) AS s1,
+        |    sum(v*v) AS s2, round(min(v), 6) AS min_v,
+        |    round(max(v), 6) AS max_v
+        |  FROM v GROUP BY dim)
+        |SELECT dim::INT AS dim, n, round(s1 / n, 4) AS avg_v,
+        | round((s2 - s1*s1/n) / (n - 1), 4) AS var_v, min_v, max_v
+        |FROM a ORDER BY dim""".stripMargin,
 
     // gap = fixed integer-micros subtraction / 1e6; quantile_cont ==
     // Spark's interpolating percentile (q08 precedent); ties in the
