@@ -197,6 +197,63 @@ object Streaming {
         ()
       }
 
+  /** Continuous anomaly monitoring — `Analytics.anomalyZ` as a stream
+    * sink: each micro-batch's events fold into a standing HOURLY COUNT
+    * table (batches may split an hour — the merge re-sums per (key,
+    * hour)), and the full z-score report recomputes over that state.
+    * The state is the aggregated bucket frame, bounded by |keys| x
+    * time horizon — never raw events — so recomputing the keyed
+    * window over it is cheap at any event volume; a deployment that
+    * wants incremental scoring would window only the tail, same
+    * state.
+    *
+    * Idempotency: a naive "re-sum state + batch" would DOUBLE-count a
+    * re-delivered batch, so the state is per-batch hourly partials in
+    * a `batch_id=<n>` partition (dynamic overwrite — the
+    * [[dedupIngestSink]] pattern): re-delivery rewrites exactly its
+    * own partition, and the scoring pass re-aggregates partials
+    * across batches (batches that split an hour sum correctly). The
+    * report is a wholesale overwrite. Verified stream==batch and
+    * re-run-convergent in StreamingSpec. */
+  def anomalySink(events: DataFrame, statePath: String, outPath: String,
+                  checkpoint: String, keyCol: String = "event_type",
+                  lookback: Int = 24):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch
+          .groupBy(col(keyCol), date_trunc("hour", col("ts")).as("__hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+        // score the standing bucket frame (exact integer window sums —
+        // same math as Analytics.anomalyZ, which expects raw events)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col("__hour"))
+          .rowsBetween(-lookback, -1)
+        val n = lit(lookback.toDouble)
+        val mean = col("__s1") / n
+        val variance = (col("__s2") - col("__s1") * col("__s1") / n) / (n - 1)
+        spark.read.parquet(statePath)
+          .groupBy(col(keyCol), col("__hour"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .withColumn("__nw", count(lit(1)).over(w))
+          .withColumn("__s1", sum(col("cnt")).over(w).cast("double"))
+          .withColumn("__s2",
+            sum(col("cnt") * col("cnt")).over(w).cast("double"))
+          .filter(col("__nw") === lookback && variance > 0)
+          .select(col(keyCol), unix_micros(col("__hour")).as("hour_us"),
+            col("cnt"), round(mean, 4).as("baseline_mean"),
+            round((col("cnt") - mean) / sqrt(variance), 4).as("z"))
+          .write.mode("overwrite").parquet(outPath)
+        ()
+      }
+
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge
     * to the same state, matching the reference's ON CONFLICT idempotency

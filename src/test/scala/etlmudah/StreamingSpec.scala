@@ -188,6 +188,30 @@ class StreamingSpec extends SparkSpec {
     assert(again == Set(1L, 3L, 5L))
   }
 
+  test("anomalySink: standing-state scores == batch anomalyZ, re-run converges") {
+    import etlmudah.analytics.Analytics
+    val out = Files.createTempDirectory("stream_anom").toString
+    val src = stageEvents("src_anom")
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.anomalySink(Streaming.readEvents(spark, src),
+          s"$out/state", s"$out/report", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce(s"$out/cp1")
+    val streamed = spark.read.parquet(s"$out/report")
+      .orderBy("event_type", "hour_us").collect()
+    val batch = Analytics.anomalyZ(Tables.eventsTyped(spark, sf0001),
+      "ts", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    runOnce(s"$out/cp2")   // re-delivery: counts re-sum, report identical
+    val again = spark.read.parquet(s"$out/report")
+      .orderBy("event_type", "hour_us").collect()
+    assert(streamed.zip(again).forall { case (a, b) => a == b })
+  }
+
   test("upsertSink: micro-batch merge is idempotent (re-running converges)") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"
