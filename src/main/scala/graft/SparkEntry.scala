@@ -657,6 +657,32 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // anti join (EXCEPT shape): customers with no high-value order —
+    // the orphan screen every referential model runs (threshold keeps
+    // the result non-trivial on the dense synthetic data, where every
+    // customer has SOME order)
+    "q126_customers_no_orders" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_totalprice") > 450000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy().agg(count(lit(1)).as("n_without"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"),
+          sum(col("c_custkey")).as("key_sum"))),
+
+    // semi join (EXISTS shape): customers with at least one URGENT
+    // order, counted per nation
+    "q127_urgent_customers" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))),
+
     // per-frame table from video-like blobs: one row per sampled frame
     // with its fingerprint — the shape a frame-dedup/caption pipeline
     // materializes. frames=4 keeps len/4.0 exact in binary, so the
@@ -2094,6 +2120,20 @@ object SparkEntry {
         |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
         |   AS pct_of_prev
         |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    "q126_customers_no_orders" ->
+      """SELECT count(*)::BIGINT AS n_without, min(c_custkey) AS min_key,
+        | max(c_custkey) AS max_key, sum(c_custkey)::BIGINT AS key_sum
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |  WHERE o_totalprice > 450000)""".stripMargin,
+
+    "q127_urgent_customers" ->
+      """SELECT c_nationkey, count(*)::BIGINT AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // same truncated positions (len/4.0 is exact — no round-vs-trunc
     // ambiguity); md5 of the char window == md5 of the byte window on
