@@ -407,11 +407,16 @@ object Analytics {
   }
 
   /** Trailing-window anomaly screen over a keyed time series: bucket
-    * events to the hour, and score each (key, hour)'s count against
-    * the mean/stddev of the previous `lookback` buckets for that key —
-    * the volume-spike / outage monitor every ingestion pipeline runs.
-    * Only rows with a FULL trailing window are scored (a partial
-    * baseline early in the series would manufacture anomalies).
+    * events to the hour, DENSIFY the hour axis per key (zero-event
+    * hours become real zero-count buckets), and score each (key,
+    * hour)'s count against the mean/stddev of the previous `lookback`
+    * buckets for that key — the volume-spike / outage monitor every
+    * ingestion pipeline runs. Densification is what makes it an OUTAGE
+    * monitor at all: without it, a silent hour produces no row — so it
+    * is never scored and the "trailing 24 buckets" silently stretch
+    * over more wall-clock time. Only rows with a FULL trailing window
+    * are scored (a partial baseline early in the series would
+    * manufacture anomalies).
     *
     * Determinism note: the built-in stddev over a window is a
     * Welford-style incremental whose fp op order is engine-specific —
@@ -421,20 +426,35 @@ object Analytics {
     * the same formula (4dp rounding is display-only).
     *
     * Scale: one hash aggregate corpus-wide (events -> |keys|x|hours|
-    * buckets), then one keyed window over the AGGREGATED frame —
-    * window state per key is O(lookback). Hot keys are hot only in
-    * bucket count (bounded by the time range), not event volume. */
+    * buckets), densify + window both over the AGGREGATED frame (the
+    * dense axis is bounded by |keys| x wall-clock hours, never event
+    * volume) — window state per key is O(lookback). Hot keys are hot
+    * only in bucket count (bounded by the time range). */
   def anomalyZ(events: DataFrame, tsCol: String, keyCol: String,
-               lookback: Int = 24): DataFrame = {
-    val hourly = events
+               lookback: Int = 24): DataFrame =
+    scoreHourly(events
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("__hour"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")), keyCol, lookback)
+
+  /** Scoring half of [[anomalyZ]], shared with the streaming anomaly
+    * sink (which maintains the hourly frame as per-batch partials):
+    * takes an aggregated (key, __hour, cnt) frame, zero-fills the hour
+    * axis per key between that key's first and last observed hour, and
+    * applies the exact-integer-sum z-score window. */
+  private[etlmudah] def scoreHourly(hourly: DataFrame, keyCol: String,
+                                    lookback: Int): DataFrame = {
+    val dense = hourly.groupBy(col(keyCol))
+      .agg(min(col("__hour")).as("__h0"), max(col("__hour")).as("__h1"))
+      .select(col(keyCol), explode(expr(
+        "sequence(__h0, __h1, interval 1 hour)")).as("__hour"))
+      .join(hourly, Seq(keyCol, "__hour"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__hour"))
       .rowsBetween(-lookback, -1)
     val n = lit(lookback.toDouble)
     val mean = col("__s1") / n
     val variance = (col("__s2") - col("__s1") * col("__s1") / n) / (n - 1)
-    hourly
+    dense
       .withColumn("__nw", count(lit(1)).over(w))
       .withColumn("__s1", sum(col("cnt")).over(w).cast("double"))
       .withColumn("__s2", sum(col("cnt") * col("cnt")).over(w).cast("double"))

@@ -105,8 +105,11 @@ object Dedup {
           "4, 'digits', d3) as (level, normalization, n_distinct)")
       .select(col("level"), col("normalization"), col("n").as("n_docs"),
         col("n_distinct"), (col("n") - col("n_distinct")).as("n_dups"),
-        round((col("n") - col("n_distinct")) * 100.0 / col("n"), 4)
-          .as("dup_pct"))
+        // empty input still yields one aggregate row with n = 0; an
+        // unguarded share would DIVIDE_BY_ZERO under ANSI mode
+        when(col("n") > 0,
+          round((col("n") - col("n_distinct")) * 100.0 / col("n"), 4))
+          .otherwise(lit(0.0)).as("dup_pct"))
       .orderBy(col("level"))
   }
 
@@ -313,14 +316,21 @@ object Dedup {
     * the unfiltered tier in DedupSpec), so q63's oracle applies
     * verbatim.
     *
-    * Verify phase: candidate pairs re-join the two full shingle SETS
-    * (collected arrays of 8-byte hashes) and intersect in-row — cost
-    * |candidates| x doc length, the PPJoin verify shape, never an
-    * index-wide rescan.
+    * Verify phase: candidate pairs re-join the exploded (id, shingle)
+    * rows keyed on (id, shingle) and COUNT the matches — the
+    * `nearDupPairs` refine shape, restricted to candidates. Cost is
+    * |candidates| x doc length in 8-byte rows, never an index-wide
+    * rescan, and — unlike a `collect_list` set verify — nothing
+    * materializes per-document arrays or leaves whole-stage codegen.
+    *
+    * The prefix bound subtracts an epsilon before `ceil`: when t*n is
+    * mathematically an exact integer, fp rounding can land one ulp
+    * ABOVE it, and a naive ceil would shorten the prefix by one and
+    * break the recall-1.0 lemma for that doc size.
     *
     * The shingle rows are materialized ONCE (`localCheckpoint`, the
     * `dupClusters` precedent): four consumers read them (document
-    * frequencies, the prefix window, sizes, and the verify sets), and
+    * frequencies, the prefix window, sizes, and the verify join), and
     * re-running tokenize+window per consumer measured ~2x the whole
     * query. At cluster scale the same move is writing the (id,
     * shingle) table once — 8 bytes a shingle — before indexing it. */
@@ -338,24 +348,23 @@ object Dedup {
       .withColumn("__rk", row_number().over(w))
       .join(sizes, Seq("id"))
       .filter(col("__rk") <=
-        col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+        col("n_sh") - ceil(lit(minJaccard) * col("n_sh") - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"))
     val cand = prefix.select(col("id").as("id_a"), col("shingle"))
       .join(prefix.select(col("id").as("id_b"), col("shingle")),
         Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = sh.groupBy(col("id")).agg(
-      collect_list(col("shingle")).as("__set"),
-      count(lit(1)).as("n_sh"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("__set").as("__sa"),
-        col("n_sh").as("na")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("__set").as("__sb"),
-        col("n_sh").as("nb")), Seq("id_b"))
-      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
       .withColumn("jac",
-        col("__i").cast("double") / (col("na") + col("nb") - col("__i")))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

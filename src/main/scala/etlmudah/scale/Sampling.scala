@@ -102,8 +102,11 @@ object Sampling {
                         alpha: Double, targetTotal: Long,
                         salt: String = ""): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    // sqrt fast path keyed with a tolerance, not exact double equality
+    // (pow(x, 0.5) and sqrt(x) agree to the ulp on IEEE doubles, so the
+    // branch is cosmetic either way)
     val weight: Column => Column =
-      if (alpha == 0.5) sqrt(_) else pow(_, lit(alpha))
+      if (math.abs(alpha - 0.5) < 1e-12) sqrt(_) else pow(_, lit(alpha))
     val census = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
     // |strata| rows: the empty-frame window is a single-partition
     // exchange of the census only, never of the corpus

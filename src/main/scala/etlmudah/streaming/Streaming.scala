@@ -157,8 +157,15 @@ object Streaming {
     * re-delivered batch rewrites exactly its own partition (or touches
     * nothing when it now classifies as all-duplicate); the fingerprint
     * table is a distinct set union — re-applying it is a no-op — and
-    * swaps in via the Hadoop FileSystem temp+rename. Every crash point
-    * between the two writes replays to the same converged state. */
+    * swaps in via a RECOVERABLE three-step rename (write `__tmp`,
+    * rename live table aside to `__old`, rename `__tmp` in): the live
+    * path is only ever absent between the two renames, at which point
+    * `__tmp` is known-complete, so batch-begin recovery (restore from
+    * `__tmp`, else `__old`) plus the set-union no-op makes every crash
+    * point replay to the same converged state — a plain
+    * delete-then-rename would lose the whole fingerprint state to a
+    * crash between the delete and the rename. Crash-torn layouts are
+    * exercised in StreamingSpec. */
   def dedupIngestSink(docs: DataFrame, basePath: String, fpPath: String,
                       checkpoint: String, textCol: String = "text",
                       idCol: String = "doc_id"):
@@ -169,7 +176,21 @@ object Streaming {
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
         val fpTarget = new org.apache.hadoop.fs.Path(fpPath)
+        val fpTmp = new org.apache.hadoop.fs.Path(fpPath + "__tmp")
+        val fpOld = new org.apache.hadoop.fs.Path(fpPath + "__old")
         val fs = fpTarget.getFileSystem(conf)
+        // Crash recovery: the live table is absent ONLY between the two
+        // swap renames below — at that point __tmp was fully written
+        // (it is renamed aside only after its write completes), so it
+        // is the newest complete state; __old is the pre-swap fallback.
+        // With the live table present, any __tmp is a torn partial
+        // write and any __old a finished swap's leftover — drop both.
+        if (!fs.exists(fpTarget)) {
+          if (fs.exists(fpTmp)) fs.rename(fpTmp, fpTarget)
+          else if (fs.exists(fpOld)) fs.rename(fpOld, fpTarget)
+        }
+        if (fs.exists(fpOld)) fs.delete(fpOld, true)
+        if (fs.exists(fpTmp)) fs.delete(fpTmp, true)
         val batchFp = batch.withColumn("__fp",
           TextStats.fingerprint(col(textCol)))
         val corpusFp =
@@ -190,10 +211,12 @@ object Streaming {
           .parquet(basePath)
         val advanced = batchFp.select(col("__fp"))
           .union(corpusFp.select(col("__fp"))).distinct()
-        val tmp = new org.apache.hadoop.fs.Path(fpPath + "__tmp")
-        advanced.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(fpTarget)) fs.delete(fpTarget, true)
-        fs.rename(tmp, fpTarget)
+        advanced.write.mode("overwrite").parquet(fpTmp.toString)
+        // recoverable swap: the live table moves ASIDE (not deleted)
+        // before the new one moves in, so no crash point loses state
+        if (fs.exists(fpTarget)) fs.rename(fpTarget, fpOld)
+        fs.rename(fpTmp, fpTarget)
+        if (fs.exists(fpOld)) fs.delete(fpOld, true)
         ()
       }
 
@@ -231,25 +254,15 @@ object Streaming {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(statePath)
-        // score the standing bucket frame (exact integer window sums —
-        // same math as Analytics.anomalyZ, which expects raw events)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol)).orderBy(col("__hour"))
-          .rowsBetween(-lookback, -1)
-        val n = lit(lookback.toDouble)
-        val mean = col("__s1") / n
-        val variance = (col("__s2") - col("__s1") * col("__s1") / n) / (n - 1)
-        spark.read.parquet(statePath)
-          .groupBy(col(keyCol), col("__hour"))
-          .agg(sum(col("cnt")).as("cnt"))
-          .withColumn("__nw", count(lit(1)).over(w))
-          .withColumn("__s1", sum(col("cnt")).over(w).cast("double"))
-          .withColumn("__s2",
-            sum(col("cnt") * col("cnt")).over(w).cast("double"))
-          .filter(col("__nw") === lookback && variance > 0)
-          .select(col(keyCol), unix_micros(col("__hour")).as("hour_us"),
-            col("cnt"), round(mean, 4).as("baseline_mean"),
-            round((col("cnt") - mean) / sqrt(variance), 4).as("z"))
+        // score the standing bucket frame via the SAME code path as the
+        // batch operator (Analytics.scoreHourly: per-key hour
+        // densification + exact-integer window sums), so stream==batch
+        // holds by construction
+        etlmudah.analytics.Analytics.scoreHourly(
+            spark.read.parquet(statePath)
+              .groupBy(col(keyCol), col("__hour"))
+              .agg(sum(col("cnt")).as("cnt")),
+            keyCol, lookback)
           .write.mode("overwrite").parquet(outPath)
         ()
       }

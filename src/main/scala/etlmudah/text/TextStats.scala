@@ -629,10 +629,14 @@ object TextStats {
     * accumulation internals differ); 4dp rounding absorbs the
     * remaining double-sum combine-order noise.
     *
-    * Scale: the rank is a row_number over the VOCABULARY frame —
-    * Heaps'-bounded, fine to ~10^8 distinct tokens on one reducer; for
-    * corpora beyond that, fit on the top-V slice (`maxRank`), which is
-    * also statistically sensible (the head is where Zipf holds). */
+    * Scale: the top-`maxRank` slice is selected FIRST by a distributed
+    * `orderBy(...).limit(maxRank)` (TakeOrderedAndProject — per-partition
+    * top-V, merged on the driver side of the exchange), and only the
+    * ≤ maxRank survivors pay the single-partition rank window. Ranking
+    * the full vocabulary through one reducer before filtering (the
+    * naive shape) would sort ~10^8 distinct tokens on one task at
+    * crawl scale. Fitting on the head is also statistically sensible
+    * (the head is where Zipf holds). */
   def zipfFit(df: DataFrame, textCol: String, idCol: String,
               maxRank: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -640,9 +644,9 @@ object TextStats {
       .select(explode(tokens(col(textCol))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
     val ranked = tf
+      .orderBy(col("__cnt").desc, col("__t").asc).limit(maxRank)
       .withColumn("__rank", row_number().over(
         Window.orderBy(col("__cnt").desc, col("__t").asc)))
-      .filter(col("__rank") <= maxRank)
       .select(log(col("__rank")).as("__x"), log(col("__cnt")).as("__y"))
     val n = col("__n").cast("double")
     val slope = (n * col("__sxy") - col("__sx") * col("__sy")) /

@@ -20,6 +20,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
     // Warmup: pay JVM/codegen/parquet-footer cold-start once, outside the
     // per-query timings (otherwise the alphabetically-first query absorbs
     // ~4s of session warmup and the numbers misattribute it).
@@ -31,6 +34,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Fixed-work calibration probes, timed warm: a pure-CPU aggregate
+    // and a small full-table parquet scan. Identical work every round,
+    // so cross-round ratios on these two separate host/environment
+    // drift from code regressions (round 4's uniform ~1.5x vs round 3
+    // could not be adjudicated from the artifacts alone). Best of 3,
+    // same estimator as the queries.
+    val calibCpu = (1 to 3).map(_ => secs(
+      spark.range(1L << 26).selectExpr("sum(id * id)").write
+        .format("noop").mode("overwrite").save())).min
+    val calibScan = (1 to 3).map(_ => secs(
+      try spark.read.parquet(s"$sfDir/orders.parquet")
+        .selectExpr("sum(hash(*))").write.format("noop")
+        .mode("overwrite").save()
+      catch { case _: Throwable => () })).min
     // ML training is benchmarked separately from engine ops (RF fit time
     // says nothing about query-plan quality and would dominate the total).
     val exclude = Set("q33_ml_importances", "q81_ml_predict_one")
@@ -38,23 +55,30 @@ object Bench {
       // best of 3 runs: this sandbox shows 2-3x run-to-run noise from the
       // shared host; min is the standard noise-resistant point estimate.
       val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
         // noop-format write forces every expression/column (a bare count()
         // would let Catalyst prune projections and under-measure).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        secs(
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e") })
       }
-      name -> times.min
+      (name, times.min, times.max)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // rep spread = max/min across the 3 reps, the per-query noise dial:
+    // a query whose min moved between rounds while its spread was tight
+    // is a plan change; wide spreads mean the host was noisy.
+    val spreads = results.map { case (k, v, mx) =>
+      s"\"" + k + "\":" + (if (v > 0) math.round(mx / v * 100.0) / 100.0 else 1.0)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Per-query detail on its own line FIRST; the final stdout line is a
     // SHORT total-only record — the driver parses the tail of stdout, and
     // a single line carrying ~80 per-query entries overflows its capture
     // (BENCH_r03 came back "parsed": null that way).
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"rep_spread","unit":"ratio_max_over_min","queries":$spreads}""")
+    println(s"""{"metric":"calibration","unit":"sec","cpu_sum_sq_2e26":$calibCpu,"orders_scan_hash":$calibScan}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -38,6 +38,18 @@ object SparkEntry {
       Seq(round(avg(col("l_quantity")), 2).as("avg_qty")))
   }
 
+  /** Near-dup pair tier shared by every cluster-consuming query (q64
+    * clusters, q66 apply, q82 survivor policy): the PREFIX-filtered
+    * PPJoin tier, whose candidate generation excludes corpus-wide hot
+    * shingles — the Σdf² of `exactJaccardPairs` is the thing that
+    * detonates on a real crawled corpus. The pair set is identical to
+    * the exact tier by the prefix lemma (proven in DedupSpec), so
+    * every downstream oracle is unchanged; q63 keeps
+    * `exactJaccardPairs` as the exact-tier definition and q108 is the
+    * prefix tier's own oracle. Tier pinned in PlanShapeSpec. */
+  private[graft] def clusterPairs(docs: DataFrame): DataFrame =
+    Dedup.prefixJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — global scalar aggregates (headline metrics)
     "q01_headline_orders" -> ((s, dir) =>
@@ -683,6 +695,31 @@ object SparkEntry {
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_nationkey"))),
 
+    // set op INTERSECT (SURVEY §2.5): customers present in BOTH the
+    // urgent-order and the high-order cohort. Spark's intersect plans
+    // as a distinct + left-semi — SQL INTERSECT semantics exactly
+    "q128_cohort_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      etlmudah.analytics.SetOps.intersect(
+          o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          o.filter(col("o_orderpriority") === "2-HIGH")
+            .select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // set op EXCEPT (SURVEY §2.5): urgent-cohort customers with no
+    // high-priority order — distinct + left-anti, SQL EXCEPT semantics
+    "q129_cohort_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      etlmudah.analytics.SetOps.except(
+          o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          o.filter(col("o_orderpriority") === "2-HIGH")
+            .select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
     // per-frame table from video-like blobs: one row per sampled frame
     // with its fingerprint — the shape a frame-dedup/caption pipeline
     // materializes. frames=4 keeps len/4.0 exact in binary, so the
@@ -1023,8 +1060,7 @@ object SparkEntry {
     // member (n_chars, ties -> lowest id) instead of the min-id canonical
     "q82_dedup_survivor_quality" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val clusters = Dedup.dupClusters(
-        Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8))
+      val clusters = Dedup.dupClusters(clusterPairs(docs))
       Dedup.dupSurvivorsBy(clusters, docs, "doc_id", "n_chars")
     }),
 
@@ -1048,12 +1084,11 @@ object SparkEntry {
       Dedup.exactJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
         minJaccard = 0.8)),
 
-    // duplicate-cluster assignment: connected components over the exact
-    // near-dup pair graph; cluster_id = min doc_id (canonical survivor)
+    // duplicate-cluster assignment: connected components over the
+    // near-dup pair graph (prefix tier — identical pair set to q63's
+    // exact tier); cluster_id = min doc_id (canonical survivor)
     "q64_dedup_clusters" -> ((s, dir) =>
-      Dedup.dupClusters(
-        Dedup.exactJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-          minJaccard = 0.8))),
+      Dedup.dupClusters(clusterPairs(Tables.documents(s, dir)))),
 
     // exact-tier decontamination (oracle-checkable twin of q47): train =
     // even doc ids, reference = odd doc ids, inverted-index exact Jaccard
@@ -1112,8 +1147,7 @@ object SparkEntry {
     // filter step an actual training-data pipeline ships
     "q66_dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val drops = Dedup.dupClusters(
-          Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8))
+      val drops = Dedup.dupClusters(clusterPairs(docs))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"), lit(1).as("__drop"))
       docs.join(drops, Seq("doc_id"), "left")
@@ -2031,16 +2065,27 @@ object SparkEntry {
 
     // trailing-window z from exact integer window sums (sum x, sum
     // x^2) — the variance expression is ONE fixed double formula in
-    // both engines, so no Welford order sensitivity
+    // both engines, so no Welford order sensitivity; the hour axis is
+    // densified per key (zero-event hours are real zero buckets) so
+    // outage hours are scored and the 24-bucket baseline is 24h of
+    // wall clock, mirroring Analytics.scoreHourly
     "q107_hourly_anomaly" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |    count(*)::BIGINT AS cnt
         |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        |dense AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |filled AS (SELECT d.event_type, d.h,
+        |    coalesce(cnt, 0)::BIGINT AS cnt
+        |  FROM dense d LEFT JOIN hourly USING (event_type, h)),
         |w AS (SELECT event_type, h, cnt,
         |    count(*) OVER tw AS nw,
         |    CAST(sum(cnt) OVER tw AS DOUBLE) AS s1,
         |    CAST(sum(cnt*cnt) OVER tw AS DOUBLE) AS s2
-        |  FROM hourly
+        |  FROM filled
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, epoch_us(h) AS hour_us, cnt,
@@ -2134,6 +2179,18 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q128_cohort_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q129_cohort_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
 
     // same truncated positions (len/4.0 is exact — no round-vs-trunc
     // ambiguity); md5 of the char window == md5 of the byte window on

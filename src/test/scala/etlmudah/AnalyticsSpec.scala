@@ -290,4 +290,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(zByCnt(40L) > 10.0, s"spike z ${zByCnt(40L)}")   // the whale
     assert(out.filter(_._2 != 40L).forall(r => math.abs(r._3) < 2.0))
   }
+
+  test("anomalyZ: an OUTAGE hour (zero events) is densified in and scored") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // steady 4/6 alternation for 30 hours, except hour 28 has NO events
+    // at all — without densification that hour produces no row, is never
+    // scored, and silently stretches every later baseline past 24h
+    val rows = (0 until 30).filter(_ != 28).flatMap { h =>
+      val n = if (h % 2 == 0) 4 else 6
+      (0 until n).map(i =>
+        (Timestamp.valueOf(f"2024-01-01 ${h % 24}%02d:15:00").toInstant
+          .plusSeconds(h / 24 * 86400L + i), "load"))
+    }.map { case (t, k) => (Timestamp.from(t), k) }.toDF("ts", "key")
+    val out = Analytics.anomalyZ(rows, "ts", "key", lookback = 24)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // hours 24..29 all carry full 24-bucket baselines — INCLUDING the
+    // zero-count outage hour, which must be present and strongly negative
+    assert(out.length == 6, s"scored ${out.length}")
+    val outage = out.filter(_._2 == 0L)
+    assert(outage.length == 1, out.mkString(","))
+    assert(outage.head._3 < -3.0, s"outage z ${outage.head._3}")
+  }
 }

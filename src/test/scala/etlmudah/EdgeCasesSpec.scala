@@ -123,6 +123,12 @@ class EdgeCasesSpec extends SparkSpec {
     // single-token docs: bigram scoring has no transitions -> empty
     val one = Seq((1L, "solo", "s")).toDF("doc_id", "text", "source")
     assert(TextStats.bigramScore(one, "text", "doc_id", "source").count() == 0)
+    // normalization ladder: empty corpus still yields its 4 level rows
+    // (one aggregate row with n=0) and the dup_pct share must not
+    // DIVIDE_BY_ZERO under ANSI mode
+    val ladder = Dedup.normalizationLadder(emptyDocs, "text", "doc_id").collect()
+    assert(ladder.length == 4)
+    assert(ladder.forall(r => r.getLong(2) == 0L && r.getDouble(5) == 0.0))
     // prefix Jaccard: empty corpus and a corpus with no qualifying pair
     assert(Dedup.prefixJaccardPairs(emptyDocs, "text", "doc_id").count() == 0)
     val solo = Seq((1L, "a b c d e")).toDF("doc_id", "text")

@@ -186,6 +186,21 @@ class StreamingSpec extends SparkSpec {
     val again = spark.read.parquet(base).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(again == Set(1L, 3L, 5L))
+
+    // crash-torn swap states: the live fingerprint table is absent only
+    // between the two swap renames — simulate both torn layouts and
+    // prove replay recovers the state instead of re-admitting the corpus
+    def torn(suffix: String, cp: String): Unit = {
+      Files.move(java.nio.file.Paths.get(fps),
+        java.nio.file.Paths.get(fps + suffix))
+      runOnce(cp)
+      val ids2 = spark.read.parquet(base).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids2 == Set(1L, 3L, 5L), s"$suffix recovery: $ids2")
+      assert(spark.read.parquet(fps).distinct().count() == 3)
+    }
+    torn("__tmp", s"$out/cp3")   // crashed after table moved aside
+    torn("__old", s"$out/cp4")   // crashed before tmp moved in
   }
 
   test("anomalySink: standing-state scores == batch anomalyZ, re-run converges") {

@@ -20,7 +20,9 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q126_customers_no_orders", "q127_urgent_customers")) {
+    for (name <- Seq("q128_cohort_intersect", "q129_cohort_except",
+        "q107_hourly_anomaly", "q119_zipf_fit", "q120_norm_ladder",
+        "q108_prefix_jaccard", "q64_dedup_clusters")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)

@@ -148,6 +148,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(lang"), plan.take(600))
   }
 
+  test("zipfFit: top-V is a TakeOrderedAndProject; rank window sits above the limit") {
+    val docs = etlmudah.Tables.documents(spark, sf0001)
+    val plan = etlmudah.text.TextStats.zipfFit(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // distributed per-partition top-V, merged — never a full-vocab sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // the single-partition rank window consumes the <= maxRank survivors
+    // (window ABOVE the limit = nearer the root = earlier in toString);
+    // a window below the limit would rank the whole vocabulary on one
+    // reducer — the round-4 scale bug this pins against
+    assert(plan.indexOf("Window") >= 0 &&
+      plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      plan.take(800))
+  }
+
+  test("cluster pair tier (q64/q66/q82) is the prefix-filtered PPJoin tier") {
+    val docs = etlmudah.Tables.documents(spark, sf0001).limit(60)
+    val plan = SparkEntry.clusterPairs(docs)
+      .queryExecution.executedPlan.toString
+    // prefix-rank signature: a row_number window (the rare-first prefix
+    // rank) — the exact sum-df^2 tier has no row_number anywhere
+    assert(plan.contains("row_number"), plan.take(800))
+    // verify phase is the exploded count join — per-document shingle
+    // arrays are never collected
+    assert(!plan.contains("collect_list"), plan.take(800))
+  }
+
   test("q19: aggregation reads only the needed columns") {
     val scan = scansOf("q19_doc_token_stats").head
     val fields = scan.schema.fieldNames.toSet
