@@ -47,12 +47,15 @@ object Joins {
     * 100 TB). Cost: right side replicated x saltFactor — keep it the
     * smaller input. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-                 saltFactor: Int): DataFrame = {
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
     val salted = skewed.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // left-outer is salt-safe too: every right key is replicated across
+    // ALL salts, so a left row matches iff the key exists — unmatched
+    // rows null-pad exactly as in the unsalted join
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
   /** Join-key skew report — the diagnostic run BEFORE reaching for

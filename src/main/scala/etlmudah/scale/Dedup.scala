@@ -370,6 +370,59 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** PORTABLE MinHash near-dup pairs — the externally-auditable banded
+    * tier (the q26 portable-simhash move applied to MinHash): shingles
+    * stay STRINGS and every hash is a 60-bit md5 prefix
+    * (`conv(substr(md5(seed || ':' || shingle), 1, 15), 16, 10)`), so
+    * any engine with md5 (DuckDB, Postgres, Trino) reproduces the
+    * entire pipeline bit-for-bit — signatures, band buckets, candidate
+    * set, and the exact-Jaccard refine. That turns the probabilistic
+    * banding from "rows-only, trust the spec" into a hash-checkable
+    * oracle row: the candidate set is sampling-free and deterministic
+    * given the hash family, even though its RECALL is the usual banded
+    * 1-(1-j^r)^b curve, not 1.0.
+    *
+    * Same scale shape as [[nearDupPairs]] (band-bucket equi-joins, id
+    * pairs only, candidate-bounded refine); ~20% slower hashing than
+    * the xxhash64 tier (md5 + string shingles), which is the price of
+    * auditability — use the fast tier when nothing external needs to
+    * re-derive the sketch. Defaults k=8, bands=4 (r=2) keep the
+    * signature aggregate 8 columns wide so an external SQL twin stays
+    * writable by hand. */
+  def minhashPortablePairs(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                           minJaccard: Double = 0.7): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, "k must be divisible by bands")
+    val sh = shingleRows(df, textCol, idCol, shingleN).localCheckpoint(true)
+    def seeded(i: Int): Column =
+      conv(substring(md5(concat(lit(s"$i:"), col("shingle")).cast("binary")),
+        1, 15), 16, 10).cast("long")
+    val minAggs = (0 until k).map(i => min(seeded(i)).as(s"m$i"))
+    val sig = sh.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    val cand = (0 until bands).map { b =>
+      val keys = (0 until rowsPerBand).map(j => s"m${b * rowsPerBand + j}")
+      sig.select((col("id").as("id_a") +: keys.map(col)): _*)
+        .join(sig.select((col("id").as("id_b") +: keys.map(col)): _*), keys)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }.reduce(_ union _).distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Duplicate-CLUSTER assignment: connected components over a near-dup
     * pair graph by iterative min-label propagation. Each node's label
     * becomes the minimum label among itself and its neighbors until a
@@ -391,14 +444,33 @@ object Dedup {
     * every round on a single partition — per-round cost is scheduling,
     * not shuffling, the right shape for the post-mining edge set on one
     * machine. Larger edge sets keep their natural partitioning and let
-    * AQE size each round's exchanges (pass 0 to force that path). */
+    * AQE size each round's exchanges (pass 0 to force that path).
+    *
+    * Skew guard (distributed path only): the per-round joins key on raw
+    * node/label ids, so a hot star head — one node in a vast fraction of
+    * the edges, or one component label shared by most nodes — would land
+    * its whole key on a single reducer. A one-pass max-degree probe on
+    * the materialized edges decides; above `hotDegreeThreshold` both the
+    * edge⋈label join and the pointer-jump label chase run through
+    * `Joins.saltedJoin` (labels side replicated x`skewSaltFactor`, edge/
+    * node side salted), which spreads each hot key over saltFactor
+    * tasks at the cost of a bounded label-table replication. Output is
+    * identical either way (equi-join semantics; spec-pinned on a forced
+    * hot-star graph). */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a",
                   bCol: String = "id_b", maxIter: Int = 25,
-                  localEdgeThreshold: Long = 5000000L): DataFrame = {
-    val rawEdges = pairs
+                  localEdgeThreshold: Long = 5000000L,
+                  hotDegreeThreshold: Long = 2000000L,
+                  skewSaltFactor: Int = 16): DataFrame = {
+    // materialize the PAIR MINING PIPELINE once before symmetrizing:
+    // union(p, p.swapped) evaluates its input twice, and the input here
+    // is the whole candidate+verify near-dup join — measured ~2x the
+    // mining cost inside every cluster-consuming query before this
+    val p = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
+      .localCheckpoint(true)
+    val rawEdges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
     // auto-select the round layout from the materialized edge count
@@ -407,21 +479,37 @@ object Dedup {
     def pin(df: DataFrame): DataFrame =
       (if (local) df.coalesce(1) else df).localCheckpoint(true)
     val edges = if (local) pin(rawEdges) else rawEdges
+    // hot-key probe: max degree over the materialized edge set (one
+    // map-side-combined aggregate; skipped on the local layout where a
+    // single partition is the plan anyway)
+    val salted = !local && edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("__d")).agg(max(col("__d"))).head.getLong(0) >
+      hotDegreeThreshold
+    def joinLabels(bigSide: DataFrame, labelSide: DataFrame, key: String,
+                   joinType: String): DataFrame =
+      if (salted)
+        etlmudah.joins.Joins.saltedJoin(bigSide, labelSide, key,
+          skewSaltFactor, joinType)
+      else bigSide.join(labelSide, Seq(key), joinType)
     var labels = pin(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("label").as("nl")), Seq("src"))
+      val nbrMin = joinLabels(edges,
+          labels.select(col("id").as("src"), col("label").as("nl")),
+          "src", "inner")
         .groupBy(col("dst").as("id")).agg(min(col("nl")).as("min_nbr"))
       val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("l1"))
       // pointer jumping: a label is itself a node id, so chase one level
-      // (label of my label) — halves chain length every round
-      val jumped = prop.join(
-          labels.select(col("id").as("l1"), col("label").as("ll")), Seq("l1"), "left")
+      // (label of my label) — halves chain length every round; a hot
+      // component's shared label is the OTHER skewed key, so the chase
+      // rides the same salted-join guard
+      val jumped = joinLabels(prop,
+          labels.select(col("id").as("l1"), col("label").as("ll")),
+          "l1", "left")
         .select(col("id"), col("label"),
           least(col("l1"), coalesce(col("ll"), col("l1"))).as("new_label"))
       // convergence flag rides along in the same materialization, so each

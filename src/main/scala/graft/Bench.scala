@@ -41,8 +41,9 @@ object Bench {
     // could not be adjudicated from the artifacts alone). Best of 3,
     // same estimator as the queries.
     val calibCpu = (1 to 3).map(_ => secs(
-      spark.range(1L << 26).selectExpr("sum(id * id)").write
-        .format("noop").mode("overwrite").save())).min
+      // double accumulator: a long sum of 2^26 squares overflows ANSI
+      spark.range(1L << 26).selectExpr("sum(cast(id as double) * id)")
+        .write.format("noop").mode("overwrite").save())).min
     val calibScan = (1 to 3).map(_ => secs(
       try spark.read.parquet(s"$sfDir/orders.parquet")
         .selectExpr("sum(hash(*))").write.format("noop")

@@ -695,6 +695,14 @@ object SparkEntry {
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_nationkey"))),
 
+    // portable MinHash banded near-dups: md5-60bit string-shingle
+    // sketch, fully replicated in the DuckDB oracle — the banded
+    // candidate set itself is hash-checked, not just spec'd (q25's
+    // xxhash64 tier stays the fast path)
+    "q130_minhash_portable" -> ((s, dir) =>
+      Dedup.minhashPortablePairs(Tables.documents(s, dir), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4, minJaccard = 0.7)),
+
     // set op INTERSECT (SURVEY §2.5): customers present in BOTH the
     // urgent-order and the high-order cohort. Spark's intersect plans
     // as a distinct + left-semi — SQL INTERSECT semantics exactly
@@ -1377,8 +1385,52 @@ object SparkEntry {
        |ORDER BY hamming, id_a, id_b""".stripMargin
   }
 
+  /** Full SQL twin of `Dedup.minhashPortablePairs` (k=8, bands=4, r=2,
+    * t=0.7): same string shingles as the q63/q108 CTEs, the same
+    * md5-60bit seeded hash family, band agreement as an OR of per-band
+    * min-pair equalities, and the same candidate-restricted exact
+    * refine — so the probabilistic candidate set itself hash-matches. */
+  private val minhashPortableOracleSql: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(CAST(('0x' || substr(md5('$i:' || g), 1, 15)) AS UBIGINT)) AS m$i")
+      .mkString(", ")
+    val bandPred = (0 until 4).map { b =>
+      s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})"
+    }.mkString(" OR ")
+    s"""WITH tokarr AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+       |  FROM tokarr),
+       |grams AS (
+       |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |short AS (
+       |  SELECT doc_id, array_to_string(arr, ' ') AS g
+       |  FROM tokarr WHERE len(arr) < 3),
+       |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+       |sig AS (SELECT doc_id, $mins, count(*) AS n FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandPred)),
+       |inter AS (
+       |  SELECT id_a, id_b, count(*) AS i
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+       |            JOIN sh sb ON sb.doc_id = id_b AND sb.g = sa.g
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       | round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter JOIN sig sa ON sa.doc_id = id_a
+       |           JOIN sig sb ON sb.doc_id = id_b
+       |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q26_simhash_near_dups" -> simhashOracleSql,
+    "q130_minhash_portable" -> minhashPortableOracleSql,
 
     // Cross-corpus exact Jaccard (decontamination, oracle tier): same
     // shingle CTEs as q63, split even/odd, two-sided inverted-index join.

@@ -249,6 +249,47 @@ class DedupSpec extends SparkSpec {
     assert(dist.filter(_._2 == 7L).map(_._1) == Set(7L, 9L, 11L))
   }
 
+  test("minhashPortablePairs: subset of the exact tier with identical scores; identical docs always pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text about distributed hash joins today"),
+      (4L, "the quick brown fox jumps over the lazy dog again and apart"))
+      .toDF("doc_id", "text")
+    val port = Dedup.minhashPortablePairs(df, "text", "doc_id",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = Dedup.exactJaccardPairs(df, "text", "doc_id",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // banding can only MISS pairs (recall < 1), never invent or rescore
+    assert(port.toSet.subsetOf(exact), s"${port.toSet} vs $exact")
+    // identical documents have identical signatures in every band — the
+    // sketch cannot miss them
+    assert(port.contains((1L, 2L, 1.0)), port.mkString(","))
+  }
+
+  test("dupClusters: salted skew guard on a hot star matches the unsalted path") {
+    import spark.implicits._
+    // hot star: node 1 pairs with 400 spokes (a boilerplate family whose
+    // canonical head would melt one reducer at scale), plus a disjoint
+    // triangle. Force the distributed layout AND the salt guard
+    // (hotDegreeThreshold=1 makes the 400-degree head trip it), and pin
+    // byte-identical clustering against the default path.
+    val star = (2L to 401L).map(i => (1L, i)) ++
+      Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val pairs = star.toDF("id_a", "id_b")
+    val guarded = Dedup.dupClusters(pairs, localEdgeThreshold = 0L,
+        hotDegreeThreshold = 1L, skewSaltFactor = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(guarded == plain)
+    assert(guarded.filter(_._2 == 1L).map(_._1) == (1L to 401L).toSet)
+    assert(guarded.filter(_._2 == 500L).map(_._1) == Set(500L, 501L, 502L))
+  }
+
   test("dupSpanCoverage: interval union over duplicated k-gram starts") {
     import spark.implicits._
     // docs 1 and 2 share the 4-token run "a b c d": with k=3 the dup

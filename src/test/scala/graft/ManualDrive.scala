@@ -20,9 +20,7 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q128_cohort_intersect", "q129_cohort_except",
-        "q107_hourly_anomaly", "q119_zipf_fit", "q120_norm_ladder",
-        "q108_prefix_jaccard", "q64_dedup_clusters")) {
+    for (name <- Seq("q130_minhash_portable")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
