@@ -339,16 +339,25 @@ object Dedup {
                          minJaccard: Double = 0.8): DataFrame = {
     val sh = shingleHashRows(df, textCol, idCol, shingleN).localCheckpoint(true)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    // document frequency as a shingle-keyed window count, NOT a groupBy
+    // + join back: the join form shuffles sh by shingle TWICE (once to
+    // aggregate, once to probe) and pays a Heaps-sized-table join; the
+    // window moves the same rows once. (Hot-shingle row movement is
+    // identical either way — the probe side of the join also co-locates
+    // every occurrence of a hot key.) The doc-size count rides the rank
+    // window's id partitioning for free.
+    val wDf = Window.partitionBy(col("shingle"))
+    val wN = Window.partitionBy(col("id"))
     // global canonical order: document frequency asc (rarest first),
     // shingle hash as the deterministic tiebreak
-    val w = Window.partitionBy(col("id"))
+    val wRk = Window.partitionBy(col("id"))
       .orderBy(col("__df").asc, col("shingle").asc)
-    val prefix = sh.join(dfreq, Seq("shingle"))
-      .withColumn("__rk", row_number().over(w))
-      .join(sizes, Seq("id"))
+    val prefix = sh
+      .withColumn("__df", count(lit(1)).over(wDf))
+      .withColumn("__n", count(lit(1)).over(wN))
+      .withColumn("__rk", row_number().over(wRk))
       .filter(col("__rk") <=
-        col("n_sh") - ceil(lit(minJaccard) * col("n_sh") - lit(1e-9)) + 1)
+        col("__n") - ceil(lit(minJaccard) * col("__n") - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"))
     val cand = prefix.select(col("id").as("id_a"), col("shingle"))
       .join(prefix.select(col("id").as("id_b"), col("shingle")),
@@ -483,7 +492,7 @@ object Dedup {
     // map-side-combined aggregate; skipped on the local layout where a
     // single partition is the plan anyway)
     val salted = !local && edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("__d")).agg(max(col("__d"))).head.getLong(0) >
+      .agg(count(lit(1)).as("__d")).agg(max(col("__d"))).head().getLong(0) >
       hotDegreeThreshold
     def joinLabels(bigSide: DataFrame, labelSide: DataFrame, key: String,
                    joinType: String): DataFrame =

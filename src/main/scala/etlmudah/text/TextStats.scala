@@ -559,6 +559,45 @@ object TextStats {
           .as("score"))
   }
 
+  /** Okapi BM25 term scores — the retrieval-ranking upgrade of [[tfidf]]
+    * (Robertson & Zaragoza 2009): idf saturates rare terms
+    * (ln(1 + (N - df + 0.5)/(df + 0.5)), the Lucene non-negative form)
+    * and term frequency saturates with k1 while normalizing by document
+    * length against the corpus average (b) — the scoring function a
+    * retrieval/RAG indexing pipeline materializes per (doc, term).
+    *
+    * Determinism: every factor is a fixed double expression over exact
+    * integer counts (tf, df, dl, N) with constants combined at runtime
+    * in the same order as the SQL twin — avgdl is an explicit
+    * sum/count, never the engine's avg() internals — so scores are
+    * bit-reproducible across engines (4dp display rounding on top).
+    *
+    * Scale: same budget as [[tfidf]] — one explode, two map-side
+    * combined aggregates (tf, then df over the Heaps'-bounded term
+    * frame), doc lengths ride a third aggregate of the tf frame, and
+    * N/avgdl travel as a broadcast 1-row aggregate; the df join is
+    * term-keyed with AQE handling the hot-term tail. */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(docFreq, Seq("term"))
+      .join(dl, Seq("id"))
+      .join(broadcast(totals))
+      .select(col("id"), col("term"), col("tf"),
+        round(idf * tfNorm, 4).as("score"))
+  }
+
   /** Word n-gram shingles (n>=1) as space-joined strings; documents
     * shorter than n tokens yield their full token string as one shingle
     * so no row silently drops out of dedup. */

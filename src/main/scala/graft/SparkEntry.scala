@@ -902,6 +902,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("score"))
         .orderBy(col("doc_id"), col("term"))),
 
+    // Okapi BM25 term scores for a bounded doc subset — the retrieval
+    // scoring a RAG index materializes; ordered by (doc, term), score
+    // VALUES compared at 4dp (the q57 convention)
+    "q131_bm25" -> ((s, dir) =>
+      TextStats.bm25(Tables.documents(s, dir), "text", "doc_id")
+        .filter(col("id") < 20)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("term"))),
+
     // approximate sequence packing: docs into ~512-token training bins,
     // summarized per (bucket, bin)
     "q60_pack_documents" -> ((s, dir) => {
@@ -2677,6 +2686,27 @@ object SparkEntry {
         |SELECT doc_id, term, tf,
         | round(tf * ln(n::DOUBLE / df), 4) AS score
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, term""".stripMargin,
+
+    // identical constant combination order ((1.2 + 1.0), (1.0 - 0.75))
+    // on both sides so the IEEE doubles match bit-for-bit before the
+    // display round; avgdl is an explicit sum/count in both engines
+    "q131_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+        |  FROM dl)
+        |SELECT doc_id, term, tf,
+        | round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        |   (tf * (1.2 + 1.0)) /
+        |   (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        |CROSS JOIN tot
         |WHERE doc_id < 20
         |ORDER BY doc_id, term""".stripMargin,
 

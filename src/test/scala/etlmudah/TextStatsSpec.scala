@@ -307,6 +307,29 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getLong(8) == 1, s"pass_all ${r.getLong(8)}")
   }
 
+  test("bm25: hand-computed scores; idf never negative; long docs penalized") {
+    import spark.implicits._
+    // corpus of 2 docs, avgdl = (4 + 2) / 2 = 3
+    //  doc 1: "x x y z"  (dl=4)   doc 2: "x w"  (dl=2)
+    val df = Seq((1L, "x x y z"), (2L, "x w")).toDF("doc_id", "text")
+    val out = bm25(df, "text", "doc_id").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getDouble(3))).toMap
+    def score(tf: Long, dfq: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (2 - dfq + 0.5) / (dfq + 0.5))
+      val tfn = (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.0))
+      math.rint(idf * tfn * 1e4) / 1e4
+    }
+    assert(out((1L, "x")) == score(2, 2, 4), out.toString)
+    assert(out((1L, "y")) == score(1, 1, 4))
+    assert(out((2L, "w")) == score(1, 1, 2))
+    // ubiquitous term: positive but far below the unique terms (the
+    // non-negative Lucene idf — plain idf ln(N/df) would give 0 here)
+    assert(out((2L, "x")) > 0 && out((2L, "x")) < out((2L, "w")))
+    // same tf/df, longer doc scores lower (length normalization)
+    assert(out((1L, "y")) < out((2L, "w")))
+  }
+
   test("zipfFit: exact power law fits slope -1 with r2 = 1") {
     import spark.implicits._
     // counts 12/r for ranks 1..4: a perfect Zipf corpus
