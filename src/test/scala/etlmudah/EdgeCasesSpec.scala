@@ -123,6 +123,14 @@ class EdgeCasesSpec extends SparkSpec {
     // single-token docs: bigram scoring has no transitions -> empty
     val one = Seq((1L, "solo", "s")).toDF("doc_id", "text", "source")
     assert(TextStats.bigramScore(one, "text", "doc_id", "source").count() == 0)
+    // round-5 operators: empty corpus -> empty result, no throw
+    assert(TextStats.bm25(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minhashPortablePairs(emptyDocs, "text", "doc_id").count() == 0)
+    // single doc: no pair, bm25 still scores (avgdl = own length)
+    val soloDoc = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    assert(Dedup.minhashPortablePairs(soloDoc, "text", "doc_id").count() == 0)
+    val soloBm = TextStats.bm25(soloDoc, "text", "doc_id").collect()
+    assert(soloBm.length == 2 && soloBm.forall(_.getDouble(3) > 0))
     // normalization ladder: empty corpus still yields its 4 level rows
     // (one aggregate row with n=0) and the dup_pct share must not
     // DIVIDE_BY_ZERO under ANSI mode

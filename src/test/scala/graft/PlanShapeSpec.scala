@@ -112,7 +112,9 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast scan is the point of the recall report), q105's
     // nothing (entropy has no cross join). Anything else — and any
     // CartesianProduct — is an accident this pins against.
-    val bnljAllowed = Set("q57_tfidf", "q131_bm25", "q27_cosine_topk",
+    // q43's 1-row cardinality frames crossJoin back together broadcast
+    val bnljAllowed = Set("q57_tfidf", "q131_bm25", "q43_cardinalities",
+      "q27_cosine_topk",
       "q51_similarity_profile", "q38_ivf_topk", "q79_price_deciles_scale",
       "q96_skew_report", "q94_kmeans_refine", "q93_profile_orders",
       "q99_unigram_logprob", "q100_semantic_dedup", "q106_bigram_logprob",
