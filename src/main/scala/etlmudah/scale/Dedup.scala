@@ -852,4 +852,92 @@ object Dedup {
         round(coalesce(col("n_covered"), lit(0L)).cast("double")
           / col("n_tokens"), 6).as("coverage"))
   }
+
+  /** Sub-document exact dedup at fixed token-segment granularity — the
+    * C4/RefinedWeb "remove repeated lines across the corpus" pass,
+    * adapted to segments because crawl text arrives newline-less after
+    * normalization. Docs split into consecutive `segTokens`-token
+    * segments; each distinct segment text survives ONLY in its first
+    * occurrence (min (doc, seg) lexicographically — deterministic);
+    * every doc is reassembled from its surviving segments in order.
+    * Returns (id, text_kept, n_seg_total, n_seg_kept) for ALL input
+    * docs — a fully-deduplicated doc keeps the row with empty text and
+    * n_seg_kept = 0, so the caller sees removal rates, not a shrunken
+    * id set.
+    *
+    * Scale shape: one doc-keyed shuffle builds segments (the
+    * `chunkDocs` array_sort(collect_list) reassembly, bounded by
+    * segTokens elements); the first-occurrence window partitions by
+    * the SEGMENT TEXT itself — each partition is one duplicate group,
+    * so no reducer sees more rows than a segment's corpus-wide
+    * duplicate count (boilerplate-heavy corpora: the hot group is the
+    * empty/template segment, still one group per distinct string, and
+    * the window computes only row_number, no buffering of values);
+    * reassembly is a second doc-keyed shuffle. No corpus-wide sort, no
+    * per-corpus collect. */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segTokens: Int = 16): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+    val seg = tok
+      .withColumn("seg", floor(col("pos") / lit(segTokens)).cast("long"))
+      .groupBy(col("id"), col("seg"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        s => s.getField("t")), " ").as("seg_text"))
+    val wFirst = Window.partitionBy(col("seg_text"))
+      .orderBy(col("id"), col("seg"))
+    val marked = seg.withColumn("__rk", row_number().over(wFirst))
+    val perDoc = marked.groupBy(col("id")).agg(
+      count(lit(1)).as("n_seg_total"),
+      sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_seg_kept"),
+      array_join(transform(array_sort(collect_list(
+          when(col("__rk") === 1, struct(col("seg"), col("seg_text"))))),
+        s => s.getField("seg_text")), " ").as("text_kept"))
+    perDoc.select(col("id"), col("text_kept"),
+      col("n_seg_total"), col("n_seg_kept"))
+  }
+
+  /** Pairwise shingle overlap between corpus groups (sources, crawls,
+    * snapshots): for every group pair, the distinct-shingle Jaccard
+    * and both directional containments — the "how much of source A is
+    * already inside source B" question that drives dataset mixing and
+    * drop decisions. Returns (src_a, src_b, n_a, n_b, inter, jaccard,
+    * containment_a, containment_b) for ALL pairs (zero-overlap pairs
+    * included), src_a < src_b.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (group, shingle)
+    * first — vocabulary-sized, not corpus-sized; the self-join on
+    * shingle generates at most |groups|² pairs per distinct shingle
+    * (groups are dataset provenance labels — dozens, not millions), so
+    * no Σdf² blowup is possible; the final matrix join runs on two
+    * |groups|-row aggregates (broadcast by size). Same shingle
+    * definition as the q63 exact tier (`shingleHashRows`), so overlap
+    * numbers are comparable with the pair-level dedup reports. */
+  def sourceOverlap(df: DataFrame, textCol: String, idCol: String,
+                    groupCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = shingleHashRows(df, textCol, idCol, shingleN)
+    val srcMap = df.select(col(idCol).as("id"), col(groupCol).as("src"))
+    val srcSh = sh.join(srcMap, Seq("id"))
+      .select(col("src"), col("shingle")).distinct()
+    val sizes = srcSh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = srcSh.select(col("src").as("src_a"), col("shingle"))
+      .join(srcSh.select(col("src").as("src_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+    val iD = col("inter").cast("double")
+    broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a")))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("n_b"))),
+        col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        round(iD / (col("n_a") + col("n_b") - iD), 6).as("jaccard"),
+        round(iD / col("n_a"), 6).as("containment_a"),
+        round(iD / col("n_b"), 6).as("containment_b"))
+  }
 }

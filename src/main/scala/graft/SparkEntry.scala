@@ -921,6 +921,23 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("score"))
         .orderBy(col("doc_id"), col("term"))),
 
+    // C4-style sub-document dedup: 16-token segments, corpus-wide
+    // first occurrence survives, docs reassembled from kept segments
+    "q132_segment_dedup" -> ((s, dir) =>
+      etlmudah.scale.Dedup.segmentDedup(
+          Tables.documents(s, dir), "text", "doc_id", segTokens = 16)
+        .select(col("id").as("doc_id"), col("text_kept"),
+          col("n_seg_total"), col("n_seg_kept"))
+        .orderBy(col("doc_id"))),
+
+    // pairwise source overlap matrix: distinct-shingle Jaccard +
+    // directional containment per source pair — the dataset-mixing
+    // dial (which crawls duplicate which)
+    "q133_source_overlap" -> ((s, dir) =>
+      etlmudah.scale.Dedup.sourceOverlap(
+          Tables.documents(s, dir), "text", "doc_id", "source")
+        .orderBy(col("src_a"), col("src_b"))),
+
     // approximate sequence packing: docs into ~512-token training bins,
     // summarized per (bucket, bin)
     "q60_pack_documents" -> ((s, dir) => {
@@ -2719,6 +2736,66 @@ object SparkEntry {
         |CROSS JOIN tot
         |WHERE doc_id < 20
         |ORDER BY doc_id, term""".stripMargin,
+
+    // 16-token segments; first occurrence by (doc_id, seg); docs
+    // reassembled from survivors, fully-deduped docs keep '' text
+    "q132_segment_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS pos
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, pos // 16 AS seg,
+        |    string_agg(t, ' ' ORDER BY pos) AS seg_text
+        |  FROM tok GROUP BY 1, 2),
+        |marked AS (
+        |  SELECT doc_id, seg, seg_text,
+        |    row_number() OVER (PARTITION BY seg_text
+        |                       ORDER BY doc_id, seg) AS rk
+        |  FROM seg)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rk = 1 THEN seg_text END, ' '
+        |    ORDER BY seg) FILTER (rk = 1), '') AS text_kept,
+        |  count(*) AS n_seg_total,
+        |  count(*) FILTER (rk = 1) AS n_seg_kept
+        |FROM marked GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // same shingle definition as q63 (distinct word 3-grams per doc,
+    // whole text for <3-token docs), collapsed to distinct per source
+    "q133_source_overlap" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |src_sh AS (
+        |  SELECT DISTINCT d.source AS src, s.g
+        |  FROM sh s JOIN documents d USING (doc_id)),
+        |sizes AS (SELECT src, count(*) AS n FROM src_sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS i
+        |  FROM src_sh a JOIN src_sh b ON a.g = b.g AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT sa.src AS src_a, sb.src AS src_b, sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.i, 0) AS inter,
+        |  round(coalesce(i.i, 0)::DOUBLE
+        |    / (sa.n + sb.n - coalesce(i.i, 0)), 6) AS jaccard,
+        |  round(coalesce(i.i, 0)::DOUBLE / sa.n, 6) AS containment_a,
+        |  round(coalesce(i.i, 0)::DOUBLE / sb.n, 6) AS containment_b
+        |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
+        |LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q56_top_bigrams" ->
       """WITH tok AS (

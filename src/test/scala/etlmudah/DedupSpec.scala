@@ -355,4 +355,50 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(10L -> "dup_corpus", 11L -> "new", 12L -> "new",
       13L -> "dup_batch", 14L -> "new"), got.toString)
   }
+
+  test("segmentDedup: first occurrence survives, docs reassemble in order, full dups keep empty rows") {
+    import spark.implicits._
+    // segTokens=2: doc 1 = [a b][c d], doc 2 repeats [a b] then fresh
+    // [e f], doc 3 is entirely made of already-seen segments
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "text", "doc_id", segTokens = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a b c d", 2L, 2L),
+      (2L, "e f", 2L, 1L),
+      (3L, "", 2L, 0L)), out.toSeq.toString)
+  }
+
+  test("segmentDedup: within-doc repeated segment keeps only its first copy") {
+    import spark.implicits._
+    val df = Seq((1L, "x y x y z w")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "text", "doc_id", segTokens = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("x y z w", 3L, 2L)))
+  }
+
+  test("sourceOverlap: jaccard and containments match hand-computed sets; zero-overlap pairs present") {
+    import spark.implicits._
+    // src A: shingles {a b c, b c d} ∪ {b c d, c d e} = 3 distinct
+    // src B: {c d e, d e f} = 2 distinct, inter(A,B) = {c d e} = 1
+    // src C: disjoint vocabulary -> zero row must still appear
+    val df = Seq(
+      (1L, "a b c d", "A"), (2L, "b c d e", "A"),
+      (3L, "c d e f", "B"),
+      (4L, "p q r", "C")
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.sourceOverlap(df, "text", "doc_id", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.toSeq == Seq(
+      ("A", "B", 3L, 2L, 1L, 0.25, 0.333333, 0.5),
+      ("A", "C", 3L, 1L, 0L, 0.0, 0.0, 0.0),
+      ("B", "C", 2L, 1L, 0L, 0.0, 0.0, 0.0)), rows.toSeq.toString)
+  }
 }
