@@ -37,4 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Dderby.system.home=/tmp/graft_derby",   // metastore for bucketed saveAsTable
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // headroom for 130+ distinct wholestage-codegen plans in one session
+  // (the sbt/scalac default for the same reason); the 240m JVM default
+  // is marginal for a full Bench pass, though the one measured late-run
+  // slowdown (q25, one pass) did not reproduce under a prefix replay
+  "-XX:ReservedCodeCacheSize=512m",
 )

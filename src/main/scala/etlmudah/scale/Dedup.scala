@@ -900,6 +900,39 @@ object Dedup {
       col("n_seg_total"), col("n_seg_kept"))
   }
 
+  /** Boilerplate miner: the top-k word shingles by DOCUMENT frequency,
+    * with their df share and source spread — the direct answer to
+    * "which templated fragments make Σdf² candidate generation
+    * detonate". High-df shingles spread across many sources are nav
+    * bars, cookie banners, license headers; this report is how a
+    * curation run picks a stop-shingle list (and why the PPJoin tier
+    * excludes exactly these from its prefixes). Returns (shingle, df,
+    * df_share, n_sources) ordered df desc, shingle asc.
+    *
+    * Scale shape: distinct (doc, shingle) rows aggregate per shingle
+    * with map-side combine; the top-k is orderBy + limit — a
+    * TakeOrderedAndProject, never a full sort; the corpus doc count
+    * rides a broadcast 1-row aggregate. String shingles on purpose:
+    * the output is a human-read report, and the aggregate collapses
+    * the corpus to vocabulary size before anything wide happens. */
+  def boilerplateShingles(df: DataFrame, textCol: String, idCol: String,
+                          groupCol: String, k: Int = 20,
+                          shingleN: Int = 3): DataFrame = {
+    val perShingle = shingleRows(df, textCol, idCol, shingleN)
+      .join(df.select(col(idCol).as("id"), col(groupCol).as("__src")),
+        Seq("id"))
+      .groupBy(col("shingle")).agg(
+        count(lit(1)).as("df"),
+        countDistinct(col("__src")).as("n_sources"))
+    val nDocs = df.agg(count(lit(1)).as("__n_docs"))
+    perShingle.crossJoin(broadcast(nDocs))
+      .select(col("shingle"), col("df"),
+        round(col("df").cast("double") / col("__n_docs"), 6).as("df_share"),
+        col("n_sources"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(k)
+  }
+
   /** Pairwise shingle overlap between corpus groups (sources, crawls,
     * snapshots): for every group pair, the distinct-shingle Jaccard
     * and both directional containments — the "how much of source A is

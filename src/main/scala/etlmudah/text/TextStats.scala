@@ -832,4 +832,59 @@ object TextStats {
         round(max(col("doc_lp")), 6).as("max_logprob"))
       .orderBy(col(sliceCol))
   }
+
+  /** Pairwise Jensen-Shannon divergence (in bits) between the unigram
+    * token distributions of corpus groups — the DISTRIBUTIONAL
+    * complement of the set-overlap matrix (`Dedup.sourceOverlap`): two
+    * crawls can share 90% of their vocabulary yet weight it so
+    * differently that mixing them shifts the training distribution.
+    * Returns (src_a, src_b, shared_vocab, jsd_bits) for ALL group
+    * pairs; disjoint-vocabulary pairs score exactly 1.0 bit.
+    *
+    * Only INTERSECTION tokens ever join: for tokens on one side only,
+    * the JSD term collapses to p/2 * log2(2) summed = half the
+    * unshared probability mass, and that mass is 1 - (shared mass),
+    * already known from the intersection aggregate. So the pair join
+    * is inner on token — no union-vocabulary outer join, no
+    * null-handling, and per-token fan-out is bounded by |groups|²
+    * like the overlap matrix.
+    *
+    * Scale shape: one explode + (group, token) aggregate
+    * (vocabulary-sized output), one broadcast of |groups| totals, one
+    * token-keyed self-join of the distribution frame, one per-pair
+    * aggregate over two |groups|-row frames. Sum order differs across
+    * engines, so the score rounds at 4dp (the q57/q99 convention). */
+  def lexicalDivergence(df: DataFrame, textCol: String, idCol: String,
+                        groupCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("src"),
+      explode(tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy(col("src"), col("t"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("__c")).as("__n"))
+    val dist = counts.join(broadcast(totals), Seq("src"))
+      .select(col("src"), col("t"),
+        (col("__c").cast("double") / col("__n")).as("p"))
+    val shared = dist.select(col("src").as("src_a"), col("t"),
+        col("p").as("pa"))
+      .join(dist.select(col("src").as("src_b"), col("t"),
+        col("p").as("pb")), Seq("t"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(
+        count(lit(1)).as("shared_vocab"),
+        sum(lit(0.5) * (col("pa") * log(lit(2.0) * col("pa")
+            / (col("pa") + col("pb")))
+          + col("pb") * log(lit(2.0) * col("pb")
+            / (col("pa") + col("pb"))))).as("__s"),
+        sum(col("pa")).as("__ma"), sum(col("pb")).as("__mb"))
+    val ln2 = log(lit(2.0))
+    broadcast(totals.select(col("src").as("src_a")))
+      .join(broadcast(totals.select(col("src").as("src_b"))),
+        col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared_vocab"), lit(0L)).as("shared_vocab"),
+        round((coalesce(col("__s"), lit(0.0))
+          + lit(0.5) * ln2 * (lit(2.0) - coalesce(col("__ma"), lit(0.0))
+            - coalesce(col("__mb"), lit(0.0)))) / ln2, 4).as("jsd_bits"))
+  }
 }

@@ -938,6 +938,23 @@ object SparkEntry {
           Tables.documents(s, dir), "text", "doc_id", "source")
         .orderBy(col("src_a"), col("src_b"))),
 
+    // pairwise Jensen-Shannon divergence between source unigram
+    // distributions — the distributional complement of q133's set
+    // overlap; grouped by lang for fewer, bigger groups
+    "q134_lexical_divergence" -> ((s, dir) =>
+      TextStats.lexicalDivergence(
+          Tables.documents(s, dir), "text", "doc_id", "lang")
+        .select(col("src_a").as("lang_a"), col("src_b").as("lang_b"),
+          col("shared_vocab"), col("jsd_bits"))
+        .orderBy(col("lang_a"), col("lang_b"))),
+
+    // boilerplate miner: top-25 shingles by document frequency with
+    // source spread — the stop-shingle list a curation run feeds back
+    // into the PPJoin prefix filter
+    "q135_boilerplate_shingles" -> ((s, dir) =>
+      etlmudah.scale.Dedup.boilerplateShingles(
+          Tables.documents(s, dir), "text", "doc_id", "source", k = 25)),
+
     // approximate sequence packing: docs into ~512-token training bins,
     // summarized per (bucket, bin)
     "q60_pack_documents" -> ((s, dir) => {
@@ -2796,6 +2813,60 @@ object SparkEntry {
         |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
         |LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // identical per-term expression shape on both sides; only the sum
+    // ORDER differs across engines, absorbed by the 4dp round
+    "q134_lexical_divergence" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |counts AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |totals AS (SELECT lang, sum(c) AS n FROM counts GROUP BY 1),
+        |dist AS (
+        |  SELECT lang, t, c::DOUBLE / n AS p
+        |  FROM counts JOIN totals USING (lang)),
+        |shared AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS sv,
+        |    sum(0.5 * (a.p * ln(2.0 * a.p / (a.p + b.p))
+        |             + b.p * ln(2.0 * b.p / (a.p + b.p)))) AS s,
+        |    sum(a.p) AS ma, sum(b.p) AS mb
+        |  FROM dist a JOIN dist b ON a.t = b.t AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT ta.lang AS lang_a, tb.lang AS lang_b,
+        |  coalesce(sh.sv, 0) AS shared_vocab,
+        |  round((coalesce(sh.s, 0)
+        |    + 0.5 * ln(2.0) * (2.0 - coalesce(sh.ma, 0)
+        |      - coalesce(sh.mb, 0))) / ln(2.0), 4) AS jsd_bits
+        |FROM totals ta JOIN totals tb ON ta.lang < tb.lang
+        |LEFT JOIN shared sh ON sh.lang_a = ta.lang AND sh.lang_b = tb.lang
+        |ORDER BY lang_a, lang_b""".stripMargin,
+
+    // q63's shingle CTEs; df over distinct (doc, shingle), ties at the
+    // k boundary break by shingle text in both engines
+    "q135_boilerplate_shingles" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |per AS (
+        |  SELECT s.g AS shingle, count(*) AS df,
+        |    count(DISTINCT d.source) AS n_sources
+        |  FROM sh s JOIN documents d USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT shingle, df, round(df::DOUBLE / n_docs, 6) AS df_share,
+        |  n_sources
+        |FROM per CROSS JOIN tot
+        |ORDER BY df DESC, shingle ASC LIMIT 25""".stripMargin,
 
     "q56_top_bigrams" ->
       """WITH tok AS (

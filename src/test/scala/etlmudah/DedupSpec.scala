@@ -401,4 +401,23 @@ class DedupSpec extends SparkSpec {
       ("A", "C", 3L, 1L, 0L, 0.0, 0.0, 0.0),
       ("B", "C", 2L, 1L, 0L, 0.0, 0.0, 0.0)), rows.toSeq.toString)
   }
+
+  test("boilerplateShingles: df over distinct doc shingles, source spread, desc-df order with text tie-break") {
+    import spark.implicits._
+    // "a b c" in 3 docs across 2 sources (twice in doc 3 -> still df 3);
+    // "b c d" in 2 docs of one source; everything else df 1
+    val df = Seq(
+      (1L, "a b c d", "s1"),        // shingles: a b c, b c d
+      (2L, "a b c", "s2"),          // a b c
+      (3L, "a b c a b c", "s1"),    // a b c, b c a, c a b
+      (4L, "b c d", "s1")           // b c d
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.boilerplateShingles(df, "text", "doc_id", "source",
+        k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("a b c", 3L, 0.75, 2L),
+      ("b c d", 2L, 0.5, 1L),
+      ("b c a", 1L, 0.25, 1L)), rows.toSeq.toString)
+  }
 }

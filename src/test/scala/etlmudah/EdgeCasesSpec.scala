@@ -41,6 +41,14 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.simhashNearDups(emptyDocs, "text", "doc_id").count() == 0)
     assert(Dedup.crossCorpusNearDups(emptyDocs, emptyDocs, "text", "doc_id")
       .count() == 0)
+    assert(Dedup.segmentDedup(emptyDocs, "text", "doc_id").count() == 0)
+    val emptySrc = emptyDocs.withColumn("source", lit("s"))
+    assert(Dedup.sourceOverlap(emptySrc, "text", "doc_id", "source")
+      .count() == 0)
+    assert(Dedup.boilerplateShingles(emptySrc, "text", "doc_id", "source")
+      .count() == 0)
+    assert(TextStats.lexicalDivergence(emptySrc, "text", "doc_id", "source")
+      .count() == 0)
   }
 
   test("text operators on empty and whitespace-only strings") {

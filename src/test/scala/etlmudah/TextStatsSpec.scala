@@ -429,4 +429,24 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(perDoc("s1") - 4.0 * math.log(4.0 / 6.0) / 11.0) < 1e-3)
     assert(math.abs(perDoc("s2") - 2.0 * math.log(1.0 / 6.0) / 5.0) < 1e-3)
   }
+
+  test("lexicalDivergence: 0 for identical, 1 bit for disjoint, textbook value for P=[1,0] vs Q=[.5,.5]") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y", "A"),     // A: p(x)=2/3, p(y)=1/3
+      (2L, "x x y", "B"),     // B identical to A -> jsd 0
+      (3L, "x", "C"),         // C: p(x)=1
+      (4L, "x y", "D"),       // D: p(x)=p(y)=1/2 -> JSD(C,D)=0.3113 bits
+      (5L, "z", "E")          // E disjoint from C -> exactly 1 bit
+    ).toDF("doc_id", "text", "source")
+    val got = lexicalDivergence(docs, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("A", "B")) == (2L, 0.0))
+    assert(got(("C", "E")) == (0L, 1.0))
+    // H(M) - (H(P)+H(Q))/2 with M=[.75,.25]: 0.811278 - 0.5 = 0.311278
+    assert(got(("C", "D")) == (1L, 0.3113))
+    // full matrix: 5 sources -> C(5,2) = 10 pairs, disjoint included
+    assert(got.size == 10)
+  }
 }

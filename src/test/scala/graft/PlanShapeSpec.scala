@@ -113,13 +113,17 @@ class PlanShapeSpec extends SparkSpec {
     // nothing (entropy has no cross join). Anything else — and any
     // CartesianProduct — is an accident this pins against.
     // q43's 1-row cardinality frames crossJoin back together broadcast
+    // q133/q134's pair matrices non-equi-join two |groups|-row
+    // aggregates (provenance labels — dimension-sized by construction);
+    // q135's corpus doc count is a single-row broadcast cross join
     val bnljAllowed = Set("q57_tfidf", "q131_bm25", "q43_cardinalities",
       "q27_cosine_topk",
       "q51_similarity_profile", "q38_ivf_topk", "q79_price_deciles_scale",
       "q96_skew_report", "q94_kmeans_refine", "q93_profile_orders",
       "q99_unigram_logprob", "q100_semantic_dedup", "q106_bigram_logprob",
       "q111_event_funnel", "q112_collocations", "q113_rolling_active",
-      "q115_ann_recall")
+      "q115_ann_recall", "q133_source_overlap", "q134_lexical_divergence",
+      "q135_boilerplate_shingles")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
