@@ -326,6 +326,28 @@ object Similarity {
       .select(col("qid").as("id_a"), col("nid").as("id_b"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
 
+  /** Exact embedding-cosine pairs over a bounded probe slice — the
+    * oracle-checkable exact twin of `embeddingNearDups` (the q63↔q25
+    * pattern, in embedding space): the LSH tier is the scale path,
+    * this is the audit floor its recall is judged against. The probe
+    * side is a bounded id range, broadcast; the corpus side streams
+    * through the native codegen'd cosine — cost is
+    * O(|corpus| x |probe|), linear in the corpus for a fixed probe
+    * budget, never all-pairs. Matching rounds BEFORE the threshold on
+    * both engines so the filter sees identical 6dp values. */
+  def exactEmbeddingPairs(embeddings: DataFrame, idCol: String,
+                          vecCol: String, minCosine: Double,
+                          probeMaxId: Long): DataFrame = {
+    val probe = embeddings.filter(col(idCol) < probeMaxId)
+      .select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    embeddings.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .join(broadcast(probe), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineFast(col("__va"), col("__vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** ANN top-k for ALL vectors at once (the scale path): bucket-join
     * candidates from L tables, refine with exact cosine, rank per query.
     * Output: (query_id, neighbor_id, cos_sim, rank<=k). */

@@ -483,6 +483,13 @@ object SparkEntry {
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), "vec_id",
         "embedding", minCosine = 0.5)),
 
+    // exact embedding-pair twin of q62 (the q63<->q25 pattern in
+    // embedding space): bounded probe slice, broadcast, exact cosine —
+    // the oracle-checked audit floor for the LSH tier
+    "q136_embedding_pairs_exact" -> ((s, dir) =>
+      Similarity.exactEmbeddingPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", minCosine = 0.3, probeMaxId = 100L)),
+
     // SemDeDup: cluster-then-dedup semantic near-dup drop list (no SQL
     // oracle: k-means assignment has no DuckDB twin; precision and
     // single-cluster equivalence are spec'd in SimilaritySpec). 0.35 on
@@ -1852,6 +1859,18 @@ object SparkEntry {
         |   WHERE vec_id = 0) q
         | WHERE vec_id <> 0
         | ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // round BEFORE the threshold, like the Spark side, so both engines
+    // filter on identical 6dp values
+    "q136_embedding_pairs_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |   b.embedding::DOUBLE[]), 6) AS cos_sim
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE a.vec_id < 100
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) >= 0.3
+        | ORDER BY id_a, id_b""".stripMargin,
 
     "q30_band_join_parts" ->
       """SELECT a.p_brand AS brand, count(*) AS n_pairs

@@ -211,4 +211,20 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(got == want)
   }
+
+  test("exactEmbeddingPairs: equals the brute-force cross join on the probe slice") {
+    val emb = etlmudah.Tables.embeddings(spark, sf0001)
+    val got = Similarity.exactEmbeddingPairs(emb, "vec_id", "embedding",
+        minCosine = 0.2, probeMaxId = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosineFast(col("va"), col("vb")), 6).as("c"))
+      .filter(col("c") >= 0.2).orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }

@@ -123,7 +123,10 @@ class PlanShapeSpec extends SparkSpec {
       "q99_unigram_logprob", "q100_semantic_dedup", "q106_bigram_logprob",
       "q111_event_funnel", "q112_collocations", "q113_rolling_active",
       "q115_ann_recall", "q133_source_overlap", "q134_lexical_divergence",
-      "q135_boilerplate_shingles")
+      "q135_boilerplate_shingles",
+      // q136's probe side is a bounded id slice, broadcast by
+      // construction — the exact-twin audit floor for q62's LSH tier
+      "q136_embedding_pairs_exact")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
