@@ -199,4 +199,121 @@ object Sampling {
       .orderBy(col("ares_key").desc, col(keyCol).asc)
       .limit(k)
   }
+
+  /** Corpus mixture PLAN: given per-stratum target weights and a total
+    * token budget, report for every stratum its natural share, its
+    * target share, and the sampling rate / epoch count that realizes
+    * the target (the "how many epochs of Wikipedia vs one pass of
+    * CommonCrawl" table every LLM data recipe publishes; cf. the
+    * reference's per-segment composition reports).
+    *
+    * `epochs` = target_tokens / stratum_tokens: < 1 means downsample at
+    * that rate (feed `stratifiedSample` with it), > 1 means repeat the
+    * stratum that many times. `sampling_fraction` is epochs clamped to
+    * 1.0 — the single-pass rate. Weights need not sum to 1; strata
+    * absent from the map get `defaultWeight`.
+    *
+    * Cost: one map-side-combined aggregate over the corpus (strata
+    * count worth of rows out), then a broadcast 1-row total — nothing
+    * here grows with corpus size, so the plan step is free at 100 TB. */
+  def mixturePlan(df: DataFrame, strataCol: String, sizeCol: String,
+                  weights: Map[String, Double], budget: Long,
+                  defaultWeight: Double = 0.0): DataFrame = {
+    val weight = weights.foldLeft(lit(defaultWeight): Column) {
+      case (otherwise, (stratum, wt)) =>
+        when(col(strataCol) === stratum, lit(wt)).otherwise(otherwise)
+    }
+    val perStratum = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(sizeCol).cast("long")).as("tokens"))
+    val total = perStratum.select(sum(col("tokens")).as("__total"))
+    val epochs = lit(budget) * weight / col("tokens")
+    perStratum.crossJoin(broadcast(total))
+      .withColumn("target_weight", weight)
+      .select(col(strataCol), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("__total"), 6).as("natural_share"),
+        col("target_weight"),
+        round(lit(budget) * col("target_weight"), 1).as("target_tokens"),
+        round(epochs, 6).as("epochs"),
+        round(least(epochs, lit(1.0)), 6).as("sampling_fraction"))
+  }
+
+  /** Token-balanced SHARD assignment for training-data export: assign
+    * every row a shard id so that consecutive shards (in `keyCol`
+    * order) each hold ~`shardBudget` worth of `sizeCol`. The export
+    * primitive behind "write the corpus as N-token tfrecord/parquet
+    * shards".
+    *
+    * shard = floor(start_offset / budget) where start_offset is the
+    * exclusive prefix sum of sizes in key order — so a row never
+    * straddles the budget boundary decision and an oversized row simply
+    * owns its shard(s).
+    *
+    * The prefix sum is DISTRIBUTED, never a one-reducer window:
+    *  1. range-partition by key (contiguous key ranges per partition);
+    *  2. per-partition cumulative sums in parallel (window PARTITIONED
+    *     by the range bucket);
+    *  3. per-bucket totals — one row per partition, a bounded frame —
+    *     get their exclusive prefix via a tiny window over ≤ numBuckets
+    *     rows, broadcast back.
+    * Global offset = bucket offset + local cumsum. The result is
+    * invariant to where the range boundaries fall, so the oracle is the
+    * plain one-ordering window cumsum.
+    *
+    * Cost: two full-data exchanges (the range shuffle, then the
+    * bucket-clustered window shuffle — Catalyst cannot see that `__b`
+    * is constant per range partition) — both fully parallel. Project
+    * down to (key, size, payload you need) before calling at scale;
+    * column pruning pushes the projection below both shuffles. */
+  def shardAssign(df: DataFrame, keyCol: String, sizeCol: String,
+                  shardBudget: Long, buckets: Int = 0): DataFrame = {
+    require(shardBudget > 0, "shardBudget must be positive")
+    val b = if (buckets > 0) buckets
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val bucketed = df.repartitionByRange(b, col(keyCol))
+      .withColumn("__b", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__b")).orderBy(col(keyCol))
+    val withLocal = bucketed.withColumn("__lc",
+      sum(col(sizeCol).cast("long")).over(wLocal))
+    // one row per range bucket — bounded by numBuckets, hence the
+    // partition-less window is safe here
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(col("__b"))
+      .agg(sum(col(sizeCol).cast("long")).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      .drop("__bsum")
+    withLocal.join(broadcast(offsets), "__b")
+      .withColumn("shard",
+        floor((col("__off") + col("__lc") - col(sizeCol).cast("long"))
+          / lit(shardBudget)).cast("long"))
+      .drop("__b", "__lc", "__off")
+  }
+
+  /** Per-stratum bottom-quantile DROP: remove the lowest `q` fraction
+    * of each stratum by `scoreCol` (ties broken on the key) — the
+    * adaptive version of a global quality cutoff, so a uniformly weaker
+    * source still keeps its best (1-q) rather than being wiped out by a
+    * corpus-wide threshold.
+    *
+    * RANK-based, not value-interpolation-based: a row is dropped iff
+    * its (score, key) rank <= floor(q * n_stratum). That keeps the
+    * operator exact and engine-portable — no interpolated percentile
+    * value whose last ulp could flip boundary rows between engines.
+    * Survivors carry `__cutoff_rank` dropped; callers wanting the
+    * realized threshold read min(score) of the survivors.
+    *
+    * One stratum-keyed window shuffle (rank + count in the same
+    * window), same scale shape as [[capPerStratum]]. */
+  def bottomQuantileDrop(df: DataFrame, scoreCol: String, keyCol: String,
+                         strataCol: String, q: Double): DataFrame = {
+    require(q >= 0.0 && q < 1.0, "q must be in [0, 1)")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).asc, col(keyCol).asc)
+    val wAll = Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") > floor(lit(q) * col("__n")))
+      .drop("__rn", "__n")
+  }
 }

@@ -1092,6 +1092,47 @@ object SparkEntry {
           round(col("ares_key"), 6).as("ares_key"))
         .orderBy(col("ares_key").desc, col("doc_id").asc)),
 
+    // corpus mixture plan: natural vs target composition plus the
+    // sampling rate / epoch count that realizes a 5M-char budget (the
+    // LLM data-recipe table); plan cost is one aggregate + broadcast
+    // total regardless of corpus size
+    "q137_mixture_plan" -> ((s, dir) =>
+      etlmudah.scale.Sampling.mixturePlan(Tables.documents(s, dir),
+          "source", "n_chars",
+          Map("src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.1),
+          budget = 5000000L, defaultWeight = 0.01)
+        .orderBy(col("source"))),
+
+    // token-balanced shard export: distributed prefix sum (range
+    // partition -> parallel local cumsums -> bounded bucket-offset
+    // window) assigns ~50k-char shards; per-shard manifest is the
+    // oracle surface and is invariant to where range boundaries fall
+    "q138_shard_assign" -> ((s, dir) =>
+      etlmudah.scale.Sampling.shardAssign(Tables.documents(s, dir),
+          "doc_id", "n_chars", shardBudget = 50000L)
+        .groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("shard_chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))),
+
+    // adaptive per-source quality floor: drop each source's bottom
+    // decile by token count (rank-based, so exact and engine-portable —
+    // no interpolated percentile whose last ulp could flip a boundary
+    // row), report survivors and the realized cutoff
+    "q139_quality_cutoff" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).withColumn("n_tokens",
+        TextStats.tokenCount(col("text")))
+      etlmudah.scale.Sampling.bottomQuantileDrop(scored, "n_tokens",
+          "doc_id", "source", q = 0.1)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_kept"),
+          min(col("n_tokens")).as("cutoff_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // M1-M8 — RF price pipeline feature importances (no SQL oracle:
     // tree ensembles have no DuckDB twin; invariants in PricePipelineSpec)
     "q33_ml_importances" -> ((s, dir) => {
@@ -2954,6 +2995,51 @@ object SparkEntry {
         |  FROM u)
         |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
         |FROM r WHERE rn <= 15
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // every arithmetic term cast to DOUBLE so both engines run the
+    // identical IEEE ops (DuckDB literals are DECIMAL by default)
+    "q137_mixture_plan" ->
+      """WITH p AS (SELECT source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS tokens FROM documents GROUP BY source),
+        |t AS (SELECT sum(tokens)::BIGINT AS total FROM p),
+        |w AS (SELECT source, n_docs, tokens,
+        |  (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.15
+        |     WHEN 'src2' THEN 0.1 ELSE 0.01 END)::DOUBLE AS target_weight
+        |  FROM p)
+        |SELECT source, n_docs, tokens,
+        |  round(tokens::DOUBLE / (SELECT total FROM t)::DOUBLE, 6) AS natural_share,
+        |  target_weight,
+        |  round(5000000::DOUBLE * target_weight, 1) AS target_tokens,
+        |  round(5000000::DOUBLE * target_weight / tokens::DOUBLE, 6) AS epochs,
+        |  round(least(5000000::DOUBLE * target_weight / tokens::DOUBLE,
+        |    1.0::DOUBLE), 6) AS sampling_fraction
+        |FROM w ORDER BY source""".stripMargin,
+
+    "q138_shard_assign" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM documents)
+        |SELECT CAST(floor((cum - n_chars)::DOUBLE / 50000::DOUBLE) AS BIGINT)
+        |    AS shard,
+        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS shard_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // rank-based drop: rn > floor(0.1*n) with both factors DOUBLE so
+    // the floor argument is the identical IEEE product on both engines
+    "q139_quality_cutoff" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_tokens,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_tokens ASC, doc_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM t)
+        |SELECT source, count(*) AS n_kept, min(n_tokens) AS cutoff_tokens,
+        |  round(avg(n_tokens), 4) AS avg_tokens
+        |FROM r WHERE rn > floor(0.1::DOUBLE * n::DOUBLE)
         |GROUP BY source ORDER BY source""".stripMargin,
 
     // same A-Res construction: u floored at 1e-12, key rounded to 12 dp

@@ -181,4 +181,90 @@ class SamplingSpec extends SparkSpec {
     }.sortBy { case (id, key) => (-key, id) }.take(25).map(_._1).toSet
     assert(got == expect)
   }
+
+  test("mixturePlan: shares sum to 1, epochs realize the target, clamp at 1") {
+    val sized = Tables.documents(spark, sf0001)
+    val plan = Sampling.mixturePlan(sized, "source", "n_chars",
+      Map("src0" -> 0.5, "src1" -> 0.25), budget = 100000L,
+      defaultWeight = 0.0125).collect()
+    assert(plan.length == sized.select("source").distinct().count())
+    val shares = plan.map(_.getAs[Double]("natural_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3, s"shares=$shares")
+    plan.foreach { r =>
+      val tokens = r.getAs[Long]("tokens")
+      val epochs = r.getAs[Double]("epochs")
+      val target = r.getAs[Double]("target_tokens")
+      assert(math.abs(epochs * tokens - target) <= tokens * 1e-4,
+        s"epochs*tokens=$target mismatch on ${r.getAs[String]("source")}")
+      assert(r.getAs[Double]("sampling_fraction") <= 1.0)
+      assert(r.getAs[Double]("sampling_fraction") == math.min(epochs, 1.0))
+    }
+  }
+
+  test("shardAssign: matches a local single-order cumsum replay; shards contiguous") {
+    val sized = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    val budget = 5000L
+    val got = Sampling.shardAssign(sized, "doc_id", "n_chars", budget,
+        buckets = 7)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val expect = sized.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map { case (id, n) =>
+        val shard = cum / budget; cum += n; (id, shard)
+      }.toMap
+    assert(got == expect)
+    // shard ids are dense from 0
+    val ids = got.values.toSet
+    assert(ids == (0L until ids.size).toSet, ids.toString)
+  }
+
+  test("shardAssign: every shard but the last stops within one doc of budget") {
+    val sized = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    val budget = 5000L
+    val assigned = Sampling.shardAssign(sized, "doc_id", "n_chars", budget)
+    val perShard = assigned.groupBy("shard")
+      .agg(sum("n_chars").as("chars"), max("n_chars").as("biggest"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val maxDoc = sized.agg(max("n_chars")).head().getLong(0)
+    perShard.dropRight(1).foreach { case (id, chars, _) =>
+      // a shard closes only once cumsum crosses the budget, so it holds
+      // at least budget - (its last doc could start just under it)
+      assert(chars <= budget + maxDoc, s"shard $id chars=$chars")
+      assert(chars + maxDoc >= budget, s"shard $id underfull: $chars")
+    }
+  }
+
+  test("bottomQuantileDrop: per-stratum kept = n - floor(q*n), worst rows gone") {
+    val sized = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val kept = Sampling.bottomQuantileDrop(sized, "n_chars", "doc_id",
+      "source", q = 0.2)
+    val n = sized.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nKept = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.foreach { case (src, total) =>
+      assert(nKept.getOrElse(src, 0L) ==
+        total - math.floor(0.2 * total).toLong, src)
+    }
+    // survivors' min >= dropped max is false in general (ties), but the
+    // dropped set must be exactly the rank-lowest per stratum: replay
+    val local = sized.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._1))
+        sorted.drop(math.floor(0.2 * rows.length).toInt).toSeq
+      }.map(_._1).toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == local)
+  }
+
+  test("bottomQuantileDrop: q=0 keeps everything") {
+    val sized = Tables.documents(spark, sf0001).select("doc_id", "source")
+      .withColumn("s", col("doc_id") % 7)
+    assert(Sampling.bottomQuantileDrop(sized, "s", "doc_id", "source", 0.0)
+      .count() == sized.count())
+  }
 }

@@ -20,7 +20,8 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q136_embedding_pairs_exact")) {
+    for (name <- Seq("q137_mixture_plan", "q138_shard_assign",
+        "q139_quality_cutoff")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
