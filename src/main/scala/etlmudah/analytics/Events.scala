@@ -138,4 +138,34 @@ object Events {
           .as("pct_of_prev"))
       .orderBy(col("stage_idx"))
   }
+
+  /** First-order (Markov) event transition matrix: for every ordered
+    * per-user step (event → next event), the transition count and the
+    * row-normalized probability P(next | current). The "what do users
+    * do after X" report, and the input to next-event prediction /
+    * anomalous-flow detection.
+    *
+    * Ordering is (ts, id) per user — the id tie-break makes same-
+    * timestamp streams deterministic (the q122 convention). Scale: one
+    * user-keyed window (the q09 shape) to pair each event with its
+    * successor, then a map-side-combined aggregate onto the
+    * |event types|^2-bounded matrix; row totals join back broadcast
+    * (|event types| rows). */
+  def transitionMatrix(events: DataFrame, tsCol: String, userCol: String,
+                       typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .select(col(typeCol).as("from_event"),
+        lead(col(typeCol), 1).over(w).as("to_event"))
+      .filter(col("to_event").isNotNull)
+      .groupBy(col("from_event"), col("to_event"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = steps.groupBy(col("from_event"))
+      .agg(sum(col("n")).as("__row_n"))
+    steps.join(broadcast(rowTotals), Seq("from_event"))
+      .select(col("from_event"), col("to_event"), col("n"),
+        round(col("n").cast("double") / col("__row_n"), 6).as("p"))
+      .orderBy(col("from_event"), col("to_event"))
+  }
 }

@@ -302,6 +302,43 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** ASYMMETRIC containment pairs: C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+    * Jaccard misses the quote/boilerplate case — a 50-shingle doc fully
+    * embedded in a 5000-shingle doc has jaccard ~0.01 but containment
+    * 1.0 — so curation pipelines dedup on containment to drop documents
+    * swallowed by bigger ones (the usual survivor rule: keep the
+    * superset, drop the contained). Emits the pair when EITHER
+    * direction reaches `minContainment`, with both directions reported.
+    *
+    * Same inverted-index self-join as [[exactJaccardPairs]] (one
+    * hashed-shingle shuffle; the join doubles as the intersection
+    * count), and the same sum(df^2) scale caveat: this is the exact,
+    * oracle-checkable tier. At crawl scale, prune candidates first
+    * (banded MinHash over the smaller doc's shingles, or
+    * `bloomContaminatedIds` with the big docs as the reference side) —
+    * a containment threshold admits arbitrarily size-mismatched pairs,
+    * so the symmetric PPJoin length filter does NOT apply. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int = 3,
+                       minContainment: Double = 0.9): DataFrame = {
+    val sh = shingleHashRows(df, textCol, idCol, shingleN)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("c_a_in_b", col("inter").cast("double") / col("na"))
+      .withColumn("c_b_in_a", col("inter").cast("double") / col("nb"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        round(col("c_a_in_b"), 6).as("c_a_in_b"),
+        round(col("c_b_in_a"), 6).as("c_b_in_a"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Prefix-filtered exact Jaccard join — the PPJoin-style scale tier
     * of [[exactJaccardPairs]] (Chaudhuri et al. ICDE'06 / Bayardo et
     * al. WWW'07 prefix-filtering principle): under a global rare-first

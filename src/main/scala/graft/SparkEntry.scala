@@ -787,6 +787,13 @@ object SparkEntry {
       etlmudah.analytics.Analytics.interEventGaps(Tables.eventsTyped(s, dir),
         "ts", "user_id", "event_type", "event_id")),
 
+    // first-order event transition matrix: per-user (event -> next)
+    // counts with row-normalized P(next | current); one user-keyed
+    // window, matrix bounded by |event types|^2
+    "q141_event_transitions" -> ((s, dir) =>
+      etlmudah.analytics.Events.transitionMatrix(Tables.eventsTyped(s, dir),
+        "ts", "user_id", "event_type", "event_id")),
+
     // t-digest decile calibration vs exact percentiles (no SQL oracle:
     // the sketch has no DuckDB twin; envelope spec'd in AnalyticsSpec)
     "q123_decile_calibration" -> ((s, dir) =>
@@ -1186,6 +1193,13 @@ object SparkEntry {
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("lang"))
     }),
+
+    // asymmetric containment pairs: drop-the-contained-doc dedup —
+    // catches the small-doc-quoted-inside-big-doc case Jaccard misses;
+    // exact inverted-index tier, both directions reported
+    "q140_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "text", "doc_id",
+        minContainment = 0.7)),
 
     // exact n-gram Jaccard near-dup pairs (the oracle-checkable exact
     // tier of q25: inverted-index candidates, recall 1.0 by construction)
@@ -3096,6 +3110,48 @@ object SparkEntry {
         |           JOIN sizes sb ON sb.doc_id = id_b
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same shingle/inverted-index CTEs as q63; the final select reports
+    // both containment directions and thresholds on their max
+    "q140_containment_pairs" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i::DOUBLE / sa.n, 6) AS c_a_in_b,
+        |  round(i::DOUBLE / sb.n, 6) AS c_b_in_a
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |           JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE greatest(i::DOUBLE / sa.n, i::DOUBLE / sb.n) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q141_event_transitions" ->
+      """WITH s AS (SELECT event_type AS from_event,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS to_event
+        |  FROM events),
+        |m AS (SELECT from_event, to_event, count(*) AS n FROM s
+        |  WHERE to_event IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT from_event, sum(n)::BIGINT AS row_n FROM m GROUP BY 1)
+        |SELECT m.from_event, m.to_event, m.n,
+        |  round(m.n::DOUBLE / r.row_n::DOUBLE, 6) AS p
+        |FROM m JOIN r USING (from_event)
+        |ORDER BY from_event, to_event""".stripMargin,
 
     // Connected components over the exact near-dup pair graph via a
     // recursive reachability CTE; cluster_id = min reachable doc_id.

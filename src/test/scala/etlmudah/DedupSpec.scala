@@ -420,4 +420,31 @@ class DedupSpec extends SparkSpec {
       ("b c d", 2L, 0.5, 1L),
       ("b c a", 1L, 0.25, 1L)), rows.toSeq.toString)
   }
+
+  test("containmentPairs: catches the quoted-small-doc case jaccard misses") {
+    import spark.implicits._
+    // doc 1 (4 shingles) is fully embedded in doc 2 (13 shingles):
+    // containment(1 in 2) = 1.0 but jaccard = 4/13 ~ 0.31
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " eta theta iota kappa lambda mu nu xi omicron"
+    val df = Seq((1L, small), (2L, big), (3L, "totally unrelated text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id",
+        minContainment = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0, 0.307692)), got.toSeq.toString)
+    // the jaccard tier at the same bar finds nothing
+    assert(Dedup.exactJaccardPairs(df, "text", "doc_id",
+      minJaccard = 0.9).count() == 0L)
+  }
+
+  test("containmentPairs: symmetric duplicates report 1.0 both ways") {
+    import spark.implicits._
+    val df = Seq((1L, "one two three four five"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id", minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0, 1.0)))
+  }
 }

@@ -80,4 +80,38 @@ class EventsSpec extends SparkSpec {
         Seq("view", "click")).collect().map(r => (r.getString(1), r.getLong(2)))
     assert(out.toSeq == Seq(("view", 1L), ("click", 0L)))
   }
+
+  test("transitionMatrix: hand log — per-user chains, row-normalized, id tie-break") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1 chain: view -> click -> view  => (view,click), (click,view)
+      (1L, 1L, "view", ts("2024-01-01 09:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 09:01:00")),
+      (3L, 1L, "view", ts("2024-01-01 09:02:00")),
+      // user 2 chain: view -> view           => (view,view)
+      (4L, 2L, "view", ts("2024-01-01 10:00:00")),
+      (5L, 2L, "view", ts("2024-01-01 10:05:00")),
+      // user 3: same-timestamp pair ordered by event_id: click -> buy
+      (6L, 3L, "click", ts("2024-01-01 11:00:00")),
+      (7L, 3L, "buy", ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.transitionMatrix(events, "ts", "user_id",
+        "event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // user1 contributes (view,click),(click,view); user2 (view,view);
+    // user3 (click,buy). Row totals: from=view 2, from=click 2.
+    assert(out.toSeq == Seq(
+      ("click", "buy", 1L, 0.5), ("click", "view", 1L, 0.5),
+      ("view", "click", 1L, 0.5), ("view", "view", 1L, 0.5)))
+  }
+
+  test("transitionMatrix: chains never cross users; single-event users emit nothing") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "a", ts("2024-01-01 09:00:00")),
+      (2L, 2L, "b", ts("2024-01-01 09:01:00"))  // later, different user
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    assert(Events.transitionMatrix(events, "ts", "user_id", "event_type",
+      "event_id").count() == 0L)
+  }
 }

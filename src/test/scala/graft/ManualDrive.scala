@@ -20,8 +20,7 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q137_mixture_plan", "q138_shard_assign",
-        "q139_quality_cutoff")) {
+    for (name <- Seq("q140_containment_pairs", "q141_event_transitions")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
