@@ -1,6 +1,7 @@
 package etlmudah.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -65,5 +66,39 @@ object Profile {
     }
     row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
       .orderBy(col("col_name"))
+  }
+
+  /** Population Stability Index drift report between two snapshots of
+    * the same table — the standard "did the new crawl/extract shift the
+    * distribution" gate before a corpus version is accepted. Bins
+    * `valueCol` at fixed width, compares per-bin shares, and reports
+    * each bin's PSI term (p_next - p_base) * ln(p_next / p_base); the
+    * caller reads total PSI as the sum (rule of thumb: < 0.1 stable,
+    * > 0.25 investigate).
+    *
+    * Empty-side bins are clamped at `eps` (the standard PSI guard) so a
+    * bin present in only one snapshot contributes a large-but-finite
+    * term instead of an infinity.
+    *
+    * Scale: one union scan → map-side-combined bin aggregate; the share
+    * normalization windows over the AGGREGATED |bins| frame (the q06
+    * share-of-total shape), never base data. */
+  def driftPsi(base: DataFrame, next: DataFrame, valueCol: String,
+               binWidth: Double, eps: Double = 1e-6): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, side: String) = df.select(
+      floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"),
+      lit(side).as("__side"))
+    val counts = binned(base, "base").unionByName(binned(next, "next"))
+      .groupBy(col("bin")).agg(
+        sum(when(col("__side") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__side") === "next", 1L).otherwise(0L)).as("n_next"))
+    val w = Window.partitionBy()
+    val pB = greatest(col("n_base") / sum(col("n_base")).over(w), lit(eps))
+    val pN = greatest(col("n_next") / sum(col("n_next")).over(w), lit(eps))
+    counts.select(col("bin"), col("n_base"), col("n_next"),
+        round(pB, 6).as("p_base"), round(pN, 6).as("p_next"),
+        round((pN - pB) * log(pN / pB), 6).as("psi_term"))
+      .orderBy(col("bin"))
   }
 }

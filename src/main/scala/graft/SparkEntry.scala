@@ -180,6 +180,21 @@ object SparkEntry {
         .orderBy(col("change"))
     }),
 
+    // PSI distribution-drift gate between the q95 snapshots: per-bin
+    // share shift terms over o_totalprice; sum = total PSI
+    "q142_drift_psi" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+      val next = orders.filter(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+      etlmudah.analytics.Profile.driftPsi(orders, next, "o_totalprice",
+        binWidth = 25000.0)
+    }),
+
     // S8/J1 — partial-column merge (the reference's ON CONFLICT ... DO
     // UPDATE SET <mutable cols>): matched keys refresh o_totalprice and
     // batch_ts ONLY — the batch's clobbered o_orderpriority must NOT
@@ -1784,6 +1799,33 @@ object SparkEntry {
         |  SELECT o_orderkey + 10000000, 'inserted'
         |  FROM orders WHERE o_orderkey % 10 = 7)
         |GROUP BY change ORDER BY change""".stripMargin,
+
+    // same synthetic next-snapshot as q95; shares normalize over the
+    // bin frame; every arithmetic term DOUBLE for IEEE parity
+    "q142_drift_psi" ->
+      """WITH nxt AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 10 != 3
+        |  UNION ALL
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 7),
+        |u AS (
+        |  SELECT floor(o_totalprice / 25000::DOUBLE)::BIGINT AS bin,
+        |    1::BIGINT AS b, 0::BIGINT AS n FROM orders
+        |  UNION ALL
+        |  SELECT floor(v / 25000::DOUBLE)::BIGINT, 0, 1 FROM nxt),
+        |c AS (SELECT bin, sum(b)::BIGINT AS n_base, sum(n)::BIGINT AS n_next
+        |  FROM u GROUP BY bin),
+        |p AS (SELECT bin, n_base, n_next,
+        |  greatest(n_base::DOUBLE / (sum(n_base) OVER ())::DOUBLE,
+        |    1e-6::DOUBLE) AS pb,
+        |  greatest(n_next::DOUBLE / (sum(n_next) OVER ())::DOUBLE,
+        |    1e-6::DOUBLE) AS pn
+        |  FROM c)
+        |SELECT bin, n_base, n_next, round(pb, 6) AS p_base,
+        |  round(pn, 6) AS p_next,
+        |  round((pn - pb) * ln(pn / pb), 6) AS psi_term
+        |FROM p ORDER BY bin""".stripMargin,
 
     // matched keys: price+1000 and batch_ts refresh, priority PRESERVED
     // from base (the batch's X-REINGEST never appears); %10=3 keys insert

@@ -38,4 +38,24 @@ class ProfileSpec extends SparkSpec {
     // row count is consistent across all columns
     assert(p.values.map(_.getLong(1)).toSet.size == 1)
   }
+
+  test("driftPsi: hand-computed shares and terms; identical snapshots give PSI 0") {
+    import spark.implicits._
+    // base: bins 0 (2 rows), 1 (2 rows); next: bins 0 (3 rows), 2 (1 row)
+    val base = Seq(5.0, 9.0, 15.0, 19.0).toDF("v")
+    val next = Seq(5.0, 6.0, 7.0, 25.0).toDF("v")
+    val out = Profile.driftPsi(base, next, "v", binWidth = 10.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    def term(pb: Double, pn: Double) =
+      BigDecimal((pn - pb) * math.log(pn / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (0L, 2L, 3L, 0.5, 0.75, term(0.5, 0.75)),
+      (1L, 2L, 0L, 0.5, 1e-6, term(0.5, 1e-6)),
+      (2L, 0L, 1L, 1e-6, 0.25, term(1e-6, 0.25))), out.toSeq.toString)
+    // no drift -> every term 0
+    val same = Profile.driftPsi(base, base, "v", binWidth = 10.0).collect()
+    assert(same.forall(_.getDouble(5) == 0.0))
+  }
 }
