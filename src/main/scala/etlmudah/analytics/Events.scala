@@ -149,8 +149,8 @@ object Events {
     * timestamp streams deterministic (the q122 convention). Scale: one
     * user-keyed window (the q09 shape) to pair each event with its
     * successor, then a map-side-combined aggregate onto the
-    * |event types|^2-bounded matrix; row totals join back broadcast
-    * (|event types| rows). */
+    * |event types|^2-bounded matrix; row normalization is a window
+    * over that bounded frame, so the event log is scanned once. */
   def transitionMatrix(events: DataFrame, tsCol: String, userCol: String,
                        typeCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))
@@ -161,11 +161,13 @@ object Events {
       .filter(col("to_event").isNotNull)
       .groupBy(col("from_event"), col("to_event"))
       .agg(count(lit(1)).as("n"))
-    val rowTotals = steps.groupBy(col("from_event"))
-      .agg(sum(col("n")).as("__row_n"))
-    steps.join(broadcast(rowTotals), Seq("from_event"))
+    // row totals as a window over the AGGREGATED matrix (|types|^2
+    // rows) — a separate-aggregate-and-join would re-execute the
+    // event window a second time
+    val wRow = Window.partitionBy(col("from_event"))
+    steps
       .select(col("from_event"), col("to_event"), col("n"),
-        round(col("n").cast("double") / col("__row_n"), 6).as("p"))
+        round(col("n").cast("double") / sum(col("n")).over(wRow), 6).as("p"))
       .orderBy(col("from_event"), col("to_event"))
   }
 }

@@ -214,8 +214,10 @@ object Sampling {
     * absent from the map get `defaultWeight`.
     *
     * Cost: one map-side-combined aggregate over the corpus (strata
-    * count worth of rows out), then a broadcast 1-row total — nothing
-    * here grows with corpus size, so the plan step is free at 100 TB. */
+    * count worth of rows out); the grand total is a window over that
+    * bounded frame — nothing here grows with corpus size and the
+    * corpus is scanned exactly once, so the plan step is free at
+    * 100 TB. */
   def mixturePlan(df: DataFrame, strataCol: String, sizeCol: String,
                   weights: Map[String, Double], budget: Long,
                   defaultWeight: Double = 0.0): DataFrame = {
@@ -226,12 +228,14 @@ object Sampling {
     val perStratum = df.groupBy(col(strataCol)).agg(
       count(lit(1)).as("n_docs"),
       sum(col(sizeCol).cast("long")).as("tokens"))
-    val total = perStratum.select(sum(col("tokens")).as("__total"))
+    // grand total as a window over the AGGREGATED |strata| frame — a
+    // separate aggregate + cross join would scan the corpus twice
+    val total = sum(col("tokens")).over(Window.partitionBy())
     val epochs = lit(budget) * weight / col("tokens")
-    perStratum.crossJoin(broadcast(total))
+    perStratum
       .withColumn("target_weight", weight)
       .select(col(strataCol), col("n_docs"), col("tokens"),
-        round(col("tokens") / col("__total"), 6).as("natural_share"),
+        round(col("tokens") / total, 6).as("natural_share"),
         col("target_weight"),
         round(lit(budget) * col("target_weight"), 1).as("target_tokens"),
         round(epochs, 6).as("epochs"),
@@ -275,11 +279,13 @@ object Sampling {
     val wLocal = Window.partitionBy(col("__b")).orderBy(col(keyCol))
     val withLocal = bucketed.withColumn("__lc",
       sum(col(sizeCol).cast("long")).over(wLocal))
-    // one row per range bucket — bounded by numBuckets, hence the
-    // partition-less window is safe here
+    // bucket totals come from `bucketed` (NOT withLocal: that would
+    // execute the cumsum window a second time — the groupBy reuses the
+    // range exchange instead); one row per range bucket, bounded by
+    // numBuckets, hence the partition-less offset window is safe
     val wOff = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal.groupBy(col("__b"))
+    val offsets = bucketed.groupBy(col("__b"))
       .agg(sum(col(sizeCol).cast("long")).as("__bsum"))
       .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
       .drop("__bsum")

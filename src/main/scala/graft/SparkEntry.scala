@@ -180,6 +180,35 @@ object SparkEntry {
         .orderBy(col("change"))
     }),
 
+    // TPC-H Q5-shaped local-supplier volume: a 6-table join (customer,
+    // orders, lineitem, supplier, nation, region) with the
+    // same-nation residual — the join-reordering stress query. The
+    // plan is declared flat and Catalyst orders it: dims broadcast,
+    // fact tables hash-join on their keys, the year filter pushes to
+    // the orders scan
+    "q143_local_supplier_volume" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, dir),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        // range literals, not year(): the predicate reaches the orders
+        // scan as PushedFilters (a function-wrapped column never does)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("r_name"), col("n_name")).agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            2).as("revenue"))
+        .orderBy(col("r_name"), col("revenue").desc, col("n_name"))),
+
     // PSI distribution-drift gate between the q95 snapshots: per-bin
     // share shift terms over o_totalprice; sum = total PSI
     "q142_drift_psi" -> ((s, dir) => {
@@ -1799,6 +1828,21 @@ object SparkEntry {
         |  SELECT o_orderkey + 10000000, 'inserted'
         |  FROM orders WHERE o_orderkey % 10 = 7)
         |GROUP BY change ORDER BY change""".stripMargin,
+
+    "q143_local_supplier_volume" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |   AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, revenue DESC, n_name""".stripMargin,
 
     // same synthetic next-snapshot as q95; shares normalize over the
     // bin frame; every arithmetic term DOUBLE for IEEE parity

@@ -126,9 +126,7 @@ class PlanShapeSpec extends SparkSpec {
       "q135_boilerplate_shingles",
       // q136's probe side is a bounded id slice, broadcast by
       // construction — the exact-twin audit floor for q62's LSH tier
-      "q136_embedding_pairs_exact",
-      // q137's corpus-total side is a single broadcast row
-      "q137_mixture_plan")
+      "q136_embedding_pairs_exact")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
