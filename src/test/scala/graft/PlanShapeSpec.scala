@@ -39,6 +39,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("q143: date range pushed to the orders scan; all joins hash, dims broadcast") {
+    val scans = scansOf("q143_local_supplier_volume")
+    val orders = scans.find(_.schema.fieldNames.contains("o_custkey")).get
+    val pushed = orders.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"), pushed)
+    assert(pushed.contains("LessThan(o_orderdate"), pushed)
+    val plan = planOf("q143_local_supplier_volume")
+    // 5 joins total, none nested-loop/cartesian; the small sides
+    // (region, nation, supplier, customer at sf0.001) ride broadcast
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan.take(800))
+  }
+
   test("minhash signature aggregate stays inside whole-stage codegen") {
     // the 128-min-column aggregate silently drops to interpreted mode
     // when spark.sql.codegen.maxFields is left at its default 100 — this
