@@ -200,6 +200,41 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * floor(u * k) over the md5-uniform of the key (clamped to k-1 for
+    * the u→1 edge). Same contract as [[hashSplit]]: membership is a
+    * pure function of the key, so folds are reproducible, growth-stable
+    * and shuffle-free, and fold i's validation set is exactly the rows
+    * `fold === i`. */
+  def kFold(df: DataFrame, keyCol: String, k: Int,
+            salt: String = ""): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    df.withColumn("fold",
+      least(floor(hashUniform(col(keyCol), salt) * lit(k)), lit(k - 1))
+        .cast("int"))
+  }
+
+  /** Weighted per-stratum CAP: keep the top `cap` rows of each stratum
+    * by the A-Res key ln(u)/w — [[capPerStratum]]'s count quota with
+    * [[weightedSample]]'s weight-proportional choice, i.e. a weighted
+    * sample WITHOUT replacement of size `cap` from every stratum in one
+    * pass (per-domain quotas that still prefer long/high-quality docs).
+    *
+    * Same single stratum-keyed window as `capPerStratum`; the key is
+    * rounded to 12 dp and u floored at 1e-12 (the q90 ulp armor), so
+    * the boundary row cannot flip between engines. */
+  def weightedCapPerStratum(df: DataFrame, keyCol: String,
+                            strataCol: String, weightCol: String,
+                            cap: Int, salt: String = ""): DataFrame = {
+    val u = greatest(hashUniform(col(keyCol), salt), lit(1e-12))
+    val key = round(log(u) / col(weightCol).cast("double"), 12)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(key.desc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Corpus mixture PLAN: given per-stratum target weights and a total
     * token budget, report for every stratum its natural share, its
     * target share, and the sampling rate / epoch count that realizes

@@ -1143,6 +1143,28 @@ object SparkEntry {
           round(col("ares_key"), 6).as("ares_key"))
         .orderBy(col("ares_key").desc, col("doc_id").asc)),
 
+    // deterministic 5-fold CV assignment: fold is a pure function of
+    // the key (md5-uniform), so folds reproduce and survive growth
+    "q144_kfold_split" -> ((s, dir) =>
+      etlmudah.scale.Sampling.kFold(Tables.documents(s, dir), "doc_id",
+          k = 5, salt = "cv")
+        .groupBy(col("fold")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("fold"))),
+
+    // weighted per-stratum cap: per-lang quota of 20 docs chosen
+    // weight-proportionally (A-Res without replacement) in one keyed
+    // window — long docs likelier, deterministic
+    "q145_weighted_cap" -> ((s, dir) =>
+      etlmudah.scale.Sampling.weightedCapPerStratum(Tables.documents(s, dir),
+          "doc_id", "lang", "n_chars", cap = 20, salt = "wcap")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))),
+
     // corpus mixture plan: natural vs target composition plus the
     // sampling rate / epoch count that realizes a 5M-char budget (the
     // LLM data-recipe table); plan cost is one aggregate + broadcast
@@ -3155,6 +3177,31 @@ object SparkEntry {
         |win AS (SELECT * FROM k ORDER BY ares DESC, doc_id ASC LIMIT 50)
         |SELECT doc_id, lang, source, n_chars, round(ares, 6) AS ares_key
         |FROM win ORDER BY ares_key DESC, doc_id ASC""".stripMargin,
+
+    // fold = least(floor(u*k), k-1); u*5 in DOUBLE on both engines
+    "q144_kfold_split" ->
+      """WITH u AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cv'), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT least(floor(u * 5::DOUBLE), 4)::INT AS fold,
+        |  count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+        |FROM u GROUP BY 1 ORDER BY fold""".stripMargin,
+
+    // q90's A-Res key (u floor + 12-dp round) ranked per stratum
+    "q145_weighted_cap" ->
+      """WITH u AS (SELECT lang, doc_id, n_chars,
+        |  greatest(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wcap'), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0, 1e-12) AS u
+        |  FROM documents),
+        |k AS (SELECT lang, doc_id, n_chars,
+        |  round(ln(u) / n_chars, 12) AS ares FROM u),
+        |r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY ares DESC, doc_id ASC) AS rn FROM k)
+        |SELECT lang, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM r WHERE rn <= 20 GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Multimodal stub plumbing: media = utf8(text), so n_bytes is the
     // utf8 length, frameSample yields 4 frames when len >= 4, and the

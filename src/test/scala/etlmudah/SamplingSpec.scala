@@ -261,6 +261,42 @@ class SamplingSpec extends SparkSpec {
     assert(got == local)
   }
 
+  test("kFold: folds partition the corpus, assignment stable under subsetting") {
+    val ids = Tables.documents(spark, sf0001).select("doc_id")
+    val folds = Sampling.kFold(ids, "doc_id", k = 5, salt = "t")
+    val byFold = folds.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet.subsetOf((0 until 5).toSet))
+    assert(byFold.values.sum == ids.count())
+    // ~100 docs/fold at 500 docs; just sanity-band
+    byFold.values.foreach(n => assert(n > 50 && n < 160, byFold.toString))
+    // growth-stability: the subset sees identical assignments
+    val full = folds.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Sampling.kFold(ids.filter(col("doc_id") < 100), "doc_id", 5, "t")
+      .collect().foreach(r => assert(full(r.getLong(0)) == r.getInt(1)))
+  }
+
+  test("weightedCapPerStratum: matches a local replay of per-stratum A-Res top-k") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "n_chars")
+    val got = Sampling.weightedCapPerStratum(docs, "doc_id", "lang",
+      "n_chars", cap = 5, salt = "t").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expect = docs.collect().map { r =>
+      val (id, lang, w) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + "t").getBytes("UTF-8"))
+      val u32 = md.take(4).map(b => (b & 0xff).toLong)
+        .foldLeft(0L)((acc, b) => (acc << 8) | b)
+      val u = math.max(u32.toDouble / 4294967296.0, 1e-12)
+      val key = BigDecimal(math.log(u) / w)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (lang, id, key)
+    }.groupBy(_._1).values.flatMap(rows =>
+      rows.sortBy(r => (-r._3, r._2)).take(5)).map(_._2).toSet
+    assert(got == expect)
+  }
+
   test("bottomQuantileDrop: q=0 keeps everything") {
     val sized = Tables.documents(spark, sf0001).select("doc_id", "source")
       .withColumn("s", col("doc_id") % 7)

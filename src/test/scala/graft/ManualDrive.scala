@@ -20,7 +20,7 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q137_mixture_plan", "q138_shard_assign", "q141_event_transitions", "q143_local_supplier_volume")) {
+    for (name <- Seq("q144_kfold_split", "q145_weighted_cap")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
