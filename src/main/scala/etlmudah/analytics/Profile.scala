@@ -93,6 +93,14 @@ object Profile {
       .groupBy(col("bin")).agg(
         sum(when(col("__side") === "base", 1L).otherwise(0L)).as("n_base"),
         sum(when(col("__side") === "next", 1L).otherwise(0L)).as("n_next"))
+    psiFromCounts(counts, eps)
+  }
+
+  /** PSI share/term math over a pre-binned (bin, n_base, n_next) frame
+    * — the shared core of [[driftPsi]] and the streaming drift monitor
+    * sink, so stream == batch holds by construction. */
+  private[etlmudah] def psiFromCounts(counts: DataFrame,
+                                      eps: Double): DataFrame = {
     val w = Window.partitionBy()
     val pB = greatest(col("n_base") / sum(col("n_base")).over(w), lit(eps))
     val pN = greatest(col("n_next") / sum(col("n_next")).over(w), lit(eps))
@@ -101,4 +109,11 @@ object Profile {
         round((pN - pB) * log(pN / pB), 6).as("psi_term"))
       .orderBy(col("bin"))
   }
+
+  /** Binned counts of `valueCol` — the histogram half of [[driftPsi]],
+    * reused by the streaming sink for its per-batch partials. */
+  private[etlmudah] def binCounts(df: DataFrame, valueCol: String,
+                                  binWidth: Double): DataFrame =
+    df.select(floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
 }

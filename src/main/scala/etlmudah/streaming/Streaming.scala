@@ -267,6 +267,54 @@ object Streaming {
         ()
       }
 
+  /** Continuous distribution-drift monitoring — `Profile.driftPsi` as
+    * a stream sink: a REFERENCE histogram of `valueCol` is materialized
+    * once at sink construction; each micro-batch folds its binned
+    * counts into a standing state table, and the PSI report of
+    * (reference vs everything streamed so far) is rewritten per batch.
+    * The ingestion-time "did the new crawl shift the distribution"
+    * gate.
+    *
+    * Same idempotency scheme as [[anomalySink]]: per-batch bin partials
+    * live in a `batch_id=<n>` partition (dynamic overwrite), so a
+    * re-delivered batch rewrites exactly its own partition and the
+    * report re-aggregates partials — re-runs converge. The report goes
+    * through `Profile.psiFromCounts`, the SAME code path as the batch
+    * operator, so stream == batch by construction (verified in
+    * StreamingSpec). State is the binned frame — bounded by |bins|,
+    * never raw rows. */
+  def driftSink(rows: DataFrame, ref: DataFrame, valueCol: String,
+                binWidth: Double, statePath: String, outPath: String,
+                checkpoint: String, eps: Double = 1e-6):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // reference histogram written once, driver-side, before the stream
+    // starts; deterministic so a restart rewrites the identical frame
+    etlmudah.analytics.Profile.binCounts(ref, valueCol, binWidth)
+      .write.mode("overwrite").parquet(statePath + "__ref")
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        etlmudah.analytics.Profile.binCounts(batch, valueCol, binWidth)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+        val refBins = spark.read.parquet(statePath + "__ref")
+          .select(col("bin"), col("cnt").as("n_base"))
+        val streamBins = spark.read.parquet(statePath)
+          .groupBy(col("bin")).agg(sum(col("cnt")).as("n_next"))
+        val counts = refBins.join(streamBins, Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_next"), lit(0L)).as("n_next"))
+        etlmudah.analytics.Profile.psiFromCounts(counts, eps)
+          .write.mode("overwrite").parquet(outPath)
+        ()
+      }
+  }
+
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge
     * to the same state, matching the reference's ON CONFLICT idempotency

@@ -227,6 +227,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("driftSink: report == batch driftPsi(ref, streamed), re-run converges") {
+    import etlmudah.analytics.Profile
+    val out = Files.createTempDirectory("stream_drift").toString
+    val src = stageEvents("src_drift")
+    val all = spark.read.parquet(src)
+    val ref = all.filter(col("event_id") % 2 === 0)
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.driftSink(Streaming.readEvents(spark, src), ref,
+          "value", 10.0, s"$out/state", s"$out/report", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce(s"$out/cp1")
+    val streamed = spark.read.parquet(s"$out/report").orderBy("bin").collect()
+    val batch = Profile.driftPsi(ref, all, "value", binWidth = 10.0).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    runOnce(s"$out/cp2")   // fresh checkpoint -> same batches re-delivered
+    val again = spark.read.parquet(s"$out/report").orderBy("bin").collect()
+    assert(streamed.zip(again).forall { case (a, b) => a == b })
+  }
+
   test("upsertSink: micro-batch merge is idempotent (re-running converges)") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"
