@@ -116,4 +116,29 @@ object Profile {
                                   binWidth: Double): DataFrame =
     df.select(floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+
+  /** Schema-evolution diff between two versions of a table: per column,
+    * added / removed / retyped / unchanged, with both type strings —
+    * the metadata third of the snapshot-gate trio (q95 row-level diff,
+    * q142 distribution drift, this structure drift). The gate every
+    * scheduled extract runs before appending to a partitioned table,
+    * where a silent upstream retype corrupts or blocks the write.
+    *
+    * Schemas are driver-side metadata, so this is a pure catalog
+    * computation — no job runs against either table's data. */
+  def schemaDiff(base: DataFrame, next: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val b = base.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = next.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    (b.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      val status = (b.contains(c), n.contains(c)) match {
+        case (true, true) => if (b(c) == n(c)) "unchanged" else "retyped"
+        case (true, false) => "removed"
+        case (false, true) => "added"
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      (c, status, b.getOrElse(c, null), n.getOrElse(c, null))
+    }.toDF("col_name", "status", "base_type", "next_type")
+  }
 }

@@ -209,6 +209,19 @@ object SparkEntry {
             2).as("revenue"))
         .orderBy(col("r_name"), col("revenue").desc, col("n_name"))),
 
+    // schema-evolution diff (the metadata third of the snapshot-gate
+    // trio with q95/q142): a synthetic next-extract drops a column,
+    // retypes another, and adds one — the diff is a constant, so the
+    // oracle is the expected table itself
+    "q146_schema_evolution" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val next = orders.drop("o_orderpriority")
+        .withColumn("o_totalprice",
+          col("o_totalprice").cast("decimal(12,2)"))
+        .withColumn("o_etl_ts", lit(0L))
+      etlmudah.analytics.Profile.schemaDiff(orders, next)
+    }),
+
     // PSI distribution-drift gate between the q95 snapshots: per-bin
     // share shift terms over o_totalprice; sum = total PSI
     "q142_drift_psi" -> ((s, dir) => {
@@ -1850,6 +1863,20 @@ object SparkEntry {
         |  SELECT o_orderkey + 10000000, 'inserted'
         |  FROM orders WHERE o_orderkey % 10 = 7)
         |GROUP BY change ORDER BY change""".stripMargin,
+
+    // the diff of q146's fixed synthetic evolution is a constant —
+    // the oracle pins the exact expected table
+    "q146_schema_evolution" ->
+      """SELECT * FROM (VALUES
+        |  ('o_custkey', 'unchanged', 'bigint', 'bigint'),
+        |  ('o_etl_ts', 'added', NULL, 'bigint'),
+        |  ('o_orderdate', 'unchanged', 'timestamp_ntz', 'timestamp_ntz'),
+        |  ('o_orderkey', 'unchanged', 'bigint', 'bigint'),
+        |  ('o_orderpriority', 'removed', 'string', NULL),
+        |  ('o_orderstatus', 'unchanged', 'string', 'string'),
+        |  ('o_totalprice', 'retyped', 'double', 'decimal(12,2)'))
+        |  AS t(col_name, status, base_type, next_type)
+        |ORDER BY col_name""".stripMargin,
 
     "q143_local_supplier_volume" ->
       """SELECT r_name, n_name, count(*) AS n_items,

@@ -1,6 +1,7 @@
 package etlmudah.analytics
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit}
 
 class ProfileSpec extends SparkSpec {
 
@@ -57,5 +58,22 @@ class ProfileSpec extends SparkSpec {
     // no drift -> every term 0
     val same = Profile.driftPsi(base, base, "v", binWidth = 10.0).collect()
     assert(same.forall(_.getDouble(5) == 0.0))
+  }
+
+  test("schemaDiff: added/removed/retyped/unchanged classified; identical schemas all unchanged") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0)).toDF("id", "s", "v")
+    val next = base.drop("s")
+      .withColumn("v", col("v").cast("float"))
+      .withColumn("extra", lit(true))
+    val got = Profile.schemaDiff(base, next).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("extra", "added", null, "boolean"),
+      ("id", "unchanged", "bigint", "bigint"),
+      ("s", "removed", "string", null),
+      ("v", "retyped", "double", "float")), got.toSeq.toString)
+    assert(Profile.schemaDiff(base, base).collect()
+      .forall(_.getString(1) == "unchanged"))
   }
 }
