@@ -200,6 +200,28 @@ object Sampling {
       .limit(k)
   }
 
+  /** LEAKAGE-SAFE split: [[hashSplit]] where every member of a near-dup
+    * cluster is assigned by its CLUSTER id's uniform instead of its own
+    * — so a train/test boundary can never separate two near-duplicate
+    * documents (the eval-contamination hole a plain per-doc split
+    * leaves open even after q47-style decontamination: a near-dup pair
+    * split across the boundary leaks test content into training).
+    *
+    * `clusters` is `Dedup.dupClusters` output ((doc_id, cluster_id, …));
+    * docs outside any cluster keep their own key. The join's right side
+    * is duplicate FAMILIES only — vanishing vs the corpus, so AQE
+    * broadcasts it; the split itself stays a pure projection. */
+  def leakageSafeSplit(df: DataFrame, keyCol: String,
+                       bounds: Seq[(String, Double)], clusters: DataFrame,
+                       salt: String = "",
+                       restLabel: String = "rest"): DataFrame =
+    hashSplit(
+      df.join(clusters.select(col("doc_id").as(keyCol), col("cluster_id")),
+          Seq(keyCol), "left")
+        .withColumn("__ek", coalesce(col("cluster_id"), col(keyCol))),
+      "__ek", bounds, salt, restLabel)
+      .drop("__ek")
+
   /** Deterministic k-fold assignment for cross-validation: fold =
     * floor(u * k) over the md5-uniform of the key (clamped to k-1 for
     * the u→1 edge). Same contract as [[hashSplit]]: membership is a

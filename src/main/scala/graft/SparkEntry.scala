@@ -1125,6 +1125,26 @@ object SparkEntry {
         .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("split"), col("lang"))),
 
+    // leakage-safe split: near-dup cluster members ride the CLUSTER
+    // id's uniform, so no train/test boundary separates near-dups;
+    // n_moved counts docs whose label changed vs the plain per-doc split
+    "q147_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bounds = Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))
+      val clusters = Dedup.dupClusters(clusterPairs(docs))
+      val own = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
+        bounds).withColumnRenamed("split", "own_split")
+      Sampling.leakageSafeSplit(docs, "doc_id", bounds, clusters)
+        .join(own, Seq("doc_id"))
+        .groupBy(col("split")).agg(
+          count(lit(1)).as("n_docs"),
+          count(col("cluster_id")).as("n_clustered"),
+          sum(when(col("own_split") =!= col("split"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
     // deterministic mixture reweighting: per-language downsampling
     "q50_stratified_sample" -> ((s, dir) =>
       etlmudah.scale.Sampling.stratifiedSample(Tables.documents(s, dir),
@@ -3352,6 +3372,63 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // q64's recursive CC + q49's split CASE, keyed on
+    // coalesce(cluster_id, doc_id) for the leakage-safe label and on
+    // doc_id for the own label it is compared against
+    "q147_leakage_safe_split" ->
+      """WITH RECURSIVE tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |             JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id AS n, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |cc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+        |j AS (SELECT d.doc_id, cc.cluster_id,
+        |  coalesce(cc.cluster_id, d.doc_id) AS ek
+        |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+        |lab AS (SELECT doc_id, cluster_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 AS uo,
+        |  CAST(('0x' || substr(md5(CAST(ek AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 AS ue
+        |  FROM j),
+        |fin AS (SELECT doc_id, cluster_id,
+        |  CASE WHEN uo < 0.8 THEN 'train' WHEN uo < 0.9 THEN 'val'
+        |       WHEN uo < 1.0 THEN 'test' ELSE 'rest' END AS own_split,
+        |  CASE WHEN ue < 0.8 THEN 'train' WHEN ue < 0.9 THEN 'val'
+        |       WHEN ue < 1.0 THEN 'test' ELSE 'rest' END AS split
+        |  FROM lab)
+        |SELECT split, count(*) AS n_docs, count(cluster_id) AS n_clustered,
+        |  sum(CASE WHEN own_split != split THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+        |  sum(doc_id)::BIGINT AS id_sum
+        |FROM fin GROUP BY split ORDER BY split""".stripMargin,
 
     // q64's connected components + per-cluster argmax(n_chars, min id)
     "q82_dedup_survivor_quality" ->

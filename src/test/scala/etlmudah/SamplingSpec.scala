@@ -261,6 +261,28 @@ class SamplingSpec extends SparkSpec {
     assert(got == local)
   }
 
+  test("leakageSafeSplit: cluster members co-assigned, loners keep their own label") {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sf0001).select("doc_id")
+    // synthetic dup families: {1,2,3} and {10,11}; everything else solo
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.leakageSafeSplit(ids, "doc_id", bounds, clusters)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(2))).toMap
+    // one label per family
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)
+    assert(out(10L)._2 == out(11L)._2)
+    // loners carry the plain hashSplit label
+    val own = Sampling.hashSplit(ids, "doc_id", bounds).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_._2._1.isEmpty).foreach { case (id, (_, s)) =>
+      assert(s == own(id), s"doc $id")
+    }
+    // family label IS the head's own label
+    assert(out(1L)._2 == own(1L) && out(10L)._2 == own(10L))
+  }
+
   test("kFold: folds partition the corpus, assignment stable under subsetting") {
     val ids = Tables.documents(spark, sf0001).select("doc_id")
     val folds = Sampling.kFold(ids, "doc_id", k = 5, salt = "t")
