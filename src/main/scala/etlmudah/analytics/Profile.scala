@@ -101,9 +101,15 @@ object Profile {
     * sink, so stream == batch holds by construction. */
   private[etlmudah] def psiFromCounts(counts: DataFrame,
                                       eps: Double): DataFrame = {
+    // ANSI guard: an entirely-empty side (total 0) clamps to eps
+    // instead of dividing by zero
     val w = Window.partitionBy()
-    val pB = greatest(col("n_base") / sum(col("n_base")).over(w), lit(eps))
-    val pN = greatest(col("n_next") / sum(col("n_next")).over(w), lit(eps))
+    def share(c: String) = {
+      val tot = sum(col(c)).over(w)
+      greatest(when(tot > 0, col(c) / tot).otherwise(lit(0.0)), lit(eps))
+    }
+    val pB = share("n_base")
+    val pN = share("n_next")
     counts.select(col("bin"), col("n_base"), col("n_next"),
         round(pB, 6).as("p_base"), round(pN, 6).as("p_next"),
         round((pN - pB) * log(pN / pB), 6).as("psi_term"))

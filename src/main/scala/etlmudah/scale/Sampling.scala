@@ -286,13 +286,16 @@ object Sampling {
       count(lit(1)).as("n_docs"),
       sum(col(sizeCol).cast("long")).as("tokens"))
     // grand total as a window over the AGGREGATED |strata| frame — a
-    // separate aggregate + cross join would scan the corpus twice
+    // separate aggregate + cross join would scan the corpus twice.
+    // ANSI guards: a stratum of zero-size rows (tokens = 0) yields null
+    // epochs/share, not a DIVIDE_BY_ZERO job failure
     val total = sum(col("tokens")).over(Window.partitionBy())
-    val epochs = lit(budget) * weight / col("tokens")
+    val epochs = when(col("tokens") > 0,
+      lit(budget) * weight / col("tokens"))
     perStratum
       .withColumn("target_weight", weight)
       .select(col(strataCol), col("n_docs"), col("tokens"),
-        round(col("tokens") / total, 6).as("natural_share"),
+        round(when(total > 0, col("tokens") / total), 6).as("natural_share"),
         col("target_weight"),
         round(lit(budget) * col("target_weight"), 1).as("target_tokens"),
         round(epochs, 6).as("epochs"),

@@ -156,6 +156,50 @@ class EdgeCasesSpec extends SparkSpec {
     assert(lo.getDouble(3) == 0.0 && lo.getDouble(4) >= 0.0)
   }
 
+  test("curation/export operators tolerate empty and zero-size input") {
+    import etlmudah.analytics.{Events, Profile}
+    import java.sql.Timestamp
+    val emptySized = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "source", "n_chars")
+    // mixture plan: empty corpus -> empty plan; zero-size stratum ->
+    // null epochs/share, never an ANSI DIVIDE_BY_ZERO
+    assert(Sampling.mixturePlan(emptySized, "source", "n_chars",
+      Map("a" -> 1.0), 100L).count() == 0)
+    val zeroStratum = Seq((1L, "z", 0L), (2L, "z", 0L))
+      .toDF("doc_id", "source", "n_chars")
+    val zp = Sampling.mixturePlan(zeroStratum, "source", "n_chars",
+      Map("z" -> 1.0), 100L).collect().head
+    assert(zp.isNullAt(zp.fieldIndex("epochs")) &&
+      zp.isNullAt(zp.fieldIndex("natural_share")))
+    // shard assignment / quantile drop / weighted cap / kfold on empty
+    assert(Sampling.shardAssign(emptySized, "doc_id", "n_chars", 100L)
+      .count() == 0)
+    assert(Sampling.bottomQuantileDrop(emptySized, "n_chars", "doc_id",
+      "source", 0.5).count() == 0)
+    assert(Sampling.weightedCapPerStratum(emptySized, "doc_id", "source",
+      "n_chars", 5).count() == 0)
+    assert(Sampling.kFold(emptySized, "doc_id", 5).count() == 0)
+    assert(Sampling.leakageSafeSplit(emptySized, "doc_id",
+      Seq(("train", 1.0)),
+      Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")).count() == 0)
+    // PSI: both sides empty -> empty; one side empty -> eps-clamped
+    // shares, no DIVIDE_BY_ZERO
+    val emptyV = Seq.empty[Double].toDF("v")
+    val someV = Seq(1.0, 2.0).toDF("v")
+    assert(Profile.driftPsi(emptyV, emptyV, "v", 10.0).count() == 0)
+    val oneSided = Profile.driftPsi(emptyV, someV, "v", 10.0).collect().head
+    assert(oneSided.getDouble(3) == 1e-6 && oneSided.getDouble(4) == 1.0)
+    // containment pairs / transition matrix on empty input
+    assert(Dedup.containmentPairs(emptyDocs, "text", "doc_id").count() == 0)
+    val emptyEv = Seq.empty[(Long, Long, String, Timestamp)]
+      .toDF("event_id", "user_id", "event_type", "ts")
+    assert(Events.transitionMatrix(emptyEv, "ts", "user_id", "event_type",
+      "event_id").count() == 0)
+    // schema diff of a frame with itself: all unchanged
+    assert(Profile.schemaDiff(emptySized, emptySized).collect()
+      .forall(_.getString(1) == "unchanged"))
+  }
+
   test("sampling on empty input and clipUpper on all-null column") {
     assert(Sampling.hashSplit(emptyDocs, "doc_id",
       Seq(("train", 1.0))).count() == 0)
