@@ -535,6 +535,51 @@ object TextStats {
       .limit(k)
   }
 
+  /** N-gram DIVERSITY per group: distinct/total n-gram ratio at n =
+    * 1..maxN — the repetition-collapse diagnostic (templated or
+    * model-generated text shows diversity falling off a cliff as n
+    * grows; natural text stays high). The corpus-level cousin of the
+    * per-document repetition score (q58).
+    *
+    * One tokenize + one lead window + ONE aggregate: every n's gram is
+    * built from the same window pass and stacked via explode, so the
+    * corpus is scanned once regardless of maxN. The exact distinct is
+    * the oracle tier; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (the q54 HLL dial) — totals and the
+    * collapse signal survive the 2% error. */
+  def ngramDiversity(df: DataFrame, textCol: String, idCol: String,
+                     groupCol: String, maxN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxN >= 1, "maxN must be at least 1")
+    val tok = df.repartition(col(idCol))
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // leads materialize in their own projection first — a window
+    // expression cannot live inside the generator below
+    val withLeads = tok.select(col("grp") +: col("t") +:
+      (1 until maxN).map(j => lead(col("t"), j).over(w).as(s"__l$j")): _*)
+    val gramsByN = (1 to maxN).map { n =>
+      val parts = col("t") +: (1 until n).map(j => col(s"__l$j"))
+      // concat_ws SKIPS nulls (would silently shorten the gram), so an
+      // incomplete tail window is nulled out explicitly and dropped
+      val gram = if (n == 1) col("t")
+        else when(col(s"__l${n - 1}").isNotNull, concat_ws(" ", parts: _*))
+      struct(lit(n).as("n"), gram.as("ngram"))
+    }
+    withLeads.select(col("grp"), explode(array(gramsByN: _*)).as("g"))
+      .select(col("grp"), col("g.n").as("n"), col("g.ngram").as("ngram"))
+      .filter(col("ngram").isNotNull)
+      .groupBy(col("grp"), col("n")).agg(
+        count(lit(1)).as("total_ngrams"),
+        countDistinct(col("ngram")).as("distinct_ngrams"))
+      .select(col("grp").as(groupCol), col("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("diversity"))
+      .orderBy(col(groupCol), col("n"))
+  }
+
   /** TF-IDF term scores: tf(doc, term) x ln(N / df(term)). The corpus
     * size N comes from a broadcast single-row aggregate (never a driver
     * collect), document frequency from one aggregate over the (doc,

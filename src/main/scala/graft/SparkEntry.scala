@@ -1078,6 +1078,13 @@ object SparkEntry {
       TextStats.topNgrams(Tables.documents(s, dir), "text", "doc_id",
         n = 2, k = 20)),
 
+    // n-gram diversity (distinct/total at n=1..3) per source — the
+    // repetition-collapse signal for templated/model-generated text;
+    // one tokenize pass feeds all three n via a stacked explode
+    "q148_ngram_diversity" -> ((s, dir) =>
+      TextStats.ngramDiversity(Tables.documents(s, dir), "text", "doc_id",
+        "source", maxN = 3)),
+
     // sliding token-window chunking (the embedding/context-window prep
     // op); chunk text is compared verbatim against the oracle
     "q55_doc_chunks" -> ((s, dir) =>
@@ -3109,6 +3116,29 @@ object SparkEntry {
         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
         |SELECT ngram, count(*) AS cnt FROM bg
         |GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    "q148_ngram_diversity" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT a.source, a.t || ' ' || b.t AS g
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |g3 AS (
+        |  SELECT a.source, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |u AS (
+        |  SELECT source, 1 AS n, t AS g FROM tok
+        |  UNION ALL SELECT source, 2, g FROM g2
+        |  UNION ALL SELECT source, 3, g FROM g3)
+        |SELECT source, n, count(*) AS total_ngrams,
+        |  count(DISTINCT g) AS distinct_ngrams,
+        |  round(count(DISTINCT g)::DOUBLE / count(*)::DOUBLE, 6) AS diversity
+        |FROM u GROUP BY source, n ORDER BY source, n""".stripMargin,
 
     "q55_doc_chunks" ->
       """WITH tok AS (

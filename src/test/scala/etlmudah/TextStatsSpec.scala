@@ -449,4 +449,22 @@ class TextStatsSpec extends SparkSpec {
     // full matrix: 5 sources -> C(5,2) = 10 pairs, disjoint included
     assert(got.size == 10)
   }
+
+  test("ngramDiversity: hand-counted grams; repetition collapses diversity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b", "rep"),     // 1g: 4 tot / 2 dist; 2g: 3/2; 3g: 2/2
+      (2L, "w x y z", "nat")      // 1g: 4/4; 2g: 3/3; 3g: 2/2
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.ngramDiversity(docs, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("rep", 1)) == (4L, 2L, 0.5))
+    assert(got(("rep", 2)) == (3L, 2L, 0.666667))
+    assert(got(("rep", 3)) == (2L, 2L, 1.0))
+    assert(got(("nat", 1)) == (4L, 4L, 1.0))
+    assert(got(("nat", 2)) == (3L, 3L, 1.0))
+    // the repeated text is strictly less diverse at every n < 3
+    assert(got(("rep", 1))._3 < got(("nat", 1))._3)
+  }
 }
