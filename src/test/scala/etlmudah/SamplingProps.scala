@@ -47,4 +47,40 @@ object SamplingProps extends Properties("Sampling") {
         sub.forall { case (k, s) => all(k) == s }
       }
     }
+
+  private val sizedGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    keys <- Gen.listOfN(n, Gen.choose(0L, 1000000L)).map(_.distinct)
+    sizes <- Gen.listOfN(keys.size, Gen.choose(0L, 5000L))
+  } yield keys.zip(sizes)
+
+  property("shardAssign: distributed prefix sum == serial replay for any sizes/budget/buckets") =
+    forAll(sizedGen, Gen.choose(1L, 10000L), Gen.choose(1, 9)) {
+      (rows, budget, buckets) =>
+        import spark.implicits._
+        rows.isEmpty || {
+          val got = Sampling.shardAssign(rows.toDF("k", "sz"), "k", "sz",
+              budget, buckets)
+            .select("k", "shard").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          var cum = 0L
+          val expect = rows.sortBy(_._1).map { case (k, sz) =>
+            val shard = cum / budget; cum += sz; k -> shard
+          }.toMap
+          got == expect
+        }
+    }
+
+  property("kFold: every key lands in [0, k); assignment is key-pure") =
+    forAll(keysGen, Gen.choose(2, 10)) { (keys, k) =>
+      import spark.implicits._
+      keys.isEmpty || {
+        val all = Sampling.kFold(keys.toDF("key"), "key", k)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val sub = Sampling.kFold(keys.take(keys.size / 2).toDF("key"),
+          "key", k).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        all.values.forall(f => f >= 0 && f < k) &&
+          sub.forall { case (key, f) => all(key) == f }
+      }
+    }
 }
