@@ -330,8 +330,10 @@ object Sampling {
     * down to (key, size, payload you need) before calling at scale;
     * column pruning pushes the projection below both shuffles. */
   def shardAssign(df: DataFrame, keyCol: String, sizeCol: String,
-                  shardBudget: Long, buckets: Int = 0): DataFrame = {
+                  shardBudget: Long, buckets: Int = 0,
+                  startOffset: Long = 0L): DataFrame = {
     require(shardBudget > 0, "shardBudget must be positive")
+    require(startOffset >= 0, "startOffset must be non-negative")
     val b = if (buckets > 0) buckets
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = df.repartitionByRange(b, col(keyCol))
@@ -349,9 +351,12 @@ object Sampling {
       .agg(sum(col(sizeCol).cast("long")).as("__bsum"))
       .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
       .drop("__bsum")
+    // startOffset continues a previous export's running total (the
+    // streaming shard sink's incremental case)
     withLocal.join(broadcast(offsets), "__b")
       .withColumn("shard",
-        floor((col("__off") + col("__lc") - col(sizeCol).cast("long"))
+        floor((col("__off") + col("__lc") - col(sizeCol).cast("long")
+            + lit(startOffset))
           / lit(shardBudget)).cast("long"))
       .drop("__b", "__lc", "__off")
   }

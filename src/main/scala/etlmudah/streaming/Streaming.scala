@@ -315,6 +315,53 @@ object Streaming {
       }
   }
 
+  /** Incremental token-balanced shard EXPORT — `Sampling.shardAssign`
+    * as a stream sink: each micro-batch's rows are assigned export
+    * shards continuing the running byte offset where the previous batch
+    * stopped, so the shard sequence is contiguous across the whole
+    * stream (the "write the live ingest as N-token shards" op; batch
+    * q138 is the static-corpus twin).
+    *
+    * State is an offsets ledger of (batch_id, batch_bytes) partitioned
+    * by batch_id (dynamic overwrite): batch N's start offset is the
+    * ledger sum over batch_id < N, so a re-delivered batch recomputes
+    * the identical offset and rewrites exactly its own output
+    * partition — re-runs converge (StreamingSpec). The ledger read is
+    * one row per batch, the start-offset lookup a bounded 1-row
+    * aggregate; assignment inside the batch is the same distributed
+    * prefix sum as q138. */
+  def shardExportSink(rows: DataFrame, keyCol: String, sizeCol: String,
+                      shardBudget: Long, statePath: String, outPath: String,
+                      checkpoint: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // ledger written first, so the read below always finds the path
+        // (a zero-row batch still writes its one ledger row)
+        batch.agg(coalesce(sum(col(sizeCol).cast("long")), lit(0L))
+            .as("batch_bytes"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+        // bounded: the ledger holds ONE row per batch
+        val start = spark.read.parquet(statePath)
+          .filter(col("batch_id") < batchId)
+          .agg(coalesce(sum(col("batch_bytes")), lit(0L)))
+          .head().getLong(0)
+        etlmudah.scale.Sampling.shardAssign(batch, keyCol, sizeCol,
+            shardBudget, startOffset = start)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge
     * to the same state, matching the reference's ON CONFLICT idempotency

@@ -250,6 +250,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("shardExportSink: contiguous shards across batches, budget bounds, re-run converges") {
+    val out = Files.createTempDirectory("stream_shard").toString
+    val src = s"$out/src"
+    // three files -> three micro-batches (readDocuments maxFilesPerTrigger=1)
+    spark.read.parquet(s"$sf0001/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(src)
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.shardExportSink(
+          Streaming.readDocuments(spark, src), "doc_id", "n_chars",
+          shardBudget = 3000L, s"$out/state", s"$out/shards", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce(s"$out/cp1")
+    val assigned = spark.read.parquet(s"$out/shards")
+    val corpus = spark.read.parquet(src)
+    // every doc assigned exactly once; the ledger accounts for all bytes
+    assert(assigned.count() == corpus.count())
+    assert(assigned.select("doc_id").distinct().count() == assigned.count())
+    assert(spark.read.parquet(s"$out/state")
+      .agg(sum("batch_bytes")).head().getLong(0) ==
+      corpus.agg(sum("n_chars")).head().getLong(0))
+    // batch count really was > 1 (the continuation path was exercised)
+    assert(spark.read.parquet(s"$out/state").count() >= 3)
+    // shard ids contiguous from 0; every non-last shard lands within one
+    // doc of the budget (the q138 invariant over the concatenated stream)
+    val per = assigned.groupBy("shard").agg(sum("n_chars").as("chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(per.map(_._1).toSeq == (0L until per.length).toSeq)
+    val maxDoc = corpus.agg(max("n_chars")).head().getLong(0)
+    per.dropRight(1).foreach { case (id, chars) =>
+      assert(chars <= 3000L + maxDoc && chars + maxDoc >= 3000L,
+        s"shard $id: $chars")
+    }
+    // fresh checkpoint -> same batches re-delivered -> identical output
+    val first = assigned.select("doc_id", "shard").orderBy("doc_id").collect()
+    runOnce(s"$out/cp2")
+    val again = spark.read.parquet(s"$out/shards")
+      .select("doc_id", "shard").orderBy("doc_id").collect()
+    assert(first.zip(again).forall { case (a, b) => a == b })
+  }
+
   test("upsertSink: micro-batch merge is idempotent (re-running converges)") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"
