@@ -291,6 +291,50 @@ object TextStats {
       .orderBy(col(sliceCol))
   }
 
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): per document, the mean token log-ratio
+    * ln p_target(w) - ln p_corpus(w) between a TARGET slice's unigram
+    * distribution and the whole corpus's, with +alpha smoothing so
+    * tokens absent from the target stay finite. Positive scores mark
+    * documents that look like the target domain — the weights behind
+    * "select web data that resembles Wikipedia". Feed the score to
+    * `Sampling.weightedSample`/`bottomQuantileDrop` to realize the
+    * selection.
+    *
+    * Same single-chain shape as [[unigramScore]]: one explode into a
+    * (doc, token) tf aggregate carrying the target flag; BOTH
+    * distributions derive from that one aggregate (no second corpus
+    * scan); vocabulary joins back broadcast with the same skew note. */
+  def dsirScore(df: DataFrame, textCol: String, idCol: String,
+                isTarget: Column, sliceCol: String,
+                alpha: Double = 0.5): DataFrame = {
+    val tok = df.repartition(col(idCol)).select(
+      col(idCol).as("id"), col(sliceCol).as("__slice"),
+      isTarget.as("__tgt"), explode(tokens(col(textCol))).as("__t"))
+    val tf = tok.groupBy(col("id"), col("__t")).agg(
+      first(col("__slice")).as("__slice"), first(col("__tgt")).as("__tgt"),
+      count(lit(1)).as("__m"))
+    val vocab = tf.groupBy(col("__t")).agg(
+      sum(col("__m")).as("__cs"),
+      sum(when(col("__tgt"), col("__m")).otherwise(0L)).as("__ct"))
+    val totals = vocab.agg(sum(col("__cs")).as("__ns"),
+      sum(col("__ct")).as("__nt"), count(lit(1)).as("__v"))
+    val a = lit(alpha)
+    val logRatio =
+      (log(col("__ct") + a) - log(col("__nt") + a * col("__v"))) -
+        (log(col("__cs") + a) - log(col("__ns") + a * col("__v")))
+    val perDoc = tf.join(broadcast(vocab), Seq("__t"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id")).agg(
+        first(col("__slice")).as("__slice"),
+        round(sum(col("__m") * logRatio) / sum(col("__m")), 6).as("score"))
+    perDoc.groupBy(col("__slice").as(sliceCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_target_like"),
+        round(avg(col("score")), 4).as("avg_score"))
+      .orderBy(col(sliceCol))
+  }
+
   /** Sequence-length distribution — the report every training pipeline
     * publishes before fixing a context length or packing strategy: per
     * slice, documents bucketed by power-of-two token count (bucket b

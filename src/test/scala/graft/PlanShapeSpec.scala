@@ -135,6 +135,8 @@ class PlanShapeSpec extends SparkSpec {
       "q51_similarity_profile", "q38_ivf_topk", "q79_price_deciles_scale",
       "q96_skew_report", "q94_kmeans_refine", "q93_profile_orders",
       "q99_unigram_logprob", "q100_semantic_dedup", "q106_bigram_logprob",
+      // q149's totals side is a single broadcast row (the q99 shape)
+      "q149_dsir_selection",
       "q111_event_funnel", "q112_collocations", "q113_rolling_active",
       "q115_ann_recall", "q133_source_overlap", "q134_lexical_divergence",
       "q135_boilerplate_shingles",
