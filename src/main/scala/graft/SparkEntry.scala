@@ -222,6 +222,33 @@ object SparkEntry {
       etlmudah.analytics.Profile.schemaDiff(orders, next)
     }),
 
+    // TPC-H Q8-shaped market share: one nation's suppliers' share of a
+    // region's customer revenue by year — the dual-role dimension
+    // stress (nation joins twice, once per side) with a conditional
+    // share aggregate
+    "q150_market_share" -> ((s, dir) => {
+      val cnat = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val snat = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("s_nation"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val subj = sum(when(col("s_nation") === "NATION_7", rev)
+        .otherwise(lit(0.0)))
+      Tables.customer(s, dir)
+        .join(cnat, col("c_nationkey") === col("c_nk"))
+        .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+          col("c_rk") === col("r_regionkey"))
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(snat, col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year")).agg(
+          round(subj, 2).as("subject_rev"),
+          round(sum(rev), 2).as("total_rev"),
+          round(subj / sum(rev), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
     // PSI distribution-drift gate between the q95 snapshots: per-bin
     // share shift terms over o_totalprice; sum = total PSI
     "q142_drift_psi" -> ((s, dir) => {
@@ -1911,6 +1938,27 @@ object SparkEntry {
         |  ('o_totalprice', 'retyped', 'double', 'decimal(12,2)'))
         |  AS t(col_name, status, base_type, next_type)
         |ORDER BY col_name""".stripMargin,
+
+    "q150_market_share" ->
+      """SELECT year(o_orderdate)::INT AS o_year,
+        | round(sum(CASE WHEN sn.n_name = 'NATION_7'
+        |   THEN l_extendedprice * (1.0::DOUBLE - l_discount)
+        |   ELSE 0.0::DOUBLE END), 2) AS subject_rev,
+        | round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2)
+        |   AS total_rev,
+        | round(sum(CASE WHEN sn.n_name = 'NATION_7'
+        |   THEN l_extendedprice * (1.0::DOUBLE - l_discount)
+        |   ELSE 0.0::DOUBLE END)
+        |   / sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 6)
+        |   AS mkt_share
+        |FROM customer
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
 
     "q143_local_supplier_volume" ->
       """SELECT r_name, n_name, count(*) AS n_items,
