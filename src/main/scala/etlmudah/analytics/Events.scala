@@ -104,19 +104,28 @@ object Events {
     * assembly is a |stages|-row union with a single-partition window —
     * constant-size by construction. */
   def funnel(events: DataFrame, tsCol: String, userCol: String,
-             typeCol: String, stages: Seq[String]): DataFrame = {
+             typeCol: String, stages: Seq[String],
+             maxGapUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapUs.forall(_ > 0), "maxGapUs must be positive when set")
     val base = events.select(col(userCol).as("user"),
       col(typeCol).as("et"), unix_micros(col(tsCol)).as("tus"))
     val total = base.agg(countDistinct(col("user")).as("n0"))
-    // fold: frame k = (user, t_k = min event time of stage k after t_{k-1})
+    // fold: frame k = (user, t_k = min event time of stage k after
+    // t_{k-1}); with maxGapUs set, stage k must also land within the
+    // CONVERSION WINDOW of stage k-1 ("clicked within an hour of the
+    // view" — the windowed-funnel every product dashboard defaults to)
     val frames = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stage, _)) =>
         val hits = base.filter(col("et") === stage)
         val qualified = prev match {
           case None => hits
-          case Some(p) => hits.join(p.select(col("user"), col("tk").as("__tp")),
-            Seq("user")).filter(col("tus") > col("__tp"))
+          case Some(p) =>
+            val after = col("tus") > col("__tp")
+            val inWindow = maxGapUs.fold(after)(g =>
+              after && col("tus") <= col("__tp") + lit(g))
+            hits.join(p.select(col("user"), col("tk").as("__tp")),
+              Seq("user")).filter(inWindow)
         }
         Some(qualified.groupBy(col("user")).agg(min(col("tus")).as("tk")))
     }.flatten

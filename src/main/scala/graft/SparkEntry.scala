@@ -777,6 +777,14 @@ object SparkEntry {
       etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
         "user_id", "event_type", Seq("view", "click", "purchase"))),
 
+    // q111 with a CONVERSION WINDOW: each stage must land within 6h of
+    // the previous stage's first touch (the windowed funnel product
+    // dashboards default to)
+    "q151_windowed_funnel" -> ((s, dir) =>
+      etlmudah.analytics.Events.funnel(Tables.eventsTyped(s, dir), "ts",
+        "user_id", "event_type", Seq("view", "click", "purchase"),
+        maxGapUs = Some(6L * 3600 * 1000000))),
+
     // anti join (EXCEPT shape): customers with no high-value order —
     // the orphan screen every referential model runs (threshold keeps
     // the result non-trivial on the dense synthetic data, where every
@@ -2549,6 +2557,31 @@ object SparkEntry {
         |p AS (SELECT e.user_id, min(epoch_us(ts)) AS t3
         |  FROM events e JOIN c USING (user_id)
         |  WHERE event_type = 'purchase' AND epoch_us(ts) > t2 GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n0 FROM events),
+        |s AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |    (SELECT count(*) FROM v)::BIGINT AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)::BIGINT
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)::BIGINT)
+        |SELECT stage_idx, stage, n_users,
+        | round(n_users * 100.0 / n0, 4) AS pct_of_all,
+        | round(n_users * 100.0 /
+        |   coalesce(lag(n_users) OVER (ORDER BY stage_idx), n0), 4)
+        |   AS pct_of_prev
+        |FROM s CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+
+    // q111's stage CTEs with the 6-hour conversion-window bound added
+    "q151_windowed_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(ts)) AS t2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND epoch_us(ts) > t1
+        |    AND epoch_us(ts) <= t1 + 21600000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(ts)) AS t3
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+        |    AND epoch_us(ts) <= t2 + 21600000000 GROUP BY 1),
         |tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n0 FROM events),
         |s AS (
         |  SELECT 1 AS stage_idx, 'view' AS stage,

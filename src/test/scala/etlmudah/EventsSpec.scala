@@ -81,6 +81,29 @@ class EventsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("view", 1L), ("click", 0L)))
   }
 
+  test("funnel with conversion window: in-window converts, out-of-window drops") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: click 30 min after view -> converts under a 1h window
+      (1L, "view", ts("2024-01-01 09:00:00")),
+      (1L, "click", ts("2024-01-01 09:30:00")),
+      // user 2: click 2h after view -> outside the window
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "click", ts("2024-01-01 11:00:00")),
+      // user 3: click exactly AT the bound (inclusive) -> converts
+      (3L, "view", ts("2024-01-01 09:00:00")),
+      (3L, "click", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(events, "ts", "user_id", "event_type",
+        Seq("view", "click"), maxGapUs = Some(3600L * 1000000))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("view", 3L), ("click", 2L)))
+    // unbounded: all three convert
+    val open = Events.funnel(events, "ts", "user_id", "event_type",
+        Seq("view", "click")).collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(open.toSeq == Seq(("view", 3L), ("click", 3L)))
+  }
+
   test("transitionMatrix: hand log — per-user chains, row-normalized, id tie-break") {
     import spark.implicits._
     val events = Seq(

@@ -137,7 +137,8 @@ class PlanShapeSpec extends SparkSpec {
       "q99_unigram_logprob", "q100_semantic_dedup", "q106_bigram_logprob",
       // q149's totals side is a single broadcast row (the q99 shape)
       "q149_dsir_selection",
-      "q111_event_funnel", "q112_collocations", "q113_rolling_active",
+      "q111_event_funnel", "q151_windowed_funnel", "q112_collocations",
+      "q113_rolling_active",
       "q115_ann_recall", "q133_source_overlap", "q134_lexical_divergence",
       "q135_boilerplate_shingles",
       // q136's probe side is a bounded id slice, broadcast by
