@@ -49,6 +49,14 @@ object Bench {
         .selectExpr("sum(hash(*))").write.format("noop")
         .mode("overwrite").save()
       catch { case _: Throwable => () })).min
+    // Fixed-work SHUFFLE probe: the cpu/scan probes are too light and
+    // shuffle-free to see degraded parallel or disk throughput (this
+    // round a pure-projection query ran 5x slower while both stayed
+    // flat), so exchange-heavy drift needs its own yardstick.
+    val calibShuffle = (1 to 3).map(_ => secs(
+      spark.range(1L << 24).selectExpr("id % 65536 as k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+        .write.format("noop").mode("overwrite").save())).min
     // ML training is benchmarked separately from engine ops (RF fit time
     // says nothing about query-plan quality and would dominate the total).
     val exclude = Set("q33_ml_importances", "q81_ml_predict_one")
@@ -79,7 +87,7 @@ object Bench {
     // (BENCH_r03 came back "parsed": null that way).
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"rep_spread","unit":"ratio_max_over_min","queries":$spreads}""")
-    println(s"""{"metric":"calibration","unit":"sec","cpu_sum_sq_2e26":$calibCpu,"orders_scan_hash":$calibScan}""")
+    println(s"""{"metric":"calibration","unit":"sec","cpu_sum_sq_2e26":$calibCpu,"orders_scan_hash":$calibScan,"shuffle_sum_2e24":$calibShuffle}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
