@@ -394,23 +394,37 @@ object Dedup {
     * shingle) table once — 8 bytes a shingle — before indexing it. */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int = 3,
-                         minJaccard: Double = 0.8): DataFrame = {
+                         minJaccard: Double = 0.8,
+                         hotDfCutoff: Long = 1000000L): DataFrame = {
     val sh = shingleHashRows(df, textCol, idCol, shingleN).localCheckpoint(true)
-    // document frequency as a shingle-keyed window count, NOT a groupBy
-    // + join back: the join form shuffles sh by shingle TWICE (once to
-    // aggregate, once to probe) and pays a Heaps-sized-table join; the
-    // window moves the same rows once. (Hot-shingle row movement is
-    // identical either way — the probe side of the join also co-locates
-    // every occurrence of a hot key.) The doc-size count rides the rank
-    // window's id partitioning for free.
-    val wDf = Window.partitionBy(col("shingle"))
+    // document frequency via a map-side-combined groupBy, NOT a
+    // shingle-partitioned window: the window form moves EVERY occurrence
+    // of a hot shingle to one reducer and holds them in one frame — on a
+    // Zipf corpus the top boilerplate shingle can be percents of all
+    // rows, i.e. one melting task at 100 TB. The groupBy partial-
+    // aggregates hot keys to one row per map task before the shuffle, so
+    // the df table is Heaps-law-sized with no skewed partition. Joining
+    // df back onto sh is then the only skew risk; split hot/cold:
+    //  - HOT shingles (df >= hotDfCutoff): by Zipf only a head-sized
+    //    handful, so their (shingle, df) rows broadcast and sh's hot
+    //    rows never shuffle by shingle at all;
+    //  - COLD shingles: every key moves < hotDfCutoff rows, so the
+    //    shuffle join is skew-bounded by construction.
+    // Net row movement equals the old window (sh crosses the wire once
+    // keyed by shingle) plus a Heaps-sized partial-agg shuffle.
+    val dfTbl = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val hotDfTbl = dfTbl.filter(col("__df") >= hotDfCutoff)
+    val shHot = sh.join(broadcast(hotDfTbl), Seq("shingle"))
+    val shCold = sh
+      .join(broadcast(hotDfTbl.select(col("shingle"))), Seq("shingle"),
+        "left_anti")
+      .join(dfTbl.filter(col("__df") < hotDfCutoff), Seq("shingle"))
     val wN = Window.partitionBy(col("id"))
     // global canonical order: document frequency asc (rarest first),
     // shingle hash as the deterministic tiebreak
     val wRk = Window.partitionBy(col("id"))
       .orderBy(col("__df").asc, col("shingle").asc)
-    val prefix = sh
-      .withColumn("__df", count(lit(1)).over(wDf))
+    val prefix = shHot.unionByName(shCold)
       .withColumn("__n", count(lit(1)).over(wN))
       .withColumn("__rk", row_number().over(wRk))
       .filter(col("__rk") <=

@@ -183,6 +183,37 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - math.rint(9.0 / 11.0 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("prefixJaccardPairs: planted ultra-hot shingle rides broadcast, never a shingle window") {
+    import spark.implicits._
+    // every doc opens with the same 3-token boilerplate phrase -> one
+    // shingle with df = #docs; cutoff 5 forces it onto the hot branch
+    val boiler = "common header line"
+    val rows = (1L to 30L).map { i =>
+      (i, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e")
+    } :+ ((31L, s"$boiler u1a u1b u1c u1d u1e")) // exact dup of doc 1
+    val df = rows.toDF("doc_id", "text")
+    val hot = Dedup.prefixJaccardPairs(df, "text", "doc_id",
+      minJaccard = 0.5, hotDfCutoff = 5L)
+    // the plan must never single-partition the hot shingle: every window
+    // is id-keyed (df comes from a partial-agg'd groupBy, not a window)
+    // and the hot df side arrives by broadcast
+    val windows = hot.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.forall(!_.toString.contains("shingle"))),
+      windows.map(_.partitionSpec.mkString(",")).mkString("\n"))
+    assert(hot.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    // byte-identity across the hot/cold split and vs the exact tier
+    def setOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = setOf(Dedup.exactJaccardPairs(df, "text", "doc_id", minJaccard = 0.5))
+    assert(setOf(hot) == exact)
+    assert(setOf(Dedup.prefixJaccardPairs(df, "text", "doc_id", minJaccard = 0.5))
+      == exact)
+    assert(exact == Set((1L, 31L, 1.0)))
+  }
+
   test("normalizationLadder: each level surfaces exactly its own dup class") {
     import spark.implicits._
     val docs = Seq(

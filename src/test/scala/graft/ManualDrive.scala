@@ -20,7 +20,8 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q111_event_funnel", "q151_windowed_funnel")) {
+    for (name <- Seq("q108_prefix_jaccard", "q63_jaccard_pairs",
+                     "q64_dedup_clusters", "q66_dedup_apply")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)
