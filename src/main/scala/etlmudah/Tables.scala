@@ -22,15 +22,26 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "events")
 
-  /** events with `ts` as a proper TimestampType. The file stores
-    * TIMESTAMP(NANOS) which Spark lacks; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong` so `ts` arrives as epoch-nanos
-    * LongType, converted here with integer division (a double `/` would
-    * lose precision above 2^53 nanos ≈ 1970+104 days). */
-  def eventsTyped(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** events with `ts` as a proper (UTC-instant) TimestampType,
+    * adapting to however the file stores it:
+    *  - TIMESTAMP(NANOS) + `spark.sql.legacy.parquet.nanosAsLong` →
+    *    epoch-nanos LongType, converted with integer division (a double
+    *    `/` would lose precision above 2^53 nanos ≈ 1970+104 days);
+    *  - timestamp[us] with isAdjustedToUTC=false → TIMESTAMP_NTZ, cast
+    *    to TimestampType (sessions pin timeZone=UTC, so the cast is the
+    *    identity on the underlying micros);
+    *  - already TimestampType → pass through. */
+  def eventsTyped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
+    val raw = events(spark, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }

@@ -20,11 +20,49 @@ import etlmudah.text.TextStats
   */
 object Streaming {
 
-  /** Schema of the events parquet as read with nanosAsLong (ts arrives
-    * as epoch-nanos long; see Tables.eventsTyped). */
+  /** Batch-begin recovery for the [[swapIn]] protocol: the live table is
+    * absent ONLY between swapIn's two renames — at that point `__tmp`
+    * was fully written (it is renamed aside only after its write
+    * completes), so it is the newest complete state; `__old` is the
+    * pre-swap fallback. With the live table present, any `__tmp` is a
+    * torn partial write and any `__old` a finished swap's leftover —
+    * drop both. Every crash point therefore replays to a complete
+    * table; a plain delete-then-rename would lose the table to a crash
+    * between the delete and the rename. */
+  private[streaming] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                     targetStr: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetStr)
+    val tmp = new org.apache.hadoop.fs.Path(targetStr + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(targetStr + "__old")
+    if (!fs.exists(target)) {
+      if (fs.exists(tmp)) fs.rename(tmp, target)
+      else if (fs.exists(old)) fs.rename(old, target)
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Recoverable three-step table swap: write the new state to `__tmp`,
+    * rename the live table ASIDE to `__old` (never delete it), rename
+    * `__tmp` in, then drop `__old`. Paired with [[recoverSwap]] at the
+    * next batch's start, no crash point loses the table. */
+  private[streaming] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+                                targetStr: String)
+                               (writeTmp: String => Unit): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetStr)
+    val tmp = new org.apache.hadoop.fs.Path(targetStr + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(targetStr + "__old")
+    writeTmp(tmp.toString)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Schema of the events parquet: ts is stored as timestamp[us] with
+    * isAdjustedToUTC=false, i.e. TIMESTAMP_NTZ (see Tables.eventsTyped). */
   val eventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -48,14 +86,15 @@ object Streaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
-  /** File-source stream over an events directory; ts converted to a real
-    * timestamp for event-time semantics. */
+  /** File-source stream over an events directory; ts cast NTZ → UTC
+    * instant for event-time semantics (sessions pin timeZone=UTC, so
+    * the cast is the identity on the underlying micros). */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventsFileSchema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Watermarked tumbling-window counts per event type — the streaming
     * twin of SparkEntry q20. Late events beyond `lateness` are dropped;
@@ -176,21 +215,8 @@ object Streaming {
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
         val fpTarget = new org.apache.hadoop.fs.Path(fpPath)
-        val fpTmp = new org.apache.hadoop.fs.Path(fpPath + "__tmp")
-        val fpOld = new org.apache.hadoop.fs.Path(fpPath + "__old")
         val fs = fpTarget.getFileSystem(conf)
-        // Crash recovery: the live table is absent ONLY between the two
-        // swap renames below — at that point __tmp was fully written
-        // (it is renamed aside only after its write completes), so it
-        // is the newest complete state; __old is the pre-swap fallback.
-        // With the live table present, any __tmp is a torn partial
-        // write and any __old a finished swap's leftover — drop both.
-        if (!fs.exists(fpTarget)) {
-          if (fs.exists(fpTmp)) fs.rename(fpTmp, fpTarget)
-          else if (fs.exists(fpOld)) fs.rename(fpOld, fpTarget)
-        }
-        if (fs.exists(fpOld)) fs.delete(fpOld, true)
-        if (fs.exists(fpTmp)) fs.delete(fpTmp, true)
+        recoverSwap(fs, fpPath)
         val batchFp = batch.withColumn("__fp",
           TextStats.fingerprint(col(textCol)))
         val corpusFp =
@@ -211,12 +237,8 @@ object Streaming {
           .parquet(basePath)
         val advanced = batchFp.select(col("__fp"))
           .union(corpusFp.select(col("__fp"))).distinct()
-        advanced.write.mode("overwrite").parquet(fpTmp.toString)
-        // recoverable swap: the live table moves ASIDE (not deleted)
-        // before the new one moves in, so no crash point loses state
-        if (fs.exists(fpTarget)) fs.rename(fpTarget, fpOld)
-        fs.rename(fpTmp, fpTarget)
-        if (fs.exists(fpOld)) fs.delete(fpOld, true)
+        swapIn(fs, fpPath)(tmp =>
+          advanced.write.mode("overwrite").parquet(tmp))
         ()
       }
 
@@ -329,15 +351,29 @@ object Streaming {
     * partition — re-runs converge (StreamingSpec). The ledger read is
     * one row per batch, the start-offset lookup a bounded 1-row
     * aggregate; assignment inside the batch is the same distributed
-    * prefix sum as q138. */
+    * prefix sum as q138.
+    *
+    * Rows are bounded, but one partition DIRECTORY per batch makes the
+    * ledger listing grow O(#batches) forever — so every `compactEvery`
+    * batches the rows below the current batch collapse into a single
+    * running-total row. The compacted row keeps batch_id = current - 1,
+    * so a re-delivery of the current batch still computes the identical
+    * `batch_id < N` start offset, and its own dynamic-overwrite row
+    * never collides with the compacted partition. The rewrite goes
+    * through [[swapIn]] (with [[recoverSwap]] at batch start), so a
+    * crash mid-compaction cannot lose the ledger. */
   def shardExportSink(rows: DataFrame, keyCol: String, sizeCol: String,
                       shardBudget: Long, statePath: String, outPath: String,
-                      checkpoint: String):
+                      checkpoint: String, compactEvery: Int = 100):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val statePathH = new org.apache.hadoop.fs.Path(statePath)
+        val fs = statePathH.getFileSystem(conf)
+        recoverSwap(fs, statePath)
         // ledger written first, so the read below always finds the path
         // (a zero-row batch still writes its one ledger row)
         batch.agg(coalesce(sum(col(sizeCol).cast("long")), lit(0L))
@@ -347,7 +383,7 @@ object Streaming {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(statePath)
-        // bounded: the ledger holds ONE row per batch
+        // bounded: <= compactEvery + 1 rows between compactions
         val start = spark.read.parquet(statePath)
           .filter(col("batch_id") < batchId)
           .agg(coalesce(sum(col("batch_bytes")), lit(0L)))
@@ -359,14 +395,32 @@ object Streaming {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(outPath)
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          // checkpointed batches below the current never re-deliver, so
+          // their rows are safe to collapse; only batchId's own row must
+          // survive as its own partition for dynamic re-overwrite
+          val compacted = spark.read.parquet(statePath)
+            .withColumn("batch_id",
+              least(col("batch_id"), lit(batchId - 1)))
+            .groupBy(col("batch_id"))
+            .agg(sum(col("batch_bytes")).as("batch_bytes"))
+            .select(col("batch_bytes"), col("batch_id"))
+            .localCheckpoint(true)   // sever lineage from the live path
+          swapIn(fs, statePath)(tmp =>
+            compacted.write.mode("overwrite")
+              .partitionBy("batch_id").parquet(tmp))
+        }
         ()
       }
 
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge
     * to the same state, matching the reference's ON CONFLICT idempotency
-    * (dag.py:259-265). Write-temp-then-swap echoes the reference's
-    * staged temp-table + transaction pattern (SURVEY §7.5.7). */
+    * (dag.py:259-265). The staged temp-table + transaction pattern
+    * (SURVEY §7.5.7) maps to the [[swapIn]]/[[recoverSwap]] protocol:
+    * the base table moves ASIDE during the swap, never through a delete,
+    * so a crash at any point between batches replays to a complete base
+    * (crash-torn layouts exercised in StreamingSpec). */
   def upsertSink(events: DataFrame, basePath: String, checkpoint: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
@@ -378,6 +432,7 @@ object Streaming {
         val conf = spark.sparkContext.hadoopConfiguration
         val target = new org.apache.hadoop.fs.Path(basePath)
         val fs = target.getFileSystem(conf)
+        recoverSwap(fs, basePath)
         val stamped = batch.withColumn("batch_ts", lit(batchId))
         val merged =
           if (fs.exists(target)) {
@@ -385,10 +440,8 @@ object Streaming {
             Upsert.upsert(base, stamped, Seq("event_id"),
               Seq(col("batch_ts").desc, col("event_id").asc))
           } else stamped
-        val tmp = new org.apache.hadoop.fs.Path(basePath + "__tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(target)) fs.delete(target, true)
-        fs.rename(tmp, target)
+        swapIn(fs, basePath)(tmp =>
+          merged.write.mode("overwrite").parquet(tmp))
         ()
       }
 }

@@ -257,9 +257,11 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(s"$sf0001/documents.parquet").repartition(3)
       .write.mode("overwrite").parquet(src)
     def runOnce(cp: String): Unit = {
+      // compactEvery=2 forces a mid-stream ledger compaction cycle
       val q = Streaming.shardExportSink(
           Streaming.readDocuments(spark, src), "doc_id", "n_chars",
-          shardBudget = 3000L, s"$out/state", s"$out/shards", cp)
+          shardBudget = 3000L, s"$out/state", s"$out/shards", cp,
+          compactEvery = 2)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination(120000)
@@ -273,8 +275,12 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/state")
       .agg(sum("batch_bytes")).head().getLong(0) ==
       corpus.agg(sum("n_chars")).head().getLong(0))
-    // batch count really was > 1 (the continuation path was exercised)
-    assert(spark.read.parquet(s"$out/state").count() >= 3)
+    // batch count really was > 1 (the continuation path was exercised:
+    // the OUTPUT keeps one partition per batch; the LEDGER does not)
+    assert(assigned.select("batch_id").distinct().count() >= 3)
+    // compaction really fired: batches below the last collapsed into a
+    // single running-total row, so the ledger holds exactly 2 rows
+    assert(spark.read.parquet(s"$out/state").count() == 2)
     // shard ids contiguous from 0; every non-last shard lands within one
     // doc of the budget (the q138 invariant over the concatenated stream)
     val per = assigned.groupBy("shard").agg(sum("n_chars").as("chars"))
@@ -313,5 +319,29 @@ class StreamingSpec extends SparkSpec {
       .select("event_id", "value").orderBy("event_id").collect()
     assert(first.length > 0)
     assert(first.zip(second).forall { case (a, b) => a == b })
+
+    // crash-torn swap states: the base table is absent only between the
+    // two swapIn renames — simulate both torn layouts and prove the next
+    // batch RECOVERS the base rather than rebuilding from its own rows
+    // alone. The recovery source streams only a subset, so the rows it
+    // lacks can only come from the recovered base.
+    val subSrc = s"$out/sub_src"
+    spark.read.parquet(src).filter(col("event_id") % 5 === 0)
+      .write.mode("overwrite").parquet(subSrc)
+    def torn(suffix: String, cp: String): Unit = {
+      Files.move(java.nio.file.Paths.get(base),
+        java.nio.file.Paths.get(base + suffix))
+      val q = Streaming.upsertSink(
+          Streaming.readEvents(spark, subSrc), base, cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val rec = spark.read.parquet(base)
+        .select("event_id", "value").orderBy("event_id").collect()
+      assert(rec.length == first.length, suffix)
+      assert(first.zip(rec).forall { case (a, b) => a == b }, suffix)
+    }
+    torn("__tmp", s"$out/cp3")   // crashed after base moved aside
+    torn("__old", s"$out/cp4")   // crashed before tmp moved in
   }
 }
