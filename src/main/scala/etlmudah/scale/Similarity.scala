@@ -317,11 +317,19 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     * method): LSH-bucketed candidates refined to pairs above a cosine
-    * threshold. Returns (id_a, id_b, cos_sim), id_a < id_b. */
+    * threshold. Returns (id_a, id_b, cos_sim), id_a < id_b.
+    *
+    * `pairCap` bounds each vector's pair list: candidates come from
+    * `lshTopKAll(k = pairCap)`, so a vector with more than `pairCap`
+    * neighbors above the threshold silently truncates to its pairCap
+    * MOST similar — fine for dedup-clustering (transitive closure
+    * re-links the tail through the kept strongest edges) but a
+    * completeness caveat for pair-level audits; raise `pairCap` (or use
+    * `exactEmbeddingPairs` as the audit floor) when every pair matters. */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double, tables: Int = 8, bits: Int = 8,
-                        dims: Int = 64): DataFrame =
-    lshTopKAll(embeddings, idCol, vecCol, k = 50, tables, bits, dims)
+                        dims: Int = 64, pairCap: Int = 50): DataFrame =
+    lshTopKAll(embeddings, idCol, vecCol, k = pairCap, tables, bits, dims)
       .filter(col("cos_sim") >= minCosine && col("qid") < col("nid"))
       .select(col("qid").as("id_a"), col("nid").as("id_b"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)

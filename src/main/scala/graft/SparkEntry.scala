@@ -562,7 +562,9 @@ object SparkEntry {
     // embedding-cosine near-duplicate pairs (no SQL oracle: LSH
     // candidate generation; pair correctness in SimilaritySpec). The
     // testdata embeddings are near-random, so the 0.5 threshold keeps
-    // the result small but non-vacuous at sf0.01.
+    // the result small but non-vacuous at sf0.01. Per-vector pair
+    // lists are capped at pairCap=50 strongest edges (documented
+    // truncation — see Similarity.embeddingNearDups scaladoc).
     "q62_embedding_near_dups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), "vec_id",
         "embedding", minCosine = 0.5)),
@@ -818,6 +820,14 @@ object SparkEntry {
     "q130_minhash_portable" -> ((s, dir) =>
       Dedup.minhashPortablePairs(Tables.documents(s, dir), "text", "doc_id",
         shingleN = 3, k = 8, bands = 4, minJaccard = 0.7)),
+
+    // q25's production parameters (k=128, b=32, j>=0.8) through the
+    // portable md5-60bit hash family: the flagship banded near-dup tier
+    // itself gains a hash-checked oracle row (q25's xxhash64 tier stays
+    // the fast path; DedupSpec pins the two tiers' recall agreement)
+    "q152_near_dup_pairs_portable" -> ((s, dir) =>
+      Dedup.minhashPortablePairs(Tables.documents(s, dir), "text", "doc_id",
+        shingleN = 3, k = 128, bands = 32, minJaccard = 0.8)),
 
     // set op INTERSECT (SURVEY §2.5): customers present in BOTH the
     // urgent-order and the high-order cohort. Spark's intersect plans
@@ -1653,12 +1663,19 @@ object SparkEntry {
     * md5-60bit seeded hash family, band agreement as an OR of per-band
     * min-pair equalities, and the same candidate-restricted exact
     * refine — so the probabilistic candidate set itself hash-matches. */
-  private val minhashPortableOracleSql: String = {
-    val mins = (0 until 8).map(i =>
+  /** Parametric DuckDB twin of `Dedup.minhashPortablePairs`: k md5-60bit
+    * min-hashes, `bands` bands of k/bands rows, exact-Jaccard refine at
+    * `minJ`. q130 keeps the hand-auditable small sketch; q152 runs q25's
+    * production parameters (k=128, b=32) so the flagship banded tier
+    * itself carries an oracle row. */
+  private def minhashPortableSql(k: Int, bands: Int, minJ: Double): String = {
+    val rpb = k / bands
+    val mins = (0 until k).map(i =>
       s"min(CAST(('0x' || substr(md5('$i:' || g), 1, 15)) AS UBIGINT)) AS m$i")
       .mkString(", ")
-    val bandPred = (0 until 4).map { b =>
-      s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})"
+    val bandPred = (0 until bands).map { b =>
+      (0 until rpb).map(j => s"a.m${rpb * b + j} = b.m${rpb * b + j}")
+        .mkString("(", " AND ", ")")
     }.mkString(" OR ")
     s"""WITH tokarr AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
@@ -1687,13 +1704,14 @@ object SparkEntry {
        | round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
        |FROM inter JOIN sig sa ON sa.doc_id = id_a
        |           JOIN sig sb ON sb.doc_id = id_b
-       |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+       |WHERE i::DOUBLE / (sa.n + sb.n - i) >= $minJ
        |ORDER BY id_a, id_b""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
     "q26_simhash_near_dups" -> simhashOracleSql,
-    "q130_minhash_portable" -> minhashPortableOracleSql,
+    "q130_minhash_portable" -> minhashPortableSql(8, 4, 0.7),
+    "q152_near_dup_pairs_portable" -> minhashPortableSql(128, 32, 0.8),
 
     // Cross-corpus exact Jaccard (decontamination, oracle tier): same
     // shingle CTEs as q63, split even/odd, two-sided inverted-index join.

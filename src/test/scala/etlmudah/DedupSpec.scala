@@ -214,6 +214,26 @@ class DedupSpec extends SparkSpec {
     assert(exact == Set((1L, 31L, 1.0)))
   }
 
+  test("minhashPortablePairs at q25's parameters (k=128,b=32) == fast tier == exact tier") {
+    // the q152 registry query: q25's production sketch through the
+    // portable hash family. At j>=0.8 with r=4,b=32 the banded miss
+    // probability is ~(1-0.8^4)^32 ~ 5e-8 per true pair — both tiers
+    // must equal the full-recall exact tier on the sf0.001 corpus.
+    val docs = Tables.documents(spark, sf0001)
+    def setOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = setOf(Dedup.exactJaccardPairs(docs, "text", "doc_id",
+      minJaccard = 0.8))
+    val fast = setOf(Dedup.nearDupPairs(docs, "text", "doc_id",
+      minJaccard = 0.8))
+    val portable = setOf(Dedup.minhashPortablePairs(docs, "text", "doc_id",
+      shingleN = 3, k = 128, bands = 32, minJaccard = 0.8))
+    assert(exact.nonEmpty)
+    assert(fast == exact)
+    assert(portable == exact)
+  }
+
   test("normalizationLadder: each level surfaces exactly its own dup class") {
     import spark.implicits._
     val docs = Seq(

@@ -53,6 +53,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan.take(800))
   }
 
+  test("q150: EUROPE filter pushed to the region scan; dual-role nation broadcasts, no nested loop") {
+    val scans = scansOf("q150_market_share")
+    val region = scans.find(_.schema.fieldNames.contains("r_name")).get
+    assert(region.metadata("PushedFilters").contains("EqualTo(r_name,EUROPE)"),
+      region.metadata("PushedFilters"))
+    val plan = planOf("q150_market_share")
+    // 6 joins (nation twice — once per role), none nested-loop or
+    // cartesian; the dims at sf0.001 all ride broadcast
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan.take(800))
+  }
+
   test("minhash signature aggregate stays inside whole-stage codegen") {
     // the 128-min-column aggregate silently drops to interpreted mode
     // when spark.sql.codegen.maxFields is left at its default 100 — this
