@@ -462,8 +462,9 @@ object Dedup {
 
   /** PORTABLE MinHash near-dup pairs — the externally-auditable banded
     * tier (the q26 portable-simhash move applied to MinHash): shingles
-    * stay STRINGS and every hash is a 60-bit md5 prefix
-    * (`conv(substr(md5(seed || ':' || shingle), 1, 15), 16, 10)`), so
+    * stay STRINGS and every hash is a 60-bit lane of a seeded md5
+    * (`conv(substr(md5(seed || ':' || shingle), 1 + 16*lane, 15), 16,
+    * 10)`, two lanes per digest), so
     * any engine with md5 (DuckDB, Postgres, Trino) reproduces the
     * entire pipeline bit-for-bit — signatures, band buckets, candidate
     * set, and the exact-Jaccard refine. That turns the probabilistic
@@ -485,11 +486,22 @@ object Dedup {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
     val sh = shingleRows(df, textCol, idCol, shingleN).localCheckpoint(true)
-    def seeded(i: Int): Column =
-      conv(substring(md5(concat(lit(s"$i:"), col("shingle")).cast("binary")),
-        1, 15), 16, 10).cast("long")
-    val minAggs = (0 until k).map(i => min(seeded(i)).as(s"m$i"))
-    val sig = sh.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    // Two 60-bit lanes per md5 (hex chars 1-15 and 17-31): hash i uses
+    // seed i/2, lane i%2, so k min-hashes cost ceil(k/2) md5 calls —
+    // md5 over the shingle string is the dominant cost at k=128. The
+    // seeded digests are materialized as a projection BEFORE the
+    // aggregate so each is computed once per row, not once per lane.
+    // Still replicated verbatim in SQL:
+    //   CAST(('0x' || substr(md5(seed || ':' || g), 1 + 16*lane, 15))
+    //        AS UBIGINT)
+    val nSeeds = (k + 1) / 2
+    val hashed = sh.select(col("id") +: (0 until nSeeds).map(j =>
+      md5(concat(lit(s"$j:"), col("shingle")).cast("binary")).as(s"h$j")): _*)
+    def lane(i: Int): Column =
+      conv(substring(col(s"h${i / 2}"), 1 + 16 * (i % 2), 15), 16, 10)
+        .cast("long")
+    val minAggs = (0 until k).map(i => min(lane(i)).as(s"m$i"))
+    val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
     val cand = (0 until bands).map { b =>
       val keys = (0 until rowsPerBand).map(j => s"m${b * rowsPerBand + j}")
       sig.select((col("id").as("id_a") +: keys.map(col)): _*)

@@ -20,8 +20,7 @@ object ManualDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q108_prefix_jaccard", "q63_jaccard_pairs",
-                     "q64_dedup_clusters", "q66_dedup_apply")) {
+    for (name <- Seq("q130_minhash_portable", "q152_near_dup_pairs_portable")) {
       println(s"== $name")
       val q = SparkEntry.queries(name)(spark, dir)
       q.show(8)

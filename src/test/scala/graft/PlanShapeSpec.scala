@@ -214,6 +214,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("collect_list"), plan.take(800))
   }
 
+  test("stagedClusterPairs: mines once, then reads the staged parquet; pairs identical") {
+    val direct = SparkEntry.clusterPairs(
+        etlmudah.Tables.documents(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val staged = SparkEntry.stagedClusterPairs(spark, sf0001)
+    val stagedSet = staged.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stagedSet == direct && direct.nonEmpty)
+    // warm call: the plan is a bare parquet scan of the artifact — no
+    // window/join mining operators anywhere
+    val warm = SparkEntry.stagedClusterPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!warm.contains("WindowExec") && !warm.contains("row_number") &&
+      !warm.contains("SortMergeJoin"), warm.take(500))
+  }
+
   test("q19: aggregation reads only the needed columns") {
     val scan = scansOf("q19_doc_token_stats").head
     val fields = scan.schema.fieldNames.toSet
