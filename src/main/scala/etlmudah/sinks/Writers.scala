@@ -97,6 +97,48 @@ object Writers {
       .saveAsTable(table)
   }
 
+  /** S7/S10 real-connector tier: bulk load into a JDBC RDBMS — the
+    * reference loads Postgres via COPY + MERGE (dag.py:243-266) and the
+    * dashboard reads it back over a connection pool
+    * (data_loader.py:19-30). `spark.write.jdbc` is the cluster-side
+    * equivalent: every partition opens its own connection and inserts
+    * in parallel. The sandbox's only RDBMS is embedded Derby (it ships
+    * on the Spark classpath for the Hive metastore), so tests and the
+    * q153 round-trip run against `jdbc:derby:`; moving to the
+    * reference's actual Postgres is a URL + driver swap — the wiring
+    * is config-only by design. Derby's scratch files are pinned under
+    * java.io.tmpdir so nothing lands in the working directory. */
+  def writeJdbc(df: DataFrame, url: String, table: String): Unit = {
+    ensureDerbyHome()
+    df.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", table).save()
+  }
+
+  /** S2/S10 over JDBC: partitioned parallel extract — `numParts`
+    * concurrent range queries on `partCol`, the real-connector form of
+    * the paged REST extract (PagedSource) and of data_loader.py's
+    * single-threaded SELECT. Spark's first/last stride predicates are
+    * unbounded, so rows outside [lower, upper] are still read — the
+    * bounds shape parallelism, never correctness. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          partCol: String, lower: Long, upper: Long,
+                          numParts: Int): DataFrame = {
+    ensureDerbyHome()
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partCol)
+      .option("lowerBound", lower).option("upperBound", upper)
+      .option("numPartitions", numParts)
+      .load()
+  }
+
+  private def ensureDerbyHome(): Unit =
+    if (System.getProperty("derby.system.home") == null) {
+      val home = System.getProperty("java.io.tmpdir", "/tmp") + "/graft_derby"
+      new java.io.File(home).mkdirs()
+      System.setProperty("derby.system.home", home)
+    }
+
   /** S12: result cache with TTL (the dashboard's @st.cache_data(ttl=300),
     * data_loader.py:15,37). Entries past their deadline are unpersisted
     * and recomputed on next access. Driver-side registry: the cache

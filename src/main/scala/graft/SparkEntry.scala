@@ -618,6 +618,28 @@ object SparkEntry {
     // back, aggregate. Exact decimal sums + count/min/max keep the
     // compare independent of float summation order. Oracle runs on the
     // ORIGINAL parquet — a lossy encode would hash-mismatch.
+    // S7/S10 real connector: bulk-load orders into an embedded-Derby
+    // JDBC table (parallel per-partition inserts), read it back as a
+    // 4-way partitioned range extract, aggregate — the q44 round-trip
+    // shape through an actual RDBMS wire instead of TSV. Production is
+    // the same code with a Postgres URL.
+    "q153_jdbc_roundtrip" -> ((s, dir) => {
+      val db = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_jdbc_${dir.replaceAll("[^0-9a-zA-Z]", "_")}/orders_db"
+      val url = s"jdbc:derby:$db;create=true"
+      etlmudah.sinks.Writers.writeJdbc(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        url, "ORDERS_STAGE")
+      etlmudah.sinks.Writers.readJdbcPartitioned(s, url, "ORDERS_STAGE",
+          "o_orderkey", 0L, 6000000L, 4)
+        .groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q44_tsv_roundtrip" -> ((s, dir) => {
       val out = s"/tmp/graft_sink_q44_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
       etlmudah.sinks.Writers.writeTsv(
@@ -2309,6 +2331,16 @@ object SparkEntry {
 
     // sink round-trips: the oracle reads the ORIGINAL table — a lossy
     // encode/partition/stage step would show up as a value mismatch
+    // round-trip through the JDBC wire must reproduce the source table's
+    // aggregate exactly (doubles survive bit-for-bit; decimal sum fixes
+    // the association order on both engines)
+    "q153_jdbc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        | FROM orders GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
+
     "q44_tsv_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

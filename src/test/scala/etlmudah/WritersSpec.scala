@@ -89,6 +89,26 @@ class WritersSpec extends SparkSpec {
     assert(back == rows.toSet)
   }
 
+  test("JDBC roundtrip through embedded Derby: rows survive, extract is 4-way partitioned") {
+    val db = Files.createTempDirectory("jdbc").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val src = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Writers.writeJdbc(src, url, "ORDERS_T")
+    val back = Writers.readJdbcPartitioned(spark, url, "ORDERS_T",
+      "o_orderkey", 0L, 6000000L, 4)
+    assert(back.rdd.getNumPartitions == 4)
+    val a = src.orderBy("o_orderkey").collect()
+    val b = back.select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    assert(a.length == b.length && a.length > 0)
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // overwrite mode really replaces (re-load converges, no dup rows)
+    Writers.writeJdbc(src, url, "ORDERS_T")
+    assert(Writers.readJdbcPartitioned(spark, url, "ORDERS_T",
+      "o_orderkey", 0L, 6000000L, 4).count() == a.length)
+  }
+
   test("S12: TTL cache returns same plan within TTL, recomputes after") {
     val cache = new Writers.TtlCache(spark)
     var computes = 0
