@@ -916,6 +916,75 @@ object Dedup {
           / col("n_tokens"), 6).as("coverage"))
   }
 
+  /** Boilerplate stripping APPLIED — the removal step the
+    * [[boilerplateShingles]] miner only reports: every token covered by
+    * a corpus-hot word n-gram (document frequency >= `minDf`) is
+    * dropped and each document reassembled from its surviving tokens in
+    * order. The CCNet/RefinedWeb "strip templated fragments" pass at
+    * n-gram granularity (this corpus is newline-less, so line-level
+    * stripping has no unit to work with). Returns (id, text_clean,
+    * n_tokens, n_removed) for ALL input docs — a fully-templated doc
+    * keeps its row with empty text, so removal rates stay visible.
+    * Docs shorter than `shingleN` tokens have no n-gram and are never
+    * stripped.
+    *
+    * Scale shape: distinct (doc, gram) rows partial-aggregate to a
+    * Heaps-sized df table (hot grams combine map-side — never a
+    * gram-keyed window); the drop set is df >= minDf, bounded above by
+    * total-grams/minDf. Marking covered starts splits hot/cold exactly
+    * like `prefixJaccardPairs`' df join: drop-grams at df >=
+    * `hotDfCutoff` are a Zipf-head handful and BROADCAST, so the
+    * corpus-dominating boilerplate gram never shuffles by gram; the
+    * cold remainder's shuffle join moves < hotDfCutoff rows per key by
+    * construction. Coverage positions explode n rows per covered start
+    * (n = shingleN, a constant); reassembly is one doc-keyed
+    * aggregate. */
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int = 3, minDf: Long = 5L,
+                       hotDfCutoff: Long = 1000000L): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until shingleN).map(j => lead(col("t"), j).over(w))
+    // gram start positions; hash the gram string so the df aggregate
+    // and the drop-set join move 8-byte keys, never token strings
+    val grams = tok
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", col("t") +: leads: _*)).as("gh"),
+        leads.lastOption.map(_.isNotNull).getOrElse(lit(true)).as("__full"))
+      .filter(col("__full"))
+      .select("id", "pos", "gh")
+      .localCheckpoint(true)
+    val dfTbl = grams.select(col("id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+    val dropHot = dfTbl.filter(col("__df") >= greatest(lit(minDf), lit(hotDfCutoff)))
+      .select(col("gh"))
+    val dropCold = dfTbl
+      .filter(col("__df") >= minDf && col("__df") < greatest(lit(minDf), lit(hotDfCutoff)))
+      .select(col("gh"))
+    val coveredStarts = grams.join(broadcast(dropHot), Seq("gh"))
+      .select(col("id"), col("pos"))
+      .unionByName(grams.join(dropCold, Seq("gh"))
+        .select(col("id"), col("pos")))
+    val covered = coveredStarts
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(shingleN - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("id", "pos"), "left_anti")
+    val perDoc = kept.groupBy(col("id")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+        s => s.getField("t")), " ").as("text_clean"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Sub-document exact dedup at fixed token-segment granularity — the
     * C4/RefinedWeb "remove repeated lines across the corpus" pass,
     * adapted to segments because crawl text arrives newline-less after

@@ -227,8 +227,12 @@ object SparkEntry {
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("r_name"), col("n_name")).agg(
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
-            2).as("revenue"))
+          // price/discount are exact 2dp, so the product is an exact 4dp
+          // rational: casting the double product to DECIMAL(18,4) recovers
+          // it exactly, making the sum association-order-free (a double
+          // sum landed on a half-cent boundary differently per engine)
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
         .orderBy(col("r_name"), col("revenue").desc, col("n_name"))),
 
     // schema-evolution diff (the metadata third of the snapshot-gate
@@ -253,9 +257,12 @@ object SparkEntry {
         .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
       val snat = Tables.nation(s, dir)
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("s_nation"))
-      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      // decimal(18,4) recovers the exact 4dp product (see q143): both
+      // conditional and total revenue sums become association-order-free
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")
       val subj = sum(when(col("s_nation") === "NATION_7", rev)
-        .otherwise(lit(0.0)))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(18,4)")))
       Tables.customer(s, dir)
         .join(cnat, col("c_nationkey") === col("c_nk"))
         .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
@@ -265,9 +272,12 @@ object SparkEntry {
         .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .join(snat, col("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).as("o_year")).agg(
-          round(subj, 2).as("subject_rev"),
-          round(sum(rev), 2).as("total_rev"),
-          round(subj / sum(rev), 6).as("mkt_share"))
+          round(subj, 2).cast("double").as("subject_rev"),
+          round(sum(rev), 2).cast("double").as("total_rev"),
+          // the SHARE divides in double on both engines (decimal
+          // division scale rules differ between engines; double is IEEE)
+          round(subj.cast("double") / sum(rev).cast("double"), 6)
+            .as("mkt_share"))
         .orderBy(col("o_year"))
     }),
 
@@ -873,6 +883,16 @@ object SparkEntry {
       Dedup.minhashPortablePairs(Tables.documents(s, dir), "text", "doc_id",
         shingleN = 3, k = 128, bands = 32, minJaccard = 0.8)),
 
+    // boilerplate stripping APPLIED (the q135 miner's removal step):
+    // tokens covered by any corpus-hot trigram (df >= 5) are dropped,
+    // docs reassembled from survivors in order — the CCNet/RefinedWeb
+    // templated-fragment strip at n-gram granularity
+    "q154_boilerplate_strip" -> ((s, dir) =>
+      Dedup.stripBoilerplate(Tables.documents(s, dir), "text", "doc_id",
+          shingleN = 3, minDf = 5L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // set op INTERSECT (SURVEY §2.5): customers present in BOTH the
     // urgent-order and the high-order cohort. Spark's intersect plans
     // as a distinct + left-semi — SQL INTERSECT semantics exactly
@@ -1057,9 +1077,9 @@ object SparkEntry {
       val splits = etlmudah.scale.Sampling.hashSplit(docs, "doc_id",
           Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
         .select(col("doc_id"), col("split"))
-      // the PPJoin tier: identical pair set (DedupSpec identity), one
-      // shingle materialization instead of exactJaccardPairs' three
-      Dedup.prefixJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8)
+      // the staged PPJoin pair artifact: identical pair set (DedupSpec
+      // identity), mined once per corpus with the cluster consumers
+      stagedClusterPairs(s, dir)
         .join(splits.select(col("doc_id").as("id_a"),
           col("split").as("split_a")), Seq("id_a"))
         .join(splits.select(col("doc_id").as("id_b"),
@@ -2013,15 +2033,15 @@ object SparkEntry {
 
     "q150_market_share" ->
       """SELECT year(o_orderdate)::INT AS o_year,
-        | round(sum(CASE WHEN sn.n_name = 'NATION_7'
-        |   THEN l_extendedprice * (1.0::DOUBLE - l_discount)
-        |   ELSE 0.0::DOUBLE END), 2) AS subject_rev,
-        | round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2)
+        | CAST(round(sum(CASE WHEN sn.n_name = 'NATION_7'
+        |   THEN CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS subject_rev,
+        | CAST(round(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
         |   AS total_rev,
-        | round(sum(CASE WHEN sn.n_name = 'NATION_7'
-        |   THEN l_extendedprice * (1.0::DOUBLE - l_discount)
-        |   ELSE 0.0::DOUBLE END)
-        |   / sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 6)
+        | round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+        |   THEN CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |   / CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6)
         |   AS mkt_share
         |FROM customer
         | JOIN nation cn ON c_nationkey = cn.n_nationkey
@@ -2034,7 +2054,7 @@ object SparkEntry {
 
     "q143_local_supplier_volume" ->
       """SELECT r_name, n_name, count(*) AS n_items,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM customer
         | JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey
@@ -2331,6 +2351,42 @@ object SparkEntry {
 
     // sink round-trips: the oracle reads the ORIGINAL table — a lossy
     // encode/partition/stage step would show up as a value mismatch
+    // boilerplate strip: same trigram CTEs as q63; covered positions
+    // via generate_series over each hot-gram start; order-preserving
+    // reassembly through string_agg ORDER BY pos
+    "q154_boilerplate_strip" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT a.doc_id, a.pos, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |dfreq AS (
+        |  SELECT g, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g),
+        |drops AS (SELECT g FROM dfreq WHERE df >= 5),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 2)) AS pos
+        |  FROM grams JOIN drops USING (g)),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.t
+        |  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        | len(string_split_regex(trim(d.text), '\s+'))::BIGINT AS n_tokens,
+        | (len(string_split_regex(trim(d.text), '\s+'))
+        |   - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // round-trip through the JDBC wire must reproduce the source table's
     // aggregate exactly (doubles survive bit-for-bit; decimal sum fixes
     // the association order on both engines)

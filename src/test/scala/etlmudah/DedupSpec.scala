@@ -433,6 +433,34 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(("x y z w", 3L, 2L)))
   }
 
+  test("stripBoilerplate: hot-trigram spans removed, unique text kept, hot/cold branches agree") {
+    import spark.implicits._
+    val boiler = "all rights reserved"   // planted in 5 docs -> df = 5
+    val docs = Seq(
+      (1L, s"$boiler unique one body text here"),
+      (2L, s"$boiler unique two body text here"),
+      (3L, s"unique three body $boiler text tail"),
+      (4L, s"$boiler unique four body text here"),
+      (5L, boiler),                       // fully templated -> empty row
+      (6L, "fresh content with no template at all"),
+      (7L, "tiny doc")                    // < 3 tokens: never stripped
+    ).toDF("doc_id", "text")
+    def run(cutoff: Long) =
+      Dedup.stripBoilerplate(docs, "text", "doc_id", shingleN = 3,
+          minDf = 5L, hotDfCutoff = cutoff)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val out = run(1000000L)               // all drops on the cold branch
+    assert(out.contains((1L, "unique one body text here", 8L, 3L)))
+    assert(out.contains((3L, "unique three body text tail", 8L, 3L)))
+    assert(out.contains((5L, "", 3L, 3L)))
+    assert(out.contains((6L, "fresh content with no template at all", 7L, 0L)))
+    assert(out.contains((7L, "tiny doc", 2L, 0L)))
+    // forcing every drop-gram onto the broadcast hot branch is
+    // byte-identical to the cold path
+    assert(run(1L) == out)
+  }
+
   test("sourceOverlap: jaccard and containments match hand-computed sets; zero-overlap pairs present") {
     import spark.implicits._
     // src A: shingles {a b c, b c d} ∪ {b c d, c d e} = 3 distinct
