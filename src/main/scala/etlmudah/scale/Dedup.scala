@@ -462,9 +462,9 @@ object Dedup {
 
   /** PORTABLE MinHash near-dup pairs — the externally-auditable banded
     * tier (the q26 portable-simhash move applied to MinHash): shingles
-    * stay STRINGS and every hash is a 60-bit lane of a seeded md5
-    * (`conv(substr(md5(seed || ':' || shingle), 1 + 16*lane, 15), 16,
-    * 10)`, two lanes per digest), so
+    * stay STRINGS and every hash is a 32-bit hex lane of a seeded md5
+    * (`substr(md5(seed || ':' || shingle), 1 + 8*lane, 8)`, four lanes
+    * per digest, min over the fixed-width hex itself), so
     * any engine with md5 (DuckDB, Postgres, Trino) reproduces the
     * entire pipeline bit-for-bit — signatures, band buckets, candidate
     * set, and the exact-Jaccard refine. That turns the probabilistic
@@ -486,29 +486,41 @@ object Dedup {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
     val sh = shingleRows(df, textCol, idCol, shingleN).localCheckpoint(true)
-    // Two 60-bit lanes per md5 (hex chars 1-15 and 17-31): hash i uses
-    // seed i/2, lane i%2, so k min-hashes cost ceil(k/2) md5 calls —
-    // md5 over the shingle string is the dominant cost at k=128. The
-    // seeded digests are materialized as a projection BEFORE the
-    // aggregate so each is computed once per row, not once per lane.
-    // Still replicated verbatim in SQL:
-    //   CAST(('0x' || substr(md5(seed || ':' || g), 1 + 16*lane, 15))
-    //        AS UBIGINT)
-    val nSeeds = (k + 1) / 2
+    // Four 32-bit lanes per md5 (hex chars 1-8 / 9-16 / 17-24 / 25-32):
+    // hash i uses seed i/4, lane i%4, so k min-hashes cost ceil(k/4)
+    // md5 calls — the digest is the dominant cost at k=128. The min
+    // rides the HEX SUBSTRING itself: fixed-width lowercase hex orders
+    // lexicographically exactly as its numeric value, so no base
+    // conversion runs on either engine (conv() was ~40% of the
+    // signature stage). Seeded digests are materialized as a projection
+    // BEFORE the aggregate so each is computed once per row, not once
+    // per lane. Replicated verbatim in SQL:
+    //   min(substr(md5(seed || ':' || g), 1 + 8*lane, 8))
+    val lanesPer = 4
+    val nSeeds = (k + lanesPer - 1) / lanesPer
     val hashed = sh.select(col("id") +: (0 until nSeeds).map(j =>
       md5(concat(lit(s"$j:"), col("shingle")).cast("binary")).as(s"h$j")): _*)
     def lane(i: Int): Column =
-      conv(substring(col(s"h${i / 2}"), 1 + 16 * (i % 2), 15), 16, 10)
-        .cast("long")
+      substring(col(s"h${i / lanesPer}"), 1 + 8 * (i % lanesPer), 8)
     val minAggs = (0 until k).map(i => min(lane(i)).as(s"m$i"))
     val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
-    val cand = (0 until bands).map { b =>
-      val keys = (0 until rowsPerBand).map(j => s"m${b * rowsPerBand + j}")
-      sig.select((col("id").as("id_a") +: keys.map(col)): _*)
-        .join(sig.select((col("id").as("id_b") +: keys.map(col)): _*), keys)
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-    }.reduce(_ union _).distinct()
+    // single-pass banding: explode every band's bucket key (the
+    // ':'-joined min tuple — injective over decimal-encoded longs, so
+    // key equality IS tuple equality) and self-join ONCE on
+    // (band, bkey). A per-band join loop is bands separate shuffles —
+    // pure scheduling overhead at any scale (32 joins for k=128/b=32).
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", (0 until rowsPerBand).map(j =>
+        col(s"m${b * rowsPerBand + j}")): _*)
+    }
+    val buckets = sig
+      .select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val cand = buckets.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(buckets.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))

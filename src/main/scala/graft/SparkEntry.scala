@@ -1734,10 +1734,12 @@ object SparkEntry {
     * itself carries an oracle row. */
   private def minhashPortableSql(k: Int, bands: Int, minJ: Double): String = {
     val rpb = k / bands
-    // two 60-bit lanes per md5: hash i = seed i/2, lane i%2 (hex chars
-    // 1-15 / 17-31) — mirrors Dedup.minhashPortablePairs exactly
+    // four 32-bit hex lanes per md5: hash i = seed i/4, lane i%4 (hex
+    // chars 1-8 / 9-16 / 17-24 / 25-32); the min runs on the fixed-width
+    // hex substring (lexicographic == numeric) — mirrors
+    // Dedup.minhashPortablePairs exactly
     val mins = (0 until k).map(i =>
-      s"min(CAST(('0x' || substr(md5('${i / 2}:' || g), ${1 + 16 * (i % 2)}, 15)) AS UBIGINT)) AS m$i")
+      s"min(substr(md5('${i / 4}:' || g), ${1 + 8 * (i % 4)}, 8)) AS m$i")
       .mkString(", ")
     val bandPred = (0 until bands).map { b =>
       (0 until rpb).map(j => s"a.m${rpb * b + j} = b.m${rpb * b + j}")
