@@ -459,6 +459,17 @@ class DedupSpec extends SparkSpec {
     // forcing every drop-gram onto the broadcast hot branch is
     // byte-identical to the cold path
     assert(run(1L) == out)
+    // plan pin: the hot drop-set arrives by broadcast and no window
+    // ever partitions by the gram key (df is a partial-agg'd groupBy)
+    val hotPlan = Dedup.stripBoilerplate(docs, "text", "doc_id",
+      shingleN = 3, minDf = 5L, hotDfCutoff = 1L)
+      .queryExecution.sparkPlan
+    assert(hotPlan.toString.contains("BroadcastHashJoin"))
+    val gramWindows = hotPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.toString.contains("gh")) => w
+    }
+    assert(gramWindows.isEmpty)
   }
 
   test("sourceOverlap: jaccard and containments match hand-computed sets; zero-overlap pairs present") {
