@@ -71,6 +71,28 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.shingleRows(weird, "text", "doc_id", 3).count() > 0)
   }
 
+  test("stripBoilerplate on empty/whitespace/degenerate corpora") {
+    // empty corpus: empty output, no throw
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.stripBoilerplate(empty, "text", "doc_id").count() == 0)
+    // empty/whitespace/short docs: every row survives untouched
+    // (no n-gram exists, so nothing can be covered)
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(weird, "text", "doc_id",
+        shingleN = 3, minDf = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(out.map(_._1) == Set(1L, 2L, 3L, 4L))
+    assert(out.forall(_._3 == 0L), out.toString)
+    // minDf = 1 drops EVERY gram: all long-enough docs empty out, rows kept
+    val all = Seq((1L, "x y z w"), (2L, "p q r"))
+      .toDF("doc_id", "text")
+    val stripped = Dedup.stripBoilerplate(all, "text", "doc_id",
+        shingleN = 3, minDf = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(stripped == Set((1L, "", 4L), (2L, "", 3L)))
+  }
+
   test("upsert with an empty batch or empty base is the other side") {
     val base = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "batch_ts")
     val none = Seq.empty[(Long, String, Long)].toDF("id", "v", "batch_ts")
