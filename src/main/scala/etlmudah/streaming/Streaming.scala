@@ -279,13 +279,18 @@ object Streaming {
         // score the standing bucket frame via the SAME code path as the
         // batch operator (Analytics.scoreHourly: per-key hour
         // densification + exact-integer window sums), so stream==batch
-        // holds by construction
-        etlmudah.analytics.Analytics.scoreHourly(
-            spark.read.parquet(statePath)
-              .groupBy(col(keyCol), col("__hour"))
-              .agg(sum(col("cnt")).as("cnt")),
-            keyCol, lookback)
-          .write.mode("overwrite").parquet(outPath)
+        // holds by construction. The report swaps in recoverably so a
+        // reader never observes a torn rewrite.
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(fs, outPath)
+        val report = etlmudah.analytics.Analytics.scoreHourly(
+          spark.read.parquet(statePath)
+            .groupBy(col(keyCol), col("__hour"))
+            .agg(sum(col("cnt")).as("cnt")),
+          keyCol, lookback)
+        swapIn(fs, outPath)(tmp =>
+          report.write.mode("overwrite").parquet(tmp))
         ()
       }
 
@@ -331,8 +336,13 @@ object Streaming {
           .select(col("bin"),
             coalesce(col("n_base"), lit(0L)).as("n_base"),
             coalesce(col("n_next"), lit(0L)).as("n_next"))
-        etlmudah.analytics.Profile.psiFromCounts(counts, eps)
-          .write.mode("overwrite").parquet(outPath)
+        // recoverable report swap — readers never observe a torn rewrite
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(fs, outPath)
+        val report = etlmudah.analytics.Profile.psiFromCounts(counts, eps)
+        swapIn(fs, outPath)(tmp =>
+          report.write.mode("overwrite").parquet(tmp))
         ()
       }
   }
