@@ -1,0 +1,63 @@
+package etlmudah.scale
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** ScalaCheck properties for boilerplate stripping: token conservation,
+  * the identity threshold, and serial-replay agreement over random
+  * small-vocabulary corpora (small vocab forces real gram collisions
+  * across docs, so the drop set is routinely non-empty). */
+object DedupProps extends Properties("StripBoilerplate") {
+
+  private lazy val spark = SparkTestSession.spark
+  private val n = 3
+
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 9).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+  private val corpusGen: Gen[List[String]] = Gen.listOfN(8, docGen)
+
+  /** Serial oracle: same semantics, computed with plain Scala sets. */
+  private def serial(texts: Seq[String], minDf: Int): Seq[(String, Long, Long)] = {
+    // mirror Spark's split(trim(text), "\\s+"): an empty/whitespace doc
+    // yields one empty token, not zero tokens
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    val grams = texts.map(t => toks(t).sliding(n).filter(_.length == n)
+      .map(_.mkString(" ")).toSeq)
+    val df = grams.map(_.toSet).flatMap(_.toSeq)
+      .groupBy(identity).map { case (g, occ) => g -> occ.size }
+    val drop = df.filter(_._2 >= minDf).keySet
+    texts.zip(grams).map { case (t, gs) =>
+      val tk = toks(t)
+      val covered = gs.zipWithIndex.collect {
+        case (g, i) if drop(g) => i until (i + n)
+      }.flatten.toSet
+      val kept = tk.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      (kept.mkString(" "), tk.length.toLong, (tk.length - kept.length).toLong)
+    }
+  }
+
+  private def run(texts: Seq[String], minDf: Int): Seq[(String, Long, Long)] = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Dedup.stripBoilerplate(df, "text", "doc_id", shingleN = n,
+        minDf = minDf.toLong)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1).map(_._2).toSeq
+  }
+
+  property("matches the serial replay on random corpora") =
+    forAll(corpusGen, Gen.chooseNum(1, 4)) { (texts, minDf) =>
+      texts.isEmpty || run(texts, minDf) == serial(texts, minDf)
+    }
+
+  property("minDf above corpus size is the identity") =
+    forAll(corpusGen) { texts =>
+      texts.isEmpty || run(texts, texts.length + 1).forall(_._3 == 0L)
+    }
+}
