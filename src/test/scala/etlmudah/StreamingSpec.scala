@@ -297,6 +297,33 @@ class StreamingSpec extends SparkSpec {
     val again = spark.read.parquet(s"$out/shards")
       .select("doc_id", "shard").orderBy("doc_id").collect()
     assert(first.zip(again).forall { case (a, b) => a == b })
+
+    // crash-torn ledger compaction: the ledger is absent only between
+    // swapIn's renames. A LATER batch must see the recovered running
+    // totals — a fresh-checkpoint replay would rebuild the ledger from
+    // batch 0 and prove nothing, so the torn layout is exercised
+    // against the COMMITTED checkpoint with one new source file: only
+    // the new batch runs, and its start offset exists only in the
+    // recovered ledger (an unrecovered ledger restarts offsets at 0 and
+    // re-uses low shard ids).
+    import spark.implicits._
+    val maxShard = first.map(_.getLong(1)).max
+    val ledgerBytes = corpus.agg(sum("n_chars")).head().getLong(0)
+    Files.move(java.nio.file.Paths.get(s"$out/state"),
+      java.nio.file.Paths.get(s"$out/state__tmp"))
+    val extra = Seq((900001L, "tail doc after crash", "en", "t", 3000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmpd = Files.createTempDirectory("stage_shard").toString
+    extra.coalesce(1).write.mode("overwrite").parquet(tmpd)
+    val part = new java.io.File(tmpd).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$src/f_extra.parquet"))
+    runOnce(s"$out/cp2")   // committed checkpoint: ONLY the new batch runs
+    val tail = spark.read.parquet(s"$out/shards")
+      .filter(col("doc_id") === 900001L).select("shard").head().getLong(0)
+    assert(tail >= maxShard, s"shard restarted: $tail < $maxShard")
+    assert(spark.read.parquet(s"$out/state")
+      .agg(sum("batch_bytes")).head().getLong(0) == ledgerBytes + 3000L)
   }
 
   test("upsertSink: micro-batch merge is idempotent (re-running converges)") {
