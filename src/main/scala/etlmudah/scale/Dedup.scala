@@ -239,7 +239,10 @@ object Dedup {
     val buckets = minhashBandsRows(sh, k, bands)
 
     // Degenerate-bucket guard before the quadratic-in-bucket-size join.
-    val sized = capBuckets(buckets, maxBucketSize)
+    // Materialized: both candidate-join sides read the bucket rows, and
+    // an unmaterialized plan evaluates the whole signature aggregate
+    // twice; bucket rows are |docs| x bands skinny ids.
+    val sized = capBuckets(buckets, maxBucketSize).localCheckpoint(true)
 
     val cands = sized
       .select(col("band"), col("bhash"), col("id").as("id_a"),
@@ -412,7 +415,11 @@ object Dedup {
     //    shuffle join is skew-bounded by construction.
     // Net row movement equals the old window (sh crosses the wire once
     // keyed by shingle) plus a Heaps-sized partial-agg shuffle.
+    // materialized: the hot broadcast, the anti-join, and the cold join
+    // all read the df table — unmaterialized, the corpus-scale count
+    // aggregate runs once per consumer; the table is Heaps-law-sized
     val dfTbl = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true)
     val hotDfTbl = dfTbl.filter(col("__df") >= hotDfCutoff)
     val shHot = sh.join(broadcast(hotDfTbl), Seq("shingle"))
     val shCold = sh
@@ -503,7 +510,12 @@ object Dedup {
     def lane(i: Int): Column =
       substring(col(s"h${i / lanesPer}"), 1 + 8 * (i % lanesPer), 8)
     val minAggs = (0 until k).map(i => min(lane(i)).as(s"m$i"))
+    // materialized: both sides of the band self-join read the signature
+    // table, and an unmaterialized plan computes the md5 projection +
+    // 128-column min aggregate TWICE (verified in the physical plan);
+    // the table is |docs| x k fixed-width lanes — vanishing vs corpus
     val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+      .localCheckpoint(true)
     // single-pass banding: explode every band's bucket key (the
     // ':'-joined min tuple — injective over decimal-encoded longs, so
     // key equality IS tuple equality) and self-join ONCE on
@@ -968,8 +980,12 @@ object Dedup {
       .filter(col("__full"))
       .select("id", "pos", "gh")
       .localCheckpoint(true)
+    // materialized: the hot and cold drop-set branches both read the df
+    // table — unmaterialized, the corpus-scale distinct + count runs
+    // twice (verified in the physical plan); the table is Heaps-sized
     val dfTbl = grams.select(col("id"), col("gh")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true)
     val dropHot = dfTbl.filter(col("__df") >= greatest(lit(minDf), lit(hotDfCutoff)))
       .select(col("gh"))
     val dropCold = dfTbl
