@@ -289,6 +289,13 @@ object Dedup {
   def exactJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3,
                         minJaccard: Double = 0.8): DataFrame = {
+    // NOT materialized: the three consumers (sizes + both join sides)
+    // sit over a plain parquet-scan subtree, which Catalyst's
+    // ReuseExchange already dedupes — an eager checkpoint here measured
+    // ~50% SLOWER at sf0.1 (it breaks pipelining for no saved work).
+    // Contrast the RDD-backed subtrees (simhash chunks, LSH buckets,
+    // portable signatures), where canonicalization fails and an
+    // explicit checkpoint IS the dedupe.
     val sh = shingleHashRows(df, textCol, idCol, shingleN)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("id").as("id_a"), col("shingle"))
@@ -324,6 +331,13 @@ object Dedup {
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleN: Int = 3,
                        minContainment: Double = 0.9): DataFrame = {
+    // NOT materialized: the three consumers (sizes + both join sides)
+    // sit over a plain parquet-scan subtree, which Catalyst's
+    // ReuseExchange already dedupes — an eager checkpoint here measured
+    // ~50% SLOWER at sf0.1 (it breaks pipelining for no saved work).
+    // Contrast the RDD-backed subtrees (simhash chunks, LSH buckets,
+    // portable signatures), where canonicalization fails and an
+    // explicit checkpoint IS the dedupe.
     val sh = shingleHashRows(df, textCol, idCol, shingleN)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("id").as("id_a"), col("shingle"))
@@ -771,10 +785,13 @@ object Dedup {
     val cw = bits / 4
     val mask = (1L << cw) - 1
     val withHash = simhashAll(df, textCol, idCol, portable)
+    // materialized: both self-join sides read the chunk rows — without
+    // this the full simhash vote aggregate runs twice
     val chunked = withHash.select(col("id"), col("sh64"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh64"), cw * i).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "cval")))
+      .localCheckpoint(true)
     val l = chunked.select(col("chunk"), col("cval"),
       col("id").as("id_a"), col("sh64").as("h_a"))
     val r = chunked.select(col("chunk"), col("cval"),
@@ -799,6 +816,8 @@ object Dedup {
                         textCol: String, idCol: String,
                         shingleN: Int = 3,
                         minJaccard: Double = 0.8): DataFrame = {
+    // not materialized: parquet-sourced subtrees — ReuseExchange
+    // dedupes the shared aggregates (see exactJaccardPairs note)
     val shT = shingleHashRows(train, textCol, idCol, shingleN)
     val shR = shingleHashRows(ref, textCol, idCol, shingleN)
     val szT = shT.groupBy(col("id")).agg(count(lit(1)).as("na"))
@@ -1113,8 +1132,11 @@ object Dedup {
                     groupCol: String, shingleN: Int = 3): DataFrame = {
     val sh = shingleHashRows(df, textCol, idCol, shingleN)
     val srcMap = df.select(col(idCol).as("id"), col(groupCol).as("src"))
+    // materialized: sizes + both join sides read the vocabulary-sized
+    // (src, shingle) set
     val srcSh = sh.join(srcMap, Seq("id"))
       .select(col("src"), col("shingle")).distinct()
+      .localCheckpoint(true)
     val sizes = srcSh.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val inter = srcSh.select(col("src").as("src_a"), col("shingle"))
       .join(srcSh.select(col("src").as("src_b"), col("shingle")),

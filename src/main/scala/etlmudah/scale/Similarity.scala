@@ -373,7 +373,11 @@ object Similarity {
     // they re-join only for the refine, which is bounded by the candidate
     // count, not tables x corpus. The refine itself is the native
     // codegen'd cosine expression.
+    // materialized: with no probe filter the same bucket rows feed both
+    // candidate-join sides — unmaterialized, the projection aggregate
+    // over every vector runs twice
     val withBuckets = lshBucketsAll(vecs, tables, bits, dims)
+      .localCheckpoint(true)
     // probe pushdown: bucket only the probe side when a filter is given —
     // projection aggregates, candidate join, and refine then scale with
     // |probes| on the query side while the searched side stays full.
