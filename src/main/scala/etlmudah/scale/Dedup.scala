@@ -899,8 +899,12 @@ object Dedup {
                            shingleN: Int = 8,
                            expectedItems: Long = 4L << 20): DataFrame = {
     val spark = train.sparkSession
+    // materialized: the ref vocabulary feeds the bloom-building scalar
+    // subquery AND the confirming semi-join (different exchange shapes,
+    // no ReuseExchange)
     shingleHashRows(ref, textCol, idCol, shingleN, includeShort = false)
       .select(col("shingle")).distinct()
+      .localCheckpoint(true)
       .createOrReplaceTempView("__graft_bloom_ref")
     shingleHashRows(train, textCol, idCol, shingleN, includeShort = false)
       .createOrReplaceTempView("__graft_bloom_train")
