@@ -505,7 +505,19 @@ object Dedup {
     * auditability — use the fast tier when nothing external needs to
     * re-derive the sketch. Defaults k=8, bands=4 (r=2) keep the
     * signature aggregate 8 columns wide so an external SQL twin stays
-    * writable by hand. */
+    * writable by hand.
+    *
+    * Vocabulary bound of the 32-bit lanes: with V distinct shingles a
+    * lane collides with probability ~V/2^32, so min-hash agreement is
+    * inflated by ~V/2^32 per lane — negligible below ~10^8 distinct
+    * shingles, and a COST effect (larger band buckets -> more
+    * candidates), never a correctness one, because the exact-Jaccard
+    * refine filters candidates exactly. A 100 TB corpus exceeds 2^32
+    * distinct shingles: run the xxhash64 64-bit tier ([[nearDupPairs]],
+    * q25) there, or widen to two 64-bit lanes per digest (hex chars
+    * 1-16 / 17-32) at 2x the md5 calls — this portable tier's job is
+    * external auditability at audit-sample scale, not the full-corpus
+    * pass. */
   def minhashPortablePairs(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                            minJaccard: Double = 0.7): DataFrame = {
@@ -536,10 +548,11 @@ object Dedup {
     val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
       .localCheckpoint(true)
     // single-pass banding: explode every band's bucket key (the
-    // ':'-joined min tuple — injective over decimal-encoded longs, so
-    // key equality IS tuple equality) and self-join ONCE on
-    // (band, bkey). A per-band join loop is bands separate shuffles —
-    // pure scheduling overhead at any scale (32 joins for k=128/b=32).
+    // ':'-joined min tuple — mins are FIXED-WIDTH 8-char hex, so the
+    // concatenation is injective and key equality IS tuple equality)
+    // and self-join ONCE on (band, bkey). A per-band join loop is
+    // bands separate shuffles — pure scheduling overhead at any scale
+    // (32 joins for k=128/b=32).
     val bandKeys = (0 until bands).map { b =>
       concat_ws(":", (0 until rowsPerBand).map(j =>
         col(s"m${b * rowsPerBand + j}")): _*)

@@ -373,11 +373,17 @@ object Similarity {
     // they re-join only for the refine, which is bounded by the candidate
     // count, not tables x corpus. The refine itself is the native
     // codegen'd cosine expression.
-    // materialized: with no probe filter the same bucket rows feed both
-    // candidate-join sides — unmaterialized, the projection aggregate
-    // over every vector runs twice
-    val withBuckets = lshBucketsAll(vecs, tables, bits, dims)
-      .localCheckpoint(true)
+    // materialized ONLY when no probe filter is given: there the same
+    // bucket rows feed both candidate-join sides, and unmaterialized
+    // the projection aggregate over every vector runs twice. With a
+    // probe filter the full-corpus buckets have a single consumer (the
+    // searched side), so an eager checkpoint would materialize the
+    // full-corpus projection up front on exactly the path the probe
+    // pushdown keeps |probes|-scale.
+    val fullBuckets = lshBucketsAll(vecs, tables, bits, dims)
+    val withBuckets =
+      if (probeFilter.isEmpty) fullBuckets.localCheckpoint(true)
+      else fullBuckets
     // probe pushdown: bucket only the probe side when a filter is given —
     // projection aggregates, candidate join, and refine then scale with
     // |probes| on the query side while the searched side stays full.

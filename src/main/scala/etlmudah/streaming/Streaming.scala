@@ -58,8 +58,14 @@ object Streaming {
     if (fs.exists(old)) fs.delete(old, true)
   }
 
-  /** Schema of the events parquet: ts is stored as timestamp[us] with
-    * isAdjustedToUTC=false, i.e. TIMESTAMP_NTZ (see Tables.eventsTyped). */
+  /** FALLBACK schema of the events parquet (current data generation:
+    * ts stored as timestamp[us], isAdjustedToUTC=false = TIMESTAMP_NTZ).
+    * [[readEvents]] prefers the schema of the files actually present —
+    * the ts physical type has already flipped once between data
+    * generations (nanos-long -> NTZ), and a pinned schema would break
+    * the streaming path while the adaptive batch path (Tables
+    * .eventsTyped) kept working; this constant is used only when the
+    * source directory has no files to sniff yet. */
   val eventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampNTZType),
@@ -86,15 +92,35 @@ object Streaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
-  /** File-source stream over an events directory; ts cast NTZ → UTC
-    * instant for event-time semantics (sessions pin timeZone=UTC, so
-    * the cast is the identity on the underlying micros). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsFileSchema)
+  /** File-source stream over an events directory with ts normalized to
+    * a UTC instant for event-time semantics (sessions pin timeZone=UTC,
+    * so the NTZ cast is the identity on the underlying micros).
+    *
+    * The file schema is SNIFFED from a batch read of the directory and
+    * the ts normalization branches on the observed type exactly like
+    * the batch path (Tables.eventsTyped) — the events ts encoding has
+    * already flipped between data generations (nanos-long vs NTZ), and
+    * a hardcoded schema would silently break only the streaming path.
+    * An empty source directory falls back to [[eventsFileSchema]]. */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
+    val fileSchema = scala.util.Try(spark.read.parquet(dir).schema)
+      .getOrElse(eventsFileSchema)
+    val reader = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(dir)
-      .withColumn("ts", col("ts").cast("timestamp"))
+    val bounded =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    val raw = bounded.parquet(dir)
+    val ts = fileSchema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts)
+  }
 
   /** Watermarked tumbling-window counts per event type — the streaming
     * twin of SparkEntry q20. Late events beyond `lateness` are dropped;
@@ -130,31 +156,73 @@ object Streaming {
   /** Arbitrary-stateful aggregation via mapGroupsWithState: a running
     * per-user profile (event count, value sum, last-seen micros) that
     * survives across micro-batches — state the built-in windowed aggs
-    * can't express. State is bounded by the key domain; pair with a
-    * timeout in unbounded-key deployments. */
+    * can't express.
+    *
+    * Without `stateTtl` the state grows with the key domain forever —
+    * fine for a bounded dimension (user ids in a warehouse), a leak on
+    * an unbounded one (session tokens, crawl URLs). With `stateTtl`
+    * set, an EventTimeTimeout evicts any key idle past the TTL: the
+    * input must be watermarked (`lateness`), each update re-arms the
+    * timeout at lastSeen + TTL, and when the watermark passes it the
+    * group fires once more (emitting its final profile) and the state
+    * is REMOVED — a later event for the same key restarts from zero.
+    * Eviction + restart are exercised in StreamingSpec. */
   final case class UserProfile(userId: Long, events: Long, valueSum: Double,
                                lastSeenUs: Long)
 
-  def userProfiles(events: DataFrame): org.apache.spark.sql.Dataset[UserProfile] = {
-    import org.apache.spark.sql.streaming.GroupState
+  def userProfiles(events: DataFrame, stateTtl: Option[String] = None,
+                   lateness: String = "2 hours"):
+      org.apache.spark.sql.Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events
-      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
-      .as[(Long, Double, Long)]
+    val src = stateTtl match {
+      case Some(_) => events.withWatermark("ts", lateness)
+      case None => events
+    }
+    // the watermarked ts column must SURVIVE into the grouped Dataset —
+    // event-time timeout is rejected if the child projects the
+    // watermark attribute away (only its unix_micros copy is consumed
+    // by the state function)
+    val typed = src
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"),
+        col("ts"))
+      .as[(Long, Double, Long, java.sql.Timestamp)]
+    val ttlMs = stateTtl.map(t =>
+      org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      .map(i => i.months * 2592000000L + i.days * 86400000L +
+        i.microseconds / 1000L)
+    val timeoutConf = if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     typed.groupByKey(_._1)
-      .mapGroupsWithState[UserProfile, UserProfile] {
-        (userId: Long, rows: Iterator[(Long, Double, Long)],
+      .mapGroupsWithState[UserProfile, UserProfile](timeoutConf) {
+        (userId: Long, rows: Iterator[(Long, Double, Long, java.sql.Timestamp)],
          state: GroupState[UserProfile]) =>
-          val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, 0L))
-          val batch = rows.toSeq
-          val next = UserProfile(
-            userId,
-            prev.events + batch.size,
-            prev.valueSum + batch.map(_._2).sum,
-            math.max(prev.lastSeenUs, if (batch.isEmpty) 0L else batch.map(_._3).max))
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            // idle past the TTL: emit the final profile and drop the state
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, 0L))
+            val batch = rows.toSeq
+            val next = UserProfile(
+              userId,
+              prev.events + batch.size,
+              prev.valueSum + batch.map(_._2).sum,
+              math.max(prev.lastSeenUs,
+                if (batch.isEmpty) 0L else batch.map(_._3).max))
+            state.update(next)
+            ttlMs.foreach { ttl =>
+              // re-arm at lastSeen + TTL; never behind the watermark
+              // (setTimeoutTimestamp rejects already-passed instants)
+              state.setTimeoutTimestamp(
+                math.max(next.lastSeenUs / 1000L + ttl,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            next
+          }
       }
   }
 
@@ -257,17 +325,23 @@ object Streaming {
     * a `batch_id=<n>` partition (dynamic overwrite — the
     * [[dedupIngestSink]] pattern): re-delivery rewrites exactly its
     * own partition, and the scoring pass re-aggregates partials
-    * across batches (batches that split an hour sum correctly). The
-    * report is a wholesale overwrite. Verified stream==batch and
-    * re-run-convergent in StreamingSpec. */
+    * across batches (batches that split an hour sum correctly). Every
+    * `compactEvery` batches the partitions below the checkpoint
+    * frontier collapse into one (the [[shardExportSink]] scheme), so
+    * the state listing stays bounded instead of growing one directory
+    * per batch forever. The report is a wholesale overwrite. Verified
+    * stream==batch and re-run-convergent in StreamingSpec. */
   def anomalySink(events: DataFrame, statePath: String, outPath: String,
                   checkpoint: String, keyCol: String = "event_type",
-                  lookback: Int = 24):
+                  lookback: Int = 24, compactEvery: Int = 100):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val stateFs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(stateFs, statePath)
         batch
           .groupBy(col(keyCol), date_trunc("hour", col("ts")).as("__hour"))
           .agg(count(lit(1)).as("cnt"))
@@ -276,6 +350,25 @@ object Streaming {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(statePath)
+        // rows are bounded (hourly partials), but one partition DIR per
+        // batch makes the state listing grow O(#batches) — every
+        // compactEvery batches, rows below the current batch collapse
+        // into the batchId-1 partition (greatest keeps the current row
+        // its own partition, so a re-delivered compaction batch's
+        // dynamic overwrite replaces rather than double-counts — the
+        // shardExportSink scheme) behind the recoverable swap
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val compacted = spark.read.parquet(statePath)
+            .withColumn("batch_id",
+              greatest(col("batch_id"), lit(batchId - 1)))
+            .groupBy(col(keyCol), col("__hour"), col("batch_id"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .select(col(keyCol), col("__hour"), col("cnt"), col("batch_id"))
+            .localCheckpoint(true)   // sever lineage from the live path
+          swapIn(stateFs, statePath)(tmp =>
+            compacted.write.mode("overwrite")
+              .partitionBy("batch_id").parquet(tmp))
+        }
         // score the standing bucket frame via the SAME code path as the
         // batch operator (Analytics.scoreHourly: per-key hour
         // densification + exact-integer window sums), so stream==batch
@@ -305,14 +398,17 @@ object Streaming {
     * Same idempotency scheme as [[anomalySink]]: per-batch bin partials
     * live in a `batch_id=<n>` partition (dynamic overwrite), so a
     * re-delivered batch rewrites exactly its own partition and the
-    * report re-aggregates partials — re-runs converge. The report goes
-    * through `Profile.psiFromCounts`, the SAME code path as the batch
-    * operator, so stream == batch by construction (verified in
-    * StreamingSpec). State is the binned frame — bounded by |bins|,
-    * never raw rows. */
+    * report re-aggregates partials — re-runs converge; every
+    * `compactEvery` batches the partitions below the checkpoint
+    * frontier collapse into one so the listing stays bounded. The
+    * report goes through `Profile.psiFromCounts`, the SAME code path
+    * as the batch operator, so stream == batch by construction
+    * (verified in StreamingSpec). State is the binned frame — bounded
+    * by |bins|, never raw rows. */
   def driftSink(rows: DataFrame, ref: DataFrame, valueCol: String,
                 binWidth: Double, statePath: String, outPath: String,
-                checkpoint: String, eps: Double = 1e-6):
+                checkpoint: String, eps: Double = 1e-6,
+                compactEvery: Int = 100):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // reference histogram written once, driver-side, before the stream
     // starts; deterministic so a restart rewrites the identical frame
@@ -322,12 +418,30 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val stateFs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(stateFs, statePath)
         etlmudah.analytics.Profile.binCounts(batch, valueCol, binWidth)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(statePath)
+        // same O(#batches) partition-listing fix as [[anomalySink]]:
+        // collapse rows below the current batch into batchId-1 behind
+        // the recoverable swap; re-delivered compaction batches converge
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val compacted = spark.read.parquet(statePath)
+            .withColumn("batch_id",
+              greatest(col("batch_id"), lit(batchId - 1)))
+            .groupBy(col("bin"), col("batch_id"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .select(col("bin"), col("cnt"), col("batch_id"))
+            .localCheckpoint(true)   // sever lineage from the live path
+          swapIn(stateFs, statePath)(tmp =>
+            compacted.write.mode("overwrite")
+              .partitionBy("batch_id").parquet(tmp))
+        }
         val refBins = spark.read.parquet(statePath + "__ref")
           .select(col("bin"), col("cnt").as("n_base"))
         val streamBins = spark.read.parquet(statePath)
@@ -393,7 +507,8 @@ object Streaming {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(statePath)
-        // bounded: <= compactEvery + 1 rows between compactions
+        // bounded: <= compactEvery + 2 rows (the two post-compaction
+        // rows plus one per batch since the last compaction)
         val start = spark.read.parquet(statePath)
           .filter(col("batch_id") < batchId)
           .agg(coalesce(sum(col("batch_bytes")), lit(0L)))
@@ -407,11 +522,18 @@ object Streaming {
           .parquet(outPath)
         if (batchId > 0 && batchId % compactEvery == 0) {
           // checkpointed batches below the current never re-deliver, so
-          // their rows are safe to collapse; only batchId's own row must
-          // survive as its own partition for dynamic re-overwrite
+          // every row with batch_id < batchId collapses UP into the
+          // batchId-1 partition (greatest, not least: least would leave
+          // rows below batchId-1 uncollapsed and fold the CURRENT row
+          // down, so a re-delivered compaction batch — crash between
+          // this swap and the checkpoint commit — would sum its own
+          // bytes into its start offset and double-count them in a
+          // fresh dynamic-overwrite row). Only batchId's own row keeps
+          // its partition, so its dynamic re-overwrite replaces rather
+          // than duplicates.
           val compacted = spark.read.parquet(statePath)
             .withColumn("batch_id",
-              least(col("batch_id"), lit(batchId - 1)))
+              greatest(col("batch_id"), lit(batchId - 1)))
             .groupBy(col("batch_id"))
             .agg(sum(col("batch_bytes")).as("batch_bytes"))
             .select(col("batch_bytes"), col("batch_id"))
@@ -423,15 +545,62 @@ object Streaming {
         ()
       }
 
+  /** Batch-begin recovery for the per-bucket swap used by [[upsertSink]]:
+    * a bucket's live directory is absent ONLY between its two renames —
+    * at that point the whole `__tmp` tree was fully written (buckets
+    * rename only after the one write job completes), so `__tmp`'s copy
+    * is the newest complete state; `__old`'s is the pre-swap fallback.
+    * With every live bucket present, leftover `__tmp`/`__old` trees are
+    * a torn write / a finished swap's residue — drop both. */
+  private[streaming] def recoverBucketSwaps(
+      fs: org.apache.hadoop.fs.FileSystem, basePath: String): Unit = {
+    val oldRoot = new org.apache.hadoop.fs.Path(basePath + "__old")
+    val tmpRoot = new org.apache.hadoop.fs.Path(basePath + "__tmp")
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { st =>
+        val name = st.getPath.getName   // "bucket=<k>"
+        val live = new org.apache.hadoop.fs.Path(s"$basePath/$name")
+        val tmpB = new org.apache.hadoop.fs.Path(s"$tmpRoot/$name")
+        if (!fs.exists(live)) {
+          if (fs.exists(tmpB)) fs.rename(tmpB, live)
+          else fs.rename(st.getPath, live)
+        }
+      }
+    }
+    if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+  }
+
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge
     * to the same state, matching the reference's ON CONFLICT idempotency
-    * (dag.py:259-265). The staged temp-table + transaction pattern
-    * (SURVEY §7.5.7) maps to the [[swapIn]]/[[recoverSwap]] protocol:
-    * the base table moves ASIDE during the swap, never through a delete,
-    * so a crash at any point between batches replays to a complete base
-    * (crash-torn layouts exercised in StreamingSpec). */
-  def upsertSink(events: DataFrame, basePath: String, checkpoint: String):
+    * (dag.py:259-265).
+    *
+    * The base is laid out as `bucket=<k>` partitions, k =
+    * `pmod(xxhash64(event_id), numBuckets)`, and a batch REWRITES ONLY
+    * THE BUCKETS ITS KEYS TOUCH: the merge reads just those bucket
+    * directories (partition pruning by construction), merges the batch
+    * in with one keyed window, writes the merged buckets to a `__tmp`
+    * tree in a single job, and swaps each bucket in via the three-rename
+    * protocol (live bucket aside to `__old/bucket=k`, `__tmp/bucket=k`
+    * in, drop `__old`). Untouched buckets are never read or written —
+    * per-batch write cost is O(|batch| x bucket fanout), not O(|base|):
+    * at a 100 TB base with 12-hourly batches the full-table rewrite the
+    * previous version did per batch is the scale killer; size
+    * `numBuckets` so |base|/numBuckets is a comfortable rewrite unit
+    * (a few GB).
+    *
+    * Crash safety: [[recoverBucketSwaps]] at batch start restores any
+    * bucket caught between its two renames (the only window where a
+    * live bucket is absent; `__tmp` is complete there because renames
+    * begin only after the write job finishes). A crash part-way through
+    * the bucket renames leaves some buckets new and some old — the
+    * re-delivered batch recovers any torn bucket, re-merges, and
+    * converges, because merging the same rows twice under
+    * last-writer-wins is a no-op (torn layouts exercised in
+    * StreamingSpec). */
+  def upsertSink(events: DataFrame, basePath: String, checkpoint: String,
+                 numBuckets: Int = 32):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .option("checkpointLocation", checkpoint)
@@ -440,18 +609,45 @@ object Streaming {
         // Hadoop FileSystem API, not java.io.File: the sink must run
         // against HDFS/object-store paths, not just the local FS
         val conf = spark.sparkContext.hadoopConfiguration
-        val target = new org.apache.hadoop.fs.Path(basePath)
-        val fs = target.getFileSystem(conf)
-        recoverSwap(fs, basePath)
-        val stamped = batch.withColumn("batch_ts", lit(batchId))
-        val merged =
-          if (fs.exists(target)) {
-            val base = spark.read.parquet(basePath)
-            Upsert.upsert(base, stamped, Seq("event_id"),
-              Seq(col("batch_ts").desc, col("event_id").asc))
-          } else stamped
-        swapIn(fs, basePath)(tmp =>
-          merged.write.mode("overwrite").parquet(tmp))
+        val baseRoot = new org.apache.hadoop.fs.Path(basePath)
+        val fs = baseRoot.getFileSystem(conf)
+        recoverBucketSwaps(fs, basePath)
+        val stamped = batch
+          .withColumn("batch_ts", lit(batchId))
+          .withColumn("bucket",
+            pmod(xxhash64(col("event_id")), lit(numBuckets.toLong)).cast("int"))
+        // bounded driver collect: <= numBuckets values
+        val touched = stamped.select("bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          val liveDirs = touched.map(b => s"$basePath/bucket=$b")
+            .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+          val touchedBase =
+            if (liveDirs.isEmpty) stamped.limit(0)
+            else spark.read.option("basePath", basePath)
+              .parquet(liveDirs.toIndexedSeq: _*)
+              .withColumn("bucket", col("bucket").cast("int"))
+          val merged = Upsert.upsert(touchedBase, stamped, Seq("event_id"),
+            Seq(col("batch_ts").desc, col("event_id").asc))
+          val tmpRoot = new org.apache.hadoop.fs.Path(basePath + "__tmp")
+          val oldRoot = new org.apache.hadoop.fs.Path(basePath + "__old")
+          if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+          // one job writes every touched bucket; renames start only
+          // after it completes, so __tmp is all-or-nothing per batch
+          merged.write.mode("overwrite")
+            .partitionBy("bucket").parquet(tmpRoot.toString)
+          fs.mkdirs(baseRoot)
+          fs.mkdirs(oldRoot)
+          touched.foreach { b =>
+            val live = new org.apache.hadoop.fs.Path(s"$basePath/bucket=$b")
+            val tmpB = new org.apache.hadoop.fs.Path(s"$tmpRoot/bucket=$b")
+            val oldB = new org.apache.hadoop.fs.Path(s"$oldRoot/bucket=$b")
+            if (fs.exists(live)) fs.rename(live, oldB)
+            if (fs.exists(tmpB)) fs.rename(tmpB, live)
+          }
+          fs.delete(oldRoot, true)
+          fs.delete(tmpRoot, true)
+        }
         ()
       }
 }

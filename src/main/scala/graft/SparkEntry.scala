@@ -47,28 +47,61 @@ object SparkEntry {
     * every downstream oracle is unchanged; q63 keeps
     * `exactJaccardPairs` as the exact-tier definition and q108 is the
     * prefix tier's own oracle. Tier pinned in PlanShapeSpec. */
+  private val clusterPairsMinJaccard = 0.8
   private[graft] def clusterPairs(docs: DataFrame): DataFrame =
-    Dedup.prefixJaccardPairs(docs, "text", "doc_id", minJaccard = 0.8)
+    Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+      minJaccard = clusterPairsMinJaccard)
+
+  /** Versions the staged artifact's CONTENT, not just its input: bump
+    * on any change to the miner's algorithm, and the mining parameters
+    * ride the tag — a parameter or code change re-mines instead of
+    * silently reusing a stale artifact from a previous round. */
+  private val clusterPairsTag =
+    s"prefixJaccardPairs:v1:minJaccard=$clusterPairsMinJaccard"
 
   /** The pair table STAGED once per corpus and reused by every
     * cluster-consuming query — the honest pipeline shape (mine once,
     * consume many): q64/q66/q82/q147 previously each re-mined the
-    * identical pair set from scratch. The artifact is keyed by the
-    * documents file's identity (path, length, mtime), so a regenerated
-    * corpus re-mines and a warm one reads parquet; an interrupted write
-    * leaves no _SUCCESS and re-mines. q108 still runs the miner itself
-    * (its own oracle row benchmarks the mining cost every round). */
+    * identical pair set from scratch. The artifact key folds in (a)
+    * every LEAF data file's (name, length, mtime) — a directory's own
+    * status has length 0 and its mtime can survive an in-place file
+    * rewrite, so the root status alone is not an identity — and (b)
+    * [[clusterPairsTag]], the miner version + parameters. The write
+    * goes to a UNIQUE temp dir and publishes via atomic rename, so a
+    * concurrent reader never observes a partial artifact at the
+    * published path and racing writers resolve to one winner; an
+    * interrupted write leaves an unpublished temp dir, never a torn
+    * published one. q108 still runs the miner itself (its own oracle
+    * row benchmarks the mining cost every round). */
   private[graft] def stagedClusterPairs(s: SparkSession, dir: String): DataFrame = {
-    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    import org.apache.hadoop.fs.Path
+    val src = new Path(s"$dir/documents.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
+    val rootSt = fs.getFileStatus(src)
+    val leafIds: Seq[String] =
+      if (rootSt.isDirectory)
+        fs.listStatus(src).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+          .map(st => s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+      else Seq(s"${rootSt.getLen}|${rootSt.getModificationTime}")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.toUri}|${st.getLen}|${st.getModificationTime}"
+      .digest((s"${src.toUri}|$clusterPairsTag|" + leafIds.mkString(";"))
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stage/pairs_$key"
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")))
+    val outP = new Path(out)
+    val success = new Path(s"$out/_SUCCESS")
+    if (!fs.exists(success)) {
+      val tmp = new Path(s"$out.write-${java.util.UUID.randomUUID().toString.take(8)}")
       clusterPairs(Tables.documents(s, dir))
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(success)) fs.delete(tmp, true)   // a racing writer won
+      else {
+        if (fs.exists(outP)) fs.delete(outP, true)   // torn pre-rename leftover
+        if (!fs.rename(tmp, outP)) fs.delete(tmp, true)
+      }
+    }
     s.read.parquet(out)
   }
 

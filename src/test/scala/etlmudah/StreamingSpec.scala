@@ -8,6 +8,30 @@ import java.nio.file.Files
 
 class StreamingSpec extends SparkSpec {
 
+  /** Await termination AND full deregistration: awaitTermination can
+    * return before the stream thread's finally-block releases the
+    * checkpoint-path registration, so an immediate restart on the SAME
+    * checkpoint races a spurious "multiple streaming queries are
+    * concurrently using <path>" — drain the active list first. */
+  private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination(120000)
+    q.stop()
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.streams.active.nonEmpty &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+  }
+
+  /** Simulate a crash between a batch's side effects and its checkpoint
+    * commit: drop the commit record (and its checksum sibling — a stale
+    * .crc makes the re-written commit's atomic rename fail and Spark
+    * misreports it as a concurrent query) so a restart re-delivers. */
+  private def dropCommit(cp: String, batchId: Int): Unit = {
+    Files.delete(java.nio.file.Paths.get(s"$cp/commits/$batchId"))
+    val crc = java.nio.file.Paths.get(s"$cp/commits/.$batchId.crc")
+    if (java.nio.file.Files.exists(crc)) Files.delete(crc)
+  }
+
   /** File-stream sources need a directory; stage the events file into one. */
   private def stageEvents(tag: String): String = {
     val dir = Files.createTempDirectory(tag).toString + "/events"
@@ -26,7 +50,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", s"$out/cp")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    awaitDrained(q)
 
     val streamed = spark.table("hourly")
       .orderBy("hour_us", "event_type").collect()
@@ -50,7 +74,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", s"$out/cp")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    awaitDrained(q)
 
     val streamed = spark.table("sessions")
       .orderBy("user_id", "session_start_us").collect()
@@ -81,7 +105,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", s"$out/cp")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    awaitDrained(q)
 
     val n = spark.table("dedup").count()
     val distinct = events.select("event_id").distinct().count()
@@ -97,7 +121,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", s"$out/cp")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    awaitDrained(q)
 
     val streamed = spark.table("profiles")
       .groupBy("userId")   // keep the LAST update per user
@@ -113,6 +137,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("userProfiles stateTtl: idle keys are evicted and restart from zero") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("stream_ttl").toString
+    val src = s"$out/src"
+    // four files -> four micro-batches (maxFilesPerTrigger through a
+    // documents-style flat staging; modTime spacing keeps the order)
+    def stageFile(rows: Seq[(Long, Long, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_ttl").toString
+      rows.toDF("event_id", "user_id", "us")
+        .select(col("event_id"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(src).mkdirs()
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+      Thread.sleep(100)
+    }
+    val t0 = 1700000000000000L   // epoch micros
+    val hourUs = 3600L * 1000000L
+    // batch 1: user 1 twice, user 2 once
+    stageFile(Seq((1L, 1L, t0), (2L, 1L, t0 + 1000L), (3L, 2L, t0)), "f1.parquet")
+    // batch 2: only user 2, 10 h later -> watermark (10 h - 30 min
+    // lateness) passes user 1's timeout (t0 + 1 h) after this batch
+    stageFile(Seq((4L, 2L, t0 + 10L * hourUs)), "f2.parquet")
+    // batch 3: only user 2 again — user 1 has no data, so its timed-out
+    // group fires here and the state is removed
+    stageFile(Seq((5L, 2L, t0 + 11L * hourUs)), "f3.parquet")
+    // batch 4: user 1 returns -> must restart from zero (events=1)
+    stageFile(Seq((6L, 1L, t0 + 12L * hourUs)), "f4.parquet")
+
+    val q = Streaming.userProfiles(
+        Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+        stateTtl = Some("1 hour"), lateness = "30 minutes")
+      .writeStream.format("memory").queryName("ttl_profiles")
+      .outputMode("update")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitDrained(q)
+
+    val u1 = spark.table("ttl_profiles").filter(col("userId") === 1L)
+      .select("events", "lastSeenUs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // batch 1 update (events=2), the timeout's final emission (events=2),
+    // and the post-eviction restart (events=1, NOT 3 — state was removed)
+    assert(u1.count(_ == (2L, t0 + 1000L)) == 2,
+      s"expected update + final emission for user 1, got ${u1.toSeq}")
+    assert(u1.contains((1L, t0 + 12L * hourUs)),
+      s"user 1 did not restart from zero after eviction: ${u1.toSeq}")
+    assert(!u1.exists(_._1 == 3L),
+      s"user 1 state survived the TTL: ${u1.toSeq}")
+    // user 2 was never idle past the TTL: accumulates to 3 with no reset
+    val u2 = spark.table("ttl_profiles").filter(col("userId") === 2L)
+      .select("events").collect().map(_.getLong(0))
+    assert(u2.max == 3L, s"user 2 profile lost accumulation: ${u2.toSeq}")
+  }
+
   test("clickAttribution stream-stream interval join == batch interval join") {
     val out = Files.createTempDirectory("stream_attr").toString
     val src = stageEvents("src_attr")
@@ -122,7 +206,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", s"$out/cp")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    awaitDrained(q)
 
     val streamed = spark.table("attr")
       .orderBy("purchase_id", "click_id").collect()
@@ -174,7 +258,7 @@ class StreamingSpec extends SparkSpec {
           Streaming.readDocuments(spark, src), base, fps, cp)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      awaitDrained(q)
     }
     runOnce(s"$out/cp1")
     val ids = spark.read.parquet(base).select("doc_id")
@@ -203,16 +287,20 @@ class StreamingSpec extends SparkSpec {
     torn("__old", s"$out/cp4")   // crashed before tmp moved in
   }
 
-  test("anomalySink: standing-state scores == batch anomalyZ, re-run converges") {
+  test("anomalySink: standing-state scores == batch anomalyZ, state compacts, re-run converges") {
     import etlmudah.analytics.Analytics
     val out = Files.createTempDirectory("stream_anom").toString
-    val src = stageEvents("src_anom")
+    // five files -> five micro-batches so compactEvery=2 fires twice
+    val src = s"$out/src"
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(5)
+      .write.mode("overwrite").parquet(src)
     def runOnce(cp: String): Unit = {
-      val q = Streaming.anomalySink(Streaming.readEvents(spark, src),
-          s"$out/state", s"$out/report", cp)
+      val q = Streaming.anomalySink(
+          Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+          s"$out/state", s"$out/report", cp, compactEvery = 2)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      awaitDrained(q)
     }
     runOnce(s"$out/cp1")
     val streamed = spark.read.parquet(s"$out/report")
@@ -221,30 +309,53 @@ class StreamingSpec extends SparkSpec {
       "ts", "event_type").collect()
     assert(streamed.length == batch.length && streamed.length > 0)
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
-    runOnce(s"$out/cp2")   // re-delivery: counts re-sum, report identical
+    // compaction really fired: only partitions {3, 4} remain
+    assert(spark.read.parquet(s"$out/state").select("batch_id")
+      .distinct().collect().map(_.get(0).toString.toInt).toSet == Set(3, 4))
+    // re-delivered COMPACTION batch (crash between compaction swap and
+    // checkpoint commit): report must come out identical
+    dropCommit(s"$out/cp1", 4)
+    runOnce(s"$out/cp1")
+    val redelivered = spark.read.parquet(s"$out/report")
+      .orderBy("event_type", "hour_us").collect()
+    assert(streamed.zip(redelivered).forall { case (a, b) => a == b })
+    runOnce(s"$out/cp2")   // full re-delivery: counts re-sum, report identical
     val again = spark.read.parquet(s"$out/report")
       .orderBy("event_type", "hour_us").collect()
     assert(streamed.zip(again).forall { case (a, b) => a == b })
   }
 
-  test("driftSink: report == batch driftPsi(ref, streamed), re-run converges") {
+  test("driftSink: report == batch driftPsi(ref, streamed), state compacts, re-run converges") {
     import etlmudah.analytics.Profile
     val out = Files.createTempDirectory("stream_drift").toString
-    val src = stageEvents("src_drift")
+    // five files -> five micro-batches so compactEvery=2 fires twice
+    val src = s"$out/src"
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(5)
+      .write.mode("overwrite").parquet(src)
     val all = spark.read.parquet(src)
     val ref = all.filter(col("event_id") % 2 === 0)
     def runOnce(cp: String): Unit = {
-      val q = Streaming.driftSink(Streaming.readEvents(spark, src), ref,
-          "value", 10.0, s"$out/state", s"$out/report", cp)
+      val q = Streaming.driftSink(
+          Streaming.readEvents(spark, src, maxFilesPerTrigger = 1), ref,
+          "value", 10.0, s"$out/state", s"$out/report", cp,
+          compactEvery = 2)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      awaitDrained(q)
     }
     runOnce(s"$out/cp1")
     val streamed = spark.read.parquet(s"$out/report").orderBy("bin").collect()
     val batch = Profile.driftPsi(ref, all, "value", binWidth = 10.0).collect()
     assert(streamed.length == batch.length && streamed.length > 0)
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    // compaction really fired: only partitions {3, 4} remain
+    assert(spark.read.parquet(s"$out/state").select("batch_id")
+      .distinct().collect().map(_.get(0).toString.toInt).toSet == Set(3, 4))
+    // re-delivered COMPACTION batch converges
+    dropCommit(s"$out/cp1", 4)
+    runOnce(s"$out/cp1")
+    val redelivered = spark.read.parquet(s"$out/report").orderBy("bin").collect()
+    assert(streamed.zip(redelivered).forall { case (a, b) => a == b })
     runOnce(s"$out/cp2")   // fresh checkpoint -> same batches re-delivered
     val again = spark.read.parquet(s"$out/report").orderBy("bin").collect()
     assert(streamed.zip(again).forall { case (a, b) => a == b })
@@ -253,8 +364,11 @@ class StreamingSpec extends SparkSpec {
   test("shardExportSink: contiguous shards across batches, budget bounds, re-run converges") {
     val out = Files.createTempDirectory("stream_shard").toString
     val src = s"$out/src"
-    // three files -> three micro-batches (readDocuments maxFilesPerTrigger=1)
-    spark.read.parquet(s"$sf0001/documents.parquet").repartition(3)
+    // five files -> five micro-batches (readDocuments maxFilesPerTrigger=1):
+    // enough that compactEvery=2 fires TWICE (batches 2 and 4), so the
+    // second compaction runs over an already-compacted ledger — the case
+    // where a fold in the wrong direction leaves rows uncollapsed
+    spark.read.parquet(s"$sf0001/documents.parquet").repartition(5)
       .write.mode("overwrite").parquet(src)
     def runOnce(cp: String): Unit = {
       // compactEvery=2 forces a mid-stream ledger compaction cycle
@@ -264,7 +378,7 @@ class StreamingSpec extends SparkSpec {
           compactEvery = 2)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      awaitDrained(q)
     }
     runOnce(s"$out/cp1")
     val assigned = spark.read.parquet(s"$out/shards")
@@ -277,10 +391,13 @@ class StreamingSpec extends SparkSpec {
       corpus.agg(sum("n_chars")).head().getLong(0))
     // batch count really was > 1 (the continuation path was exercised:
     // the OUTPUT keeps one partition per batch; the LEDGER does not)
-    assert(assigned.select("batch_id").distinct().count() >= 3)
-    // compaction really fired: batches below the last collapsed into a
-    // single running-total row, so the ledger holds exactly 2 rows
+    assert(assigned.select("batch_id").distinct().count() == 5)
+    // compaction really fired (twice): every row below the final
+    // compaction batch collapsed into the batch_id=3 partition and the
+    // final batch kept its own — exactly 2 rows, partitions {3, 4}
     assert(spark.read.parquet(s"$out/state").count() == 2)
+    assert(spark.read.parquet(s"$out/state").select("batch_id")
+      .collect().map(_.get(0).toString.toInt).toSet == Set(3, 4))
     // shard ids contiguous from 0; every non-last shard lands within one
     // doc of the budget (the q138 invariant over the concatenated stream)
     val per = assigned.groupBy("shard").agg(sum("n_chars").as("chars"))
@@ -291,8 +408,25 @@ class StreamingSpec extends SparkSpec {
       assert(chars <= 3000L + maxDoc && chars + maxDoc >= 3000L,
         s"shard $id: $chars")
     }
-    // fresh checkpoint -> same batches re-delivered -> identical output
     val first = assigned.select("doc_id", "shard").orderBy("doc_id").collect()
+
+    // re-delivered COMPACTION batch: a crash between the compaction
+    // swap and the checkpoint commit re-delivers batch 4 against the
+    // ALREADY-COMPACTED ledger. Its start offset must be identical
+    // (rows below it live whole in the batch_id=3 partition) and its
+    // own dynamic-overwrite row must replace, not add — deleting the
+    // commit record replays exactly that window.
+    val totalBytes = corpus.agg(sum("n_chars")).head().getLong(0)
+    dropCommit(s"$out/cp1", 4)
+    runOnce(s"$out/cp1")
+    val redelivered = spark.read.parquet(s"$out/shards")
+      .select("doc_id", "shard").orderBy("doc_id").collect()
+    assert(first.zip(redelivered).forall { case (a, b) => a == b })
+    assert(spark.read.parquet(s"$out/state")
+      .agg(sum("batch_bytes")).head().getLong(0) == totalBytes)
+    assert(spark.read.parquet(s"$out/state").count() == 2)
+
+    // fresh checkpoint -> same batches re-delivered -> identical output
     runOnce(s"$out/cp2")
     val again = spark.read.parquet(s"$out/shards")
       .select("doc_id", "shard").orderBy("doc_id").collect()
@@ -326,49 +460,82 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("batch_bytes")).head().getLong(0) == ledgerBytes + 3000L)
   }
 
-  test("upsertSink: micro-batch merge is idempotent (re-running converges)") {
+  test("upsertSink: idempotent, rewrites only touched buckets, recovers torn bucket swaps") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"
     val src = stageEvents("src_upsert")
-    def runOnce(cp: String): Unit = {
+    val nBuckets = 8
+    def runOnce(from: String, cp: String): Unit = {
       val q = Streaming.upsertSink(
-          Streaming.readEvents(spark, src),
-          base, cp)
+          Streaming.readEvents(spark, from),
+          base, cp, numBuckets = nBuckets)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      awaitDrained(q)
     }
-    runOnce(s"$out/cp1")
+    runOnce(src, s"$out/cp1")
     val first = spark.read.parquet(base)
       .select("event_id", "value").orderBy("event_id").collect()
-    runOnce(s"$out/cp2")   // fresh checkpoint -> same batch re-delivered
+    runOnce(src, s"$out/cp2")   // fresh checkpoint -> same batch re-delivered
     val second = spark.read.parquet(base)
       .select("event_id", "value").orderBy("event_id").collect()
     assert(first.length > 0)
     assert(first.zip(second).forall { case (a, b) => a == b })
 
-    // crash-torn swap states: the base table is absent only between the
-    // two swapIn renames — simulate both torn layouts and prove the next
-    // batch RECOVERS the base rather than rebuilding from its own rows
-    // alone. The recovery source streams only a subset, so the rows it
-    // lacks can only come from the recovered base.
+    // a later batch touching only a FEW keys must leave every other
+    // bucket's files byte-identical (the O(|batch| x fanout), not
+    // O(|base|), write guarantee) while still merging correctly
     val subSrc = s"$out/sub_src"
-    spark.read.parquet(src).filter(col("event_id") % 5 === 0)
+    spark.read.parquet(src).filter(col("event_id") <= 3)
       .write.mode("overwrite").parquet(subSrc)
-    def torn(suffix: String, cp: String): Unit = {
-      Files.move(java.nio.file.Paths.get(base),
-        java.nio.file.Paths.get(base + suffix))
-      val q = Streaming.upsertSink(
-          Streaming.readEvents(spark, subSrc), base, cp)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(120000)
+    val touched = spark.read.parquet(subSrc)
+      .select(pmod(xxhash64(col("event_id")), lit(nBuckets.toLong))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouched = (0 until nBuckets).toSet -- touched
+    assert(touched.nonEmpty && untouched.nonEmpty)
+    def bucketFiles(b: Int): Set[(String, Long, Long)] =
+      new java.io.File(s"$base/bucket=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val beforeUntouched = untouched.map(b => b -> bucketFiles(b)).toMap
+    runOnce(subSrc, s"$out/cp3")
+    untouched.foreach { b =>
+      assert(bucketFiles(b) == beforeUntouched(b),
+        s"untouched bucket $b was rewritten")
+    }
+    val afterSub = spark.read.parquet(base)
+      .select("event_id", "value").orderBy("event_id").collect()
+    assert(first.zip(afterSub).forall { case (a, b) => a == b })
+
+    // crash-torn bucket swaps: a bucket's live dir is absent only
+    // between its two renames. Simulate both torn layouts on a touched
+    // bucket and prove the next batch RECOVERS it — the recovery source
+    // streams only a subset, so the rows it lacks can only come from
+    // the recovered bucket.
+    val k = touched.head
+    def torn(withTmp: Boolean, cp: String): Unit = {
+      new java.io.File(s"${base}__old").mkdirs()
+      Files.move(java.nio.file.Paths.get(s"$base/bucket=$k"),
+        java.nio.file.Paths.get(s"${base}__old/bucket=$k"))
+      if (withTmp) {
+        // crash after the aside-rename with __tmp fully written: the
+        // recovery must take the __tmp copy (the newest complete state)
+        new java.io.File(s"${base}__tmp").mkdirs()
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(s"${base}__old/bucket=$k"),
+          new java.io.File(s"${base}__tmp/bucket=$k"))
+      }
+      runOnce(subSrc, cp)
       val rec = spark.read.parquet(base)
         .select("event_id", "value").orderBy("event_id").collect()
-      assert(rec.length == first.length, suffix)
-      assert(first.zip(rec).forall { case (a, b) => a == b }, suffix)
+      assert(rec.length == first.length, s"withTmp=$withTmp")
+      assert(first.zip(rec).forall { case (a, b) => a == b },
+        s"withTmp=$withTmp")
+      assert(!new java.io.File(s"${base}__old").exists())
+      assert(!new java.io.File(s"${base}__tmp").exists())
     }
-    torn("__tmp", s"$out/cp3")   // crashed after base moved aside
-    torn("__old", s"$out/cp4")   // crashed before tmp moved in
+    torn(withTmp = false, s"$out/cp4")  // crashed before __tmp renamed in
+    torn(withTmp = true, s"$out/cp5")   // crashed with __tmp complete
   }
 }

@@ -1,7 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+import etlmudah.streaming.Streaming
 
 /** Dev-only drive harness: exercises library operators end-to-end on the
   * testdata. Run with `sbt "Test/runMain graft.ManualDrive"`.
@@ -19,15 +23,67 @@ object ManualDrive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q152_near_dup_pairs_portable", "q130_minhash_portable")) {
-      println(s"== $name")
-      val q = SparkEntry.queries(name)(spark, dir)
-      q.show(8)
-      q.coalesce(1).write.mode("overwrite").parquet(s"/tmp/drive_$name")
-      SparkEntry.oracleSql.get(name).foreach(sql =>
-        Files.writeString(Paths.get(s"/tmp/drive_$name.sql"), sql))
-    }
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("drive_r7").toString
+
+    // 1. bucketed upsertSink: two micro-batch runs; second touches few keys
+    println("== upsertSink (bucketed)")
+    val src = s"$out/events"
+    spark.read.parquet(s"$sf/events.parquet").repartition(2)
+      .write.mode("overwrite").parquet(src)
+    val base = s"$out/base"
+    val q1 = Streaming.upsertSink(
+        Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+        base, s"$out/cp_up", numBuckets = 8)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    val baseDf = spark.read.parquet(base)
+    println(s"base rows=${baseDf.count()} distinct=${baseDf.select("event_id").distinct().count()}")
+    println("bucket dirs: " + new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).sorted.mkString(","))
+    baseDf.orderBy("event_id").show(3)
+
+    // 2. userProfiles with TTL — batch-accumulation drive (no timeout fires
+    // on a single batch; eviction is covered in StreamingSpec)
+    println("== userProfiles(stateTtl=7 days)")
+    val q2 = Streaming.userProfiles(
+        Streaming.readEvents(spark, src),
+        stateTtl = Some("7 days"), lateness = "1 hour")
+      .writeStream.format("memory").queryName("drive_profiles")
+      .outputMode("update")
+      .option("checkpointLocation", s"$out/cp_prof")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    spark.table("drive_profiles").orderBy("userId").show(5)
+
+    // 3. anomalySink with compaction every 1 batch (forces the swap path)
+    println("== anomalySink (compactEvery=1)")
+    val q3 = Streaming.anomalySink(
+        Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+        s"$out/anom_state", s"$out/anom_report", s"$out/cp_anom",
+        compactEvery = 1)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    println("state partitions: " + new java.io.File(s"$out/anom_state").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.mkString(","))
+    spark.read.parquet(s"$out/anom_report").orderBy("event_type", "hour_us").show(3)
+
+    // 4. stagedClusterPairs: cold mine then warm re-read (same key)
+    println("== stagedClusterPairs cold+warm")
+    val t0 = System.nanoTime()
+    val p1 = SparkEntry.stagedClusterPairs(spark, sf).count()
+    val t1 = System.nanoTime()
+    val p2 = SparkEntry.stagedClusterPairs(spark, sf).count()
+    val t2 = System.nanoTime()
+    println(f"pairs=$p1 cold=${(t1 - t0) / 1e9}%.2fs warm=${(t2 - t1) / 1e9}%.2fs (p2=$p2)")
+
+    // 5. lshTopKAll with probe pushdown (the no-longer-checkpointed path)
+    println("== lshTopKAll probeFilter")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    etlmudah.scale.Similarity.lshTopKAll(emb, "vec_id", "embedding",
+        k = 3, probeFilter = Some(col("id") < 5))
+      .show(10)
+
     spark.stop()
   }
 }
