@@ -75,6 +75,103 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
+  /** Byte at 1-based position `pos` of a binary column, as int (0-255).
+    * Pure substring/hex arithmetic — codegen'd, no UDF. */
+  private def byteAt(media: Column, pos: Column): Column =
+    conv(hex(substring(media, pos.cast("int"), lit(1))), 16, 10).cast("int")
+
+  /** Big-endian uint16 / uint32 and little-endian uint16 at 1-based pos. */
+  private def be16(media: Column, pos: Column): Column =
+    byteAt(media, pos) * 256 + byteAt(media, pos + 1)
+  private def be32(media: Column, pos: Column): Column =
+    ((byteAt(media, pos) * 256 + byteAt(media, pos + 1)) * 256 +
+      byteAt(media, pos + 2)) * 256 + byteAt(media, pos + 3)
+  private def le16(media: Column, pos: Column): Column =
+    byteAt(media, pos) + byteAt(media, pos + 1) * 256
+
+  /** REAL media metadata decode — pure byte arithmetic over the binary
+    * column, no image library: container format + pixel dimensions for
+    * the three dominant web formats. This shrinks the stubbed surface
+    * to the feature-vector step only; the header parse is the real
+    * thing.
+    *
+    *  - PNG  (spec: 8-byte signature, IHDR first chunk): width/height
+    *    are the big-endian uint32s at byte offsets 17/21 (1-based).
+    *  - GIF  (GIF87a/GIF89a): logical-screen width/height are
+    *    little-endian uint16s at offsets 7/9.
+    *  - JPEG (ISO 10918 marker stream): dimensions live in the first
+    *    SOFn segment, so the marker stream is WALKED — a bounded
+    *    `aggregate` over `maxSegments` steps carries (offset, w, h)
+    *    through the segment chain (each non-SOF segment advances by
+    *    its 2-byte big-endian length + 2). The walk is a single
+    *    codegen'd expression: no UDF, no mapPartitions, scales as a
+    *    per-row projection.
+    *
+    * Returns struct(format, width, height); unknown containers yield
+    * ("unknown", null, null). Truncated/corrupt headers yield nulls
+    * rather than throwing (substring past end returns empty -> conv
+    * yields null). */
+  def mediaMeta(media: Column, maxSegments: Int = 32): Column = {
+    val isPng = hex(substring(media, 1, 8)) === "89504E470D0A1A0A"
+    val isGif = hex(substring(media, 1, 3)) === "474946"
+    val isJpeg = hex(substring(media, 1, 2)) === "FFD8"
+    // JPEG SOFn markers: C0-C3, C5-C7, C9-CB, CD-CF (C4=DHT, C8=JPG,
+    // CC=DAC are not frame headers)
+    val sofMarkers = Seq(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF).map(lit(_))
+    val jpegScan = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      struct(lit(3).as("off"), lit(null).cast("int").as("w"),
+        lit(null).cast("int").as("h")),
+      (st, _) => {
+        val off = st.getField("off")
+        val marker = byteAt(media, off + 1)
+        val done = st.getField("w").isNotNull || byteAt(media, off) =!= 0xFF ||
+          marker.isNull
+        when(done, st)
+          .when(marker.isin(sofMarkers: _*),
+            struct(off.as("off"),
+              be16(media, off + 7).as("w"), be16(media, off + 5).as("h")))
+          .otherwise(struct((off + be16(media, off + 2) + 2).as("off"),
+            lit(null).cast("int").as("w"), lit(null).cast("int").as("h")))
+      })
+    when(isPng, struct(lit("png").as("format"),
+        be32(media, lit(17)).as("width"), be32(media, lit(21)).as("height")))
+      .when(isGif, struct(lit("gif").as("format"),
+        le16(media, lit(7)).as("width"), le16(media, lit(9)).as("height")))
+      .when(isJpeg, struct(lit("jpeg").as("format"),
+        jpegScan.getField("w").as("width"), jpegScan.getField("h").as("height")))
+      .otherwise(struct(lit("unknown").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
+  }
+
+  /** Synthesize a VALID media header (PNG / GIF / JPEG) for the given
+    * dimensions — the encode half of the [[mediaMeta]] round trip, and
+    * the fixture generator for tables without real blobs. All byte
+    * assembly is unhex over hex strings (chr() would UTF-8-mangle
+    * bytes >= 0x80). The JPEG variant carries a filler APP0 segment
+    * before SOF0 so the decoder's marker WALK is exercised, not just
+    * the fixed-offset reads. */
+  def fakeMediaHeader(format: Column, width: Column, height: Column): Column = {
+    def beHex16(v: Column): Column = lpad(hex(v), 4, "0")
+    def beHex32(v: Column): Column = lpad(hex(v), 8, "0")
+    def leHex16(v: Column): Column = concat(
+      substring(lpad(hex(v), 4, "0"), 3, 2),
+      substring(lpad(hex(v), 4, "0"), 1, 2))
+    val png = concat(lit("89504E470D0A1A0A"), lit("0000000D49484452"),
+      beHex32(width), beHex32(height), lit("0806000000"))
+    val gif = concat(lit("474946383961"), leHex16(width), leHex16(height),
+      lit("F70000"))
+    val jpeg = concat(lit("FFD8"),
+      lit("FFE00010"), lit("00" * 14),             // APP0, 16-byte segment
+      lit("FFC0001108"), beHex16(height), beHex16(width),
+      lit("03" + "00" * 10))                        // SOF0 tail
+    unhex(when(format === "png", png)
+      .when(format === "gif", gif)
+      .when(format === "jpeg", jpeg)
+      .otherwise(lit("00")))
+  }
+
   /** Frame sampling for video-like blobs: n equal-spaced byte windows as
     * an array<binary>; empty media yields an empty array, never a crash. */
   def frameSample(media: Column, frames: Int, frameBytes: Int = 16): Column = {

@@ -615,6 +615,16 @@ object Dedup {
     * tasks at the cost of a bounded label-table replication. Output is
     * identical either way (equi-join semantics; spec-pinned on a forced
     * hot-star graph). */
+  /** The CC round-layout decision, factored pure so the scale
+    * rehearsal can assert it ENGAGES on a given graph's real stats:
+    * returns (local single-partition rounds?, salted joins?). */
+  private[scale] def ccLayout(edgeCount: Long, maxDegree: Long,
+                              localEdgeThreshold: Long,
+                              hotDegreeThreshold: Long): (Boolean, Boolean) = {
+    val local = edgeCount <= localEdgeThreshold
+    (local, !local && maxDegree > hotDegreeThreshold)
+  }
+
   def dupClusters(pairs: DataFrame, aCol: String = "id_a",
                   bCol: String = "id_b", maxIter: Int = 25,
                   localEdgeThreshold: Long = 5000000L,
@@ -633,16 +643,19 @@ object Dedup {
       .localCheckpoint(true)
     // auto-select the round layout from the materialized edge count
     // (count on a checkpointed frame is a cheap metadata-ish pass)
-    val local = rawEdges.count() <= localEdgeThreshold
+    val edgeCount = rawEdges.count()
+    val local = edgeCount <= localEdgeThreshold
     def pin(df: DataFrame): DataFrame =
       (if (local) df.coalesce(1) else df).localCheckpoint(true)
     val edges = if (local) pin(rawEdges) else rawEdges
     // hot-key probe: max degree over the materialized edge set (one
     // map-side-combined aggregate; skipped on the local layout where a
     // single partition is the plan anyway)
-    val salted = !local && edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("__d")).agg(max(col("__d"))).head().getLong(0) >
-      hotDegreeThreshold
+    val maxDegree = if (local) 0L
+      else edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("__d")).agg(max(col("__d"))).head().getLong(0)
+    val (_, salted) =
+      ccLayout(edgeCount, maxDegree, localEdgeThreshold, hotDegreeThreshold)
     def joinLabels(bigSide: DataFrame, labelSide: DataFrame, key: String,
                    joinType: String): DataFrame =
       if (salted)

@@ -356,6 +356,81 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** PORTABLE hyperplane LSH near-neighbor pairs — the q152 move
+    * (externally-auditable sketch parameters) applied to embedding LSH:
+    * every step is integer-exact and re-derivable by any engine with
+    * md5, so DuckDB replicates buckets, candidate set, and refine
+    * bit-for-bit. That gives the hyperplane-LSH tier an ORACLE ROW
+    * where the production tier ([[lshTopKAll]]) is spec-only:
+    *
+    *  - hyperplane weights are INTEGERS from the md5 family:
+    *    w(t,j,d) = (uint32 of md5("t:j:d") hex prefix) % 2001 - 1000,
+    *    computed driver-side here and by `'0x'||substr(md5(...),1,8)`
+    *    casts in SQL — same 8 hex chars, same lattice point;
+    *  - coordinates quantize by floor(x * 1e6) — float->double cast and
+    *    the multiply are IEEE-exact and identical cross-engine, floor
+    *    has no rounding-mode ambiguity (round() half-up vs half-even
+    *    would not);
+    *  - projections are BIGINT sums of w * xq — exact and associative,
+    *    so no float-sum ordering can flip a sign bit near zero (THE
+    *    hazard that makes naive float hyperplane LSH non-portable);
+    *  - bucket key per table = sum of 2^j over positive projections;
+    *    candidates = same-(table, bucket) id pairs, distinct;
+    *  - refine = exact cosine on the ORIGINAL vectors rounded to 6dp
+    *    (the q136-proven portable construct), thresholded.
+    *
+    * Same scale shape as [[lshTopKAll]]: bucket equi-join, id-only
+    * candidates, candidate-bounded refine — never n². The integer
+    * lattice changes the hyperplane DISTRIBUTION (uniform cube, not
+    * Gaussian), which only shifts banded recall slightly; recall keeps
+    * its floor in SimilaritySpec. */
+  def lshPortablePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                       tables: Int = 4, bits: Int = 8, dims: Int = 64,
+                       minCosine: Double = 0.3): DataFrame = {
+    // the SAME integers the SQL twin derives with
+    // CAST('0x' || substr(md5(t||':'||j||':'||d), 1, 8) AS UBIGINT) % 2001 - 1000
+    // (d is 1-based to match generate_subscripts)
+    val w: Array[Array[Array[Long]]] = Array.tabulate(tables, bits, dims) {
+      (t, j, d0) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$t:$j:${d0 + 1}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val ex = vecs
+      .select(col("id"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("xq"))
+    val projAggs = for (t <- 0 until tables; j <- 0 until bits) yield
+      sum(element_at(typedLit(w(t)(j)), col("dim") + 1) * col("xq"))
+        .as(s"p_${t}_$j")
+    val proj = ex.groupBy(col("id")).agg(projAggs.head, projAggs.tail: _*)
+    val keyCols = (0 until tables).map { t =>
+      (0 until bits).map(j =>
+        when(col(s"p_${t}_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"k$t")
+    }
+    val buckets = proj.select(col("id") +: keyCols: _*)
+      .select(col("id"),
+        posexplode(array((0 until tables).map(t => col(s"k$t")): _*))
+          .as(Seq("tbl", "bkt")))
+    val cand = buckets.select(col("tbl"), col("bkt"), col("id").as("id_a"))
+      .join(buckets.select(col("tbl"), col("bkt"), col("id").as("id_b")),
+        Seq("tbl", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("__va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineFast(col("__va"), col("__vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** ANN top-k for ALL vectors at once (the scale path): bucket-join
     * candidates from L tables, refine with exact cosine, rank per query.
     * Output: (query_id, neighbor_id, cos_sim, rank<=k). */

@@ -926,6 +926,36 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // media metadata decode ROUND TRIP: a valid PNG/GIF/JPEG header is
+    // synthesized per doc (dimensions derived from doc_id), then parsed
+    // back by the real byte-arithmetic decoder (Multimodal.mediaMeta —
+    // PNG/GIF fixed offsets, JPEG bounded marker walk). The oracle
+    // computes the expected dimensions directly, so a green row proves
+    // encode -> parse recovers format/width/height exactly, including
+    // the JPEG segment walk past the filler APP0.
+    "q155_media_meta_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fmt = element_at(array(lit("png"), lit("gif"), lit("jpeg")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val w = (col("doc_id") % 512 + 16).cast("int")
+      val h = ((col("doc_id") * 7) % 512 + 16).cast("int")
+      docs.select(col("doc_id"),
+          Multimodal.mediaMeta(Multimodal.fakeMediaHeader(fmt, w, h)).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").cast("bigint").as("width"),
+          col("m.height").cast("bigint").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PORTABLE hyperplane LSH (the q152 move applied to embedding ANN):
+    // integer md5-lattice hyperplanes + floor-quantized coordinates make
+    // buckets, candidate set, and the 6dp exact-cosine refine
+    // re-derivable in DuckDB bit-for-bit — the hyperplane-LSH tier's
+    // oracle row (q28/q38 remain the production spec-verified tiers)
+    "q156_lsh_pairs_portable" -> ((s, dir) =>
+      Similarity.lshPortablePairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding")),
+
     // set op INTERSECT (SURVEY §2.5): customers present in BOTH the
     // urgent-order and the high-order cohort. Spark's intersect plans
     // as a distinct + left-semi — SQL INTERSECT semantics exactly
@@ -2421,6 +2451,55 @@ object SparkEntry {
         |   - coalesce(a.n_kept, 0))::BIGINT AS n_removed
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // media metadata round trip: the oracle computes the dimensions the
+    // Spark side ENCODED into real PNG/GIF/JPEG headers and then parsed
+    // back with byte arithmetic — equality proves the parse is exact
+    "q155_media_meta_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    ELSE 'jpeg' END AS format,
+        |  (doc_id % 512 + 16)::BIGINT AS width,
+        |  ((doc_id * 7) % 512 + 16)::BIGINT AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // portable hyperplane LSH: the weight lattice, quantized projection
+    // sums, band buckets, and candidate pairs re-derive from md5 +
+    // integer arithmetic; the refine is the q136 portable cosine. Every
+    // intermediate is integer-exact, so the candidate set (and thus the
+    // row set) matches Spark's bit-for-bit
+    "q156_lsh_pairs_portable" ->
+      """WITH xq AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS xq
+        |  FROM embeddings),
+        |wt AS (
+        |  SELECT t.t, j.j, d.d,
+        |    CAST(CAST(('0x' || substr(md5(t.t || ':' || j.j || ':' || d.d),
+        |      1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM range(0, 4) t(t), range(0, 8) j(j), range(1, 65) d(d)),
+        |proj AS (
+        |  SELECT x.vec_id, w.t, w.j, sum(w.w * x.xq) AS p
+        |  FROM xq x JOIN wt w ON x.dim = w.d
+        |  GROUP BY 1, 2, 3),
+        |bkt AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN p > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS bkt
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bkt = b.bkt
+        |   AND a.vec_id < b.vec_id)
+        |SELECT c.id_a, c.id_b,
+        |  round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |    eb.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.id_a
+        |JOIN embeddings eb ON eb.vec_id = c.id_b
+        |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |  eb.embedding::DOUBLE[]), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // round-trip through the JDBC wire must reproduce the source table's
     // aggregate exactly (doubles survive bit-for-bit; decimal sum fixes

@@ -537,4 +537,62 @@ class DedupSpec extends SparkSpec {
         r.getDouble(3)))
     assert(got.toSeq == Seq((1L, 2L, 1.0, 1.0)))
   }
+
+  test("scale rehearsal: Zipf corpus at sf0.1 volume — hot branch engages, bounded wall time") {
+    import spark.implicits._
+    // 5000 docs (sf0.1's document count); 30% open with the same
+    // boilerplate phrase -> ONE shingle with df=1500, far above the
+    // test cutoff, so the broadcast-head branch must carry it. The
+    // rest of each doc is unique filler, so candidate volume stays
+    // truthful to a Zipf head: huge df, no true pairs from it.
+    val boiler = "terms of service"
+    val rows = (1L to 5000L).map { i =>
+      val head = if (i % 10 < 3) s"$boiler " else ""
+      (i, head + (0 until 12).map(t => s"u${i}x$t").mkString(" "))
+    } :+ ((5001L, boiler + " " + (0 until 12).map(t => s"u42x$t").mkString(" ")))
+    // 5001 is a near-dup of 42 (same filler, extra boilerplate head)
+    val df = rows.toDF("doc_id", "text").repartition(8)
+    val t0 = System.nanoTime()
+    val pairs = Dedup.prefixJaccardPairs(df, "text", "doc_id",
+      minJaccard = 0.5, hotDfCutoff = 500L)
+    // plan shape: no shingle-partitioned window anywhere; the hot df
+    // side arrives by broadcast
+    val windows = pairs.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.forall(!_.toString.contains("shingle"))))
+    assert(pairs.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.toSeq == Seq((42L, 5001L)), got.toSeq.take(5).toString)
+    // generous completion bound: the point is "finishes sanely at this
+    // volume with the skew guard engaged", not a benchmark
+    assert(secs < 180.0, f"prefix tier took $secs%.1f s")
+  }
+
+  test("scale rehearsal: CC star head — salted layout engages and labels correctly") {
+    import spark.implicits._
+    // one star head (node 0 in every edge) plus disjoint 2-chains: the
+    // max-degree probe must flip the salted layout on under a forced
+    // distributed threshold, and labels must still be exact
+    val star = (1L to 2000L).map(i => (0L, i))
+    val chains = (3000L until 3400L by 2).map(i => (i, i + 1))
+    val edges = (star ++ chains).toDF("id_a", "id_b").repartition(8)
+    // decision logic engages on this graph's real stats
+    val maxDeg = 2000L
+    assert(Dedup.ccLayout(edges.count(), maxDeg,
+      localEdgeThreshold = 100L, hotDegreeThreshold = 500L) == ((false, true)))
+    val t0 = System.nanoTime()
+    val clusters = Dedup.dupClusters(edges,
+        localEdgeThreshold = 100L, hotDegreeThreshold = 500L,
+        skewSaltFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val byId = clusters.map(c => c._1 -> c._2).toMap
+    assert((0L to 2000L).forall(byId(_) == 0L))          // the star
+    assert(byId(3000L) == 3000L && byId(3001L) == 3000L) // a chain
+    assert(clusters.filter(_._2 == 0L).head._3 == 2001L) // star size
+    assert(secs < 180.0, f"salted CC took $secs%.1f s")
+  }
 }

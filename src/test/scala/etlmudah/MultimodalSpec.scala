@@ -40,6 +40,59 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(f => f.length == 8 && f.forall(v => v >= 0f && v < 1f)))
   }
 
+  test("mediaMeta: hand-crafted PNG/GIF/JPEG headers decode; corrupt stays null-safe") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val fixtures = Seq(
+      // PNG 640x480: signature + IHDR length/type + BE32 dims
+      ("png640", hx("89504E470D0A1A0A" + "0000000D49484452" +
+        "00000280" + "000001E0" + "0806000000")),
+      // GIF87a 320x200: LE16 dims
+      ("gif320", hx("474946383761" + "4001" + "C800" + "F70000")),
+      // JPEG 320x240 with TWO filler segments (APP0 + APP1) before SOF0:
+      // the marker walk must hop both before reading the dimensions
+      ("jpeg320", hx("FFD8" + "FFE00010" + "00" * 14 +
+        "FFE1000A" + "00" * 8 + "FFC0001108" + "00F0" + "0140" +
+        "03" + "00" * 10)),
+      // progressive JPEG (SOF2) 17x19, SOF directly after SOI
+      ("jpeg_sof2", hx("FFD8" + "FFC2001108" + "0013" + "0011" +
+        "03" + "00" * 10)),
+      ("not_media", "just text bytes".getBytes("UTF-8").toSeq.toArray),
+      // PNG signature but truncated before the dimension bytes
+      ("png_trunc", hx("89504E470D0A1A0A" + "0000"))
+    )
+    val out = fixtures.toDF("id", "media")
+      .select(col("id"), Multimodal.mediaMeta(col("media")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("png640") == (("png", Some(640), Some(480))))
+    assert(out("gif320") == (("gif", Some(320), Some(200))))
+    assert(out("jpeg320") == (("jpeg", Some(320), Some(240))))
+    assert(out("jpeg_sof2") == (("jpeg", Some(17), Some(19))))
+    assert(out("not_media")._1 == "unknown" && out("not_media")._2.isEmpty)
+    assert(out("png_trunc")._1 == "png" && out("png_trunc")._2.isEmpty)
+  }
+
+  test("fakeMediaHeader -> mediaMeta round trip across formats and dims") {
+    import spark.implicits._
+    val dims = for (f <- Seq("png", "gif", "jpeg"); d <- Seq(16, 527, 65535))
+      yield (f, d, 65551 - d)
+    val out = dims.toDF("fmt", "w", "h")
+      .select(col("fmt"), col("w"), col("h"),
+        Multimodal.mediaMeta(
+          Multimodal.fakeMediaHeader(col("fmt"), col("w"), col("h"))).as("m"))
+      .collect()
+    out.foreach { r =>
+      val (fmt, w, h) = (r.getString(0), r.getInt(1), r.getInt(2))
+      val m = r.getStruct(3)
+      assert(m.getString(0) == fmt, s"$fmt $w x $h -> ${m.getString(0)}")
+      assert(m.getInt(1) == w && m.getInt(2) == h,
+        s"$fmt $w x $h -> ${m.getInt(1)} x ${m.getInt(2)}")
+    }
+  }
+
   test("frameSample: n frames of fixed size; tiny media yields empty") {
     import spark.implicits._
     val df = Seq(("long", "x" * 100), ("tiny", "ab")).toDF("id", "text")

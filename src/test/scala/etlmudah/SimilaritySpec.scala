@@ -227,4 +227,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  test("lshPortablePairs: subset of exact pairs with identical scores; identical vectors always pair") {
+    val emb = etlmudah.Tables.embeddings(spark, sf0001)
+    val portable = Similarity.lshPortablePairs(emb, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // every emitted pair must appear in the all-pairs exact tier with
+    // the SAME 6dp score (the refine is exact; only recall is banded)
+    val exact = Similarity.exactEmbeddingPairs(emb, "vec_id", "embedding",
+        minCosine = 0.3, probeMaxId = Long.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(portable.nonEmpty)
+    assert(portable.forall { case (k, v) => exact.get(k).contains(v) })
+    // identical vectors agree on every sign bit -> same bucket in every
+    // table -> candidacy is CERTAIN, not probabilistic
+    import spark.implicits._
+    val v = (0 until 64).map(_.toFloat / 64f).toArray
+    val w = (0 until 64).map(i => ((i * 37 % 64) - 32).toFloat / 64f).toArray
+    val planted = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val got = Similarity.lshPortablePairs(planted, "vec_id", "embedding",
+        minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
 }

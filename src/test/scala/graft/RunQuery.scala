@@ -31,6 +31,9 @@ object RunQuery {
     df.show(50, truncate = false)
     println(s"rows = ${df.count()}")
     df.explain("formatted")
+    // optional third arg: dump the result for an external oracle compare
+    if (args.length > 2)
+      df.coalesce(1).write.mode("overwrite").parquet(args(2))
     spark.stop()
   }
 }
