@@ -521,44 +521,9 @@ object Dedup {
   def minhashPortablePairs(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                            minJaccard: Double = 0.7): DataFrame = {
-    val rowsPerBand = k / bands
-    require(bands * rowsPerBand == k, "k must be divisible by bands")
+    require(bands * (k / bands) == k, "k must be divisible by bands")
     val sh = shingleRows(df, textCol, idCol, shingleN).localCheckpoint(true)
-    // Four 32-bit lanes per md5 (hex chars 1-8 / 9-16 / 17-24 / 25-32):
-    // hash i uses seed i/4, lane i%4, so k min-hashes cost ceil(k/4)
-    // md5 calls — the digest is the dominant cost at k=128. The min
-    // rides the HEX SUBSTRING itself: fixed-width lowercase hex orders
-    // lexicographically exactly as its numeric value, so no base
-    // conversion runs on either engine (conv() was ~40% of the
-    // signature stage). Seeded digests are materialized as a projection
-    // BEFORE the aggregate so each is computed once per row, not once
-    // per lane. Replicated verbatim in SQL:
-    //   min(substr(md5(seed || ':' || g), 1 + 8*lane, 8))
-    val lanesPer = 4
-    val nSeeds = (k + lanesPer - 1) / lanesPer
-    val hashed = sh.select(col("id") +: (0 until nSeeds).map(j =>
-      md5(concat(lit(s"$j:"), col("shingle")).cast("binary")).as(s"h$j")): _*)
-    def lane(i: Int): Column =
-      substring(col(s"h${i / lanesPer}"), 1 + 8 * (i % lanesPer), 8)
-    val minAggs = (0 until k).map(i => min(lane(i)).as(s"m$i"))
-    // materialized: both sides of the band self-join read the signature
-    // table, and an unmaterialized plan computes the md5 projection +
-    // 128-column min aggregate TWICE (verified in the physical plan);
-    // the table is |docs| x k fixed-width lanes — vanishing vs corpus
-    val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
-      .localCheckpoint(true)
-    // single-pass banding: explode every band's bucket key (the
-    // ':'-joined min tuple — mins are FIXED-WIDTH 8-char hex, so the
-    // concatenation is injective and key equality IS tuple equality)
-    // and self-join ONCE on (band, bkey). A per-band join loop is
-    // bands separate shuffles — pure scheduling overhead at any scale
-    // (32 joins for k=128/b=32).
-    val bandKeys = (0 until bands).map { b =>
-      concat_ws(":", (0 until rowsPerBand).map(j =>
-        col(s"m${b * rowsPerBand + j}")): _*)
-    }
-    val buckets = sig
-      .select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val buckets = portableBandBuckets(portableSig(sh, k), k, bands)
     val cand = buckets.select(col("band"), col("bkey"), col("id").as("id_a"))
       .join(buckets.select(col("band"), col("bkey"), col("id").as("id_b")),
         Seq("band", "bkey"))
@@ -579,6 +544,105 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Seeded-md5 lane signature over checkpointed shingle rows
+    * (id, shingle). Four 32-bit lanes per md5 (hex chars 1-8 / 9-16 /
+    * 17-24 / 25-32): hash i uses seed i/4, lane i%4, so k min-hashes
+    * cost ceil(k/4) md5 calls — the digest is the dominant cost at
+    * k=128. The min rides the HEX SUBSTRING itself: fixed-width
+    * lowercase hex orders lexicographically exactly as its numeric
+    * value, so no base conversion runs on either engine (conv() was
+    * ~40% of the signature stage). Seeded digests are materialized as
+    * a projection BEFORE the aggregate so each is computed once per
+    * row, not once per lane. Replicated verbatim in SQL:
+    *   min(substr(md5(seed || ':' || g), 1 + 8*lane, 8))
+    * Checkpointed: in the self-join tier both sides of the band join
+    * read it, and an unmaterialized plan computes the md5 projection +
+    * k-column min aggregate TWICE (verified in the physical plan); the
+    * table is |docs| x k fixed-width lanes — vanishing vs corpus, so
+    * the cross-corpus tier (single consumer) keeps it too rather than
+    * branching. */
+  private def portableSig(sh: DataFrame, k: Int): DataFrame = {
+    val lanesPer = 4
+    val nSeeds = (k + lanesPer - 1) / lanesPer
+    val hashed = sh.select(col("id") +: (0 until nSeeds).map(j =>
+      md5(concat(lit(s"$j:"), col("shingle")).cast("binary")).as(s"h$j")): _*)
+    def lane(i: Int): Column =
+      substring(col(s"h${i / lanesPer}"), 1 + 8 * (i % lanesPer), 8)
+    val minAggs = (0 until k).map(i => min(lane(i)).as(s"m$i"))
+    hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+      .localCheckpoint(true)
+  }
+
+  /** Single-pass banding over a portable signature: explode every
+    * band's bucket key (the ':'-joined min tuple — mins are
+    * FIXED-WIDTH 8-char hex, so the concatenation is injective and key
+    * equality IS tuple equality) so the candidate join runs ONCE on
+    * (band, bkey). A per-band join loop is `bands` separate shuffles —
+    * pure scheduling overhead at any scale (32 joins for k=128/b=32). */
+  private def portableBandBuckets(sig: DataFrame, k: Int,
+                                  bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", (0 until rowsPerBand).map(j =>
+        col(s"m${b * rowsPerBand + j}")): _*)
+    }
+    sig.select(col("id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** PORTABLE cross-corpus decontamination — [[crossCorpusNearDups]]
+    * (q47's banded tier) through the q152 md5-lane family, so the
+    * ENTIRE decontamination pipeline (seeded signatures, band buckets,
+    * train x ref candidate set, exact-Jaccard refine) re-derives
+    * bit-for-bit in any md5-capable engine (DuckDB, Postgres, Trino).
+    * Candidates come from joining the two corpora's band buckets —
+    * cost is the sum over buckets of |left| x |right|, bounded by
+    * banding exactly like the self-join case, never |train| x |ref|.
+    * Recall follows the usual banded 1-(1-j^r)^b curve; what the
+    * oracle checks is that the candidate set and refine are
+    * DETERMINISTIC given the hash family — the auditability property
+    * that matters when a decontamination pass must be defensible to an
+    * external party. The 32-bit-lane vocabulary bound documented on
+    * [[minhashPortablePairs]] applies per corpus. */
+  def minhashPortableCrossPairs(train: DataFrame, ref: DataFrame,
+                                textCol: String, idCol: String,
+                                shingleN: Int = 3, k: Int = 128,
+                                bands: Int = 32,
+                                minJaccard: Double = 0.7): DataFrame = {
+    require(bands * (k / bands) == k, "k must be divisible by bands")
+    // each corpus's shingle rows feed its signature aggregate, its
+    // refine-join side, and its size aggregate — three consumers with
+    // different exchange keys, so materialize once per corpus
+    val shT = shingleRows(train, textCol, idCol, shingleN).localCheckpoint(true)
+    val shR = shingleRows(ref, textCol, idCol, shingleN).localCheckpoint(true)
+    val bT = portableBandBuckets(portableSig(shT, k), k, bands)
+    val bR = portableBandBuckets(portableSig(shR, k), k, bands)
+    val cand = bT.select(col("band"), col("bkey"), col("id").as("train_id"))
+      .join(bR.select(col("band"), col("bkey"), col("id").as("ref_id")),
+        Seq("band", "bkey"))
+      .select("train_id", "ref_id")
+      .distinct()
+    val szT = shT.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val szR = shR.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(shT.select(col("id").as("train_id"), col("shingle")),
+        Seq("train_id"))
+      .join(shR.select(col("id").as("ref_id"), col("shingle")),
+        Seq("ref_id", "shingle"))
+      .groupBy(col("train_id"), col("ref_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(szT.select(col("id").as("train_id"), col("n_sh").as("na")),
+        Seq("train_id"))
+      .join(szR.select(col("id").as("ref_id"), col("n_sh").as("nb")),
+        Seq("ref_id"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("train_id"), col("ref_id"),
+        round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("train_id"), col("ref_id"))
   }
 
   /** Duplicate-CLUSTER assignment: connected components over a near-dup

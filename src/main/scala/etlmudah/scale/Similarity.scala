@@ -431,6 +431,44 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** PORTABLE IVF coarse-quantizer assignment — the auditable anchor
+    * for the q38/q94 family. [[trainQuantizer]] is Lloyd-iterated from
+    * a seeded sample, so no external engine can re-derive its
+    * centroids; this tier replaces training with a DETERMINISTIC,
+    * engine-replicable pick — the `nlist` corpus vectors with the
+    * lexicographically smallest `md5(id)` (an unbiased pseudo-random
+    * sample any md5-capable engine reproduces) — and assigns every
+    * vector to its argmax-cosine centroid, cosine rounded to 6dp (the
+    * q136-proven portable construct) with min-cid tie-break. A green
+    * oracle row proves the ASSIGNMENT machinery (broadcast centroid
+    * scoring, argmax, tie-breaking) exact end-to-end; the production
+    * tiers keep the trained quantizer for list balance.
+    *
+    * Scale shape is exactly [[ivfTopKAll]]'s assignment stage: corpus
+    * x nlist scores against BROADCAST centroids, map-side-combined
+    * argmax riding the repartition(id) exchange — the corpus never
+    * shuffles for the argmax and never joins itself. */
+  def ivfAssignPortable(embeddings: DataFrame, idCol: String,
+                        vecCol: String, nlist: Int = 8): DataFrame = {
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    // TakeOrderedAndProject over (md5(id), id): nlist rows to the
+    // driver-side broadcast — never a global sort of the corpus
+    val centroids = vecs
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(nlist)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"),
+        round(cosineFast(col("vec"), col("cvec")), 6).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("csim")),
+        struct(col("csim"), -col("cid"))).as("best"))
+      .select(col("id").as("vec_id"), col("best.cid").as("centroid_id"),
+        col("best.csim").as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** ANN top-k for ALL vectors at once (the scale path): bucket-join
     * candidates from L tables, refine with exact cosine, rank per query.
     * Output: (query_id, neighbor_id, cos_sim, rank<=k). */

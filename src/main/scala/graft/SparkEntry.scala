@@ -956,6 +956,31 @@ object SparkEntry {
       Similarity.lshPortablePairs(Tables.embeddings(s, dir),
         "vec_id", "embedding")),
 
+    // PORTABLE decontamination (the q152 move applied to q47): the
+    // cross-corpus banded tier at q47's production parameters
+    // (k=128, b=32, j>=0.8) through the md5-lane family — the
+    // decontamination candidate set and refine gain a hash-checked
+    // oracle row, the auditability property an external party needs
+    // to re-derive a benchmark-leakage report (q47's xxhash64 tier
+    // stays the fast path)
+    "q157_decontamination_portable" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashPortableCrossPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", shingleN = 3, k = 128, bands = 32,
+        minJaccard = 0.8)
+    }),
+
+    // PORTABLE IVF coarse assignment (the q38/q94 family's auditable
+    // anchor): deterministic md5-ranked centroid pick + exact
+    // argmax-cosine assignment, re-derivable in DuckDB — the index
+    // BUILD step gains an oracle row while the Lloyd-trained
+    // production quantizer stays spec-verified
+    "q158_ivf_assign_portable" -> ((s, dir) =>
+      Similarity.ivfAssignPortable(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nlist = 8)),
+
     // set op INTERSECT (SURVEY §2.5): customers present in BOTH the
     // urgent-order and the high-order cohort. Spark's intersect plans
     // as a distinct + left-semi — SQL INTERSECT semantics exactly
@@ -1839,10 +1864,78 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Cross-corpus (even-id train vs odd-id ref) variant of
+    * [[minhashPortableSql]] — replicates
+    * `Dedup.minhashPortableCrossPairs` verbatim: same seeded-md5 lane
+    * mins, band equality BETWEEN the two corpora's signatures instead
+    * of a self-join, exact-Jaccard refine over the candidate set. */
+  private def minhashPortableCrossSql(k: Int, bands: Int,
+                                      minJ: Double): String = {
+    val rpb = k / bands
+    val mins = (0 until k).map(i =>
+      s"min(substr(md5('${i / 4}:' || g), ${1 + 8 * (i % 4)}, 8)) AS m$i")
+      .mkString(", ")
+    val bandPred = (0 until bands).map { b =>
+      (0 until rpb).map(j => s"a.m${rpb * b + j} = b.m${rpb * b + j}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH tokarr AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+       |  FROM tokarr),
+       |grams AS (
+       |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |short AS (
+       |  SELECT doc_id, array_to_string(arr, ' ') AS g
+       |  FROM tokarr WHERE len(arr) < 3),
+       |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+       |sig AS (SELECT doc_id, $mins, count(*) AS n FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS ref_id
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND ($bandPred)),
+       |inter AS (
+       |  SELECT train_id, ref_id, count(*) AS i
+       |  FROM cand JOIN sh sa ON sa.doc_id = train_id
+       |            JOIN sh sb ON sb.doc_id = ref_id AND sb.g = sa.g
+       |  GROUP BY 1, 2)
+       |SELECT train_id, ref_id,
+       | round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter JOIN sig sa ON sa.doc_id = train_id
+       |           JOIN sig sb ON sb.doc_id = ref_id
+       |WHERE i::DOUBLE / (sa.n + sb.n - i) >= $minJ
+       |ORDER BY train_id, ref_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q26_simhash_near_dups" -> simhashOracleSql,
     "q130_minhash_portable" -> minhashPortableSql(8, 4, 0.7),
     "q152_near_dup_pairs_portable" -> minhashPortableSql(128, 32, 0.8),
+    "q157_decontamination_portable" -> minhashPortableCrossSql(128, 32, 0.8),
+
+    // portable IVF assignment: centroids = 8 smallest md5(vec_id),
+    // assignment = argmax 6dp cosine, min-cid tie-break — mirrors
+    // Similarity.ivfAssignPortable verbatim
+    "q158_ivf_assign_portable" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cvec::DOUBLE[]), 6) AS cs
+        |  FROM embeddings e CROSS JOIN c),
+        |ranked AS (
+        |  SELECT vec_id, cid, cs,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cs DESC, cid ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, cid AS centroid_id, cs AS cos_sim
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // Cross-corpus exact Jaccard (decontamination, oracle tier): same
     // shingle CTEs as q63, split even/odd, two-sided inverted-index join.

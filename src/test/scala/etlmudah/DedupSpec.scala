@@ -234,6 +234,29 @@ class DedupSpec extends SparkSpec {
     assert(portable == exact)
   }
 
+  test("minhashPortableCrossPairs == fast cross tier == exact cross tier at q47's parameters") {
+    // the q157 registry query: q47's decontamination banding (k=128,
+    // b=32, j>=0.8) through the portable md5-lane family, even-id
+    // train vs odd-id ref. Same ~5e-8 banded miss bound per true pair
+    // as the self-join case, so all three tiers must agree on sf0.001.
+    val docs = Tables.documents(spark, sf0001)
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val ref = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    def setOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("train_id", "ref_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = setOf(Dedup.exactCrossJaccard(train, ref, "text", "doc_id",
+      minJaccard = 0.8))
+    val fast = setOf(Dedup.crossCorpusNearDups(train, ref, "text", "doc_id",
+      minJaccard = 0.8))
+    val portable = setOf(Dedup.minhashPortableCrossPairs(train, ref,
+      "text", "doc_id", shingleN = 3, k = 128, bands = 32,
+      minJaccard = 0.8))
+    assert(exact.nonEmpty)
+    assert(fast == exact)
+    assert(portable == exact)
+  }
+
   test("normalizationLadder: each level surfaces exactly its own dup class") {
     import spark.implicits._
     val docs = Seq(

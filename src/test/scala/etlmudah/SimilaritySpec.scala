@@ -250,4 +250,46 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
+
+  test("ivfAssignPortable: total assignment, self-assignment of centroids, argmax correctness") {
+    val emb = etlmudah.Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val assigned = Similarity.ivfAssignPortable(emb, "vec_id", "embedding",
+      nlist = 8)
+    val rows = assigned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every vector assigned exactly once, to one of exactly 8 centroids
+    assert(rows.length == n)
+    assert(rows.map(_._1).distinct.length == n)
+    val cids = rows.map(_._2).distinct.sorted
+    assert(cids.length <= 8)
+    // a centroid's own vector scores cosine 1.0 against itself, so it
+    // must self-assign (no other centroid can beat 1.0; ties break to
+    // min cid, and duplicate-vector centroids would share the score)
+    val selfRows = rows.filter(r => cids.contains(r._1))
+    assert(selfRows.forall(_._3 == 1.0))
+    // argmax verified against a driver-side replay on a slice: for the
+    // first 50 vectors, no centroid may score strictly above the
+    // emitted 6dp cosine
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val centVecs = cids.map(c => c -> vecs(c))
+    rows.filter(_._1 < 50).foreach { case (id, cid, cs) =>
+      val best = centVecs.map { case (c, cv) =>
+        (BigDecimal(cos(vecs(id), cv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, c)
+      }.max
+      assert(best._1 <= cs + 1e-9,
+        s"vec $id assigned $cid@$cs but ${best._2}@${best._1} is better")
+    }
+  }
 }

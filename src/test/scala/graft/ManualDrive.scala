@@ -84,6 +84,21 @@ object ManualDrive {
         k = 3, probeFilter = Some(col("id") < 5))
       .show(10)
 
+    // 6. portable decontamination (q157): even-id train vs odd-id ref
+    println("== minhashPortableCrossPairs (q157)")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    etlmudah.scale.Dedup.minhashPortableCrossPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", k = 128, bands = 32, minJaccard = 0.8)
+      .show(5, truncate = false)
+
+    // 7. portable IVF assignment (q158)
+    println("== ivfAssignPortable (q158)")
+    etlmudah.scale.Similarity.ivfAssignPortable(emb, "vec_id", "embedding",
+        nlist = 8)
+      .show(5)
+
     spark.stop()
   }
 }
