@@ -156,7 +156,10 @@ class PlanShapeSpec extends SparkSpec {
       "q135_boilerplate_shingles",
       // q136's probe side is a bounded id slice, broadcast by
       // construction — the exact-twin audit floor for q62's LSH tier
-      "q136_embedding_pairs_exact")
+      "q136_embedding_pairs_exact",
+      // q158's build side is the nlist-row portable centroid table —
+      // the q38 assignment shape with a deterministic pick
+      "q158_ivf_assign_portable")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
