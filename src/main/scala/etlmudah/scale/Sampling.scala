@@ -334,6 +334,24 @@ object Sampling {
                   startOffset: Long = 0L): DataFrame = {
     require(shardBudget > 0, "shardBudget must be positive")
     require(startOffset >= 0, "startOffset must be non-negative")
+    // startOffset continues a previous export's running total (the
+    // streaming shard sink's incremental case)
+    withStartOffset(df, keyCol, sizeCol, buckets, startOffset)
+      .withColumn("shard",
+        floor(col("__start") / lit(shardBudget)).cast("long"))
+      .drop("__start")
+  }
+
+  /** The distributed exclusive prefix sum behind [[shardAssign]] and
+    * [[packSequences]]: adds `__start` = sum of `sizeCol` over all rows
+    * strictly before this one in `keyCol` order, plus `startOffset`.
+    * See [[shardAssign]]'s scaladoc for the three-stage range-bucketed
+    * construction; the result is invariant to where the range
+    * boundaries fall, so the oracle is the plain one-ordering window
+    * cumsum. */
+  private def withStartOffset(df: DataFrame, keyCol: String,
+                              sizeCol: String, buckets: Int,
+                              startOffset: Long): DataFrame = {
     val b = if (buckets > 0) buckets
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = df.repartitionByRange(b, col(keyCol))
@@ -351,14 +369,51 @@ object Sampling {
       .agg(sum(col(sizeCol).cast("long")).as("__bsum"))
       .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
       .drop("__bsum")
-    // startOffset continues a previous export's running total (the
-    // streaming shard sink's incremental case)
     withLocal.join(broadcast(offsets), "__b")
-      .withColumn("shard",
-        floor((col("__off") + col("__lc") - col(sizeCol).cast("long")
-            + lit(startOffset))
-          / lit(shardBudget)).cast("long"))
+      .withColumn("__start",
+        col("__off") + col("__lc") - col(sizeCol).cast("long")
+          + lit(startOffset))
       .drop("__b", "__lc", "__off")
+  }
+
+  /** Token-level SEQUENCE PACKING — the GPT-style training-example
+    * layout: the corpus is conceptually concatenated in `keyCol` order
+    * and chopped into fixed `ctxLen`-token packs; a document straddling
+    * a boundary SPLITS across consecutive packs (unlike [[shardAssign]],
+    * which keeps rows whole, and [[packIntoBins]], which next-fits whole
+    * rows into bins). Emits one row per (document, pack) span:
+    * (key, pack_id, doc_offset, n_tokens) where `doc_offset` is the
+    * span's starting token within the document — exactly what a loader
+    * needs to slice each document's token array into training windows.
+    * Every pack except the final one holds exactly `ctxLen` tokens by
+    * construction. Zero-`sizeCol` rows vanish (they occupy no tokens).
+    *
+    * Scale shape: [[shardAssign]]'s two fully-parallel exchanges for
+    * the distributed prefix sum, then a constant-bounded explode —
+    * each document fans out to ceil(tokens/ctxLen) + 1 spans at most.
+    * All span arithmetic is exact integer math, so the table replays
+    * bit-for-bit in SQL from a window cumsum. */
+  def packSequences(df: DataFrame, keyCol: String, sizeCol: String,
+                    ctxLen: Long, buckets: Int = 0): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    val spans = withStartOffset(df, keyCol, sizeCol, buckets, 0L)
+      .filter(col(sizeCol).cast("long") > 0)
+      .withColumn("__end", col("__start") + col(sizeCol).cast("long"))
+    // non-negative operands: floor(double div) == integer div; offsets
+    // stay exact in double up to 2^53 tokens (far past any corpus)
+    spans
+      .select(col(keyCol), col("__start"), col("__end"),
+        explode(sequence(
+          floor(col("__start") / lit(ctxLen.toDouble)).cast("long"),
+          floor((col("__end") - 1) / lit(ctxLen.toDouble)).cast("long")))
+          .as("pack_id"))
+      .select(col(keyCol), col("pack_id"),
+        (greatest(col("__start"), col("pack_id") * ctxLen) - col("__start"))
+          .as("doc_offset"),
+        (least(col("__end"), (col("pack_id") + lit(1L)) * ctxLen)
+          - greatest(col("__start"), col("pack_id") * ctxLen))
+          .as("n_tokens"))
+      .orderBy(col(keyCol), col("pack_id"))
   }
 
   /** Per-stratum bottom-quantile DROP: remove the lowest `q` fraction

@@ -981,6 +981,16 @@ object SparkEntry {
       Similarity.ivfAssignPortable(Tables.embeddings(s, dir),
         "vec_id", "embedding", nlist = 8)),
 
+    // token-level sequence packing (GPT-style): concatenate the corpus
+    // in doc_id order, chop into 2048-token packs, one row per
+    // (doc, pack) span — boundary-straddling docs split across packs;
+    // the distributed prefix sum replays as a window cumsum in SQL
+    "q159_sequence_packing" -> ((s, dir) =>
+      Sampling.packSequences(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextStats.tokenCount(col("text")).as("tok")),
+        "doc_id", "tok", ctxLen = 2048)),
+
     // set op INTERSECT (SURVEY §2.5): customers present in BOTH the
     // urgent-order and the high-order cohort. Spark's intersect plans
     // as a distinct + left-semi — SQL INTERSECT semantics exactly
@@ -1920,6 +1930,32 @@ object SparkEntry {
     // portable IVF assignment: centroids = 8 smallest md5(vec_id),
     // assignment = argmax 6dp cosine, min-cid tie-break — mirrors
     // Similarity.ivfAssignPortable verbatim
+    // sequence packing: window cumsum replays the distributed prefix
+    // sum; span arithmetic is exact integer math on both engines
+    "q159_sequence_packing" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    coalesce(sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS strt
+        |  FROM n),
+        |s AS (SELECT doc_id, tok, strt, strt + tok AS fin
+        |      FROM c WHERE tok > 0),
+        |p AS (
+        |  SELECT doc_id, strt, fin,
+        |    unnest(generate_series(strt // 2048, (fin - 1) // 2048))
+        |      AS pack_id
+        |  FROM s)
+        |SELECT doc_id, pack_id,
+        |  greatest(strt, pack_id * 2048) - strt AS doc_offset,
+        |  least(fin, (pack_id + 1) * 2048)
+        |    - greatest(strt, pack_id * 2048) AS n_tokens
+        |FROM p ORDER BY doc_id, pack_id""".stripMargin,
+
     "q158_ivf_assign_portable" ->
       """WITH c AS (
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings

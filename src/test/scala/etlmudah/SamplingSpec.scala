@@ -325,4 +325,44 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.bottomQuantileDrop(sized, "s", "doc_id", "source", 0.0)
       .count() == sized.count())
   }
+
+  test("packSequences: matches a serial replay; full packs exact, spans tile each doc") {
+    import spark.implicits._
+    val ctx = 7L
+    // sizes exercise every case: straddling docs, a doc spanning >2
+    // packs (20 > 2*7), an exact-boundary doc, and zero-size drops
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 0L), (4L, 20L), (5L, 7L),
+      (6L, 1L), (7L, 6L)).toDF("id", "tok")
+    val got = Sampling.packSequences(docs, "id", "tok", ctx, buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // serial replay: walk the docs in id order, cut at every ctx tokens
+    val sizes = Seq((1L, 3L), (2L, 5L), (4L, 20L), (5L, 7L), (6L, 1L),
+      (7L, 6L))
+    var cursor = 0L
+    val expect = sizes.flatMap { case (id, tok) =>
+      val spans = (cursor until cursor + tok).groupBy(_ / ctx).toSeq
+        .sortBy(_._1).map { case (p, toks) =>
+          (id, p, toks.min - cursor, toks.size.toLong)
+        }
+      cursor += tok
+      spans
+    }
+    assert(got == expect)
+    // invariants: token conservation, every non-final pack exactly ctx
+    val totalTok = sizes.map(_._2).sum
+    assert(got.map(_._4).sum == totalTok)
+    val perPack = got.groupBy(_._2).map { case (p, g) => p -> g.map(_._4).sum }
+    val lastPack = perPack.keys.max
+    assert(perPack.filter(_._1 != lastPack).values.forall(_ == ctx))
+    // spans tile each doc: offsets start at 0 and are contiguous
+    got.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._4 == b._3)
+        case _ =>
+      }
+    }
+  }
 }
