@@ -394,9 +394,13 @@ object Sampling {
     * All span arithmetic is exact integer math, so the table replays
     * bit-for-bit in SQL from a window cumsum. */
   def packSequences(df: DataFrame, keyCol: String, sizeCol: String,
-                    ctxLen: Long, buckets: Int = 0): DataFrame = {
+                    ctxLen: Long, buckets: Int = 0,
+                    startOffset: Long = 0L): DataFrame = {
     require(ctxLen > 0, "ctxLen must be positive")
-    val spans = withStartOffset(df, keyCol, sizeCol, buckets, 0L)
+    require(startOffset >= 0, "startOffset must be non-negative")
+    // startOffset continues a previous packing's running token total
+    // (the streaming pack-export sink's incremental case)
+    val spans = withStartOffset(df, keyCol, sizeCol, buckets, startOffset)
       .filter(col(sizeCol).cast("long") > 0)
       .withColumn("__end", col("__start") + col(sizeCol).cast("long"))
     // non-negative operands: floor(double div) == integer div; offsets

@@ -493,26 +493,7 @@ object Streaming {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val conf = spark.sparkContext.hadoopConfiguration
-        val statePathH = new org.apache.hadoop.fs.Path(statePath)
-        val fs = statePathH.getFileSystem(conf)
-        recoverSwap(fs, statePath)
-        // ledger written first, so the read below always finds the path
-        // (a zero-row batch still writes its one ledger row)
-        batch.agg(coalesce(sum(col(sizeCol).cast("long")), lit(0L))
-            .as("batch_bytes"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(statePath)
-        // bounded: <= compactEvery + 2 rows (the two post-compaction
-        // rows plus one per batch since the last compaction)
-        val start = spark.read.parquet(statePath)
-          .filter(col("batch_id") < batchId)
-          .agg(coalesce(sum(col("batch_bytes")), lit(0L)))
-          .head().getLong(0)
+        val start = ledgerStartOffset(batch, sizeCol, statePath, batchId)
         etlmudah.scale.Sampling.shardAssign(batch, keyCol, sizeCol,
             shardBudget, startOffset = start)
           .withColumn("batch_id", lit(batchId))
@@ -520,30 +501,101 @@ object Streaming {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(outPath)
-        if (batchId > 0 && batchId % compactEvery == 0) {
-          // checkpointed batches below the current never re-deliver, so
-          // every row with batch_id < batchId collapses UP into the
-          // batchId-1 partition (greatest, not least: least would leave
-          // rows below batchId-1 uncollapsed and fold the CURRENT row
-          // down, so a re-delivered compaction batch — crash between
-          // this swap and the checkpoint commit — would sum its own
-          // bytes into its start offset and double-count them in a
-          // fresh dynamic-overwrite row). Only batchId's own row keeps
-          // its partition, so its dynamic re-overwrite replaces rather
-          // than duplicates.
-          val compacted = spark.read.parquet(statePath)
-            .withColumn("batch_id",
-              greatest(col("batch_id"), lit(batchId - 1)))
-            .groupBy(col("batch_id"))
-            .agg(sum(col("batch_bytes")).as("batch_bytes"))
-            .select(col("batch_bytes"), col("batch_id"))
-            .localCheckpoint(true)   // sever lineage from the live path
-          swapIn(fs, statePath)(tmp =>
-            compacted.write.mode("overwrite")
-              .partitionBy("batch_id").parquet(tmp))
-        }
+        compactLedger(batch.sparkSession, statePath, batchId, compactEvery)
         ()
       }
+
+  /** Incremental token-level SEQUENCE-PACKING export —
+    * `Sampling.packSequences` as a stream sink (the q159 batch op made
+    * incremental, exactly as [[shardExportSink]] is q138's): each
+    * micro-batch's documents are packed into fixed `ctxLen`-token
+    * training windows continuing the global token offset where the
+    * previous batch stopped, so pack ids are contiguous across the
+    * whole stream and a pack can SPAN a batch boundary (its leading
+    * spans come from one batch, its trailing spans from the next —
+    * byte-identical to packing the concatenated corpus when keys
+    * arrive in key order, which is also [[shardExportSink]]'s
+    * contiguity contract).
+    *
+    * Shares the offsets ledger + `compactEvery` collapse with
+    * [[shardExportSink]] (see [[ledgerStartOffset]]): a re-delivered
+    * batch recomputes the identical start offset and rewrites exactly
+    * its own `batch_id` output partition — re-runs converge. */
+  def packExportSink(rows: DataFrame, keyCol: String, sizeCol: String,
+                     ctxLen: Long, statePath: String, outPath: String,
+                     checkpoint: String, compactEvery: Int = 100):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val start = ledgerStartOffset(batch, sizeCol, statePath, batchId)
+        etlmudah.scale.Sampling.packSequences(batch, keyCol, sizeCol,
+            ctxLen, startOffset = start)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        compactLedger(batch.sparkSession, statePath, batchId, compactEvery)
+        ()
+      }
+
+  /** Shared running-total ledger for the incremental export sinks
+    * ([[shardExportSink]], [[packExportSink]]): recovers any torn
+    * ledger swap, writes this batch's (batch_id, batch_bytes) row
+    * FIRST (so the read below always finds the path; a zero-row batch
+    * still writes its one ledger row), and returns the batch's start
+    * offset = the ledger sum over batch_id < batchId. The ledger read
+    * is bounded: <= compactEvery + 2 rows (the two post-compaction
+    * rows plus one per batch since the last compaction). */
+  private def ledgerStartOffset(batch: DataFrame, sizeCol: String,
+                                statePath: String, batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, statePath)
+    batch.agg(coalesce(sum(col(sizeCol).cast("long")), lit(0L))
+        .as("batch_bytes"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(statePath)
+    spark.read.parquet(statePath)
+      .filter(col("batch_id") < batchId)
+      .agg(coalesce(sum(col("batch_bytes")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** Ledger compaction shared by the export sinks: every
+    * `compactEvery` batches, rows below the current batch collapse
+    * into the batchId-1 partition. Checkpointed batches below the
+    * current never re-deliver, so every row with batch_id < batchId
+    * collapses UP into batchId-1 (greatest, not least: least would
+    * leave rows below batchId-1 uncollapsed and fold the CURRENT row
+    * down, so a re-delivered compaction batch — crash between this
+    * swap and the checkpoint commit — would sum its own bytes into its
+    * start offset and double-count them in a fresh dynamic-overwrite
+    * row). Only batchId's own row keeps its partition, so its dynamic
+    * re-overwrite replaces rather than duplicates. The rewrite goes
+    * through [[swapIn]] (with [[recoverSwap]] at batch start) so a
+    * crash mid-compaction cannot lose the ledger. */
+  private def compactLedger(spark: SparkSession, statePath: String,
+                            batchId: Long, compactEvery: Int): Unit =
+    if (batchId > 0 && batchId % compactEvery == 0) {
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val compacted = spark.read.parquet(statePath)
+        .withColumn("batch_id",
+          greatest(col("batch_id"), lit(batchId - 1)))
+        .groupBy(col("batch_id"))
+        .agg(sum(col("batch_bytes")).as("batch_bytes"))
+        .select(col("batch_bytes"), col("batch_id"))
+        .localCheckpoint(true)   // sever lineage from the live path
+      swapIn(fs, statePath)(tmp =>
+        compacted.write.mode("overwrite")
+          .partitionBy("batch_id").parquet(tmp))
+    }
 
   /** Batch-begin recovery for the per-bucket swap used by [[upsertSink]]:
     * a bucket's live directory is absent ONLY between its two renames —

@@ -460,6 +460,67 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("batch_bytes")).head().getLong(0) == ledgerBytes + 3000L)
   }
 
+  test("packExportSink: packs continue across batch boundaries; non-final packs exact; re-run converges") {
+    val out = Files.createTempDirectory("stream_pack").toString
+    val src = s"$out/src"
+    spark.read.parquet(s"$sf0001/documents.parquet").repartition(5)
+      .write.mode("overwrite").parquet(src)
+    val ctx = 4096L
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.packExportSink(
+          Streaming.readDocuments(spark, src), "doc_id", "n_chars",
+          ctx, s"$out/state", s"$out/packs", cp, compactEvery = 2)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDrained(q)
+    }
+    runOnce(s"$out/cp1")
+    val packs = spark.read.parquet(s"$out/packs")
+    val corpus = spark.read.parquet(src)
+    val totalTok = corpus.agg(sum("n_chars")).head().getLong(0)
+    // token conservation + continuation: GLOBAL pack totals are exactly
+    // ctx for every pack but the last — a pack cut mid-batch gets its
+    // remainder from the next batch, so this invariant can only hold if
+    // offsets truly continue across batches
+    assert(packs.agg(sum("n_tokens")).head().getLong(0) == totalTok)
+    val per = packs.groupBy("pack_id").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(per.map(_._1).toSeq == (0L until per.length).toSeq)
+    assert(per.dropRight(1).forall(_._2 == ctx),
+      per.filter(_._2 != ctx).mkString(","))
+    assert(packs.select("batch_id").distinct().count() == 5)
+    // at least one pack truly SPANS a batch boundary
+    assert(packs.groupBy("pack_id")
+      .agg(countDistinct("batch_id").as("nb"))
+      .filter(col("nb") > 1).count() > 0, "no pack spanned a batch boundary")
+    // per-doc span tiling: offsets start at 0, chain, and cover the doc
+    val spans = packs.select("doc_id", "doc_offset", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val sizes = corpus.filter(col("n_chars") > 0)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spans.keySet == sizes.keySet)
+    spans.foreach { case (id, g) =>
+      val s = g.sortBy(_._2)
+      assert(s.head._2 == 0L, s"doc $id first span")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 + a._3 == b._2, s"doc $id gap")
+        case _ =>
+      }
+      assert(s.last._2 + s.last._3 == sizes(id), s"doc $id coverage")
+    }
+    // re-delivered COMPACTION batch (crash between compaction swap and
+    // checkpoint commit) converges to the identical pack table
+    val first = packs.select("doc_id", "pack_id", "doc_offset")
+      .orderBy("doc_id", "pack_id").collect()
+    dropCommit(s"$out/cp1", 4)
+    runOnce(s"$out/cp1")
+    val re = spark.read.parquet(s"$out/packs")
+      .select("doc_id", "pack_id", "doc_offset")
+      .orderBy("doc_id", "pack_id").collect()
+    assert(first.zip(re).forall { case (a, b) => a == b })
+  }
+
   test("upsertSink: idempotent, rewrites only touched buckets, recovers torn bucket swaps") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"

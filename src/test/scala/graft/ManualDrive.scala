@@ -84,6 +84,22 @@ object ManualDrive {
         k = 3, probeFilter = Some(col("id") < 5))
       .show(10)
 
+    // 5b. packExportSink: incremental sequence packing over micro-batches
+    println("== packExportSink (ctx=4096, compactEvery=1)")
+    val docsSrc = s"$out/docs"
+    spark.read.parquet(s"$sf/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(docsSrc)
+    val q5b = Streaming.packExportSink(
+        Streaming.readDocuments(spark, docsSrc), "doc_id", "n_chars",
+        4096L, s"$out/pack_state", s"$out/packs", s"$out/cp_pack",
+        compactEvery = 1)
+      .trigger(Trigger.AvailableNow()).start()
+    q5b.awaitTermination(120000)
+    val packsDf = spark.read.parquet(s"$out/packs")
+    println(s"span rows=${packsDf.count()} packs=${packsDf.select("pack_id").distinct().count()}")
+    packsDf.groupBy("pack_id").agg(sum("n_tokens").as("tok"))
+      .orderBy("pack_id").show(5)
+
     // 6. portable decontamination (q157): even-id train vs odd-id ref
     println("== minhashPortableCrossPairs (q157)")
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -217,6 +217,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("collect_list"), plan.take(800))
   }
 
+  test("q159: prefix-sum cumsum rides the bucket partitioning; offset window is aggregate-bounded") {
+    val df = SparkEntry.queries("q159_sequence_packing")(spark, sf0001)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val (unpart, part) = wins.partition(_.partitionSpec.isEmpty)
+    // the per-bucket local cumsum is a PARTITIONED window (parallel)
+    assert(part.nonEmpty, wins.map(_.partitionSpec.mkString(",")).mkString("\n"))
+    // exactly one partition-less window — the bucket-offset prefix —
+    // and it consumes the bounded (<= numBuckets rows) bucket-total
+    // aggregate, never corpus rows
+    assert(unpart.size == 1)
+    assert(unpart.head.find {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+      case _ => false
+    }.isDefined, "offset window must sit above the bucket-total aggregate")
+  }
+
+  test("q158: portable centroid pick plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("q158_ivf_assign_portable")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
   test("stagedClusterPairs: mines once, then reads the staged parquet; pairs identical") {
     val direct = SparkEntry.clusterPairs(
         etlmudah.Tables.documents(spark, sf0001))
