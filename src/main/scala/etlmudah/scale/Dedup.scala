@@ -1063,6 +1063,78 @@ object Dedup {
           / col("n_tokens"), 6).as("coverage"))
   }
 
+  /** Duplicate-span STRIP applied — [[dupSpanCoverage]]'s removal step
+    * (Lee et al. 2022 ExactSubstr semantics at fixed k-gram
+    * granularity): every occurrence of a duplicated k-token span
+    * EXCEPT the corpus-wide first (minimum (doc, pos) — deterministic)
+    * marks its k tokens for removal, and each document reassembles
+    * from its surviving tokens in order. "Duplicated" means >= 2
+    * occurrences anywhere — across documents or repeated inside one.
+    * The kept first occurrence can still lose tokens to OTHER
+    * overlapping duplicate spans — the over-removal tradeoff the
+    * suffix-array cutter makes too; a fully-duplicated document
+    * strips to the empty string but KEEPS its row, so removal rates
+    * stay visible. Docs shorter than k tokens have no k-span and are
+    * never stripped. Returns (id, text_clean, n_tokens, n_removed).
+    *
+    * Scale shape mirrors [[stripBoilerplate]]: grams travel as 8-byte
+    * rolling hashes (token strings never shuffle by gram); per-gram
+    * (count, first-occurrence) come from ONE map-side-combined
+    * aggregate — min over a (id, pos) struct is combinable, so no
+    * gram-keyed window exists anywhere; the drop-start join splits
+    * hot/cold on `hotCutoff` with the Zipf head BROADCAST, so a
+    * corpus-dominating span never shuffles by gram key; covered
+    * positions explode k rows per dropped start (constant); reassembly
+    * is one doc-keyed aggregate. */
+  def stripDupSpans(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8, hotCutoff: Long = 1000000L): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until k).map(j => lead(col("t"), j).over(w))
+    // materialized: feeds the gram-stats aggregate AND both drop-start
+    // join branches (three consumers, two exchange keys)
+    val grams = tok
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", col("t") +: leads: _*)).as("gh"),
+        leads.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select("id", "pos", "gh")
+      .localCheckpoint(true)
+    val gstats = grams
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+      .localCheckpoint(true)   // hot and cold branches both read it
+    val hot = gstats.filter(col("__cnt") >= hotCutoff)
+      .select("gh", "__first")
+    val cold = gstats.filter(col("__cnt") < hotCutoff)
+      .select("gh", "__first")
+    def notFirst(joined: DataFrame): DataFrame = joined
+      .filter(struct(col("id"), col("pos")) =!= col("__first"))
+      .select(col("id"), col("pos"))
+    val dropStarts = notFirst(grams.join(broadcast(hot), Seq("gh")))
+      .unionByName(notFirst(grams.join(cold, Seq("gh"))))
+    val covered = dropStarts
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("id", "pos"), "left_anti")
+    val perDoc = kept.groupBy(col("id")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+        s => s.getField("t")), " ").as("text_clean"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Boilerplate stripping APPLIED — the removal step the
     * [[boilerplateShingles]] miner only reports: every token covered by
     * a corpus-hot word n-gram (document frequency >= `minDf`) is

@@ -981,6 +981,17 @@ object SparkEntry {
       Similarity.ivfAssignPortable(Tables.embeddings(s, dir),
         "vec_id", "embedding", nlist = 8)),
 
+    // duplicate-span strip APPLIED (q88's removal step, Lee et al.
+    // ExactSubstr at 8-gram granularity): every non-first occurrence
+    // of a duplicated 8-token span drops its tokens, docs reassemble
+    // from survivors in order — first occurrence (min (doc, pos))
+    // survives corpus-wide
+    "q160_dup_span_strip" -> ((s, dir) =>
+      Dedup.stripDupSpans(Tables.documents(s, dir), "text", "doc_id",
+          k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // token-level sequence packing (GPT-style): concatenate the corpus
     // in doc_id order, chop into 2048-token packs, one row per
     // (doc, pack) span — boundary-straddling docs split across packs;
@@ -1930,6 +1941,46 @@ object SparkEntry {
     // portable IVF assignment: centroids = 8 smallest md5(vec_id),
     // assignment = argmax 6dp cosine, min-cid tie-break — mirrors
     // Similarity.ivfAssignPortable verbatim
+    // dup-span strip: string grams stand in for the engine's rolling
+    // hashes (same equality); the oracle's per-gram window replays the
+    // engine's map-side-combined (count, min(doc, pos)) aggregate
+    "q160_dup_span_strip" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, t.i - 1 AS pos,
+        |    array_to_string(arr[t.i:t.i+7], ' ') AS g
+        |  FROM tokarr, unnest(generate_series(1, len(arr) - 7)) AS t(i)),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS cnt
+        |  FROM grams),
+        |dropstart AS (
+        |  SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn >= 2),
+        |droppos AS (
+        |  SELECT DISTINCT doc_id, pos + u.j AS p
+        |  FROM dropstart, unnest(generate_series(0, 7)) AS u(j)),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t,
+        |    generate_subscripts(arr, 1) - 1 AS pos
+        |  FROM tokarr),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.t
+        |  FROM tok LEFT JOIN droppos d
+        |    ON d.doc_id = tok.doc_id AND d.p = tok.pos
+        |  WHERE d.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, len(arr)::BIGINT AS n_tokens FROM tokarr)
+        |SELECT n.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  n.n_tokens, n.n_tokens - coalesce(a.n_kept, 0) AS n_removed
+        |FROM n LEFT JOIN agg a ON a.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
     // sequence packing: window cumsum replays the distributed prefix
     // sum; span arithmetic is exact integer math on both engines
     "q159_sequence_packing" ->

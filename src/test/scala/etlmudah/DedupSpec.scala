@@ -257,6 +257,33 @@ class DedupSpec extends SparkSpec {
     assert(portable == exact)
   }
 
+  test("stripDupSpans: first occurrence survives, later copies strip, within-doc repeats strip") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"w$i").mkString(" ")   // 10 tokens > k=8
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma"),             // owns the first occurrence
+      (2L, "totally unique words here only once ever said nine ten eleven"),
+      (3L, s"prefix $passage suffix"),                // later copy -> stripped
+      (4L, s"$passage $passage"),                     // both copies non-first -> empty
+      (5L, "short doc")                               // < k tokens, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(docs, "text", "doc_id", k = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1 holds every duplicated gram's first occurrence -> untouched
+    assert(out(1L) == (s"alpha beta $passage gamma", 13L, 0L))
+    // unique and sub-k docs untouched
+    assert(out(2L) == ("totally unique words here only once ever said nine ten eleven", 11L, 0L))
+    assert(out(5L) == ("short doc", 2L, 0L))
+    // doc 3: its three duplicated gram starts (pos 1..3) cover the whole
+    // passage (tokens 1..10); only the frame words survive
+    assert(out(3L) == ("prefix suffix", 12L, 10L))
+    // doc 4 is passage twice — every token lies under some non-first
+    // duplicated 8-gram occurrence, so it strips to empty but keeps its row
+    assert(out(4L) == ("", 20L, 20L))
+  }
+
   test("normalizationLadder: each level surfaces exactly its own dup class") {
     import spark.implicits._
     val docs = Seq(
