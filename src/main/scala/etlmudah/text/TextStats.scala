@@ -976,4 +976,92 @@ object TextStats {
           + lit(0.5) * ln2 * (lit(2.0) - coalesce(col("__ma"), lit(0.0))
             - coalesce(col("__mb"), lit(0.0)))) / ln2, 4).as("jsd_bits"))
   }
+
+  /** BPE merge-table training ON-ENGINE (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units") —
+    * learn `nMerges` subword merges from the corpus. The corpus is
+    * touched exactly ONCE (the word-frequency aggregate); every merge
+    * round then runs over the Heaps-bounded (symbols, count)
+    * vocabulary table: one adjacent-pair explode with a
+    * map-side-combined weighted count, a 1-ROW argmax collect (the
+    * model update — the same bounded-collect contract as the k-means
+    * centroid sums), and a higher-order `aggregate` fold that applies
+    * the winning merge left-to-right inside each word. The vocabulary
+    * is localCheckpoint'ed per round so the plan does not grow with
+    * iteration count (the connected-components rounds discipline).
+    *
+    * Ties break (freq desc, left asc, right asc), so the merge table
+    * is fully deterministic. No end-of-word marker is appended
+    * (whitespace tokenization already bounds words); as in reference
+    * implementations, symbols are plain strings, so a merged symbol is
+    * indistinguishable from a pre-existing identical string. Training
+    * stops early when the best remaining pair's frequency falls below
+    * `minPairFreq`.
+    *
+    * Iterative and data-dependent — not SQL-expressible; verified
+    * against a serial replay of the same algorithm in TextStatsSpec
+    * (rows-only registry entry, like the k-means/ML tiers).
+    *
+    * Returns (rank, left, right, merged, freq), rank = merge order. */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int = 50,
+                minPairFreq: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"),
+        col("cnt"))
+      .localCheckpoint(true)
+    // size the ROUND parallelism to the vocabulary, not the corpus: a
+    // bench-scale vocab collapses to one task per round (the loop cost
+    // is otherwise pure empty-partition scheduling x rounds), while a
+    // web-scale vocabulary keeps cluster width. One bounded count job.
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      vocab.count() / 65536L)).toInt
+    vocab = vocab.repartition(parts).localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var continue = true
+    while (continue && rank < nMerges) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty || best.head.getLong(2) < minPairFreq) continue = false
+      else {
+        val l = best.head.getString(0)
+        val r = best.head.getString(1)
+        merges += ((rank, l, r, l + r, best.head.getLong(2)))
+        // left-to-right application: fold the symbol array, replacing
+        // the accumulator's tail element with the merged symbol on a
+        // pair hit — "bbb" under (b,b) becomes [bb, b], matching the
+        // reference's simultaneous non-overlapping replacement
+        vocab = vocab.select(
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) >= 1 &&
+                element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s)))).as("syms"),
+          col("cnt"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "freq")
+  }
 }

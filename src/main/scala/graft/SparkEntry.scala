@@ -992,6 +992,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // BPE tokenizer training on-engine (rows-only: iterative,
+    // data-dependent argmax per round — not SQL-expressible; serial
+    // replay in TextStatsSpec is the correctness gate). nMerges=16
+    // keeps the bench round count honest while exercising the loop
+    "q161_bpe_merges" -> ((s, dir) =>
+      TextStats.bpeMerges(Tables.documents(s, dir), "text",
+          nMerges = 16)
+        .orderBy(col("rank"))),
+
     // token-level sequence packing (GPT-style): concatenate the corpus
     // in doc_id order, chop into 2048-token packs, one row per
     // (doc, pack) span — boundary-straddling docs split across packs;

@@ -487,4 +487,83 @@ class TextStatsSpec extends SparkSpec {
     // the repeated text is strictly less diverse at every n < 3
     assert(got(("rep", 1))._3 < got(("nat", 1))._3)
   }
+
+  /** Serial reference BPE: same algorithm as [[TextStats.bpeMerges]]
+    * (left-to-right non-overlapping application, (freq desc, l, r)
+    * tie-break) on an in-memory word-count map. */
+  private def serialBpe(counts: Map[String, Long], nMerges: Int,
+                        minPairFreq: Long): Seq[(Int, String, String, String, Long)] = {
+    var vocab = counts.toSeq.map { case (w, c) =>
+      (w.toCharArray.map(_.toString).toVector, c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var go = true
+    while (go && rank < nMerges) {
+      val freqs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => freqs((a, b)) = freqs.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (freqs.isEmpty) go = false
+      else {
+        val ((l, r), f) = freqs.minBy { case ((a, b), c) => (-c, a, b) }
+        if (f < minPairFreq) go = false
+        else {
+          out += ((rank, l, r, l + r, f))
+          vocab = vocab.map { case (syms, c) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { s =>
+              if (acc.nonEmpty && acc.last == l && s == r)
+                acc(acc.length - 1) = l + r
+              else acc += s
+            }
+            (acc.toVector, c)
+          }
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeMerges: classic corpus learns the expected first merges") {
+    import spark.implicits._
+    // Sennrich's example words (no end-of-word marker): the most
+    // frequent pair overall is (e, s) from newest(6) + widest(3) = 9
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextStats.bpeMerges(docs, "text", nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got.head == ((0, "e", "s", "es", 9L)), got.mkString(","))
+    assert(got(1) == ((1, "es", "t", "est", 9L)), got.mkString(","))
+    // after est: lo (5+2=7) leads (w,est)=6... (l,o)=7 wins
+    assert(got(2) == ((2, "l", "o", "lo", 7L)), got.mkString(","))
+  }
+
+  test("bpeMerges: equals the serial replay on the sf0.001 corpus; deterministic") {
+    val docs = etlmudah.Tables.documents(spark, sf0001)
+    val got = TextStats.bpeMerges(docs, "text", nMerges = 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val counts = docs
+      .select(explode(TextStats.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = serialBpe(counts, nMerges = 12, minPairFreq = 2L)
+    assert(got == expect)
+    val again = TextStats.bpeMerges(docs, "text", nMerges = 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == again)
+  }
 }
