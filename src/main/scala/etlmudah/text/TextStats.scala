@@ -1045,23 +1045,78 @@ object TextStats {
         val l = best.head.getString(0)
         val r = best.head.getString(1)
         merges += ((rank, l, r, l + r, best.head.getLong(2)))
-        // left-to-right application: fold the symbol array, replacing
-        // the accumulator's tail element with the merged symbol on a
-        // pair hit — "bbb" under (b,b) becomes [bb, b], matching the
-        // reference's simultaneous non-overlapping replacement
-        vocab = vocab.select(
-          aggregate(col("syms"),
-            array().cast("array<string>"),
-            (acc, s) => when(
-              size(acc) >= 1 &&
-                element_at(acc, -1) === lit(l) && s === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(s)))).as("syms"),
-          col("cnt"))
+        vocab = vocab.select(applyMergeFold(col("syms"), l, r).as("syms"),
+            col("cnt"))
           .localCheckpoint(true)
         rank += 1
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "merged", "freq")
+  }
+
+  /** One BPE merge applied left-to-right inside a symbol array: fold
+    * the array, replacing the accumulator's tail element with the
+    * merged symbol on a pair hit — "bbb" under (b,b) becomes [bb, b],
+    * matching the reference's simultaneous non-overlapping
+    * replacement. Shared by training ([[bpeMerges]]) and encoding
+    * ([[bpeEncodeWords]]), so train/apply can never drift. */
+  private def applyMergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) >= 1 &&
+          element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE ENCODING of a distinct-word table: applies a learned merge
+    * list in rank order (the [[bpeMerges]] output's (left, right)
+    * pairs) to every word — the tokenizer-apply step. Input must carry
+    * a `w` column; returns (w, syms). Same per-round checkpoint +
+    * vocab-sized partitioning as training: all work is Heaps-bounded,
+    * the corpus itself is never touched here. */
+  def bpeEncodeWords(words: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    var wv = words.select(col("w"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .localCheckpoint(true)
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      wv.count() / 65536L)).toInt
+    wv = wv.repartition(parts).localCheckpoint(true)
+    merges.foreach { case (l, r) =>
+      wv = wv.select(col("w"), applyMergeFold(col("syms"), l, r).as("syms"))
+        .localCheckpoint(true)
+    }
+    wv
+  }
+
+  /** Held-out segmentation report — the tokenizer-quality readout that
+    * belongs next to any learned merge table: encode a TARGET corpus
+    * with a (typically train-split-learned) merge list and report, per
+    * `sourceCol`: word count, subtoken count, mean subtokens/word (the
+    * fertility every LM data card quotes), and the share of words left
+    * intact as a single token. Encoding runs on the DISTINCT word
+    * table (Heaps-bounded) and joins back to per-(source, word)
+    * occurrence counts — the corpus is scanned once and never carries
+    * symbol arrays. */
+  def bpeSegmentReport(df: DataFrame, textCol: String, sourceCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(sourceCol).as("src"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val encoded = bpeEncodeWords(words.select("w").distinct(), merges)
+    words.groupBy(col("src"), col("w")).agg(count(lit(1)).as("n"))
+      .join(encoded.select(col("w"), size(col("syms")).as("k")), Seq("w"))
+      .groupBy(col("src"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("k")).as("n_subtokens"),
+        round(sum(col("n") * col("k")).cast("double") / sum(col("n")), 4)
+          .as("subtokens_per_word"),
+        round(sum(when(col("k") === 1, col("n")).otherwise(lit(0L)))
+          .cast("double") / sum(col("n")), 4).as("intact_word_share"))
+      .orderBy(col("src"))
   }
 }

@@ -1001,6 +1001,19 @@ object SparkEntry {
           nMerges = 16)
         .orderBy(col("rank"))),
 
+    // BPE APPLY: merges learned on the even-id train split segment the
+    // odd-id held-out split — per-source fertility report (rows-only:
+    // consumes the iterative trainer's model; serial replay in
+    // TextStatsSpec). The <= nMerges-row collect IS the model.
+    "q162_bpe_segment_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextStats.bpeMerges(
+          docs.filter(col("doc_id") % 2 === 0), "text", nMerges = 16)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextStats.bpeSegmentReport(
+        docs.filter(col("doc_id") % 2 === 1), "text", "source", merges)
+    }),
+
     // token-level sequence packing (GPT-style): concatenate the corpus
     // in doc_id order, chop into 2048-token packs, one row per
     // (doc, pack) span — boundary-straddling docs split across packs;

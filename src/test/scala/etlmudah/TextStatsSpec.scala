@@ -549,6 +549,61 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2) == ((2, "l", "o", "lo", 7L)), got.mkString(","))
   }
 
+  test("bpeEncodeWords: lossless, rank-order greedy; classic merges segment a held-out word") {
+    import spark.implicits._
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val words = Seq("lowest", "low", "zzz", "test").toDF("w")
+    val got = TextStats.bpeEncodeWords(words, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // held-out word segments through all three merges in rank order
+    assert(got("lowest") == List("lo", "w", "est"))
+    assert(got("low") == List("lo", "w"))
+    assert(got("zzz") == List("z", "z", "z"))      // untouched by the table
+    assert(got("test") == List("t", "est"))
+    // losslessness: subtokens concatenate back to every word
+    assert(got.forall { case (w, syms) => syms.mkString == w })
+  }
+
+  test("bpeSegmentReport: per-source fertility consistent with a serial encode") {
+    val docs = etlmudah.Tables.documents(spark, sf0001)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val held = docs.filter(col("doc_id") % 2 === 1)
+    val mergeRows = TextStats.bpeMerges(train, "text", nMerges = 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val report = TextStats.bpeSegmentReport(held, "text", "source", mergeRows)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // serial replay: encode every held-out word with the same greedy
+    // fold, aggregate per source
+    def encode(w: String): Int = {
+      var syms = w.toCharArray.map(_.toString).toVector
+      mergeRows.foreach { case (l, r) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (acc.nonEmpty && acc.last == l && s == r)
+            acc(acc.length - 1) = l + r
+          else acc += s
+        }
+        syms = acc.toVector
+      }
+      syms.length
+    }
+    val serial = held.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => r.getString(0) -> encode(w)))
+      .groupBy(_._1)
+      .map { case (src, g) =>
+        val n = g.length.toLong
+        val sub = g.map(_._2.toLong).sum
+        src -> (n, sub,
+          BigDecimal(sub.toDouble / n).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(g.count(_._2 == 1).toDouble / n).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(report == serial)
+  }
+
   test("bpeMerges: equals the serial replay on the sf0.001 corpus; deterministic") {
     val docs = etlmudah.Tables.documents(spark, sf0001)
     val got = TextStats.bpeMerges(docs, "text", nMerges = 12)
