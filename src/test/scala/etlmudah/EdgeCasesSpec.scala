@@ -178,6 +178,51 @@ class EdgeCasesSpec extends SparkSpec {
     assert(lo.getDouble(3) == 0.0 && lo.getDouble(4) >= 0.0)
   }
 
+  test("round-7 operators tolerate empty and degenerate input") {
+    // portable cross tiers: empty on either side -> no pairs, no throw
+    val solo = Seq((2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    assert(Dedup.minhashPortableCrossPairs(emptyDocs, solo,
+      "text", "doc_id").count() == 0)
+    assert(Dedup.minhashPortableCrossPairs(solo, emptyDocs,
+      "text", "doc_id").count() == 0)
+    // dup-span strip: empty corpus empty; sub-k and unique docs intact
+    assert(Dedup.stripDupSpans(emptyDocs, "text", "doc_id").count() == 0)
+    val short = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+    val sRow = Dedup.stripDupSpans(short, "text", "doc_id").collect().head
+    assert(sRow.getString(1) == "tiny doc" && sRow.getLong(3) == 0L)
+    // sequence packing: empty input -> no spans; all-zero sizes vanish
+    val emptySized = Seq.empty[(Long, Long)].toDF("id", "tok")
+    assert(Sampling.packSequences(emptySized, "id", "tok", 8L).count() == 0)
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("id", "tok")
+    assert(Sampling.packSequences(zeros, "id", "tok", 8L).count() == 0)
+    // a single doc smaller than ctx -> exactly one partial span
+    val tiny = Seq((7L, 3L)).toDF("id", "tok")
+    val span = Sampling.packSequences(tiny, "id", "tok", 8L).collect()
+    assert(span.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))) == Seq((7L, 0L, 0L, 3L)))
+    // BPE: empty corpus -> empty merge table; single repeated char
+    // corpus learns its one merge then stops early
+    assert(TextStats.bpeMerges(emptyDocs, "text").count() == 0)
+    val aa = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val m = TextStats.bpeMerges(aa, "text", nMerges = 5).collect()
+    assert(m.length == 1 &&
+      m.head.getString(1) == "a" && m.head.getString(2) == "a")
+    // BPE encode with an empty merge list is character segmentation;
+    // segment report on an empty corpus is empty
+    val enc = TextStats.bpeEncodeWords(Seq("ab").toDF("w"), Nil).collect()
+    assert(enc.head.getSeq[String](1) == Seq("a", "b"))
+    val edSrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextStats.bpeSegmentReport(edSrc, "text", "source", Nil).count() == 0)
+    // portable IVF assignment: corpus smaller than nlist still assigns
+    // every vector (to itself among the <= nlist centroids)
+    import etlmudah.scale.Similarity
+    val twoVecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val asg = Similarity.ivfAssignPortable(twoVecs, "vec_id", "embedding",
+      nlist = 8).collect()
+    assert(asg.length == 2 && asg.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("curation/export operators tolerate empty and zero-size input") {
     import etlmudah.analytics.{Events, Profile}
     import java.sql.Timestamp
