@@ -88,6 +88,11 @@ object Multimodal {
       byteAt(media, pos + 2)) * 256 + byteAt(media, pos + 3)
   private def le16(media: Column, pos: Column): Column =
     byteAt(media, pos) + byteAt(media, pos + 1) * 256
+  private def le32(media: Column, pos: Column): Column =
+    (byteAt(media, pos) +
+      byteAt(media, pos + 1) * 256L +
+      byteAt(media, pos + 2) * 65536L +
+      byteAt(media, pos + 3) * 16777216L).cast("long")
 
   /** REAL media metadata decode — pure byte arithmetic over the binary
     * column, no image library: container format + pixel dimensions for
@@ -143,6 +148,97 @@ object Multimodal {
         jpegScan.getField("w").as("width"), jpegScan.getField("h").as("height")))
       .otherwise(struct(lit("unknown").as("format"),
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
+  }
+
+  /** REAL audio metadata decode for WAV (RIFF) containers — the audio
+    * sibling of [[mediaMeta]], same no-library contract: the RIFF chunk
+    * list is WALKED (a bounded `aggregate` over `maxChunks` steps, the
+    * JPEG marker-walk shape) because the spec guarantees neither that
+    * `fmt ` is the first chunk nor that `data` follows it directly —
+    * real encoders emit LIST/INFO/fact chunks in between. Each step
+    * reads the 4-byte chunk id and little-endian uint32 size, captures
+    * (channels, sample rate, bits/sample) from `fmt ` and the payload
+    * byte count from `data`, and advances by 8 + size + pad (chunk
+    * payloads are word-aligned: odd sizes carry one pad byte). The walk
+    * stops once both chunks are seen or a truncated header nulls the
+    * size.
+    *
+    * Returns struct(format, channels, sample_rate_hz, bits_per_sample,
+    * data_bytes); non-RIFF input yields ("unknown", nulls). Duration is
+    * a derivation — data_bytes * 8000 div (rate * channels * bits) —
+    * left to the caller so the decoder stays exact-integer end to end. */
+  def audioMeta(media: Column, maxChunks: Int = 32): Column = {
+    val isWav = hex(substring(media, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(media, 9, 4)) === "57415645"              // "WAVE"
+    val nullI = lit(null).cast("int")
+    val nullL = lit(null).cast("long")
+    val walk = aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      struct(lit(13L).as("off"), nullI.as("ch"), nullL.as("rate"),
+        nullI.as("bits"), nullL.as("db")),
+      (st, _) => {
+        val off = st.getField("off")
+        val chunkId = hex(substring(media, off.cast("int"), lit(4)))
+        val size = le32(media, off + 4)
+        val next = off + 8L + size + pmod(size, lit(2L))
+        val done = (st.getField("ch").isNotNull &&
+          st.getField("db").isNotNull) || size.isNull || chunkId === ""
+        when(done, st)
+          .when(chunkId === lit("666D7420"), // "fmt "
+            struct(next.as("off"),
+              le16(media, off + 10).as("ch"),
+              le32(media, off + 12).as("rate"),
+              le16(media, off + 22).as("bits"),
+              st.getField("db").as("db")))
+          .when(chunkId === lit("64617461"), // "data"
+            struct(next.as("off"), st.getField("ch").as("ch"),
+              st.getField("rate").as("rate"), st.getField("bits").as("bits"),
+              size.as("db")))
+          .otherwise(struct(next.as("off"), st.getField("ch").as("ch"),
+            st.getField("rate").as("rate"), st.getField("bits").as("bits"),
+            st.getField("db").as("db")))
+      })
+    when(isWav, struct(lit("wav").as("format"),
+        walk.getField("ch").as("channels"),
+        walk.getField("rate").as("sample_rate_hz"),
+        walk.getField("bits").as("bits_per_sample"),
+        walk.getField("db").as("data_bytes")))
+      .otherwise(struct(lit("unknown").as("format"), nullI.as("channels"),
+        nullL.as("sample_rate_hz"), nullI.as("bits_per_sample"),
+        nullL.as("data_bytes")))
+  }
+
+  /** Synthesize a VALID WAV header for the given PCM parameters — the
+    * encode half of the [[audioMeta]] round trip. A 9-byte (ODD-sized,
+    * so the walk's pad-byte handling is exercised) LIST chunk sits
+    * between "WAVE" and `fmt `, and `data` declares `dataBytes` of
+    * payload without materializing them — the decoder reads headers
+    * only. Byte assembly is unhex over hex strings, as
+    * [[fakeMediaHeader]]. */
+  def fakeWavHeader(channels: Column, sampleRate: Column, bits: Column,
+                    dataBytes: Column): Column = {
+    def leHex16(v: Column): Column = {
+      val h = lpad(hex(v), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def leHex32(v: Column): Column = {
+      val h = lpad(hex(v), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val byteRate = (sampleRate * channels * bits / lit(8)).cast("long")
+    val blockAlign = (channels * bits / lit(8)).cast("int")
+    // riff size = 4 (WAVE) + (8+9+1 LIST padded) + (8+16 fmt) + 8 + data
+    val riffSize = lit(4L + 18L + 24L + 8L) + dataBytes
+    unhex(concat(
+      lit("52494646"), leHex32(riffSize),          // "RIFF" + size
+      lit("57415645"),                             // "WAVE"
+      lit("4C495354"), leHex32(lit(9)), lit("00" * 10), // odd LIST + pad
+      lit("666D7420"), leHex32(lit(16)),           // "fmt " PCM chunk
+      lit("0100"), leHex16(channels),
+      leHex32(sampleRate), leHex32(byteRate),
+      leHex16(blockAlign), leHex16(bits),
+      lit("64617461"), leHex32(dataBytes)))        // "data" header only
   }
 
   /** Synthesize a VALID media header (PNG / GIF / JPEG) for the given

@@ -1050,6 +1050,33 @@ object SparkEntry {
           .select(col("doc_id"), TextStats.tokenCount(col("text")).as("tok")),
         "doc_id", "tok", ctxLen = 2048)),
 
+    // WAV (RIFF) audio header ROUND TRIP — the audio sibling of q155:
+    // a valid PCM WAV header (odd-sized LIST filler between WAVE and
+    // fmt, so the pad-byte chunk walk is exercised; data declared
+    // last) is synthesized per doc, parsed back by the byte-arithmetic
+    // chunk walker (Multimodal.audioMeta), and duration derives from
+    // the recovered fields with integer-exact math
+    "q163_audio_meta_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = element_at(array(lit(8000L), lit(16000L), lit(22050L),
+        lit(44100L), lit(48000L)), (col("doc_id") % 5 + 1).cast("int"))
+      val bits = element_at(array(lit(8), lit(16), lit(24), lit(32)),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val db = (col("doc_id") % 100000L + 1000L).cast("long")
+      docs.select(col("doc_id"),
+          Multimodal.audioMeta(
+            Multimodal.fakeWavHeader(ch, rate, bits, db)).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").cast("bigint").as("channels"),
+          col("m.sample_rate_hz").as("sample_rate_hz"),
+          col("m.bits_per_sample").cast("bigint").as("bits_per_sample"),
+          col("m.data_bytes").as("data_bytes"))
+        .withColumn("duration_ms", expr(
+          "data_bytes * 8000 div (sample_rate_hz * channels * bits_per_sample)"))
+        .orderBy(col("doc_id"))
+    }),
+
     // set op INTERSECT (SURVEY §2.5): customers present in BOTH the
     // urgent-order and the high-order cohort. Spark's intersect plans
     // as a distinct + left-semi — SQL INTERSECT semantics exactly
@@ -2054,6 +2081,28 @@ object SparkEntry {
         |  least(fin, (pack_id + 1) * 2048)
         |    - greatest(strt, pack_id * 2048) AS n_tokens
         |FROM p ORDER BY doc_id, pack_id""".stripMargin,
+
+    // WAV round trip: the oracle computes the expected header fields
+    // directly from doc_id, so a green row proves encode -> chunk-walk
+    // parse recovers channels/rate/bits/data bytes exactly (including
+    // the odd-LIST pad skip), and the duration math agrees integer-for-
+    // integer across engines
+    "q163_audio_meta_roundtrip" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  (doc_id % 2 + 1)::BIGINT AS channels,
+        |  list_extract([8000,16000,22050,44100,48000],
+        |    (doc_id % 5 + 1)::INT)::BIGINT AS sample_rate_hz,
+        |  list_extract([8,16,24,32],
+        |    (doc_id % 4 + 1)::INT)::BIGINT AS bits_per_sample,
+        |  (doc_id % 100000 + 1000)::BIGINT AS data_bytes,
+        |  ((doc_id % 100000 + 1000) * 8000) //
+        |    (list_extract([8000,16000,22050,44100,48000],
+        |       (doc_id % 5 + 1)::INT)
+        |     * (doc_id % 2 + 1)
+        |     * list_extract([8,16,24,32], (doc_id % 4 + 1)::INT))
+        |    AS duration_ms
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q158_ivf_assign_portable" ->
       """WITH c AS (

@@ -93,6 +93,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioMeta: hand-crafted WAV chunk layouts decode; corrupt stays null-safe") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // fmt chunk: PCM(0100) + LE16 ch + LE32 rate + LE32 byteRate +
+    // LE16 blockAlign + LE16 bits
+    val fmt16k = "666D7420" + "10000000" +
+      "0100" + "0200" + "803E0000" + "00FA0000" + "0400" + "1000"
+    val fixtures = Seq(
+      // canonical layout: fmt then data (1000 payload bytes declared)
+      ("plain", hx("52494646" + "24080000" + "57415645" +
+        fmt16k + "64617461" + "E8030000")),
+      // DATA BEFORE FMT — the walk must capture both in either order
+      // (4 real payload bytes so the walk lands on fmt, not inside them)
+      ("data_first", hx("52494646" + "24080000" + "57415645" +
+        "64617461" + "04000000" + "AABBCCDD" + fmt16k)),
+      // ODD-sized LIST filler (size 5 -> one pad byte) before fmt
+      ("odd_list", hx("52494646" + "24080000" + "57415645" +
+        "4C495354" + "05000000" + "00" * 6 +
+        fmt16k + "64617461" + "E8030000")),
+      ("not_riff", "just text bytes".getBytes("UTF-8").toSeq.toArray),
+      // RIFF/WAVE magic but truncated before any chunk completes
+      ("wav_trunc", hx("52494646" + "24080000" + "57415645" + "666D"))
+    )
+    val out = fixtures.toDF("id", "media")
+      .select(col("id"), Multimodal.audioMeta(col("media")).as("m"))
+      .select(col("id"), col("m.format"), col("m.channels"),
+        col("m.sample_rate_hz"), col("m.bits_per_sample"),
+        col("m.data_bytes"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    for (id <- Seq("plain", "odd_list"))
+      assert(out(id) == (("wav", Some(2), Some(16000L), Some(16), Some(1000L))),
+        s"$id -> ${out(id)}")
+    assert(out("data_first") ==
+      (("wav", Some(2), Some(16000L), Some(16), Some(4L))),
+      s"data_first -> ${out("data_first")}")
+    assert(out("not_riff")._1 == "unknown" && out("not_riff")._2.isEmpty)
+    assert(out("wav_trunc")._1 == "wav" && out("wav_trunc")._2.isEmpty &&
+      out("wav_trunc")._5.isEmpty)
+  }
+
+  test("fakeWavHeader -> audioMeta round trip across PCM parameter grid") {
+    import spark.implicits._
+    val grid = for (ch <- Seq(1, 2, 6); rate <- Seq(8000L, 44100L, 48000L);
+                    bits <- Seq(8, 16, 24))
+      yield (ch, rate, bits, ch * rate * bits / 8) // 1 second of payload
+    val out = grid.toDF("ch", "rate", "bits", "db")
+      .select(col("ch"), col("rate"), col("bits"), col("db"),
+        Multimodal.audioMeta(Multimodal.fakeWavHeader(
+          col("ch"), col("rate"), col("bits"), col("db"))).as("m"))
+      .collect()
+    out.foreach { r =>
+      val m = r.getStruct(4)
+      assert(m.getString(0) == "wav")
+      assert(m.getInt(1) == r.getInt(0) && m.getLong(2) == r.getLong(1) &&
+        m.getInt(3) == r.getInt(2) && m.getLong(4) == r.getLong(3),
+        s"${r.getInt(0)}ch ${r.getLong(1)}Hz ${r.getInt(2)}bit -> $m")
+    }
+  }
+
   test("frameSample: n frames of fixed size; tiny media yields empty") {
     import spark.implicits._
     val df = Seq(("long", "x" * 100), ("tiny", "ab")).toDF("id", "text")
