@@ -636,6 +636,49 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** PORTABLE SemDeDup twin — [[semanticDedup]] with the trained
+    * quantizer replaced by [[ivfAssignPortable]]'s deterministic
+    * md5-ranked centroid pick, and every cosine rounded to 6dp before
+    * any comparison (the q136/q158-proven portable constructs). The
+    * drop rule is NON-iterative — b drops iff SOME cluster-mate a < b
+    * sits at/above the threshold, whether or not a itself drops — so
+    * the whole pipeline (pick, assignment, within-cluster pairs,
+    * drop list) re-derives in plain SQL: the semantic-dedup tier
+    * gains an oracle row while q100 keeps the trained quantizer for
+    * list balance. Same scale shape as [[semanticDedup]]: broadcast
+    * centroids, map-side argmax riding repartition(id), per-cluster
+    * quadratic bounded by assignment. */
+  def semanticDedupPortable(embeddings: DataFrame, idCol: String,
+                            vecCol: String, simThreshold: Double,
+                            nlist: Int = 8): DataFrame = {
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val centroids = vecs
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(nlist)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val assigned = vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        round(cosineFast(col("vec"), col("cvec")), 6).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("vec")).as("vec"))
+    val left = assigned.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val right = assigned.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    left.join(right, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("vec_id"), col("id_a").as("keep_id"),
+        round(cosineFast(col("vec_a"), col("vec_b")), 6).as("cos"))
+      .filter(col("cos") >= simThreshold)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("keep_id"), struct(col("cos"), -col("keep_id")))
+          .as("kept_by"),
+        max(col("cos")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Symmetric per-vector int8 quantization fidelity report — the sizing
     * study behind every quantized ANN index (4x memory cut vs float32):
     * each vector is scaled by max|x|/127, elements round to [-127,127],

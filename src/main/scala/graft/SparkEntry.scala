@@ -669,6 +669,15 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
         "embedding", simThreshold = 0.35, nlist = 8)),
 
+    // PORTABLE SemDeDup twin at q100's parameters (threshold 0.35,
+    // nlist=8): the q158 deterministic centroid pick + 6dp cosine
+    // replace the trained quantizer, so the cluster-then-drop pipeline
+    // re-derives in SQL end-to-end — the semantic-dedup tier's oracle
+    // row (q100 keeps the trained quantizer for list balance)
+    "q164_semantic_dedup_portable" -> ((s, dir) =>
+      Similarity.semanticDedupPortable(Tables.embeddings(s, dir),
+        "vec_id", "embedding", simThreshold = 0.35, nlist = 8)),
+
     // IVF ANN: k-means coarse quantizer + probe-limited refine (no SQL
     // oracle: k-means assignment has no DuckDB twin; recall-verified in
     // SimilaritySpec)
@@ -2103,6 +2112,39 @@ object SparkEntry {
         |    AS duration_ms
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // portable SemDeDup: deterministic centroid pick + argmax-cosine
+    // assignment (the q158 construct), then the non-iterative
+    // within-cluster drop rule — b drops iff some cluster-mate a < b
+    // has 6dp-rounded cosine >= 0.35; kept_by is the most-similar such
+    // mate (ties -> lowest id)
+    "q164_semantic_dedup_portable" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cvec::DOUBLE[]), 6) AS cs
+        |  FROM embeddings e CROSS JOIN c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT vec_id, embedding, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT b.vec_id, a.vec_id AS keep_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) AS cos
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        |SELECT vec_id, keep_id AS kept_by, cos AS max_cos FROM (
+        |  SELECT vec_id, keep_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cos DESC, keep_id ASC) AS rn
+        |  FROM pairs WHERE cos >= 0.35)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q158_ivf_assign_portable" ->
       """WITH c AS (

@@ -212,6 +212,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("semanticDedupPortable: nlist=1 equals the trained tier; survivor rule holds") {
+    val emb = etlmudah.Tables.embeddings(spark, sf0001)
+    val tau = 0.35
+    // single cluster removes the only difference between the portable
+    // and trained tiers (the centroid pick), so the drop lists must be
+    // identical — the portable twin is the same dedup rule, not a
+    // lookalike
+    val portable = Similarity.semanticDedupPortable(emb, "vec_id",
+        "embedding", simThreshold = tau, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val trained = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        simThreshold = tau, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(portable.nonEmpty && portable == trained)
+    // at q164's production nlist the survivor rule still holds: kept_by
+    // is an earlier id and every reported pair really clears the
+    // threshold on a recompute
+    val drops = Similarity.semanticDedupPortable(emb, "vec_id",
+      "embedding", simThreshold = tau, nlist = 8).collect()
+    assert(drops.nonEmpty)
+    val byId = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    drops.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), r.toString)
+      val c = cos(byId(r.getLong(0)), byId(r.getLong(1)))
+      assert(c >= tau - 1e-6, s"reported pair below threshold: $r ($c)")
+    }
+  }
+
   test("exactEmbeddingPairs: equals the brute-force cross join on the probe slice") {
     val emb = etlmudah.Tables.embeddings(spark, sf0001)
     val got = Similarity.exactEmbeddingPairs(emb, "vec_id", "embedding",

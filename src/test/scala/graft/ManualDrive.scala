@@ -115,6 +115,12 @@ object ManualDrive {
         nlist = 8)
       .show(5)
 
+    // 8. portable SemDeDup (q164)
+    println("== semanticDedupPortable (q164)")
+    etlmudah.scale.Similarity.semanticDedupPortable(emb, "vec_id",
+        "embedding", simThreshold = 0.35, nlist = 8)
+      .show(5)
+
     spark.stop()
   }
 }

@@ -159,7 +159,10 @@ class PlanShapeSpec extends SparkSpec {
       "q136_embedding_pairs_exact",
       // q158's build side is the nlist-row portable centroid table —
       // the q38 assignment shape with a deterministic pick
-      "q158_ivf_assign_portable")
+      "q158_ivf_assign_portable",
+      // q164 reuses q158's bounded centroid broadcast for the portable
+      // SemDeDup assignment step
+      "q164_semantic_dedup_portable")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
