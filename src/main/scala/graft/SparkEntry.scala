@@ -972,8 +972,12 @@ object SparkEntry {
         (col("doc_id") % 3 + 1).cast("int"))
       val w = (col("doc_id") % 512 + 16).cast("int")
       val h = ((col("doc_id") * 7) % 512 + 16).cast("int")
+      // blob materialized as its own projection first — the q163
+      // lesson: an inlined synth tree is re-evaluated by every byte
+      // read of the decoder's marker walk
       docs.select(col("doc_id"),
-          Multimodal.mediaMeta(Multimodal.fakeMediaHeader(fmt, w, h)).as("m"))
+          Multimodal.fakeMediaHeader(fmt, w, h).as("blob"))
+        .select(col("doc_id"), Multimodal.mediaMeta(col("blob")).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.width").cast("bigint").as("width"),
           col("m.height").cast("bigint").as("height"))
@@ -1073,9 +1077,15 @@ object SparkEntry {
       val bits = element_at(array(lit(8), lit(16), lit(24), lit(32)),
         (col("doc_id") % 4 + 1).cast("int"))
       val db = (col("doc_id") % 100000L + 1000L).cast("long")
+      // the blob is materialized as its OWN projection before the
+      // decoder touches it — in production the binary column is a scan
+      // attribute, and inlining the synth tree instead makes the walk's
+      // every byte read re-evaluate the whole unhex(concat(...)) build
+      // (measured 50x slower); CollapseProject keeps the split because
+      // the alias is non-cheap and multiply-referenced
       docs.select(col("doc_id"),
-          Multimodal.audioMeta(
-            Multimodal.fakeWavHeader(ch, rate, bits, db)).as("m"))
+          Multimodal.fakeWavHeader(ch, rate, bits, db).as("blob"))
+        .select(col("doc_id"), Multimodal.audioMeta(col("blob")).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.channels").cast("bigint").as("channels"),
           col("m.sample_rate_hz").as("sample_rate_hz"),

@@ -43,6 +43,15 @@ object ProfileDrive {
       Dedup.nearDupPairs(docs, "text", "doc_id", minJaccard = 0.8)
         .write.format("noop").mode("overwrite").save())
 
+    // media decoders: the walk must run against an attribute blob, not
+    // an inlined synth tree (the q163 62s regression this pins)
+    time("q163 audio roundtrip")(
+      SparkEntry.queries("q163_audio_meta_roundtrip")(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+    time("q155 media roundtrip")(
+      SparkEntry.queries("q155_media_meta_roundtrip")(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+
     println("=== q02 star join plan ===")
     SparkEntry.queries("q02_stats_by_nation")(spark, dir).explain("formatted")
     println("=== q32 pushdown plan ===")
