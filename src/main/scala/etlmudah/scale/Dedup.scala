@@ -1410,4 +1410,73 @@ object Dedup {
         round(iD / col("n_a"), 6).as("containment_a"),
         round(iD / col("n_b"), 6).as("containment_b"))
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): positional token k-grams are
+    * hashed with the portable 32-bit md5 lane (fixed-width hex, so
+    * lexicographic min == numeric min and DuckDB re-derives every
+    * selection), and each window of `w` consecutive gram hashes selects
+    * its RIGHTMOST minimal hash (robust winnowing) — guaranteeing any
+    * shared run of at least w + k - 1 tokens yields a shared
+    * fingerprint while keeping ~2/(w+1) of grams. Docs with fewer than
+    * `w` grams select the minimum of what they have (the trailing
+    * window of the last gram covers the whole doc); docs under k tokens
+    * yield no grams and so no fingerprints.
+    *
+    * Scale shape: one hashpartitioning(id) exchange feeds the gram
+    * lead() window, the trailing-min window, and the rightmost-win
+    * dedup — per-doc state is w hashes, output is the selected
+    * fraction. Returns (id, pos, fp) ordered by (id, pos); `pos` is the
+    * 0-based token offset of the selected gram, `fp` the 8-hex-char
+    * hash. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until k).map(j => lead(col("t"), j).over(win))
+    val grams = tok.select(col("id"), col("pos"),
+        concat_ws(" ", col("t") +: leads: _*).as("g"),
+        (if (k == 1) lit(true) else leads.last.isNotNull).as("__full"))
+      .filter(col("__full"))
+      .select(col("id"), col("pos"),
+        substring(md5(col("g").cast("binary")), 1, 8).as("h"))
+    // trailing window of w hashes; min over struct(h, -pos) = smallest
+    // hash, ties broken toward the RIGHTMOST position (robust rule).
+    // rn/total gate which windows are real: every full window, plus the
+    // final (whole-doc) window of a short doc
+    val sel = grams.select(col("id"),
+        min(struct(col("h").as("h"), (-col("pos")).as("negpos")))
+          .over(win.rowsBetween(-(w - 1), Window.currentRow)).as("s"),
+        row_number().over(win).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("id"))).as("total"))
+      .filter(col("rn") >= w || col("rn") === col("total"))
+      .select(col("id"), (-col("s.negpos")).as("pos"), col("s.h").as("fp"))
+      .distinct()
+    sel.orderBy(col("id"), col("pos"))
+  }
+
+  /** The dedup application of [[winnowFingerprints]]: pairs of docs
+    * sharing at least `minShared` selected fingerprints, with the
+    * shared count. Fingerprints appearing in more than `maxDf` docs are
+    * dropped BEFORE the pair join (boilerplate fingerprints — the same
+    * hot-key cap every banded tier applies), so per-fingerprint join
+    * fan-out is maxDf-bounded by construction and the inverted index
+    * moves (fp, id) rows only. */
+  def winnowSharedPairs(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                        maxDf: Long = 50L): DataFrame = {
+    val fp = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    val dfCounts = fp.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+    val cold = fp.join(dfCounts.filter(col("fp_df") <= maxDf), Seq("fp"))
+    cold.select(col("fp"), col("id").as("id_a"))
+      .join(cold.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -678,6 +678,27 @@ object SparkEntry {
       Similarity.semanticDedupPortable(Tables.embeddings(s, dir),
         "vec_id", "embedding", simThreshold = 0.35, nlist = 8)),
 
+    // winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, the
+    // MOSS selection rule): trigram hashes, windows of 4, rightmost-min
+    // per window — the classic guarantee-bearing fingerprint sampler
+    // (any shared run of >= w+k-1 tokens yields a shared fingerprint
+    // at ~2/(w+1) density); portable md5 lane so DuckDB re-derives
+    // every selection
+    "q165_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnowFingerprints(Tables.documents(s, dir), "text", "doc_id",
+          k = 3, w = 4)
+        .select(col("id").as("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("fp"))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // the winnow dedup application: doc pairs sharing >= 2 selected
+    // fingerprints (hot fingerprints with df > 50 dropped before the
+    // inverted-index join — the banded tiers' bucket cap)
+    "q166_winnow_shared_pairs" -> ((s, dir) =>
+      Dedup.winnowSharedPairs(Tables.documents(s, dir), "text", "doc_id",
+          k = 3, w = 4, minShared = 2L, maxDf = 50L)
+        .select(col("id_a"), col("id_b"), col("shared"))),
+
     // IVF ANN: k-means coarse quantizer + probe-limited refine (no SQL
     // oracle: k-means assignment has no DuckDB twin; recall-verified in
     // SimilaritySpec)
@@ -1935,6 +1956,37 @@ object SparkEntry {
     * `minJ`. q130 keeps the hand-auditable small sketch; q152 runs q25's
     * production parameters (k=128, b=32) so the flagship banded tier
     * itself carries an oracle row. */
+  /** Shared CTE prefix for the winnowing oracles (q165/q166): trigram
+    * positional grams, 32-bit md5-lane hashes, trailing windows of 4
+    * with the rightmost-min selection encoded as a plain min() over the
+    * sortable key h || lpad(1e9 - pos). Mirrors
+    * [[etlmudah.scale.Dedup.winnowFingerprints]] at k=3, w=4. */
+  private def winnowSelSql: String =
+    """WITH tokarr AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+      |  FROM tokarr),
+      |grams AS (
+      |  SELECT a.doc_id, a.pos - 1 AS pos,
+      |    substr(md5(a.t || ' ' || b.t || ' ' || c.t), 1, 8) AS h
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |win AS (
+      |  SELECT doc_id, pos, h,
+      |    min(h || lpad((1000000000 - pos)::VARCHAR, 10, '0'))
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sk,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS total
+      |  FROM grams),
+      |sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    1000000000 - substr(sk, 9, 10)::BIGINT AS pos,
+      |    substr(sk, 1, 8) AS fp
+      |  FROM win WHERE rn >= 4 OR rn = total)""".stripMargin
+
   private def minhashPortableSql(k: Int, bands: Int, minJ: Double): String = {
     val rpb = k / bands
     // four 32-bit hex lanes per md5: hash i = seed i/4, lane i%4 (hex
@@ -2155,6 +2207,27 @@ object SparkEntry {
         |                       ORDER BY cos DESC, keep_id ASC) AS rn
         |  FROM pairs WHERE cos >= 0.35)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // winnowing: trigram md5-lane hashes, trailing windows of 4,
+    // rightmost-min selection. The sortable key h || lpad(1e9 - pos)
+    // encodes (hash asc, pos desc) so a plain min() replicates the
+    // robust-winnowing tie-break; rn >= w admits every full window,
+    // rn = total admits the short-doc whole-doc window
+    "q165_winnow_fingerprints" ->
+      (winnowSelSql + """
+        |SELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin),
+
+    "q166_winnow_shared_pairs" ->
+      (winnowSelSql + """,
+        |fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |dfc AS (SELECT fp, count(*) AS fp_df FROM fpd GROUP BY fp),
+        |cold AS (
+        |  SELECT f.doc_id, f.fp FROM fpd f JOIN dfc USING (fp)
+        |  WHERE fp_df <= 50)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin),
 
     "q158_ivf_assign_portable" ->
       """WITH c AS (

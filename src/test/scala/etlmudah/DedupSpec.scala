@@ -666,4 +666,81 @@ class DedupSpec extends SparkSpec {
     assert(clusters.filter(_._2 == 0L).head._3 == 2001L) // star size
     assert(secs < 180.0, f"salted CC took $secs%.1f s")
   }
+
+  test("winnowFingerprints: SIGMOD'03 guarantee, density, rightmost tie-break, short docs") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    // two docs sharing a run of exactly w + k - 1 = 6 tokens must share
+    // a fingerprint (the winnowing guarantee), surrounded by disjoint
+    // filler so nothing else collides
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $shared a6 a7 a8 a9"),
+      (2L, s"b1 b2 b3 b4 b5 $shared b6 b7 b8 b9"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+      (4L, "d1 d2"),   // under k tokens: no grams, no fingerprints
+      (5L, "e1 e2 e3 e4")) // 2 grams < w: whole-doc window, min selected
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "text", "doc_id", k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "guaranteed shared fingerprint missing")
+    assert(byDoc(1L).intersect(byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).size == 1)
+    // every selected fingerprint is the rightmost minimum of SOME
+    // trailing window — replay serially
+    def serialWinnow(text: String): Set[(Int, String)] = {
+      val toks = text.trim.split("\\s+")
+      val grams = toks.sliding(k).zipWithIndex.map { case (g, p) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        (p, hex)
+      }.toVector
+      if (grams.isEmpty) Set.empty
+      else {
+        val windows =
+          if (grams.size < w) Vector(grams)
+          else grams.sliding(w).toVector
+        windows.map(win => win.minBy(g => (g._2, -g._1)))
+          .map { case (p, h) => (p, h) }.toSet
+      }
+    }
+    for ((id, text) <- Seq(1L, 2L, 3L, 5L).map(i =>
+        i -> docs.filter(col("doc_id") === i).head().getString(1))) {
+      val want = serialWinnow(text)
+      val got = fp.filter(_._1 == id).map(t => (t._2, t._3)).toSet
+      assert(got == want, s"doc $id: $got != $want")
+    }
+    // density: the selected fraction of a long random doc sits near
+    // 2/(w+1), never above 1/1 of windows
+    val long = (1 to 500).map(i => s"t${i * 7919 % 501}").mkString(" ")
+    val sel = serialWinnow(long).size.toDouble / (500 - k + 1)
+    assert(sel > 0.2 && sel < 0.6, s"density $sel")
+  }
+
+  test("winnowSharedPairs: planted near-dup pair surfaces; hot fingerprints capped out") {
+    import spark.implicits._
+    // docs 1/2 share two long runs -> >= 2 shared fingerprints; the
+    // boilerplate line appears in EVERY doc so its fingerprints exceed
+    // maxDf and never join
+    val boiler = "copyright footer terms of service apply here now"
+    val run1 = "alpha beta gamma delta epsilon zeta eta"
+    val run2 = "one two three four five six seven"
+    val rows = Seq(
+      (1L, s"$run1 x1 $run2 $boiler"),
+      (2L, s"y1 $run1 y2 $run2 $boiler")) ++
+      (3L to 30L).map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e $boiler"))
+    val docs = rows.toDF("doc_id", "text")
+    val pairs = Dedup.winnowSharedPairs(docs, "text", "doc_id",
+        k = 3, w = 4, minShared = 2L, maxDf = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2L),
+      s"planted pair missing: ${pairs.toSeq}")
+    // no pair may exist solely through the capped boilerplate
+    assert(pairs.forall(p => p._1 == 1L && p._2 == 2L),
+      s"boilerplate-only pair leaked: ${pairs.toSeq}")
+  }
 }

@@ -115,6 +115,15 @@ object ManualDrive {
         nlist = 8)
       .show(5)
 
+    // 8b. winnowing fingerprints + shared-pair application (q165/q166)
+    println("== winnowFingerprints / winnowSharedPairs (q165/q166)")
+    etlmudah.scale.Dedup.winnowFingerprints(docs, "text", "doc_id",
+        k = 3, w = 4)
+      .show(5, truncate = false)
+    etlmudah.scale.Dedup.winnowSharedPairs(docs, "text", "doc_id",
+        k = 3, w = 4, minShared = 2L, maxDf = 50L)
+      .show(5, truncate = false)
+
     // 8. portable SemDeDup (q164)
     println("== semanticDedupPortable (q164)")
     etlmudah.scale.Similarity.semanticDedupPortable(emb, "vec_id",
