@@ -83,9 +83,15 @@ object Multimodal {
   /** Big-endian uint16 / uint32 and little-endian uint16 at 1-based pos. */
   private def be16(media: Column, pos: Column): Column =
     byteAt(media, pos) * 256 + byteAt(media, pos + 1)
+  // LONG arithmetic: a hostile/corrupt header with byte >= 0x80 at the
+  // first position makes the uint32 exceed Int.MaxValue, and under
+  // Spark 4's default ANSI mode an Int overflow THROWS instead of
+  // yielding the documented null-on-garbage behavior
   private def be32(media: Column, pos: Column): Column =
-    ((byteAt(media, pos) * 256 + byteAt(media, pos + 1)) * 256 +
-      byteAt(media, pos + 2)) * 256 + byteAt(media, pos + 3)
+    (byteAt(media, pos).cast("long") * 16777216L +
+      byteAt(media, pos + 1) * 65536L +
+      byteAt(media, pos + 2) * 256L +
+      byteAt(media, pos + 3)).cast("long")
   private def le16(media: Column, pos: Column): Column =
     byteAt(media, pos) + byteAt(media, pos + 1) * 256
   private def le32(media: Column, pos: Column): Column =
@@ -140,14 +146,18 @@ object Multimodal {
           .otherwise(struct((off + be16(media, off + 2) + 2).as("off"),
             lit(null).cast("int").as("w"), lit(null).cast("int").as("h")))
       })
+    // width/height are LONG across every branch: PNG's uint32 fields
+    // don't fit an Int for hostile headers (see be32)
     when(isPng, struct(lit("png").as("format"),
         be32(media, lit(17)).as("width"), be32(media, lit(21)).as("height")))
       .when(isGif, struct(lit("gif").as("format"),
-        le16(media, lit(7)).as("width"), le16(media, lit(9)).as("height")))
+        le16(media, lit(7)).cast("long").as("width"),
+        le16(media, lit(9)).cast("long").as("height")))
       .when(isJpeg, struct(lit("jpeg").as("format"),
-        jpegScan.getField("w").as("width"), jpegScan.getField("h").as("height")))
+        jpegScan.getField("w").cast("long").as("width"),
+        jpegScan.getField("h").cast("long").as("height")))
       .otherwise(struct(lit("unknown").as("format"),
-        lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
+        lit(null).cast("long").as("width"), lit(null).cast("long").as("height")))
   }
 
   /** REAL audio metadata decode for WAV (RIFF) containers — the audio

@@ -532,7 +532,13 @@ object Dedup {
     * paid once at staging time, and every consuming pass (self-join
     * audits, cross-corpus decontamination, re-runs with different
     * band/threshold dials that share k) starts from the table. `sig`
-    * must carry (id, mins[k]) for at least every id in `df`. */
+    * must carry (id, mins[k]) for at least every id in `df`.
+    *
+    * NOTE the defaults are the PRODUCTION dials (k=128, b=32,
+    * minJaccard=0.8 — q152's parameters), not [[minhashPortablePairs]]'s
+    * cheap-oracle dials (k=8, b=4, 0.7): migrating a call site to the
+    * staged tier must pass its thresholds explicitly or the result set
+    * changes. */
   def minhashPortablePairsStaged(df: DataFrame, textCol: String,
                                  idCol: String, sig: DataFrame,
                                  shingleN: Int = 3, k: Int = 128,
@@ -676,7 +682,10 @@ object Dedup {
   /** [[minhashPortableCrossPairs]] over a PRE-STAGED signature table
     * covering BOTH corpora (per-document signatures are
     * subset-stable, so the one full-corpus `minhashPortableSigTable`
-    * artifact serves any train/ref split of it). */
+    * artifact serves any train/ref split of it). NOTE: defaults are the
+    * production dials (k=128, b=32, minJaccard=0.8), not the inline
+    * twin's cheap-oracle dials — pass thresholds explicitly when
+    * migrating a call site. */
   def minhashPortableCrossStaged(train: DataFrame, ref: DataFrame,
                                  textCol: String, idCol: String,
                                  sig: DataFrame, shingleN: Int = 3,
@@ -1167,9 +1176,14 @@ object Dedup {
     * is one doc-keyed aggregate. */
   def stripDupSpans(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 8, hotCutoff: Long = 1000000L): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2 (got $k)")
+    // materialized: the token explode feeds the gram build AND the
+    // kept anti-join — unmaterialized it would tokenize the corpus
+    // twice
     val tok = df.repartition(col(idCol))
       .select(col(idCol).as("id"),
         posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val leads = (1 until k).map(j => lead(col("t"), j).over(w))
     // materialized: feeds the gram-stats aggregate AND both drop-start
@@ -1468,8 +1482,12 @@ object Dedup {
   def winnowSharedPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, w: Int = 4, minShared: Long = 2L,
                         maxDf: Long = 50L): DataFrame = {
+    // materialized: the whole winnow pipeline (tokenize + two keyed
+    // windows + dedup) feeds the df-count aggregate AND both sides of
+    // the pair self-join — unmaterialized it would run up to 4x
     val fp = winnowFingerprints(df, textCol, idCol, k, w)
       .select(col("id"), col("fp")).distinct()
+      .localCheckpoint(true)
     val dfCounts = fp.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
     val cold = fp.join(dfCounts.filter(col("fp_df") <= maxDf), Seq("fp"))
     cold.select(col("fp"), col("id").as("id_a"))

@@ -412,10 +412,15 @@ object Similarity {
         when(col(s"p_${t}_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as(s"k$t")
     }
+    // materialized: both sides of the candidate self-join read the
+    // buckets frame — unmaterialized, the corpus-wide tables*bits
+    // projection aggregate runs twice (the plan shape lshTopKAll's own
+    // checkpoint exists to avoid)
     val buckets = proj.select(col("id") +: keyCols: _*)
       .select(col("id"),
         posexplode(array((0 until tables).map(t => col(s"k$t")): _*))
           .as(Seq("tbl", "bkt")))
+      .localCheckpoint(true)
     val cand = buckets.select(col("tbl"), col("bkt"), col("id").as("id_a"))
       .join(buckets.select(col("tbl"), col("bkt"), col("id").as("id_b")),
         Seq("tbl", "bkt"))
@@ -449,24 +454,45 @@ object Similarity {
     * argmax riding the repartition(id) exchange — the corpus never
     * shuffles for the argmax and never joins itself. */
   def ivfAssignPortable(embeddings: DataFrame, idCol: String,
-                        vecCol: String, nlist: Int = 8): DataFrame = {
+                        vecCol: String, nlist: Int = 8): DataFrame =
+    portableAssign(embeddings, idCol, vecCol, nlist, keepVec = false)
+      .select(col("id").as("vec_id"), col("cid").as("centroid_id"),
+        col("csim").as("cos_sim"))
+      .orderBy(col("vec_id"))
+
+  /** The ONE deterministic pick + assignment construct behind both
+    * portable tiers ([[ivfAssignPortable]] and [[semanticDedupPortable]])
+    * — shared so a tie-break or rounding change can never diverge the
+    * q158 and q164 oracles. Centroids are the `nlist` vectors with the
+    * lexicographically smallest md5(id) (TakeOrderedAndProject — never
+    * a global sort); every vector assigns to its argmax-6dp-cosine
+    * centroid, ties to the lowest cid, argmax riding the
+    * repartition(id) exchange map-side-combined. `keepVec` carries the
+    * vector through the aggregate only when the caller needs it (the
+    * within-cluster pair join) — the assignment-only tier shuffles ids
+    * and scores, not embeddings. */
+  private def portableAssign(embeddings: DataFrame, idCol: String,
+                             vecCol: String, nlist: Int,
+                             keepVec: Boolean): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
-    // TakeOrderedAndProject over (md5(id), id): nlist rows to the
-    // driver-side broadcast — never a global sort of the corpus
     val centroids = vecs
       .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
       .limit(nlist)
       .select(col("id").as("cid"), col("vec").as("cvec"))
-    vecs.crossJoin(broadcast(centroids))
-      .select(col("id"), col("cid"),
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
         round(cosineFast(col("vec"), col("cvec")), 6).as("csim"))
-      .groupBy(col("id"))
-      .agg(max_by(struct(col("cid"), col("csim")),
-        struct(col("csim"), -col("cid"))).as("best"))
-      .select(col("id").as("vec_id"), col("best.cid").as("centroid_id"),
-        col("best.csim").as("cos_sim"))
-      .orderBy(col("vec_id"))
+    val best = max_by(struct(col("cid"), col("csim")),
+      struct(col("csim"), -col("cid"))).as("best")
+    val agged =
+      if (keepVec)
+        scored.groupBy(col("id")).agg(best, first(col("vec")).as("vec"))
+      else
+        scored.drop("vec").groupBy(col("id")).agg(best)
+    agged.select(
+      Seq(col("id")) ++ (if (keepVec) Seq(col("vec")) else Nil) ++
+        Seq(col("best.cid").as("cid"), col("best.csim").as("csim")): _*)
   }
 
   /** ANN top-k for ALL vectors at once (the scale path): bucket-join
@@ -651,18 +677,12 @@ object Similarity {
   def semanticDedupPortable(embeddings: DataFrame, idCol: String,
                             vecCol: String, simThreshold: Double,
                             nlist: Int = 8): DataFrame = {
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .repartition(col("id"))
-    val centroids = vecs
-      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
-      .limit(nlist)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
-    val assigned = vecs.crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("cid"),
-        round(cosineFast(col("vec"), col("cvec")), 6).as("csim"))
-      .groupBy(col("id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        first(col("vec")).as("vec"))
+    // materialized: both sides of the within-cluster pair join read the
+    // assignment — unmaterialized, the broadcast-centroid crossJoin +
+    // corpus argmax would run twice
+    val assigned = portableAssign(embeddings, idCol, vecCol, nlist,
+        keepVec = true)
+      .localCheckpoint(true)
     val left = assigned.select(col("cid"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val right = assigned.select(col("cid"), col("id").as("id_b"),

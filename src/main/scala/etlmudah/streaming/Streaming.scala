@@ -664,6 +664,28 @@ object Streaming {
         val baseRoot = new org.apache.hadoop.fs.Path(basePath)
         val fs = baseRoot.getFileSystem(conf)
         recoverBucketSwaps(fs, basePath)
+        // bucket-count MANIFEST: the layout's bucket count is part of
+        // the base's on-disk identity — a restart with a different
+        // numBuckets would merge keys against the wrong bucket and
+        // leave duplicate event_ids across layouts with no error. The
+        // manifest turns that silent corruption into a hard failure.
+        val manifest = new org.apache.hadoop.fs.Path(
+          s"$basePath/_graft_num_buckets")
+        if (fs.exists(manifest)) {
+          val in = fs.open(manifest)
+          val persisted =
+            try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+            finally in.close()
+          require(persisted == numBuckets,
+            s"upsertSink base $basePath is laid out with numBuckets=" +
+              s"$persisted; restarting with numBuckets=$numBuckets would " +
+              "split keys across bucket layouts")
+        } else {
+          fs.mkdirs(baseRoot)
+          val mOut = fs.create(manifest, true)
+          try mOut.write(numBuckets.toString.getBytes("UTF-8"))
+          finally mOut.close()
+        }
         val stamped = batch
           .withColumn("batch_ts", lit(batchId))
           .withColumn("bucket",

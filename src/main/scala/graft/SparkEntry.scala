@@ -99,16 +99,26 @@ object SparkEntry {
     val src = new Path(s"$dir/documents.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
     val rootSt = fs.getFileStatus(src)
+    // RECURSIVE listing: a partitioned/nested layout has no top-level
+    // data files, and a non-recursive list would leave the key constant
+    // across corpus regenerations (silent stale-artifact reuse). Paths
+    // are recorded relative to the root so nested same-name files stay
+    // distinct.
     val leafIds: Seq[String] =
-      if (rootSt.isDirectory)
-        fs.listStatus(src).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-            && !st.getPath.getName.startsWith("."))
-          .sortBy(_.getPath.getName)
-          .map(st => s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
-      else Seq(s"${rootSt.getLen}|${rootSt.getModificationTime}")
+      if (rootSt.isDirectory) {
+        val it = fs.listFiles(src, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toString.stripPrefix(src.toString)
+          val name = st.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith("."))
+            buf += s"$rel|${st.getLen}|${st.getModificationTime}"
+        }
+        buf.sorted.toSeq
+      } else Seq(s"${rootSt.getLen}|${rootSt.getModificationTime}")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"${src.toUri}|$tag|" + leafIds.mkString(";"))
+      .digest((s"${src.toUri}|$tag|n=${leafIds.size}|" + leafIds.mkString(";"))
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stage/${prefix}_$key"
     val outP = new Path(out)
@@ -116,11 +126,19 @@ object SparkEntry {
     if (!fs.exists(success)) {
       val tmp = new Path(s"$out.write-${java.util.UUID.randomUUID().toString.take(8)}")
       build.write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(success)) fs.delete(tmp, true)   // a racing writer won
-      else {
-        if (fs.exists(outP)) fs.delete(outP, true)   // torn pre-rename leftover
-        if (!fs.rename(tmp, outP)) fs.delete(tmp, true)
+      // rename FIRST (it fails if the destination exists — never
+      // clobbers). tmp already contains _SUCCESS, and rename is atomic,
+      // so a published dir always carries _SUCCESS: a destination
+      // without one can only be torn garbage, never a live artifact a
+      // reader could be scanning.
+      if (!fs.rename(tmp, outP)) {
+        if (fs.exists(success)) fs.delete(tmp, true) // a racer published; use theirs
+        else {
+          fs.delete(outP, true)                      // torn pre-rename leftover
+          if (!fs.rename(tmp, outP)) fs.delete(tmp, true) // lost the re-race
+        }
       }
+      require(fs.exists(success), s"staged artifact publish failed: $out")
     }
     s.read.parquet(out)
   }

@@ -60,19 +60,24 @@ class MultimodalSpec extends SparkSpec {
         "03" + "00" * 10)),
       ("not_media", "just text bytes".getBytes("UTF-8").toSeq.toArray),
       // PNG signature but truncated before the dimension bytes
-      ("png_trunc", hx("89504E470D0A1A0A" + "0000"))
+      ("png_trunc", hx("89504E470D0A1A0A" + "0000")),
+      // hostile PNG: width uint32 has the high bit set (2^31) — must
+      // decode as a long, not overflow-throw under ANSI mode
+      ("png_hostile", hx("89504E470D0A1A0A" + "0000000D49484452" +
+        "80000000" + "00000001" + "0806000000"))
     )
     val out = fixtures.toDF("id", "media")
       .select(col("id"), Multimodal.mediaMeta(col("media")).as("m"))
       .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
       .collect().map(r => r.getString(0) ->
         (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
-    assert(out("png640") == (("png", Some(640), Some(480))))
-    assert(out("gif320") == (("gif", Some(320), Some(200))))
-    assert(out("jpeg320") == (("jpeg", Some(320), Some(240))))
-    assert(out("jpeg_sof2") == (("jpeg", Some(17), Some(19))))
+    assert(out("png640") == (("png", Some(640L), Some(480L))))
+    assert(out("gif320") == (("gif", Some(320L), Some(200L))))
+    assert(out("jpeg320") == (("jpeg", Some(320L), Some(240L))))
+    assert(out("jpeg_sof2") == (("jpeg", Some(17L), Some(19L))))
     assert(out("not_media")._1 == "unknown" && out("not_media")._2.isEmpty)
     assert(out("png_trunc")._1 == "png" && out("png_trunc")._2.isEmpty)
+    assert(out("png_hostile") == (("png", Some(2147483648L), Some(1L))))
   }
 
   test("fakeMediaHeader -> mediaMeta round trip across formats and dims") {
@@ -88,8 +93,8 @@ class MultimodalSpec extends SparkSpec {
       val (fmt, w, h) = (r.getString(0), r.getInt(1), r.getInt(2))
       val m = r.getStruct(3)
       assert(m.getString(0) == fmt, s"$fmt $w x $h -> ${m.getString(0)}")
-      assert(m.getInt(1) == w && m.getInt(2) == h,
-        s"$fmt $w x $h -> ${m.getInt(1)} x ${m.getInt(2)}")
+      assert(m.getLong(1) == w.toLong && m.getLong(2) == h.toLong,
+        s"$fmt $w x $h -> ${m.getLong(1)} x ${m.getLong(2)}")
     }
   }
 

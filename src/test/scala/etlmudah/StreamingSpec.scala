@@ -599,4 +599,35 @@ class StreamingSpec extends SparkSpec {
     torn(withTmp = false, s"$out/cp4")  // crashed before __tmp renamed in
     torn(withTmp = true, s"$out/cp5")   // crashed with __tmp complete
   }
+
+  test("upsertSink: bucket-count manifest rejects a mismatched restart") {
+    val out = Files.createTempDirectory("stream_upsert_manifest").toString
+    val base = s"$out/base"
+    val src = stageEvents("src_upsert_manifest")
+    def runOnce(buckets: Int, cp: String): Unit = {
+      val q = Streaming.upsertSink(
+          Streaming.readEvents(spark, src), base, cp, numBuckets = buckets)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000)
+      finally { q.stop(); while (spark.streams.active.nonEmpty) Thread.sleep(50) }
+    }
+    runOnce(8, s"$out/cp1")
+    assert(new java.io.File(s"$base/_graft_num_buckets").exists())
+    val before = spark.read.parquet(base)
+      .select("event_id", "value").orderBy("event_id").collect()
+    // a restart with a different bucket count must FAIL the batch, not
+    // silently merge against the wrong layout
+    val ex = intercept[Exception] { runOnce(4, s"$out/cp2") }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("numBuckets"))), ex.toString)
+    // and the base is untouched by the rejected run
+    val after = spark.read.parquet(base)
+      .select("event_id", "value").orderBy("event_id").collect()
+    assert(before.length > 0 && before.zip(after).forall { case (a, b) => a == b })
+    // same bucket count restarts fine
+    runOnce(8, s"$out/cp3")
+  }
 }
