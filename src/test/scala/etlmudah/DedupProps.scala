@@ -61,3 +61,50 @@ object DedupProps extends Properties("StripBoilerplate") {
       texts.isEmpty || run(texts, texts.length + 1).forall(_._3 == 0L)
     }
 }
+
+/** ScalaCheck properties for winnowing fingerprint selection: exact
+  * serial-replay agreement (including the rightmost-min tie-break and
+  * the short-doc whole-doc window) over random small-vocabulary
+  * corpora and window sizes. */
+object WinnowProps extends Properties("WinnowFingerprints") {
+
+  private lazy val spark = SparkTestSession.spark
+  private val k = 3
+
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+  private val corpusGen: Gen[List[String]] = Gen.listOfN(6, docGen)
+
+  /** Serial oracle: the SIGMOD'03 robust rule with plain collections. */
+  private def serial(texts: Seq[String], w: Int): Set[(Long, Int, String)] =
+    texts.zipWithIndex.flatMap { case (t, id) =>
+      val toks = t.trim.split("\\s+").toSeq
+      val grams = toks.sliding(k).filter(_.length == k).zipWithIndex
+        .map { case (g, p) =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(g.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(8)
+          (p, hex)
+        }.toVector
+      val windows =
+        if (grams.isEmpty) Vector.empty
+        else if (grams.size < w) Vector(grams)
+        else grams.sliding(w).toVector
+      windows.map(_.minBy(g => (g._2, -g._1)))
+        .map { case (p, h) => (id.toLong, p, h) }.toSet
+    }.toSet
+
+  property("matches the serial replay on random corpora and window sizes") =
+    forAll(corpusGen, Gen.chooseNum(2, 5)) { (texts, w) =>
+      import spark.implicits._
+      texts.isEmpty || {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = Dedup.winnowFingerprints(df, "text", "doc_id", k, w)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          .toSet
+        got == serial(texts, w)
+      }
+    }
+}
