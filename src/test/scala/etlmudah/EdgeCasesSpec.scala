@@ -223,6 +223,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(asg.length == 2 && asg.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("winnowing and portable SemDeDup tolerate empty and degenerate input") {
+    import etlmudah.scale.Similarity
+    // empty corpus -> no fingerprints, no pairs, no throw
+    assert(Dedup.winnowFingerprints(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.winnowSharedPairs(emptyDocs, "text", "doc_id").count() == 0)
+    // a whitespace-only doc has one (empty) token < k -> no fingerprints
+    val blank = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(blank, "text", "doc_id").count() == 0)
+    // a doc of exactly k tokens yields exactly one fingerprint at pos 0
+    val exact = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val one = Dedup.winnowFingerprints(exact, "text", "doc_id").collect()
+    assert(one.length == 1 && one.head.getInt(1) == 0)
+    // identical twin docs pair through every selected fingerprint
+    val twins = Seq((1L, "p q r s t u v w"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val tp = Dedup.winnowSharedPairs(twins, "text", "doc_id",
+      minShared = 1L).collect()
+    assert(tp.length == 1 && tp.head.getLong(0) == 1L)
+    // portable SemDeDup: empty corpus empty; a single vector never drops
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedupPortable(noVecs, "vec_id", "embedding",
+      simThreshold = 0.3).count() == 0)
+    val oneVec = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedupPortable(oneVec, "vec_id", "embedding",
+      simThreshold = 0.3).count() == 0)
+  }
+
   test("curation/export operators tolerate empty and zero-size input") {
     import etlmudah.analytics.{Events, Profile}
     import java.sql.Timestamp
