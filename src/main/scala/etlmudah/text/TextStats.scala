@@ -1119,4 +1119,70 @@ object TextStats {
           .cast("double") / sum(col("n")), 4).as("intact_word_share"))
       .orderBy(col("src"))
   }
+
+  /** Cavnar–Trenkle rank-profile classification ("N-Gram-Based Text
+    * Categorization", 1994 — the classic n-gram language-ID algorithm,
+    * here demonstrated with `classCol` as the category label; feed
+    * per-language seed corpora and it IS language ID). Each class's
+    * profile is its top-`topV` character trigrams ranked by total
+    * frequency (ties → gram asc); each document is assigned the class
+    * minimizing the out-of-place distance Σ|doc_rank − class_rank| over
+    * the document's own top-`topV` trigrams, a trigram absent from the
+    * class profile costing `topV`; distance ties → class asc.
+    * Deterministic end to end, so an external engine replays profiles,
+    * ranks, and distances exactly.
+    *
+    * Scale shape: one explode of char offsets (text length−2 rows per
+    * doc) feeding a map-side-combined (id, gram) count; class counts
+    * aggregate FROM the doc counts (the corpus is scanned once); both
+    * rank windows run over Heaps-law-bounded count tables; the distance
+    * join fans each doc's topV rows out by |classes| (a broadcast) and
+    * probes the class profiles (topV × |classes| rows, broadcast).
+    * Documents shorter than 3 characters have no trigram and are
+    * excluded. Returns (id, actual, predicted, distance). */
+  def rankProfileClassify(df: DataFrame, textCol: String, idCol: String,
+                          classCol: String, topV: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol).as("id"), col(classCol).as("cls"),
+        lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= 3)
+      .repartition(col("id"))
+    val grams = base
+      .select(col("id"), col("cls"),
+        explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
+      .select(col("id"), col("cls"), col("t").substr(col("i"), lit(3)).as("g"))
+    val docCounts = grams.groupBy(col("id"), col("cls"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the class profile AND the doc profile
+    val classCounts = docCounts.groupBy(col("cls"), col("g"))
+      .agg(sum(col("c")).as("c"))
+    val classProf = classCounts
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("cls"))
+          .orderBy(col("c").desc, col("g").asc)))
+      .filter(col("crank") <= topV)
+      .select(col("cls").as("pcls"), col("g"), col("crank"))
+    val docProf = docCounts
+      .withColumn("drank", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("c").desc, col("g").asc)))
+      .filter(col("drank") <= topV)
+      .select(col("id"), col("cls").as("actual"), col("g"), col("drank"))
+    val classes = classProf.select(col("pcls")).distinct()
+    val dist = docProf
+      .crossJoin(broadcast(classes))
+      .join(broadcast(classProf), Seq("pcls", "g"), "left")
+      .groupBy(col("id"), col("actual"), col("pcls"))
+      .agg(sum(coalesce(abs(col("drank") - col("crank")),
+        lit(topV.toLong))).as("distance"))
+    dist
+      .groupBy(col("id"), col("actual"))
+      .agg(min_by(struct(col("pcls"), col("distance")),
+        struct(col("distance"), col("pcls"))).as("best"))
+      .select(col("id"), col("actual"),
+        col("best.pcls").as("predicted"),
+        col("best.distance").cast("long").as("distance"))
+      .orderBy(col("id"))
+  }
 }

@@ -447,6 +447,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"), col("pred"))),
 
+    // Cavnar–Trenkle rank-profile n-gram classification (the classic
+    // n-gram language-ID algorithm, demonstrated with source as the
+    // category): top-20 char-trigram profiles per class, out-of-place
+    // distance, min-distance assignment — deterministic, so the whole
+    // pipeline re-derives in SQL
+    "q167_rank_profile_classify" -> ((s, dir) =>
+      TextStats.rankProfileClassify(Tables.documents(s, dir), "text",
+          "doc_id", "source", topV = 20)
+        .select(col("id").as("doc_id"), col("actual"), col("predicted"),
+          col("distance"))
+        .orderBy(col("doc_id"))),
+
     // document fingerprinting (rolling-hash dedup key)
     "q23_fingerprint_collisions" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -2234,6 +2246,42 @@ object SparkEntry {
     "q165_winnow_fingerprints" ->
       (winnowSelSql + """
         |SELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin),
+
+    // Cavnar–Trenkle: char-trigram counts per doc (one lateral offset
+    // scan), class counts summed FROM the doc counts, both rank
+    // profiles top-20 with (count desc, gram asc) ties, out-of-place
+    // distance with topV penalty for absent grams, min-distance class
+    // (ties -> class asc)
+    "q167_rank_profile_classify" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS cls, lower(text) AS t FROM documents
+        |  WHERE len(lower(text)) >= 3),
+        |g AS (
+        |  SELECT doc_id, cls, substr(t, i::INT, 3) AS g
+        |  FROM (SELECT doc_id, cls, t,
+        |          unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM base)),
+        |dg AS (SELECT doc_id, cls, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |cg AS (SELECT cls, g, sum(c) AS c FROM dg GROUP BY 1, 2),
+        |cp AS (
+        |  SELECT cls AS pcls, g, row_number() OVER (
+        |    PARTITION BY cls ORDER BY c DESC, g ASC) AS crank
+        |  FROM cg QUALIFY crank <= 20),
+        |dp AS (
+        |  SELECT doc_id, cls AS actual, g, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY c DESC, g ASC) AS drank
+        |  FROM dg QUALIFY drank <= 20),
+        |classes AS (SELECT DISTINCT pcls FROM cp),
+        |dist AS (
+        |  SELECT dp.doc_id, dp.actual, classes.pcls,
+        |    sum(coalesce(abs(dp.drank - cp.crank), 20))::BIGINT AS distance
+        |  FROM dp CROSS JOIN classes
+        |  LEFT JOIN cp ON cp.pcls = classes.pcls AND cp.g = dp.g
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, actual, pcls AS predicted, distance FROM (
+        |  SELECT doc_id, actual, pcls, distance, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY distance ASC, pcls ASC) AS rn
+        |  FROM dist) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q166_winnow_shared_pairs" ->
       (winnowSelSql + """,

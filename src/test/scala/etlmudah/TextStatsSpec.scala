@@ -621,4 +621,43 @@ class TextStatsSpec extends SparkSpec {
         r.getString(3), r.getLong(4))).toSeq
     assert(got == again)
   }
+
+  test("rankProfileClassify: separable classes classify perfectly; out-of-profile distance is topV-capped") {
+    import spark.implicits._
+    // two char-distributionally disjoint 'languages'
+    val aText = "alpha apple amber arbor angle ankle"
+    val zText = "zigzag fuzzy buzzer puzzle dizzy muzzle"
+    val docs = Seq(
+      (1L, "A", aText), (2L, "A", aText + " apple amber"),
+      (3L, "A", "arbor angle apple alpha"),
+      (4L, "Z", zText), (5L, "Z", zText + " fuzzy dizzy"),
+      (6L, "Z", "puzzle buzzer zigzag fuzzy"))
+      .toDF("doc_id", "lang", "text")
+    val topV = 10
+    val out = TextStats.rankProfileClassify(docs, "text", "doc_id", "lang",
+        topV = topV)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.length == 6)
+    out.foreach { case (id, actual, pred, _) =>
+      assert(actual == pred, s"doc $id: $actual classified $pred") }
+    // the out-of-place distance is bounded by its algebraic maximum:
+    // topV profiled grams, each costing at most the topV penalty
+    out.foreach { case (id, _, _, d) =>
+      assert(d >= 0L && d <= topV.toLong * topV, s"doc $id distance $d") }
+    // a class whose text is disjoint from every other profile
+    // self-classifies with distance < the all-absent floor of others
+    val probe = docs.union(
+      Seq((7L, "Q", "kkk www kkk www kkk www")).toDF("doc_id", "lang", "text"))
+    val q = TextStats.rankProfileClassify(probe, "text", "doc_id", "lang",
+        topV = topV)
+      .filter(col("id") === 7L).collect().head
+    assert(q.getString(2) == "Q" && q.getLong(3) == 0L, q.toString)
+    // determinism
+    val again = TextStats.rankProfileClassify(docs, "text", "doc_id", "lang",
+        topV = topV)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq == again.toSeq)
+  }
 }

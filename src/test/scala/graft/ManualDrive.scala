@@ -124,6 +124,13 @@ object ManualDrive {
         k = 3, w = 4, minShared = 2L, maxDf = 50L)
       .show(5, truncate = false)
 
+    // 8c. rank-profile n-gram classification (q167)
+    println("== rankProfileClassify (q167)")
+    etlmudah.text.TextStats.rankProfileClassify(
+        spark.read.parquet(s"$sf/documents.parquet"),
+        "text", "doc_id", "source", topV = 20)
+      .show(5, truncate = false)
+
     // 8. portable SemDeDup (q164)
     println("== semanticDedupPortable (q164)")
     etlmudah.scale.Similarity.semanticDedupPortable(emb, "vec_id",

@@ -162,7 +162,9 @@ class PlanShapeSpec extends SparkSpec {
       "q158_ivf_assign_portable",
       // q164 reuses q158's bounded centroid broadcast for the portable
       // SemDeDup assignment step
-      "q164_semantic_dedup_portable")
+      "q164_semantic_dedup_portable",
+      // q167 fans doc profiles out by the |classes|-row broadcast
+      "q167_rank_profile_classify")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
