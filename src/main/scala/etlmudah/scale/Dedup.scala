@@ -1479,6 +1479,34 @@ object Dedup {
     * hot-key cap every banded tier applies), so per-fingerprint join
     * fan-out is maxDf-bounded by construction and the inverted index
     * moves (fp, id) rows only. */
+  /** Cross-corpus [[winnowSharedPairs]] — winnow-fingerprint
+    * decontamination: (train, ref) doc pairs sharing at least
+    * `minShared` selected fingerprints. Selection is per-document, so
+    * fingerprinting each corpus separately equals fingerprinting their
+    * union; the df cap counts documents ACROSS both corpora (a
+    * fingerprint boilerplate-hot on either side never joins). The
+    * guarantee transfers: any train/ref shared run of >= w + k - 1
+    * tokens whose window survives the cap yields a shared
+    * fingerprint. */
+  def winnowCrossPairs(train: DataFrame, ref: DataFrame, textCol: String,
+                       idCol: String, k: Int = 3, w: Int = 4,
+                       minShared: Long = 2L, maxDf: Long = 50L): DataFrame = {
+    val tf = winnowFingerprints(train, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct().localCheckpoint(true)
+    val rf = winnowFingerprints(ref, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct().localCheckpoint(true)
+    val dfCounts = tf.unionByName(rf)
+      .groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+      .filter(col("fp_df") <= maxDf)
+    tf.join(dfCounts, Seq("fp")).select(col("fp"), col("id").as("train_id"))
+      .join(rf.join(dfCounts, Seq("fp"))
+        .select(col("fp"), col("id").as("ref_id")), Seq("fp"))
+      .groupBy(col("train_id"), col("ref_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("train_id"), col("ref_id"))
+  }
+
   def winnowSharedPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, w: Int = 4, minShared: Long = 2L,
                         maxDf: Long = 50L): DataFrame = {

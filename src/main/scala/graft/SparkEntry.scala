@@ -729,6 +729,18 @@ object SparkEntry {
           k = 3, w = 4, minShared = 2L, maxDf = 50L)
         .select(col("id_a"), col("id_b"), col("shared"))),
 
+    // winnow-fingerprint DECONTAMINATION (even-id train vs odd-id ref,
+    // the q157 split): train/ref pairs sharing >= 2 selected
+    // fingerprints, boilerplate fingerprints capped across both corpora
+    "q168_winnow_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.winnowCrossPairs(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", k = 3, w = 4, minShared = 2L, maxDf = 50L)
+        .select(col("train_id"), col("ref_id"), col("shared"))
+    }),
+
     // IVF ANN: k-means coarse quantizer + probe-limited refine (no SQL
     // oracle: k-means assignment has no DuckDB twin; recall-verified in
     // SimilaritySpec)
@@ -2294,6 +2306,23 @@ object SparkEntry {
         |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // winnow decontamination: selection is per-doc, so winnowing the
+    // whole corpus then splitting even/odd equals winnowing each side;
+    // the df cap counts docs across BOTH corpora
+    "q168_winnow_decontamination" ->
+      (winnowSelSql + """,
+        |fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |dfc AS (SELECT fp, count(*) AS fp_df FROM fpd GROUP BY fp),
+        |cold AS (
+        |  SELECT f.doc_id, f.fp FROM fpd f JOIN dfc USING (fp)
+        |  WHERE fp_df <= 50)
+        |SELECT t.doc_id AS train_id, r.doc_id AS ref_id,
+        |  count(*) AS shared
+        |FROM cold t JOIN cold r
+        |  ON t.fp = r.fp AND t.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY train_id, ref_id""".stripMargin),
 
     "q158_ivf_assign_portable" ->
       """WITH c AS (

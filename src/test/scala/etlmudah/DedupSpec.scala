@@ -721,6 +721,39 @@ class DedupSpec extends SparkSpec {
     assert(sel > 0.2 && sel < 0.6, s"density $sel")
   }
 
+  test("winnowCrossPairs: planted contamination surfaces; equals whole-corpus winnow split") {
+    import spark.implicits._
+    val leak1 = "the quick brown fox jumps over lazy dogs"
+    val leak2 = "pack my box with five dozen liquor jugs"
+    val train = Seq(
+      (2L, s"t1 t2 $leak1 t3 $leak2 t4"),
+      (4L, "t5 t6 t7 t8 t9 t10 t11 t12")).toDF("doc_id", "text")
+    val ref = Seq(
+      (1L, s"r1 $leak1 r2 $leak2 r3"),
+      (3L, "r4 r5 r6 r7 r8 r9 r10 r11")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCrossPairs(train, ref, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // both planted runs are >= w+k-1 tokens -> (2, 1) shares >= 2 fps
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 1L && p._3 >= 2L),
+      pairs.toSeq.toString)
+    assert(pairs.forall(p => p._1 == 2L && p._2 == 1L), pairs.toSeq.toString)
+    // per-doc selection: winnowing the union then splitting gives the
+    // same pairs (the equivalence the q168 oracle relies on)
+    val union = train.unionByName(ref)
+    val fpAll = Dedup.winnowFingerprints(union, "text", "doc_id")
+      .select(col("id"), col("fp")).distinct()
+    val dfc = fpAll.groupBy("fp").count().filter(col("count") <= 50)
+    val cold = fpAll.join(dfc, Seq("fp"))
+    val viaUnion = cold.filter(col("id") % 2 === 0)
+      .select(col("fp"), col("id").as("train_id"))
+      .join(cold.filter(col("id") % 2 === 1)
+        .select(col("fp"), col("id").as("ref_id")), Seq("fp"))
+      .groupBy("train_id", "ref_id").count()
+      .filter(col("count") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.toSet == viaUnion)
+  }
+
   test("winnowSharedPairs: planted near-dup pair surfaces; hot fingerprints capped out") {
     import spark.implicits._
     // docs 1/2 share two long runs -> >= 2 shared fingerprints; the

@@ -124,6 +124,14 @@ object ManualDrive {
         k = 3, w = 4, minShared = 2L, maxDf = 50L)
       .show(5, truncate = false)
 
+    // 8d. winnow decontamination (q168)
+    println("== winnowCrossPairs (q168)")
+    etlmudah.scale.Dedup.winnowCrossPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id")
+      .show(5, truncate = false)
+
     // 8c. rank-profile n-gram classification (q167)
     println("== rankProfileClassify (q167)")
     etlmudah.text.TextStats.rankProfileClassify(
