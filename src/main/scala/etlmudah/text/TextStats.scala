@@ -648,6 +648,54 @@ object TextStats {
           .as("score"))
   }
 
+  /** Sparse TF-IDF cosine document similarity — the sparse-vector
+    * complement of the dense-embedding tiers: pairwise cosine over
+    * [[tfidf]] weight vectors, computed as a term-keyed sparse dot
+    * product (documents sharing no surviving term never meet). Terms
+    * with df > `maxDfFrac` × corpus size are dropped BEFORE the pair
+    * join — stopword-grade terms would pair everything with everything
+    * (the Σdf² detonation) — and norms use the SURVIVING terms, so the
+    * score is exactly the cosine of the capped vectors.
+    *
+    * Scale shape: one explode feeds the map-side-combined tf aggregate;
+    * df aggregates over the Heaps-bounded term frame; the weight table
+    * is materialized once (norms + both join sides); the pair join's
+    * per-term fan-out is maxDf-bounded by construction and moves
+    * (term, id, weight) rows only. Returns (id_a, id_b, cos_sim >=
+    * minCosine) ordered. */
+  def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+                       minCosine: Double = 0.5,
+                       maxDfFrac: Double = 0.1): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    // the cap is CORPUS-RELATIVE (df <= maxDfFrac * n): an absolute cap
+    // silently empties the tier as the corpus grows, while a fraction
+    // keeps "stopword-grade" meaning the same thing at every scale
+    val w = tf.join(docFreq, Seq("term"))
+      .join(broadcast(n))
+      .filter(col("df") <= ceil(col("n") * maxDfFrac))
+      .select(col("id"), col("term"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
+      .localCheckpoint(true) // norms + both pair-join sides
+    val norms = w.groupBy(col("id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = w.select(col("term"), col("id").as("id_a"), col("w").as("wa"))
+      .join(w.select(col("term"), col("id").as("id_b"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .filter(col("dot") / (col("na") * col("nb")) >= minCosine)
+      .select(col("id_a"), col("id_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Okapi BM25 term scores — the retrieval-ranking upgrade of [[tfidf]]
     * (Robertson & Zaragoza 2009): idf saturates rare terms
     * (ln(1 + (N - df + 0.5)/(df + 0.5)), the Lucene non-negative form)

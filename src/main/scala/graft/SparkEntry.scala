@@ -729,6 +729,13 @@ object SparkEntry {
           k = 3, w = 4, minShared = 2L, maxDf = 50L)
         .select(col("id_a"), col("id_b"), col("shared"))),
 
+    // sparse TF-IDF cosine similarity: term-keyed sparse dot product
+    // over q57's weights, stopword-grade terms (df > 10% of corpus)
+    // capped out before the pair join, norms over the surviving terms
+    "q169_tfidf_cosine_pairs" -> ((s, dir) =>
+      TextStats.tfidfCosinePairs(Tables.documents(s, dir), "text", "doc_id",
+        minCosine = 0.5, maxDfFrac = 0.1)),
+
     // winnow-fingerprint DECONTAMINATION (even-id train vs odd-id ref,
     // the q157 split): train/ref pairs sharing >= 2 selected
     // fingerprints, boilerplate fingerprints capped across both corpora
@@ -2306,6 +2313,31 @@ object SparkEntry {
         |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // sparse tf-idf cosine: q57's weight formula, df-capped terms,
+    // term-keyed dot product, norms over surviving terms only
+    "q169_tfidf_cosine_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n::DOUBLE / dfreq.df) AS w
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |  WHERE dfreq.df <= ceil(n.n * 0.1)),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        |FROM dots JOIN nrm na ON na.doc_id = id_a
+        |          JOIN nrm nb ON nb.doc_id = id_b
+        |WHERE dot / (na.nrm * nb.nrm) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // winnow decontamination: selection is per-doc, so winnowing the
     // whole corpus then splitting even/odd equals winnowing each side;

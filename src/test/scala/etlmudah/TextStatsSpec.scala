@@ -622,6 +622,27 @@ class TextStatsSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("tfidfCosinePairs: identical docs hit 1.0, disjoint never pair, hot terms capped") {
+    import spark.implicits._
+    // 1/2 identical; 3 disjoint; 'common' appears in ALL docs of a
+    // 30-doc corpus -> df > 10% cap -> it cannot create pairs on its own
+    val rows = Seq(
+      (1L, "alpha beta gamma delta common"),
+      (2L, "alpha beta gamma delta common"),
+      (3L, "zeta eta theta iota common")) ++
+      (4L to 30L).map(i => (i, s"w${i}a w${i}b w${i}c common"))
+    val out = TextStats.tfidfCosinePairs(rows.toDF("doc_id", "text"),
+        "text", "doc_id", minCosine = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected only the identical pair at 1.0: ${out.toSeq}")
+    // determinism of the float pipeline
+    val again = TextStats.tfidfCosinePairs(rows.toDF("doc_id", "text"),
+        "text", "doc_id", minCosine = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("rankProfileClassify: separable classes classify perfectly; out-of-profile distance is topV-capped") {
     import spark.implicits._
     // two char-distributionally disjoint 'languages'

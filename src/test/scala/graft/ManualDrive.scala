@@ -124,6 +124,11 @@ object ManualDrive {
         k = 3, w = 4, minShared = 2L, maxDf = 50L)
       .show(5, truncate = false)
 
+    // 8e. sparse tf-idf cosine pairs (q169)
+    println("== tfidfCosinePairs (q169)")
+    etlmudah.text.TextStats.tfidfCosinePairs(docs, "text", "doc_id")
+      .show(5, truncate = false)
+
     // 8d. winnow decontamination (q168)
     println("== winnowCrossPairs (q168)")
     etlmudah.scale.Dedup.winnowCrossPairs(

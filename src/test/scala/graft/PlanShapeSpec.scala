@@ -164,7 +164,9 @@ class PlanShapeSpec extends SparkSpec {
       // SemDeDup assignment step
       "q164_semantic_dedup_portable",
       // q167 fans doc profiles out by the |classes|-row broadcast
-      "q167_rank_profile_classify")
+      "q167_rank_profile_classify",
+      // q169 carries q57's single-row corpus-count broadcast
+      "q169_tfidf_cosine_pairs")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
