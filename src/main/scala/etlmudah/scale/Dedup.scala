@@ -1472,22 +1472,15 @@ object Dedup {
     sel.orderBy(col("id"), col("pos"))
   }
 
-  /** The dedup application of [[winnowFingerprints]]: pairs of docs
-    * sharing at least `minShared` selected fingerprints, with the
-    * shared count. Fingerprints appearing in more than `maxDf` docs are
-    * dropped BEFORE the pair join (boilerplate fingerprints — the same
-    * hot-key cap every banded tier applies), so per-fingerprint join
-    * fan-out is maxDf-bounded by construction and the inverted index
-    * moves (fp, id) rows only. */
   /** Cross-corpus [[winnowSharedPairs]] — winnow-fingerprint
     * decontamination: (train, ref) doc pairs sharing at least
     * `minShared` selected fingerprints. Selection is per-document, so
     * fingerprinting each corpus separately equals fingerprinting their
-    * union; the df cap counts documents ACROSS both corpora (a
-    * fingerprint boilerplate-hot on either side never joins). The
-    * guarantee transfers: any train/ref shared run of >= w + k - 1
-    * tokens whose window survives the cap yields a shared
-    * fingerprint. */
+    * union; the df cap counts DISTINCT documents across both corpora
+    * (a doc ingested into both sides counts once, and a fingerprint
+    * boilerplate-hot on either side never joins). The guarantee
+    * transfers: any train/ref shared run of >= w + k - 1 tokens whose
+    * window survives the cap yields a shared fingerprint. */
   def winnowCrossPairs(train: DataFrame, ref: DataFrame, textCol: String,
                        idCol: String, k: Int = 3, w: Int = 4,
                        minShared: Long = 2L, maxDf: Long = 50L): DataFrame = {
@@ -1495,7 +1488,10 @@ object Dedup {
       .select(col("id"), col("fp")).distinct().localCheckpoint(true)
     val rf = winnowFingerprints(ref, textCol, idCol, k, w)
       .select(col("id"), col("fp")).distinct().localCheckpoint(true)
-    val dfCounts = tf.unionByName(rf)
+    // distinct BEFORE counting: a doc present in both corpora (a
+    // self-audit, or shared ingestion) must count once per fingerprint,
+    // not twice — double-counting would halve the effective cap
+    val dfCounts = tf.unionByName(rf).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
       .filter(col("fp_df") <= maxDf)
     tf.join(dfCounts, Seq("fp")).select(col("fp"), col("id").as("train_id"))
@@ -1507,6 +1503,13 @@ object Dedup {
       .orderBy(col("train_id"), col("ref_id"))
   }
 
+  /** The dedup application of [[winnowFingerprints]]: pairs of docs
+    * sharing at least `minShared` selected fingerprints, with the
+    * shared count. Fingerprints appearing in more than `maxDf` docs are
+    * dropped BEFORE the pair join (boilerplate fingerprints — the same
+    * hot-key cap every banded tier applies), so per-fingerprint join
+    * fan-out is maxDf-bounded by construction and the inverted index
+    * moves (fp, id) rows only. */
   def winnowSharedPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, w: Int = 4, minShared: Long = 2L,
                         maxDf: Long = 50L): DataFrame = {

@@ -690,6 +690,10 @@ object TextStats {
     dots
       .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
       .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      // explicit zero-norm exclusion: at maxDfFrac = 1.0 a doc whose
+      // every term has df = n carries all-zero idf weights, and 0/0
+      // would ride NaN comparison semantics instead of a decision
+      .filter(col("na") > 0 && col("nb") > 0)
       .filter(col("dot") / (col("na") * col("nb")) >= minCosine)
       .select(col("id_a"), col("id_b"),
         round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))

@@ -752,6 +752,16 @@ class DedupSpec extends SparkSpec {
       .filter(col("count") >= 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs.toSet == viaUnion)
+    // self-audit (same corpus on both sides): the df cap counts
+    // DISTINCT docs, so a fingerprint in exactly maxDf docs survives —
+    // double-counting the two sides would halve the effective cap
+    val leakDocs = (1L to 4L)
+      .map(i => (i, s"x$i $leak1 y$i")).toDF("doc_id", "text")
+    val selfPairs = Dedup.winnowCrossPairs(leakDocs, leakDocs,
+        "text", "doc_id", minShared = 1L, maxDf = 4L)
+      .collect()
+    assert(selfPairs.nonEmpty,
+      "fingerprint at exactly maxDf distinct docs must survive the cap")
   }
 
   test("winnowSharedPairs: planted near-dup pair surfaces; hot fingerprints capped out") {

@@ -124,9 +124,10 @@ object ManualDrive {
         k = 3, w = 4, minShared = 2L, maxDf = 50L)
       .show(5, truncate = false)
 
-    // 8e. sparse tf-idf cosine pairs (q169)
-    println("== tfidfCosinePairs (q169)")
-    etlmudah.text.TextStats.tfidfCosinePairs(docs, "text", "doc_id")
+    // 8c. rank-profile n-gram classification (q167)
+    println("== rankProfileClassify (q167)")
+    etlmudah.text.TextStats.rankProfileClassify(docs,
+        "text", "doc_id", "source", topV = 20)
       .show(5, truncate = false)
 
     // 8d. winnow decontamination (q168)
@@ -137,11 +138,9 @@ object ManualDrive {
         "text", "doc_id")
       .show(5, truncate = false)
 
-    // 8c. rank-profile n-gram classification (q167)
-    println("== rankProfileClassify (q167)")
-    etlmudah.text.TextStats.rankProfileClassify(
-        spark.read.parquet(s"$sf/documents.parquet"),
-        "text", "doc_id", "source", topV = 20)
+    // 8e. sparse tf-idf cosine pairs (q169)
+    println("== tfidfCosinePairs (q169)")
+    etlmudah.text.TextStats.tfidfCosinePairs(docs, "text", "doc_id")
       .show(5, truncate = false)
 
     // 8. portable SemDeDup (q164)
