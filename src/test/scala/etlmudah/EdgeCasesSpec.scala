@@ -250,6 +250,28 @@ class EdgeCasesSpec extends SparkSpec {
       simThreshold = 0.3).count() == 0)
   }
 
+  test("rank-profile and tf-idf cosine tiers tolerate empty and degenerate input") {
+    import etlmudah.text.TextStats
+    val emptyLabeled = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(TextStats.rankProfileClassify(emptyLabeled, "text", "doc_id",
+      "source").count() == 0)
+    // a single doc/class self-classifies at distance 0; a doc under 3
+    // chars has no trigram and drops out without throwing
+    val solo = Seq((1L, "alpha beta gamma", "A"), (2L, "ab", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextStats.rankProfileClassify(solo, "text", "doc_id", "source")
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L &&
+      out.head.getString(2) == "A" && out.head.getLong(3) == 0L)
+    assert(TextStats.tfidfCosinePairs(emptyDocs, "text", "doc_id")
+      .count() == 0)
+    // a lone document can never pair
+    assert(TextStats.tfidfCosinePairs(
+      Seq((1L, "only doc here")).toDF("doc_id", "text"),
+      "text", "doc_id").count() == 0)
+  }
+
   test("curation/export operators tolerate empty and zero-size input") {
     import etlmudah.analytics.{Events, Profile}
     import java.sql.Timestamp
