@@ -736,6 +736,15 @@ object SparkEntry {
       TextStats.tfidfCosinePairs(Tables.documents(s, dir), "text", "doc_id",
         minCosine = 0.5, maxDfFrac = 0.1)),
 
+    // winnow dup clusters: the q64 pipeline with winnow shared-pair
+    // candidates — fingerprint-selected pairs feed the same pointer-
+    // jumping connected components, proving the tiers compose
+    "q170_winnow_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.winnowSharedPairs(Tables.documents(s, dir), "text", "doc_id",
+            k = 3, w = 4, minShared = 2L, maxDf = 50L)
+          .select(col("id_a"), col("id_b")))),
+
     // winnow-fingerprint DECONTAMINATION (even-id train vs odd-id ref,
     // the q157 split): train/ref pairs sharing >= 2 selected
     // fingerprints, boilerplate fingerprints capped across both corpora
@@ -2338,6 +2347,33 @@ object SparkEntry {
         |          JOIN nrm nb ON nb.doc_id = id_b
         |WHERE dot / (na.nrm * nb.nrm) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // winnow dup clusters: winnow pairs (the q166 CTEs) symmetrized to
+    // edges, transitive closure via the recursive reach CTE, min-id
+    // cluster labels — q64's oracle shape over the fingerprint tier
+    "q170_winnow_dup_clusters" ->
+      (winnowSelSql.replace("WITH tokarr", "WITH RECURSIVE tokarr") + """,
+        |fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |dfc AS (SELECT fp, count(*) AS fp_df FROM fpd GROUP BY fp),
+        |cold AS (
+        |  SELECT f.doc_id, f.fp FROM fpd f JOIN dfc USING (fp)
+        |  WHERE fp_df <= 50),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id AS n, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |cc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin),
 
     // winnow decontamination: selection is per-doc, so winnowing the
     // whole corpus then splitting even/odd equals winnowing each side;

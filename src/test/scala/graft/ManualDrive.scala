@@ -138,6 +138,13 @@ object ManualDrive {
         "text", "doc_id")
       .show(5, truncate = false)
 
+    // 8f. winnow dup clusters (q170)
+    println("== winnow dupClusters (q170)")
+    etlmudah.scale.Dedup.dupClusters(
+        etlmudah.scale.Dedup.winnowSharedPairs(docs, "text", "doc_id")
+          .select(col("id_a"), col("id_b")))
+      .show(5, truncate = false)
+
     // 8e. sparse tf-idf cosine pairs (q169)
     println("== tfidfCosinePairs (q169)")
     etlmudah.text.TextStats.tfidfCosinePairs(docs, "text", "doc_id")
