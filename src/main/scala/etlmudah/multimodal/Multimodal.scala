@@ -94,6 +94,9 @@ object Multimodal {
       byteAt(media, pos + 3)).cast("long")
   private def le16(media: Column, pos: Column): Column =
     byteAt(media, pos) + byteAt(media, pos + 1) * 256
+  private def le24(media: Column, pos: Column): Column =
+    byteAt(media, pos) + byteAt(media, pos + 1) * 256 +
+      byteAt(media, pos + 2) * 65536
   private def le32(media: Column, pos: Column): Column =
     (byteAt(media, pos) +
       byteAt(media, pos + 1) * 256L +
@@ -117,6 +120,14 @@ object Multimodal {
     *    its 2-byte big-endian length + 2). The walk is a single
     *    codegen'd expression: no UDF, no mapPartitions, scales as a
     *    per-row projection.
+    *  - WebP (RIFF container, VP8 spec RFC 6386 / VP8L spec / VP8X
+    *    extended header): the spec REQUIRES VP8X first when present
+    *    and otherwise a single VP8 /VP8L chunk, so the first chunk id
+    *    at offset 13 decides the variant — "VP8 " carries 14-bit LE
+    *    dims after the 3-byte frame tag + 3-byte sync code; "VP8L"
+    *    packs two 14-bit dims-minus-one into the 4 bytes after the
+    *    0x2F signature; "VP8X" carries 24-bit LE canvas dims-minus-one
+    *    at payload offsets 4/7.
     *
     * Returns struct(format, width, height); unknown containers yield
     * ("unknown", null, null). Truncated/corrupt headers yield nulls
@@ -146,6 +157,30 @@ object Multimodal {
           .otherwise(struct((off + be16(media, off + 2) + 2).as("off"),
             lit(null).cast("int").as("w"), lit(null).cast("int").as("h")))
       })
+    val isWebp = hex(substring(media, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(media, 9, 4)) === "57454250"               // "WEBP"
+    val webpChunk = hex(substring(media, 13, 4))
+    // VP8 lossy: payload at 21 — 3-byte frame tag, 3-byte sync
+    // (9D 01 2A), then 14-bit LE width/height (upper 2 bits are scale)
+    val vp8W = le16(media, lit(27)).bitwiseAND(lit(0x3FFF))
+    val vp8H = le16(media, lit(29)).bitwiseAND(lit(0x3FFF))
+    // VP8L lossless: 0x2F signature at 21, then width-1 (14 bits) and
+    // height-1 (14 bits) packed little-endian across the next 4 bytes
+    val (lb1, lb2, lb3, lb4) = (byteAt(media, lit(22)),
+      byteAt(media, lit(23)), byteAt(media, lit(24)), byteAt(media, lit(25)))
+    val vp8lW = lb1 + lb2.bitwiseAND(lit(0x3F)) * 256 + 1
+    val vp8lH = shiftright(lb2, 6) + lb3 * 4 +
+      lb4.bitwiseAND(lit(0x0F)) * 1024 + 1
+    // VP8X extended: flags byte + 3 reserved at 21, canvas
+    // width-1/height-1 as 24-bit LE at 25/28
+    val vp8xW = le24(media, lit(25)) + 1
+    val vp8xH = le24(media, lit(28)) + 1
+    val webpW = when(webpChunk === "56503820", vp8W)   // "VP8 "
+      .when(webpChunk === "5650384C", vp8lW)           // "VP8L"
+      .when(webpChunk === "56503858", vp8xW)           // "VP8X"
+    val webpH = when(webpChunk === "56503820", vp8H)
+      .when(webpChunk === "5650384C", vp8lH)
+      .when(webpChunk === "56503858", vp8xH)
     // width/height are LONG across every branch: PNG's uint32 fields
     // don't fit an Int for hostile headers (see be32)
     when(isPng, struct(lit("png").as("format"),
@@ -156,6 +191,8 @@ object Multimodal {
       .when(isJpeg, struct(lit("jpeg").as("format"),
         jpegScan.getField("w").cast("long").as("width"),
         jpegScan.getField("h").cast("long").as("height")))
+      .when(isWebp, struct(lit("webp").as("format"),
+        webpW.cast("long").as("width"), webpH.cast("long").as("height")))
       .otherwise(struct(lit("unknown").as("format"),
         lit(null).cast("long").as("width"), lit(null).cast("long").as("height")))
   }
@@ -191,8 +228,16 @@ object Multimodal {
         val chunkId = hex(substring(media, off.cast("int"), lit(4)))
         val size = le32(media, off + 4)
         val next = off + 8L + size + pmod(size, lit(2L))
-        val done = (st.getField("ch").isNotNull &&
-          st.getField("db").isNotNull) || size.isNull || chunkId === ""
+        // Out-of-range FIRST: a hostile declared size near uint32-max puts
+        // `off` beyond the blob (or beyond Int range), and every byte read
+        // below casts the offset to int — under ANSI mode that would THROW
+        // CAST_OVERFLOW instead of honoring the null-on-garbage contract.
+        // Or short-circuits left-to-right in codegen, so no read happens
+        // once the first disjunct fires.
+        val done = off > length(media).cast("long") ||
+          off > lit(Int.MaxValue.toLong - 32L) ||
+          (st.getField("ch").isNotNull &&
+            st.getField("db").isNotNull) || size.isNull || chunkId === ""
         when(done, st)
           .when(chunkId === lit("666D7420"), // "fmt "
             struct(next.as("off"),
@@ -276,6 +321,46 @@ object Multimodal {
       .when(format === "gif", gif)
       .when(format === "jpeg", jpeg)
       .otherwise(lit("00")))
+  }
+
+  /** Synthesize a VALID WebP header for the given dimensions and
+    * variant ("vp8" lossy / "vp8l" lossless / "vp8x" extended) — the
+    * encode half of [[mediaMeta]]'s WebP branch and the fixture
+    * generator for its three sub-formats. Dimensions must fit 14 bits
+    * (VP8/VP8L's field width). Byte assembly is unhex over hex
+    * strings, as [[fakeMediaHeader]]; the VP8L payload is odd-sized
+    * (5 bytes), so the RIFF pad byte is included for spec validity. */
+  def fakeWebpHeader(variant: Column, width: Column, height: Column): Column = {
+    def hx2(v: Column): Column = lpad(hex(v), 2, "0")
+    def leHex16(v: Column): Column = concat(
+      hx2(v.bitwiseAND(lit(0xFF))), hx2(shiftright(v, 8)))
+    def leHex24(v: Column): Column = concat(
+      hx2(v.bitwiseAND(lit(0xFF))),
+      hx2(shiftright(v, 8).bitwiseAND(lit(0xFF))),
+      hx2(shiftright(v, 16).bitwiseAND(lit(0xFF))))
+    def leHex32(v: Column): Column =
+      concat(leHex16(v.bitwiseAND(lit(0xFFFF))), leHex16(shiftright(v, 16)))
+    val (wm, hm) = (width - 1, height - 1)
+    // VP8 : frame tag (3B, zeroed) + sync 9D 01 2A + 14-bit LE dims
+    val vp8 = concat(lit("56503820"), leHex32(lit(10)),
+      lit("000000" + "9D012A"), leHex16(width), leHex16(height))
+    // VP8L: 2F signature + (w-1, h-1) packed 14+14 bits LE over 4 bytes
+    val vp8l = concat(lit("5650384C"), leHex32(lit(5)), lit("2F"),
+      hx2(wm.bitwiseAND(lit(0xFF))),
+      hx2(shiftright(wm, 8).bitwiseAND(lit(0x3F)) + hm.bitwiseAND(lit(3)) * 64),
+      hx2(shiftright(hm, 2).bitwiseAND(lit(0xFF))),
+      hx2(shiftright(hm, 10).bitwiseAND(lit(0x0F))),
+      lit("00")) // RIFF pad byte for the odd payload
+    // VP8X: flags + 3 reserved, canvas dims-minus-one as 24-bit LE
+    val vp8x = concat(lit("56503858"), leHex32(lit(10)), lit("00000000"),
+      leHex24(wm), leHex24(hm))
+    val chunk = when(variant === "vp8", vp8)
+      .when(variant === "vp8l", vp8l)
+      .otherwise(vp8x)
+    // riff size = 4 ("WEBP") + 8 + payload (+ pad): 22 / 18 / 22
+    val riffSize = when(variant === "vp8l", lit(18)).otherwise(lit(22))
+    unhex(concat(lit("52494646"), leHex32(riffSize),
+      lit("57454250"), chunk))
   }
 
   /** Frame sampling for video-like blobs: n equal-spaced byte windows as

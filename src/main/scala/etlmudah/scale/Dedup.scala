@@ -513,17 +513,20 @@ object Dedup {
     * shingles, and a COST effect (larger band buckets -> more
     * candidates), never a correctness one, because the exact-Jaccard
     * refine filters candidates exactly. A 100 TB corpus exceeds 2^32
-    * distinct shingles: run the xxhash64 64-bit tier ([[nearDupPairs]],
-    * q25) there, or widen to two 64-bit lanes per digest (hex chars
-    * 1-16 / 17-32) at 2x the md5 calls — this portable tier's job is
-    * external auditability at audit-sample scale, not the full-corpus
-    * pass. */
+    * distinct shingles: pass `laneHex = 16` — two 64-bit lanes per
+    * digest (hex chars 1-16 / 17-32) at 2x the md5 calls, pushing the
+    * collision knee past ~10^17 distinct shingles — or run the
+    * xxhash64 64-bit tier ([[nearDupPairs]], q25) when nothing
+    * external needs to re-derive the sketch. Every lane stays a
+    * fixed-width hex substring, so the external SQL twin changes only
+    * its two width literals. */
   def minhashPortablePairs(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-                           minJaccard: Double = 0.7): DataFrame = {
+                           minJaccard: Double = 0.7,
+                           laneHex: Int = 8): DataFrame = {
     require(bands * (k / bands) == k, "k must be divisible by bands")
     val sh = shingleRows(df, textCol, idCol, shingleN).localCheckpoint(true)
-    portableSelfPairs(sh, portableSig(sh, k), k, bands, minJaccard)
+    portableSelfPairs(sh, portableSig(sh, k, laneHex), k, bands, minJaccard)
   }
 
   /** [[minhashPortablePairs]] over a PRE-STAGED signature table (the
@@ -549,6 +552,8 @@ object Dedup {
     val scoped = unpackSig(sig, k).join(df.select(col(idCol).as("id")),
       Seq("id"), "left_semi")
     portableSelfPairs(sh, scoped, k, bands, minJaccard)
+    // (no laneHex here: the staged table already fixed the lane width
+    // at build time, and banding/refine are width-agnostic)
   }
 
   /** The standalone (id, mins: array<string>[k]) portable signature
@@ -563,8 +568,8 @@ object Dedup {
     * exactly once. */
   def minhashPortableSigTable(df: DataFrame, textCol: String,
                               idCol: String, shingleN: Int = 3,
-                              k: Int = 128): DataFrame =
-    portableSigRaw(shingleRows(df, textCol, idCol, shingleN), k)
+                              k: Int = 128, laneHex: Int = 8): DataFrame =
+    portableSigRaw(shingleRows(df, textCol, idCol, shingleN), k, laneHex)
       .select(col("id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("mins"))
 
@@ -616,29 +621,40 @@ object Dedup {
     * table is |docs| x k fixed-width lanes — vanishing vs corpus, so
     * the cross-corpus tier (single consumer) keeps it too rather than
     * branching. */
-  private def portableSig(sh: DataFrame, k: Int): DataFrame =
-    portableSigRaw(sh, k).localCheckpoint(true)
+  private def portableSig(sh: DataFrame, k: Int,
+                          laneHex: Int = 8): DataFrame =
+    portableSigRaw(sh, k, laneHex).localCheckpoint(true)
 
   /** Unmaterialized signature construction — used directly by
     * [[minhashPortableSigTable]], whose caller persists the result
-    * itself (a checkpoint would double-materialize). */
-  private def portableSigRaw(sh: DataFrame, k: Int): DataFrame = {
-    val lanesPer = 4
+    * itself (a checkpoint would double-materialize). `laneHex` sets the
+    * lane width in hex chars: 8 (four 32-bit lanes per digest, the
+    * audit-sample default) or 16 (two 64-bit lanes per digest — the
+    * 100 TB configuration, 2x the md5 calls, collision knee ~10^17
+    * distinct shingles). Fixed-width lowercase hex orders
+    * lexicographically as its numeric value at EVERY width, so the
+    * min/banding/refine machinery is width-agnostic. */
+  private def portableSigRaw(sh: DataFrame, k: Int,
+                             laneHex: Int = 8): DataFrame = {
+    require(laneHex == 8 || laneHex == 16,
+      s"laneHex must be 8 (32-bit lanes) or 16 (64-bit lanes), got $laneHex")
+    val lanesPer = 32 / laneHex
     val nSeeds = (k + lanesPer - 1) / lanesPer
     val hashed = sh.select(col("id") +: (0 until nSeeds).map(j =>
       md5(concat(lit(s"$j:"), col("shingle")).cast("binary")).as(s"h$j")): _*)
     def lane(i: Int): Column =
-      substring(col(s"h${i / lanesPer}"), 1 + 8 * (i % lanesPer), 8)
+      substring(col(s"h${i / lanesPer}"), 1 + laneHex * (i % lanesPer), laneHex)
     val minAggs = (0 until k).map(i => min(lane(i)).as(s"m$i"))
     hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
   /** Single-pass banding over a portable signature: explode every
-    * band's bucket key (the ':'-joined min tuple — mins are
-    * FIXED-WIDTH 8-char hex, so the concatenation is injective and key
-    * equality IS tuple equality) so the candidate join runs ONCE on
-    * (band, bkey). A per-band join loop is `bands` separate shuffles —
-    * pure scheduling overhead at any scale (32 joins for k=128/b=32). */
+    * band's bucket key (the ':'-joined min tuple — mins are FIXED-WIDTH
+    * hex, 8 or 16 chars per the signature's lane width, so the
+    * concatenation is injective and key equality IS tuple equality) so
+    * the candidate join runs ONCE on (band, bkey). A per-band join loop
+    * is `bands` separate shuffles — pure scheduling overhead at any
+    * scale (32 joins for k=128/b=32). */
   private def portableBandBuckets(sig: DataFrame, k: Int,
                                   bands: Int): DataFrame = {
     val rowsPerBand = k / bands
@@ -668,15 +684,16 @@ object Dedup {
                                 textCol: String, idCol: String,
                                 shingleN: Int = 3, k: Int = 128,
                                 bands: Int = 32,
-                                minJaccard: Double = 0.7): DataFrame = {
+                                minJaccard: Double = 0.7,
+                                laneHex: Int = 8): DataFrame = {
     require(bands * (k / bands) == k, "k must be divisible by bands")
     // each corpus's shingle rows feed its signature aggregate, its
     // refine-join side, and its size aggregate — three consumers with
     // different exchange keys, so materialize once per corpus
     val shT = shingleRows(train, textCol, idCol, shingleN).localCheckpoint(true)
     val shR = shingleRows(ref, textCol, idCol, shingleN).localCheckpoint(true)
-    portableCrossPairs(shT, shR, portableSig(shT, k), portableSig(shR, k),
-      k, bands, minJaccard)
+    portableCrossPairs(shT, shR, portableSig(shT, k, laneHex),
+      portableSig(shR, k, laneHex), k, bands, minJaccard)
   }
 
   /** [[minhashPortableCrossPairs]] over a PRE-STAGED signature table
@@ -1441,11 +1458,17 @@ object Dedup {
     * lead() window, the trailing-min window, and the rightmost-win
     * dedup — per-doc state is w hashes, output is the selected
     * fraction. Returns (id, pos, fp) ordered by (id, pos); `pos` is the
-    * 0-based token offset of the selected gram, `fp` the 8-hex-char
-    * hash. */
+    * 0-based token offset of the selected gram, `fp` the
+    * `laneHex`-hex-char hash (8 = 32-bit lane, the audit default; 16 =
+    * 64-bit lane for corpora past ~10^8 distinct grams — same
+    * vocabulary dial as the portable minhash family; fixed-width hex
+    * keeps lexicographic min == numeric min at either width). */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-                         k: Int = 3, w: Int = 4): DataFrame = {
+                         k: Int = 3, w: Int = 4,
+                         laneHex: Int = 8): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
+    require(laneHex == 8 || laneHex == 16,
+      s"laneHex must be 8 (32-bit) or 16 (64-bit), got $laneHex")
     val tok = df.repartition(col(idCol))
       .select(col(idCol).as("id"),
         posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -1456,7 +1479,7 @@ object Dedup {
         (if (k == 1) lit(true) else leads.last.isNotNull).as("__full"))
       .filter(col("__full"))
       .select(col("id"), col("pos"),
-        substring(md5(col("g").cast("binary")), 1, 8).as("h"))
+        substring(md5(col("g").cast("binary")), 1, laneHex).as("h"))
     // trailing window of w hashes; min over struct(h, -pos) = smallest
     // hash, ties broken toward the RIGHTMOST position (robust rule).
     // rn/total gate which windows are real: every full window, plus the
@@ -1483,11 +1506,25 @@ object Dedup {
     * window survives the cap yields a shared fingerprint. */
   def winnowCrossPairs(train: DataFrame, ref: DataFrame, textCol: String,
                        idCol: String, k: Int = 3, w: Int = 4,
-                       minShared: Long = 2L, maxDf: Long = 50L): DataFrame = {
-    val tf = winnowFingerprints(train, textCol, idCol, k, w)
-      .select(col("id"), col("fp")).distinct().localCheckpoint(true)
-    val rf = winnowFingerprints(ref, textCol, idCol, k, w)
-      .select(col("id"), col("fp")).distinct().localCheckpoint(true)
+                       minShared: Long = 2L, maxDf: Long = 50L): DataFrame =
+    winnowCrossPairsFromFps(
+      winnowFingerprints(train, textCol, idCol, k, w),
+      winnowFingerprints(ref, textCol, idCol, k, w),
+      minShared, maxDf)
+
+  /** [[winnowCrossPairs]] over PRE-COMPUTED fingerprint tables — the
+    * staged-artifact consumer path (mine the expensive fingerprints
+    * once per corpus, decontaminate many): inputs carry (id, fp),
+    * extra columns ignored. Selection is per-document, so a staged
+    * whole-corpus fingerprint table split into train/ref sides equals
+    * fingerprinting each side. */
+  def winnowCrossPairsFromFps(trainFps: DataFrame, refFps: DataFrame,
+                              minShared: Long = 2L,
+                              maxDf: Long = 50L): DataFrame = {
+    val tf = trainFps.select(col("id"), col("fp")).distinct()
+      .localCheckpoint(true)
+    val rf = refFps.select(col("id"), col("fp")).distinct()
+      .localCheckpoint(true)
     // distinct BEFORE counting: a doc present in both corpora (a
     // self-audit, or shared ingestion) must count once per fingerprint,
     // not twice — double-counting would halve the effective cap
@@ -1512,12 +1549,18 @@ object Dedup {
     * moves (fp, id) rows only. */
   def winnowSharedPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, w: Int = 4, minShared: Long = 2L,
-                        maxDf: Long = 50L): DataFrame = {
-    // materialized: the whole winnow pipeline (tokenize + two keyed
-    // windows + dedup) feeds the df-count aggregate AND both sides of
-    // the pair self-join — unmaterialized it would run up to 4x
-    val fp = winnowFingerprints(df, textCol, idCol, k, w)
-      .select(col("id"), col("fp")).distinct()
+                        maxDf: Long = 50L): DataFrame =
+    winnowSharedPairsFromFps(winnowFingerprints(df, textCol, idCol, k, w),
+      minShared, maxDf)
+
+  /** [[winnowSharedPairs]] over a PRE-COMPUTED fingerprint table — the
+    * staged-artifact consumer path: input carries (id, fp), extra
+    * columns ignored. The (id, fp) distinct is materialized because it
+    * feeds the df-count aggregate AND both sides of the pair self-join
+    * — unmaterialized the input would be scanned up to 4x. */
+  def winnowSharedPairsFromFps(fps: DataFrame, minShared: Long = 2L,
+                               maxDf: Long = 50L): DataFrame = {
+    val fp = fps.select(col("id"), col("fp")).distinct()
       .localCheckpoint(true)
     val dfCounts = fp.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
     val cold = fp.join(dfCounts.filter(col("fp_df") <= maxDf), Seq("fp"))

@@ -673,18 +673,32 @@ object Streaming {
           s"$basePath/_graft_num_buckets")
         if (fs.exists(manifest)) {
           val in = fs.open(manifest)
-          val persisted =
-            try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+          val raw = try scala.io.Source.fromInputStream(in).mkString.trim
             finally in.close()
+          // a torn manifest (crash between create and write) must name
+          // the file and the remedy, not surface as a bare
+          // NumberFormatException from "".toInt on every restart
+          val persisted = raw.toIntOption.getOrElse(sys.error(
+            s"upsertSink manifest $manifest is empty/unparseable " +
+              s"('$raw') — a previous writer crashed mid-publish; delete " +
+              "it if the base layout is known-good, or rebuild the base"))
           require(persisted == numBuckets,
             s"upsertSink base $basePath is laid out with numBuckets=" +
               s"$persisted; restarting with numBuckets=$numBuckets would " +
               "split keys across bucket layouts")
         } else {
           fs.mkdirs(baseRoot)
-          val mOut = fs.create(manifest, true)
+          // temp + rename: a crash mid-write leaves only the temp file,
+          // never a live-but-empty manifest (rename is atomic on
+          // HDFS/posix; the concurrent-starter race collapses to
+          // last-rename-wins over identical content)
+          val mTmp = new org.apache.hadoop.fs.Path(
+            s"$basePath/._graft_num_buckets.tmp")
+          val mOut = fs.create(mTmp, true)
           try mOut.write(numBuckets.toString.getBytes("UTF-8"))
           finally mOut.close()
+          fs.delete(manifest, false) // no-op unless a racer just published
+          fs.rename(mTmp, manifest)
         }
         val stamped = batch
           .withColumn("batch_ts", lit(batchId))

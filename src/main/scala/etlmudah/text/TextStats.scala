@@ -654,18 +654,44 @@ object TextStats {
     * product (documents sharing no surviving term never meet). Terms
     * with df > `maxDfFrac` × corpus size are dropped BEFORE the pair
     * join — stopword-grade terms would pair everything with everything
-    * (the Σdf² detonation) — and norms use the SURVIVING terms, so the
-    * score is exactly the cosine of the capped vectors.
+    * — and norms use the SURVIVING terms, so the score is exactly the
+    * cosine of the capped vectors.
+    *
+    * Small-corpus cliff: the cap is corpus-relative, so for n <=
+    * 1/maxDfFrac documents ceil(n × maxDfFrac) = 1 keeps only df = 1
+    * terms — and two documents can never share a df = 1 term, so the
+    * result is ALWAYS EMPTY below that corpus size (n <= 10 at the
+    * default 0.1). Intended: a "stopword" fraction is meaningless on a
+    * handful of documents; pass a larger maxDfFrac there.
+    *
+    * Pair generation is PREFIX-FILTERED (Bayardo, Ma & Srikant, WWW
+    * 2007 "Scaling Up All Pairs Similarity Search"): each document
+    * orders its surviving terms rarest-df-first and indexes only the
+    * leading terms whose inclusive suffix norm is still >= minCosine ×
+    * its full norm. For any pair with cos >= t, the first shared term
+    * (in the global df order) sits in BOTH prefixes — cos <=
+    * suffixNorm_a × suffixNorm_b normalized, and each factor <= 1, so
+    * each factor >= t — hence candidate generation over the prefix
+    * index is EXACT, not approximate; candidates are then verified by
+    * the full sparse dot over all surviving shared terms. This removes
+    * the Σdf² detonation the fractional cap allowed: a mid-frequency
+    * term at the cap (df ~ maxDfFrac·n, potentially 10⁸ docs at the
+    * 100 TB design point) lands at the END of every doc's order and is
+    * indexed only by docs whose weight mass is concentrated on it; the
+    * quadratic join runs over prefix terms, whose fan-out the
+    * threshold bounds, never over every capped term.
     *
     * Scale shape: one explode feeds the map-side-combined tf aggregate;
     * df aggregates over the Heaps-bounded term frame; the weight table
-    * is materialized once (norms + both join sides); the pair join's
-    * per-term fan-out is maxDf-bounded by construction and moves
-    * (term, id, weight) rows only. Returns (id_a, id_b, cos_sim >=
-    * minCosine) ordered. */
+    * is materialized once and serves the one id-partitioned window
+    * (suffix norms + full norms in a single exchange), both verify
+    * sides, and the norm joins; candidate fan-out is threshold-bounded
+    * by construction and moves (term, id) rows only. Returns (id_a,
+    * id_b, cos_sim >= minCosine) ordered. */
   def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
                        minCosine: Double = 0.5,
                        maxDfFrac: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = df.repartition(col(idCol))
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -674,19 +700,47 @@ object TextStats {
     // the cap is CORPUS-RELATIVE (df <= maxDfFrac * n): an absolute cap
     // silently empties the tier as the corpus grows, while a fraction
     // keeps "stopword-grade" meaning the same thing at every scale
+    // (fan-out safety comes from the prefix filter, not this cap)
     val w = tf.join(docFreq, Seq("term"))
       .join(broadcast(n))
       .filter(col("df") <= ceil(col("n") * maxDfFrac))
-      .select(col("id"), col("term"),
+      .select(col("id"), col("term"), col("df"),
         (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
-      .localCheckpoint(true) // norms + both pair-join sides
-    val norms = w.groupBy(col("id"))
-      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val dots = w.select(col("term"), col("id").as("id_a"), col("w").as("wa"))
-      .join(w.select(col("term"), col("id").as("id_b"), col("w").as("wb")),
-        Seq("term"))
+      .localCheckpoint(true) // window + both verify sides + norm joins
+    // global term order: rare terms first (their index fan-out is the
+    // df they carry), ties broken by term so the order is total; one
+    // id-partitioned exchange computes the inclusive suffix norm AND
+    // the full norm
+    val byDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val w2 = col("w") * col("w")
+    val withSuffix = w.select(col("id"), col("term"), col("w"),
+      sum(w2).over(byDoc.rowsBetween(Window.currentRow,
+        Window.unboundedFollowing)).as("sfx2"),
+      sum(w2).over(byDoc.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)).as("nrm2"))
+    // index a term iff the suffix (this term onward) could still carry
+    // cos >= t on its own: sfx2 >= t² · nrm2. The 1e-9 relative slack
+    // guards the one failure mode floating summation adds — a
+    // borderline pair pruned by an ulp — at the cost of indexing a
+    // vanishing sliver more; the final filter below is exact either way.
+    val prefix = withSuffix
+      .filter(col("sfx2") >= lit(minCosine * minCosine * (1 - 1e-9)) * col("nrm2"))
+      .select(col("term"), col("id"))
+    val cand = prefix.toDF("term", "id_a")
+      .join(prefix.toDF("term", "id_b"), Seq("term"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verify: full sparse dot over ALL surviving shared terms of
+    // each candidate (the prefix only gated candidate generation)
+    val dots = cand
+      .join(w.select(col("id").as("id_a"), col("term"), col("w").as("wa")),
+        Seq("id_a"))
+      .join(w.select(col("id").as("id_b"), col("term"), col("w").as("wb")),
+        Seq("id_b", "term"))
       .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    val norms = w.groupBy(col("id"))
+      .agg(sqrt(sum(w2)).as("nrm"))
     dots
       .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
       .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
@@ -1050,13 +1104,30 @@ object TextStats {
     * stops early when the best remaining pair's frequency falls below
     * `minPairFreq`.
     *
+    * Merges are BATCHED: production tokenizers learn 3×10⁴–10⁵ merges,
+    * and one Spark round per merge makes driver scheduling the
+    * bottleneck regardless of cluster size. Each round accepts the
+    * longest prefix of the (freq desc, l, r)-sorted pair list — up to
+    * `maxBatch` — whose pairs are mutually symbol-disjoint (including
+    * each merged symbol vs every other accepted pair's sides), then
+    * trims trailing accepts whose freq TIES the first rejected pair's.
+    * That batch provably replays serially: a pair touching an accepted
+    * pair's symbols ranks below the whole batch, every pair a batch
+    * merge creates or shrinks touches such symbols, so its count stays
+    * strictly below every accepted freq and the serial argmax sequence
+    * is exactly the batch order (the trim closes the equal-freq
+    * tie-break edge where a freshly created symbol could sort ahead).
+    * Interacting pairs therefore FALL BACK automatically: the walk
+    * stops at the first conflict and the next round re-counts.
+    *
     * Iterative and data-dependent — not SQL-expressible; verified
-    * against a serial replay of the same algorithm in TextStatsSpec
+    * against a serial (one-merge-per-recount) replay in TextStatsSpec,
+    * including planted interacting-pair and tie-trim corpora
     * (rows-only registry entry, like the k-means/ML tiers).
     *
     * Returns (rank, left, right, merged, freq), rank = merge order. */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int = 50,
-                minPairFreq: Long = 2L): DataFrame = {
+                minPairFreq: Long = 2L, maxBatch: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     var vocab = df
@@ -1081,7 +1152,9 @@ object TextStats {
     var rank = 0
     var continue = true
     while (continue && rank < nMerges) {
-      val best = vocab
+      // bounded driver collect: <= 4*maxBatch+1 rows (the batch walk
+      // needs the first post-batch freq for the tie trim)
+      val top = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(
           transform(sequence(lit(0), size(col("syms")) - 2),
@@ -1090,17 +1163,44 @@ object TextStats {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, col("l").asc, col("r").asc)
-        .limit(1)
+        .limit(4 * maxBatch + 1)
         .collect()
-      if (best.isEmpty || best.head.getLong(2) < minPairFreq) continue = false
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty || top.head._3 < minPairFreq) continue = false
       else {
-        val l = best.head.getString(0)
-        val r = best.head.getString(1)
-        merges += ((rank, l, r, l + r, best.head.getLong(2)))
-        vocab = vocab.select(applyMergeFold(col("syms"), l, r).as("syms"),
-            col("cnt"))
+        // batch = maximal disjoint PREFIX of the sorted pair list (a
+        // skipped-over conflict would break the serial-order proof)
+        val sides = scala.collection.mutable.Set.empty[String] // l, r
+        val mrgd = scala.collection.mutable.Set.empty[String]  // l+r
+        var k = 0
+        var open = true
+        while (open && k < top.length &&
+               k < math.min(maxBatch, nMerges - rank)) {
+          val (l, r, f) = top(k)
+          // accept iff sides untouched by any accepted pair's sides or
+          // merged symbol, and our merged symbol is no accepted side
+          // (merged-vs-merged collisions conflate identically serially)
+          if (f < minPairFreq) open = false
+          else if (sides(l) || sides(r) || mrgd(l) || mrgd(r) ||
+            sides(l + r)) open = false
+          else { sides += l; sides += r; mrgd += l + r; k += 1 }
+        }
+        // trim trailing accepts tied with the first rejected pair: at
+        // equal freq a created symbol's pair could win the lexicographic
+        // tie-break serially, so only strictly-dominating accepts are
+        // provably serial-order-safe (k=1 is always safe — round 1 IS
+        // the serial argmax)
+        while (k >= 2 && k < top.length && top(k - 1)._3 == top(k)._3)
+          k -= 1
+        val batch = top.take(k)
+        batch.foreach { case (l, r, f) =>
+          merges += ((rank, l, r, l + r, f)); rank += 1 }
+        // ONE Spark round applies the whole batch: folds nest in merge
+        // order, so per-word application is byte-identical to serial
+        val folded = batch.foldLeft(col("syms")) {
+          case (syms, (l, r, _)) => applyMergeFold(syms, l, r) }
+        vocab = vocab.select(folded.as("syms"), col("cnt"))
           .localCheckpoint(true)
-        rank += 1
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "merged", "freq")
@@ -1124,11 +1224,15 @@ object TextStats {
   /** BPE ENCODING of a distinct-word table: applies a learned merge
     * list in rank order (the [[bpeMerges]] output's (left, right)
     * pairs) to every word — the tokenizer-apply step. Input must carry
-    * a `w` column; returns (w, syms). Same per-round checkpoint +
-    * vocab-sized partitioning as training: all work is Heaps-bounded,
-    * the corpus itself is never touched here. */
-  def bpeEncodeWords(words: DataFrame,
-                     merges: Seq[(String, String)]): DataFrame = {
+    * a `w` column; returns (w, syms). Same vocab-sized partitioning as
+    * training; all work is Heaps-bounded, the corpus itself is never
+    * touched here. Unlike training, encoding applies a FIXED list — no
+    * argmax between merges — so batching is unconditional: `maxBatch`
+    * folds nest into one projection per Spark round (per-word
+    * application is sequential inside the nest, byte-identical to
+    * one-round-per-merge), dropping driver rounds ~maxBatch×. */
+  def bpeEncodeWords(words: DataFrame, merges: Seq[(String, String)],
+                     maxBatch: Int = 16): DataFrame = {
     val spark = words.sparkSession
     var wv = words.select(col("w"),
         transform(sequence(lit(1), length(col("w"))),
@@ -1138,9 +1242,10 @@ object TextStats {
       spark.sparkContext.defaultParallelism.toLong,
       wv.count() / 65536L)).toInt
     wv = wv.repartition(parts).localCheckpoint(true)
-    merges.foreach { case (l, r) =>
-      wv = wv.select(col("w"), applyMergeFold(col("syms"), l, r).as("syms"))
-        .localCheckpoint(true)
+    merges.grouped(math.max(1, maxBatch)).foreach { group =>
+      val folded = group.foldLeft(col("syms")) {
+        case (syms, (l, r)) => applyMergeFold(syms, l, r) }
+      wv = wv.select(col("w"), folded.as("syms")).localCheckpoint(true)
     }
     wv
   }

@@ -88,6 +88,20 @@ object SparkEntry {
       Dedup.minhashPortableSigTable(Tables.documents(s, dir),
         "text", "doc_id", shingleN = 3, k = 128))
 
+  /** Winnow fingerprint table (id, pos, fp) staged once per (corpus,
+    * k, w): q166/q168/q170 each consumed a full winnow pipeline run
+    * (tokenize + two id-keyed windows + dedup; q168 over BOTH split
+    * sides) — the same mine-once/consume-many shape as
+    * [[stagedPortableSigs]]. Selection is per-document, so the staged
+    * whole-corpus table serves the pair self-join AND every train/ref
+    * split. q165 still runs the miner itself (its oracle row
+    * benchmarks the mining cost every round, the q108 discipline). */
+  private val winnowFpTag = "wfp-v1-k3-w4"
+  private[graft] def stagedWinnowFps(s: SparkSession, dir: String): DataFrame =
+    stagedArtifact(s, dir, winnowFpTag, "wfp")(
+      Dedup.winnowFingerprints(Tables.documents(s, dir), "text", "doc_id",
+        k = 3, w = 4))
+
   /** Stage-once machinery shared by the derived artifacts
     * ([[stagedClusterPairs]], [[stagedPortableSigs]]): keyed on source
     * URI + per-leaf-file (name, length, mtime) + a builder
@@ -96,8 +110,12 @@ object SparkEntry {
   private def stagedArtifact(s: SparkSession, dir: String, tag: String,
                              prefix: String)(build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val src = new Path(s"$dir/documents.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // qualify BEFORE relativizing: listFiles returns scheme-qualified
+    // paths, so stripping an unqualified root would be a no-op and the
+    // key would carry absolute paths (key churn across hosts/tmpdirs)
+    val src = fs.makeQualified(new Path(s"$dir/documents.parquet"))
+    val srcUriPath = src.toUri.getPath
     val rootSt = fs.getFileStatus(src)
     // RECURSIVE listing: a partitioned/nested layout has no top-level
     // data files, and a non-recursive list would leave the key constant
@@ -110,37 +128,60 @@ object SparkEntry {
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         while (it.hasNext) {
           val st = it.next()
-          val rel = st.getPath.toString.stripPrefix(src.toString)
-          val name = st.getPath.getName
-          if (!name.startsWith("_") && !name.startsWith("."))
-            buf += s"$rel|${st.getLen}|${st.getModificationTime}"
+          // walk up to the root: a leaf only enters the key if NO
+          // segment on its relative path is `_`/`.`-prefixed — data
+          // under e.g. a leftover _temporary/ from a killed write is
+          // not part of the corpus identity and must not churn the key
+          val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+          var p = st.getPath
+          var visible = true
+          while (p != null && p.toUri.getPath != srcUriPath) {
+            segs += p.getName
+            if (p.getName.startsWith("_") || p.getName.startsWith("."))
+              visible = false
+            p = p.getParent
+          }
+          if (visible && p != null)
+            buf += s"${segs.reverse.mkString("/")}|${st.getLen}|${st.getModificationTime}"
         }
         buf.sorted.toSeq
       } else Seq(s"${rootSt.getLen}|${rootSt.getModificationTime}")
+    // layout=2: attempt-dir + CURRENT-pointer publishing (below); the
+    // version keeps new code off old-layout dirs from earlier rounds
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"${src.toUri}|$tag|n=${leafIds.size}|" + leafIds.mkString(";"))
+      .digest((s"$srcUriPath|$tag|layout=2|n=${leafIds.size}|" + leafIds.mkString(";"))
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stage/${prefix}_$key"
-    val outP = new Path(out)
-    val success = new Path(s"$out/_SUCCESS")
-    if (!fs.exists(success)) {
-      val tmp = new Path(s"$out.write-${java.util.UUID.randomUUID().toString.take(8)}")
-      build.write.mode("overwrite").parquet(tmp.toString)
-      // rename FIRST (it fails if the destination exists — never
-      // clobbers). tmp already contains _SUCCESS, and rename is atomic,
-      // so a published dir always carries _SUCCESS: a destination
-      // without one can only be torn garbage, never a live artifact a
-      // reader could be scanning.
-      if (!fs.rename(tmp, outP)) {
-        if (fs.exists(success)) fs.delete(tmp, true) // a racer published; use theirs
-        else {
-          fs.delete(outP, true)                      // torn pre-rename leftover
-          if (!fs.rename(tmp, outP)) fs.delete(tmp, true) // lost the re-race
-        }
+    val current = new Path(s"$out/CURRENT")
+    // Publish protocol: each writer builds under its own attempt dir,
+    // then atomically renames a pointer file into CURRENT. A live
+    // attempt dir is NEVER deleted, so a reader mid-scan of one
+    // writer's artifact cannot lose files to a racing writer (the
+    // failure the previous rename-first protocol still allowed); racing
+    // writers resolve to last-pointer-wins over content-identical
+    // artifacts. Crash-abandoned attempt dirs are unreferenced garbage,
+    // bounded by writer count, reclaimed when the keyed dir is.
+    def resolve(): Option[String] =
+      if (!fs.exists(current)) None
+      else {
+        val in = fs.open(current)
+        val name = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        Some(s"$out/$name")
+          .filter(a => fs.exists(new Path(s"$a/_SUCCESS")))
       }
-      require(fs.exists(success), s"staged artifact publish failed: $out")
+    val attemptPath = resolve().getOrElse {
+      val attempt = s"attempt-${java.util.UUID.randomUUID().toString.take(8)}"
+      build.write.mode("overwrite").parquet(s"$out/$attempt")
+      val ctmp = new Path(s"$out/.CURRENT.$attempt")
+      val o = fs.create(ctmp, true)
+      try o.write(attempt.getBytes("UTF-8")) finally o.close()
+      fs.delete(current, false) // no-op unless a racer just published
+      fs.rename(ctmp, current)  // atomic; loser's pointer stays as junk
+      fs.delete(ctmp, false)    // if our rename lost, drop our pointer
+      resolve().getOrElse(sys.error(s"staged artifact publish failed: $out"))
     }
-    s.read.parquet(out)
+    s.read.parquet(attemptPath)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -723,10 +764,11 @@ object SparkEntry {
 
     // the winnow dedup application: doc pairs sharing >= 2 selected
     // fingerprints (hot fingerprints with df > 50 dropped before the
-    // inverted-index join — the banded tiers' bucket cap)
+    // inverted-index join — the banded tiers' bucket cap); fingerprints
+    // come from the staged artifact, mined once per corpus
     "q166_winnow_shared_pairs" -> ((s, dir) =>
-      Dedup.winnowSharedPairs(Tables.documents(s, dir), "text", "doc_id",
-          k = 3, w = 4, minShared = 2L, maxDf = 50L)
+      Dedup.winnowSharedPairsFromFps(stagedWinnowFps(s, dir),
+          minShared = 2L, maxDf = 50L)
         .select(col("id_a"), col("id_b"), col("shared"))),
 
     // sparse TF-IDF cosine similarity: term-keyed sparse dot product
@@ -738,22 +780,26 @@ object SparkEntry {
 
     // winnow dup clusters: the q64 pipeline with winnow shared-pair
     // candidates — fingerprint-selected pairs feed the same pointer-
-    // jumping connected components, proving the tiers compose
+    // jumping connected components, proving the tiers compose; staged
+    // fingerprints, mined once per corpus
     "q170_winnow_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(
-        Dedup.winnowSharedPairs(Tables.documents(s, dir), "text", "doc_id",
-            k = 3, w = 4, minShared = 2L, maxDf = 50L)
+        Dedup.winnowSharedPairsFromFps(stagedWinnowFps(s, dir),
+            minShared = 2L, maxDf = 50L)
           .select(col("id_a"), col("id_b")))),
 
     // winnow-fingerprint DECONTAMINATION (even-id train vs odd-id ref,
     // the q157 split): train/ref pairs sharing >= 2 selected
-    // fingerprints, boilerplate fingerprints capped across both corpora
+    // fingerprints, boilerplate fingerprints capped across both
+    // corpora. Selection is per-document, so splitting the staged
+    // whole-corpus fingerprint table equals winnowing each side — the
+    // same subset-stability the oracle SQL already relies on
     "q168_winnow_decontamination" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.winnowCrossPairs(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1),
-          "text", "doc_id", k = 3, w = 4, minShared = 2L, maxDf = 50L)
+      val fps = stagedWinnowFps(s, dir)
+      Dedup.winnowCrossPairsFromFps(
+          fps.filter(col("id") % 2 === 0),
+          fps.filter(col("id") % 2 === 1),
+          minShared = 2L, maxDf = 50L)
         .select(col("train_id"), col("ref_id"), col("shared"))
     }),
 
@@ -1056,6 +1102,29 @@ object SparkEntry {
       // read of the decoder's marker walk
       docs.select(col("doc_id"),
           Multimodal.fakeMediaHeader(fmt, w, h).as("blob"))
+        .select(col("doc_id"), Multimodal.mediaMeta(col("blob")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").cast("bigint").as("width"),
+          col("m.height").cast("bigint").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WebP header ROUND TRIP — q155 for the fourth dominant web
+    // format: a valid WebP (RIFF) header is synthesized per doc
+    // cycling the VP8 (lossy 14-bit dims) / VP8L (lossless packed
+    // 14+14-bit) / VP8X (extended 24-bit canvas) variants, then parsed
+    // back by the byte-arithmetic decoder; the oracle computes the
+    // expected dimensions directly, so a green row proves every
+    // variant's bit layout encodes and decodes exactly
+    "q171_webp_meta_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val variant = element_at(array(lit("vp8"), lit("vp8l"), lit("vp8x")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val w = (col("doc_id") % 512 + 16).cast("int")
+      val h = ((col("doc_id") * 7) % 512 + 16).cast("int")
+      // blob materialized as its own projection first (the q163 lesson)
+      docs.select(col("doc_id"),
+          Multimodal.fakeWebpHeader(variant, w, h).as("blob"))
         .select(col("doc_id"), Multimodal.mediaMeta(col("blob")).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.width").cast("bigint").as("width"),
@@ -3024,6 +3093,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
         |    ELSE 'jpeg' END AS format,
+        |  (doc_id % 512 + 16)::BIGINT AS width,
+        |  ((doc_id * 7) % 512 + 16)::BIGINT AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // WebP round trip: every variant decodes to the same synthesized
+    // dimensions, so the oracle computes them directly from doc_id —
+    // a green row proves all three variant bit layouts are exact
+    "q171_webp_meta_roundtrip" ->
+      """SELECT doc_id, 'webp' AS format,
         |  (doc_id % 512 + 16)::BIGINT AS width,
         |  ((doc_id * 7) % 512 + 16)::BIGINT AS height
         |FROM documents

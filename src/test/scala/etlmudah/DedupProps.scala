@@ -76,15 +76,17 @@ object WinnowProps extends Properties("WinnowFingerprints") {
       Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
   private val corpusGen: Gen[List[String]] = Gen.listOfN(6, docGen)
 
-  /** Serial oracle: the SIGMOD'03 robust rule with plain collections. */
-  private def serial(texts: Seq[String], w: Int): Set[(Long, Int, String)] =
+  /** Serial oracle: the SIGMOD'03 robust rule with plain collections,
+    * at either lane width (8 = 32-bit, 16 = 64-bit). */
+  private def serial(texts: Seq[String], w: Int,
+                     laneHex: Int): Set[(Long, Int, String)] =
     texts.zipWithIndex.flatMap { case (t, id) =>
       val toks = t.trim.split("\\s+").toSeq
       val grams = toks.sliding(k).filter(_.length == k).zipWithIndex
         .map { case (g, p) =>
           val hex = java.security.MessageDigest.getInstance("MD5")
             .digest(g.mkString(" ").getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(8)
+            .map("%02x".format(_)).mkString.take(laneHex)
           (p, hex)
         }.toVector
       val windows =
@@ -95,16 +97,18 @@ object WinnowProps extends Properties("WinnowFingerprints") {
         .map { case (p, h) => (id.toLong, p, h) }.toSet
     }.toSet
 
-  property("matches the serial replay on random corpora and window sizes") =
-    forAll(corpusGen, Gen.chooseNum(2, 5)) { (texts, w) =>
-      import spark.implicits._
-      texts.isEmpty || {
-        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-          .toDF("doc_id", "text")
-        val got = Dedup.winnowFingerprints(df, "text", "doc_id", k, w)
-          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-          .toSet
-        got == serial(texts, w)
-      }
+  property("matches the serial replay on random corpora, window sizes, and lane widths") =
+    forAll(corpusGen, Gen.chooseNum(2, 5), Gen.oneOf(8, 16)) {
+      (texts, w, laneHex) =>
+        import spark.implicits._
+        texts.isEmpty || {
+          val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text")
+          val got = Dedup.winnowFingerprints(df, "text", "doc_id", k, w,
+              laneHex = laneHex)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+            .toSet
+          got == serial(texts, w, laneHex)
+        }
     }
 }

@@ -234,6 +234,43 @@ class DedupSpec extends SparkSpec {
     assert(portable == exact)
   }
 
+  test("64-bit lanes (laneHex=16): portable tiers still equal the exact tier; signatures verifiably wide") {
+    // the 100 TB configuration: two 64-bit lanes per digest. Same
+    // full-recall construction as the 32-bit test — at j>=0.8, r=4,
+    // b=32 both widths must reproduce the exact tier on sf0.001; wider
+    // lanes can only LOWER collision-driven candidate inflation, never
+    // change the refine's exact output.
+    val docs = Tables.documents(spark, sf0001)
+    def setOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = setOf(Dedup.exactJaccardPairs(docs, "text", "doc_id",
+      minJaccard = 0.8))
+    assert(exact.nonEmpty)
+    assert(setOf(Dedup.minhashPortablePairs(docs, "text", "doc_id",
+      shingleN = 3, k = 128, bands = 32, minJaccard = 0.8,
+      laneHex = 16)) == exact)
+    // the wide signature table carries 16-hex-char mins, and a staged
+    // consumer reproduces the inline result at the wide width too
+    val fns = org.apache.spark.sql.functions
+    val sig = Dedup.minhashPortableSigTable(docs, "text", "doc_id",
+      shingleN = 3, k = 128, laneHex = 16).localCheckpoint(true)
+    assert(sig.select(fns.explode(fns.col("mins")).as("m"))
+      .filter(fns.length(fns.col("m")) =!= 16).count() == 0)
+    assert(setOf(Dedup.minhashPortablePairsStaged(docs, "text", "doc_id",
+      sig, shingleN = 3, k = 128, bands = 32, minJaccard = 0.8)) == exact)
+    // cross tier at the wide width
+    val train = docs.filter(fns.col("doc_id") % 2 === 0)
+    val ref = docs.filter(fns.col("doc_id") % 2 === 1)
+    val crossNarrow = setOf(Dedup.minhashPortableCrossPairs(train, ref,
+      "text", "doc_id", minJaccard = 0.8)
+      .withColumnRenamed("train_id", "id_a").withColumnRenamed("ref_id", "id_b"))
+    val crossWide = setOf(Dedup.minhashPortableCrossPairs(train, ref,
+      "text", "doc_id", minJaccard = 0.8, laneHex = 16)
+      .withColumnRenamed("train_id", "id_a").withColumnRenamed("ref_id", "id_b"))
+    assert(crossWide == crossNarrow && crossNarrow.nonEmpty)
+  }
+
   test("staged-signature portable tiers equal their inline-signature forms") {
     val docs = Tables.documents(spark, sf0001)
     val sig = Dedup.minhashPortableSigTable(docs, "text", "doc_id",
@@ -390,6 +427,12 @@ class DedupSpec extends SparkSpec {
     // identical documents have identical signatures in every band — the
     // sketch cannot miss them
     assert(port.contains((1L, 2L, 1.0)), port.mkString(","))
+    // the same invariants hold at q130's dials with 64-bit lanes
+    val wide = Dedup.minhashPortablePairs(df, "text", "doc_id",
+        minJaccard = 0.5, laneHex = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(wide.toSet.subsetOf(exact), s"${wide.toSet} vs $exact")
+    assert(wide.contains((1L, 2L, 1.0)), wide.mkString(","))
   }
 
   test("dupClusters: salted skew guard on a hot star matches the unsalted path") {

@@ -98,6 +98,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mediaMeta: hand-crafted WebP headers decode across all three variants; corrupt stays null-safe") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val riff = "52494646" + "16000000" + "57454250"
+    val fixtures = Seq(
+      // VP8 lossy 320x240: frame tag + sync 9D012A + 14-bit LE dims
+      ("vp8_320", hx(riff + "56503820" + "0A000000" +
+        "000000" + "9D012A" + "4001" + "F000")),
+      // VP8L lossless 17x22: 2F signature + packed 14+14 bits
+      // (wm=16 -> b1=10; hm=21 -> b2=40 (h low 2 bits <<6), b3=05, b4=00)
+      ("vp8l_17", hx(riff + "5650384C" + "05000000" +
+        "2F" + "10400500" + "00")),
+      // VP8X extended 2000x1000: canvas dims-minus-one as 24-bit LE
+      ("vp8x_2000", hx(riff + "56503858" + "0A000000" + "00000000" +
+        "CF0700" + "E70300")),
+      // RIFF/WEBP magic with an unknown first chunk: webp, null dims
+      ("webp_odd_chunk", hx(riff + "41424344" + "04000000" + "00000000")),
+      // truncated before the dimension bytes
+      ("webp_trunc", hx(riff + "56503820" + "0A000000" + "0000")))
+    val out = fixtures.toDF("id", "media")
+      .select(col("id"), Multimodal.mediaMeta(col("media")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("vp8_320") == (("webp", Some(320L), Some(240L))))
+    assert(out("vp8l_17") == (("webp", Some(17L), Some(22L))))
+    assert(out("vp8x_2000") == (("webp", Some(2000L), Some(1000L))))
+    assert(out("webp_odd_chunk") == (("webp", None, None)))
+    assert(out("webp_trunc")._1 == "webp" && out("webp_trunc")._2.isEmpty)
+  }
+
+  test("fakeWebpHeader -> mediaMeta round trip across variants and dims") {
+    import spark.implicits._
+    // 14-bit dimension ceiling for VP8/VP8L; VP8X shares the grid
+    val grid = for (v <- Seq("vp8", "vp8l", "vp8x");
+                    d <- Seq(1, 16, 527, 16383))
+      yield (v, d, 16384 - d)
+    val out = grid.toDF("v", "w", "h")
+      .select(col("v"), col("w"), col("h"),
+        Multimodal.mediaMeta(
+          Multimodal.fakeWebpHeader(col("v"), col("w"), col("h"))).as("m"))
+      .collect()
+    out.foreach { r =>
+      val (v, w, h) = (r.getString(0), r.getInt(1), r.getInt(2))
+      val m = r.getStruct(3)
+      assert(m.getString(0) == "webp", s"$v $w x $h -> ${m.getString(0)}")
+      assert(m.getLong(1) == w.toLong && m.getLong(2) == h.toLong,
+        s"$v $w x $h -> ${m.getLong(1)} x ${m.getLong(2)}")
+    }
+  }
+
   test("audioMeta: hand-crafted WAV chunk layouts decode; corrupt stays null-safe") {
     import spark.implicits._
     def hx(s: String): Array[Byte] =
@@ -120,7 +172,17 @@ class MultimodalSpec extends SparkSpec {
         fmt16k + "64617461" + "E8030000")),
       ("not_riff", "just text bytes".getBytes("UTF-8").toSeq.toArray),
       // RIFF/WAVE magic but truncated before any chunk completes
-      ("wav_trunc", hx("52494646" + "24080000" + "57415645" + "666D"))
+      ("wav_trunc", hx("52494646" + "24080000" + "57415645" + "666D")),
+      // HOSTILE declared chunk size near uint32-max: the next offset
+      // (13 + 8 + 0xFFFFFFF0) exceeds Int range — the walk must
+      // terminate on the out-of-range guard, not throw CAST_OVERFLOW
+      // under ANSI mode when the offset is cast to int for a byte read
+      ("wav_hostile_size", hx("52494646" + "24080000" + "57415645" +
+        "4C495354" + "F0FFFFFF" + "00" * 8)),
+      // hostile size in a chunk AFTER fmt was captured: must keep the
+      // already-captured fmt fields and stop cleanly (data stays null)
+      ("wav_hostile_after_fmt", hx("52494646" + "24080000" + "57415645" +
+        fmt16k + "4C495354" + "FFFFFFFF"))
     )
     val out = fixtures.toDF("id", "media")
       .select(col("id"), Multimodal.audioMeta(col("media")).as("m"))
@@ -139,6 +201,12 @@ class MultimodalSpec extends SparkSpec {
     assert(out("not_riff")._1 == "unknown" && out("not_riff")._2.isEmpty)
     assert(out("wav_trunc")._1 == "wav" && out("wav_trunc")._2.isEmpty &&
       out("wav_trunc")._5.isEmpty)
+    assert(out("wav_hostile_size") ==
+      (("wav", None, None, None, None)),
+      s"wav_hostile_size -> ${out("wav_hostile_size")}")
+    assert(out("wav_hostile_after_fmt") ==
+      (("wav", Some(2), Some(16000L), Some(16), None)),
+      s"wav_hostile_after_fmt -> ${out("wav_hostile_after_fmt")}")
   }
 
   test("fakeWavHeader -> audioMeta round trip across PCM parameter grid") {

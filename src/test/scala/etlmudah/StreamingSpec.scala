@@ -521,6 +521,97 @@ class StreamingSpec extends SparkSpec {
     assert(first.zip(re).forall { case (a, b) => a == b })
   }
 
+  test("composition: dedup-ingest survivors chain into pack-export; crashes between and inside stages converge") {
+    // the reference's fetch -> load task chain made streaming-native:
+    // stage A (dedupIngestSink) writes the deduped corpus, stage B
+    // (packExportSink) packs A's survivor table. Proves the fingerprint
+    // swap protocol and the offsets ledger COMPOSE: a crash between the
+    // stages (A's side effects durable, its checkpoint commit lost)
+    // replays to the same survivor set before B starts, and B's ledger
+    // continues across a later wave so a pack spans the chain restart.
+    val out = Files.createTempDirectory("stream_chain").toString
+    val src = s"$out/src"
+    import spark.implicits._
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_chain").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(src).mkdirs()
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    stageFile(Seq((1L, "alpha beta gamma", "en", "s", 16L),
+        (2L, "alpha beta gamma", "en", "s", 16L),    // in-batch dup of 1
+        (3L, "delta epsilon zeta", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), "f1.parquet")
+    Thread.sleep(100)
+    stageFile(Seq((4L, "ALPHA   beta gamma", "en", "s", 18L), // dup of 1
+        (5L, "eta theta iota", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), "f2.parquet")
+    val base = s"$out/base"
+    val fps = s"$out/fps"
+    def runA(cp: String): Unit = {
+      val q = Streaming.dedupIngestSink(
+          Streaming.readDocuments(spark, src), base, fps, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDrained(q)
+    }
+    runA(s"$out/cp_a")
+    // crash BETWEEN the stages: A's last batch lost its checkpoint
+    // commit after its side effects; replay classifies everything as
+    // corpus dups and touches nothing — B must start from the same
+    // survivor set either way
+    dropCommit(s"$out/cp_a", 1)
+    runA(s"$out/cp_a")
+    val survivors = spark.read.parquet(base)
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 5L))
+    // stage B: pack A's survivor partitions (ctx=20 leaves wave 1 at
+    // offset 48 — mid-pack — so wave 2 must CONTINUE pack 2)
+    val ctx = 20L
+    def runB(cp: String): Unit = {
+      val q = Streaming.packExportSink(
+          Streaming.readDocuments(spark, s"$base/batch_id=*"),
+          "doc_id", "n_chars", ctx,
+          s"$out/state", s"$out/packs", cp, compactEvery = 1)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDrained(q)
+    }
+    runB(s"$out/cp_b")
+    def packTable() = spark.read.parquet(s"$out/packs")
+      .select("doc_id", "pack_id", "doc_offset", "n_tokens")
+      .orderBy("doc_id", "pack_id").collect()
+    val wave1 = packTable()
+    assert(wave1.map(_.getLong(3)).sum == 48L) // survivor tokens only
+    // crash INSIDE B (after ledger write + output, before commit):
+    // replay rewrites its own batch partition, packs identical
+    dropCommit(s"$out/cp_b", 1)
+    runB(s"$out/cp_b")
+    assert(packTable().toSeq == wave1.toSeq)
+    // wave 2: a new crawl file arrives — A appends only fresh docs, B
+    // continues the global token offset across the chained restart
+    Thread.sleep(100)
+    stageFile(Seq((6L, "kappa lambda mu", "en", "s", 15L),
+        (7L, "alpha beta gamma", "en", "s", 16L))   // corpus dup of 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), "f3.parquet")
+    runA(s"$out/cp_a")
+    runB(s"$out/cp_b")
+    val packs2 = spark.read.parquet(s"$out/packs")
+    assert(spark.read.parquet(base).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L, 6L))
+    assert(packs2.agg(sum("n_tokens")).head().getLong(0) == 63L)
+    val per = packs2.groupBy("pack_id").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(per.map(_._1).toSeq == (0L until per.length).toSeq)
+    assert(per.dropRight(1).forall(_._2 == ctx),
+      per.mkString(","))
+    // the ledger carried offset 48 across the B restart: pack 2
+    // ([40,60)) draws spans from BOTH waves' B batches
+    assert(packs2.filter(col("pack_id") === 2)
+      .select("batch_id").distinct().count() > 1,
+      "pack 2 did not span the chained restart")
+  }
+
   test("upsertSink: idempotent, rewrites only touched buckets, recovers torn bucket swaps") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"

@@ -622,6 +622,57 @@ class TextStatsSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("bpeMerges: interacting top pairs fall back to one accept; equals serial replay") {
+    import spark.implicits._
+    // (y,z) f=15 dominates; (x,y) f=10 SHARES y -> the batch walk must
+    // stop at the conflict (accept only (y,z)) and let the next round
+    // recount — a batch of both would count (x,y) against pre-merge text
+    val text = (Seq.fill(10)("xyz") ++ Seq.fill(5)("yz")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextStats.bpeMerges(df, "text", nMerges = 6, minPairFreq = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val counts = Map("xyz" -> 10L, "yz" -> 5L)
+    assert(got == serialBpe(counts, 6, 2L), got.toString)
+    assert(got.head._2 == "y" && got.head._3 == "z", got.head.toString)
+  }
+
+  test("bpeMerges: equal-freq accept tied with a rejected conflicting pair is trimmed; equals serial replay") {
+    import spark.implicits._
+    // sorted pairs: (a,b) 6, (c,d) 5, (d,e) 5 — walk accepts (a,b),(c,d),
+    // stops on (d,e) (shares d); the trim then drops (c,d) because its
+    // freq TIES the rejected pair's, so serial tie-breaking stays in
+    // charge of the (c,d)-vs-(d,e) order
+    val text = (Seq.fill(6)("ab") ++ Seq.fill(5)("cd") ++
+      Seq.fill(5)("de")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextStats.bpeMerges(df, "text", nMerges = 5, minPairFreq = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val counts = Map("ab" -> 6L, "cd" -> 5L, "de" -> 5L)
+    assert(got == serialBpe(counts, 5, 2L), got.toString)
+  }
+
+  test("bpeMerges: a multi-accept batch equals maxBatch=1 driving and the serial replay") {
+    import spark.implicits._
+    // ten disjoint two-char words at strictly distinct frequencies: one
+    // batched round should accept many merges at once, and the result
+    // must be identical to serial driving
+    val words = ('a' to 'j').zipWithIndex.map { case (c, i) =>
+      Seq.fill(20 - i)(s"$c$c") }
+    val df = Seq((1L, words.flatten.mkString(" "))).toDF("doc_id", "text")
+    def run(mb: Int) = TextStats.bpeMerges(df, "text", nMerges = 10,
+        minPairFreq = 2L, maxBatch = mb)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val batched = run(16)
+    assert(batched == run(1), batched.toString)
+    val counts = ('a' to 'j').zipWithIndex
+      .map { case (c, i) => s"$c$c" -> (20 - i).toLong }.toMap
+    assert(batched == serialBpe(counts, 10, 2L), batched.toString)
+    assert(batched.length == 10)
+  }
+
   test("tfidfCosinePairs: identical docs hit 1.0, disjoint never pair, hot terms capped") {
     import spark.implicits._
     // 1/2 identical; 3 disjoint; 'common' appears in ALL docs of a
@@ -641,6 +692,91 @@ class TextStatsSpec extends SparkSpec {
         "text", "doc_id", minCosine = 0.2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == again.toSeq)
+  }
+
+  /** Brute-force reference for [[TextStats.tfidfCosinePairs]]: the full
+    * quadratic pairwise cosine over the df-capped tf-idf vectors, no
+    * prefix filtering — what the pruned plan must exactly reproduce. */
+  private def bruteTfidfPairs(rows: Seq[(Long, String)], minCosine: Double,
+                              maxDfFrac: Double): Seq[(Long, Long)] = {
+    val toks = rows.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq }
+    val n = rows.map(_._1).distinct.size
+    val tf = toks.flatMap { case (id, ts) => ts.map(id -> _) }
+      .groupBy(identity).map { case ((id, t), g) => (id, t, g.size) }.toSeq
+    val df = tf.groupBy(_._2).map { case (t, g) => t -> g.size }
+    val cap = math.ceil(n * maxDfFrac)
+    val byDoc = tf.filter { case (_, t, _) => df(t) <= cap }
+      .map { case (id, t, f) => (id, t, f * math.log(n.toDouble / df(t))) }
+      .groupBy(_._1).map { case (id, g) =>
+        id -> g.map(x => x._2 -> x._3).toMap }
+    val ids = byDoc.keys.toSeq.sorted
+    for {
+      i <- ids; j <- ids if i < j
+      va = byDoc(i); vb = byDoc(j)
+      na = math.sqrt(va.values.map(x => x * x).sum)
+      nb = math.sqrt(vb.values.map(x => x * x).sum)
+      if na > 0 && nb > 0
+      dot = va.keySet.intersect(vb.keySet).toSeq.sorted
+        .map(t => va(t) * vb(t)).sum
+      if dot / (na * nb) >= minCosine - 1e-9
+    } yield (i, j)
+  }
+
+  test("tfidfCosinePairs: prefix-filtered plan equals brute force with a planted at-the-cap hot term") {
+    import spark.implicits._
+    // 10 planted near-dup pairs (3 of 4 rare terms shared), then 4 docs
+    // carrying 'hot' — df(hot) = 4 = ceil(40 x 0.1), EXACTLY at the cap,
+    // so it survives capping; without prefix filtering it alone fans out
+    // quadratically, and its pairs must still be (correctly) rejected by
+    // the exact verify because 'hot' carries too little weight mass
+    val rows =
+      (1L to 10L).flatMap(i => Seq(
+        (2 * i - 1, s"p${i}x p${i}y p${i}z q$i"),
+        (2 * i, s"p${i}x p${i}y p${i}z s$i"))) ++
+      (21L to 24L).map(i => (i, s"hot z${i}a z${i}b z${i}c")) ++
+      (25L to 40L).map(i => (i, s"f${i}a f${i}b f${i}c f${i}d"))
+    val got = TextStats.tfidfCosinePairs(rows.toDF("doc_id", "text"),
+        "text", "doc_id", minCosine = 0.5, maxDfFrac = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteTfidfPairs(rows, 0.5, 0.1).toSet
+    assert(got == want, s"pruned=$got brute=$want")
+    // exactly the 10 planted pairs: the hot term created none
+    assert(want == (1L to 10L).map(i => (2 * i - 1, 2 * i)).toSet)
+  }
+
+  test("tfidfCosinePairs: equals brute force across seeded random corpora and thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3; minCos <- Seq(0.3, 0.7)) {
+      val vocab = (0 until 30).map(v => s"v$v")
+      val rows = (1L to 25L).map { id =>
+        val len = 3 + rnd.nextInt(6)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = TextStats.tfidfCosinePairs(rows.toDF("doc_id", "text"),
+          "text", "doc_id", minCosine = minCos, maxDfFrac = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteTfidfPairs(rows, minCos, 0.3).toSet
+      assert(got == want, s"trial=$trial t=$minCos pruned=$got brute=$want")
+    }
+  }
+
+  test("tfidfCosinePairs: small-corpus cliff — n <= 1/maxDfFrac is always empty, larger maxDfFrac restores pairs") {
+    import spark.implicits._
+    // 6 docs, two identical: at maxDfFrac = 0.1 the cap is ceil(0.6) = 1
+    // and two docs can never share a df = 1 term -> empty BY DESIGN
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"), (4L, "eta theta iota"),
+      (5L, "kappa lambda mu"), (6L, "nu xi omicron"))
+    val cliff = TextStats.tfidfCosinePairs(rows.toDF("doc_id", "text"),
+      "text", "doc_id", minCosine = 0.5, maxDfFrac = 0.1).collect()
+    assert(cliff.isEmpty, s"expected the documented cliff: ${cliff.toSeq}")
+    // the documented remedy: a cap admitting df = 2 pairs them at 1.0
+    val wide = TextStats.tfidfCosinePairs(rows.toDF("doc_id", "text"),
+        "text", "doc_id", minCosine = 0.5, maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(wide.toSeq == Seq((1L, 2L, 1.0)), wide.toSeq.toString)
   }
 
   test("rankProfileClassify: separable classes classify perfectly; out-of-profile distance is topV-capped") {

@@ -115,40 +115,64 @@ object ManualDrive {
         nlist = 8)
       .show(5)
 
-    // 8b. winnowing fingerprints + shared-pair application (q165/q166)
-    println("== winnowFingerprints / winnowSharedPairs (q165/q166)")
-    etlmudah.scale.Dedup.winnowFingerprints(docs, "text", "doc_id",
-        k = 3, w = 4)
+    // 8b. staged winnow fingerprints: cold mine then warm re-read,
+    // feeding the q166/q168/q170 consumers
+    println("== stagedWinnowFps cold+warm -> q166/q168/q170 consumers")
+    val w0 = System.nanoTime()
+    val wf1 = SparkEntry.stagedWinnowFps(spark, sf).count()
+    val w1 = System.nanoTime()
+    val wf2 = SparkEntry.stagedWinnowFps(spark, sf).count()
+    val w2 = System.nanoTime()
+    println(f"fps=$wf1 cold=${(w1 - w0) / 1e9}%.2fs warm=${(w2 - w1) / 1e9}%.2fs (p2=$wf2)")
+    val fps = SparkEntry.stagedWinnowFps(spark, sf)
+    etlmudah.scale.Dedup.winnowSharedPairsFromFps(fps, minShared = 2L,
+      maxDf = 50L).show(5, truncate = false)
+    etlmudah.scale.Dedup.winnowCrossPairsFromFps(
+        fps.filter(col("id") % 2 === 0), fps.filter(col("id") % 2 === 1),
+        minShared = 2L, maxDf = 50L)
       .show(5, truncate = false)
-    etlmudah.scale.Dedup.winnowSharedPairs(docs, "text", "doc_id",
-        k = 3, w = 4, minShared = 2L, maxDf = 50L)
-      .show(5, truncate = false)
-
-    // 8c. rank-profile n-gram classification (q167)
-    println("== rankProfileClassify (q167)")
-    etlmudah.text.TextStats.rankProfileClassify(docs,
-        "text", "doc_id", "source", topV = 20)
-      .show(5, truncate = false)
-
-    // 8d. winnow decontamination (q168)
-    println("== winnowCrossPairs (q168)")
-    etlmudah.scale.Dedup.winnowCrossPairs(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        "text", "doc_id")
-      .show(5, truncate = false)
-
-    // 8f. winnow dup clusters (q170)
-    println("== winnow dupClusters (q170)")
     etlmudah.scale.Dedup.dupClusters(
-        etlmudah.scale.Dedup.winnowSharedPairs(docs, "text", "doc_id")
+        etlmudah.scale.Dedup.winnowSharedPairsFromFps(fps)
           .select(col("id_a"), col("id_b")))
       .show(5, truncate = false)
 
-    // 8e. sparse tf-idf cosine pairs (q169)
-    println("== tfidfCosinePairs (q169)")
+    // 8e. sparse tf-idf cosine pairs (q169) — now Bayardo prefix-filtered
+    println("== tfidfCosinePairs (q169, prefix-filtered)")
     etlmudah.text.TextStats.tfidfCosinePairs(docs, "text", "doc_id")
       .show(5, truncate = false)
+
+    // 8g. batched BPE: merges + held-out segment report (q161/q162)
+    println("== bpeMerges batched (q161) + segment report (q162)")
+    val bb0 = System.nanoTime()
+    val merges16 = etlmudah.text.TextStats.bpeMerges(
+      docs.filter(col("doc_id") % 2 === 0), "text", nMerges = 16)
+    merges16.show(16, truncate = false)
+    println(f"batched 16 merges in ${(System.nanoTime() - bb0) / 1e9}%.2fs")
+    etlmudah.text.TextStats.bpeSegmentReport(
+        docs.filter(col("doc_id") % 2 === 1), "text", "source",
+        merges16.collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+      .show(5, truncate = false)
+
+    // 8h. 64-bit portable lanes (the 100 TB dial)
+    println("== minhashPortablePairs laneHex=16 + winnow laneHex=16")
+    etlmudah.scale.Dedup.minhashPortablePairs(docs, "text", "doc_id",
+        k = 128, bands = 32, minJaccard = 0.8, laneHex = 16)
+      .show(5, truncate = false)
+    etlmudah.scale.Dedup.winnowFingerprints(docs, "text", "doc_id",
+        k = 3, w = 4, laneHex = 16)
+      .show(3, truncate = false)
+
+    // 8i. WebP round trip (q171) + hostile WAV (ADVICE crash fix)
+    println("== WebP encode->decode (q171) + hostile WAV")
+    SparkEntry.queries("q171_webp_meta_roundtrip")(spark, sf).show(6)
+    import spark.implicits._
+    val hostileWav = ("52494646" + "24080000" + "57415645" +
+      "4C495354" + "F0FFFFFF" + "0000000000000000")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    Seq((1L, hostileWav)).toDF("id", "media")
+      .select(col("id"),
+        etlmudah.multimodal.Multimodal.audioMeta(col("media")).as("m"))
+      .show(1, truncate = false)
 
     // 8. portable SemDeDup (q164)
     println("== semanticDedupPortable (q164)")

@@ -247,6 +247,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
   }
 
+  test("q169: prefix-filter suffix norms and full norms ride ONE id-partitioned window") {
+    val wins = SparkEntry.queries("q169_tfidf_cosine_pairs")(spark, sf0001)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    // both window sums (inclusive suffix norm + full norm) must plan
+    // into a single WindowExec PER INSTANCE — a split would mean a
+    // second id-keyed exchange per side. The prefix self-join
+    // duplicates the subtree (<= 2 instances pre-AQE); what matters is
+    // that no instance splits its two sums across separate windows.
+    assert(wins.nonEmpty && wins.length <= 2,
+      s"expected 1-2 WindowExec, got ${wins.length}")
+    wins.foreach(w => assert(w.windowExpression.length == 2,
+      w.windowExpression.mkString(", ")))
+  }
+
   test("stagedClusterPairs: mines once, then reads the staged parquet; pairs identical") {
     val direct = SparkEntry.clusterPairs(
         etlmudah.Tables.documents(spark, sf0001))
@@ -274,6 +289,67 @@ class PlanShapeSpec extends SparkSpec {
     val warm = SparkEntry.stagedPortableSigs(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!warm.contains("md5") && !warm.contains("HashAggregate"),
+      warm.take(500))
+  }
+
+  test("staging key: meta-dir junk is invisible, real leaf changes re-key, racer artifacts stay live") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("stagekey").toString
+    val docs = Paths.get(s"$tmp/documents.parquet")
+    Files.createDirectory(docs)
+    // build a DIRECTORY-layout corpus (the layout the recursive listing
+    // exists for) from the sf0.001 table, whether that is a single
+    // parquet file or itself a directory
+    val srcLeaf = Paths.get(sf0001, "documents.parquet")
+    val leaves =
+      if (Files.isDirectory(srcLeaf))
+        Files.list(srcLeaf).toArray.map(_.toString)
+          .filter(p => !Paths.get(p).getFileName.toString.startsWith("_") &&
+            !Paths.get(p).getFileName.toString.startsWith("."))
+      else Array(srcLeaf.toString)
+    leaves.zipWithIndex.foreach { case (p, i) =>
+      Files.copy(Paths.get(p), docs.resolve(f"part-$i%05d.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val first = SparkEntry.stagedPortableSigs(spark, tmp)
+    val firstFiles = first.inputFiles.toSet
+    assert(firstFiles.nonEmpty)
+    // junk under a `_`-prefixed ancestor (a killed write's _temporary)
+    // must NOT enter the key: the warm call resolves the SAME artifact
+    val junkDir = docs.resolve("_temporary").resolve("0")
+    Files.createDirectories(junkDir)
+    Files.write(junkDir.resolve("part-00000"), Array[Byte](1, 2, 3))
+    assert(SparkEntry.stagedPortableSigs(spark, tmp).inputFiles.toSet
+      == firstFiles, "meta-dir junk churned the staging key")
+    // a REAL leaf change (mtime bump) must re-key and rebuild
+    val leaf = Files.list(docs).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.setLastModifiedTime(Paths.get(leaf),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(leaf)).toMillis + 60000))
+    val rekeyed = SparkEntry.stagedPortableSigs(spark, tmp).inputFiles.toSet
+    assert(rekeyed != firstFiles, "leaf mtime change did not re-key")
+    // never-delete publish: the first artifact's files survive the
+    // rebuild — a reader mid-scan of them cannot lose files to a racer
+    firstFiles.foreach { f =>
+      assert(Files.exists(Paths.get(f.stripPrefix("file:"))),
+        s"live artifact file deleted by a later publish: $f")
+    }
+  }
+
+  test("stagedWinnowFps: mines once, then reads the staged parquet; fingerprints identical") {
+    val direct = etlmudah.scale.Dedup.winnowFingerprints(
+        etlmudah.Tables.documents(spark, sf0001), "text", "doc_id",
+        k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val staged = SparkEntry.stagedWinnowFps(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(staged == direct && direct.nonEmpty)
+    // warm call: a bare parquet scan — no md5 projection, no winnow
+    // windows anywhere
+    val warm = SparkEntry.stagedWinnowFps(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!warm.contains("md5") && !warm.contains("Window"),
       warm.take(500))
   }
 
