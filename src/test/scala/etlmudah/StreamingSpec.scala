@@ -720,5 +720,17 @@ class StreamingSpec extends SparkSpec {
     assert(before.length > 0 && before.zip(after).forall { case (a, b) => a == b })
     // same bucket count restarts fine
     runOnce(8, s"$out/cp3")
+
+    // a TORN manifest (crash between create and write left it empty)
+    // must raise a clear error naming the file and remedy — not a bare
+    // NumberFormatException from "".toInt on every restart
+    Files.write(java.nio.file.Paths.get(s"$base/_graft_num_buckets"),
+      Array.empty[Byte])
+    val crc = java.nio.file.Paths.get(s"$base/._graft_num_buckets.crc")
+    if (Files.exists(crc)) Files.delete(crc)
+    val torn = intercept[Exception] { runOnce(8, s"$out/cp4") }
+    assert(causes(torn).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("empty/unparseable") && m.contains("_graft_num_buckets"))),
+      torn.toString)
   }
 }
