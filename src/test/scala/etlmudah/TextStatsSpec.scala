@@ -762,6 +762,68 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("scale rehearsal: planted at-the-cap clique — prefix filter keeps the pair join bounded") {
+    import spark.implicits._
+    // 20k docs; 'glue' appears in 2000 of them — EXACTLY the 10% cap, so
+    // it survives df capping. Unpruned, that one term alone generates
+    // ~2M candidate pairs before any cosine can reject them; the prefix
+    // filter must keep it out of nearly every doc's index (it is the
+    // most-frequent surviving term, so it sorts LAST) and finish in
+    // bounded time with exactly the planted near-dup pairs.
+    val n = 20000L
+    val rows = (1L to n).map { i =>
+      val uniq = s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      val withGlue = if (i <= 2000) s"$uniq glue" else uniq
+      // 50 planted near-dup pairs INSIDE the glue clique: doc i and
+      // i+1000 share six rare pair-terms plus the glue term
+      if (i <= 50) (i, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f glue")
+      else if (i > 1000 && i <= 1050)
+        (i, s"p${i - 1000}a p${i - 1000}b p${i - 1000}c p${i - 1000}d p${i - 1000}e p${i - 1000}f glue")
+      else (i, withGlue)
+    }
+    val t0 = System.nanoTime()
+    val got = TextStats.tfidfCosinePairs(rows.toDF("doc_id", "text"),
+        "text", "doc_id", minCosine = 0.8, maxDfFrac = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.toSet == (1L to 50L).map(i => (i, i + 1000)).toSet,
+      s"got ${got.length} pairs")
+    // generous bound: the unpruned formulation's 2M-pair explosion blows
+    // far past this even on this corpus
+    assert(secs < 120.0, f"took $secs%.1f s")
+  }
+
+  test("bpeMerges: batching cuts driver job rounds vs maxBatch=1 (same merges)") {
+    import spark.implicits._
+    // ten disjoint high-freq pairs learned in ONE batched round need far
+    // fewer Spark jobs than ten serial rounds — the observable form of
+    // the 'driver rounds drop ~maxBatch-fold' claim
+    val words = ('a' to 'j').zipWithIndex.map { case (c, i) =>
+      Seq.fill(30 - i)(s"$c$c") }
+    val df = Seq((1L, words.flatten.mkString(" "))).toDF("doc_id", "text")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    def countJobs(mb: Int): (Int, Seq[(Int, String)]) = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs = 0
+      val out = TextStats.bpeMerges(df, "text", nMerges = 10,
+          minPairFreq = 2L, maxBatch = mb)
+        .collect().map(r => (r.getInt(0), r.getString(3))).toSeq
+      Thread.sleep(500) // listener events are async; let the bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      (jobs, out)
+    }
+    val (serialJobs, serialOut) = countJobs(1)
+    val (batchedJobs, batchedOut) = countJobs(16)
+    assert(batchedOut == serialOut)
+    assert(batchedJobs * 2 < serialJobs,
+      s"batched=$batchedJobs serial=$serialJobs")
+  }
+
   test("tfidfCosinePairs: small-corpus cliff — n <= 1/maxDfFrac is always empty, larger maxDfFrac restores pairs") {
     import spark.implicits._
     // 6 docs, two identical: at maxDfFrac = 0.1 the cap is ceil(0.6) = 1
