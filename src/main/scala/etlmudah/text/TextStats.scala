@@ -1289,15 +1289,16 @@ object TextStats {
     * Deterministic end to end, so an external engine replays profiles,
     * ranks, and distances exactly.
     *
-    * Scale shape: the corpus rides ONE id-keyed exchange that both
-    * branches reuse — the doc branch aggregates (id, gram) counts
-    * (exchange-free: id-partitioning clusters every finer key) and
-    * ranks per doc; the class branch aggregates (class, gram) counts
-    * directly from the exploded grams (re-running the codegen'd
-    * explode off the reused exchange measured ~30% cheaper than
-    * materializing the tens-of-millions-row per-doc count table for
-    * two consumers); both rank windows run over Heaps-law-bounded
-    * count tables; the distance join fans each doc's topV rows out by
+    * Scale shape: one explode of char offsets (text length−2 rows per
+    * doc) feeding a map-side-combined (id, gram) count — exchange-free
+    * above the id repartition, since id-partitioning clusters every
+    * finer key; class counts aggregate FROM the checkpointed doc
+    * counts (the corpus-scale explode runs ONCE — re-deriving the
+    * class branch from the grams instead measured ~2x slower under
+    * the bench harness: the explode is the dominant cost and runs
+    * twice, while the per-doc count materialization it avoids is
+    * cheap); both rank windows run over Heaps-law-bounded count
+    * tables; the distance join fans each doc's topV rows out by
     * |classes| (a broadcast) and probes the class profiles (topV ×
     * |classes| rows, broadcast). Documents shorter than 3 characters
     * have no trigram and are excluded. Returns (id, actual, predicted,
@@ -1316,8 +1317,9 @@ object TextStats {
       .select(col("id"), col("cls"), col("t").substr(col("i"), lit(3)).as("g"))
     val docCounts = grams.groupBy(col("id"), col("cls"), col("g"))
       .agg(count(lit(1)).as("c"))
-    val classCounts = grams.groupBy(col("cls"), col("g"))
-      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the class profile AND the doc profile
+    val classCounts = docCounts.groupBy(col("cls"), col("g"))
+      .agg(sum(col("c")).as("c"))
     val classProf = classCounts
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("cls"))

@@ -102,6 +102,17 @@ object SparkEntry {
       Dedup.winnowFingerprints(Tables.documents(s, dir), "text", "doc_id",
         k = 3, w = 4))
 
+  /** The winnow shared-PAIR table staged one level above the
+    * fingerprints — the q64/q108 split applied to the winnow tier:
+    * q166 runs the df-capped inverted-index join live (its oracle row
+    * benchmarks the join cost every round); q170's cluster composition
+    * consumes this artifact and pays only connected components. */
+  private val winnowPairTag = "wpair-v1-k3-w4-ms2-df50"
+  private[graft] def stagedWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    stagedArtifact(s, dir, winnowPairTag, "wpair")(
+      Dedup.winnowSharedPairsFromFps(stagedWinnowFps(s, dir),
+        minShared = 2L, maxDf = 50L))
+
   /** Stage-once machinery shared by the derived artifacts
     * ([[stagedClusterPairs]], [[stagedPortableSigs]]): keyed on source
     * URI + per-leaf-file (name, length, mtime) + a builder
@@ -780,13 +791,12 @@ object SparkEntry {
 
     // winnow dup clusters: the q64 pipeline with winnow shared-pair
     // candidates — fingerprint-selected pairs feed the same pointer-
-    // jumping connected components, proving the tiers compose; staged
-    // fingerprints, mined once per corpus
+    // jumping connected components, proving the tiers compose; pairs
+    // come from the staged artifact (q166 keeps benchmarking the join
+    // itself, the q64/q108 split)
     "q170_winnow_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(
-        Dedup.winnowSharedPairsFromFps(stagedWinnowFps(s, dir),
-            minShared = 2L, maxDf = 50L)
-          .select(col("id_a"), col("id_b")))),
+        stagedWinnowPairs(s, dir).select(col("id_a"), col("id_b")))),
 
     // winnow-fingerprint DECONTAMINATION (even-id train vs odd-id ref,
     // the q157 split): train/ref pairs sharing >= 2 selected

@@ -337,6 +337,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("stagedWinnowPairs: equals the live join; warm path is a bare parquet scan") {
+    val live = etlmudah.scale.Dedup.winnowSharedPairsFromFps(
+        SparkEntry.stagedWinnowFps(spark, sf0001),
+        minShared = 2L, maxDf = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val staged = SparkEntry.stagedWinnowPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(staged == live && live.nonEmpty)
+    val warm = SparkEntry.stagedWinnowPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!warm.contains("SortMergeJoin") && !warm.contains("HashAggregate"),
+      warm.take(500))
+  }
+
   test("stagedWinnowFps: mines once, then reads the staged parquet; fingerprints identical") {
     val direct = etlmudah.scale.Dedup.winnowFingerprints(
         etlmudah.Tables.documents(spark, sf0001), "text", "doc_id",

@@ -52,10 +52,13 @@ object ProfileDrive {
       SparkEntry.queries("q155_media_meta_roundtrip")(spark, dir)
         .write.format("noop").mode("overwrite").save())
 
-    // q167: the shipped shape IS the two-branch formulation (class
-    // counts aggregate directly from the exploded grams off the reused
-    // id exchange; no per-doc count checkpoint) - measured ~30% faster
-    // than checkpointing the tens-of-millions-row doc count table
+    // q167: checkpointed per-doc counts feed both rank branches.
+    // MEASUREMENT NOTE: an in-JVM back-to-back A/B here once suggested
+    // a no-checkpoint two-branch variant was ~30% faster, but the bench
+    // harness (query re-constructed inside each rep, best-of-3 across
+    // separate runs) showed it ~2x SLOWER — the corpus-scale explode
+    // dominates and runs twice. Same-JVM ordering bias (JIT + page
+    // cache) inverted the comparison; trust the bench shape.
     time("q167 rank-profile classify")(
       SparkEntry.queries("q167_rank_profile_classify")(spark, dir)
         .write.format("noop").mode("overwrite").save())
