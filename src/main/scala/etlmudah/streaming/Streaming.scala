@@ -671,13 +671,17 @@ object Streaming {
         // manifest turns that silent corruption into a hard failure.
         val manifest = new org.apache.hadoop.fs.Path(
           s"$basePath/_graft_num_buckets")
-        if (fs.exists(manifest)) {
-          val in = fs.open(manifest)
-          val raw = try scala.io.Source.fromInputStream(in).mkString.trim
-            finally in.close()
-          // a torn manifest (crash between create and write) must name
-          // the file and the remedy, not surface as a bare
-          // NumberFormatException from "".toInt on every restart
+        def readManifest(): Option[String] =
+          if (!fs.exists(manifest)) None
+          else {
+            val in = fs.open(manifest)
+            Some(try scala.io.Source.fromInputStream(in).mkString.trim
+              finally in.close())
+          }
+        // a torn manifest (crash between create and write under the old
+        // protocol) must name the file and the remedy, not surface as a
+        // bare NumberFormatException from "".toInt on every restart
+        def checkManifest(raw: String): Unit = {
           val persisted = raw.toIntOption.getOrElse(sys.error(
             s"upsertSink manifest $manifest is empty/unparseable " +
               s"('$raw') — a previous writer crashed mid-publish; delete " +
@@ -686,19 +690,28 @@ object Streaming {
             s"upsertSink base $basePath is laid out with numBuckets=" +
               s"$persisted; restarting with numBuckets=$numBuckets would " +
               "split keys across bucket layouts")
-        } else {
-          fs.mkdirs(baseRoot)
-          // temp + rename: a crash mid-write leaves only the temp file,
-          // never a live-but-empty manifest (rename is atomic on
-          // HDFS/posix; the concurrent-starter race collapses to
-          // last-rename-wins over identical content)
-          val mTmp = new org.apache.hadoop.fs.Path(
-            s"$basePath/._graft_num_buckets.tmp")
-          val mOut = fs.create(mTmp, true)
-          try mOut.write(numBuckets.toString.getBytes("UTF-8"))
-          finally mOut.close()
-          fs.delete(manifest, false) // no-op unless a racer just published
-          fs.rename(mTmp, manifest)
+        }
+        readManifest() match {
+          case Some(raw) => checkManifest(raw)
+          case None =>
+            fs.mkdirs(baseRoot)
+            // UNIQUE temp + rename, then read back: a crash mid-write
+            // leaves only an orphan temp, never a live-but-empty
+            // manifest; a fixed temp name would let a racing starter
+            // truncate this writer's bytes mid-publish. The rename is
+            // not checked — whether ours or a racer's landed, the
+            // read-back verifies the LIVE value, so a racer publishing
+            // a DIFFERENT bucket count fails this batch instead of
+            // silently splitting the layout.
+            val mTmp = new org.apache.hadoop.fs.Path(
+              s"$basePath/._graft_num_buckets." +
+                java.util.UUID.randomUUID().toString.take(8))
+            val mOut = fs.create(mTmp, false)
+            try mOut.write(numBuckets.toString.getBytes("UTF-8"))
+            finally mOut.close()
+            if (!fs.rename(mTmp, manifest)) fs.delete(mTmp, false)
+            checkManifest(readManifest().getOrElse(sys.error(
+              s"upsertSink manifest publish failed: $manifest")))
         }
         val stamped = batch
           .withColumn("batch_ts", lit(batchId))

@@ -1128,6 +1128,11 @@ object TextStats {
     * Returns (rank, left, right, merged, freq), rank = merge order. */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int = 50,
                 minPairFreq: Long = 2L, maxBatch: Int = 16): DataFrame = {
+    // maxBatch = 0 would accept empty batches and spin the round loop
+    // forever; the upper bound keeps the 4*maxBatch+1 collect limit a
+    // sane driver allocation (and trivially overflow-free)
+    require(maxBatch >= 1 && maxBatch <= 65536,
+      s"maxBatch must be in [1, 65536], got $maxBatch (1 = serial driving)")
     val spark = df.sparkSession
     import spark.implicits._
     var vocab = df

@@ -114,10 +114,14 @@ object SparkEntry {
         minShared = 2L, maxDf = 50L))
 
   /** Stage-once machinery shared by the derived artifacts
-    * ([[stagedClusterPairs]], [[stagedPortableSigs]]): keyed on source
-    * URI + per-leaf-file (name, length, mtime) + a builder
-    * version/params tag, `_SUCCESS`-guarded, published via a unique
-    * temp dir + atomic rename so concurrent builders can race safely. */
+    * ([[stagedClusterPairs]], [[stagedPortableSigs]],
+    * [[stagedWinnowFps]], [[stagedWinnowPairs]]): keyed on source URI +
+    * per-leaf-file (name, length, mtime) + a builder version/params
+    * tag. Publishing uses per-writer ATTEMPT DIRS plus an atomically
+    * renamed `CURRENT` pointer file (see the protocol comment in the
+    * body): a live attempt dir is never deleted, so racing writers and
+    * mid-scan readers are always safe; `_SUCCESS` inside the pointed
+    * attempt guards completeness. */
   private def stagedArtifact(s: SparkSession, dir: String, tag: String,
                              prefix: String)(build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -173,13 +177,21 @@ object SparkEntry {
     // artifacts. Crash-abandoned attempt dirs are unreferenced garbage,
     // bounded by writer count, reclaimed when the keyed dir is.
     def resolve(): Option[String] =
-      if (!fs.exists(current)) None
-      else {
-        val in = fs.open(current)
-        val name = try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-        Some(s"$out/$name")
-          .filter(a => fs.exists(new Path(s"$a/_SUCCESS")))
+      try {
+        if (!fs.exists(current)) None
+        else {
+          val in = fs.open(current)
+          val name = try scala.io.Source.fromInputStream(in).mkString.trim
+            finally in.close()
+          Some(s"$out/$name")
+            .filter(a => fs.exists(new Path(s"$a/_SUCCESS")))
+        }
+      } catch {
+        // a racing writer's delete+rename pointer swap has a window
+        // where CURRENT vanishes between our exists() and open() —
+        // treat it as absent (worst case: a redundant rebuild), never
+        // a propagated FileNotFoundException
+        case _: java.io.FileNotFoundException => None
       }
     val attemptPath = resolve().getOrElse {
       val attempt = s"attempt-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -190,7 +202,10 @@ object SparkEntry {
       fs.delete(current, false) // no-op unless a racer just published
       fs.rename(ctmp, current)  // atomic; loser's pointer stays as junk
       fs.delete(ctmp, false)    // if our rename lost, drop our pointer
-      resolve().getOrElse(sys.error(s"staged artifact publish failed: $out"))
+      // a racer mid-swap can blank CURRENT for an instant; one retry
+      // covers it before declaring the publish failed
+      resolve().orElse { Thread.sleep(50); resolve() }
+        .getOrElse(sys.error(s"staged artifact publish failed: $out"))
     }
     s.read.parquet(attemptPath)
   }

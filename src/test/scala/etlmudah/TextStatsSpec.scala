@@ -622,6 +622,15 @@ class TextStatsSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("bpeMerges: maxBatch = 0 is rejected, not an infinite round loop") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      TextStats.bpeMerges(df, "text", nMerges = 2, maxBatch = 0)
+    }
+    assert(ex.getMessage.contains("maxBatch"), ex.getMessage)
+  }
+
   test("bpeMerges: interacting top pairs fall back to one accept; equals serial replay") {
     import spark.implicits._
     // (y,z) f=15 dominates; (x,y) f=10 SHARES y -> the batch walk must
