@@ -367,6 +367,44 @@ class PlanShapeSpec extends SparkSpec {
       warm.take(500))
   }
 
+  test("staging publish: concurrent writers on a fresh key both resolve a live artifact") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // fresh corpus copy -> fresh staging key, so both threads enter the
+    // build+publish path simultaneously and exercise the CURRENT-pointer
+    // race (never-delete attempt dirs, last-pointer-wins)
+    val tmp = Files.createTempDirectory("stageconc").toString
+    val docs = Paths.get(s"$tmp/documents.parquet")
+    Files.createDirectory(docs)
+    val srcLeaf = Paths.get(sf0001, "documents.parquet")
+    val leaves =
+      if (Files.isDirectory(srcLeaf))
+        Files.list(srcLeaf).toArray.map(_.toString)
+          .filter(p => !Paths.get(p).getFileName.toString.startsWith("_") &&
+            !Paths.get(p).getFileName.toString.startsWith("."))
+      else Array(srcLeaf.toString)
+    leaves.zipWithIndex.foreach { case (p, i) =>
+      Files.copy(Paths.get(p), docs.resolve(f"part-$i%05d.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = (1 to 2).map(_ => Future {
+      val df = SparkEntry.stagedPortableSigs(spark, tmp)
+      (df.count(), df.inputFiles.toSet)
+    })
+    val results = Await.result(Future.sequence(runs), 10.minutes.toCoarsest)
+    val counts = results.map(_._1).toSet
+    assert(counts.size == 1 && counts.head > 0, counts.toString)
+    // whichever attempt each writer resolved, its files must be live
+    // (the never-delete guarantee) and readable
+    results.foreach { case (_, files) =>
+      files.foreach { f =>
+        assert(Files.exists(Paths.get(f.stripPrefix("file:"))), f)
+      }
+    }
+  }
+
   test("q19: aggregation reads only the needed columns") {
     val scan = scansOf("q19_doc_token_stats").head
     val fields = scan.schema.fieldNames.toSet
