@@ -1553,6 +1553,36 @@ object Dedup {
     winnowSharedPairsFromFps(winnowFingerprints(df, textCol, idCol, k, w),
       minShared, maxDf)
 
+  /** One-sided winnow decontamination SCREEN: incoming docs checked
+    * against a STATIC reference fingerprint set — the shape a
+    * continuous-ingestion pipeline needs, where the reference
+    * (benchmark/eval corpora) is fixed and arriving batches must be
+    * screened one at a time. Unlike [[winnowCrossPairsFromFps]], the
+    * boilerplate df cap is computed over the REFERENCE side only:
+    * union-df would change per batch (screening decisions must not
+    * depend on which batch a doc arrives in), and the cap's fan-out
+    * bound needs only the indexed side capped. The capped reference
+    * index is benchmark-sized — pass it pre-distinct'd/persisted when
+    * screening many batches ([[etlmudah.streaming.Streaming]] builds
+    * it once per sink). Returns (id, ref_id, shared) per contaminated
+    * (doc, reference-doc) pair. */
+  def winnowScreenAgainstRef(fps: DataFrame, refFps: DataFrame,
+                             minShared: Long = 2L,
+                             maxDf: Long = 50L): DataFrame = {
+    val rf = refFps.select(col("id"), col("fp")).distinct()
+    val refCold = rf.join(
+      rf.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+        .filter(col("fp_df") <= maxDf),
+      Seq("fp"))
+      .select(col("fp"), col("id").as("ref_id"))
+    fps.select(col("id"), col("fp")).distinct()
+      .join(broadcast(refCold), Seq("fp"))
+      .groupBy(col("id"), col("ref_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("id"), col("ref_id"))
+  }
+
   /** [[winnowSharedPairs]] over a PRE-COMPUTED fingerprint table — the
     * staged-artifact consumer path: input carries (id, fp), extra
     * columns ignored. The (id, fp) distinct is materialized because it

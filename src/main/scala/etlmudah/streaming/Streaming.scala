@@ -310,6 +310,62 @@ object Streaming {
         ()
       }
 
+  /** Continuous DECONTAMINATION ingest — the winnow screening tier as a
+    * stream sink: arriving documents are fingerprinted per micro-batch
+    * and screened against a STATIC reference fingerprint set (the
+    * benchmark/eval corpora — winnowed once, here reduced to its
+    * df-capped inverted index at sink construction and reused every
+    * batch). Clean documents append under `cleanPath/batch_id=<n>`,
+    * contaminated ones land under `quarantinePath/batch_id=<n>` with
+    * their (ref_id, shared) evidence — quarantined, never silently
+    * dropped, so a human can audit the screen.
+    *
+    * Idempotency needs NO cross-batch state: the reference index is
+    * immutable and per-doc screening is batch-local, so a re-delivered
+    * batch recomputes the identical clean/quarantine split and its
+    * dynamic `batch_id` partition overwrite converges — the simplest
+    * recovery contract of the sink family, and exactly why the
+    * reference-side-only df cap matters (a union-df cap would make the
+    * verdict depend on which batch a document arrived in).
+    *
+    * At 100 TB: the capped reference index is benchmark-sized and
+    * broadcast; per-batch cost is one fingerprint pass over the batch
+    * plus a broadcast join — no shuffle of the corpus, no state to
+    * compact. */
+  def decontaminationSink(docs: DataFrame, refFps: DataFrame,
+                          cleanPath: String, quarantinePath: String,
+                          checkpoint: String, textCol: String = "text",
+                          idCol: String = "doc_id", k: Int = 3, w: Int = 4,
+                          minShared: Long = 2L, maxDf: Long = 50L):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // reference index built ONCE per sink: distinct + df cap + persist
+    val ref = refFps.select(col("id"), col("fp")).distinct()
+      .localCheckpoint(true)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fps = etlmudah.scale.Dedup.winnowFingerprints(
+          batch, textCol, idCol, k, w)
+        val hits = etlmudah.scale.Dedup.winnowScreenAgainstRef(
+            fps, ref, minShared, maxDf)
+          .localCheckpoint(true) // feeds the quarantine join AND the anti
+        batch.join(hits.select(col("id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cleanPath)
+        batch.join(hits.withColumnRenamed("id", idCol), Seq(idCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(quarantinePath)
+        ()
+      }
+  }
+
   /** Continuous anomaly monitoring — `Analytics.anomalyZ` as a stream
     * sink: each micro-batch's events fold into a standing HOURLY COUNT
     * table (batches may split an hour — the merge re-sums per (key,

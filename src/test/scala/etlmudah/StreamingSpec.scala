@@ -521,6 +521,71 @@ class StreamingSpec extends SparkSpec {
     assert(first.zip(re).forall { case (a, b) => a == b })
   }
 
+  test("decontaminationSink: planted contamination quarantined with evidence; equals the batch screen; re-run converges") {
+    import etlmudah.scale.Dedup
+    val out = Files.createTempDirectory("stream_decon").toString
+    val src = s"$out/src"
+    import spark.implicits._
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_decon").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(src).mkdirs()
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    val benchText =
+      "the quick brown fox jumps over the lazy dog tonight in the park"
+    val evalText =
+      "pack my box with five dozen liquor jugs before the storm arrives"
+    val ref = Seq((100L, benchText), (101L, evalText)).toDF("doc_id", "text")
+    val refFps = Dedup.winnowFingerprints(ref, "text", "doc_id")
+    stageFile(Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10L),
+        (2L, benchText, "en", "s", 12L)) // verbatim benchmark copy
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), "f1.parquet")
+    Thread.sleep(100)
+    stageFile(Seq(
+        (3L, "lambda mu nu xi omicron pi rho sigma tau upsilon", "en", "s", 10L),
+        (4L, evalText, "en", "s", 12L))   // verbatim eval copy
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), "f2.parquet")
+    val clean = s"$out/clean"
+    val quarantine = s"$out/quarantine"
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.decontaminationSink(
+          Streaming.readDocuments(spark, src), refFps,
+          clean, quarantine, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDrained(q)
+    }
+    runOnce(s"$out/cp1")
+    val cleanIds = spark.read.parquet(clean).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val qRows = spark.read.parquet(quarantine)
+      .select("doc_id", "ref_id", "shared")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cleanIds == Set(1L, 3L))
+    assert(qRows.map(r => (r._1, r._2)).toSet == Set((2L, 100L), (4L, 101L)),
+      qRows.mkString(","))
+    // a verbatim copy shares EVERY selected fingerprint with its source
+    qRows.foreach { case (_, _, shared) => assert(shared >= 2L) }
+    // stream == batch twin: the one-sided screen over the whole corpus
+    val allDocs = spark.read.parquet(src)
+    val batchHits = Dedup.winnowScreenAgainstRef(
+        Dedup.winnowFingerprints(allDocs, "text", "doc_id"), refFps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchHits == qRows.toSet)
+    // crash after batch 1's side effects, before its commit: replay
+    // recomputes the identical split (no cross-batch state to corrupt)
+    dropCommit(s"$out/cp1", 1)
+    runOnce(s"$out/cp1")
+    assert(spark.read.parquet(clean).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(spark.read.parquet(quarantine).select("doc_id", "ref_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((2L, 100L), (4L, 101L)))
+  }
+
   test("composition: dedup-ingest survivors chain into pack-export; crashes between and inside stages converge") {
     // the reference's fetch -> load task chain made streaming-native:
     // stage A (dedupIngestSink) writes the deduped corpus, stage B

@@ -174,6 +174,22 @@ object ManualDrive {
         etlmudah.multimodal.Multimodal.audioMeta(col("media")).as("m"))
       .show(1, truncate = false)
 
+    // 8j. online decontamination sink: screen arriving docs against a
+    // static benchmark fingerprint index; quarantine carries evidence
+    println("== decontaminationSink (clean/quarantine split)")
+    val refDocs = docs.filter(col("doc_id") < 10)
+    val refFps = etlmudah.scale.Dedup.winnowFingerprints(
+      refDocs, "text", "doc_id")
+    val qDecon = Streaming.decontaminationSink(
+        Streaming.readDocuments(spark, docsSrc), refFps,
+        s"$out/decon_clean", s"$out/decon_quarantine", s"$out/cp_decon")
+      .trigger(Trigger.AvailableNow()).start()
+    qDecon.awaitTermination(120000)
+    println(s"clean=${spark.read.parquet(s"$out/decon_clean").count()} " +
+      s"quarantined=${spark.read.parquet(s"$out/decon_quarantine").count()}")
+    spark.read.parquet(s"$out/decon_quarantine")
+      .orderBy("doc_id", "ref_id").show(5)
+
     // 8. portable SemDeDup (q164)
     println("== semanticDedupPortable (q164)")
     etlmudah.scale.Similarity.semanticDedupPortable(emb, "vec_id",
