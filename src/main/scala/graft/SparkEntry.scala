@@ -1134,6 +1134,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // one-sided winnow decontamination SCREEN (the decontaminationSink
+    // batch twin): every-tenth doc is the static reference corpus, the
+    // rest arrive for screening; the df cap runs on the REFERENCE side
+    // only, so verdicts are independent of arrival batching
+    "q172_winnow_screen_ref" -> ((s, dir) => {
+      val fps = stagedWinnowFps(s, dir)
+      Dedup.winnowScreenAgainstRef(
+          fps.filter(col("id") % 10 =!= 0),
+          fps.filter(col("id") % 10 === 0),
+          minShared = 2L, maxDf = 50L)
+        .select(col("id").as("doc_id"), col("ref_id"), col("shared"))
+        .orderBy(col("doc_id"), col("ref_id"))
+    }),
+
     // WebP header ROUND TRIP — q155 for the fourth dominant web
     // format: a valid WebP (RIFF) header is synthesized per doc
     // cycling the VP8 (lossy 14-bit dims) / VP8L (lossless packed
@@ -3122,6 +3136,23 @@ object SparkEntry {
         |  ((doc_id * 7) % 512 + 16)::BIGINT AS height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // one-sided screen: winnow CTEs + reference-side df cap + inverted
+    // join — the decontaminationSink's per-batch computation replayed
+    // over the whole corpus
+    "q172_winnow_screen_ref" ->
+      (winnowSelSql + """,
+        |fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |ref AS (SELECT doc_id, fp FROM fpd WHERE doc_id % 10 = 0),
+        |arriving AS (SELECT doc_id, fp FROM fpd WHERE doc_id % 10 <> 0),
+        |refdf AS (SELECT fp, count(*) AS fp_df FROM ref GROUP BY fp),
+        |refcold AS (
+        |  SELECT r.fp, r.doc_id AS ref_id FROM ref r JOIN refdf USING (fp)
+        |  WHERE fp_df <= 50)
+        |SELECT a.doc_id, c.ref_id, count(*) AS shared
+        |FROM arriving a JOIN refcold c USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_id, ref_id""".stripMargin),
 
     // WebP round trip: every variant decodes to the same synthesized
     // dimensions, so the oracle computes them directly from doc_id —
