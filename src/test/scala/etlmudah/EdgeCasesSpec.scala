@@ -51,6 +51,26 @@ class EdgeCasesSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("winnowScreenAgainstRef: empty sides, self-screen, and sub-threshold sharing") {
+    import spark.implicits._
+    val fps = Dedup.winnowFingerprints(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (2L, "one two three four five six seven eight"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    val none = Dedup.winnowFingerprints(emptyDocs, "text", "doc_id")
+    // empty reference / empty arriving side: empty result, no throw
+    assert(Dedup.winnowScreenAgainstRef(fps, none).count() == 0)
+    assert(Dedup.winnowScreenAgainstRef(none, fps).count() == 0)
+    // self-screen: every doc matches itself with all its fingerprints
+    val self = Dedup.winnowScreenAgainstRef(fps, fps, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(self.contains((1L, 1L)) && self.contains((2L, 2L)))
+    assert(!self.contains((1L, 2L)), self.toString) // disjoint texts
+    // minShared above any overlap: empty verdict, never a throw
+    assert(Dedup.winnowScreenAgainstRef(fps, fps, minShared = 1000L)
+      .count() == 0)
+  }
+
   test("text operators on empty and whitespace-only strings") {
     val weird = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b c d"))
       .toDF("doc_id", "text")
