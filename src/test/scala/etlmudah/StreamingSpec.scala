@@ -586,6 +586,58 @@ class StreamingSpec extends SparkSpec {
       == Set((2L, 100L), (4L, 101L)))
   }
 
+  test("decontaminationSink: verdicts independent of batch arrival order (ref-side df cap)") {
+    import etlmudah.scale.Dedup
+    // the same four docs arrive as (A,B) then (C,D) in one run and as
+    // (C,D) then (A,B) in the other; a union-df cap would make the
+    // screen depend on per-batch df counts, the ref-side-only cap must
+    // produce identical clean/quarantine verdicts either way
+    val out = Files.createTempDirectory("stream_decon_ord").toString
+    import spark.implicits._
+    val benchText =
+      "the quick brown fox jumps over the lazy dog tonight in the park"
+    val ref = Seq((100L, benchText)).toDF("doc_id", "text")
+    val refFps = Dedup.winnowFingerprints(ref, "text", "doc_id")
+    val ab = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota", "en", "s", 10L),
+      (2L, benchText, "en", "s", 12L))
+    val cd = Seq(
+      (3L, "lambda mu nu xi omicron pi rho sigma tau upsilon", "en", "s", 10L),
+      (4L, benchText + " with a small suffix appended here", "en", "s", 15L))
+    def run(first: Seq[(Long, String, String, String, Long)],
+            second: Seq[(Long, String, String, String, Long)],
+            tag: String): (Set[Long], Set[(Long, Long, Long)]) = {
+      val src = s"$out/src_$tag"
+      def stage(rows: Seq[(Long, String, String, String, Long)],
+                name: String): Unit = {
+        val tmp = Files.createTempDirectory(s"stage_$tag").toString
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        new java.io.File(src).mkdirs()
+        Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+      }
+      stage(first, "f1.parquet"); Thread.sleep(100)
+      stage(second, "f2.parquet")
+      val q = Streaming.decontaminationSink(
+          Streaming.readDocuments(spark, src), refFps,
+          s"$out/clean_$tag", s"$out/q_$tag", s"$out/cp_$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDrained(q)
+      (spark.read.parquet(s"$out/clean_$tag").select("doc_id")
+         .collect().map(_.getLong(0)).toSet,
+       spark.read.parquet(s"$out/q_$tag")
+         .select("doc_id", "ref_id", "shared")
+         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    }
+    val (clean1, quar1) = run(ab, cd, "abcd")
+    val (clean2, quar2) = run(cd, ab, "cdab")
+    assert(clean1 == clean2 && clean1 == Set(1L, 3L))
+    assert(quar1 == quar2, s"$quar1 vs $quar2")
+    assert(quar1.map(q => (q._1, q._2)) == Set((2L, 100L), (4L, 100L)))
+  }
+
   test("composition: dedup-ingest survivors chain into pack-export; crashes between and inside stages converge") {
     // the reference's fetch -> load task chain made streaming-native:
     // stage A (dedupIngestSink) writes the deduped corpus, stage B
