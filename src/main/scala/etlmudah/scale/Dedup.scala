@@ -1568,20 +1568,34 @@ object Dedup {
     * (doc, reference-doc) pair. */
   def winnowScreenAgainstRef(fps: DataFrame, refFps: DataFrame,
                              minShared: Long = 2L,
-                             maxDf: Long = 50L): DataFrame = {
+                             maxDf: Long = 50L): DataFrame =
+    winnowScreenAgainstIndex(fps, winnowRefIndex(refFps, maxDf), minShared)
+      .orderBy(col("id"), col("ref_id"))
+
+  /** The df-capped reference inverted index [[winnowScreenAgainstRef]]
+    * screens with, exposed so a long-lived consumer (the streaming
+    * decontamination sink) can build it ONCE, persist it, and screen
+    * every batch against the same (fp, ref_id) table instead of
+    * re-aggregating the reference per batch. */
+  def winnowRefIndex(refFps: DataFrame, maxDf: Long = 50L): DataFrame = {
     val rf = refFps.select(col("id"), col("fp")).distinct()
-    val refCold = rf.join(
+    rf.join(
       rf.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
         .filter(col("fp_df") <= maxDf),
       Seq("fp"))
       .select(col("fp"), col("id").as("ref_id"))
+  }
+
+  /** Screen against a PREBUILT [[winnowRefIndex]] — the hot streaming
+    * path: no reference aggregation, no trailing sort (callers that
+    * need deterministic output order add their own). */
+  def winnowScreenAgainstIndex(fps: DataFrame, refIndex: DataFrame,
+                               minShared: Long = 2L): DataFrame =
     fps.select(col("id"), col("fp")).distinct()
-      .join(broadcast(refCold), Seq("fp"))
+      .join(broadcast(refIndex), Seq("fp"))
       .groupBy(col("id"), col("ref_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .orderBy(col("id"), col("ref_id"))
-  }
 
   /** [[winnowSharedPairs]] over a PRE-COMPUTED fingerprint table — the
     * staged-artifact consumer path: input carries (id, fp), extra

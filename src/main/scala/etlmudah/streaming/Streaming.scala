@@ -338,30 +338,41 @@ object Streaming {
                           idCol: String = "doc_id", k: Int = 3, w: Int = 4,
                           minShared: Long = 2L, maxDf: Long = 50L):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // reference index built ONCE per sink: distinct + df cap + persist
-    val ref = refFps.select(col("id"), col("fp")).distinct()
-      .localCheckpoint(true)
+    // the df-capped inverted index built ONCE per sink and persisted
+    // WITH lineage: persist (not localCheckpoint) because this table
+    // lives for the sink's whole lifetime — lineage-severed
+    // unreplicated checkpoint blocks would kill the stream permanently
+    // on any executor loss, while persisted partitions just recompute.
+    // The sibling sinks' per-batch localCheckpoints are exposed for
+    // seconds; this one would be exposed indefinitely.
+    val refIndex = etlmudah.scale.Dedup.winnowRefIndex(refFps, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fps = etlmudah.scale.Dedup.winnowFingerprints(
-          batch, textCol, idCol, k, w)
-        val hits = etlmudah.scale.Dedup.winnowScreenAgainstRef(
-            fps, ref, minShared, maxDf)
-          .localCheckpoint(true) // feeds the quarantine join AND the anti
-        batch.join(hits.select(col("id").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(cleanPath)
-        batch.join(hits.withColumnRenamed("id", idCol), Seq(idCol))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(quarantinePath)
+        // both output writes scan the source batch; persist it once
+        val b = batch.persist()
+        try {
+          val fps = etlmudah.scale.Dedup.winnowFingerprints(
+            b, textCol, idCol, k, w)
+          // unsorted screen (the sink only joins on the result; q172's
+          // registry path adds the deterministic sort for its oracle)
+          val hits = etlmudah.scale.Dedup.winnowScreenAgainstIndex(
+              fps, refIndex, minShared)
+            .localCheckpoint(true) // feeds the quarantine join AND the anti
+          b.join(hits.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cleanPath)
+          b.join(hits.withColumnRenamed("id", idCol), Seq(idCol))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(quarantinePath)
+        } finally b.unpersist()
         ()
       }
   }

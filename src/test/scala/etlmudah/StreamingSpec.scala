@@ -40,6 +40,20 @@ class StreamingSpec extends SparkSpec {
     dir
   }
 
+  /** Stage one DataFrame as a single flat parquet file inside `srcDir`
+    * (the file-source layout): write to a temp dir, move the part file
+    * in under `name`. Callers space calls (or sleep) so modTime keeps
+    * the intended batch order. */
+  private def stageParquet(df: org.apache.spark.sql.DataFrame,
+                           srcDir: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("stage_part").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    new java.io.File(srcDir).mkdirs()
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$srcDir/$name"))
+  }
+
   test("hourlyCounts stream == batch twin on the same input (exactly-once contract)") {
     val out = Files.createTempDirectory("stream_out").toString
     val q = Streaming.hourlyCounts(
@@ -144,17 +158,11 @@ class StreamingSpec extends SparkSpec {
     // four files -> four micro-batches (maxFilesPerTrigger through a
     // documents-style flat staging; modTime spacing keeps the order)
     def stageFile(rows: Seq[(Long, Long, Long)], name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_ttl").toString
-      rows.toDF("event_id", "user_id", "us")
+      stageParquet(rows.toDF("event_id", "user_id", "us")
         .select(col("event_id"),
           timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
           col("user_id"), lit("click").as("event_type"),
-          lit(1.0).as("value"), lit("{}").as("props"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      new java.io.File(src).mkdirs()
-      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+          lit(1.0).as("value"), lit("{}").as("props")), src, name)
       Thread.sleep(100)
     }
     val t0 = 1700000000000000L   // epoch micros
@@ -235,14 +243,8 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     // the file source lists FLAT files: write each batch to a temp dir
     // and move its single part-file into the source dir
-    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_dedup").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      new java.io.File(src).mkdirs()
-      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
-    }
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(df, src, name)
     stageFile(Seq((1L, "alpha beta gamma", "en", "s", 16L),
         (2L, "alpha beta gamma", "en", "s", 16L),     // in-batch dup of 1
         (3L, "delta epsilon zeta", "en", "s", 18L))
@@ -526,14 +528,8 @@ class StreamingSpec extends SparkSpec {
     val out = Files.createTempDirectory("stream_decon").toString
     val src = s"$out/src"
     import spark.implicits._
-    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_decon").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      new java.io.File(src).mkdirs()
-      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
-    }
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(df, src, name)
     val benchText =
       "the quick brown fox jumps over the lazy dog tonight in the park"
     val evalText =
@@ -609,15 +605,9 @@ class StreamingSpec extends SparkSpec {
             tag: String): (Set[Long], Set[(Long, Long, Long)]) = {
       val src = s"$out/src_$tag"
       def stage(rows: Seq[(Long, String, String, String, Long)],
-                name: String): Unit = {
-        val tmp = Files.createTempDirectory(s"stage_$tag").toString
-        rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        new java.io.File(src).mkdirs()
-        Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
-      }
+                name: String): Unit =
+        stageParquet(rows.toDF("doc_id", "text", "lang", "source",
+          "n_chars"), src, name)
       stage(first, "f1.parquet"); Thread.sleep(100)
       stage(second, "f2.parquet")
       val q = Streaming.decontaminationSink(
@@ -649,14 +639,8 @@ class StreamingSpec extends SparkSpec {
     val out = Files.createTempDirectory("stream_chain").toString
     val src = s"$out/src"
     import spark.implicits._
-    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_chain").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      new java.io.File(src).mkdirs()
-      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
-    }
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(df, src, name)
     stageFile(Seq((1L, "alpha beta gamma", "en", "s", 16L),
         (2L, "alpha beta gamma", "en", "s", 16L),    // in-batch dup of 1
         (3L, "delta epsilon zeta", "en", "s", 18L))

@@ -292,25 +292,34 @@ class PlanShapeSpec extends SparkSpec {
       warm.take(500))
   }
 
-  test("staging key: meta-dir junk is invisible, real leaf changes re-key, racer artifacts stay live") {
+  /** Fresh DIRECTORY-layout copy of the sf0.001 documents table (the
+    * layout the recursive staging key listing exists for), under a new
+    * temp root -> a fresh staging key. Returns the corpus root dir. */
+  private def freshCorpusCopy(tag: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Files.createTempDirectory("stagekey").toString
+    val tmp = Files.createTempDirectory(tag).toString
     val docs = Paths.get(s"$tmp/documents.parquet")
     Files.createDirectory(docs)
-    // build a DIRECTORY-layout corpus (the layout the recursive listing
-    // exists for) from the sf0.001 table, whether that is a single
-    // parquet file or itself a directory
     val srcLeaf = Paths.get(sf0001, "documents.parquet")
     val leaves =
-      if (Files.isDirectory(srcLeaf))
-        Files.list(srcLeaf).toArray.map(_.toString)
+      if (Files.isDirectory(srcLeaf)) {
+        val st = Files.list(srcLeaf)
+        try st.toArray.map(_.toString)
           .filter(p => !Paths.get(p).getFileName.toString.startsWith("_") &&
             !Paths.get(p).getFileName.toString.startsWith("."))
-      else Array(srcLeaf.toString)
+        finally st.close()
+      } else Array(srcLeaf.toString)
     leaves.zipWithIndex.foreach { case (p, i) =>
       Files.copy(Paths.get(p), docs.resolve(f"part-$i%05d.parquet"),
         StandardCopyOption.COPY_ATTRIBUTES)
     }
+    tmp
+  }
+
+  test("staging key: meta-dir junk is invisible, real leaf changes re-key, racer artifacts stay live") {
+    import java.nio.file.{Files, Paths}
+    val tmp = freshCorpusCopy("stagekey")
+    val docs = Paths.get(s"$tmp/documents.parquet")
     val first = SparkEntry.stagedPortableSigs(spark, tmp)
     val firstFiles = first.inputFiles.toSet
     assert(firstFiles.nonEmpty)
@@ -322,8 +331,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(SparkEntry.stagedPortableSigs(spark, tmp).inputFiles.toSet
       == firstFiles, "meta-dir junk churned the staging key")
     // a REAL leaf change (mtime bump) must re-key and rebuild
-    val leaf = Files.list(docs).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet")).head
+    val st = Files.list(docs)
+    val leaf = try st.toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head finally st.close()
     Files.setLastModifiedTime(Paths.get(leaf),
       java.nio.file.attribute.FileTime.fromMillis(
         Files.getLastModifiedTime(Paths.get(leaf)).toMillis + 60000))
@@ -368,24 +378,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("staging publish: concurrent writers on a fresh key both resolve a live artifact") {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     // fresh corpus copy -> fresh staging key, so both threads enter the
     // build+publish path simultaneously and exercise the CURRENT-pointer
     // race (never-delete attempt dirs, last-pointer-wins)
-    val tmp = Files.createTempDirectory("stageconc").toString
-    val docs = Paths.get(s"$tmp/documents.parquet")
-    Files.createDirectory(docs)
-    val srcLeaf = Paths.get(sf0001, "documents.parquet")
-    val leaves =
-      if (Files.isDirectory(srcLeaf))
-        Files.list(srcLeaf).toArray.map(_.toString)
-          .filter(p => !Paths.get(p).getFileName.toString.startsWith("_") &&
-            !Paths.get(p).getFileName.toString.startsWith("."))
-      else Array(srcLeaf.toString)
-    leaves.zipWithIndex.foreach { case (p, i) =>
-      Files.copy(Paths.get(p), docs.resolve(f"part-$i%05d.parquet"),
-        StandardCopyOption.COPY_ATTRIBUTES)
-    }
+    val tmp = freshCorpusCopy("stageconc")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
