@@ -361,6 +361,81 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** FUZZY dedup refine: normalized edit (Levenshtein) similarity over
+    * shingle-gated candidate pairs — the character-level tier that
+    * separates true near-copies (small in-place edits) from docs that
+    * merely REUSE the same vocabulary. Set similarities (Jaccard,
+    * containment, MinHash) are order-blind: a document and a paragraph
+    * -level shuffle of it score jaccard ~1.0 yet are different texts.
+    * `edit_sim = 1 - lev(a,b) / max(len(a), len(b))` is order-exact, so
+    * curation pipelines use it as the final verify before dropping a
+    * survivor (the classic candidate-generate/verify split: Gravano et
+    * al. VLDB'01 run edit-distance joins exactly this way — n-gram
+    * candidates first, DP verify second).
+    *
+    * Shape: candidates come from [[exactJaccardPairs]] at a LOW gate
+    * (`jaccardGate`), texts join back for candidate pairs only, and the
+    * O(len*len) DP runs on that bounded pair set — never all n^2.
+    * Recall relative to pure edit similarity is bounded by the gate: a
+    * pair at `minEditSim` whose edits are spread densely enough to kill
+    * every shared `shingleN`-gram can hide below `jaccardGate` (each
+    * char edit destroys <= shingleN word-grams, so high edit_sim with
+    * near-zero gram overlap requires edits in most windows); gate low,
+    * verify exact is the standard trade.
+    *
+    * Before the DP, two exact prunes (both follow from
+    * lev >= |len(a) - len(b)|, Gusfield's bound):
+    *  - pairs whose LENGTH GAP alone caps edit_sim below the threshold
+    *    never run the DP (+1 slack so 6dp-rounding boundary pairs still
+    *    reach the exact comparison);
+    *  - the DP itself runs BANDED via levenshtein's threshold form —
+    *    cost O(maxLen * band) instead of O(la * lb); beyond-band pairs
+    *    return -1 and cannot pass the filter anyway (the threshold
+    *    carries the same +1 slack, so the band never decides a
+    *    boundary pair — the exact rounded comparison does). Filter
+    *    pushdown inlines the DP into the join condition up to 3x
+    *    (predicate + sentinel check + output column); that re-eval is
+    *    of the BANDED form, so the worst case stays ~3(1-t) of one
+    *    unbanded DP — a win for any t >= 2/3, and below that the
+    *    candidate join dominates regardless.
+    *
+    * 100 TB shape: swap the exact candidate tier for the banded MinHash
+    * one (`nearDupPairs` / `minhashPortablePairs`) — the verify here
+    * only reads (id_a, id_b) and is tier-agnostic; DP cost stays
+    * |candidates| x banded-DP. Empty-vs-empty pairs define edit_sim=1
+    * (they are identical), dodging the 0/0.
+    *
+    * Extends the reference's key-exact dedup (`dags/dag.py:214-219`,
+    * seen-set on listing ids) to the fuzzy-content tier its corpus
+    * would need at scale; q173's oracle replays candidates + DuckDB's
+    * own `levenshtein`. */
+  def editSimilarityPairs(df: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int = 3,
+                          jaccardGate: Double = 0.3,
+                          minEditSim: Double = 0.6): DataFrame = {
+    val texts = df.select(col(idCol), col(textCol))
+    val cands = exactJaccardPairs(df, textCol, idCol, shingleN, jaccardGate)
+    val paired = cands
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("ta")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("tb")), Seq("id_b"))
+      .withColumn("la", length(col("ta")))
+      .withColumn("lb", length(col("tb")))
+    val maxLen = greatest(col("la"), col("lb"))
+    val slackBand = // exact-prune band: floor((1-t)*maxLen) + 1 ulp-proof slack
+      floor((lit(1.0) - lit(minEditSim)) * maxLen).cast("int") + lit(1)
+    paired
+      .filter(abs(col("la") - col("lb")) <= slackBand)
+      .withColumn("dist",
+        when(maxLen === 0, lit(0))   // two empty docs: identical
+          .otherwise(call_function("levenshtein", col("ta"), col("tb"), slackBand)))
+      .withColumn("edit_sim",
+        when(maxLen === 0, lit(1.0)).otherwise(
+          round(lit(1.0) - col("dist").cast("double") / maxLen, 6)))
+      .filter(col("dist") >= 0 && col("edit_sim") >= minEditSim)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("edit_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Prefix-filtered exact Jaccard join — the PPJoin-style scale tier
     * of [[exactJaccardPairs]] (Chaudhuri et al. ICDE'06 / Bayardo et
     * al. WWW'07 prefix-filtering principle): under a global rare-first

@@ -1680,6 +1680,35 @@ object SparkEntry {
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("source"))),
 
+    // per-REGISTERED-DOMAIN curation report (the FineWeb/RefinedWeb
+    // grain): synthetic URLs (testdata has no url column — the
+    // fakeMediaHeader precedent) -> host regexp -> eTLD+1 via the
+    // multi-suffix heuristic -> one domain-keyed aggregate; the share
+    // window runs over the aggregated (domain-sized) frame. A green
+    // row proves host parsing AND suffix normalization replay exactly
+    "q174_domain_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      etlmudah.web.Web.domainStats(
+        docs.withColumn("url",
+          etlmudah.web.Web.fakeUrl(col("doc_id"), col("source"))),
+        "url", "text")
+    }),
+
+    // per-registered-domain document cap (q89's quota at the domain
+    // grain RefinedWeb actually uses): md5-uniform deterministic order
+    // through the same capPerStratum window
+    "q175_domain_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      etlmudah.web.Web.domainCap(
+          docs.withColumn("url",
+            etlmudah.web.Web.fakeUrl(col("doc_id"), col("source"))),
+          "url", "doc_id", cap = 10)
+        .groupBy(col("domain")).agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("domain"))
+    }),
+
     // weighted sampling without replacement (A-Res): 50 winners by
     // ln(u)/n_chars — long docs proportionally likelier, deterministic
     "q90_weighted_sample" -> ((s, dir) =>
@@ -1818,6 +1847,14 @@ object SparkEntry {
     "q63_jaccard_pairs" -> ((s, dir) =>
       Dedup.exactJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
         minJaccard = 0.8)),
+
+    // FUZZY dedup refine: character-level edit similarity over
+    // shingle-gated candidates — order-exact where Jaccard is
+    // order-blind (a paragraph shuffle scores jaccard ~1 but low
+    // edit_sim); banded DP bounded by the candidate tier
+    "q173_edit_similarity_pairs" -> ((s, dir) =>
+      Dedup.editSimilarityPairs(Tables.documents(s, dir), "text", "doc_id",
+        jaccardGate = 0.3, minEditSim = 0.98)),
 
     // duplicate-cluster assignment: connected components over the
     // near-dup pair graph (prefix tier — identical pair set to q63's
@@ -4241,6 +4278,77 @@ object SparkEntry {
         |               WHEN 'fr' THEN 0.25 ELSE 0.1 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // replay: synth URL -> host regexp -> eTLD+1 CASE -> aggregate.
+    // The suffix IN list mirrors Web.DefaultMultiSuffixes verbatim
+    "q174_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, text,
+        |    'https://' || ['www.','blog.',''][(doc_id % 3 + 1)::INT] ||
+        |    'd' || (doc_id % 7)::VARCHAR || '.' ||
+        |    ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
+        |    '/' || source || '/' || doc_id::VARCHAR AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id, text, host, string_split(lower(host), '.') AS arr,
+        |    len(string_split(lower(host), '.')) AS n
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, text, host,
+        |    CASE WHEN n <= 2 THEN lower(host)
+        |         WHEN (arr[n-1] || '.' || arr[n]) IN
+        |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
+        |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
+        |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
+        |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
+        |         ELSE arr[n-1] || '.' || arr[n] END AS domain
+        |  FROM d)
+        |SELECT domain, count(*) AS n_docs,
+        |  count(DISTINCT host) AS n_hosts,
+        |  sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens,
+        |  round(count(*)::DOUBLE / (sum(count(*)) OVER ()), 6) AS doc_share
+        |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // same URL/domain CTEs; then q89's md5-uniform quota window at the
+    // domain grain (salt 'domcap')
+    "q175_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'https://' || ['www.','blog.',''][(doc_id % 3 + 1)::INT] ||
+        |    'd' || (doc_id % 7)::VARCHAR || '.' ||
+        |    ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
+        |    '/' || source || '/' || doc_id::VARCHAR AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id, host, string_split(lower(host), '.') AS arr,
+        |    len(string_split(lower(host), '.')) AS n
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n <= 2 THEN lower(host)
+        |         WHEN (arr[n-1] || '.' || arr[n]) IN
+        |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
+        |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
+        |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
+        |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
+        |         ELSE arr[n-1] || '.' || arr[n] END AS domain
+        |  FROM d),
+        |k AS (
+        |  SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
+        |    ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'domcap'), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 ASC, doc_id ASC) AS rn
+        |  FROM r)
+        |SELECT domain, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
+        |FROM k WHERE rn <= 10
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+
     "q89_source_cap" ->
       """WITH u AS (SELECT source, doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8)) AS UBIGINT)
@@ -4376,6 +4484,50 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
         |           JOIN sizes sb ON sb.doc_id = id_b
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same shingle/inverted-index CTEs as q63 at the lower 0.3 gate,
+    // then DuckDB's own levenshtein refines: edit_sim =
+    // 1 - lev/max(len). The oracle needs no band/length prunes —
+    // they are exact necessary conditions of the final filter (the
+    // Spark side carries +1 slack so 6dp boundary pairs always reach
+    // the exact comparison both engines share)
+    "q173_edit_similarity_pairs" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |             JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.3)
+        |SELECT c.id_a, c.id_b, c.jaccard,
+        |  CASE WHEN greatest(length(da.text), length(db.text)) = 0 THEN 1.0
+        |       ELSE round(1.0 - levenshtein(da.text, db.text)::DOUBLE /
+        |              greatest(length(da.text), length(db.text)), 6) END
+        |    AS edit_sim
+        |FROM cand c
+        |JOIN documents da ON da.doc_id = c.id_a
+        |JOIN documents db ON db.doc_id = c.id_b
+        |WHERE CASE WHEN greatest(length(da.text), length(db.text)) = 0 THEN 1.0
+        |       ELSE round(1.0 - levenshtein(da.text, db.text)::DOUBLE /
+        |              greatest(length(da.text), length(db.text)), 6) END >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
 
     // same shingle/inverted-index CTEs as q63; the final select reports

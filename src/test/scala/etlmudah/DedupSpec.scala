@@ -642,6 +642,76 @@ class DedupSpec extends SparkSpec {
       minJaccard = 0.9).count() == 0L)
   }
 
+  test("editSimilarityPairs: order-exact refine separates edits from shuffles; equals local DP truth") {
+    import spark.implicits._
+    val x = (1 to 20).map(i => s"w$i").mkString(" ")
+    val edited = x.replace("w5", "zz")                 // tiny in-place edit
+    val halves =                                        // block shuffle: high jaccard, low edit_sim
+      ((11 to 20) ++ (1 to 10)).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, x), (2L, edited), (3L, halves), (4L, x),
+      (5L, ""), (6L, "")).toDF("doc_id", "text")
+
+    val got = Dedup.editSimilarityPairs(docs, "text", "doc_id",
+        jaccardGate = 0.3, minEditSim = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+
+    // independent truth: gate from the (already verified) jaccard tier,
+    // refined by a local textbook DP — not Spark's levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = Map(1L -> x, 2L -> edited, 3L -> halves, 4L -> x, 5L -> "", 6L -> "")
+    val truth = Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) =>
+        val (ta, tb) = (texts(a), texts(b))
+        val m = math.max(ta.length, tb.length)
+        (a, b) -> (if (m == 0) 1.0
+                   else BigDecimal(1.0 - lev(ta, tb).toDouble / m)
+                     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.filter(_._2 >= 0.9).toMap
+    assert(got == truth, s"got=$got truth=$truth")
+
+    // the planted scenarios actually exercise the refine:
+    assert(got((1L, 2L)) == 0.971429)       // edit kept: 1 - 2/70
+    assert(got((1L, 4L)) == 1.0)            // identical pair
+    assert(got((5L, 6L)) == 1.0)            // empty-vs-empty defined identical
+    assert(!got.contains((1L, 3L)))         // shuffle gated IN but refined OUT
+    assert(Dedup.exactJaccardPairs(docs, "text", "doc_id", minJaccard = 0.3)
+      .filter(col("id_a") === 1L && col("id_b") === 3L).count() == 1L,
+      "the shuffle pair must reach the refine via the gate")
+  }
+
+  test("editSimilarityPairs: banded DP never decides a boundary pair (equals unbounded filter)") {
+    import spark.implicits._
+    // lengths engineered around the band: minEditSim=0.8 over len-10
+    // texts puts the band at floor(0.2*10)+1 = 3; dist 2 passes, dist 3
+    // lands exactly ON the +1 slack edge (sim 0.7 < 0.8, filtered by
+    // the exact comparison, NOT by a -1 band sentinel), dist 4 beyond
+    val base = "abcdefghij"
+    val d2 = "abcdefghXY"   // dist 2 -> sim 0.8 (kept)
+    val d3 = "abcdefgXYZ"   // dist 3 -> sim 0.7 (cut by the filter)
+    // all share enough word-grams? single-token docs: whole-string
+    // fallback shingles differ -> no candidates. Use token padding to
+    // share grams while keeping the char edits small:
+    val p = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val a = s"$p aaaaaa"
+    val b = s"$p aaaaab"     // dist 1 over len 30 -> sim 0.966667 kept at 0.9
+    val c = s"$p aaabbb"     // dist 3 -> sim 0.9 exactly: boundary pair must KEEP
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.editSimilarityPairs(docs, "text", "doc_id",
+        jaccardGate = 0.3, minEditSim = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got((1L, 2L)) == 0.966667, got.toString)
+    assert(got((1L, 3L)) == 0.9, "exact-boundary pair must survive the band")
+    assert(got((2L, 3L)) == 0.933333)   // dist 2
+  }
+
   test("containmentPairs: symmetric duplicates report 1.0 both ways") {
     import spark.implicits._
     val df = Seq((1L, "one two three four five"),

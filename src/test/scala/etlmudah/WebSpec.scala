@@ -1,0 +1,74 @@
+package etlmudah.web
+
+import graft.SparkSpec
+import etlmudah.Tables
+import org.apache.spark.sql.functions._
+
+class WebSpec extends SparkSpec {
+
+  test("urlHost: scheme/port/path/query/fragment all cut; garbage yields ''") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://www.example.com/a/b?q=1", "www.example.com"),
+      ("http://example.co.uk:8080/x", "example.co.uk"),
+      ("ftp://files.example.org#frag", "files.example.org"),
+      ("custom+v1.0://h.example.my/p", "h.example.my"),
+      ("not a url", ""),
+      ("", ""))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Web.urlHost(col("url")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    cases.foreach { case (u, want) => assert(got(u) == want, s"url=$u") }
+  }
+
+  test("registeredDomain: eTLD+1 under the multi-suffix list; short hosts pass through") {
+    import spark.implicits._
+    val cases = Seq(
+      ("www.example.com", "example.com"),
+      ("a.b.c.example.com", "example.com"),
+      ("blog.example.co.uk", "example.co.uk"),
+      ("example.co.uk", "example.co.uk"),        // exactly label+multi-suffix
+      ("deep.sub.shop.com.my", "shop.com.my"),
+      ("example.com", "example.com"),
+      ("localhost", "localhost"),
+      ("co.uk", "co.uk"),                        // bare suffix: n<=2 passthrough
+      ("WWW.Example.COM", "example.com"),        // DNS case-insensitivity
+      ("", ""))
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), Web.registeredDomain(col("h")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    cases.foreach { case (h, want) => assert(got(h) == want, s"host=$h") }
+  }
+
+  test("domainStats: hand-computed grouping, host distincts, and shares summing to 1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://www.pub.com/a", "one two"),
+      (2L, "https://blog.pub.com/b", "three"),
+      (3L, "https://pub.com/c", "four five six"),
+      (4L, "https://other.co.uk/d", "seven")).toDF("id", "url", "text")
+    val got = Web.domainStats(df, "url", "text").collect()
+    val byDom = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byDom("pub.com") == ((3L, 3L, 6L, 0.75)))
+    assert(byDom("other.co.uk") == ((1L, 1L, 1L, 0.25)))
+    assert(math.abs(got.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+  }
+
+  test("domainCap: at most cap per domain, deterministic, kept rows are real rows") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("url", Web.fakeUrl(col("doc_id"), col("source")))
+    val kept = Web.domainCap(docs, "url", "doc_id", cap = 5)
+    val per = kept.groupBy(col("domain")).count().collect()
+    assert(per.nonEmpty && per.forall(_.getLong(1) <= 5L))
+    // some domain actually hits the cap (the corpus is bigger than 5/domain)
+    assert(per.exists(_.getLong(1) == 5L))
+    // kept ids are a subset of the corpus and the pick is deterministic
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(all))
+    val again = Web.domainCap(docs, "url", "doc_id", cap = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+  }
+}
