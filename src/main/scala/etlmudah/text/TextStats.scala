@@ -26,6 +26,28 @@ object TextStats {
   def tokenCountBpeIsh(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
+  /** Unicode cleanup ladder APPLIED — the normalize-before-anything
+    * step every curation pipeline runs first (C4 strips control chars
+    * and collapses whitespace; typographic quotes/dashes fold to ASCII
+    * so every downstream dedup/fingerprint tier sees ONE spelling of
+    * the same text). Three codegen'd passes, zero UDFs:
+    *   1. control chars (C0 minus tab/newline/CR, plus DEL) -> ''
+    *   2. curly quotes / en+em dashes / NBSP fold via 1:1 translate
+    *      (NBSP becomes plain space BEFORE the collapse — Java's \s
+    *      does not match U+00A0)
+    *   3. whitespace runs -> one space, then trim.
+    * Idempotent (TextStatsSpec pins clean(clean(x)) == clean(x)); the
+    * q120 normalizationLadder DIAGNOSES these dup classes, this is the
+    * apply step those diagnostics recommend. 100 TB shape: pure
+    * per-row projection — no shuffle, pipelines into whatever scan
+    * feeds it. */
+  def cleanText(text: Column): Column = {
+    val noCtl = regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val folded = translate(noCtl,
+      "\u201C\u201D\u2018\u2019\u2013\u2014\u00A0", "\"\"''-- ")
+    trim(regexp_replace(folded, "\\s+", " "))
+  }
+
   /** Punctuation density: punct chars / total chars. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

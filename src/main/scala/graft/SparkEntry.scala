@@ -2001,6 +2001,21 @@ object SparkEntry {
     "q79_price_deciles_scale" -> ((s, dir) =>
       Analytics.quantileBuckets(Tables.orders(s, dir), col("o_totalprice"), 10)),
 
+    // unicode cleanup ladder APPLIED (the normalize step q120's
+    // diagnostics recommend): dirty text synthesized per doc — control
+    // chars, curly quotes, doubled spaces, en dash, NBSP — then pushed
+    // through all three cleanText passes; the oracle replays synthesis
+    // AND cleaning, so a green row proves the control-class regex, the
+    // translate fold, and the whitespace collapse match engine-exactly
+    "q176_text_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dirty = concat(lit("\u0007 \u201C"),
+        regexp_replace(col("text"), " ", "  "),
+        lit("\u201D \u2013 \u00A0end\u0001"))
+      docs.select(col("doc_id"), TextStats.cleanText(dirty).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction applied (the scrub step q59 diagnoses): per-source
     // docs-touched and characters removed
     "q72_pii_redact" -> ((s, dir) =>
@@ -4855,6 +4870,25 @@ object SparkEntry {
          | round(max(v), 2) AS hi, round(avg(v), 2) AS avg_value
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    // dirty synthesis via chr() codes (8220/8221 curly doubles,
+    // 8216/8217 curly singles, 8211/8212 dashes, 160 NBSP), then the
+    // three cleanText passes with the same RE2-compatible classes
+    "q176_text_clean" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    chr(7) || ' ' || chr(8220) || replace(text, ' ', '  ') ||
+        |    chr(8221) || ' ' || chr(8211) || ' ' || chr(160) || 'end' || chr(1)
+        |      AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    translate(
+        |      regexp_replace(d, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      chr(8220)||chr(8221)||chr(8216)||chr(8217)||chr(8211)||chr(8212)||chr(160),
+        |      '""''''-- '),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM dirty ORDER BY doc_id""".stripMargin,
 
     // Same regexes as the Spark side; DuckDB regexp_replace needs the
     // explicit 'g' flag to match Spark's global-replace default.

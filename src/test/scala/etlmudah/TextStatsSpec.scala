@@ -179,6 +179,22 @@ class TextStatsSpec extends SparkSpec {
     assert(red("clean prose with no contacts") == "clean prose with no contacts")
   }
 
+  test("cleanText: strips controls, folds typography, collapses whitespace, idempotent") {
+    def clean(s: String): String =
+      spark.range(1).select(cleanText(lit(s)).as("c")).collect().head.getString(0)
+    // every ladder rule at once, hand-computed:
+    // ctrl-G stripped, curly doubles folded, NBSP+runs collapsed
+    assert(clean("\u0007 a\u201Cb\u201D  c\t\u00A0 ") == "a\"b\" c")
+    assert(clean("x \u2013 y\u2014z \u2018q\u2019") == "x - y-z 'q'")
+    // tab/newline/CR are whitespace, not control-stripped: they collapse
+    assert(clean("a\tb\nc\rd") == "a b c d")
+    // DEL and C0 vanish without leaving a space
+    assert(clean("a\u0001\u007Fb") == "ab")
+    val messy = "  \u201Chi\u201D \u2014 the\u0002 end\t"
+    assert(clean(clean(messy)) == clean(messy), "idempotent")
+    assert(clean("") == "" && clean("already clean") == "already clean")
+  }
+
   test("shingles: distinct n-grams, short-doc fallback") {
     def seqOf(c: org.apache.spark.sql.Column): Seq[String] =
       spark.range(1).select(c.as("v")).collect().head.getSeq[String](0)
