@@ -495,6 +495,141 @@ object Similarity {
         Seq(col("best.cid").as("cid"), col("best.csim").as("csim")): _*)
   }
 
+  /** PORTABLE Product-Quantization encode (Jégou/Douze/Schmid TPAMI'11
+    * — the memory answer for billion-vector ANN): `dims` splits into
+    * `m` subspaces of dims/m; each subspace gets a `codes`-entry
+    * codebook and every vector stores one code per subspace — 8 bytes
+    * a vector at the defaults instead of 256, the compression that
+    * lets a 100 TB embedding corpus fit an ANN serving tier.
+    *
+    * The q158 portability move applied to PQ: production PQ trains
+    * per-subspace k-means (no external engine can re-derive it), so
+    * the codebook here is the DETERMINISTIC md5 pick — the `codes`
+    * corpus vectors with the smallest md5(id), code index = md5 rank —
+    * restricted to each subspace. Everything downstream is
+    * integer-exact: coordinates quantize by floor(x*1e6) (the q156
+    * construct), squared distances are BIGINT sums, argmin ties break
+    * to the lowest code — so DuckDB replays the full encode
+    * bit-for-bit and q177 gets a hash-checked oracle row for the
+    * ASSIGNMENT machinery the trained tier shares.
+    *
+    * Shape: coordinates explode once with (sub, pos) keys riding
+    * along; the codes x dims codebook broadcasts; the per-(vector,
+    * subspace, code) distance aggregate is map-side combined, then a
+    * second (vector, subspace) aggregate takes the argmin. The corpus
+    * never self-joins; shuffled rows are n*m*codes longs, not vectors.
+    *
+    * Output: (vec_id, sub, code, sqd) — n*m rows. */
+  def pqEncodePortable(embeddings: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, codes: Int = 16,
+                       dims: Int = 64): DataFrame = {
+    val (sx, cb) = pqParts(embeddings, idCol, vecCol, m, codes, dims)
+    pqAssign(sx, cb)
+      .select(col("id").as("vec_id"), col("sub"), col("code"), col("sqd"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** PQ Asymmetric Distance Computation top-k (the ADC of the same
+    * paper, the FAISS serving path): the probe stays EXACT while the
+    * corpus is represented only by its codes. Per probe, a lookup
+    * table of (subspace, code) -> squared distance between the probe's
+    * exact subvector and that codebook entry — nprobe*m*codes rows,
+    * built once and BROADCAST — and every corpus vector's approximate
+    * distance is the sum of m table lookups: a join on (sub, code)
+    * plus one map-side-combined aggregate. No vector ever moves to
+    * score a candidate; that is the entire point of PQ at scale.
+    *
+    * Probes are the `nprobe` LARGEST-md5 vectors (the mirror image of
+    * the codebook's smallest-md5 pick — disjoint from it on any corpus
+    * with more than codes + nprobe rows). The per-probe ranking window
+    * is the flat-PQ tier; at corpus scale compose with [[ivfTopKAll]]'s
+    * coarse lists first (IVF-PQ) so each probe ranks one inverted
+    * list, not the corpus.
+    *
+    * Integer-exact end to end, so q178's oracle re-derives pick,
+    * encode, LUT, and ranking — bit-for-bit.
+    *
+    * Output: (probe_id, rank<=k, vec_id, adc_dist). */
+  def pqAdcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                nprobe: Int = 5, k: Int = 10,
+                m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sx, cb) = pqParts(embeddings, idCol, vecCol, m, codes, dims)
+    val enc = pqAssign(sx, cb)
+    val probeIds = embeddings
+      .select(col(idCol).as("probe_id"))
+      .orderBy(md5(col("probe_id").cast("string").cast("binary")).desc,
+        col("probe_id").desc)
+      .limit(nprobe)
+    // LUT: exact probe subvectors x full codebook -> BIGINT distances
+    val lut = sx.withColumnRenamed("id", "probe_id")
+      .join(broadcast(probeIds), Seq("probe_id"))
+      .join(broadcast(cb), Seq("sub", "pos"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        ((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("sq"))
+      .groupBy(col("probe_id"), col("sub"), col("code"))
+      .agg(sum(col("sq")).as("lut"))
+    val adc = enc
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("probe_id"), col("id"))
+      .agg(sum(col("lut")).as("adc_dist"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id").as("vec_id"),
+        col("adc_dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Shared PQ pieces: integer subspace coordinates for the whole
+    * corpus and the broadcastable md5-ranked codebook — one
+    * construction site so the q177 and q178 oracles can never diverge
+    * on pick, quantization, or code numbering. */
+  private def pqParts(embeddings: DataFrame, idCol: String, vecCol: String,
+                      m: Int, codes: Int,
+                      dims: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val d = dims / m
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val sx = vecs
+      .select(col("id"), posexplode(col("vec")).as(Seq("p", "x")))
+      .select(col("id"),
+        (col("p") / d).cast("int").as("sub"),
+        (col("p") % d).cast("int").as("pos"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("xq"))
+    val pickW = Window.orderBy(
+      md5(col("code_src").cast("string").cast("binary")), col("code_src"))
+    val codebookIds = vecs
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(codes)
+      .select(col("id").as("code_src"))
+      // partition-less window over the <= codes-row pick frame only
+      .withColumn("code", row_number().over(pickW) - 1)
+    val cb = sx
+      .withColumnRenamed("id", "code_src")
+      .join(broadcast(codebookIds), Seq("code_src"))
+      .select(col("code"), col("sub"), col("pos"), col("xq").as("cq"))
+    (sx, cb)
+  }
+
+  /** Argmin-code assignment over the exploded integer coordinates:
+    * distances partial-aggregate map-side over `pos`, then a second
+    * (id, sub) aggregate takes min_by with the lowest-code tie-break. */
+  private def pqAssign(sx: DataFrame, cb: DataFrame): DataFrame =
+    sx.join(broadcast(cb), Seq("sub", "pos"))
+      .select(col("id"), col("sub"), col("code"),
+        ((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("sq"))
+      .groupBy(col("id"), col("sub"), col("code"))
+      .agg(sum(col("sq")).as("sqd"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(struct(col("code"), col("sqd")),
+        struct(col("sqd"), col("code"))).as("best"))
+      .select(col("id"), col("sub"),
+        col("best.code").as("code"), col("best.sqd").as("sqd"))
+
   /** ANN top-k for ALL vectors at once (the scale path): bucket-join
     * candidates from L tables, refine with exact cosine, rank per query.
     * Output: (query_id, neighbor_id, cos_sim, rank<=k). */

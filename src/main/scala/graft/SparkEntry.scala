@@ -1207,6 +1207,23 @@ object SparkEntry {
       Similarity.ivfAssignPortable(Tables.embeddings(s, dir),
         "vec_id", "embedding", nlist = 8)),
 
+    // PORTABLE Product-Quantization encode (Jégou et al. — the memory
+    // answer for billion-vector ANN; int8 (q77) compresses 4x, PQ 32x):
+    // md5-ranked codebook pick per subspace, integer-lattice argmin-L2
+    // assignment with lowest-code ties — every step BIGINT-exact, so
+    // the full encode gains a hash-checked oracle row
+    "q177_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncodePortable(Tables.embeddings(s, dir),
+        "vec_id", "embedding", m = 8, codes = 16)),
+
+    // PQ Asymmetric Distance Computation top-k (the FAISS serving
+    // path): per-probe (sub, code) lookup table broadcast, corpus
+    // scored by m table lookups — no vector moves to score a
+    // candidate; integer-exact, oracle re-derives pick/encode/LUT/rank
+    "q178_pq_adc_topk" -> ((s, dir) =>
+      Similarity.pqAdcTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nprobe = 5, k = 10, m = 8, codes = 16)),
+
     // duplicate-span strip APPLIED (q88's removal step, Lee et al.
     // ExactSubstr at 8-gram granularity): every non-first occurrence
     // of a duplicated 8-token span drops its tokens, docs reassemble
@@ -2568,6 +2585,81 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, cid AS centroid_id, cs AS cos_sim
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // PQ encode replay: md5-ranked 16-vector codebook (code = rank-1),
+    // integer subspace coordinates ((p-1)//8, (p-1)%8), BIGINT squared
+    // distances, argmin with lowest-code ties
+    "q177_pq_codes" ->
+      """WITH sx AS (
+        |  SELECT vec_id, ((generate_subscripts(embedding, 1) - 1) // 8) AS sub,
+        |    ((generate_subscripts(embedding, 1) - 1) % 8) AS pos,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS xq
+        |  FROM embeddings),
+        |pick AS (
+        |  SELECT vec_id AS code_src,
+        |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code
+        |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |cb AS (
+        |  SELECT p.code, s.sub, s.pos, s.xq AS cq
+        |  FROM pick p JOIN sx s ON s.vec_id = p.code_src),
+        |scored AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS sqd
+        |  FROM sx s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT vec_id, sub, code, sqd,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |                       ORDER BY sqd ASC, code ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, sub, code, sqd FROM best WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin,
+
+    // ADC replay: q177's encode CTEs + the probe LUT (5 largest-md5
+    // probes, exact subvectors x codebook) + per-probe ranking
+    "q178_pq_adc_topk" ->
+      """WITH sx AS (
+        |  SELECT vec_id, ((generate_subscripts(embedding, 1) - 1) // 8) AS sub,
+        |    ((generate_subscripts(embedding, 1) - 1) % 8) AS pos,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS xq
+        |  FROM embeddings),
+        |pick AS (
+        |  SELECT vec_id AS code_src,
+        |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code
+        |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |cb AS (
+        |  SELECT p.code, s.sub, s.pos, s.xq AS cq
+        |  FROM pick p JOIN sx s ON s.vec_id = p.code_src),
+        |scored AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS sqd
+        |  FROM sx s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
+        |  GROUP BY 1, 2, 3),
+        |enc AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY sqd ASC, code ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 5),
+        |lut AS (
+        |  SELECT s.vec_id AS probe_id, c.sub, c.code,
+        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS lut
+        |  FROM sx s JOIN probes pr ON pr.probe_id = s.vec_id
+        |            JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
+        |  GROUP BY 1, 2, 3),
+        |adc AS (
+        |  SELECT l.probe_id, e.vec_id, sum(l.lut) AS adc_dist
+        |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, rank, vec_id, adc_dist FROM (
+        |  SELECT probe_id, vec_id, adc_dist,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
+        |  FROM adc) WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // Cross-corpus exact Jaccard (decontamination, oracle tier): same
     // shingle CTEs as q63, split even/odd, two-sided inverted-index join.

@@ -326,4 +326,66 @@ class SimilaritySpec extends SparkSpec {
         s"vec $id assigned $cid@$cs but ${best._2}@${best._1} is better")
     }
   }
+  test("pqEncodePortable: full codebook encodes every vector to itself; ADC equals exact integer L2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 12; val dims = 16; val m = 4
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // codes = n: every vector's own subvectors sit in the codebook, so
+    // every argmin lands at squared distance 0
+    val enc = Similarity.pqEncodePortable(df, "vec_id", "embedding",
+      m = m, codes = n, dims = dims)
+    assert(enc.count() == n.toLong * m)
+    assert(enc.filter(col("sqd") =!= 0L).count() == 0L)
+    // full-codebook ADC degenerates to the exact lattice L2^2 — the
+    // approximation error is EXACTLY the codebook error, nothing else
+    def q(x: Float): Long = math.floor(x.toDouble * 1e6).toLong
+    val lat = vecs.map { case (id, v) => id -> v.map(q) }.toMap
+    val adc = Similarity.pqAdcTopK(df, "vec_id", "embedding",
+        nprobe = 2, k = n, m = m, codes = n, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(adc.size == 2 * n)
+    adc.foreach { case ((p, v), d) =>
+      val want = lat(p).zip(lat(v)).map { case (a, b) =>
+        (a - b) * (a - b) }.sum
+      assert(d == want, s"probe=$p vec=$v got=$d want=$want")
+    }
+  }
+
+  test("pqEncodePortable: md5 pick, argmin, and ties equal a local replay at codes < n") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 30; val dims = 16; val m = 4; val codes = 4
+    val d = dims / m
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqEncodePortable(df, "vec_id", "embedding",
+        m = m, codes = codes, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    // local replay: same md5 rank pick, same integer lattice, same
+    // lowest-code tie-break
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def q(x: Float): Long = math.floor(x.toDouble * 1e6).toLong
+    val lat = vecs.map { case (id, v) => id -> v.map(q) }.toMap
+    val pickIds = vecs.map(_._1).sortBy(id => (md5hex(id.toString), id))
+      .take(codes)
+    val truth = (for {
+      (id, _) <- vecs
+      sub <- 0 until m
+    } yield {
+      val sv = lat(id).slice(sub * d, sub * d + d)
+      val best = pickIds.zipWithIndex.map { case (cid, code) =>
+        val cv = lat(cid).slice(sub * d, sub * d + d)
+        (sv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, code)
+      }.min   // (sqd, code) lexicographic == argmin with lowest-code ties
+      (id, sub) -> (best._2, best._1)
+    }).toMap
+    assert(got == truth)
+  }
 }
