@@ -476,10 +476,7 @@ object Similarity {
                              keepVec: Boolean): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
-    val centroids = vecs
-      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
-      .limit(nlist)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val centroids = md5CentroidPick(vecs, nlist)
     val scored = vecs.crossJoin(broadcast(centroids))
       .select(col("id"), col("vec"), col("cid"),
         round(cosineFast(col("vec"), col("cvec")), 6).as("csim"))
@@ -579,6 +576,89 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id").as("vec_id"),
         col("adc_dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** The q158 deterministic coarse-centroid pick, shared by every
+    * portable tier that needs the centroid FRAME (assignment, probe
+    * list selection): the `n` vectors with the smallest md5(id),
+    * TakeOrderedAndProject — never a global sort. */
+  private def md5CentroidPick(vecs: DataFrame, n: Int): DataFrame =
+    vecs.orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(n)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+  /** IVF-PQ top-k — the two portable index tiers COMPOSED into the
+    * actual billion-vector serving path (FAISS `IndexIVFPQ`): the
+    * coarse quantizer (q158's md5-pick + argmax-cosine lists) prunes
+    * the corpus to each probe's `nprobeLists` closest inverted lists,
+    * and PQ ADC (q178's broadcast LUT) ranks ONLY those candidates —
+    * so per-probe cost is the probed lists' population, not the
+    * corpus, and the ranking window never sees unprobed vectors.
+    *
+    * Every stage is a proven-portable construct (6dp-rounded cosines
+    * for list selection, BIGINT lattice ADC for ranking), so the whole
+    * serving path re-derives in DuckDB — q179 is the oracle row that
+    * pins coarse pruning and fine ranking COMPOSED, the property
+    * neither q158 nor q178 alone can check: a vector outside the
+    * probed lists must never appear, however close its ADC distance.
+    *
+    * Output: (probe_id, rank<=k, vec_id, list_id, adc_dist). Recall
+    * vs flat ADC is governed by nprobeLists/nlist exactly as q38's
+    * nprobe dial; SimilaritySpec pins full-probe == flat equality. */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                nlist: Int = 8, nprobeLists: Int = 2,
+                nprobe: Int = 5, k: Int = 10,
+                m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val cents = md5CentroidPick(vecs, nlist)
+    // coarse lists: every vector's argmax-cosine centroid (q158)
+    val lists = portableAssign(embeddings, idCol, vecCol, nlist,
+      keepVec = false).select(col("id"), col("cid"))
+    // PQ encode (q177)
+    val (sx, cb) = pqParts(embeddings, idCol, vecCol, m, codes, dims)
+    val enc = pqAssign(sx, cb)
+    // probes: the nprobe largest-md5 vectors (q178's mirror pick)
+    val probeIds = embeddings
+      .select(col(idCol).as("probe_id"))
+      .orderBy(md5(col("probe_id").cast("string").cast("binary")).desc,
+        col("probe_id").desc)
+      .limit(nprobe)
+    // each probe's nprobeLists closest centroids, 6dp cosine, min-cid ties
+    val listW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cs").desc, col("cid").asc)
+    val plists = vecs
+      .join(broadcast(probeIds), col("id") === col("probe_id"))
+      .select(col("probe_id"), col("vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("cid"),
+        round(cosineFast(col("vec"), col("cvec")), 6).as("cs"))
+      .withColumn("lrn", row_number().over(listW))
+      .filter(col("lrn") <= nprobeLists)
+      .select(col("probe_id"), col("cid"))
+    // the q178 LUT: exact probe subvectors x codebook
+    val lut = sx.withColumnRenamed("id", "probe_id")
+      .join(broadcast(probeIds), Seq("probe_id"))
+      .join(broadcast(cb), Seq("sub", "pos"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        ((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("sq"))
+      .groupBy(col("probe_id"), col("sub"), col("code"))
+      .agg(sum(col("sq")).as("lut"))
+    // candidates = vectors of the probed lists only; ADC-rank them
+    val cand = lists.join(broadcast(plists), Seq("cid"))
+    val adc = cand
+      .join(enc, Seq("id"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
+      .groupBy(col("probe_id"), col("id"), col("cid"))
+      .agg(sum(col("lut")).as("adc_dist"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id").as("vec_id"),
+        col("cid").as("list_id"), col("adc_dist"))
       .orderBy(col("probe_id"), col("rank"))
   }
 

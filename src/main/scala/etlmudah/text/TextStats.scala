@@ -48,6 +48,43 @@ object TextStats {
     trim(regexp_replace(folded, "\\s+", " "))
   }
 
+  /** Hashed-feature LINEAR quality scorer — the fastText/FineWeb-Edu
+    * "model-based quality filter" SHAPE made engine-portable. Real
+    * pipelines gate documents on a trained linear classifier over
+    * hashed token features (the hashing trick: D buckets, no stored
+    * vocabulary); the distributed machinery is hash -> weight lookup ->
+    * mean -> threshold, and that machinery is what this tier pins with
+    * an oracle row. Weights are md5-lattice integers (the q156
+    * hyperplane move): bucket = uint32(md5(token) hex prefix) % D,
+    * w(bucket) = uint32(md5("w:<salt>:" + bucket) hex prefix) % 2001
+    * - 1000 — so any md5-capable engine re-derives every score
+    * bit-for-bit. A TRAINED model drops in by swapping the weight
+    * expression for a broadcast (bucket, w) table without touching the
+    * movement.
+    *
+    * score = round(sum(w) / (1000 * n_tokens), 6), bounded [-1, 1];
+    * the sum is BIGINT-exact, the single division is the only float op.
+    * 100 TB shape: explode + ONE map-side-combined id-keyed aggregate;
+    * the weight "table" is an expression, so the portable tier joins
+    * and broadcasts nothing at all. */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
+                        buckets: Int = 1024,
+                        salt: String = "q"): DataFrame = {
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val bucket = conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val w = conv(substring(md5(concat(lit(s"w:$salt:"),
+        bucket.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 2001L - 1000L
+    tok.select(col("id"), w.as("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("wsum"))
+      .select(col("id"), col("n_tokens"),
+        round(col("wsum").cast("double") / (col("n_tokens") * 1000.0), 6)
+          .as("score"))
+  }
+
   /** Punctuation density: punct chars / total chars. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

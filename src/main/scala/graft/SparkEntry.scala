@@ -1224,6 +1224,26 @@ object SparkEntry {
       Similarity.pqAdcTopK(Tables.embeddings(s, dir),
         "vec_id", "embedding", nprobe = 5, k = 10, m = 8, codes = 16)),
 
+    // IVF-PQ COMPOSED (FAISS IndexIVFPQ, the billion-vector serving
+    // path): q158's coarse lists prune candidates to each probe's 2
+    // closest lists, q178's ADC LUT ranks only those — the oracle pins
+    // the property neither tier alone checks: a vector outside the
+    // probed lists never appears, however close its ADC distance
+    "q179_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nlist = 8, nprobeLists = 2,
+        nprobe = 5, k = 10, m = 8, codes = 16)),
+
+    // hashed-feature linear quality scorer (the fastText/FineWeb-Edu
+    // model-gate SHAPE): md5-lattice weights over hashed-trick token
+    // buckets, BIGINT sum, one division — a trained model drops in as
+    // a broadcast weight table; the oracle re-derives every score
+    "q180_quality_scorer" -> ((s, dir) =>
+      etlmudah.text.TextStats.hashedLinearScore(
+          Tables.documents(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("score"))
+        .orderBy(col("doc_id"))),
+
     // duplicate-span strip APPLIED (q88's removal step, Lee et al.
     // ExactSubstr at 8-gram granularity): every non-first occurrence
     // of a duplicated 8-token span drops its tokens, docs reassemble
@@ -2660,6 +2680,94 @@ object SparkEntry {
         |                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
         |  FROM adc) WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
+
+    // IVF-PQ replay: q158's centroid/assignment CTEs + q177's encode
+    // CTEs + q178's probe LUT, composed — candidates restricted to
+    // each probe's 2 best lists before the ADC ranking
+    "q179_ivfpq_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        |lists AS (
+        |  SELECT vec_id AS id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]), 6) DESC, c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+        |sx AS (
+        |  SELECT vec_id, ((generate_subscripts(embedding, 1) - 1) // 8) AS sub,
+        |    ((generate_subscripts(embedding, 1) - 1) % 8) AS pos,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS xq
+        |  FROM embeddings),
+        |pick AS (
+        |  SELECT vec_id AS code_src,
+        |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code
+        |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |cb AS (
+        |  SELECT p.code, s.sub, s.pos, s.xq AS cq
+        |  FROM pick p JOIN sx s ON s.vec_id = p.code_src),
+        |scored AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS sqd
+        |  FROM sx s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
+        |  GROUP BY 1, 2, 3),
+        |enc AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY sqd ASC, code ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 5),
+        |plists AS (
+        |  SELECT probe_id, cid FROM (
+        |    SELECT p.probe_id, c.cid,
+        |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]), 6) DESC, c.cid ASC) AS lrn
+        |    FROM probes p JOIN embeddings e ON e.vec_id = p.probe_id
+        |    CROSS JOIN c) WHERE lrn <= 2),
+        |lut AS (
+        |  SELECT s.vec_id AS probe_id, c.sub, c.code,
+        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS lut
+        |  FROM sx s JOIN probes pr ON pr.probe_id = s.vec_id
+        |            JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
+        |  GROUP BY 1, 2, 3),
+        |cand AS (
+        |  SELECT pl.probe_id, l.id, l.cid FROM lists l
+        |  JOIN plists pl ON pl.cid = l.cid),
+        |adc AS (
+        |  SELECT cd.probe_id, cd.id, cd.cid, sum(l.lut) AS adc_dist
+        |  FROM cand cd JOIN enc e ON e.vec_id = cd.id
+        |  JOIN lut l ON l.probe_id = cd.probe_id
+        |            AND l.sub = e.sub AND l.code = e.code
+        |  GROUP BY 1, 2, 3)
+        |SELECT probe_id, rank, vec_id, list_id, adc_dist FROM (
+        |  SELECT probe_id, id AS vec_id, cid AS list_id, adc_dist,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY adc_dist ASC, id ASC) AS rank
+        |  FROM adc) WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    // scorer replay: hash-trick bucket and md5-lattice weight per
+    // token, BIGINT sum, one rounded division
+    "q180_quality_scorer" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2001 - 1000 AS w
+        |  FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(w)::DOUBLE / (count(*) * 1000.0), 6) AS score
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Cross-corpus exact Jaccard (decontamination, oracle tier): same
     // shingle CTEs as q63, split even/odd, two-sided inverted-index join.

@@ -388,4 +388,34 @@ class SimilaritySpec extends SparkSpec {
     }).toMap
     assert(got == truth)
   }
+
+  test("ivfPqTopK: probing every list equals flat ADC; partial probes stay within probed lists") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "vec_id", "adc_dist").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // nprobeLists == nlist: candidates are the whole corpus, so the
+    // composition must reproduce the flat ADC ranking exactly
+    val full = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      nlist = 4, nprobeLists = 4, nprobe = 3, k = 8))
+    val flat = rows(Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+      nprobe = 3, k = 8))
+    assert(full == flat, "full-probe IVF-PQ must equal flat ADC")
+    // nprobeLists == 1: every result row's list must BE a probed list —
+    // the pruning property the composition exists for
+    val pruned = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      nlist = 4, nprobeLists = 1, nprobe = 3, k = 8)
+    val assign = Similarity.ivfAssignPortable(emb, "vec_id", "embedding",
+        nlist = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = pruned.select("probe_id", "vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // list_id recorded per row matches the vector's coarse assignment
+    got.foreach { case (_, v, lid) => assert(assign(v) == lid) }
+    // and per probe only ONE distinct list appears
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).distinct.length == 1)
+    }
+  }
 }

@@ -195,6 +195,32 @@ class TextStatsSpec extends SparkSpec {
     assert(clean("") == "" && clean("already clean") == "already clean")
   }
 
+
+  test("hashedLinearScore: equals a local md5 replay; bounded; deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha"),
+      (3L, ""), (4L, "zeta")).toDF("doc_id", "text")
+    val got = hashedLinearScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def w(tok: String): Long = u32("w:q:" + (u32(tok) % 1024L)) % 2001L - 1000L
+    def score(toks: Seq[String]): Double =
+      BigDecimal(toks.map(w).sum.toDouble / (toks.size * 1000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, score(Seq("alpha", "beta", "gamma")))))
+    assert(got(2L) == ((2L, score(Seq("alpha", "alpha")))))
+    // empty text tokenizes to the single empty token (the q63 contract)
+    assert(got(3L) == ((1L, score(Seq("")))))
+    assert(got(4L) == ((1L, score(Seq("zeta")))))
+    assert(got.values.forall { case (_, sc) => sc >= -1.0 && sc <= 1.0 })
+    val again = hashedLinearScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == got.map { case (k, v) => k -> v._2 })
+  }
+
   test("shingles: distinct n-grams, short-doc fallback") {
     def seqOf(c: org.apache.spark.sql.Column): Seq[String] =
       spark.range(1).select(c.as("v")).collect().head.getSeq[String](0)
