@@ -522,7 +522,9 @@ object Similarity {
                        dims: Int = 64): DataFrame = {
     val (sx, cb) = pqParts(embeddings, idCol, vecCol, m, codes, dims)
     pqAssign(sx, cb)
-      .select(col("id").as("vec_id"), col("sub"), col("code"), col("sqd"))
+      .select(col("id").as("vec_id"),
+        col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"), col("sqd"))
       .orderBy(col("vec_id"), col("sub"))
   }
 
@@ -572,7 +574,7 @@ object Similarity {
       .agg(sum(col("lut")).as("adc_dist"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_dist").asc, col("id").asc)
-    adc.withColumn("rank", row_number().over(w))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id").as("vec_id"),
         col("adc_dist"))
@@ -655,7 +657,7 @@ object Similarity {
       .agg(sum(col("lut")).as("adc_dist"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_dist").asc, col("id").asc)
-    adc.withColumn("rank", row_number().over(w))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id").as("vec_id"),
         col("cid").as("list_id"), col("adc_dist"))

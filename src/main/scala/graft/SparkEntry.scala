@@ -2624,7 +2624,7 @@ object SparkEntry {
         |  FROM pick p JOIN sx s ON s.vec_id = p.code_src),
         |scored AS (
         |  SELECT s.vec_id, s.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS sqd
+        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS sqd
         |  FROM sx s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
         |  GROUP BY 1, 2, 3),
         |best AS (
@@ -2652,7 +2652,7 @@ object SparkEntry {
         |  FROM pick p JOIN sx s ON s.vec_id = p.code_src),
         |scored AS (
         |  SELECT s.vec_id, s.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS sqd
+        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS sqd
         |  FROM sx s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
         |  GROUP BY 1, 2, 3),
         |enc AS (
@@ -2666,12 +2666,12 @@ object SparkEntry {
         |  ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 5),
         |lut AS (
         |  SELECT s.vec_id AS probe_id, c.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS lut
+        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS lut
         |  FROM sx s JOIN probes pr ON pr.probe_id = s.vec_id
         |            JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
         |  GROUP BY 1, 2, 3),
         |adc AS (
-        |  SELECT l.probe_id, e.vec_id, sum(l.lut) AS adc_dist
+        |  SELECT l.probe_id, e.vec_id, sum(l.lut)::BIGINT AS adc_dist
         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
         |  GROUP BY 1, 2)
         |SELECT probe_id, rank, vec_id, adc_dist FROM (
@@ -2709,7 +2709,7 @@ object SparkEntry {
         |  FROM pick p JOIN sx s ON s.vec_id = p.code_src),
         |scored AS (
         |  SELECT s.vec_id, s.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS sqd
+        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS sqd
         |  FROM sx s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
         |  GROUP BY 1, 2, 3),
         |enc AS (
@@ -2731,7 +2731,7 @@ object SparkEntry {
         |    CROSS JOIN c) WHERE lrn <= 2),
         |lut AS (
         |  SELECT s.vec_id AS probe_id, c.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq)) AS lut
+        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS lut
         |  FROM sx s JOIN probes pr ON pr.probe_id = s.vec_id
         |            JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
         |  GROUP BY 1, 2, 3),
@@ -2739,7 +2739,7 @@ object SparkEntry {
         |  SELECT pl.probe_id, l.id, l.cid FROM lists l
         |  JOIN plists pl ON pl.cid = l.cid),
         |adc AS (
-        |  SELECT cd.probe_id, cd.id, cd.cid, sum(l.lut) AS adc_dist
+        |  SELECT cd.probe_id, cd.id, cd.cid, sum(l.lut)::BIGINT AS adc_dist
         |  FROM cand cd JOIN enc e ON e.vec_id = cd.id
         |  JOIN lut l ON l.probe_id = cd.probe_id
         |            AND l.sub = e.sub AND l.code = e.code

@@ -336,6 +336,51 @@ class EdgeCasesSpec extends SparkSpec {
       .forall(_.getString(1) == "unchanged"))
   }
 
+  test("round-8 operators tolerate empty and degenerate input") {
+    import etlmudah.scale.Similarity
+    import etlmudah.web.Web
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // fuzzy refine: empty corpus, single doc (no pairs)
+    assert(Dedup.editSimilarityPairs(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.editSimilarityPairs(Seq((1L, "only one doc here"))
+      .toDF("doc_id", "text"), "text", "doc_id").count() == 0)
+    // web: empty corpus; hosts with no scheme fall into the '' domain
+    assert(Web.domainStats(Seq.empty[(Long, String, String)]
+      .toDF("id", "url", "text"), "url", "text").count() == 0)
+    val junk = Web.domainStats(Seq((1L, "not a url", "some text"))
+      .toDF("id", "url", "text"), "url", "text").collect()
+    assert(junk.length == 1 && junk.head.getString(0) == "")
+    // cleanText on pure garbage collapses to the empty string
+    val cleaned = Seq("\u0001\u0002", "   ").toDF("t")
+      .select(TextStats.cleanText(col("t")).as("c"))
+      .collect().map(_.getString(0))
+    assert(cleaned.forall(_ == ""))
+    // PQ: corpus SMALLER than the codebook (limit under-fills) and
+    // smaller than nprobe — both must degrade, not throw
+    val tiny = Seq(
+      (1L, Array.fill(16)(0.25f)),
+      (2L, Array.fill(16)(-0.5f)),
+      (3L, Array.tabulate(16)(i => i * 0.01f))).toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncodePortable(tiny, "vec_id", "embedding",
+      m = 4, codes = 16, dims = 16)
+    assert(enc.count() == 3 * 4)   // 3 codes exist; every vector encodes
+    val adc = Similarity.pqAdcTopK(tiny, "vec_id", "embedding",
+      nprobe = 5, k = 10, m = 4, codes = 16, dims = 16)
+    assert(adc.count() == 3 * 3)   // 3 probes x 3 ranked vectors
+    assert(Similarity.pqEncodePortable(emptyVecs, "vec_id", "embedding",
+      m = 4, codes = 16, dims = 16).count() == 0)
+    val ivfpq = Similarity.ivfPqTopK(tiny, "vec_id", "embedding",
+      nlist = 8, nprobeLists = 2, nprobe = 2, k = 5, m = 4, codes = 16,
+      dims = 16)
+    assert(ivfpq.count() > 0)
+    // scorer: empty corpus and empty text
+    assert(TextStats.hashedLinearScore(emptyDocs, "text", "doc_id")
+      .count() == 0)
+    val sc = TextStats.hashedLinearScore(Seq((1L, "")).toDF("doc_id", "text"),
+      "text", "doc_id").collect()
+    assert(sc.length == 1 && sc.head.getLong(1) == 1L)
+  }
+
   test("sampling on empty input and clipUpper on all-null column") {
     assert(Sampling.hashSplit(emptyDocs, "doc_id",
       Seq(("train", 1.0))).count() == 0)

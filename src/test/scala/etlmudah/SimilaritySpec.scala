@@ -364,8 +364,8 @@ class SimilaritySpec extends SparkSpec {
     val df = vecs.toDF("vec_id", "embedding")
     val got = Similarity.pqEncodePortable(df, "vec_id", "embedding",
         m = m, codes = codes, dims = dims)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
-        (r.getInt(2), r.getLong(3))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
     // local replay: same md5 rank pick, same integer lattice, same
     // lowest-code tie-break
     def md5hex(s: String): String =
@@ -384,7 +384,7 @@ class SimilaritySpec extends SparkSpec {
         val cv = lat(cid).slice(sub * d, sub * d + d)
         (sv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, code)
       }.min   // (sqd, code) lexicographic == argmin with lowest-code ties
-      (id, sub) -> (best._2, best._1)
+      (id, sub.toLong) -> (best._2.toLong, best._1)
     }).toMap
     assert(got == truth)
   }
@@ -393,7 +393,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("probe_id", "rank", "vec_id", "adc_dist").collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     // nprobeLists == nlist: candidates are the whole corpus, so the
     // composition must reproduce the flat ADC ranking exactly
     val full = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
