@@ -30,6 +30,14 @@ object Writers {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** S6+: ORC encode — the columnar interchange peer of parquet in
+    * Hive/Trino-standardized lakes; Spark ships the ORC datasource in
+    * core, so engine output lands directly in an ORC warehouse with
+    * types preserved exactly (unlike the CSV/TSV text tiers).
+    * zstd-compressed; parquet stays the in-pipeline performance path. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
   /** S7: staged bulk load — write to a temp location, swap at the
     * directory level (the reference's temp-table + transaction,
     * dag.py:183-268). Readers never observe a half-written target.

@@ -878,6 +878,23 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ORC round-trip (the columnar interchange tier q44/q116 cover for
+    // text formats): write zstd ORC, read back, aggregate — types
+    // survive exactly, so the oracle is the source table itself
+    "q181_orc_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink_q181_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      etlmudah.sinks.Writers.writeOrc(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        out)
+      s.read.orc(out)
+        .groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // range-clustered layout round-trip: write orders range-sorted by
     // totalprice (disjoint file min/max -> data skipping; clustering is
     // pinned in WritersSpec), read a range slice back, aggregate
@@ -3467,6 +3484,15 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        | FROM orders GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
+
+    // ORC is lossless: the round-trip aggregate must equal the same
+    // aggregate straight off the source table
+    "q181_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         | FROM orders GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
 

@@ -65,7 +65,7 @@ class WritersSpec extends SparkSpec {
     val out = Files.createTempDirectory("fmt").toString
     val nation = Tables.nation(spark, sf0001)
     nation.write.mode("overwrite").json(s"$out/j")
-    nation.write.mode("overwrite").orc(s"$out/o")
+    Writers.writeOrc(nation, s"$out/o")
     val j = spark.read.json(s"$out/j")
     val o = spark.read.orc(s"$out/o")
     assert(j.count() == 25 && o.count() == 25)
