@@ -1500,6 +1500,33 @@ object SparkEntry {
         .orderBy(col("split"), col("source"))
     }),
 
+    // WEB-CURATION composite (q114's composition proof for the round-8
+    // web tier): unicode normalize -> hashed-model score gate -> exact
+    // dedup on the CLEANED text -> per-registered-domain cap -> domain
+    // report. Every stage is deterministic/portable, so the WHOLE
+    // chain carries ONE oracle — min/max score are order statistics of
+    // 6dp-rounded per-doc values, exact cross-engine (an avg would
+    // re-introduce float summation order)
+    "q182_web_curation" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("url",
+          etlmudah.web.Web.fakeUrl(col("doc_id"), col("source")))
+        .withColumn("clean_text", TextStats.cleanText(col("text")))
+      val gate = TextStats.hashedLinearScore(base, "clean_text", "doc_id")
+        .filter(col("score") >= -0.01)
+        .select(col("id").as("doc_id"), col("score"))
+      val deduped = Dedup.exactDedup(base.join(gate, Seq("doc_id")),
+        "clean_text", "doc_id")
+      etlmudah.web.Web.domainCap(deduped, "url", "doc_id", cap = 10,
+          salt = "webcur")
+        .groupBy(col("domain")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("clean_text"))).as("n_tokens"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("domain"))
+    }),
+
     // PMI collocations: bigrams beating the independence expectation
     // (multiword-expression mining with a support floor)
     "q112_collocations" -> ((s, dir) =>
@@ -4028,6 +4055,74 @@ object SparkEntry {
         | sum(n_tokens)::BIGINT AS sum_tokens
         |FROM surv JOIN sp USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the whole curation chain replayed: q176's clean passes, q180's
+    // scorer, q114's fingerprint-dedup CTE on the cleaned text, then
+    // q174/q175's domain CTEs and quota window (salt 'webcur')
+    "q182_web_curation" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    'https://' || ['www.','blog.',''][(doc_id % 3 + 1)::INT] ||
+        |    'd' || (doc_id % 7)::VARCHAR || '.' ||
+        |    ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
+        |    '/' || source || '/' || doc_id::VARCHAR AS url,
+        |    trim(regexp_replace(
+        |      translate(
+        |        regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |        chr(8220)||chr(8221)||chr(8216)||chr(8217)||chr(8211)||chr(8212)||chr(160),
+        |        '""''''-- '),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(clean_text), '\s+')) AS t
+        |  FROM base),
+        |wts AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2001 - 1000 AS w
+        |  FROM tok),
+        |sc AS (
+        |  SELECT doc_id, round(sum(w)::DOUBLE / (count(*) * 1000.0), 6) AS score
+        |  FROM wts GROUP BY doc_id),
+        |gated AS (
+        |  SELECT b.*, s.score FROM base b JOIN sc s USING (doc_id)
+        |  WHERE s.score >= -0.01),
+        |ded AS (
+        |  SELECT min(doc_id) AS doc_id FROM gated
+        |  GROUP BY md5(regexp_replace(lower(trim(clean_text)), '\s+', ' ', 'g'))),
+        |surv AS (SELECT g.* FROM gated g JOIN ded USING (doc_id)),
+        |hd AS (
+        |  SELECT doc_id, clean_text, score,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host
+        |  FROM surv),
+        |ad AS (
+        |  SELECT doc_id, clean_text, score, host,
+        |    string_split(lower(host), '.') AS arr,
+        |    len(string_split(lower(host), '.')) AS n
+        |  FROM hd),
+        |dm AS (
+        |  SELECT doc_id, clean_text, score,
+        |    CASE WHEN n <= 2 THEN lower(host)
+        |         WHEN (arr[n-1] || '.' || arr[n]) IN
+        |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
+        |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
+        |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
+        |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
+        |         ELSE arr[n-1] || '.' || arr[n] END AS domain
+        |  FROM ad),
+        |k AS (
+        |  SELECT domain, doc_id, clean_text, score,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'webcur'), 1, 8))
+        |        AS UBIGINT) / 4294967296.0 ASC, doc_id ASC) AS rn
+        |  FROM dm)
+        |SELECT domain, count(*) AS n_docs,
+        |  sum(len(string_split_regex(trim(clean_text), '\s+')))::BIGINT AS n_tokens,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM k WHERE rn <= 10
+        |GROUP BY domain ORDER BY domain""".stripMargin,
 
     // PMI spelled as a fixed sum of ln's on exact integer counts (a
     // product form would exceed double exactness on corpus totals)
