@@ -346,6 +346,42 @@ object SparkEntry {
     // plan is declared flat and Catalyst orders it: dims broadcast,
     // fact tables hash-join on their keys, the year filter pushes to
     // the orders scan
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers x
+    // orders placed before the cut x lineitems shipped after it — the
+    // unshipped-revenue backlog per order, top 10. Date literals (not
+    // functions) so both scans keep their PushedFilters
+    "q183_shipping_priority" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+        .groupBy(col("o_orderkey"), col("o_orderdate")).agg(
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(10)),
+
+    // TPC-H Q10 shape (returned-item ranking): customers ranked by
+    // revenue they returned in one quarter — the churn-investigation
+    // join (customer x orders x returned lineitems x nation), top 20
+    "q184_returned_customers" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name")).agg(
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
     "q143_local_supplier_volume" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir),
@@ -3085,6 +3121,37 @@ object SparkEntry {
         | JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation sn ON s_nationkey = sn.n_nationkey
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    // Q3 shape: same exact-decimal revenue construct as q143
+    "q183_shipping_priority" ->
+      """SELECT o_orderkey,
+        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        | o_orderdate
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    // Q10 shape: returned-revenue ranking, same decimal construct
+    "q184_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
 
     "q143_local_supplier_volume" ->
       """SELECT r_name, n_name, count(*) AS n_items,

@@ -112,3 +112,71 @@ object WinnowProps extends Properties("WinnowFingerprints") {
         }
     }
 }
+
+
+/** ScalaCheck properties for the fuzzy edit-similarity refine: exact
+  * agreement with a local gate+DP replay over random small-vocabulary
+  * corpora (small vocab forces real shingle sharing, so the candidate
+  * gate routinely passes pairs that the DP then splits on). */
+object EditSimilarityProps extends Properties("EditSimilarityPairs") {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 9).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+  private val corpusGen: Gen[List[String]] = Gen.listOfN(7, docGen)
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Local oracle: string-shingle gate (whole-token-string fallback for
+    * docs under 3 tokens, the operator's contract) + textbook DP. */
+  private def serial(texts: Seq[String], gate: Double,
+                     minSim: Double): Set[(Long, Long, Double, Double)] = {
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    def sh(t: String): Set[String] = {
+      val tk = toks(t)
+      if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val idx = texts.zipWithIndex
+    (for {
+      (ta, ia) <- idx
+      (tb, ib) <- idx if ia < ib
+      inter = (sh(ta) intersect sh(tb)).size
+      uni = (sh(ta) union sh(tb)).size
+      if inter.toDouble / uni >= gate
+      m = math.max(ta.length, tb.length)
+      sim = if (m == 0) 1.0 else round6(1.0 - lev(ta, tb).toDouble / m)
+      if sim >= minSim
+    } yield (ia.toLong, ib.toLong,
+      round6(inter.toDouble / uni), sim)).toSet
+  }
+
+  private def run(texts: Seq[String], gate: Double,
+                  minSim: Double): Set[(Long, Long, Double, Double)] = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Dedup.editSimilarityPairs(df, "text", "doc_id",
+        jaccardGate = gate, minEditSim = minSim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+  }
+
+  property("matches the local gate+DP replay on random corpora and thresholds") =
+    forAll(corpusGen, Gen.oneOf(0.3, 0.5, 0.8)) { (texts, minSim) =>
+      texts.isEmpty || run(texts, 0.3, minSim) == serial(texts, 0.3, minSim)
+    }
+}

@@ -163,6 +163,9 @@ class PlanShapeSpec extends SparkSpec {
       // q164 reuses q158's bounded centroid broadcast for the portable
       // SemDeDup assignment step
       "q164_semantic_dedup_portable",
+      // q179 carries q158's nlist-row centroid broadcast twice (list
+      // assignment + probe-list selection); the PQ/ADC joins stay keyed
+      "q179_ivfpq_topk",
       // q167 fans doc profiles out by the |classes|-row broadcast
       "q167_rank_profile_classify",
       // q169 carries q57's single-row corpus-count broadcast
@@ -245,6 +248,30 @@ class PlanShapeSpec extends SparkSpec {
   test("q158: portable centroid pick plans as TakeOrderedAndProject (no global sort)") {
     val plan = planOf("q158_ivf_assign_portable")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("q177/q178: PQ codebook and ADC LUT join as broadcasts; corpus never shuffles by (sub, code)") {
+    // every join in the encode is a BroadcastHashJoin (the codes x dims
+    // codebook and the probe LUT are the broadcast sides) — a sort-merge
+    // join here would mean the exploded corpus shuffled on join keys
+    val enc = planOf("q177_pq_codes")
+    assert(enc.contains("BroadcastHashJoin"), enc.take(600))
+    assert(!enc.contains("SortMergeJoin"), enc.take(800))
+    val adc = planOf("q178_pq_adc_topk")
+    assert(adc.contains("BroadcastHashJoin"), adc.take(600))
+    assert(!adc.contains("SortMergeJoin"), adc.take(800))
+  }
+
+  test("q174: domain stats is one aggregate; the share window runs over the aggregated frame") {
+    val wins = SparkEntry.queries("q174_domain_stats")(spark, sf0001)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    // exactly one window (the share-of-total), and it must sit ABOVE
+    // the domain aggregate — its child plan contains the HashAggregate,
+    // so it only ever sees |domains| rows
+    assert(wins.length == 1, s"expected 1 WindowExec, got ${wins.length}")
+    assert(wins.head.child.toString.contains("HashAggregate"),
+      wins.head.child.toString.take(600))
   }
 
   test("q169: prefix-filter suffix norms and full norms ride ONE id-partitioned window") {
