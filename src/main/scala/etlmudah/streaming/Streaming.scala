@@ -377,6 +377,56 @@ object Streaming {
       }
   }
 
+  /** Continuous QUALITY-GATE ingest — the q182 model gate as a stream
+    * sink: each arriving document is normalized (`cleanText`) and
+    * scored by the hashed linear classifier; keepers append under
+    * `keepPath/batch_id=<n>` carrying (clean_text, score), rejects
+    * land under `rejectPath/batch_id=<n>` with their score — never
+    * silently dropped, so the gate's calibration can be audited from
+    * the reject stream (the decontaminationSink audit contract).
+    *
+    * Per-document scoring is stateless and deterministic (md5-lattice
+    * weights, BIGINT sum, one rounded division), so verdicts are
+    * independent of how documents batch and a re-delivered batch
+    * rewrites its `batch_id` partitions with identical content — the
+    * decontaminationSink recovery contract verbatim, no cross-batch
+    * state to compact or corrupt.
+    *
+    * At sustained crawl volume: the whole batch computation is a
+    * per-row projection plus ONE id-keyed aggregate; nothing joins
+    * corpus-sized state. A trained model swaps in as a broadcast
+    * (bucket, weight) table against the same movement
+    * (`hashedLinearScore`'s contract). */
+  def qualityGateSink(docs: DataFrame, keepPath: String, rejectPath: String,
+                      checkpoint: String, textCol: String = "text",
+                      idCol: String = "doc_id", minScore: Double = 0.0,
+                      buckets: Int = 1024, salt: String = "q"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // both output writes scan the batch; persist the cleaned form once
+        val b = batch
+          .withColumn("clean_text", TextStats.cleanText(col(textCol)))
+          .persist()
+        try {
+          val scored = TextStats.hashedLinearScore(
+              b, "clean_text", idCol, buckets, salt)
+            .select(col("id").as(idCol), col("score"))
+            .localCheckpoint(true)   // feeds the keep AND reject splits
+          val joined = b.join(scored, Seq(idCol))
+          def out(df: DataFrame, path: String): Unit =
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(path)
+          out(joined.filter(col("score") >= minScore), keepPath)
+          out(joined.filter(col("score") < minScore), rejectPath)
+        } finally b.unpersist()
+        ()
+      }
+
   /** Continuous anomaly monitoring — `Analytics.anomalyZ` as a stream
     * sink: each micro-batch's events fold into a standing HOURLY COUNT
     * table (batches may split an hour — the merge re-sums per (key,

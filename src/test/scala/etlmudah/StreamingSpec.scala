@@ -582,6 +582,66 @@ class StreamingSpec extends SparkSpec {
       == Set((2L, 100L), (4L, 101L)))
   }
 
+  test("qualityGateSink: split equals the batch scorer; both sides audited; re-run converges") {
+    val out = Files.createTempDirectory("stream_qgate").toString
+    val src = s"$out/src"
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog tonight in the park",
+      "pack my box with five dozen liquor jugs before the storm arrives",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "lambda mu nu xi omicron pi rho sigma tau upsilon",
+      "row store column store scan filter join aggregate sort exchange",
+      "tokens weights buckets hashes scores gates keeps rejects audits")
+    stageParquet(texts.take(3).zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "s", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), src, "f1.parquet")
+    Thread.sleep(100)
+    stageParquet(texts.drop(3).zipWithIndex.map { case (t, i) =>
+        ((i + 3).toLong, t, "en", "s", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), src, "f2.parquet")
+    // threshold from the batch scorer so BOTH sides are provably
+    // non-empty: gate at the median score of the six docs
+    val batchScores = etlmudah.text.TextStats.hashedLinearScore(
+        spark.read.parquet(src)
+          .withColumn("clean_text",
+            etlmudah.text.TextStats.cleanText(col("text"))),
+        "clean_text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gate = batchScores.values.toSeq.sorted.apply(3)  // 4th of 6
+    val keep = s"$out/keep"
+    val reject = s"$out/reject"
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.qualityGateSink(
+          Streaming.readDocuments(spark, src), keep, reject, cp,
+          minScore = gate)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDrained(q)
+    }
+    runOnce(s"$out/cp1")
+    def sides() = (
+      spark.read.parquet(keep).select("doc_id", "score")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+      spark.read.parquet(reject).select("doc_id", "score")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    val (k1, r1) = sides()
+    // split == the batch scorer at the same gate, both sides non-empty
+    assert(k1.nonEmpty && r1.nonEmpty)
+    assert(k1.keySet == batchScores.filter(_._2 >= gate).keySet, k1.toString)
+    assert(r1.keySet == batchScores.filter(_._2 < gate).keySet, r1.toString)
+    // per-doc scores identical to the batch computation
+    (k1 ++ r1).foreach { case (id, s) => assert(s == batchScores(id)) }
+    // rejects carry their text for audit
+    val rejCols = spark.read.parquet(reject).columns.toSet
+    assert(rejCols.contains("clean_text") && rejCols.contains("score"))
+    // crash after batch 1's side effects, before its commit: replay
+    // recomputes the identical split (stateless verdicts)
+    dropCommit(s"$out/cp1", 1)
+    runOnce(s"$out/cp1")
+    val (k2, r2) = sides()
+    assert(k2 == k1 && r2 == r1)
+  }
+
   test("decontaminationSink: verdicts independent of batch arrival order (ref-side df cap)") {
     import etlmudah.scale.Dedup
     // the same four docs arrive as (A,B) then (C,D) in one run and as

@@ -190,6 +190,20 @@ object ManualDrive {
     spark.read.parquet(s"$out/decon_quarantine")
       .orderBy("doc_id", "ref_id").show(5)
 
+    // 8k. online quality-gate sink: clean + model-score each arriving
+    // doc; keep/reject split, scores on both sides for audit
+    println("== qualityGateSink (keep/reject split)")
+    val qGate = Streaming.qualityGateSink(
+        Streaming.readDocuments(spark, docsSrc),
+        s"$out/gate_keep", s"$out/gate_reject", s"$out/cp_gate",
+        minScore = 0.0)
+      .trigger(Trigger.AvailableNow()).start()
+    qGate.awaitTermination(120000)
+    println(s"keep=${spark.read.parquet(s"$out/gate_keep").count()} " +
+      s"reject=${spark.read.parquet(s"$out/gate_reject").count()}")
+    spark.read.parquet(s"$out/gate_reject")
+      .select("doc_id", "score").orderBy("doc_id").show(5)
+
     // 8. portable SemDeDup (q164)
     println("== semanticDedupPortable (q164)")
     etlmudah.scale.Similarity.semanticDedupPortable(emb, "vec_id",
