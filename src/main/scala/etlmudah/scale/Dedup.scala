@@ -386,12 +386,13 @@ object Dedup {
     * Before the DP, two exact prunes (both follow from
     * lev >= |len(a) - len(b)|, Gusfield's bound):
     *  - pairs whose LENGTH GAP alone caps edit_sim below the threshold
-    *    never run the DP (+1 slack so 6dp-rounding boundary pairs still
-    *    reach the exact comparison);
+    *    never run the DP (the slack covers both the floor gap and the
+    *    6dp rounding margin — see the band construction — so boundary
+    *    pairs still reach the exact comparison at any doc length);
     *  - the DP itself runs BANDED via levenshtein's threshold form —
     *    cost O(maxLen * band) instead of O(la * lb); beyond-band pairs
     *    return -1 and cannot pass the filter anyway (the threshold
-    *    carries the same +1 slack, so the band never decides a
+    *    carries the same slack, so the band never decides a
     *    boundary pair — the exact rounded comparison does). Filter
     *    pushdown inlines the DP into the join condition up to 3x
     *    (predicate + sentinel check + output column); that re-eval is
@@ -421,8 +422,15 @@ object Dedup {
       .withColumn("la", length(col("ta")))
       .withColumn("lb", length(col("tb")))
     val maxLen = greatest(col("la"), col("lb"))
-    val slackBand = // exact-prune band: floor((1-t)*maxLen) + 1 ulp-proof slack
-      floor((lit(1.0) - lit(minEditSim)) * maxLen).cast("int") + lit(1)
+    // exact-prune band: floor((1-t)*maxLen) + 1 covers the floor gap and
+    // + ceil(5e-7*maxLen) covers the 6dp rounding margin — WITHOUT that
+    // term the +1 alone is only safe while maxLen <= 2e6 (a d = B+1 pair
+    // on a multi-megabyte doc could round up past t while the band
+    // returns -1); with it the band never decides a boundary pair at
+    // ANY length, only the exact rounded comparison does
+    val slackBand =
+      floor((lit(1.0) - lit(minEditSim)) * maxLen).cast("int") + lit(1) +
+        ceil(maxLen.cast("double") * lit(5e-7)).cast("int")
     paired
       .filter(abs(col("la") - col("lb")) <= slackBand)
       .withColumn("dist",

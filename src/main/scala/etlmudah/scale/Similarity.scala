@@ -473,10 +473,13 @@ object Similarity {
     * and scores, not embeddings. */
   private def portableAssign(embeddings: DataFrame, idCol: String,
                              vecCol: String, nlist: Int,
-                             keepVec: Boolean): DataFrame = {
+                             keepVec: Boolean,
+                             cents: Option[DataFrame] = None): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
-    val centroids = md5CentroidPick(vecs, nlist)
+    // callers that already hold the centroid frame pass it in — the
+    // corpus is TakeOrdered'd for the pick at most once per query
+    val centroids = cents.getOrElse(md5CentroidPick(vecs, nlist))
     val scored = vecs.crossJoin(broadcast(centroids))
       .select(col("id"), col("vec"), col("cid"),
         round(cosineFast(col("vec"), col("cvec")), 6).as("csim"))
@@ -555,19 +558,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val (sx, cb) = pqParts(embeddings, idCol, vecCol, m, codes, dims)
     val enc = pqAssign(sx, cb)
-    val probeIds = embeddings
-      .select(col(idCol).as("probe_id"))
-      .orderBy(md5(col("probe_id").cast("string").cast("binary")).desc,
-        col("probe_id").desc)
-      .limit(nprobe)
-    // LUT: exact probe subvectors x full codebook -> BIGINT distances
-    val lut = sx.withColumnRenamed("id", "probe_id")
-      .join(broadcast(probeIds), Seq("probe_id"))
-      .join(broadcast(cb), Seq("sub", "pos"))
-      .select(col("probe_id"), col("sub"), col("code"),
-        ((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("sq"))
-      .groupBy(col("probe_id"), col("sub"), col("code"))
-      .agg(sum(col("sq")).as("lut"))
+    val probeIds = md5ProbePick(embeddings, idCol, nprobe)
+    val lut = pqProbeLut(sx, cb, probeIds)
     val adc = enc
       .join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("probe_id"), col("id"))
@@ -589,6 +581,29 @@ object Similarity {
     vecs.orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
       .limit(n)
       .select(col("id").as("cid"), col("vec").as("cvec"))
+
+  /** The `nprobe` LARGEST-md5 probe pick — the mirror image of
+    * [[md5CentroidPick]]; ONE site shared by the flat-ADC and IVF-PQ
+    * tiers so probe ordering can never diverge between them. */
+  private def md5ProbePick(embeddings: DataFrame, idCol: String,
+                           nprobe: Int): DataFrame =
+    embeddings.select(col(idCol).as("probe_id"))
+      .orderBy(md5(col("probe_id").cast("string").cast("binary")).desc,
+        col("probe_id").desc)
+      .limit(nprobe)
+
+  /** The per-probe ADC lookup table (exact probe subvectors x full
+    * codebook -> BIGINT distances) — ONE construction site for q178
+    * and q179, the pqParts no-divergence discipline. */
+  private def pqProbeLut(sx: DataFrame, cb: DataFrame,
+                         probeIds: DataFrame): DataFrame =
+    sx.withColumnRenamed("id", "probe_id")
+      .join(broadcast(probeIds), Seq("probe_id"))
+      .join(broadcast(cb), Seq("sub", "pos"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        ((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("sq"))
+      .groupBy(col("probe_id"), col("sub"), col("code"))
+      .agg(sum(col("sq")).as("lut"))
 
   /** IVF-PQ top-k — the two portable index tiers COMPOSED into the
     * actual billion-vector serving path (FAISS `IndexIVFPQ`): the
@@ -616,18 +631,15 @@ object Similarity {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
     val cents = md5CentroidPick(vecs, nlist)
-    // coarse lists: every vector's argmax-cosine centroid (q158)
+    // coarse lists: every vector's argmax-cosine centroid (q158),
+    // reusing the centroid frame picked above (no second TakeOrdered)
     val lists = portableAssign(embeddings, idCol, vecCol, nlist,
-      keepVec = false).select(col("id"), col("cid"))
+      keepVec = false, cents = Some(cents)).select(col("id"), col("cid"))
     // PQ encode (q177)
     val (sx, cb) = pqParts(embeddings, idCol, vecCol, m, codes, dims)
     val enc = pqAssign(sx, cb)
     // probes: the nprobe largest-md5 vectors (q178's mirror pick)
-    val probeIds = embeddings
-      .select(col(idCol).as("probe_id"))
-      .orderBy(md5(col("probe_id").cast("string").cast("binary")).desc,
-        col("probe_id").desc)
-      .limit(nprobe)
+    val probeIds = md5ProbePick(embeddings, idCol, nprobe)
     // each probe's nprobeLists closest centroids, 6dp cosine, min-cid ties
     val listW = Window.partitionBy(col("probe_id"))
       .orderBy(col("cs").desc, col("cid").asc)
@@ -640,14 +652,7 @@ object Similarity {
       .withColumn("lrn", row_number().over(listW))
       .filter(col("lrn") <= nprobeLists)
       .select(col("probe_id"), col("cid"))
-    // the q178 LUT: exact probe subvectors x codebook
-    val lut = sx.withColumnRenamed("id", "probe_id")
-      .join(broadcast(probeIds), Seq("probe_id"))
-      .join(broadcast(cb), Seq("sub", "pos"))
-      .select(col("probe_id"), col("sub"), col("code"),
-        ((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("sq"))
-      .groupBy(col("probe_id"), col("sub"), col("code"))
-      .agg(sum(col("sq")).as("lut"))
+    val lut = pqProbeLut(sx, cb, probeIds)
     // candidates = vectors of the probed lists only; ADC-rank them
     val cand = lists.join(broadcast(plists), Seq("cid"))
     val adc = cand

@@ -414,15 +414,21 @@ object Streaming {
               b, "clean_text", idCol, buckets, salt)
             .select(col("id").as(idCol), col("score"))
             .localCheckpoint(true)   // feeds the keep AND reject splits
-          val joined = b.join(scored, Seq(idCol))
+          // LEFT join: a null-text document produces no score row (the
+          // scorer's explode emits nothing), and an inner join would
+          // silently drop it from BOTH outputs — it must land in the
+          // reject stream with a null score, honoring the audit contract
+          val joined = b.join(scored, Seq(idCol), "left")
           def out(df: DataFrame, path: String): Unit =
             df.withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id")
               .parquet(path)
-          out(joined.filter(col("score") >= minScore), keepPath)
-          out(joined.filter(col("score") < minScore), rejectPath)
+          out(joined.filter(col("score").isNotNull &&
+            col("score") >= minScore), keepPath)
+          out(joined.filter(col("score").isNull ||
+            col("score") < minScore), rejectPath)
         } finally b.unpersist()
         ()
       }

@@ -597,17 +597,20 @@ class StreamingSpec extends SparkSpec {
         (i.toLong, t, "en", "s", 10L) }
       .toDF("doc_id", "text", "lang", "source", "n_chars"), src, "f1.parquet")
     Thread.sleep(100)
-    stageParquet(texts.drop(3).zipWithIndex.map { case (t, i) =>
-        ((i + 3).toLong, t, "en", "s", 10L) }
+    stageParquet((texts.drop(3).zipWithIndex.map { case (t, i) =>
+        ((i + 3).toLong, t, "en", "s", 10L) } :+
+        ((99L, null.asInstanceOf[String], "en", "s", 0L))) // unscoreable doc
       .toDF("doc_id", "text", "lang", "source", "n_chars"), src, "f2.parquet")
     // threshold from the batch scorer so BOTH sides are provably
-    // non-empty: gate at the median score of the six docs
+    // non-empty: gate at the median score of the six scoreable docs
+    // (the null-text doc produces no score row — the left-join case)
     val batchScores = etlmudah.text.TextStats.hashedLinearScore(
         spark.read.parquet(src)
           .withColumn("clean_text",
             etlmudah.text.TextStats.cleanText(col("text"))),
         "clean_text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!batchScores.contains(99L), "null text must be unscoreable")
     val gate = batchScores.values.toSeq.sorted.apply(3)  // 4th of 6
     val keep = s"$out/keep"
     val reject = s"$out/reject"
@@ -621,16 +624,23 @@ class StreamingSpec extends SparkSpec {
     runOnce(s"$out/cp1")
     def sides() = (
       spark.read.parquet(keep).select("doc_id", "score")
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap,
       spark.read.parquet(reject).select("doc_id", "score")
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap)
     val (k1, r1) = sides()
     // split == the batch scorer at the same gate, both sides non-empty
     assert(k1.nonEmpty && r1.nonEmpty)
     assert(k1.keySet == batchScores.filter(_._2 >= gate).keySet, k1.toString)
-    assert(r1.keySet == batchScores.filter(_._2 < gate).keySet, r1.toString)
+    // the unscoreable doc is REJECTED with a null score — never silently
+    // dropped from both outputs (the audit contract)
+    assert(r1.keySet == batchScores.filter(_._2 < gate).keySet + 99L,
+      r1.toString)
+    assert(r1(99L).isEmpty)
     // per-doc scores identical to the batch computation
-    (k1 ++ r1).foreach { case (id, s) => assert(s == batchScores(id)) }
+    (k1 ++ (r1 - 99L)).foreach { case (id, s) =>
+      assert(s.contains(batchScores(id))) }
     // rejects carry their text for audit
     val rejCols = spark.read.parquet(reject).columns.toSet
     assert(rejCols.contains("clean_text") && rejCols.contains("score"))
