@@ -755,6 +755,34 @@ class DedupSpec extends SparkSpec {
     assert(secs < 180.0, f"prefix tier took $secs%.1f s")
   }
 
+  test("scale rehearsal: edit refine at sf0.1 volume — DP only on gated candidates, bounded wall time") {
+    import spark.implicits._
+    // 5000 unique-vocabulary docs (sf0.1's corpus size) so the shingle
+    // gate yields ONLY the planted candidates; the banded DP then runs
+    // on that bounded pair set — the tier's whole scale contract
+    val rows = (1L to 5000L).map { i =>
+      (i, (0 until 15).map(t => s"u${i}x$t").mkString(" "))
+    } ++ Seq(
+      (5001L, (0 until 15).map(t =>
+        if (t == 7) "EDITED" else s"u42x$t").mkString(" ")),   // 1-token edit of 42
+      (5002L, (0 until 15).map(t =>
+        if (t == 3) "CHANGED" else s"u99x$t").mkString(" ")),  // 1-token edit of 99
+      (5003L, (0 until 15).map(t => s"u7x$t").mkString(" "))) // exact copy of 7
+    val df = rows.toDF("doc_id", "text").repartition(8)
+    val t0 = System.nanoTime()
+    val got = Dedup.editSimilarityPairs(df, "text", "doc_id",
+        jaccardGate = 0.3, minEditSim = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.keySet == Set((42L, 5001L), (99L, 5002L), (7L, 5003L)),
+      got.toString)
+    assert(got((7L, 5003L)) == 1.0)
+    assert(got((42L, 5001L)) >= 0.8 && got((42L, 5001L)) < 1.0)
+    // generous completion bound: the point is "finishes sanely at this
+    // volume with candidates bounded by the gate", not a benchmark
+    assert(secs < 180.0, f"edit refine took $secs%.1f s")
+  }
+
   test("scale rehearsal: CC star head — salted layout engages and labels correctly") {
     import spark.implicits._
     // one star head (node 0 in every edge) plus disjoint 2-chains: the
