@@ -128,6 +128,14 @@ object Multimodal {
     *    packs two 14-bit dims-minus-one into the 4 bytes after the
     *    0x2F signature; "VP8X" carries 24-bit LE canvas dims-minus-one
     *    at payload offsets 4/7.
+    *  - BMP ("BM" + DIB header): header-size dispatch — the legacy
+    *    BITMAPCOREHEADER (12) carries LE uint16 dims, every later DIB
+    *    header carries SIGNED LE int32 dims (negative height =
+    *    top-down rows; the magnitude is emitted).
+    *  - TIFF (6.0, both byte orders): the first IFD is walked entry by
+    *    entry for ImageWidth/ImageLength (tags 256/257, inline SHORT
+    *    or LONG values, endian-dispatched reads) — the fourth walking
+    *    decoder after JPEG markers, RIFF chunks, and the IFD here.
     *
     * Returns struct(format, width, height); unknown containers yield
     * ("unknown", null, null). Truncated/corrupt headers yield nulls
@@ -181,6 +189,60 @@ object Multimodal {
     val webpH = when(webpChunk === "56503820", vp8H)
       .when(webpChunk === "5650384C", vp8lH)
       .when(webpChunk === "56503858", vp8xH)
+    // BMP ("BM" + DIB header): dispatch on the DIB header size at 15 —
+    // BITMAPCOREHEADER (12) carries LE uint16 dims at 19/21, every
+    // later header (40/52/56/108/124) carries LE INT32 dims at 19/23;
+    // height may legitimately be NEGATIVE (top-down row order), so the
+    // signed magnitude is the pixel height
+    val isBmp = hex(substring(media, 1, 2)) === "424D"
+    val dibSize = le32(media, lit(15))
+    def sle32(pos: Int): Column = {
+      val v = le32(media, lit(pos))
+      when(v > 2147483647L, v - 4294967296L).otherwise(v)
+    }
+    val bmpW = when(dibSize === 12L, le16(media, lit(19)).cast("long"))
+      .otherwise(sle32(19))
+    val bmpH = when(dibSize === 12L, le16(media, lit(21)).cast("long"))
+      .otherwise(abs(sle32(23)))
+    // TIFF (II*\0 little-endian / MM\0* big-endian, TIFF 6.0): the
+    // first IFD is WALKED — every 12-byte entry is (tag, type, count,
+    // value); ImageWidth/ImageLength (tags 256/257) always fit inline,
+    // as SHORT (type 3, value in the field's FIRST two bytes, each
+    // endianness its own byte order) or LONG (type 4, full 4 bytes).
+    // The walk is the JPEG marker-walk shape: a bounded aggregate, one
+    // codegen'd expression, no UDF. A hostile IFD offset near
+    // uint32-max is rejected BEFORE any byte read (the audioMeta
+    // ANSI-overflow lesson: byteAt casts positions to int).
+    val isTiffLE = hex(substring(media, 1, 4)) === "49492A00"
+    val isTiffBE = hex(substring(media, 1, 4)) === "4D4D002A"
+    def t16(pos: Column): Column =
+      when(isTiffLE, le16(media, pos)).otherwise(be16(media, pos))
+    def t32(pos: Column): Column =
+      when(isTiffLE, le32(media, pos)).otherwise(be32(media, pos))
+    // clamp the IFD position BEFORE any int cast (the audioMeta ANSI
+    // lesson): a hostile uint32-max offset lands far past any real
+    // media length, so every read nulls instead of CAST_OVERFLOWing —
+    // and the clamp covers the ENTRY positions derived from it too
+    val ifdPos = least(t32(lit(5)) + 1, lit(268435457L))
+    val nEntries = t16(ifdPos.cast("int"))
+    val tiffScan = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      struct(lit(null).cast("long").as("w"), lit(null).cast("long").as("h")),
+      (st, i) => {
+        val done = i > nEntries ||
+          (st.getField("w").isNotNull && st.getField("h").isNotNull)
+        val entry = (ifdPos + 2 + (i - 1) * 12).cast("int")
+        val tag = t16(entry)
+        val typ = t16(entry + 2)
+        val value = when(typ === 3, t16(entry + 8).cast("long"))
+          .when(typ === 4, t32(entry + 8))
+        when(done, st)
+          .when(tag === 256,
+            struct(value.as("w"), st.getField("h").as("h")))
+          .when(tag === 257,
+            struct(st.getField("w").as("w"), value.as("h")))
+          .otherwise(st)
+      })
     // width/height are LONG across every branch: PNG's uint32 fields
     // don't fit an Int for hostile headers (see be32)
     when(isPng, struct(lit("png").as("format"),
@@ -193,6 +255,11 @@ object Multimodal {
         jpegScan.getField("h").cast("long").as("height")))
       .when(isWebp, struct(lit("webp").as("format"),
         webpW.cast("long").as("width"), webpH.cast("long").as("height")))
+      .when(isBmp, struct(lit("bmp").as("format"),
+        bmpW.as("width"), bmpH.as("height")))
+      .when(isTiffLE || isTiffBE, struct(lit("tiff").as("format"),
+        tiffScan.getField("w").as("width"),
+        tiffScan.getField("h").as("height")))
       .otherwise(struct(lit("unknown").as("format"),
         lit(null).cast("long").as("width"), lit(null).cast("long").as("height")))
   }
@@ -317,9 +384,41 @@ object Multimodal {
       lit("FFE00010"), lit("00" * 14),             // APP0, 16-byte segment
       lit("FFC0001108"), beHex16(height), beHex16(width),
       lit("03" + "00" * 10))                        // SOF0 tail
+    def leHex32(v: Column): Column = concat(
+      leHex16(v.bitwiseAND(lit(0xFFFF))), leHex16(shiftright(v, 16)))
+    // BMP, modern BITMAPINFOHEADER (size 40, signed LE32 dims)
+    val bmp = concat(lit("424D"), leHex32(lit(54)), lit("00000000"),
+      leHex32(lit(54)), leHex32(lit(40)), leHex32(width), leHex32(height),
+      lit("0100"), lit("1800"))
+    // BMP, legacy BITMAPCOREHEADER (size 12, LE uint16 dims)
+    val bmpcore = concat(lit("424D"), leHex32(lit(26)), lit("00000000"),
+      leHex32(lit(26)), leHex32(lit(12)), leHex16(width), leHex16(height),
+      lit("0100"), lit("1800"))
+    // TIFF little-endian: IFD at 8 with a leading no-op entry (tag 259
+    // Compression) so the decoder's walk SKIPS before it captures, then
+    // width/height as SHORT entries, then the zero next-IFD pointer
+    def iiEntry(tag: Int, value: Column): Column = concat(
+      leHex16(lit(tag)), lit("0300"), leHex32(lit(1)), leHex16(value),
+      lit("0000"))
+    val tiffii = concat(lit("49492A00"), leHex32(lit(8)), leHex16(lit(3)),
+      iiEntry(259, lit(1)), iiEntry(256, width), iiEntry(257, height),
+      leHex32(lit(0)))
+    // TIFF big-endian: width as SHORT (value in the field's first two
+    // bytes), height as LONG — both inline types exercised
+    val tiffmm = concat(lit("4D4D002A"), beHex32(lit(8)), beHex16(lit(3)),
+      beHex16(lit(259)), lit("0003"), beHex32(lit(1)), beHex16(lit(1)),
+      lit("0000"),
+      beHex16(lit(256)), lit("0003"), beHex32(lit(1)), beHex16(width),
+      lit("0000"),
+      beHex16(lit(257)), lit("0004"), beHex32(lit(1)), beHex32(height),
+      beHex32(lit(0)))
     unhex(when(format === "png", png)
       .when(format === "gif", gif)
       .when(format === "jpeg", jpeg)
+      .when(format === "bmp", bmp)
+      .when(format === "bmpcore", bmpcore)
+      .when(format === "tiffii", tiffii)
+      .when(format === "tiffmm", tiffmm)
       .otherwise(lit("00")))
   }
 
@@ -361,6 +460,242 @@ object Multimodal {
     val riffSize = when(variant === "vp8l", lit(18)).otherwise(lit(22))
     unhex(concat(lit("52494646"), leHex32(riffSize),
       lit("57454250"), chunk))
+  }
+
+  /** REAL video metadata decode for MP4 (ISO base media file format,
+    * MPEG-4 Part 12) containers — the video sibling of [[mediaMeta]] /
+    * [[audioMeta]], same no-library contract. TWO bounded walks (the
+    * JPEG-marker / RIFF-chunk / TIFF-IFD shape):
+    *
+    *  1. the TOP-LEVEL box list ([size: be32]["4cc" type], 64-bit
+    *     `largesize` boxes handled) is walked until `moov` is found;
+    *  2. moov's INTERIOR is walked with `trak` containers treated as
+    *     TRANSPARENT — the walk steps INTO a trak by its 8-byte header
+    *     instead of skipping it, so one flat bounded walk sees `mvhd`
+    *     and every track's `tkhd` without nested recursion. `mvhd`
+    *     yields timescale + duration (version 0 and version 1 layouts
+    *     — v1 carries 64-bit times); the FIRST `tkhd` with a non-zero
+    *     width is the video track (audio tkhd dims are spec'd zero)
+    *     and yields width/height (16.16 fixed point; the integer part
+    *     is emitted).
+    *
+    * Hostile declared sizes terminate the walk BEFORE any byte read
+    * (the audioMeta ANSI lesson): every offset is range-checked
+    * against the blob length and Int range as the first disjuncts of
+    * `done`, and declared sizes < 8 (cyclic walks) also stop. Returns
+    * struct(format, width, height, timescale, duration) — duration
+    * stays in timescale units so the decoder is exact-integer end to
+    * end; the ms derivation (duration * 1000 div timescale) is the
+    * caller's, the [[audioMeta]] convention. Non-MP4 input yields
+    * ("unknown", nulls). */
+  def videoMeta(media: Column, maxBoxes: Int = 32): Column = {
+    val isMp4 = hex(substring(media, 5, 4)) === "66747970" // "ftyp"
+    val nullL = lit(null).cast("long")
+    val mediaLen = length(media).cast("long")
+    def boxSize(off: Column): Column = {
+      val s = be32(media, off)
+      // size == 1: 64-bit largesize in the 8 bytes after the type
+      when(s === 1L,
+        be32(media, off + 8) * 4294967296L + be32(media, off + 12))
+        .otherwise(s)
+    }
+    def boxType(off: Column): Column = hex(substring(media, (off + 4).cast("int"), lit(4)))
+    def offBad(off: Column): Column =
+      off > mediaLen || off > lit(Int.MaxValue.toLong - 32L)
+    // walk 1: top-level boxes; state = (off, moov payload start, moov end)
+    val top = aggregate(
+      sequence(lit(1), lit(maxBoxes)),
+      struct(lit(1L).as("off"), nullL.as("ms"), nullL.as("me")),
+      (st, _) => {
+        val off = st.getField("off")
+        val size = boxSize(off)
+        val hdr = when(be32(media, off) === 1L, 16L).otherwise(8L)
+        val done = offBad(off) || st.getField("ms").isNotNull ||
+          size.isNull || size < 8L
+        when(done, st)
+          .when(boxType(off) === "6D6F6F76", // "moov"
+            struct(off.as("off"), (off + hdr).as("ms"), (off + size).as("me")))
+          .otherwise(struct((off + size).as("off"),
+            st.getField("ms").as("ms"), st.getField("me").as("me")))
+      })
+    val moovStart = top.getField("ms")
+    val moovEnd = top.getField("me")
+    // walk 2: moov interior, trak containers transparent; state =
+    // (off, timescale, duration, width, height)
+    val inner = aggregate(
+      sequence(lit(1), lit(maxBoxes)),
+      struct(moovStart.as("off"), nullL.as("ts"), nullL.as("dur"),
+        nullL.as("w"), nullL.as("h")),
+      (st, _) => {
+        val off = st.getField("off")
+        val size = boxSize(off)
+        val typ = boxType(off)
+        val ver = byteAt(media, off + 8)
+        val done = off.isNull || offBad(off) || off >= moovEnd ||
+          size.isNull || size < 8L ||
+          (st.getField("ts").isNotNull && st.getField("w").isNotNull)
+        // tkhd: matrix-relative offsets shift by 12 between v0 and v1
+        // (creation/modification/duration widen 4 -> 8 bytes each)
+        val tw = when(ver === 0, be16(media, off + 84))
+          .otherwise(be16(media, off + 96)).cast("long")
+        val th = when(ver === 0, be16(media, off + 88))
+          .otherwise(be16(media, off + 100)).cast("long")
+        val keep = struct((off + size).as("off"), st.getField("ts").as("ts"),
+          st.getField("dur").as("dur"), st.getField("w").as("w"),
+          st.getField("h").as("h"))
+        when(done, st)
+          .when(typ === "6D766864", // "mvhd": capture timescale + duration
+            struct((off + size).as("off"),
+              when(ver === 0, be32(media, off + 20))
+                .otherwise(be32(media, off + 28)).as("ts"),
+              when(ver === 0, be32(media, off + 24))
+                .otherwise(be32(media, off + 32) * 4294967296L +
+                  be32(media, off + 36)).as("dur"),
+              st.getField("w").as("w"), st.getField("h").as("h")))
+          .when(typ === "7472616B", // "trak": step INTO the container
+            struct((off + 8L).as("off"), st.getField("ts").as("ts"),
+              st.getField("dur").as("dur"), st.getField("w").as("w"),
+              st.getField("h").as("h")))
+          .when(typ === "746B6864" && st.getField("w").isNull && tw > 0L,
+            struct((off + size).as("off"), st.getField("ts").as("ts"),
+              st.getField("dur").as("dur"), tw.as("w"), th.as("h")))
+          .otherwise(keep)
+      })
+    when(isMp4, struct(lit("mp4").as("format"),
+        inner.getField("w").as("width"), inner.getField("h").as("height"),
+        inner.getField("ts").as("timescale"),
+        inner.getField("dur").as("duration")))
+      .otherwise(struct(lit("unknown").as("format"), nullL.as("width"),
+        nullL.as("height"), nullL.as("timescale"), nullL.as("duration")))
+  }
+
+  /** Synthesize a VALID MP4 header for the given track dimensions and
+    * movie duration — the encode half of the [[videoMeta]] round trip.
+    * `variant` selects the box version layout: "v0" (32-bit mvhd/tkhd
+    * times) or "v1" (64-bit). The layout deliberately exercises every
+    * walk feature: a `free` box before `moov` (top-level skip), an
+    * AUDIO trak FIRST whose tkhd has zero dims (the video-track
+    * selection must skip it), and a stub `mdia` child after the video
+    * tkhd (sibling skip inside a trak). Byte assembly is unhex over
+    * hex strings, as [[fakeMediaHeader]]. */
+  def fakeMp4Header(variant: Column, width: Column, height: Column,
+                    timescale: Column, duration: Column): Column = {
+    def beHex16(v: Column): Column = lpad(hex(v), 4, "0")
+    def beHex32(v: Column): Column = lpad(hex(v), 8, "0")
+    val v1 = variant === "v1"
+    // tkhd payload: version+flags, times (v0: c4 m4 id4 res4 d4; v1:
+    // c8 m8 id4 res4 d8), reserved 8, layer/alt/volume/reserved 8,
+    // matrix 36, width 4 (16.16), height 4
+    def tkhd(w: Column, h: Column): Column = concat(
+      when(v1, beHex32(lit(104))).otherwise(beHex32(lit(92))),
+      lit("746B6864"),
+      when(v1, lit("01000000" + "00" * 32)).otherwise(lit("00000000" + "00" * 20)),
+      lit("00" * 8), lit("00" * 8), lit("00" * 36),
+      beHex16(w), lit("0000"), beHex16(h), lit("0000"))
+    val trakA = concat(beHex32(when(v1, lit(112)).otherwise(lit(100))),
+      lit("7472616B"), tkhd(lit(0), lit(0)))
+    // video trak: tkhd + an 8-byte stub mdia child the walk skips
+    val trakV = concat(beHex32(when(v1, lit(120)).otherwise(lit(108))),
+      lit("7472616B"), tkhd(width, height), beHex32(lit(8)), lit("6D646961"))
+    val mvhd = concat(
+      when(v1, beHex32(lit(120))).otherwise(beHex32(lit(108))),
+      lit("6D766864"),
+      when(v1, concat(lit("01000000"), lit("00" * 16),
+          beHex32(timescale), lit("00000000"), beHex32(duration)))
+        .otherwise(concat(lit("00000000"), lit("00" * 8),
+          beHex32(timescale), beHex32(duration))),
+      lit("00010000"), lit("01000000"), lit("00" * 8), lit("00" * 36),
+      lit("00" * 24), lit("00000002"))
+    val moovSize = when(v1, lit(8 + 120 + 112 + 120))
+      .otherwise(lit(8 + 108 + 100 + 108))
+    unhex(concat(
+      beHex32(lit(16)), lit("66747970"), lit("69736F6D"), lit("00000200"),
+      beHex32(lit(8)), lit("66726565"),              // "free" box to skip
+      beHex32(moovSize), lit("6D6F6F76"), mvhd, trakA, trakV))
+  }
+
+  /** REAL audio metadata decode for MP3 (MPEG-1/2/2.5 Layer III
+    * elementary streams) — no walk needed: an optional ID3v2 tag is
+    * skipped via its SYNCSAFE 28-bit size (4 bytes of 7 bits each,
+    * the tag's one quirk), then the first frame header's 4 bytes are
+    * pure bit arithmetic: version and layer indices, bitrate from the
+    * per-version Layer III table, sample rate from the per-version
+    * table, channel count from the mode field (mono = mode 3). Free
+    * (0) and bad (15) bitrate indices and the reserved sample-rate
+    * index null out rather than guess; non-Layer-III streams report
+    * version/layer/rate/channels but null bitrate (the tables differ
+    * per layer and this decoder is the MP3 one). Returns
+    * struct(format, mpeg_version, layer, bitrate_kbps, sample_rate_hz,
+    * channels); input with neither an ID3 tag nor a leading frame
+    * sync yields ("unknown", nulls). */
+  def mp3Meta(media: Column): Column = {
+    val hasId3 = hex(substring(media, 1, 3)) === "494433"
+    // syncsafe uint28 at bytes 7-10: 7 data bits per byte
+    val tagSize = byteAt(media, lit(7)).bitwiseAND(lit(0x7F)) * 2097152L +
+      byteAt(media, lit(8)).bitwiseAND(lit(0x7F)) * 16384L +
+      byteAt(media, lit(9)).bitwiseAND(lit(0x7F)) * 128L +
+      byteAt(media, lit(10)).bitwiseAND(lit(0x7F))
+    val off = when(hasId3, least(tagSize + 11L, lit(Int.MaxValue.toLong - 8L)))
+      .otherwise(lit(1L))
+    val b1 = byteAt(media, off)
+    val b2 = byteAt(media, off + 1)
+    val b3 = byteAt(media, off + 2)
+    val b4 = byteAt(media, off + 3)
+    val sync = b1 === 255 && shiftright(b2, 5) === 7
+    val vb = shiftright(b2, 3).bitwiseAND(lit(3))   // 0=2.5 2=2 3=1
+    val lb = shiftright(b2, 1).bitwiseAND(lit(3))   // 1=III 2=II 3=I
+    val version = when(vb === 3, "1").when(vb === 2, "2")
+      .when(vb === 0, "2.5").otherwise(lit(null).cast("string"))
+    val layer = when(lb === 0, lit(null).cast("int")).otherwise(lit(4) - lb)
+    val brIdx = shiftright(b3, 4)
+    val srIdx = shiftright(b3, 2).bitwiseAND(lit(3))
+    // Layer III bitrate tables (kbps); index 0 = free, 15 = bad
+    def pick(idx: Column, vals: Seq[Int]): Column =
+      vals.zipWithIndex.tail.foldLeft(lit(null).cast("int")) {
+        case (acc, (v, i)) => when(idx === i, v).otherwise(acc)
+      }
+    val bitrate = when(lb =!= 1, lit(null).cast("int"))
+      .when(vb === 3, pick(brIdx,
+        Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)))
+      .otherwise(pick(brIdx,
+        Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))
+    val rate = when(vb === 3, pick(srIdx + 1, Seq(0, 44100, 48000, 32000)))
+      .when(vb === 2, pick(srIdx + 1, Seq(0, 22050, 24000, 16000)))
+      .when(vb === 0, pick(srIdx + 1, Seq(0, 11025, 12000, 8000)))
+    val channels = when(shiftright(b4, 6) === 3, 1).otherwise(lit(2))
+    val ok = sync && vb =!= 1
+    when(ok, struct(lit("mp3").as("format"), version.as("mpeg_version"),
+        layer.as("layer"), bitrate.as("bitrate_kbps"),
+        rate.cast("long").as("sample_rate_hz"), channels.as("channels")))
+      .otherwise(struct(lit("unknown").as("format"),
+        lit(null).cast("string").as("mpeg_version"),
+        lit(null).cast("int").as("layer"),
+        lit(null).cast("int").as("bitrate_kbps"),
+        lit(null).cast("long").as("sample_rate_hz"),
+        lit(null).cast("int").as("channels")))
+  }
+
+  /** Synthesize a VALID MP3 stream head — the encode half of the
+    * [[mp3Meta]] round trip: an ID3v2.3 tag of `id3Pad` zero bytes
+    * (its size field syncsafe-encoded, so pads >= 128 exercise the
+    * 7-bit carry) followed by one Layer III frame header with the
+    * given MPEG version ("1" / "2" / "2.5"), bitrate index (1-14),
+    * sample-rate index (0-2), and channel mode. */
+  def fakeMp3Header(version: Column, bitrateIdx: Column, rateIdx: Column,
+                    mono: Column, id3Pad: Column): Column = {
+    def hx2(v: Column): Column = lpad(hex(v), 2, "0")
+    val ssz = concat(
+      hx2(shiftright(id3Pad, 21).bitwiseAND(lit(0x7F))),
+      hx2(shiftright(id3Pad, 14).bitwiseAND(lit(0x7F))),
+      hx2(shiftright(id3Pad, 7).bitwiseAND(lit(0x7F))),
+      hx2(id3Pad.bitwiseAND(lit(0x7F))))
+    val vb = when(version === "1", 3).when(version === "2", 2).otherwise(lit(0))
+    val b2 = lit(0xE0) + vb * 8 + lit(2) + lit(1)   // sync tail|ver|III|no-crc
+    val b3 = bitrateIdx * 16 + rateIdx * 4
+    val b4 = when(mono === 1, lit(0xC0)).otherwise(lit(0x00))
+    unhex(concat(
+      lit("494433"), lit("0300"), lit("00"), ssz, repeat(lit("00"), id3Pad),
+      lit("FF"), hx2(b2), hx2(b3), hx2(b4)))
   }
 
   /** Frame sampling for video-like blobs: n equal-spaced byte windows as

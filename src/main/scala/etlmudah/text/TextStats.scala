@@ -1087,6 +1087,69 @@ object TextStats {
       .orderBy(col(sliceCol))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring — the SMOOTHED upgrade of
+    * [[bigramScore]] and the standard LM-quality formulation (Kneser &
+    * Ney 1995; Chen & Goodman 1999's interpolated variant with a fixed
+    * absolute discount D):
+    *
+    *   P(cur|prev) = (c(prev,cur) - D) / c(prev)
+    *               + (D * N1+(prev,·) / c(prev)) * P_cont(cur)
+    *   P_cont(cur) = N1+(·,cur) / |distinct bigrams|
+    *
+    * Unlike the MLE score, rare continuations are discounted toward
+    * how PROMISCUOUS the word is (how many contexts it follows), the
+    * property that makes KN the production choice — "Francisco" is
+    * frequent but follows only "San", so templated text can't hide
+    * behind raw frequency. Self-scored (model trained on the corpus
+    * being scored), every bigram has c >= 1 > D, so P > 0 with no
+    * backoff path needed and the math stays exactly reproducible in
+    * SQL: every term is a fixed arithmetic expression over exact
+    * integer counts.
+    *
+    * Shape is [[bigramScore]] plus two Heaps'-bounded broadcast
+    * frames: the context table gains a distinct-continuation count
+    * (same aggregate, no extra scan), the continuation table is one
+    * more vocabulary-sized aggregate of `big`, and the distinct-bigram
+    * total is a 1-row broadcast. */
+  def knBigramScore(df: DataFrame, textCol: String, idCol: String,
+                    sliceCol: String, discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("__pos"))
+    val trans = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), col(sliceCol).as("__slice"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__cur")))
+      .withColumn("__prev", lag(col("__cur"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    val tf = trans.groupBy(col("id"), col("__prev"), col("__cur")).agg(
+      first(col("__slice")).as("__slice"), count(lit(1)).as("__m"))
+    val big = tf.groupBy(col("__prev"), col("__cur"))
+      .agg(sum(col("__m")).as("__c2"))
+    val ctx = big.groupBy(col("__prev"))
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = big.groupBy(col("__cur")).agg(count(lit(1)).as("__n1b"))
+    val totals = big.agg(count(lit(1)).as("__B"))
+    // parenthesization is part of the cross-engine contract: the
+    // oracle writes the identical association so both engines run the
+    // same float expression tree over the same exact-integer counts
+    val p = (col("__c2") - lit(discount)) / col("__c1") +
+      (lit(discount) * col("__n1f") / col("__c1")) *
+        (col("__n1b") / col("__B"))
+    val perDoc = tf
+      .join(broadcast(big), Seq("__prev", "__cur"))
+      .join(broadcast(ctx), Seq("__prev"))
+      .join(broadcast(cont), Seq("__cur"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id")).agg(
+        first(col("__slice")).as("__slice"),
+        round(sum(col("__m") * log(p)) / sum(col("__m")), 6).as("doc_lp"))
+    perDoc.groupBy(col("__slice").as(sliceCol)).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("doc_lp")), 4).as("avg_logprob"),
+        round(min(col("doc_lp")), 6).as("min_logprob"),
+        round(max(col("doc_lp")), 6).as("max_logprob"))
+      .orderBy(col(sliceCol))
+  }
+
   /** Pairwise Jensen-Shannon divergence (in bits) between the unigram
     * token distributions of corpus groups — the DISTRIBUTIONAL
     * complement of the set-overlap matrix (`Dedup.sourceOverlap`): two

@@ -1070,6 +1070,14 @@ object SparkEntry {
       TextStats.bigramScore(Tables.documents(s, dir), "text", "doc_id",
         sliceCol = "source")),
 
+    // interpolated Kneser-Ney bigram scoring per source — q106 with
+    // the production smoothing: absolute discount 0.75 + continuation
+    // probability (how many contexts a word follows), the formulation
+    // real perplexity filters run
+    "q188_kneser_ney_logprob" -> ((s, dir) =>
+      TextStats.knBigramScore(Tables.documents(s, dir), "text", "doc_id",
+        sliceCol = "source")),
+
     // hourly volume anomalies per event type: z-score vs the trailing
     // 24-hour baseline (the ingestion spike/outage monitor)
     "q107_hourly_anomaly" -> ((s, dir) =>
@@ -1199,6 +1207,76 @@ object SparkEntry {
           minShared = 2L, maxDf = 50L)
         .select(col("id").as("doc_id"), col("ref_id"), col("shared"))
         .orderBy(col("doc_id"), col("ref_id"))
+    }),
+
+    // BMP/TIFF header ROUND TRIP — closes the raster-header set:
+    // per doc the builder cycles modern BMP (signed LE32 dims) /
+    // legacy BITMAPCOREHEADER (LE16) / little-endian TIFF (IFD walk,
+    // SHORT values) / big-endian TIFF (SHORT + LONG values); the
+    // oracle computes expected dims directly, so a green row proves
+    // both DIB layouts and both TIFF byte orders decode exactly
+    "q185_bmp_tiff_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val variant = element_at(array(lit("bmp"), lit("bmpcore"),
+        lit("tiffii"), lit("tiffmm")), (col("doc_id") % 4 + 1).cast("int"))
+      val w = (col("doc_id") % 512 + 16).cast("int")
+      val h = ((col("doc_id") * 11) % 512 + 16).cast("int")
+      // blob materialized as its own projection first (the q163 lesson)
+      docs.select(col("doc_id"),
+          Multimodal.fakeMediaHeader(variant, w, h).as("blob"))
+        .select(col("doc_id"), Multimodal.mediaMeta(col("blob")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").cast("bigint").as("width"),
+          col("m.height").cast("bigint").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MP4 (ISO-BMFF) video header ROUND TRIP — the video leg of the
+    // media-metadata set: a valid MP4 head (ftyp + free + moov with
+    // mvhd, an audio trak the track selection must SKIP, and the video
+    // trak with a trailing stub child) is synthesized per doc cycling
+    // the v0/v1 box layouts, parsed back by the two bounded box walks
+    // (Multimodal.videoMeta), and duration_ms derives integer-exactly
+    "q186_video_meta_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val variant = element_at(array(lit("v0"), lit("v1")),
+        (col("doc_id") % 2 + 1).cast("int"))
+      val w = (col("doc_id") % 512 + 16).cast("int")
+      val h = ((col("doc_id") * 7) % 512 + 16).cast("int")
+      val dur = (col("doc_id") * 13 + 600).cast("long")
+      // blob materialized as its own projection first (the q163 lesson)
+      docs.select(col("doc_id"),
+          Multimodal.fakeMp4Header(variant, w, h, lit(600), dur).as("blob"))
+        .select(col("doc_id"), Multimodal.videoMeta(col("blob")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          expr("m.duration * 1000 div m.timescale").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MP3 audio header ROUND TRIP — the compressed-audio sibling of
+    // q163: an ID3v2-tagged Layer III stream head is synthesized per
+    // doc (pad sizes cross the 128-byte syncsafe carry; version,
+    // bitrate index, sample-rate index, and channel mode all cycle
+    // independently), parsed back by pure bit arithmetic
+    "q187_mp3_meta_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ver = element_at(array(lit("1"), lit("2"), lit("2.5")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val br = (col("doc_id") % 14 + 1).cast("int")
+      val sr = floor((col("doc_id") % 9) / 3).cast("int")
+      val mono = (col("doc_id") % 2).cast("int")
+      val pad = ((col("doc_id") * 37) % 300).cast("int")
+      docs.select(col("doc_id"),
+          Multimodal.fakeMp3Header(ver, br, sr, mono, pad).as("blob"))
+        .select(col("doc_id"), Multimodal.mp3Meta(col("blob")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.mpeg_version").as("mpeg_version"),
+          col("m.layer").cast("bigint").as("layer"),
+          col("m.bitrate_kbps").cast("bigint").as("bitrate_kbps"),
+          col("m.sample_rate_hz").as("sample_rate_hz"),
+          col("m.channels").cast("bigint").as("channels"))
+        .orderBy(col("doc_id"))
     }),
 
     // WebP header ROUND TRIP — q155 for the fourth dominant web
@@ -3517,6 +3595,49 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_id, ref_id""".stripMargin),
 
+    // BMP/TIFF round trip: every variant decodes to the synthesized
+    // dimensions; format name derives from the variant cycle
+    "q185_bmp_tiff_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 IN (0, 1) THEN 'bmp' ELSE 'tiff' END AS format,
+        |  (doc_id % 512 + 16)::BIGINT AS width,
+        |  ((doc_id * 11) % 512 + 16)::BIGINT AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // MP4 round trip: both box-version layouts decode to the
+    // synthesized track dims and movie duration; the oracle recomputes
+    // them from doc_id, duration_ms via DuckDB integer division
+    "q186_video_meta_roundtrip" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  (doc_id % 512 + 16)::BIGINT AS width,
+        |  ((doc_id * 7) % 512 + 16)::BIGINT AS height,
+        |  ((doc_id * 13 + 600) * 1000) // 600 AS duration_ms
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // MP3 round trip: the oracle carries the Layer III bitrate and
+    // sample-rate tables as list literals — a green row proves the
+    // bit-field extraction and both per-version tables are exact
+    "q187_mp3_meta_roundtrip" ->
+      """SELECT doc_id, 'mp3' AS format,
+        |  CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END
+        |    AS mpeg_version,
+        |  3::BIGINT AS layer,
+        |  (CASE WHEN doc_id % 3 = 0 THEN list_extract(
+        |      [32,40,48,56,64,80,96,112,128,160,192,224,256,320], doc_id % 14 + 1)
+        |    ELSE list_extract(
+        |      [8,16,24,32,40,48,56,64,80,96,112,128,144,160], doc_id % 14 + 1)
+        |  END)::BIGINT AS bitrate_kbps,
+        |  (CASE doc_id % 3
+        |    WHEN 0 THEN list_extract([44100,48000,32000], (doc_id % 9) // 3 + 1)
+        |    WHEN 1 THEN list_extract([22050,24000,16000], (doc_id % 9) // 3 + 1)
+        |    ELSE list_extract([11025,12000,8000], (doc_id % 9) // 3 + 1)
+        |  END)::BIGINT AS sample_rate_hz,
+        |  (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END)::BIGINT AS channels
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // WebP round trip: every variant decodes to the same synthesized
     // dimensions, so the oracle computes them directly from doc_id —
     // a green row proves all three variant bit layouts are exact
@@ -3776,6 +3897,40 @@ object SparkEntry {
         |doc AS (SELECT doc_id, source,
         |    round(sum(m * (ln(c2) - ln(c1))) / sum(m), 6) AS doc_lp
         |  FROM tf JOIN big USING (prev, cur) JOIN ctx USING (prev)
+        |  GROUP BY doc_id, source)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | round(avg(doc_lp), 4) AS avg_logprob,
+        | round(min(doc_lp), 6) AS min_logprob,
+        | round(max(doc_lp), 6) AS max_logprob
+        |FROM doc GROUP BY source ORDER BY source""".stripMargin,
+
+    // Kneser-Ney: same CTE ladder as q106 plus the continuation
+    // counts; the P expression is parenthesized IDENTICALLY to the
+    // Spark side so both engines run the same float tree over the
+    // same exact-integer counts
+    "q188_kneser_ney_logprob" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |bg AS (SELECT a.doc_id, a.source, a.t AS prev, b.t AS cur
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |tf AS (SELECT doc_id, source, prev, cur, count(*)::BIGINT AS m
+        |  FROM bg GROUP BY doc_id, source, prev, cur),
+        |big AS (SELECT prev, cur, sum(m)::BIGINT AS c2
+        |  FROM tf GROUP BY prev, cur),
+        |ctx AS (SELECT prev, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1f
+        |  FROM big GROUP BY prev),
+        |cont AS (SELECT cur, count(*)::BIGINT AS n1b FROM big GROUP BY cur),
+        |tot AS (SELECT count(*)::BIGINT AS b FROM big),
+        |doc AS (SELECT doc_id, source,
+        |    round(sum(m * ln((c2 - 0.75) / c1
+        |      + ((0.75 * n1f) / c1) * (CAST(n1b AS DOUBLE) / b)))
+        |      / sum(m), 6) AS doc_lp
+        |  FROM tf JOIN big USING (prev, cur) JOIN ctx USING (prev)
+        |    JOIN cont USING (cur) CROSS JOIN tot
         |  GROUP BY doc_id, source)
         |SELECT source, count(*)::BIGINT AS n_docs,
         | round(avg(doc_lp), 4) AS avg_logprob,

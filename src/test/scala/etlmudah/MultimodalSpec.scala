@@ -98,6 +98,72 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mediaMeta: hand-crafted BMP/TIFF headers decode; hostile IFD offsets stay null-safe") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val fixtures = Seq(
+      // BMP BITMAPINFOHEADER 640x480: LE32 dims at 19/23
+      ("bmp_info", hx("424D" + "36000000" + "00000000" + "36000000" +
+        "28000000" + "80020000" + "E0010000" + "0100" + "1800")),
+      // BMP top-down: height = -480 (signed LE32) -> magnitude emitted
+      ("bmp_topdown", hx("424D" + "36000000" + "00000000" + "36000000" +
+        "28000000" + "80020000" + "20FEFFFF" + "0100" + "1800")),
+      // BMP legacy BITMAPCOREHEADER 320x200: LE16 dims
+      ("bmp_core", hx("424D" + "1A000000" + "00000000" + "1A000000" +
+        "0C000000" + "4001" + "C800" + "0100" + "1800")),
+      // TIFF little-endian, IFD at 8, leading Compression entry the
+      // walk must skip, then SHORT width 800 / SHORT height 600
+      ("tiff_ii", hx("49492A00" + "08000000" + "0300" +
+        "0301" + "0300" + "01000000" + "0100" + "0000" +
+        "0001" + "0300" + "01000000" + "2003" + "0000" +
+        "0101" + "0300" + "01000000" + "5802" + "0000" +
+        "00000000")),
+      // TIFF big-endian: SHORT width 17, LONG height 70000 (> uint16,
+      // exercises the type-4 full-field read)
+      ("tiff_mm", hx("4D4D002A" + "00000008" + "0003" +
+        "0103" + "0003" + "00000001" + "0001" + "0000" +
+        "0100" + "0003" + "00000001" + "0011" + "0000" +
+        "0101" + "0004" + "00000001" + "00011170" +
+        "00000000")),
+      // hostile TIFF: IFD offset near uint32-max must terminate before
+      // any byte read (the ANSI int-cast hazard), not throw
+      ("tiff_hostile", hx("49492A00" + "FFFFFFFF")),
+      // truncated TIFF: header only, no IFD bytes at the offset
+      ("tiff_trunc", hx("4D4D002A" + "00000008")))
+    val out = fixtures.toDF("id", "media")
+      .select(col("id"), Multimodal.mediaMeta(col("media")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("bmp_info") == (("bmp", Some(640L), Some(480L))))
+    assert(out("bmp_topdown") == (("bmp", Some(640L), Some(480L))))
+    assert(out("bmp_core") == (("bmp", Some(320L), Some(200L))))
+    assert(out("tiff_ii") == (("tiff", Some(800L), Some(600L))))
+    assert(out("tiff_mm") == (("tiff", Some(17L), Some(70000L))))
+    assert(out("tiff_hostile")._1 == "tiff" && out("tiff_hostile")._2.isEmpty)
+    assert(out("tiff_trunc")._1 == "tiff" && out("tiff_trunc")._2.isEmpty)
+  }
+
+  test("fakeMediaHeader -> mediaMeta round trip for BMP and TIFF variants") {
+    import spark.implicits._
+    val dims = for (f <- Seq("bmp", "bmpcore", "tiffii", "tiffmm");
+                    d <- Seq(16, 527, 65535)) yield (f, d, 65551 - d)
+    val out = dims.toDF("fmt", "w", "h")
+      .select(col("fmt"), col("w"), col("h"),
+        Multimodal.mediaMeta(
+          Multimodal.fakeMediaHeader(col("fmt"), col("w"), col("h"))).as("m"))
+      .collect()
+    out.foreach { r =>
+      val (fmt, w, h) = (r.getString(0), r.getInt(1), r.getInt(2))
+      val m = r.getStruct(3)
+      val wantFmt = if (fmt.startsWith("bmp")) "bmp" else "tiff"
+      assert(m.getString(0) == wantFmt, s"$fmt $w x $h -> ${m.getString(0)}")
+      assert(m.getLong(1) == w.toLong && m.getLong(2) == h.toLong,
+        s"$fmt $w x $h -> ${m.getLong(1)} x ${m.getLong(2)}")
+    }
+  }
+
   test("mediaMeta: hand-crafted WebP headers decode across all three variants; corrupt stays null-safe") {
     import spark.implicits._
     def hx(s: String): Array[Byte] =
@@ -148,6 +214,117 @@ class MultimodalSpec extends SparkSpec {
       assert(m.getLong(1) == w.toLong && m.getLong(2) == h.toLong,
         s"$v $w x $h -> ${m.getLong(1)} x ${m.getLong(2)}")
     }
+  }
+
+  test("fakeMp4Header -> videoMeta round trip: both box versions, audio trak skipped") {
+    import spark.implicits._
+    val grid = for (v <- Seq("v0", "v1"); d <- Seq(16, 640, 3840))
+      yield (v, d, 4096 - d, 600 + d, 90000L * d)
+    val out = grid.toDF("v", "w", "h", "ts", "dur")
+      .select(col("v"), col("w"), col("h"), col("ts"), col("dur"),
+        Multimodal.videoMeta(Multimodal.fakeMp4Header(
+          col("v"), col("w"), col("h"), col("ts"), col("dur"))).as("m"))
+      .collect()
+    out.foreach { r =>
+      val (v, w, h, ts, dur) =
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+      val m = r.getStruct(5)
+      assert(m.getString(0) == "mp4", s"$v -> ${m.getString(0)}")
+      assert(m.getLong(1) == w.toLong && m.getLong(2) == h.toLong,
+        s"$v $w x $h -> ${m.getLong(1)} x ${m.getLong(2)}")
+      assert(m.getLong(3) == ts.toLong && m.getLong(4) == dur,
+        s"$v ts=$ts dur=$dur -> ${m.getLong(3)} / ${m.getLong(4)}")
+    }
+  }
+
+  test("videoMeta: hostile/corrupt MP4 boxes stay null-safe") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
+    val fixtures = Seq(
+      // hostile top-level size near uint32-max: walk must stop pre-read
+      ("huge_box", hx(ftyp + "FFFFFFFF" + "6D646174")),
+      // cyclic zero-size box: size < 8 stops the walk
+      ("zero_box", hx(ftyp + "00000000" + "6D646174")),
+      // moov declared but truncated before any child
+      ("trunc_moov", hx(ftyp + "00000100" + "6D6F6F76")),
+      // largesize mdat (size==1 + 64-bit size) then truncated: the
+      // 16-byte header path must advance, not misparse
+      ("largesize", hx(ftyp + "00000001" + "6D646174" + "0000000000000018")),
+      // not an mp4 at all
+      ("not_mp4", hx("0011223344556677")))
+    val out = fixtures.toDF("id", "media")
+      .select(col("id"), Multimodal.videoMeta(col("media")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.timescale"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("huge_box") == (("mp4", None, None)))
+    assert(out("zero_box") == (("mp4", None, None)))
+    assert(out("trunc_moov") == (("mp4", None, None)))
+    assert(out("largesize") == (("mp4", None, None)))
+    assert(out("not_mp4") == (("unknown", None, None)))
+  }
+
+  test("fakeMp3Header -> mp3Meta round trip: versions, bitrate/rate tables, syncsafe ID3 skip") {
+    import spark.implicits._
+    val v1Br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val v2Br = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    val rates = Map("1" -> Array(44100L, 48000L, 32000L),
+      "2" -> Array(22050L, 24000L, 16000L), "2.5" -> Array(11025L, 12000L, 8000L))
+    // id3 pads 0 / 127 / 200 exercise the syncsafe 7-bit carry at 128
+    val grid = for (v <- Seq("1", "2", "2.5"); br <- Seq(1, 9, 14);
+                    sr <- Seq(0, 1, 2); mono <- Seq(0, 1);
+                    pad <- Seq(0, 127, 200)) yield (v, br, sr, mono, pad)
+    val out = grid.toDF("v", "br", "sr", "mono", "pad")
+      .select(col("*"), Multimodal.mp3Meta(Multimodal.fakeMp3Header(
+        col("v"), col("br"), col("sr"), col("mono"), col("pad"))).as("m"))
+      .collect()
+    out.foreach { r =>
+      val (v, br, sr, mono) =
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      val m = r.getStruct(5)
+      assert(m.getString(0) == "mp3" && m.getString(1) == v && m.getInt(2) == 3,
+        s"$v/$br/$sr -> ${m.mkString(",")}")
+      val wantBr = if (v == "1") v1Br(br) else v2Br(br)
+      assert(m.getInt(3) == wantBr && m.getLong(4) == rates(v)(sr),
+        s"$v/$br/$sr -> ${m.mkString(",")}")
+      assert(m.getInt(5) == (if (mono == 1) 1 else 2))
+    }
+  }
+
+  test("mp3Meta: bare frame sync, free/bad bitrates, hostile ID3 size stay null-safe") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val fixtures = Seq(
+      // no ID3 tag: frame header at byte 1 (MPEG1 III 128kbps 44.1 stereo)
+      ("bare", hx("FFFB9000")),
+      // free-format bitrate (index 0) nulls bitrate, rest decodes
+      ("free_br", hx("FFFB0000")),
+      // bad bitrate index (15) nulls bitrate
+      ("bad_br", hx("FFFBF000")),
+      // reserved sample-rate index (3) nulls rate
+      ("bad_sr", hx("FFFB9C00")),
+      // Layer II stream: bitrate null (III tables only), rate decodes
+      ("layer2", hx("FFFD9000")),
+      // ID3 tag whose syncsafe size points far past the blob
+      ("id3_huge", hx("494433030000" + "7F7F7F7F" + "00")),
+      ("garbage", hx("0102030405060708")))
+    val out = fixtures.toDF("id", "media")
+      .select(col("id"), Multimodal.mp3Meta(col("media")).as("m"))
+      .collect().map { r =>
+        val m = r.getStruct(1)
+        r.getString(0) -> (m.getString(0), Option(m.get(1)), Option(m.get(2)),
+          Option(m.get(3)), Option(m.get(4)))
+      }.toMap
+    assert(out("bare") == (("mp3", Some("1"), Some(3), Some(128), Some(44100L))))
+    assert(out("free_br") == (("mp3", Some("1"), Some(3), None, Some(44100L))))
+    assert(out("bad_br") == (("mp3", Some("1"), Some(3), None, Some(44100L))))
+    assert(out("bad_sr") == (("mp3", Some("1"), Some(3), Some(128), None)))
+    assert(out("layer2") == (("mp3", Some("1"), Some(2), None, Some(44100L))))
+    assert(out("id3_huge")._1 == "unknown")
+    assert(out("garbage")._1 == "unknown")
   }
 
   test("audioMeta: hand-crafted WAV chunk layouts decode; corrupt stays null-safe") {

@@ -472,6 +472,46 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(perDoc("s2") - 2.0 * math.log(1.0 / 6.0) / 5.0) < 1e-3)
   }
 
+  test("knBigramScore: interpolated Kneser-Ney matches a serial replay on a hand corpus") {
+    import spark.implicits._
+    val texts = Seq((1L, "a b a b c", "s1"), (2L, "b c a c c b", "s2"),
+      (3L, "a b c a b", "s1"))
+    val docs = texts.toDF("doc_id", "text", "source")
+    // serial replay of the exact formula over the same tokenization
+    val allBg = texts.flatMap { case (id, t, src) =>
+      val tok = t.trim.split("\\s+").toSeq
+      tok.zip(tok.tail).map(bg => (id, src, bg))
+    }
+    val c2 = allBg.groupBy(_._3).map { case (bg, xs) => bg -> xs.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (p, xs) => p -> xs.values.sum }
+    val n1f = c2.groupBy(_._1._1).map { case (p, xs) => p -> xs.size.toLong }
+    val n1b = c2.groupBy(_._1._2).map { case (c, xs) => c -> xs.size.toLong }
+    val bTot = c2.size.toLong
+    val want = allBg.groupBy(x => (x._1, x._2)).map { case ((id, src), xs) =>
+      val lp = xs.map { case (_, _, bg) =>
+        val p = (c2(bg) - 0.75) / c1(bg._1) +
+          (0.75 * n1f(bg._1) / c1(bg._1)) * (n1b(bg._2).toDouble / bTot)
+        math.log(p)
+      }.sum / xs.size
+      (id, src, math.rint(lp * 1e6) / 1e6)
+    }
+    val wantBySrc = want.groupBy(_._2).map { case (src, xs) =>
+      src -> (xs.size.toLong, xs.map(_._3).sum / xs.size,
+        xs.map(_._3).min, xs.map(_._3).max)
+    }
+    val got = knBigramScore(docs, "text", "doc_id", "source").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val (n, avg, mn, mx) = wantBySrc(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - math.rint(avg * 1e4) / 1e4) < 1e-9)
+      assert(math.abs(r.getDouble(3) - mn) < 1e-9)
+      assert(math.abs(r.getDouble(4) - mx) < 1e-9)
+    }
+    // smoothing sanity: every probability < 1, so scores are negative
+    got.foreach(r => assert(r.getDouble(2) < 0.0))
+  }
+
   test("lexicalDivergence: 0 for identical, 1 bit for disjoint, textbook value for P=[1,0] vs Q=[.5,.5]") {
     import spark.implicits._
     val docs = Seq(
