@@ -1112,7 +1112,22 @@ object TextStats {
     * more vocabulary-sized aggregate of `big`, and the distinct-bigram
     * total is a 1-row broadcast. */
   def knBigramScore(df: DataFrame, textCol: String, idCol: String,
-                    sliceCol: String, discount: Double = 0.75): DataFrame = {
+                    sliceCol: String, discount: Double = 0.75): DataFrame =
+    knDocScores(df, textCol, idCol, sliceCol, discount)
+      .groupBy(col("__slice").as(sliceCol)).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("doc_lp")), 4).as("avg_logprob"),
+        round(min(col("doc_lp")), 6).as("min_logprob"),
+        round(max(col("doc_lp")), 6).as("max_logprob"))
+      .orderBy(col(sliceCol))
+
+  /** Per-document interpolated-KN log-probabilities — the shared core
+    * of [[knBigramScore]] and [[knPerplexityBuckets]]: returns
+    * (id, __slice, doc_lp) with doc_lp rounded at 6dp, which makes
+    * the SCORE itself the cross-engine contract (anything ordering or
+    * aggregating on it downstream sees identical values in SQL). */
+  private def knDocScores(df: DataFrame, textCol: String, idCol: String,
+                          sliceCol: String, discount: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("__pos"))
     val trans = df.repartition(col(idCol))
@@ -1134,20 +1149,46 @@ object TextStats {
     val p = (col("__c2") - lit(discount)) / col("__c1") +
       (lit(discount) * col("__n1f") / col("__c1")) *
         (col("__n1b") / col("__B"))
-    val perDoc = tf
-      .join(broadcast(big), Seq("__prev", "__cur"))
+    tf.join(broadcast(big), Seq("__prev", "__cur"))
       .join(broadcast(ctx), Seq("__prev"))
       .join(broadcast(cont), Seq("__cur"))
       .crossJoin(broadcast(totals))
       .groupBy(col("id")).agg(
         first(col("__slice")).as("__slice"),
         round(sum(col("__m") * log(p)) / sum(col("__m")), 6).as("doc_lp"))
-    perDoc.groupBy(col("__slice").as(sliceCol)).agg(
-        count(lit(1)).as("n_docs"),
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per slice
+    * (CCNet's grain is per language), documents are ranked by their
+    * [[knDocScores]] log-probability and split into `nBuckets` equal
+    * tiles — head / middle / tail for the default 3 — the split real
+    * curation pipelines keep, down-sample, or drop on. Returns per
+    * (slice, bucket) membership stats; join the underlying scores
+    * frame on id to materialize a kept set. Ordering ties (two docs
+    * with the same 6dp score) break by id, so bucket assignment is
+    * deterministic and engine-reproducible.
+    *
+    * Scale shape: [[knDocScores]]' exchanges plus ONE per-slice
+    * window over the doc-level (id, score) frame — document-count
+    * sized, text long gone. The window partitions by slice, so skew
+    * is the largest slice's doc count; at the 100 TB design point
+    * (one dominant language) pair with the rank-based quality-floor
+    * tier (Sampling.qualityCutoff's shape) — same discipline as the
+    * q73/q79 exact-vs-scale decile pair. */
+  def knPerplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                          sliceCol: String, nBuckets: Int = 3,
+                          discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__slice"))
+      .orderBy(col("doc_lp").desc, col("id"))
+    knDocScores(df, textCol, idCol, sliceCol, discount)
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .groupBy(col("__slice").as(sliceCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
         round(avg(col("doc_lp")), 4).as("avg_logprob"),
         round(min(col("doc_lp")), 6).as("min_logprob"),
         round(max(col("doc_lp")), 6).as("max_logprob"))
-      .orderBy(col(sliceCol))
+      .orderBy(col(sliceCol), col("bucket"))
   }
 
   /** Pairwise Jensen-Shannon divergence (in bits) between the unigram

@@ -1078,6 +1078,13 @@ object SparkEntry {
       TextStats.knBigramScore(Tables.documents(s, dir), "text", "doc_id",
         sliceCol = "source")),
 
+    // CCNet-style perplexity buckets per source: rank docs by the KN
+    // score and split into head/middle/tail tiles — the keep/drop
+    // grain real curation pipelines use (Wenzek et al. 2020)
+    "q189_perplexity_buckets" -> ((s, dir) =>
+      TextStats.knPerplexityBuckets(Tables.documents(s, dir), "text",
+        "doc_id", sliceCol = "source")),
+
     // hourly volume anomalies per event type: z-score vs the trailing
     // 24-hour baseline (the ingestion spike/outage monitor)
     "q107_hourly_anomaly" -> ((s, dir) =>
@@ -3937,6 +3944,42 @@ object SparkEntry {
         | round(min(doc_lp), 6) AS min_logprob,
         | round(max(doc_lp), 6) AS max_logprob
         |FROM doc GROUP BY source ORDER BY source""".stripMargin,
+
+    // perplexity buckets: q188's doc CTE + an ntile window; the 6dp
+    // doc_lp round happens BEFORE the ordering and ties break by
+    // doc_id, so bucket assignment is deterministic cross-engine
+    "q189_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |bg AS (SELECT a.doc_id, a.source, a.t AS prev, b.t AS cur
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |tf AS (SELECT doc_id, source, prev, cur, count(*)::BIGINT AS m
+        |  FROM bg GROUP BY doc_id, source, prev, cur),
+        |big AS (SELECT prev, cur, sum(m)::BIGINT AS c2
+        |  FROM tf GROUP BY prev, cur),
+        |ctx AS (SELECT prev, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1f
+        |  FROM big GROUP BY prev),
+        |cont AS (SELECT cur, count(*)::BIGINT AS n1b FROM big GROUP BY cur),
+        |tot AS (SELECT count(*)::BIGINT AS b FROM big),
+        |doc AS (SELECT doc_id, source,
+        |    round(sum(m * ln((c2 - 0.75) / c1
+        |      + ((0.75 * n1f) / c1) * (CAST(n1b AS DOUBLE) / b)))
+        |      / sum(m), 6) AS doc_lp
+        |  FROM tf JOIN big USING (prev, cur) JOIN ctx USING (prev)
+        |    JOIN cont USING (cur) CROSS JOIN tot
+        |  GROUP BY doc_id, source),
+        |bk AS (SELECT source, doc_lp, ntile(3) OVER
+        |    (PARTITION BY source ORDER BY doc_lp DESC, doc_id) AS bucket
+        |  FROM doc)
+        |SELECT source, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+        | round(avg(doc_lp), 4) AS avg_logprob,
+        | round(min(doc_lp), 6) AS min_logprob,
+        | round(max(doc_lp), 6) AS max_logprob
+        |FROM bk GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     // trailing-window z from exact integer window sums (sum x, sum
     // x^2) — the variance expression is ONE fixed double formula in

@@ -512,6 +512,26 @@ class TextStatsSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(2) < 0.0))
   }
 
+  test("knPerplexityBuckets: equal tiles per slice, ordered head to tail, deterministic ties") {
+    import spark.implicits._
+    // 6 docs, one source: buckets of 2; doc 6 repeats doc 5's text so
+    // their scores TIE at 6dp and the id tie-break decides the split
+    val docs = Seq(
+      (1L, "a b a b a b a b", "s"), (2L, "a b c d e f", "s"),
+      (3L, "b a c a d a", "s"), (4L, "c c c b a b", "s"),
+      (5L, "e f a b c d", "s"), (6L, "e f a b c d", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = knPerplexityBuckets(docs, "text", "doc_id", "source").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 2L, 2L))
+    // head bucket's floor >= middle's ceiling >= tail's ceiling
+    val (mins, maxs) = (got.map(_.getDouble(4)), got.map(_.getDouble(5)))
+    assert(mins(0) >= maxs(1) && mins(1) >= maxs(2))
+    // determinism: a second run buckets identically
+    val again = knPerplexityBuckets(docs, "text", "doc_id", "source").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("lexicalDivergence: 0 for identical, 1 bit for disjoint, textbook value for P=[1,0] vs Q=[.5,.5]") {
     import spark.implicits._
     val docs = Seq(

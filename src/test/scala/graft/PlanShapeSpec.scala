@@ -170,9 +170,9 @@ class PlanShapeSpec extends SparkSpec {
       "q167_rank_profile_classify",
       // q169 carries q57's single-row corpus-count broadcast
       "q169_tfidf_cosine_pairs",
-      // q188 carries q106's shape plus the single-row distinct-bigram
-      // total broadcast (the Kneser-Ney normalizer)
-      "q188_kneser_ney_logprob")
+      // q188/q189 carry q106's shape plus the single-row
+      // distinct-bigram total broadcast (the Kneser-Ney normalizer)
+      "q188_kneser_ney_logprob", "q189_perplexity_buckets")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
