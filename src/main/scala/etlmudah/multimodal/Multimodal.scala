@@ -464,20 +464,25 @@ object Multimodal {
 
   /** REAL video metadata decode for MP4 (ISO base media file format,
     * MPEG-4 Part 12) containers — the video sibling of [[mediaMeta]] /
-    * [[audioMeta]], same no-library contract. TWO bounded walks (the
-    * JPEG-marker / RIFF-chunk / TIFF-IFD shape):
+    * [[audioMeta]], same no-library contract: ONE bounded walk (the
+    * JPEG-marker / RIFF-chunk / TIFF-IFD shape) over the box tree
+    * ([size: be32]["4cc" type], 64-bit `largesize` boxes handled).
+    * Container boxes (`moov`, `trak`) are TRANSPARENT — the walk
+    * steps INTO them by their 8-byte header instead of skipping them
+    * — so one flat walk reaches `mvhd` and every track's `tkhd`
+    * without nested recursion. `mvhd` yields timescale + duration
+    * (version 0 and version 1 layouts — v1 carries 64-bit times); the
+    * FIRST `tkhd` with a non-zero width is the video track (audio
+    * tkhd dims are spec'd zero) and yields width/height (16.16 fixed
+    * point; the integer part is emitted).
     *
-    *  1. the TOP-LEVEL box list ([size: be32]["4cc" type], 64-bit
-    *     `largesize` boxes handled) is walked until `moov` is found;
-    *  2. moov's INTERIOR is walked with `trak` containers treated as
-    *     TRANSPARENT — the walk steps INTO a trak by its 8-byte header
-    *     instead of skipping it, so one flat bounded walk sees `mvhd`
-    *     and every track's `tkhd` without nested recursion. `mvhd`
-    *     yields timescale + duration (version 0 and version 1 layouts
-    *     — v1 carries 64-bit times); the FIRST `tkhd` with a non-zero
-    *     width is the video track (audio tkhd dims are spec'd zero)
-    *     and yields width/height (16.16 fixed point; the integer part
-    *     is emitted).
+    * One walk, not a top-level walk feeding a moov-interior walk: a
+    * nested `aggregate` would re-evaluate the WHOLE outer walk every
+    * inner step via the moov-bounds references — higher-order
+    * functions are interpreted, so that composition was measured 50x
+    * slower (the q163 inlining lesson, at expression level). The flat
+    * walk pays one extra skipped box per non-moov top-level sibling
+    * and nothing else.
     *
     * Hostile declared sizes terminate the walk BEFORE any byte read
     * (the audioMeta ANSI lesson): every offset is range-checked
@@ -492,46 +497,20 @@ object Multimodal {
     val isMp4 = hex(substring(media, 5, 4)) === "66747970" // "ftyp"
     val nullL = lit(null).cast("long")
     val mediaLen = length(media).cast("long")
-    def boxSize(off: Column): Column = {
-      val s = be32(media, off)
-      // size == 1: 64-bit largesize in the 8 bytes after the type
-      when(s === 1L,
-        be32(media, off + 8) * 4294967296L + be32(media, off + 12))
-        .otherwise(s)
-    }
-    def boxType(off: Column): Column = hex(substring(media, (off + 4).cast("int"), lit(4)))
-    def offBad(off: Column): Column =
-      off > mediaLen || off > lit(Int.MaxValue.toLong - 32L)
-    // walk 1: top-level boxes; state = (off, moov payload start, moov end)
-    val top = aggregate(
+    val walk = aggregate(
       sequence(lit(1), lit(maxBoxes)),
-      struct(lit(1L).as("off"), nullL.as("ms"), nullL.as("me")),
-      (st, _) => {
-        val off = st.getField("off")
-        val size = boxSize(off)
-        val hdr = when(be32(media, off) === 1L, 16L).otherwise(8L)
-        val done = offBad(off) || st.getField("ms").isNotNull ||
-          size.isNull || size < 8L
-        when(done, st)
-          .when(boxType(off) === "6D6F6F76", // "moov"
-            struct(off.as("off"), (off + hdr).as("ms"), (off + size).as("me")))
-          .otherwise(struct((off + size).as("off"),
-            st.getField("ms").as("ms"), st.getField("me").as("me")))
-      })
-    val moovStart = top.getField("ms")
-    val moovEnd = top.getField("me")
-    // walk 2: moov interior, trak containers transparent; state =
-    // (off, timescale, duration, width, height)
-    val inner = aggregate(
-      sequence(lit(1), lit(maxBoxes)),
-      struct(moovStart.as("off"), nullL.as("ts"), nullL.as("dur"),
+      struct(lit(1L).as("off"), nullL.as("ts"), nullL.as("dur"),
         nullL.as("w"), nullL.as("h")),
       (st, _) => {
         val off = st.getField("off")
-        val size = boxSize(off)
-        val typ = boxType(off)
+        val size0 = be32(media, off)
+        // size == 1: 64-bit largesize in the 8 bytes after the type
+        val size = when(size0 === 1L,
+          be32(media, off + 8) * 4294967296L + be32(media, off + 12))
+          .otherwise(size0)
+        val typ = hex(substring(media, (off + 4).cast("int"), lit(4)))
         val ver = byteAt(media, off + 8)
-        val done = off.isNull || offBad(off) || off >= moovEnd ||
+        val done = off > mediaLen || off > lit(Int.MaxValue.toLong - 32L) ||
           size.isNull || size < 8L ||
           (st.getField("ts").isNotNull && st.getField("w").isNotNull)
         // tkhd: matrix-relative offsets shift by 12 between v0 and v1
@@ -540,10 +519,11 @@ object Multimodal {
           .otherwise(be16(media, off + 96)).cast("long")
         val th = when(ver === 0, be16(media, off + 88))
           .otherwise(be16(media, off + 100)).cast("long")
-        val keep = struct((off + size).as("off"), st.getField("ts").as("ts"),
-          st.getField("dur").as("dur"), st.getField("w").as("w"),
-          st.getField("h").as("h"))
         when(done, st)
+          .when(typ === "6D6F6F76" || typ === "7472616B", // containers: step IN
+            struct((off + 8L).as("off"), st.getField("ts").as("ts"),
+              st.getField("dur").as("dur"), st.getField("w").as("w"),
+              st.getField("h").as("h")))
           .when(typ === "6D766864", // "mvhd": capture timescale + duration
             struct((off + size).as("off"),
               when(ver === 0, be32(media, off + 20))
@@ -552,19 +532,17 @@ object Multimodal {
                 .otherwise(be32(media, off + 32) * 4294967296L +
                   be32(media, off + 36)).as("dur"),
               st.getField("w").as("w"), st.getField("h").as("h")))
-          .when(typ === "7472616B", // "trak": step INTO the container
-            struct((off + 8L).as("off"), st.getField("ts").as("ts"),
-              st.getField("dur").as("dur"), st.getField("w").as("w"),
-              st.getField("h").as("h")))
           .when(typ === "746B6864" && st.getField("w").isNull && tw > 0L,
             struct((off + size).as("off"), st.getField("ts").as("ts"),
               st.getField("dur").as("dur"), tw.as("w"), th.as("h")))
-          .otherwise(keep)
+          .otherwise(struct((off + size).as("off"),
+            st.getField("ts").as("ts"), st.getField("dur").as("dur"),
+            st.getField("w").as("w"), st.getField("h").as("h")))
       })
     when(isMp4, struct(lit("mp4").as("format"),
-        inner.getField("w").as("width"), inner.getField("h").as("height"),
-        inner.getField("ts").as("timescale"),
-        inner.getField("dur").as("duration")))
+        walk.getField("w").as("width"), walk.getField("h").as("height"),
+        walk.getField("ts").as("timescale"),
+        walk.getField("dur").as("duration")))
       .otherwise(struct(lit("unknown").as("format"), nullL.as("width"),
         nullL.as("height"), nullL.as("timescale"), nullL.as("duration")))
   }

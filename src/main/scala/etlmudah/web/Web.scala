@@ -85,6 +85,46 @@ object Web {
       lit("."), suffix, lit("/"), source, lit("/"), docId.cast("string"))
   }
 
+  /** Canonical form of an absolute URL — the dedup KEY web-crawl
+    * pipelines group on before any content hashing, because the same
+    * page arrives under many spellings (case, www, default ports,
+    * param order, tracking params, fragments):
+    *
+    *  - scheme and host lowercase; a leading `www.` drops
+    *  - default ports strip (`:80` for http, `:443` for https);
+    *    non-default ports stay
+    *  - the fragment drops entirely
+    *  - tracking params (`utm_*`, `gclid`, `fbclid`, `ref` by
+    *    default) drop; surviving params SORT by full `k=v` text so
+    *    param order can't split a page
+    *  - trailing path slashes drop (the root path collapses to the
+    *    bare host)
+    *
+    * Pure regexp/array arithmetic over built-ins (the [[urlHost]]
+    * contract); the array lambda runs over a per-URL handful of
+    * params, not a hot path. Unparseable input (no scheme/host)
+    * yields null so garbage never collides in a dedup group. */
+  def canonicalUrl(url: Column,
+                   dropParams: Seq[String] =
+                     Seq("utm_[^=]*", "gclid", "fbclid", "ref")): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(lower(urlHost(url)), "^www\\.", "")
+    val port = regexp_extract(url, "^[^:/?#]+://[^/:?#]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val path = regexp_replace(
+      regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val dropRe = "^(" + dropParams.mkString("|") + ")="
+    val params = filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike(dropRe))
+    val qs = array_join(array_sort(params), "&")
+    val qsPart = when(qs =!= "", concat(lit("?"), qs)).otherwise(lit(""))
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, qsPart))
+  }
+
   /** Per-registered-domain curation report: docs, distinct hosts,
     * whitespace tokens, and each domain's share of the corpus — the
     * table a RefinedWeb-style "cap pages per domain" policy reads

@@ -1911,6 +1911,33 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    // URL canonicalization ROUND TRIP — the dedup key web pipelines
+    // group on: per doc, TWO messy spellings of the same page (upper
+    // case + www + :443 + shuffled params + a tracking param + a
+    // fragment + trailing slash vs a plain form with a different
+    // tracking param) both canonicalize; the oracle carries the
+    // CLOSED-FORM clean URL, so a green row proves every rule —
+    // case, www, default port, param filter+sort, fragment, slash —
+    // lands exactly, and both_agree proves the variants collide
+    "q190_url_canonical_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val suffix = element_at(
+        array(lit("com"), lit("org"), lit("co.uk"), lit("com.my")),
+        (id % 4 + 1).cast("int"))
+      val base = concat(lit("d"), (id % 7).cast("string"), lit("."), suffix)
+      val messyA = concat(lit("HTTPS://WWW."), upper(base), lit(":443/p/"),
+        id.cast("string"), lit("/?b=2&utm_source="), col("source"),
+        lit("&a=1#sec"))
+      val messyB = concat(lit("https://"), base, lit("/p/"),
+        id.cast("string"), lit("?a=1&b=2&fbclid=x"))
+      docs.select(id,
+          etlmudah.web.Web.canonicalUrl(messyA).as("canonical"),
+          (etlmudah.web.Web.canonicalUrl(messyA) ===
+            etlmudah.web.Web.canonicalUrl(messyB)).as("both_agree"))
+        .orderBy(id)
+    }),
+
     // weighted sampling without replacement (A-Res): 50 winners by
     // ln(u)/n_chars — long docs proportionally likelier, deterministic
     "q90_weighted_sample" -> ((s, dir) =>
@@ -4880,6 +4907,18 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // replay: synth URL -> host regexp -> eTLD+1 CASE -> aggregate.
+    // url canonicalization: the oracle carries the CLOSED-FORM clean
+    // URL (never replicating the parser), so the hash compare proves
+    // every canonicalization rule exactly
+    "q190_url_canonical_dedup" ->
+      """SELECT doc_id,
+        |  'https://d' || (doc_id % 7)::VARCHAR || '.' ||
+        |  ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
+        |  '/p/' || doc_id::VARCHAR || '?a=1&b=2' AS canonical,
+        |  TRUE AS both_agree
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // The suffix IN list mirrors Web.DefaultMultiSuffixes verbatim
     "q174_domain_stats" ->
       """WITH u AS (

@@ -71,4 +71,44 @@ class WebSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == again)
   }
+
+  test("canonicalUrl: each rule lands; equivalence classes collide; idempotent") {
+    import spark.implicits._
+    val fixtures = Seq(
+      // case + www + default https port + tracking + fragment + slash
+      ("a1", "HTTPS://WWW.Example.COM:443/p/5/?b=2&utm_source=x&a=1#sec"),
+      ("a2", "https://example.com/p/5?a=1&b=2&fbclid=z"),
+      // same page, param order shuffled and a ref tracker
+      ("a3", "https://Example.com/p/5/?ref=tw&b=2&a=1"),
+      // DIFFERENT page: same params but a real extra param
+      ("b1", "https://example.com/p/5?a=1&b=2&c=3"),
+      // http default port drops; NON-default port survives
+      ("c1", "http://site.org:80/x"), ("c2", "http://site.org/x"),
+      ("c3", "http://site.org:8080/x"),
+      // root path collapses to the bare host; all-tracking query drops
+      ("d1", "https://host.net/?utm_campaign=q"), ("d2", "https://host.net"),
+      // www is a host PREFIX rule, not a substring rule
+      ("e1", "https://www.www-stats.com/p"),
+      // garbage: no scheme -> null, never a colliding empty key
+      ("g1", "not a url"), ("g2", "/relative/only"))
+    val got = fixtures.toDF("id", "url")
+      .select(col("id"), Web.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("a1") == Some("https://example.com/p/5?a=1&b=2"))
+    assert(got("a1") == got("a2") && got("a2") == got("a3"))
+    assert(got("b1") == Some("https://example.com/p/5?a=1&b=2&c=3"))
+    assert(got("b1") != got("a1"))
+    assert(got("c1") == Some("http://site.org/x") && got("c1") == got("c2"))
+    assert(got("c3") == Some("http://site.org:8080/x"))
+    assert(got("d1") == Some("https://host.net") && got("d1") == got("d2"))
+    assert(got("e1") == Some("https://www-stats.com/p"))
+    assert(got("g1").isEmpty && got("g2").isEmpty)
+    // idempotence: canonicalizing a canonical form is the identity
+    val twice = fixtures.toDF("id", "url")
+      .select(col("id"), Web.canonicalUrl(col("url")).as("c"))
+      .select(col("id"), col("c"), Web.canonicalUrl(col("c")).as("cc"))
+      .filter(col("c").isNotNull)
+      .collect()
+    twice.foreach(r => assert(r.getString(1) == r.getString(2), r.getString(0)))
+  }
 }
