@@ -653,6 +653,57 @@ object Multimodal {
         lit(null).cast("int").as("channels")))
   }
 
+  /** REAL audio metadata decode for FLAC — the lossless sibling of
+    * [[mp3Meta]], and the simplest of the audio decoders: the spec
+    * mandates STREAMINFO as the FIRST metadata block after the "fLaC"
+    * magic, so there is no walk at all — just fixed-offset reads plus
+    * the bit surgery the 8-byte packed region needs (sample rate is
+    * 20 bits, channels 3, bits-per-sample 5, total samples 36, none
+    * byte-aligned). All exact integer arithmetic; total samples (up
+    * to 2^36) stays in LONG. Returns struct(format, channels,
+    * sample_rate_hz, bits_per_sample, total_samples); non-FLAC input
+    * yields ("unknown", nulls), truncated blocks null the fields. */
+  def flacMeta(media: Column): Column = {
+    val isFlac = hex(substring(media, 1, 4)) === "664C6143"
+    // STREAMINFO payload at 9 (4 magic + 4 block header); the packed
+    // region is its bytes 10-17 -> positions 19..26
+    def b(i: Int): Column = byteAt(media, lit(19 + i))
+    val rate = b(0) * 4096L + b(1) * 16L + shiftright(b(2), 4)
+    val channels = shiftright(b(2), 1).bitwiseAND(lit(7)) + 1
+    val bps = b(2).bitwiseAND(lit(1)) * 16 + shiftright(b(3), 4) + 1
+    val samples = b(3).bitwiseAND(lit(0xF)).cast("long") * 4294967296L +
+      b(4) * 16777216L + b(5) * 65536L + b(6) * 256L + b(7)
+    when(isFlac, struct(lit("flac").as("format"),
+        channels.as("channels"), rate.cast("long").as("sample_rate_hz"),
+        bps.as("bits_per_sample"), samples.as("total_samples")))
+      .otherwise(struct(lit("unknown").as("format"),
+        lit(null).cast("int").as("channels"),
+        lit(null).cast("long").as("sample_rate_hz"),
+        lit(null).cast("int").as("bits_per_sample"),
+        lit(null).cast("long").as("total_samples")))
+  }
+
+  /** Synthesize a VALID FLAC head for the given stream parameters —
+    * the encode half of the [[flacMeta]] round trip: magic, a
+    * STREAMINFO block header (last-block flag set, type 0, length
+    * 34), min/max blocksize/framesize filler, then the packed
+    * rate/channels/bps/samples region assembled bit-exactly. */
+  def fakeFlacHeader(channels: Column, sampleRate: Column, bits: Column,
+                     totalSamples: Column): Column = {
+    def hx2(v: Column): Column = lpad(hex(v), 2, "0")
+    val b0 = shiftright(sampleRate, 12).bitwiseAND(lit(0xFF))
+    val b1 = shiftright(sampleRate, 4).bitwiseAND(lit(0xFF))
+    val b2 = sampleRate.bitwiseAND(lit(0xF)) * 16 +
+      (channels - 1) * 2 + shiftright(bits - 1, 4)
+    val b3 = (bits - 1).bitwiseAND(lit(0xF)) * 16 +
+      shiftright(totalSamples, 32).bitwiseAND(lit(0xF)).cast("int")
+    val tail = lpad(hex(totalSamples.bitwiseAND(lit(4294967295L))), 8, "0")
+    unhex(concat(lit("664C6143"), lit("80000022"),
+      lit("10001000"), lit("000000" + "000000"),
+      hx2(b0), hx2(b1), hx2(b2), hx2(b3), tail,
+      lit("00" * 16)))                               // md5 filler
+  }
+
   /** Synthesize a VALID MP3 stream head — the encode half of the
     * [[mp3Meta]] round trip: an ID3v2.3 tag of `id3Pad` zero bytes
     * (its size field syncsafe-encoded, so pads >= 128 exercise the

@@ -1286,6 +1286,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // FLAC STREAMINFO ROUND TRIP — the lossless leg of the audio set:
+    // rate (20 bits), channels (3), bits/sample (5), and total
+    // samples (36) are packed across byte seams, so a green row
+    // proves the bit surgery exact on both encode and decode;
+    // total samples crosses 32 bits on odd doc_ids
+    "q191_flac_meta_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ch = (col("doc_id") % 8 + 1).cast("int")
+      val rate = element_at(array(lit(8000L), lit(22050L), lit(44100L),
+        lit(96000L), lit(655350L)), (col("doc_id") % 5 + 1).cast("int"))
+      val bits = element_at(array(lit(8), lit(12), lit(16), lit(24), lit(32)),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val n = col("doc_id") * 977L + (col("doc_id") % 2) * 4294967296L
+      docs.select(col("doc_id"),
+          Multimodal.fakeFlacHeader(ch, rate, bits, n).as("blob"))
+        .select(col("doc_id"), Multimodal.flacMeta(col("blob")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").cast("bigint").as("channels"),
+          col("m.sample_rate_hz").as("sample_rate_hz"),
+          col("m.bits_per_sample").cast("bigint").as("bits_per_sample"),
+          col("m.total_samples").as("total_samples"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WebP header ROUND TRIP — q155 for the fourth dominant web
     // format: a valid WebP (RIFF) header is synthesized per doc
     // cycling the VP8 (lossy 14-bit dims) / VP8L (lossless packed
@@ -3669,6 +3693,20 @@ object SparkEntry {
         |    ELSE list_extract([11025,12000,8000], (doc_id % 9) // 3 + 1)
         |  END)::BIGINT AS sample_rate_hz,
         |  (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END)::BIGINT AS channels
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // FLAC round trip: the oracle recomputes every packed field from
+    // doc_id in closed form
+    "q191_flac_meta_roundtrip" ->
+      """SELECT doc_id, 'flac' AS format,
+        |  (doc_id % 8 + 1)::BIGINT AS channels,
+        |  list_extract([8000,22050,44100,96000,655350],
+        |    doc_id % 5 + 1)::BIGINT AS sample_rate_hz,
+        |  list_extract([8,12,16,24,32], doc_id % 5 + 1)::BIGINT
+        |    AS bits_per_sample,
+        |  (doc_id * 977 + (doc_id % 2) * 4294967296)::BIGINT
+        |    AS total_samples
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

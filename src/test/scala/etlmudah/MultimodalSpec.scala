@@ -327,6 +327,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out("garbage")._1 == "unknown")
   }
 
+  test("fakeFlacHeader -> flacMeta round trip: bit packing across the parameter grid") {
+    import spark.implicits._
+    // rates cross the 4-bit/12-bit byte seams; samples cross 32 bits
+    val grid = for (ch <- Seq(1, 2, 8); rate <- Seq(8000L, 44100L, 96000L, 655350L);
+                    bits <- Seq(8, 16, 24, 32);
+                    n <- Seq(0L, 4294967296L * 3 + 17L)) yield (ch, rate, bits, n)
+    val out = grid.toDF("ch", "rate", "bits", "n")
+      .select(col("*"), Multimodal.flacMeta(Multimodal.fakeFlacHeader(
+        col("ch"), col("rate"), col("bits"), col("n"))).as("m"))
+      .collect()
+    out.foreach { r =>
+      val (ch, rate, bits, n) =
+        (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3))
+      val m = r.getStruct(4)
+      assert(m.getString(0) == "flac" && m.getInt(1) == ch &&
+        m.getLong(2) == rate && m.getInt(3) == bits && m.getLong(4) == n,
+        s"$ch/$rate/$bits/$n -> ${m.mkString(",")}")
+    }
+    // non-FLAC and truncated inputs stay null-safe
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val bad = Seq(("junk", hx("0011223344")), ("trunc", hx("664C6143" + "8000")))
+      .toDF("id", "media")
+      .select(col("id"), Multimodal.flacMeta(col("media")).as("m"))
+      .collect().map(r => r.getString(0) ->
+        (r.getStruct(1).getString(0), Option(r.getStruct(1).get(2)))).toMap
+    assert(bad("junk") == (("unknown", None)))
+    assert(bad("trunc") == (("flac", None)))
+  }
+
   test("audioMeta: hand-crafted WAV chunk layouts decode; corrupt stays null-safe") {
     import spark.implicits._
     def hx(s: String): Array[Byte] =
