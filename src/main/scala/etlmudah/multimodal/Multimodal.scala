@@ -229,8 +229,11 @@ object Multimodal {
       sequence(lit(1), lit(maxSegments)),
       struct(lit(null).cast("long").as("w"), lit(null).cast("long").as("h")),
       (st, i) => {
-        val done = i > nEntries ||
-          (st.getField("w").isNotNull && st.getField("h").isNotNull)
+        // captured-state null checks FIRST: i > nEntries re-reads the
+        // IFD header bytes (interpreted HOF, no CSE), so post-capture
+        // iterations of the fixed sequence must not pay it
+        val done = (st.getField("w").isNotNull && st.getField("h").isNotNull) ||
+          i > nEntries
         val entry = (ifdPos + 2 + (i - 1) * 12).cast("int")
         val tag = t16(entry)
         val typ = t16(entry + 2)
@@ -510,22 +513,32 @@ object Multimodal {
           .otherwise(size0)
         val typ = hex(substring(media, (off + 4).cast("int"), lit(4)))
         val ver = byteAt(media, off + 8)
+        // disjunct ORDER is a measured cost: CHEAP checks (offset
+        // bounds, captured-state nulls) come before anything that
+        // reads bytes, so post-capture and past-end iterations of the
+        // fixed-length sequence cost two null checks, not a size
+        // parse (interpreted HOF, no CSE — every evaluation is real)
         val done = off > mediaLen || off > lit(Int.MaxValue.toLong - 32L) ||
-          size.isNull || size < 8L ||
-          (st.getField("ts").isNotNull && st.getField("w").isNotNull)
+          (st.getField("ts").isNotNull && st.getField("w").isNotNull) ||
+          size.isNull || size < 8L
         // tkhd: matrix-relative offsets shift by 12 between v0 and v1
         // (creation/modification/duration widen 4 -> 8 bytes each)
         val tw = when(ver === 0, be16(media, off + 84))
           .otherwise(be16(media, off + 96)).cast("long")
         val th = when(ver === 0, be16(media, off + 88))
           .otherwise(be16(media, off + 100)).cast("long")
+        // on the FINAL capture, jump off past the blob so remaining
+        // iterations exit via done's first (cheapest) disjunct — the
+        // same early-out the WAV walk gets free from its data chunk
+        def jumpIfComplete(other: Column): Column =
+          when(other.isNotNull, mediaLen + 1L).otherwise(off + size)
         when(done, st)
           .when(typ === "6D6F6F76" || typ === "7472616B", // containers: step IN
             struct((off + 8L).as("off"), st.getField("ts").as("ts"),
               st.getField("dur").as("dur"), st.getField("w").as("w"),
               st.getField("h").as("h")))
           .when(typ === "6D766864", // "mvhd": capture timescale + duration
-            struct((off + size).as("off"),
+            struct(jumpIfComplete(st.getField("w")).as("off"),
               when(ver === 0, be32(media, off + 20))
                 .otherwise(be32(media, off + 28)).as("ts"),
               when(ver === 0, be32(media, off + 24))
@@ -533,7 +546,8 @@ object Multimodal {
                   be32(media, off + 36)).as("dur"),
               st.getField("w").as("w"), st.getField("h").as("h")))
           .when(typ === "746B6864" && st.getField("w").isNull && tw > 0L,
-            struct((off + size).as("off"), st.getField("ts").as("ts"),
+            struct(jumpIfComplete(st.getField("ts")).as("off"),
+              st.getField("ts").as("ts"),
               st.getField("dur").as("dur"), tw.as("w"), th.as("h")))
           .otherwise(struct((off + size).as("off"),
             st.getField("ts").as("ts"), st.getField("dur").as("dur"),
