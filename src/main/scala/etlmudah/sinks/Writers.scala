@@ -57,6 +57,103 @@ object Writers {
     ()
   }
 
+  /** Per-shard export MANIFEST: one row per shard with doc count, unit
+    * (token/char) total, key range, and an order-independent id-set
+    * CHECKSUM — `sum` over a 48-bit md5 lane of each key. The manifest
+    * is what makes a multi-terabyte export VERIFIABLE: a consumer (or
+    * a later verification pass — [[verifyShardedExport]]) recomputes
+    * the same row from the shard's data files and any lost, duplicated,
+    * or substituted row flips the checksum. 48-bit lanes keep the sum
+    * far from Long overflow (2^48 × 10^4-row shards « 2^63) while a
+    * birthday collision needs ~2^24 co-sharded ids — and a collision
+    * must also preserve count, sum, min, and max to slip through.
+    * Portable: the oracle re-derives every column including the
+    * checksum in SQL.
+    *
+    * 100 TB shape: [[etlmudah.scale.Sampling.shardAssign]]'s two
+    * fully-parallel exchanges for the prefix sum, then one map-side-
+    * combined aggregate keyed by shard. */
+  def shardManifest(df: DataFrame, keyCol: String, sizeCol: String,
+                    shardBudget: Long, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    etlmudah.scale.Sampling.shardAssign(df, keyCol, sizeCol, shardBudget,
+        buckets)
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("long")).as("n_units"),
+        min(col(keyCol)).as("first_key"),
+        max(col(keyCol)).as("last_key"),
+        sum(conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+          1, 12), 16, 10).cast("long")).as("id_checksum"))
+  }
+
+  /** Token-balanced sharded export WITH its manifest: data lands
+    * partitioned by `shard=N` directories (a loader reads one shard =
+    * one training slice), the manifest lands beside it under
+    * `_manifest` (underscore-prefixed: invisible to table readers of
+    * `path`, the parquet convention). Both writes go through the
+    * staged swap, so a crash leaves either the old export or the new
+    * one — never a torn mix. */
+  def writeShardedWithManifest(df: DataFrame, path: String, keyCol: String,
+                               sizeCol: String, shardBudget: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val assigned = etlmudah.scale.Sampling.shardAssign(df, keyCol, sizeCol,
+      shardBudget)
+    // staged + partitioned: write shard=N dirs under a temp root, then
+    // swap the root (writeStaged's protocol with partitionBy added) —
+    // one output file per shard dir via the pre-write repartition
+    val tmp = path + "/data__staging"
+    assigned.repartition(col("shard")).write.mode("overwrite")
+      .partitionBy("shard").parquet(tmp)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path + "/data")
+    val staging = new org.apache.hadoop.fs.Path(tmp)
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
+    writeStaged(shardManifest(df, keyCol, sizeCol, shardBudget),
+      path + "/_manifest")
+  }
+
+  /** Verify a [[writeShardedWithManifest]] export: recompute every
+    * manifest column FROM THE DATA FILES and full-outer-join against
+    * the stored manifest. Returns one row per shard with a `status` of
+    * 'ok', 'mismatch' (any column drifted — lost/duplicated/substituted
+    * rows), 'missing_shard' (manifest row without data), or
+    * 'unexpected_shard' (data without a manifest row). Empty result ⇒
+    * export verified. Cost: one scan of the export + a manifest-sized
+    * join — run it as the acceptance gate after any bulk copy. */
+  def verifyShardedExport(spark: SparkSession, path: String,
+                          keyCol: String, sizeCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // partition-dir columns read back as the narrowest inferred type
+    // (INT for small shard ids) — normalize to the manifest's BIGINT
+    val recomputed = spark.read.parquet(path + "/data")
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("long")).as("n_units"),
+        min(col(keyCol)).as("first_key"),
+        max(col(keyCol)).as("last_key"),
+        sum(conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+          1, 12), 16, 10).cast("long")).as("id_checksum"))
+    val stored = spark.read.parquet(path + "/_manifest")
+    val r = recomputed.columns.filter(_ != "shard")
+      .foldLeft(recomputed)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    stored.join(r, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("n_docs").isNull, lit("unexpected_shard"))
+          .when(col("r_n_docs").isNull, lit("missing_shard"))
+          .when(col("n_docs") === col("r_n_docs") &&
+            col("n_units") === col("r_n_units") &&
+            col("first_key") === col("r_first_key") &&
+            col("last_key") === col("r_last_key") &&
+            col("id_checksum") === col("r_id_checksum"), lit("ok"))
+          .otherwise(lit("mismatch")))
+      .filter(col("status") =!= "ok")
+      .select(col("shard"), col("status"))
+  }
+
   /** S9: partitioned table layout — `partitionBy` replaces the btree
     * secondary index on region_id (dag.py:319): equality/IN predicates
     * on the partition column prune whole directories at plan time

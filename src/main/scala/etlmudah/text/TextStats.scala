@@ -559,6 +559,53 @@ object TextStats {
       regexp_count(col(textCol), lit("[0-9]{9,}"))
         .cast("long").as("n_long_digit_runs"))
 
+  /** Blocklist / safety-wordlist scan — the C4 "bad words" gate
+    * (Raffel et al. 2020 drop any page containing a listed word; every
+    * production web corpus runs some variant before training). Per
+    * doc: hit count plus the sorted distinct list of terms that fired,
+    * so the policy layer can choose drop / mask / downweight and the
+    * list itself can be audited.
+    *
+    * Matching is case-insensitive on WORD BOUNDARIES — `\b` is an
+    * ASCII word boundary in both Java regex and RE2, so "class" can
+    * never fire a blocklisted "ass" and the oracle replays the scan
+    * verbatim. Terms are regex-escaped (they are WORDS, not patterns)
+    * and matched in one alternation pass; the matched-term list is
+    * lowercased then sorted so verdict text is engine-stable.
+    *
+    * 100 TB shape: one codegen'd projection per row (the list compiles
+    * into a single automaton), no shuffle, no state — the gate runs at
+    * scan speed. A list of ~10³ terms (the published C4 list's size)
+    * is still one linear-scan automaton; beyond that, front an
+    * Aho-Corasick mapPartitions tier the way compressionRatio fronts
+    * its codec. */
+  def blocklistScan(df: DataFrame, textCol: String, idCol: String,
+                    terms: Seq[String]): DataFrame =
+    df.select(col(idCol).as("id"),
+      blocklistHitCount(col(textCol), terms).as("n_hits"),
+      blocklistTermsHit(col(textCol), terms).as("terms_hit"))
+
+  /** The [[blocklistScan]] alternation: every term regex-escaped (they
+    * are WORDS, not patterns; `\Q...\E` is honored by Java and RE2
+    * alike) inside one case-insensitive word-boundary group. */
+  def blocklistPattern(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "blocklist needs at least one term")
+    s"(?i)\\b(${terms.map(java.util.regex.Pattern.quote).mkString("|")})\\b"
+  }
+
+  /** Count of blocklisted-term occurrences in `text` (column tier of
+    * [[blocklistScan]] — composable into any projection). */
+  def blocklistHitCount(text: Column, terms: Seq[String]): Column =
+    coalesce(size(regexp_extract_all(text, lit(blocklistPattern(terms)),
+      lit(1))), lit(0)).cast("long")
+
+  /** Sorted distinct lowercased terms that fired, comma-joined —
+    * engine-stable verdict text ('' when clean). */
+  def blocklistTermsHit(text: Column, terms: Seq[String]): Column =
+    array_join(array_sort(array_distinct(transform(
+      regexp_extract_all(text, lit(blocklistPattern(terms)), lit(1)),
+      lower(_)))), ",")
+
   /** PII redaction APPLIED (the scrub step `piiScan` diagnoses):
     * email-, phone-, and long-digit-run-shaped substrings replaced with
     * fixed tags. Pure chained regexp_replace (global by default in

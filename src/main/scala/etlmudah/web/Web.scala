@@ -85,6 +85,80 @@ object Web {
       lit("."), suffix, lit("/"), source, lit("/"), docId.cast("string"))
   }
 
+  /** HTML → text extraction — the first transform every web-crawl
+    * training corpus applies (C4, RefinedWeb, FineWeb all start from
+    * WARC/WET markup): drop the invisible containers, keep block
+    * structure as line breaks, strip the remaining tags, decode the
+    * common entities, and normalize whitespace.
+    *
+    * Five deterministic passes, all codegen'd built-ins (zero UDFs),
+    * each portable between Java regex and RE2 so the oracle replays
+    * the chain verbatim in DuckDB:
+    *
+    *  1. `<script>`/`<style>` elements drop WITH their content
+    *     (non-greedy dotall to the matching close tag — one pass per
+    *     element name so `<script>..</style>` junk can't cross-close),
+    *     and `<!-- comments -->` drop;
+    *  2. block-level tags (`p div br li ul ol h1-h6 tr table
+    *     blockquote`) become newlines so paragraph boundaries survive
+    *     the strip;
+    *  3. every remaining tag becomes a space (inline tags must not
+    *     weld `a<b>b` into `ab`);
+    *  4. the six dominant named/numeric entities decode — `&lt; &gt;
+    *     &quot; &#39; &apos; &nbsp;` first, `&amp;` LAST (decoding
+    *     `&amp;` first would manufacture new entities out of
+    *     `&amp;lt;`, the classic double-decode bug);
+    *  5. whitespace normalizes: space runs collapse (the class is
+    *     explicit — Java's `\s` includes `\x0B`, RE2's does not, so
+    *     `\s` is banned here), spaces hugging a newline drop, newline
+    *     runs collapse, and the result is trimmed of both.
+    *
+    * Regex-tier fidelity, not a DOM parse: CDATA and conditional
+    * comments are out of scope (vanishing in real crawls; a WARC
+    * production deployment would front a proper parser as a source-
+    * level concern). 100 TB shape: a per-row projection inside
+    * whole-stage codegen — no shuffle, no state, scales linearly. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val ent = replace(replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&apos;"), lit("'")), lit("&nbsp;"), lit(" "))
+    val amp = replace(ent, lit("&amp;"), lit("&"))
+    val sp = regexp_replace(amp, "[ \\t\\r\\f]+", " ")
+    val nl = regexp_replace(sp, " ?\\n ?", "\n")
+    trim(regexp_replace(nl, "\\n+", "\n"), " \n")
+  }
+
+  /** Deterministic synthetic HTML page per doc (the [[fakeUrl]] /
+    * `fakeMediaHeader` precedent: the testdata carries plain text, so
+    * the query tier wraps it in markup both engines can re-synthesize
+    * byte-identically). The page deliberately exercises every
+    * [[htmlToText]] pass: a style block, a script whose BODY contains
+    * `<` and a fake close-tag prefix, a comment, entities of all six
+    * kinds, block tags, an inline tag inside flowing text, and
+    * doubled spaces. */
+  def fakeHtml(docId: Column, text: Column): Column = {
+    val id = docId.cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style type=\"text/css\">body { color:#333; }</style>"),
+      lit("<script>var x = 1 < 2 && \"</scr\" + \"junk\";</script>"),
+      lit("</head><body><!-- crawl "), id,
+      lit(" --><h1>Title &amp; Doc "), id,
+      lit("</h1><p>Lead&nbsp;para  &lt;kept&gt;.</p><div class=\"b\">"),
+      text,
+      lit("</div><ul><li>item&#39;s one</li><li>item &quot;two&quot;</li>"),
+      lit("</ul><em>fine</em>print</body></html>"))
+  }
+
   /** Canonical form of an absolute URL — the dedup KEY web-crawl
     * pipelines group on before any content hashing, because the same
     * page arrives under many spellings (case, www, default ports,

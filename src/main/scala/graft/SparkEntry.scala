@@ -1962,6 +1962,38 @@ object SparkEntry {
         .orderBy(id)
     }),
 
+    // HTML -> text extraction (the first transform of every web-crawl
+    // corpus): each doc's text wrapped in a deterministic synthetic
+    // page — style + script-with-hostile-body + comment + entities +
+    // block/inline tags — then pushed through all five htmlToText
+    // passes; the oracle replays synthesis AND extraction pass by
+    // pass, so a green row proves the element drops, the block-tag
+    // newlines, the tag strip, the entity decode ORDER (&amp; last),
+    // and the whitespace collapse all land engine-exactly
+    "q192_html_to_text" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+          etlmudah.web.Web.htmlToText(
+            etlmudah.web.Web.fakeHtml(col("doc_id"), col("text")))
+            .as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // blocklist / safety-wordlist gate (the C4 "bad words" scan):
+    // per-(source, fired-term-set) doc counts and total hits; term
+    // matching is case-insensitive on word boundaries, the fired set
+    // is lowercased+sorted verdict text — fully engine-portable, so
+    // the oracle replays the scan with the identical pattern
+    "q193_blocklist_scan" -> ((s, dir) => {
+      val terms = Seq("spark", "slow")
+      Tables.documents(s, dir).select(col("source"),
+          TextStats.blocklistHitCount(col("text"), terms).as("n_hits"),
+          TextStats.blocklistTermsHit(col("text"), terms).as("terms_hit"))
+        .groupBy(col("source"), col("terms_hit"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
+        .orderBy(col("source"), col("terms_hit"))
+    }),
+
     // weighted sampling without replacement (A-Res): 50 winners by
     // ln(u)/n_chars — long docs proportionally likelier, deterministic
     "q90_weighted_sample" -> ((s, dir) =>
@@ -2016,6 +2048,17 @@ object SparkEntry {
           sum(col("n_chars")).as("shard_chars"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))),
+
+    // export MANIFEST over q138's shard assignment: per-shard count,
+    // unit total, key range, and an order-independent 48-bit-md5-lane
+    // id-set checksum — the integrity artifact a consumer verifies a
+    // multi-TB export against (Writers.verifyShardedExport recomputes
+    // this exact frame from the data files); every column including
+    // the checksum re-derived by the oracle
+    "q194_shard_manifest" -> ((s, dir) =>
+      etlmudah.sinks.Writers.shardManifest(Tables.documents(s, dir),
+          "doc_id", "n_chars", shardBudget = 50000L)
         .orderBy(col("shard"))),
 
     // adaptive per-source quality floor: drop each source's bottom
@@ -4957,6 +5000,64 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // Replays fakeHtml synthesis + all five htmlToText passes with the
+    // same regexes (RE2 and Java agree on every construct used: inline
+    // (?is), non-greedy, \b, explicit whitespace classes). Entity
+    // decode order matches the Spark side exactly — &amp; LAST.
+    "q192_html_to_text" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id::VARCHAR ||
+        |    '</title><style type="text/css">body { color:#333; }</style>' ||
+        |    '<script>var x = 1 < 2 && "</scr" + "junk";</script>' ||
+        |    '</head><body><!-- crawl ' || doc_id::VARCHAR ||
+        |    ' --><h1>Title &amp; Doc ' || doc_id::VARCHAR ||
+        |    '</h1><p>Lead&nbsp;para  &lt;kept&gt;.</p><div class="b">' || text ||
+        |    '</div><ul><li>item&#39;s one</li><li>item &quot;two&quot;</li>' ||
+        |    '</ul><em>fine</em>print</body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS h FROM page),
+        |s2 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>',
+        |  chr(10), 'g') AS h FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?s)<[^>]*>', ' ', 'g') AS h FROM s4),
+        |s6 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(h,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS h FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(h,
+        |  '[ \t\r\f]+', ' ', 'g') AS h FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(h,
+        |  ' ?\n ?', chr(10), 'g') AS h FROM s7),
+        |s9 AS (SELECT doc_id, regexp_replace(h,
+        |  '\n+', chr(10), 'g') AS h FROM s8)
+        |SELECT doc_id, trim(h, ' ' || chr(10)) AS clean_text
+        |FROM s9 ORDER BY doc_id""".stripMargin,
+
+    // The identical (?i)\b(\Q..\E|..)\b pattern — \Q..\E literal
+    // quoting and ASCII \b agree between Java regex and RE2. The
+    // coalesce matches Spark's '' clean verdict: DuckDB's list chain
+    // yields NULL, not '', on the empty match list.
+    "q193_blocklist_scan" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(\Qspark\E|\Qslow\E)\b', 1)) AS hits,
+        |    coalesce(array_to_string(list_sort(list_distinct(list_transform(
+        |      regexp_extract_all(text, '(?i)\b(\Qspark\E|\Qslow\E)\b', 1),
+        |      x -> lower(x)))), ','), '') AS terms_hit
+        |  FROM documents)
+        |SELECT source, terms_hit, count(*) AS n_docs,
+        |  CAST(sum(hits) AS BIGINT) AS n_hits
+        |FROM s GROUP BY source, terms_hit
+        |ORDER BY source, terms_hit""".stripMargin,
+
     // The suffix IN list mirrors Web.DefaultMultiSuffixes verbatim
     "q174_domain_stats" ->
       """WITH u AS (
@@ -5067,6 +5168,21 @@ object SparkEntry {
         |    AS shard,
         |  count(*) AS n_docs, sum(n_chars)::BIGINT AS shard_chars,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // q138's cumsum + the 48-bit md5-lane checksum re-derived in SQL
+    // (the '0x'||hex UBIGINT cast is the hashUniform precedent)
+    "q194_shard_manifest" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM documents)
+        |SELECT CAST(floor((cum - n_chars)::DOUBLE / 50000::DOUBLE) AS BIGINT)
+        |    AS shard,
+        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS n_units,
+        |  min(doc_id) AS first_key, max(doc_id) AS last_key,
+        |  CAST(sum(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))
+        |    AS UBIGINT)) AS BIGINT) AS id_checksum
         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // rank-based drop: rn > floor(0.1*n) with both factors DOUBLE so

@@ -990,4 +990,23 @@ class TextStatsSpec extends SparkSpec {
         r.getLong(3)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("blocklistScan: word boundaries, case folding, regex-metachar terms, verdict text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the Spark engine is SPARK fast"),     // 2 case-folded hits
+      (2L, "classify en masse"),                   // substring must NOT fire "ass"
+      (3L, "a+b is a+b"),                          // metachar term, escaped
+      (4L, "slow spark slow"),                     // multi-term verdict sorts
+      (5L, "clean text here"))
+      .toDF("doc_id", "text")
+    val out = TextStats.blocklistScan(docs, "text", "doc_id",
+        Seq("spark", "ass", "a+b", "slow"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((2L, "spark")))
+    assert(out(2L) == ((0L, "")), "no word-boundary hit inside 'classify'/'masse'")
+    assert(out(3L) == ((2L, "a+b")), "metachars must be literal, not regex")
+    assert(out(4L) == ((3L, "slow,spark")), "verdict sorted + distinct")
+    assert(out(5L) == ((0L, "")))
+  }
 }

@@ -111,4 +111,47 @@ class WebSpec extends SparkSpec {
       .collect()
     twice.foreach(r => assert(r.getString(1) == r.getString(2), r.getString(0)))
   }
+
+  test("htmlToText: element drops, block newlines, entity order, whitespace") {
+    import spark.implicits._
+    val cases = Seq(
+      // script body contains < and a fake close-tag prefix: the
+      // non-greedy match must run to the REAL close tag, no further
+      ("s1", """a<script>if (1 < 2) x = "</scr";</script>b""", "a b"),
+      // a style block inside head, tags stripped, title text kept
+      ("s2", "<head><title>T</title><style>p { c:1 }</style></head>", "T"),
+      ("s3", "x<!-- hidden <b>bold</b> -->y", "x y"),
+      // block tags break lines; inline tags become spaces, not welds
+      ("s4", "<p>one</p><p>two</p>", "one\ntwo"),
+      ("s5", "fine<em>print</em>here", "fine print here"),
+      ("s6", "a<br/>b", "a\nb"),
+      // entity decode order: &amp;lt; must yield the LITERAL "&lt;"
+      ("e1", "&amp;lt; &lt;b&gt; &quot;q&quot; &#39;a&#39; &nbsp;", "&lt; <b> \"q\" 'a'"),
+      // whitespace: runs collapse, spaces hugging newlines drop,
+      // newline runs collapse, ends trim
+      ("w1", "  a   b  \t c  ", "a b c"),
+      ("w2", "<p> a </p> <p> b </p>", "a\nb"),
+      // unclosed trailing < survives (regex tier, not a DOM parse)
+      ("u1", "text <unclosed", "text <unclosed"))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "h")
+      .select(col("id"), Web.htmlToText(col("h")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) => assert(got(id) == want, s"case=$id got=[${got(id)}]") }
+  }
+
+  test("htmlToText over fakeHtml: doc text survives verbatim inside the page") {
+    val docs = Tables.documents(spark, sf0001).limit(20)
+    val rows = docs.select(col("text"),
+        Web.htmlToText(Web.fakeHtml(col("doc_id"), col("text"))).as("t"))
+      .collect()
+    rows.foreach { r =>
+      val (text, t) = (r.getString(0), r.getString(1))
+      assert(t.contains(text), "doc text must survive extraction verbatim")
+      assert(!t.contains("<script") && !t.contains("color:#333") &&
+        !t.contains("crawl") && !t.contains("&amp;"),
+        "script/style/comment bodies and undecoded entities must not leak")
+      assert(t.startsWith("Doc ") && t.contains("Title & Doc "),
+        "title text and decoded & must both be present")
+    }
+  }
 }

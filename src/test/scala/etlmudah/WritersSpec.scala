@@ -109,6 +109,70 @@ class WritersSpec extends SparkSpec {
       "o_orderkey", 0L, 6000000L, 4).count() == a.length)
   }
 
+  test("sharded export + manifest: verify passes clean, catches loss/dup/substitution per shard") {
+    val out = Files.createTempDirectory("shardman").toString + "/exp"
+    val docs = Tables.documents(spark, sf0001)
+    Writers.writeShardedWithManifest(docs, out, "doc_id", "n_chars",
+      shardBudget = 20000L)
+    // clean export verifies to an EMPTY report
+    assert(Writers.verifyShardedExport(spark, out, "doc_id", "n_chars")
+      .count() == 0)
+    // the manifest equals the directly computed frame (same checksums)
+    val direct = Writers.shardManifest(docs, "doc_id", "n_chars", 20000L)
+      .orderBy(col("shard")).collect().toSeq
+    val stored = spark.read.parquet(out + "/_manifest")
+      .orderBy(col("shard")).collect().toSeq
+    assert(direct == stored)
+    // lose one row from one shard -> exactly that shard flags mismatch
+    // (each overwrite materializes via collect + re-create: a lazy
+    // frame over the path being replaced would re-list deleted files)
+    val data = spark.read.parquet(out + "/data").collect().toSeq
+    val schema = spark.read.parquet(out + "/data").schema
+    def rewrite(rows: Seq[org.apache.spark.sql.Row]): Unit =
+      Writers.writeStaged(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema), out + "/data")
+    val victim = data.minBy(_.getAs[Long]("doc_id"))
+    val vShard = victim.getAs[Number]("shard").longValue
+    rewrite(data.filterNot(_ == victim))
+    val lost = Writers.verifyShardedExport(spark, out, "doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(lost.toSeq == Seq((vShard, "mismatch")), lost.mkString(","))
+    // a shard present in data but absent from the manifest (and the
+    // reverse) get their own statuses
+    val si = schema.fieldIndex("shard")
+    val ghosts = data.take(5).map { r =>
+      val bumped = r.getAs[Number]("shard").longValue + 100L
+      val v: Any = schema(si).dataType match {
+        case org.apache.spark.sql.types.LongType => bumped
+        case _ => bumped.toInt
+      }
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(si, v))
+    }
+    rewrite(data ++ ghosts)
+    val extra = Writers.verifyShardedExport(spark, out, "doc_id", "n_chars")
+      .collect().map(r => r.getString(1)).toSet
+    assert(extra.contains("unexpected_shard"))
+  }
+
+  test("manifest checksum: catches id substitution that preserves count, units, and key range") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("shardck").toString + "/exp"
+    val rows = Seq((0L, 10L), (10L, 10L), (20L, 10L), (30L, 10L))
+      .toDF("doc_id", "n_chars")
+    Writers.writeShardedWithManifest(rows, out, "doc_id", "n_chars",
+      shardBudget = 1000L)   // one shard
+    assert(Writers.verifyShardedExport(spark, out, "doc_id", "n_chars")
+      .count() == 0)
+    // swap interior id 10 -> 25: count, n_units, first_key, last_key
+    // ALL unchanged — only the id-set checksum can see it
+    val tampered = Seq((0L, 10L), (25L, 10L), (20L, 10L), (30L, 10L))
+      .toDF("doc_id", "n_chars").withColumn("shard", lit(0L))
+    Writers.writeStaged(tampered, out + "/data")
+    val got = Writers.verifyShardedExport(spark, out, "doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((0L, "mismatch")), got.mkString(","))
+  }
+
   test("S12: TTL cache returns same plan within TTL, recomputes after") {
     val cache = new Writers.TtlCache(spark)
     var computes = 0
