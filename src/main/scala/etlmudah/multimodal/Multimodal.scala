@@ -741,6 +741,87 @@ object Multimodal {
       lit("FF"), hx2(b2), hx2(b3), hx2(b4)))
   }
 
+  /** REAL audio metadata decode for Ogg containers — Vorbis and Opus
+    * identification headers, completing the audio set (WAV [[audioMeta]],
+    * MP3 [[mp3Meta]], FLAC [[flacMeta]]). No walk needed: the spec
+    * (RFC 3533) requires the identification packet to be the FIRST
+    * packet of the FIRST page, alone on it, so the only dynamic step
+    * is skipping the page header — payload starts at 28 + n_segments
+    * (the segment count is byte 27, its table follows). First-packet
+    * magic dispatches the codec:
+    *
+    *  - Vorbis (`\x01vorbis`): channels uint8 at payload+11, sample
+    *    rate LE32 at payload+12;
+    *  - Opus (`OpusHead`, RFC 7845): channels uint8 at payload+9,
+    *    pre-skip LE16 at payload+10, INPUT sample rate LE32 at
+    *    payload+12 (informational — Opus always decodes at 48 kHz;
+    *    reported as-is, the pre-skip is the field loaders actually
+    *    need to trim).
+    *
+    * n_segments <= 255 bounds the payload offset, so no hostile-size
+    * clamp is needed (the audioMeta ANSI lesson does not arise: every
+    * position here is <= 283). Returns struct(format, channels,
+    * sample_rate_hz, pre_skip_samples); non-Ogg or an unrecognized
+    * first packet yields ("unknown"/"ogg", nulls). */
+  def oggMeta(media: Column): Column = {
+    val isOgg = hex(substring(media, 1, 4)) === "4F676753"   // "OggS"
+    val payload = byteAt(media, lit(27)) + 28                 // 1-based
+    val isVorbis = hex(media.substr(payload, lit(7))) === "01766F72626973"
+    val isOpus = hex(media.substr(payload, lit(8))) === "4F70757348656164"
+    val nulls = struct(lit("unknown").as("format"),
+      lit(null).cast("int").as("channels"),
+      lit(null).cast("long").as("sample_rate_hz"),
+      lit(null).cast("int").as("pre_skip_samples"))
+    when(isOgg && isVorbis, struct(lit("ogg-vorbis").as("format"),
+        byteAt(media, payload + 11).as("channels"),
+        le32(media, payload + 12).as("sample_rate_hz"),
+        lit(null).cast("int").as("pre_skip_samples")))
+      .when(isOgg && isOpus, struct(lit("ogg-opus").as("format"),
+        byteAt(media, payload + 9).as("channels"),
+        le32(media, payload + 12).as("sample_rate_hz"),
+        le16(media, payload + 10).as("pre_skip_samples")))
+      .when(isOgg, struct(lit("ogg").as("format"),
+        lit(null).cast("int").as("channels"),
+        lit(null).cast("long").as("sample_rate_hz"),
+        lit(null).cast("int").as("pre_skip_samples")))
+      .otherwise(nulls)
+  }
+
+  /** Synthesize a VALID first Ogg page for the given codec — the
+    * encode half of the [[oggMeta]] round trip: page header (BOS flag,
+    * zero granule/serial/seq/CRC — the decoder reads structure, not
+    * checksums; a one-entry segment table sized to the packet), then
+    * the codec's identification packet assembled byte-exactly
+    * (Vorbis: version 0, channels, rate, bitrate filler, blocksizes,
+    * framing bit; Opus: version 1, channels, pre-skip, input rate,
+    * zero gain, mapping family 0). */
+  def fakeOggHeader(codec: Column, channels: Column, sampleRate: Column,
+                    preSkip: Column): Column = {
+    def hx2(v: Column): Column = lpad(hex(v), 2, "0")
+    def leHex16(v: Column): Column =
+      concat(hx2(v.bitwiseAND(lit(0xFF))), hx2(shiftright(v, 8).bitwiseAND(lit(0xFF))))
+    def leHex32(v: Column): Column = concat(
+      hx2(v.bitwiseAND(lit(0xFF))),
+      hx2(shiftright(v, 8).bitwiseAND(lit(0xFF))),
+      hx2(shiftright(v, 16).bitwiseAND(lit(0xFF))),
+      hx2(shiftright(v, 24).bitwiseAND(lit(0xFF))))
+    // page header: "OggS" ver=0 type=BOS granule×8 serial×4 seq×4
+    // crc×4, then n_segs=1 and the single lacing value
+    def page(packetLen: Int, packetHex: Column): Column = concat(
+      lit("4F676753" + "00" + "02" + "00" * 8 + "00" * 4 + "00" * 4 + "00" * 4),
+      lit("01"), lit(f"$packetLen%02X"), packetHex)
+    val vorbisPkt = concat(
+      lit("01766F72626973"), lit("00000000"),       // \x01vorbis, version 0
+      hx2(channels), leHex32(sampleRate),
+      lit("00" * 12), lit("B8"), lit("01"))         // bitrates, blocksizes, framing
+    val opusPkt = concat(
+      lit("4F70757348656164"), lit("01"),           // OpusHead, version 1
+      hx2(channels), leHex16(preSkip), leHex32(sampleRate),
+      lit("0000"), lit("00"))                       // gain, mapping family
+    unhex(when(codec === "opus", page(19, opusPkt))
+      .otherwise(page(30, vorbisPkt)))
+  }
+
   /** Frame sampling for video-like blobs: n equal-spaced byte windows as
     * an array<binary>; empty media yields an empty array, never a crash. */
   def frameSample(media: Column, frames: Int, frameBytes: Int = 16): Column = {

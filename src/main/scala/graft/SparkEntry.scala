@@ -1310,6 +1310,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Ogg identification-header ROUND TRIP — the audio container the
+    // WAV/MP3/FLAC decoders don't cover: a valid first page (BOS flag,
+    // one-packet segment table) is synthesized per doc alternating
+    // Vorbis and Opus; the decoder skips the page header via the
+    // segment count and dispatches the codec on first-packet magic
+    "q195_ogg_meta_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val codec = element_at(array(lit("vorbis"), lit("opus")),
+        (col("doc_id") % 2 + 1).cast("int"))
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = element_at(array(lit(8000L), lit(44100L), lit(48000L)),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val preSkip = (col("doc_id") % 1000 + 1).cast("int")
+      // blob materialized as its own projection first (the q163 lesson)
+      docs.select(col("doc_id"),
+          Multimodal.fakeOggHeader(codec, ch, rate, preSkip).as("blob"))
+        .select(col("doc_id"), Multimodal.oggMeta(col("blob")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").cast("bigint").as("channels"),
+          col("m.sample_rate_hz").as("sample_rate_hz"),
+          col("m.pre_skip_samples").cast("bigint").as("pre_skip_samples"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WebP header ROUND TRIP — q155 for the fourth dominant web
     // format: a valid WebP (RIFF) header is synthesized per doc
     // cycling the VP8 (lossy 14-bit dims) / VP8L (lossless packed
@@ -3750,6 +3774,20 @@ object SparkEntry {
         |    AS bits_per_sample,
         |  (doc_id * 977 + (doc_id % 2) * 4294967296)::BIGINT
         |    AS total_samples
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Ogg round trip: expected codec/params computed directly from
+    // doc_id (the q191 pattern); pre-skip is Opus-only by spec
+    "q195_ogg_meta_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ogg-vorbis'
+        |       ELSE 'ogg-opus' END AS format,
+        |  (doc_id % 2 + 1)::BIGINT AS channels,
+        |  list_extract([8000,44100,48000], doc_id % 3 + 1)::BIGINT
+        |    AS sample_rate_hz,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL
+        |       ELSE (doc_id % 1000 + 1) END::BIGINT AS pre_skip_samples
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

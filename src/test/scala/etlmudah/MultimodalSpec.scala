@@ -435,6 +435,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fakeOggHeader -> oggMeta round trip; hand-crafted pages incl. multi-segment and junk packets") {
+    import spark.implicits._
+    // round trip across the codec grid
+    val grid = for (codec <- Seq("vorbis", "opus"); ch <- Seq(1, 2, 8);
+                    rate <- Seq(8000L, 44100L, 48000L))
+      yield (codec, ch, rate, 312)
+    val rt = grid.toDF("codec", "ch", "rate", "skip")
+      .select(col("*"), Multimodal.oggMeta(Multimodal.fakeOggHeader(
+        col("codec"), col("ch"), col("rate"), col("skip"))).as("m"))
+      .collect()
+    rt.foreach { r =>
+      val m = r.getStruct(4)
+      assert(m.getString(0) == s"ogg-${r.getString(0)}", m.toString)
+      assert(m.getInt(1) == r.getInt(1) && m.getLong(2) == r.getLong(2))
+      if (r.getString(0) == "opus") assert(m.getInt(3) == r.getInt(3))
+      else assert(m.isNullAt(3), "pre-skip is an Opus-only field")
+    }
+    // hand-crafted: a MULTI-segment table shifts the payload — the
+    // decoder must honor n_segments, not assume one lacing byte
+    val pageHdr = "4F676753" + "00" + "02" + "00" * 8 + "00" * 4 + "00" * 4 + "00" * 4
+    val vorbisPkt = "01766F72626973" + "00000000" + "02" + "44AC0000" +
+      "00" * 12 + "B8" + "01"
+    val multiSeg = pageHdr + "03" + "1E" + "00" + "00" + vorbisPkt
+    // unknown first packet -> container recognized, fields null
+    val junkPkt = pageHdr + "01" + "04" + "DEADBEEF"
+    val cases = Seq(
+      ("multi_seg", multiSeg),
+      ("junk_packet", junkPkt),
+      ("truncated", "4F6767"),              // not even the magic
+      ("not_ogg", "52494646AABBCCDD"))
+    val out = cases.toDF("id", "hx")
+      .select(col("id"), Multimodal.oggMeta(unhex(col("hx"))).as("m"))
+      .collect().map { r =>
+        val m = r.getStruct(1)
+        r.getString(0) -> ((m.getString(0),
+          if (m.isNullAt(1)) None else Some(m.getInt(1)),
+          if (m.isNullAt(2)) None else Some(m.getLong(2))))
+      }.toMap
+    assert(out("multi_seg") == (("ogg-vorbis", Some(2), Some(44100L))),
+      s"multi_seg -> ${out("multi_seg")}")
+    assert(out("junk_packet") == (("ogg", None, None)),
+      s"junk_packet -> ${out("junk_packet")}")
+    assert(out("truncated")._1 == "unknown")
+    assert(out("not_ogg")._1 == "unknown")
+  }
+
   test("frameSample: n frames of fixed size; tiny media yields empty") {
     import spark.implicits._
     val df = Seq(("long", "x" * 100), ("tiny", "ab")).toDF("id", "text")
