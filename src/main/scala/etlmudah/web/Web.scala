@@ -137,6 +137,30 @@ object Web {
     trim(regexp_replace(nl, "\\n+", "\n"), " \n")
   }
 
+  /** Robots directives of a page: the content of its
+    * `<meta name="robots">` tag, lowercased ('' when absent) — the
+    * crawl-policy signal a compliant corpus filters on before any
+    * content processing (a `noindex` page asked not to be kept).
+    * Both attribute orders are matched (name-first and content-first;
+    * HTML attribute order is free); values must be quoted (the
+    * overwhelmingly dominant form — unquoted `content=` values are
+    * out of this regex tier's scope). Pure regexp, RE2/Java-portable. */
+  def metaRobots(html: Column): Column = {
+    val nameFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*" +
+        "\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val contentFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+        "\\bname\\s*=\\s*[\"']robots[\"']", 1)
+    lower(when(nameFirst =!= "", nameFirst).otherwise(contentFirst))
+  }
+
+  /** True when [[metaRobots]] carries a `noindex` or `none` directive
+    * (word-boundary match: `noindexing` or a `nonessential` token in a
+    * malformed value must not fire). */
+  def metaNoindex(html: Column): Column =
+    metaRobots(html).rlike("(?i)\\b(noindex|none)\\b")
+
   /** Deterministic synthetic HTML page per doc (the [[fakeUrl]] /
     * `fakeMediaHeader` precedent: the testdata carries plain text, so
     * the query tier wraps it in markup both engines can re-synthesize
@@ -144,11 +168,19 @@ object Web {
     * [[htmlToText]] pass: a style block, a script whose BODY contains
     * `<` and a fake close-tag prefix, a comment, entities of all six
     * kinds, block tags, an inline tag inside flowing text, and
-    * doubled spaces. */
-  def fakeHtml(docId: Column, text: Column): Column = {
+    * doubled spaces. The three-arg overload injects a
+    * `<meta name="robots">` tag when `robots` is non-null (the
+    * [[metaRobots]] round-trip surface). */
+  def fakeHtml(docId: Column, text: Column): Column =
+    fakeHtml(docId, text, lit(null).cast("string"))
+
+  def fakeHtml(docId: Column, text: Column, robots: Column): Column = {
     val id = docId.cast("string")
+    val meta = when(robots.isNotNull,
+      concat(lit("<meta name=\"robots\" content=\""), robots, lit("\">")))
+      .otherwise(lit(""))
     concat(
-      lit("<html><head><title>Doc "), id,
+      lit("<html><head>"), meta, lit("<title>Doc "), id,
       lit("</title><style type=\"text/css\">body { color:#333; }</style>"),
       lit("<script>var x = 1 < 2 && \"</scr\" + \"junk\";</script>"),
       lit("</head><body><!-- crawl "), id,

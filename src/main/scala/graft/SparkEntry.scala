@@ -2003,6 +2003,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // crawl-policy gate: the robots meta directives of each synthetic
+    // page (noindex/none pages asked not to be kept — the compliance
+    // filter run before any content processing); the oracle carries
+    // the CLOSED-FORM expected directives, so a green row proves the
+    // extraction (both attribute orders, case fold, word-boundary
+    // noindex test) without ever replicating the parser
+    "q196_robots_policy" -> ((s, dir) => {
+      val id = col("doc_id")
+      val robots = element_at(array(lit("noindex, follow"),
+        lit("index, follow"), lit("NONE"), lit(null).cast("string")),
+        (id % 4 + 1).cast("int"))
+      Tables.documents(s, dir)
+        .select(id, etlmudah.web.Web.fakeHtml(id, col("text"), robots)
+          .as("page"))
+        .select(id,
+          etlmudah.web.Web.metaRobots(col("page")).as("robots_directives"),
+          etlmudah.web.Web.metaNoindex(col("page")).as("noindex"))
+        .orderBy(id)
+    }),
+
     // blocklist / safety-wordlist gate (the C4 "bad words" scan):
     // per-(source, fired-term-set) doc counts and total hits; term
     // matching is case-insensitive on word boundaries, the fired set
@@ -5077,6 +5097,17 @@ object SparkEntry {
         |  '\n+', chr(10), 'g') AS h FROM s8)
         |SELECT doc_id, trim(h, ' ' || chr(10)) AS clean_text
         |FROM s9 ORDER BY doc_id""".stripMargin,
+
+    // Closed-form expected directives per doc_id — the q190 oracle
+    // style: extraction logic never replicated, only its answer
+    "q196_robots_policy" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'noindex, follow'
+        |                  WHEN 1 THEN 'index, follow'
+        |                  WHEN 2 THEN 'none' ELSE '' END AS robots_directives,
+        |  doc_id % 4 IN (0, 2) AS noindex
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // The identical (?i)\b(\Q..\E|..)\b pattern — \Q..\E literal
     // quoting and ASCII \b agree between Java regex and RE2. The

@@ -139,6 +139,28 @@ class WebSpec extends SparkSpec {
     cases.foreach { case (id, _, want) => assert(got(id) == want, s"case=$id got=[${got(id)}]") }
   }
 
+  test("metaRobots/metaNoindex: attribute orders, quoting, case, word boundaries") {
+    import spark.implicits._
+    val cases = Seq(
+      ("n1", """<meta name="robots" content="noindex, follow">""", "noindex, follow", true),
+      // content BEFORE name — attribute order is free in HTML
+      ("n2", """<meta content="NOINDEX" name="robots">""", "noindex", true),
+      ("n3", """<meta name='robots' content='none'>""", "none", true),
+      ("n4", """<meta name="robots" content="index, follow">""", "index, follow", false),
+      // word boundary: a 'noindexing' token must not fire
+      ("n5", """<meta name="robots" content="noindexing">""", "noindexing", false),
+      ("n6", """<meta name="author" content="x">""", "", false),
+      ("n7", "no meta at all", "", false),
+      // tag buried mid-document, uppercase tag/attr names
+      ("n8", """<html><head><META NAME="robots" CONTENT="NONE"></head>""", "none", true))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "h")
+      .select(col("id"), Web.metaRobots(col("h")).as("d"),
+        Web.metaNoindex(col("h")).as("ni"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    cases.foreach { case (id, _, d, ni) =>
+      assert(got(id) == ((d, ni)), s"case=$id got=${got(id)}") }
+  }
+
   test("htmlToText over fakeHtml: doc text survives verbatim inside the page") {
     val docs = Tables.documents(spark, sf0001).limit(20)
     val rows = docs.select(col("text"),
