@@ -74,10 +74,23 @@ object Writers {
     * fully-parallel exchanges for the prefix sum, then one map-side-
     * combined aggregate keyed by shard. */
   def shardManifest(df: DataFrame, keyCol: String, sizeCol: String,
-                    shardBudget: Long, buckets: Int = 0): DataFrame = {
+                    shardBudget: Long, buckets: Int = 0): DataFrame =
+    manifestOfAssigned(
+      etlmudah.scale.Sampling.shardAssign(df, keyCol, sizeCol, shardBudget,
+        buckets), keyCol, sizeCol)
+
+  /** Manifest of an ALREADY shard-assigned frame (a `shard` column
+    * present) — the shared aggregation behind [[shardManifest]],
+    * [[verifyShardedExport]]'s recompute side, and the STREAMED export
+    * ([[etlmudah.streaming.Streaming]]`.shardExportSink` output, whose
+    * shard ids are contiguous across batch partitions): same schema
+    * and checksum without re-running the prefix sum, so a stream's
+    * accumulated export carries the exact manifest its batch twin
+    * would. */
+  def manifestOfAssigned(df: DataFrame, keyCol: String,
+                         sizeCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    etlmudah.scale.Sampling.shardAssign(df, keyCol, sizeCol, shardBudget,
-        buckets)
+    df.withColumn("shard", col("shard").cast("long"))
       .groupBy(col("shard")).agg(
         count(lit(1)).as("n_docs"),
         sum(col(sizeCol).cast("long")).as("n_units"),
@@ -95,24 +108,36 @@ object Writers {
     * staged swap, so a crash leaves either the old export or the new
     * one — never a torn mix. */
   def writeShardedWithManifest(df: DataFrame, path: String, keyCol: String,
-                               sizeCol: String, shardBudget: Long): Unit = {
+                               sizeCol: String, shardBudget: Long): Unit =
+    sealAssignedExport(
+      etlmudah.scale.Sampling.shardAssign(df, keyCol, sizeCol, shardBudget),
+      path, keyCol, sizeCol)
+
+  /** Seal an ALREADY shard-assigned frame into the verifiable export
+    * layout ([[writeShardedWithManifest]]'s write half). The streaming
+    * case is the point: `Streaming.shardExportSink` accumulates
+    * batch_id-partitioned output with globally contiguous shard ids —
+    * sealing that accumulated frame re-lays it out by shard and
+    * stamps the SAME manifest its batch twin would carry, so one
+    * verification gate ([[verifyShardedExport]]) covers both paths.
+    * Extra columns (e.g. the stream's batch_id) ride along untouched. */
+  def sealAssignedExport(assigned: DataFrame, path: String, keyCol: String,
+                         sizeCol: String): Unit = {
     import org.apache.spark.sql.functions._
-    val assigned = etlmudah.scale.Sampling.shardAssign(df, keyCol, sizeCol,
-      shardBudget)
+    val a = assigned.withColumn("shard", col("shard").cast("long"))
     // staged + partitioned: write shard=N dirs under a temp root, then
     // swap the root (writeStaged's protocol with partitionBy added) —
     // one output file per shard dir via the pre-write repartition
     val tmp = path + "/data__staging"
-    assigned.repartition(col("shard")).write.mode("overwrite")
+    a.repartition(col("shard")).write.mode("overwrite")
       .partitionBy("shard").parquet(tmp)
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val conf = assigned.sparkSession.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path + "/data")
     val staging = new org.apache.hadoop.fs.Path(tmp)
     val fs = target.getFileSystem(conf)
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(staging, target)
-    writeStaged(shardManifest(df, keyCol, sizeCol, shardBudget),
-      path + "/_manifest")
+    writeStaged(manifestOfAssigned(a, keyCol, sizeCol), path + "/_manifest")
   }
 
   /** Verify a [[writeShardedWithManifest]] export: recompute every
@@ -126,17 +151,11 @@ object Writers {
   def verifyShardedExport(spark: SparkSession, path: String,
                           keyCol: String, sizeCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // partition-dir columns read back as the narrowest inferred type
-    // (INT for small shard ids) — normalize to the manifest's BIGINT
-    val recomputed = spark.read.parquet(path + "/data")
-      .withColumn("shard", col("shard").cast("long"))
-      .groupBy(col("shard")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(col(sizeCol).cast("long")).as("n_units"),
-        min(col(keyCol)).as("first_key"),
-        max(col(keyCol)).as("last_key"),
-        sum(conv(substring(md5(col(keyCol).cast("string").cast("binary")),
-          1, 12), 16, 10).cast("long")).as("id_checksum"))
+    // manifestOfAssigned normalizes the shard dtype: partition-dir
+    // columns read back as the narrowest inferred type (INT for small
+    // shard ids), the manifest stores BIGINT
+    val recomputed = manifestOfAssigned(spark.read.parquet(path + "/data"),
+      keyCol, sizeCol)
     val stored = spark.read.parquet(path + "/_manifest")
     val r = recomputed.columns.filter(_ != "shard")
       .foldLeft(recomputed)((d, c) => d.withColumnRenamed(c, s"r_$c"))

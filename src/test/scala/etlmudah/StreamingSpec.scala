@@ -904,4 +904,48 @@ class StreamingSpec extends SparkSpec {
       m.contains("empty/unparseable") && m.contains("_graft_num_buckets"))),
       torn.toString)
   }
+
+  test("streamed shard export seals into the verifiable layout; the batch manifest gate covers it") {
+    import etlmudah.sinks.Writers
+    val out = Files.createTempDirectory("stream_seal").toString
+    val src = s"$out/src"
+    spark.read.parquet(s"$sf0001/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val q = Streaming.shardExportSink(
+        Streaming.readDocuments(spark, src), "doc_id", "n_chars",
+        shardBudget = 3000L, s"$out/state", s"$out/shards", s"$out/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitDrained(q)
+    // seal the ACCUMULATED stream output into the batch export layout
+    val exp = s"$out/export"
+    Writers.sealAssignedExport(spark.read.parquet(s"$out/shards"), exp,
+      "doc_id", "n_chars")
+    // the batch gate verifies the streamed export clean
+    assert(Writers.verifyShardedExport(spark, exp, "doc_id", "n_chars")
+      .count() == 0)
+    // corpus-level integrity, ARRIVAL-ORDER INVARIANT: totals and the
+    // order-independent id-set checksum equal the source corpus's
+    val m = spark.read.parquet(s"$exp/_manifest")
+      .agg(sum("n_docs"), sum("n_units"), sum("id_checksum")).head()
+    val c = spark.read.parquet(src).agg(
+      count(lit(1)), sum(col("n_chars").cast("long")),
+      sum(conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 12), 16, 10).cast("long"))).head()
+    assert(m.getLong(0) == c.getLong(0) && m.getLong(1) == c.getLong(1) &&
+      m.getLong(2) == c.getLong(2), s"manifest $m vs corpus $c")
+    // tampering one sealed row is caught by the same gate
+    val data = spark.read.parquet(s"$exp/data").collect().toSeq
+    val schema = spark.read.parquet(s"$exp/data").schema
+    val ki = schema.fieldIndex("doc_id")
+    val tampered = data.head
+    val rest = data.tail :+ org.apache.spark.sql.Row.fromSeq(
+      tampered.toSeq.updated(ki, tampered.getAs[Long]("doc_id") + 900000L))
+    Writers.writeStaged(spark.createDataFrame(
+      spark.sparkContext.parallelize(rest, 2), schema), s"$exp/data")
+    val flagged = Writers.verifyShardedExport(spark, exp, "doc_id", "n_chars")
+      .collect()
+    assert(flagged.length >= 1 &&
+      flagged.forall(_.getString(1) == "mismatch"), flagged.mkString(","))
+  }
 }
