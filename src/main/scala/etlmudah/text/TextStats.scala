@@ -566,10 +566,13 @@ object TextStats {
     * so the policy layer can choose drop / mask / downweight and the
     * list itself can be audited.
     *
-    * Matching is case-insensitive on WORD BOUNDARIES — `\b` is an
-    * ASCII word boundary in both Java regex and RE2, so "class" can
+    * Matching is case-insensitive on WORD BOUNDARIES, so "class" can
     * never fire a blocklisted "ass" and the oracle replays the scan
-    * verbatim. Terms are regex-escaped (they are WORDS, not patterns)
+    * verbatim — with one measured seam: Java's `\b` is Unicode-aware
+    * (no boundary inside `"aé"`) while RE2's is ASCII; the engines
+    * agree wherever terms abut ASCII or true separators, i.e. on the
+    * whole oracle corpus (see [[blocklistScanLarge]]'s scaladoc).
+    * Terms are regex-escaped (they are WORDS, not patterns)
     * and matched in one alternation pass; the matched-term list is
     * lowercased then sorted so verdict text is engine-stable.
     *
@@ -605,6 +608,74 @@ object TextStats {
     array_join(array_sort(array_distinct(transform(
       regexp_extract_all(text, lit(blocklistPattern(terms)), lit(1)),
       lower(_)))), ",")
+
+  /** SCALE tier of [[blocklistScan]] for LARGE term lists. The regex
+    * tier compiles the list into one alternation — fine to ~10³ terms,
+    * but a 10⁵-term list (multilingual blocklists, merged policy
+    * sets) makes pattern compilation and per-position alternation the
+    * bottleneck. This tier is the `mapPartitions` codec shape
+    * (`compressionRatio` precedent): one lowercased HashSet per
+    * PARTITION, each row scanned once for maximal ASCII word-char runs
+    * ([A-Za-z0-9_]+ — exactly Java/RE2 `\w`), each run membership-
+    * tested — O(text + hits) per row, constant in list size.
+    *
+    * Restricted to single-word ASCII terms (`\w+`), the dominant
+    * blocklist form — under that restriction a word-boundary regex
+    * match IS a whole-token match (a `\w`-only term bounded by `\b` on
+    * both sides cannot sit inside a longer word-char run), so this
+    * tier returns BIT-IDENTICAL (id, n_hits, terms_hit) rows to
+    * [[blocklistScan]] — the equality is property-tested (including
+    * non-ASCII seams), and q197 carries q193's oracle shape against
+    * this tier to pin it cross-engine. Multi-word or metachar terms
+    * stay on the regex tier.
+    *
+    * Boundary semantics are JAVA's: Java's `\b` is Unicode-aware even
+    * with ASCII `\w` (a measured JDK asymmetry — `"aé"` has no
+    * boundary between the chars for `\b` although `\w` won't match
+    * the é), so the token scanner treats any Unicode letter/digit as
+    * a word char. RE2's `\b` is ASCII — the engines agree wherever
+    * blocklisted terms abut ASCII or true separators (all realistic
+    * text; the oracle corpus is pure ASCII), and the property test
+    * pins the Spark-side tiers equal across the seam itself. */
+  def blocklistScanLarge(df: DataFrame, textCol: String, idCol: String,
+                         terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist needs at least one term")
+    require(terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "blocklistScanLarge handles single-word ASCII terms only; " +
+        "use blocklistScan (regex tier) for phrases/metachars")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val set = terms.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val bc = spark.sparkContext.broadcast(set)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val vocab = bc.value
+        rows.map { case (id, text) =>
+          if (text == null) (id, 0L, null.asInstanceOf[String])
+          else {
+          var hits = 0L
+          var fired = Set.empty[String]
+          var i = 0
+          val n = text.length
+          while (i < n) {
+            // maximal word-char run under Java-\b semantics: any
+            // Unicode letter/digit or underscore (see scaladoc)
+            var j = i
+            while (j < n && (text.charAt(j).isLetterOrDigit ||
+              text.charAt(j) == '_')) j += 1
+            if (j > i) {
+              val w = text.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+              if (vocab.contains(w)) { hits += 1; fired += w }
+              i = j
+            } else i += 1
+          }
+          (id, hits, fired.toSeq.sorted.mkString(","))
+          }
+        }
+      }
+      .toDF("id", "n_hits", "terms_hit")
+  }
 
   /** PII redaction APPLIED (the scrub step `piiScan` diagnoses):
     * email-, phone-, and long-digit-run-shaped substrings replaced with

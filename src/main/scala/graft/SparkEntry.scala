@@ -2038,6 +2038,20 @@ object SparkEntry {
         .orderBy(col("source"), col("terms_hit"))
     }),
 
+    // the SCALE tier of q193 (mapPartitions token-set membership —
+    // O(text) per row, constant in blocklist size) producing q193's
+    // exact aggregate against q193's exact oracle: a green row pins
+    // the whole-token == word-boundary-regex equivalence cross-engine
+    "q197_blocklist_scan_large" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextStats.blocklistScanLarge(docs, "text", "doc_id",
+          Seq("spark", "slow"))
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source"), col("terms_hit"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
+        .orderBy(col("source"), col("terms_hit"))
+    }),
+
     // weighted sampling without replacement (A-Res): 50 winners by
     // ln(u)/n_chars — long docs proportionally likelier, deterministic
     "q90_weighted_sample" -> ((s, dir) =>
@@ -5109,11 +5123,29 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
-    // The identical (?i)\b(\Q..\E|..)\b pattern — \Q..\E literal
-    // quoting and ASCII \b agree between Java regex and RE2. The
-    // coalesce matches Spark's '' clean verdict: DuckDB's list chain
-    // yields NULL, not '', on the empty match list.
+    // The identical (?i)\b(\Q..\E|..)\b pattern — \Q..\E quoting is
+    // shared, and \b agrees on this pure-ASCII corpus (Java's \b is
+    // Unicode-aware, RE2's ASCII — the seam is documented at the
+    // operator and never touches ASCII text). The coalesce matches
+    // Spark's '' clean verdict: DuckDB's list chain yields NULL, not
+    // '', on the empty match list.
     "q193_blocklist_scan" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(\Qspark\E|\Qslow\E)\b', 1)) AS hits,
+        |    coalesce(array_to_string(list_sort(list_distinct(list_transform(
+        |      regexp_extract_all(text, '(?i)\b(\Qspark\E|\Qslow\E)\b', 1),
+        |      x -> lower(x)))), ','), '') AS terms_hit
+        |  FROM documents)
+        |SELECT source, terms_hit, count(*) AS n_docs,
+        |  CAST(sum(hits) AS BIGINT) AS n_hits
+        |FROM s GROUP BY source, terms_hit
+        |ORDER BY source, terms_hit""".stripMargin,
+
+    // q193's oracle verbatim: the large tier must produce the
+    // IDENTICAL aggregate (whole-token == word-boundary equivalence)
+    "q197_blocklist_scan_large" ->
       """WITH s AS (
         |  SELECT source,
         |    len(regexp_extract_all(text,

@@ -1009,4 +1009,39 @@ class TextStatsSpec extends SparkSpec {
     assert(out(4L) == ((3L, "slow,spark")), "verdict sorted + distinct")
     assert(out(5L) == ((0L, "")))
   }
+
+  test("blocklistScanLarge == regex tier on seeded random corpora incl. non-ASCII seams") {
+    import spark.implicits._
+    val terms = Seq("spark", "slow", "risk", "a1_b")
+    val words = Seq("spark", "Slow", "fast", "risk", "risky", "a1_b",
+      "data", "x9", "_lead", "SPARK")
+    // separators include a non-ASCII letter: Java/RE2 \w is ASCII-only,
+    // so 'é' splits word runs — the seam where a naive tokenizer and
+    // the regex tier could disagree
+    val seps = Seq(" ", "  ", "-", ", ", "é", ".")
+    val rnd = new scala.util.Random(4242)
+    val docs = (0L until 300L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        sb.append(words(rnd.nextInt(words.length)))
+        sb.append(seps(rnd.nextInt(seps.length)))
+      }
+      (i, sb.toString)
+    }.toDF("doc_id", "text")
+    val fast = TextStats.blocklistScanLarge(docs, "text", "doc_id", terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val regex = TextStats.blocklistScan(docs, "text", "doc_id", terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(fast.size == 300 && regex.size == 300)
+    fast.keys.foreach { id =>
+      assert(fast(id) == regex(id), s"doc $id: large=${fast(id)} regex=${regex(id)}") }
+    // phrases / metachars are explicitly refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      TextStats.blocklistScanLarge(docs, "text", "doc_id", Seq("two words"))
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.blocklistScanLarge(docs, "text", "doc_id", Seq("a+b"))
+    }
+  }
 }
