@@ -85,6 +85,99 @@ object TextStats {
           .as("score"))
   }
 
+  /** TRAIN the hashed linear quality classifier ON-ENGINE — the step
+    * [[hashedLinearScore]]'s scaladoc deferred ("a trained model drops
+    * in"): full-batch logistic regression over hash-trick token-count
+    * features, in the repo's portable discipline, so TRAINING ITSELF
+    * is oracle-checkable — every gradient is a sum of 6dp-scaled
+    * BIGINTs (order-independent, engine-exact) and every float
+    * expression tree is fixed and replayed verbatim by the SQL twin.
+    *
+    * Per step t (weights start at zero, so step 1's p = 0.5 exactly):
+    *  - z6_i = Σ_b x_ib · w6_b  (BIGINT — exact, order-free)
+    *  - p_i  = 1.0/(1.0 + exp(-(z6_i/1e6)))  (fixed tree)
+    *  - G6_b = Σ_i round(((p_i − y_i)·x_ib)·1e6)  (BIGINT)
+    *  - w6_b ← round(((w6_b/1e6) − lr·((G6_b/1e6)/n))·1e6)
+    * The w-update runs IN the engine (both engines apply their own
+    * round-to-integer to the identical double), and the only driver
+    * traffic is `steps` collects of the `buckets`-row weight frame —
+    * the BPE bounded-collect discipline.
+    *
+    * 100 TB shape: the feature table (id, y, bucket, count) is built
+    * ONCE (one map-side-combined aggregate off the token explode) and
+    * persisted; each step is a broadcast join against the
+    * `buckets`-row weight frame + two id-/bucket-keyed aggregates.
+    * Steps are sequential by nature (SGD's data dependence); cost is
+    * steps × (2 shuffles of the Heaps-ish-bounded feature table).
+    * Returns (bucket, w6, w) — w6 the 6dp-scaled BIGINT weight, `w`
+    * its exact double form. */
+  def trainHashedLogReg(df: DataFrame, textCol: String, idCol: String,
+                        labelCol: String, buckets: Int = 16,
+                        steps: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(buckets > 0 && steps > 0, "buckets and steps must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count().toDouble
+    val bucket = conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val x = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), col(labelCol).cast("int").as("y"),
+        explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), col("y"), bucket.as("b"))
+      .groupBy(col("id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("x"))
+      .persist()
+    x.count()  // materialize once; every step reuses the cached table
+    var w6 = Seq.tabulate(buckets)(b => (b.toLong, 0L))
+    for (_ <- 1 to steps) {
+      val wDf = w6.toDF("b", "w6")
+      val p = x.join(broadcast(wDf), "b")
+        .groupBy(col("id"), col("y"))
+        .agg(sum(col("x") * col("w6")).as("z6"))
+        .select(col("id"), col("y"),
+          (lit(1.0) / (lit(1.0) +
+            exp(-(col("z6").cast("double") / lit(1000000.0))))).as("p"))
+      val g = x.join(p.select(col("id"), col("p")), "id")
+        .groupBy(col("b"))
+        .agg(sum(round((col("p") - col("y")) * col("x") * lit(1000000.0))
+          .cast("long")).as("g6"))
+      // the update math runs IN the engine so both engines apply their
+      // own round-to-integer to the identical IEEE double; the driver
+      // only ferries the bounded (b, w6) rows between steps
+      w6 = wDf.join(g, Seq("b"), "left_outer")
+        .select(col("b"),
+          round((col("w6").cast("double") / lit(1000000.0) -
+            lit(lr) * ((coalesce(col("g6"), lit(0L)).cast("double") /
+              lit(1000000.0)) / lit(n))) * lit(1000000.0))
+            .cast("long").as("w6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    }
+    x.unpersist()
+    w6.toDF("bucket", "w6")
+      .select(col("bucket"), col("w6"),
+        (col("w6").cast("double") / lit(1000000.0)).as("w"))
+  }
+
+  /** Score documents with a TRAINED (bucket, w6) weight table — the
+    * consume half of [[trainHashedLogReg]], riding
+    * [[hashedLinearScore]]'s exact movement with the md5-lattice
+    * expression swapped for the broadcast weight frame:
+    * score = round((Σ_b x_b·w6_b)/1e6/n_tokens, 6). */
+  def scoreWithWeights(df: DataFrame, textCol: String, idCol: String,
+                       weights: DataFrame, buckets: Int = 16): DataFrame = {
+    val bucket = conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+    df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), bucket.as("b"))
+      .join(broadcast(weights.select(col("bucket").as("b"), col("w6"))), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w6")).as("wsum6"))
+      .select(col("id"), col("n_tokens"),
+        round(col("wsum6").cast("double") / lit(1000000.0) /
+          col("n_tokens"), 6).as("score"))
+  }
+
   /** Punctuation density: punct chars / total chars. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

@@ -2038,6 +2038,39 @@ object SparkEntry {
         .orderBy(col("source"), col("terms_hit"))
     }),
 
+    // ON-ENGINE CLASSIFIER TRAINING, oracle-checked: 3 full-batch
+    // logistic-regression steps over hash-trick token features with
+    // every gradient a 6dp-scaled BIGINT sum and every float tree
+    // fixed — the oracle replays the ENTIRE training loop (w0=0 ->
+    // p=0.5 -> gradient -> update, x3) and must land on bit-identical
+    // weights; labels are the deterministic contains('spark') rule
+    "q198_hashed_lr_train" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("y", col("text").contains("spark").cast("int"))
+      TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
+          buckets = 16, steps = 3, lr = 1.0)
+        .orderBy(col("bucket"))
+    }),
+
+    // the trained model CONSUMED (hashedLinearScore's promised
+    // "trained model drops in"): q198's weights score every doc; the
+    // per-label min/max of the 6dp scores are order statistics (exact
+    // cross-engine, the q182 discipline) and show the separation the
+    // 3 steps learned
+    "q199_lr_train_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("y", col("text").contains("spark").cast("int"))
+      val w = TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
+        buckets = 16, steps = 3, lr = 1.0)
+      TextStats.scoreWithWeights(docs, "text", "doc_id", w, buckets = 16)
+        .join(docs.select(col("doc_id").as("id"), col("y")), Seq("id"))
+        .groupBy(col("y")).agg(
+          count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("y"))
+    }),
+
     // the SCALE tier of q193 (mapPartitions token-set membership —
     // O(text) per row, constant in blocklist size) producing q193's
     // exact aggregate against q193's exact oracle: a green row pins
@@ -5142,6 +5175,132 @@ object SparkEntry {
         |  CAST(sum(hits) AS BIGINT) AS n_hits
         |FROM s GROUP BY source, terms_hit
         |ORDER BY source, terms_hit""".stripMargin,
+
+    // The full 3-step training loop replayed: z (BIGINT), p (fixed
+    // float tree), gradient (round to 6dp-scaled BIGINT), update
+    // (both engines round-to-integer the identical double). A hash
+    // match means DuckDB re-trained the model to the same weights.
+    "q198_hashed_lr_train" ->
+      """WITH yl AS (SELECT doc_id,
+        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |x AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 16 AS b,
+        |    count(*)::BIGINT AS x
+        |  FROM tok GROUP BY 1, 2),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
+        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
+        |p1 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
+        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g1 AS (SELECT x.b,
+        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
+        |w1 AS (SELECT bl.b,
+        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
+        |      1.0 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
+        |p2 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
+        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g2 AS (SELECT x.b,
+        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
+        |w2 AS (SELECT bl.b,
+        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
+        |      1.0 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
+        |p3 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
+        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g3 AS (SELECT x.b,
+        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
+        |w3 AS (SELECT bl.b,
+        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
+        |      1.0 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b))
+        |SELECT b AS bucket, w6, w6::DOUBLE / 1000000.0 AS w
+        |FROM w3 ORDER BY bucket""".stripMargin,
+
+    // q198's ladder + the scoring join; min/max are order statistics
+    // of the 6dp scores, so the report is exact cross-engine
+    "q199_lr_train_score" ->
+      """WITH yl AS (SELECT doc_id,
+        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |x AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 16 AS b,
+        |    count(*)::BIGINT AS x
+        |  FROM tok GROUP BY 1, 2),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
+        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
+        |p1 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
+        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g1 AS (SELECT x.b,
+        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
+        |w1 AS (SELECT bl.b,
+        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
+        |      1.0 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
+        |p2 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
+        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g2 AS (SELECT x.b,
+        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
+        |w2 AS (SELECT bl.b,
+        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
+        |      1.0 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
+        |p3 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
+        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g3 AS (SELECT x.b,
+        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
+        |w3 AS (SELECT bl.b,
+        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
+        |      1.0 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
+        |sc AS (SELECT x.doc_id, sum(x.x)::BIGINT AS n_tokens,
+        |    sum(x.x * w3.w6)::BIGINT AS wsum6
+        |  FROM x JOIN w3 USING (b) GROUP BY 1)
+        |SELECT yl.y, count(*) AS n_docs,
+        |  min(round(sc.wsum6::DOUBLE / 1000000.0 / sc.n_tokens, 6))
+        |    AS min_score,
+        |  max(round(sc.wsum6::DOUBLE / 1000000.0 / sc.n_tokens, 6))
+        |    AS max_score
+        |FROM sc JOIN yl USING (doc_id)
+        |GROUP BY 1 ORDER BY y""".stripMargin,
 
     // q193's oracle verbatim: the large tier must produce the
     // IDENTICAL aggregate (whole-token == word-boundary equivalence)

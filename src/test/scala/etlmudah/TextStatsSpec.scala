@@ -1044,4 +1044,77 @@ class TextStatsSpec extends SparkSpec {
       TextStats.blocklistScanLarge(docs, "text", "doc_id", Seq("a+b"))
     }
   }
+
+  test("trainHashedLogReg: matches a serial local replay bit-for-bit; learns separation; deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 1, "good clean prose here good"),
+      (2L, 1, "good text good prose clean"),
+      (3L, 1, "clean good words prose"),
+      (4L, 0, "junk garbage noise junk junk"),
+      (5L, 0, "noise garbage junk noise"),
+      (6L, 0, "garbage noise junk words"))
+      .toDF("doc_id", "y", "text")
+    val buckets = 8; val steps = 3; val lr = 1.0
+    val got = TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
+        buckets, steps, lr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // serial replay of the EXACT arithmetic on the driver
+    def bucketOf(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val rows = Seq(
+      (1L, 1, "good clean prose here good"),
+      (2L, 1, "good text good prose clean"),
+      (3L, 1, "clean good words prose"),
+      (4L, 0, "junk garbage noise junk junk"),
+      (5L, 0, "noise garbage junk noise"),
+      (6L, 0, "garbage noise junk words"))
+    val x: Map[(Long, Long), Long] = rows.flatMap { case (id, _, t) =>
+      t.trim.split("\\s+").toSeq.map(tok => (id, bucketOf(tok)))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val yOf = rows.map(r => r._1 -> r._2).toMap
+    val n = rows.size.toDouble
+    var w6 = Array.fill[Long](buckets)(0L)
+    for (_ <- 1 to steps) {
+      val g6 = Array.fill[Long](buckets)(0L)
+      rows.foreach { case (id, y, _) =>
+        val z6 = (0 until buckets).map(b =>
+          x.getOrElse((id, b.toLong), 0L) * w6(b)).sum
+        val p = 1.0 / (1.0 + math.exp(-(z6.toDouble / 1000000.0)))
+        (0 until buckets).foreach { b =>
+          val xv = x.getOrElse((id, b.toLong), 0L)
+          if (xv != 0L)
+            g6(b) += java.math.BigDecimal.valueOf((p - y) * xv * 1000000.0)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        }
+      }
+      w6 = Array.tabulate(buckets) { b =>
+        val v = (w6(b).toDouble / 1000000.0 -
+          lr * ((g6(b).toDouble / 1000000.0) / n)) * 1000000.0
+        java.math.BigDecimal.valueOf(v)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      }
+    }
+    (0 until buckets).foreach { b =>
+      assert(got(b.toLong) == w6(b), s"bucket $b: spark=${got(b.toLong)} local=${w6(b)}") }
+
+    // the trained model separates the classes
+    val w = TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
+      buckets, steps, lr)
+    val scored = TextStats.scoreWithWeights(docs, "text", "doc_id", w, buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val good = Seq(1L, 2L, 3L).map(scored)
+    val bad = Seq(4L, 5L, 6L).map(scored)
+    assert(good.min > bad.max,
+      s"no separation learned: good=$good bad=$bad")
+    // determinism across runs
+    val again = TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
+        buckets, steps, lr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again)
+  }
 }
