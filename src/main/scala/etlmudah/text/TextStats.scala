@@ -113,7 +113,26 @@ object TextStats {
     * its exact double form. */
   def trainHashedLogReg(df: DataFrame, textCol: String, idCol: String,
                         labelCol: String, buckets: Int = 16,
-                        steps: Int = 3, lr: Double = 1.0): DataFrame = {
+                        steps: Int = 3, lr: Double = 1.0): DataFrame =
+    trainHashedLogRegCore(df, textCol, idCol, labelCol, buckets, steps,
+      lr, withLoss = false)._1
+
+  /** Per-step training LOSS CURVE of [[trainHashedLogReg]] — the
+    * convergence diagnostic, in the same exact discipline: each step's
+    * total cross-entropy is a sum of 6dp-scaled per-document BIGINT
+    * losses (order-independent, SQL-replayable). Row `t` (1-based) is
+    * the loss AT the weights entering step t, plus a final row at
+    * `steps + 1` for the trained weights — so a healthy run shows the
+    * column strictly falling. Returns (step, loss6, loss). */
+  def trainHashedLogRegLoss(df: DataFrame, textCol: String, idCol: String,
+                            labelCol: String, buckets: Int = 16,
+                            steps: Int = 3, lr: Double = 1.0): DataFrame =
+    trainHashedLogRegCore(df, textCol, idCol, labelCol, buckets, steps,
+      lr, withLoss = true)._2
+
+  private def trainHashedLogRegCore(df: DataFrame, textCol: String,
+      idCol: String, labelCol: String, buckets: Int, steps: Int,
+      lr: Double, withLoss: Boolean): (DataFrame, DataFrame) = {
     require(buckets > 0 && steps > 0, "buckets and steps must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -128,15 +147,30 @@ object TextStats {
       .agg(count(lit(1)).as("x"))
       .persist()
     x.count()  // materialize once; every step reuses the cached table
-    var w6 = Seq.tabulate(buckets)(b => (b.toLong, 0L))
-    for (_ <- 1 to steps) {
-      val wDf = w6.toDF("b", "w6")
-      val p = x.join(broadcast(wDf), "b")
+    def pFrame(w6: Seq[(Long, Long)]): DataFrame =
+      x.join(broadcast(w6.toDF("b", "w6")), "b")
         .groupBy(col("id"), col("y"))
         .agg(sum(col("x") * col("w6")).as("z6"))
         .select(col("id"), col("y"),
           (lit(1.0) / (lit(1.0) +
             exp(-(col("z6").cast("double") / lit(1000000.0))))).as("p"))
+    // cross-entropy as a 6dp-scaled BIGINT sum: -(y·ln p + (1−y)·ln(1−p)).
+    // p is CLAMPED to [1e-9, 1 − 1e-9] first: a saturated sigmoid hits
+    // 1.0 exactly (exp underflow), where ln(1−p) is null in Spark but an
+    // ERROR in strict engines — the clamp keeps the expression total and
+    // the clamped tree replays identically (caps per-doc loss at ~20.7)
+    def loss6(p: DataFrame): Long = {
+      val pc = least(greatest(col("p"), lit(1.0e-9)),
+        lit(1.0) - lit(1.0e-9))
+      p.agg(sum(round(-(col("y") * log(pc) +
+          (lit(1) - col("y")) * log(lit(1.0) - pc)) * lit(1000000.0))
+        .cast("long")).as("l6")).head().getLong(0)
+    }
+    var w6 = Seq.tabulate(buckets)(b => (b.toLong, 0L))
+    val losses = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    for (t <- 1 to steps) {
+      val p = pFrame(w6)
+      if (withLoss) losses += ((t, loss6(p)))
       val g = x.join(p.select(col("id"), col("p")), "id")
         .groupBy(col("b"))
         .agg(sum(round((col("p") - col("y")) * col("x") * lit(1000000.0))
@@ -144,7 +178,7 @@ object TextStats {
       // the update math runs IN the engine so both engines apply their
       // own round-to-integer to the identical IEEE double; the driver
       // only ferries the bounded (b, w6) rows between steps
-      w6 = wDf.join(g, Seq("b"), "left_outer")
+      w6 = w6.toDF("b", "w6").join(g, Seq("b"), "left_outer")
         .select(col("b"),
           round((col("w6").cast("double") / lit(1000000.0) -
             lit(lr) * ((coalesce(col("g6"), lit(0L)).cast("double") /
@@ -152,10 +186,15 @@ object TextStats {
             .cast("long").as("w6"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     }
+    if (withLoss) losses += ((steps + 1, loss6(pFrame(w6))))
     x.unpersist()
-    w6.toDF("bucket", "w6")
+    val weights = w6.toDF("bucket", "w6")
       .select(col("bucket"), col("w6"),
         (col("w6").cast("double") / lit(1000000.0)).as("w"))
+    val history = losses.toSeq.toDF("step", "loss6")
+      .select(col("step"), col("loss6"),
+        (col("loss6").cast("double") / lit(1000000.0)).as("loss"))
+    (weights, history)
   }
 
   /** Score documents with a TRAINED (bucket, w6) weight table — the

@@ -2048,7 +2048,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .withColumn("y", col("text").contains("spark").cast("int"))
       TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
-          buckets = 16, steps = 3, lr = 1.0)
+          buckets = 16, steps = 3, lr = 0.02)
         .orderBy(col("bucket"))
     }),
 
@@ -2061,7 +2061,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .withColumn("y", col("text").contains("spark").cast("int"))
       val w = TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
-        buckets = 16, steps = 3, lr = 1.0)
+        buckets = 16, steps = 3, lr = 0.02)
       TextStats.scoreWithWeights(docs, "text", "doc_id", w, buckets = 16)
         .join(docs.select(col("doc_id").as("id"), col("y")), Seq("id"))
         .groupBy(col("y")).agg(
@@ -2069,6 +2069,18 @@ object SparkEntry {
           min(col("score")).as("min_score"),
           max(col("score")).as("max_score"))
         .orderBy(col("y"))
+    }),
+
+    // q198's convergence DIAGNOSTIC: per-step total cross-entropy as a
+    // 6dp-scaled BIGINT sum (order-independent), one row per step plus
+    // the trained-weights row — the oracle replays the ladder and the
+    // loss expression, so even "is the loss falling" is hash-checked
+    "q200_lr_loss_curve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("y", col("text").contains("spark").cast("int"))
+      TextStats.trainHashedLogRegLoss(docs, "text", "doc_id", "y",
+          buckets = 16, steps = 3, lr = 0.02)
+        .orderBy(col("step"))
     }),
 
     // the SCALE tier of q193 (mapPartitions token-set membership —
@@ -5204,7 +5216,7 @@ object SparkEntry {
         |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
         |w1 AS (SELECT bl.b,
         |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
-        |      1.0 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
+        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
         |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
         |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
         |p2 AS (SELECT z.doc_id, yl.y,
@@ -5217,7 +5229,7 @@ object SparkEntry {
         |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
         |w2 AS (SELECT bl.b,
         |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
-        |      1.0 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
+        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
         |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
         |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
         |p3 AS (SELECT z.doc_id, yl.y,
@@ -5230,11 +5242,99 @@ object SparkEntry {
         |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
         |w3 AS (SELECT bl.b,
         |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
-        |      1.0 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
+        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
         |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
         |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b))
         |SELECT b AS bucket, w6, w6::DOUBLE / 1000000.0 AS w
         |FROM w3 ORDER BY bucket""".stripMargin,
+
+    // q198's ladder + per-step loss rows; ln/exp trees fixed, the
+    // per-doc losses rounded to 6dp-scaled BIGINTs before summing
+    "q200_lr_loss_curve" ->
+      """WITH yl AS (SELECT doc_id,
+        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |x AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 16 AS b,
+        |    count(*)::BIGINT AS x
+        |  FROM tok GROUP BY 1, 2),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
+        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
+        |p1 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
+        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g1 AS (SELECT x.b,
+        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
+        |w1 AS (SELECT bl.b,
+        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
+        |p2 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
+        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g2 AS (SELECT x.b,
+        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
+        |w2 AS (SELECT bl.b,
+        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
+        |p3 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
+        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g3 AS (SELECT x.b,
+        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
+        |w3 AS (SELECT bl.b,
+        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
+        |p4 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w3.w6)::BIGINT AS z6
+        |        FROM x JOIN w3 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |ls AS (
+        |  SELECT 1 AS step, sum(round(-(p1.y *
+        |    ln(least(greatest(p1.p, 1e-9), 1.0 - 1e-9)) +
+        |    (1 - p1.y) * ln(1.0 -
+        |    least(greatest(p1.p, 1e-9), 1.0 - 1e-9)))
+        |    * 1000000.0))::BIGINT AS loss6
+        |  FROM p1
+        |  UNION ALL
+        |  SELECT 2, sum(round(-(p2.y *
+        |    ln(least(greatest(p2.p, 1e-9), 1.0 - 1e-9)) +
+        |    (1 - p2.y) * ln(1.0 -
+        |    least(greatest(p2.p, 1e-9), 1.0 - 1e-9)))
+        |    * 1000000.0))::BIGINT FROM p2
+        |  UNION ALL
+        |  SELECT 3, sum(round(-(p3.y *
+        |    ln(least(greatest(p3.p, 1e-9), 1.0 - 1e-9)) +
+        |    (1 - p3.y) * ln(1.0 -
+        |    least(greatest(p3.p, 1e-9), 1.0 - 1e-9)))
+        |    * 1000000.0))::BIGINT FROM p3
+        |  UNION ALL
+        |  SELECT 4, sum(round(-(p4.y *
+        |    ln(least(greatest(p4.p, 1e-9), 1.0 - 1e-9)) +
+        |    (1 - p4.y) * ln(1.0 -
+        |    least(greatest(p4.p, 1e-9), 1.0 - 1e-9)))
+        |    * 1000000.0))::BIGINT FROM p4)
+        |SELECT step, loss6, loss6::DOUBLE / 1000000.0 AS loss
+        |FROM ls ORDER BY step""".stripMargin,
 
     // q198's ladder + the scoring join; min/max are order statistics
     // of the 6dp scores, so the report is exact cross-engine
@@ -5262,7 +5362,7 @@ object SparkEntry {
         |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
         |w1 AS (SELECT bl.b,
         |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
-        |      1.0 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
+        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
         |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
         |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
         |p2 AS (SELECT z.doc_id, yl.y,
@@ -5275,7 +5375,7 @@ object SparkEntry {
         |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
         |w2 AS (SELECT bl.b,
         |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
-        |      1.0 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
+        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
         |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
         |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
         |p3 AS (SELECT z.doc_id, yl.y,
@@ -5288,7 +5388,7 @@ object SparkEntry {
         |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
         |w3 AS (SELECT bl.b,
         |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
-        |      1.0 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
+        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
         |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
         |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
         |sc AS (SELECT x.doc_id, sum(x.x)::BIGINT AS n_tokens,

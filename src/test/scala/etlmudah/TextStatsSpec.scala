@@ -1116,5 +1116,18 @@ class TextStatsSpec extends SparkSpec {
         buckets, steps, lr)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == again)
+
+    // the loss curve strictly falls on this separable corpus, starting
+    // from the exact w=0 loss n·ln 2 (p = 0.5 for every doc)
+    val curve = TextStats.trainHashedLogRegLoss(docs, "text", "doc_id", "y",
+        buckets, steps, lr)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    val ln2PerDoc = java.math.BigDecimal.valueOf(math.log(2.0) * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    assert(curve.head._2 == 6L * ln2PerDoc, s"step-1 loss ${curve.head._2}")
+    curve.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b < a, s"loss must fall: $a -> $b") }
   }
 }
