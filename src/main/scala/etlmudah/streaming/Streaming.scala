@@ -400,7 +400,8 @@ object Streaming {
   def qualityGateSink(docs: DataFrame, keepPath: String, rejectPath: String,
                       checkpoint: String, textCol: String = "text",
                       idCol: String = "doc_id", minScore: Double = 0.0,
-                      buckets: Int = 1024, salt: String = "q"):
+                      buckets: Int = 1024, salt: String = "q",
+                      trainedWeights: Option[DataFrame] = None):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -410,8 +411,14 @@ object Streaming {
           .withColumn("clean_text", TextStats.cleanText(col(textCol)))
           .persist()
         try {
-          val scored = TextStats.hashedLinearScore(
-              b, "clean_text", idCol, buckets, salt)
+          // the scaladoc's promised model swap made concrete: a TRAINED
+          // (bucket, w6) frame (trainHashedLogReg output) replaces the
+          // md5-lattice expression on the identical movement — train
+          // offline on the standing corpus, deploy on the live gate
+          val scored = trainedWeights.fold(
+              TextStats.hashedLinearScore(b, "clean_text", idCol, buckets,
+                salt))(w =>
+              TextStats.scoreWithWeights(b, "clean_text", idCol, w, buckets))
             .select(col("id").as(idCol), col("score"))
             .localCheckpoint(true)   // feeds the keep AND reject splits
           // LEFT join: a null-text document produces no score row (the

@@ -652,6 +652,54 @@ class StreamingSpec extends SparkSpec {
     assert(k2 == k1 && r2 == r1)
   }
 
+  test("qualityGateSink with TRAINED weights: train offline, deploy on the live gate") {
+    import etlmudah.text.TextStats
+    val out = Files.createTempDirectory("stream_qgate_w").toString
+    val src = s"$out/src"
+    import spark.implicits._
+    // offline training corpus: 'store'-flavored docs are the positives
+    val corpus = Seq(
+      (1L, 1, "row store column store scan filter join store"),
+      (2L, 1, "store exchange store aggregate store sort"),
+      (3L, 0, "alpha beta gamma delta epsilon zeta"),
+      (4L, 0, "lambda mu nu xi omicron pi rho"))
+      .toDF("doc_id", "y", "text")
+    val buckets = 16
+    val w = TextStats.trainHashedLogReg(corpus, "text", "doc_id", "y",
+      buckets, steps = 3, lr = 0.5)
+    // live stream: unseen docs of both flavors
+    val live = Seq(
+      (10L, "store scan store filter store join", "en", "s", 10L),
+      (11L, "sigma tau upsilon phi chi psi", "en", "s", 10L),
+      (12L, "store store aggregate exchange", "en", "s", 10L),
+      (13L, "beta gamma delta epsilon", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    stageParquet(live, src, "f1.parquet")
+    val expected = TextStats.scoreWithWeights(
+        spark.read.parquet(src).withColumn("clean_text",
+          TextStats.cleanText(col("text"))),
+        "clean_text", "doc_id", w, buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val q = Streaming.qualityGateSink(
+        Streaming.readDocuments(spark, src), s"$out/keep", s"$out/reject",
+        s"$out/cp", minScore = 0.0, buckets = buckets,
+        trainedWeights = Some(w))
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDrained(q)
+    val kept = spark.read.parquet(s"$out/keep")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rejected = spark.read.parquet(s"$out/reject")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the trained gate keeps exactly the positive-flavored unseen docs,
+    // with scores identical to the batch scoreWithWeights computation
+    assert(kept.keySet == Set(10L, 12L), kept.toString)
+    assert(rejected.keySet == Set(11L, 13L), rejected.toString)
+    (kept ++ rejected).foreach { case (id, s) =>
+      assert(s == expected(id), s"doc $id: stream=$s batch=${expected(id)}") }
+  }
+
   test("decontaminationSink: verdicts independent of batch arrival order (ref-side df cap)") {
     import etlmudah.scale.Dedup
     // the same four docs arrive as (A,B) then (C,D) in one run and as
