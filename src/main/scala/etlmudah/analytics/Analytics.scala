@@ -465,4 +465,45 @@ object Analytics {
         round((col("cnt") - mean) / sqrt(variance), 4).as("z"))
       .orderBy(col(keyCol), col("hour_us"))
   }
+
+  /** EXACT ROC AUC for a binary classifier — the Mann–Whitney U form
+    * with average-rank tie handling, computed entirely in integer
+    * arithmetic until ONE final division:
+    *
+    *   AUC = (S − n₁(n₁+1)) / (2·n₁·n₀),
+    *   S   = Σ_s n₁(s) · (2·cum_below(s) + n(s) + 1)
+    *
+    * over the per-DISTINCT-SCORE aggregated frame (n(s) docs, n₁(s)
+    * positives, cum_below(s) docs with strictly smaller score). S is
+    * a BIGINT sum, so the metric is order-independent and replays
+    * bit-for-bit in any engine — the eval-metric twin of the
+    * engine's portable-training discipline.
+    *
+    * The ranking window is partition-less but runs over the DISTINCT
+    * SCORE frame, which for the engine's 6dp-rounded scores is
+    * value-bounded (≤ 2·10⁶+1 rows for scores in [−1,1]) regardless
+    * of corpus size — the q06 aggregate-then-window pattern, never a
+    * corpus-sized global sort. Degenerate single-class input yields a
+    * null AUC (0/0), not a crash. Returns one row
+    * (n_pos, n_neg, auc). */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n1"))
+    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore
+      .withColumn("cum_below", coalesce(sum(col("n")).over(w), lit(0L)))
+    ranked.agg(
+        sum(col("n1")).as("n_pos"),
+        (sum(col("n")) - sum(col("n1"))).as("n_neg"),
+        sum(col("n1") * (lit(2) * col("cum_below") + col("n") + lit(1)))
+          .as("s_sum"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("s_sum") - col("n_pos") * (col("n_pos") + lit(1)))
+            .cast("double") /
+            (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")), 6))
+          .as("auc"))
+  }
 }

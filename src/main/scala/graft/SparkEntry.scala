@@ -2071,6 +2071,31 @@ object SparkEntry {
         .orderBy(col("y"))
     }),
 
+    // EXACT model evaluation: Mann–Whitney AUC (average-rank ties,
+    // BIGINT rank sums, one final division) of the trained q198 model
+    // vs the untrained md5-lattice baseline on the same labels — the
+    // eval metric itself is oracle-checked, and the row pair SHOWS the
+    // training lifted AUC above the unsupervised baseline
+    "q201_model_auc_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("y", col("text").contains("spark").cast("int"))
+      val labels = docs.select(col("doc_id").as("id"), col("y"))
+      val w = TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
+        buckets = 16, steps = 3, lr = 0.02)
+      val trained = TextStats.scoreWithWeights(docs, "text", "doc_id", w,
+          buckets = 16)
+        .join(labels, Seq("id"))
+      val baseline = TextStats.hashedLinearScore(docs, "text", "doc_id")
+        .join(labels, Seq("id"))
+      Analytics.binaryAuc(trained, "score", "y")
+        .select(lit("trained").as("model"), col("n_pos"), col("n_neg"),
+          col("auc"))
+        .unionByName(Analytics.binaryAuc(baseline, "score", "y")
+          .select(lit("untrained").as("model"), col("n_pos"), col("n_neg"),
+            col("auc")))
+        .orderBy(col("model"))
+    }),
+
     // q198's convergence DIAGNOSTIC: per-step total cross-entropy as a
     // 6dp-scaled BIGINT sum (order-independent), one row per step plus
     // the trained-weights row — the oracle replays the ladder and the
@@ -5247,6 +5272,104 @@ object SparkEntry {
         |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b))
         |SELECT b AS bucket, w6, w6::DOUBLE / 1000000.0 AS w
         |FROM w3 ORDER BY bucket""".stripMargin,
+
+    // q198's ladder -> trained scores -> the integer AUC formula,
+    // plus q180's scorer through the SAME formula; ranks derive from
+    // cumulative counts over the distinct-score frame
+    "q201_model_auc_eval" ->
+      """WITH yl AS (SELECT doc_id,
+        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |x AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 16 AS b,
+        |    count(*)::BIGINT AS x
+        |  FROM tok GROUP BY 1, 2),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
+        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
+        |p1 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
+        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g1 AS (SELECT x.b,
+        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
+        |w1 AS (SELECT bl.b,
+        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
+        |p2 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
+        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g2 AS (SELECT x.b,
+        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
+        |w2 AS (SELECT bl.b,
+        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
+        |p3 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
+        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g3 AS (SELECT x.b,
+        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
+        |w3 AS (SELECT bl.b,
+        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
+        |sct AS (SELECT x.doc_id,
+        |    round(sum(x.x * w3.w6)::DOUBLE / 1000000.0 /
+        |      sum(x.x)::BIGINT, 6) AS score
+        |  FROM x JOIN w3 USING (b) GROUP BY 1),
+        |scu AS (SELECT doc_id, count(*) AS n_tokens,
+        |    round(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2001 - 1000)::DOUBLE / (count(*) * 1000.0), 6) AS score
+        |  FROM tok GROUP BY doc_id),
+        |pert AS (SELECT sct.score AS s, count(*)::BIGINT AS n,
+        |    sum(yl.y)::BIGINT AS n1
+        |  FROM sct JOIN yl USING (doc_id) GROUP BY 1),
+        |rkt AS (SELECT s, n, n1, coalesce(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS cb FROM pert),
+        |aggt AS (SELECT sum(n1)::BIGINT AS n_pos,
+        |    (sum(n) - sum(n1))::BIGINT AS n_neg,
+        |    sum(n1 * (2 * cb + n + 1))::BIGINT AS s_sum FROM rkt),
+        |peru AS (SELECT scu.score AS s, count(*)::BIGINT AS n,
+        |    sum(yl.y)::BIGINT AS n1
+        |  FROM scu JOIN yl USING (doc_id) GROUP BY 1),
+        |rku AS (SELECT s, n, n1, coalesce(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS cb FROM peru),
+        |aggu AS (SELECT sum(n1)::BIGINT AS n_pos,
+        |    (sum(n) - sum(n1))::BIGINT AS n_neg,
+        |    sum(n1 * (2 * cb + n + 1))::BIGINT AS s_sum FROM rku)
+        |SELECT * FROM (
+        |  SELECT 'trained' AS model, n_pos, n_neg,
+        |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |      round((s_sum - n_pos * (n_pos + 1))::DOUBLE /
+        |        (2.0 * (n_pos * n_neg)::DOUBLE), 6) END AS auc
+        |  FROM aggt
+        |  UNION ALL
+        |  SELECT 'untrained', n_pos, n_neg,
+        |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |      round((s_sum - n_pos * (n_pos + 1))::DOUBLE /
+        |        (2.0 * (n_pos * n_neg)::DOUBLE), 6) END
+        |  FROM aggu)
+        |ORDER BY model""".stripMargin,
 
     // q198's ladder + per-step loss rows; ln/exp trees fixed, the
     // per-doc losses rounded to 6dp-scaled BIGINTs before summing

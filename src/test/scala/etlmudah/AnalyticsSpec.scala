@@ -312,4 +312,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(outage.length == 1, out.mkString(","))
     assert(outage.head._3 < -3.0, s"outage z ${outage.head._3}")
   }
+
+  test("binaryAuc: textbook values, average-rank ties, degenerate single class") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Int)]): Option[Double] = {
+      val r = Analytics.binaryAuc(rows.toDF("score", "y"), "score", "y")
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    // perfect separation
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))).contains(1.0))
+    // perfect inversion
+    assert(auc(Seq((0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0))).contains(0.0))
+    // hand computation: scores 0.1(y0) 0.4(y1) 0.35(y0) 0.8(y1) ->
+    // one discordant-free? pairs: (0.4>0.1 ok)(0.4>0.35 ok)(0.8>..)
+    // pos scores {0.4, 0.8}, neg {0.1, 0.35}: all 4 pairs concordant
+    assert(auc(Seq((0.1, 0), (0.4, 1), (0.35, 0), (0.8, 1))).contains(1.0))
+    // one discordant pair of four: AUC = 3/4
+    assert(auc(Seq((0.1, 0), (0.4, 1), (0.5, 0), (0.8, 1))).contains(0.75))
+    // TIES take half credit: pos and neg share score 0.5 ->
+    // pairs: (0.5 vs 0.1)=1, (0.5 vs 0.5)=0.5 -> AUC = 0.75
+    assert(auc(Seq((0.1, 0), (0.5, 0), (0.5, 1), (0.9, 0))).contains(0.5))
+    // recompute that one by hand: pos={0.5}, neg={0.1,0.5,0.9}:
+    // vs 0.1 -> 1, vs 0.5 -> 0.5, vs 0.9 -> 0 => (1+0.5+0)/3 = 0.5
+    // all-one-class inputs yield null, not a crash
+    assert(auc(Seq((0.3, 1), (0.7, 1))).isEmpty)
+    assert(auc(Seq((0.3, 0), (0.7, 0))).isEmpty)
+  }
 }
