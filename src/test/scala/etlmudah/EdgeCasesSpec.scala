@@ -381,6 +381,48 @@ class EdgeCasesSpec extends SparkSpec {
     assert(sc.length == 1 && sc.head.getLong(1) == 1L)
   }
 
+  test("round-8 web/media/export/train operators tolerate empty and degenerate input") {
+    import etlmudah.web.Web
+    import etlmudah.sinks.Writers
+    import etlmudah.multimodal.Multimodal
+    // htmlToText: empty, whitespace-only, entity-only, tag-only
+    val h = Seq(("e", ""), ("w", "   "), ("t", "<p></p><div></div>"),
+      ("a", "&amp;&lt;&gt;"))
+      .toDF("id", "h")
+      .select(col("id"), Web.htmlToText(col("h")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(h("e") == "" && h("w") == "" && h("t") == "")
+    assert(h("a") == "&<>")
+    // metaRobots on empty input
+    assert(Seq("").toDF("h").select(Web.metaRobots(col("h")))
+      .collect().head.getString(0) == "")
+    // blocklist tiers on an empty corpus
+    assert(TextStats.blocklistScan(emptyDocs, "text", "doc_id",
+      Seq("x")).count() == 0)
+    assert(TextStats.blocklistScanLarge(emptyDocs, "text", "doc_id",
+      Seq("x")).count() == 0)
+    // shard manifest of an empty frame: zero rows, and the assigned-
+    // frame manifest likewise
+    val emptySized = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
+    assert(Writers.shardManifest(emptySized, "doc_id", "n_chars",
+      100L).count() == 0)
+    // oggMeta on empty binary
+    val ogg = Seq(Array.empty[Byte]).toDF("m")
+      .select(Multimodal.oggMeta(col("m")).as("x")).collect().head.getStruct(0)
+    assert(ogg.getString(0) == "unknown")
+    // LR training on a single-class corpus: still converges to finite
+    // weights (all-zero gradient direction is fine), never throws
+    val oneClass = Seq((1L, 1, "a b c"), (2L, 1, "a c d")).toDF("doc_id", "y", "text")
+    val w = TextStats.trainHashedLogReg(oneClass, "text", "doc_id", "y",
+      buckets = 4, steps = 2, lr = 0.1).collect()
+    assert(w.length == 4 && w.forall(r => !r.isNullAt(1)))
+    // and scoring with those weights stays total
+    val wDf = TextStats.trainHashedLogReg(oneClass, "text", "doc_id", "y",
+      buckets = 4, steps = 2, lr = 0.1)
+    assert(TextStats.scoreWithWeights(oneClass, "text", "doc_id", wDf,
+      buckets = 4).count() == 2)
+  }
+
   test("sampling on empty input and clipUpper on all-null column") {
     assert(Sampling.hashSplit(emptyDocs, "doc_id",
       Seq(("train", 1.0))).count() == 0)
