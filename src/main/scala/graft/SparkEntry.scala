@@ -2071,6 +2071,43 @@ object SparkEntry {
         .orderBy(col("y"))
     }),
 
+    // WEB-CURATION v2 — the round's new tiers COMPOSED in one
+    // statement: synthetic page (with robots meta) -> metaNoindex
+    // policy filter -> htmlToText extraction -> blocklist gate on the
+    // EXTRACTED text -> hashed-model score gate -> per-domain cap ->
+    // domain report. The oracle carries the CLOSED-FORM extracted text
+    // (q190 style: the extractor is never replicated, only its known
+    // answer on the synthetic page), replays robots policy from the
+    // doc_id rule, and re-derives blocklist/score/cap — a green row
+    // proves the WHOLE funnel lands engine-exactly
+    "q202_web_curation_v2" -> ((s, dir) => {
+      import etlmudah.web.Web
+      val docs = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val robots = element_at(array(lit("noindex, follow"),
+        lit("index, follow"), lit("NONE"), lit(null).cast("string")),
+        (id % 4 + 1).cast("int"))
+      val pages = docs.select(id, col("source"), col("text"),
+        Web.fakeHtml(id, col("text"), robots).as("page"))
+      val extracted = pages
+        .filter(!Web.metaNoindex(col("page")))
+        .withColumn("etext", Web.htmlToText(col("page")))
+      val gated = extracted
+        .filter(TextStats.blocklistHitCount(col("etext"), Seq("slow")) <= 2)
+      val scored = TextStats.hashedLinearScore(gated, "etext", "doc_id")
+        .select(col("id").as("doc_id"), col("score"))
+      val kept = gated.join(scored, Seq("doc_id"))
+        .filter(col("score") >= -0.005)
+        .withColumn("url", Web.fakeUrl(id, col("source")))
+      Web.domainCap(kept, "url", "doc_id", cap = 5, salt = "wc2")
+        .groupBy(col("domain")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("etext"))).as("n_tokens"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("domain"))
+    }),
+
     // EXACT model evaluation: Mann–Whitney AUC (average-rank ties,
     // BIGINT rank sums, one final division) of the trained q198 model
     // vs the untrained md5-lattice baseline on the same labels — the
@@ -5272,6 +5309,61 @@ object SparkEntry {
         |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b))
         |SELECT b AS bucket, w6, w6::DOUBLE / 1000000.0 AS w
         |FROM w3 ORDER BY bucket""".stripMargin,
+
+    // closed-form extracted text + doc_id robots rule + the q193/q180/
+    // q175 replays chained — the funnel re-derived end to end
+    "q202_web_curation_v2" ->
+      """WITH kept0 AS (SELECT doc_id, source, text FROM documents
+        |               WHERE doc_id % 4 NOT IN (0, 2)),
+        |ex AS (SELECT doc_id, source,
+        |    'Doc ' || doc_id::VARCHAR || chr(10) ||
+        |    'Title & Doc ' || doc_id::VARCHAR || chr(10) ||
+        |    'Lead para <kept>.' || chr(10) || text || chr(10) ||
+        |    'item''s one' || chr(10) || 'item "two"' || chr(10) ||
+        |    'fine print' AS etext
+        |  FROM kept0),
+        |bl AS (SELECT * FROM ex
+        |  WHERE len(regexp_extract_all(etext,
+        |    '(?i)\b(\Qslow\E)\b', 1)) <= 2),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(etext), '\s+')) AS t FROM bl),
+        |sc AS (SELECT doc_id,
+        |    round(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2001 - 1000)::DOUBLE / (count(*) * 1000.0), 6) AS score
+        |  FROM tok GROUP BY doc_id),
+        |g AS (SELECT bl.doc_id, bl.source, bl.etext, sc.score
+        |  FROM bl JOIN sc USING (doc_id) WHERE sc.score >= -0.005),
+        |u AS (SELECT doc_id, etext, score,
+        |    'https://' || ['www.','blog.',''][(doc_id % 3 + 1)::INT] ||
+        |    'd' || (doc_id % 7)::VARCHAR || '.' ||
+        |    ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
+        |    '/' || source || '/' || doc_id::VARCHAR AS url
+        |  FROM g),
+        |h AS (SELECT *, regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM u),
+        |d AS (SELECT *, string_split(lower(host), '.') AS arr,
+        |    len(string_split(lower(host), '.')) AS n FROM h),
+        |r AS (SELECT doc_id, etext, score,
+        |    CASE WHEN n <= 2 THEN lower(host)
+        |         WHEN (arr[n-1] || '.' || arr[n]) IN
+        |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
+        |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
+        |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
+        |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
+        |         ELSE arr[n-1] || '.' || arr[n] END AS domain
+        |  FROM d),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY domain
+        |    ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'wc2'), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 ASC, doc_id ASC) AS rn
+        |  FROM r)
+        |SELECT domain, count(*) AS n_docs,
+        |  sum(len(string_split_regex(trim(etext), '\s+')))::BIGINT
+        |    AS n_tokens,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM k WHERE rn <= 5
+        |GROUP BY domain ORDER BY domain""".stripMargin,
 
     // q198's ladder -> trained scores -> the integer AUC formula,
     // plus q180's scorer through the SAME formula; ranks derive from
