@@ -561,6 +561,95 @@ object Multimodal {
         nullL.as("height"), nullL.as("timescale"), nullL.as("duration")))
   }
 
+  /** SCALE tier of [[videoMeta]] — the same box walk as a
+    * `mapPartitions` codec (the `compressionRatio` precedent, and the
+    * module's measured case for it: higher-order-function walks are
+    * interpreted with per-byte hex/conv string work, ~2 ms/row; this
+    * tier is plain byte-array arithmetic, ~µs/row). Semantics are
+    * BIT-IDENTICAL to the expression tier including every
+    * null-propagation edge (truncated reads, hostile sizes, version
+    * dispatch on a missing byte falling to the v1 layout) — pinned by
+    * the MultimodalSpec identity test over the fixture grid and
+    * hostile cases, and by q203 carrying q186's oracle. The expression
+    * tier stays the portable reference (its math re-derives in SQL);
+    * this is the path a 100 TB media scan runs. */
+  def videoMetaScan(df: DataFrame, mediaCol: String, idCol: String,
+                    maxBoxes: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, m) =>
+          val len = if (m == null) 0L else m.length.toLong
+          def b(o: Long): Option[Long] =
+            if (o < 1 || o > len) None else Some(m((o - 1).toInt) & 0xFFL)
+          def be16(o: Long): Option[Long] =
+            for (a <- b(o); c <- b(o + 1)) yield a * 256 + c
+          def be32(o: Long): Option[Long] =
+            for (a <- b(o); x <- b(o + 1); y <- b(o + 2); z <- b(o + 3))
+              yield a * 16777216L + x * 65536L + y * 256L + z
+          // hex of the bytes available in [o, o+4) — SHORTER on
+          // truncation, exactly like hex(substring(...)) in the
+          // expression tier, so type comparisons fail the same way
+          def hex4(o: Long): String = {
+            val sb = new StringBuilder
+            var i = o
+            while (i < o + 4 && i >= 1 && i <= len) {
+              sb.append(f"${m((i - 1).toInt) & 0xFF}%02X"); i += 1
+            }
+            sb.toString
+          }
+          if (hex4(5) != "66747970")
+            (id, "unknown", None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+          else {
+            var off = 1L
+            var ts: Option[Long] = None; var dur: Option[Long] = None
+            var w: Option[Long] = None; var h: Option[Long] = None
+            var it = 0; var running = true
+            while (it < maxBoxes && running) {
+              it += 1
+              if (off > len || off > Int.MaxValue.toLong - 32L ||
+                (ts.isDefined && w.isDefined)) running = false
+              else {
+                val size: Option[Long] = be32(off) match {
+                  case Some(1L) =>
+                    for (hi <- be32(off + 8); lo <- be32(off + 12))
+                      yield hi * 4294967296L + lo
+                  case s => s
+                }
+                size match {
+                  case Some(sz) if sz >= 8L =>
+                    val typ = hex4(off + 4)
+                    val ver = b(off + 8)
+                    val v0 = ver.contains(0L)
+                    if (typ == "6D6F6F76" || typ == "7472616B") off += 8L
+                    else if (typ == "6D766864") {
+                      ts = if (v0) be32(off + 20) else be32(off + 28)
+                      dur = if (v0) be32(off + 24)
+                        else for (hi <- be32(off + 32); lo <- be32(off + 36))
+                          yield hi * 4294967296L + lo
+                      off = if (w.isDefined) len + 1L else off + sz
+                    } else {
+                      val tw = if (v0) be16(off + 84) else be16(off + 96)
+                      if (typ == "746B6864" && w.isEmpty && tw.exists(_ > 0L)) {
+                        w = tw
+                        h = if (v0) be16(off + 88) else be16(off + 100)
+                        off = if (ts.isDefined) len + 1L else off + sz
+                      } else off += sz
+                    }
+                  case _ => running = false
+                }
+              }
+            }
+            (id, "mp4", w, h, ts, dur)
+          }
+        }
+      }
+      .toDF("id", "format", "width", "height", "timescale", "duration")
+  }
+
   /** Synthesize a VALID MP4 header for the given track dimensions and
     * movie duration — the encode half of the [[videoMeta]] round trip.
     * `variant` selects the box version layout: "v0" (32-bit mvhd/tkhd

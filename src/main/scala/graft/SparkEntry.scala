@@ -1261,6 +1261,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the SCALE tier of q186: the same box walk as a mapPartitions
+    // byte-array codec (~µs/row vs the interpreted HOF's ~2 ms/row),
+    // against q186's oracle verbatim — a green row pins the two tiers
+    // equal cross-engine; MultimodalSpec pins them equal on the
+    // hostile fixture grid too
+    "q203_video_meta_fast" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val variant = element_at(array(lit("v0"), lit("v1")),
+        (col("doc_id") % 2 + 1).cast("int"))
+      val w = (col("doc_id") % 512 + 16).cast("int")
+      val h = ((col("doc_id") * 7) % 512 + 16).cast("int")
+      val dur = (col("doc_id") * 13 + 600).cast("long")
+      Multimodal.videoMetaScan(
+          docs.select(col("doc_id"),
+            Multimodal.fakeMp4Header(variant, w, h, lit(600), dur)
+              .as("blob")),
+          "blob", "doc_id")
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"),
+          expr("duration * 1000 div timescale").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MP3 audio header ROUND TRIP — the compressed-audio sibling of
     // q163: an ID3v2-tagged Layer III stream head is synthesized per
     // doc (pad sizes cross the 128-byte syncsafe carry; version,
@@ -3875,6 +3898,15 @@ object SparkEntry {
     // synthesized track dims and movie duration; the oracle recomputes
     // them from doc_id, duration_ms via DuckDB integer division
     "q186_video_meta_roundtrip" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  (doc_id % 512 + 16)::BIGINT AS width,
+        |  ((doc_id * 7) % 512 + 16)::BIGINT AS height,
+        |  ((doc_id * 13 + 600) * 1000) // 600 AS duration_ms
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // q186's oracle verbatim — the scale tier must land identically
+    "q203_video_meta_fast" ->
       """SELECT doc_id, 'mp4' AS format,
         |  (doc_id % 512 + 16)::BIGINT AS width,
         |  ((doc_id * 7) % 512 + 16)::BIGINT AS height,

@@ -266,6 +266,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out("not_mp4") == (("unknown", None, None)))
   }
 
+  test("videoMetaScan (mapPartitions scale tier) == videoMeta expression tier on grid + hostile fixtures") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
+    // the whole valid grid...
+    val grid = for (v <- Seq("v0", "v1"); d <- Seq(16, 640, 3840))
+      yield (v, d, 4096 - d, 600 + d, 90000L * d)
+    val blobs = grid.zipWithIndex.map { case ((v, w, h, ts, dur), i) =>
+      (i.toLong, v, w, h, ts, dur) }.toDF("id", "v", "w", "h", "ts", "dur")
+      .select(col("id"), Multimodal.fakeMp4Header(col("v"), col("w"),
+        col("h"), col("ts"), col("dur")).as("media"))
+    // ...plus every hostile fixture, truncations of a valid header at
+    // odd byte seams, and empty/null-ish blobs
+    val valid = blobs.filter(col("id") === 0L)
+      .select(col("media")).collect().head.getAs[Array[Byte]](0)
+    val hostile = (Seq(
+      (100L, hx(ftyp + "FFFFFFFF" + "6D646174")),
+      (101L, hx(ftyp + "00000000" + "6D646174")),
+      (102L, hx(ftyp + "00000100" + "6D6F6F76")),
+      (103L, hx(ftyp + "00000001" + "6D646174" + "0000000000000018")),
+      (104L, hx("0011223344556677")),
+      (105L, Array.empty[Byte])) ++
+      Seq(9, 17, 33, 47, 85, 101).zipWithIndex.map { case (cut, i) =>
+        ((110 + i).toLong, valid.take(math.min(cut, valid.length))) })
+      .toDF("id", "media")
+    val all = blobs.unionByName(hostile)
+    val exprTier = all
+      .select(col("id"), Multimodal.videoMeta(col("media")).as("m"))
+      .select(col("id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.timescale").as("timescale"), col("m.duration").as("duration"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val fastTier = Multimodal.videoMetaScan(all, "media", "id")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(exprTier.keySet == fastTier.keySet)
+    exprTier.keys.toSeq.sorted.foreach { id =>
+      assert(exprTier(id) == fastTier(id),
+        s"id=$id expr=${exprTier(id)} fast=${fastTier(id)}") }
+  }
+
   test("fakeMp3Header -> mp3Meta round trip: versions, bitrate/rate tables, syncsafe ID3 skip") {
     import spark.implicits._
     val v1Br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
