@@ -466,6 +466,33 @@ object Analytics {
       .orderBy(col(keyCol), col("hour_us"))
   }
 
+  /** Classifier CALIBRATION table: score-ordered ntile buckets with
+    * the observed positive rate per bucket — the reliability diagram's
+    * data (a well-calibrated probability model shows pos_rate tracking
+    * the score; a ranking-only model shows monotone lift). Ordering is
+    * (score, id) so ties split deterministically and the table
+    * replays engine-exactly (the q189 ntile discipline); the only
+    * float op is the one pos-rate division.
+    *
+    * Scale: ntile is a global window — at corpus scale use the
+    * percentile-boundary bucketing tier (`quantileBuckets`, the
+    * q73/q79 split) on the score column instead; this exact tier is
+    * the eval-report grain (one row per bucket). */
+  def calibrationTable(df: DataFrame, scoreCol: String, labelCol: String,
+                       idCol: String, bins: Int = 10): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.withColumn("bin", ntile(bins).over(w))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        min(col(scoreCol)).as("lo_score"),
+        max(col(scoreCol)).as("hi_score"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6).as("pos_rate"),
+        col("lo_score"), col("hi_score"))
+      .orderBy(col("bin"))
+  }
+
   /** EXACT ROC AUC for a binary classifier — the Mann–Whitney U form
     * with average-rank tie handling, computed entirely in integer
     * arithmetic until ONE final division:

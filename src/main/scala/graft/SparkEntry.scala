@@ -2094,6 +2094,22 @@ object SparkEntry {
         .orderBy(col("y"))
     }),
 
+    // CALIBRATION table of the trained model (the reliability-diagram
+    // data, completing the eval suite: q198 train, q200 loss, q201
+    // AUC): deciles over (score, id) — deterministic ties, the q189
+    // ntile discipline — with observed positive rate per decile; a
+    // healthy ranking model shows pos_rate rising with the decile
+    "q204_lr_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("y", col("text").contains("spark").cast("int"))
+      val w = TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
+        buckets = 16, steps = 3, lr = 0.02)
+      val scored = TextStats.scoreWithWeights(docs, "text", "doc_id", w,
+          buckets = 16)
+        .join(docs.select(col("doc_id").as("id"), col("y")), Seq("id"))
+      Analytics.calibrationTable(scored, "score", "y", "id", bins = 10)
+    }),
+
     // WEB-CURATION v2 — the round's new tiers COMPOSED in one
     // statement: synthetic page (with robots meta) -> metaNoindex
     // policy filter -> htmlToText extraction -> blocklist gate on the
@@ -5341,6 +5357,74 @@ object SparkEntry {
         |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b))
         |SELECT b AS bucket, w6, w6::DOUBLE / 1000000.0 AS w
         |FROM w3 ORDER BY bucket""".stripMargin,
+
+    // q198's ladder -> trained scores -> the identical ntile window
+    // ((score, doc_id) order) -> per-decile observed positive rate
+    "q204_lr_calibration" ->
+      """WITH yl AS (SELECT doc_id,
+        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |x AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 16 AS b,
+        |    count(*)::BIGINT AS x
+        |  FROM tok GROUP BY 1, 2),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
+        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
+        |p1 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
+        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g1 AS (SELECT x.b,
+        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
+        |w1 AS (SELECT bl.b,
+        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
+        |p2 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
+        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g2 AS (SELECT x.b,
+        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
+        |w2 AS (SELECT bl.b,
+        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
+        |p3 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
+        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g3 AS (SELECT x.b,
+        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
+        |w3 AS (SELECT bl.b,
+        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
+        |sc AS (SELECT x.doc_id, yl.y,
+        |    round(sum(x.x * w3.w6)::DOUBLE / 1000000.0 /
+        |      sum(x.x)::BIGINT, 6) AS score
+        |  FROM x JOIN w3 USING (b) JOIN yl USING (doc_id)
+        |  GROUP BY x.doc_id, yl.y),
+        |nt AS (SELECT y, score,
+        |    ntile(10) OVER (ORDER BY score ASC, doc_id ASC) AS bin
+        |  FROM sc)
+        |SELECT bin, count(*) AS n_docs, sum(y)::BIGINT AS n_pos,
+        |  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
+        |  min(score) AS lo_score, max(score) AS hi_score
+        |FROM nt GROUP BY bin ORDER BY bin""".stripMargin,
 
     // closed-form extracted text + doc_id robots rule + the q193/q180/
     // q175 replays chained — the funnel re-derived end to end

@@ -313,6 +313,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(outage.head._3 < -3.0, s"outage z ${outage.head._3}")
   }
 
+  test("calibrationTable: deterministic bins, hand-computed rates, tie split by id") {
+    import spark.implicits._
+    // 6 docs, bins=3 -> 2 per bin in (score, id) order; the two 0.5
+    // scores split deterministically by id
+    val rows = Seq(
+      (1L, 0.1, 0), (2L, 0.2, 0),
+      (3L, 0.5, 1), (4L, 0.5, 0),
+      (5L, 0.8, 1), (6L, 0.9, 1))
+      .toDF("id", "score", "y")
+    val out = Analytics.calibrationTable(rows, "score", "y", "id", bins = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // order: 0.1(1) 0.2(2) | 0.5(3) 0.5(4) | 0.8(5) 0.9(6)
+    assert(out.toSeq == Seq((1, 2L, 0L, 0.0), (2, 2L, 1L, 0.5),
+      (3, 2L, 2L, 1.0)), out.mkString(","))
+    // determinism across runs
+    val again = Analytics.calibrationTable(rows, "score", "y", "id", bins = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("binaryAuc: textbook values, average-rank ties, degenerate single class") {
     import spark.implicits._
     def auc(rows: Seq[(Double, Int)]): Option[Double] = {
