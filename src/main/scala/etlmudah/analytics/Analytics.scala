@@ -481,7 +481,9 @@ object Analytics {
   def calibrationTable(df: DataFrame, scoreCol: String, labelCol: String,
                        idCol: String, bins: Int = 10): DataFrame = {
     val w = Window.orderBy(col(scoreCol).asc, col(idCol).asc)
-    df.withColumn("bin", ntile(bins).over(w))
+    // BIGINT bin: Spark's ntile emits int32, external engines int64 —
+    // the wider type keeps the report schema engine-identical
+    df.withColumn("bin", ntile(bins).over(w).cast("long"))
       .groupBy(col("bin")).agg(
         count(lit(1)).as("n_docs"),
         sum(col(labelCol).cast("long")).as("n_pos"),

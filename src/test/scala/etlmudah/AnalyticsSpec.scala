@@ -323,14 +323,14 @@ class AnalyticsSpec extends SparkSpec {
       (5L, 0.8, 1), (6L, 0.9, 1))
       .toDF("id", "score", "y")
     val out = Analytics.calibrationTable(rows, "score", "y", "id", bins = 3)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
     // order: 0.1(1) 0.2(2) | 0.5(3) 0.5(4) | 0.8(5) 0.9(6)
-    assert(out.toSeq == Seq((1, 2L, 0L, 0.0), (2, 2L, 1L, 0.5),
-      (3, 2L, 2L, 1.0)), out.mkString(","))
+    assert(out.toSeq == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 2L, 1.0)), out.mkString(","))
     // determinism across runs
     val again = Analytics.calibrationTable(rows, "score", "y", "id", bins = 3)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
     assert(out.toSeq == again.toSeq)
   }
