@@ -62,8 +62,14 @@ object TextStats {
     * expression for a broadcast (bucket, w) table without touching the
     * movement.
     *
-    * score = round(sum(w) / (1000 * n_tokens), 6), bounded [-1, 1];
-    * the sum is BIGINT-exact, the single division is the only float op.
+    * score = sum(w) / (1000 * n_tokens) rounded to 6dp, bounded
+    * [-1, 1]. The rounding is INTEGER-EXACT (see [[score6]]): the 6dp
+    * value is a half-away-from-zero integer division, never an engine
+    * `round()` over a double — a measured seam: Java rounds the
+    * double's shortest DECIMAL string while C engines round the BINARY
+    * value, and at sf0.1 three documents landed exactly on a 0.5e-6
+    * midpoint where the two disagree. With score6 the only float op
+    * left is the final /1e6, which is exact.
     * 100 TB shape: explode + ONE map-side-combined id-keyed aggregate;
     * the weight "table" is an expression, so the portable tier joins
     * and broadcasts nothing at all. */
@@ -81,8 +87,23 @@ object TextStats {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("wsum"))
       .select(col("id"), col("n_tokens"),
-        round(col("wsum").cast("double") / (col("n_tokens") * 1000.0), 6)
+        (score6(col("wsum") * lit(1000L), col("n_tokens")) / lit(1000000.0))
           .as("score"))
+  }
+
+  /** round(a/n) with half-away-from-zero ties in PURE INTEGER
+    * arithmetic: sign(a) · floor((2·|a| + n) / (2·n)). Used for the
+    * 6dp-scaled scores (a = score·1e6·n): integer inputs make the
+    * division argument and the tie decision exact, so the result is
+    * engine-independent — `round(double, 6)` is NOT (Java rounds the
+    * shortest decimal string, C engines the binary value; they split
+    * at decimal midpoints). The float division here is safe: the
+    * argument is an exact integer-valued rational whose distance from
+    * any integer is ≥ 1/(2n), far above double ulp at these
+    * magnitudes, so `floor` cannot misround. */
+  private[text] def score6(a: Column, n: Column): Column = {
+    val mag = floor((abs(a) * 2 + n) / (n * 2))
+    when(a >= 0, mag).otherwise(-mag)
   }
 
   /** TRAIN the hashed linear quality classifier ON-ENGINE — the step
@@ -201,7 +222,8 @@ object TextStats {
     * consume half of [[trainHashedLogReg]], riding
     * [[hashedLinearScore]]'s exact movement with the md5-lattice
     * expression swapped for the broadcast weight frame:
-    * score = round((Σ_b x_b·w6_b)/1e6/n_tokens, 6). */
+    * score = (Σ_b x_b·w6_b)/1e6/n_tokens rounded to 6dp via the
+    * integer-exact [[score6]] (the engine-round seam does not enter). */
   def scoreWithWeights(df: DataFrame, textCol: String, idCol: String,
                        weights: DataFrame, buckets: Int = 16): DataFrame = {
     val bucket = conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10)
@@ -213,8 +235,7 @@ object TextStats {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w6")).as("wsum6"))
       .select(col("id"), col("n_tokens"),
-        round(col("wsum6").cast("double") / lit(1000000.0) /
-          col("n_tokens"), 6).as("score"))
+        (score6(col("wsum6"), col("n_tokens")) / lit(1000000.0)).as("score"))
   }
 
   /** Punctuation density: punct chars / total chars. */

@@ -3229,7 +3229,10 @@ object SparkEntry {
         |      % 2001 - 1000 AS w
         |  FROM tok)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(sum(w)::DOUBLE / (count(*) * 1000.0), 6) AS score
+        |  CASE WHEN sum(w) >= 0
+        |    THEN floor((abs(sum(w) * 1000) * 2 + count(*)) / (count(*) * 2))
+        |    ELSE -floor((abs(sum(w) * 1000) * 2 + count(*)) / (count(*) * 2))
+        |    END / 1000000.0 AS score
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Cross-corpus exact Jaccard (decontamination, oracle tier): same
@@ -4684,7 +4687,10 @@ object SparkEntry {
         |      % 2001 - 1000 AS w
         |  FROM tok),
         |sc AS (
-        |  SELECT doc_id, round(sum(w)::DOUBLE / (count(*) * 1000.0), 6) AS score
+        |  SELECT doc_id, CASE WHEN sum(w) >= 0
+        |    THEN floor((abs(sum(w) * 1000) * 2 + count(*)) / (count(*) * 2))
+        |    ELSE -floor((abs(sum(w) * 1000) * 2 + count(*)) / (count(*) * 2))
+        |    END / 1000000.0 AS score
         |  FROM wts GROUP BY doc_id),
         |gated AS (
         |  SELECT b.*, s.score FROM base b JOIN sc s USING (doc_id)
@@ -5414,8 +5420,11 @@ object SparkEntry {
         |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
         |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
         |sc AS (SELECT x.doc_id, yl.y,
-        |    round(sum(x.x * w3.w6)::DOUBLE / 1000000.0 /
-        |      sum(x.x)::BIGINT, 6) AS score
+        |    CASE WHEN sum(x.x * w3.w6) >= 0
+        |    THEN floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
+        |      (sum(x.x) * 2))
+        |    ELSE -floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
+        |      (sum(x.x) * 2)) END / 1000000.0 AS score
         |  FROM x JOIN w3 USING (b) JOIN yl USING (doc_id)
         |  GROUP BY x.doc_id, yl.y),
         |nt AS (SELECT y, score,
@@ -5444,10 +5453,19 @@ object SparkEntry {
         |tok AS (SELECT doc_id,
         |  unnest(string_split_regex(trim(etext), '\s+')) AS t FROM bl),
         |sc AS (SELECT doc_id,
-        |    round(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |    CASE WHEN sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
         |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
         |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000)::DOUBLE / (count(*) * 1000.0), 6) AS score
+        |      % 2001 - 1000) >= 0
+        |    THEN floor((abs(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2001 - 1000) * 1000) * 2 + count(*)) / (count(*) * 2))
+        |    ELSE -floor((abs(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2001 - 1000) * 1000) * 2 + count(*)) / (count(*) * 2))
+        |    END / 1000000.0 AS score
         |  FROM tok GROUP BY doc_id),
         |g AS (SELECT bl.doc_id, bl.source, bl.etext, sc.score
         |  FROM bl JOIN sc USING (doc_id) WHERE sc.score >= -0.005),
@@ -5538,14 +5556,26 @@ object SparkEntry {
         |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
         |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
         |sct AS (SELECT x.doc_id,
-        |    round(sum(x.x * w3.w6)::DOUBLE / 1000000.0 /
-        |      sum(x.x)::BIGINT, 6) AS score
+        |    CASE WHEN sum(x.x * w3.w6) >= 0
+        |    THEN floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
+        |      (sum(x.x) * 2))
+        |    ELSE -floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
+        |      (sum(x.x) * 2)) END / 1000000.0 AS score
         |  FROM x JOIN w3 USING (b) GROUP BY 1),
         |scu AS (SELECT doc_id, count(*) AS n_tokens,
-        |    round(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |    CASE WHEN sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
         |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
         |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000)::DOUBLE / (count(*) * 1000.0), 6) AS score
+        |      % 2001 - 1000) >= 0
+        |    THEN floor((abs(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2001 - 1000) * 1000) * 2 + count(*)) / (count(*) * 2))
+        |    ELSE -floor((abs(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
+        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2001 - 1000) * 1000) * 2 + count(*)) / (count(*) * 2))
+        |    END / 1000000.0 AS score
         |  FROM tok GROUP BY doc_id),
         |pert AS (SELECT sct.score AS s, count(*)::BIGINT AS n,
         |    sum(yl.y)::BIGINT AS n1
@@ -5722,14 +5752,16 @@ object SparkEntry {
         |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
         |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
         |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
-        |sc AS (SELECT x.doc_id, sum(x.x)::BIGINT AS n_tokens,
-        |    sum(x.x * w3.w6)::BIGINT AS wsum6
+        |sc AS (SELECT x.doc_id,
+        |    CASE WHEN sum(x.x * w3.w6) >= 0
+        |    THEN floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
+        |      (sum(x.x) * 2))
+        |    ELSE -floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
+        |      (sum(x.x) * 2)) END / 1000000.0 AS score
         |  FROM x JOIN w3 USING (b) GROUP BY 1)
         |SELECT yl.y, count(*) AS n_docs,
-        |  min(round(sc.wsum6::DOUBLE / 1000000.0 / sc.n_tokens, 6))
-        |    AS min_score,
-        |  max(round(sc.wsum6::DOUBLE / 1000000.0 / sc.n_tokens, 6))
-        |    AS max_score
+        |  min(sc.score) AS min_score,
+        |  max(sc.score) AS max_score
         |FROM sc JOIN yl USING (doc_id)
         |GROUP BY 1 ORDER BY y""".stripMargin,
 

@@ -207,9 +207,13 @@ class TextStatsSpec extends SparkSpec {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def u32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
     def w(tok: String): Long = u32("w:q:" + (u32(tok) % 1024L)) % 2001L - 1000L
-    def score(toks: Seq[String]): Double =
-      BigDecimal(toks.map(w).sum.toDouble / (toks.size * 1000.0))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(toks: Seq[String]): Double = {
+      // the integer-exact half-away rounding (TextStats.score6 replay)
+      val a = toks.map(w).sum * 1000L
+      val n = toks.size.toLong
+      val mag = (math.abs(a) * 2 + n) / (2 * n)
+      (if (a >= 0) mag else -mag) / 1000000.0
+    }
     assert(got(1L) == ((3L, score(Seq("alpha", "beta", "gamma")))))
     assert(got(2L) == ((2L, score(Seq("alpha", "alpha")))))
     // empty text tokenizes to the single empty token (the q63 contract)
