@@ -2094,6 +2094,29 @@ object SparkEntry {
         .orderBy(col("y"))
     }),
 
+    // HOLDOUT evaluation — the proper protocol composed from existing
+    // tiers: q49's md5 split partitions the corpus, training sees ONLY
+    // the train split, and AUC is measured on the untouched test
+    // split; the whole protocol (split -> ladder-on-train ->
+    // score-test -> integer AUC) replays in the oracle, so even the
+    // generalization measurement is hash-checked
+    "q205_lr_holdout_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("y", col("text").contains("spark").cast("int"))
+      val split = etlmudah.scale.Sampling.hashSplit(docs, "doc_id",
+        Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+      val train = split.filter(col("split") === "train")
+      val test = split.filter(col("split") === "test")
+      val w = TextStats.trainHashedLogReg(train, "text", "doc_id", "y",
+        buckets = 16, steps = 3, lr = 0.02)
+      val scored = TextStats.scoreWithWeights(test, "text", "doc_id", w,
+          buckets = 16)
+        .join(test.select(col("doc_id").as("id"), col("y")), Seq("id"))
+      Analytics.binaryAuc(scored, "score", "y")
+        .select(lit("holdout").as("eval_split"), col("n_pos"), col("n_neg"),
+          col("auc"))
+    }),
+
     // CALIBRATION table of the trained model (the reliability-diagram
     // data, completing the eval suite: q198 train, q200 loss, q201
     // AUC): deciles over (score, id) — deterministic ties, the q189
@@ -5363,6 +5386,97 @@ object SparkEntry {
         |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b))
         |SELECT b AS bucket, w6, w6::DOUBLE / 1000000.0 AS w
         |FROM w3 ORDER BY bucket""".stripMargin,
+
+    // q49's split bounds gate every CTE: the ladder sees only u<0.8
+    // docs (nn counts them), scoring/AUC see only u>=0.9 docs
+    "q205_lr_holdout_auc" ->
+      """WITH uu AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS UBIGINT) / 4294967296.0 AS u FROM documents),
+        |yl AS (SELECT doc_id,
+        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tr AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN uu USING (doc_id) WHERE uu.u < 0.8),
+        |te AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN uu USING (doc_id) WHERE uu.u >= 0.9 AND uu.u < 1.0),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM tr),
+        |x AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 16 AS b,
+        |    count(*)::BIGINT AS x
+        |  FROM tok GROUP BY 1, 2),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM tr),
+        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
+        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
+        |p1 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
+        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g1 AS (SELECT x.b,
+        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
+        |w1 AS (SELECT bl.b,
+        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
+        |p2 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
+        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g2 AS (SELECT x.b,
+        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
+        |w2 AS (SELECT bl.b,
+        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
+        |p3 AS (SELECT z.doc_id, yl.y,
+        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
+        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
+        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
+        |  JOIN yl USING (doc_id)),
+        |g3 AS (SELECT x.b,
+        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
+        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
+        |w3 AS (SELECT bl.b,
+        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
+        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
+        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
+        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
+        |tokt AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM te),
+        |xt AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 16 AS b,
+        |    count(*)::BIGINT AS x
+        |  FROM tokt GROUP BY 1, 2),
+        |sct AS (SELECT xt.doc_id,
+        |    CASE WHEN sum(xt.x * w3.w6) >= 0
+        |    THEN floor((abs(sum(xt.x * w3.w6)) * 2 + sum(xt.x)) /
+        |      (sum(xt.x) * 2))
+        |    ELSE -floor((abs(sum(xt.x * w3.w6)) * 2 + sum(xt.x)) /
+        |      (sum(xt.x) * 2)) END / 1000000.0 AS score
+        |  FROM xt JOIN w3 USING (b) GROUP BY 1),
+        |pert AS (SELECT sct.score AS s, count(*)::BIGINT AS n,
+        |    sum(yl.y)::BIGINT AS n1
+        |  FROM sct JOIN yl USING (doc_id) GROUP BY 1),
+        |rkt AS (SELECT s, n, n1, coalesce(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS cb FROM pert),
+        |aggt AS (SELECT sum(n1)::BIGINT AS n_pos,
+        |    (sum(n) - sum(n1))::BIGINT AS n_neg,
+        |    sum(n1 * (2 * cb + n + 1))::BIGINT AS s_sum FROM rkt)
+        |SELECT 'holdout' AS eval_split, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round((s_sum - n_pos * (n_pos + 1))::DOUBLE /
+        |      (2.0 * (n_pos * n_neg)::DOUBLE), 6) END AS auc
+        |FROM aggt""".stripMargin,
 
     // q198's ladder -> trained scores -> the identical ntile window
     // ((score, doc_id) order) -> per-decile observed positive rate
