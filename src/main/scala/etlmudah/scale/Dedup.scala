@@ -1698,4 +1698,71 @@ object Dedup {
       .filter(col("shared") >= minShared)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Contrastive TRIPLET mining over a similarity-pair table — the
+    * training-data export for retriever/embedding training (anchor,
+    * positive, hard negative), built from the dedup machinery this
+    * module already has. Near-dup pairs at `posMin`+ are positives;
+    * pairs BELOW `posMin` (but above the pair table's own lower gate)
+    * are exactly the "hard" negatives contrastive learning wants —
+    * lexically close enough to share candidate buckets, yet not
+    * duplicates (random negatives are trivially separable; batch-local
+    * hard-negative mining is the standard fix, e.g. DPR, Karpukhin et
+    * al. 2020 — here mined corpus-wide instead of per-batch).
+    *
+    * Per anchor: the best-scoring positive and the best-scoring
+    * negative, ties broken by partner id — fully deterministic. Only
+    * anchors holding BOTH survive (a triplet needs all three legs).
+    * Selection orders on the pair table's 6dp-ROUNDED score so the
+    * choice is reproducible cross-engine (raw-double ordering could
+    * flip partners that tie at 6dp).
+    *
+    * `pairs` is any (id_a, id_b, score) frame with id_a < id_b
+    * convention — [[exactJaccardPairs]] at small scale, the staged
+    * [[minhashPortablePairsStaged]] / PPJoin tiers at corpus scale, so
+    * the quadratic risk is whatever the chosen pair tier already
+    * bounded; this step adds only a symmetrize (×2 row explode), one
+    * anchor-keyed window, and an anchor equi-join. */
+  def tripletsFromPairs(pairs: DataFrame, posMin: Double,
+                        simCol: String = "jaccard"): DataFrame = {
+    require(posMin > 0 && posMin < 1, "posMin must be in (0, 1)")
+    // materialized: the pair table feeds FOUR subtrees (both union
+    // directions, then the pos and neg legs of the final join) and a
+    // pair-generation tier is exactly what you never compute twice —
+    // the pair table itself is the small, banding-bounded frame
+    // (measured on q206 at sf0.1: 5.3 s -> 4.0 s warm, on par with
+    // its tier sibling q63's single pair pass)
+    val p = pairs.localCheckpoint(true)
+    val sym = p.select(col("id_a").as("anchor"),
+        col("id_b").as("other"), col(simCol).as("sim"))
+      .unionByName(p.select(col("id_b").as("anchor"),
+        col("id_a").as("other"), col(simCol).as("sim")))
+    val w = Window.partitionBy(col("anchor"), col("is_pos"))
+      .orderBy(col("sim").desc, col("other").asc)
+    val best = sym
+      .withColumn("is_pos", col("sim") >= lit(posMin))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    best.filter(col("is_pos"))
+      .select(col("anchor"), col("other").as("pos_id"),
+        col("sim").as("pos_sim"))
+      .join(best.filter(!col("is_pos"))
+        .select(col("anchor"), col("other").as("neg_id"),
+          col("sim").as("neg_sim")), Seq("anchor"))
+      .orderBy(col("anchor"))
+  }
+
+  /** [[tripletsFromPairs]] over the exact n-gram Jaccard tier: one
+    * inverted-index pair pass at the NEGATIVE gate (`negLo` — the pair
+    * generation is shared by both legs), split at `posMin`. The exact,
+    * oracle-checkable tier; at crawl scale feed [[tripletsFromPairs]]
+    * a staged banded pair table instead. */
+  def contrastiveTriplets(df: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int = 3, posMin: Double = 0.8,
+                          negLo: Double = 0.2): DataFrame = {
+    require(negLo < posMin, "negLo must sit below posMin")
+    tripletsFromPairs(
+      exactJaccardPairs(df, textCol, idCol, shingleN, minJaccard = negLo),
+      posMin)
+  }
 }

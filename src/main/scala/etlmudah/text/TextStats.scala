@@ -1462,6 +1462,57 @@ object TextStats {
       .orderBy(col(sliceCol), col("bucket"))
   }
 
+  /** Cross-source RANK-ENSEMBLE calibration of quality signals: each
+    * score column becomes its percent_rank WITHIN the document's
+    * source, and the ensemble is the mean of those ranks. Raw quality
+    * signals are not comparable across signals (different units) or
+    * across sources (a "good" perplexity for code is a terrible one
+    * for news — the reason CCNet buckets per language, Wenzek et al.
+    * 2020); rank-averaging is the standard unit-free fix when a
+    * curation run combines several independent signals (classifier +
+    * LM score + heuristics) into one keep/drop ordering.
+    *
+    * Determinism contract: ranks order by (score asc, id asc) — the
+    * id tie-break makes every rank reproducible. Each rank is the
+    * exact rational (rn−1)/(n−1) rounded at 6dp via the INTEGER-EXACT
+    * [[score6]] (never an engine `round(double)` — the measured Java
+    * vs C midpoint seam), and the ensemble is score6 again over the
+    * SUM of the 6dp-scaled integer ranks, so the whole tree is
+    * engine-identical; a single-row source ranks 0.0. Higher rank =
+    * better ONLY if every score column is higher-is-better; negate
+    * columns where lower is better.
+    *
+    * Returns (id, source, r_<col>... , ensemble) ordered by id.
+    *
+    * Scale shape: ONE hash-partition exchange on the source column
+    * serves all k rank windows (same partitioning, k sorts), and the
+    * per-row mean adds no shuffle. Sources are provenance labels —
+    * dozens — so per-partition skew is the per-source corpus size;
+    * for a lopsided corpus rank within (source, md5-salt stratum)
+    * upstream and this operator composes unchanged. */
+  def rankEnsemble(df: DataFrame, idCol: String, sliceCol: String,
+                   scoreCols: Seq[String]): DataFrame = {
+    require(scoreCols.nonEmpty, "need at least one score column")
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("source"))
+    val ranked = scoreCols.foldLeft(
+      df.select(col(idCol).as("id") +: col(sliceCol).as("source") +:
+        scoreCols.map(col): _*)) { (acc, sc) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col(sc).asc, col("id").asc)
+      acc.withColumn(s"__r6_$sc", score6(
+        (row_number().over(w) - 1).cast("long") * lit(1000000L),
+        greatest(count(lit(1)).over(wp) - 1, lit(1L))).cast("long"))
+    }
+    val ens = score6(scoreCols.map(sc => col(s"__r6_$sc")).reduce(_ + _),
+      lit(scoreCols.size.toLong)) / lit(1000000.0)
+    ranked.select(col("id") +: col("source") +:
+        scoreCols.map(sc =>
+          (col(s"__r6_$sc") / lit(1000000.0)).as(s"r_$sc")) :+
+        ens.as("ensemble"): _*)
+      .orderBy(col("id"))
+  }
+
   /** Pairwise Jensen-Shannon divergence (in bits) between the unigram
     * token distributions of corpus groups — the DISTRIBUTIONAL
     * complement of the set-overlap matrix (`Dedup.sourceOverlap`): two

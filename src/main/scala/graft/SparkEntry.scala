@@ -1044,6 +1044,19 @@ object SparkEntry {
     // unigram-LM log-prob scoring per source (the perplexity-filter
     // proxy): LM trained on the corpus itself, docs scored by mean
     // token log-probability
+    // cross-source rank-ensemble calibration: three deterministic
+    // integer signals (token/char/distinct-type counts) percentile-
+    // ranked WITHIN source, averaged into one unit-free keep/drop
+    // ordering — integer-exact 6dp (score6), no engine-round seam
+    "q207_rank_ensemble" -> ((s, dir) =>
+      TextStats.rankEnsemble(
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("n_types",
+            size(array_distinct(TextStats.tokens(col("text")))).cast("long")),
+        "doc_id", "source", Seq("n_tokens", "n_chars", "n_types"))),
+
     "q99_unigram_logprob" -> ((s, dir) =>
       TextStats.unigramScore(Tables.documents(s, dir), "text", "doc_id",
         sliceCol = "source")),
@@ -2399,6 +2412,15 @@ object SparkEntry {
     // exact tier); cluster_id = min doc_id (canonical survivor)
     "q64_dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(stagedClusterPairs(s, dir))),
+
+    // contrastive triplet mining for retriever training: per anchor,
+    // best near-dup positive (jac >= 0.8) + best HARD negative (the
+    // below-threshold pairs the same inverted index surfaces); the
+    // low negLo is a demo dial — at scale feed tripletsFromPairs a
+    // staged banded pair table
+    "q206_contrastive_triplets" -> ((s, dir) =>
+      Dedup.contrastiveTriplets(Tables.documents(s, dir), "text",
+        "doc_id", posMin = 0.8, negLo = 0.005)),
 
     // exact-tier decontamination (oracle-checkable twin of q47): train =
     // even doc ids, reference = odd doc ids, inverted-index exact Jaccard
@@ -6131,6 +6153,83 @@ object SparkEntry {
         |           JOIN sizes sb ON sb.doc_id = id_b
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q63's shingle/inverted-index CTEs at the 0.005 negative gate,
+    // symmetrized; per (anchor, class) the row_number pick orders on
+    // the 6dp-ROUNDED jaccard + partner id — the Spark side's exact
+    // selection key — and only anchors with both legs survive
+    "q206_contrastive_triplets" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+        |  FROM tokarr),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |short AS (
+        |  SELECT doc_id, array_to_string(arr, ' ') AS g
+        |  FROM tokarr WHERE len(arr) < 3),
+        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jac
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |             JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.005),
+        |sym AS (SELECT id_a AS anchor, id_b AS other, jac FROM p
+        |        UNION ALL SELECT id_b, id_a, jac FROM p),
+        |best AS (
+        |  SELECT anchor, other, jac, jac >= 0.8 AS is_pos,
+        |    row_number() OVER (PARTITION BY anchor, jac >= 0.8
+        |                       ORDER BY jac DESC, other) AS rn
+        |  FROM sym)
+        |SELECT p.anchor, p.other AS pos_id, p.jac AS pos_sim,
+        |  n.other AS neg_id, n.jac AS neg_sim
+        |FROM best p JOIN best n ON p.anchor = n.anchor
+        |WHERE p.is_pos AND p.rn = 1 AND NOT n.is_pos AND n.rn = 1
+        |ORDER BY p.anchor""".stripMargin,
+
+    // three integer signals ranked per source ((rn-1)/(n-1), id
+    // tie-break), 6dp via the integer-exact score6 replay (floor of
+    // the half-offset quotient — never an engine round()), ensemble =
+    // score6 over the summed scaled ranks
+    "q207_rank_ensemble" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    length(text)::BIGINT AS n_chars,
+        |    len(list_distinct(string_split_regex(trim(text), '\s+')))::BIGINT
+        |      AS n_types
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+        |      - 1 AS a1,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+        |      - 1 AS a2,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_types, doc_id)
+        |      - 1 AS a3,
+        |    greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS d
+        |  FROM m),
+        |r6 AS (
+        |  SELECT doc_id AS id, source,
+        |    floor((a1 * 2000000 + d) / (d * 2)) AS r1,
+        |    floor((a2 * 2000000 + d) / (d * 2)) AS r2,
+        |    floor((a3 * 2000000 + d) / (d * 2)) AS r3
+        |  FROM r)
+        |SELECT id, source,
+        |  r1 / 1000000.0 AS r_n_tokens,
+        |  r2 / 1000000.0 AS r_n_chars,
+        |  r3 / 1000000.0 AS r_n_types,
+        |  floor(((r1 + r2 + r3) * 2 + 3) / 6) / 1000000.0 AS ensemble
+        |FROM r6 ORDER BY id""".stripMargin,
 
     // same shingle/inverted-index CTEs as q63 at the lower 0.3 gate,
     // then DuckDB's own levenshtein refines: edit_sim =

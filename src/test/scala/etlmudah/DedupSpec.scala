@@ -927,4 +927,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 == 1L && p._2 == 2L),
       s"boilerplate-only pair leaked: ${pairs.toSeq}")
   }
+
+  test("contrastiveTriplets: best positive + best hard negative per anchor; ties break on id; no-positive anchors drop") {
+    import spark.implicits._
+    val base = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val docs = Seq(
+      (1L, base),                                // anchor under test
+      (2L, base + " t11"),                       // near-dup of 1 (jac 8/9)
+      (3L, "t1 t2 t3 t4 x5 x6 x7 x8 x9 x10"),    // hard neg of 1 (jac 2/14)
+      (5L, "t1 t2 t3 t4 y5 y6 y7 y8 y9 y10"),    // tied hard neg of 1
+      (9L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")     // disjoint: no pairs at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.contrastiveTriplets(docs, "text", "doc_id",
+        posMin = 0.8, negLo = 0.005)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // anchors 3/5/9 have no positive leg -> dropped; 1 and 2 survive
+    assert(out.map(_._1) == Seq(1L, 2L), s"anchors: $out")
+    val t1 = out.head
+    assert(t1._2 == 2L && math.abs(t1._3 - 8.0 / 9.0) < 1e-6)
+    // negatives 3 and 5 tie at 2/14 -> deterministic pick of id 3
+    assert(t1._4 == 3L && math.abs(t1._5 - 2.0 / 14.0) < 1e-6)
+    val t2 = out(1)
+    assert(t2._2 == 1L && t2._4 == 3L)
+  }
 }

@@ -1134,4 +1134,27 @@ class TextStatsSpec extends SparkSpec {
     curve.sliding(2).foreach { case Array((_, a), (_, b)) =>
       assert(b < a, s"loss must fall: $a -> $b") }
   }
+
+  test("rankEnsemble: per-source percentile ranks, id tie-break, single-row source ranks zero, ensemble is the exact mean") {
+    import spark.implicits._
+    val df = Seq(
+      // source A: c1 ascending 10/20/30, c2 order 2,3,1
+      (1L, "A", 10L, 30L), (2L, "A", 20L, 10L), (3L, "A", 30L, 20L),
+      // source B: one row -> both ranks 0
+      (4L, "B", 99L, 99L),
+      // source C: tied c1 -> id decides; c2 untied
+      (5L, "C", 7L, 1L), (6L, "C", 7L, 2L)
+    ).toDF("doc_id", "src", "c1", "c2")
+    val out = TextStats.rankEnsemble(df, "doc_id", "src", Seq("c1", "c2"))
+      .collect().map(r => (r.getLong(0),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val expect = Seq(
+      (1L, 0.0, 1.0, 0.5),
+      (2L, 0.5, 0.0, 0.25),
+      (3L, 1.0, 0.5, 0.75),
+      (4L, 0.0, 0.0, 0.0),
+      (5L, 0.0, 0.0, 0.0),   // tie on c1 -> lower id ranks first
+      (6L, 1.0, 1.0, 1.0))
+    assert(out == expect, s"got $out")
+  }
 }

@@ -210,6 +210,20 @@ object ManualDrive {
         "embedding", simThreshold = 0.35, nlist = 8)
       .show(5)
 
+    // 9. contrastive triplet mining (q206) + rank ensemble (q207)
+    println("== contrastiveTriplets (q206)")
+    val docs9 = spark.read.parquet(s"$sf/documents.parquet")
+    etlmudah.scale.Dedup.contrastiveTriplets(docs9, "text", "doc_id",
+        posMin = 0.8, negLo = 0.005)
+      .show(5)
+    println("== rankEnsemble (q207)")
+    etlmudah.text.TextStats.rankEnsemble(
+        docs9.withColumn("n_tokens",
+            etlmudah.text.TextStats.tokenCount(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long")),
+        "doc_id", "source", Seq("n_tokens", "n_chars"))
+      .show(5)
+
     spark.stop()
   }
 }
