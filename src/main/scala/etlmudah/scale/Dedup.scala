@@ -1765,4 +1765,43 @@ object Dedup {
       exactJaccardPairs(df, textCol, idCol, shingleN, minJaccard = negLo),
       posMin)
   }
+
+  /** Banded-tier RECALL CURVE: the portable MinHash tier's measured
+    * hit rate against exact-Jaccard ground truth, bucketed by true
+    * similarity — the 1-(1-j^r)^b S-curve every banded dedup
+    * deployment must VERIFY, not assume (banding that silently misses
+    * 0.8-similarity pairs is a dedup pipeline that ships duplicates).
+    * Per jaccard decile at/above `gate`: how many true pairs exist,
+    * how many the banded candidate set surfaced, and the recall ratio.
+    *
+    * This is SCALE.md's "measured recall evidence" promoted to a
+    * first-class, hash-checked query: both tiers are deterministic
+    * (exact inverted index; seeded-md5 banding), so an external engine
+    * re-derives the full report — ground truth, candidates, and curve.
+    *
+    * An EVALUATION harness, priced accordingly: the exact side is the
+    * [[exactJaccardPairs]] inverted-index join with its sum(df²) cost —
+    * run it on a bounded audit slice (a stratified sample of the
+    * corpus), not 100 TB; the banded side reuses the slice's
+    * signatures. The report's movement is both pair tiers' plus one
+    * |pairs|-sized join and a ≤10-row aggregate. */
+  def bandedRecallReport(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                         gate: Double = 0.5): DataFrame = {
+    val exact = exactJaccardPairs(df, textCol, idCol, shingleN,
+      minJaccard = gate)
+    // the banded tier refines candidates to exact jaccard >= gate, so
+    // its output IS candidates ∩ ground-truth — the left join below
+    // marks exactly the true pairs banding surfaced
+    val banded = minhashPortablePairs(df, textCol, idCol, shingleN,
+        k, bands, minJaccard = gate)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    exact.join(banded, Seq("id_a", "id_b"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("jac_decile"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_true"), 6))
+      .orderBy(col("jac_decile"))
+  }
 }

@@ -175,6 +175,47 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** CLUSTER-BALANCED diversity sample: assign every embedding to its
+    * nearest coarse centroid, then keep at most `perCluster` vectors
+    * per cluster in deterministic md5-uniform order — [[capPerStratum]]
+    * with the stratum COMPUTED by semantic clustering instead of read
+    * from a column. This is the cluster-then-cap recipe for de-biasing
+    * a corpus toward semantic coverage (dense regions — boilerplate,
+    * near-duplicate templates — contribute at most `perCluster` docs;
+    * sparse regions keep everything), the sampling-side complement of
+    * SemDeDup's cluster-then-dedup.
+    *
+    * Built on [[Similarity.portableAssign]] (the q158 deterministic
+    * md5-pick quantizer), so the WHOLE pipeline — centroid pick,
+    * argmax-cosine assignment, per-cluster cap — replays in external
+    * SQL and carries a hash-checked oracle row (q208); swap in the
+    * trained quantizer ([[Similarity.ivfTopKAll]]'s) for production
+    * list balance and the cap machinery is unchanged.
+    *
+    * Scale shape: centroids broadcast, assignment argmax rides the
+    * repartition(id) exchange map-side-combined (vectors never
+    * shuffle), and the cap is ONE cluster-keyed window over (id, cid)
+    * pairs — fixed-width rows, never embeddings. A degenerate quantizer
+    * that lands most of the corpus in one cluster makes that cluster's
+    * window partition corpus-sized: raise `nlist` (the intended dial)
+    * or salt as in [[capPerStratum]]'s AQE note.
+    *
+    * Returns (vec_id, centroid_id, pick_rank) for the kept rows. */
+  def clusterBalancedSample(embeddings: DataFrame, idCol: String,
+                            vecCol: String, nlist: Int = 8,
+                            perCluster: Int = 32,
+                            salt: String = ""): DataFrame = {
+    val assign = Similarity.portableAssign(embeddings, idCol, vecCol,
+      nlist, keepVec = false)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(hashUniform(col("id"), salt).asc, col("id").asc)
+    assign.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= perCluster)
+      .select(col("id").as("vec_id"), col("cid").as("centroid_id"),
+        col("pick_rank"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Weighted sampling WITHOUT replacement, k winners (Efraimidis &
     * Spirakis A-Res): rank rows by ln(u)/w — monotone in the classic
     * u^(1/w) key, so the global top-k by it IS the weighted sample —

@@ -471,7 +471,7 @@ object Similarity {
     * vector through the aggregate only when the caller needs it (the
     * within-cluster pair join) — the assignment-only tier shuffles ids
     * and scores, not embeddings. */
-  private def portableAssign(embeddings: DataFrame, idCol: String,
+  private[scale] def portableAssign(embeddings: DataFrame, idCol: String,
                              vecCol: String, nlist: Int,
                              keepVec: Boolean,
                              cents: Option[DataFrame] = None): DataFrame = {
@@ -820,6 +820,70 @@ object Similarity {
       .unionAll(recallOf("ivf",
         ivfTopKAll(embeddings, idCol, vecCol, k, nlist, nprobe, probeFilter = pf)))
       .orderBy(col("method"))
+  }
+
+  /** MATRYOSHKA truncation fidelity: how much top-k retrieval quality
+    * survives serving only the FIRST `dPrime` embedding dimensions
+    * (Kusupati et al. 2022 "Matryoshka Representation Learning" — MRL
+    * models front-load information so a prefix is a valid low-dim
+    * embedding; truncate-and-serve is the standard latency/memory dial
+    * and this report is the evaluation that must sit next to it).
+    * Per probe: exact cosine top-k on full dims vs top-k on the
+    * dPrime-prefix, report the overlap — recall@k of the truncated
+    * serving path against the full-dimension ground truth.
+    *
+    * Deterministic and oracle-checkable end to end: probes are the
+    * `nProbes` LARGEST-md5 ids (the q178 pick), both rankings order by
+    * (6dp cosine desc, id asc), overlap is an integer.
+    *
+    * Scale shape: probes broadcast (one corpus scan computes BOTH
+    * scores — the prefix slice is a projection, not a second pass);
+    * per-probe top-k is TWO-STAGE — a salted (probe, shard) window
+    * keeps k per shard, then the final per-probe window ranks only
+    * <= salts x k survivors per metric — so no corpus-sized window
+    * partition exists at any scale (`salts` sizes the first stage;
+    * the result is identical to the unsalted rank for any salts >= 1
+    * because a global top-k row is top-k within its shard). */
+  def matryoshkaRecall(embeddings: DataFrame, idCol: String, vecCol: String,
+                       dPrime: Int, k: Int = 10, nProbes: Int = 10,
+                       salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dPrime >= 1, "dPrime must be >= 1")
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val probes = vecs
+      .orderBy(md5(col("id").cast("string").cast("binary")).desc,
+        col("id").desc)
+      .limit(nProbes)
+      .select(col("id").as("probe_id"), col("vec").as("pvec"))
+    val scored = vecs.join(broadcast(probes))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        round(cosineFast(col("vec"), col("pvec")), 6).as("cos_full"),
+        round(cosineFast(slice(col("vec"), 1, dPrime),
+          slice(col("pvec"), 1, dPrime)), 6).as("cos_trunc"))
+      .withColumn("__shard", pmod(xxhash64(col("id")), lit(salts)))
+    def topK(c: String): DataFrame = {
+      val pre = Window.partitionBy(col("probe_id"), col("__shard"))
+        .orderBy(col(c).desc, col("id").asc)
+      val fin = Window.partitionBy(col("probe_id"))
+        .orderBy(col(c).desc, col("id").asc)
+      scored.withColumn("__pr", row_number().over(pre))
+        .filter(col("__pr") <= k)
+        .withColumn("__r", row_number().over(fin))
+        .filter(col("__r") <= k)
+        .select(col("probe_id"), col("id"))
+    }
+    topK("cos_full")
+      .join(topK("cos_trunc").withColumn("__hit", lit(1L)),
+        Seq("probe_id", "id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall",
+        round(col("overlap").cast("double") / k, 6))
+      .select(col("probe_id"), col("k"), col("overlap"), col("recall"))
+      .orderBy(col("probe_id"))
   }
 
   /** SemDeDup-style semantic deduplication (cluster-then-dedup, after

@@ -1186,6 +1186,17 @@ object SparkEntry {
       Dedup.minhashPortablePairs(Tables.documents(s, dir), "text", "doc_id",
         shingleN = 3, k = 8, bands = 4, minJaccard = 0.7)),
 
+    // banded-tier recall CURVE: the portable MinHash candidate set
+    // measured against exact-Jaccard ground truth per similarity
+    // decile — SCALE.md's recall evidence promoted to a hash-checked
+    // query (run on an audit slice at corpus scale). The 0.02 gate
+    // deliberately includes the background-noise deciles so the row
+    // set shows BOTH curve ends: ~0 recall on unrelated pairs (banding
+    // correctly ignores them) and 1.0 on the near-dup decile
+    "q209_banded_recall_curve" -> ((s, dir) =>
+      Dedup.bandedRecallReport(Tables.documents(s, dir), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4, gate = 0.02)),
+
     // q25's production parameters (k=128, b=32, j>=0.8) through the
     // portable md5-60bit hash family: the flagship banded near-dup tier
     // itself gains a hash-checked oracle row (q25's xxhash64 tier stays
@@ -1446,6 +1457,22 @@ object SparkEntry {
     "q158_ivf_assign_portable" -> ((s, dir) =>
       Similarity.ivfAssignPortable(Tables.embeddings(s, dir),
         "vec_id", "embedding", nlist = 8)),
+
+    // cluster-balanced DIVERSITY sample: q158's portable assignment +
+    // the q89 md5-ordered cap, composed — dense semantic regions
+    // contribute at most perCluster docs, sparse regions keep all;
+    // the whole pipeline (pick, argmax, cap) replays in SQL
+    "q208_cluster_balanced_sample" -> ((s, dir) =>
+      etlmudah.scale.Sampling.clusterBalancedSample(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 8, perCluster = 32, salt = "cbs")),
+
+    // Matryoshka truncation fidelity: top-k on the 16-dim embedding
+    // prefix vs full 64-dim ground truth, overlap per probe — the
+    // evaluation that must sit next to a truncate-and-serve ANN dial
+    "q210_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dPrime = 16, k = 10, nProbes = 10)),
 
     // PORTABLE Product-Quantization encode (Jégou et al. — the memory
     // answer for billion-vector ANN; int8 (q77) compresses 4x, PQ 32x):
@@ -2809,6 +2836,58 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Recall-curve twin of [[minhashPortableSql]] — replicates
+    * `Dedup.bandedRecallReport`: the SAME shingle/signature CTEs serve
+    * both the exact-Jaccard ground truth (inverted-index self-join at
+    * `gate`) and the banded candidate set (seeded-md5 lane mins, band
+    * equality), then true pairs group by jaccard decile with a
+    * found-by-banding left join. */
+  private def bandedRecallSql(k: Int, bands: Int, gate: Double): String = {
+    val rpb = k / bands
+    val mins = (0 until k).map(i =>
+      s"min(substr(md5('${i / 4}:' || g), ${1 + 8 * (i % 4)}, 8)) AS m$i")
+      .mkString(", ")
+    val bandPred = (0 until bands).map { b =>
+      (0 until rpb).map(j => s"a.m${rpb * b + j} = b.m${rpb * b + j}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH tokarr AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+       |  FROM tokarr),
+       |grams AS (
+       |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |short AS (
+       |  SELECT doc_id, array_to_string(arr, ' ') AS g
+       |  FROM tokarr WHERE len(arr) < 3),
+       |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+       |sig AS (SELECT doc_id, $mins, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exj AS (
+       |  SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+       |  FROM inter JOIN sig sa ON sa.doc_id = id_a
+       |             JOIN sig sb ON sb.doc_id = id_b
+       |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= $gate),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandPred))
+       |SELECT floor(jaccard * 10)::BIGINT AS jac_decile,
+       |  count(*) AS n_true,
+       |  sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_found,
+       |  round(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS recall
+       |FROM exj LEFT JOIN cand c ON c.id_a = exj.id_a AND c.id_b = exj.id_b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Cross-corpus (even-id train vs odd-id ref) variant of
     * [[minhashPortableSql]] — replicates
     * `Dedup.minhashPortableCrossPairs` verbatim: same seeded-md5 lane
@@ -2859,6 +2938,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q26_simhash_near_dups" -> simhashOracleSql,
     "q130_minhash_portable" -> minhashPortableSql(8, 4, 0.7),
+    "q209_banded_recall_curve" -> bandedRecallSql(8, 4, 0.02),
     "q152_near_dup_pairs_portable" -> minhashPortableSql(128, 32, 0.8),
     "q157_decontamination_portable" -> minhashPortableCrossSql(128, 32, 0.8),
 
@@ -3128,6 +3208,73 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, cid AS centroid_id, cs AS cos_sim
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // q158's assignment CTEs + the q89 md5-uniform cap window — the
+    // full cluster-then-cap pipeline replayed
+    "q208_cluster_balanced_sample" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cvec::DOUBLE[]), 6) AS cs
+        |  FROM embeddings e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |u AS (
+        |  SELECT vec_id, cid,
+        |    CAST(('0x' || substr(md5(vec_id::VARCHAR || 'cbs'), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 AS u
+        |  FROM assign),
+        |r AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY cid
+        |                       ORDER BY u ASC, vec_id ASC) AS pick_rank
+        |  FROM u)
+        |SELECT vec_id, cid AS centroid_id, pick_rank::BIGINT AS pick_rank
+        |FROM r WHERE pick_rank <= 32 ORDER BY vec_id""".stripMargin,
+
+    // truncated-prefix vs full-dim top-10 overlap per probe: probes =
+    // 10 largest-md5 ids (the q178 pick), both ranks order by
+    // (6dp cosine desc, id) — list slicing replays the engine's
+    // slice(vec, 1, 16) projection
+    "q210_matryoshka_recall" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 10),
+        |s AS (
+        |  SELECT p.probe_id, e.vec_id AS id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      p.pvec::DOUBLE[]), 6) AS cf,
+        |    round(list_cosine_similarity(e.embedding[1:16]::DOUBLE[],
+        |      p.pvec[1:16]::DOUBLE[]), 6) AS ct
+        |  FROM embeddings e CROSS JOIN p
+        |  WHERE e.vec_id <> p.probe_id),
+        |rf AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |                         ORDER BY cf DESC, id ASC) AS r
+        |    FROM s) WHERE r <= 10),
+        |rt AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |                         ORDER BY ct DESC, id ASC) AS r
+        |    FROM s) WHERE r <= 10)
+        |SELECT f.probe_id, 10::BIGINT AS k,
+        |  sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS overlap,
+        |  round(sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / 10, 6) AS recall
+        |FROM rf f LEFT JOIN rt t
+        |  ON t.probe_id = f.probe_id AND t.id = f.id
+        |GROUP BY f.probe_id ORDER BY f.probe_id""".stripMargin,
 
     // PQ encode replay: md5-ranked 16-vector codebook (code = rank-1),
     // integer subspace coordinates ((p-1)//8, (p-1)%8), BIGINT squared

@@ -951,4 +951,23 @@ class DedupSpec extends SparkSpec {
     val t2 = out(1)
     assert(t2._2 == 1L && t2._4 == 3L)
   }
+
+  test("bandedRecallReport: exact duplicates always surface; found never exceeds true; recall column is consistent") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),              // jac 1.0 -> decile 10
+      (3L, base + " x1"),                  // jac 28/29 vs 1,2 -> decile 9
+      (4L, (1 to 30).map(i => s"z$i").mkString(" "))  // disjoint
+    ).toDF("doc_id", "text")
+    val rep = Dedup.bandedRecallReport(docs, "text", "doc_id", gate = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // identical signatures collide in every band: decile 10 recall is 1
+    val d10 = rep.find(_._1 == 10L)
+    assert(d10.exists(r => r._2 == 1L && r._4 == 1.0), s"report: ${rep.toSeq}")
+    assert(rep.forall(r => r._3 <= r._2))
+    assert(rep.forall(r =>
+      r._4 == math.round(r._3.toDouble / r._2 * 1e6) / 1e6))
+  }
 }

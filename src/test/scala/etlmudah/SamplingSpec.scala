@@ -365,4 +365,24 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("clusterBalancedSample: per-cluster cap holds, assignment matches the portable tier, ranks are contiguous") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+        nlist = 4, perCluster = 5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.values.forall(_.length <= 5))
+    // at sf0.001 (50 vectors / 4 clusters) at least one cluster must cap
+    assert(byCluster.values.exists(_.length == 5))
+    // kept rows carry exactly the portable tier's assignment
+    val assign = Similarity.ivfAssignPortable(emb, "vec_id", "embedding",
+        nlist = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (v, c, _) => assert(assign(v) == c) }
+    // pick_rank is 1..n within each cluster
+    byCluster.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq) }
+  }
 }

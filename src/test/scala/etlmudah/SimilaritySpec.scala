@@ -418,4 +418,19 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._3).distinct.length == 1)
     }
   }
+
+  test("matryoshkaRecall: full-width prefix gives recall 1; salted two-stage top-k equals unsalted") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // dPrime = the full 64 dims -> truncated ranking IS the full ranking
+    val full = Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+      dPrime = 64, k = 5, nProbes = 4, salts = 8).collect()
+    assert(full.length == 4)
+    assert(full.forall(_.getDouble(3) == 1.0),
+      full.map(_.toString).mkString(","))
+    // the salted pre-rank is exact: any salts value yields the same report
+    def rep(salts: Int) = Similarity.matryoshkaRecall(emb, "vec_id",
+        "embedding", dPrime = 16, k = 5, nProbes = 4, salts = salts)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rep(1) == rep(7))
+  }
 }

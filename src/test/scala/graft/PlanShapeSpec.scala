@@ -172,7 +172,12 @@ class PlanShapeSpec extends SparkSpec {
       "q169_tfidf_cosine_pairs",
       // q188/q189 carry q106's shape plus the single-row
       // distinct-bigram total broadcast (the Kneser-Ney normalizer)
-      "q188_kneser_ney_logprob", "q189_perplexity_buckets")
+      "q188_kneser_ney_logprob", "q189_perplexity_buckets",
+      // q208 reuses q158's nlist-row centroid broadcast under the cap
+      "q208_cluster_balanced_sample",
+      // q210's build side is the nProbes-row probe set (the q115
+      // exact-baseline broadcast, scored twice per row)
+      "q210_matryoshka_recall")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
