@@ -886,6 +886,46 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** SEMANTIC drift gate: PSI over cluster-share distributions of two
+    * embedding corpora — q142's population-stability arithmetic with
+    * the bin COMPUTED by semantic clustering instead of a value
+    * histogram. A crawl refresh whose scalar stats look stable can
+    * still have shifted topically (more spam, less code, a new
+    * language); assigning both snapshots to the SAME centroids and
+    * comparing cluster shares catches exactly that class of drift, and
+    * the standard PSI thresholds (0.1 watch / 0.25 act, summed over
+    * bins) apply unchanged.
+    *
+    * Centroids come from the REFERENCE side only (the q158 md5 pick) —
+    * drift must be measured against the baseline's structure, not a
+    * moving mixture of both. Deterministic end to end, so the whole
+    * gate — pick, both assignments, shares, PSI terms — replays in
+    * external SQL (q211).
+    *
+    * Scale shape: two q158 assignment passes (broadcast centroids,
+    * map-side-combined argmax — vectors never shuffle) into a
+    * union→aggregate of (cid, side) pairs; the PSI share windows run
+    * over the ≤nlist-row aggregate (the q06 share-of-total shape).
+    * Output: (bin, n_base, n_next, p_base, p_next, psi_term). */
+  def semanticDriftPsi(ref: DataFrame, cur: DataFrame, idCol: String,
+                       vecCol: String, nlist: Int = 8,
+                       eps: Double = 1e-6): DataFrame = {
+    val refVecs = ref.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val cents = md5CentroidPick(refVecs, nlist)
+    def assigned(df: DataFrame) =
+      portableAssign(df, idCol, vecCol, nlist, keepVec = false,
+        cents = Some(cents))
+    val counts = assigned(ref)
+      .select(col("cid").as("bin"), lit("base").as("__side"))
+      .unionByName(assigned(cur)
+        .select(col("cid").as("bin"), lit("next").as("__side")))
+      .groupBy(col("bin")).agg(
+        sum(when(col("__side") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__side") === "next", 1L).otherwise(0L)).as("n_next"))
+    etlmudah.analytics.Profile.psiFromCounts(counts, eps)
+  }
+
   /** SemDeDup-style semantic deduplication (cluster-then-dedup, after
     * the published LAION/C4 recipe): every vector is assigned to its
     * nearest coarse-quantizer centroid, and cosine near-duplicates are

@@ -1474,6 +1474,17 @@ object SparkEntry {
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir),
         "vec_id", "embedding", dPrime = 16, k = 10, nProbes = 10)),
 
+    // SEMANTIC drift gate: even-id vecs = reference snapshot, odd-id =
+    // current; both assigned to the reference's q158 centroids, PSI
+    // over the cluster shares — topical drift the scalar stats miss
+    "q211_semantic_drift_psi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDriftPsi(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", nlist = 8)
+    }),
+
     // PORTABLE Product-Quantization encode (Jégou et al. — the memory
     // answer for billion-vector ANN; int8 (q77) compresses 4x, PQ 32x):
     // md5-ranked codebook pick per subspace, integer-lattice argmin-L2
@@ -3238,6 +3249,54 @@ object SparkEntry {
         |  FROM u)
         |SELECT vec_id, cid AS centroid_id, pick_rank::BIGINT AS pick_rank
         |FROM r WHERE pick_rank <= 32 ORDER BY vec_id""".stripMargin,
+
+    // reference-side (even-id) md5 centroid pick, both snapshots
+    // assigned by q158's argmax CTEs, q142's PSI arithmetic over the
+    // cluster-share counts
+    "q211_semantic_drift_psi" ->
+      """WITH ref AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+        |cur AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+        |c AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM ref
+        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        |sb AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cvec::DOUBLE[]), 6) AS cs
+        |  FROM ref e CROSS JOIN c),
+        |ab AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM sb) WHERE rn = 1),
+        |sn AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cvec::DOUBLE[]), 6) AS cs
+        |  FROM cur e CROSS JOIN c),
+        |an AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM sn) WHERE rn = 1),
+        |u AS (
+        |  SELECT cid AS bin, 1::BIGINT AS b, 0::BIGINT AS n FROM ab
+        |  UNION ALL
+        |  SELECT cid, 0, 1 FROM an),
+        |cnt AS (SELECT bin, sum(b)::BIGINT AS n_base,
+        |  sum(n)::BIGINT AS n_next FROM u GROUP BY bin),
+        |p AS (SELECT bin, n_base, n_next,
+        |  greatest(n_base::DOUBLE / (sum(n_base) OVER ())::DOUBLE,
+        |    1e-6::DOUBLE) AS pb,
+        |  greatest(n_next::DOUBLE / (sum(n_next) OVER ())::DOUBLE,
+        |    1e-6::DOUBLE) AS pn
+        |  FROM cnt)
+        |SELECT bin, n_base, n_next, round(pb, 6) AS p_base,
+        |  round(pn, 6) AS p_next,
+        |  round((pn - pb) * ln(pn / pb), 6) AS psi_term
+        |FROM p ORDER BY bin""".stripMargin,
 
     // truncated-prefix vs full-dim top-10 overlap per probe: probes =
     // 10 largest-md5 ids (the q178 pick), both ranks order by

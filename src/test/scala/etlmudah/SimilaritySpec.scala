@@ -433,4 +433,29 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(rep(1) == rep(7))
   }
+
+  test("semanticDriftPsi: identical snapshots score zero; a skewed snapshot scores positive") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val same = Similarity.semanticDriftPsi(emb, emb, "vec_id", "embedding",
+        nlist = 4).collect()
+    assert(same.nonEmpty)
+    // identical corpora: every cluster share matches -> every term is 0
+    same.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2))
+      assert(r.getDouble(5) == 0.0, r.toString)
+    }
+    // drop one cluster's members from the current side: shares shift,
+    // summed PSI must be positive
+    val assign = Similarity.ivfAssignPortable(emb, "vec_id", "embedding",
+        nlist = 4)
+    val dropCid = assign.groupBy("centroid_id").count()
+      .orderBy(col("count").desc, col("centroid_id"))
+      .collect().head.getLong(0)
+    val keepIds = assign.filter(col("centroid_id") =!= dropCid)
+      .select(col("vec_id"))
+    val cur = emb.join(keepIds, Seq("vec_id"), "left_semi")
+    val drift = Similarity.semanticDriftPsi(emb, cur, "vec_id", "embedding",
+        nlist = 4).collect()
+    assert(drift.map(_.getDouble(5)).sum > 0.1, drift.mkString(","))
+  }
 }

@@ -177,7 +177,9 @@ class PlanShapeSpec extends SparkSpec {
       "q208_cluster_balanced_sample",
       // q210's build side is the nProbes-row probe set (the q115
       // exact-baseline broadcast, scored twice per row)
-      "q210_matryoshka_recall")
+      "q210_matryoshka_recall",
+      // q211 runs q158's centroid broadcast once per snapshot side
+      "q211_semantic_drift_psi")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
