@@ -179,4 +179,38 @@ object Events {
         round(col("n").cast("double") / sum(col("n")).over(wRow), 6).as("p"))
       .orderBy(col("from_event"), col("to_event"))
   }
+
+  /** Top event PATHS: the most common length-`len` consecutive
+    * event-type sequences per user stream — [[transitionMatrix]]
+    * extended from bigrams to the path grain product analytics
+    * actually explores ("what do users do in their next two steps
+    * after signup?"). Paths never cross users; ordering is (ts, id)
+    * so equal-timestamp events sequence deterministically.
+    *
+    * Scale: the SAME single user-keyed window exchange as
+    * [[transitionMatrix]] — all len−1 leads ride one sort — then a
+    * map-side-combined count whose key space is bounded by
+    * |types|^len (types are a small enum), and a
+    * TakeOrderedAndProject top-k. Event volume is touched once.
+    *
+    * Output: (path "a>b>c", n) top `topK` by count, ties broken by
+    * path string. */
+  def eventPaths(events: DataFrame, tsCol: String, userCol: String,
+                 typeCol: String, idCol: String, len: Int = 3,
+                 topK: Int = 20): DataFrame = {
+    require(len >= 2, "a path needs at least 2 steps")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val stepCols = (1 until len).map(i =>
+      lead(col(typeCol), i).over(w).as(s"__s$i"))
+    events
+      .select((col(typeCol).as("__s0") +: stepCols): _*)
+      .filter((1 until len).map(i => col(s"__s$i").isNotNull)
+        .reduce(_ && _))
+      .select(concat_ws(">",
+        (0 until len).map(i => col(s"__s$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+  }
 }

@@ -48,6 +48,41 @@ object TextStats {
     trim(regexp_replace(folded, "\\s+", " "))
   }
 
+  /** MOJIBAKE (encoding-damage) scan: per-slice counts of the classic
+    * UTF-8-bytes-decoded-as-Latin-1/cp1252 artifacts — 'Ã©'-family
+    * accented-letter double-decodes, the 'â€¦' punctuation family
+    * (curly quotes/dashes/ellipsis all start â€ under the damage), and
+    * 'Â ' (a non-breaking space's C2 byte surfacing). Web crawls carry
+    * this damage wherever an origin mislabeled its charset; it
+    * poisons tokenizers (each artifact fragments into rare tokens) so
+    * curation pipelines count and gate it per source BEFORE training.
+    * The pattern matches the damage's LEAD characters alone (U+00C3;
+    * U+00E2 U+20AC; U+00C2 + space): counting the lead IS counting the
+    * artifact (every 'Ã©' contains exactly one Ã), and distinct-prefix
+    * literals cannot diverge between Java and RE2 alternation
+    * semantics the way overlapping multi-char alternatives could.
+    *
+    * Returns per slice: n_docs, n_flagged (docs with ≥1 artifact),
+    * n_hits (total artifacts), flagged_share 6dp. 100 TB shape: one
+    * codegen'd regexp_count projection + one map-side-combined
+    * aggregate — the q48 movement. */
+  /** The q212 marker alternation — public so the oracle twin
+    * interpolates the IDENTICAL pattern instead of re-typing it. */
+  val mojibakeMarkers = "\u00C3|\u00E2\u20AC|\u00C2 "
+
+  def mojibakeScan(df: DataFrame, textCol: String, idCol: String,
+                   sliceCol: String): DataFrame = {
+    val hits = regexp_count(col(textCol), lit(mojibakeMarkers)).cast("long")
+    df.select(col(sliceCol).as("slice"), hits.as("__h"))
+      .groupBy(col("slice")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__h") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("__h")).as("n_hits"))
+      .withColumn("flagged_share",
+        round(col("n_flagged").cast("double") / col("n_docs"), 6))
+      .orderBy(col("slice"))
+  }
+
   /** Hashed-feature LINEAR quality scorer — the fastText/FineWeb-Edu
     * "model-based quality filter" SHAPE made engine-portable. Real
     * pipelines gate documents on a trained linear classifier over

@@ -100,6 +100,15 @@ object SparkEntry {
     * signatures are subset-stable, so the one full-corpus table serves
     * the self-join audit AND every train/ref decontamination split
     * that shares (shingleN=3, k=128). */
+  /** Deterministic encoding-damage suffix for q212 (the q176
+    * dirty-synthesis precedent): one 'Ã'-family double-decode, one
+    * 'â€' punctuation artifact, one 'Â '+space — exactly 3 marker hits.
+    * Built from codepoint escapes so no source-encoding round trip can
+    * alter the bytes; interpolated into BOTH the Spark lambda and the
+    * DuckDB oracle so the two sides inject identical damage. */
+  private val mojibakeSuffix =
+    " caf\u00C3\u00A9 \u00E2\u20AC\u0153quote \u00C2 nb"
+
   private val portableSigTag = "psig-v1-n3-k128"
   private[graft] def stagedPortableSigs(s: SparkSession, dir: String): DataFrame =
     stagedArtifact(s, dir, portableSigTag, "psig")(
@@ -1671,6 +1680,23 @@ object SparkEntry {
     "q141_event_transitions" -> ((s, dir) =>
       etlmudah.analytics.Events.transitionMatrix(Tables.eventsTyped(s, dir),
         "ts", "user_id", "event_type", "event_id")),
+
+    // top event PATHS (q141 extended from bigrams to trigram paths):
+    // the most common 3-step event-type sequences per user stream
+    "q213_event_paths" -> ((s, dir) =>
+      etlmudah.analytics.Events.eventPaths(Tables.eventsTyped(s, dir),
+        "ts", "user_id", "event_type", "event_id", len = 3, topK = 20)),
+
+    // mojibake (encoding-damage) scan per source: deterministic damage
+    // injected on every third doc (the q176 dirty-synthesis precedent),
+    // lead-character markers counted by one codegen'd regexp_count
+    "q212_mojibake_scan" -> ((s, dir) => {
+      val dirty = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(mojibakeSuffix))).otherwise(col("text"))
+      TextStats.mojibakeScan(
+        Tables.documents(s, dir).withColumn("text", dirty),
+        "text", "doc_id", "source")
+    }),
 
     // t-digest decile calibration vs exact percentiles (no SQL oracle:
     // the sketch has no DuckDB twin; envelope spec'd in AnalyticsSpec)
@@ -6522,6 +6548,37 @@ object SparkEntry {
         |  round(m.n::DOUBLE / r.row_n::DOUBLE, 6) AS p
         |FROM m JOIN r USING (from_event)
         |ORDER BY from_event, to_event""".stripMargin,
+
+    // q141's window extended to two leads; same (ts, event_id) ordering
+    "q213_event_paths" ->
+      """WITH s AS (
+        |  SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
+        |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // identical damage injection (the shared mojibakeSuffix literal)
+    // and the IDENTICAL marker pattern (TextStats.mojibakeMarkers
+    // interpolated) — RE2 counts the same non-overlapping matches
+    "q212_mojibake_scan" ->
+      s"""WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || '$mojibakeSuffix'
+        |         ELSE text END AS t
+        |  FROM documents),
+        |h AS (SELECT source,
+        |  len(regexp_extract_all(t, '${TextStats.mojibakeMarkers}'))
+        |    AS hits FROM d)
+        |SELECT source AS slice, count(*) AS n_docs,
+        |  sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        |  sum(hits)::BIGINT AS n_hits,
+        |  round(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS flagged_share
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // Connected components over the exact near-dup pair graph via a
     // recursive reachability CTE; cluster_id = min reachable doc_id.

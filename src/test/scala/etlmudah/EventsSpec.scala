@@ -137,4 +137,22 @@ class EventsSpec extends SparkSpec {
     assert(Events.transitionMatrix(events, "ts", "user_id", "event_type",
       "event_id").count() == 0L)
   }
+
+  test("eventPaths: trigram paths never cross users, count correctly, tie-break on path") {
+    import spark.implicits._
+    // user 1: a b a b  -> a>b>a, b>a>b ; user 2: a b a -> a>b>a
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 00:00:01")),
+      (2L, 1L, "b", ts("2024-01-01 00:00:02")),
+      (3L, 1L, "a", ts("2024-01-01 00:00:03")),
+      (4L, 1L, "b", ts("2024-01-01 00:00:04")),
+      (5L, 2L, "a", ts("2024-01-01 00:00:05")),
+      (6L, 2L, "b", ts("2024-01-01 00:00:06")),
+      (7L, 2L, "a", ts("2024-01-01 00:00:07"))
+    ).toDF("event_id", "user_id", "et", "ts")
+    val out = Events.eventPaths(ev, "ts", "user_id", "et", "event_id",
+        len = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a>b>a", 2L), ("b>a>b", 1L)), out.toSeq.toString)
+  }
 }

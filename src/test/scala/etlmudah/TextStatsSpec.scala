@@ -1157,4 +1157,22 @@ class TextStatsSpec extends SparkSpec {
       (6L, 1.0, 1.0, 1.0))
     assert(out == expect, s"got $out")
   }
+
+  test("mojibakeScan: counts lead-char artifacts per slice; clean docs score zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "clean text here", "a"),
+      (2L, "caf\u00C3\u00A9 and \u00E2\u20AC\u0153quote", "a"), // 2 hits
+      (3L, "nb\u00C2 space \u00C2 again", "b"),                    // 2 hits
+      (4L, "also clean", "b"),
+      (5L, "\u00C3\u00A9\u00C3\u00A9\u00C3\u00A9", "b")        // 3 hits
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.mojibakeScan(df, "text", "doc_id", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 1L, 2L, 0.5),
+      ("b", 3L, 2L, 5L, 0.666667)), out.toSeq.toString)
+  }
 }
