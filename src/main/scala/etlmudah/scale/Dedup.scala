@@ -1785,6 +1785,41 @@ object Dedup {
     * corpus), not 100 TB; the banded side reuses the slice's
     * signatures. The report's movement is both pair tiers' plus one
     * |pairs|-sized join and a ≤10-row aggregate. */
+  /** THEORETICAL banding design table — the 1-(1-j^r)^b catch
+    * probability for every (bands, rows-per-band) factorization of a
+    * k-hash budget, over a jaccard grid: the table an engineer reads
+    * to pick `bands` BEFORE running [[bandedRecallReport]] to confirm
+    * the choice empirically (MMDS ch.3's S-curve, materialized). No
+    * corpus is touched — the q146 driver-side-computation precedent.
+    *
+    * Cross-engine determinism: j^r and (1-j^r)^b are evaluated as
+    * EXPLICIT repeated IEEE multiplications (a fold here, a literal
+    * multiply chain in the SQL twin) — never pow(), whose last-ulp
+    * behavior differs across libm builds — and the 6dp rounding is
+    * floor(x*1e6 + 0.5)/1e6 on both sides, never an engine round().
+    *
+    * Output: (k, bands, rows_per_band, jaccard, p_catch). */
+  def bandingDesignTable(spark: org.apache.spark.sql.SparkSession,
+                         k: Int = 16,
+                         jGrid: Seq[Double] = (1 to 9).map(_ / 10.0))
+      : DataFrame = {
+    import spark.implicits._
+    require(k >= 1, "k must be positive")
+    val rows = for {
+      b <- 1 to k if k % b == 0
+      r = k / b
+      j <- jGrid
+    } yield {
+      val jr = (1 to r).foldLeft(1.0)((acc, _) => acc * j)
+      val miss = (1 to b).foldLeft(1.0)((acc, _) => acc * (1.0 - jr))
+      val p = math.floor((1.0 - miss) * 1e6 + 0.5) / 1e6
+      (k.toLong, b.toLong, r.toLong,
+        math.floor(j * 1e6 + 0.5) / 1e6, p)
+    }
+    rows.toSeq.toDF("k", "bands", "rows_per_band", "jaccard", "p_catch")
+      .orderBy(col("bands"), col("jaccard"))
+  }
+
   def bandedRecallReport(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                          gate: Double = 0.5): DataFrame = {

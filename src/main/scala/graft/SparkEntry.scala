@@ -1195,6 +1195,14 @@ object SparkEntry {
       Dedup.minhashPortablePairs(Tables.documents(s, dir), "text", "doc_id",
         shingleN = 3, k = 8, bands = 4, minJaccard = 0.7)),
 
+    // THEORETICAL banding S-curve table (MMDS ch.3): catch probability
+    // for every factorization of a 16-hash budget over a jaccard grid
+    // — the design table q209's measured curve confirms; pure
+    // driver-side computation (the q146 precedent), multiply-chain
+    // arithmetic so both engines produce bit-identical doubles
+    "q214_banding_design" -> ((s, dir) =>
+      Dedup.bandingDesignTable(s, k = 16)),
+
     // banded-tier recall CURVE: the portable MinHash candidate set
     // measured against exact-Jaccard ground truth per similarity
     // decile — SCALE.md's recall evidence promoted to a hash-checked
@@ -2873,6 +2881,29 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Twin of `Dedup.bandingDesignTable`: one UNION ALL row per
+    * (bands, j) with j^r and (1-j^r)^b written as EXPLICIT multiply
+    * chains (left-associative, ::DOUBLE literals so DuckDB never
+    * parses them as DECIMAL) — the same IEEE operation sequence the
+    * engine's fold performs, so every double is bit-identical; 6dp via
+    * floor(x*1e6 + 0.5), never an engine round(). */
+  private def bandingDesignSql(k: Int, jGrid: Seq[Double]): String = {
+    val rows = for {
+      b <- 1 to k if k % b == 0
+      r = k / b
+      j <- jGrid
+    } yield {
+      val jl = s"$j::DOUBLE"
+      val jr = Seq.fill(r)(jl).mkString(" * ")
+      val miss = Seq.fill(b)(s"(1 - $jr)").mkString(" * ")
+      s"SELECT $k::BIGINT AS k, $b::BIGINT AS bands, " +
+        s"$r::BIGINT AS rows_per_band, " +
+        s"floor($jl * 1000000 + 0.5) / 1000000.0 AS jaccard, " +
+        s"floor((1 - $miss) * 1000000 + 0.5) / 1000000.0 AS p_catch"
+    }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY bands, jaccard")
+  }
+
   /** Recall-curve twin of [[minhashPortableSql]] — replicates
     * `Dedup.bandedRecallReport`: the SAME shingle/signature CTEs serve
     * both the exact-Jaccard ground truth (inverted-index self-join at
@@ -2976,6 +3007,8 @@ object SparkEntry {
     "q26_simhash_near_dups" -> simhashOracleSql,
     "q130_minhash_portable" -> minhashPortableSql(8, 4, 0.7),
     "q209_banded_recall_curve" -> bandedRecallSql(8, 4, 0.02),
+    "q214_banding_design" ->
+      bandingDesignSql(16, (1 to 9).map(_ / 10.0)),
     "q152_near_dup_pairs_portable" -> minhashPortableSql(128, 32, 0.8),
     "q157_decontamination_portable" -> minhashPortableCrossSql(128, 32, 0.8),
 

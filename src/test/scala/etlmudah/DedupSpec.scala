@@ -970,4 +970,21 @@ class DedupSpec extends SparkSpec {
     assert(rep.forall(r =>
       r._4 == math.round(r._3.toDouble / r._2 * 1e6) / 1e6))
   }
+
+  test("bandingDesignTable: p is monotone in j per dial; extreme dials bracket the diagonal") {
+    val t = Dedup.bandingDesignTable(spark, k = 16)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    // 5 factorizations of 16 x 9 grid points
+    assert(t.length == 45)
+    t.groupBy(_._1).foreach { case (_, g) =>
+      g.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(b >= a)
+        case _ =>
+      }
+    }
+    // b=16 (r=1): OR of 16 single hashes -> p >= j everywhere
+    t.filter(_._1 == 16L).foreach { case (_, j, p) => assert(p >= j) }
+    // b=1 (r=16): AND of 16 hashes -> p <= j everywhere
+    t.filter(_._1 == 1L).foreach { case (_, j, p) => assert(p <= j) }
+  }
 }
