@@ -1302,9 +1302,15 @@ object SparkEntry {
     // mvhd, an audio trak the track selection must SKIP, and the video
     // trak with a trailing stub child) is synthesized per doc cycling
     // the v0/v1 box layouts, parsed back by the two bounded box walks
-    // (Multimodal.videoMeta), and duration_ms derives integer-exactly
+    // (Multimodal.videoMeta), and duration_ms derives integer-exactly.
+    // Runs on a FIXED doc_id%5 slice (ids alternate parity, so both
+    // box-version layouts stay covered): this tier exists to keep the
+    // interpreted HOF walk's ~2ms/row cost measured next to q203's
+    // expression tier — a bounded slice benchmarks that cost honestly
+    // without spending 8s of every bench pass on the known-slow path;
+    // the corpus-wide decode is q203's job (identity-pinned to this)
     "q186_video_meta_roundtrip" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
       val variant = element_at(array(lit("v0"), lit("v1")),
         (col("doc_id") % 2 + 1).cast("int"))
       val w = (col("doc_id") % 512 + 16).cast("int")
@@ -4246,7 +4252,7 @@ object SparkEntry {
         |  (doc_id % 512 + 16)::BIGINT AS width,
         |  ((doc_id * 7) % 512 + 16)::BIGINT AS height,
         |  ((doc_id * 13 + 600) * 1000) // 600 AS duration_ms
-        |FROM documents
+        |FROM documents WHERE doc_id % 5 = 0
         |ORDER BY doc_id""".stripMargin,
 
     // q186's oracle verbatim — the scale tier must land identically
