@@ -385,4 +385,16 @@ class SamplingSpec extends SparkSpec {
     byCluster.values.foreach { g =>
       assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq) }
   }
+
+  test("clusterBalancedSample: degenerate-quantizer rehearsal — nlist=1 pushes everything through one cluster and the cap still holds exactly") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val total = emb.count()
+    val rows = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+        nlist = 1, perCluster = 7, salt = "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(total > 7, "fixture must exceed the cap")
+    assert(rows.length == 7)
+    assert(rows.map(_._2).distinct.length == 1)
+    assert(rows.map(_._3).sorted.toSeq == (1L to 7L).toSeq)
+  }
 }

@@ -1175,4 +1175,27 @@ class TextStatsSpec extends SparkSpec {
       ("a", 2L, 1L, 2L, 0.5),
       ("b", 3L, 2L, 5L, 0.666667)), out.toSeq.toString)
   }
+
+  test("rankEnsemble: lopsided-source rehearsal — one source holding ~90% of rows still ranks exactly") {
+    import spark.implicits._
+    // 900 rows in source BIG, 100 spread over 10 small sources; scores
+    // are a shuffled deterministic permutation so ranks are non-trivial
+    val rows = (0L until 1000L).map { i =>
+      val src = if (i < 900) "BIG" else s"s${i % 10}"
+      (i, src, (i * 7919) % 1000)  // permutation of 0..999 scaled
+    }
+    val df = rows.toDF("doc_id", "src", "score")
+    val out = TextStats.rankEnsemble(df, "doc_id", "src", Seq("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // within BIG: rank must equal the exact percentile of its score
+    val big = rows.filter(_._2 == "BIG")
+    val order = big.sortBy(t => (t._3, t._1)).map(_._1).zipWithIndex.toMap
+    val n = big.length - 1
+    out.filter(_._2 == "BIG").foreach { case (id, _, r) =>
+      val expect = math.floor(order(id).toDouble * 1000000 / n + 0.5) / 1e6
+      assert(math.abs(r - expect) < 1e-9, s"id=$id r=$r expect=$expect")
+    }
+    // every rank is in [0,1]; small sources rank within themselves only
+    assert(out.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
+  }
 }
