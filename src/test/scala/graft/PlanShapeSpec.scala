@@ -444,4 +444,35 @@ class PlanShapeSpec extends SparkSpec {
     val fields = scan.schema.fieldNames.toSet
     assert(fields == Set("lang", "n_chars", "text"), fields.toString)
   }
+
+  test("q207: one source-keyed exchange serves all three rank windows") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try planOf("q207_rank_ensemble")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // k score columns must NOT mean k shuffles: a single hash exchange
+    // on source feeds every rank window (plus the final presentation
+    // range sort) — a per-window exchange would be the k-pass failure
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, plan.take(900))
+  }
+
+  test("q213: both path leads ride one window over one exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try planOf("q213_event_paths")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size == 1, plan.take(900))
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    // window exchange + the aggregate exchange, nothing more
+    assert(hashEx.size <= 2, plan.take(900))
+  }
+
+  test("q210: every window is probe-keyed — no partition-less window anywhere") {
+    val plan = planOf("q210_matryoshka_recall")
+    plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
+      assert(l.contains("partitionBy") || l.contains("probe_id"), l)
+    }
+  }
 }
