@@ -180,3 +180,50 @@ object EditSimilarityProps extends Properties("EditSimilarityPairs") {
       texts.isEmpty || run(texts, 0.3, minSim) == serial(texts, 0.3, minSim)
     }
 }
+
+/** Serial-replay property for contrastive triplet mining: the Spark
+  * selection (symmetrize, best positive + best hard negative per
+  * anchor, (sim desc, partner asc) tie-break, both-legs requirement)
+  * must equal a plain-Scala replay on random pair tables whose sims
+  * come from a coarse grid (forcing real ties). */
+object TripletProps extends Properties("Triplets") {
+
+  private lazy val spark = SparkTestSession.spark
+  private val simGrid = Seq(0.1, 0.3, 0.5, 0.8, 0.9, 1.0)
+
+  private val pairsGen: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.chooseNum(0, 12)
+    ps <- Gen.listOfN(n, for {
+      a <- Gen.chooseNum(0L, 6L)
+      b <- Gen.chooseNum(0L, 6L) if a != b
+      sim <- Gen.oneOf(simGrid)
+    } yield (math.min(a, b), math.max(a, b), sim))
+  } yield ps.distinct.groupBy(t => (t._1, t._2))
+    .map(_._2.head).toList // one sim per unordered pair
+
+  private def serial(pairs: Seq[(Long, Long, Double)], posMin: Double)
+      : Seq[(Long, Long, Double, Long, Double)] = {
+    val sym = pairs.flatMap { case (a, b, s) => Seq((a, b, s), (b, a, s)) }
+    def best(rows: Seq[(Long, Long, Double)]) =
+      rows.groupBy(_._1).map { case (anchor, g) =>
+        anchor -> g.map(t => (t._3, t._2)).sortBy(t => (-t._1, t._2)).head
+      }
+    val pos = best(sym.filter(_._3 >= posMin))
+    val neg = best(sym.filter(_._3 < posMin))
+    pos.keySet.intersect(neg.keySet).toSeq.sorted.map { a =>
+      val (ps, pid) = pos(a); val (ns, nid) = neg(a)
+      (a, pid, ps, nid, ns)
+    }
+  }
+
+  property("matches the serial replay on random pair tables") =
+    forAll(pairsGen) { pairs =>
+      import spark.implicits._
+      val df = pairs.toDF("id_a", "id_b", "jaccard")
+      val got = Dedup.tripletsFromPairs(df, posMin = 0.8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      got == serial(pairs, 0.8)
+    }
+}
