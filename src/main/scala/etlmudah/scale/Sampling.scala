@@ -343,6 +343,100 @@ object Sampling {
         round(least(epochs, lit(1.0)), 6).as("sampling_fraction"))
   }
 
+  /** EPOCH-CAPPED mixture plan — exact water-filling over the strata
+    * frame. [[mixturePlan]]'s epochs column can exceed any sane
+    * repetition count (data-constrained scaling: repeating a source
+    * past ~4 epochs returns sharply diminishing value, Muennighoff et
+    * al. 2023), so this planner allocates `budget` tokens
+    * proportionally to integer `weights` SUBJECT TO a per-stratum cap
+    * of `maxEpochs` × its unique tokens, spilling displaced budget to
+    * the unsaturated strata — the standard water-filling solution,
+    * computed in CLOSED FORM (no iteration): sort strata by cap/weight
+    * ascending; the saturated set is a prefix of that order; the
+    * prefix boundary falls out of one cumulative-sum window pass.
+    *
+    * Every decision is BIGINT-exact: weights are small integer parts
+    * (1:2:3-style ratios — keeping the cap×weight cross-products far
+    * from Long overflow even at 10^13-token strata), the saturation
+    * test is the cross-multiplied w·B ≥ cap·W (never a float λ), and
+    * final allocations/epochs round via integer division. Only the
+    * SORT key (cap/w) is a double, and equal rationals divide to equal
+    * doubles on every IEEE engine with the stratum tie-break behind it.
+    *
+    * Scale: one corpus aggregate, then ALL windows run over the
+    * |strata|-row frame (the q137 shape) — partition-less by design
+    * and bounded by the number of provenance labels.
+    *
+    * Output per stratum: n_docs, tokens, weight, cap_tokens,
+    * saturated, alloc_tokens, epochs (6dp, null for empty strata). */
+  def epochPlan(df: DataFrame, strataCol: String, sizeCol: String,
+                weights: Map[String, Long], budget: Long,
+                maxEpochs: Int = 4, defaultWeight: Long = 1L): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight): Column) {
+      case (otherwise, (stratum, wt)) =>
+        when(col(strataCol) === stratum, lit(wt)).otherwise(otherwise)
+    }
+    val per = df.groupBy(col(strataCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("long")).as("tokens"))
+      .withColumn("weight", w.cast("long"))
+      .withColumn("cap_tokens", col("tokens") * maxEpochs)
+      // zero-weight strata get ratio +inf via the null sort (LAST): they
+      // can never saturate (their proportional share is 0 <= cap)
+      .withColumn("ratio", when(col("weight") > 0,
+        col("cap_tokens").cast("double") / col("weight")))
+    val ord = Window.orderBy(col("ratio").asc_nulls_last, col(strataCol))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val marked = per
+      .withColumn("__capB", coalesce(sum(col("cap_tokens")).over(before),
+        lit(0L)))
+      .withColumn("__wB", coalesce(sum(col("weight")).over(before), lit(0L)))
+      .withColumn("__wT", sum(col("weight")).over(all))
+      // stage test at position k: w_k * B_{k-1} >= cap_k * W_{k-1}
+      // (B = budget minus caps already granted, W = weight not yet
+      // satisfied); monotone in ratio order, so the saturated set is
+      // the longest prefix where the test holds — enforced by the
+      // running min
+      .withColumn("__ok", when(
+        col("weight") * (lit(budget) - col("__capB")) >=
+          col("cap_tokens") * (col("__wT") - col("__wB")), 1L)
+        .otherwise(0L))
+      .withColumn("saturated",
+        min(col("__ok")).over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)) === 1L)
+    val planned = marked
+      .withColumn("__capSat", coalesce(sum(when(col("saturated"),
+        col("cap_tokens"))).over(all), lit(0L)))
+      .withColumn("__wUnsat", coalesce(sum(when(!col("saturated"),
+        col("weight"))).over(all), lit(0L)))
+      // DIV, not '/': Spark's Divide is double division — exactness at
+      // 10^13-token strata needs the integral operator. The 6dp epochs
+      // split into quotient + half-up remainder so the scaled product
+      // stays within Long for any stratum under ~4.6e12 unique tokens
+      // (documented bound; the ALLOCATION itself is exact at any scale)
+      .withColumn("alloc_tokens", when(col("saturated"), col("cap_tokens"))
+        .otherwise(when(col("__wUnsat") > 0,
+          expr(s"weight * ($budget - __capSat) div __wUnsat"))
+          .otherwise(lit(0L))))
+    planned
+      .withColumn("__eq", expr("alloc_tokens div tokens"))
+      .withColumn("__er", col("alloc_tokens") - col("__eq") * col("tokens"))
+      .select(col(strataCol), col("n_docs"), col("tokens"),
+        col("weight"), col("cap_tokens"), col("saturated"),
+        col("alloc_tokens"),
+        (when(col("tokens") > 0,
+          col("__eq") * 1000000L +
+            expr("(__er * 2000000 + tokens) div (tokens * 2)"))
+          .cast("double") / lit(1000000.0)).as("epochs"))
+      .orderBy(col(strataCol))
+  }
+
   /** Token-balanced SHARD assignment for training-data export: assign
     * every row a shard id so that consecutive shards (in `keyCol`
     * order) each hold ~`shardBudget` worth of `sizeCol`. The export

@@ -2369,6 +2369,19 @@ object SparkEntry {
           budget = 5000000L, defaultWeight = 0.01)
         .orderBy(col("source"))),
 
+    // epoch-CAPPED mixture plan (q137 with the Muennighoff repetition
+    // ceiling): exact closed-form water-filling — integer 1:2:3:4
+    // weight parts cycling by source index, 4-epoch cap, BIGINT-exact
+    // saturation prefix and allocations; at the gate SF the 80k budget
+    // saturates part of the order so both branches are exercised
+    "q216_epoch_plan" -> ((s, dir) =>
+      etlmudah.scale.Sampling.epochPlan(
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", TextStats.tokenCount(col("text"))),
+        "source", "n_tokens",
+        (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toLong).toMap,
+        budget = 80000L, maxEpochs = 4)),
+
     // token-balanced shard export: distributed prefix sum (range
     // partition -> parallel local cumsums -> bounded bucket-offset
     // window) assigns ~50k-char shards; per-shard manifest is the
@@ -6284,6 +6297,62 @@ object SparkEntry {
         |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
         |FROM r WHERE rn <= 15
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // water-filling replay: same ratio order (cap/w double + source
+    // tie-break), same cross-multiplied BIGINT saturation prefix, same
+    // integer divisions — '//' is DuckDB's integral division, DIV's twin
+    "q216_epoch_plan" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT
+        |      AS tokens
+        |  FROM documents GROUP BY 1),
+        |base AS (
+        |  SELECT source, n_docs, tokens,
+        |    ((CAST(substr(source, 4) AS INT) % 4) + 1)::BIGINT AS weight,
+        |    (tokens * 4)::BIGINT AS cap_tokens
+        |  FROM per),
+        |ord AS (
+        |  SELECT *, CASE WHEN weight > 0
+        |    THEN cap_tokens::DOUBLE / weight END AS ratio FROM base),
+        |c AS (
+        |  SELECT *,
+        |    coalesce(sum(cap_tokens) OVER wb, 0)::BIGINT AS capB,
+        |    coalesce(sum(weight) OVER wb, 0)::BIGINT AS wB,
+        |    (sum(weight) OVER ())::BIGINT AS wT
+        |  FROM ord
+        |  WINDOW wb AS (ORDER BY ratio ASC NULLS LAST, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT *, CASE WHEN weight * (80000 - capB) >=
+        |    cap_tokens * (wT - wB) THEN 1 ELSE 0 END AS ok FROM c),
+        |sat AS (
+        |  SELECT *, min(ok) OVER (ORDER BY ratio ASC NULLS LAST, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    AS saturated
+        |  FROM m),
+        |fin AS (
+        |  SELECT *,
+        |    coalesce(sum(CASE WHEN saturated THEN cap_tokens END)
+        |      OVER (), 0)::BIGINT AS capSat,
+        |    coalesce(sum(CASE WHEN NOT saturated THEN weight END)
+        |      OVER (), 0)::BIGINT AS wUnsat
+        |  FROM sat),
+        |alloc AS (
+        |  SELECT source, n_docs, tokens, weight, cap_tokens, saturated,
+        |    (CASE WHEN saturated THEN cap_tokens
+        |          WHEN wUnsat > 0
+        |            THEN (weight * (80000 - capSat)) // wUnsat
+        |          ELSE 0 END)::BIGINT AS alloc_tokens
+        |  FROM fin)
+        |SELECT source, n_docs, tokens, weight, cap_tokens, saturated,
+        |  alloc_tokens,
+        |  CASE WHEN tokens > 0 THEN
+        |    ((alloc_tokens // tokens) * 1000000 +
+        |     ((alloc_tokens - (alloc_tokens // tokens) * tokens)
+        |       * 2000000 + tokens) // (tokens * 2))::DOUBLE / 1000000.0
+        |  END AS epochs
+        |FROM alloc ORDER BY source""".stripMargin,
 
     // every arithmetic term cast to DOUBLE so both engines run the
     // identical IEEE ops (DuckDB literals are DECIMAL by default)

@@ -397,4 +397,29 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length == 1)
     assert(rows.map(_._3).sorted.toSeq == (1L to 7L).toSeq)
   }
+
+  test("epochPlan: hand-checkable water-filling, cap semantics, budget conservation, degenerate budgets") {
+    import spark.implicits._
+    // A: 10 tokens w=4 (cap 20); B: 100 tokens w=1 (cap 200); budget 60
+    // -> A saturates (alloc 20), B gets the remaining 40 (0.4 epochs)
+    val docs = (Seq.fill(10)("A") ++ Seq.fill(100)("B")).zipWithIndex
+      .map { case (s0, i) => (i.toLong, s0, 1L) }
+      .toDF("doc_id", "src", "n_tok")
+    def plan(budget: Long, maxE: Int) =
+      Sampling.epochPlan(docs, "src", "n_tok",
+          Map("A" -> 4L, "B" -> 1L), budget, maxEpochs = maxE)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(5),
+          r.getLong(6), r.getDouble(7)))
+    val p60 = plan(60L, 2)
+    assert(p60.toSeq == Seq(("A", 10L, true, 20L, 2.0),
+      ("B", 100L, false, 40L, 0.4)), p60.toSeq.toString)
+    // budget beyond all caps: everything saturates at exactly maxEpochs
+    val pBig = plan(100000L, 2)
+    assert(pBig.forall(t => t._3 && t._4 == t._2 * 2 && t._5 == 2.0))
+    // zero budget: nothing allocated, nothing saturated
+    val p0 = plan(0L, 2)
+    assert(p0.forall(t => !t._3 && t._4 == 0L && t._5 == 0.0))
+    // conservation: allocations never exceed the budget
+    assert(p60.map(_._4).sum <= 60L)
+  }
 }
