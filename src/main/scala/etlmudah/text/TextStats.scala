@@ -83,6 +83,38 @@ object TextStats {
       .orderBy(col("slice"))
   }
 
+  /** FLESCH reading-ease per document — the classic rule-based
+    * readability signal (Flesch 1948: 206.835 − 1.015·words/sentences
+    * − 84.6·syllables/words), the cheap heuristic tier next to the
+    * trained quality scorer the way markerLangId sits next to the
+    * rank-profile classifier. Sentences count terminal-punctuation
+    * runs (floored at 1 — headlines have no terminator), syllables
+    * approximate as vowel-group runs (the standard heuristic; exact
+    * syllabification needs a dictionary no engine ships).
+    *
+    * Determinism: the three counts are integers from regexp_count;
+    * the score is the SAME IEEE expression tree both engines evaluate
+    * over those integers (literals cast to double in the SQL twin),
+    * so the unrounded double is bit-identical — no rounding seam
+    * exists to paper over. 100 TB shape: three codegen'd regexp_count
+    * projections, no shuffle at all (per-doc output). */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = tokenCount(col(textCol))
+    val sentences = greatest(
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"), lit(1L))
+    val syllables =
+      regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    df.select(col(idCol).as("id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("fre",
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double")))
+      .orderBy(col("id"))
+  }
+
   /** Hashed-feature LINEAR quality scorer — the fastText/FineWeb-Edu
     * "model-based quality filter" SHAPE made engine-portable. Real
     * pipelines gate documents on a trained linear classifier over

@@ -2369,6 +2369,13 @@ object SparkEntry {
           budget = 5000000L, defaultWeight = 0.01)
         .orderBy(col("source"))),
 
+    // Flesch reading-ease per doc: the rule-based readability tier
+    // next to the trained quality scorer; three codegen'd regexp
+    // counts, score left UNROUNDED (identical IEEE tree both engines)
+    "q217_readability" -> ((s, dir) =>
+      TextStats.readability(Tables.documents(s, dir), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")),
+
     // epoch-CAPPED mixture plan (q137 with the Muennighoff repetition
     // ceiling): exact closed-form water-filling — integer 1:2:3:4
     // weight parts cycling by source index, 4-epoch cap, BIGINT-exact
@@ -6297,6 +6304,25 @@ object SparkEntry {
         |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
         |FROM r WHERE rn <= 15
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // same integer counts (DuckDB regexp_matches runs RE2 over the
+    // same patterns), same double expression tree over them
+    "q217_readability" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+        |    AS n_sentences,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+        |    AS n_syllables,
+        |  206.835::DOUBLE
+        |    - 1.015::DOUBLE *
+        |      (len(string_split_regex(trim(text), '\s+'))::DOUBLE
+        |       / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
+        |    - 84.6::DOUBLE *
+        |      (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+        |       / len(string_split_regex(trim(text), '\s+'))::DOUBLE)
+        |    AS fre
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // water-filling replay: same ratio order (cap/w double + source
     // tie-break), same cross-multiplied BIGINT saturation prefix, same

@@ -1198,4 +1198,22 @@ class TextStatsSpec extends SparkSpec {
     // every rank is in [0,1]; small sources rank within themselves only
     assert(out.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
   }
+
+  test("readability: hand-counted Flesch components; headline floors sentences at 1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),   // 6 words, 2 sentences, 6 syll
+      (2L, "Breaking news headline")       // 3 words, 0 terminators -> 1
+    ).toDF("doc_id", "text")
+    val out = TextStats.readability(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val (_, w1, s1, y1, f1) = out(0)
+    assert((w1, s1, y1) == (6L, 2L, 6L), out(0).toString)
+    assert(math.abs(f1 - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9)
+    val (_, w2, s2, y2, _) = out(1)
+    // vowel GROUPS: breaking -> ea,i (2); news -> e (1);
+    // headline -> ea,i,e (3) = 6 total
+    assert((w2, s2, y2) == (3L, 1L, 6L), out(1).toString)
+  }
 }
