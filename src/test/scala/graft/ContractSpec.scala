@@ -19,9 +19,14 @@ class ContractSpec extends AnyFunSuite {
   test("oracle SQL strings are non-empty and reference a harness table") {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    // pure-computation oracles by DESIGN touch no table (q146-style
+    // driver-side results checked against literal SQL arithmetic) —
+    // each exemption must be deliberate, so the list is explicit
+    val tableFree = Set("q214_banding_design")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, name)
-      assert(tables.exists(sql.contains), s"$name references no harness table")
+      assert(tableFree(name) || tables.exists(sql.contains),
+        s"$name references no harness table")
     }
   }
 }
