@@ -431,4 +431,50 @@ class EdgeCasesSpec extends SparkSpec {
     val clipped = nulls.select(Exprs.clipUpper(col("v"), 5.0).as("c")).collect()
     assert(clipped.forall(_.isNullAt(0)))
   }
+
+  test("round-8 session-2 operators tolerate empty and degenerate input") {
+    import etlmudah.scale.{Sampling, Similarity}
+    import etlmudah.analytics.Events
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // triplets: empty corpus and a single doc both yield no triplets
+    assert(Dedup.contrastiveTriplets(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.contrastiveTriplets(Seq((1L, "a b c d e"))
+      .toDF("doc_id", "text"), "text", "doc_id").count() == 0)
+    // recall curve: empty and single-doc corpora have no pairs -> no rows
+    assert(Dedup.bandedRecallReport(emptyDocs, "text", "doc_id").count() == 0)
+    // rank ensemble on empty input
+    assert(TextStats.rankEnsemble(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "src", "s"),
+      "doc_id", "src", Seq("s")).count() == 0)
+    // cluster-balanced sample / matryoshka / drift on empty embeddings
+    assert(Sampling.clusterBalancedSample(emptyVecs, "vec_id", "embedding")
+      .count() == 0)
+    assert(Similarity.matryoshkaRecall(emptyVecs, "vec_id", "embedding",
+      dPrime = 16).count() == 0)
+    assert(Similarity.semanticDriftPsi(emptyVecs, emptyVecs,
+      "vec_id", "embedding").count() == 0)
+    // dPrime beyond the vector width degrades to the full-dim ranking
+    val tiny = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)),
+      (4L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val over = Similarity.matryoshkaRecall(tiny, "vec_id", "embedding",
+      dPrime = 99, k = 2, nProbes = 2).collect()
+    assert(over.nonEmpty && over.forall(_.getDouble(3) == 1.0))
+    // mojibake: empty corpus (with the slice column present)
+    assert(TextStats.mojibakeScan(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
+      "text", "doc_id", "source").count() == 0)
+    // event paths: one event per user -> no complete path
+    val lonely = Seq((1L, 1L, "a", java.sql.Timestamp.valueOf(
+      "2024-01-01 00:00:01"))).toDF("event_id", "user_id", "et", "ts")
+    assert(Events.eventPaths(lonely, "ts", "user_id", "et", "event_id")
+      .count() == 0)
+    // epoch plan: empty corpus -> empty plan; readability on empty text
+    assert(Sampling.epochPlan(Seq.empty[(Long, String, Long)]
+        .toDF("doc_id", "src", "n"), "src", "n", Map.empty, 1000L)
+      .count() == 0)
+    val fre = TextStats.readability(Seq((1L, "")).toDF("doc_id", "text"),
+      "text", "doc_id").collect()
+    assert(fre.length == 1 && fre.head.getLong(2) == 1L) // sentences floor
+  }
 }
