@@ -838,15 +838,16 @@ object Similarity {
     *
     * Scale shape: probes broadcast (one corpus scan computes BOTH
     * scores — the prefix slice is a projection, not a second pass);
-    * per-probe top-k is TWO-STAGE — a salted (probe, shard) window
-    * keeps k per shard, then the final per-probe window ranks only
-    * <= salts x k survivors per metric — so no corpus-sized window
-    * partition exists at any scale (`salts` sizes the first stage;
-    * the result is identical to the unsalted rank for any salts >= 1
-    * because a global top-k row is top-k within its shard). */
+    * per-probe top-k is a rank-filtered window that Catalyst rewrites
+    * into Partial+Final WindowGroupLimit (Spark 3.5+
+    * InferWindowGroupLimit): every input split keeps only its own
+    * top-k per probe BEFORE the exchange, so the probe-keyed sort
+    * never sees a corpus-sized partition — the two-stage pruning a
+    * manual salted pre-rank would hand-build, done by the optimizer
+    * with one exchange instead of two (pinned in PlanShapeSpec). */
   def matryoshkaRecall(embeddings: DataFrame, idCol: String, vecCol: String,
-                       dPrime: Int, k: Int = 10, nProbes: Int = 10,
-                       salts: Int = 8): DataFrame = {
+                       dPrime: Int, k: Int = 10,
+                       nProbes: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(dPrime >= 1, "dPrime must be >= 1")
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -862,15 +863,10 @@ object Similarity {
         round(cosineFast(col("vec"), col("pvec")), 6).as("cos_full"),
         round(cosineFast(slice(col("vec"), 1, dPrime),
           slice(col("pvec"), 1, dPrime)), 6).as("cos_trunc"))
-      .withColumn("__shard", pmod(xxhash64(col("id")), lit(salts)))
     def topK(c: String): DataFrame = {
-      val pre = Window.partitionBy(col("probe_id"), col("__shard"))
-        .orderBy(col(c).desc, col("id").asc)
       val fin = Window.partitionBy(col("probe_id"))
         .orderBy(col(c).desc, col("id").asc)
-      scored.withColumn("__pr", row_number().over(pre))
-        .filter(col("__pr") <= k)
-        .withColumn("__r", row_number().over(fin))
+      scored.withColumn("__r", row_number().over(fin))
         .filter(col("__r") <= k)
         .select(col("probe_id"), col("id"))
     }

@@ -419,19 +419,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("matryoshkaRecall: full-width prefix gives recall 1; salted two-stage top-k equals unsalted") {
+  test("matryoshkaRecall: full-width prefix gives recall 1; truncation can only lose overlap") {
     val emb = Tables.embeddings(spark, sf0001)
     // dPrime = the full 64 dims -> truncated ranking IS the full ranking
     val full = Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
-      dPrime = 64, k = 5, nProbes = 4, salts = 8).collect()
+      dPrime = 64, k = 5, nProbes = 4).collect()
     assert(full.length == 4)
     assert(full.forall(_.getDouble(3) == 1.0),
       full.map(_.toString).mkString(","))
-    // the salted pre-rank is exact: any salts value yields the same report
-    def rep(salts: Int) = Similarity.matryoshkaRecall(emb, "vec_id",
-        "embedding", dPrime = 16, k = 5, nProbes = 4, salts = salts)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
-    assert(rep(1) == rep(7))
+    val trunc = Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+      dPrime = 8, k = 5, nProbes = 4).collect()
+    assert(trunc.length == 4)
+    trunc.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 5L)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / 5.0)
+    }
   }
 
   test("semanticDriftPsi: identical snapshots score zero; a skewed snapshot scores positive") {

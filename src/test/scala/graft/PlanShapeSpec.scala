@@ -469,10 +469,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx.size <= 2, plan.take(900))
   }
 
-  test("q210: every window is probe-keyed — no partition-less window anywhere") {
+  test("q210: windows are probe-keyed AND group-limit pruned before the exchange") {
     val plan = planOf("q210_matryoshka_recall")
     plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
-      assert(l.contains("partitionBy") || l.contains("probe_id"), l)
+      assert(l.contains("probe_id"), l)
     }
+    // InferWindowGroupLimit must rewrite the rank filters into
+    // Partial+Final per-group limits — each input split keeps only its
+    // own top-k per probe BEFORE the exchange, so the probe-keyed sort
+    // never sees a corpus-sized partition (the reason no manual salted
+    // pre-rank stage exists in the operator)
+    assert(plan.contains("WindowGroupLimit") &&
+      plan.contains("Partial") && plan.contains("Final"), plan.take(900))
   }
 }
