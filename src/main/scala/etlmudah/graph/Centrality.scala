@@ -1,0 +1,205 @@
+package etlmudah.graph
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over co-occurrence graphs — the ranking half of the
+  * graph tier (connected components, the clustering half, lives in
+  * `scale.Dedup.dupClusters`). The motivating pipeline shape is web/
+  * catalog curation: given an item graph (parts co-purchased in one
+  * order, domains co-linked from one page), rank items by stationary
+  * importance so downstream sampling/capping can prefer central items —
+  * the CommonCrawl/FineWeb discipline of ranking hosts by centrality
+  * before selecting documents.
+  *
+  * PageRank here is INTEGER-LATTICE: every rank is a BIGINT on a fixed
+  * lattice (`scale` units = rank 1.0) and every step is BIGINT
+  * multiply/divide. Spark's `div` and DuckDB's `//` agree on all
+  * non-negative operands (both truncate, and floor == truncate above
+  * zero), so a fixed-iteration run is EXACTLY reproducible cross-engine
+  * — the same portability discipline as the integer-lattice LSH
+  * projections (`scale.Similarity`) — and the oracle is a plain
+  * unrolled-CTE SQL query that hash-matches, not an epsilon envelope.
+  */
+object Centrality {
+
+  /** Co-occurrence edge mining: two distinct items sharing a group key
+    * (parts in one order, tokens in one doc, hosts on one page) get a
+    * DIRECTED edge each way, weighted by the number of co-occurrences.
+    *
+    * Scale shape: the self-join keys on the group column, so the
+    * shuffle is one exchange of the item table each side and the
+    * fan-out per group is degree², bounded by the per-group item count
+    * (TPC-H orders hold ≤ 7 lineitems; web pages hold tens of links) —
+    * never corpus-quadratic. The weight aggregate map-side combines on
+    * (src, dst). */
+  def cooccurrenceEdges(df: DataFrame, groupCol: String,
+                        itemCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("g"), col(itemCol).cast("long").as("src"))
+    val b = df.select(col(groupCol).as("g"), col(itemCol).cast("long").as("dst"))
+    a.join(b, Seq("g"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Undirected co-occurrence pairs (u < v, weight = co-occurrence
+    * count, weight >= `minWeight`): the triangle tier's input. The
+    * weight threshold is the significance prefilter (the PMI/
+    * collocation-mining discipline of q112): a single shared basket is
+    * noise, repeat co-occurrence is signal — and it is ALSO the
+    * fan-out governor, since thresholding is what keeps a dense
+    * co-occurrence graph to its signal-bearing core before any
+    * quadratic-in-degree analysis runs on it. */
+  def cooccurrencePairs(df: DataFrame, groupCol: String, itemCol: String,
+                        minWeight: Long = 2L): DataFrame = {
+    val a = df.select(col(groupCol).as("g"), col(itemCol).cast("long").as("u"))
+    val b = df.select(col(groupCol).as("g"), col(itemCol).cast("long").as("v"))
+    a.join(b, Seq("g"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
+  /** Per-node triangle participation + degree over an undirected edge
+    * list (u, v with u < v; defensively canonicalized). Returns
+    * (node, degree, triangles) ordered triangles DESC with node as the
+    * tie-break — the local clustering signal: near-dup components are
+    * near-cliques (triangle-dense), spam link farms are stars
+    * (triangle-free), so triangles/degree-choose-2 separates the two
+    * where degree alone cannot.
+    *
+    * Algorithm: degree-ordered orientation (Schank & Wagner 2005; the
+    * MapReduce formulation is Suri & Vassilvitskii 2011) — each edge
+    * points from its (degree, node)-smaller endpoint to the larger, so
+    * every triangle is generated EXACTLY once as a wedge at its
+    * smallest vertex plus one closure lookup, and max out-degree is
+    * O(√E) on ANY graph, making the wedge count Σ outdeg² the minimum
+    * over orientations. Both the wedge join and the closure are pure
+    * EQUI-joins (the wedge-endpoint ordering is a post-join filter on
+    * the carried degree, and closure probes the oriented pair itself) —
+    * no OR-condition join that would degrade to a nested loop.
+    *
+    * Scale shape: oriented edges are materialized once
+    * (`localCheckpoint`) and feed all three join sides — without it the
+    * whole upstream miner would run three times. Exact triangle
+    * counting costs the wedge count by construction; on graphs whose
+    * thresholded core is still wedge-heavy, sample wedges upstream
+    * (Seshadhri et al. 2013) — approximation is a caller decision, not
+    * something this operator does silently. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val keep = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(keep, col("u")).otherwise(col("v")).as("s"),
+        when(keep, col("v")).otherwise(col("u")).as("t"),
+        when(keep, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("s"), col("t").as("t1"), col("dt").as("dt1"))
+      .join(oriented.select(col("s"), col("t").as("t2"), col("dt").as("dt2")),
+        Seq("s"))
+      .filter(col("dt1") < col("dt2") ||
+        (col("dt1") === col("dt2") && col("t1") < col("t2")))
+    val tri = wedges.join(
+      oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
+    val perNode = tri.select(col("s").as("node"))
+      .union(tri.select(col("t1").as("node")))
+      .union(tri.select(col("t2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .orderBy(desc("triangles"), col("node"))
+  }
+
+  /** Fixed-iteration integer-lattice PageRank over a directed,
+    * positively-weighted edge table (src, dst, weight — all BIGINT).
+    * Returns (node, rank) with rank on the `scale` lattice, ordered
+    * rank DESC with node as the deterministic tie-break.
+    *
+    * The recurrence, chosen so every term is exact BIGINT arithmetic
+    * that an unrolled SQL oracle replays verbatim:
+    *
+    *   N       = |distinct src ∪ dst|
+    *   outw(v) = Σ weight over v's out-edges
+    *   r₀(v)   = scale div N
+    *   c(v)    = Σ over in-edges e=(u,v): (r(u) * w(e)) div outw(u)
+    *   r'(v)   = (15 * scale) div (100 * N)  +  (85 * c(v)) div 100
+    *
+    * i.e. damping 0.85 with per-edge truncating division. Dangling
+    * nodes (no out-edges) leak their damped mass rather than
+    * redistributing it — fine for a RANKING (every variant preserves
+    * order on the same graph) and essential for exactness: the
+    * redistribution term would need a global sum fed back into every
+    * node, another exchange per round for no ranking benefit.
+    *
+    * Determinism: addition on BIGINT is associative/commutative, so
+    * partial aggregation order cannot change c(v); `div` truncates and
+    * all operands are non-negative, so Spark and DuckDB agree bit for
+    * bit. Overflow bound: requires scale × maxWeight < 2⁶³ (the per-edge
+    * product r(u)·w(e) with r ≤ scale); the default lattice of 10¹²
+    * leaves six decimal orders of headroom for weights.
+    *
+    * Scale shape: out-weights are joined onto the edge table ONCE and
+    * the result is materialized (`localCheckpoint`), so each round is
+    * exactly one edges⋈ranks hash join (shuffle keyed on src), one
+    * map-side-combined sum keyed on dst, and one left join back onto
+    * the node table — O(E) per round, no plan growth across rounds
+    * (per-round checkpoint, the `dupClusters` discipline). Graphs at or
+    * below `localEdgeThreshold` edges run every round on a single
+    * partition: per-round cost becomes scheduling, not shuffling — the
+    * right layout for a post-aggregation item graph on one machine,
+    * while the distributed path keeps natural partitioning and lets AQE
+    * size each round's exchanges. The default threshold is tighter than
+    * `dupClusters`' (500k vs 5M): a PageRank round does three joins'
+    * worth of work per edge where label propagation does one, so the
+    * single-partition layout stops paying off earlier. */
+  def pageRankInt(edges: DataFrame, iters: Int = 3,
+                  scale: Long = 1000000000000L,
+                  localEdgeThreshold: Long = 500000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("weight").cast("long").as("weight"))
+      .localCheckpoint(true)
+    val local = e0.count() <= localEdgeThreshold
+    def pin(df: DataFrame): DataFrame =
+      (if (local) df.coalesce(1) else df).localCheckpoint(true)
+    val nodes = pin(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    if (n == 0L)
+      return nodes.withColumn("rank", lit(null).cast("long"))
+    // out-weights folded onto the edges once; every round reuses this
+    // one materialized (src, dst, weight, outw) table
+    val outw = e0.groupBy("src").agg(sum(col("weight")).as("outw"))
+    val ew = pin(e0.join(outw, Seq("src")))
+    // r0 and the teleport base use the SAME div the oracle writes out
+    var ranks = pin(nodes.withColumn("rank", expr(s"${scale}L div ${n}L")))
+    val base = s"(15 * ${scale}L) div (100 * ${n}L)"
+    var it = 0
+    while (it < iters) {
+      val contrib = ew
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank * weight) div outw").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      ranks = pin(nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$base + (85 * coalesce(c, 0L)) div 100").as("rank")))
+      it += 1
+    }
+    ranks.orderBy(desc("rank"), col("node"))
+  }
+}

@@ -153,4 +153,49 @@ object Joins {
     val band = abs(left(bandCol._1) - right(bandCol._2)) <= tolerance
     left.join(right, (equi :+ band).reduce(_ && _))
   }
+
+  /** Blocked fuzzy record linkage: candidate pairs come from an
+    * EQUI-join on a cheap blocking key (first name token here — the
+    * census-linkage classic), then the native `graft_jaro_winkler`
+    * expression refines each candidate and pairs at or above `minSim`
+    * survive. Returns (id_a, id_b, jw_sim) with id_a < id_b, ordered
+    * (sim DESC, id_a, id_b); jw_sim is rounded to 6 decimals BEFORE the
+    * threshold so the cross-engine oracle (DuckDB's own
+    * `jaro_winkler_similarity`, same blocking SQL) keeps the identical
+    * row set — a 1-ulp engine difference cannot flip a comparison
+    * against the rounded value except exactly at a rounding midpoint.
+    *
+    * Scale shape: the block join is an equi hash join — |block|²
+    * candidates per block, NEVER corpus-quadratic — and the JW refine
+    * is a codegen'd per-row expression on the joined stream. Blocks
+    * larger than `maxBlockSize` are dropped whole (mirrored in the
+    * oracle): a blocking key shared by a giant fraction of the corpus
+    * carries no linkage signal, and the cap bounds per-block fan-out by
+    * construction — the same absolute-cap discipline as the winnow
+    * tier's `maxDf`. Dropped mass is observable: run `skewReport` on
+    * the blocking key to see what the cap excluded.
+    *
+    * Link DISTINCT entities: pre-aggregate exact duplicates to a
+    * canonical id first (collapsing exact dupes is the exact-dedup
+    * tier's job) — linking raw rows re-compares every identical name
+    * pair, |dup-class|² times the work for zero information. */
+  def fuzzyLinkPairs(df: DataFrame, idCol: String, nameCol: String,
+                     minSim: Double, maxBlockSize: Long = 10000L): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      split(col(nameCol), " ").getItem(0).as("block"))
+    val small = keyed.join(
+      keyed.groupBy("block").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBlockSize).select("block"),
+      Seq("block"))
+    val a = small.select(col("block"), col("id").as("id_a"), col("name").as("name_a"))
+    val b = small.select(col("block"), col("id").as("id_b"), col("name").as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw_sim",
+        round(call_function("graft_jaro_winkler", col("name_a"), col("name_b")), 6))
+      .filter(col("jw_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("jw_sim"))
+      .orderBy(desc("jw_sim"), col("id_a"), col("id_b"))
+  }
 }

@@ -1701,6 +1701,39 @@ object SparkEntry {
       etlmudah.analytics.Events.eventPaths(Tables.eventsTyped(s, dir),
         "ts", "user_id", "event_type", "event_id", len = 3, topK = 20)),
 
+    // integer-lattice PageRank over the part co-purchase graph (parts
+    // sharing an order link both ways, weight = co-occurrence count):
+    // BIGINT-exact teleport/damping arithmetic — Spark `div` and DuckDB
+    // `//` agree on non-negatives — so the oracle replays all 3
+    // unrolled rounds and hash-matches, no epsilon envelope
+    "q218_part_pagerank" -> ((s, dir) =>
+      etlmudah.graph.Centrality.pageRankInt(
+        etlmudah.graph.Centrality.cooccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"),
+        iters = 3)),
+
+    // per-part triangle participation over the REPEAT-co-purchase graph
+    // (weight >= 2, the significance prefilter): degree-ordered
+    // orientation generates each triangle exactly once via equi-joins
+    // only — the clustering-vs-star diagnostic on affinity graphs
+    "q220_part_triangles" -> ((s, dir) =>
+      etlmudah.graph.Centrality.triangleStats(
+        etlmudah.graph.Centrality.cooccurrencePairs(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+          minWeight = 2L))),
+
+    // blocked fuzzy record linkage over the DISTINCT part-name entity
+    // table (canonical id = min partkey per name): first-token
+    // blocking, native codegen'd graft_jaro_winkler refine, threshold
+    // on the ROUNDED sim so the DuckDB twin (its own
+    // jaro_winkler_similarity, convention spec-pinned) keeps the
+    // identical row set
+    "q219_fuzzy_link_parts" -> ((s, dir) =>
+      etlmudah.joins.Joins.fuzzyLinkPairs(
+        Tables.part(s, dir).groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("id")),
+        "id", "p_name", minSim = 0.85)),
+
     // mojibake (encoding-damage) scan per source: deterministic damage
     // injected on every third doc (the q176 dirty-synthesis precedent),
     // lead-character markers counted by one codegen'd regexp_count
@@ -6694,6 +6727,107 @@ object SparkEntry {
         |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
         |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // the same orientation replayed in SQL: tuple-compare picks each
+    // edge's (degree, node)-smaller endpoint, the wedge filter orders
+    // endpoints by the SAME key (carried dt), closure is an equi-join
+    // on the oriented pair — triangles counted exactly once
+    "q220_part_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dt
+        |  FROM e JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM o e1 JOIN o e2 ON e1.s = e2.s
+        |   AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+        |  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
+        |pern AS (
+        |  SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.node, d.d AS degree,
+        |       COALESCE(p.triangles, 0)::BIGINT AS triangles
+        |FROM deg d LEFT JOIN pern p USING (node)
+        |ORDER BY triangles DESC, node""".stripMargin,
+
+    // DuckDB's own jaro_winkler_similarity IS the oracle — the native
+    // expression's convention (match window, integer transposition
+    // halving, strict 0.7 boost gate, empty->0) is pinned to it by
+    // JaroWinklerSpec fixtures; same entity table, blocking, cap, and
+    // rounded-threshold filter
+    "q219_fuzzy_link_parts" ->
+      """WITH ent AS (
+        |  SELECT p_name AS name, min(p_partkey)::BIGINT AS id
+        |  FROM part GROUP BY 1),
+        |k AS (SELECT id, name, string_split(name, ' ')[1] AS block
+        |      FROM ent),
+        |s AS (SELECT k.* FROM k JOIN (
+        |        SELECT block FROM k GROUP BY block
+        |        HAVING count(*) <= 10000) b USING (block))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       a.name AS name_a, b.name AS name_b,
+        |       round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_sim
+        |FROM s a JOIN s b ON a.block = b.block AND a.id < b.id
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.85
+        |ORDER BY jw_sim DESC, id_a, id_b""".stripMargin,
+
+    // the 3 PageRank rounds unrolled as CTEs: same co-occurrence
+    // self-join, same BIGINT lattice (10^12), same truncating `//` per
+    // edge — every intermediate is ::BIGINT-cast so DuckDB's HUGEINT
+    // sums can't drift the schema
+    "q218_part_pagerank" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey::BIGINT AS src, b.l_partkey::BIGINT AS dst,
+        |         count(*)::BIGINT AS weight
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |ew AS (
+        |  SELECT e.src, e.dst, e.weight, o.outw
+        |  FROM e JOIN (SELECT src, sum(weight)::BIGINT AS outw
+        |               FROM e GROUP BY 1) o USING (src)),
+        |r0 AS (SELECT node,
+        |         (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank
+        |       FROM nodes),
+        |r1 AS (SELECT nd.node,
+        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT ew.dst AS node,
+        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+        |         FROM ew JOIN r0 r ON ew.src = r.node GROUP BY 1) c
+        |         USING (node)),
+        |r2 AS (SELECT nd.node,
+        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT ew.dst AS node,
+        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+        |         FROM ew JOIN r1 r ON ew.src = r.node GROUP BY 1) c
+        |         USING (node)),
+        |r3 AS (SELECT nd.node,
+        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT ew.dst AS node,
+        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+        |         FROM ew JOIN r2 r ON ew.src = r.node GROUP BY 1) c
+        |         USING (node))
+        |SELECT node, rank FROM r3 ORDER BY rank DESC, node""".stripMargin,
 
     // identical damage injection (the shared mojibakeSuffix literal)
     // and the IDENTICAL marker pattern (TextStats.mojibakeMarkers
