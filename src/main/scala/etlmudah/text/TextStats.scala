@@ -1905,4 +1905,48 @@ object TextStats {
         col("best.distance").cast("long").as("distance"))
       .orderBy(col("id"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word-adjacency graph. Adjacent token pairs are counted
+    * UNDIRECTED (canonical least/greatest, self-pairs dropped), then
+    * both directions feed the integer-lattice PageRank
+    * ([[etlmudah.graph.Centrality.pageRankInt]]) on md5-60bit word ids
+    * — the portable-hash discipline, so the SQL twin re-derives
+    * identical ids and replays the BIGINT-exact rounds. Returns the
+    * topK (word, rank) rows, rank DESC with word as the tie-break.
+    *
+    * Scale shape: tokenization plus ONE keyed window (lead over doc
+    * position) mine adjacency in a single exchange; the pair aggregate
+    * is vocabulary-bounded (Heaps' law — the BPE/rank-profile bound),
+    * so the graph PageRank iterates on is vocab-sized regardless of
+    * corpus size, and the adjacency table is materialized once before
+    * symmetrization (the `dupClusters` lesson: union(x, x.swapped)
+    * evaluates its input twice). 60-bit id collisions merge nodes with
+    * probability ~V²/2⁶¹ — negligible below 10⁸ distinct words. */
+  def textRankKeywords(df: DataFrame, textCol: String, idCol: String,
+                       iters: Int = 3, topK: Int = 20): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val adj = tok.withColumn("nx", lead(col("w"), 1).over(win))
+      .filter(col("nx").isNotNull && col("w") =!= col("nx"))
+      .select(least(col("w"), col("nx")).as("cu"),
+        greatest(col("w"), col("nx")).as("cv"))
+      .groupBy("cu", "cv").agg(count(lit(1)).as("weight"))
+      .localCheckpoint(true)
+    def hid(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val edges = adj.select(hid(col("cu")).as("src"), hid(col("cv")).as("dst"),
+        col("weight"))
+      .union(adj.select(hid(col("cv")).as("src"), hid(col("cu")).as("dst"),
+        col("weight")))
+    val words = tok.select(col("w").as("word")).distinct()
+      .withColumn("node", hid(col("word")))
+    etlmudah.graph.Centrality.pageRankInt(edges, iters)
+      .join(words, Seq("node"))
+      .select(col("word"), col("rank"))
+      .orderBy(desc("rank"), col("word"))
+      .limit(topK)
+  }
 }

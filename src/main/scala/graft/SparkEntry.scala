@@ -1741,6 +1741,13 @@ object SparkEntry {
           .filter(col("src") < col("dst") && col("weight") >= 2L)
           .select(col("src").as("u"), col("dst").as("v")))),
 
+    // TextRank keywords: the graph tier composed with the text tier —
+    // PageRank over the undirected word-adjacency graph on md5-60bit
+    // word ids; vocab-sized iteration regardless of corpus size
+    "q221_textrank_keywords" -> ((s, dir) =>
+      TextStats.textRankKeywords(Tables.documents(s, dir),
+        "text", "doc_id", iters = 3, topK = 20)),
+
     // blocked fuzzy record linkage over the DISTINCT part-name entity
     // table (canonical id = min partkey per name): first-token
     // blocking, native codegen'd graft_jaro_winkler refine, threshold
@@ -6780,6 +6787,66 @@ object SparkEntry {
         |       COALESCE(p.triangles, 0)::BIGINT AS triangles
         |FROM deg d LEFT JOIN pern p USING (node)
         |ORDER BY triangles DESC, node""".stripMargin,
+
+    // q218's unrolled rounds over the word-adjacency graph: same
+    // tokenizer as every text oracle, same md5-60bit ids as the
+    // portable simhash twin, same BIGINT lattice arithmetic
+    "q221_textrank_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |adj AS (
+        |  SELECT least(a.w, b.w) AS cu, greatest(a.w, b.w) AS cv,
+        |         count(*)::BIGINT AS weight
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.w <> b.w GROUP BY 1, 2),
+        |e AS (
+        |  SELECT CAST(('0x' || substr(md5(cu),1,15)) AS UBIGINT)::BIGINT AS src,
+        |         CAST(('0x' || substr(md5(cv),1,15)) AS UBIGINT)::BIGINT AS dst,
+        |         weight FROM adj
+        |  UNION ALL
+        |  SELECT CAST(('0x' || substr(md5(cv),1,15)) AS UBIGINT)::BIGINT,
+        |         CAST(('0x' || substr(md5(cu),1,15)) AS UBIGINT)::BIGINT,
+        |         weight FROM adj),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |ew AS (
+        |  SELECT e.src, e.dst, e.weight, o.outw
+        |  FROM e JOIN (SELECT src, sum(weight)::BIGINT AS outw
+        |               FROM e GROUP BY 1) o USING (src)),
+        |r0 AS (SELECT node,
+        |         (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank
+        |       FROM nodes),
+        |r1 AS (SELECT nd.node,
+        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT ew.dst AS node,
+        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+        |         FROM ew JOIN r0 r ON ew.src = r.node GROUP BY 1) c
+        |         USING (node)),
+        |r2 AS (SELECT nd.node,
+        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT ew.dst AS node,
+        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+        |         FROM ew JOIN r1 r ON ew.src = r.node GROUP BY 1) c
+        |         USING (node)),
+        |r3 AS (SELECT nd.node,
+        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT ew.dst AS node,
+        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+        |         FROM ew JOIN r2 r ON ew.src = r.node GROUP BY 1) c
+        |         USING (node)),
+        |words AS (SELECT DISTINCT w AS word,
+        |    CAST(('0x' || substr(md5(w),1,15)) AS UBIGINT)::BIGINT AS node
+        |  FROM tok)
+        |SELECT wd.word, r3.rank FROM r3 JOIN words wd USING (node)
+        |ORDER BY rank DESC, word LIMIT 20""".stripMargin,
 
     // DuckDB's own jaro_winkler_similarity IS the oracle — the native
     // expression's convention (match window, integer transposition

@@ -1216,4 +1216,61 @@ class TextStatsSpec extends SparkSpec {
     // headline -> ea,i,e (3) = 6 total
     assert((w2, s2, y2) == (3L, 1L, 6L), out(1).toString)
   }
+
+  test("textRankKeywords matches a serial integer replay; self-adjacency dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark joins spark joins fast fast shuffle"),
+      (2L, "joins shuffle joins spark"),
+      (3L, "solo")).toDF("doc_id", "text")
+    // serial replay of the documented recurrence over md5-60bit ids
+    def h(w: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+    Seq("spark joins spark joins fast fast shuffle",
+        "joins shuffle joins spark", "solo").foreach { t =>
+      t.split("\\s+").sliding(2).foreach {
+        case Array(a, b) if a != b =>
+          val k = (Seq(a, b).min, Seq(a, b).max)
+          pair(k) = pair.getOrElse(k, 0L) + 1L
+        case _ => ()
+      }
+    }
+    val edges = pair.toSeq.flatMap { case ((a, b), c) =>
+      Seq((h(a), h(b), c), (h(b), h(a), c)) }
+    val SCALE = 1000000000000L
+    val ns = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = ns.size.toLong
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = ns.map(_ -> SCALE / n).toMap
+    (0 until 3).foreach { _ =>
+      val c = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => (r(s) * w) / outw(s) }.sum }
+      r = ns.map(v => v -> ((15L * SCALE) / (100L * n) +
+        (85L * c.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val wmap = Seq("spark", "joins", "fast", "shuffle").map(w => h(w) -> w).toMap
+    val expected = r.toSeq.map { case (nd, rk) => (wmap(nd), rk) }
+      .sortBy { case (w, rk) => (-rk, w) }
+    val got = TextStats.textRankKeywords(docs, "text", "doc_id", iters = 3,
+        topK = 10)
+      .collect().map(row => (row.getString(0), row.getLong(1))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // "solo" has no adjacency: it must not appear as a node at all,
+    // and the repeated "fast fast" self-pair must not self-loop
+    assert(!got.exists(_._1 == "solo"))
+    assert(got.map(_._1).toSet == Set("spark", "joins", "fast", "shuffle"))
+  }
+
+  test("textRankKeywords: empty corpus and single-token docs yield no keywords") {
+    import spark.implicits._
+    val empty = TextStats.textRankKeywords(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+    assert(empty.count() == 0)
+    val singles = TextStats.textRankKeywords(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(singles.count() == 0)
+  }
 }
