@@ -91,8 +91,14 @@ object JaroWinklerFn {
 case class JaroWinkler(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  // NullType is accepted so a bare NULL literal resolves and evaluates
+  // to NULL (DuckDB: jaro_winkler_similarity(NULL, x) IS NULL) instead
+  // of failing analysis; a NullType child never reaches nullSafeEval.
+  private def okType(t: DataType): Boolean =
+    t == StringType || t == NullType
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
+    if (okType(left.dataType) && okType(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_jaro_winkler expects (string, string), " +

@@ -158,7 +158,8 @@ object Joins {
     * EQUI-join on a cheap blocking key (first name token here — the
     * census-linkage classic), then the native `graft_jaro_winkler`
     * expression refines each candidate and pairs at or above `minSim`
-    * survive. Returns (id_a, id_b, jw_sim) with id_a < id_b, ordered
+    * survive. Returns (id_a, id_b, name_a, name_b, jw_sim) with
+    * id_a < id_b, ordered
     * (sim DESC, id_a, id_b); jw_sim is rounded to 6 decimals BEFORE the
     * threshold so the cross-engine oracle (DuckDB's own
     * `jaro_winkler_similarity`, same blocking SQL) keeps the identical

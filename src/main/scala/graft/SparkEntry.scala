@@ -1216,6 +1216,10 @@ object SparkEntry {
     // — the design table q209's measured curve confirms; pure
     // driver-side computation (the q146 precedent), multiply-chain
     // arithmetic so both engines produce bit-identical doubles
+    // NOTE on numbering: q215 was retired during round 8 (a draft
+    // PSI-drift variant superseded by q211 before it ever shipped a
+    // row); the id is left unused so recorded CORRECTNESS/BENCH
+    // histories never alias two different queries under one name.
     "q214_banding_design" -> ((s, dir) =>
       Dedup.bandingDesignTable(s, k = 16)),
 

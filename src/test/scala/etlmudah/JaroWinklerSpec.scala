@@ -43,6 +43,17 @@ class JaroWinklerSpec extends SparkSpec {
     assert(out(2).isNullAt(0), "null input must yield null")
   }
 
+  test("graft_jaro_winkler accepts an untyped NULL literal (NullType)") {
+    // DuckDB: jaro_winkler_similarity(NULL, x) IS NULL — a bare NULL
+    // literal must resolve (NullType child) and evaluate to NULL, not
+    // fail analysis
+    val out = spark.sql(
+      "SELECT graft_jaro_winkler(NULL, 'x') AS a, " +
+        "graft_jaro_winkler('x', NULL) AS b, " +
+        "graft_jaro_winkler(NULL, NULL) AS c").collect()(0)
+    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
+  }
+
   test("fuzzyLinkPairs: blocked pairs above threshold; oversized blocks dropped whole") {
     import spark.implicits._
     val ents = Seq((1L, "small bolt"), (2L, "small bolz"), (3L, "small ring"),
