@@ -75,15 +75,34 @@ object Web {
     * domain label, and public suffix all cycle on `docId`, so the
     * oracle recomputes the exact same URLs and every downstream
     * assertion checks REAL parsing logic on both engines. */
-  def fakeUrl(docId: Column, source: Column): Column = {
+  def fakeUrl(docId: Column, source: Column): Column =
+    concat(lit("https://"), fakeHost(docId),
+      lit("/"), source, lit("/"), docId.cast("string"))
+
+  /** Host part of [[fakeUrl]] alone — a pure function of `docId`
+    * (subdomain, d-label, and public suffix cycle on it), so link
+    * injection ([[fakeLinkUrls]]) and the oracles can re-derive any
+    * doc's host closed-form without string surgery on the full URL. */
+  def fakeHost(docId: Column): Column = {
     val suffix = element_at(
       array(lit("com"), lit("org"), lit("co.uk"), lit("com.my")),
       (docId % 4 + 1).cast("int"))
     val sub = element_at(array(lit("www."), lit("blog."), lit("")),
       (docId % 3 + 1).cast("int"))
-    concat(lit("https://"), sub, lit("d"), (docId % 7).cast("string"),
-      lit("."), suffix, lit("/"), source, lit("/"), docId.cast("string"))
+    concat(sub, lit("d"), (docId % 7).cast("string"), lit("."), suffix)
   }
+
+  /** Deterministic synthetic OUTLINKS for doc `docId`: two absolute
+    * URLs pointing at the [[fakeHost]]s of docs `docId+1` and
+    * `3*docId+5` — closed-form functions of the id, so the link-graph
+    * oracles carry the known href targets instead of replicating the
+    * extractor (the q190/q202 discipline). The host arithmetic
+    * guarantees no self-link can arise (the d-label residues never
+    * coincide), but [[hostLinkEdges]] still filters defensively. */
+  def fakeLinkUrls(docId: Column): Column = array(
+    concat(lit("https://"), fakeHost(docId + 1),
+      lit("/x/"), docId.cast("string")),
+    concat(lit("http://"), fakeHost(docId * 3 + 5), lit("/y")))
 
   /** HTML → text extraction — the first transform every web-crawl
     * training corpus applies (C4, RefinedWeb, FineWeb all start from
@@ -174,6 +193,20 @@ object Web {
   def fakeHtml(docId: Column, text: Column): Column =
     fakeHtml(docId, text, lit(null).cast("string"))
 
+  /** Four-arg overload: additionally injects one `<a>` element per URL
+    * in `links` (array<string>) into the body, plus a RELATIVE href
+    * and a fragment-only href that an absolute-URL extractor
+    * ([[hrefHosts]]) must ignore — the link-graph round-trip surface. */
+  def fakeHtml(docId: Column, text: Column, robots: Column,
+               links: Column): Column = {
+    val linkHtml = concat(
+      lit("<a href=\"/rel/1\">rel</a><a href=\"#frag\">frag</a>"),
+      array_join(transform(links,
+        u => concat(lit("<a class=\"o\" href=\""), u, lit("\">out</a>"))),
+        ""))
+    concat(fakeHtml(docId, text, robots), linkHtml)
+  }
+
   def fakeHtml(docId: Column, text: Column, robots: Column): Column = {
     val id = docId.cast("string")
     val meta = when(robots.isNotNull,
@@ -189,6 +222,64 @@ object Web {
       text,
       lit("</div><ul><li>item&#39;s one</li><li>item &quot;two&quot;</li>"),
       lit("</ul><em>fine</em>print</body></html>"))
+  }
+
+  /** Hosts of all ABSOLUTE outlinks on a page: every `<a href="...">`
+    * whose value starts with a scheme yields its host; relative,
+    * fragment-only, and schemeless hrefs are ignored (they stay on the
+    * page's own host and carry no cross-host endorsement). Lowercased
+    * (DNS case-insensitivity), duplicates kept — a page linking a host
+    * twice endorses it twice, and the edge miner aggregates weights.
+    * One codegen'd `regexp_extract_all` per row; both quote styles
+    * match via the `["']` class, and the host stop class `[/:?#"']`
+    * cuts port/path/query/fragment exactly as [[urlHost]] does. */
+  def hrefHosts(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*[\"']" +
+          "[A-Za-z][A-Za-z0-9+.-]*://([^/:?#\"']+)"), lit(1)),
+      h => lower(h))
+
+  /** Host-level link graph mined from pages: one directed edge
+    * page-host -> outlink-host per absolute href, weight = link count.
+    * Self-links drop (intra-host navigation is not endorsement — the
+    * PageRank convention). The CommonCrawl/FineWeb curation prior
+    * starts here: rank hosts on this graph, then select documents.
+    *
+    * Scale shape: extraction is a per-row projection; the only
+    * exchange is the (src,dst)-keyed weight aggregate, map-side
+    * combined, with key cardinality bounded by the distinct linked
+    * host-pair count (web-graph sparse, ~10-100 outlinks/page onto a
+    * Zipf head of hosts) — never corpus-sized. */
+  def hostLinkEdges(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    df.select(lower(urlHost(col(urlCol))).as("src_host"),
+        explode(hrefHosts(col(htmlCol))).as("dst_host"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "" &&
+        col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("weight"))
+
+  /** Host centrality: integer-lattice PageRank over a (src_host,
+    * dst_host, weight) link graph on md5-60bit host ids — the
+    * [[etlmudah.text.TextStats.textRankKeywords]] portable-hash
+    * discipline, so a SQL twin re-derives identical ids and replays
+    * the BIGINT-exact rounds. Returns (host, rank) ordered rank DESC,
+    * host ASC. The id/name join is |hosts|-sized (domain-bounded, far
+    * below page count) and broadcasts; 60-bit collisions merge hosts
+    * with probability ~H²/2⁶¹ — negligible below 10⁸ hosts. */
+  def hostRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    def hid(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val e = edges.select(hid(col("src_host")).as("src"),
+      hid(col("dst_host")).as("dst"), col("weight"))
+    val hosts = edges.select(col("src_host").as("host"))
+      .union(edges.select(col("dst_host").as("host")))
+      .distinct()
+      .withColumn("node", hid(col("host")))
+    etlmudah.graph.Centrality.pageRankInt(e, iters)
+      .join(broadcast(hosts), Seq("node"))
+      .select(col("host"), col("rank"))
+      .orderBy(desc("rank"), col("host"))
   }
 
   /** Canonical form of an absolute URL — the dedup KEY web-crawl

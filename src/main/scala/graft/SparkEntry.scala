@@ -148,6 +148,24 @@ object SparkEntry {
       etlmudah.graph.Centrality.cooccurrenceEdges(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))
 
+  /** The host LINK graph staged once per corpus — the q218/q220 split
+    * applied to the web tier: q222 keeps mining the graph live from
+    * the synthetic pages (its oracle row benchmarks href extraction +
+    * edge aggregation + ranking every round); q223's curation funnel
+    * consumes this artifact and pays only the rank loop + the gate. */
+  private val hostEdgeTag = "hedge-v1-links2"
+  private[graft] def stagedHostEdges(s: SparkSession, dir: String): DataFrame =
+    stagedArtifact(s, dir, hostEdgeTag, "hedge") {
+      import etlmudah.web.Web
+      val id = col("doc_id")
+      Web.hostLinkEdges(
+        Tables.documents(s, dir).select(
+          Web.fakeUrl(id, col("source")).as("url"),
+          Web.fakeHtml(id, col("text"), lit(null).cast("string"),
+            Web.fakeLinkUrls(id)).as("page")),
+        "url", "page")
+    }
+
   private val winnowPairTag = "wpair-v1-k3-w4-ms2-df50"
   private[graft] def stagedWinnowPairs(s: SparkSession, dir: String): DataFrame =
     stagedArtifact(s, dir, winnowPairTag, "wpair")(
@@ -2340,6 +2358,59 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    // HOST LINK-GRAPH centrality — the CommonCrawl/FineWeb curation
+    // prior (rank hosts, then select documents): absolute hrefs are
+    // extracted from the synthetic pages (closed-form link injection:
+    // each page links the fakeHosts of docId+1 and 3*docId+5, so the
+    // oracle carries the KNOWN targets and never replicates the
+    // extractor), host->host edges aggregate, and the integer-lattice
+    // PageRank runs 3 BIGINT-exact rounds on md5-60bit host ids — the
+    // oracle replays them unrolled and hash-matches. Mines LIVE (the
+    // q218 discipline); q223 consumes the staged edge artifact
+    "q222_host_link_rank" -> ((s, dir) => {
+      import etlmudah.web.Web
+      val id = col("doc_id")
+      val pages = Tables.documents(s, dir).select(
+        Web.fakeUrl(id, col("source")).as("url"),
+        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
+          Web.fakeLinkUrls(id)).as("page"))
+      Web.hostRank(Web.hostLinkEdges(pages, "url", "page"), iters = 3)
+    }),
+
+    // WEB-CURATION v3 — the link-graph prior JOINED INTO the funnel
+    // (FineWeb: rank hosts by centrality BEFORE selecting documents):
+    // staged host edges -> integer PageRank -> keep hosts ranking
+    // above the uniform baseline (rank > scale div |hosts|, exact
+    // BIGINT — a host with any in-link endorsement clears it, a
+    // no-in-link host's 0.15 teleport floor cannot) -> extraction ->
+    // per-domain cap -> domain report carrying the centrality
+    // evidence (max host rank per domain). The gate's |hosts| count
+    // rides ONE window over the AGGREGATED rank frame, never the
+    // corpus; the kept-host table broadcasts into the page join
+    "q223_web_curation_v3" -> ((s, dir) => {
+      import etlmudah.web.Web
+      import org.apache.spark.sql.expressions.Window
+      val id = col("doc_id")
+      val pages = Tables.documents(s, dir).select(
+        id, col("source"),
+        Web.fakeUrl(id, col("source")).as("url"),
+        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
+          Web.fakeLinkUrls(id)).as("page"))
+        .withColumn("host", Web.urlHost(col("url")))
+      val kept = Web.hostRank(stagedHostEdges(s, dir), iters = 3)
+        .withColumn("nh", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("rank") > expr("1000000000000L div nh"))
+        .select(col("host"), col("rank"))
+      val gated = pages.join(broadcast(kept), Seq("host"))
+        .withColumn("etext", Web.htmlToText(col("page")))
+      Web.domainCap(gated, "url", "doc_id", cap = 5, salt = "wc3")
+        .groupBy(col("domain")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("etext"))).as("n_tokens"),
+          max(col("rank")).as("max_host_rank"))
+        .orderBy(col("domain"))
+    }),
+
     // EXACT model evaluation: Mann–Whitney AUC (average-rank ties,
     // BIGINT rank sums, one final division) of the trained q198 model
     // vs the untrained md5-lattice baseline on the same labels — the
@@ -3091,6 +3162,74 @@ object SparkEntry {
        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= $minJ
        |ORDER BY train_id, ref_id""".stripMargin
   }
+
+  /** DuckDB closed form of [[etlmudah.web.Web.fakeHost]] applied to the
+    * BIGINT expression `j` — the host-arithmetic building block the
+    * q222/q223 oracles use to carry the KNOWN link targets. */
+  private def duckFakeHost(j: String): String =
+    s"['www.','blog.',''][(($j) % 3 + 1)::INT] || 'd' || " +
+      s"(($j) % 7)::VARCHAR || '.' || " +
+      s"['com','org','co.uk','com.my'][(($j) % 4 + 1)::INT]"
+
+  /** Shared CTE chain of the q222/q223 oracles (callers prepend WITH
+    * and append their SELECT): known link targets from the doc_id rule
+    * -> weighted host edges -> md5-60bit ids -> the 3 unrolled
+    * integer-lattice PageRank rounds (the q218 CTE shape verbatim) ->
+    * `hostrank(host, rank)`. Also exposes `hh(doc_id, hsrc)` so q223
+    * can key pages to their host without re-deriving it. */
+  private val duckHostRankCtes: String =
+    s"""hh AS (SELECT doc_id,
+       |    ${duckFakeHost("doc_id")} AS hsrc,
+       |    ${duckFakeHost("doc_id + 1")} AS h1,
+       |    ${duckFakeHost("3 * doc_id + 5")} AS h2
+       |  FROM documents),
+       |le AS (SELECT hsrc AS src_host, h1 AS dst_host FROM hh
+       |       UNION ALL SELECT hsrc, h2 FROM hh),
+       |e0 AS (SELECT src_host, dst_host, count(*)::BIGINT AS weight
+       |       FROM le WHERE src_host <> dst_host GROUP BY 1, 2),
+       |e AS (SELECT
+       |    CAST(('0x' || substr(md5(src_host),1,15)) AS UBIGINT)::BIGINT AS src,
+       |    CAST(('0x' || substr(md5(dst_host),1,15)) AS UBIGINT)::BIGINT AS dst,
+       |    weight FROM e0),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |ew AS (
+       |  SELECT e.src, e.dst, e.weight, o.outw
+       |  FROM e JOIN (SELECT src, sum(weight)::BIGINT AS outw
+       |               FROM e GROUP BY 1) o USING (src)),
+       |r0 AS (SELECT node,
+       |         (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank
+       |       FROM nodes),
+       |r1 AS (SELECT nd.node,
+       |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+       |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+       |       FROM nodes nd LEFT JOIN (
+       |         SELECT ew.dst AS node,
+       |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+       |         FROM ew JOIN r0 r ON ew.src = r.node GROUP BY 1) c
+       |         USING (node)),
+       |r2 AS (SELECT nd.node,
+       |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+       |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+       |       FROM nodes nd LEFT JOIN (
+       |         SELECT ew.dst AS node,
+       |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+       |         FROM ew JOIN r1 r ON ew.src = r.node GROUP BY 1) c
+       |         USING (node)),
+       |r3 AS (SELECT nd.node,
+       |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+       |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+       |       FROM nodes nd LEFT JOIN (
+       |         SELECT ew.dst AS node,
+       |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+       |         FROM ew JOIN r2 r ON ew.src = r.node GROUP BY 1) c
+       |         USING (node)),
+       |hosts AS (SELECT host,
+       |    CAST(('0x' || substr(md5(host),1,15)) AS UBIGINT)::BIGINT AS node
+       |  FROM (SELECT src_host AS host FROM e0
+       |        UNION SELECT dst_host FROM e0)),
+       |hostrank AS (SELECT hosts.host, r3.rank
+       |  FROM r3 JOIN hosts USING (node))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q26_simhash_near_dups" -> simhashOracleSql,
@@ -5939,6 +6078,62 @@ object SparkEntry {
         |  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
         |  min(score) AS lo_score, max(score) AS hi_score
         |FROM nt GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // known link targets from the doc_id rule + the q218 unrolled
+    // rounds over md5-60bit host ids — the extractor is never
+    // replicated, only its closed-form answer on the synthetic pages
+    "q222_host_link_rank" ->
+      s"""WITH $duckHostRankCtes
+         |SELECT host, rank FROM hostrank
+         |ORDER BY rank DESC, host""".stripMargin,
+
+    // the rank CTEs + the above-uniform gate (exact BIGINT, |hosts|
+    // window) + closed-form extracted text (q202's, extended by the
+    // anchor texts the link block adds) + the q202 domain/cap replay —
+    // the centrality-gated funnel re-derived end to end
+    "q223_web_curation_v3" ->
+      s"""WITH $duckHostRankCtes,
+         |kh AS (SELECT host, rank FROM (
+         |    SELECT host, rank, count(*) OVER () AS nh FROM hostrank) t
+         |  WHERE rank > 1000000000000 // nh),
+         |g AS (SELECT d.doc_id, d.source, d.text, kh.rank
+         |  FROM documents d
+         |  JOIN hh ON d.doc_id = hh.doc_id
+         |  JOIN kh ON kh.host = hh.hsrc),
+         |ex AS (SELECT doc_id, source, rank,
+         |    'Doc ' || doc_id::VARCHAR || chr(10) ||
+         |    'Title & Doc ' || doc_id::VARCHAR || chr(10) ||
+         |    'Lead para <kept>.' || chr(10) || text || chr(10) ||
+         |    'item''s one' || chr(10) || 'item "two"' || chr(10) ||
+         |    'fine print rel frag out out' AS etext
+         |  FROM g),
+         |u AS (SELECT doc_id, etext, rank,
+         |    'https://' || ${duckFakeHost("doc_id")} ||
+         |    '/' || source || '/' || doc_id::VARCHAR AS url
+         |  FROM ex),
+         |h AS (SELECT *, regexp_extract(url,
+         |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM u),
+         |d AS (SELECT *, string_split(lower(host), '.') AS arr,
+         |    len(string_split(lower(host), '.')) AS n FROM h),
+         |r AS (SELECT doc_id, etext, rank,
+         |    CASE WHEN n <= 2 THEN lower(host)
+         |         WHEN (arr[n-1] || '.' || arr[n]) IN
+         |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
+         |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
+         |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
+         |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
+         |         ELSE arr[n-1] || '.' || arr[n] END AS domain
+         |  FROM d),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY domain
+         |    ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'wc3'), 1, 8))
+         |      AS UBIGINT) / 4294967296.0 ASC, doc_id ASC) AS rn
+         |  FROM r)
+         |SELECT domain, count(*) AS n_docs,
+         |  sum(len(string_split_regex(trim(etext), '\\s+')))::BIGINT
+         |    AS n_tokens,
+         |  max(rank) AS max_host_rank
+         |FROM k WHERE rn <= 5
+         |GROUP BY domain ORDER BY domain""".stripMargin,
 
     // closed-form extracted text + doc_id robots rule + the q193/q180/
     // q175 replays chained — the funnel re-derived end to end

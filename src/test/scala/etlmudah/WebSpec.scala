@@ -176,4 +176,75 @@ class WebSpec extends SparkSpec {
         "title text and decoded & must both be present")
     }
   }
+
+  test("hrefHosts: absolute hrefs only, both quote styles, lowercased, dups kept") {
+    import spark.implicits._
+    val html =
+      """<a href="https://A.Example.COM/path?q=1">x</a>
+        |<a class="o" href='http://b.org:8080/y'>y</a>
+        |<a href="/relative/z">rel</a><a href="#frag">f</a>
+        |<a href="mailto:x@example.com">m</a>
+        |<a data-x="1" href="https://a.example.com">again</a>
+        |<p>no link</p>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(Web.hrefHosts(col("h")).as("hosts"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a.example.com", "b.org", "a.example.com"),
+      s"got $got")
+    // mailto: matched? 'mailto' has no '//' so it must not — asserted
+    // by the exact list above; empty page yields empty array not null
+    val empty = Seq("<p>none</p>").toDF("h")
+      .select(Web.hrefHosts(col("h")).as("hosts")).collect()(0).getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("hostLinkEdges: weighted host->host edges, self-links dropped") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://src1.com/a",
+        "<a href='https://dst.org'>1</a><a href='http://dst.org/p'>2</a>" +
+          "<a href='https://src1.com/self'>self</a>"),
+      ("https://src2.com/b", "<a href=\"https://dst.org\">1</a>"),
+      ("https://src2.com/c", "<a href=\"https://src1.com\">1</a>"))
+      .toDF("url", "page")
+    val got = Web.hostLinkEdges(pages, "url", "page").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("src1.com", "dst.org") -> 2L,
+      ("src2.com", "dst.org") -> 1L,
+      ("src2.com", "src1.com") -> 1L), s"got $got")
+  }
+
+  test("hostRank: in-link-favored host ranks first; integer lattice hand-checked") {
+    import spark.implicits._
+    // a -> c, b -> c: N=3, r0 = scale div 3; c's round-1 contribution
+    // is r0 from a plus r0 from b (single out-edges, weight/outw = 1)
+    val edges = Seq(("a.com", "c.com", 1L), ("b.com", "c.com", 1L))
+      .toDF("src_host", "dst_host", "weight")
+    val got = Web.hostRank(edges, iters = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val scale = 1000000000000L
+    val r0 = scale / 3
+    val base = (15 * scale) / (100 * 3)
+    val cRank = base + (85 * (r0 + r0)) / 100
+    assert(got.head == (("c.com", cRank)), s"got ${got.head}")
+    // a and b tie on rank (no in-links): host ASC breaks the tie
+    assert(got(1) == (("a.com", base)) && got(2) == (("b.com", base)))
+  }
+
+  test("fakeLinkUrls round-trip: hrefHosts over the linked fakeHtml " +
+    "recovers exactly the closed-form target hosts") {
+    val docs = Tables.documents(spark, sf0001).limit(30)
+    val id = col("doc_id")
+    val rows = docs.select(id.as("i"),
+        Web.hrefHosts(Web.fakeHtml(id, col("text"),
+          lit(null).cast("string"), Web.fakeLinkUrls(id))).as("hosts"),
+        Web.fakeHost(id + 1).as("h1"),
+        Web.fakeHost(id * 3 + 5).as("h2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == Seq(r.getString(2), r.getString(3)),
+        s"doc ${r.getLong(0)}: ${r.getSeq[String](1)}")
+    }
+  }
 }

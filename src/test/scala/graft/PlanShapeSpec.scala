@@ -414,6 +414,28 @@ class PlanShapeSpec extends SparkSpec {
       warm.take(500))
   }
 
+  test("stagedHostEdges: equals the live mine; warm path is a bare parquet scan") {
+    import org.apache.spark.sql.functions._
+    import etlmudah.web.Web
+    val id = col("doc_id")
+    val live = Web.hostLinkEdges(
+        etlmudah.Tables.documents(spark, sf0001).select(
+          Web.fakeUrl(id, col("source")).as("url"),
+          Web.fakeHtml(id, col("text"), lit(null).cast("string"),
+            Web.fakeLinkUrls(id)).as("page")),
+        "url", "page")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val staged = SparkEntry.stagedHostEdges(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(staged == live && live.nonEmpty)
+    // warm call: a bare parquet scan — no href extraction (regexp), no
+    // page synthesis, no edge aggregate anywhere in the plan
+    val warm = SparkEntry.stagedHostEdges(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!warm.contains("regexp") && !warm.contains("HashAggregate"),
+      warm.take(500))
+  }
+
   test("staging publish: concurrent writers on a fresh key both resolve a live artifact") {
     import java.nio.file.{Files, Paths}
     // fresh corpus copy -> fresh staging key, so both threads enter the
