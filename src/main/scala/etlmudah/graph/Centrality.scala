@@ -205,17 +205,28 @@ object Centrality {
       if (!local && n <= broadcastNodeThreshold) broadcast(df) else df
     var it = 0
     while (it < iters) {
-      val contrib = ew
-        .join(small(ranks.select(col("node").as("src"), col("rank"))),
-          Seq("src"))
-        .select(col("dst").as("node"),
-          expr("(rank * weight) div outw").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("c"))
-      ranks = pin(nodes.join(small(contrib), Seq("node"), "left")
-        .select(col("node"),
-          expr(s"$base + (85 * coalesce(c, 0L)) div 100").as("rank")))
+      ranks = pin(prRound(ew, nodes, ranks, base, small))
       it += 1
     }
     ranks.orderBy(desc("rank"), col("node"))
+  }
+
+  /** One [[pageRankInt]] round, exposed for plan rehearsal: the
+    * rank/contribution (|V|-sized) sides pass through `small` — the
+    * broadcast hint below the node threshold, identity above it, where
+    * the joins must key-exchange instead (the plan CentralitySpec pins
+    * with broadcasting force-disabled). */
+  private[etlmudah] def prRound(ew: DataFrame, nodes: DataFrame,
+                                ranks: DataFrame, base: String,
+                                small: DataFrame => DataFrame): DataFrame = {
+    val contrib = ew
+      .join(small(ranks.select(col("node").as("src"), col("rank"))),
+        Seq("src"))
+      .select(col("dst").as("node"),
+        expr("(rank * weight) div outw").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("c"))
+    nodes.join(small(contrib), Seq("node"), "left")
+      .select(col("node"),
+        expr(s"$base + (85 * coalesce(c, 0L)) div 100").as("rank"))
   }
 }

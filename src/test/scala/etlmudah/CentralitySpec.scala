@@ -127,6 +127,93 @@ class CentralitySpec extends SparkSpec {
     assert(out == Set((1L, 2L, 2L)), s"got $out")
   }
 
+  test("pageRankInt: forced distributed layout matches default bit-exactly " +
+    "on a power-law graph with a hot star") {
+    import spark.implicits._
+    // planted skew: hub 0 takes an in-edge from EVERY other node (the
+    // high-in-degree star that melts a naive contribution reducer) plus
+    // a ring so every node has an out-edge and mass keeps circulating
+    val n = 2000
+    val star = (1 until n).map(i => (i.toLong, 0L, 1L))
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong, 2L))
+    val edges = (star ++ ring).toDF("src", "dst", "weight").repartition(8)
+    val t0 = System.nanoTime()
+    val forced = Centrality.pageRankInt(edges, iters = 3,
+        localEdgeThreshold = 0L, broadcastNodeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val dflt = Centrality.pageRankInt(edges, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(forced.toSeq == dflt.toSeq,
+      "distributed layout must be bit-identical to the local/broadcast one")
+    assert(forced.head._1 == 0L, "the hot hub must rank first")
+    assert(secs < 120.0, f"forced-distributed PageRank took $secs%.1f s")
+  }
+
+  test("pageRankInt round plan: above the node threshold the |V| side is " +
+    "NOT broadcast; below it the hint forces a broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = (1L to 50L).map(i => (i, i % 10, 1L))
+      .toDF("src", "dst", "weight")
+    val ew = edges.withColumn("outw",
+      sum(col("weight")).over(Window.partitionBy("src")))
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct()
+    val ranks = nodes.withColumn("rank", lit(1000000L))
+    // force-disable automatic broadcasting so the plan shows only what
+    // OUR code asks for (AQE off: the static plan is the contract)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // above-threshold path: small = identity — every join must
+      // key-exchange, nothing broadcasts
+      val shuffled = Centrality.prRound(ew, nodes, ranks, "0L", identity)
+        .queryExecution.executedPlan.toString
+      assert(!shuffled.contains("BroadcastHashJoin"),
+        shuffled.take(800))
+      assert(shuffled.contains("SortMergeJoin") ||
+        shuffled.contains("ShuffledHashJoin"), shuffled.take(800))
+      // below-threshold path: small = broadcast hint — the rank side
+      // must broadcast even with auto-broadcast disabled
+      val bcast = Centrality.prRound(ew, nodes, ranks, "0L",
+          df => org.apache.spark.sql.functions.broadcast(df))
+        .queryExecution.executedPlan.toString
+      assert(bcast.contains("BroadcastHashJoin"), bcast.take(800))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  test("triangleStats: thresholded power-law head at volume — orientation " +
+    "bounds the wedge fan-out, counts stay exact") {
+    import spark.implicits._
+    // Zipf-ish co-occurrence core: a 60-clique head (the thresholded
+    // survivors of a hot item family) + 3000 star spokes on node 1 +
+    // disjoint rim triangles. Degree-ordered orientation must keep the
+    // star's wedges at zero (spokes orient INTO the hub, hub fans only
+    // into the clique) and count the clique exactly: C(60,3) triangles,
+    // each clique node in C(59,2).
+    val clique = for (u <- 1L to 60L; v <- u + 1 to 60L) yield (u, v)
+    val spokes = (1000L until 4000L).map(s => (1L, s))
+    val rims = (5000L until 5300L by 3).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i + 2), (i, i + 2)))
+    val edges = (clique ++ spokes ++ rims).toDF("u", "v").repartition(8)
+    val t0 = System.nanoTime()
+    val got = Centrality.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got(1L) == ((3059L, 59L * 58L / 2L)),
+      s"hub (clique + spokes): ${got(1L)}")
+    assert((2L to 60L).forall(got(_) == ((59L, 59L * 58L / 2L))),
+      "every clique node sits in C(59,2) triangles")
+    assert(got(1000L) == ((1L, 0L)), "spokes close nothing")
+    assert(got(5000L) == ((2L, 1L)) && got(5001L) == ((2L, 1L)))
+    assert(secs < 120.0, f"thresholded-head triangles took $secs%.1f s")
+  }
+
   test("q218 shape on sf0.001: ranks positive, ordered, one row per co-purchased part") {
     val li = etlmudah.Tables.lineitem(spark, sf0001)
     val edges = Centrality.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
