@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{CosineSimilarity, JaroWinkler}
+import etlmudah.expr.{BmpPixelStats, CosineSimilarity, FakeBmp24, JaroWinkler}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -33,6 +33,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) =>
         JaroWinkler(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bmp_stats"),
+      new ExpressionInfo(classOf[BmpPixelStats].getName, "graft_bmp_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => BmpPixelStats(c)
+        case Seq(c, m) if m.foldable =>
+          BmpPixelStats(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_bmp_stats(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_bmp24"),
+      new ExpressionInfo(classOf[FakeBmp24].getName, "graft_fake_bmp24"),
+      (children: Seq[Expression]) =>
+        FakeBmp24(children.head, children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),

@@ -366,6 +366,27 @@ object Multimodal {
       lit("64617461"), leHex32(dataBytes)))        // "data" header only
   }
 
+  /** REAL pixel statistics for uncompressed 24bpp BMPs — per-channel
+    * min/max/sum/mean over the padded-stride row walk. Thin wrapper
+    * over the native `graft_bmp_stats` Catalyst expression
+    * ([[etlmudah.expr.BmpPixelStats]]): the equivalent builtin
+    * higher-order-function tree is pathological to OPTIMIZE (measured
+    * 72 s of Catalyst time for a two-field projection), while the
+    * native expression is one static call inside whole-stage codegen.
+    * See the expression's scaladoc for the exact accept/null
+    * contract; `maxPixels` bounds the walk the way `maxSegments`
+    * bounds the JPEG marker walk (thumbnail/patch tier — the
+    * [[videoMetaScan]] split applies beyond it). */
+  def bmpPixelStats(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_bmp_stats", media, lit(maxPixels))
+
+  /** Synthesize a COMPLETE uncompressed 24bpp BMP (native
+    * `graft_fake_bmp24`; see [[etlmudah.expr.BmpPixelStatsFn.synth]]
+    * for the closed-form pixel rule the q224 oracle replays). */
+  def fakeBmp24(seed: Column, width: Column, height: Column): Column =
+    call_function("graft_fake_bmp24", seed.cast("long"),
+      width.cast("long"), height.cast("long"))
+
   /** Synthesize a VALID media header (PNG / GIF / JPEG) for the given
     * dimensions — the encode half of the [[mediaMeta]] round trip, and
     * the fixture generator for tables without real blobs. All byte

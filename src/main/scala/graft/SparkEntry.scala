@@ -1313,6 +1313,38 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("ref_id"))
     }),
 
+    // BMP PIXEL statistics — the first REAL pixel decode (24bpp
+    // BI_RGB is pure byte arithmetic; the native graft_bmp_stats
+    // expression walks the padded-stride rows): per-doc synthetic
+    // BMPs whose pixel rule is closed-form in (doc_id, row, col),
+    // every doc_id%5==0 blob truncated mid-header to prove truncation
+    // yields null (counted, never a partial stat). The oracle replays
+    // the statistics from the generation rule over a lateral
+    // generate-series grid — it never parses a byte, so a green row
+    // pins header validation, stride padding, channel order, and the
+    // exact sums/mins/maxs cross-engine
+    "q224_bmp_pixel_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 4 + 1).cast("int")
+      val hg = (id % 3 + 1).cast("int")
+      val blob = Multimodal.fakeBmp24(id, wg, hg)
+      val maimed = when(id % 5 === 0, substring(blob, 1, 40)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(wg.as("w"), hg.as("h"),
+          Multimodal.bmpPixelStats(maimed).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_imgs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"))
+        .orderBy(col("w"), col("h"))
+    }),
+
     // BMP/TIFF header ROUND TRIP — closes the raster-header set:
     // per doc the builder cycles modern BMP (signed LE32 dims) /
     // legacy BITMAPCOREHEADER (LE16) / little-endian TIFF (IFD walk,
@@ -4455,6 +4487,38 @@ object SparkEntry {
         |FROM arriving a JOIN refcold c USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_id, ref_id""".stripMargin),
+
+    // the pixel rule replayed over a correlated generate-series grid
+    // (doc x row x col), truncated docs excluded by the same %5 rule,
+    // per-image stats re-aggregated per (w, h) — no byte parsing
+    "q224_bmp_pixel_stats" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 4 + 1)::INT AS w,
+        |    (doc_id % 3 + 1)::INT AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (d.doc_id*7 + fr.fr*3 + c.c) % 256 AS b,
+        |    (d.doc_id*11 + fr.fr*5 + c.c*2) % 256 AS g,
+        |    (d.doc_id*13 + fr.fr*7 + c.c*3) % 256 AS r
+        |  FROM d, range(0, 3) fr(fr), range(0, 4) c(c)
+        |  WHERE d.doc_id % 5 <> 0 AND fr.fr < d.h AND c.c < d.w),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(b)::INT AS b_min, max(b)::INT AS b_max,
+        |    sum(b)::BIGINT AS b_sum,
+        |    min(g)::INT AS g_min, max(g)::INT AS g_max,
+        |    sum(g)::BIGINT AS g_sum,
+        |    min(r)::INT AS r_min, max(r)::INT AS r_max,
+        |    sum(r)::BIGINT AS r_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.w, d.h, count(*) AS n_imgs,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_px)::BIGINT AS n_px,
+        |  min(st.b_min) AS b_min, max(st.b_max) AS b_max,
+        |  sum(st.b_sum)::BIGINT AS b_sum,
+        |  min(st.g_min) AS g_min, max(st.g_max) AS g_max,
+        |  sum(st.g_sum)::BIGINT AS g_sum,
+        |  min(st.r_min) AS r_min, max(st.r_max) AS r_max,
+        |  sum(st.r_sum)::BIGINT AS r_sum
+        |FROM d LEFT JOIN st USING (doc_id)
+        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
 
     // BMP/TIFF round trip: every variant decodes to the synthesized
     // dimensions; format name derives from the variant cycle

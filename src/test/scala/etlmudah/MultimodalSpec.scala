@@ -532,4 +532,77 @@ class MultimodalSpec extends SparkSpec {
     assert(rows("long").forall(_.length == 8))
     assert(rows("tiny").isEmpty)
   }
+
+  test("bmpPixelStats: decodes fakeBmp24 exactly across every pad width; JVM replay agrees") {
+    import spark.implicits._
+    // w 1..4 covers pad widths 1/2/3/0; h 1..3 covers multi-row strides
+    val cases = for (w <- 1 to 4; h <- 1 to 3) yield (w * 100L + h, w, h)
+    val got = cases.toDF("seed", "w", "h")
+      .select(col("seed"), Multimodal.bmpPixelStats(
+        Multimodal.fakeBmp24(col("seed"), col("w"), col("h"))).as("st"))
+      .select(col("seed"), col("st.*")).collect()
+    assert(got.length == cases.length)
+    got.foreach { r =>
+      val seed = r.getLong(0)
+      val (w, h) = ((seed / 100).toInt, (seed % 100).toInt)
+      val px = for (fr <- 0 until h; c <- 0 until w) yield (
+        (seed * 7 + fr * 3 + c) % 256,
+        (seed * 11 + fr * 5 + c * 2) % 256,
+        (seed * 13 + fr * 7 + c * 3) % 256)
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(3) == w * h)
+      val (bs, gs, rs) = (px.map(_._1), px.map(_._2), px.map(_._3))
+      assert(r.getInt(4) == bs.min && r.getInt(5) == bs.max &&
+        r.getLong(6) == bs.sum, s"B channel at seed=$seed")
+      assert(r.getDouble(7) ==
+        BigDecimal(bs.sum.toDouble / (w * h))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getInt(8) == gs.min && r.getInt(9) == gs.max &&
+        r.getLong(10) == gs.sum, s"G channel at seed=$seed")
+      assert(r.getInt(12) == rs.min && r.getInt(13) == rs.max &&
+        r.getLong(14) == rs.sum, s"R channel at seed=$seed")
+    }
+  }
+
+  test("bmpPixelStats: hostile fixtures all yield null, never a partial stat") {
+    import spark.implicits._
+    val base = Multimodal.fakeBmp24(lit(42L), lit(3), lit(2))
+    val hostile = Seq(
+      // truncated: header only / header + part of one row
+      ("trunc_header", substring(base, 1, 53)),
+      ("trunc_pixels", substring(base, 1, 57)),
+      // BITMAPCOREHEADER (dib 12): header decode handles it, the
+      // pixel tier declines (different field layout)
+      ("bmpcore", Multimodal.fakeMediaHeader(lit("bmpcore"), lit(3), lit(2))),
+      // compression flipped to BI_RLE8
+      ("compressed", overlay(base, unhex(lit("01")), lit(31))),
+      // bpp flipped to 8
+      ("bpp8", overlay(base, unhex(lit("08")), lit(29))),
+      // magic destroyed
+      ("notbmp", overlay(base, unhex(lit("00")), lit(1))),
+      // width*height past the walk bound
+      ("oversize", Multimodal.fakeBmp24(lit(1L), lit(100), lit(100))),
+      // zero-dim
+      ("zerow", overlay(base, unhex(lit("00000000")), lit(19))))
+    val rows = hostile.map(_._1).toDF("name")
+      .collect() // names only; evaluate each expression independently
+    hostile.foreach { case (name, blob) =>
+      val st = spark.range(1).select(Multimodal.bmpPixelStats(blob).as("st"))
+        .collect()(0)
+      assert(st.isNullAt(0), s"hostile fixture '$name' must decode to null")
+    }
+    assert(rows.length == hostile.length)
+  }
+
+  test("bmpPixelStats: top-down (negative height) BMP decodes with identical stats") {
+    val pos = Multimodal.fakeBmp24(lit(7L), lit(3), lit(2))
+    // height -2 as LE32 at offset 23: FEFFFFFF
+    val neg = overlay(pos, unhex(lit("FEFFFFFF")), lit(23))
+    val out = spark.range(1).select(
+        Multimodal.bmpPixelStats(pos).as("p"),
+        Multimodal.bmpPixelStats(neg).as("n"))
+      .collect()(0)
+    assert(!out.isNullAt(1), "top-down BMP must decode")
+    assert(out.getStruct(0) == out.getStruct(1),
+      "row order cannot change order-independent statistics")
+  }
 }
