@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpPixelStats, CosineSimilarity, FakeBmp24, JaroWinkler}
+import etlmudah.expr.{BmpPixelStats, BpeFold, CosineSimilarity, FakeBmp24, JaroWinkler}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_bmp_stats(media[, maxPixels])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_fold"),
+      new ExpressionInfo(classOf[BpeFold].getName, "graft_bpe_fold"),
+      (children: Seq[Expression]) =>
+        BpeFold(children.head, children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_bmp24"),
       new ExpressionInfo(classOf[FakeBmp24].getName, "graft_fake_bmp24"),

@@ -1638,15 +1638,21 @@ object TextStats {
   /** BPE merge-table training ON-ENGINE (Sennrich et al. 2016,
     * "Neural Machine Translation of Rare Words with Subword Units") —
     * learn `nMerges` subword merges from the corpus. The corpus is
-    * touched exactly ONCE (the word-frequency aggregate); every merge
-    * round then runs over the Heaps-bounded (symbols, count)
-    * vocabulary table: one adjacent-pair explode with a
-    * map-side-combined weighted count, a 1-ROW argmax collect (the
-    * model update — the same bounded-collect contract as the k-means
-    * centroid sums), and a higher-order `aggregate` fold that applies
-    * the winning merge left-to-right inside each word. The vocabulary
-    * is localCheckpoint'ed per round so the plan does not grow with
-    * iteration count (the connected-components rounds discipline).
+    * touched exactly ONCE (the word-frequency aggregate), and the full
+    * adjacent-pair count runs ONCE more on the initial vocabulary;
+    * from then on the pair-count frame is maintained INCREMENTALLY
+    * (the standard trainer optimization): a merge changes only the
+    * pairs of words that actually contain it, so each round re-counts
+    * just that touched slice (+new form, −old form) and folds the
+    * deltas into the frame with one (l, r)-keyed aggregate — the
+    * Heaps-bounded vocabulary never re-explodes wholesale. Each
+    * round's argmax is then a bounded TakeOrdered collect off the
+    * ready frame (the same bounded-collect contract as the k-means
+    * centroid sums), and a higher-order `aggregate` fold applies the
+    * winning merges left-to-right inside each touched word. Vocabulary
+    * and pair frame are localCheckpoint'ed per round so the plan does
+    * not grow with iteration count (the connected-components rounds
+    * discipline).
     *
     * Ties break (freq desc, left asc, right asc), so the merge table
     * is fully deterministic. No end-of-word marker is appended
@@ -1704,21 +1710,34 @@ object TextStats {
       spark.sparkContext.defaultParallelism.toLong,
       vocab.count() / 65536L)).toInt
     vocab = vocab.repartition(parts).localCheckpoint(true)
+    // adjacent-pair counts of a (syms, cnt) frame, optionally negated —
+    // the building block of the INCREMENTAL pair frame below
+    def pairCounts(v: DataFrame, sign: Long = 1L): DataFrame = v
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(
+        transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg((sum(col("cnt")) * sign).as("freq"))
+    // the pair-count frame is maintained INCREMENTALLY (the standard
+    // trainer optimization): the full corpus-derived count runs ONCE,
+    // and each round re-counts only the words an accepted merge
+    // actually touches — pair counts change nowhere else, because a
+    // word without any accepted (l, r) adjacency folds to itself.
+    // Untouched-word pairs therefore never re-explode; the per-round
+    // cost is the touched slice (shrinking as training proceeds) plus
+    // one (l, r)-keyed merge of the pair frame.
+    var pairs = pairCounts(vocab).localCheckpoint(true)
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
     var continue = true
     while (continue && rank < nMerges) {
       // bounded driver collect: <= 4*maxBatch+1 rows (the batch walk
-      // needs the first post-batch freq for the tie trim)
-      val top = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(
-          transform(sequence(lit(0), size(col("syms")) - 2),
-            i => struct(element_at(col("syms"), i + 1).as("l"),
-              element_at(col("syms"), i + 2).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("freq"))
+      // needs the first post-batch freq for the tie trim); the frame
+      // is already aggregated, so this is a TakeOrdered over it
+      val top = pairs
         .orderBy(col("freq").desc, col("l").asc, col("r").asc)
         .limit(4 * maxBatch + 1)
         .collect()
@@ -1752,31 +1771,41 @@ object TextStats {
         val batch = top.take(k)
         batch.foreach { case (l, r, f) =>
           merges += ((rank, l, r, l + r, f)); rank += 1 }
-        // ONE Spark round applies the whole batch: folds nest in merge
-        // order, so per-word application is byte-identical to serial
-        val folded = batch.foldLeft(col("syms")) {
-          case (syms, (l, r, _)) => applyMergeFold(syms, l, r) }
-        vocab = vocab.select(folded.as("syms"), col("cnt"))
+        // ONE native fold (graft_bpe_fold) applies the whole batch in
+        // merge order — byte-identical to the serial per-merge fold,
+        // but a single plan node: the previous per-merge HOF nest was
+        // super-linear in Catalyst's optimizer (the pathology that
+        // moved the BMP pixel walk native). A word changed iff the
+        // fold changed it — batch pairs are symbol-disjoint, so no
+        // batch merge creates or destroys another's adjacency — which
+        // gives the touched slice as a plain array comparison.
+        val foldedAll = vocab.select(col("syms"),
+            call_function("graft_bpe_fold", col("syms"),
+              typedLit(batch.map(_._1).toSeq),
+              typedLit(batch.map(_._2).toSeq)).as("__new"),
+            col("cnt"))
           .localCheckpoint(true)
+        val changed = foldedAll.filter(col("__new") =!= col("syms"))
+        // incremental frame update: += new-form pairs, -= old-form
+        // pairs, CHANGED rows only; exact zeros drop so the frame
+        // stays the true pair table (the TakeOrdered above depends on
+        // no stale rows surviving)
+        pairs = pairs
+          .unionByName(pairCounts(
+            changed.select(col("__new").as("syms"), col("cnt"))))
+          .unionByName(pairCounts(
+            changed.select(col("syms"), col("cnt")), sign = -1L))
+          .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("freq"))
+          .filter(col("freq") > 0)
+          .localCheckpoint(true)
+        // vocab' is a pure projection of the checkpointed fold — no
+        // separate materialization, and the plan cannot grow across
+        // rounds because each round re-roots at its own checkpoint
+        vocab = foldedAll.select(col("__new").as("syms"), col("cnt"))
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "merged", "freq")
   }
-
-  /** One BPE merge applied left-to-right inside a symbol array: fold
-    * the array, replacing the accumulator's tail element with the
-    * merged symbol on a pair hit — "bbb" under (b,b) becomes [bb, b],
-    * matching the reference's simultaneous non-overlapping
-    * replacement. Shared by training ([[bpeMerges]]) and encoding
-    * ([[bpeEncodeWords]]), so train/apply can never drift. */
-  private def applyMergeFold(syms: Column, l: String, r: String): Column =
-    aggregate(syms,
-      array().cast("array<string>"),
-      (acc, s) => when(
-        size(acc) >= 1 &&
-          element_at(acc, -1) === lit(l) && s === lit(r),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(s))))
 
   /** BPE ENCODING of a distinct-word table: applies a learned merge
     * list in rank order (the [[bpeMerges]] output's (left, right)
@@ -1784,10 +1813,12 @@ object TextStats {
     * a `w` column; returns (w, syms). Same vocab-sized partitioning as
     * training; all work is Heaps-bounded, the corpus itself is never
     * touched here. Unlike training, encoding applies a FIXED list — no
-    * argmax between merges — so batching is unconditional: `maxBatch`
-    * folds nest into one projection per Spark round (per-word
-    * application is sequential inside the nest, byte-identical to
-    * one-round-per-merge), dropping driver rounds ~maxBatch×. */
+    * argmax between merges — so the ENTIRE table applies in one
+    * projection: the native `graft_bpe_fold` kernel (shared with
+    * training, so train/apply can never drift) walks every merge
+    * left-to-right per word in a single plan node. `maxBatch` is
+    * retained for signature compatibility; the native fold makes
+    * batching moot. */
   def bpeEncodeWords(words: DataFrame, merges: Seq[(String, String)],
                      maxBatch: Int = 16): DataFrame = {
     val spark = words.sparkSession
@@ -1799,11 +1830,12 @@ object TextStats {
       spark.sparkContext.defaultParallelism.toLong,
       wv.count() / 65536L)).toInt
     wv = wv.repartition(parts).localCheckpoint(true)
-    merges.grouped(math.max(1, maxBatch)).foreach { group =>
-      val folded = group.foldLeft(col("syms")) {
-        case (syms, (l, r)) => applyMergeFold(syms, l, r) }
-      wv = wv.select(col("w"), folded.as("syms")).localCheckpoint(true)
-    }
+    if (merges.nonEmpty)
+      wv = wv.select(col("w"),
+          call_function("graft_bpe_fold", col("syms"),
+            typedLit(merges.map(_._1)),
+            typedLit(merges.map(_._2))).as("syms"))
+        .localCheckpoint(true)
     wv
   }
 

@@ -79,4 +79,46 @@ object BpeProps extends Properties("BpeMerges") {
           .map { case (w, g) => w -> g.size.toLong }
         got == serial(counts, nMerges, 2L)
     }
+
+  private[text] def serialReplay(counts: Map[String, Long], nMerges: Int,
+                                 minPairFreq: Long) =
+    serial(counts, nMerges, minPairFreq)
+}
+
+/** Deep-training property in its OWN object so its case count can be
+  * small: each case drives a ~20-round Spark loop, and 5 diverse deep
+  * corpora gate the incremental pair frame as hard as 25 shallow ones
+  * gate the batch walk. */
+object BpeDeepProps extends Properties("BpeMergesDeep") {
+
+  private lazy val spark = SparkTestSession.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(3)
+
+  // deep training: long random words over a wider alphabet sustain
+  // 64 merges, so the INCREMENTAL pair frame survives many rounds of
+  // deltas (a single stale or phantom pair row would flip some argmax
+  // and diverge from the serial recount long before rank 64); the
+  // 8-letter alphabet keeps top pairs symbol-diverse so the disjoint
+  // batch walk accepts large batches — both loop regimes covered
+  private val deepWordGen: Gen[String] =
+    Gen.chooseNum(6, 14).flatMap(len =>
+      Gen.listOfN(len,
+        Gen.oneOf('a', 'b', 'c', 'd', 'e', 'f', 'g', 'h')).map(_.mkString))
+  private val deepCorpusGen: Gen[List[String]] =
+    Gen.chooseNum(40, 80).flatMap(n => Gen.listOfN(n, deepWordGen))
+
+  property("incremental pair frame equals serial recount at nMerges=64") =
+    forAll(deepCorpusGen) { words =>
+      import spark.implicits._
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = TextStats.bpeMerges(df, "text", nMerges = 64,
+          minPairFreq = 2L, maxBatch = 16)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val counts = words.groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      got == BpeProps.serialReplay(counts, 64, 2L)
+    }
 }
