@@ -253,6 +253,32 @@ object Streaming {
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** Web-curation GATE as a stream transform — the q202/q223 funnel's
+    * stateless front end (robots policy -> HTML->text extraction ->
+    * blocklist gate) applied to a stream of crawled pages, the
+    * reference's 12-h ingest loop (`dags/dag.py:288`) carried to the
+    * web tier. Emits the surviving rows with `etext` (extracted text)
+    * and `n_tok` added.
+    *
+    * Stateless by construction — every step is a per-row projection or
+    * filter — so it composes with ANY downstream sink without changing
+    * that sink's crash contract: a replayed micro-batch re-gates to
+    * the identical row set (all three steps are deterministic), which
+    * is exactly what the downstream dedup/pack recovery protocols
+    * assume of their input. Rehearsed end-to-end (crash inside the
+    * gated ingest stage, pack spanning the restart) in StreamingSpec. */
+  def curationGate(pages: DataFrame, htmlCol: String,
+                   blocklist: Seq[String] = Seq("slow"),
+                   maxBlocklistHits: Int = 2): DataFrame = {
+    import etlmudah.web.Web
+    pages
+      .filter(!Web.metaNoindex(col(htmlCol)))
+      .withColumn("etext", Web.htmlToText(col(htmlCol)))
+      .filter(TextStats.blocklistHitCount(col("etext"), blocklist)
+        <= maxBlocklistHits)
+      .withColumn("n_tok", TextStats.tokenCount(col("etext")))
+  }
+
   /** Continuous dedup ingest — `Dedup.incrementalDedup` as a stream
     * sink: every micro-batch classifies its documents against the
     * standing FINGERPRINT table (never the raw corpus — the only state

@@ -37,9 +37,10 @@ object Web {
 
   /** Multi-label public suffixes recognized by [[registeredDomain]].
     * A compact built-in subset of the Public Suffix List — the full
-    * PSL is a data file (~9k rules) a production deployment would
-    * broadcast-join instead; the heuristic tier keeps the operator
-    * expression-only and covers the dominant ccTLD patterns. */
+    * PSL is a data file (~9k rules) a production deployment feeds to
+    * [[pslRegisteredDomain]] instead; the heuristic tier keeps the
+    * operator expression-only and covers the dominant ccTLD
+    * patterns. */
   val DefaultMultiSuffixes: Seq[String] = Seq(
     "co.uk", "ac.uk", "gov.uk", "org.uk",
     "com.my", "gov.my", "edu.my", "org.my",
@@ -67,6 +68,74 @@ object Web {
     when(n <= 2, h)
       .when(last2.isin(multiSuffixes: _*), concat_ws(".", slice(labels, -3, 3)))
       .otherwise(last2)
+  }
+
+  /** Registered domain under a FULL Public Suffix List — the
+    * production form of [[registeredDomain]] (whose built-in list is a
+    * documented subset): `rules` is a one-column ("rule") DataFrame of
+    * PSL-syntax lines — plain suffixes ("co.uk"), wildcards ("*.ck",
+    * one arbitrary label in place of *), and exceptions ("!www.ck",
+    * overriding a wildcard); comment lines ("//...") and blanks are
+    * tolerated. Resolution follows publicsuffix.org: an exception rule
+    * wins outright (its public suffix is the rule minus its leftmost
+    * label); otherwise the LONGEST matching rule wins; an unmatched
+    * host falls to the default rule "*" (public suffix = the TLD).
+    * The registered domain is the public suffix plus one label —
+    * null when the host IS a public suffix (no registrable domain; a
+    * stricter answer than the heuristic tier's passthrough).
+    *
+    * Adds `out` to `df`. Scale shape: the rule table broadcasts (~9k
+    * rows for the real PSL); hosts resolve once on the DISTINCT host
+    * frame (domain-bounded — the q174 rationale), each host exploding
+    * at most `maxLabels` candidate suffixes into two broadcast
+    * equi-joins (plain/exception on the suffix, wildcard on the
+    * suffix's tail — never an OR-join that would plan a nested loop);
+    * the resolved (host, label-count) table broadcasts back onto the
+    * corpus. The corpus itself is never shuffled. */
+  def pslRegisteredDomain(df: DataFrame, hostCol: String, rules: DataFrame,
+                          out: String = "domain",
+                          maxLabels: Int = 8): DataFrame = {
+    val parsed = rules.select(lower(trim(col("rule"))).as("raw"))
+      .filter(col("raw") =!= "" && !col("raw").startsWith("//"))
+      .select(
+        when(col("raw").startsWith("!"), lit("e"))
+          .when(col("raw").startsWith("*."), lit("w"))
+          .otherwise(lit("p")).as("kind"),
+        regexp_replace(col("raw"), "^(!|\\*\\.)", "").as("key"))
+      .withColumn("klab", size(split(col("key"), "\\.")))
+    val hNorm = lower(col(hostCol))
+    val hosts = df.select(hNorm.as("__h"))
+      .filter(col("__h").isNotNull && col("__h") =!= "").distinct()
+    val lab = split(col("__h"), "\\.")
+    val cands = hosts.select(col("__h"), explode(transform(
+        sequence(lit(1), least(size(lab), lit(maxLabels))),
+        k => struct(concat_ws(".", slice(lab, -k, k)).as("suffix"),
+          when(k >= 2, concat_ws(".", slice(lab, -(k - 1), k - 1)))
+            .otherwise(lit("")).as("tail")))).as("c"))
+      .select(col("__h"), col("c.suffix").as("suffix"),
+        col("c.tail").as("tail"))
+    val pe = cands.join(broadcast(parsed.filter(col("kind") =!= "w")),
+        col("suffix") === col("key"))
+      .select(col("__h"), col("kind"),
+        when(col("kind") === "e", col("klab") - 1)
+          .otherwise(col("klab")).as("pslab"))
+    val wd = cands.filter(col("tail") =!= "")
+      .join(broadcast(parsed.filter(col("kind") === "w")),
+        col("tail") === col("key"))
+      .select(col("__h"), col("kind"), (col("klab") + 1).as("pslab"))
+    val best = pe.unionByName(wd).groupBy(col("__h")).agg(
+        max(when(col("kind") === "e", col("pslab"))).as("__exc"),
+        max(when(col("kind") =!= "e", col("pslab"))).as("__reg"))
+      .select(col("__h"), coalesce(col("__exc"), col("__reg")).as("__pslab"))
+    val resolved = hosts.join(best, Seq("__h"), "left")
+      .select(col("__h"), coalesce(col("__pslab"), lit(1)).as("__pslab"))
+    val labs = split(hNorm, "\\.")
+    df.join(broadcast(resolved), hNorm === col("__h"), "left")
+      .withColumn(out,
+        when(col("__pslab").isNotNull && size(labs) > col("__pslab"),
+          concat_ws(".", slice(labs, -(col("__pslab") + 1),
+            col("__pslab") + 1))))
+      .drop("__h", "__pslab")
   }
 
   /** Deterministic synthetic URL per doc — the testdata carries no URL

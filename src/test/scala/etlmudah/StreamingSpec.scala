@@ -831,6 +831,99 @@ class StreamingSpec extends SparkSpec {
       "pack 2 did not span the chained restart")
   }
 
+  test("composition: web-curation gate feeds dedup-ingest then pack-export; crash inside the gated stage converges") {
+    // the q202/q223 funnel streaming-native: crawled PAGES arrive,
+    // stage A = curationGate (robots -> extraction -> blocklist) ->
+    // dedupIngestSink on the EXTRACTED text, stage B packs survivors.
+    // Dedup must fire on etext (same text under different markup is a
+    // dup); gated-out pages must never reach the corpus; a crash
+    // inside stage A (side effects durable, commit lost) must replay
+    // to the same survivor set; B's ledger must span the restart.
+    val out = Files.createTempDirectory("stream_web").toString
+    val src = s"$out/src"
+    import spark.implicits._
+    val pageSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("page",
+        org.apache.spark.sql.types.StringType)))
+    stageParquet(Seq(
+      (1L, "<html><body><p>alpha beta</p></body></html>"),
+      // same extracted text as 1 under different markup -> dup
+      (2L, "<html><body><div>alpha <!-- x -->  beta</div></body></html>"),
+      // robots noindex -> gated out before any dedup state
+      (3L, "<html><head><meta name=\"robots\" content=\"noindex\"></head>" +
+        "<body><p>gamma delta</p></body></html>"),
+      // blocklist: 3 hits of 'slow' > 2 -> gated out
+      (4L, "<html><body><p>slow slow slow text</p></body></html>"),
+      (5L, "<html><body><p>gamma delta epsilon</p></body></html>"))
+      .toDF("doc_id", "page"), src, "f1.parquet")
+    val base = s"$out/base"
+    val fps = s"$out/fps"
+    def readPages() = spark.readStream.schema(pageSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    def runA(): Unit = {
+      val gated = Streaming.curationGate(readPages(), "page")
+      val q = Streaming.dedupIngestSink(gated, base, fps, s"$out/cp_a",
+          textCol = "etext")
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDrained(q)
+    }
+    runA()
+    // crash INSIDE the gated stage: batch side effects durable, its
+    // checkpoint commit lost — the replay re-gates deterministically
+    // and classifies everything as corpus dups
+    dropCommit(s"$out/cp_a", 0)
+    runA()
+    val corpus = spark.read.parquet(base)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 5L), "gate drops 3/4; extracted-text dedup drops 2")
+    assert(corpus.filter(col("etext").contains("<")).isEmpty,
+      "markup must not survive extraction")
+    // stage B: pack survivors by token count; ctx=3 leaves wave 1
+    // mid-pack so wave 2 must continue the same pack
+    val baseSchema = org.apache.spark.sql.types.StructType(
+      pageSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("etext",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_tok",
+          org.apache.spark.sql.types.LongType)))
+    def runB(): Unit = {
+      val q = Streaming.packExportSink(
+          spark.readStream.schema(baseSchema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(s"$base/batch_id=*"),
+          "doc_id", "n_tok", 3L,
+          s"$out/state", s"$out/packs", s"$out/cp_b", compactEvery = 1)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDrained(q)
+    }
+    runB()
+    val wave1 = spark.read.parquet(s"$out/packs")
+      .select("doc_id", "pack_id", "doc_offset").orderBy("doc_id", "pack_id")
+      .collect()
+    // survivors carry 2 + 3 tokens = 5 = pack 0 (3) + pack 1 (2 so far)
+    assert(wave1.map(_.getLong(1)).max == 1L, wave1.mkString(","))
+    // wave 2: fresh page + a markup-variant dup of doc 5
+    Thread.sleep(100)
+    stageParquet(Seq(
+      (6L, "<html><body><p>zeta eta</p></body></html>"),
+      (7L, "<html><body><ul><li>gamma delta epsilon</li></ul></body></html>"))
+      .toDF("doc_id", "page"), src, "f2.parquet")
+    runA()
+    runB()
+    assert(spark.read.parquet(base).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 5L, 6L))
+    val packs2 = spark.read.parquet(s"$out/packs")
+    assert(packs2.agg(sum("n_tokens")).head().getLong(0) == 7L)
+    // pack 1 ([3,6)) must span both waves: doc 5's tail tokens from
+    // wave 1 and doc 6's head tokens from wave 2
+    assert(packs2.filter(col("pack_id") === 1)
+      .select("doc_id").distinct().count() == 2L,
+      "pack 1 did not span the chained restart")
+  }
+
   test("upsertSink: idempotent, rewrites only touched buckets, recovers torn bucket swaps") {
     val out = Files.createTempDirectory("stream_upsert").toString
     val base = s"$out/base"

@@ -177,6 +177,43 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("pslRegisteredDomain: longest match, wildcard, exception, default, bare-suffix null") {
+    import spark.implicits._
+    val rules = Seq("// comment line", "", "com", "uk", "co.uk",
+      "*.ck", "!www.ck", "jp", "kobe.jp", "*.kobe.jp").toDF("rule")
+    val cases = Seq(
+      // nested suffixes: co.uk (2 labels) must beat uk (1)
+      ("blog.example.co.uk", "example.co.uk"),
+      ("example.co.uk", "example.co.uk"),
+      ("CO.UK", null),                      // host IS a public suffix
+      // wildcard *.ck: example.ck is a public suffix
+      ("a.b.example.ck", "b.example.ck"),
+      ("example.ck", null),
+      // exception !www.ck overrides the wildcard: ps = ck
+      ("www.ck", "www.ck"),
+      ("sub.www.ck", "www.ck"),
+      // nested wildcard under a plain rule (real PSL shape for .jp)
+      ("x.y.kobe.jp", "x.y.kobe.jp"),       // *.kobe.jp: ps = y.kobe.jp
+      ("city.kobe.jp", null),               // matches *.kobe.jp itself
+      ("example.kobe.jp", null),
+      ("foo.jp", "foo.jp"),
+      // no rule matches: default * — ps is the TLD
+      ("example.org", "example.org"),
+      ("deep.sub.example.org", "example.org"),
+      ("localhost", null))
+    val got = cases.map(_._1).toDF("host")
+      .transform(d => Web.pslRegisteredDomain(d, "host", rules))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host=$h got=${got(h)} want=$want") }
+    // the heuristic tier keeps its documented behavior on its own list
+    // (q174/q175/q190's contract is untouched by the PSL tier)
+    val heur = Seq("blog.example.co.uk").toDF("h")
+      .select(Web.registeredDomain(col("h"))).collect()(0).getString(0)
+    assert(heur == "example.co.uk")
+  }
+
   test("hrefHosts: absolute hrefs only, both quote styles, lowercased, dups kept") {
     import spark.implicits._
     val html =
