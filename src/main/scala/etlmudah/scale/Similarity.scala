@@ -59,6 +59,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** Binary (sign-bit) embedding quantization + Hamming-candidate
+    * serving with exact rerank — the production "binary quantization"
+    * tier: each vector packs to dims/32 sign words (float32 -> 1 bit
+    * per dim, a 32x storage cut), candidates rank by HAMMING distance
+    * over the packed words (`bit_count(xor)` — integer bit arithmetic
+    * both engines reproduce exactly), and only the top `candK`
+    * candidates per probe fetch their float vectors for the exact
+    * cosine rerank. Probes are the md5-picked audit set (the
+    * q115/q158/q210 discipline), excluded from their own results.
+    *
+    * Returns (probe_id, vec_id, hamming, cos_sim, rank): top `k` per
+    * probe after rerank, rank ordered (cos_sim DESC, vec_id ASC), the
+    * Hamming distance carried as evidence. Sign bits use strict
+    * `> 0f` — an exact float comparison with no rounding ambiguity
+    * (0.0 components pack as 0 on both engines), so the whole path is
+    * oracle-replayable end to end: signature packing, Hamming ties,
+    * candidate cut, and the 6dp-rounded rerank.
+    *
+    * 100 TB shape: the signature table stages once (dims/8 bytes per
+    * vector; at 64 dims the Hamming scan reads ~3% of the raw corpus
+    * bytes) and the |probes| signature rows broadcast over it — no
+    * corpus shuffle; full vectors are fetched for |probes| x candK
+    * rows only. Both top-k windows are probe-keyed, so
+    * InferWindowGroupLimit prunes per-partition before the exchange
+    * (the q210 pin). */
+  def binaryHammingTopK(embeddings: DataFrame, idCol: String,
+                        vecCol: String, dims: Int = 64, nprobe: Int = 5,
+                        candK: Int = 50, k: Int = 10): DataFrame = {
+    require(dims % 32 == 0, s"dims must be a multiple of 32, got $dims")
+    import org.apache.spark.sql.expressions.Window
+    val words = dims / 32
+    def bc(c: Column): Column = call_function("bit_count", c)
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val ex = vecs.select(col("id"), posexplode(col("vec")).as(Seq("d0", "x")))
+    // one conditional sum per 32-bit word (the lshPortablePairs
+    // projection-aggregate idiom — flat expressions, no lambda nest)
+    val wordAggs = (0 until words).map { wi =>
+      sum(when(col("d0") >= wi * 32 && col("d0") < (wi + 1) * 32 &&
+          col("x") > 0f,
+        expr(s"shiftleft(1L, int(d0 - ${wi * 32}))")).otherwise(0L))
+        .as(s"w$wi")
+    }
+    val sig = ex.groupBy(col("id")).agg(wordAggs.head, wordAggs.tail: _*)
+      .localCheckpoint(true) // staged once; probe and corpus sides share it
+    val probes = md5ProbePick(embeddings, idCol, nprobe)
+    val probeSig = sig.join(broadcast(probes), col("id") === col("probe_id"))
+      .select(col("probe_id") +:
+        (0 until words).map(wi => col(s"w$wi").as(s"pw$wi")): _*)
+    val ham = (0 until words)
+      .map(wi => bc(col(s"w$wi").bitwiseXOR(col(s"pw$wi"))))
+      .reduce(_ + _)
+    val cands = sig.crossJoin(broadcast(probeSig))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"), ham.cast("int").as("hamming"))
+      .withColumn("__hr", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("hamming").asc, col("id").asc)))
+      .filter(col("__hr") <= candK)
+      .drop("__hr")
+    cands
+      .join(vecs, Seq("id"))
+      .join(broadcast(
+        vecs.select(col("id").as("probe_id"), col("vec").as("__pv"))
+          .join(probes, Seq("probe_id"))), Seq("probe_id"))
+      .select(col("probe_id"), col("id").as("vec_id"), col("hamming"),
+        round(cosineFast(col("vec"), col("__pv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Seeded hyperplane weights, generated driver-side once and folded
     * into the plan as literals — tiny (tables x bits x dims doubles),
     * identical on every executor, no broadcast, no per-eval hashing. */

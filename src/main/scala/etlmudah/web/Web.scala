@@ -138,6 +138,61 @@ object Web {
       .drop("__h", "__pslab")
   }
 
+  /** robots.txt PATH-rule gate (RFC 9309 / Google REP) — the crawl-
+    * compliance tier below [[metaRobots]]'s page-level directives:
+    * per-host Allow/Disallow PATH rules decide whether a URL may be
+    * kept at all. `rules` is a (host, directive, path) DataFrame —
+    * directive 'allow'/'disallow', path a robots pattern where `*`
+    * matches any octet run and a trailing `$` anchors the end;
+    * matching is from the path start. Resolution per RFC 9309: the
+    * matching rule with the LONGEST pattern (octets, `$` excluded)
+    * wins; on a tie, allow wins; a URL matching no rule for its host
+    * is allowed (and so is a host with no rules at all).
+    *
+    * Adds boolean `out` to `df`. Rule patterns compile to SQL LIKE
+    * with an explicit escape (literal %/_/\\ in a path cannot act as
+    * wildcards), so the oracle replays the compilation verbatim.
+    * Assumes rules are already filtered to the crawler's user-agent
+    * group (agent resolution is a fetch-time concern — one group's
+    * rules per host reach the engine).
+    *
+    * 100 TB shape: rules broadcast (robots files are small; even 10⁷
+    * hosts x ~20 rules fits executors); the host equi-join fans each
+    * page out to its own host's rules only, the verdict reduces in a
+    * page-keyed aggregate (max over (precedence, allow) — one
+    * exchange on the page id), and the verdict joins back id-keyed.
+    * The corpus is never shuffled by rule text. */
+  def robotsPathGate(df: DataFrame, urlCol: String, idCol: String,
+                     rules: DataFrame,
+                     out: String = "crawl_allowed"): DataFrame = {
+    val esc = (c: Column) => replace(replace(replace(c,
+      lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_"))
+    val r = rules.select(lower(col("host")).as("__rh"),
+        (lower(col("directive")) === "allow").cast("int").as("__allow"),
+        col("path").as("__p"))
+      .withColumn("__anch", col("__p").endsWith("$"))
+      .withColumn("__body", when(col("__anch"),
+        expr("substring(__p, 1, length(__p) - 1)")).otherwise(col("__p")))
+      .withColumn("__prec", length(col("__body")))
+      .withColumn("__like", concat(
+        replace(esc(col("__body")), lit("*"), lit("%")),
+        when(col("__anch"), lit("")).otherwise(lit("%"))))
+      .select(col("__rh"), col("__allow"), col("__prec"), col("__like"))
+    val host = lower(urlHost(col(urlCol)))
+    val path0 = regexp_extract(col(urlCol), "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val pages = df.select(col(idCol).as("__id"), host.as("__h"),
+      when(path0 === "", lit("/")).otherwise(path0).as("__path"))
+    val verdict = pages
+      .join(broadcast(r), col("__h") === col("__rh") &&
+        expr("__path LIKE __like ESCAPE '\\\\'"))
+      .groupBy(col("__id"))
+      .agg(max(struct(col("__prec"), col("__allow"))).as("__b"))
+      .select(col("__id"), (col("__b.__allow") === 1).as("__v"))
+    df.join(verdict, col(idCol) === col("__id"), "left")
+      .withColumn(out, coalesce(col("__v"), lit(true)))
+      .drop("__id", "__v")
+  }
+
   /** Deterministic synthetic URL per doc — the testdata carries no URL
     * column, so the query tier synthesizes one the way the media tier
     * synthesizes blobs (`fakeMediaHeader` precedent): subdomain,

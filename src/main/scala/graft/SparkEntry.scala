@@ -1563,6 +1563,16 @@ object SparkEntry {
     // Matryoshka truncation fidelity: top-k on the 16-dim embedding
     // prefix vs full 64-dim ground truth, overlap per probe — the
     // evaluation that must sit next to a truncate-and-serve ANN dial
+    // BINARY QUANTIZATION serving tier, oracle-checked end to end:
+    // sign-bit packed signatures (32x storage cut), Hamming-distance
+    // candidates via bit_count(xor) — exact integer bit arithmetic
+    // cross-engine — and the exact 6dp cosine rerank on only the
+    // candK survivors; both top-k windows probe-keyed
+    "q225_binary_hamming_topk" -> ((s, dir) =>
+      etlmudah.scale.Similarity.binaryHammingTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, nprobe = 5, candK = 50, k = 10)),
+
     "q210_matryoshka_recall" -> ((s, dir) =>
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir),
         "vec_id", "embedding", dPrime = 16, k = 10, nProbes = 10)),
@@ -2388,6 +2398,36 @@ object SparkEntry {
           min(col("score")).as("min_score"),
           max(col("score")).as("max_score"))
         .orderBy(col("domain"))
+    }),
+
+    // robots.txt PATH-rule gate (RFC 9309): per-host Allow/Disallow
+    // path rules with * wildcards and $ anchors, longest-match wins,
+    // allow wins ties, no-rule hosts default allowed. The rule set is
+    // a deterministic literal table over the synthetic URL space, so
+    // the oracle replays rule compilation (escape chain -> LIKE) and
+    // resolution verbatim — a green row pins precedence, wildcard,
+    // anchor, and default semantics cross-engine
+    "q226_robots_path_gate" -> ((s, dir) => {
+      import etlmudah.web.Web
+      import s.implicits._
+      val id = col("doc_id")
+      val rules = Seq(
+        ("www.d1.org", "disallow", "/src"),      // broad block...
+        ("www.d1.org", "allow", "/src3"),        // ...longer allow wins
+        ("blog.d2.com", "disallow", "/*/1*"),    // wildcard mid-pattern
+        ("www.d3.org", "disallow", "/*/45$"),    // anchored exact doc
+        ("www.d4.com.my", "allow", "/"),         // explicit allow-all...
+        ("www.d4.com.my", "disallow", "/src9"))  // ...longer disallow wins
+        .toDF("host", "directive", "path")
+      val pages = Tables.documents(s, dir)
+        .select(id, Web.fakeUrl(id, col("source")).as("url"))
+      Web.robotsPathGate(pages, "url", "doc_id", rules)
+        .select(lower(Web.urlHost(col("url"))).as("host"),
+          col("crawl_allowed"))
+        .groupBy(col("host")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("crawl_allowed").cast("int")).cast("long").as("n_allowed"))
+        .orderBy(col("host"))
     }),
 
     // HOST LINK-GRAPH centrality — the CommonCrawl/FineWeb curation
@@ -3621,6 +3661,44 @@ object SparkEntry {
     // 10 largest-md5 ids (the q178 pick), both ranks order by
     // (6dp cosine desc, id) — list slicing replays the engine's
     // slice(vec, 1, 16) projection
+    // the full serving path replayed: identical sign packing (strict
+    // x > 0, per-32-bit words), identical md5 probe pick, bit_count
+    // over xor Hamming, the same (hamming, id) candidate window, and
+    // DuckDB's own list_cosine_similarity for the rerank
+    "q225_binary_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS d0 FROM embeddings),
+        |sig AS (SELECT vec_id,
+        |    sum(CASE WHEN d0 < 32 AND x > 0 THEN (1::BIGINT << d0::INT)
+        |        ELSE 0 END)::BIGINT AS w0,
+        |    sum(CASE WHEN d0 >= 32 AND x > 0
+        |        THEN (1::BIGINT << (d0 - 32)::INT)
+        |        ELSE 0 END)::BIGINT AS w1
+        |  FROM e GROUP BY vec_id),
+        |pr AS (SELECT vec_id AS probe_id FROM embeddings
+        |       ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 5),
+        |ps AS (SELECT pr.probe_id, s.w0 AS pw0, s.w1 AS pw1
+        |       FROM pr JOIN sig s ON s.vec_id = pr.probe_id),
+        |hm AS (SELECT ps.probe_id, s.vec_id,
+        |    (bit_count(xor(s.w0, ps.pw0)) +
+        |     bit_count(xor(s.w1, ps.pw1)))::INT AS hamming
+        |  FROM sig s CROSS JOIN ps WHERE s.vec_id <> ps.probe_id),
+        |cand AS (SELECT probe_id, vec_id, hamming FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY hamming ASC, vec_id ASC) AS hr FROM hm)
+        |  WHERE hr <= 50),
+        |rr AS (SELECT c.probe_id, c.vec_id, c.hamming,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      p.embedding::DOUBLE[]), 6) AS cos_sim
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN embeddings p ON p.vec_id = c.probe_id)
+        |SELECT probe_id, vec_id, hamming, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos_sim DESC, vec_id ASC)::BIGINT AS rank FROM rr)
+        |WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+
     "q210_matryoshka_recall" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
@@ -6142,6 +6220,57 @@ object SparkEntry {
         |  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
         |  min(score) AS lo_score, max(score) AS hi_score
         |FROM nt GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // identical rule table + the same compile chain (escape -> LIKE
+    // ESCAPE) + row_number resolution (prec DESC, allow DESC — the
+    // lexicographic-max twin of Spark's max(struct)) + default-allow
+    // left join, over the closed-form URL space
+    "q226_robots_path_gate" ->
+      s"""WITH rules(host, directive, path) AS (VALUES
+         |    ('www.d1.org', 'disallow', '/src'),
+         |    ('www.d1.org', 'allow', '/src3'),
+         |    ('blog.d2.com', 'disallow', '/*/1*'),
+         |    ('www.d3.org', 'disallow', '/*/45$$'),
+         |    ('www.d4.com.my', 'allow', '/'),
+         |    ('www.d4.com.my', 'disallow', '/src9')),
+         |r0 AS (SELECT lower(host) AS rh,
+         |    CASE WHEN lower(directive) = 'allow' THEN 1 ELSE 0 END
+         |      AS allow,
+         |    path AS p,
+         |    right(path, 1) = '$$' AS anch
+         |  FROM rules),
+         |r AS (SELECT rh, allow,
+         |    length(body) AS prec,
+         |    replace(replace(replace(replace(body,
+         |      '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+         |      || CASE WHEN anch THEN '' ELSE '%' END AS lik
+         |  FROM (SELECT *, CASE WHEN anch
+         |      THEN substring(p, 1, length(p) - 1) ELSE p END AS body
+         |    FROM r0)),
+         |u AS (SELECT doc_id,
+         |    'https://' || ${duckFakeHost("doc_id")} ||
+         |    '/' || source || '/' || doc_id::VARCHAR AS url
+         |  FROM documents),
+         |pp AS (SELECT doc_id,
+         |    lower(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS h,
+         |    CASE WHEN regexp_extract(url,
+         |        '^[^:/?#]+://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+         |      ELSE regexp_extract(url,
+         |        '^[^:/?#]+://[^/?#]*([^?#]*)', 1) END AS path
+         |  FROM u),
+         |v AS (SELECT doc_id, allow FROM (
+         |    SELECT pp.doc_id, r.allow,
+         |      row_number() OVER (PARTITION BY pp.doc_id
+         |        ORDER BY r.prec DESC, r.allow DESC) AS rn
+         |    FROM pp JOIN r ON pp.h = r.rh
+         |      AND pp.path LIKE r.lik ESCAPE '\\')
+         |  WHERE rn = 1)
+         |SELECT pp.h AS host, count(*) AS n_docs,
+         |  sum(CASE WHEN coalesce(v.allow, 1) = 1 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_allowed
+         |FROM pp LEFT JOIN v USING (doc_id)
+         |GROUP BY pp.h ORDER BY host""".stripMargin,
 
     // known link targets from the doc_id rule + the q218 unrolled
     // rounds over md5-60bit host ids — the extractor is never

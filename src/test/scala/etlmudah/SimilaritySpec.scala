@@ -460,4 +460,42 @@ class SimilaritySpec extends SparkSpec {
         nlist = 4).collect()
     assert(drift.map(_.getDouble(5)).sum > 0.1, drift.mkString(","))
   }
+
+  test("binaryHammingTopK: sign packing JVM-replayed; full-candK rerank == brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count().toInt
+    // candK = corpus: the Hamming cut admits everyone, so the rerank
+    // must reproduce the exact brute-force top-k per probe — isolates
+    // the packing/candidate machinery from recall concerns
+    val out = Similarity.binaryHammingTopK(emb, "vec_id", "embedding",
+      dims = 64, nprobe = 3, candK = n, k = 5).collect()
+    assert(out.length == 15)
+    out.groupBy(_.getLong(0)).foreach { case (p, rows) =>
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", p, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = rows.sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getDouble(3)))
+      assert(got.toSeq == bf.toSeq, s"probe $p")
+    }
+    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 64),
+      "hamming out of the 64-bit range")
+    // packing replay: recompute one signature in the JVM from the raw
+    // floats and compare against the expression-packed words
+    import org.apache.spark.sql.functions._
+    val first = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    val vec = first.getSeq[Float](1)
+    val expect = (0 until 2).map { wi =>
+      (0 until 32).map(j => if (vec(wi * 32 + j) > 0f) 1L << j else 0L).sum
+    }
+    val ex = emb.filter(col("vec_id") === first.getLong(0))
+      .select(posexplode(col("embedding")).as(Seq("d0", "x")))
+      .agg(
+        sum(when(col("d0") < 32 && col("x") > 0f,
+          expr("shiftleft(1L, int(d0))")).otherwise(0L)),
+        sum(when(col("d0") >= 32 && col("x") > 0f,
+          expr("shiftleft(1L, int(d0 - 32))")).otherwise(0L)))
+      .collect()(0)
+    assert(Seq(ex.getLong(0), ex.getLong(1)) == expect)
+  }
 }

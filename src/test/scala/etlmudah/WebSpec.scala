@@ -214,6 +214,38 @@ class WebSpec extends SparkSpec {
     assert(heur == "example.co.uk")
   }
 
+  test("robotsPathGate: longest match, allow-wins ties, wildcard, anchor, literal %, default allow") {
+    import spark.implicits._
+    val rules = Seq(
+      ("a.com", "disallow", "/private"),
+      ("a.com", "allow", "/private/ok"),       // longer allow wins inside
+      ("a.com", "disallow", "/tmp*.html$"),    // wildcard + anchor
+      ("b.org", "allow", "/x"),
+      ("b.org", "disallow", "/x"),             // exact tie: allow wins
+      ("c.net", "disallow", "/100%"),          // literal % must not wildcard
+      ("d.io", "disallow", "/"))               // block everything
+      .toDF("host", "directive", "path")
+    val cases = Seq(
+      (1L, "https://a.com/private/doc", false),
+      (2L, "https://a.com/private/ok/doc", true),
+      (3L, "https://a.com/public", true),
+      (4L, "https://a.com/tmp123.html", false),
+      (5L, "https://a.com/tmp123.html?q=1", false), // query cut before match
+      (6L, "https://a.com/tmp123.htmlx", true),     // anchor holds
+      (7L, "https://b.org/x/y", true),              // tie -> allow
+      (8L, "https://c.net/100%25", false)
+        .copy(_2 = "https://c.net/100%"),           // literal % blocked
+      (9L, "https://c.net/100x", true),             // % did not wildcard
+      (10L, "https://d.io/", false),
+      (11L, "https://d.io", false),                 // empty path -> "/"
+      (12L, "https://unruled.com/anything", true))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "url")
+      .transform(d => Web.robotsPathGate(d, "url", "id", rules))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    cases.foreach { case (id, url, want) =>
+      assert(got(id) == want, s"id=$id url=$url got=${got(id)}") }
+  }
+
   test("hrefHosts: absolute hrefs only, both quote styles, lowercased, dups kept") {
     import spark.implicits._
     val html =

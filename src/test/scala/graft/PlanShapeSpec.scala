@@ -179,7 +179,11 @@ class PlanShapeSpec extends SparkSpec {
       // exact-baseline broadcast, scored twice per row)
       "q210_matryoshka_recall",
       // q211 runs q158's centroid broadcast once per snapshot side
-      "q211_semantic_drift_psi")
+      "q211_semantic_drift_psi",
+      // q225's build side is the nprobe-row packed-signature set (the
+      // q115/q210 bounded-probe broadcast, scanned against 8-byte-per-
+      // vector signatures)
+      "q225_binary_hamming_topk")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
