@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpPixelStats, BpeFold, CosineSimilarity, FakeBmp24, JaroWinkler}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, FakeBmp24, JaroWinkler}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -42,6 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BmpPixelStats(c, m.eval().asInstanceOf[Number].intValue)
         case _ => throw new IllegalArgumentException(
           "graft_bmp_stats(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bmp_ahash"),
+      new ExpressionInfo(classOf[BmpAHash].getName, "graft_bmp_ahash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => BmpAHash(c)
+        case Seq(c, m) if m.foldable =>
+          BmpAHash(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_bmp_ahash(media[, maxPixels])")
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_bpe_fold"),

@@ -51,7 +51,10 @@ object BmpPixelStatsFn {
     * runs BEFORE any pixel read, and the npx cap runs before the
     * stride multiply so hostile dims cannot overflow (the audioMeta
     * ANSI lesson carried over). */
-  def stats(bytes: Array[Byte], maxPixels: Int): InternalRow = {
+  /** Shared accept/parse gate: (off, w, h, stride) when the blob is an
+    * exactly-decodable 24bpp BI_RGB BMP within `maxPixels`, else null
+    * — the one place the accept contract lives for stats AND ahash. */
+  private def parse(bytes: Array[Byte], maxPixels: Int): Array[Long] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long =
@@ -75,6 +78,15 @@ object BmpPixelStatsFn {
     // dims are now tiny (npx-capped): stride arithmetic cannot overflow
     val stride = (w * 3 + 3) / 4 * 4
     if (bytes.length < off + stride * h) return null
+    Array(off, w, h, stride)
+  }
+
+  def stats(bytes: Array[Byte], maxPixels: Int): InternalRow = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    val parsed = parse(bytes, maxPixels)
+    if (parsed == null) return null
+    val Array(off, w, h, stride) = parsed
+    val npx = w * h
     var sb = 0L; var sg = 0L; var sr = 0L
     var nb = 255; var ng = 255; var nr = 255
     var xb = 0; var xg = 0; var xr = 0
@@ -99,6 +111,49 @@ object BmpPixelStatsFn {
       nb, xb, sb, round6(sb / n),
       ng, xg, sg, round6(sg / n),
       nr, xr, sr, round6(sr / n)))
+  }
+
+  /** 64-bit AVERAGE HASH (aHash) of a decodable 24bpp BMP — the
+    * classic perceptual fingerprint: nearest-neighbor downsample to
+    * an 8x8 grid (pure index arithmetic — grid cell (i, j) samples
+    * pixel (i*h/8, j*w/8), integer division), per-cell brightness =
+    * B+G+R (0..765, no lossy /3), bit set where the cell outshines
+    * the grid mean — the comparison is the exact cross-multiplied
+    * `cell*64 > total` (BIGINT, no division), so any SQL engine
+    * replays the hash bit for bit. Packed as two 32-bit words (the
+    * q225 signature convention: shifts stay below 32, xor/bit_count
+    * Hamming works unchanged). Null exactly when [[stats]] is null. */
+  def ahash(bytes: Array[Byte], maxPixels: Int): InternalRow = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    val parsed = parse(bytes, maxPixels)
+    if (parsed == null) return null
+    val Array(off, w, h, stride) = parsed
+    val cell = new Array[Long](64)
+    var total = 0L
+    var gi = 0
+    while (gi < 8) {
+      val fr = gi * h / 8
+      var gj = 0
+      while (gj < 8) {
+        val c = gj * w / 8
+        val p = (off + fr * stride + c * 3).toInt
+        val v = (u8(p) + u8(p + 1) + u8(p + 2)).toLong
+        cell(gi * 8 + gj) = v
+        total += v
+        gj += 1
+      }
+      gi += 1
+    }
+    var w0 = 0L
+    var w1 = 0L
+    var k = 0
+    while (k < 64) {
+      if (cell(k) * 64 > total) {
+        if (k < 32) w0 |= 1L << k else w1 |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](w0, w1))
   }
 
   /** Synthesize a COMPLETE uncompressed 24bpp BMP — full 54-byte
@@ -190,6 +245,37 @@ case class BmpPixelStats(child: Expression, maxPixels: Int = 4096)
 
   override protected def withNewChildInternal(
       newChild: Expression): BmpPixelStats = copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_bmp_ahash(binary[, maxPixels])` —
+  * see [[BmpPixelStatsFn.ahash]]. Returns struct(h0, h1): the 64-bit
+  * perceptual average hash as two 32-bit words, ready for exact-match
+  * image dedup grouping or `bit_count(xor)` Hamming near-dup tiers. */
+case class BmpAHash(child: Expression, maxPixels: Int = 4096)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bmp_ahash expects binary, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h0", LongType), StructField("h1", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_ahash"
+
+  override def nullSafeEval(input: Any): Any =
+    BmpPixelStatsFn.ahash(input.asInstanceOf[Array[Byte]], maxPixels)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = etlmudah.expr.BmpPixelStatsFn.ahash($c, $maxPixels);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BmpAHash = copy(child = newChild)
 }
 
 /** Native fixture generator `graft_fake_bmp24(seed, width, height)` —

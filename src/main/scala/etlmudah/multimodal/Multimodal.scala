@@ -380,6 +380,16 @@ object Multimodal {
   def bmpPixelStats(media: Column, maxPixels: Int = 4096): Column =
     call_function("graft_bmp_stats", media, lit(maxPixels))
 
+  /** 64-bit perceptual average hash (aHash) of a 24bpp BMP — the
+    * image-dedup key (native `graft_bmp_ahash`; see
+    * [[etlmudah.expr.BmpPixelStatsFn.ahash]]): struct(h0, h1) packed
+    * as two 32-bit words, null when the blob is not exactly
+    * decodable. Group on equality for duplicate images; Hamming via
+    * `bit_count(h0 ^ h0') + bit_count(h1 ^ h1')` for near-dups (the
+    * binary-quantization signature convention). */
+  def bmpAHash(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_bmp_ahash", media, lit(maxPixels))
+
   /** Synthesize a COMPLETE uncompressed 24bpp BMP (native
     * `graft_fake_bmp24`; see [[etlmudah.expr.BmpPixelStatsFn.synth]]
     * for the closed-form pixel rule the q224 oracle replays). */

@@ -1345,6 +1345,28 @@ object SparkEntry {
         .orderBy(col("w"), col("h"))
     }),
 
+    // IMAGE near-dup dedup on REAL pixels: perceptual average hash
+    // (8x8 nearest-neighbor grid over the decoded 24bpp rows,
+    // brightness-vs-grid-mean bits, exact cross-multiplied compare)
+    // grouped for duplicate images — consecutive docs share a seed,
+    // so every synthetic image arrives (at least) twice and the
+    // planted pairs MUST land in one group. The oracle replays the
+    // whole hash from the pixel rule (grid indices are integer
+    // division) — never parses a byte
+    "q227_image_ahash_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 2")
+      val blob = Multimodal.fakeBmp24(seed,
+        (seed % 4 + 1).cast("int"), (seed % 3 + 1).cast("int"))
+      Tables.documents(s, dir)
+        .select(Multimodal.bmpAHash(blob).as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    }),
+
     // BMP/TIFF header ROUND TRIP — closes the raster-header set:
     // per doc the builder cycles modern BMP (signed LE32 dims) /
     // legacy BITMAPCOREHEADER (LE16) / little-endian TIFF (IFD walk,
@@ -4565,6 +4587,36 @@ object SparkEntry {
         |FROM arriving a JOIN refcold c USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_id, ref_id""".stripMargin),
+
+    // the aHash replayed from the pixel rule: 8x8 grid cells sample
+    // pixel (gi*h//8, gj*w//8), brightness = the three closed-form
+    // channels summed, bit = cell*64 > grid total (exact BIGINT), two
+    // 32-bit words — then the same group-size histogram
+    "q227_image_ahash_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 2 AS seed FROM documents),
+        |dd AS (SELECT DISTINCT seed, (seed % 4 + 1) AS w,
+        |    (seed % 3 + 1) AS h FROM d),
+        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
+        |    (dd.seed*7 + ((gi.i*dd.h)//8)*3 + ((gj.j*dd.w)//8)) % 256
+        |  + (dd.seed*11 + ((gi.i*dd.h)//8)*5 + ((gj.j*dd.w)//8)*2) % 256
+        |  + (dd.seed*13 + ((gi.i*dd.h)//8)*7 + ((gj.j*dd.w)//8)*3) % 256
+        |    AS s
+        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
+        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
+        |hw AS (SELECT px.seed,
+        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
+        |      ELSE 0 END)::BIGINT AS h0,
+        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
+        |      ELSE 0 END)::BIGINT AS h1
+        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
+        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
+        |grp AS (SELECT h0, h1, count(*) AS group_size
+        |  FROM doc GROUP BY h0, h1)
+        |SELECT group_size, count(*) AS n_groups,
+        |  sum(group_size)::BIGINT AS n_docs
+        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
 
     // the pixel rule replayed over a correlated generate-series grid
     // (doc x row x col), truncated docs excluded by the same %5 rule,

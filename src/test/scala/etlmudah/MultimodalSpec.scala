@@ -593,6 +593,41 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == hostile.length)
   }
 
+  test("bmpAHash: JVM grid replay; stable under trailing junk; hostile null") {
+    val seed = 42L
+    val (w, h) = (3, 2)
+    val blob = Multimodal.fakeBmp24(lit(seed), lit(w), lit(h))
+    val got = spark.range(1)
+      .select(Multimodal.bmpAHash(blob).as("a"))
+      .select(col("a.h0"), col("a.h1")).collect()(0)
+    // replay the whole hash from the pixel rule in plain Scala
+    val cells = for (gi <- 0 until 8; gj <- 0 until 8) yield {
+      val fr = gi * h / 8
+      val c = gj * w / 8
+      (seed * 7 + fr * 3 + c) % 256 +
+        (seed * 11 + fr * 5 + c * 2) % 256 +
+        (seed * 13 + fr * 7 + c * 3) % 256
+    }
+    val total = cells.sum
+    var w0 = 0L; var w1 = 0L
+    cells.zipWithIndex.foreach { case (s, k) =>
+      if (s * 64 > total) {
+        if (k < 32) w0 |= 1L << k else w1 |= 1L << (k - 32)
+      }
+    }
+    assert((got.getLong(0), got.getLong(1)) == ((w0, w1)))
+    assert(w0 != 0L || w1 != 0L, "degenerate all-zero hash fixture")
+    // the pixel array bounds the decode: appended junk cannot move it
+    val junked = spark.range(1).select(Multimodal.bmpAHash(
+        concat(blob, lit(Array[Byte](9, 9, 9)))).as("a"))
+      .select(col("a.h0"), col("a.h1")).collect()(0)
+    assert((junked.getLong(0), junked.getLong(1)) == ((w0, w1)))
+    // hostile: truncated mid-pixel-array -> null (the stats contract)
+    val trunc = spark.range(1).select(
+      Multimodal.bmpAHash(substring(blob, 1, 57)).as("a")).collect()(0)
+    assert(trunc.isNullAt(0))
+  }
+
   test("bmpPixelStats: top-down (negative height) BMP decodes with identical stats") {
     val pos = Multimodal.fakeBmp24(lit(7L), lit(3), lit(2))
     // height -2 as LE32 at offset 23: FEFFFFFF
