@@ -320,14 +320,23 @@ object Web {
   /** Four-arg overload: additionally injects one `<a>` element per URL
     * in `links` (array<string>) into the body, plus a RELATIVE href
     * and a fragment-only href that an absolute-URL extractor
-    * ([[hrefHosts]]) must ignore — the link-graph round-trip surface. */
+    * ([[hrefHosts]]) must ignore — the link-graph round-trip surface.
+    * Anchor text is the fixed token `out` (q223's closed-form etext
+    * depends on it); the five-arg overload varies anchors. */
   def fakeHtml(docId: Column, text: Column, robots: Column,
-               links: Column): Column = {
+               links: Column): Column =
+    fakeHtml(docId, text, robots, links,
+      transform(links, _ => lit("out")))
+
+  /** Five-arg overload: per-link ANCHOR TEXT from the parallel
+    * `anchors` array — the [[hrefHostAnchors]] round-trip surface. */
+  def fakeHtml(docId: Column, text: Column, robots: Column,
+               links: Column, anchors: Column): Column = {
     val linkHtml = concat(
       lit("<a href=\"/rel/1\">rel</a><a href=\"#frag\">frag</a>"),
-      array_join(transform(links,
-        u => concat(lit("<a class=\"o\" href=\""), u, lit("\">out</a>"))),
-        ""))
+      array_join(zip_with(links, anchors, (u, a) =>
+        concat(lit("<a class=\"o\" href=\""), u, lit("\">"), a,
+          lit("</a>"))), ""))
     concat(fakeHtml(docId, text, robots), linkHtml)
   }
 
@@ -363,6 +372,54 @@ object Web {
         lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*[\"']" +
           "[A-Za-z][A-Za-z0-9+.-]*://([^/:?#\"']+)"), lit(1)),
       h => lower(h))
+
+  /** (host, anchor) pairs of all absolute outlinks on a page — the
+    * anchor-text signal: what OTHER pages call a target is a
+    * first-class relevance/label source (the classic use is ranking;
+    * in corpus curation it profiles what a domain is known for).
+    * Same absolute-href contract as [[hrefHosts]] (relative/fragment
+    * links carry no cross-host signal); the two parallel
+    * `regexp_extract_all` passes share one pattern, so group 1
+    * (host) and group 2 (anchor body, trimmed) zip in match order.
+    * Anchor bodies are the raw inner content to the matching close
+    * tag — markup inside an anchor is the consumer's concern. */
+  def hrefHostAnchors(html: Column): Column = {
+    val pat = "(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']" +
+      "[A-Za-z][A-Za-z0-9+.-]*://([^/:?#\"']+)[^>]*>(.*?)</a\\s*>"
+    zip_with(
+      regexp_extract_all(html, lit(pat), lit(1)),
+      regexp_extract_all(html, lit(pat), lit(2)),
+      (h, a) => struct(lower(h).as("host"), trim(a).as("anchor")))
+  }
+
+  /** Per-target-domain anchor-term profile: tokenize every anchor
+    * pointing at a registered domain and keep each domain's topK
+    * terms by link count (count DESC, term ASC — deterministic).
+    * Returns (domain, term, n_links, rank).
+    *
+    * Scale shape: extraction is per-row; the (domain, term) aggregate
+    * map-side combines with key cardinality bounded by domains x
+    * anchor vocabulary (Zipf-tiny against the corpus); the top-k
+    * window runs over that AGGREGATED frame only, and
+    * InferWindowGroupLimit prunes it per-partition before the
+    * exchange. */
+  def anchorTermProfile(df: DataFrame, htmlCol: String,
+                        topK: Int = 3): DataFrame = {
+    import etlmudah.text.TextStats
+    val pairs = df.select(
+        explode(hrefHostAnchors(col(htmlCol))).as("ha"))
+      .select(registeredDomain(col("ha.host")).as("domain"),
+        explode(TextStats.tokens(lower(col("ha.anchor")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("domain"), col("term"))
+      .agg(count(lit(1)).as("n_links"))
+    pairs
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("domain")
+          .orderBy(col("n_links").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy(col("domain"), col("rank"))
+  }
 
   /** Host-level link graph mined from pages: one directed edge
     * page-host -> outlink-host per absolute href, weight = link count.

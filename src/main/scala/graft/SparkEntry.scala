@@ -2452,6 +2452,25 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // ANCHOR-TEXT profile per target domain — the second link-graph
+    // curation signal (what other pages CALL a domain): anchors are
+    // injected closed-form (term cycles on doc_id per link slot), so
+    // the oracle carries the known (target host, term) pairs and
+    // replays the domain CASE + count + top-k window; the extractor
+    // (paired regexp groups zipped in match order) is never replicated
+    "q228_anchor_text_profile" -> ((s, dir) => {
+      import etlmudah.web.Web
+      val id = col("doc_id")
+      val words = array(lit("great"), lit("cheap"), lit("fast"), lit("new"))
+      val anchors = array(
+        element_at(words, ((id + 1) % 4 + 1).cast("int")),
+        element_at(words, ((id + 2) % 4 + 1).cast("int")))
+      val pages = Tables.documents(s, dir).select(
+        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
+          Web.fakeLinkUrls(id), anchors).as("page"))
+      Web.anchorTermProfile(pages, "page", topK = 3)
+    }),
+
     // HOST LINK-GRAPH centrality — the CommonCrawl/FineWeb curation
     // prior (rank hosts, then select documents): absolute hrefs are
     // extracted from the synthetic pages (closed-form link injection:
@@ -6323,6 +6342,37 @@ object SparkEntry {
          |    AS n_allowed
          |FROM pp LEFT JOIN v USING (doc_id)
          |GROUP BY pp.h ORDER BY host""".stripMargin,
+
+    // the known (target host, anchor term) pairs from the doc_id
+    // rules + the q202 domain CASE + the same count/top-k window
+    "q228_anchor_text_profile" ->
+      s"""WITH l AS (
+         |  SELECT ${duckFakeHost("doc_id + 1")} AS host,
+         |    ['great','cheap','fast','new'][((doc_id + 1) % 4 + 1)::INT]
+         |      AS term
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT ${duckFakeHost("3 * doc_id + 5")},
+         |    ['great','cheap','fast','new'][((doc_id + 2) % 4 + 1)::INT]
+         |  FROM documents),
+         |d AS (SELECT host, term, string_split(host, '.') AS arr,
+         |    len(string_split(host, '.')) AS n FROM l),
+         |r AS (SELECT term,
+         |    CASE WHEN n <= 2 THEN host
+         |         WHEN (arr[n-1] || '.' || arr[n]) IN
+         |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
+         |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
+         |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
+         |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
+         |         ELSE arr[n-1] || '.' || arr[n] END AS domain
+         |  FROM d),
+         |g AS (SELECT domain, term, count(*)::BIGINT AS n_links
+         |  FROM r GROUP BY 1, 2)
+         |SELECT domain, term, n_links, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY domain
+         |    ORDER BY n_links DESC, term ASC)::BIGINT AS rank FROM g)
+         |WHERE rank <= 3
+         |ORDER BY domain, rank""".stripMargin,
 
     // known link targets from the doc_id rule + the q218 unrolled
     // rounds over md5-60bit host ids — the extractor is never

@@ -267,6 +267,21 @@ class WebSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("hrefHostAnchors: (host, anchor) pairs zip in match order; relative links skipped") {
+    import spark.implicits._
+    val html =
+      """<a href="https://A.com/x">First Link</a>
+        |<a href="/rel">nope</a>
+        |<a class="z" href='http://b.org'>  spaced  </a>
+        |<a href="https://c.net/p?q=1">c</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(Web.hrefHostAnchors(col("h"))).as("p"))
+      .select(col("p.host"), col("p.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a.com", "First Link"), ("b.org", "spaced"),
+      ("c.net", "c")), got.toString)
+  }
+
   test("hostLinkEdges: weighted host->host edges, self-links dropped") {
     import spark.implicits._
     val pages = Seq(
