@@ -508,4 +508,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit") &&
       plan.contains("Partial") && plan.contains("Final"), plan.take(900))
   }
+
+  test("q225: probe-keyed windows group-limit pruned; signature scan stays bit-width") {
+    val plan = planOf("q225_binary_hamming_topk")
+    // both the Hamming candidate cut and the rerank top-k must prune
+    // per-partition before their exchange (the q210 discipline)
+    plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
+      assert(l.contains("probe_id"), l)
+    }
+    assert(plan.contains("WindowGroupLimit") &&
+      plan.contains("Partial") && plan.contains("Final"), plan.take(900))
+    // the Hamming scan must run on the packed signature table, never
+    // refetch float vectors: no cosine call below the candidate window
+    val preCand = plan.substring(plan.indexOf("WindowGroupLimit"))
+    assert(preCand.contains("bit_count"), plan.take(900))
+  }
 }
