@@ -132,6 +132,45 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Recall@k of the binary-Hamming tier at a PRODUCTION candidate
+    * dial, against the exact cosine ground truth — the q209/q115
+    * evaluation discipline applied to [[binaryHammingTopK]], and
+    * because every stage of BOTH sides is deterministic and
+    * SQL-replayable (sign packing, Hamming ties, candidate cut,
+    * 6dp rerank, exact top-k), the recall NUMBER itself is
+    * hash-checked cross-engine, not just spec-asserted. Returns one
+    * row per probe: (probe_id, n_hits, recall). */
+  def binaryRecallReport(embeddings: DataFrame, idCol: String,
+                         vecCol: String, dims: Int = 64, nprobe: Int = 5,
+                         candK: Int = 50, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bin = binaryHammingTopK(embeddings, idCol, vecCol, dims, nprobe,
+        candK, k)
+      .select(col("probe_id"), col("vec_id"))
+    val probes = md5ProbePick(embeddings, idCol, nprobe)
+    val pvecs = embeddings
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .join(broadcast(probes), Seq("probe_id"))
+    val exact = embeddings
+      .crossJoin(broadcast(pvecs))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("vec_id"),
+        round(cosineFast(col(vecCol), col("__pv")), 6).as("__cs"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("__cs").desc, col("vec_id").asc)))
+      .filter(col("__r") <= k)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = bin.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    probes.join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Seeded hyperplane weights, generated driver-side once and folded
     * into the plan as literals — tiny (tables x bits x dims doubles),
     * identical on every executor, no broadcast, no per-eval hashing. */

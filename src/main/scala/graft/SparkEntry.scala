@@ -1595,6 +1595,13 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding",
         dims = 64, nprobe = 5, candK = 50, k = 10)),
 
+    // the binary tier's recall@10 at the production candK=50 dial —
+    // deterministic end to end, so the metric itself hash-checks
+    "q229_binary_recall" -> ((s, dir) =>
+      etlmudah.scale.Similarity.binaryRecallReport(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, nprobe = 5, candK = 50, k = 10)),
+
     "q210_matryoshka_recall" -> ((s, dir) =>
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir),
         "vec_id", "embedding", dPrime = 16, k = 10, nProbes = 10)),
@@ -3344,6 +3351,40 @@ object SparkEntry {
        |hostrank AS (SELECT hosts.host, r3.rank
        |  FROM r3 JOIN hosts USING (node))""".stripMargin
 
+  /** Shared CTE chain of the q225/q229 oracles: sign-bit packing (two
+    * 32-bit words per vector), the md5 probe pick, bit_count(xor)
+    * Hamming, the (hamming, id) candidate window at candK=50, and the
+    * exact rerank — ends with `rr(probe_id, vec_id, hamming, cos_sim)`
+    * and exposes `pr(probe_id)`. */
+  private val duckBinaryRerankCtes: String =
+    """e AS (SELECT vec_id, unnest(embedding) AS x,
+      |    generate_subscripts(embedding, 1) - 1 AS d0 FROM embeddings),
+      |sig AS (SELECT vec_id,
+      |    sum(CASE WHEN d0 < 32 AND x > 0 THEN (1::BIGINT << d0::INT)
+      |        ELSE 0 END)::BIGINT AS w0,
+      |    sum(CASE WHEN d0 >= 32 AND x > 0
+      |        THEN (1::BIGINT << (d0 - 32)::INT)
+      |        ELSE 0 END)::BIGINT AS w1
+      |  FROM e GROUP BY vec_id),
+      |pr AS (SELECT vec_id AS probe_id FROM embeddings
+      |       ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 5),
+      |ps AS (SELECT pr.probe_id, s.w0 AS pw0, s.w1 AS pw1
+      |       FROM pr JOIN sig s ON s.vec_id = pr.probe_id),
+      |hm AS (SELECT ps.probe_id, s.vec_id,
+      |    (bit_count(xor(s.w0, ps.pw0)) +
+      |     bit_count(xor(s.w1, ps.pw1)))::INT AS hamming
+      |  FROM sig s CROSS JOIN ps WHERE s.vec_id <> ps.probe_id),
+      |cand AS (SELECT probe_id, vec_id, hamming FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY hamming ASC, vec_id ASC) AS hr FROM hm)
+      |  WHERE hr <= 50),
+      |rr AS (SELECT c.probe_id, c.vec_id, c.hamming,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+      |      p.embedding::DOUBLE[]), 6) AS cos_sim
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN embeddings p ON p.vec_id = c.probe_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q26_simhash_near_dups" -> simhashOracleSql,
     "q130_minhash_portable" -> minhashPortableSql(8, 4, 0.7),
@@ -3707,38 +3748,37 @@ object SparkEntry {
     // over xor Hamming, the same (hamming, id) candidate window, and
     // DuckDB's own list_cosine_similarity for the rerank
     "q225_binary_hamming_topk" ->
-      """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
-        |    generate_subscripts(embedding, 1) - 1 AS d0 FROM embeddings),
-        |sig AS (SELECT vec_id,
-        |    sum(CASE WHEN d0 < 32 AND x > 0 THEN (1::BIGINT << d0::INT)
-        |        ELSE 0 END)::BIGINT AS w0,
-        |    sum(CASE WHEN d0 >= 32 AND x > 0
-        |        THEN (1::BIGINT << (d0 - 32)::INT)
-        |        ELSE 0 END)::BIGINT AS w1
-        |  FROM e GROUP BY vec_id),
-        |pr AS (SELECT vec_id AS probe_id FROM embeddings
-        |       ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 5),
-        |ps AS (SELECT pr.probe_id, s.w0 AS pw0, s.w1 AS pw1
-        |       FROM pr JOIN sig s ON s.vec_id = pr.probe_id),
-        |hm AS (SELECT ps.probe_id, s.vec_id,
-        |    (bit_count(xor(s.w0, ps.pw0)) +
-        |     bit_count(xor(s.w1, ps.pw1)))::INT AS hamming
-        |  FROM sig s CROSS JOIN ps WHERE s.vec_id <> ps.probe_id),
-        |cand AS (SELECT probe_id, vec_id, hamming FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY probe_id
-        |      ORDER BY hamming ASC, vec_id ASC) AS hr FROM hm)
-        |  WHERE hr <= 50),
-        |rr AS (SELECT c.probe_id, c.vec_id, c.hamming,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |      p.embedding::DOUBLE[]), 6) AS cos_sim
-        |  FROM cand c
-        |  JOIN embeddings e ON e.vec_id = c.vec_id
-        |  JOIN embeddings p ON p.vec_id = c.probe_id)
-        |SELECT probe_id, vec_id, hamming, cos_sim, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY cos_sim DESC, vec_id ASC)::BIGINT AS rank FROM rr)
-        |WHERE rank <= 10
-        |ORDER BY probe_id, rank""".stripMargin,
+      s"""WITH $duckBinaryRerankCtes
+         |SELECT probe_id, vec_id, hamming, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, vec_id ASC)::BIGINT AS rank FROM rr)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    // q225's chain to its top-10, the exact top-10 replayed per probe,
+    // and the intersection count — the recall METRIC hash-checked
+    "q229_binary_recall" ->
+      s"""WITH $duckBinaryRerankCtes,
+         |bin AS (SELECT probe_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM rr)
+         |  WHERE rk <= 10),
+         |ex AS (SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, em.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(list_cosine_similarity(
+         |          em.embedding::DOUBLE[], pe.embedding::DOUBLE[]), 6)
+         |          DESC, em.vec_id ASC) AS rk
+         |    FROM pr p
+         |    JOIN embeddings pe ON pe.vec_id = p.probe_id
+         |    CROSS JOIN embeddings em WHERE em.vec_id <> p.probe_id)
+         |  WHERE rk <= 10),
+         |h AS (SELECT bin.probe_id, count(*)::BIGINT AS n_hits
+         |  FROM bin JOIN ex USING (probe_id, vec_id) GROUP BY 1)
+         |SELECT pr.probe_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |  round(coalesce(h.n_hits, 0)::DOUBLE / 10, 6) AS recall
+         |FROM pr LEFT JOIN h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin,
 
     "q210_matryoshka_recall" ->
       """WITH p AS (

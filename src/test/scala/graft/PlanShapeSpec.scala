@@ -182,8 +182,9 @@ class PlanShapeSpec extends SparkSpec {
       "q211_semantic_drift_psi",
       // q225's build side is the nprobe-row packed-signature set (the
       // q115/q210 bounded-probe broadcast, scanned against 8-byte-per-
-      // vector signatures)
-      "q225_binary_hamming_topk")
+      // vector signatures); q229 carries it twice (binary tier + the
+      // exact ground-truth scan it is measured against)
+      "q225_binary_hamming_topk", "q229_binary_recall")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
