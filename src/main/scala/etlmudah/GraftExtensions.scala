@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, FakeBmp24, JaroWinkler}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, FakeBmp24, FakeWav16, JaroWinkler, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -63,6 +63,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FakeBmp24].getName, "graft_fake_bmp24"),
       (children: Seq[Expression]) =>
         FakeBmp24(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wav_stats"),
+      new ExpressionInfo(classOf[WavSampleStats].getName, "graft_wav_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => WavSampleStats(c)
+        case Seq(c, m) if m.foldable =>
+          WavSampleStats(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_wav_stats(media[, maxSamples])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_wav16"),
+      new ExpressionInfo(classOf[FakeWav16].getName, "graft_fake_wav16"),
+      (children: Seq[Expression]) =>
+        FakeWav16(children.head, children(1), children(2), children(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),

@@ -38,7 +38,7 @@ object BmpPixelStatsFn {
     StructField("r_min", IntegerType), StructField("r_max", IntegerType),
     StructField("r_sum", LongType), StructField("r_mean", DoubleType)))
 
-  private def round6(d: Double): Double =
+  private[expr] def round6(d: Double): Double =
     BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble
 

@@ -397,6 +397,24 @@ object Multimodal {
     call_function("graft_fake_bmp24", seed.cast("long"),
       width.cast("long"), height.cast("long"))
 
+  /** REAL 16-bit-PCM WAV SAMPLE statistics — the audio twin of
+    * [[bmpPixelStats]] (native `graft_wav_stats`; see
+    * [[etlmudah.expr.WavSampleStatsFn]]): clipping peak, min/max,
+    * exact sample/square sums, DC-offset mean and RMS energy over the
+    * data chunk, pooled across channels. Null on anything not exactly
+    * decodable (non-PCM, bits != 16, truncated/odd data, sample count
+    * past `maxSamples` — the thumbnail/patch-tier bound). */
+  def wavSampleStats(media: Column, maxSamples: Int = 65536): Column =
+    call_function("graft_wav_stats", media, lit(maxSamples))
+
+  /** Synthesize a COMPLETE 16-bit PCM WAV (native `graft_fake_wav16`;
+    * see [[etlmudah.expr.WavSampleStatsFn.synth]] for the closed-form
+    * sample rule the q230 oracle replays). */
+  def fakeWav16(seed: Column, channels: Column, rate: Column,
+                frames: Column): Column =
+    call_function("graft_fake_wav16", seed.cast("long"),
+      channels.cast("long"), rate.cast("long"), frames.cast("long"))
+
   /** Synthesize a VALID media header (PNG / GIF / JPEG) for the given
     * dimensions — the encode half of the [[mediaMeta]] round trip, and
     * the fixture generator for tables without real blobs. All byte

@@ -1345,6 +1345,35 @@ object SparkEntry {
         .orderBy(col("w"), col("h"))
     }),
 
+    // WAV SAMPLE statistics — the audio twin of q224: 16-bit PCM
+    // samples decode with pure byte arithmetic (native
+    // graft_wav_stats), giving the clipping peak / DC offset / RMS
+    // energy audio curation actually computes. Samples are
+    // closed-form in (doc_id, index); every seventh blob truncates
+    // mid-data to prove partial audio yields null, never a partial
+    // statistic. The oracle replays the sample rule over a
+    // generate-series — never parses a byte
+    "q230_wav_sample_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ch = (id % 2 + 1)
+      val nf = (id % 3 + 1) * 4
+      val blob = Multimodal.fakeWav16(id, ch, lit(8000L), nf)
+      val maimed = when(id % 7 === 0, substring(blob, 1, 50)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(ch.cast("int").as("channels_gen"),
+          Multimodal.wavSampleStats(maimed).as("st"))
+        .groupBy(col("channels_gen")).agg(
+          count(lit(1)).as("n_docs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_samples")).as("n_samples"),
+          max(col("st.peak")).as("peak"),
+          min(col("st.s_min")).as("s_min"),
+          max(col("st.s_max")).as("s_max"),
+          sum(col("st.s_sum")).as("s_sum"),
+          sum(col("st.sq_sum")).as("sq_sum"))
+        .orderBy(col("channels_gen"))
+    }),
+
     // IMAGE near-dup dedup on REAL pixels: perceptual average hash
     // (8x8 nearest-neighbor grid over the decoded 24bpp rows,
     // brightness-vs-grid-mean bits, exact cross-multiplied compare)
@@ -4646,6 +4675,31 @@ object SparkEntry {
         |FROM arriving a JOIN refcold c USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_id, ref_id""".stripMargin),
+
+    // the sample rule replayed over a generate-series, truncated docs
+    // excluded by the same %7 rule, per-clip stats re-aggregated per
+    // generated channel count
+    "q230_wav_sample_stats" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 2 + 1)::INT AS ch,
+        |    (doc_id % 3 + 1) * 4 AS nf FROM documents),
+        |s AS (SELECT d.doc_id, d.ch,
+        |    ((d.doc_id * 31 + i.i * 17) % 65536) - 32768 AS v
+        |  FROM d, range(0, 24) i(i)
+        |  WHERE i.i < d.nf * d.ch AND d.doc_id % 7 <> 0),
+        |st AS (SELECT doc_id, ch, count(*)::BIGINT AS n_samples,
+        |    max(abs(v))::INT AS peak, min(v)::INT AS s_min,
+        |    max(v)::INT AS s_max,
+        |    sum(v)::BIGINT AS s_sum, sum(v * v)::BIGINT AS sq_sum
+        |  FROM s GROUP BY 1, 2)
+        |SELECT d.ch AS channels_gen, count(*) AS n_docs,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_samples)::BIGINT AS n_samples,
+        |  max(st.peak) AS peak, min(st.s_min) AS s_min,
+        |  max(st.s_max) AS s_max,
+        |  sum(st.s_sum)::BIGINT AS s_sum,
+        |  sum(st.sq_sum)::BIGINT AS sq_sum
+        |FROM d LEFT JOIN st USING (doc_id)
+        |GROUP BY d.ch ORDER BY channels_gen""".stripMargin,
 
     // the aHash replayed from the pixel rule: 8x8 grid cells sample
     // pixel (gi*h//8, gj*w//8), brightness = the three closed-form

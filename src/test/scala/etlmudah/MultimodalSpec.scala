@@ -593,6 +593,64 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == hostile.length)
   }
 
+  test("wavSampleStats: JVM replay of every field; header agrees with audioMeta") {
+    val (seed, ch, rate, nf) = (9L, 2, 8000L, 5)
+    val blob = Multimodal.fakeWav16(lit(seed), lit(ch), lit(rate), lit(nf))
+    val row = spark.range(1).select(
+        Multimodal.wavSampleStats(blob).as("st"),
+        Multimodal.audioMeta(blob).as("am"))
+      .select(col("st.*"), col("am.channels").as("am_ch"),
+        col("am.sample_rate_hz").as("am_rate"),
+        col("am.data_bytes").as("am_db"))
+      .collect()(0)
+    val n = ch * nf
+    val samples = (0 until n).map(i => ((seed * 31 + i * 17) % 65536 - 32768).toInt)
+    assert(row.getInt(0) == ch && row.getLong(1) == rate &&
+      row.getLong(2) == n)
+    assert(row.getInt(3) == samples.map(math.abs).max)  // peak
+    assert(row.getInt(4) == samples.min && row.getInt(5) == samples.max)
+    assert(row.getLong(6) == samples.map(_.toLong).sum)
+    def r6(d: Double) = BigDecimal.valueOf(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(7) == r6(samples.map(_.toLong).sum.toDouble / n))
+    val sq = samples.map(v => v.toLong * v).sum
+    assert(row.getLong(8) == sq)
+    assert(row.getDouble(9) == r6(math.sqrt(sq.toDouble / n)))
+    // the sample decoder and the header decoder must agree on the
+    // container fields — two independent walks over the same bytes
+    assert(row.getInt(10) == ch && row.getLong(11) == rate &&
+      row.getLong(12) == 2L * n)
+  }
+
+  test("wavSampleStats: hostile fixtures all yield null") {
+    val base = Multimodal.fakeWav16(lit(3L), lit(1), lit(8000L), lit(6))
+    val hostile = Seq(
+      ("trunc_data", substring(base, 1, 50)),
+      ("header_only", substring(base, 1, 44)),
+      ("bits8", overlay(base, unhex(lit("08")), lit(35))),
+      ("nonpcm", overlay(base, unhex(lit("03")), lit(21))),
+      ("notriff", overlay(base, unhex(lit("00")), lit(1))),
+      ("oversize", Multimodal.fakeWav16(lit(3L), lit(2), lit(8000L),
+        lit(40000))))
+    hostile.foreach { case (name, blob) =>
+      val maxS = if (name == "oversize") 65536 else 65536
+      val st = spark.range(1)
+        .select(Multimodal.wavSampleStats(blob, maxS).as("st")).collect()(0)
+      assert(st.isNullAt(0), s"hostile WAV '$name' must decode to null")
+    }
+    // the walk survives a leading ODD-sized junk chunk + pad byte (the
+    // audioMeta contract): LIST(9) injected between WAVE and fmt —
+    // stats must equal the unpadded clip's
+    val junk = "4C495354" + "09000000" + "00" * 10 // "LIST", size 9, 9+pad
+    val padded = concat(substring(base, 1, 12), unhex(lit(junk)),
+      substring(base, 13, 1 << 20))
+    val out = spark.range(1).select(
+        Multimodal.wavSampleStats(base).as("a"),
+        Multimodal.wavSampleStats(padded).as("b")).collect()(0)
+    assert(!out.isNullAt(0) && out.getStruct(0) == out.getStruct(1),
+      "odd junk chunk must not perturb the sample decode")
+  }
+
   test("bmpAHash: JVM grid replay; stable under trailing junk; hostile null") {
     val seed = 42L
     val (w, h) = (3, 2)
