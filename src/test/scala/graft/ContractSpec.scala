@@ -16,6 +16,23 @@ class ContractSpec extends AnyFunSuite {
     assert(nums.distinct.size == q.size, "duplicate q-number prefixes (a Map key collision ate one)")
   }
 
+  test("GraftExtensions: every native function resolves and evaluates in SQL") {
+    val spark = SparkTestSession.spark
+    val probes = Seq(
+      "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))",
+      "SELECT graft_jaro_winkler('martha', 'marhta')",
+      "SELECT graft_bmp_stats(CAST(NULL AS BINARY))",
+      "SELECT graft_bmp_stats(graft_fake_bmp24(1L, 2L, 2L)).n_px",
+      "SELECT graft_bmp_ahash(graft_fake_bmp24(1L, 2L, 2L)).h0",
+      "SELECT graft_bpe_fold(array('a','b','c'), array('a'), array('b'))",
+      "SELECT graft_wav_stats(graft_fake_wav16(1L, 1L, 8000L, 4L)).rms",
+      "SELECT graft_bloom_agg(CAST(id AS BIGINT)) FROM range(10)")
+    probes.foreach { p =>
+      val rows = spark.sql(p).collect()
+      assert(rows.nonEmpty, p)
+    }
+  }
+
   test("oracle SQL strings are non-empty and reference a harness table") {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
