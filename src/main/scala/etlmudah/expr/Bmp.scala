@@ -44,13 +44,15 @@ object BmpPixelStatsFn {
 
   /** Null unless: "BM" + BITMAPINFOHEADER (DIB 40) + bpp 24 +
     * compression 0 (BI_RGB) + positive dims + w*h <= maxPixels + the
-    * padded-stride pixel array fully inside the blob. Row order
-    * (bottom-up vs top-down negative height) cannot matter — the
-    * statistics are order-independent, so the walk runs in file order
-    * and the signed height contributes only its magnitude. Every gate
-    * runs BEFORE any pixel read, and the npx cap runs before the
-    * stride multiply so hostile dims cannot overflow (the audioMeta
-    * ANSI lesson carried over). */
+    * padded-stride pixel array fully inside the blob. For [[stats]]
+    * row order (bottom-up vs top-down negative height) cannot matter —
+    * those statistics are order-independent, so that walk runs in file
+    * order and the signed height contributes only its magnitude;
+    * [[ahash]] IS order-sensitive, so parse also reports the layout
+    * (last element: 1 = top-down) and ahash mirrors its sampled row.
+    * Every gate runs BEFORE any pixel read, and the npx cap runs
+    * before the stride multiply so hostile dims cannot overflow (the
+    * audioMeta ANSI lesson carried over). */
   /** Shared accept/parse gate: (off, w, h, stride) when the blob is an
     * exactly-decodable 24bpp BI_RGB BMP within `maxPixels`, else null
     * — the one place the accept contract lives for stats AND ahash. */
@@ -78,14 +80,14 @@ object BmpPixelStatsFn {
     // dims are now tiny (npx-capped): stride arithmetic cannot overflow
     val stride = (w * 3 + 3) / 4 * 4
     if (bytes.length < off + stride * h) return null
-    Array(off, w, h, stride)
+    Array(off, w, h, stride, if (sle32(22) < 0L) 1L else 0L)
   }
 
   def stats(bytes: Array[Byte], maxPixels: Int): InternalRow = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     val parsed = parse(bytes, maxPixels)
     if (parsed == null) return null
-    val Array(off, w, h, stride) = parsed
+    val Array(off, w, h, stride, _) = parsed
     val npx = w * h
     var sb = 0L; var sg = 0L; var sr = 0L
     var nb = 255; var ng = 255; var nr = 255
@@ -127,12 +129,18 @@ object BmpPixelStatsFn {
     def u8(i: Int): Int = bytes(i) & 0xFF
     val parsed = parse(bytes, maxPixels)
     if (parsed == null) return null
-    val Array(off, w, h, stride) = parsed
+    val Array(off, w, h, stride, topDown) = parsed
     val cell = new Array[Long](64)
     var total = 0L
     var gi = 0
     while (gi < 8) {
-      val fr = gi * h / 8
+      // The hash is defined over the VISUAL image, so a top-down
+      // (negative DIB height) and a bottom-up encoding of the same
+      // pixels hash identically: grid row gi samples file row gi*h/8
+      // in the bottom-up layout, and its vertical mirror in the
+      // top-down layout (where file order IS visual order).
+      val fr0 = gi * h / 8
+      val fr = if (topDown == 1L) h - 1 - fr0 else fr0
       var gj = 0
       while (gj < 8) {
         val c = gj * w / 8
@@ -160,10 +168,13 @@ object BmpPixelStatsFn {
     * BM+BITMAPINFOHEADER file plus the padded-stride pixel array —
     * whose pixel at file-row fr, column c carries channels
     *
-    *   B = (seed*7  + fr*3 + c)   % 256
-    *   G = (seed*11 + fr*5 + c*2) % 256
-    *   R = (seed*13 + fr*7 + c*3) % 256
+    *   B = floorMod(seed*7  + fr*3 + c,   256)
+    *   G = floorMod(seed*11 + fr*5 + c*2, 256)
+    *   R = floorMod(seed*13 + fr*7 + c*3, 256)
     *
+    * (floorMod, not Scala %, so the formula also holds verbatim for
+    * negative seeds; SQL `%` on the non-negative doc_id call sites is
+    * identical.)
     * Closed-form in (seed, fr, c), so the q224 oracle replays the
     * exact per-channel statistics with three modular expressions over
     * a generate-series grid and never parses a byte — the
@@ -198,9 +209,13 @@ object BmpPixelStatsFn {
       var c = 0
       while (c < w) {
         val p = row + c * 3
-        out(p) = ((seed * 7 + fr * 3 + c) % 256).toByte
-        out(p + 1) = ((seed * 11 + fr * 5 + c * 2) % 256).toByte
-        out(p + 2) = ((seed * 13 + fr * 7 + c * 3) % 256).toByte
+        // floorMod, not %: Scala % returns negative remainders for
+        // negative seeds, which would break the documented closed form
+        // the oracles replay (all call sites pass doc_id >= 0, but the
+        // formula must hold for every seed).
+        out(p) = Math.floorMod(seed * 7 + fr * 3 + c, 256L).toByte
+        out(p + 1) = Math.floorMod(seed * 11 + fr * 5 + c * 2, 256L).toByte
+        out(p + 2) = Math.floorMod(seed * 13 + fr * 7 + c * 3, 256L).toByte
         c += 1
       }
       fr += 1

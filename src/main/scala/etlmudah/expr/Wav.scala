@@ -95,8 +95,12 @@ object WavSampleStatsFn {
     * plus `frames * channels` interleaved samples whose value at flat
     * index i is
     *
-    *   s(i) = (seed*31 + i*17) % 65536 - 32768
+    *   s(i) = floorMod(seed*31 + i*17, 65536) - 32768
     *
+    * floorMod (not Scala %, whose remainder is negative for negative
+    * seeds) keeps s(i) in [-32768, 32767] — and therefore equal to the
+    * 16-bit value actually stored — for EVERY seed, matching what a
+    * SQL `%` on non-negative operands replays.
     * Closed-form in (seed, i), so the q230 oracle replays the exact
     * statistics from a generate-series — the fakeBmp24 discipline for
     * audio payloads. */
@@ -132,7 +136,7 @@ object WavSampleStatsFn {
     putAscii(36, "data"); putLe32(40, dataLen.toLong)
     var i = 0
     while (i < n) {
-      val v = ((seed * 31 + i * 17) % 65536 - 32768).toInt
+      val v = (Math.floorMod(seed * 31 + i * 17, 65536L) - 32768).toInt
       putLe16(44 + i * 2, v & 0xFFFF)
       i += 1
     }

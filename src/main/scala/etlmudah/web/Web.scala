@@ -170,6 +170,11 @@ object Web {
     val r = rules.select(lower(col("host")).as("__rh"),
         (lower(col("directive")) === "allow").cast("int").as("__allow"),
         col("path").as("__p"))
+      // RFC 9309: an empty rule value means "no restriction" (an empty
+      // Disallow allows everything) — it must NOT compile to LIKE '%'
+      // at precedence 0, which would read as a match-everything rule.
+      // Empty/null-path rows are dropped before compilation.
+      .where(length(col("__p")) > 0)
       .withColumn("__anch", col("__p").endsWith("$"))
       .withColumn("__body", when(col("__anch"),
         expr("substring(__p, 1, length(__p) - 1)")).otherwise(col("__p")))
@@ -221,8 +226,12 @@ object Web {
     * `3*docId+5` — closed-form functions of the id, so the link-graph
     * oracles carry the known href targets instead of replicating the
     * extractor (the q190/q202 discipline). The host arithmetic
-    * guarantees no self-link can arise (the d-label residues never
-    * coincide), but [[hostLinkEdges]] still filters defensively. */
+    * guarantees no self-link can arise — for both targets it is the
+    * mod-4 SUFFIX residue that never coincides: docId % 4 == (docId+1)
+    * % 4 is impossible, and docId % 4 == (3*docId+5) % 4 reduces to
+    * 2*docId + 1 ≡ 0 (mod 4), which no integer satisfies (the d-label
+    * mod-7 residues CAN coincide, e.g. docId ≡ 1 mod 7 for the second
+    * link). [[hostLinkEdges]] still filters defensively. */
   def fakeLinkUrls(docId: Column): Column = array(
     concat(lit("https://"), fakeHost(docId + 1),
       lit("/x/"), docId.cast("string")),

@@ -698,4 +698,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getStruct(0) == out.getStruct(1),
       "row order cannot change order-independent statistics")
   }
+
+  test("bmpAHash: top-down and bottom-up encodings of the SAME image hash identically") {
+    import etlmudah.expr.BmpPixelStatsFn
+    val (seed, w, h) = (42L, 5, 4)
+    val bottomUp = BmpPixelStatsFn.synth(seed, w, h)
+    // the top-down twin: pixel rows reversed in file order, DIB height
+    // negated — byte-for-byte the same VISUAL image
+    val stride = (w * 3 + 3) / 4 * 4
+    val topDown = bottomUp.clone()
+    for (fr <- 0 until h)
+      System.arraycopy(bottomUp, 54 + (h - 1 - fr) * stride,
+        topDown, 54 + fr * stride, stride)
+    val negH = -h
+    for (i <- 0 until 4)
+      topDown(22 + i) = ((negH >> (8 * i)) & 0xFF).toByte
+    val out = spark.range(1).select(
+        Multimodal.bmpAHash(lit(bottomUp)).as("b"),
+        Multimodal.bmpAHash(lit(topDown)).as("t"),
+        Multimodal.bmpPixelStats(lit(bottomUp)).as("sb"),
+        Multimodal.bmpPixelStats(lit(topDown)).as("st"))
+      .collect()(0)
+    assert(!out.isNullAt(1), "top-down twin must decode")
+    assert(out.getStruct(0) == out.getStruct(1),
+      "aHash must be invariant to the storage row order of one image")
+    assert(out.getStruct(2) == out.getStruct(3))
+  }
+
+  test("fake media synth: closed forms hold verbatim for negative seeds (floorMod)") {
+    // BMP: stats replay from the documented floorMod pixel rule
+    val (seed, w, h) = (-5L, 3, 2)
+    val st = spark.range(1).select(Multimodal.bmpPixelStats(
+        Multimodal.fakeBmp24(lit(seed), lit(w), lit(h))).as("s"))
+      .select(col("s.b_min"), col("s.b_max"), col("s.b_sum")).collect()(0)
+    val bs = for (fr <- 0 until h; c <- 0 until w)
+      yield Math.floorMod(seed * 7 + fr * 3 + c, 256L)
+    assert(st.getInt(0) == bs.min && st.getInt(1) == bs.max &&
+      st.getLong(2) == bs.sum)
+    // WAV: decoded samples equal the documented floorMod closed form
+    val (ws, ch, nf) = (-9L, 1, 6)
+    val row = spark.range(1).select(Multimodal.wavSampleStats(
+        Multimodal.fakeWav16(lit(ws), lit(ch), lit(8000L), lit(nf))).as("s"))
+      .select(col("s.s_min"), col("s.s_max"), col("s.s_sum")).collect()(0)
+    val samples = (0 until ch * nf)
+      .map(i => (Math.floorMod(ws * 31 + i * 17, 65536L) - 32768).toInt)
+    val naive = (0 until ch * nf)
+      .map(i => ((ws * 31 + i * 17) % 65536L - 32768).toInt)
+    assert(samples != naive, "fixture must exercise the negative-remainder divergence")
+    assert(row.getInt(0) == samples.min && row.getInt(1) == samples.max &&
+      row.getLong(2) == samples.map(_.toLong).sum)
+  }
 }

@@ -246,6 +246,29 @@ class WebSpec extends SparkSpec {
       assert(got(id) == want, s"id=$id url=$url got=${got(id)}") }
   }
 
+  test("robotsPathGate: RFC 9309 empty rule value means no restriction, not match-all") {
+    import spark.implicits._
+    // an empty Disallow (and a null path) must be ignored entirely —
+    // naively compiled they'd become LIKE '%' at precedence 0 and turn
+    // every otherwise-unmatched b.org path into a disallow (case 3)
+    val rules = Seq(
+      ("a.com", "disallow", ""),
+      ("a.com", "disallow", null),
+      ("b.org", "disallow", ""),
+      ("b.org", "disallow", "/x"),
+      ("b.org", "allow", "/x"))
+      .toDF("host", "directive", "path")
+    val cases = Seq(
+      (1L, "https://a.com/anything", true),   // only empty rules -> default allow
+      (2L, "https://b.org/x/y", true),        // tie on /x -> allow wins
+      (3L, "https://b.org/other", true))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "url")
+      .transform(d => Web.robotsPathGate(d, "url", "id", rules))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    cases.foreach { case (id, url, want) =>
+      assert(got(id) == want, s"id=$id url=$url got=${got(id)}") }
+  }
+
   test("hrefHosts: absolute hrefs only, both quote styles, lowercased, dups kept") {
     import spark.implicits._
     val html =
