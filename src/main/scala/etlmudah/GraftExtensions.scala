@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, FakeBmp24, FakeWav16, JaroWinkler, WavSampleStats}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, JaroWinkler, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -78,6 +78,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FakeWav16].getName, "graft_fake_wav16"),
       (children: Seq[Expression]) =>
         FakeWav16(children.head, children(1), children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => CountMinSketchAgg(c)
+        case Seq(c, d, w) if d.foldable && w.foldable =>
+          CountMinSketchAgg(c,
+            d.eval().asInstanceOf[Number].intValue,
+            w.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_cms(key[, depth, width])")
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),

@@ -3062,6 +3062,22 @@ object SparkEntry {
           round(avg(col("n")).over(w.rowsBetween(-2, 0)), 4).as("ma3"))
         .orderBy(col("yyyymm"))
     }),
+
+    // COUNT-MIN SKETCH heavy hitters (Cormode-Muthukrishnan): a
+    // mergeable fixed-memory frequency grid (TypedImperativeAggregate
+    // graft_cms — one 4x32 grid per partition over the exchange, never
+    // the keys) probed for the exact top-15 (mktsegment, nation) pairs.
+    // The bucket hash is the portable md5-lane discipline, so the
+    // oracle replays EVERY counter and estimate exactly: n_est >=
+    // n_exact always, and at width 32 over ~125 keys collisions are
+    // certain — nonzero overcounts are part of the checked result
+    "q231_cms_heavy_hitters" -> ((s, dir) => {
+      val keyed = Tables.customer(s, dir).select(
+        concat(col("c_mktsegment"), lit("#"),
+          col("c_nationkey").cast("string")).as("seg"))
+      etlmudah.scale.Sketches.cmsHeavyHitters(
+        keyed, "seg", depth = 4, width = 32, topN = 15)
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -7905,5 +7921,33 @@ object SparkEntry {
         | round(avg(n) OVER (ORDER BY yyyymm
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
         |FROM monthly ORDER BY yyyymm""".stripMargin,
+
+    // Full count-min grid replay: bucket d of a key is md5 hex lane d
+    // mod width (the portable lane discipline); a bucket's counter is
+    // a plain GROUP BY count; the estimate is the min over the key's
+    // four counters. Nothing about the sketch is approximate to the
+    // oracle — only to the keys it summarizes.
+    "q231_cms_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS key
+        |  FROM customer),
+        |g AS (
+        |  SELECT r.d,
+        |    CAST(CAST(('0x' || substr(md5(key), 8 * r.d + 1, 8)) AS UBIGINT)
+        |      % 32 AS BIGINT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM k CROSS JOIN range(4) r(d) GROUP BY 1, 2),
+        |e AS (
+        |  SELECT key, count(*) AS n_exact FROM k GROUP BY 1
+        |  ORDER BY n_exact DESC, key ASC LIMIT 15),
+        |est AS (
+        |  SELECT e.key, e.n_exact, min(g.cnt) AS n_est
+        |  FROM e CROSS JOIN range(4) r(d)
+        |  JOIN g ON g.d = r.d AND g.bucket =
+        |    CAST(CAST(('0x' || substr(md5(e.key), 8 * r.d + 1, 8)) AS UBIGINT)
+        |      % 32 AS BIGINT)
+        |  GROUP BY 1, 2)
+        |SELECT key, n_exact, n_est, n_est - n_exact AS overcount
+        |FROM est ORDER BY n_exact DESC, key ASC""".stripMargin,
   )
 }

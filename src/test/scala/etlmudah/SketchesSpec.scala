@@ -1,0 +1,106 @@
+package etlmudah.scale
+
+import graft.SparkSpec
+import etlmudah.Tables
+import etlmudah.expr.CountMinSketchAgg
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  private def bruteGrid(keys: Seq[String], depth: Int,
+                        width: Int): Array[Long] = {
+    val g = new Array[Long](depth * width)
+    keys.foreach { k =>
+      val hex = CountMinSketchAgg.md5Hex(k)
+      (0 until depth).foreach(d =>
+        g(d * width + CountMinSketchAgg.lane(hex, d, width)) += 1L)
+    }
+    g
+  }
+
+  test("cmsSketch: grid equals the serial brute-force fold; merge order cannot matter") {
+    import spark.implicits._
+    val keys = (0 until 500).map(i => s"k${i % 37}")
+    val (depth, width) = (4, 16)
+    // 7 partitions forces real partial grids + merges
+    val got = cmsSketch(keys.toDF("k").repartition(7), "k", depth, width)
+      .collect()(0).getSeq[Long](0)
+    val one = cmsSketch(keys.toDF("k").coalesce(1), "k", depth, width)
+      .collect()(0).getSeq[Long](0)
+    val want = bruteGrid(keys, depth, width).toSeq
+    assert(got == want, "distributed grid must equal the serial fold")
+    assert(one == got, "merge across partitions must equal one partition")
+    assert(got.sum == 500L * depth, "each row buckets every key once")
+  }
+
+  private def cmsSketch(df: org.apache.spark.sql.DataFrame, k: String,
+                        d: Int, w: Int) = Sketches.cmsSketch(df, k, d, w)
+
+  test("cms: SQL probe bucket stays in lockstep with the aggregate's JVM lane") {
+    import spark.implicits._
+    val keys = Seq("", "a", "1-BUILD#SM CASE", "日本語", "O'Reilly \\ x",
+      "5-LOW", "k36")
+    val width = 53 // prime, not a lane divisor
+    val rows = keys.toDF("k")
+      .select(col("k") +: (0 until 4).map(d =>
+        Sketches.cmsBucket(col("k"), d, width).as(s"b$d")): _*)
+      .collect()
+    rows.foreach { r =>
+      val hex = CountMinSketchAgg.md5Hex(r.getString(0))
+      (0 until 4).foreach { d =>
+        assert(r.getLong(d + 1) == CountMinSketchAgg.lane(hex, d, width),
+          s"key='${r.getString(0)}' lane $d")
+      }
+    }
+  }
+
+  test("cmsHeavyHitters: estimates never under-count; exact at collision-free width") {
+    val docs = Tables.documents(spark, sf0001)
+    // narrow width -> collisions are certain; the guarantee must hold
+    val tight = Sketches.cmsHeavyHitters(docs, "source",
+      depth = 2, width = 2, topN = 10).collect()
+    assert(tight.nonEmpty)
+    tight.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS under-counted ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // generous width: few distinct sources, 4 independent rows of 4096
+    // buckets -> a cross-key collision in EVERY row is (~n/4096)^4,
+    // impossible for n(distinct) < 20; estimates are exact
+    val wide = Sketches.cmsHeavyHitters(docs, "source",
+      depth = 4, width = 4096, topN = 10).collect()
+    wide.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1),
+        s"collision-free grid must be exact for ${r.getString(0)}")
+    }
+  }
+
+  test("cms: null keys are skipped, not bucketed") {
+    import spark.implicits._
+    val got = Sketches.cmsSketch(
+        Seq(Some("x"), None, Some("x"), None).toDF("k"), "k", 2, 8)
+      .collect()(0).getSeq[Long](0)
+    assert(got.sum == 2L * 2, "only the two non-null rows may count")
+  }
+
+  test("cms: plan carries PARTIAL aggregation — one grid per partition over the exchange") {
+    val plan = Sketches.cmsSketch(
+        Tables.documents(spark, sf0001), "source", 4, 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_cms"),
+      "the sketch must fold map-side; keys must never cross the exchange\n" +
+        plan.take(600))
+    assert(plan.contains("Exchange SinglePartition"), plan.take(600))
+  }
+
+  test("cms: grid survives the serializer round trip (agg buffer contract)") {
+    val agg = CountMinSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      depth = 3, width = 11)
+    val buf = agg.createAggregationBuffer()
+    buf(0) = 5L; buf(17) = 42L; buf(32) = Long.MaxValue / 2
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.toSeq == buf.toSeq)
+  }
+}

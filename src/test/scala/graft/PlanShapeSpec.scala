@@ -184,7 +184,10 @@ class PlanShapeSpec extends SparkSpec {
       // q115/q210 bounded-probe broadcast, scanned against 8-byte-per-
       // vector signatures); q229 carries it twice (binary tier + the
       // exact ground-truth scan it is measured against)
-      "q225_binary_hamming_topk", "q229_binary_recall")
+      "q225_binary_hamming_topk", "q229_binary_recall",
+      // q231's build side is the single-row count-min grid (one
+      // array<bigint> of depth*width) broadcast onto the topN winners
+      "q231_cms_heavy_hitters")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
