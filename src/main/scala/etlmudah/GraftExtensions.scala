@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, JaroWinkler, WavSampleStats}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -89,6 +89,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             w.eval().asInstanceOf[Number].intValue)
         case _ => throw new IllegalArgumentException(
           "graft_cms(key[, depth, width])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[GramSumsAgg].getName, "graft_gram"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, d) if d.foldable =>
+          GramSumsAgg(c, d.eval().asInstanceOf[Number].intValue)
+        case Seq(c, d, s) if d.foldable && s.foldable =>
+          GramSumsAgg(c, d.eval().asInstanceOf[Number].intValue,
+            s.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_gram(vec, dims[, scale])")
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),

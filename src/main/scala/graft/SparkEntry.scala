@@ -3078,6 +3078,26 @@ object SparkEntry {
       etlmudah.scale.Sketches.cmsHeavyHitters(
         keyed, "seg", depth = 4, width = 32, topN = 15)
     }),
+
+    // EXACT-INTEGER distributed PCA, part 1: the top principal
+    // component of the embedding corpus — one graft_gram pass (33 KB
+    // buffer per partition over the exchange, vector rows never
+    // shuffle), exact integer centering, then a 3-step lattice power
+    // iteration on the driver over the provably bounded d^2 collect.
+    // The oracle replays the ENTIRE chain — quantize, Gram, center,
+    // rescale, iterate — as an unrolled CTE, integers end to end (the
+    // PageRank/LR-trainer discipline applied to spectra)
+    "q232_pca_top_component" -> ((s, dir) =>
+      etlmudah.scale.Spectral.pcaTopComponent(
+        Tables.embeddings(s, dir), "embedding", dims = 64)),
+
+    // part 2: every vector's exact lattice projection onto that
+    // component, top-10 by |projection| — the component rides the plan
+    // as a literal array (zero joins; pure codegen'd expression work
+    // over one scan)
+    "q233_pca_projection_topk" -> ((s, dir) =>
+      etlmudah.scale.Spectral.pcaProjectionTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64)),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -3395,6 +3415,51 @@ object SparkEntry {
        |        UNION SELECT dst_host FROM e0)),
        |hostrank AS (SELECT hosts.host, r3.rank
        |  FROM r3 JOIN hosts USING (node))""".stripMargin
+
+  /** Shared CTE chain of the q232/q233 oracles — the FULL exact-integer
+    * PCA replay: lattice quantization (round half-away matches on both
+    * engines; *1024 is exact in double), the d x d Gram via a self-join
+    * on vec_id, exact centering n*G - s*s', the one-time covariance
+    * rescale, and THREE unrolled lattice power-iteration steps with
+    * truncating division (DuckDB `//` == Java `/`). Ends with
+    * `v3(i, v)` (the iterate), `wf(i, w)` (one more mat-vec for the
+    * Rayleigh pair), and `ray(num, den)`; `q(vec_id, i, qv)` stays
+    * visible for the projection oracle. */
+  private val duckPcaCtes: String =
+    """q AS (SELECT vec_id,
+      |    generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+      |      AS qv
+      |  FROM embeddings),
+      |g AS (SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv)::BIGINT AS gij
+      |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+      |s AS (SELECT i, sum(qv)::BIGINT AS si FROM q GROUP BY 1),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+      |c AS (SELECT g.i, g.j,
+      |    ((SELECT n FROM nn) * g.gij - sa.si * sb.si)::BIGINT AS cij
+      |  FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j),
+      |gd AS (SELECT greatest(1, max(abs(cij)) // 1048576)::BIGINT AS gdiv
+      |  FROM c),
+      |cg AS (SELECT i, j, (cij // (SELECT gdiv FROM gd))::BIGINT AS cv
+      |  FROM c),
+      |v0 AS (SELECT i, 1::BIGINT AS v FROM range(64) t(i)),
+      |w1 AS (SELECT cg.i, sum(cg.cv * v0.v)::BIGINT AS w
+      |  FROM cg JOIN v0 ON v0.i = cg.j GROUP BY 1),
+      |v1 AS (SELECT i, ((w * 32768) //
+      |    (SELECT greatest(1, max(abs(w))) FROM w1))::BIGINT AS v FROM w1),
+      |w2 AS (SELECT cg.i, sum(cg.cv * v1.v)::BIGINT AS w
+      |  FROM cg JOIN v1 ON v1.i = cg.j GROUP BY 1),
+      |v2 AS (SELECT i, ((w * 32768) //
+      |    (SELECT greatest(1, max(abs(w))) FROM w2))::BIGINT AS v FROM w2),
+      |w3 AS (SELECT cg.i, sum(cg.cv * v2.v)::BIGINT AS w
+      |  FROM cg JOIN v2 ON v2.i = cg.j GROUP BY 1),
+      |v3 AS (SELECT i, ((w * 32768) //
+      |    (SELECT greatest(1, max(abs(w))) FROM w3))::BIGINT AS v FROM w3),
+      |wf AS (SELECT cg.i, sum(cg.cv * v3.v)::BIGINT AS w
+      |  FROM cg JOIN v3 ON v3.i = cg.j GROUP BY 1),
+      |ray AS (SELECT sum(v3.v * wf.w)::BIGINT AS num,
+      |    sum(v3.v * v3.v)::BIGINT AS den
+      |  FROM v3 JOIN wf USING (i))""".stripMargin
 
   /** Shared CTE chain of the q225/q229 oracles: sign-bit packing (two
     * 32-bit words per vector), the md5 probe pick, bit_count(xor)
@@ -7949,5 +8014,19 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT key, n_exact, n_est, n_est - n_exact AS overcount
         |FROM est ORDER BY n_exact DESC, key ASC""".stripMargin,
+
+    "q232_pca_top_component" ->
+      s"""WITH $duckPcaCtes
+         |SELECT v3.i::BIGINT AS idx, v3.v AS v,
+         |  (SELECT num FROM ray) AS ray_num,
+         |  (SELECT den FROM ray) AS ray_den
+         |FROM v3 ORDER BY idx""".stripMargin,
+
+    "q233_pca_projection_topk" ->
+      s"""WITH $duckPcaCtes
+         |SELECT q.vec_id, sum(q.qv * v3.v)::BIGINT AS proj
+         |FROM q JOIN v3 ON v3.i = q.i
+         |GROUP BY 1 ORDER BY abs(sum(q.qv * v3.v)) DESC, q.vec_id ASC
+         |LIMIT 10""".stripMargin,
   )
 }
