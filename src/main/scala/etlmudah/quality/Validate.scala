@@ -1,0 +1,121 @@
+package etlmudah.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative DATA-VALIDATION rule engine — the expectation-suite
+  * surface (dbt tests / Amazon Deequ / Great Expectations are the
+  * public shape of this) an ETL pipeline runs between extract and
+  * publish: named rules over a frame, one uniform violations report
+  * out, deterministic down to the example values so the report itself
+  * is oracle-checkable.
+  *
+  * Reference surface: the load-side guarantees the reference enforces
+  * imperatively (NOT NULL/CHECK constraints in `sql/schema.sql`, the
+  * pre-load sanity filters in `transform.py`) re-expressed as a
+  * declarative, composable report instead of scattered asserts.
+  *
+  * Three rule tiers, by the shape of work they cost:
+  *  - [[RowRule]]s — arbitrary row predicates. ALL row rules of a
+  *    suite fold in ONE aggregate pass over the frame (each rule is
+  *    two more agg columns, not another scan): at 100 TB the suite
+  *    costs one read regardless of rule count. A null predicate
+  *    verdict counts as a FAILURE (unknown is not a pass — the SQL
+  *    CHECK-constraint convention inverted for data auditing).
+  *  - [[UniqueRule]]s — key uniqueness; one map-side-combined groupBy
+  *    per rule, n_failed = rows beyond the first per duplicate key.
+  *  - [[FkRule]]s — referential coverage; one keyed anti-join per
+  *    rule against the (dimension-sized, broadcastable) parent.
+  *
+  * Report schema (one row per rule):
+  *   rule STRING, kind STRING, n_checked BIGINT, n_failed BIGINT,
+  *   fail_rate DOUBLE (round 6), example STRING
+  * `example` is the MINIMUM failing witness (id for row rules, key
+  * for unique/FK rules) cast to string — deterministic, so two
+  * engines agree on it; null when the rule passes. */
+object Validate {
+
+  /** Row-level expectation: `predicate` must hold on every row.
+    * `example` reports the minimal `idCol` value among failures. */
+  final case class RowRule(name: String, predicate: Column)
+
+  /** Key-uniqueness expectation over `cols` (composite keys joined
+    * with '#' for the example witness). */
+  final case class UniqueRule(name: String, cols: Seq[String])
+
+  /** Referential expectation: every non-null `childCol` value exists
+    * in `parent(parentCol)`. Null child keys are not checked (SQL FK
+    * semantics). */
+  final case class FkRule(name: String, childCol: String,
+                          parent: DataFrame, parentCol: String)
+
+  private val reportCols = Seq("rule", "kind", "n_checked", "n_failed",
+    "fail_rate", "example")
+
+  private def withRate(df: DataFrame): DataFrame =
+    df.withColumn("fail_rate",
+        round(col("n_failed").cast("double") /
+          col("n_checked").cast("double"), 6))
+      .select(reportCols.map(col): _*)
+
+  /** All row rules in ONE aggregate pass. */
+  private[quality] def rowReport(df: DataFrame, idCol: String,
+                                 rules: Seq[RowRule]): DataFrame = {
+    val aggs = rules.flatMap { r =>
+      val fail = not(coalesce(r.predicate, lit(false)))
+      Seq(
+        sum(when(fail, 1L).otherwise(0L)).as(s"__f_${r.name}"),
+        min(when(fail, col(idCol).cast("string"))).as(s"__e_${r.name}"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // pivot the single wide row to long format: one struct per rule,
+    // exploded — still the same single pass over the data
+    val entries = array(rules.map(r => struct(
+      lit(r.name).as("rule"), lit("row").as("kind"),
+      col("__n").as("n_checked"),
+      col(s"__f_${r.name}").as("n_failed"),
+      col(s"__e_${r.name}").as("example"))): _*)
+    withRate(one.select(explode(entries).as("e")).select(col("e.*")))
+  }
+
+  private[quality] def uniqueReport(df: DataFrame,
+                                    rule: UniqueRule): DataFrame = {
+    val key = concat_ws("#", rule.cols.map(c => col(c).cast("string")): _*)
+    withRate(df.select(key.as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+      .agg(
+        lit(rule.name).as("rule"), lit("unique").as("kind"),
+        sum(col("__c")).as("n_checked"),
+        sum(col("__c") - 1).as("n_failed"),
+        min(when(col("__c") > 1, col("__k"))).as("example")))
+  }
+
+  private[quality] def fkReport(df: DataFrame, rule: FkRule): DataFrame = {
+    val missing = df.select(col(rule.childCol).as("__k"))
+      .where(col("__k").isNotNull)
+      .join(broadcast(rule.parent.select(
+          col(rule.parentCol).as("__p")).distinct()),
+        col("__k") === col("__p"), "left")
+    withRate(missing.agg(
+      lit(rule.name).as("rule"), lit("fk").as("kind"),
+      count(lit(1)).as("n_checked"),
+      sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_failed"),
+      min(when(col("__p").isNull, col("__k").cast("string")))
+        .as("example")))
+  }
+
+  /** The full suite: one row per rule, ordered by rule name. Costs
+    * one frame scan for ALL row rules + one groupBy per unique rule +
+    * one broadcast anti-probe per FK rule. */
+  def report(df: DataFrame, idCol: String,
+             rowRules: Seq[RowRule] = Nil,
+             uniqueRules: Seq[UniqueRule] = Nil,
+             fkRules: Seq[FkRule] = Nil): DataFrame = {
+    val parts =
+      (if (rowRules.nonEmpty) Seq(rowReport(df, idCol, rowRules)) else Nil) ++
+        uniqueRules.map(uniqueReport(df, _)) ++
+        fkRules.map(fkReport(df, _))
+    require(parts.nonEmpty, "empty validation suite")
+    parts.reduce(_.union(_)).orderBy(col("rule"))
+  }
+}

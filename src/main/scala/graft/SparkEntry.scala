@@ -3098,6 +3098,39 @@ object SparkEntry {
     "q233_pca_projection_topk" -> ((s, dir) =>
       etlmudah.scale.Spectral.pcaProjectionTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64)),
+
+    // Declarative VALIDATION suite over a deliberately perturbed
+    // orders frame (the maimed-blob discipline: failures are planted
+    // closed-form in o_orderkey, so the oracle replays the exact
+    // perturbation AND the report). Six rules across all three tiers:
+    // four row rules in ONE scan (two fail, two pass), one uniqueness
+    // rule (a duplicated key slice), one FK rule (a shifted custkey
+    // slice). Witnesses are minimal-as-string — deterministic on both
+    // engines
+    "q234_validation_report" -> ((s, dir) => {
+      import etlmudah.quality.Validate
+      import etlmudah.quality.Validate.{FkRule, RowRule, UniqueRule}
+      val k = col("o_orderkey")
+      val maimed = Tables.orders(s, dir)
+        .withColumn("o_totalprice", when(k % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority", when(k % 101 === 0, lit("9-BOGUS"))
+          .otherwise(col("o_orderpriority")))
+        .withColumn("o_custkey", when(k % 499 === 0,
+          col("o_custkey") + 1000000L).otherwise(col("o_custkey")))
+      val withDups = maimed.union(maimed.where(k % 1000 === 0))
+      Validate.report(withDups, "o_orderkey",
+        rowRules = Seq(
+          RowRule("price_positive", col("o_totalprice") > 0),
+          RowRule("priority_known", col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+          RowRule("status_known", col("o_orderstatus").isin("P", "O", "F")),
+          RowRule("date_in_range", col("o_orderdate").between(
+            to_timestamp(lit("1992-01-01")), to_timestamp(lit("2001-12-31"))))),
+        uniqueRules = Seq(UniqueRule("orderkey_unique", Seq("o_orderkey"))),
+        fkRules = Seq(FkRule("custkey_covered", "o_custkey",
+          Tables.customer(s, dir), "c_custkey")))
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8028,5 +8061,75 @@ object SparkEntry {
          |FROM q JOIN v3 ON v3.i = q.i
          |GROUP BY 1 ORDER BY abs(sum(q.qv * v3.v)) DESC, q.vec_id ASC
          |LIMIT 10""".stripMargin,
+
+    // The validation report replayed rule by rule: same planted
+    // perturbations, same null-is-failure convention (NOT coalesce(p,
+    // false)), same minimal-as-string witnesses.
+    "q234_validation_report" ->
+      """WITH m AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS p,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN '9-BOGUS'
+        |         ELSE o_orderpriority END AS prio,
+        |    CASE WHEN o_orderkey % 499 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS ck,
+        |    o_orderstatus AS st, o_orderdate AS d
+        |  FROM orders),
+        |w AS (SELECT * FROM m
+        |      UNION ALL SELECT * FROM m WHERE o_orderkey % 1000 = 0),
+        |rowr AS (
+        |  SELECT 'price_positive' AS rule, 'row' AS kind,
+        |    count(*)::BIGINT AS n_checked,
+        |    sum(CASE WHEN NOT coalesce(p > 0, false) THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_failed,
+        |    min(CASE WHEN NOT coalesce(p > 0, false)
+        |      THEN CAST(o_orderkey AS VARCHAR) END) AS example
+        |  FROM w
+        |  UNION ALL
+        |  SELECT 'priority_known', 'row', count(*)::BIGINT,
+        |    sum(CASE WHEN NOT coalesce(prio IN ('1-URGENT', '2-HIGH',
+        |      '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), false)
+        |      THEN 1 ELSE 0 END)::BIGINT,
+        |    min(CASE WHEN NOT coalesce(prio IN ('1-URGENT', '2-HIGH',
+        |      '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), false)
+        |      THEN CAST(o_orderkey AS VARCHAR) END)
+        |  FROM w
+        |  UNION ALL
+        |  SELECT 'status_known', 'row', count(*)::BIGINT,
+        |    sum(CASE WHEN NOT coalesce(st IN ('P', 'O', 'F'), false)
+        |      THEN 1 ELSE 0 END)::BIGINT,
+        |    min(CASE WHEN NOT coalesce(st IN ('P', 'O', 'F'), false)
+        |      THEN CAST(o_orderkey AS VARCHAR) END)
+        |  FROM w
+        |  UNION ALL
+        |  SELECT 'date_in_range', 'row', count(*)::BIGINT,
+        |    sum(CASE WHEN NOT coalesce(d BETWEEN TIMESTAMP '1992-01-01'
+        |      AND TIMESTAMP '2001-12-31', false) THEN 1 ELSE 0 END)::BIGINT,
+        |    min(CASE WHEN NOT coalesce(d BETWEEN TIMESTAMP '1992-01-01'
+        |      AND TIMESTAMP '2001-12-31', false)
+        |      THEN CAST(o_orderkey AS VARCHAR) END)
+        |  FROM w),
+        |uq AS (
+        |  SELECT 'orderkey_unique' AS rule, 'unique' AS kind,
+        |    sum(c)::BIGINT AS n_checked, sum(c - 1)::BIGINT AS n_failed,
+        |    min(CASE WHEN c > 1 THEN k END) AS example
+        |  FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS c
+        |        FROM w GROUP BY 1)),
+        |fk AS (
+        |  SELECT 'custkey_covered' AS rule, 'fk' AS kind,
+        |    count(*)::BIGINT AS n_checked,
+        |    sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_failed,
+        |    min(CASE WHEN c_custkey IS NULL THEN CAST(ck AS VARCHAR) END)
+        |      AS example
+        |  FROM w LEFT JOIN customer ON ck = c_custkey
+        |  WHERE ck IS NOT NULL)
+        |SELECT rule, kind, n_checked, n_failed,
+        |  round(n_failed::DOUBLE / n_checked::DOUBLE, 6) AS fail_rate,
+        |  example
+        |FROM (SELECT * FROM rowr UNION ALL SELECT * FROM uq
+        |      UNION ALL SELECT * FROM fk)
+        |ORDER BY rule""".stripMargin,
   )
 }
