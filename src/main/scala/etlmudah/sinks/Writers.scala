@@ -197,6 +197,57 @@ object Writers {
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-ORDER (Morton-curve) clustered layout over TWO OR MORE numeric
+    * columns — the multi-dimensional twin of [[writeRangeSorted]]: a
+    * range sort clusters its leading column perfectly and leaves every
+    * other column scattered across all files, while interleaving the
+    * bits of per-column grid cells (Morton 1966; the public discipline
+    * behind Delta/Iceberg `OPTIMIZE ZORDER BY`) clusters EVERY indexed
+    * column simultaneously at 2^bits resolution — a predicate on any
+    * one of them prunes files via parquet min/max stats.
+    *
+    * Grid: each column linearly maps its exact (min, max) — one
+    * bounded aggregate, 2 doubles per column collected — onto
+    * 2^bits cells via the codegen'd `width_bucket`, clamped to
+    * [0, 2^bits-1]; the z-value interleaves cell bits column-major
+    * (bit b of column i lands at position b*k + i). Linear cells are
+    * the documented skew dial: a Zipf-heavy column wants quantile
+    * boundaries instead (same bucketing expression over an
+    * approxQuantile array — config, not architecture). Null values
+    * z-sort together at the range-partitioner's null position.
+    *
+    * 100 TB shape: the stats pass is map-side combined; the layout
+    * pass is one range exchange on the z-value (the same single
+    * shuffle writeRangeSorted pays) + an in-partition sort; the
+    * z-expression itself is pure codegen. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    files: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    val k = zCols.size
+    require(k >= 2, s"z-order wants >= 2 columns, got $zCols")
+    require(bits >= 1 && k * bits <= 62,
+      s"z-value must fit a BIGINT: $k cols x $bits bits")
+    val statCols = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__lo_$c"),
+      max(col(c).cast("double")).as(s"__hi_$c")))
+    val st = df.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val cells = 1 << bits
+    val grids = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (st.getDouble(2 * i), st.getDouble(2 * i + 1))
+      least(greatest(
+        width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(cells))
+          - 1, lit(0)), lit(cells - 1)).cast("long")
+    }
+    val z = (for (b <- 0 until bits; i <- 0 until k) yield
+        shiftleft(shiftright(grids(i), b).bitwiseAND(lit(1L)), b * k + i))
+      .reduce(_.bitwiseOR(_))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed table layout: pre-shuffle a fact table by its join key at
     * write time so later joins between co-bucketed tables plan as
     * sort-merge with ZERO runtime exchange — the scale lever for

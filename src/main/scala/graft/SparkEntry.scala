@@ -3131,6 +3131,29 @@ object SparkEntry {
         fkRules = Seq(FkRule("custkey_covered", "o_custkey",
           Tables.customer(s, dir), "c_custkey")))
     }),
+
+    // S9++ — Z-ORDER (Morton) clustered layout round-trip: write
+    // orders z-ordered on (o_totalprice, o_custkey) — ONE range
+    // exchange on the interleaved z-value — read back a slice
+    // predicated on BOTH columns (each prunes files independently;
+    // the multi-column pruning itself is pinned in WritersSpec),
+    // aggregate. The oracle sees only values: layout must never
+    // change results
+    "q235_zorder_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink_q235_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      etlmudah.sinks.Writers.writeZOrdered(
+        Tables.orders(s, dir), out,
+        Seq("o_totalprice", "o_custkey"), files = 16)
+      s.read.parquet(out)
+        .filter(col("o_totalprice").between(50000, 150000) &&
+          col("o_custkey") < 500)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8131,5 +8154,14 @@ object SparkEntry {
         |FROM (SELECT * FROM rowr UNION ALL SELECT * FROM uq
         |      UNION ALL SELECT * FROM fk)
         |ORDER BY rule""".stripMargin,
+
+    "q235_zorder_roundtrip" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 50000 AND 150000
+        |  AND o_custkey < 500""".stripMargin,
   )
 }

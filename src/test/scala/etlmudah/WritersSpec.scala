@@ -61,6 +61,35 @@ class WritersSpec extends SparkSpec {
     assert(filesTouched(sorted) <= 3)
   }
 
+  test("z-order layout prunes files on EVERY indexed column, not just the leading one") {
+    val orders = Tables.orders(spark, sf0001)
+    val base = Files.createTempDirectory("zo").toString
+    val (zdir, rdir, hdir) = (s"$base/z", s"$base/r", s"$base/h")
+    Writers.writeZOrdered(orders, zdir,
+      Seq("o_totalprice", "o_custkey"), files = 16)
+    Writers.writeRangeSorted(orders, rdir, Seq("o_totalprice"), files = 16)
+    orders.repartition(16, col("o_orderkey"))
+      .write.mode("overwrite").parquet(hdir)
+    def touched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val priceSlice = col("o_totalprice").between(40000, 60000)
+    val custSlice = col("o_custkey").between(100, 120)
+    // rows survive intact
+    assert(spark.read.parquet(zdir).count() == orders.count())
+    // the hash baseline scatters both predicates across ~all files
+    assert(touched(hdir, priceSlice) >= 15 && touched(hdir, custSlice) >= 15)
+    // the range sort is perfect on its leading column, useless on the other
+    assert(touched(rdir, priceSlice) <= 3)
+    assert(touched(rdir, custSlice) >= 15)
+    // z-order prunes BOTH — each at reduced (sqrt) resolution: the
+    // multi-column trade the Morton curve exists to make
+    assert(touched(zdir, priceSlice) <= 8,
+      s"z price slice touched ${touched(zdir, priceSlice)}")
+    assert(touched(zdir, custSlice) <= 8,
+      s"z cust slice touched ${touched(zdir, custSlice)}")
+  }
+
   test("format coverage: JSON and ORC round-trip the star schema") {
     val out = Files.createTempDirectory("fmt").toString
     val nation = Tables.nation(spark, sf0001)
