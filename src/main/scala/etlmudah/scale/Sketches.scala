@@ -70,4 +70,76 @@ object Sketches {
       .withColumn("overcount", col("n_est") - col("n_exact"))
       .orderBy(col("n_exact").desc, col("key").asc)
   }
+
+  /** PORTABLE HyperLogLog registers (Flajolet-Fusy-Gandouet-Meunier
+    * 2007) — the distinct-count twin of the CMS grid, and unlike
+    * `approx_count_distinct` (whose registers ride an engine-private
+    * hash) every register here is an exact, oracle-replayable integer.
+    * COMPOSED from built-ins, no custom aggregate needed — the
+    * brief's preference order honored: hash lane -> bucket/suffix
+    * split -> per-bucket MAX is groupBy work Spark already does
+    * map-side-combined.
+    *
+    * Layout: md5 lane 0 (32 bits) splits into the top `log2(m)` bits
+    * (bucket) and the remaining suffix; the register is rho(suffix) =
+    * (suffix bit width) - bitlen(suffix) + 1, where bitlen is an
+    * EXACT integer comparison ladder (sum of [x >= 2^k]) — zero
+    * floating point, so Spark and any SQL engine agree bit for bit.
+    * Duplicate keys hash identically, so no distinct pass is needed:
+    * the registers ARE the dedup. */
+  def hllRho(key: Column, b: Int): Column = {
+    require(b >= 2 && b <= 12, s"hll bucket bits out of range: $b")
+    val lane = conv(substring(md5(key.cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    val sufBits = 32 - b
+    val bucket = shiftright(lane, sufBits)
+    val suffix = lane.bitwiseAND(lit((1L << sufBits) - 1))
+    // bitlen(x) = #{k : x >= 2^k} — exact, portable, no log anywhere
+    val bitlen = (0 until sufBits)
+      .map(k => when(suffix >= lit(1L << k), 1L).otherwise(0L))
+      .reduce(_ + _)
+    struct(bucket.as("bucket"), (lit(sufBits.toLong) - bitlen + 1).as("rho"))
+  }
+
+  /** The observed registers: <= m rows of (bucket, reg) — one
+    * map-side-combined groupBy MAX, the only corpus-sized work. */
+  def hllRegisterTable(df: DataFrame, keyCol: String, b: Int = 6): DataFrame =
+    df.select(hllRho(col(keyCol), b).as("h"))
+      .groupBy(col("h.bucket").as("bucket"))
+      .agg(max(col("h.rho")).as("reg"))
+
+  /** The full HLL report as EXACT integers plus the raw estimate: one
+    * row — m, the count of still-zero registers, the maximal register,
+    * and the lattice-exact register sum S = sum over all m registers
+    * of 2^(CAP - reg) at the fixed cap CAP = 33 - b (zero registers
+    * contribute 2^CAP each), so sum 2^-reg == S / 2^CAP with NO
+    * floating-point addition anywhere. est = alpha_m * m^2 * 2^CAP / S
+    * is the one double — every operand exact (S <= m * 2^CAP << 2^53),
+    * the expression written left-to-right identically on both engines,
+    * so even it is hash-comparable. */
+  def hllReport(df: DataFrame, keyCol: String, b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val obs = hllRegisterTable(df, keyCol, b)
+    obs.agg(
+        count(lit(1)).as("n_obs"),
+        max(col("reg")).as("maxreg"),
+        // sum 2^-reg, held exact by scaling with the FIXED cap
+        // CAP = 33 - b (the largest register a 32-b-bit suffix can
+        // produce): each observed bucket contributes 2^(CAP - reg),
+        // an integer — one fold, no second pass for a data-dependent
+        // scale
+        sum(call_function("shiftleft", lit(1L),
+          (lit((33 - b).toLong) - col("reg")).cast("int"))).as("s_cap"))
+      .select(
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("n_obs")).as("n_zero"),
+        col("maxreg"),
+        // S at cap: observed terms + a 2^cap term per zero register
+        (col("s_cap") + (lit(m.toLong) - col("n_obs")) *
+          call_function("shiftleft", lit(1L), lit(33 - b))).as("s"),
+        round((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+          lit((m.toDouble * m)) *
+          pow(lit(2.0), lit((33 - b).toDouble)) / col("s"), 4)
+          .as("raw_est"))
+  }
 }

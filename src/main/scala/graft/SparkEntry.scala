@@ -3154,6 +3154,23 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
     }),
+
+    // PORTABLE HyperLogLog distinct-count sketch (Flajolet et al.
+    // 2007), the distinct twin of q231's CMS and the oracle-checked
+    // counterpart of q54's engine-private approx_count_distinct:
+    // registers ride the md5-lane discipline with an exact integer
+    // bit-length ladder (no log anywhere), the register sum is held
+    // on a power-of-two lattice, and even the raw estimate is a
+    // deterministic double both engines compute identically. COMPOSED
+    // from built-ins — one map-side-combined groupBy MAX, no custom
+    // aggregate needed. n_true joins on as a single broadcast row
+    "q236_hll_distinct_sketch" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val rep = etlmudah.scale.Sketches.hllReport(orders, "o_custkey", b = 6)
+      val truth = orders.agg(
+        count_distinct(col("o_custkey")).as("n_true"))
+      rep.crossJoin(broadcast(truth))
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8163,5 +8180,40 @@ object SparkEntry {
         |FROM orders
         |WHERE o_totalprice BETWEEN 50000 AND 150000
         |  AND o_custkey < 500""".stripMargin,
+
+    // HLL register replay: md5 lane -> (bucket, suffix) bit split,
+    // rho via the same exact >=2^k comparison ladder, per-bucket MAX,
+    // then the lattice fold at the fixed cap 2^27. The estimate's
+    // double arithmetic is written operand-for-operand like the Spark
+    // side (every input exact), so it hash-matches too.
+    "q236_hll_distinct_sketch" -> {
+      val ladder = (0 until 26).map(k =>
+        s"(CASE WHEN suffix >= ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+         |    1, 8)) AS UBIGINT)::BIGINT AS lane
+         |  FROM orders),
+         |r AS (SELECT lane >> 26 AS bucket,
+         |             lane & 67108863 AS suffix FROM h),
+         |regs AS (SELECT bucket,
+         |    max(26 - ($ladder) + 1)::BIGINT AS reg
+         |  FROM r GROUP BY 1),
+         |agg AS (SELECT count(*)::BIGINT AS n_obs,
+         |    max(reg)::BIGINT AS maxreg,
+         |    sum(1::BIGINT << CAST(27 - reg AS INT))::BIGINT AS s_cap
+         |  FROM regs)
+         |SELECT 64::BIGINT AS m,
+         |  (64 - n_obs)::BIGINT AS n_zero,
+         |  maxreg,
+         |  (s_cap + (64 - n_obs) * (1::BIGINT << 27))::BIGINT AS s,
+         |  round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE
+         |      / 64.0::DOUBLE) * 4096.0::DOUBLE
+         |    * pow(2.0::DOUBLE, 27.0::DOUBLE)
+         |    / (s_cap + (64 - n_obs) * (1::BIGINT << 27)), 4) AS raw_est,
+         |  (SELECT count(DISTINCT o_custkey)::BIGINT FROM orders)
+         |    AS n_true
+         |FROM agg""".stripMargin
+    },
   )
 }

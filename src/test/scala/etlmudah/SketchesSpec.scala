@@ -103,4 +103,48 @@ class SketchesSpec extends SparkSpec {
     val back = agg.deserialize(agg.serialize(buf))
     assert(back.toSeq == buf.toSeq)
   }
+
+  test("hll registers: JVM md5 replay, duplicate-blindness, partition invariance") {
+    import spark.implicits._
+    val b = 6
+    val keys = (0 until 400).map(i => s"u${i % 123}") // heavy duplication
+    val got = Sketches.hllRegisterTable(
+        keys.toDF("k").repartition(7), "k", b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = Sketches.hllRegisterTable(keys.toDF("k").coalesce(1), "k", b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == one, "registers must not depend on partitioning")
+    // serial replay from the md5 lane
+    val want = keys.distinct.map { k =>
+      val lane = java.lang.Long.parseLong(
+        CountMinSketchAgg.md5Hex(k).substring(0, 8), 16)
+      val suf = lane & ((1L << (32 - b)) - 1)
+      val bitlen =
+        if (suf == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(suf)
+      (lane >>> (32 - b), ((32 - b) - bitlen + 1).toLong)
+    }.groupBy(_._1).map { case (bk, rs) => bk -> rs.map(_._2).max }
+    assert(got == want)
+    // duplicates cannot move a register: 400 rows, 123 distinct keys
+    val distinctOnly = Sketches.hllRegisterTable(
+        keys.distinct.toDF("k"), "k", b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == distinctOnly, "registers are a function of the key SET")
+  }
+
+  test("hllReport: exact integer fields, estimate within HLL error on testdata") {
+    val orders = Tables.orders(spark, sf0001)
+    val r = Sketches.hllReport(orders, "o_custkey", b = 6).collect()(0)
+    val (m, nZero, maxreg, s, est) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(m == 64)
+    val nTrue = orders.select(countDistinct(col("o_custkey")))
+      .collect()(0).getLong(0)
+    // S consistency: every register contributes a power of two <= 2^27
+    assert(s > 0 && s <= m * (1L << 27))
+    assert(maxreg >= 1 && maxreg <= 27)
+    assert(nZero >= 0 && nZero < m)
+    // standard error for m=64 is ~1.04/8 = 13%; allow 4 sigma
+    assert(math.abs(est - nTrue) < 0.52 * nTrue,
+      s"est=$est true=$nTrue")
+  }
 }

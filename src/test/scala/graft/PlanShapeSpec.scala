@@ -187,7 +187,9 @@ class PlanShapeSpec extends SparkSpec {
       "q225_binary_hamming_topk", "q229_binary_recall",
       // q231's build side is the single-row count-min grid (one
       // array<bigint> of depth*width) broadcast onto the topN winners
-      "q231_cms_heavy_hitters")
+      "q231_cms_heavy_hitters",
+      // q236 joins two single-row frames (HLL report x true distinct)
+      "q236_hll_distinct_sketch")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
