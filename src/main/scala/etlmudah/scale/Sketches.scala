@@ -59,17 +59,41 @@ object Sketches {
     * grid against ground truth where ground truth is still computable. */
   def cmsHeavyHitters(df: DataFrame, keyCol: String,
                       depth: Int = 4, width: Int = 256,
-                      topN: Int = 10): DataFrame = {
-    val exact = df.groupBy(col(keyCol).cast("string").as("key"))
-      .agg(count(lit(1)).as("n_exact"))
+                      topN: Int = 10): DataFrame =
+    cmsReport(
+      df.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("n_exact")),
+      cmsSketch(df, keyCol, depth, width), depth, width, topN)
+
+  /** The report tail shared by the batch operator and the STREAMING
+    * sink ([[etlmudah.streaming.Streaming]].heavyHitterSink), so
+    * stream == batch holds by construction: takes pre-aggregated
+    * (key, n_exact) counts and a single-row `sketch` frame, emits the
+    * topN report. */
+  def cmsReport(keyCounts: DataFrame, sketch: DataFrame,
+                depth: Int, width: Int, topN: Int): DataFrame =
+    keyCounts
       .orderBy(col("n_exact").desc, col("key").asc)
       .limit(topN)
-    exact.crossJoin(broadcast(cmsSketch(df, keyCol, depth, width)))
+      .crossJoin(broadcast(sketch))
       .select(col("key"), col("n_exact"),
         cmsEstimate(col("sketch"), col("key"), depth, width).as("n_est"))
       .withColumn("overcount", col("n_est") - col("n_exact"))
       .orderBy(col("n_exact").desc, col("key").asc)
-  }
+
+  /** Rebuild the single-row `sketch` array frame from grid PARTIALS
+    * (pos, cnt) — the streaming sink's standing state is the exploded
+    * grid, merged by plain addition (the sketch's mergeability is the
+    * whole point): sum per position, then re-assemble positionally via
+    * a map lookup (deterministic — no collect_list ordering anywhere).
+    * Bounded by depth*width rows end to end. */
+  def cmsFromParts(gridParts: DataFrame, depth: Int, width: Int): DataFrame =
+    gridParts
+      .groupBy(col("pos")).agg(sum(col("cnt")).as("cnt"))
+      .agg(map_from_entries(collect_list(
+        struct(col("pos").cast("int"), col("cnt")))).as("m"))
+      .select(transform(sequence(lit(0), lit(depth * width - 1)),
+        i => coalesce(try_element_at(col("m"), i), lit(0L))).as("sketch"))
 
   /** PORTABLE HyperLogLog registers (Flajolet-Fusy-Gandouet-Meunier
     * 2007) — the distinct-count twin of the CMS grid, and unlike

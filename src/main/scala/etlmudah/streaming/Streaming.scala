@@ -617,6 +617,83 @@ object Streaming {
       }
   }
 
+  /** Continuous HEAVY-HITTER monitoring — the count-min sketch
+    * ([[etlmudah.scale.Sketches]], q231) as a stream sink, exercising
+    * the property the sketch exists for: MERGEABILITY. Each
+    * micro-batch folds its own graft_cms grid (one partial-aggregated
+    * pass over the batch) and lands it EXPLODED to nonzero (pos, cnt)
+    * rows in a batch_id partition; the standing grid is then plain
+    * addition over partials — re-delivered batches rewrite exactly
+    * their own partition (dynamic overwrite), so re-runs converge.
+    * Exact per-key counts ride a second partial frame the same way
+    * (the certification side; a sketch-only deployment drops it — the
+    * q231 trade dial). The report rebuilds the single-row sketch from
+    * partials ([[etlmudah.scale.Sketches.cmsFromParts]] — map lookup,
+    * no ordering anywhere) and goes through Sketches.cmsReport, the
+    * SAME code path as the batch operator, so stream == batch by
+    * construction. Same compaction + recoverable-swap scheme as
+    * [[driftSink]]; state stays bounded by |keys| + depth*width. */
+  def heavyHitterSink(rows: DataFrame, keyCol: String, statePath: String,
+                      outPath: String, checkpoint: String,
+                      depth: Int = 4, width: Int = 256, topN: Int = 10,
+                      compactEvery: Int = 100):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import etlmudah.scale.Sketches
+    val keysPath = statePath + "__keys"
+    val gridPath = statePath + "__grid"
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stateFs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(stateFs, keysPath)
+        recoverSwap(stateFs, gridPath)
+        batch.groupBy(col(keyCol).cast("string").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(keysPath)
+        Sketches.cmsSketch(batch, keyCol, depth, width)
+          .select(posexplode(col("sketch")).as(Seq("pos", "cnt")))
+          .where(col("cnt") > 0)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(gridPath)
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          def compact(path: String, keyCols: Seq[String]): Unit = {
+            val compacted = spark.read.parquet(path)
+              .withColumn("batch_id",
+                greatest(col("batch_id"), lit(batchId - 1)))
+              .groupBy(col("batch_id") +: keyCols.map(col): _*)
+              .agg(sum(col("cnt")).as("cnt"))
+              .select(keyCols.map(col) :+ col("cnt") :+ col("batch_id"): _*)
+              .localCheckpoint(true)
+            swapIn(stateFs, path)(tmp =>
+              compacted.write.mode("overwrite")
+                .partitionBy("batch_id").parquet(tmp))
+          }
+          compact(keysPath, Seq("key"))
+          compact(gridPath, Seq("pos"))
+        }
+        val keyCounts = spark.read.parquet(keysPath)
+          .groupBy(col("key")).agg(sum(col("cnt")).as("n_exact"))
+        val sketch = Sketches.cmsFromParts(
+          spark.read.parquet(gridPath).select(col("pos"), col("cnt")),
+          depth, width)
+        val report = Sketches.cmsReport(keyCounts, sketch,
+          depth, width, topN)
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(fs, outPath)
+        swapIn(fs, outPath)(tmp =>
+          report.write.mode("overwrite").parquet(tmp))
+        ()
+      }
+  }
+
   /** Incremental token-balanced shard EXPORT — `Sampling.shardAssign`
     * as a stream sink: each micro-batch's rows are assigned export
     * shards continuing the running byte offset where the previous batch

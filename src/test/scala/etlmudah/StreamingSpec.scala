@@ -327,6 +327,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("heavyHitterSink: report == batch cmsHeavyHitters, grid merges across batches, re-run converges") {
+    import etlmudah.scale.Sketches
+    val out = Files.createTempDirectory("stream_hh").toString
+    val src = s"$out/src"
+    // five files -> five micro-batches so compactEvery=2 fires twice
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(5)
+      .write.mode("overwrite").parquet(src)
+    val all = spark.read.parquet(src)
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.heavyHitterSink(
+          Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+          "event_type", s"$out/state", s"$out/report", cp,
+          depth = 4, width = 2, topN = 5, compactEvery = 2)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+    }
+    runOnce(s"$out/cp1")
+    val streamed = spark.read.parquet(s"$out/report")
+      .orderBy(col("n_exact").desc, col("key")).collect()
+    // the batch operator over the full corpus — the per-batch grids
+    // merged by addition MUST equal the one-shot grid (mergeability)
+    val batch = Sketches.cmsHeavyHitters(all, "event_type",
+      depth = 4, width = 2, topN = 5).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    // width 2 over 4+ event types: by pigeonhole at least one key
+    // shares a bucket in EVERY depth row, so a nonzero overcount is
+    // guaranteed — the sketch side of the parity cannot be vacuous
+    assert(streamed.exists(_.getLong(3) > 0),
+      "expected a nonzero overcount at width 2")
+    // compaction really fired on BOTH state frames
+    for (p <- Seq("state__keys", "state__grid"))
+      assert(spark.read.parquet(s"$out/$p").select("batch_id")
+        .distinct().collect().map(_.get(0).toString.toInt).toSet ==
+        Set(3, 4), p)
+    // re-delivered compaction batch, then a full fresh re-run
+    dropCommit(s"$out/cp1", 4)
+    runOnce(s"$out/cp1")
+    val redelivered = spark.read.parquet(s"$out/report")
+      .orderBy(col("n_exact").desc, col("key")).collect()
+    assert(streamed.zip(redelivered).forall { case (a, b) => a == b })
+    runOnce(s"$out/cp2")
+    val again = spark.read.parquet(s"$out/report")
+      .orderBy(col("n_exact").desc, col("key")).collect()
+    assert(streamed.zip(again).forall { case (a, b) => a == b })
+  }
+
   test("driftSink: report == batch driftPsi(ref, streamed), state compacts, re-run converges") {
     import etlmudah.analytics.Profile
     val out = Files.createTempDirectory("stream_drift").toString
