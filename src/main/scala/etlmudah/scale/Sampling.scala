@@ -581,4 +581,78 @@ object Sampling {
       .filter(col("__rn") > floor(lit(q) * col("__n")))
       .drop("__rn", "__n")
   }
+
+  /** Poisson(1) resampling weight for one (row, replicate) pair — the
+    * POISSON BOOTSTRAP primitive (Chamandy, Muralidharan, Najmi,
+    * Naidu, "Estimating uncertainty for massive data streams", Google
+    * TR 2012): at corpus scale one cannot draw n rows with replacement,
+    * but Binomial(n, 1/n) -> Poisson(1), so each row independently
+    * contributes w ~ Poisson(1) copies to each replicate — a pure
+    * per-row projection, embarrassingly parallel, no RNG state.
+    *
+    * The draw inverts the Poisson(1) CDF against the row's md5-lane
+    * uniform using EXACT precomputed integer thresholds T_k =
+    * floor(CDF(k) * 2^32): w = #{k : lane >= T_k}, capped at 9
+    * (P(w > 9) < 1.2e-7 — documented truncation, not a silent one).
+    * Zero floating point, so any SQL engine replays every weight. */
+  def poissonWeight(key: Column): Column = {
+    val lane = conv(substring(md5(key.cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    Sampling.poissonThresholds
+      .map(t => when(lane >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** floor(CDF_Poisson(1)(k) * 2^32) for k = 0..8 — public so the
+    * oracle generator shares the exact constants (no drift). */
+  val poissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L)
+
+  /** Bootstrap CONFIDENCE INTERVAL for the mean of `valueCol`: `reps`
+    * Poisson-bootstrap replicates of the weighted mean, nearest-rank
+    * 2.5%/97.5% percentiles over the replicate distribution. One row
+    * out: n, point_est, ci_lo, ci_hi, reps.
+    *
+    * Exactness discipline: values fold as DECIMAL(18,2) (exact,
+    * order-independent), weights are exact integers, so each
+    * replicate's mean is one deterministic double division; the
+    * percentile is nearest-rank over the (mu, rep)-ordered bounded
+    * `reps`-row frame — no interpolation, no ulp-sensitive boundary.
+    *
+    * 100 TB shape: the replicate explosion is map-side combined down
+    * to `reps` rows per partition before the exchange (the whole point
+    * of the Poisson trick — resampling becomes one aggregate), and the
+    * percentile window runs over the |reps| frame. */
+  def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
+                      reps: Int = 200): DataFrame = {
+    require(reps >= 40, s"too few replicates for a 2.5% tail: $reps")
+    val v = col(valueCol).cast("decimal(18,2)")
+    val weighted = df
+      .select(col(idCol).cast("string").as("__id"), v.as("__v"))
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .select(col("rep"), col("__v"),
+        poissonWeight(concat(col("__id"), lit("#"),
+          col("rep").cast("string"))).as("__w"))
+    val mus = weighted.groupBy(col("rep")).agg(
+      (sum(col("__w") * col("__v")).cast("double") /
+        sum(col("__w")).cast("double")).as("mu"))
+    val rnLo = math.ceil(0.025 * reps).toLong
+    val rnHi = math.ceil(0.975 * reps).toLong
+    val w = Window.orderBy(col("mu").asc, col("rep").asc) // |reps| frame
+    val ranked = mus.withColumn("__rn", row_number().over(w))
+    val point = df.agg(
+      count(lit(1)).as("n"),
+      (sum(v).cast("double") / count(lit(1)).cast("double"))
+        .as("point_est"))
+    point.crossJoin(broadcast(
+        ranked.where(col("__rn") === rnLo)
+          .select(round(col("mu"), 6).as("ci_lo"))))
+      .crossJoin(broadcast(
+        ranked.where(col("__rn") === rnHi)
+          .select(round(col("mu"), 6).as("ci_hi"))))
+      .select(col("n"), round(col("point_est"), 6).as("point_est"),
+        col("ci_lo"), col("ci_hi"), lit(reps.toLong).as("reps"))
+  }
 }

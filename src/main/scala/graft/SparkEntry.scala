@@ -3171,6 +3171,17 @@ object SparkEntry {
         count_distinct(col("o_custkey")).as("n_true"))
       rep.crossJoin(broadcast(truth))
     }),
+
+    // POISSON-BOOTSTRAP confidence interval (Chamandy et al. 2012) for
+    // mean(o_totalprice): 200 replicates of the Poisson(1)-weighted
+    // mean — weights invert the exact integer CDF thresholds against
+    // the (id, rep) md5 lane, values fold as DECIMAL, the percentile
+    // is nearest-rank over the 200-row replicate frame. Resampling at
+    // corpus scale as ONE map-side-combined aggregate; every weight,
+    // mean, and rank replays in SQL
+    "q237_bootstrap_mean_ci" -> ((s, dir) =>
+      etlmudah.scale.Sampling.bootstrapMeanCi(
+        Tables.orders(s, dir), "o_orderkey", "o_totalprice", reps = 200)),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8214,6 +8225,36 @@ object SparkEntry {
          |  (SELECT count(DISTINCT o_custkey)::BIGINT FROM orders)
          |    AS n_true
          |FROM agg""".stripMargin
+    },
+
+    // Poisson-bootstrap replay: same thresholds (shared constants —
+    // no drift possible), same decimal folds, same nearest-rank pick
+    // over the (mu, rep)-ordered replicate frame.
+    "q237_bootstrap_mean_ci" -> {
+      val ladder = etlmudah.scale.Sampling.poissonThresholds.map(t =>
+        s"(CASE WHEN lane >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH reps AS (SELECT i AS rep FROM range(200) t(i)),
+         |lanes AS (
+         |  SELECT r.rep AS rep,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#'
+         |      || CAST(r.rep AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT
+         |      AS lane
+         |  FROM orders CROSS JOIN reps r),
+         |w AS (SELECT rep, v, ($ladder)::BIGINT AS wt FROM lanes),
+         |m AS (
+         |  SELECT rep,
+         |    CAST(sum(wt * v) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS mu
+         |  FROM w GROUP BY 1),
+         |rk AS (SELECT mu, row_number() OVER (ORDER BY mu ASC, rep ASC)
+         |         AS rn FROM m)
+         |SELECT (SELECT count(*)::BIGINT FROM orders) AS n,
+         |  (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) FROM orders)
+         |    AS point_est,
+         |  (SELECT round(mu, 6) FROM rk WHERE rn = 5) AS ci_lo,
+         |  (SELECT round(mu, 6) FROM rk WHERE rn = 195) AS ci_hi,
+         |  200::BIGINT AS reps""".stripMargin
     },
   )
 }

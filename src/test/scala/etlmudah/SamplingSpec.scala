@@ -422,4 +422,59 @@ class SamplingSpec extends SparkSpec {
     // conservation: allocations never exceed the budget
     assert(p60.map(_._4).sum <= 60L)
   }
+
+  test("poissonWeight: JVM md5 replay; empirical mean ~ 1 (the bootstrap contract)") {
+    import spark.implicits._
+    val keys = (0 until 4000).map(i => s"k$i#0")
+    val got = keys.toDF("k")
+      .select(col("k"), Sampling.poissonWeight(col("k")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // serial replay from the lane + thresholds
+    keys.foreach { k =>
+      val lane = java.lang.Long.parseLong(
+        etlmudah.expr.CountMinSketchAgg.md5Hex(k).substring(0, 8), 16)
+      val want = Sampling.poissonThresholds.count(lane >= _).toLong
+      assert(got(k) == want, k)
+    }
+    val mean = got.values.sum.toDouble / keys.size
+    assert(math.abs(mean - 1.0) < 0.05, s"Poisson(1) mean drifted: $mean")
+    assert(got.values.max <= 9L && got.values.min == 0L)
+  }
+
+  test("bootstrapMeanCi: full serial replay on a small frame; partition-invariant") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (i.toLong, (i * 37 % 100) + 0.25))
+    val df = rows.toDF("id", "v")
+    val reps = 60
+    val got = Sampling.bootstrapMeanCi(df, "id", "v", reps).collect()(0)
+    val got2 = Sampling.bootstrapMeanCi(df.repartition(7), "id", "v", reps)
+      .collect()(0)
+    assert(got == got2, "resampling must be partition-invariant")
+    // serial replay: exact decimal folds, double division, nearest rank
+    def weight(id: Long, rep: Int): Long = {
+      val lane = java.lang.Long.parseLong(
+        etlmudah.expr.CountMinSketchAgg.md5Hex(s"$id#$rep")
+          .substring(0, 8), 16)
+      Sampling.poissonThresholds.count(lane >= _).toLong
+    }
+    val mus = (0 until reps).map { rep =>
+      val (num, den) = rows.foldLeft((BigDecimal(0), 0L)) {
+        case ((n, d), (id, v)) =>
+          val w = weight(id, rep)
+          (n + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * w,
+            d + w)
+      }
+      (num.toDouble / den.toDouble, rep)
+    }.sortBy(identity)
+    val rnLo = math.ceil(0.025 * reps).toInt
+    val rnHi = math.ceil(0.975 * reps).toInt
+    def r6(d: Double) = BigDecimal.valueOf(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 50L)
+    assert(got.getDouble(2) == r6(mus(rnLo - 1)._1), "ci_lo")
+    assert(got.getDouble(3) == r6(mus(rnHi - 1)._1), "ci_hi")
+    assert(got.getDouble(2) <= got.getDouble(1) &&
+      got.getDouble(1) <= got.getDouble(3),
+      "the point estimate sits inside its own bootstrap CI")
+  }
 }

@@ -189,7 +189,10 @@ class PlanShapeSpec extends SparkSpec {
       // array<bigint> of depth*width) broadcast onto the topN winners
       "q231_cms_heavy_hitters",
       // q236 joins two single-row frames (HLL report x true distinct)
-      "q236_hll_distinct_sketch")
+      "q236_hll_distinct_sketch",
+      // q237 assembles its one-row report from three single-row frames
+      // (point estimate x nearest-rank lo x nearest-rank hi)
+      "q237_bootstrap_mean_ci")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
