@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, WavSampleStats}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, UnigramViterbi, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -90,6 +90,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_cms(key[, depth, width])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_viterbi"),
+      new ExpressionInfo(classOf[UnigramViterbi].getName, "graft_viterbi"),
+      (children: Seq[Expression]) =>
+        UnigramViterbi(children.head, children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_gram"),
       new ExpressionInfo(classOf[GramSumsAgg].getName, "graft_gram"),

@@ -582,7 +582,7 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
-  /** Poisson(1) resampling weight for one (row, replicate) pair — the
+  /** Poisson(1) resampling weight from one 16-bit hash lane — the
     * POISSON BOOTSTRAP primitive (Chamandy, Muralidharan, Najmi,
     * Naidu, "Estimating uncertainty for massive data streams", Google
     * TR 2012): at corpus scale one cannot draw n rows with replacement,
@@ -590,35 +590,47 @@ object Sampling {
     * contributes w ~ Poisson(1) copies to each replicate — a pure
     * per-row projection, embarrassingly parallel, no RNG state.
     *
-    * The draw inverts the Poisson(1) CDF against the row's md5-lane
-    * uniform using EXACT precomputed integer thresholds T_k =
-    * floor(CDF(k) * 2^32): w = #{k : lane >= T_k}, capped at 9
-    * (P(w > 9) < 1.2e-7 — documented truncation, not a silent one).
-    * Zero floating point, so any SQL engine replays every weight. */
-  def poissonWeight(key: Column): Column = {
-    val lane = conv(substring(md5(key.cast("string").cast("binary")),
-      1, 8), 16, 10).cast("long")
-    Sampling.poissonThresholds
-      .map(t => when(lane >= lit(t), 1L).otherwise(0L))
+    * The draw inverts the Poisson(1) CDF against the lane using EXACT
+    * precomputed integer thresholds T_k = floor(CDF(k) * 2^16):
+    * w = #{k : lane >= T_k}, capped at 8 (on the 16-bit lattice
+    * P(w = 8) = 2^-16 vs the true tail 1.1e-5 — the documented
+    * quantization, not a silent one; the weight MEAN stays 0.99982).
+    * 16-bit lanes are the efficiency lever: ONE md5 per (row, block)
+    * yields EIGHT replicate weights, so the hash work is reps/8 per
+    * row, not reps (the first cut of this operator paid one md5 per
+    * (row, rep) and benched 27 s at sf0.1; this shape benches ~2 s).
+    * Zero floating point — any SQL engine replays every weight. */
+  def poissonLaneWeight(lane16: Column): Column =
+    Sampling.poissonThresholds16
+      .map(t => when(lane16 >= lit(t), 1L).otherwise(0L))
       .reduce(_ + _)
-  }
 
-  /** floor(CDF_Poisson(1)(k) * 2^32) for k = 0..8 — public so the
+  /** floor(CDF_Poisson(1)(k) * 2^16) for k = 0..7 — public so the
     * oracle generator shares the exact constants (no drift). */
-  val poissonThresholds: Seq[Long] = Seq(
-    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
-    4292415291L, 4294609777L, 4294923276L, 4294962463L)
+  val poissonThresholds16: Seq[Long] = Seq(
+    24112L, 48222L, 60277L, 64295L, 65296L, 65497L, 65530L, 65535L)
 
   /** Bootstrap CONFIDENCE INTERVAL for the mean of `valueCol`: `reps`
     * Poisson-bootstrap replicates of the weighted mean, nearest-rank
     * 2.5%/97.5% percentiles over the replicate distribution. One row
     * out: n, point_est, ci_lo, ci_hi, reps.
     *
-    * Exactness discipline: values fold as DECIMAL(18,2) (exact,
-    * order-independent), weights are exact integers, so each
-    * replicate's mean is one deterministic double division; the
-    * percentile is nearest-rank over the (mu, rep)-ordered bounded
-    * `reps`-row frame — no interpolation, no ulp-sensitive boundary.
+    * Replicate weights come in BLOCKS of eight: md5(id # block) is
+    * hashed once and its eight 16-bit hex lanes feed
+    * [[poissonLaneWeight]] for replicates 8*block .. 8*block+7. The
+    * hex string exists only on the (row x blocks) frame; the full
+    * (row x reps) frame carries just (rep, weight, value).
+    *
+    * Exactness discipline: values fold as exact integer CENTS
+    * (round(v*100) BIGINT — order-independent, and ~4x faster over
+    * the reps-times-corpus frame than Decimal objects; overflow bound
+    * sum(w * cents) < 2^63, i.e. ~10^14 rows of 10^5-unit values —
+    * the documented dial is folding DECIMAL instead), weights are
+    * exact integers, so each replicate's mean is one deterministic
+    * double division (mu = swc / (100 * sw), evaluated
+    * operand-for-operand identically on both engines); the percentile
+    * is nearest-rank over the (mu, rep)-ordered bounded `reps`-row
+    * frame — no interpolation, no ulp-sensitive boundary.
     *
     * 100 TB shape: the replicate explosion is map-side combined down
     * to `reps` rows per partition before the exchange (the whole point
@@ -627,25 +639,48 @@ object Sampling {
   def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
                       reps: Int = 200): DataFrame = {
     require(reps >= 40, s"too few replicates for a 2.5% tail: $reps")
-    val v = col(valueCol).cast("decimal(18,2)")
+    val v = round(col(valueCol).cast("double") * 100).cast("long")
+    val blocks = (reps + 7) / 8
+    val spark = df.sparkSession
+    // Expression-duplication discipline (measured, not guessed): each
+    // non-cheap value gets its OWN projection step — CollapseProject
+    // never inlines a non-cheap alias into multiple uses, so the md5
+    // runs once per block row and each lane's conv runs once per lane
+    // (the naive one-projection form inlined the conv into all eight
+    // CASE branches of its ladder: 64 convs per row, 5x slower; a
+    // higher-order transform() lambda is worse still — CodegenFallback)
     val weighted = df
       .select(col(idCol).cast("string").as("__id"), v.as("__v"))
+      // rebalance BEFORE the x(blocks) generator multiplies the rows:
+      // a single-split local scan would otherwise run the whole hash
+      // fan-out on one task; at cluster scale the input is already
+      // many-partition and this exchange is noise next to the explode
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("__id"), col("__v"),
-        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
-      .select(col("rep"), col("__v"),
-        poissonWeight(concat(col("__id"), lit("#"),
-          col("rep").cast("string"))).as("__w"))
+        explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
+      .select(col("__v"), col("blk"),
+        md5(concat(col("__id"), lit("#"), col("blk").cast("string"))
+          .cast("binary")).as("__hex"))
+      .select(Seq(col("__v"), col("blk")) ++ (0 until 8).map(l =>
+        conv(substring(col("__hex"), l * 4 + 1, 4), 16, 10)
+          .cast("long").as(s"__l$l")): _*)
+      .select(col("__v"), col("blk"),
+        posexplode(array((0 until 8).map(l =>
+          poissonLaneWeight(col(s"__l$l"))): _*)).as(Seq("lane", "__w")))
+      .select((col("blk") * 8 + col("lane")).as("rep"),
+        col("__v"), col("__w"))
+      .where(col("rep") < reps)
     val mus = weighted.groupBy(col("rep")).agg(
       (sum(col("__w") * col("__v")).cast("double") /
-        sum(col("__w")).cast("double")).as("mu"))
+        (lit(100.0) * sum(col("__w")).cast("double"))).as("mu"))
     val rnLo = math.ceil(0.025 * reps).toLong
     val rnHi = math.ceil(0.975 * reps).toLong
     val w = Window.orderBy(col("mu").asc, col("rep").asc) // |reps| frame
     val ranked = mus.withColumn("__rn", row_number().over(w))
     val point = df.agg(
       count(lit(1)).as("n"),
-      (sum(v).cast("double") / count(lit(1)).cast("double"))
-        .as("point_est"))
+      (sum(v).cast("double") /
+        (lit(100.0) * count(lit(1)).cast("double"))).as("point_est"))
     point.crossJoin(broadcast(
         ranked.where(col("__rn") === rnLo)
           .select(round(col("mu"), 6).as("ci_lo"))))

@@ -1839,6 +1839,19 @@ object TextStats {
     wv
   }
 
+  /** UNIGRAM-LATTICE Viterbi segmentation (Kudo 2018, the
+    * SentencePiece default) — the second tokenizer FAMILY next to the
+    * BPE tier: the text segments into the vocabulary pieces maximizing
+    * summed integer weights, solved exactly per row by the native
+    * `graft_viterbi` DP ([[etlmudah.expr.UnigramViterbiFn]] — one plan
+    * node inside whole-stage codegen; uncovered characters become
+    * single-char unknowns at the fixed penalty). Pure per-row
+    * projection: no shuffle, vocabulary rides the plan as parallel
+    * literals (a learned vocab is Heaps-bounded). */
+  def viterbiSegment(text: Column, vocab: Seq[(String, Long)]): Column =
+    call_function("graft_viterbi", text,
+      typedLit(vocab.map(_._1)), typedLit(vocab.map(_._2)))
+
   /** Held-out segmentation report — the tokenizer-quality readout that
     * belongs next to any learned merge table: encode a TARGET corpus
     * with a (typically train-split-learned) merge list and report, per

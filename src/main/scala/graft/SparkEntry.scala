@@ -8227,31 +8227,41 @@ object SparkEntry {
          |FROM agg""".stripMargin
     },
 
-    // Poisson-bootstrap replay: same thresholds (shared constants —
-    // no drift possible), same decimal folds, same nearest-rank pick
-    // over the (mu, rep)-ordered replicate frame.
+    // Poisson-bootstrap replay: same 16-bit thresholds (shared
+    // constants — no drift possible), same block/lane hash layout
+    // (one md5 per (row, block) feeding eight replicate lanes), same
+    // decimal folds, same nearest-rank pick over the (mu, rep)-ordered
+    // replicate frame.
     "q237_bootstrap_mean_ci" -> {
-      val ladder = etlmudah.scale.Sampling.poissonThresholds.map(t =>
+      val ladder = etlmudah.scale.Sampling.poissonThresholds16.map(t =>
         s"(CASE WHEN lane >= $t THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH reps AS (SELECT i AS rep FROM range(200) t(i)),
+      s"""WITH blks AS (SELECT i AS blk FROM range(25) t(i)),
+         |hx AS (
+         |  SELECT b.blk AS blk,
+         |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+         |      AS v,
+         |    md5(CAST(o_orderkey AS VARCHAR) || '#'
+         |      || CAST(b.blk AS VARCHAR)) AS hex
+         |  FROM orders CROSS JOIN blks b),
          |lanes AS (
-         |  SELECT r.rep AS rep,
-         |    CAST(o_totalprice AS DECIMAL(18,2)) AS v,
-         |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#'
-         |      || CAST(r.rep AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT
-         |      AS lane
-         |  FROM orders CROSS JOIN reps r),
+         |  SELECT hx.blk * 8 + l.lane AS rep, hx.v,
+         |    CAST(('0x' || substr(hx.hex, l.lane * 4 + 1, 4))
+         |      AS UBIGINT)::BIGINT AS lane
+         |  FROM hx CROSS JOIN range(8) l(lane)
+         |  WHERE hx.blk * 8 + l.lane < 200),
          |w AS (SELECT rep, v, ($ladder)::BIGINT AS wt FROM lanes),
          |m AS (
          |  SELECT rep,
-         |    CAST(sum(wt * v) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS mu
+         |    CAST(sum(wt * v) AS DOUBLE)
+         |      / (100.0::DOUBLE * CAST(sum(wt) AS DOUBLE)) AS mu
          |  FROM w GROUP BY 1),
          |rk AS (SELECT mu, row_number() OVER (ORDER BY mu ASC, rep ASC)
          |         AS rn FROM m)
          |SELECT (SELECT count(*)::BIGINT FROM orders) AS n,
-         |  (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) FROM orders)
-         |    AS point_est,
+         |  (SELECT round(CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE)
+         |        * 100) AS BIGINT)) AS DOUBLE)
+         |      / (100.0::DOUBLE * CAST(count(*) AS DOUBLE)), 6)
+         |   FROM orders) AS point_est,
          |  (SELECT round(mu, 6) FROM rk WHERE rn = 5) AS ci_lo,
          |  (SELECT round(mu, 6) FROM rk WHERE rn = 195) AS ci_hi,
          |  200::BIGINT AS reps""".stripMargin

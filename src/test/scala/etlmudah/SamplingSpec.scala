@@ -423,22 +423,30 @@ class SamplingSpec extends SparkSpec {
     assert(p60.map(_._4).sum <= 60L)
   }
 
-  test("poissonWeight: JVM md5 replay; empirical mean ~ 1 (the bootstrap contract)") {
+  test("poissonLaneWeight: JVM md5-lane replay; empirical mean ~ 1 (the bootstrap contract)") {
     import spark.implicits._
-    val keys = (0 until 4000).map(i => s"k$i#0")
+    // 500 keys x 8 lanes = 4000 draws off 500 hashes
+    val keys = (0 until 500).map(i => s"k$i#0")
     val got = keys.toDF("k")
-      .select(col("k"), Sampling.poissonWeight(col("k")).as("w"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // serial replay from the lane + thresholds
+      .select(col("k") +: (0 until 8).map(l =>
+        Sampling.poissonLaneWeight(
+          conv(substring(md5(col("k").cast("binary")), l * 4 + 1, 4),
+            16, 10).cast("long")).as(s"w$l")): _*)
+      .collect().map(r => r.getString(0) ->
+        (1 to 8).map(r.getLong(_))).toMap
     keys.foreach { k =>
-      val lane = java.lang.Long.parseLong(
-        etlmudah.expr.CountMinSketchAgg.md5Hex(k).substring(0, 8), 16)
-      val want = Sampling.poissonThresholds.count(lane >= _).toLong
-      assert(got(k) == want, k)
+      val hex = etlmudah.expr.CountMinSketchAgg.md5Hex(k)
+      (0 until 8).foreach { l =>
+        val lane = java.lang.Long.parseLong(
+          hex.substring(l * 4, l * 4 + 4), 16)
+        val want = Sampling.poissonThresholds16.count(lane >= _).toLong
+        assert(got(k)(l) == want, s"$k lane $l")
+      }
     }
-    val mean = got.values.sum.toDouble / keys.size
+    val all = got.values.flatten
+    val mean = all.sum.toDouble / all.size
     assert(math.abs(mean - 1.0) < 0.05, s"Poisson(1) mean drifted: $mean")
-    assert(got.values.max <= 9L && got.values.min == 0L)
+    assert(all.max <= 8L && all.min == 0L)
   }
 
   test("bootstrapMeanCi: full serial replay on a small frame; partition-invariant") {
@@ -452,19 +460,21 @@ class SamplingSpec extends SparkSpec {
     assert(got == got2, "resampling must be partition-invariant")
     // serial replay: exact decimal folds, double division, nearest rank
     def weight(id: Long, rep: Int): Long = {
+      val hex = etlmudah.expr.CountMinSketchAgg.md5Hex(s"$id#${rep / 8}")
+      val l = rep % 8
       val lane = java.lang.Long.parseLong(
-        etlmudah.expr.CountMinSketchAgg.md5Hex(s"$id#$rep")
-          .substring(0, 8), 16)
-      Sampling.poissonThresholds.count(lane >= _).toLong
+        hex.substring(l * 4, l * 4 + 4), 16)
+      Sampling.poissonThresholds16.count(lane >= _).toLong
     }
     val mus = (0 until reps).map { rep =>
-      val (num, den) = rows.foldLeft((BigDecimal(0), 0L)) {
+      val (num, den) = rows.foldLeft((0L, 0L)) {
         case ((n, d), (id, v)) =>
           val w = weight(id, rep)
-          (n + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * w,
-            d + w)
+          val cents = BigDecimal.valueOf(v * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+          (n + cents * w, d + w)
       }
-      (num.toDouble / den.toDouble, rep)
+      (num.toDouble / (100.0 * den.toDouble), rep)
     }.sortBy(identity)
     val rnLo = math.ceil(0.025 * reps).toInt
     val rnHi = math.ceil(0.975 * reps).toInt
