@@ -3182,6 +3182,31 @@ object SparkEntry {
     "q237_bootstrap_mean_ci" -> ((s, dir) =>
       etlmudah.scale.Sampling.bootstrapMeanCi(
         Tables.orders(s, dir), "o_orderkey", "o_totalprice", reps = 200)),
+
+    // UNIGRAM-LATTICE Viterbi tokenizer (Kudo 2018 — the SentencePiece
+    // family, the second tokenizer family next to BPE): texts are
+    // PLANTED as closed-form concatenations of vocabulary pieces (plus
+    // an off-vocab '!' every fifth doc), with super-additive weights
+    // and boundary-unambiguous pieces making the planted segmentation
+    // uniquely optimal — so the oracle carries the KNOWN pieces (the
+    // fakeLinkUrls discipline) while ViterbiProps separately proves the
+    // DP optimal against brute-force enumeration on random inputs
+    "q238_viterbi_segmentation" -> ((s, dir) => {
+      val ps = array(lit("foo"), lit("bar"), lit("qux"), lit("zz"))
+      val id = col("doc_id")
+      val text = concat(
+        element_at(ps, (id % 4 + 1).cast("int")),
+        element_at(ps, ((id * 2 + 1) % 4 + 1).cast("int")),
+        when(id % 5 === 0, lit("!")).otherwise(lit("")),
+        element_at(ps, ((id + 3) % 4 + 1).cast("int")))
+      val vocab = Seq("foo" -> 9000L, "bar" -> 9000L,
+        "qux" -> 9000L, "zz" -> 4000L)
+      Tables.documents(s, dir)
+        .select(explode(
+          etlmudah.text.TextStats.viterbiSegment(text, vocab)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("token"))
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8266,5 +8291,24 @@ object SparkEntry {
          |  (SELECT round(mu, 6) FROM rk WHERE rn = 195) AS ci_hi,
          |  200::BIGINT AS reps""".stripMargin
     },
+
+    // Viterbi oracle: the planted construction re-derived closed-form
+    // — the oracle never runs a DP, it carries the pieces the uniquely
+    // optimal segmentation must produce.
+    "q238_viterbi_segmentation" ->
+      """WITH d AS (
+        |  SELECT doc_id % 4 AS a, (doc_id * 2 + 1) % 4 AS b,
+        |    (doc_id + 3) % 4 AS c, doc_id % 5 = 0 AS bang
+        |  FROM documents),
+        |toks AS (
+        |  SELECT (['foo','bar','qux','zz'])[a + 1] AS token FROM d
+        |  UNION ALL
+        |  SELECT (['foo','bar','qux','zz'])[b + 1] FROM d
+        |  UNION ALL
+        |  SELECT (['foo','bar','qux','zz'])[c + 1] FROM d
+        |  UNION ALL
+        |  SELECT '!' FROM d WHERE bang)
+        |SELECT token, count(*) AS n FROM toks
+        |GROUP BY 1 ORDER BY token""".stripMargin,
   )
 }

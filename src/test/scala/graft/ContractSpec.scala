@@ -28,6 +28,7 @@ class ContractSpec extends AnyFunSuite {
       "SELECT graft_wav_stats(graft_fake_wav16(1L, 1L, 8000L, 4L)).rms",
       "SELECT graft_bloom_agg(CAST(id AS BIGINT)) FROM range(10)",
       "SELECT graft_cms(CAST(id AS STRING), 4, 16) FROM range(10)",
+      "SELECT graft_viterbi('abx', array('ab'), array(10L))",
       "SELECT graft_gram(array(CAST(id AS DOUBLE), 1.0D), 2, 1024) " +
         "FROM range(10)")
     probes.foreach { p =>
