@@ -535,4 +535,55 @@ object Analytics {
             (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")), 6))
           .as("auc"))
   }
+
+  /** EXACT distributed simple linear regression (closed-form OLS) —
+    * the trend-line readout every dashboard fits, computed the lattice
+    * way: x and y quantize to integer-cent lattices, the five moment
+    * sums (n, Sx, Sy, Sxx, Sxy, Syy) fold as DECIMAL(38,0) — exact
+    * and order-independent at ANY corpus size (38 digits hold
+    * n*max|xy| past 10^20, where BIGINT would already have wrapped) —
+    * and the slope/intercept/r2 come out of the standard closed forms
+    *
+    *   slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+    *   intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2)   [y-lattice]
+    *   r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2))
+    *
+    * with every numerator/denominator an exact decimal, so the final
+    * double divisions (identical operand order on both engines) are
+    * hash-comparable. ONE map-side-combined aggregate; nothing else
+    * moves. Null x or y rows are excluded (SQL regression semantics). */
+  def linearFit(df: DataFrame, xCol: String, yCol: String,
+                xScale: Int = 100, yScale: Int = 100): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = round(col(xCol).cast("double") * xScale).cast("long")
+    val y = round(col(yCol).cast("double") * yScale).cast("long")
+    val m = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+      .agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("__x").cast(d38)).as("sx"),
+        sum(col("__y").cast(d38)).as("sy"),
+        sum((col("__x") * col("__x")).cast(d38)).as("sxx"),
+        sum((col("__x") * col("__y")).cast(d38)).as("sxy"),
+        sum((col("__y") * col("__y")).cast(d38)).as("syy"))
+    // exact decimal numerators/denominators, then ONE double division
+    // each — operand order mirrored verbatim in the oracle
+    m.select(
+        col("n").cast("bigint").as("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("int_n"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y"))
+      .select(col("n"),
+        // slope in y-units per x-unit: the lattice ratio re-scales by
+        // xScale/yScale, folded into the double step
+        round(col("cov_n").cast("double") / col("var_x").cast("double") *
+          (xScale.toDouble / yScale.toDouble), 6).as("slope"),
+        round(col("int_n").cast("double") / col("var_x").cast("double") /
+          yScale.toDouble, 6).as("intercept"),
+        round(col("cov_n").cast("double") * col("cov_n").cast("double") /
+          (col("var_x").cast("double") * col("var_y").cast("double")), 6)
+          .as("r2"))
+  }
 }

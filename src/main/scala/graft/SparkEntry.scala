@@ -3207,6 +3207,16 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("token"))
     }),
+
+    // EXACT closed-form OLS: price ~ quantity over lineitem. The five
+    // moment sums fold as DECIMAL(38,0) on integer-cent lattices (no
+    // float addition anywhere, order-independent at any n); slope /
+    // intercept / r2 are single double divisions of exact decimals,
+    // operand order mirrored in the oracle (HUGEINT there — the same
+    // exact integers), so even the doubles hash-match
+    "q239_linear_fit" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.linearFit(
+        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice")),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8310,5 +8320,39 @@ object SparkEntry {
         |  SELECT '!' FROM d WHERE bang)
         |SELECT token, count(*) AS n FROM toks
         |GROUP BY 1 ORDER BY token""".stripMargin,
+
+    // OLS replay on HUGEINT (the same exact integers Spark holds as
+    // DECIMAL(38,0) — DuckDB's decimal multiply caps combined width,
+    // HUGEINT is its native 128-bit exact lane), double steps mirrored
+    // operand for operand.
+    "q239_linear_fit" ->
+      """WITH q AS (
+        |  SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT)
+        |      AS x,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+        |      AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |    sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy,
+        |    sum(y * y)::HUGEINT AS syy
+        |  FROM q),
+        |c AS (
+        |  SELECT CAST(n AS BIGINT) AS n,
+        |    n * sxy - sx * sy AS cov_n,
+        |    n * sxx - sx * sx AS var_x,
+        |    sy * sxx - sx * sxy AS int_n,
+        |    n * syy - sy * sy AS var_y
+        |  FROM m)
+        |SELECT n,
+        |  round(CAST(cov_n AS DOUBLE) / CAST(var_x AS DOUBLE)
+        |    * (100.0::DOUBLE / 100.0::DOUBLE), 6) AS slope,
+        |  round(CAST(int_n AS DOUBLE) / CAST(var_x AS DOUBLE)
+        |    / 100.0::DOUBLE, 6) AS intercept,
+        |  round(CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)
+        |    / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 6) AS r2
+        |FROM c""".stripMargin,
   )
 }

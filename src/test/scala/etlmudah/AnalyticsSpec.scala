@@ -361,4 +361,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(auc(Seq((0.3, 1), (0.7, 1))).isEmpty)
     assert(auc(Seq((0.3, 0), (0.7, 0))).isEmpty)
   }
+
+  test("linearFit: closed form on hand data; perfect line gives r2 = 1; null rows excluded") {
+    import spark.implicits._
+    // y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+    val perfect = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0))
+      .toDF("x", "y")
+    val p = Analytics.linearFit(perfect, "x", "y").collect()(0)
+    assert(p.getLong(0) == 4L)
+    assert(p.getDouble(1) == 2.0 && p.getDouble(2) == 1.0 &&
+      p.getDouble(3) == 1.0)
+    // hand-checked noisy fit: (0,1),(1,2),(2,2),(3,4) ->
+    // n=4 Sx=6 Sy=9 Sxx=14 Sxy=18 Syy=25
+    // slope = (4*18-6*9)/(4*14-36) = 18/20 = 0.9
+    // intercept = (9*14 - 6*18)/20 = 18/20 = 0.9
+    // r2 = 18^2/(20*(4*25-81)) = 324/380
+    val noisy = Seq((0.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 4.0))
+      .toDF("x", "y")
+    val r = Analytics.linearFit(noisy, "x", "y").collect()(0)
+    def r6(d: Double) = BigDecimal.valueOf(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(1) == 0.9 && r.getDouble(2) == 0.9)
+    assert(r.getDouble(3) == r6(324.0 / 380.0))
+    // null coordinates are excluded, not zero-treated
+    val withNulls = Seq((Some(1.0), Some(3.0)), (Some(2.0), Some(5.0)),
+      (None, Some(99.0)), (Some(99.0), None),
+      (Some(3.0), Some(7.0)), (Some(4.0), Some(9.0))).toDF("x", "y")
+    val w = Analytics.linearFit(withNulls, "x", "y").collect()(0)
+    assert(w.getLong(0) == 4L && w.getDouble(1) == 2.0)
+  }
 }
