@@ -46,7 +46,7 @@ object Spectral {
     * and the exact Rayleigh-quotient pair v'C'v / v'v over the
     * RESCALED covariance C' — lambda ~ rayNum/rayDen, both BIGINT so
     * the oracle compares integers, not floats. */
-  private[scale] def powerIterate(packed: Array[Long], dims: Int,
+  private[etlmudah] def powerIterate(packed: Array[Long], dims: Int,
                                   iters: Int): (Array[Long], Long, Long) = {
     val n = packed(dims * dims + dims)
     // exact centered covariance: cov_ij = n*G_ij - s_i*s_j

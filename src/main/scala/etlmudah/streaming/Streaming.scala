@@ -694,6 +694,92 @@ object Streaming {
       }
   }
 
+  /** Continuous EMBEDDING-SPECTRUM drift monitoring — the exact-integer
+    * PCA tier ([[etlmudah.scale.Spectral]], q232) as a stream sink,
+    * exercising graft_gram's MERGEABILITY the way [[heavyHitterSink]]
+    * exercises the CMS grid: each micro-batch folds its own Gram
+    * buffer (one partial-aggregated pass) and lands it exploded to
+    * (pos, cnt) rows in a batch_id partition; the standing second-
+    * moment state is plain addition over partials — EXACT, so the
+    * stream's component equals the batch component over the same rows,
+    * integer for integer. Each report re-derives the current top
+    * component (the same [[etlmudah.scale.Spectral.powerIterate]] code
+    * path as batch q232, over the bounded d^2 collect) and scores its
+    * alignment with a once-materialized REFERENCE component:
+    * cos = |v.vRef| / (|v||vRef|) — the "did the new crawl rotate the
+    * embedding space" gate, the spectral twin of [[driftSink]]'s PSI.
+    * Same idempotency scheme: dynamic-overwrite batch partitions,
+    * periodic compaction behind the recoverable swap; state is bounded
+    * by d^2 + d + 1 rows per live partition. */
+  def pcaDriftSink(rows: DataFrame, vecCol: String, ref: DataFrame,
+                   statePath: String, outPath: String, checkpoint: String,
+                   dims: Int = 64, scale: Int = 1024, iters: Int = 3,
+                   compactEvery: Int = 100):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import etlmudah.scale.Spectral
+    // reference component materialized once, driver-side, before the
+    // stream starts; deterministic, so a restart rewrites it identically
+    val refSpark = ref.sparkSession
+    val refPacked = Spectral.gramSums(ref, vecCol, dims, scale)
+      .collect()(0).getSeq[Long](0).toArray
+    val (vRef, _, _) = Spectral.powerIterate(refPacked, dims, iters)
+    import refSpark.implicits._
+    vRef.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("idx", "v").write.mode("overwrite").parquet(statePath + "__ref")
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stateFs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(stateFs, statePath)
+        Spectral.gramSums(batch, vecCol, dims, scale)
+          .select(posexplode(col("g")).as(Seq("pos", "cnt")))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(statePath)
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val compacted = spark.read.parquet(statePath)
+            .withColumn("batch_id",
+              greatest(col("batch_id"), lit(batchId - 1)))
+            .groupBy(col("pos"), col("batch_id"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .select(col("pos"), col("cnt"), col("batch_id"))
+            .localCheckpoint(true)
+          swapIn(stateFs, statePath)(tmp =>
+            compacted.write.mode("overwrite")
+              .partitionBy("batch_id").parquet(tmp))
+        }
+        // standing Gram = sum of partials; bounded d^2+d+1 collect
+        val packed = new Array[Long](dims * dims + dims + 1)
+        spark.read.parquet(statePath)
+          .groupBy(col("pos")).agg(sum(col("cnt")).as("cnt"))
+          .collect().foreach(r =>
+            packed(r.getInt(0)) = r.getLong(1))
+        val (vCur, num, den) = Spectral.powerIterate(packed, dims, iters)
+        val refV = spark.read.parquet(statePath + "__ref")
+          .orderBy(col("idx")).collect().map(_.getLong(1))
+        val dot = vCur.zip(refV).map { case (a, b) => a * b }.sum
+        val cos = math.abs(dot.toDouble) /
+          (math.sqrt(vCur.map(x => x.toDouble * x).sum) *
+            math.sqrt(refV.map(x => x.toDouble * x).sum))
+        import spark.implicits._
+        val report = vCur.zipWithIndex.map { case (x, i) =>
+          (i.toLong, x, refV(i), packed(dims * dims + dims),
+            BigDecimal.valueOf(cos).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble, num, den) }
+          .toSeq.toDF("idx", "v", "v_ref", "n_rows", "cos_ref",
+            "ray_num", "ray_den")
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(fs, outPath)
+        swapIn(fs, outPath)(tmp =>
+          report.write.mode("overwrite").parquet(tmp))
+        ()
+      }
+  }
+
   /** Incremental token-balanced shard EXPORT — `Sampling.shardAssign`
     * as a stream sink: each micro-batch's rows are assigned export
     * shards continuing the running byte offset where the previous batch

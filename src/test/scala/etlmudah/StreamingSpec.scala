@@ -375,6 +375,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("pcaDriftSink: streamed component == batch component integer-for-integer, re-run converges") {
+    import etlmudah.scale.Spectral
+    val out = Files.createTempDirectory("stream_pca").toString
+    val src = s"$out/src"
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    emb.repartition(5).write.mode("overwrite").parquet(src)
+    val all = spark.read.parquet(src)
+    def runOnce(cp: String): Unit = {
+      val stream = spark.readStream.schema(all.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = Streaming.pcaDriftSink(stream, "embedding", all,
+          s"$out/state", s"$out/report", cp, compactEvery = 2)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+    }
+    runOnce(s"$out/cp1")
+    val rep = spark.read.parquet(s"$out/report").orderBy("idx").collect()
+    assert(rep.length == 64)
+    // the standing Gram is the SUM of per-batch partials — exact, so
+    // the streamed component equals the batch component exactly
+    val batch = Spectral.pcaTopComponent(all, "embedding", 64)
+      .orderBy("idx").collect()
+    rep.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(1) == b.getLong(1), s"idx ${s.getLong(0)}")
+      assert(s.getLong(5) == b.getLong(2) && s.getLong(6) == b.getLong(3))
+    }
+    // reference was the same corpus -> perfect alignment
+    assert(rep.head.getDouble(4) == 1.0, "cos_ref must be exactly 1.0")
+    assert(rep.head.getLong(3) == all.count())
+    // compaction fired; re-delivered compaction batch and a fresh
+    // checkpoint both converge to the identical report
+    assert(spark.read.parquet(s"$out/state").select("batch_id")
+      .distinct().collect().map(_.get(0).toString.toInt).toSet == Set(3, 4))
+    dropCommit(s"$out/cp1", 4)
+    runOnce(s"$out/cp1")
+    val again = spark.read.parquet(s"$out/report").orderBy("idx").collect()
+    assert(rep.zip(again).forall { case (a, b) => a == b })
+    runOnce(s"$out/cp2")
+    val fresh = spark.read.parquet(s"$out/report").orderBy("idx").collect()
+    assert(rep.zip(fresh).forall { case (a, b) => a == b })
+  }
+
   test("driftSink: report == batch driftPsi(ref, streamed), state compacts, re-run converges") {
     import etlmudah.analytics.Profile
     val out = Files.createTempDirectory("stream_drift").toString
