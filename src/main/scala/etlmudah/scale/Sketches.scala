@@ -141,10 +141,18 @@ object Sketches {
     * is the one double — every operand exact (S <= m * 2^CAP << 2^53),
     * the expression written left-to-right identically on both engines,
     * so even it is hash-comparable. */
-  def hllReport(df: DataFrame, keyCol: String, b: Int = 6): DataFrame = {
+  def hllReport(df: DataFrame, keyCol: String, b: Int = 6): DataFrame =
+    reportOfRegs(hllRegisterTable(df, keyCol, b).groupBy(), b)
+      .select(col("m"), col("n_zero"), col("maxreg"), col("s"),
+        col("raw_est"))
+
+  /** The report fold shared by the global, per-group, and merged
+    * tiers: takes registers under any grouping. */
+  private def reportOfRegs(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      b: Int): DataFrame = {
     val m = 1 << b
-    val obs = hllRegisterTable(df, keyCol, b)
-    obs.agg(
+    grouped.agg(
         count(lit(1)).as("n_obs"),
         max(col("reg")).as("maxreg"),
         // sum 2^-reg, held exact by scaling with the FIXED cap
@@ -154,16 +162,41 @@ object Sketches {
         // scale
         sum(call_function("shiftleft", lit(1L),
           (lit((33 - b).toLong) - col("reg")).cast("int"))).as("s_cap"))
-      .select(
-        lit(m.toLong).as("m"),
-        (lit(m.toLong) - col("n_obs")).as("n_zero"),
-        col("maxreg"),
-        // S at cap: observed terms + a 2^cap term per zero register
-        (col("s_cap") + (lit(m.toLong) - col("n_obs")) *
-          call_function("shiftleft", lit(1L), lit(33 - b))).as("s"),
+      .withColumn("m", lit(m.toLong))
+      .withColumn("n_zero", lit(m.toLong) - col("n_obs"))
+      // S at cap: observed terms + a 2^cap term per zero register
+      .withColumn("s", col("s_cap") + (lit(m.toLong) - col("n_obs")) *
+        call_function("shiftleft", lit(1L), lit(33 - b)))
+      .withColumn("raw_est",
         round((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
           lit((m.toDouble * m)) *
-          pow(lit(2.0), lit((33 - b).toDouble)) / col("s"), 4)
-          .as("raw_est"))
+          pow(lit(2.0), lit((33 - b).toDouble)) / col("s"), 4))
+      .drop("n_obs", "s_cap")
+  }
+
+  /** HLL UNION ALGEBRA: per-group distinct sketches PLUS their merge —
+    * the property that makes HLL the distinct counter of a sharded
+    * world: registers union by per-bucket MAX, so the merge of
+    * per-source sketches IS the sketch of the union, exactly (never
+    * approximately — approximation lives only between sketch and
+    * truth). ONE register pass keyed by (group, bucket) feeds both
+    * tiers; the merged row carries group = '__all__'. At 100 TB each
+    * source/shard folds its own m-register sketch and the combiner
+    * maxes them — no re-scan of any source to count the union. */
+  def hllUnionReport(df: DataFrame, keyCol: String, groupCol: String,
+                     b: Int = 6): DataFrame = {
+    val regs = df
+      .select(col(groupCol).cast("string").as("grp"),
+        hllRho(col(keyCol), b).as("h"))
+      .groupBy(col("grp"), col("h.bucket").as("bucket"))
+      .agg(max(col("h.rho")).as("reg"))
+    val perGroup = reportOfRegs(regs.groupBy(col("grp")), b)
+    val merged = reportOfRegs(
+      regs.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+        .withColumn("grp", lit("__all__")).groupBy(col("grp")), b)
+    perGroup.union(merged)
+      .select(col("grp"), col("m"), col("n_zero"), col("maxreg"),
+        col("s"), col("raw_est"))
+      .orderBy(col("grp"))
   }
 }

@@ -3217,6 +3217,16 @@ object SparkEntry {
     "q239_linear_fit" -> ((s, dir) =>
       etlmudah.analytics.Analytics.linearFit(
         Tables.lineitem(s, dir), "l_quantity", "l_extendedprice")),
+
+    // HLL UNION ALGEBRA: per-priority distinct-customer sketches plus
+    // their max-merge (grp = '__all__') — the merge of per-group
+    // sketches IS the sketch of the union, exactly; customers overlap
+    // across priorities, so the merged estimate sits well below the
+    // per-group sum (the union, not the total). One register pass
+    // feeds both tiers; every register and estimate replays in SQL
+    "q240_hll_union" -> ((s, dir) =>
+      etlmudah.scale.Sketches.hllUnionReport(
+        Tables.orders(s, dir), "o_custkey", "o_orderpriority", b = 6)),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8354,5 +8364,41 @@ object SparkEntry {
         |  round(CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)
         |    / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 6) AS r2
         |FROM c""".stripMargin,
+
+    // q236's register replay grouped by priority, plus the '__all__'
+    // tier from a per-bucket MAX over the same register frame — the
+    // union algebra replayed, not assumed.
+    "q240_hll_union" -> {
+      val ladder = (0 until 26).map(k =>
+        s"(CASE WHEN suffix >= ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+         |      1, 8)) AS UBIGINT)::BIGINT AS lane
+         |  FROM orders),
+         |r AS (SELECT grp, lane >> 26 AS bucket,
+         |             lane & 67108863 AS suffix FROM h),
+         |regs AS (SELECT grp, bucket,
+         |    max(26 - ($ladder) + 1)::BIGINT AS reg
+         |  FROM r GROUP BY 1, 2),
+         |tiers AS (
+         |  SELECT grp, count(*)::BIGINT AS n_obs, max(reg)::BIGINT
+         |      AS maxreg,
+         |    sum(1::BIGINT << CAST(27 - reg AS INT))::BIGINT AS s_cap
+         |  FROM regs GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__all__', count(*)::BIGINT, max(reg)::BIGINT,
+         |    sum(1::BIGINT << CAST(27 - reg AS INT))::BIGINT
+         |  FROM (SELECT bucket, max(reg) AS reg FROM regs GROUP BY 1))
+         |SELECT grp, 64::BIGINT AS m,
+         |  (64 - n_obs)::BIGINT AS n_zero, maxreg,
+         |  (s_cap + (64 - n_obs) * (1::BIGINT << 27))::BIGINT AS s,
+         |  round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE
+         |      / 64.0::DOUBLE) * 4096.0::DOUBLE
+         |    * pow(2.0::DOUBLE, 27.0::DOUBLE)
+         |    / (s_cap + (64 - n_obs) * (1::BIGINT << 27)), 4) AS raw_est
+         |FROM tiers ORDER BY grp""".stripMargin
+    },
   )
 }

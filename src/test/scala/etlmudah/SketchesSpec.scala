@@ -131,6 +131,25 @@ class SketchesSpec extends SparkSpec {
     assert(got == distinctOnly, "registers are a function of the key SET")
   }
 
+  test("hllUnionReport: merged row IS the whole-frame sketch; union < per-group sum under overlap") {
+    val orders = Tables.orders(spark, sf0001)
+    val rep = Sketches.hllUnionReport(orders, "o_custkey",
+        "o_orderpriority", b = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // the merged tier equals the direct whole-frame report EXACTLY —
+    // union-by-max is an identity, not an approximation
+    val whole = Sketches.hllReport(orders, "o_custkey", b = 6).collect()(0)
+    assert(rep("__all__") == ((whole.getLong(0), whole.getLong(1),
+      whole.getLong(2), whole.getLong(3), whole.getDouble(4))))
+    // customers order at several priorities: the union estimate must
+    // sit well below the sum of the per-group estimates
+    val perSum = rep.filterNot(_._1 == "__all__").values.map(_._5).sum
+    assert(rep("__all__")._5 < 0.6 * perSum,
+      s"union ${rep("__all__")._5} vs per-group sum $perSum")
+  }
+
   test("hllReport: exact integer fields, estimate within HLL error on testdata") {
     val orders = Tables.orders(spark, sf0001)
     val r = Sketches.hllReport(orders, "o_custkey", b = 6).collect()(0)
