@@ -211,6 +211,67 @@ object Centrality {
     ranks.orderBy(desc("rank"), col("node"))
   }
 
+  /** PERSONALIZED PageRank on the same integer lattice — random walk
+    * with restart where ALL teleport mass lands on the `seeds` set
+    * (Haveliwala 2002, topic-sensitive PageRank; the graph-proximity
+    * primitive behind seed-based curation: "rank everything by how
+    * reachable it is from the hosts/documents we already trust").
+    * Identical arithmetic to [[pageRankInt]] except the teleport term:
+    * seeds get (15 * scale) div (100 * |S|), non-seeds get 0, and r0
+    * puts scale div |S| on seeds only. Same exactness (BIGINT, div),
+    * same loop shape (|E| table materialized once, |V| frames ride the
+    * broadcast-or-exchange dial), so the same unrolled-CTE oracle
+    * discipline applies. `seeds` is a (node BIGINT) frame; only seeds
+    * present in the graph carry teleport mass. */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+                              iters: Int = 3,
+                              scale: Long = 1000000000000L,
+                              localEdgeThreshold: Long = 500000L,
+                              broadcastNodeThreshold: Long = 10000000L)
+      : DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ew = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("weight").cast("long").as("weight"))
+      .withColumn("outw", sum(col("weight")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint(true)
+    val local = ew.count() <= localEdgeThreshold
+    def pin(df: DataFrame): DataFrame =
+      (if (local) df.coalesce(1) else df).localCheckpoint(true)
+    // |V| frame with the seed flag riding along (seeds are |V|-bounded)
+    val nodes = pin(
+      ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node"))).distinct()
+        .join(seeds.select(col("node").cast("long").as("node"))
+          .distinct().withColumn("is_seed", lit(true)),
+          Seq("node"), "left")
+        .withColumn("is_seed", coalesce(col("is_seed"), lit(false))))
+    val nS = nodes.where(col("is_seed")).count()
+    require(nS > 0, "personalized PageRank needs >= 1 seed in the graph")
+    var ranks = pin(nodes.withColumn("rank",
+      expr(s"CASE WHEN is_seed THEN ${scale}L div ${nS}L ELSE 0L END")))
+    val seedBase = s"(15 * ${scale}L) div (100 * ${nS}L)"
+    val n = nodes.count()
+    def small(df: DataFrame): DataFrame =
+      if (!local && n <= broadcastNodeThreshold) broadcast(df) else df
+    var it = 0
+    while (it < iters) {
+      val contrib = ew
+        .join(small(ranks.select(col("node").as("src"), col("rank"))),
+          Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank * weight) div outw").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      ranks = pin(nodes.join(small(contrib), Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          expr(s"CASE WHEN is_seed THEN $seedBase ELSE 0L END" +
+            " + (85 * coalesce(c, 0L)) div 100").as("rank")))
+      it += 1
+    }
+    ranks.orderBy(desc("rank"), col("node"))
+  }
+
   /** One [[pageRankInt]] round, exposed for plan rehearsal: the
     * rank/contribution (|V|-sized) sides pass through `small` — the
     * broadcast hint below the node threshold, identity above it, where

@@ -472,6 +472,29 @@ object Web {
       .orderBy(desc("rank"), col("host"))
   }
 
+  /** PERSONALIZED host rank — [[hostRank]] with the teleport mass
+    * pinned to a trusted seed-host set ([[etlmudah.graph.Centrality]]
+    * `.personalizedPageRankInt`): the "rank the web by proximity to
+    * hosts we already trust" prior (the seed-expansion discipline of
+    * curated crawls). `seedHosts` is a (host STRING) frame; hosts not
+    * in the graph are ignored. Output adds `is_seed`. */
+  def hostRankSeeded(edges: DataFrame, seedHosts: DataFrame,
+                     iters: Int = 3): DataFrame = {
+    def hid(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val e = edges.select(hid(col("src_host")).as("src"),
+      hid(col("dst_host")).as("dst"), col("weight"))
+    val hosts = edges.select(col("src_host").as("host"))
+      .union(edges.select(col("dst_host").as("host")))
+      .distinct()
+      .withColumn("node", hid(col("host")))
+    val seeds = seedHosts.select(hid(col("host")).as("node")).distinct()
+    etlmudah.graph.Centrality.personalizedPageRankInt(e, seeds, iters)
+      .join(broadcast(hosts), Seq("node"))
+      .select(col("host"), col("is_seed"), col("rank"))
+      .orderBy(desc("rank"), col("host"))
+  }
+
   /** Canonical form of an absolute URL — the dedup KEY web-crawl
     * pipelines group on before any content hashing, because the same
     * page arrives under many spellings (case, www, default ports,

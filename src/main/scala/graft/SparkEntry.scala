@@ -3227,6 +3227,21 @@ object SparkEntry {
     "q240_hll_union" -> ((s, dir) =>
       etlmudah.scale.Sketches.hllUnionReport(
         Tables.orders(s, dir), "o_custkey", "o_orderpriority", b = 6)),
+
+    // PERSONALIZED (topic-sensitive) host rank — Haveliwala 2002 over
+    // the staged host link graph: all teleport mass pinned to the
+    // '.com' seed hosts, so rank measures PROXIMITY TO THE TRUSTED SET
+    // (the seed-expansion prior of curated crawls), not global
+    // centrality. Same integer lattice, same warm staged-edge path as
+    // q223; the oracle replays the full 3-round seeded chain unrolled
+    "q241_personalized_host_rank" -> ((s, dir) => {
+      import etlmudah.web.Web
+      val edges = stagedHostEdges(s, dir)
+      val seeds = edges.select(col("src_host").as("host"))
+        .union(edges.select(col("dst_host").as("host"))).distinct()
+        .where(col("host").endsWith(".com"))
+      Web.hostRankSeeded(edges, seeds, iters = 3)
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8400,5 +8415,77 @@ object SparkEntry {
          |    / (s_cap + (64 - n_obs) * (1::BIGINT << 27)), 4) AS raw_est
          |FROM tiers ORDER BY grp""".stripMargin
     },
+
+    // Seeded-teleport replay: same edge/node/outw chain as q222's
+    // oracle, with r0 and the per-round teleport term gated on seed
+    // membership (host LIKE '%.com') and normalized by |S| not |V|.
+    "q241_personalized_host_rank" ->
+      s"""WITH hh AS (SELECT doc_id,
+         |    ${duckFakeHost("doc_id")} AS hsrc,
+         |    ${duckFakeHost("doc_id + 1")} AS h1,
+         |    ${duckFakeHost("3 * doc_id + 5")} AS h2
+         |  FROM documents),
+         |le AS (SELECT hsrc AS src_host, h1 AS dst_host FROM hh
+         |       UNION ALL SELECT hsrc, h2 FROM hh),
+         |e0 AS (SELECT src_host, dst_host, count(*)::BIGINT AS weight
+         |       FROM le WHERE src_host <> dst_host GROUP BY 1, 2),
+         |e AS (SELECT
+         |    CAST(('0x' || substr(md5(src_host),1,15)) AS UBIGINT)::BIGINT
+         |      AS src,
+         |    CAST(('0x' || substr(md5(dst_host),1,15)) AS UBIGINT)::BIGINT
+         |      AS dst,
+         |    weight FROM e0),
+         |hosts AS (SELECT host,
+         |    CAST(('0x' || substr(md5(host),1,15)) AS UBIGINT)::BIGINT
+         |      AS node
+         |  FROM (SELECT src_host AS host FROM e0
+         |        UNION SELECT dst_host FROM e0)),
+         |seedn AS (SELECT DISTINCT node FROM hosts
+         |          WHERE host LIKE '%.com'),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |ns AS (SELECT count(*)::BIGINT AS n FROM nodes
+         |       WHERE node IN (SELECT node FROM seedn)),
+         |ew AS (
+         |  SELECT e.src, e.dst, e.weight, o.outw
+         |  FROM e JOIN (SELECT src, sum(weight)::BIGINT AS outw
+         |               FROM e GROUP BY 1) o USING (src)),
+         |r0 AS (SELECT node,
+         |    (CASE WHEN node IN (SELECT node FROM seedn)
+         |      THEN 1000000000000 // (SELECT n FROM ns)
+         |      ELSE 0 END)::BIGINT AS rank
+         |  FROM nodes),
+         |r1 AS (SELECT nd.node,
+         |    (CASE WHEN nd.node IN (SELECT node FROM seedn)
+         |      THEN (15 * 1000000000000) // (100 * (SELECT n FROM ns))
+         |      ELSE 0 END
+         |     + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT ew.dst AS node,
+         |           sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+         |    FROM ew JOIN r0 r ON ew.src = r.node GROUP BY 1) c
+         |    USING (node)),
+         |r2 AS (SELECT nd.node,
+         |    (CASE WHEN nd.node IN (SELECT node FROM seedn)
+         |      THEN (15 * 1000000000000) // (100 * (SELECT n FROM ns))
+         |      ELSE 0 END
+         |     + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT ew.dst AS node,
+         |           sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+         |    FROM ew JOIN r1 r ON ew.src = r.node GROUP BY 1) c
+         |    USING (node)),
+         |r3 AS (SELECT nd.node,
+         |    (CASE WHEN nd.node IN (SELECT node FROM seedn)
+         |      THEN (15 * 1000000000000) // (100 * (SELECT n FROM ns))
+         |      ELSE 0 END
+         |     + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT ew.dst AS node,
+         |           sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
+         |    FROM ew JOIN r2 r ON ew.src = r.node GROUP BY 1) c
+         |    USING (node))
+         |SELECT hosts.host, hosts.host LIKE '%.com' AS is_seed, r3.rank
+         |FROM r3 JOIN hosts USING (node)
+         |ORDER BY rank DESC, host""".stripMargin,
   )
 }

@@ -43,6 +43,46 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  /** Serial replay of the seeded recurrence: teleport mass only on
+    * seeds, normalized by |S|. */
+  private def serialPpr(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+                        iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val s = nodes.count(seeds).toLong
+    val outw = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._3).sum }
+    var r = nodes.map(v => v -> (if (seeds(v)) SCALE / s else 0L)).toMap
+    val base = (15L * SCALE) / (100L * s)
+    (0 until iters).foreach { _ =>
+      val c = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (a, _, w) => (r(a) * w) / outw(a) }.sum
+      }
+      r = nodes.map(v => v -> ((if (seeds(v)) base else 0L) +
+        (85L * c.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRankInt matches the serial seeded replay; proximity beats distance") {
+    import spark.implicits._
+    // seed 1 feeds 2 which feeds 3; node 5 feeds 4 in a far component —
+    // 4 is UNREACHABLE from the seed and must rank below 2 and 3
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 2L),
+      (5L, 4L, 1L), (4L, 5L, 1L), (1L, 3L, 1L))
+    val seeds = Set(1L)
+    def run(it: Int) = Centrality.personalizedPageRankInt(
+        edges.toDF("src", "dst", "weight"),
+        Seq(1L).toDF("node"), it)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (1 to 4).foreach { it =>
+      assert(run(it) == serialPpr(edges, seeds, it), s"iters=$it")
+    }
+    val out = run(3)
+    assert(out(2L) > out(4L) && out(3L) > out(4L),
+      s"seed-reachable nodes must outrank the far component: $out")
+    assert(out(4L) == 0L || out(5L) == 0L || (out(4L) < out(2L)),
+      "no teleport mass may leak to the far component")
+  }
+
   test("pageRankInt ranks the hub of a star highest; spokes tie") {
     val spokes = (2L to 9L)
     val edges = spokes.flatMap(s => Seq((s, 1L, 1L), (1L, s, 1L)))
