@@ -552,6 +552,65 @@ object Analytics {
     * double divisions (identical operand order on both engines) are
     * hash-comparable. ONE map-side-combined aggregate; nothing else
     * moves. Null x or y rows are excluded (SQL regression semantics). */
+  /** DELETE-ONE-GROUP JACKKNIFE standard error for the mean — the
+    * uncertainty method of the sharded world next to the Poisson
+    * bootstrap ([[etlmudah.scale.Sampling]].bootstrapMeanCi): with
+    * data arriving in G natural groups (sources, shards, days), the
+    * leave-one-group-out means theta_g = (S - s_g) / (N - n_g) need
+    * only the PER-GROUP sums — one map-side-combined aggregate to |G|
+    * rows, no resampling pass at all — and
+    * se^2 = (G-1)/G * sum (theta_g - mean theta)^2.
+    *
+    * Exactness discipline: values fold as integer cents; theta_g is
+    * one deterministic double division, immediately re-quantized to an
+    * integer micro-lattice t_g = round(theta_g * thetaScale) so the
+    * variance uses the EXACT integer identity
+    * G*sum(t^2) - (sum t)^2 on DECIMAL(38,0) — no order-dependent
+    * float accumulation anywhere; the one sqrt runs on an exact
+    * integer operand (IEEE sqrt is correctly rounded, so both engines
+    * agree bit for bit). */
+  def jackknifeMeanByGroup(df: DataFrame, valueCol: String,
+                           groupCol: String,
+                           thetaScale: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val g = df.select(col(groupCol).as("grp"), cents.as("__c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("__c")).as("s_g"))
+    val w = Window.partitionBy() // |G| frame
+    val t = g
+      .withColumn("bigN", sum(col("n_g")).over(w))
+      .withColumn("bigS", sum(col("s_g")).over(w))
+      .withColumn("nGroups", count(lit(1)).over(w))
+      // a single-group frame has no leave-one-out complement: theta
+      // degenerates (and (G-1) zeroes the se anyway) — guard the ANSI
+      // Infinity->long cast rather than crash
+      .withColumn("theta_g",
+        when(col("bigN") > col("n_g"),
+          (col("bigS") - col("s_g")).cast("double") /
+            (lit(100.0) * (col("bigN") - col("n_g")).cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("t_g", round(col("theta_g") * thetaScale).cast("long"))
+    t.agg(
+        max(col("bigN")).as("n"),
+        max(col("nGroups")).as("n_groups"),
+        max(col("bigS")).as("bigS"),
+        sum(col("t_g").cast(d38)).as("st"),
+        // cast BEFORE multiplying: t^2 on the long lane could wrap for
+        // large thetaScale; decimal(38) holds it at any dial
+        sum(col("t_g").cast(d38) * col("t_g").cast(d38)).as("stt"))
+      .select(
+        col("n"), col("n_groups"),
+        round(col("bigS").cast("double") /
+          (lit(100.0) * col("n").cast("double")), 6).as("point_est"),
+        round(sqrt((col("n_groups").cast(d38) * col("stt") -
+            col("st") * col("st")).cast("double") *
+            (col("n_groups") - 1).cast("double")) /
+          col("n_groups").cast("double") / thetaScale.toDouble, 6)
+          .as("jk_se"))
+  }
+
   def linearFit(df: DataFrame, xCol: String, yCol: String,
                 xScale: Int = 100, yScale: Int = 100): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -3242,6 +3242,17 @@ object SparkEntry {
         .where(col("host").endsWith(".com"))
       Web.hostRankSeeded(edges, seeds, iters = 3)
     }),
+
+    // DELETE-ONE-GROUP JACKKNIFE standard error of mean(o_totalprice)
+    // over the priority groups — the bootstrap's (q237) resampling-free
+    // sibling for naturally sharded data: leave-one-group-out means
+    // need only the |G| per-group sums (one aggregate), variance rides
+    // the exact integer identity G*sum(t^2)-(sum t)^2 on a re-quantized
+    // micro-lattice, and the single sqrt runs on an exact operand —
+    // every number including the se hash-matches
+    "q242_jackknife_se" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.jackknifeMeanByGroup(
+        Tables.orders(s, dir), "o_totalprice", "o_orderpriority")),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8487,5 +8498,41 @@ object SparkEntry {
          |SELECT hosts.host, hosts.host LIKE '%.com' AS is_seed, r3.rank
          |FROM r3 JOIN hosts USING (node)
          |ORDER BY rank DESC, host""".stripMargin,
+
+    // Jackknife replay: per-group cent sums, the guarded leave-one-out
+    // double, the micro-lattice re-quantization, and the exact integer
+    // variance identity on HUGEINT — every double step mirrored.
+    "q242_jackknife_se" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS grp, count(*)::BIGINT AS n_g,
+        |    sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+        |      ::BIGINT AS s_g
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT grp, n_g, s_g,
+        |    (SELECT sum(n_g)::BIGINT FROM g) AS bign,
+        |    (SELECT sum(s_g)::BIGINT FROM g) AS bigs,
+        |    (SELECT count(*)::BIGINT FROM g) AS ng
+        |  FROM g),
+        |t2 AS (
+        |  SELECT *, CAST(round(
+        |    (CASE WHEN bign > n_g THEN
+        |       CAST(bigs - s_g AS DOUBLE)
+        |         / (100.0::DOUBLE * CAST(bign - n_g AS DOUBLE))
+        |     ELSE 0.0::DOUBLE END) * CAST(10000 AS DOUBLE))
+        |    AS BIGINT) AS t_g
+        |  FROM t),
+        |agg AS (
+        |  SELECT max(bign) AS n, max(ng) AS n_groups, max(bigs) AS bigs,
+        |    sum(t_g)::HUGEINT AS st,
+        |    sum(t_g::HUGEINT * t_g::HUGEINT)::HUGEINT AS stt
+        |  FROM t2)
+        |SELECT n, n_groups,
+        |  round(CAST(bigs AS DOUBLE)
+        |    / (100.0::DOUBLE * CAST(n AS DOUBLE)), 6) AS point_est,
+        |  round(sqrt(CAST(n_groups::HUGEINT * stt - st * st AS DOUBLE)
+        |      * CAST(n_groups - 1 AS DOUBLE))
+        |    / CAST(n_groups AS DOUBLE) / 10000.0::DOUBLE, 6) AS jk_se
+        |FROM agg""".stripMargin,
   )
 }

@@ -362,6 +362,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(auc(Seq((0.3, 0), (0.7, 0))).isEmpty)
   }
 
+  test("jackknifeMeanByGroup: serial replay on hand groups; degenerate single group is safe") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 30.0), ("b", 50.0),
+      ("c", 40.0)).toDF("g", "v")
+    val r = Analytics.jackknifeMeanByGroup(df, "v", "g").collect()(0)
+    // serial replay of the documented chain
+    val cents = Map("a" -> Seq(1000L, 2000L), "b" -> Seq(3000L, 5000L),
+      "c" -> Seq(4000L))
+    val (bigN, bigS) = (5L, cents.values.flatten.sum)
+    val ts = cents.values.map { s =>
+      val theta = (bigS - s.sum).toDouble / (100.0 * (bigN - s.size))
+      BigDecimal.valueOf(theta * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+    }.toSeq
+    val g = ts.size.toLong
+    val varNum = (BigInt(g) * ts.map(t => BigInt(t) * BigInt(t)).sum -
+      BigInt(ts.sum) * BigInt(ts.sum)).toDouble
+    def r6(d: Double) = BigDecimal.valueOf(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == r6(bigS.toDouble / (100.0 * 5)))
+    assert(r.getDouble(3) ==
+      r6(math.sqrt(varNum * (g - 1).toDouble) / g.toDouble / 10000.0))
+    assert(r.getDouble(3) > 0.0)
+    // one group: se collapses to 0, no Infinity cast crash
+    val one = Analytics.jackknifeMeanByGroup(
+      Seq(("x", 7.0), ("x", 9.0)).toDF("g", "v"), "v", "g").collect()(0)
+    assert(one.getDouble(3) == 0.0 && one.getDouble(2) == 8.0)
+  }
+
   test("linearFit: closed form on hand data; perfect line gives r2 = 1; null rows excluded") {
     import spark.implicits._
     // y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
