@@ -612,13 +612,24 @@ object Analytics {
   }
 
   def linearFit(df: DataFrame, xCol: String, yCol: String,
-                xScale: Int = 100, yScale: Int = 100): DataFrame = {
+                xScale: Int = 100, yScale: Int = 100): DataFrame =
+    linearFitBy(df, xCol, yCol, Nil, xScale, yScale)
+
+  /** [[linearFit]] PER GROUP — one trend line per `groupCols` key
+    * (trend-per-source, trend-per-segment): the same exact decimal
+    * moment fold, now map-side combined per group; still one pass,
+    * one exchange of |groups| moment rows. Empty `groupCols` is the
+    * global fit. */
+  def linearFitBy(df: DataFrame, xCol: String, yCol: String,
+                  groupCols: Seq[String],
+                  xScale: Int = 100, yScale: Int = 100): DataFrame = {
     val d38 = "decimal(38,0)"
     val x = round(col(xCol).cast("double") * xScale).cast("long")
     val y = round(col(yCol).cast("double") * yScale).cast("long")
     val m = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(x.as("__x"), y.as("__y"))
+      .select(groupCols.map(col) ++ Seq(x.as("__x"), y.as("__y")): _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).cast(d38).as("n"),
         sum(col("__x").cast(d38)).as("sx"),
@@ -628,21 +639,67 @@ object Analytics {
         sum((col("__y") * col("__y")).cast(d38)).as("syy"))
     // exact decimal numerators/denominators, then ONE double division
     // each — operand order mirrored verbatim in the oracle
-    m.select(
-        col("n").cast("bigint").as("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
-        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("int_n"),
-        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y"))
-      .select(col("n"),
-        // slope in y-units per x-unit: the lattice ratio re-scales by
-        // xScale/yScale, folded into the double step
-        round(col("cov_n").cast("double") / col("var_x").cast("double") *
-          (xScale.toDouble / yScale.toDouble), 6).as("slope"),
-        round(col("int_n").cast("double") / col("var_x").cast("double") /
-          yScale.toDouble, 6).as("intercept"),
-        round(col("cov_n").cast("double") * col("cov_n").cast("double") /
-          (col("var_x").cast("double") * col("var_y").cast("double")), 6)
-          .as("r2"))
+    val out = m.select(
+        groupCols.map(col) ++ Seq(
+          col("n").cast("bigint").as("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).as("int_n"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("var_y")): _*)
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n"),
+          // slope in y-units per x-unit: the lattice ratio re-scales by
+          // xScale/yScale, folded into the double step
+          round(col("cov_n").cast("double") / col("var_x").cast("double") *
+            (xScale.toDouble / yScale.toDouble), 6).as("slope"),
+          round(col("int_n").cast("double") / col("var_x").cast("double") /
+            yScale.toDouble, 6).as("intercept"),
+          round(col("cov_n").cast("double") * col("cov_n").cast("double") /
+            (col("var_x").cast("double") * col("var_y").cast("double")), 6)
+            .as("r2")): _*)
+    if (groupCols.isEmpty) out
+    else out.orderBy(groupCols.map(col): _*)
+  }
+
+  /** BENFORD first-digit audit — the classic fabricated-data screen:
+    * the observed first-significant-digit distribution of a naturally
+    * spread positive measure follows log10(1 + 1/d); gross deviation
+    * flags synthetic, truncated, or unit-mixed data. The digit is
+    * EXACT integer/string work (first char of the integral part of
+    * |v| — no log, no float classification); expected shares are
+    * fixed 6dp literals (log10(1 + 1/d) precomputed — no log function
+    * crosses an engine boundary); the chi-square statistic runs on the
+    * 9-row aggregated frame. One map-side-combined groupBy; nothing
+    * else moves. */
+  val benfordShares: Seq[Double] = Seq(0.301030, 0.176091, 0.124939,
+    0.096910, 0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    // floor(double) is already a LONG in Spark; the string's first
+    // char is the exact first significant digit of any value >= 1
+    val digit = substring(floor(abs(v)).cast("string"), 1, 1).cast("int")
+    val counts = df
+      .where(v.isNotNull && abs(v) >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy() // 9-row frame
+    counts
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("share",
+        round(col("n").cast("double") / col("total").cast("double"), 6))
+      .withColumn("benford",
+        element_at(array(benfordShares.map(lit): _*), col("digit")))
+      .withColumn("chi_term", round(
+        (col("n").cast("double") - col("total").cast("double") *
+          col("benford")) *
+          (col("n").cast("double") - col("total").cast("double") *
+            col("benford")) /
+          (col("total").cast("double") * col("benford")), 6))
+      .select(col("digit"), col("n"), col("share"), col("benford"),
+        col("chi_term"))
+      .orderBy(col("digit"))
   }
 }

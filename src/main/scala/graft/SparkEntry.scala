@@ -3253,6 +3253,23 @@ object SparkEntry {
     "q242_jackknife_se" -> ((s, dir) =>
       etlmudah.analytics.Analytics.jackknifeMeanByGroup(
         Tables.orders(s, dir), "o_totalprice", "o_orderpriority")),
+
+    // BENFORD first-digit audit of o_totalprice — the classic
+    // fabricated-data screen: observed first-significant-digit shares
+    // against the fixed log10(1 + 1/d) expectation (6dp literals — no
+    // log function crosses an engine boundary) with per-digit
+    // chi-square terms, all on the 9-row aggregated frame
+    "q243_benford_digits" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.benfordReport(
+        Tables.orders(s, dir), "o_totalprice")),
+
+    // q239's exact OLS PER GROUP: one trend line per l_returnflag —
+    // the same decimal moment fold, map-side combined per group, one
+    // exchange of |groups| moment rows
+    "q244_linear_fit_by_flag" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.linearFitBy(
+        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
+        Seq("l_returnflag"))),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8534,5 +8551,64 @@ object SparkEntry {
         |      * CAST(n_groups - 1 AS DOUBLE))
         |    / CAST(n_groups AS DOUBLE) / 10000.0::DOUBLE, 6) AS jk_se
         |FROM agg""".stripMargin,
+
+    // Benford replay: same exact digit extraction (floor -> BIGINT ->
+    // first char), same fixed 6dp expected shares, chi terms mirrored.
+    "q243_benford_digits" -> {
+      val shares = etlmudah.analytics.Analytics.benfordShares
+        .zipWithIndex.map { case (v, i) => s"($v)" }.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(abs(
+         |      CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS VARCHAR),
+         |      1, 1) AS INT) AS digit
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL
+         |    AND abs(CAST(o_totalprice AS DOUBLE)) >= 1.0),
+         |counts AS (SELECT digit, count(*)::BIGINT AS n FROM d
+         |           GROUP BY 1),
+         |t AS (SELECT digit, n,
+         |        (SELECT sum(n)::BIGINT FROM counts) AS total
+         |      FROM counts),
+         |b AS (SELECT digit, n, total,
+         |    round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+         |    ([$shares])[digit] AS benford
+         |  FROM t)
+         |SELECT digit, n, share, benford,
+         |  round((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * benford)
+         |    * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * benford)
+         |    / (CAST(total AS DOUBLE) * benford), 6) AS chi_term
+         |FROM b ORDER BY digit""".stripMargin
+    },
+
+    // The grouped OLS replay — q239's chain with a GROUP BY key.
+    "q244_linear_fit_by_flag" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS x,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+        |      AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT l_returnflag, count(*)::HUGEINT AS n,
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |    sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy,
+        |    sum(y * y)::HUGEINT AS syy
+        |  FROM q GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |    n * sxy - sx * sy AS cov_n,
+        |    n * sxx - sx * sx AS var_x,
+        |    sy * sxx - sx * sxy AS int_n,
+        |    n * syy - sy * sy AS var_y
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  round(CAST(cov_n AS DOUBLE) / CAST(var_x AS DOUBLE)
+        |    * (100.0::DOUBLE / 100.0::DOUBLE), 6) AS slope,
+        |  round(CAST(int_n AS DOUBLE) / CAST(var_x AS DOUBLE)
+        |    / 100.0::DOUBLE, 6) AS intercept,
+        |  round(CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)
+        |    / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 6) AS r2
+        |FROM c ORDER BY l_returnflag""".stripMargin,
   )
 }

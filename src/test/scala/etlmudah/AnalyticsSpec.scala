@@ -362,6 +362,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(auc(Seq((0.3, 0), (0.7, 0))).isEmpty)
   }
 
+  test("benfordReport: exact digit extraction, sub-1 and null excluded, chi terms replay") {
+    import spark.implicits._
+    val vals = Seq(Some(1.5), Some(12.0), Some(19.9), Some(2.3),
+      Some(95.0), Some(0.5), None, Some(-30.0))
+    val rows = Analytics.benfordReport(vals.toDF("v"), "v").collect()
+    val byDigit = rows.map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // 0.5 (sub-1) and null excluded; -30 counts under |v| digit 3
+    assert(byDigit.keySet == Set(1, 2, 3, 9))
+    assert(byDigit(1)._1 == 3L && byDigit(2)._1 == 1L &&
+      byDigit(3)._1 == 1L && byDigit(9)._1 == 1L)
+    def r6(d: Double) = BigDecimal.valueOf(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDigit(1)._2 == 0.5 && byDigit(1)._3 == 0.301030)
+    val e1 = 6.0 * 0.301030
+    assert(byDigit(1)._4 == r6((3.0 - e1) * (3.0 - e1) / e1))
+    // digits come out ordered
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 9))
+  }
+
   test("jackknifeMeanByGroup: serial replay on hand groups; degenerate single group is safe") {
     import spark.implicits._
     val df = Seq(("a", 10.0), ("a", 20.0), ("b", 30.0), ("b", 50.0),
