@@ -650,14 +650,20 @@ object Analytics {
         groupCols.map(col) ++ Seq(
           col("n"),
           // slope in y-units per x-unit: the lattice ratio re-scales by
-          // xScale/yScale, folded into the double step
-          round(col("cov_n").cast("double") / col("var_x").cast("double") *
-            (xScale.toDouble / yScale.toDouble), 6).as("slope"),
-          round(col("int_n").cast("double") / col("var_x").cast("double") /
-            yScale.toDouble, 6).as("intercept"),
-          round(col("cov_n").cast("double") * col("cov_n").cast("double") /
-            (col("var_x").cast("double") * col("var_y").cast("double")), 6)
-            .as("r2")): _*)
+          // xScale/yScale, folded into the double step. Degenerate
+          // groups (constant x -> var_x = 0, or constant y for r2)
+          // report NULL — Spark 4 ANSI throws on ANY zero divisor,
+          // doubles included, so the guard is correctness, not polish
+          when(col("var_x") =!= 0,
+            round(col("cov_n").cast("double") / col("var_x").cast("double") *
+              (xScale.toDouble / yScale.toDouble), 6)).as("slope"),
+          when(col("var_x") =!= 0,
+            round(col("int_n").cast("double") / col("var_x").cast("double") /
+              yScale.toDouble, 6)).as("intercept"),
+          when(col("var_x") =!= 0 && col("var_y") =!= 0,
+            round(col("cov_n").cast("double") * col("cov_n").cast("double") /
+              (col("var_x").cast("double") * col("var_y").cast("double")),
+              6)).as("r2")): _*)
     if (groupCols.isEmpty) out
     else out.orderBy(groupCols.map(col): _*)
   }

@@ -53,9 +53,15 @@ object Validate {
     "fail_rate", "example")
 
   private def withRate(df: DataFrame): DataFrame =
-    df.withColumn("fail_rate",
-        round(col("n_failed").cast("double") /
-          col("n_checked").cast("double"), 6))
+    df
+      // an empty frame folds sum() to NULL and checks nothing: the
+      // report reads 0 checked / 0 failed / rate 0.0, never NULL/NaN
+      .withColumn("n_checked", coalesce(col("n_checked"), lit(0L)))
+      .withColumn("n_failed", coalesce(col("n_failed"), lit(0L)))
+      .withColumn("fail_rate",
+        when(col("n_checked") > 0,
+          round(col("n_failed").cast("double") /
+            col("n_checked").cast("double"), 6)).otherwise(lit(0.0)))
       .select(reportCols.map(col): _*)
 
   /** All row rules in ONE aggregate pass. */

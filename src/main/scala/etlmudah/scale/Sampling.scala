@@ -671,12 +671,18 @@ object Sampling {
         col("__v"), col("__w"))
       .where(col("rep") < reps)
     val mus = weighted.groupBy(col("rep")).agg(
-      (sum(col("__w") * col("__v")).cast("double") /
-        (lit(100.0) * sum(col("__w")).cast("double"))).as("mu"))
+      // an all-zero-weight replicate (probability 0.368^n — real only
+      // for toy frames) is an EMPTY resample with no mean; ANSI throws
+      // on the zero divisor, so it reports NULL and drops from the
+      // percentile frame
+      when(sum(col("__w")) > 0,
+        sum(col("__w") * col("__v")).cast("double") /
+          (lit(100.0) * sum(col("__w")).cast("double"))).as("mu"))
     val rnLo = math.ceil(0.025 * reps).toLong
     val rnHi = math.ceil(0.975 * reps).toLong
     val w = Window.orderBy(col("mu").asc, col("rep").asc) // |reps| frame
-    val ranked = mus.withColumn("__rn", row_number().over(w))
+    val ranked = mus.where(col("mu").isNotNull)
+      .withColumn("__rn", row_number().over(w))
     val point = df.agg(
       count(lit(1)).as("n"),
       (sum(v).cast("double") /

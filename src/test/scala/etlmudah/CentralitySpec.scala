@@ -190,6 +190,25 @@ class CentralitySpec extends SparkSpec {
     assert(secs < 120.0, f"forced-distributed PageRank took $secs%.1f s")
   }
 
+  test("personalizedPageRankInt: forced distributed layout matches default " +
+    "bit-exactly on the hot-star graph") {
+    import spark.implicits._
+    val n = 2000
+    val star = (1 until n).map(i => (i.toLong, 0L, 1L))
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong, 2L))
+    val edges = (star ++ ring).toDF("src", "dst", "weight").repartition(8)
+    val seeds = Seq(0L, 7L).toDF("node")
+    def run(le: Long, bt: Long) = Centrality.personalizedPageRankInt(
+        edges, seeds, iters = 3,
+        localEdgeThreshold = le, broadcastNodeThreshold = bt)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val forced = run(0L, 0L)
+    val dflt = run(500000L, 10000000L)
+    assert(forced.toSeq == dflt.toSeq,
+      "seeded distributed layout must be bit-identical to local/broadcast")
+    assert(forced.head._1 == 0L, "the seeded hot hub must rank first")
+  }
+
   test("pageRankInt round plan: above the node threshold the |V| side is " +
     "NOT broadcast; below it the hint forces a broadcast") {
     import spark.implicits._

@@ -477,4 +477,40 @@ class EdgeCasesSpec extends SparkSpec {
       "text", "doc_id").collect()
     assert(fre.length == 1 && fre.head.getLong(2) == 1L) // sentences floor
   }
+
+  test("round-10 operators tolerate empty/degenerate input") {
+    import etlmudah.scale.{Sketches, Spectral}
+    import etlmudah.quality.Validate
+    // CMS / HLL over nothing: zero grid, zero observed registers
+    assert(Sketches.cmsSketch(emptySales, "k", 2, 8)
+      .collect()(0).getSeq[Long](0).sum == 0L)
+    val hll = Sketches.hllReport(emptySales, "k", 6).collect()(0)
+    assert(hll.getLong(1) == 64L, "all 64 registers still zero")
+    // PCA over nothing: a well-formed zero component, no ANSI throw
+    val vecs = Seq.empty[Tuple1[Array[Float]]].toDF("vec")
+    val comp = Spectral.pcaTopComponent(vecs, "vec", 4).collect()
+    assert(comp.length == 4 && comp.forall(_.getLong(1) == 0L))
+    // bootstrap over nothing: empty report, never a crash
+    assert(Sampling.bootstrapMeanCi(emptySales, "k", "v", 40).count() == 0)
+    // benford over nothing / all sub-1 values: empty report
+    assert(Analytics.benfordReport(emptySales, "v").count() == 0)
+    assert(Analytics.benfordReport(
+      Seq(("a", 0.25)).toDF("k", "v"), "v").count() == 0)
+    // linear fit needs >= 2 distinct x to have var_x > 0: degenerate
+    // single-point input yields nulls (0/0 guarded by ANSI-safe
+    // division semantics on doubles), not a throw
+    val lf = Analytics.linearFit(
+      Seq((1.0, 2.0)).toDF("x", "y"), "x", "y").collect()(0)
+    assert(lf.getLong(0) == 1L)
+    // validation over nothing: zero checked, rate 0.0, null witness
+    val vr = Validate.report(emptySales, "k",
+      rowRules = Seq(Validate.RowRule("v_pos", col("v") > 0)),
+      uniqueRules = Seq(Validate.UniqueRule("k_unique", Seq("k"))))
+      .collect()
+    assert(vr.length == 2)
+    vr.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L &&
+        r.getDouble(4) == 0.0 && r.isNullAt(5), r.toString)
+    }
+  }
 }
