@@ -183,6 +183,36 @@ object Sketches {
     * tiers; the merged row carries group = '__all__'. At 100 TB each
     * source/shard folds its own m-register sketch and the combiner
     * maxes them — no re-scan of any source to count the union. */
+  /** HLL OVERLAP estimate via inclusion-exclusion: |A n B| ~
+    * est(A) + est(B) - est(A u B), with the union sketch the exact
+    * per-bucket MAX merge — how two shards/sources/snapshots estimate
+    * their key overlap WITHOUT ever co-shuffling keys (each side folds
+    * its own m registers; the comparison is m-row arithmetic). The
+    * error compounds (three +-1.04/sqrt(m) estimates), which is the
+    * documented trade: the exact intersection join is the audit tier,
+    * carried alongside. One row out: est_a, est_b, est_union,
+    * est_overlap, n_true_overlap. */
+  def hllOverlapReport(dfA: DataFrame, dfB: DataFrame, keyCol: String,
+                       b: Int = 6): DataFrame = {
+    val ra = hllRegisterTable(dfA, keyCol, b)
+    val rb = hllRegisterTable(dfB, keyCol, b)
+    def est(regs: DataFrame, name: String): DataFrame =
+      reportOfRegs(regs.groupBy(), b).select(col("raw_est").as(name))
+    val ru = ra.union(rb).groupBy(col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    val truth = dfA.select(col(keyCol).as("__k")).distinct()
+      .join(dfB.select(col(keyCol).as("__k")).distinct(), Seq("__k"))
+      .agg(count(lit(1)).as("n_true_overlap"))
+    est(ra, "est_a")
+      .crossJoin(broadcast(est(rb, "est_b")))
+      .crossJoin(broadcast(est(ru, "est_union")))
+      .crossJoin(broadcast(truth))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4)
+          .as("est_overlap"),
+        col("n_true_overlap"))
+  }
+
   def hllUnionReport(df: DataFrame, keyCol: String, groupCol: String,
                      b: Int = 6): DataFrame = {
     val regs = df

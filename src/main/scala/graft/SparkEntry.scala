@@ -3270,6 +3270,19 @@ object SparkEntry {
       etlmudah.analytics.Analytics.linearFitBy(
         Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
         Seq("l_returnflag"))),
+
+    // HLL OVERLAP via inclusion-exclusion: how many customers the
+    // URGENT and LOW priority tiers SHARE, estimated from three
+    // sketches (A, B, and their exact max-merge union) without
+    // co-shuffling keys; the exact intersection rides alongside as the
+    // audit tier. Every register and every estimate replays in SQL
+    "q245_hll_overlap" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      etlmudah.scale.Sketches.hllOverlapReport(
+        orders.where(col("o_orderpriority") === "1-URGENT"),
+        orders.where(col("o_orderpriority") === "5-LOW"),
+        "o_custkey", b = 6)
+    }),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8610,5 +8623,48 @@ object SparkEntry {
         |  round(CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)
         |    / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 6) AS r2
         |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    // Inclusion-exclusion replay: q236's register/estimate chain run
+    // for A, B, and their per-bucket-MAX merge; the exact intersection
+    // is one distinct-join count.
+    "q245_hll_overlap" -> {
+      val ladder = (0 until 26).map(k =>
+        s"(CASE WHEN suffix >= ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def regs(tag: String, pred: String): String =
+        s"""r$tag AS (SELECT bucket, max(26 - ($ladder) + 1)::BIGINT AS reg
+           |  FROM (SELECT lane >> 26 AS bucket, lane & 67108863 AS suffix
+           |        FROM (SELECT CAST(('0x' ||
+           |            substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+           |            AS UBIGINT)::BIGINT AS lane
+           |          FROM orders WHERE $pred))
+           |  GROUP BY 1)""".stripMargin
+      def est(tag: String): String =
+        s"""e$tag AS (SELECT round(0.7213::DOUBLE / (1.0::DOUBLE
+           |    + 1.079::DOUBLE / 64.0::DOUBLE) * 4096.0::DOUBLE
+           |    * pow(2.0::DOUBLE, 27.0::DOUBLE)
+           |    / (sum(1::BIGINT << CAST(27 - reg AS INT))::BIGINT
+           |       + (64 - count(*)) * (1::BIGINT << 27)), 4) AS est
+           |  FROM r$tag)""".stripMargin
+      s"""WITH ${regs("a", "o_orderpriority = '1-URGENT'")},
+         |${regs("b", "o_orderpriority = '5-LOW'")},
+         |ru AS (SELECT bucket, max(reg) AS reg
+         |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+         |  GROUP BY 1),
+         |${est("a")},
+         |${est("b")},
+         |${est("u")},
+         |truth AS (
+         |  SELECT count(*)::BIGINT AS n_true_overlap FROM (
+         |    SELECT DISTINCT o_custkey FROM orders
+         |    WHERE o_orderpriority = '1-URGENT'
+         |    INTERSECT
+         |    SELECT DISTINCT o_custkey FROM orders
+         |    WHERE o_orderpriority = '5-LOW'))
+         |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+         |  round(ea.est + eb.est - eu.est, 4) AS est_overlap,
+         |  truth.n_true_overlap
+         |FROM ea, eb, eu, truth""".stripMargin
+    },
   )
 }

@@ -192,7 +192,10 @@ class PlanShapeSpec extends SparkSpec {
       "q236_hll_distinct_sketch",
       // q237 assembles its one-row report from three single-row frames
       // (point estimate x nearest-rank lo x nearest-rank hi)
-      "q237_bootstrap_mean_ci")
+      "q237_bootstrap_mean_ci",
+      // q245 assembles four single-row frames (three sketch estimates
+      // + the exact-intersection audit count)
+      "q245_hll_overlap")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
