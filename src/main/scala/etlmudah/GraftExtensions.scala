@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, UnigramViterbi, WavSampleStats}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, NfcNormalize, UnigramViterbi, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -107,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_gram(vec, dims[, scale])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),

@@ -708,4 +708,144 @@ object Analytics {
         col("chi_term"))
       .orderBy(col("digit"))
   }
+
+  /** EXACT 2-D skyline (Pareto frontier): the rows no other row beats
+    * on BOTH axes — maximize `maxCol`, minimize `minCol`, domination
+    * strict in at least one (exact (max,min) duplicates therefore all
+    * survive). The price-performance frontier readout
+    * (`market_overview.py`'s best-value scatter, reduced to the
+    * undominated set).
+    *
+    * Scale shape — the distributed sort-sweep, never the quadratic
+    * NOT-EXISTS self-join the SQL definition suggests:
+    *  1. one bounded driver read (2 values: min/max of `maxCol`) sizes
+    *     a fixed-width `width_bucket` grid, so every row gets an
+    *     ORDERED bucket id as a pure function of its value (equal
+    *     values can never straddle a bucket, and every value in a
+    *     higher bucket is strictly greater than every value below it —
+    *     the half-open grid intervals are disjoint);
+    *  2. per bucket, ONE hash exchange + one sort carries both sweep
+    *     windows: min(`minCol`) over same-bucket rows with strictly
+    *     larger `maxCol` (desc RANGE frame to -1 — `maxCol` must be
+    *     integral for the strict range bound) and over exact peers
+    *     (RANGE frame 0..0);
+    *  3. cross-bucket domination collapses to a |buckets|-row summary
+    *     (per-bucket min of `minCol`, cumulative-from-the-top) that
+    *     BROADCASTS back — the global coupling moves ≤ `buckets` rows,
+    *     never data.
+    * Skewed value distributions concentrate rows in few buckets; the
+    * dial is the same as the Z-order note — swap the linear grid for
+    * quantile boundaries, identical expression shape. */
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String,
+                buckets: Int = 64): DataFrame = {
+    val rows = df.where(col(maxCol).isNotNull && col(minCol).isNotNull)
+    val ext = rows.agg(min(col(maxCol)).cast("double"),
+      max(col(maxCol)).cast("double")).head()
+    if (ext.isNullAt(0)) return rows
+    val (lo, hi) = (ext.getDouble(0), ext.getDouble(1))
+    val bucketed = rows.withColumn("__bucket",
+      width_bucket(col(maxCol).cast("double"), lit(lo), lit(hi + 1.0),
+        lit(buckets)))
+    val wSweep = Window.partitionBy(col("__bucket")).orderBy(col(maxCol).desc)
+    val swept = bucketed
+      .withColumn("__min_larger", min(col(minCol)).over(
+        wSweep.rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__min_peer", min(col(minCol)).over(
+        wSweep.rangeBetween(Window.currentRow, Window.currentRow)))
+    val higher = bucketed.groupBy(col("__bucket"))
+      .agg(min(col(minCol)).as("__bmin"))
+      .withColumn("__min_higher", min(col("__bmin")).over(
+        Window.orderBy(col("__bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__bucket"), col("__min_higher"))
+    swept.join(broadcast(higher), "__bucket")
+      .where((col("__min_larger").isNull ||
+          col("__min_larger") > col(minCol)) &&
+        !(col("__min_peer") < col(minCol)) &&
+        (col("__min_higher").isNull || col("__min_higher") > col(minCol)))
+      .select(rows.columns.map(col): _*)
+  }
+
+  /** Gaps-and-islands over a per-key monthly activity calendar: each
+    * key's distinct active months collapse into maximal runs of
+    * consecutive months (the row_number-difference construction — a
+    * run of consecutive month indexes has constant m − row_number), and
+    * the report is the ISLAND-LENGTH distribution (n islands and n
+    * distinct keys at each streak length) — the engagement-continuity
+    * readout behind retention dashboards, at a deterministic
+    * fixed-grain output.
+    *
+    * Scale: distinct (key, month) is one map-side-combined exchange
+    * (the month grain collapses event volume before anything else
+    * moves), the run window rides a key-keyed sort, and the
+    * distribution is a second tiny aggregate — per-key state never
+    * exceeds that key's distinct months. */
+  def activityIslands(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val monthIdx = (year(col(tsCol)) * 12 + month(col(tsCol)) - 1).cast("long")
+    val months = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("k"), monthIdx.as("m")).distinct()
+    val w = Window.partitionBy(col("k")).orderBy(col("m"))
+    months
+      .withColumn("__grp", col("m") - row_number().over(w))
+      .groupBy(col("k"), col("__grp"))
+      .agg(count(lit(1)).as("island_len"))
+      .groupBy(col("island_len"))
+      .agg(count(lit(1)).as("n_islands"),
+        countDistinct(col("k")).as("n_keys"))
+      .orderBy(col("island_len"))
+  }
+
+  /** Welch two-sample t-test (unequal variances) between two groups of
+    * `groupCol` — the A/B readout: does the mean of `valueCol` differ?
+    * Returns one row: counts, 6dp means, the t statistic, and the
+    * Welch–Satterthwaite degrees of freedom.
+    *
+    * Exactness discipline (the [[linearFit]] lattice): values quantize
+    * to an integer lattice at `scale` and the per-group moment sums
+    * (n, Σx, Σx²) fold as DECIMAL(38,0) — order-independent at any
+    * size — so the float closed forms at the end consume exact inputs
+    * and the statistic replays bit-for-bit in any engine. ONE
+    * conditionally-aggregated corpus pass, map-side combined to a
+    * single row; nothing else moves. Degenerate inputs (a group with
+    * n < 2, or zero pooled standard error) yield null t/df, not a
+    * crash. */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+                 groupA: String, groupB: String,
+                 scale: Int = 100): DataFrame = {
+    val x = round(col(valueCol).cast("double") * scale)
+      .cast("decimal(38,0)")
+    def side(g: String, tag: String) = Seq(
+      sum(when(col(groupCol) === g, lit(1L)).otherwise(lit(0L)))
+        .as(s"n_$tag"),
+      sum(when(col(groupCol) === g, x).otherwise(lit(null)))
+        .as(s"sx_$tag"),
+      sum(when(col(groupCol) === g, x * x).otherwise(lit(null)))
+        .as(s"sxx_$tag"))
+    val m = df.where(col(valueCol).isNotNull)
+      .agg((side(groupA, "a") ++ side(groupB, "b")).head,
+        (side(groupA, "a") ++ side(groupB, "b")).tail: _*)
+    def meanOf(t: String) =
+      col(s"sx_$t").cast("double") / col(s"n_$t").cast("double") /
+        scale.toDouble
+    // sample variance on the original scale: (n·Σx² − (Σx)²)/(n(n−1))/s²
+    def varOf(t: String) =
+      (col(s"n_$t").cast("decimal(38,0)") * col(s"sxx_$t") -
+        col(s"sx_$t") * col(s"sx_$t")).cast("double") /
+        (col(s"n_$t") * (col(s"n_$t") - 1)).cast("double") /
+        (scale.toDouble * scale.toDouble)
+    val se2 = varOf("a") / col("n_a").cast("double") +
+      varOf("b") / col("n_b").cast("double")
+    val dfW = se2 * se2 /
+      (varOf("a") * varOf("a") /
+        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double") +
+        varOf("b") * varOf("b") /
+          (col("n_b") * (col("n_b")) * (col("n_b") - 1)).cast("double"))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0
+    m.select(col("n_a"), col("n_b"),
+      round(meanOf("a"), 6).as("mean_a"),
+      round(meanOf("b"), 6).as("mean_b"),
+      when(ok, round((meanOf("a") - meanOf("b")) / sqrt(se2), 6))
+        .as("t_stat"),
+      when(ok, round(dfW, 6)).as("df_welch"))
+  }
 }

@@ -62,6 +62,50 @@ object Centrality {
       .filter(col("weight") >= minWeight)
   }
 
+  /** Pairwise ASSOCIATION RULES over baskets (the Agrawal–Srikant
+    * market-basket surface at the 2-itemset tier): for every item pair
+    * with co-support ≥ `minSupport` DISTINCT baskets, both directed
+    * confidences plus support and lift, top `k` by lift — the
+    * complements/substitutes readout behind the co-purchase graph
+    * (lift > 1 complements, < 1 substitutes). All inputs are exact
+    * BIGINT basket counts, so every ratio replays engine-exactly at
+    * 6dp.
+    *
+    * Scale shape: the basket frame DISTINCTs first (multiplicity is
+    * not evidence in the support model — and it is also what bounds
+    * the self-join fan-out to degree², the [[cooccurrencePairs]]
+    * argument), pair counting reuses [[cooccurrencePairs]] verbatim,
+    * margins are one map-side-combined item aggregate joined in by
+    * item key, and the basket total rides a broadcast single-row
+    * frame. minSupport prunes BEFORE the margin joins, so the rule
+    * frame entering them is the signal-bearing core only. */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+                       minSupport: Long = 3L, k: Int = 20): DataFrame = {
+    val items = df
+      .where(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(groupCol).as("g"), col(itemCol).cast("long").as("item"))
+      .distinct()
+    val pairs = cooccurrencePairs(items, "g", "item", minWeight = minSupport)
+      .withColumnRenamed("weight", "co_support")
+    val margins = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val total = items.agg(countDistinct(col("g")).as("n_baskets"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    pairs
+      .join(margins.select(col("item").as("u"), col("n_item").as("n_u")), "u")
+      .join(margins.select(col("item").as("v"), col("n_item").as("n_v")), "v")
+      .crossJoin(broadcast(total))
+      .select(col("u"), col("v"), col("co_support"), col("n_u"), col("n_v"),
+        col("n_baskets"),
+        round(d(col("co_support")) / d(col("n_baskets")), 6).as("support"),
+        round(d(col("co_support")) / d(col("n_u")), 6).as("conf_u_v"),
+        round(d(col("co_support")) / d(col("n_v")), 6).as("conf_v_u"),
+        round(d(col("co_support")) * d(col("n_baskets")) /
+          (d(col("n_u")) * d(col("n_v"))), 6).as("lift"))
+      .orderBy(col("lift").desc, col("u").asc, col("v").asc)
+      .limit(k)
+  }
+
   /** Per-node triangle participation + degree over an undirected edge
     * list (u, v with u < v; defensively canonicalized). Returns
     * (node, degree, triangles) ordered triangles DESC with node as the

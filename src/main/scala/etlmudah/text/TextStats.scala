@@ -48,6 +48,32 @@ object TextStats {
     trim(regexp_replace(folded, "\\s+", " "))
   }
 
+  /** NFC normalization AUDIT per slice: how much of the corpus carries
+    * non-canonical Unicode spellings (decomposed combining sequences,
+    * compatibility singletons like U+212B), measured by running
+    * `graft_nfc` ([[etlmudah.expr.NfcNormalize]]) and counting docs the
+    * normalization actually changed plus the codepoint-length delta.
+    * This is the diagnose step in front of applying `graft_nfc` as a
+    * cleanup stage (the mojibakeScan/cleanText split: scan first, gate
+    * the rewrite on evidence).
+    *
+    * 100 TB shape: one projection computing the normalized form ONCE
+    * per row (the q237 one-projection-per-expensive-expression
+    * discipline — the change flag and both lengths reuse it), then one
+    * map-side-combined aggregate. Requires the `GraftExtensions`
+    * session extension (graft_nfc). */
+  def nfcAudit(df: DataFrame, textCol: String, sliceCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(sliceCol).as("slice"), col(textCol).as("__t"),
+        call_function("graft_nfc", col(textCol)).as("__n"))
+      .groupBy(col("slice")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__t") =!= col("__n"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(length(col("__t"))).as("chars_raw"),
+        sum(length(col("__n"))).as("chars_nfc"))
+      .orderBy(col("slice"))
+
   /** MOJIBAKE (encoding-damage) scan: per-slice counts of the classic
     * UTF-8-bytes-decoded-as-Latin-1/cp1252 artifacts — 'Ã©'-family
     * accented-letter double-decodes, the 'â€¦' punctuation family
@@ -973,6 +999,48 @@ object TextStats {
         .select("ngram")
     grams.groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Chi-square TERM–LABEL association (supervised feature selection,
+    * the Yang–Pedersen 1997 ranking): for every term with document
+    * frequency ≥ `minDf`, the 2×2 presence/label chi-square —
+    * N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) over the per-DOCUMENT
+    * contingency counts — top `k` terms by statistic. The
+    * vocabulary-selection step in front of any trained gate (the q198
+    * classifier hashes blindly; this is the readout of WHICH surface
+    * forms carry the label).
+    *
+    * Exactness: all four cells derive from BIGINT document counts and
+    * the statistic's numerator/denominator fold as DECIMAL(38,0), so
+    * the single closing division is deterministic cross-engine.
+    * Scale: per-doc term presence via `array_distinct` INSIDE the
+    * explode (no doc-keyed exchange — dedup happens in the row), one
+    * map-side-combined term aggregate, corpus totals ride a broadcast
+    * single-row frame; minDf prunes the term frame before the join. */
+  def chiSquareTerms(df: DataFrame, textCol: String, idCol: String,
+                     labelCol: Column, minDf: Long = 5L,
+                     k: Int = 25): DataFrame = {
+    val docTerms = df.select(labelCol.cast("long").as("y"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val totals = df.agg(count(lit(1)).as("n_docs"),
+      sum(labelCol.cast("long")).as("n_pos"))
+    val perTerm = docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_term"), sum(col("y")).as("df_pos"))
+      .where(col("df_term") >= minDf)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val a = dec(col("df_pos"))
+    val b = dec(col("df_term") - col("df_pos"))
+    val c2 = dec(col("n_pos") - col("df_pos"))
+    val d2 = dec(col("n_docs") - col("n_pos") - col("df_term") +
+      col("df_pos"))
+    val det = a * d2 - b * c2
+    val denom = (a + b) * (c2 + d2) * (a + c2) * (b + d2)
+    perTerm.crossJoin(broadcast(totals))
+      .select(col("term"), col("df_term"), col("df_pos"),
+        when(denom > 0, round((dec(col("n_docs")) * det * det)
+          .cast("double") / denom.cast("double"), 6)).as("chi2"))
+      .orderBy(col("chi2").desc_nulls_last, col("term").asc)
       .limit(k)
   }
 

@@ -109,6 +109,15 @@ object SparkEntry {
   private val mojibakeSuffix =
     " caf\u00C3\u00A9 \u00E2\u20AC\u0153quote \u00C2 nb"
 
+  /** Deterministic NON-NFC suffix for q252 (the q212 dirty-synthesis
+    * precedent): a decomposed e + COMBINING ACUTE, a decomposed A +
+    * COMBINING RING, and the U+212B ANGSTROM SIGN compatibility
+    * singleton \u2014 NFC composes all three (11 codepoints -> 9), so every
+    * doc is changed and the length delta is closed-form. Codepoint
+    * escapes only; interpolated into BOTH engines so the injected
+    * damage is identical. */
+  private val nfcSuffix = " cafe\u0301 A\u030A \u212B"
+
   private val portableSigTag = "psig-v1-n3-k128"
   private[graft] def stagedPortableSigs(s: SparkSession, dir: String): DataFrame =
     stagedArtifact(s, dir, portableSigTag, "psig")(
@@ -3283,6 +3292,68 @@ object SparkEntry {
         orders.where(col("o_orderpriority") === "5-LOW"),
         "o_custkey", b = 6)
     }),
+
+    // EXACT 2-D skyline of the part catalog (maximize p_size, minimize
+    // p_retailprice): the undominated price-performance frontier. The
+    // engine runs the distributed bucket-sweep (grid exchange + two
+    // RANGE-frame windows + a |buckets|-row broadcast summary); the
+    // oracle runs the quadratic NOT-EXISTS definition — same set by
+    // the dominance algebra, wildly different plans
+    "q246_skyline_parts" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.skyline2d(
+        Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+        "p_size", "p_retailprice")
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice"), 2).as("price_2"))
+        .orderBy(col("p_size"), col("price_2"), col("p_partkey"))),
+
+    // gaps-and-islands: each customer's distinct active order-months
+    // collapse into maximal consecutive runs; output is the
+    // streak-length distribution (the retention-continuity readout)
+    "q247_order_streaks" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.activityIslands(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate")),
+
+    // k-anonymity / l-diversity audit of the customer export: QI =
+    // (nation, segment), sensitive = the in-debt flag; one row per
+    // equivalence-class size with the worst sensitive diversity
+    "q248_k_anonymity" -> ((s, dir) =>
+      etlmudah.quality.Privacy.kAnonymityReport(
+        Tables.customer(s, dir).withColumn("in_debt",
+          (col("c_acctbal") < 0).cast("int")),
+        Seq("c_nationkey", "c_mktsegment"), "in_debt")),
+
+    // Welch two-sample t-test: does mean order value differ between
+    // URGENT and LOW priority? Lattice-exact moments, one pass
+    "q249_welch_ttest" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.welchTTest(Tables.orders(s, dir),
+        "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")),
+
+    // pairwise association rules over order baskets: support /
+    // directed confidences / lift from DISTINCT-basket counts, top 20
+    // by lift — the co-purchase graph's complements/substitutes readout
+    "q250_association_rules" -> ((s, dir) =>
+      etlmudah.graph.Centrality.associationRules(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        minSupport = 3L, k = 20)),
+
+    // chi-square term-label feature selection: terms most associated
+    // with lang='en' by the 2x2 presence chi-square over doc counts
+    "q251_chi2_terms" -> ((s, dir) =>
+      TextStats.chiSquareTerms(Tables.documents(s, dir), "text", "doc_id",
+        col("lang") === "en", minDf = 5L, k = 25)),
+
+    // NFC normalization audit per source over deterministically
+    // damaged text (every doc gets the same 3-composition suffix):
+    // graft_nfc vs DuckDB's nfc_normalize, doc-change counts and
+    // codepoint-length deltas must agree exactly
+    "q252_nfc_audit" -> ((s, dir) =>
+      TextStats.nfcAudit(
+        Tables.documents(s, dir)
+          .where(col("text").isNotNull)
+          .withColumn("text", concat(col("text"), lit(nfcSuffix))),
+        "text", "source")),
   )
 
   /** Stopword list shared by quality/text queries (and their oracles). */
@@ -8666,5 +8737,169 @@ object SparkEntry {
          |  truth.n_true_overlap
          |FROM ea, eb, eu, truth""".stripMargin
     },
+
+    // The skyline DEFINITION (quadratic NOT-EXISTS domination): the
+    // engine's bucket-sweep must produce exactly this set.
+    "q246_skyline_parts" ->
+      """SELECT p.p_partkey, p.p_size,
+        |  round(p.p_retailprice, 2) AS price_2
+        |FROM part p
+        |WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM part q
+        |    WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+        |      AND q.p_size >= p.p_size
+        |      AND q.p_retailprice <= p.p_retailprice
+        |      AND (q.p_size > p.p_size
+        |        OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_size, price_2, p_partkey""".stripMargin,
+
+    // row_number-difference run collapse, replayed verbatim.
+    "q247_order_streaks" ->
+      """WITH mo AS (
+        |  SELECT DISTINCT o_custkey AS k,
+        |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT
+        |      AS m
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL),
+        |runs AS (
+        |  SELECT k,
+        |    m - row_number() OVER (PARTITION BY k ORDER BY m) AS grp
+        |  FROM mo),
+        |islands AS (
+        |  SELECT k, grp, count(*)::BIGINT AS island_len
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT island_len, count(*)::BIGINT AS n_islands,
+        |  count(DISTINCT k)::BIGINT AS n_keys
+        |FROM islands GROUP BY 1 ORDER BY island_len""".stripMargin,
+
+    "q248_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    count(*)::BIGINT AS class_size,
+        |    count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS l_div
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT class_size, count(*)::BIGINT AS n_classes,
+        |  (class_size * count(*))::BIGINT AS n_rows,
+        |  min(l_div)::BIGINT AS min_l
+        |FROM cls GROUP BY 1 ORDER BY class_size""".stripMargin,
+
+    // Welch replay on the same integer-cent lattice; expression trees
+    // mirrored so the float closed forms agree bit-for-bit.
+    "q249_welch_ttest" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+        |      AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_a,
+        |    sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN g = '1-URGENT' THEN x END)::HUGEINT AS sx_a,
+        |    sum(CASE WHEN g = '1-URGENT' THEN x * x END)::HUGEINT
+        |      AS sxx_a,
+        |    sum(CASE WHEN g = '5-LOW' THEN x END)::HUGEINT AS sx_b,
+        |    sum(CASE WHEN g = '5-LOW' THEN x * x END)::HUGEINT AS sxx_b
+        |  FROM q),
+        |c AS (
+        |  SELECT n_a, n_b,
+        |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a,
+        |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_b,
+        |    CAST(n_a::HUGEINT * sxx_a - sx_a * sx_a AS DOUBLE)
+        |      / CAST(n_a * (n_a - 1) AS DOUBLE) / 10000.0 AS var_a,
+        |    CAST(n_b::HUGEINT * sxx_b - sx_b * sx_b AS DOUBLE)
+        |      / CAST(n_b * (n_b - 1) AS DOUBLE) / 10000.0 AS var_b
+        |  FROM m),
+        |s AS (
+        |  SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+        |    var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)
+        |      AS se2
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+        |    round((mean_a - mean_b) / sqrt(se2), 6) END AS t_stat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+        |    round(se2 * se2 / (
+        |      var_a * var_a / CAST(n_a * n_a * (n_a - 1) AS DOUBLE) +
+        |      var_b * var_b / CAST(n_b * n_b * (n_b - 1) AS DOUBLE)),
+        |      6) END AS df_welch
+        |FROM s""".stripMargin,
+
+    // support/confidence/lift from DISTINCT-basket counts.
+    "q250_association_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey::BIGINT AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pairs AS (
+        |  SELECT a.item AS u, b.item AS v, count(*)::BIGINT AS co_support
+        |  FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |marg AS (SELECT item, count(*)::BIGINT AS n FROM items
+        |         GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT g)::BIGINT AS n_baskets FROM items)
+        |SELECT u, v, co_support, mu.n AS n_u, mv.n AS n_v, n_baskets,
+        |  round(CAST(co_support AS DOUBLE) / CAST(n_baskets AS DOUBLE),
+        |    6) AS support,
+        |  round(CAST(co_support AS DOUBLE) / CAST(mu.n AS DOUBLE), 6)
+        |    AS conf_u_v,
+        |  round(CAST(co_support AS DOUBLE) / CAST(mv.n AS DOUBLE), 6)
+        |    AS conf_v_u,
+        |  round(CAST(co_support AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |    / (CAST(mu.n AS DOUBLE) * CAST(mv.n AS DOUBLE)), 6) AS lift
+        |FROM pairs
+        |JOIN marg mu ON pairs.u = mu.item
+        |JOIN marg mv ON pairs.v = mv.item
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, u, v LIMIT 20""".stripMargin,
+
+    // 2x2 presence chi-square over per-document term counts; HUGEINT
+    // cells mirror the engine's DECIMAL(38,0) fold.
+    "q251_chi2_terms" ->
+      """WITH tot AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_pos
+        |  FROM documents),
+        |dt AS (
+        |  SELECT DISTINCT doc_id, (lang = 'en') AS y,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |pt AS (
+        |  SELECT term, count(*)::BIGINT AS df_term,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS df_pos
+        |  FROM dt GROUP BY 1 HAVING count(*) >= 5),
+        |cells AS (
+        |  SELECT term, df_term, df_pos,
+        |    df_pos::HUGEINT AS a, (df_term - df_pos)::HUGEINT AS b,
+        |    (n_pos - df_pos)::HUGEINT AS c,
+        |    (n_docs - n_pos - df_term + df_pos)::HUGEINT AS d,
+        |    n_docs::HUGEINT AS n
+        |  FROM pt CROSS JOIN tot)
+        |SELECT term, df_term, df_pos,
+        |  CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0 THEN
+        |    round(CAST(n * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
+        |      / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE),
+        |      6) END AS chi2
+        |FROM cells
+        |ORDER BY chi2 DESC NULLS LAST, term LIMIT 25""".stripMargin,
+
+    // nfc_normalize is DuckDB's own NFC — the engine's graft_nfc must
+    // agree on every changed-doc count and codepoint length.
+    "q252_nfc_audit" ->
+      s"""WITH d AS (
+         |  SELECT source, text || '$nfcSuffix' AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |n AS (SELECT source, t, nfc_normalize(t) AS nf FROM d)
+         |SELECT source AS slice, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN t <> nf THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_changed,
+         |  sum(length(t))::BIGINT AS chars_raw,
+         |  sum(length(nf))::BIGINT AS chars_nfc
+         |FROM n GROUP BY 1 ORDER BY slice""".stripMargin,
   )
 }

@@ -59,6 +59,103 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(shares.sum - 100.0) < 1e-6)
   }
 
+  test("skyline2d: matches the quadratic dominance definition, duplicates survive") {
+    import spark.implicits._
+    val pts = Seq(
+      (1, 10, 5.0), (2, 10, 5.0),   // exact duplicates -> both survive
+      (3, 12, 7.0), (4, 8, 4.0), (5, 12, 6.0), (6, 5, 1.0),
+      (7, 12, 9.0), (8, 9, 4.5), (9, 3, 1.0), (10, 3, 0.5),
+      (11, 12, 6.0)                  // duplicate of the frontier corner
+    )
+    // brute-force definition: no other point with sz >= && price <=
+    // and strict in at least one
+    val expected = pts.filter { case (_, s, p) =>
+      !pts.exists { case (_, s2, p2) =>
+        s2 >= s && p2 <= p && (s2 > s || p2 < p)
+      }
+    }.map(_._1).toSet
+    for (buckets <- Seq(1, 3, 64)) {
+      val got = Analytics.skyline2d(pts.toDF("id", "sz", "price"),
+        "sz", "price", buckets = buckets)
+        .select("id").as[Int].collect().toSet
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
+  test("skyline2d: null axes drop; empty input yields empty frontier") {
+    import spark.implicits._
+    val df = Seq[(Int, Option[Int], Option[Double])](
+      (1, Some(5), None), (2, None, Some(1.0)), (3, Some(4), Some(2.0)))
+      .toDF("id", "sz", "price")
+    val got = Analytics.skyline2d(df, "sz", "price")
+      .select("id").as[Int].collect().toSeq
+    assert(got == Seq(3))
+    val empty = Analytics.skyline2d(
+      df.where(col("id") > 99), "sz", "price")
+    assert(empty.count() == 0)
+  }
+
+  test("activityIslands: consecutive-month runs collapse; distribution grain") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // A: [Jan,Feb,Mar] [Jun,Jul] [Oct]; B: [Apr]; Feb duplicated
+    val df = Seq(
+      ("A", ts("2024-01-15")), ("A", ts("2024-02-01")),
+      ("A", ts("2024-02-20")), ("A", ts("2024-03-31")),
+      ("A", ts("2024-06-01")), ("A", ts("2024-07-01")),
+      ("A", ts("2024-10-01")), ("B", ts("2024-04-10"))
+    ).toDF("k", "t")
+    val r = Analytics.activityIslands(df, "k", "t").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 2L, 2L), (2L, 1L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("activityIslands: December->January runs bridge the year boundary") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val df = Seq(("A", ts("2023-12-01")), ("A", ts("2024-01-05")))
+      .toDF("k", "t")
+    val r = Analytics.activityIslands(df, "k", "t").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("welchTTest: matches the closed form; lattice-exact moments") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0))
+      .toDF("g", "v")
+    val r = Analytics.welchTTest(df, "v", "g", "a", "b").collect().head
+    val (ma, mb) = (2.0, 5.0)
+    val (va, vb) = (1.0, 20.0 / 3.0)   // sample variances
+    val se2 = va / 3 + vb / 4
+    val t = (ma - mb) / math.sqrt(se2)
+    val dfw = se2 * se2 /
+      (va * va / (3.0 * 3 * 2) + vb * vb / (4.0 * 4 * 3))
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 4)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-5)
+    assert(math.abs(r.getAs[Double]("df_welch") - dfw) < 1e-4)
+  }
+
+  test("welchTTest: degenerate inputs yield null t, not a crash") {
+    import spark.implicits._
+    // n_a = 1
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r1 = Analytics.welchTTest(tiny, "v", "g", "a", "b").collect().head
+    assert(r1.isNullAt(r1.fieldIndex("t_stat")))
+    // zero pooled variance (both groups constant)
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val r2 = Analytics.welchTTest(const, "v", "g", "a", "b").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("t_stat")) &&
+      r2.isNullAt(r2.fieldIndex("df_welch")))
+    // one group entirely absent
+    val r3 = Analytics.welchTTest(tiny, "v", "g", "a", "zzz")
+      .collect().head
+    assert(r3.getAs[Long]("n_b") == 0 &&
+      r3.isNullAt(r3.fieldIndex("t_stat")))
+  }
+
   test("latestPerKey: deterministic winner under duplicate keys") {
     import spark.implicits._
     val dup = Seq(("k1", 1, "old"), ("k1", 2, "new"), ("k2", 5, "only"))

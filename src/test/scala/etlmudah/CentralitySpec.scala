@@ -282,4 +282,30 @@ class CentralitySpec extends SparkSpec {
     val ranks = pr.map(_.getLong(1)).toSeq
     assert(ranks == ranks.sortBy(-_), "output must be rank-descending")
   }
+
+  test("associationRules: known baskets, distinct-basket counting, lift order") {
+    import spark.implicits._
+    // basket 1 holds A twice: multiplicity must NOT inflate support
+    val df = Seq(
+      (1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 20L), (4L, 30L),
+      (5L, 10L)
+    ).toDF("basket", "item")
+    val r = Centrality.associationRules(df, "basket", "item",
+      minSupport = 2L, k = 10).collect()
+    // pairs >= 2 baskets: (10,20) co=3, (20,30) co=2; (10,30) co=1 pruned
+    assert(r.length == 2)
+    val first = r.head   // lift (20,30) = 5*2/(4*2) = 1.25 tops the list
+    assert((first.getAs[Long]("u"), first.getAs[Long]("v")) == ((20L, 30L)))
+    assert(first.getAs[Long]("co_support") == 2L)
+    assert(first.getAs[Double]("lift") == 1.25)
+    assert(first.getAs[Double]("conf_u_v") == 0.5)      // 2/4
+    assert(first.getAs[Double]("conf_v_u") == 1.0)      // 2/2
+    val second = r(1)    // lift (10,20) = 5*3/(4*4) = 0.9375
+    assert((second.getAs[Long]("u"), second.getAs[Long]("v")) == ((10L, 20L)))
+    assert(second.getAs[Double]("lift") == 0.9375)
+    assert(second.getAs[Double]("support") == 0.6)      // 3/5
+  }
 }

@@ -1273,4 +1273,70 @@ class TextStatsSpec extends SparkSpec {
       Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), "text", "doc_id")
     assert(singles.count() == 0)
   }
+
+  test("chiSquareTerms: 2x2 closed form, per-doc presence, minDf prune") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "apple banana apple"),   // repeat must not double-count
+      (2L, "en", "apple"),
+      (3L, "de", "banana kiwi")
+    ).toDF("doc_id", "lang", "text")
+    val r = TextStats.chiSquareTerms(docs, "text", "doc_id",
+      col("lang") === "en", minDf = 1L, k = 10)
+      .collect()
+      .map(x => x.getString(0) ->
+        (x.getAs[Long]("df_term"), x.getAs[Long]("df_pos"),
+          x.getAs[Double]("chi2"))).toMap
+    // N=3, n_pos=2. apple: a=2 b=0 c=0 d=1 -> 3*(2*1)^2/(2*1*2*1)=3.0
+    assert(r("apple") == ((2L, 2L, 3.0)))
+    // kiwi: a=0 b=1 c=2 d=0 -> 3*(0-2)^2/(1*2*2*1) = 3.0
+    assert(r("kiwi") == ((1L, 0L, 3.0)))
+    // banana: a=1 b=1 c=1 d=0 -> 3*(0-1)^2/(2*1*2*1) = 0.75
+    assert(r("banana") == ((2L, 1L, 0.75)))
+    // minDf=2 prunes the df=1 term
+    val pruned = TextStats.chiSquareTerms(docs, "text", "doc_id",
+      col("lang") === "en", minDf = 2L, k = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(pruned == Set("apple", "banana"))
+  }
+
+  test("chiSquareTerms: degenerate single-class corpus yields null chi2") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "apple"), (2L, "en", "banana"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextStats.chiSquareTerms(docs, "text", "doc_id",
+      col("lang") === "en", minDf = 1L, k = 10).collect()
+    assert(r.nonEmpty && r.forall(_.isNullAt(3)))
+  }
+
+  test("graft_nfc: composes sequences and singletons; idempotent; null-safe") {
+    import spark.implicits._
+    val decomposedE = "café"          // e + COMBINING ACUTE
+    val angstrom = "Å"                 // compatibility singleton
+    val df = Seq(decomposedE + " " + angstrom).toDF("t")
+      .select(call_function("graft_nfc", col("t")).as("n"))
+    val got = df.collect().head.getString(0)
+    assert(got == "café Å")
+    // idempotent: a second pass is the identity
+    val twice = Seq(got).toDF("t")
+      .select(call_function("graft_nfc", col("t"))).collect().head.getString(0)
+    assert(twice == got)
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(call_function("graft_nfc", col("t"))).collect().head
+    assert(nul.isNullAt(0))
+  }
+
+  test("nfcAudit: per-slice change counts and codepoint deltas") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "plain ascii"),                 // unchanged
+      ("s1", "broken café"),           // 12 chars -> 11 composed
+      ("s2", "Å lab")                   // 5 chars -> 5 (singleton swap)
+    ).toDF("source", "text")
+    val r = TextStats.nfcAudit(docs, "text", "source").collect()
+      .map(x => (x.getString(0), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_changed"), x.getAs[Long]("chars_raw"),
+        x.getAs[Long]("chars_nfc"))).toSeq
+    assert(r == Seq(("s1", 2L, 1L, 23L, 22L), ("s2", 1L, 1L, 5L, 5L)))
+  }
 }

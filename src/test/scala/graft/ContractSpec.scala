@@ -30,7 +30,8 @@ class ContractSpec extends AnyFunSuite {
       "SELECT graft_cms(CAST(id AS STRING), 4, 16) FROM range(10)",
       "SELECT graft_viterbi('abx', array('ab'), array(10L))",
       "SELECT graft_gram(array(CAST(id AS DOUBLE), 1.0D), 2, 1024) " +
-        "FROM range(10)")
+        "FROM range(10)",
+      "SELECT graft_nfc('cafe\u0301')")
     probes.foreach { p =>
       val rows = spark.sql(p).collect()
       assert(rows.nonEmpty, p)

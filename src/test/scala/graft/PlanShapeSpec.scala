@@ -195,7 +195,10 @@ class PlanShapeSpec extends SparkSpec {
       "q237_bootstrap_mean_ci",
       // q245 assembles four single-row frames (three sketch estimates
       // + the exact-intersection audit count)
-      "q245_hll_overlap")
+      "q245_hll_overlap",
+      // q250/q251 carry q57's single-row corpus-total broadcast (the
+      // basket count / the doc+label totals) onto a keyed rule frame
+      "q250_association_rules", "q251_chi2_terms")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
