@@ -795,6 +795,202 @@ object Analytics {
       .orderBy(col("island_len"))
   }
 
+  /** Theil–Sen robust trend + Mann–Kendall monotonicity per group: the
+    * median of all pairwise slopes (Sen 1968 — up to 29% contamination
+    * tolerated where OLS breaks on one outlier) and the MK S statistic
+    * (Σ sign(y_j − y_i) over time-ordered pairs) — the robust twin of
+    * [[linearFitBy]] for series with spikes.
+    *
+    * The estimator is inherently pairwise (O(n²) in series length), so
+    * the operator makes the bound EXPLICIT: per group, a deterministic
+    * md5-ranked subsample of at most `maxN` points feeds the pair join
+    * (the q89 source-cap discipline — on a subsample Theil–Sen is the
+    * standard remedy, Wilcox 2012). Callers feeding an aggregated
+    * series (e.g. monthly sums) never hit the cap; callers feeding raw
+    * rows get an estimator over a uniform deterministic subsample, not
+    * a detonation. Inputs are integral-lattice (x, y) so every slope
+    * is one exact-int division; the median and S replay engine-exactly.
+    *
+    * Scale: one keyed window (the cap), one group-keyed self-join with
+    * ≤ maxN² fan-out per group, one map-side-combined aggregate. */
+  def theilSenBy(df: DataFrame, xCol: String, yCol: String,
+                 groupCols: Seq[String], maxN: Int = 1000): DataFrame = {
+    val g = groupCols.map(col)
+    val pts = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(g ++ Seq(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y")): _*)
+    val wCap = Window.partitionBy(g: _*)
+      .orderBy(md5(concat_ws("|", col("__x"), col("__y"))), col("__x"))
+    val capped = pts
+      .withColumn("__r", row_number().over(wCap))
+      .where(col("__r") <= maxN).drop("__r")
+    val a = capped.select(g ++ Seq(col("__x").as("__x1"),
+      col("__y").as("__y1")): _*)
+    val b = capped.select(g ++ Seq(col("__x").as("__x2"),
+      col("__y").as("__y2")): _*)
+    val pairs = a.join(b, groupCols)
+      .where(col("__x1") < col("__x2"))
+      .withColumn("__slope", (col("__y2") - col("__y1")).cast("double") /
+        (col("__x2") - col("__x1")).cast("double"))
+      .withColumn("__sgn",
+        signum((col("__y2") - col("__y1")).cast("double")).cast("long"))
+    pairs.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__sgn")).as("mk_s"),
+        round(median(col("__slope")), 6).as("slope_med"))
+      .join(capped.groupBy(g: _*).agg(count(lit(1)).as("n_points")),
+        groupCols)
+      .select(g ++ Seq(col("n_points"), col("n_pairs"), col("mk_s"),
+        col("slope_med")): _*)
+      .orderBy(g: _*)
+  }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic: D = max over the
+    * value lattice of |ECDF_a − ECDF_b| — the distribution-drift test
+    * with zero distributional assumptions (the q142 PSI's
+    * nonparametric sibling). Integer-exact throughout: values quantize
+    * to a lattice at `latticeScale`, and D's numerator folds as
+    * max |cum_a·n_b − cum_b·n_a| over BIGINTs, so the ONE closing
+    * division is deterministic cross-engine. Also reports the lattice
+    * value where the max is attained (smallest such value on ties).
+    *
+    * Scale: one value-keyed aggregate collapses both corpora to the
+    * DISTINCT-LATTICE frame before the partition-less cumulative
+    * window runs — the binaryAuc discipline: the window's frame is
+    * value-bounded by the lattice (coarsen `latticeScale` to shrink
+    * it), never corpus-sized. */
+  def ksTest(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+             latticeScale: Int = 1): DataFrame = {
+    def side(df: DataFrame, tag: String) = df
+      .where(col(valueCol).isNotNull)
+      .select(round(col(valueCol).cast("double") * latticeScale)
+        .cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as(s"n_$tag"))
+    val merged = side(dfA, "a").join(side(dfB, "b"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("n_a"), lit(0L)).as("na"),
+        coalesce(col("n_b"), lit(0L)).as("nb"))
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    merged
+      .withColumn("__ca", sum(col("na")).over(wOrd))
+      .withColumn("__cb", sum(col("nb")).over(wOrd))
+      .withColumn("__ta", sum(col("na")).over(wAll))
+      .withColumn("__tb", sum(col("nb")).over(wAll))
+      .withColumn("__dev",
+        abs(col("__ca") * col("__tb") - col("__cb") * col("__ta")))
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        max(col("__dev")).as("__dn"),
+        max(struct(col("__dev"), (-col("v")).as("__nv"), col("v")))
+          .as("__at"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__dn").cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6)).as("d_stat"),
+        col("__at.v").as("d_at"))
+  }
+
+  /** Pearson chi-square TEST verdict over an r×c contingency table —
+    * the statistic-level companion of [[chiSquare]] (q104): that
+    * operator is the per-cell diagnostic (which cells deviate, over
+    * OBSERVED cells), this one answers the test question (is the
+    * association significant at all?) and closes the observed-cell
+    * blind spot — an UNOBSERVED cell still contributes its full
+    * expected mass rt·ct/N to the statistic, so the grid is completed
+    * before any term folds (summing q104's contribs understates χ²
+    * whenever a zero cell exists). Also the table-level companion of
+    * the per-term ranking
+    * ([[etlmudah.text.TextStats.chiSquareTerms]]). Each cell's term is
+    * the exact-rational form (o·N − rt·ct)²/(N·rt·ct) computed from
+    * DECIMAL(38,0) counts; the statistic is the sum of the 6dp-ROUNDED
+    * cell terms folded as DECIMAL — exact, order-independent addition,
+    * so the cross-cell sum cannot drift between engines the way a
+    * float Σ would. One row out: n, r, c, dof, chi2, Cramér's V.
+    *
+    * Scale: one map-side-combined groupBy to the ≤ r·c cell frame;
+    * margins ride three windows over that bounded frame; nothing else
+    * moves. */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val observed = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    // COMPLETE the r×c grid: an unobserved cell still contributes its
+    // expected-count term (o=0 → term = rt·ct/N); both dimension
+    // frames are category-bounded, so the cross join is a broadcast
+    // over ≤ r·c rows (the q133 pair-matrix shape)
+    val cells = observed.select(col("__a")).distinct()
+      .crossJoin(broadcast(observed.select(col("__b")).distinct()))
+      .join(observed, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val t = cells
+      .withColumn("__rt", sum(col("__o")).over(Window.partitionBy(col("__a"))))
+      .withColumn("__ct", sum(col("__o")).over(Window.partitionBy(col("__b"))))
+      .withColumn("__n", sum(col("__o")).over(Window.partitionBy()))
+    val num = dec(col("__o")) * dec(col("__n")) -
+      dec(col("__rt")) * dec(col("__ct"))
+    val term = (num * num).cast("double") /
+      (dec(col("__n")) * dec(col("__rt")) * dec(col("__ct"))).cast("double")
+    t.agg(max(col("__n")).as("n"),
+        countDistinct(col("__a")).as("r"),
+        countDistinct(col("__b")).as("c"),
+        sum(round(term, 6).cast("decimal(20,6)")).as("__chi"))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("__chi").cast("double").as("chi2"),
+        when(col("n") > 0 && least(col("r"), col("c")) > 1,
+          round(sqrt(col("__chi").cast("double") /
+            (col("n") * (least(col("r"), col("c")) - 1)).cast("double")),
+            6)).as("cramers_v"))
+  }
+
+  /** CUSUM changepoint screen per group: where does a time series'
+    * level shift? For the time-ordered series (t, y) the statistic is
+    * max_i |S_i/T − i/n| — the maximum deviation of the cumulative
+    * VALUE share from the uniform time share (the CUSUM/Pettitt
+    * family's share form) — attained at the screen's changepoint
+    * candidate t*. Integer-exact: y arrives on a caller-chosen lattice
+    * and the deviation folds as |S_i·n − T·i| over BIGINTs; ONE
+    * closing division. Ties pick the smallest t (max over a
+    * lexicographic struct, deterministic). Groups with T = 0 report a
+    * null d_stat.
+    *
+    * Scale: one group-keyed window carries the cumulative sum, the
+    * row index, AND both per-group totals (same exchange, two frame
+    * specs); the argmax is a map-side-combinable struct-max. */
+  def cusumChangepoint(df: DataFrame, tCol: String, yCol: String,
+                       groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val pts = df.where(col(tCol).isNotNull && col(yCol).isNotNull)
+      .select(g ++ Seq(col(tCol).cast("long").as("__t"),
+        col(yCol).cast("long").as("__y")): _*)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val scored = pts
+      .withColumn("__s", sum(col("__y")).over(wOrd))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("__t"))))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum(col("__y")).over(wAll))
+      .withColumn("__dev",
+        abs(col("__s") * col("__n") - col("__tot") * col("__i")))
+    scored.groupBy(g: _*)
+      .agg(max(col("__n")).as("n_points"), max(col("__tot")).as("y_total"),
+        max(col("__dev")).as("__dn"),
+        max(struct(col("__dev"), (-col("__t")).as("__nt"), col("__t")))
+          .as("__at"))
+      .select(g ++ Seq(col("n_points"), col("y_total"),
+        when(col("y_total") =!= 0,
+          round(col("__dn").cast("double") /
+            (col("n_points").cast("double") *
+              abs(col("y_total")).cast("double")), 6)).as("d_stat"),
+        col("__at.__t").as("t_star")): _*)
+      .orderBy(g: _*)
+  }
+
   /** Welch two-sample t-test (unequal variances) between two groups of
     * `groupCol` — the A/B readout: does the mean of `valueCol` differ?
     * Returns one row: counts, 6dp means, the t statistic, and the

@@ -3354,7 +3354,51 @@ object SparkEntry {
           .where(col("text").isNotNull)
           .withColumn("text", concat(col("text"), lit(nfcSuffix))),
         "text", "source")),
+
+    // Theil-Sen robust slope + Mann-Kendall S per priority over the
+    // monthly revenue series (exact-cent lattice): the spike-tolerant
+    // twin of q244's OLS
+    "q253_theil_sen_trend" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.theilSenBy(
+        monthlyCents(s, dir), "m", "cents", Seq("o_orderpriority"),
+        maxN = 500)),
+
+    // exact two-sample Kolmogorov-Smirnov D between the URGENT and LOW
+    // order-value distributions, on a whole-dollar lattice — integer
+    // numerator max, one closing division
+    "q254_ks_two_sample" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      etlmudah.analytics.Analytics.ksTest(
+        orders.where(col("o_orderpriority") === "1-URGENT"),
+        orders.where(col("o_orderpriority") === "5-LOW"),
+        "o_totalprice", latticeScale = 1)
+    }),
+
+    // Pearson chi-square independence test: is order priority
+    // associated with order status? Exact-rational cell terms summed
+    // as 6dp DECIMAL (order-independent), plus Cramer's V
+    "q255_chi2_independence" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.chiSquareIndependence(
+        Tables.orders(s, dir), "o_orderpriority", "o_orderstatus")),
+
+    // CUSUM changepoint screen per priority over the same monthly
+    // revenue series as q253: where does the level shift?
+    "q256_cusum_changepoint" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.cusumChangepoint(
+        monthlyCents(s, dir), "m", "cents", Seq("o_orderpriority"))),
   )
+
+  /** Shared q253/q257 input: the exact-cent monthly revenue series per
+    * priority — one map-side-combined aggregate, BIGINT lattice so the
+    * trend/changepoint statistics replay engine-exactly. */
+  private def monthlyCents(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .where(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(col("o_orderpriority"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(round(col("o_totalprice").cast("double") * 100)
+        .cast("long")).as("cents"))
 
   /** Stopword list shared by quality/text queries (and their oracles). */
   private val qualityStops = Seq("the", "a", "of", "and", "to")
@@ -8901,5 +8945,150 @@ object SparkEntry {
          |  sum(length(t))::BIGINT AS chars_raw,
          |  sum(length(nf))::BIGINT AS chars_nfc
          |FROM n GROUP BY 1 ORDER BY slice""".stripMargin,
+
+    // Theil-Sen/Mann-Kendall replay: identical md5-ranked cap, pair
+    // join, exact-int slopes, interpolated median.
+    "q253_theil_sen_trend" ->
+      s"""WITH series AS ($monthlyCentsSql),
+         |capped AS (
+         |  SELECT g, m AS x, cents AS y FROM (
+         |    SELECT g, m, cents, row_number() OVER (PARTITION BY g
+         |      ORDER BY md5(CAST(m AS VARCHAR) || '|' ||
+         |        CAST(cents AS VARCHAR)), m) AS r
+         |    FROM series) WHERE r <= 500),
+         |pairs AS (
+         |  SELECT a.g, (b.y - a.y) AS dy, (b.x - a.x) AS dx
+         |  FROM capped a JOIN capped b ON a.g = b.g AND a.x < b.x),
+         |agg AS (
+         |  SELECT g, count(*)::BIGINT AS n_pairs,
+         |    sum(sign(dy))::BIGINT AS mk_s,
+         |    round(quantile_cont(CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE),
+         |      0.5), 6) AS slope_med
+         |  FROM pairs GROUP BY g),
+         |npts AS (SELECT g, count(*)::BIGINT AS n_points FROM capped
+         |         GROUP BY g)
+         |SELECT npts.g AS o_orderpriority, n_points, n_pairs, mk_s,
+         |  slope_med
+         |FROM agg JOIN npts ON agg.g = npts.g
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // KS replay: distinct-lattice frame, integer deviation numerator,
+    // one division; argmax value with min-v tie-break.
+    "q254_ks_two_sample" ->
+      """WITH la AS (
+        |  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 1) AS BIGINT)
+        |    AS v
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL),
+        |lb AS (
+        |  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 1) AS BIGINT)
+        |    AS v
+        |  FROM orders
+        |  WHERE o_orderpriority = '5-LOW' AND o_totalprice IS NOT NULL),
+        |ca AS (SELECT v, count(*)::BIGINT AS na FROM la GROUP BY 1),
+        |cb AS (SELECT v, count(*)::BIGINT AS nb FROM lb GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (
+        |  SELECT v,
+        |    sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS cma,
+        |    sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS cmb,
+        |    (SELECT sum(na) FROM m)::BIGINT AS ta,
+        |    (SELECT sum(nb) FROM m)::BIGINT AS tb
+        |  FROM m),
+        |d AS (SELECT v, abs(cma * tb - cmb * ta)::BIGINT AS dev, ta, tb
+        |      FROM c)
+        |SELECT max(ta) AS n_a, max(tb) AS n_b,
+        |  CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN
+        |    round(CAST(max(dev) AS DOUBLE)
+        |      / CAST(max(ta) * max(tb) AS DOUBLE), 6) END AS d_stat,
+        |  (SELECT min(v) FROM d
+        |   WHERE dev = (SELECT max(dev) FROM d)) AS d_at
+        |FROM d""".stripMargin,
+
+    // chi-square independence replay: HUGEINT cells, 6dp DECIMAL term
+    // sum (order-independent), mirrored Cramer's V.
+    "q255_chi2_independence" ->
+      """WITH observed AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    count(*)::BIGINT AS o
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT da.a, db.b
+        |  FROM (SELECT DISTINCT a FROM observed) da
+        |  CROSS JOIN (SELECT DISTINCT b FROM observed) db),
+        |cells AS (
+        |  SELECT grid.a, grid.b, coalesce(o, 0)::BIGINT AS o
+        |  FROM grid LEFT JOIN observed
+        |    ON grid.a = observed.a AND grid.b = observed.b),
+        |t AS (
+        |  SELECT a, b, o,
+        |    sum(o) OVER (PARTITION BY a)::HUGEINT AS rt,
+        |    sum(o) OVER (PARTITION BY b)::HUGEINT AS ct,
+        |    sum(o) OVER ()::HUGEINT AS n
+        |  FROM cells),
+        |terms AS (
+        |  SELECT n,
+        |    CAST(round(CAST((o::HUGEINT * n - rt * ct)
+        |        * (o::HUGEINT * n - rt * ct) AS DOUBLE)
+        |      / CAST(n * rt * ct AS DOUBLE), 6) AS DECIMAL(20,6)) AS term
+        |  FROM t),
+        |rc AS (SELECT count(DISTINCT a)::BIGINT AS r,
+        |              count(DISTINCT b)::BIGINT AS c FROM cells),
+        |s AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |             CAST(sum(term) AS DOUBLE) AS chi2 FROM terms)
+        |SELECT n, r, c, (r - 1) * (c - 1) AS dof, chi2,
+        |  CASE WHEN n > 0 AND least(r, c) > 1 THEN
+        |    round(sqrt(chi2 / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6)
+        |  END AS cramers_v
+        |FROM s CROSS JOIN rc""".stripMargin,
+
+    // CUSUM replay: cumulative-share deviation on the exact lattice,
+    // min-t argmax tie-break.
+    "q256_cusum_changepoint" ->
+      s"""WITH series AS ($monthlyCentsSql),
+         |sc AS (
+         |  SELECT g, m, cents,
+         |    sum(cents) OVER (PARTITION BY g ORDER BY m
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         |    row_number() OVER (PARTITION BY g ORDER BY m) AS i,
+         |    count(*) OVER (PARTITION BY g) AS n,
+         |    sum(cents) OVER (PARTITION BY g) AS tot
+         |  FROM series),
+         |d AS (
+         |  SELECT g, m, abs(s * n - tot * i)::BIGINT AS dev,
+         |    n::BIGINT AS n, tot::BIGINT AS tot
+         |  FROM sc),
+         |best AS (SELECT g, max(n) AS n_points, max(tot) AS y_total,
+         |                max(dev) AS dn
+         |         FROM d GROUP BY g),
+         |pick AS (
+         |  SELECT d.g, min(d.m) AS t_star
+         |  FROM d JOIN best ON d.g = best.g AND d.dev = best.dn
+         |  GROUP BY d.g)
+         |SELECT best.g AS o_orderpriority, n_points, y_total,
+         |  CASE WHEN y_total <> 0 THEN
+         |    round(CAST(dn AS DOUBLE) / (CAST(n_points AS DOUBLE)
+         |      * CAST(abs(y_total) AS DOUBLE)), 6) END AS d_stat,
+         |  t_star
+         |FROM best JOIN pick ON best.g = pick.g
+         |ORDER BY o_orderpriority""".stripMargin,
   )
+
+  /** The q253/q257 series CTE body — kept in ONE place so the Spark
+    * helper and both oracles cannot drift. */
+  private val monthlyCentsSql: String =
+    """SELECT o_orderpriority AS g,
+      |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
+      |    sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+      |      ::BIGINT AS cents
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      |  GROUP BY 1, 2""".stripMargin
 }

@@ -156,6 +156,79 @@ class AnalyticsSpec extends SparkSpec {
       r3.isNullAt(r3.fieldIndex("t_stat")))
   }
 
+  test("theilSenBy: median pairwise slope + MK S replay; spike-robust") {
+    import spark.implicits._
+    // y = 3x except one spike; OLS would tilt, Theil-Sen must not
+    val pts = Seq((1L, 3L), (2L, 6L), (3L, 9L), (4L, 1000L), (5L, 15L))
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val slopes = (for {
+      (x1, y1) <- pts; (x2, y2) <- pts if x1 < x2
+    } yield (y2 - y1).toDouble / (x2 - x1)).sorted
+    val expMed = (slopes(4) + slopes(5)) / 2   // 10 pairs, interpolated
+    val expS = (for {
+      (x1, y1) <- pts; (x2, y2) <- pts if x1 < x2
+    } yield math.signum((y2 - y1).toDouble).toLong).sum
+    val r = Analytics.theilSenBy(df, "x", "y", Seq("g")).collect().head
+    assert(r.getAs[Long]("n_points") == 5 && r.getAs[Long]("n_pairs") == 10)
+    assert(r.getAs[Long]("mk_s") == expS)
+    assert(math.abs(r.getAs[Double]("slope_med") - expMed) < 1e-6)
+    assert(math.abs(r.getAs[Double]("slope_med") - 3.0) < 1.0,
+      "median slope must shrug off the spike")
+    // the cap binds deterministically
+    val capped = Analytics.theilSenBy(df, "x", "y", Seq("g"), maxN = 3)
+      .collect().head
+    assert(capped.getAs[Long]("n_points") == 3 &&
+      capped.getAs[Long]("n_pairs") == 3)
+  }
+
+  test("ksTest: exact D on the lattice; identical samples give D=0") {
+    import spark.implicits._
+    val a = Seq(1.0, 1.0, 2.0).toDF("v")
+    val b = Seq(2.0, 3.0).toDF("v")
+    val r = Analytics.ksTest(a, b, "v").collect().head
+    // ECDFs over lattice {1,2,3}: A = 2/3, 3/3, 3/3; B = 0, 1/2, 1
+    // |diff| = 2/3, 1/2, 0 -> D = 2/3 at v=1
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("d_stat") == 0.666667)
+    assert(r.getAs[Long]("d_at") == 1L)
+    val same = Analytics.ksTest(a, a, "v").collect().head
+    assert(same.getAs[Double]("d_stat") == 0.0)
+  }
+
+  test("chiSquareIndependence: zero under independence, n under perfect association") {
+    import spark.implicits._
+    val indep = Seq.tabulate(20)(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i % 4 < 2) "b1" else "b2"))
+      .toDF("a", "b")
+    val r1 = Analytics.chiSquareIndependence(indep, "a", "b").collect().head
+    assert(r1.getAs[Double]("chi2") == 0.0)
+    assert(r1.getAs[Double]("cramers_v") == 0.0)
+    assert(r1.getAs[Long]("dof") == 1L)
+    val assoc = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2")))
+      .toDF("a", "b")
+    val r2 = Analytics.chiSquareIndependence(assoc, "a", "b").collect().head
+    assert(r2.getAs[Double]("chi2") == 10.0)   // chi2 = n at V=1
+    assert(r2.getAs[Double]("cramers_v") == 1.0)
+    // single-level column -> dof 0, null V
+    val flat = Seq(("a1", "b1"), ("a1", "b2")).toDF("a", "b")
+    val r3 = Analytics.chiSquareIndependence(flat, "a", "b").collect().head
+    assert(r3.getAs[Long]("dof") == 0L &&
+      r3.isNullAt(r3.fieldIndex("cramers_v")))
+  }
+
+  test("cusumChangepoint: level shift located; zero-total yields null stat") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 0L),
+      ("g", 4L, 10L), ("g", 5L, 10L),
+      ("z", 1L, 5L), ("z", 2L, -5L)).toDF("g", "t", "y")
+    val r = Analytics.cusumChangepoint(df, "t", "y", Seq("g")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // g: S=[0,0,0,10,20], n=5, T=20 -> dev=[20,40,60,30,0], max at t=3
+    assert(r("g").getAs[Long]("t_star") == 3L)
+    assert(r("g").getAs[Double]("d_stat") == 0.6)
+    assert(r("z").isNullAt(r("z").fieldIndex("d_stat")))
+  }
+
   test("latestPerKey: deterministic winner under duplicate keys") {
     import spark.implicits._
     val dup = Seq(("k1", 1, "old"), ("k1", 2, "new"), ("k2", 5, "only"))

@@ -198,7 +198,10 @@ class PlanShapeSpec extends SparkSpec {
       "q245_hll_overlap",
       // q250/q251 carry q57's single-row corpus-total broadcast (the
       // basket count / the doc+label totals) onto a keyed rule frame
-      "q250_association_rules", "q251_chi2_terms")
+      "q250_association_rules", "q251_chi2_terms",
+      // q255 completes the r×c contingency grid by cross-joining two
+      // category-bounded dimension frames (the q133 pair-matrix shape)
+      "q255_chi2_independence")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
