@@ -45,6 +45,42 @@ object Similarity {
   def cosineFast(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * retriever result sets — THE standard hybrid-search combiner:
+    * rrf(d) = Σ_r 1/(c + rank_r(d)) over the rankings that returned d,
+    * with the canonical c = 60. Rank-based, so the two retrievers'
+    * score scales never need calibrating against each other (the
+    * reason RRF beats score interpolation in practice — BM25 points
+    * and cosine similarities are incomparable units).
+    *
+    * Inputs are standardized (id, score) frames — each retriever's
+    * top-N candidates. Ranks are 1-based row_numbers ordered
+    * (score desc, id asc) so ties are deterministic; the fused score
+    * is one fixed two-term expression over exact integer ranks —
+    * engine-reproducible at 6dp. A document missing from one ranking
+    * contributes 0 from that ranking (null rank preserved in the
+    * output for the readout).
+    *
+    * Scale: the global rank windows run over the CANDIDATE frames
+    * (≤ each retriever's N — bounded by construction), never a
+    * corpus; the fusion is one full-outer id join of two bounded
+    * frames. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10,
+              c: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, tag: String) = df.select(col("id"),
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id").asc))
+        .cast("long").as(s"rank_$tag"))
+    ranked(a, "a").join(ranked(b, "b"), Seq("id"), "full_outer")
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        round(coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Exact top-k by cosine against the vector of `queryId` (excluded from
     * results). The query row is broadcast; the corpus is scanned once. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,

@@ -1258,6 +1258,59 @@ object TextStats {
         round(idf * tfNorm, 4).as("score"))
   }
 
+  /** BM25 QUERY-SERVING tier — [[bm25]] turned around: score every
+    * document against ONE literal term set and return the top `k`
+    * (the lexical half of a hybrid retrieval stack; the semantic half
+    * is `Similarity.bruteForceTopK`/IVF, fused by
+    * `Similarity.rrfFuse`). Same idf/tf-normalization expression trees
+    * as [[bm25]] so the two tiers can never disagree on a score.
+    *
+    * Determinism: per-(doc, term) scores round to 4dp (the q131
+    * resolution) and SUM AS DECIMAL — order-independent addition, so
+    * the per-doc total cannot drift with partitioning; ranking ties
+    * break on id. `excludeId` drops the query's own source document
+    * from the RESULTS while keeping it in the corpus statistics
+    * (retrieval semantics: the corpus is what it is).
+    *
+    * Scale: document length is a per-row `tokenCount` projection (no
+    * explode needed for dl), the explode filters to QUERY TERMS ONLY
+    * before anything aggregates — the moved volume is O(corpus query-
+    * term hits), not O(corpus tokens) — and df/totals ride broadcast
+    * bounded frames. */
+  def bm25Search(df: DataFrame, textCol: String, idCol: String,
+                 query: Seq[String], k: Int = 10,
+                 excludeId: Option[Long] = None,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25Search needs at least one query term")
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__dl", tokenCount(col("__text")))
+    val totals = docs.agg(count(lit(1)).as("n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("id"), col("__dl"),
+        explode(tokens(col("__text"))).as("term"))
+      .where(col("term").isin(query: _*))
+      .groupBy(col("id"), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("avgdl")))
+    val scored = tf.join(docFreq, Seq("term"))
+      .join(broadcast(totals))
+      .select(col("id"),
+        round(idf * tfNorm, 4).cast("decimal(20,4)").as("__ts"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("terms_hit"), sum(col("__ts")).as("__sum"))
+      .select(col("id"), col("terms_hit"),
+        col("__sum").cast("double").as("score"))
+    excludeId.fold(scored)(x => scored.where(col("id") =!= x))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Word n-gram shingles (n>=1) as space-joined strings; documents
     * shorter than n tokens yield their full token string as one shingle
     * so no row silently drops out of dedup. */

@@ -3386,7 +3386,38 @@ object SparkEntry {
     "q256_cusum_changepoint" -> ((s, dir) =>
       etlmudah.analytics.Analytics.cusumChangepoint(
         monthlyCents(s, dir), "m", "cents", Seq("o_orderpriority"))),
+
+    // BM25 retrieval serving tier: "more like doc 0" lexically — doc
+    // 0's distinct tokens as the query, top-15 docs by decimal-summed
+    // per-term scores; the query doc stays in the corpus statistics
+    // but not the results
+    "q257_bm25_search" -> ((s, dir) =>
+      TextStats.bm25Search(Tables.documents(s, dir), "text", "doc_id",
+        doc0Terms(s, dir), k = 15, excludeId = Some(0L))),
+
+    // hybrid retrieval: the SAME "more like doc 0" question asked
+    // lexically (BM25 top-50) and semantically (exact cosine top-50
+    // over the aligned embedding table), fused by reciprocal-rank
+    // fusion with the canonical c=60
+    "q258_hybrid_rrf" -> ((s, dir) => {
+      val lex = TextStats.bm25Search(Tables.documents(s, dir), "text",
+        "doc_id", doc0Terms(s, dir), k = 50, excludeId = Some(0L))
+        .select(col("id"), col("score"))
+      val sem = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", queryId = 0L, k = 50)
+        .select(col("vec_id").as("id"), col("cos_sim").as("score"))
+      Similarity.rrfFuse(lex, sem, k = 15)
+    }),
   )
+
+  /** q257/q258's literal query: doc 0's distinct whitespace tokens —
+    * ONE bounded driver read (a single row), the q27 query-vector
+    * discipline carried to the lexical tier. The split mirrors
+    * [[etlmudah.text.TextStats.tokens]] exactly. */
+  private def doc0Terms(s: SparkSession, dir: String): Seq[String] =
+    Tables.documents(s, dir).where(col("doc_id") === 0L)
+      .select(col("text")).head().getString(0)
+      .trim.split("\\s+").toSeq.distinct
 
   /** Shared q253/q257 input: the exact-cent monthly revenue series per
     * priority — one map-side-combined aggregate, BIGINT lattice so the
@@ -9079,9 +9110,82 @@ object SparkEntry {
          |  t_star
          |FROM best JOIN pick ON best.g = pick.g
          |ORDER BY o_orderpriority""".stripMargin,
+
+    // BM25 serving replay off the shared retrieval ladder.
+    "q257_bm25_search" ->
+      s"""WITH $bm25SearchSql
+         |SELECT id, terms_hit, score FROM agg
+         |ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // hybrid RRF replay: lexical ladder + q27's cosine scan, both
+    // ranked (score desc, id), rank-filtered to each retriever's
+    // top-50, full-outer fused at c=60.
+    "q258_hybrid_rrf" ->
+      s"""WITH $bm25SearchSql,
+         |lexr AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id)
+         |    ::BIGINT AS rank_a
+         |  FROM agg),
+         |lex AS (SELECT id, rank_a FROM lexr WHERE rank_a <= 50),
+         |semscore AS (
+         |  SELECT vec_id AS id,
+         |    round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
+         |      AS score
+         |  FROM embeddings, (SELECT embedding::DOUBLE[] AS qv
+         |    FROM embeddings WHERE vec_id = 0) q
+         |  WHERE vec_id <> 0),
+         |semr AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id)
+         |    ::BIGINT AS rank_b
+         |  FROM semscore),
+         |sem AS (SELECT id, rank_b FROM semr WHERE rank_b <= 50),
+         |fused AS (
+         |  SELECT coalesce(lex.id, sem.id) AS id, rank_a, rank_b,
+         |    round(coalesce(1.0 / (60 + rank_a), 0.0) +
+         |      coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf
+         |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+         |SELECT id, rank_a, rank_b, rrf FROM fused
+         |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
   )
 
-  /** The q253/q257 series CTE body — kept in ONE place so the Spark
+  /** The q257 lexical-retrieval CTE ladder (through the per-doc
+    * aggregate `agg`) — ONE definition feeding both the q257 oracle
+    * and q258's lexical half so the tiers cannot drift. Mirrors
+    * [[etlmudah.text.TextStats.bm25Search]]: q131's exact idf/tfnorm
+    * expression text, per-term 4dp round, DECIMAL sum, query-doc
+    * excluded from results only. */
+  private val bm25SearchSql: String =
+    """qterms AS (
+      |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+'))
+      |    AS term
+      |  FROM documents WHERE doc_id = 0),
+      |docs AS (
+      |  SELECT doc_id AS id, text,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS dl
+      |  FROM documents),
+      |tot AS (SELECT count(*)::BIGINT AS n,
+      |    sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
+      |tf AS (
+      |  SELECT id, dl, term, count(*)::BIGINT AS tf FROM (
+      |    SELECT id, dl,
+      |      unnest(string_split_regex(trim(text), '\s+')) AS term
+      |    FROM docs)
+      |  WHERE term IN (SELECT term FROM qterms)
+      |  GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT id, CAST(round(
+      |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4)
+      |    AS DECIMAL(20,4)) AS ts
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+      |agg AS (
+      |  SELECT id, count(*)::BIGINT AS terms_hit,
+      |    CAST(sum(ts) AS DOUBLE) AS score
+      |  FROM scored WHERE id <> 0 GROUP BY id)""".stripMargin
+
+  /** The q253/q256 series CTE body — kept in ONE place so the Spark
     * helper and both oracles cannot drift. */
   private val monthlyCentsSql: String =
     """SELECT o_orderpriority AS g,

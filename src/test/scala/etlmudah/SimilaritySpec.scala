@@ -498,4 +498,33 @@ class SimilaritySpec extends SparkSpec {
       .collect()(0)
     assert(Seq(ex.getLong(0), ex.getLong(1)) == expect)
   }
+
+  test("rrfFuse: dual-hit doc tops both single-hit docs; null ranks preserved") {
+    import spark.implicits._
+    val a = Seq((1L, 0.9), (2L, 0.8)).toDF("id", "score")
+    val b = Seq((2L, 0.7), (3L, 0.6)).toDF("id", "score")
+    val r = Similarity.rrfFuse(a, b, k = 10).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 1L, 3L))
+    val top = r.head
+    assert(top.getAs[Long]("rank_a") == 2L &&
+      top.getAs[Long]("rank_b") == 1L)
+    val exp = BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getAs[Double]("rrf") == exp)
+    // id 1 appears only in ranking a -> rank_b null, half-score
+    val one = r(1)
+    assert(one.isNullAt(one.fieldIndex("rank_b")))
+    assert(one.getAs[Double]("rrf") ==
+      BigDecimal(1.0 / 61).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("rrfFuse: equal-score ties rank by id, deterministically") {
+    import spark.implicits._
+    val a = Seq((5L, 0.5), (4L, 0.5), (3L, 0.5)).toDF("id", "score")
+    val b = Seq.empty[(Long, Double)].toDF("id", "score")
+    val r = Similarity.rrfFuse(a, b, k = 3).collect()
+    // ties broken id asc -> ranks 3,4,5; fusion re-sorts by rrf desc
+    assert(r.map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+  }
 }

@@ -1274,6 +1274,35 @@ class TextStatsSpec extends SparkSpec {
     assert(singles.count() == 0)
   }
 
+  test("bm25Search: closed-form scores, query-doc exclusion, tie order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark joins fast"),            // the query source
+      (1L, "spark spark slow"),            // tf(spark)=2, dl=3
+      (2L, "joins joins"),                 // tf(joins)=2, dl=2
+      (3L, "nothing relevant here at all") // no hits, dl=5
+    ).toDF("doc_id", "text")
+    val q = Seq("spark", "joins", "fast")
+    val r = TextStats.bm25Search(docs, "text", "doc_id", q, k = 10,
+      excludeId = Some(0L)).collect()
+    // hand replay: N=4, avgdl=13/4; idf(t)=ln(1+(4-df+.5)/(df+.5))
+    val avgdl = 13.0 / 4
+    def score(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (4 - df + 0.5) / (df + 0.5))
+      val tfn = (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      BigDecimal(idf * tfn)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = r.map(x => x.getLong(0) ->
+      ((x.getAs[Long]("terms_hit"), x.getAs[Double]("score")))).toMap
+    assert(!byId.contains(0L) && !byId.contains(3L))
+    assert(byId(1L) == ((1L, score(2, 2, 3))))
+    assert(byId(2L) == ((1L, score(2, 2, 2))))
+    // the shorter doc's length normalization must outrank doc 1
+    assert(r.head.getLong(0) == 2L)
+  }
+
   test("chiSquareTerms: 2x2 closed form, per-doc presence, minDf prune") {
     import spark.implicits._
     val docs = Seq(

@@ -201,7 +201,10 @@ class PlanShapeSpec extends SparkSpec {
       "q250_association_rules", "q251_chi2_terms",
       // q255 completes the r×c contingency grid by cross-joining two
       // category-bounded dimension frames (the q133 pair-matrix shape)
-      "q255_chi2_independence")
+      "q255_chi2_independence",
+      // q257/q258 carry bm25Search's single-row (N, avgdl) broadcast;
+      // q258 additionally runs q27's single-query-vector broadcast scan
+      "q257_bm25_search", "q258_hybrid_rrf")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
