@@ -97,6 +97,46 @@ object Joins {
           .as("coverage"))
   }
 
+  /** INTERVAL OVERLAP join on a non-negative integer axis (epoch
+    * micros, positions): every (left, right) pair whose closed
+    * intervals intersect — lStart <= rEnd AND rStart <= lEnd. The
+    * temporal/range join shape Spark has no native operator for, and
+    * whose naive forms are a BroadcastNestedLoopJoin (quadratic scan)
+    * or a theta-join Catalyst cannot hash.
+    *
+    * Scale-correct BIN EXPANSION form (the standard overlap-join
+    * technique in interval libraries and geospatial range joins):
+    * each interval explodes to the fixed-width bins it covers
+    * (integral `div`, exact on the integer axis — no float boundary),
+    * candidates meet by bin EQUI-join, the true-overlap residual
+    * filters false bin neighbors, and each pair is emitted EXACTLY
+    * ONCE at the FIRST bin both intervals share
+    * (bin == greatest(firstBin_l, firstBin_r)) — no global dedup pass.
+    *
+    * Fan-out dial: rows explode to ceil(length/binWidth) bins — size
+    * `binWidth` near the typical interval length (too small → bin
+    * explosion; too large → few giant bins and the residual filter
+    * does the work). Column names of the two inputs must be disjoint;
+    * rows with null or inverted bounds drop. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lStart: String, lEnd: String,
+                   rStart: String, rEnd: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String, b0: String,
+               bin: String) = df
+      .where(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+      .withColumn(b0, expr(s"$s div ${binWidth}L"))
+      .withColumn(bin,
+        explode(sequence(col(b0), expr(s"$e div ${binWidth}L"))))
+    val l = binned(left, lStart, lEnd, "__lb0", "__bin")
+    val r = binned(right, rStart, rEnd, "__rb0", "__bin")
+    l.join(r, Seq("__bin"))
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") === greatest(col("__lb0"), col("__rb0")))
+      .select((left.columns ++ right.columns).map(col): _*)
+  }
+
   /** AS-OF join: for each left row, the single most recent right row with
     * the same key and right.ts <= left.ts (inclusive) — last-touch
     * attribution, point-in-time feature lookup, slowly-changing-dimension

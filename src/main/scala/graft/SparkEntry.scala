@@ -3395,6 +3395,40 @@ object SparkEntry {
       TextStats.bm25Search(Tables.documents(s, dir), "text", "doc_id",
         doc0Terms(s, dir), k = 15, excludeId = Some(0L))),
 
+    // INTERVAL OVERLAP JOIN (bin expansion — never a nested-loop range
+    // join): user activity sessions (30-min gap rule, the q42
+    // construction on an epoch-micros lattice) joined against nightly
+    // 00:00-02:00 UTC maintenance windows; per-window session and user
+    // counts. Bin width = 1 h, the session-scale dial
+    "q259_interval_join_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.eventsTyped(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val sess = ev
+        .withColumn("__new",
+          when(col("us") - lag(col("us"), 1).over(w) < 1800000000L, 0L)
+            .otherwise(1L))
+        .withColumn("__sid", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        .select(col("user_id"), col("s_us"), col("e_us"))
+      val dayUs = 86400000000L
+      val wins = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .select(explode(sequence(
+          expr(s"lo div ${dayUs}L * ${dayUs}L"),
+          expr(s"hi div ${dayUs}L * ${dayUs}L"),
+          lit(dayUs))).as("w0"))
+        .select(col("w0"), (col("w0") + lit(7199999999L)).as("w1"))
+      Joins.intervalJoin(sess, wins, "s_us", "e_us", "w0", "w1",
+          binWidth = 3600000000L)
+        .groupBy(col("w0"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("w0"))
+    }),
+
     // hybrid retrieval: the SAME "more like doc 0" question asked
     // lexically (BM25 top-50) and semantically (exact cosine top-50
     // over the aligned embedding table), fused by reciprocal-rank
@@ -9146,6 +9180,35 @@ object SparkEntry {
          |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
          |SELECT id, rank_a, rank_b, rrf FROM fused
          |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
+
+    // overlap join replay: the bin machinery is engine-internal — the
+    // oracle states the DEFINITION (range predicates over sessions x
+    // generated windows), which the bin-expansion plan must reproduce.
+    "q259_interval_join_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |marked AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |      IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |      >= 1800000000
+        |  THEN 1 ELSE 0 END AS new_session FROM ev),
+        |sess0 AS (SELECT user_id, us,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+        |  FROM sess0 GROUP BY 1, 2),
+        |bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+        |wins AS (SELECT w0, w0 + 7199999999 AS w1 FROM (
+        |  SELECT unnest(generate_series(
+        |    lo // 86400000000 * 86400000000,
+        |    hi // 86400000000 * 86400000000,
+        |    86400000000)) AS w0 FROM bounds)),
+        |pairs AS (SELECT user_id, w0 FROM sess JOIN wins
+        |  ON sess.s_us <= wins.w1 AND wins.w0 <= sess.e_us)
+        |SELECT w0, count(*)::BIGINT AS n_sessions,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM pairs GROUP BY 1 ORDER BY w0""".stripMargin,
   )
 
   /** The q257 lexical-retrieval CTE ladder (through the per-doc

@@ -76,4 +76,26 @@ class JoinsSpec extends SparkSpec {
     assert(r.getLong(0) == 5 && r.getLong(1) == 1 && r.getLong(2) == 1)
     assert(math.abs(r.getDouble(3) - 0.6) < 1e-9)
   }
+
+  test("intervalJoin: brute-force parity, each pair exactly once, at several bin widths") {
+    import spark.implicits._
+    // boundary touches, bin straddles, zero-length points, containment,
+    // duplicates, an inverted interval (dropped)
+    val lefts = Seq((1L, 0L, 10L), (2L, 10L, 10L), (3L, 25L, 80L),
+      (4L, 99L, 101L), (5L, 0L, 300L), (6L, 170L, 160L), (7L, 25L, 80L))
+    val rights = Seq((101L, 5L, 9L), (102L, 10L, 24L), (103L, 80L, 99L),
+      (104L, 101L, 150L), (105L, 300L, 300L), (106L, 400L, 500L))
+    val expected = (for {
+      (li, ls, le) <- lefts if ls <= le
+      (ri, rs, re) <- rights
+      if ls <= re && rs <= le
+    } yield (li, ri)).sorted
+    val ldf = lefts.toDF("lid", "ls", "le")
+    val rdf = rights.toDF("rid", "rs", "re")
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Joins.intervalJoin(ldf, rdf, "ls", "le", "rs", "re", w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == expected, s"binWidth=$w")
+    }
+  }
 }
