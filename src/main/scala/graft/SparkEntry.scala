@@ -3395,6 +3395,18 @@ object SparkEntry {
       TextStats.bm25Search(Tables.documents(s, dir), "text", "doc_id",
         doc0Terms(s, dir), k = 15, excludeId = Some(0L))),
 
+    // label-propagation communities over the staged co-purchase graph
+    // (q220's exact pair view): 3 deterministic synchronous rounds,
+    // community = surviving label; output is the community-size table
+    "q260_label_propagation" -> ((s, dir) =>
+      etlmudah.graph.Centrality.labelPropagation(
+        stagedCoEdges(s, dir)
+          .filter(col("src") < col("dst") && col("weight") >= 2L)
+          .select(col("src").as("u"), col("dst").as("v"), col("weight")),
+        iters = 3)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("label"))),
+
     // INTERVAL OVERLAP JOIN (bin expansion — never a nested-loop range
     // join): user activity sessions (30-min gap rule, the q42
     // construction on an epoch-micros lattice) joined against nightly
@@ -9180,6 +9192,35 @@ object SparkEntry {
          |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
          |SELECT id, rank_a, rank_b, rrf FROM fused
          |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
+
+    // LPA replay: q220's exact pair CTE, then the three synchronous
+    // rounds unrolled (the q218 PageRank-unroll discipline) — weighted
+    // neighbor-label argmax with (ws DESC, label ASC) row_number.
+    "q260_label_propagation" -> {
+      def round(i: Int) =
+        s"""c$i AS (SELECT sym.dst AS node, l${i - 1}.label,
+           |  sum(sym.w)::BIGINT AS ws
+           |  FROM sym JOIN l${i - 1} ON l${i - 1}.node = sym.src
+           |  GROUP BY 1, 2),
+           |l$i AS (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (PARTITION BY node
+           |    ORDER BY ws DESC, label ASC) AS rk
+           |  FROM c$i) WHERE rk = 1)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v,
+         |    count(*)::BIGINT AS w
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS (SELECT u AS src, v AS dst, w FROM e0
+         |        UNION ALL SELECT v, u, w FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT label, count(*)::BIGINT AS n_nodes FROM l3
+         |GROUP BY 1 ORDER BY label""".stripMargin
+    },
 
     // overlap join replay: the bin machinery is engine-internal — the
     // oracle states the DEFINITION (range predicates over sessions x

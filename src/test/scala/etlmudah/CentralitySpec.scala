@@ -283,6 +283,48 @@ class CentralitySpec extends SparkSpec {
     assert(ranks == ranks.sortBy(-_), "output must be rank-descending")
   }
 
+  /** Serial synchronous-LPA replay: all labels update simultaneously
+    * from the previous round; argmax by (weight desc, label asc). */
+  private def serialLpa(pairs: Seq[(Long, Long, Long)],
+                        iters: Int): Map[Long, Long] = {
+    val sym = pairs.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    var lab = sym.map(_._1).distinct.map(n => n -> n).toMap
+    (0 until iters).foreach { _ =>
+      val old = lab
+      lab = sym.groupBy(_._2).map { case (node, es) =>
+        val byLabel = es.groupBy(e => old(e._1))
+          .map { case (l, xs) => (l, xs.map(_._3).sum) }
+        node -> byLabel.toSeq.sortBy { case (l, ws) => (-ws, l) }.head._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: serial synchronous replay; bridge does not merge tight communities") {
+    import spark.implicits._
+    // two weight-5 triangles joined by a weight-1 bridge, plus a
+    // pendant pair — the bridge must NOT merge the triangles
+    val pairs = Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L),
+      (10L, 11L, 5L), (11L, 12L, 5L), (10L, 12L, 5L),
+      (3L, 10L, 1L),
+      (20L, 21L, 2L))
+    for (iters <- 1 to 3) {
+      val got = Centrality.labelPropagation(
+          pairs.toDF("u", "v", "weight"), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == serialLpa(pairs, iters), s"iters=$iters")
+    }
+    val finalLab = serialLpa(pairs, 3)
+    assert(Set(1L, 2L, 3L).map(finalLab).size == 1)
+    assert(Set(10L, 11L, 12L).map(finalLab).size == 1)
+    assert(finalLab(1L) != finalLab(10L), "bridge must not merge")
+    // the isolated PAIR is the documented synchronous 2-cycle: each
+    // endpoint adopts the other's label every round, so after an odd
+    // round count the labels sit swapped — deterministically
+    assert(finalLab(20L) == 21L && finalLab(21L) == 20L)
+  }
+
   test("associationRules: known baskets, distinct-basket counting, lift order") {
     import spark.implicits._
     // basket 1 holds A twice: multiplicity must NOT inflate support
