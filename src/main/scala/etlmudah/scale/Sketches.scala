@@ -146,6 +146,15 @@ object Sketches {
       .select(col("m"), col("n_zero"), col("maxreg"), col("s"),
         col("raw_est"))
 
+  /** Report over an externally-merged (bucket, reg) register table —
+    * the streaming sink's consumer: same fold and columns as
+    * [[hllReport]], inputs already max-merged by the caller. */
+  private[etlmudah] def hllReportFromRegs(regs: DataFrame,
+                                          b: Int): DataFrame =
+    reportOfRegs(regs.groupBy(), b)
+      .select(col("m"), col("n_zero"), col("maxreg"), col("s"),
+        col("raw_est"))
+
   /** The report fold shared by the global, per-group, and merged
     * tiers: takes registers under any grouping. */
   private def reportOfRegs(

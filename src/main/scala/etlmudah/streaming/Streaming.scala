@@ -633,6 +633,60 @@ object Streaming {
     * SAME code path as the batch operator, so stream == batch by
     * construction. Same compaction + recoverable-swap scheme as
     * [[driftSink]]; state stays bounded by |keys| + depth*width. */
+  /** Streaming DISTINCT-COUNT sink over the portable HLL registers —
+    * the union algebra q240 proves, run as a stream: each micro-batch
+    * folds its OWN ≤ m register rows (`Sketches.hllRegisterTable`, the
+    * only corpus-sized work) into a batch_id-partitioned state
+    * partition (dynamic overwrite → re-delivered batches converge
+    * exactly), and the standing sketch is the per-bucket MAX across
+    * partitions — so the streamed estimate equals the one-shot batch
+    * HLL of everything seen, REGISTER-FOR-REGISTER (merge is exact;
+    * approximation lives only between sketch and truth). State is
+    * ≤ m × batches-since-compaction rows and max-collapses every
+    * `compactEvery` batches (current batch keeps its own partition so
+    * idempotent re-delivery survives compaction). The report swaps in
+    * atomically ([[recoverSwap]]/[[swapIn]]). */
+  def hllDistinctSink(rows: DataFrame, keyCol: String, statePath: String,
+                      outPath: String, checkpoint: String, b: Int = 6,
+                      compactEvery: Int = 100):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import etlmudah.scale.Sketches
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stateFs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(stateFs, statePath)
+        Sketches.hllRegisterTable(batch, keyCol, b)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(statePath)
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val compacted = spark.read.parquet(statePath)
+            .withColumn("batch_id",
+              greatest(col("batch_id"), lit(batchId - 1)))
+            .groupBy(col("batch_id"), col("bucket"))
+            .agg(max(col("reg")).as("reg"))
+            .select(col("bucket"), col("reg"), col("batch_id"))
+            .localCheckpoint(true)
+          swapIn(stateFs, statePath)(tmp =>
+            compacted.write.mode("overwrite")
+              .partitionBy("batch_id").parquet(tmp))
+        }
+        val regs = spark.read.parquet(statePath)
+          .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+        val report = Sketches.hllReportFromRegs(regs, b)
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(fs, outPath)
+        swapIn(fs, outPath)(tmp =>
+          report.write.mode("overwrite").parquet(tmp))
+        ()
+      }
+  }
+
   def heavyHitterSink(rows: DataFrame, keyCol: String, statePath: String,
                       outPath: String, checkpoint: String,
                       depth: Int = 4, width: Int = 256, topN: Int = 10,

@@ -375,6 +375,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("hllDistinctSink: streamed registers == one-shot batch HLL exactly, re-run converges") {
+    import etlmudah.scale.Sketches
+    val out = Files.createTempDirectory("stream_hll").toString
+    val src = s"$out/src"
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(5)
+      .write.mode("overwrite").parquet(src)
+    val all = spark.read.parquet(src)
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.hllDistinctSink(
+          Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+          "user_id", s"$out/state", s"$out/report", cp,
+          b = 6, compactEvery = 2)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+    }
+    runOnce(s"$out/cp1")
+    val streamed = spark.read.parquet(s"$out/report").collect()
+    // per-batch sketches max-merged MUST equal the one-shot sketch of
+    // the whole corpus: same m/n_zero/maxreg/S/estimate, exactly
+    val batch = Sketches.hllReport(all, "user_id", b = 6).collect()
+    assert(streamed.length == 1 && batch.length == 1)
+    assert(streamed.head == batch.head,
+      s"streamed=${streamed.head} batch=${batch.head}")
+    // compaction really collapsed old partitions
+    assert(spark.read.parquet(s"$out/state").select("batch_id")
+      .distinct().collect().map(_.get(0).toString.toInt).toSet ==
+      Set(3, 4))
+    // re-delivered compaction batch, then a fresh full re-run
+    dropCommit(s"$out/cp1", 4)
+    runOnce(s"$out/cp1")
+    assert(spark.read.parquet(s"$out/report").collect().head ==
+      batch.head)
+    runOnce(s"$out/cp2")
+    assert(spark.read.parquet(s"$out/report").collect().head ==
+      batch.head)
+  }
+
   test("pcaDriftSink: streamed component == batch component integer-for-integer, re-run converges") {
     import etlmudah.scale.Spectral
     val out = Files.createTempDirectory("stream_pca").toString

@@ -18,6 +18,38 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(q)(spark, sf0001).queryExecution.sparkPlan
       .collect { case s: FileSourceScanExec => s }
 
+  test("q246: skyline is the sweep plan — no self-join; only the bucket-summary broadcast") {
+    val plan = planOf("q246_skyline_parts")
+    // the definitional NOT-EXISTS would surface as a second join of
+    // the part table against itself; the sweep carries exactly ONE
+    // join: the <=|buckets|-row cumulative-min summary broadcast back
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 1, plan.take(800))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(scansOf("q246_skyline_parts").forall(
+      _.schema.fieldNames.length <= 3), "scan must prune to 3 columns")
+  }
+
+  test("q257: bm25 serving prunes every documents scan to (doc_id, text) or less") {
+    val scans = scansOf("q257_bm25_search")
+    // the totals branch legitimately narrows further (text only); no
+    // branch may drag lang/source/n_chars through the scan
+    assert(scans.nonEmpty &&
+      scans.forall(_.schema.fieldNames.toSet.subsetOf(
+        Set("doc_id", "text"))),
+      scans.map(_.schema.fieldNames.mkString(",")).mkString(" | "))
+  }
+
+  test("q259: interval join plans as a bin equi-join, never a nested-loop range join") {
+    val plan = planOf("q259_interval_join_sessions")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+    // the bin key must be a real join key (hash or broadcast-hash)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(800))
+  }
+
   test("q32: filters pushed to the parquet scan, projection pruned") {
     val scan = scansOf("q32_filter_pipeline").head
     val meta = scan.metadata("PushedFilters")
