@@ -946,6 +946,48 @@ object Analytics {
             6)).as("cramers_v"))
   }
 
+  /** EXACT WEIGHTED quantiles per group — the token-weighted
+    * percentile a training-data pipeline actually wants (an unweighted
+    * doc-length median answers "the typical document"; the
+    * token-weighted one answers "the document the typical TOKEN lives
+    * in" — at heavy-tailed doc lengths the two diverge wildly). Lower
+    * weighted quantile: the smallest value whose cumulative weight
+    * reaches q·W. Values and weights are integral lattices, the
+    * cumulative fold is BIGINT, and the only float op is the q·W
+    * threshold product of exact operands — engine-replayable with no
+    * interpolation convention to align.
+    *
+    * Scale: one map-side-combined (group, value) aggregate collapses
+    * row volume to the distinct-value grain FIRST, one group-keyed
+    * window carries the cumulative and total weight (same exchange,
+    * two frames), and all requested quantiles fold in ONE final
+    * aggregate pass (each q is two more agg columns, the ValidateSuite
+    * argument). */
+  def weightedQuantilesBy(df: DataFrame, valueCol: String,
+                          weightCol: String, groupCols: Seq[String],
+                          qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val g = groupCols.map(col)
+    val vw = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(g :+ col(valueCol).cast("long").as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val cum = vw
+      .withColumn("__cw", sum(col("__w")).over(wOrd))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+    val qCols = qs.map(q =>
+      min(when(col("__cw").cast("double") >=
+        lit(q) * col("__tw").cast("double"), col("__v")))
+        .as(s"wq_${math.round(q * 100)}"))
+    cum.groupBy(g: _*)
+      .agg(max(col("__tw")).as("total_w"), qCols: _*)
+      .orderBy(g: _*)
+  }
+
   /** CUSUM changepoint screen per group: where does a time series'
     * level shift? For the time-ordered series (t, y) the statistic is
     * max_i |S_i/T − i/n| — the maximum deviation of the cumulative

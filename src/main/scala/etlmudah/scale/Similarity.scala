@@ -81,6 +81,65 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-Marginal-Relevance diverse re-ranking (Carbonell &
+    * Goldstein 1998) of a retriever's candidate set (id, score, vec):
+    * greedily select k items maximizing
+    * λ·score − (1−λ)·max cos-sim to the already-selected set — the
+    * redundancy dial every retrieval stack ends with (the serving-time
+    * cousin of SemDeDup: near-duplicate results add no value to a
+    * result page or a RAG context window).
+    *
+    * Fully deterministic and on-engine: each greedy round is one
+    * anti-join of the remaining candidates, one broadcast sim join
+    * against the ≤k selected vectors with the 6dp-rounded
+    * `graft_cosine` kernel (the q27 parity convention), and one
+    * struct-max argmax with id tie-break; (1−λ) is computed IN-ENGINE
+    * as 1.0 − λ so both engines fold the identical double. The oracle
+    * unrolls all k rounds. Returns (rank, id, mmr).
+    *
+    * Scale: every frame is bounded by the CANDIDATE set (the
+    * retriever's N) — the greedy loop never touches the corpus; rounds
+    * are k small bounded jobs (localCheckpoint-pinned, the PageRank
+    * loop discipline). */
+  def mmrSelect(candidates: DataFrame, k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cand = candidates.select(col("id").cast("long").as("id"),
+        col("score").cast("double").as("score"), col("vec"))
+      .localCheckpoint(true)
+    val n = cand.count()
+    val rounds = math.min(k.toLong, n).toInt
+    if (rounds == 0)
+      return cand.select(lit(1L).as("rank"), col("id"),
+        col("score").as("mmr")).limit(0)
+    def argmax(scored: DataFrame, rank: Int): DataFrame = scored
+      .agg(max(struct(col("__mmr"), (-col("id")).as("__nid"),
+        col("id"))).as("__b"))
+      .select(lit(rank.toLong).as("rank"), col("__b.id").as("id"),
+        col("__b.__mmr").as("mmr"))
+    var sel = argmax(cand.select(col("id"),
+      round(lit(lambda) * col("score"), 6).as("__mmr")), 1)
+      .localCheckpoint(true)
+    var r = 2
+    while (r <= rounds) {
+      val selVecs = cand.join(broadcast(sel.select(col("id"))), Seq("id"))
+        .select(col("vec").as("__sv"))
+      val remaining = cand
+        .join(broadcast(sel.select(col("id"))), Seq("id"), "left_anti")
+      val scored = remaining.crossJoin(broadcast(selVecs))
+        .select(col("id"), col("score"),
+          round(cosineFast(col("vec"), col("__sv")), 6).as("__sim"))
+        .groupBy(col("id"), col("score"))
+        .agg(max(col("__sim")).as("__msim"))
+        .select(col("id"),
+          round(lit(lambda) * col("score") -
+            (lit(1.0) - lit(lambda)) * col("__msim"), 6).as("__mmr"))
+      sel = sel.unionByName(argmax(scored, r)).localCheckpoint(true)
+      r += 1
+    }
+    sel.orderBy(col("rank"))
+  }
+
   /** Exact top-k by cosine against the vector of `queryId` (excluded from
     * results). The query row is broadcast; the corpus is scanned once. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,

@@ -3395,6 +3395,35 @@ object SparkEntry {
       TextStats.bm25Search(Tables.documents(s, dir), "text", "doc_id",
         doc0Terms(s, dir), k = 15, excludeId = Some(0L))),
 
+    // token-weighted char-length percentiles per source: the percentile
+    // of the document the typical TOKEN lives in (vs q08's row grain) —
+    // exact lower weighted quantiles on BIGINT lattices, no
+    // interpolation convention to align across engines
+    "q261_weighted_quantiles" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.weightedQuantilesBy(
+        Tables.documents(s, dir)
+          .withColumn("bpeish", TextStats.tokenCountBpeIsh(col("text"))),
+        "n_chars", "bpeish", Seq("source"), qs = Seq(0.25, 0.5, 0.75, 0.9))),
+
+    // MMR diverse re-ranking of q27's semantic candidates: top-50 by
+    // cosine to vec 0, greedily re-ranked to 10 results trading
+    // relevance against redundancy at lambda=0.7; all 10 greedy rounds
+    // replay unrolled in the oracle
+    "q262_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(col("embedding").as("__qv"))
+      val cand = emb.where(col("vec_id") =!= 0L)
+        .join(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(Similarity.cosineFast(col("embedding"), col("__qv")), 6)
+            .as("score"),
+          col("embedding").as("vec"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(50)
+      Similarity.mmrSelect(cand, k = 10, lambda = 0.7)
+    }),
+
     // label-propagation communities over the staged co-purchase graph
     // (q220's exact pair view): 3 deterministic synchronous rounds,
     // community = surviving label; output is the community-size table
@@ -9192,6 +9221,76 @@ object SparkEntry {
          |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
          |SELECT id, rank_a, rank_b, rrf FROM fused
          |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
+
+    // weighted-quantile replay: identical distinct-value collapse,
+    // BIGINT cumulative fold, q*W threshold on exact operands.
+    "q261_weighted_quantiles" -> {
+      val bpeish =
+        """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"""
+      def pick(q: String, name: String) =
+        s"""min(CASE WHEN CAST(cw AS DOUBLE) >= $q * CAST(tw AS DOUBLE)
+           |    THEN v END) AS $name""".stripMargin
+      s"""WITH vw AS (
+         |  SELECT source, n_chars::BIGINT AS v,
+         |    sum($bpeish::BIGINT)::BIGINT AS w
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL AND $bpeish > 0
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, v,
+         |    sum(w) OVER (PARTITION BY source ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS cw,
+         |    sum(w) OVER (PARTITION BY source)::BIGINT AS tw
+         |  FROM vw)
+         |SELECT source, max(tw) AS total_w,
+         |  ${pick("0.25", "wq_25")},
+         |  ${pick("0.5", "wq_50")},
+         |  ${pick("0.75", "wq_75")},
+         |  ${pick("0.9", "wq_90")}
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // MMR replay: the 10 greedy rounds unrolled — each round the
+    // remaining candidates' 6dp max-sim to the selected set, the same
+    // lambda*score - (1.0-lambda)*msim tree, argmax with id tie-break.
+    "q262_mmr_rerank" -> {
+      // every CTE MATERIALIZED: inlined CTEs re-evaluate per reference,
+      // and each selR is referenced 3x by round R+1 — unmaterialized,
+      // the 10-round ladder explodes 3^9-fold
+      val rounds = (2 to 10).map { r =>
+        s"""m$r AS MATERIALIZED (
+           |  SELECT c2.id,
+           |    max(round(list_cosine_similarity(c2.vec, s.vec), 6))
+           |      AS msim
+           |  FROM cand c2, cand s
+           |  WHERE s.id IN (SELECT id FROM sel${r - 1})
+           |    AND c2.id NOT IN (SELECT id FROM sel${r - 1})
+           |  GROUP BY c2.id),
+           |s$r AS MATERIALIZED (
+           |  SELECT $r::BIGINT AS rank, c.id,
+           |    round(0.7 * c.score - (1.0 - 0.7) * m.msim, 6) AS mmr
+           |  FROM cand c JOIN m$r m ON c.id = m.id
+           |  ORDER BY mmr DESC, c.id LIMIT 1),
+           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
+           |          UNION ALL SELECT * FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cand AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
+         |      AS score,
+         |    embedding::DOUBLE[] AS vec
+         |  FROM embeddings, (SELECT embedding::DOUBLE[] AS qv
+         |    FROM embeddings WHERE vec_id = 0) q
+         |  WHERE vec_id <> 0
+         |  ORDER BY score DESC, id LIMIT 50),
+         |s1 AS MATERIALIZED (SELECT 1::BIGINT AS rank, id,
+         |    round(0.7 * score, 6) AS mmr
+         |  FROM cand ORDER BY mmr DESC, id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT * FROM s1),
+         |$rounds
+         |SELECT rank, id, mmr FROM sel10 ORDER BY rank""".stripMargin
+    },
 
     // LPA replay: q220's exact pair CTE, then the three synchronous
     // rounds unrolled (the q218 PageRank-unroll discipline) — weighted

@@ -216,6 +216,27 @@ class AnalyticsSpec extends SparkSpec {
       r3.isNullAt(r3.fieldIndex("cramers_v")))
   }
 
+  test("weightedQuantilesBy: lower weighted quantile on hand weights; diverges from row grain") {
+    import spark.implicits._
+    // g: values 1..4, weights 1,1,1,7 (value 4 arrives as two rows
+    // that must collapse) -> total 10; cw = 1,2,3,10
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("g", 4L, 3L), ("g", 4L, 4L),
+      ("h", 5L, 2L), ("h", 6L, 0L)   // zero weight drops
+    ).toDF("grp", "v", "w")
+    val r = Analytics.weightedQuantilesBy(df, "v", "w", Seq("grp"),
+      qs = Seq(0.25, 0.5, 0.9)).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val g = r("g")
+    assert(g.getAs[Long]("total_w") == 10L)
+    assert(g.getAs[Long]("wq_25") == 3L)   // cw 2 < 2.5 -> first v is 3
+    assert(g.getAs[Long]("wq_50") == 4L)   // the weighted median
+    assert(g.getAs[Long]("wq_90") == 4L)
+    val h = r("h")
+    assert(h.getAs[Long]("total_w") == 2L &&
+      h.getAs[Long]("wq_50") == 5L)
+  }
+
   test("cusumChangepoint: level shift located; zero-total yields null stat") {
     import spark.implicits._
     val df = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 0L),

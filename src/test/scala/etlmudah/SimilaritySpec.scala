@@ -499,6 +499,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq(ex.getLong(0), ex.getLong(1)) == expect)
   }
 
+  test("mmrSelect: diversity beats a redundant higher score; k caps at n") {
+    import spark.implicits._
+    val a = Array(1f, 0f)
+    val aDup = Array(0.999f, 0.01f)   // near-duplicate of a
+    val ortho = Array(0f, 1f)
+    val cand = Seq((1L, 0.9, a), (2L, 0.89, aDup), (3L, 0.5, ortho))
+      .toDF("id", "score", "vec")
+    val r = Similarity.mmrSelect(cand, k = 5, lambda = 0.7).collect()
+    // round 1: best score (id 1). round 2: id 2 pays ~0.3 redundancy
+    // (sim~1 to id 1) -> 0.323; id 3 pays nothing -> 0.35 wins.
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "ranks 1..n")
+    assert(r.head.getAs[Double]("mmr") == 0.63)   // 0.7 * 0.9
+    assert(r(1).getAs[Double]("mmr") == 0.35)     // 0.7*0.5 - 0.3*0
+    // exact-duplicate scores tie-break by id
+    val ties = Seq((7L, 0.5, a), (5L, 0.5, a)).toDF("id", "score", "vec")
+    val t = Similarity.mmrSelect(ties, k = 1).collect()
+    assert(t.head.getLong(1) == 5L)
+    // empty candidates -> empty result, no crash
+    assert(Similarity.mmrSelect(cand.where(col("id") > 99), k = 3)
+      .count() == 0)
+  }
+
   test("rrfFuse: dual-hit doc tops both single-hit docs; null ranks preserved") {
     import spark.implicits._
     val a = Seq((1L, 0.9), (2L, 0.8)).toDF("id", "score")

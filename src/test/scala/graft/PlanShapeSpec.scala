@@ -236,7 +236,10 @@ class PlanShapeSpec extends SparkSpec {
       "q255_chi2_independence",
       // q257/q258 carry bm25Search's single-row (N, avgdl) broadcast;
       // q258 additionally runs q27's single-query-vector broadcast scan
-      "q257_bm25_search", "q258_hybrid_rrf")
+      "q257_bm25_search", "q258_hybrid_rrf",
+      // q262 carries q27's query-vector broadcast plus the MMR loop's
+      // ≤k-row selected-vector broadcast each greedy round
+      "q262_mmr_rerank")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
