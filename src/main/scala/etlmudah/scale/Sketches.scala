@@ -81,6 +81,43 @@ object Sketches {
       .withColumn("overcount", col("n_est") - col("n_exact"))
       .orderBy(col("n_exact").desc, col("key").asc)
 
+  /** JOIN-SIZE estimation from two count-min grids (Cormode &
+    * Muthukrishnan 2005 §4.3, the CM inner-product estimator): the
+    * equi-join output cardinality |A ⋈ B| = Σ_k fA(k)·fB(k) is
+    * estimated as min over the depth rows of the grids' per-row dot
+    * product — an OVERESTIMATE by construction (collisions only add),
+    * never an undercount. This is the optimizer question ("how big is
+    * this join going to be?") answered from two ~33 KB sketches
+    * WITHOUT moving either table's keys — at 100 TB each side folds
+    * its grid in its own scan and the estimate is depth·width
+    * arithmetic. The exact answer rides alongside as the audit tier
+    * (at true scale it is the first thing dropped — computing it IS
+    * the join). One row out: est_join_size, true_join_size,
+    * overestimate_ratio (4dp, null on an empty true join). */
+  def cmsJoinSizeEstimate(dfA: DataFrame, aKey: String,
+                          dfB: DataFrame, bKey: String,
+                          depth: Int = 4, width: Int = 256): DataFrame = {
+    def grid(df: DataFrame, key: String, tag: String) =
+      cmsSketch(df, key, depth, width)
+        .select(posexplode(col("sketch")).as(Seq("pos", s"c$tag")))
+    val dots = grid(dfA, aKey, "a").join(grid(dfB, bKey, "b"), Seq("pos"))
+      .groupBy(expr(s"pos div $width").as("d"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    val est = dots.agg(min(col("dot")).as("est_join_size"))
+    def counts(df: DataFrame, key: String, tag: String) =
+      df.groupBy(col(key).cast("string").as("k"))
+        .agg(count(lit(1)).as(s"n$tag"))
+    val truth = counts(dfA, aKey, "a").join(counts(dfB, bKey, "b"), Seq("k"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L))
+        .as("true_join_size"))
+    est.crossJoin(broadcast(truth))
+      .select(col("est_join_size"), col("true_join_size"),
+        when(col("true_join_size") > 0,
+          round(col("est_join_size").cast("double") /
+            col("true_join_size").cast("double"), 4))
+          .as("overestimate_ratio"))
+  }
+
   /** Rebuild the single-row `sketch` array frame from grid PARTIALS
     * (pos, cnt) — the streaming sink's standing state is the exploded
     * grid, merged by plain addition (the sketch's mergeability is the

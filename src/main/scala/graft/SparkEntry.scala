@@ -3395,6 +3395,16 @@ object SparkEntry {
       TextStats.bm25Search(Tables.documents(s, dir), "text", "doc_id",
         doc0Terms(s, dir), k = 15, excludeId = Some(0L))),
 
+    // CMS join-size estimation: |events ⋈ orders on user/cust key|
+    // predicted from two grids without moving either table's keys —
+    // the optimizer question answered sketch-side; exact join size
+    // rides alongside as the audit tier
+    "q263_cms_join_size" -> ((s, dir) =>
+      etlmudah.scale.Sketches.cmsJoinSizeEstimate(
+        Tables.events(s, dir), "user_id",
+        Tables.orders(s, dir), "o_custkey",
+        depth = 4, width = 256)),
+
     // token-weighted char-length percentiles per source: the percentile
     // of the document the typical TOKEN lives in (vs q08's row grain) —
     // exact lower weighted quantiles on BIGINT lattices, no
@@ -9221,6 +9231,41 @@ object SparkEntry {
          |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
          |SELECT id, rank_a, rank_b, rrf FROM fused
          |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
+
+    // CM inner-product replay: q231's exact bucket layout on both
+    // keys, per-depth-row dot products, min — against the exact
+    // keyed-count join.
+    "q263_cms_join_size" ->
+      """WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+        |kb AS (SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+        |ga AS (
+        |  SELECT r.d,
+        |    CAST(CAST(('0x' || substr(md5(key), 8 * r.d + 1, 8))
+        |      AS UBIGINT) % 256 AS BIGINT) AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM ka CROSS JOIN range(4) r(d) GROUP BY 1, 2),
+        |gb AS (
+        |  SELECT r.d,
+        |    CAST(CAST(('0x' || substr(md5(key), 8 * r.d + 1, 8))
+        |      AS UBIGINT) % 256 AS BIGINT) AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM kb CROSS JOIN range(4) r(d) GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT ga.d, sum(ga.cnt * gb.cnt)::BIGINT AS dot
+        |  FROM ga JOIN gb ON ga.d = gb.d AND ga.bucket = gb.bucket
+        |  GROUP BY 1),
+        |est AS (SELECT min(dot)::BIGINT AS est_join_size FROM dots),
+        |truth AS (
+        |  SELECT coalesce(sum(na * nb), 0)::BIGINT AS true_join_size
+        |  FROM (SELECT key, count(*)::BIGINT AS na FROM ka GROUP BY 1) a
+        |  JOIN (SELECT key, count(*)::BIGINT AS nb FROM kb GROUP BY 1) b
+        |    USING (key))
+        |SELECT est_join_size, true_join_size,
+        |  CASE WHEN true_join_size > 0 THEN
+        |    round(CAST(est_join_size AS DOUBLE)
+        |      / CAST(true_join_size AS DOUBLE), 4) END
+        |    AS overestimate_ratio
+        |FROM est CROSS JOIN truth""".stripMargin,
 
     // weighted-quantile replay: identical distinct-value collapse,
     // BIGINT cumulative fold, q*W threshold on exact operands.

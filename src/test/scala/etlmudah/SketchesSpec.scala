@@ -166,4 +166,27 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - nTrue) < 0.52 * nTrue,
       s"est=$est true=$nTrue")
   }
+
+  test("cmsJoinSizeEstimate: exact at collision-free width, total-mass product at width 1") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y").toDF("k")
+    val b = Seq("x", "y", "y", "z").toDF("k")
+    val wide = Sketches.cmsJoinSizeEstimate(a, "k", b, "k",
+      depth = 4, width = 1024).collect().head
+    assert(wide.getAs[Long]("true_join_size") == 4L)   // 2*1 + 1*2
+    assert(wide.getAs[Long]("est_join_size") == 4L)
+    assert(wide.getAs[Double]("overestimate_ratio") == 1.0)
+    // width 1: every key collides -> the estimate degrades to
+    // |A|*|B|, the documented worst case — still never an undercount
+    val narrow = Sketches.cmsJoinSizeEstimate(a, "k", b, "k",
+      depth = 2, width = 1).collect().head
+    assert(narrow.getAs[Long]("est_join_size") == 12L)
+    assert(narrow.getAs[Long]("est_join_size") >=
+      narrow.getAs[Long]("true_join_size"))
+    // disjoint key sets: zero true join, null ratio
+    val dis = Sketches.cmsJoinSizeEstimate(a, "k",
+      Seq("zzz").toDF("k"), "k", depth = 4, width = 1024).collect().head
+    assert(dis.getAs[Long]("true_join_size") == 0L)
+    assert(dis.isNullAt(dis.fieldIndex("overestimate_ratio")))
+  }
 }

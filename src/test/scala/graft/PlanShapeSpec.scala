@@ -239,7 +239,10 @@ class PlanShapeSpec extends SparkSpec {
       "q257_bm25_search", "q258_hybrid_rrf",
       // q262 carries q27's query-vector broadcast plus the MMR loop's
       // ≤k-row selected-vector broadcast each greedy round
-      "q262_mmr_rerank")
+      "q262_mmr_rerank",
+      // q263 assembles its one-row report from the single-row estimate
+      // and truth frames (the q236 shape)
+      "q263_cms_join_size")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
