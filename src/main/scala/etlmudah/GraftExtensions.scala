@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, NfcNormalize, UnigramViterbi, WavSampleStats}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, NfcNormalize, UnigramViterbi, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -52,6 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BmpAHash(c, m.eval().asInstanceOf[Number].intValue)
         case _ => throw new IllegalArgumentException(
           "graft_bmp_ahash(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bmp_resize"),
+      new ExpressionInfo(classOf[BmpResize].getName, "graft_bmp_resize"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, f) if f.foldable =>
+          BmpResize(c, f.eval().asInstanceOf[Number].intValue)
+        case Seq(c, f, m) if f.foldable && m.foldable =>
+          BmpResize(c, f.eval().asInstanceOf[Number].intValue,
+            m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_bmp_resize(media, factor[, maxPixels])")
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_bpe_fold"),

@@ -180,6 +180,75 @@ object BmpPixelStatsFn {
     * a generate-series grid and never parses a byte — the
     * fakeMediaHeader discipline extended from headers to payloads.
     * Width 1..4 exercises every pad width (1/2/3/0 bytes). */
+  /** REAL box-filter downscale of a decodable 24bpp BMP by integer
+    * `factor` — the brief's multimodal RESIZE step, exactly computable
+    * for the uncompressed family: output pixel (oy, ox) is the
+    * per-channel FLOOR mean of the factor×factor input block starting
+    * at (oy·f, ox·f), trailing rows/cols that do not fill a block are
+    * truncated (ow = w div f, oh = h div f — the standard thumbnail
+    * convention). Integer arithmetic only (sum div f² per channel), so
+    * an oracle replays every output byte from the synth closed form.
+    * Output is a canonical 54-byte-header BI_RGB 24bpp BMP; a top-down
+    * input (negative DIB height) keeps its orientation — the output
+    * header carries the same sign, so resize→stats, resize→ahash and
+    * resize→resize all compose with the layout conventions above.
+    * Null when the input is not exactly decodable or a dimension
+    * collapses below one block. */
+  def resize(bytes: Array[Byte], factor: Int,
+             maxPixels: Int): Array[Byte] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    val parsed = parse(bytes, maxPixels)
+    if (parsed == null || factor < 1) return null
+    val Array(off, w, h, stride, topDown) = parsed
+    val ow = (w / factor).toInt
+    val oh = (h / factor).toInt
+    if (ow < 1 || oh < 1) return null
+    val oStride = (ow * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + oStride * oh)
+    def putLe32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xFF).toByte
+      out(i + 1) = ((v >> 8) & 0xFF).toByte
+      out(i + 2) = ((v >> 16) & 0xFF).toByte
+      out(i + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length.toLong)
+    putLe32(10, 54L)
+    putLe32(14, 40L)
+    putLe32(18, ow.toLong)
+    putLe32(22, if (topDown == 1L) -oh.toLong else oh.toLong)
+    out(26) = 1
+    out(28) = 24
+    putLe32(30, 0L)
+    putLe32(34, (oStride * oh).toLong)
+    val f2 = factor * factor
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var sb = 0; var sg = 0; var sr = 0
+        var dy = 0
+        while (dy < factor) {
+          val row = (off + (oy * factor + dy) * stride).toInt
+          var dx = 0
+          while (dx < factor) {
+            val p = row + (ox * factor + dx) * 3
+            sb += u8(p); sg += u8(p + 1); sr += u8(p + 2)
+            dx += 1
+          }
+          dy += 1
+        }
+        val q = 54 + oy * oStride + ox * 3
+        out(q) = (sb / f2).toByte
+        out(q + 1) = (sg / f2).toByte
+        out(q + 2) = (sr / f2).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   def synth(seed: Long, width: Long, height: Long): Array[Byte] = {
     require(width >= 1 && height >= 1 && width * height <= (1 << 20),
       s"fake BMP dims out of range: ${width}x$height")
@@ -291,6 +360,39 @@ case class BmpAHash(child: Expression, maxPixels: Int = 4096)
 
   override protected def withNewChildInternal(
       newChild: Expression): BmpAHash = copy(child = newChild)
+}
+
+/** Native expression `graft_bmp_resize(binary, factor[, maxPixels])`
+  * — see [[BmpPixelStatsFn.resize]]. */
+case class BmpResize(child: Expression, factor: Int,
+                     maxPixels: Int = 4096)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (factor < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bmp_resize factor must be >= 1, got $factor")
+    else if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bmp_resize expects binary, got ${child.dataType.sql}")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_resize"
+
+  override def nullSafeEval(input: Any): Any =
+    BmpPixelStatsFn.resize(input.asInstanceOf[Array[Byte]], factor,
+      maxPixels)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = etlmudah.expr.BmpPixelStatsFn.resize($c, $factor, $maxPixels);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BmpResize = copy(child = newChild)
 }
 
 /** Native fixture generator `graft_fake_bmp24(seed, width, height)` —

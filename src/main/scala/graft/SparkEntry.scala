@@ -3395,6 +3395,27 @@ object SparkEntry {
       TextStats.bm25Search(Tables.documents(s, dir), "text", "doc_id",
         doc0Terms(s, dir), k = 15, excludeId = Some(0L))),
 
+    // REAL image resize: 24bpp BMP box-filter 2x downscale (the
+    // brief's multimodal resize step) — synth -> graft_bmp_resize ->
+    // graft_bmp_stats, with every output byte replayed by the oracle
+    // from the synth closed form (floor block means)
+    "q264_bmp_resize_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          (col("doc_id") % 8 + 2).as("w"),
+          ((col("doc_id") * 3) % 8 + 2).as("h"))
+        .select(col("doc_id"), col("w"), col("h"),
+          expr("graft_bmp_stats(graft_bmp_resize(" +
+            "graft_fake_bmp24(doc_id, w, h), 2))").as("st"))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("st.width").as("ow"), col("st.height").as("oh"),
+          col("st.n_px"),
+          col("st.b_min"), col("st.b_max"), col("st.b_sum"),
+          col("st.g_min"), col("st.g_max"), col("st.g_sum"),
+          col("st.r_min"), col("st.r_max"), col("st.r_sum"))
+        .orderBy(col("doc_id"))),
+
     // CMS join-size estimation: |events ⋈ orders on user/cust key|
     // predicted from two grids without moving either table's keys —
     // the optimizer question answered sketch-side; exact join size
@@ -9231,6 +9252,40 @@ object SparkEntry {
          |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
          |SELECT id, rank_a, rank_b, rrf FROM fused
          |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
+
+    // resize replay: the q224 closed form pushed through the box
+    // filter — every output pixel is the floor mean of its 2x2 block,
+    // generated per (oy, ox, dy, dx) and aggregated per channel.
+    "q264_bmp_resize_stats" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 8 + 2)::BIGINT AS w,
+        |    ((doc_id * 3) % 8 + 2)::BIGINT AS h
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
+        |cells AS (
+        |  SELECT o.doc_id, oy.x AS oy, ox.x AS ox,
+        |    (sum((o.doc_id*7 + (oy.x*2 + dy.x)*3 + (ox.x*2 + dx.x))
+        |      % 256) // 4)::INT AS b,
+        |    (sum((o.doc_id*11 + (oy.x*2 + dy.x)*5 + (ox.x*2 + dx.x)*2)
+        |      % 256) // 4)::INT AS g,
+        |    (sum((o.doc_id*13 + (oy.x*2 + dy.x)*7 + (ox.x*2 + dx.x)*3)
+        |      % 256) // 4)::INT AS r
+        |  FROM o, range(0, 4) oy(x), range(0, 4) ox(x),
+        |       range(0, 2) dy(x), range(0, 2) dx(x)
+        |  WHERE oy.x < o.oh AND ox.x < o.ow
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(b)::INT AS b_min, max(b)::INT AS b_max,
+        |    sum(b)::BIGINT AS b_sum,
+        |    min(g)::INT AS g_min, max(g)::INT AS g_max,
+        |    sum(g)::BIGINT AS g_sum,
+        |    min(r)::INT AS r_min, max(r)::INT AS r_max,
+        |    sum(r)::BIGINT AS r_sum
+        |  FROM cells GROUP BY 1)
+        |SELECT o.doc_id, o.w, o.h, o.ow, o.oh, st.n_px,
+        |  st.b_min, st.b_max, st.b_sum, st.g_min, st.g_max, st.g_sum,
+        |  st.r_min, st.r_max, st.r_sum
+        |FROM o JOIN st USING (doc_id)
+        |ORDER BY o.doc_id""".stripMargin,
 
     // CM inner-product replay: q231's exact bucket layout on both
     // keys, per-depth-row dot products, min — against the exact

@@ -725,6 +725,83 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getStruct(2) == out.getStruct(3))
   }
 
+  test("bmpResize: floor block means from the closed form; composition; hostile inputs null") {
+    import etlmudah.expr.BmpPixelStatsFn
+    val (seed, w, h) = (9L, 5, 7)   // odd dims: trailing row/col truncate
+    val img = BmpPixelStatsFn.synth(seed, w, h)
+    def px(c: Int, fr: Int, cc: Int): Long = c match {
+      case 0 => Math.floorMod(seed * 7 + fr * 3 + cc, 256L)
+      case 1 => Math.floorMod(seed * 11 + fr * 5 + cc * 2, 256L)
+      case _ => Math.floorMod(seed * 13 + fr * 7 + cc * 3, 256L)
+    }
+    // serial box filter: floor mean per 2x2 block, ow=2, oh=3
+    val exp = for (c <- 0 to 2) yield (for {
+      oy <- 0 until 3; ox <- 0 until 2
+    } yield (for (dy <- 0 until 2; dx <- 0 until 2)
+      yield px(c, oy * 2 + dy, ox * 2 + dx)).sum / 4)
+    val out = spark.range(1).select(Multimodal.bmpPixelStats(
+        org.apache.spark.sql.functions.call_function("graft_bmp_resize",
+          lit(img), lit(2))).as("s"))
+      .select(col("s.width"), col("s.height"), col("s.n_px"),
+        col("s.b_min"), col("s.b_sum"), col("s.g_sum"), col("s.r_sum"))
+      .collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 3L &&
+      out.getLong(2) == 6L)
+    assert(out.getInt(3) == exp(0).min.toInt)
+    assert(out.getLong(4) == exp(0).sum &&
+      out.getLong(5) == exp(1).sum && out.getLong(6) == exp(2).sum)
+    // resize(f=1) is the identity on the pixel statistics
+    val idAndHostile = spark.range(1).select(
+        Multimodal.bmpPixelStats(call_function("graft_bmp_resize",
+          lit(img), lit(1))).as("a"),
+        Multimodal.bmpPixelStats(lit(img)).as("b"),
+        // factor collapsing a dimension below one block -> null
+        call_function("graft_bmp_resize", lit(img), lit(8)).as("c"),
+        // truncated pixel array -> null, never a partial image
+        call_function("graft_bmp_resize",
+          lit(img.take(54 + 3)), lit(2)).as("d"))
+      .collect()(0)
+    assert(idAndHostile.getStruct(0) == idAndHostile.getStruct(1))
+    assert(idAndHostile.isNullAt(2) && idAndHostile.isNullAt(3))
+    // top-down input keeps its orientation: resized twins still agree
+    val stride = (w * 3 + 3) / 4 * 4
+    val topDown = img.clone()
+    for (fr <- 0 until h)
+      System.arraycopy(img, 54 + (h - 1 - fr) * stride,
+        topDown, 54 + fr * stride, stride)
+    for (i <- 0 until 4)
+      topDown(22 + i) = (((-h) >> (8 * i)) & 0xFF).toByte
+    val tw = spark.range(1).select(
+        Multimodal.bmpAHash(call_function("graft_bmp_resize",
+          lit(img), lit(2))).as("a"),
+        Multimodal.bmpAHash(call_function("graft_bmp_resize",
+          lit(topDown), lit(2))).as("t"))
+      .collect()(0)
+    assert(!tw.isNullAt(0) && !tw.isNullAt(1))
+    // note: blocks group over FILE rows; for odd h the truncated row
+    // differs between layouts (bottom-up drops the visual TOP row,
+    // top-down the visual BOTTOM row), so exact hash equality is only
+    // guaranteed at even h — here we pin decodability + orientation
+    // plumbing, and check equality on an even-height twin below
+    val (we, he) = (4, 4)
+    val even = BmpPixelStatsFn.synth(seed, we, he)
+    val strideE = (we * 3 + 3) / 4 * 4
+    val evenTd = even.clone()
+    for (fr <- 0 until he)
+      System.arraycopy(even, 54 + (he - 1 - fr) * strideE,
+        evenTd, 54 + fr * strideE, strideE)
+    for (i <- 0 until 4)
+      evenTd(22 + i) = (((-he) >> (8 * i)) & 0xFF).toByte
+    val eq = spark.range(1).select(
+        Multimodal.bmpAHash(call_function("graft_bmp_resize",
+          lit(even), lit(2))).as("a"),
+        Multimodal.bmpAHash(call_function("graft_bmp_resize",
+          lit(evenTd), lit(2))).as("t"))
+      .collect()(0)
+    assert(eq.getStruct(0) == eq.getStruct(1),
+      "even-dim resize must be layout-invariant end to end")
+  }
+
   test("fake media synth: closed forms hold verbatim for negative seeds (floorMod)") {
     // BMP: stats replay from the documented floorMod pixel rule
     val (seed, w, h) = (-5L, 3, 2)

@@ -31,7 +31,9 @@ class ContractSpec extends AnyFunSuite {
       "SELECT graft_viterbi('abx', array('ab'), array(10L))",
       "SELECT graft_gram(array(CAST(id AS DOUBLE), 1.0D), 2, 1024) " +
         "FROM range(10)",
-      "SELECT graft_nfc('cafe\u0301')")
+      "SELECT graft_nfc('cafe\u0301')",
+      "SELECT graft_bmp_stats(graft_bmp_resize(" +
+        "graft_fake_bmp24(1L, 4L, 4L), 2)).n_px")
     probes.foreach { p =>
       val rows = spark.sql(p).collect()
       assert(rows.nonEmpty, p)
