@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, NfcNormalize, UnigramViterbi, WavSampleStats}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, NfcNormalize, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -84,6 +84,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           WavSampleStats(c, m.eval().asInstanceOf[Number].intValue)
         case _ => throw new IllegalArgumentException(
           "graft_wav_stats(media[, maxSamples])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wav_features"),
+      new ExpressionInfo(classOf[WavFeatures].getName, "graft_wav_features"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, t) if t.foldable =>
+          WavFeatures(c, t.eval().asInstanceOf[Number].intValue)
+        case Seq(c, t, m) if t.foldable && m.foldable =>
+          WavFeatures(c, t.eval().asInstanceOf[Number].intValue,
+            m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_wav_features(media, thresh[, maxSamples])")
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_wav16"),

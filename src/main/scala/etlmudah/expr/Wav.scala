@@ -32,7 +32,12 @@ object WavSampleStatsFn {
     StructField("s_sum", LongType), StructField("s_mean", DoubleType),
     StructField("sq_sum", LongType), StructField("rms", DoubleType)))
 
-  def stats(bytes: Array[Byte], maxSamples: Int): InternalRow = {
+  /** Shared accept/parse gate for [[stats]] and [[features]]:
+    * (dataOff, nSamples, channels, rate) when the blob is an exactly
+    * decodable 16-bit PCM WAV within `maxSamples`, else null — the
+    * one place the accept contract lives. */
+  private def parsePcm16(bytes: Array[Byte],
+                         maxSamples: Int): Array[Long] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long =
@@ -70,6 +75,16 @@ object WavSampleStatsFn {
     val n = dataLen / 2
     if (n == 0 || n > maxSamples) return null
     if (dataOff + dataLen > bytes.length) return null
+    Array(dataOff, n, ch.toLong, rate)
+  }
+
+  def stats(bytes: Array[Byte], maxSamples: Int): InternalRow = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val parsed = parsePcm16(bytes, maxSamples)
+    if (parsed == null) return null
+    val Array(dataOff, n, chL, rate) = parsed
+    val ch = chL.toInt
     var sMin = 32767; var sMax = -32768; var peak = 0
     var sum = 0L; var sq = 0L
     var i = 0
@@ -89,6 +104,50 @@ object WavSampleStatsFn {
       ch, rate, n, peak, sMin, sMax,
       sum, BmpPixelStatsFn.round6(sum / nd),
       sq, BmpPixelStatsFn.round6(math.sqrt(sq / nd))))
+  }
+
+  /** Sample-level FEATURES beyond the moments — the VAD/trim
+    * preprocessing pair every audio-curation pipeline runs before
+    * anything expensive: zero-crossing count (s_{i−1}·s_i < 0, the
+    * classic spectral-content proxy) and silence segmentation at
+    * |s| <= thresh (total silent samples plus maximal-run statistics —
+    * the trim/split decision inputs). Computed over the flat
+    * INTERLEAVED stream: exact for mono (the q265 fixture), a
+    * documented approximation for multi-channel (the per-channel
+    * variant is a deinterleave away). Null exactly when [[stats]] is
+    * null. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("n_zero_cross", LongType),
+    StructField("n_silent", LongType),
+    StructField("n_silence_runs", LongType),
+    StructField("max_silence_run", LongType)))
+
+  def features(bytes: Array[Byte], maxSamples: Int,
+               thresh: Int): InternalRow = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val parsed = parsePcm16(bytes, maxSamples)
+    if (parsed == null) return null
+    val Array(dataOff, n, _, _) = parsed
+    val base = dataOff.toInt
+    var zc = 0L; var silent = 0L; var runs = 0L; var maxRun = 0L
+    var curRun = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val v = (le16(base + i * 2) << 16) >> 16
+      if (i > 0 && prev.toLong * v < 0) zc += 1
+      if (math.abs(v) <= thresh) {
+        silent += 1
+        curRun += 1
+        if (curRun == 1) runs += 1
+        if (curRun > maxRun) maxRun = curRun
+      } else curRun = 0
+      prev = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, zc, silent, runs, maxRun))
   }
 
   /** Synthesize a COMPLETE 16-bit PCM WAV — canonical 44-byte header
@@ -170,6 +229,39 @@ case class WavSampleStats(child: Expression, maxSamples: Int = 65536)
 
   override protected def withNewChildInternal(
       newChild: Expression): WavSampleStats = copy(child = newChild)
+}
+
+/** Native expression `graft_wav_features(binary, thresh[, maxSamples])`
+  * — see [[WavSampleStatsFn.features]]. */
+case class WavFeatures(child: Expression, thresh: Int,
+                       maxSamples: Int = 65536)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (thresh < 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_wav_features thresh must be >= 0, got $thresh")
+    else if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_wav_features expects binary, got ${child.dataType.sql}")
+
+  override def dataType: DataType = WavSampleStatsFn.featureSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_features"
+
+  override def nullSafeEval(input: Any): Any =
+    WavSampleStatsFn.features(input.asInstanceOf[Array[Byte]],
+      maxSamples, thresh)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = etlmudah.expr.WavSampleStatsFn.features($c, $maxSamples, $thresh);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WavFeatures = copy(child = newChild)
 }
 
 /** Native fixture generator

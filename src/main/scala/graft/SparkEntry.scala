@@ -3395,6 +3395,20 @@ object SparkEntry {
       TextStats.bm25Search(Tables.documents(s, dir), "text", "doc_id",
         doc0Terms(s, dir), k = 15, excludeId = Some(0L))),
 
+    // REAL audio features: zero-crossing count + silence segmentation
+    // over decoded PCM samples (the VAD/trim preprocessing pair) —
+    // every count replayed from the synth closed form via lag/islands
+    "q265_wav_features" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), expr(
+          "graft_wav_features(graft_fake_wav16(doc_id, 1L, 8000L, " +
+            "doc_id % 50 + 10), 8000)").as("f"))
+        .select(col("doc_id"), col("f.n_samples"), col("f.n_zero_cross"),
+          col("f.n_silent"), col("f.n_silence_runs"),
+          col("f.max_silence_run"))
+        .orderBy(col("doc_id"))),
+
     // REAL image resize: 24bpp BMP box-filter 2x downscale (the
     // brief's multimodal resize step) — synth -> graft_bmp_resize ->
     // graft_bmp_stats, with every output byte replayed by the oracle
@@ -9252,6 +9266,39 @@ object SparkEntry {
          |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
          |SELECT id, rank_a, rank_b, rrf FROM fused
          |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
+
+    // wav-feature replay: samples from the synth closed form (doc_id
+    // >= 0, so SQL % equals floorMod), crossings via lag, silence
+    // runs via the islands trick over silent rows only.
+    "q265_wav_features" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 50 + 10)::BIGINT AS nf
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |s AS (SELECT d.doc_id, i.x AS i,
+        |    ((d.doc_id * 31 + i.x * 17) % 65536 - 32768)::BIGINT AS v
+        |  FROM d, range(0, 60) i(x) WHERE i.x < d.nf),
+        |f AS (SELECT doc_id, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+        |    CASE WHEN abs(v) <= 8000 THEN 1 ELSE 0 END AS sil
+        |  FROM s),
+        |runs AS (SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS grp
+        |  FROM f WHERE sil = 1),
+        |runagg AS (SELECT doc_id, count(*)::BIGINT AS rl FROM runs
+        |           GROUP BY doc_id, grp),
+        |rstats AS (SELECT doc_id, count(*)::BIGINT AS n_runs,
+        |             max(rl)::BIGINT AS max_run
+        |           FROM runagg GROUP BY doc_id),
+        |base AS (SELECT doc_id, count(*)::BIGINT AS n_samples,
+        |    sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_zero_cross,
+        |    sum(sil)::BIGINT AS n_silent
+        |  FROM f GROUP BY doc_id)
+        |SELECT b.doc_id, n_samples, n_zero_cross, n_silent,
+        |  coalesce(r.n_runs, 0)::BIGINT AS n_silence_runs,
+        |  coalesce(r.max_run, 0)::BIGINT AS max_silence_run
+        |FROM base b LEFT JOIN rstats r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // resize replay: the q224 closed form pushed through the box
     // filter — every output pixel is the floor mean of its 2x2 block,

@@ -802,6 +802,42 @@ class MultimodalSpec extends SparkSpec {
       "even-dim resize must be layout-invariant end to end")
   }
 
+  test("wavFeatures: serial replay of crossings and silence runs; hostile inputs null") {
+    import etlmudah.expr.WavSampleStatsFn
+    // seed*31 = 32736: samples start at -32 and climb 17 per step, so
+    // the stream crosses zero at i=2 and stays inside the silence band
+    val (seed, nf) = (1056L, 40)
+    val wav = WavSampleStatsFn.synth(seed, 1, 8000, nf)
+    val samples = (0 until nf)
+      .map(i => (Math.floorMod(seed * 31 + i * 17, 65536L) - 32768).toInt)
+    val thresh = 8000
+    val expZc = samples.sliding(2)
+      .count(p => p.head.toLong * p(1) < 0).toLong
+    val silentFlags = samples.map(v => math.abs(v) <= thresh)
+    val runLens = silentFlags.foldLeft(List.empty[Long]) {
+      case (acc, true) if acc.nonEmpty && acc.head > 0 =>
+        (acc.head + 1) :: acc.tail
+      case (acc, true) => 1L :: acc
+      case (acc, false) => 0L :: acc
+    }.filter(_ > 0)
+    val out = spark.range(1).select(
+        call_function("graft_wav_features", lit(wav), lit(thresh)).as("f"),
+        call_function("graft_wav_features",
+          lit(wav.take(50)), lit(thresh)).as("bad"))
+      .select(col("f.n_samples"), col("f.n_zero_cross"),
+        col("f.n_silent"), col("f.n_silence_runs"),
+        col("f.max_silence_run"), col("bad"))
+      .collect()(0)
+    assert(out.getLong(0) == nf.toLong)
+    assert(out.getLong(1) == expZc)
+    assert(out.getLong(2) == silentFlags.count(identity).toLong)
+    assert(out.getLong(3) == runLens.size.toLong)
+    assert(out.getLong(4) == (if (runLens.isEmpty) 0L else runLens.max))
+    assert(out.isNullAt(5), "truncated WAV must be null")
+    assert(expZc > 0 && silentFlags.exists(identity),
+      "fixture must exercise both features")
+  }
+
   test("fake media synth: closed forms hold verbatim for negative seeds (floorMod)") {
     // BMP: stats replay from the documented floorMod pixel rule
     val (seed, w, h) = (-5L, 3, 2)

@@ -33,7 +33,9 @@ class ContractSpec extends AnyFunSuite {
         "FROM range(10)",
       "SELECT graft_nfc('cafe\u0301')",
       "SELECT graft_bmp_stats(graft_bmp_resize(" +
-        "graft_fake_bmp24(1L, 4L, 4L), 2)).n_px")
+        "graft_fake_bmp24(1L, 4L, 4L), 2)).n_px",
+      "SELECT graft_wav_features(" +
+        "graft_fake_wav16(1L, 1L, 8000L, 4L), 8000).n_zero_cross")
     probes.foreach { p =>
       val rows = spark.sql(p).collect()
       assert(rows.nonEmpty, p)
