@@ -3409,6 +3409,237 @@ object SparkEntry {
           col("f.max_silence_run"))
         .orderBy(col("doc_id"))),
 
+    // TPC-H Q2 shape (min-cost supplier per part): the correlated MIN
+    // subquery decorrelated into a per-part aggregate joined back on
+    // equality — ties kept, never a per-row subquery. The per-part min
+    // is map-side combinable (one exchange on p_partkey); unit price
+    // rounds to 4dp BEFORE the min so the equality join-back compares
+    // the identical double on both engines
+    "q266_min_unit_price_supplier" -> ((s, dir) => {
+      val offers = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") / col("l_quantity"), 4)
+            .as("unit_price"))
+        .join(Tables.part(s, dir)
+            .filter(col("p_size").between(10, 15) &&
+              col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+      val minOffer = offers.groupBy(col("p_partkey").as("mp"))
+        .agg(min(col("unit_price")).as("min_price"))
+      offers
+        .join(minOffer, col("p_partkey") === col("mp") &&
+          col("unit_price") === col("min_price"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("min_price"),
+          col("s_name"), col("n_name"), col("s_acctbal"))
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("p_partkey").asc,
+          col("s_name").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // dual-role nation dim joined once per side under two aliases,
+    // direction kept as (supp_nation, cust_nation) group keys; the
+    // ship-date range pushes to the lineitem scan as literals
+    "q267_nation_trade_flows" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(
+        col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .join(n2, col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum((col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q9 shape (product-line profit by nation and year): name-
+    // filtered parts x their lineitems x supplier nation; profit =
+    // discounted revenue minus a retail-price-proportional cost, both
+    // terms on the DECIMAL(18,4) lattice so the sum is order-
+    // independent across any partitioning
+    "q268_profit_by_nation_year" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum((col("l_extendedprice") *
+              (lit(1.0) - col("l_discount"))).cast("decimal(18,4)") -
+            (col("l_quantity") * col("p_retailprice") * lit(0.1))
+              .cast("decimal(18,4)")), 2)
+            .cast("double").as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("o_year").desc)),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join
+    // so order-less customers survive as count 0 — the zero bucket is
+    // the point of the query; one exchange per aggregate grain
+    "q269_order_count_distribution" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q15 shape (top supplier by quarter revenue): the revenue
+    // view reduces first, the global max is ONE broadcast row, and the
+    // winner(s) come back by equality on the rounded double — ties
+    // kept, no window over the full frame
+    "q270_top_supplier_revenue" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum((col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
+          .cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): the per-part AVG
+    // correlated subquery decorrelated into one aggregate joined back
+    // with the 20% threshold in the join condition; single-row answer
+    "q271_small_quantity_revenue" -> ((s, dir) => {
+      val joined = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#12"),
+          col("l_partkey") === col("p_partkey"))
+      val avgq = joined.groupBy(col("p_partkey").as("ap"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      joined.join(avgq, col("p_partkey") === col("ap") &&
+          col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double") / lit(7.0), 2).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): HAVING sum(qty) > T
+    // reduces lineitem to the rare big orders FIRST, then the small
+    // survivor set joins back to orders and customer
+    "q272_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 200)
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("bk"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q21 shape (sole returner): suppliers whose line in a
+    // multi-supplier order was the ONLY returned one — EXISTS becomes
+    // left_semi, NOT EXISTS becomes left_anti, both on the order key
+    // with the supplier inequality as residual; never a row subquery
+    "q273_sole_returner" -> ((s, dir) => {
+      val l1 = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk"), col("l_returnflag").as("rf"))
+      val cand = l1.filter(col("rf") === "R")
+      val withOther = cand.join(
+        l1.select(col("ok").as("ok2"), col("sk").as("sk2")),
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      val sole = withOther.join(
+        cand.select(col("ok").as("ok3"), col("sk").as("sk3")),
+        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      sole.join(Tables.supplier(s, dir), col("sk") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(countDistinct(col("ok")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (dormant rich customers): global scalar (avg
+    // positive balance) broadcast as ONE row, anti join against the
+    // recent-order keys, per-nation rollup of who's left
+    "q274_dormant_rich_customers" -> ((s, dir) => {
+      val avgBal = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double").as("totacctbal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // TPC-H Q11 shape (important stock): per-part revenue vs a global
+    // threshold — parts above 1.5x the MEAN part revenue (relative to
+    // the part-count grain, so the cut is scale-stable at any SF,
+    // unlike TPC-H's 0.0001/SF literal). The comparison is
+    // val*np*2 > tot*3 on the EXACT decimal lattice (no decimal
+    // division anywhere, so there is no rounding convention to align)
+    "q275_revenue_share_parts" -> ((s, dir) => {
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("val"))
+      val tot = perPart.agg(sum(col("val")).as("tv"),
+        count(lit(1)).as("np"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(col("val") * col("np") * 2 > col("tv") * 3)
+        .select(col("l_partkey"),
+          round(col("val"), 2).cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey").asc)
+    }),
+
+    // TPC-H Q19 shape (disjunctive band join): OR-of-conjunctions as
+    // the join residual with the part-side prefilter OR'd from the
+    // per-branch part predicates so the scan still prunes; one row out
+    "q276_disjunctive_band_join" -> ((s, dir) => {
+      val branch1 = col("p_brand") === "Brand#2" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(1, 11)
+      val branch2 = col("p_brand") === "Brand#13" &&
+        col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+      val branch3 = col("p_brand") === "Brand#24" &&
+        col("p_size").between(1, 50) && col("l_quantity").between(20, 30)
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey") &&
+            (branch1 || branch2 || branch3))
+        .agg(round(sum((col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // REAL image resize: 24bpp BMP box-filter 2x downscale (the
     // brief's multimodal resize step) — synth -> graft_bmp_resize ->
     // graft_bmp_stats, with every output byte replayed by the oracle
@@ -9299,6 +9530,178 @@ object SparkEntry {
         |  coalesce(r.max_run, 0)::BIGINT AS max_silence_run
         |FROM base b LEFT JOIN rstats r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Q2 shape: the correlated min decorrelated exactly as the engine
+    // does it — 4dp-rounded unit price, per-part min, equality join
+    // back with ties kept, DISTINCT collapsing repeat quotes
+    "q266_min_unit_price_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(l_extendedprice / l_quantity, 4) AS unit_price
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD'),
+        |mo AS (SELECT l_partkey AS mp, min(unit_price) AS min_price
+        |       FROM offers GROUP BY 1)
+        |SELECT DISTINCT p_partkey, p_name, min_price, s_name, n_name,
+        |  s_acctbal
+        |FROM offers
+        | JOIN mo ON l_partkey = mp AND unit_price = min_price
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+        |LIMIT 100""".stripMargin,
+
+    // Q7 shape: both directions between the two nations, grouped by
+    // (supp_nation, cust_nation, ship year)
+    "q267_nation_trade_flows" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate)::BIGINT AS l_year,
+        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // Q9 shape: profit = discounted revenue − retail-proportional
+    // cost, both terms on the DECIMAL(18,4) lattice
+    "q268_profit_by_nation_year" ->
+      """SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |   - CAST(l_quantity * p_retailprice * 0.1 AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    // Q13 shape: LEFT join so order-less customers land in the zero
+    // bucket; count(o_orderkey) skips the null padding
+    "q269_order_count_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Q15 shape: quarter revenue per supplier, winner(s) by equality
+    // with the scalar max — ties kept
+    "q270_top_supplier_revenue" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Q17 shape: per-part avg-quantity threshold, single-row answer;
+    // 0.2 multiplies as a DOUBLE on both engines
+    "q271_small_quantity_revenue" ->
+      """WITH j AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12'),
+        |aq AS (SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty
+        |       FROM j GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM j JOIN aq ON l_partkey = ap
+        |  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+
+    // Q18 shape: big orders first (HAVING over lineitem), join back
+    "q272_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS bk, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN big ON o_orderkey = bk
+        |ORDER BY total_qty DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+
+    // Q21 shape: EXISTS other-supplier line, NOT EXISTS other-supplier
+    // returned line; distinct orders per supplier
+    "q273_sole_returner" ->
+      """SELECT s_suppkey, s_name,
+        |  count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+        |FROM lineitem l1
+        | JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey ASC
+        |LIMIT 20""".stripMargin,
+
+    // Q22 shape: above-average balance AND no recent orders, rolled
+    // up per nation; balances fold on the DECIMAL(18,2) lattice
+    "q274_dormant_rich_customers" ->
+      """SELECT n_name, count(*) AS numcust,
+        | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1
+        |ORDER BY n_name""".stripMargin,
+
+    // Q11 shape: parts above 1.5x the mean part revenue —
+    // val*np*2 > tot*3 on the exact decimal lattice, no division
+    "q275_revenue_share_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS val
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(val) AS tv, count(*) AS np FROM pp)
+        |SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS value
+        |FROM pp, t
+        |WHERE val * np * 2 > tv * 3
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // Q19 shape: OR-of-conjunctions join residual, one row out
+    "q276_disjunctive_band_join" ->
+      """SELECT
+        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     // resize replay: the q224 closed form pushed through the box
     // filter — every output pixel is the floor mean of its 2x2 block,
