@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, NfcNormalize, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, NfcNormalize, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -113,6 +113,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             w.eval().asInstanceOf[Number].intValue)
         case _ => throw new IllegalArgumentException(
           "graft_cms(key[, depth, width])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, t, k) if k.foldable =>
+          TopKAgg(s, t, k.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_topk(score, tag, k) with foldable k")
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_viterbi"),

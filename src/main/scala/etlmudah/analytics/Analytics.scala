@@ -270,6 +270,23 @@ object Analytics {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 
+  /** [[topNPerGroup]]'s 100 TB dial: ranked top-N per group through the
+    * `graft_topk` bounded-heap aggregate instead of a window. The
+    * window shape shuffles EVERY row to its group and sorts it; this
+    * one partial-aggregates, so the exchange carries at most n rows
+    * per (group x map partition) — the fact table never moves. Order
+    * is (score DESC, tag ASC); zero-pad the tag for numeric order.
+    * Output: key cols + rank (1-based BIGINT) + score + tag. */
+  def topNPerGroupAgg(df: DataFrame, key: Seq[String], score: Column,
+                      tag: Column, n: Int): DataFrame =
+    df.select(key.map(col) :+ score.cast("double").as("__s") :+
+        tag.as("__t"): _*)
+      .groupBy(key.map(col): _*)
+      .agg(expr(s"graft_topk(__s, __t, $n)").as("__top"))
+      .select(key.map(col) :+ posexplode(col("__top")): _*)
+      .select(key.map(col) :+ (col("pos") + 1).cast("long").as("rank") :+
+        col("col.score").as("score") :+ col("col.tag").as("tag"): _*)
+
   /** Sorted distinct domain (D3/O3: pickers, app.py:53-59). */
   def distinctDomain(df: DataFrame, key: String): DataFrame =
     df.select(col(key)).distinct().orderBy(col(key))

@@ -3620,6 +3620,29 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // Ranked top-N per group WITHOUT a window (the 100 TB dial for
+    // q17's shape): the `graft_topk` bounded-heap aggregate partial-
+    // aggregates map-side, so the exchange carries at most k rows per
+    // (group x partition) instead of the whole frame through a sort.
+    // The tag zero-pads so its string order IS the numeric order; the
+    // oracle is the window DEFINITION itself over the same aggregate
+    "q277_topk_per_nation" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(round(sum((col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+      Analytics.topNPerGroupAgg(rev, Seq("n_name"), col("revenue"),
+          lpad(col("c_custkey").cast("string"), 8, "0"), 3)
+        .select(col("n_name"), col("rank"),
+          col("tag").cast("long").as("c_custkey"),
+          col("score").as("revenue"))
+        .orderBy(col("n_name"), col("rank"))
+    }),
+
     // TPC-H Q19 shape (disjunctive band join): OR-of-conjunctions as
     // the join residual with the part-side prefilter OR'd from the
     // per-branch part predicates so the scan still prunes; one row out
@@ -9689,6 +9712,26 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // the window DEFINITION of graft_topk's bounded heap: row_number
+    // over (revenue DESC, zero-padded key ASC), rank <= 3
+    "q277_topk_per_nation" ->
+      """WITH rev AS (
+        |  SELECT n_name, c_custkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT n_name, c_custkey, revenue,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY revenue DESC,
+        |        lpad(c_custkey::VARCHAR, 8, '0') ASC) AS rk
+        |  FROM rev)
+        |SELECT n_name, rk::BIGINT AS rank, c_custkey, revenue
+        |FROM r WHERE rk <= 3
+        |ORDER BY n_name, rank""".stripMargin,
 
     // Q19 shape: OR-of-conjunctions join residual, one row out
     "q276_disjunctive_band_join" ->
