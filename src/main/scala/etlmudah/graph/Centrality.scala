@@ -389,4 +389,84 @@ object Centrality {
       .select(col("node"),
         expr(s"$base + (85 * coalesce(c, 0L)) div 100").as("rank"))
   }
+
+  /** HITS hubs & authorities on the integer lattice (Kleinberg,
+    * "Authoritative sources in a hyperlinked environment", JACM 1999)
+    * — the second classic link-centrality next to [[pageRankInt]],
+    * and the one that separates DIRECTORY pages (hubs: link to many
+    * good authorities) from DESTINATION pages (authorities: linked by
+    * many good hubs). Per round: auth(v) = Σ_{u→v} hub(u)·w, then
+    * hub(u) = Σ_{u→v} auth(v)·w, each half-round renormalized.
+    *
+    * Exactness: the textbook L2 normalization is replaced by L∞ —
+    * x'(v) = (x(v) · scale) div max(x) — because MAX and truncating
+    * division are BIGINT-exact and engine-portable where a float norm
+    * is neither; power iteration's ranking is invariant to the
+    * normalization choice. The max arrives as ONE broadcast row, never
+    * a driver collect. Overflow bound: raw values reach
+    * scale · totalWeight, and renormalizing multiplies by scale before
+    * dividing, so scale² · totalWeight < 2⁶³ must hold — the default
+    * 10⁶ lattice covers graphs up to ~9·10⁶ total edge weight; drop
+    * scale for heavier graphs (ranking needs far fewer digits than
+    * overflow allows).
+    *
+    * Loop shape ([[pageRankInt]] discipline): edges materialize ONCE;
+    * per half-round the only shuffle is the ≤|V| map-side-combined
+    * sum, with the |V|-sized score frame riding the broadcast-or-
+    * exchange dial; per-round checkpoints stop plan growth. Returns
+    * (node, hub, auth) ordered auth DESC, node ASC. */
+  def hitsInt(edges: DataFrame, iters: Int = 2,
+              scale: Long = 1000000L,
+              localEdgeThreshold: Long = 500000L,
+              broadcastNodeThreshold: Long = 10000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ew = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("weight").cast("long").as("weight"))
+      .localCheckpoint(true)
+    val local = ew.count() <= localEdgeThreshold
+    def pin(df: DataFrame): DataFrame =
+      (if (local) df.coalesce(1) else df).localCheckpoint(true)
+    val nodes = pin(
+      ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    if (n == 0L)
+      return nodes.select(col("node"), lit(0L).as("hub"),
+        lit(0L).as("auth"))
+    def small(df: DataFrame): DataFrame =
+      if (!local && n <= broadcastNodeThreshold) broadcast(df) else df
+    // renormalize to the scale lattice by the frame max (L∞): exact on
+    // BIGINT, and every node with any mass keeps a nonzero score
+    def renorm(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(max(col(c)).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"CASE WHEN __mx > 0 THEN ($c * ${scale}L) div __mx " +
+            s"ELSE 0L END").as(c))
+    }
+    // one half-round: score mass flows across edges in `dir`ection
+    def halfRound(score: DataFrame, from: String, to: String,
+                  in: String, out: String): DataFrame = {
+      val raw = ew
+        .join(small(score.select(col("node").as(from), col(in))),
+          Seq(from))
+        .select(col(to).as("node"),
+          (col(in) * col("weight")).as("__m"))
+        .groupBy("node").agg(sum(col("__m")).as(out))
+      renorm(nodes.join(small(raw), Seq("node"), "left")
+        .select(col("node"), coalesce(col(out), lit(0L)).as(out)), out)
+    }
+    var hub = pin(nodes.withColumn("hub", lit(scale)))
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      auth = pin(halfRound(hub, "src", "dst", "hub", "auth"))
+      hub = pin(halfRound(auth, "dst", "src", "auth", "hub"))
+      it += 1
+    }
+    nodes.join(small(hub), Seq("node")).join(small(auth), Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+      .orderBy(desc("auth"), col("node"))
+  }
 }

@@ -472,6 +472,28 @@ object Web {
       .orderBy(desc("rank"), col("host"))
   }
 
+  /** Host hubs & authorities — [[etlmudah.graph.Centrality]]
+    * `.hitsInt` over the same md5-60bit host-id graph as [[hostRank]]:
+    * authorities are the DESTINATION hosts (what curation wants to
+    * keep), hubs the DIRECTORY hosts that point at them (what link-
+    * expansion crawls from). Same portable-hash discipline, so a SQL
+    * twin replays every half-round. Returns (host, hub, auth) ordered
+    * auth DESC, host ASC. */
+  def hostHits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    def hid(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val e = edges.select(hid(col("src_host")).as("src"),
+      hid(col("dst_host")).as("dst"), col("weight"))
+    val hosts = edges.select(col("src_host").as("host"))
+      .union(edges.select(col("dst_host").as("host")))
+      .distinct()
+      .withColumn("node", hid(col("host")))
+    etlmudah.graph.Centrality.hitsInt(e, iters)
+      .join(broadcast(hosts), Seq("node"))
+      .select(col("host"), col("hub"), col("auth"))
+      .orderBy(desc("auth"), col("host"))
+  }
+
   /** PERSONALIZED host rank — [[hostRank]] with the teleport mass
     * pinned to a trusted seed-host set ([[etlmudah.graph.Centrality]]
     * `.personalizedPageRankInt`): the "rank the web by proximity to

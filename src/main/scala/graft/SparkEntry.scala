@@ -3620,6 +3620,20 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // HITS hubs & authorities over the host link graph (Kleinberg
+    // 1999) — the directory-vs-destination split next to q222's
+    // PageRank: L∞-renormalized integer half-rounds, every one of
+    // which the oracle unrolls on the same md5-60bit host ids
+    "q278_host_hits" -> ((s, dir) => {
+      import etlmudah.web.Web
+      val id = col("doc_id")
+      val pages = Tables.documents(s, dir).select(
+        Web.fakeUrl(id, col("source")).as("url"),
+        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
+          Web.fakeLinkUrls(id)).as("page"))
+      Web.hostHits(Web.hostLinkEdges(pages, "url", "page"), iters = 2)
+    }),
+
     // Ranked top-N per group WITHOUT a window (the 100 TB dial for
     // q17's shape): the `graft_topk` bounded-heap aggregate partial-
     // aggregates map-side, so the exchange carries at most k rows per
@@ -9712,6 +9726,65 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // HITS replay: the q222 edge CTEs + two unrolled (auth, hub)
+    // half-round pairs, each L∞-renormalized with `//` (== Spark div
+    // on the non-negative lattice); h0 = scale on every node
+    "q278_host_hits" ->
+      s"""WITH hh AS (SELECT doc_id,
+         |    ${duckFakeHost("doc_id")} AS hsrc,
+         |    ${duckFakeHost("doc_id + 1")} AS h1,
+         |    ${duckFakeHost("3 * doc_id + 5")} AS h2
+         |  FROM documents),
+         |le AS (SELECT hsrc AS src_host, h1 AS dst_host FROM hh
+         |       UNION ALL SELECT hsrc, h2 FROM hh),
+         |e0 AS (SELECT src_host, dst_host, count(*)::BIGINT AS weight
+         |       FROM le WHERE src_host <> dst_host GROUP BY 1, 2),
+         |e AS (SELECT
+         |    CAST(('0x' || substr(md5(src_host),1,15)) AS UBIGINT)::BIGINT AS src,
+         |    CAST(('0x' || substr(md5(dst_host),1,15)) AS UBIGINT)::BIGINT AS dst,
+         |    weight FROM e0),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, 1000000::BIGINT AS hub FROM nodes),
+         |a1r AS (SELECT nd.node, COALESCE(m.m, 0)::BIGINT AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(h.hub * e.weight)::BIGINT AS m
+         |    FROM e JOIN h0 h ON e.src = h.node GROUP BY 1) m
+         |  USING (node)),
+         |a1 AS (SELECT node, CASE WHEN (SELECT max(raw) FROM a1r) > 0
+         |    THEN (raw * 1000000) // (SELECT max(raw) FROM a1r)
+         |    ELSE 0 END::BIGINT AS auth FROM a1r),
+         |h1r AS (SELECT nd.node, COALESCE(m.m, 0)::BIGINT AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.src AS node, sum(a.auth * e.weight)::BIGINT AS m
+         |    FROM e JOIN a1 a ON e.dst = a.node GROUP BY 1) m
+         |  USING (node)),
+         |h1 AS (SELECT node, CASE WHEN (SELECT max(raw) FROM h1r) > 0
+         |    THEN (raw * 1000000) // (SELECT max(raw) FROM h1r)
+         |    ELSE 0 END::BIGINT AS hub FROM h1r),
+         |a2r AS (SELECT nd.node, COALESCE(m.m, 0)::BIGINT AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(h.hub * e.weight)::BIGINT AS m
+         |    FROM e JOIN h1 h ON e.src = h.node GROUP BY 1) m
+         |  USING (node)),
+         |a2 AS (SELECT node, CASE WHEN (SELECT max(raw) FROM a2r) > 0
+         |    THEN (raw * 1000000) // (SELECT max(raw) FROM a2r)
+         |    ELSE 0 END::BIGINT AS auth FROM a2r),
+         |h2r AS (SELECT nd.node, COALESCE(m.m, 0)::BIGINT AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.src AS node, sum(a.auth * e.weight)::BIGINT AS m
+         |    FROM e JOIN a2 a ON e.dst = a.node GROUP BY 1) m
+         |  USING (node)),
+         |h2 AS (SELECT node, CASE WHEN (SELECT max(raw) FROM h2r) > 0
+         |    THEN (raw * 1000000) // (SELECT max(raw) FROM h2r)
+         |    ELSE 0 END::BIGINT AS hub FROM h2r),
+         |hosts AS (SELECT host,
+         |    CAST(('0x' || substr(md5(host),1,15)) AS UBIGINT)::BIGINT AS node
+         |  FROM (SELECT src_host AS host FROM e0
+         |        UNION SELECT dst_host FROM e0))
+         |SELECT hosts.host, h2.hub, a2.auth
+         |FROM hosts JOIN h2 USING (node) JOIN a2 USING (node)
+         |ORDER BY auth DESC, host ASC""".stripMargin,
 
     // the window DEFINITION of graft_topk's bounded heap: row_number
     // over (revenue DESC, zero-padded key ASC), rank <= 3

@@ -350,4 +350,62 @@ class CentralitySpec extends SparkSpec {
     assert(second.getAs[Double]("lift") == 0.9375)
     assert(second.getAs[Double]("support") == 0.6)      // 3/5
   }
+
+  /** Serial JVM HITS on the identical integer lattice: h0 = scale,
+    * auth = renorm(Σ hub·w in-edges), hub = renorm(Σ auth·w out). */
+  private def serialHits(edges: Seq[(Long, Long, Long)], iters: Int,
+                         scale: Long): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def renorm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = if (m.isEmpty) 0L else m.values.max
+      nodes.map(v => v ->
+        (if (mx > 0) m.getOrElse(v, 0L) * scale / mx else 0L)).toMap
+    }
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    (0 until iters).foreach { _ =>
+      auth = renorm(edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hub(e._1) * e._3).sum })
+      hub = renorm(edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auth(e._2) * e._3).sum })
+    }
+    nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+  }
+
+  test("hitsInt: equals the serial integer replay; partitioning cannot matter") {
+    import spark.implicits._
+    // a directory pair pointing into a 3-node authority core + a chain
+    val edges = Seq(
+      (1L, 10L, 2L), (1L, 11L, 1L), (1L, 12L, 1L),
+      (2L, 10L, 1L), (2L, 11L, 3L),
+      (10L, 20L, 1L), (11L, 20L, 1L), (20L, 1L, 1L))
+    val want = serialHits(edges, iters = 2, scale = 1000000L)
+    Seq(1, 5).foreach { parts =>
+      val got = Centrality.hitsInt(
+          edges.toDF("src", "dst", "weight").repartition(parts), iters = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == want, s"parts=$parts")
+    }
+    // hubs vs authorities separate: node 2's weight-3 edge into the
+    // top authority makes it the top hub; node 11 collects the
+    // heaviest endorsements (top authority, saturated at scale)
+    val byHub = want.toSeq.sortBy { case (v, (h, _)) => (-h, v) }
+    val byAuth = want.toSeq.sortBy { case (v, (_, a)) => (-a, v) }
+    assert(byHub.head._1 == 2L && byHub.head._2._1 == 1000000L)
+    assert(byAuth.head._1 == 11L && byAuth.head._2._2 == 1000000L)
+  }
+
+  test("hitsInt: empty graph returns empty; single edge saturates both scores") {
+    import spark.implicits._
+    val empty = Centrality.hitsInt(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight"))
+    assert(empty.count() == 0L)
+    val one = Centrality.hitsInt(
+        Seq((1L, 2L, 7L)).toDF("src", "dst", "weight"), iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // 1 is the only hub (max ⇒ scale), 2 the only authority
+    assert(one == Map(1L -> ((1000000L, 0L)), 2L -> ((0L, 1000000L))))
+  }
 }
