@@ -140,6 +140,62 @@ object Similarity {
     sel.orderBy(col("rank"))
   }
 
+  /** k-CENTER GREEDY / farthest-point sampling (Gonzalez, "Clustering
+    * to minimize the maximum intercluster distance", TCS 1985) — the
+    * coreset-selection twin of [[mmrSelect]]: where MMR trades
+    * relevance against redundancy, k-center ignores relevance and
+    * maximizes pure COVERAGE, the standard diverse-subset pick for
+    * training-data selection ("choose k examples that span the
+    * embedding space"). Greedy is a 2-approximation of the optimal
+    * k-center radius — the best any polynomial algorithm guarantees.
+    *
+    * Determinism: the seed is the SMALLEST id (no RNG to align);
+    * each round picks the candidate whose max 6dp-rounded cosine to
+    * the selected set is LOWEST (farthest in cosine distance), ties
+    * to the smallest id — a total order both engines replay. Returns
+    * (rank, id, coverage) where coverage is that max-similarity at
+    * selection time (null for the seed); coverage is non-decreasing
+    * down the ranks, the stopping-curve the caller reads k off.
+    *
+    * Scale shape ([[mmrSelect]] discipline): greedy rounds touch the
+    * BOUNDED candidate frame only — per round one anti join against
+    * ≤k broadcast ids, a ≤k-row selected-vector broadcast, and a
+    * struct-min argmin; the corpus is never rescanned, cost stays
+    * O(k·|cand|·dim) regardless of corpus size. */
+  def kCenterSelect(candidates: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cand = candidates.select(col("id").cast("long").as("id"),
+      col("vec")).localCheckpoint(true)
+    val n = cand.count()
+    val rounds = math.min(k.toLong, n).toInt
+    if (rounds == 0)
+      return cand.select(lit(1L).as("rank"), col("id"),
+        lit(null).cast("double").as("coverage")).limit(0)
+    var sel = cand.agg(min(col("id")).as("id"))
+      .select(lit(1L).as("rank"), col("id"),
+        lit(null).cast("double").as("coverage"))
+      .localCheckpoint(true)
+    var r = 2
+    while (r <= rounds) {
+      val selVecs = cand.join(broadcast(sel.select(col("id"))), Seq("id"))
+        .select(col("vec").as("__sv"))
+      val scored = cand
+        .join(broadcast(sel.select(col("id"))), Seq("id"), "left_anti")
+        .crossJoin(broadcast(selVecs))
+        .select(col("id"),
+          round(cosineFast(col("vec"), col("__sv")), 6).as("__sim"))
+        .groupBy(col("id"))
+        .agg(max(col("__sim")).as("__msim"))
+      val pick = scored
+        .agg(min(struct(col("__msim"), col("id"))).as("__b"))
+        .select(lit(r.toLong).as("rank"), col("__b.id").as("id"),
+          col("__b.__msim").as("coverage"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+      r += 1
+    }
+    sel.orderBy(col("rank"))
+  }
+
   /** Exact top-k by cosine against the vector of `queryId` (excluded from
     * results). The query row is broadcast; the corpus is scanned once. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,

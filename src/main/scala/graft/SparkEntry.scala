@@ -3620,6 +3620,18 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // k-center greedy coreset (farthest-point sampling, Gonzalez
+    // 1985): the diverse-subset pick for training-data selection —
+    // coverage-only, where q262's MMR trades against relevance. The
+    // oracle unrolls every greedy round; coverage is the selection-
+    // time max-cosine evidence (null for the min-id seed)
+    "q279_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterSelect(
+        Tables.embeddings(s, dir)
+          .where(col("vec_id") < 60L)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 8)),
+
     // HITS hubs & authorities over the host link graph (Kleinberg
     // 1999) — the directory-vs-destination split next to q222's
     // PageRank: L∞-renormalized integer half-rounds, every one of
@@ -9726,6 +9738,36 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // k-center replay: seed = min id, then 7 unrolled greedy rounds,
+    // each picking the (min max-cosine, min id) candidate — every CTE
+    // MATERIALIZED (the q262 discipline: selR is referenced 3x by
+    // round R+1, inlined CTEs would re-evaluate exponentially)
+    "q279_kcenter_coreset" -> {
+      val rounds = (2 to 8).map { r =>
+        s"""m$r AS MATERIALIZED (
+           |  SELECT c2.id,
+           |    max(round(list_cosine_similarity(c2.vec, s.vec), 6))
+           |      AS msim
+           |  FROM cand c2, cand s
+           |  WHERE s.id IN (SELECT id FROM sel${r - 1})
+           |    AND c2.id NOT IN (SELECT id FROM sel${r - 1})
+           |  GROUP BY c2.id),
+           |s$r AS MATERIALIZED (
+           |  SELECT $r::BIGINT AS rank, id, msim AS coverage
+           |  FROM m$r ORDER BY msim ASC, id ASC LIMIT 1),
+           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
+           |          UNION ALL SELECT * FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cand AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+         |  FROM embeddings WHERE vec_id < 60),
+         |s1 AS MATERIALIZED (SELECT 1::BIGINT AS rank, min(id) AS id,
+         |    NULL::DOUBLE AS coverage FROM cand),
+         |sel1 AS MATERIALIZED (SELECT * FROM s1),
+         |$rounds
+         |SELECT rank, id, coverage FROM sel8 ORDER BY rank""".stripMargin
+    },
 
     // HITS replay: the q222 edge CTEs + two unrolled (auth, hub)
     // half-round pairs, each L∞-renormalized with `//` (== Spark div

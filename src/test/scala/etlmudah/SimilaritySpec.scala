@@ -522,6 +522,33 @@ class SimilaritySpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("kCenterSelect: greedy farthest-point replay; clusters covered before depth") {
+    import spark.implicits._
+    // three tight clusters along axes; ids chosen so the min-id seed
+    // (1) sits in cluster X — greedy must visit Y and Z before any
+    // second pick inside X
+    val cand = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0.1f, 0.99f, 0f)),
+      (5L, Array(0f, 0f, 1f)), (6L, Array(0f, 0.1f, 0.99f))
+    ).toDF("id", "vec")
+    val r = Similarity.kCenterSelect(cand, k = 4).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L), "ranks")
+    val picks = r.map(_.getLong(1)).toSeq
+    assert(picks.head == 1L, "seed = min id")
+    // picks 2 and 3 land in the two other clusters (order: both are
+    // orthogonal to the seed, msim 0 ties -> min id first)
+    assert(picks(1) == 3L && picks(2) == 5L, picks.toString)
+    assert(r.head.isNullAt(2), "seed coverage is null")
+    // coverage non-decreasing down the ranks
+    val cov = r.tail.map(_.getDouble(2)).toSeq
+    assert(cov == cov.sorted, cov.toString)
+    // k caps at n; empty input -> empty output
+    assert(Similarity.kCenterSelect(cand, k = 99).count() == 6L)
+    assert(Similarity.kCenterSelect(cand.where(col("id") > 99), k = 3)
+      .count() == 0L)
+  }
+
   test("rrfFuse: dual-hit doc tops both single-hit docs; null ranks preserved") {
     import spark.implicits._
     val a = Seq((1L, 0.9), (2L, 0.8)).toDF("id", "score")
