@@ -146,4 +146,81 @@ object Upsert {
       .select(keys.map(k => coalesce(col(s"__b_$k"), col(s"__n_$k")).as(k))
         :+ change.as("change"): _*)
   }
+
+  /** Build the per-key aggregate STATE table [[mergeAggState]]
+    * maintains: (keys..., n, sum_v, min_v, max_v). `value` should
+    * already sit on an exact lattice (cast to DECIMAL) so sums are
+    * order-independent and the merge algebra replays exactly. */
+  def aggState(rows: DataFrame, keys: Seq[String], value: Column)
+      : DataFrame =
+    rows.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"), sum(value).as("sum_v"),
+      min(value).as("min_v"), max(value).as("max_v"))
+
+  /** INCREMENTAL VIEW MAINTENANCE of a per-key aggregate: fold a delta
+    * batch of inserts (`op = 1`) and retractions (`op = -1`) into an
+    * [[aggState]] table WITHOUT rescanning the base — the classic
+    * self-maintainability split (Gupta & Mumick, "Maintenance of
+    * materialized views", IEEE DE Bull. 1995):
+    *
+    *  - `n` and `sum_v` are self-maintainable under BOTH inserts and
+    *    retractions (group algebra: add signed counts/sums);
+    *  - `min_v`/`max_v` are self-maintainable under inserts only.
+    *    A retraction at or past the stored boundary (deleted value
+    *    <= min_v or >= max_v) may have removed the extreme itself —
+    *    the state cannot answer, so the group reports
+    *    `needs_rescan = true` with null min/max instead of silently
+    *    keeping a possibly-stale boundary. Callers rescan exactly
+    *    those groups from the base table (at 100 TB: a partition-
+    *    pruned point rescan of the dirty keys, not a full recompute).
+    *
+    * Groups whose count reaches zero DROP from the state (fully
+    * retracted); a delta on an absent group inserts it. Retracting
+    * below zero is a caller contract violation — those rows drop with
+    * the n <= 0 filter rather than materializing negative counts.
+    *
+    * One map-side-combined delta aggregate + one full-outer join on
+    * the key: the delta is touched once, the state once — the merge
+    * cost is O(|delta| + |state|) regardless of base size, which is
+    * the entire point of IVM. */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    value: Column, op: Column): DataFrame = {
+    val dAgg = delta.groupBy(keys.map(col): _*).agg(
+      sum(op.cast("long")).as("__dn"),
+      sum(op.cast("long") * value).as("__dsum"),
+      min(when(op > 0, value)).as("__ins_min"),
+      max(when(op > 0, value)).as("__ins_max"),
+      min(when(op < 0, value)).as("__del_min"),
+      max(when(op < 0, value)).as("__del_max"))
+    val st = state.select(keys.map(c => col(c).as(s"__s_$c")) ++
+      Seq(col("n"), col("sum_v"), col("min_v"), col("max_v")): _*)
+    val joinCond = keys.map(k => col(s"__s_$k") <=> col(k))
+      .reduce(_ && _)
+    val n2 = coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))
+    val sum2 = when(col("sum_v").isNull, col("__dsum"))
+      .when(col("__dsum").isNull, col("sum_v"))
+      .otherwise(col("sum_v") + col("__dsum"))
+    // boundary hit: some retracted value reaches the stored extreme —
+    // the true min/max may be gone, only a base rescan can tell. A
+    // group ABSENT from the state whose delta retracts anything
+    // (transient insert+delete) is dirty too: its insert extremes
+    // alone cannot say which values survived
+    val dirty = col("__del_min").isNotNull &&
+      (col("min_v").isNull ||
+        col("__del_min") <= col("min_v") ||
+        col("__del_max") >= col("max_v"))
+    val min2 = when(dirty, lit(null))
+      .when(col("min_v").isNull, col("__ins_min"))
+      .when(col("__ins_min").isNull, col("min_v"))
+      .otherwise(least(col("min_v"), col("__ins_min")))
+    val max2 = when(dirty, lit(null))
+      .when(col("max_v").isNull, col("__ins_max"))
+      .when(col("__ins_max").isNull, col("max_v"))
+      .otherwise(greatest(col("max_v"), col("__ins_max")))
+    st.join(dAgg, joinCond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"__s_$k"), col(k)).as(k)) ++
+        Seq(n2.as("n"), sum2.as("sum_v"), min2.as("min_v"),
+          max2.as("max_v"), dirty.as("needs_rescan")): _*)
+      .filter(col("n") > 0)
+  }
 }

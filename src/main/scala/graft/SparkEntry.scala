@@ -3620,6 +3620,32 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE of a per-customer aggregate: fold
+    // an insert+retraction delta into the standing (n, sum, min, max)
+    // state WITHOUT rescanning the base — count/sum self-maintain,
+    // min/max self-maintain under inserts only, and a retraction at
+    // the stored boundary reports needs_rescan instead of a silently
+    // stale extreme (the Gupta–Mumick split). Merge cost is
+    // O(|delta| + |state|), independent of base size
+    "q280_incremental_agg_state" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val v = col("o_totalprice").cast("decimal(18,2)")
+      val base = orders.filter(col("o_orderkey") % 10 =!= 7)
+      val state = Upsert.aggState(base, Seq("o_custkey"), v)
+      val delta = orders.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_custkey"), v.as("__v"), lit(1).as("__op"))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_custkey"), v.as("__v"), lit(-1).as("__op")))
+      Upsert.mergeAggState(state, delta, Seq("o_custkey"),
+          col("__v"), col("__op"))
+        .select(col("o_custkey"), col("n"),
+          round(col("sum_v"), 2).cast("double").as("sum_v"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"),
+          col("needs_rescan"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // k-center greedy coreset (farthest-point sampling, Gonzalez
     // 1985): the diverse-subset pick for training-data selection —
     // coverage-only, where q262's MMR trades against relevance. The
@@ -9738,6 +9764,51 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // IVM replay: state from the base slice, the signed delta
+    // aggregate, and the merge algebra spelled out — the boundary-hit
+    // rule (del_min <= min_v OR del_max >= max_v, or a new group with
+    // any retraction) nulls min/max and raises needs_rescan
+    "q280_incremental_agg_state" ->
+      """WITH base AS (SELECT o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v, o_orderkey
+        |  FROM orders WHERE o_orderkey % 10 <> 7),
+        |st AS (SELECT o_custkey, count(*)::BIGINT AS n, sum(v) AS sum_v,
+        |    min(v) AS min_v, max(v) AS max_v FROM base GROUP BY 1),
+        |delta AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    1 AS op FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_custkey, v, -1 FROM base WHERE o_orderkey % 10 = 3),
+        |da AS (SELECT o_custkey, sum(op)::BIGINT AS dn,
+        |    sum(op * v) AS dsum,
+        |    min(CASE WHEN op > 0 THEN v END) AS ins_min,
+        |    max(CASE WHEN op > 0 THEN v END) AS ins_max,
+        |    min(CASE WHEN op < 0 THEN v END) AS del_min,
+        |    max(CASE WHEN op < 0 THEN v END) AS del_max
+        |  FROM delta GROUP BY 1),
+        |m AS (SELECT coalesce(st.o_custkey, da.o_custkey) AS o_custkey,
+        |    (coalesce(st.n, 0) + coalesce(da.dn, 0))::BIGINT AS n,
+        |    CASE WHEN st.sum_v IS NULL THEN da.dsum
+        |         WHEN da.dsum IS NULL THEN st.sum_v
+        |         ELSE st.sum_v + da.dsum END AS sum_v,
+        |    (da.del_min IS NOT NULL AND (st.min_v IS NULL
+        |      OR da.del_min <= st.min_v
+        |      OR da.del_max >= st.max_v)) AS dirty,
+        |    st.min_v, st.max_v, da.ins_min, da.ins_max
+        |  FROM st FULL OUTER JOIN da ON st.o_custkey = da.o_custkey)
+        |SELECT o_custkey, n, CAST(round(sum_v, 2) AS DOUBLE) AS sum_v,
+        |  CAST(CASE WHEN dirty THEN NULL
+        |    WHEN min_v IS NULL THEN ins_min
+        |    WHEN ins_min IS NULL THEN min_v
+        |    ELSE least(min_v, ins_min) END AS DOUBLE) AS min_v,
+        |  CAST(CASE WHEN dirty THEN NULL
+        |    WHEN max_v IS NULL THEN ins_max
+        |    WHEN ins_max IS NULL THEN max_v
+        |    ELSE greatest(max_v, ins_max) END AS DOUBLE) AS max_v,
+        |  dirty AS needs_rescan
+        |FROM m WHERE n > 0
+        |ORDER BY o_custkey""".stripMargin,
 
     // k-center replay: seed = min id, then 7 unrolled greedy rounds,
     // each picking the (min max-cosine, min id) candidate — every CTE

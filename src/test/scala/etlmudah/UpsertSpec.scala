@@ -90,4 +90,46 @@ class UpsertSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 2L -> "updated",
       3L -> "unchanged", 4L -> "deleted", 5L -> "inserted"))
   }
+
+  test("mergeAggState: merged == from-scratch recompute; boundary retractions flag needs_rescan") {
+    import spark.implicits._
+    // base: g1 = {1, 5, 9}, g2 = {2, 4}, g3 = {7}, g4 = {3, 6}
+    val base = Seq(("g1", 1), ("g1", 5), ("g1", 9), ("g2", 2), ("g2", 4),
+      ("g3", 7), ("g4", 3), ("g4", 6)).toDF("k", "x")
+    val v = col("x").cast("decimal(18,2)")
+    val state = Upsert.aggState(base, Seq("k"), v)
+    // delta: g1 deletes an INNER value (5) + inserts 11 -> clean merge;
+    //        g2 deletes its min (2) -> dirty; g3 fully retracts -> drop;
+    //        g5 is brand new (inserts only); g6 new with a transient
+    //        insert+delete -> dirty
+    val delta = Seq(
+      ("g1", 5, -1), ("g1", 11, 1),
+      ("g2", 2, -1),
+      ("g3", 7, -1),
+      ("g5", 8, 1), ("g5", 2, 1),
+      ("g6", 4, 1), ("g6", 4, -1), ("g6", 9, 1)
+    ).toDF("k", "x", "op")
+    val merged = Upsert.mergeAggState(state, delta, Seq("k"),
+        col("x").cast("decimal(18,2)"), col("op"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue,
+          Option(r.getDecimal(3)).map(_.doubleValue),
+          Option(r.getDecimal(4)).map(_.doubleValue),
+          r.getBoolean(5)))).toMap
+    // from-scratch truth over base ∪ inserts ∖ deletes
+    assert(merged.keySet == Set("g1", "g2", "g4", "g5", "g6"))
+    assert(merged("g1") == ((3L, 21.0, Some(1.0), Some(11.0), false)))
+    assert(merged("g2") == ((1L, 4.0, None, None, true)), merged("g2"))
+    assert(merged("g4") == ((2L, 9.0, Some(3.0), Some(6.0), false)))
+    assert(merged("g5") == ((2L, 10.0, Some(2.0), Some(8.0), false)))
+    // g6: count/sum exact (1, 9.0); min/max unknowable from extremes
+    assert(merged("g6") == ((1L, 9.0, None, None, true)), merged("g6"))
+    // re-applying an EMPTY delta is the identity on every clean group
+    val again = Upsert.mergeAggState(
+      Upsert.aggState(base, Seq("k"), v),
+      delta.where(lit(false)), Seq("k"),
+      col("x").cast("decimal(18,2)"), col("op"))
+    assert(again.where(col("needs_rescan")).count() == 0L)
+    assert(again.count() == 4L)
+  }
 }
