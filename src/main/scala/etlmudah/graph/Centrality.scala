@@ -390,6 +390,54 @@ object Centrality {
         expr(s"$base + (85 * coalesce(c, 0L)) div 100").as("rank"))
   }
 
+  /** Bounded-hop BFS shortest depths from a seed set — the CRAWL
+    * FRONTIER primitive (seed-host expansion: "everything reachable
+    * within h hops of the hosts we trust", the breadth layer under
+    * [[personalizedPageRankInt]]'s proximity ranking). Returns
+    * (node, depth) for every node within `maxHops` of a seed, depth =
+    * the SHORTEST hop count (0 = seed itself); unreached nodes are
+    * absent. Deterministic with no arithmetic to align: the layer
+    * construction IS the definition.
+    *
+    * Loop shape: edges materialize ONCE (deduplicated to the reach
+    * relation — weights are irrelevant to reachability); per hop the
+    * frontier (|V|-bounded) rides the broadcast-or-exchange dial into
+    * one equi-join, the new layer dedups and anti-joins the visited
+    * set, and per-round checkpoints stop plan growth. An empty
+    * frontier short-circuits the remaining hops, so sparse seed
+    * neighborhoods cost what they reach, not maxHops scans. */
+  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                localEdgeThreshold: Long = 500000L,
+                broadcastNodeThreshold: Long = 10000000L): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val local = e.count() <= localEdgeThreshold
+    def pin(df: DataFrame): DataFrame =
+      (if (local) df.coalesce(1) else df).localCheckpoint(true)
+    val n = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().count()
+    def small(df: DataFrame): DataFrame =
+      if (!local && n <= broadcastNodeThreshold) broadcast(df) else df
+    var visited = pin(seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("depth", lit(0L)))
+    var frontier = visited.select(col("node"))
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = e
+        .join(small(frontier.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(small(visited.select(col("node"))), Seq("node"), "left_anti")
+        .withColumn("depth", lit(hop.toLong))
+      frontier = pin(next).select(col("node"))
+      visited = pin(visited.unionByName(
+        frontier.withColumn("depth", lit(hop.toLong))))
+      hop += 1
+    }
+    visited.orderBy(col("depth"), col("node"))
+  }
+
   /** HITS hubs & authorities on the integer lattice (Kleinberg,
     * "Authoritative sources in a hyperlinked environment", JACM 1999)
     * — the second classic link-centrality next to [[pageRankInt]],

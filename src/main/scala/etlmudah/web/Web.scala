@@ -494,6 +494,33 @@ object Web {
       .orderBy(desc("auth"), col("host"))
   }
 
+  /** Crawl frontier — bounded-hop BFS from a trusted seed-host set
+    * over the link graph ([[etlmudah.graph.Centrality]] `.bfsDepths`
+    * on the same md5-60bit host ids as [[hostRank]]): the breadth
+    * layer of seed expansion ("crawl everything within h hops of the
+    * hosts we already trust") next to [[hostRankSeeded]]'s proximity
+    * ranking. Returns (host, depth), depth = shortest hops from any
+    * seed (0 = seed), ordered (depth, host); hosts beyond `maxHops`
+    * are absent. Seeds not present in the graph still report at
+    * depth 0 (they are the caller's trust anchors, reachable or not). */
+  def crawlFrontier(edges: DataFrame, seedHosts: DataFrame,
+                    maxHops: Int): DataFrame = {
+    def hid(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val e = edges.select(hid(col("src_host")).as("src"),
+      hid(col("dst_host")).as("dst"))
+    val hosts = edges.select(col("src_host").as("host"))
+      .union(edges.select(col("dst_host").as("host")))
+      .union(seedHosts.select(col("host")))
+      .distinct()
+      .withColumn("node", hid(col("host")))
+    val seeds = seedHosts.select(hid(col("host")).as("node")).distinct()
+    etlmudah.graph.Centrality.bfsDepths(e, seeds, maxHops)
+      .join(broadcast(hosts), Seq("node"))
+      .select(col("host"), col("depth"))
+      .orderBy(col("depth"), col("host"))
+  }
+
   /** PERSONALIZED host rank — [[hostRank]] with the teleport mass
     * pinned to a trusted seed-host set ([[etlmudah.graph.Centrality]]
     * `.personalizedPageRankInt`): the "rank the web by proximity to

@@ -3620,6 +3620,25 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // CRAWL FRONTIER: bounded-hop BFS from a trusted seed-host set
+    // over the link graph — the breadth layer of seed expansion next
+    // to q241's proximity ranking. Seeds = the 'www.d0.*' hosts (a
+    // closed-form predicate both engines replay); depth = shortest
+    // hops, layers unrolled in the oracle
+    "q281_crawl_frontier" -> ((s, dir) => {
+      import etlmudah.web.Web
+      val id = col("doc_id")
+      val pages = Tables.documents(s, dir).select(
+        Web.fakeUrl(id, col("source")).as("url"),
+        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
+          Web.fakeLinkUrls(id)).as("page"))
+      val edges = Web.hostLinkEdges(pages, "url", "page")
+      val seeds = edges.select(col("src_host").as("host"))
+        .union(edges.select(col("dst_host").as("host"))).distinct()
+        .where(col("host").startsWith("www.d0."))
+      Web.crawlFrontier(edges, seeds, maxHops = 2)
+    }),
+
     // INCREMENTAL VIEW MAINTENANCE of a per-customer aggregate: fold
     // an insert+retraction delta into the standing (n, sum, min, max)
     // state WITHOUT rescanning the base — count/sum self-maintain,
@@ -9764,6 +9783,35 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // BFS replay: the q222 edge CTEs on host STRINGS (ids are engine-
+    // internal — reachability needs no hashing), two unrolled layers:
+    // seeds at 0, new dsts at 1, new dsts of layer 1 at 2
+    "q281_crawl_frontier" ->
+      s"""WITH hh AS (SELECT doc_id,
+         |    ${duckFakeHost("doc_id")} AS hsrc,
+         |    ${duckFakeHost("doc_id + 1")} AS h1,
+         |    ${duckFakeHost("3 * doc_id + 5")} AS h2
+         |  FROM documents),
+         |le AS (SELECT hsrc AS src_host, h1 AS dst_host FROM hh
+         |       UNION ALL SELECT hsrc, h2 FROM hh),
+         |e0 AS (SELECT DISTINCT src_host, dst_host
+         |       FROM le WHERE src_host <> dst_host),
+         |v0 AS (SELECT host FROM (
+         |    SELECT src_host AS host FROM e0
+         |    UNION SELECT dst_host FROM e0)
+         |  WHERE host LIKE 'www.d0.%'),
+         |f1 AS (SELECT DISTINCT e0.dst_host AS host
+         |  FROM e0 JOIN v0 ON e0.src_host = v0.host
+         |  WHERE e0.dst_host NOT IN (SELECT host FROM v0)),
+         |f2 AS (SELECT DISTINCT e0.dst_host AS host
+         |  FROM e0 JOIN f1 ON e0.src_host = f1.host
+         |  WHERE e0.dst_host NOT IN (SELECT host FROM v0)
+         |    AND e0.dst_host NOT IN (SELECT host FROM f1))
+         |SELECT host, 0::BIGINT AS depth FROM v0
+         |UNION ALL SELECT host, 1 FROM f1
+         |UNION ALL SELECT host, 2 FROM f2
+         |ORDER BY depth, host""".stripMargin,
 
     // IVM replay: state from the base slice, the signed delta
     // aggregate, and the merge algebra spelled out — the boundary-hit

@@ -396,6 +396,32 @@ class CentralitySpec extends SparkSpec {
     assert(byAuth.head._1 == 11L && byAuth.head._2._2 == 1000000L)
   }
 
+  test("bfsDepths: shortest depths, hop bound, isolated seed kept, partitioning cannot matter") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 -> 4, plus a shortcut 1 -> 3 (depth(3) must be 1,
+    // not 2), a back edge 4 -> 1, and an unreachable island 10 -> 11
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L))
+    Seq(1, 5).foreach { parts =>
+      val got = Centrality.bfsDepths(
+          edges.toDF("src", "dst").repartition(parts),
+          Seq(1L, 99L).toDF("node"), maxHops = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // 99 is not in the graph but is still a depth-0 trust anchor;
+      // 4 is 2 hops out (3 -> 4); 10/11 unreachable
+      assert(got == Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 1L,
+        4L -> 2L), s"parts=$parts: $got")
+    }
+    // hop bound 1 cuts node 4; hop bound 0 returns just the seeds
+    val h1 = Centrality.bfsDepths(edges.toDF("src", "dst"),
+      Seq(1L).toDF("node"), maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    assert(Centrality.bfsDepths(edges.toDF("src", "dst"),
+      Seq(7L).toDF("node"), maxHops = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 0L)))
+  }
+
   test("hitsInt: empty graph returns empty; single edge saturates both scores") {
     import spark.implicits._
     val empty = Centrality.hitsInt(
