@@ -748,6 +748,79 @@ object Streaming {
       }
   }
 
+  /** Continuous TOP-K leaderboard — the `graft_topk` bounded heap
+    * ([[etlmudah.analytics.Analytics.topNPerGroupAgg]]) run as a sink,
+    * exercising its MERGEABILITY the way [[heavyHitterSink]] exercises
+    * the CMS grid: the global top-k of a union is contained in the
+    * union of per-part top-ks (any globally-surviving row survives its
+    * own part), so each micro-batch lands only its ≤k survivors per
+    * group in a batch_id partition, the standing state is the union,
+    * and every report (and compaction) is the SAME aggregate re-run
+    * over ≤k·batches rows per group — exact, never approximate.
+    *
+    * This is the "largest events per type so far" monitor: row scores
+    * are independent (a max-like statistic), where accumulating COUNTS
+    * per key needs [[heavyHitterSink]]'s additive grid instead — the
+    * two sinks split the leaderboard space the way max and sum split
+    * aggregation.
+    *
+    * Same idempotency scheme as the sibling sinks: dynamic-overwrite
+    * batch partitions make re-delivery converge; compaction collapses
+    * old partitions behind the recoverable swap; state is bounded by
+    * k rows per (group x live partition). */
+  def topkSink(rows: DataFrame, keyCol: String, scoreCol: String,
+               tagCol: String, statePath: String, outPath: String,
+               checkpoint: String, k: Int = 10, compactEvery: Int = 100):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stateFs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(stateFs, statePath)
+        batch.select(col(keyCol).cast("string").as("key"),
+            col(scoreCol).cast("double").as("__s"),
+            col(tagCol).cast("string").as("__t"))
+          .groupBy(col("key"))
+          .agg(expr(s"graft_topk(__s, __t, $k)").as("__top"))
+          .select(col("key"), explode(col("__top")).as("__e"))
+          .select(col("key"), col("__e.score").as("score"),
+            col("__e.tag").as("tag"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(statePath)
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val compacted = spark.read.parquet(statePath)
+            .withColumn("batch_id",
+              greatest(col("batch_id"), lit(batchId - 1)))
+            .groupBy(col("batch_id"), col("key"))
+            .agg(expr(s"graft_topk(score, tag, $k)").as("__top"))
+            .select(col("key"), explode(col("__top")).as("__e"),
+              col("batch_id"))
+            .select(col("key"), col("__e.score").as("score"),
+              col("__e.tag").as("tag"), col("batch_id"))
+            .localCheckpoint(true)
+          swapIn(stateFs, statePath)(tmp =>
+            compacted.write.mode("overwrite")
+              .partitionBy("batch_id").parquet(tmp))
+        }
+        val report = spark.read.parquet(statePath)
+          .groupBy(col("key"))
+          .agg(expr(s"graft_topk(score, tag, $k)").as("__top"))
+          .select(col("key"), posexplode(col("__top")).as(Seq("pos", "__e")))
+          .select(col("key"), (col("pos") + 1).cast("long").as("rank"),
+            col("__e.score").as("score"), col("__e.tag").as("tag"))
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(fs, outPath)
+        swapIn(fs, outPath)(tmp =>
+          report.write.mode("overwrite").parquet(tmp))
+        ()
+      }
+  }
+
   /** Continuous EMBEDDING-SPECTRUM drift monitoring — the exact-integer
     * PCA tier ([[etlmudah.scale.Spectral]], q232) as a stream sink,
     * exercising graft_gram's MERGEABILITY the way [[heavyHitterSink]]

@@ -375,6 +375,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("topkSink: streamed leaderboard == one-shot batch top-k exactly, re-run converges") {
+    import etlmudah.analytics.Analytics
+    val out = Files.createTempDirectory("stream_topk").toString
+    val src = s"$out/src"
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(5)
+      .write.mode("overwrite").parquet(src)
+    val all = spark.read.parquet(src)
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.topkSink(
+          Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+          "event_type", "value",
+          "event_id", s"$out/state", s"$out/report", cp,
+          k = 5, compactEvery = 2)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+    }
+    runOnce(s"$out/cp1")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("key"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getString(3))).toSeq
+    val streamed = rows(spark.read.parquet(s"$out/report"))
+    // per-batch survivors re-aggregated MUST equal the one-shot batch
+    // top-k of the whole corpus (the top-k monoid property)
+    val batch = rows(Analytics.topNPerGroupAgg(
+        all.select(col("event_type").cast("string").as("key"),
+          col("value"), col("event_id").cast("string").as("event_id")),
+        Seq("key"), col("value"), col("event_id"), 5)
+      .select(col("key"), col("rank"), col("score"), col("tag")))
+    assert(streamed.nonEmpty && streamed == batch)
+    // compaction really collapsed old partitions
+    assert(spark.read.parquet(s"$out/state").select("batch_id")
+      .distinct().collect().map(_.get(0).toString.toInt).toSet ==
+      Set(3, 4))
+    // re-delivered compaction batch, then a fresh full re-run
+    dropCommit(s"$out/cp1", 4)
+    runOnce(s"$out/cp1")
+    assert(rows(spark.read.parquet(s"$out/report")) == batch)
+    runOnce(s"$out/cp2")
+    assert(rows(spark.read.parquet(s"$out/report")) == batch)
+  }
+
   test("hllDistinctSink: streamed registers == one-shot batch HLL exactly, re-run converges") {
     import etlmudah.scale.Sketches
     val out = Files.createTempDirectory("stream_hll").toString
