@@ -287,6 +287,36 @@ object Analytics {
       .select(key.map(col) :+ (col("pos") + 1).cast("long").as("rank") :+
         col("col.score").as("score") :+ col("col.tag").as("tag"): _*)
 
+  /** Half-life-bucketed time-decayed popularity — recency-weighted
+    * counts on an EXACT integer lattice: each row contributes
+    * `scale >> min(age div halfLife, 62)` (a halving per elapsed
+    * half-life, quantized to whole half-lives), so the trending score
+    * is a BIGINT sum — associative, partition-invariant, and exactly
+    * replayable — where the textbook `exp(-λ·age)` weight is a float
+    * no two engines fold identically. The shift clamp at 62 keeps the
+    * shift in defined range (Java/SQL shifts wrap at 64) — rows older
+    * than 62 half-lives weigh 0 (scale is below 2⁶²).
+    *
+    * Rows with `ts` after `asOfUs` are EXCLUDED (a future event has no
+    * age; admitting it would need a negative shift). One map-side-
+    * combined aggregate: the weight is a per-row projection, volume
+    * collapses in the combiner, |keys| rows move. */
+  def decayedCounts(df: DataFrame, key: String, ts: Column,
+                    asOfUs: Long, halfLifeUs: Long,
+                    scale: Long = 1L << 40): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be > 0, got $halfLifeUs")
+    require(scale > 0 && scale < (1L << 62),
+      s"scale must be in (0, 2^62), got $scale")
+    df.filter(unix_micros(ts) <= asOfUs)
+      .withColumn("__age", lit(asOfUs) - unix_micros(ts))
+      .withColumn("__b",
+        least(expr(s"__age div ${halfLifeUs}L"), lit(62L)).cast("int"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"shiftright(${scale}L, __b)")).as("decayed"))
+      .orderBy(col("decayed").desc, col(key).asc)
+  }
+
   /** Sorted distinct domain (D3/O3: pickers, app.py:53-59). */
   def distinctDomain(df: DataFrame, key: String): DataFrame =
     df.select(col(key)).distinct().orderBy(col(key))

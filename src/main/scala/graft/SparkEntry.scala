@@ -3620,6 +3620,16 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // Time-decayed popularity (trending event types): halving per
+    // elapsed 7-day half-life on the EXACT 2^40 lattice — the
+    // recency-weighted count exp(-λ·age) approximates, with a BIGINT
+    // sum both engines fold identically; asOf is a fixed literal past
+    // the data's end so the query is a pure function of the table
+    "q282_decayed_popularity" -> ((s, dir) =>
+      Analytics.decayedCounts(Tables.eventsTyped(s, dir), "event_type",
+        col("ts"), asOfUs = 1706745600000000L,          // 2024-02-01 UTC
+        halfLifeUs = 604800000000L)),                   // 7 days
+
     // CRAWL FRONTIER: bounded-hop BFS from a trusted seed-host set
     // over the link graph — the breadth layer of seed expansion next
     // to q241's proximity ranking. Seeds = the 'www.d0.*' hosts (a
@@ -9783,6 +9793,18 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // decay replay: identical bucket/shift arithmetic — age div
+    // half-life clamped at 62, 2^40 >> bucket, BIGINT sum
+    "q282_decayed_popularity" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(1099511627776::BIGINT >> least(
+        |    (1706745600000000 - epoch_us(ts)) // 604800000000,
+        |    62))::BIGINT AS decayed
+        |FROM events
+        |WHERE epoch_us(ts) <= 1706745600000000
+        |GROUP BY 1
+        |ORDER BY decayed DESC, event_type ASC""".stripMargin,
 
     // BFS replay: the q222 edge CTEs on host STRINGS (ids are engine-
     // internal — reachability needs no hashing), two unrolled layers:

@@ -632,4 +632,34 @@ class AnalyticsSpec extends SparkSpec {
     val w = Analytics.linearFit(withNulls, "x", "y").collect()(0)
     assert(w.getLong(0) == 4L && w.getDouble(1) == 2.0)
   }
+
+  test("decayedCounts: exact shift weights, half-life boundary, future exclusion, clamp") {
+    import spark.implicits._
+    val hl = 1000000L                       // 1-second half-life
+    val asOf = 10000000L                    // t = 10 s
+    val df = Seq(
+      ("a", 10000000L),   // age 0        -> 2^40
+      ("a", 9000001L),    // age just < 1 -> 2^40
+      ("a", 9000000L),    // age == hl    -> 2^39 (boundary buckets UP)
+      ("b", 8000000L),    // age 2 hl     -> 2^38
+      ("b", 10000001L),   // FUTURE       -> excluded
+      ("c", 1L)           // age ~10 hl   -> 2^31 (within clamp)
+    ).toDF("k", "us").withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.decayedCounts(df, "k", col("ts"), asOf, hl)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") == ((3L, (1L << 40) + (1L << 40) + (1L << 39))))
+    assert(got("b") == ((1L, 1L << 38)), got("b").toString)
+    assert(got("c") == ((1L, 1L << 31)))
+    // ordering: decayed DESC, key ASC
+    val order = Analytics.decayedCounts(df, "k", col("ts"), asOf, hl)
+      .collect().map(_.getString(0)).toSeq
+    assert(order == Seq("a", "b", "c"))
+    // clamp: a row 100 half-lives old weighs 0 (shift stays defined)
+    val old = Seq(("z", asOf - 100L * hl)).toDF("k", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val z = Analytics.decayedCounts(old, "k", col("ts"), asOf, hl)
+      .collect()(0)
+    assert(z.getLong(1) == 1L && z.getLong(2) == 0L)
+  }
 }
