@@ -696,4 +696,29 @@ object Sampling {
       .select(col("n"), round(col("point_est"), 6).as("point_est"),
         col("ci_lo"), col("ci_hi"), lit(reps.toLong).as("reps"))
   }
+
+  /** RENDEZVOUS (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1998, the consistent-placement scheme behind cache
+    * rings and shard maps: key k lands on argmax_s md5(k ":" s). The
+    * property [[shardAssign]]'s mod-hash cannot give: when the shard
+    * count changes n → n+1, a key either STAYS or moves to the NEW
+    * shard (its argmax over the old candidates is unchanged unless the
+    * new candidate beats it) — so a reshard moves ~1/(n+1) of the data
+    * and NOTHING migrates laterally between surviving shards. At
+    * 100 TB that is the difference between rewriting 1/(n+1) of the
+    * corpus and rewriting all of it.
+    *
+    * Pure per-row projection (an array_max over n (hash, shard)
+    * structs — no explode, no shuffle, whole-stage codegen); the hex
+    * md5 strings compare lexicographically, which any engine replays.
+    * n is bounded to 1024 — rendezvous is O(n) per key; ring-based
+    * consistent hashing takes over when shard counts outgrow that. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"nShards must be in [1, 1024], got $nShards")
+    array_max(array((0 until nShards).map(s =>
+      struct(md5(concat(key.cast("string"), lit(s":$s"))
+          .cast("binary")).as("h"),
+        lit(s.toLong).as("s"))): _*)).getField("s")
+  }
 }

@@ -3620,6 +3620,21 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // Rendezvous (HRW) shard placement + the 8→9 reshard transition
+    // matrix: the output itself EXHIBITS the minimal-movement
+    // invariant — every off-diagonal row lands on the new shard 8,
+    // nothing migrates laterally between surviving shards (the
+    // property a mod-hash reshard, which remaps ~all keys, cannot
+    // give). Assignment is a pure per-row projection, codegen'd
+    "q283_rendezvous_reshard" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Sampling.rendezvousShard(col("doc_id"), 8).as("shard_8"),
+          Sampling.rendezvousShard(col("doc_id"), 9).as("shard_9"))
+        .groupBy(col("shard_8"), col("shard_9"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("shard_8"), col("shard_9"))),
+
     // Time-decayed popularity (trending event types): halving per
     // elapsed 7-day half-life on the EXACT 2^40 lattice — the
     // recency-weighted count exp(-λ·age) approximates, with a BIGINT
@@ -9793,6 +9808,26 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // rendezvous replay: argmax by hex md5 DESC per candidate range —
+    // the definitional row_number formulation of the same argmax
+    "q283_rendezvous_reshard" ->
+      """WITH a AS (SELECT doc_id, s AS shard_8 FROM (
+        |    SELECT d.doc_id, r.s, row_number() OVER (
+        |      PARTITION BY d.doc_id
+        |      ORDER BY md5(d.doc_id::VARCHAR || ':' || r.s::VARCHAR)
+        |        DESC, r.s) AS rk
+        |    FROM documents d, range(0, 8) r(s)) t WHERE rk = 1),
+        |b AS (SELECT doc_id, s AS shard_9 FROM (
+        |    SELECT d.doc_id, r.s, row_number() OVER (
+        |      PARTITION BY d.doc_id
+        |      ORDER BY md5(d.doc_id::VARCHAR || ':' || r.s::VARCHAR)
+        |        DESC, r.s) AS rk
+        |    FROM documents d, range(0, 9) r(s)) t WHERE rk = 1)
+        |SELECT shard_8, shard_9, count(*) AS n_docs
+        |FROM a JOIN b USING (doc_id)
+        |GROUP BY 1, 2
+        |ORDER BY shard_8, shard_9""".stripMargin,
 
     // decay replay: identical bucket/shift arithmetic — age div
     // half-life clamped at 62, 2^40 >> bucket, BIGINT sum

@@ -487,4 +487,31 @@ class SamplingSpec extends SparkSpec {
       got.getDouble(1) <= got.getDouble(3),
       "the point estimate sits inside its own bootstrap CI")
   }
+
+  test("rendezvousShard: minimal-movement invariant on reshard, JVM argmax replay") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val assigned = keys.select(col("k"),
+        Sampling.rendezvousShard(col("k"), 8).as("s8"),
+        Sampling.rendezvousShard(col("k"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // THE rendezvous property: on 8 -> 9 a key stays or moves to the
+    // NEW shard 8 — never laterally between survivors
+    assert(assigned.forall { case (_, s8, s9) => s9 == s8 || s9 == 8L })
+    val moved = assigned.count { case (_, s8, s9) => s9 != s8 }
+    // expected ~ 2000/9 ≈ 222; generous deterministic bounds
+    assert(moved > 100 && moved < 400, s"moved=$moved")
+    // all 8 old shards used; assignment matches a serial argmax replay
+    assert(assigned.map(_._2).distinct.sorted.toSeq == (0L until 8L))
+    def serial(k: Long, n: Int): Long =
+      (0 until n).maxBy(s =>
+        etlmudah.expr.CountMinSketchAgg.md5Hex(s"$k:$s")).toLong
+    assigned.take(50).foreach { case (k, s8, s9) =>
+      assert(s8 == serial(k, 8) && s9 == serial(k, 9), s"k=$k")
+    }
+    // n = 1 is total: everything on shard 0
+    val one = keys.select(Sampling.rendezvousShard(col("k"), 1).as("s"))
+      .distinct().collect()
+    assert(one.length == 1 && one.head.getLong(0) == 0L)
+  }
 }

@@ -50,6 +50,34 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), plan.take(800))
   }
 
+  test("q267: ship-date literals reach the lineitem scan; both nation aliases broadcast") {
+    val scans = scansOf("q267_nation_trade_flows")
+    val li = scans.find(_.schema.fieldNames.contains("l_shipdate")).get
+    assert(li.metadata("PushedFilters").contains("GreaterThanOrEqual(l_shipdate"),
+      li.metadata("PushedFilters"))
+    val plan = planOf("q267_nation_trade_flows")
+    // supplier, customer, and two nation aliases all broadcast — only
+    // the two fact tables may meet in a shuffled join
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4, plan.take(1200))
+  }
+
+  test("q273: sole-returner plans as semi + anti joins, never row subqueries") {
+    val plan = planOf("q273_sole_returner")
+    assert(plan.contains("LeftSemi"), plan.take(1200))
+    assert(plan.contains("LeftAnti"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("q283: rendezvous placement is one scan + projection + aggregate — no join, no window") {
+    val plan = planOf("q283_rendezvous_reshard")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(1200))
+    assert(scansOf("q283_rendezvous_reshard").forall(
+      _.schema.fieldNames.toSeq == Seq("doc_id")),
+      "scan must prune to doc_id alone")
+  }
+
   test("q32: filters pushed to the parquet scan, projection pruned") {
     val scan = scansOf("q32_filter_pipeline").head
     val meta = scan.metadata("PushedFilters")
