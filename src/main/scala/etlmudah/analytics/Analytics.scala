@@ -317,6 +317,54 @@ object Analytics {
       .orderBy(col("decayed").desc, col(key).asc)
   }
 
+  /** Spearman rank correlation per group on the EXACT integer lattice
+    * — the monotone-association readout (Spearman 1904), robust to the
+    * outliers and nonlinearity that bend q12's Pearson: rho =
+    * 1 − 6·Σd² / (n(n²−1)) where d is the rank difference per row.
+    * Ranks are `row_number` with the deterministic tie CONVENTION
+    * (distinct consecutive ranks, not averaged ranks — averaged-rank
+    * fractional arithmetic would put a float sum in the hot path and
+    * an alignment seam between engines), and both ranks derive from
+    * ONE canonical ordering: rx ranks (x, y, id) and ry ranks (y, rx).
+    * Sharing rx as ry's tie-break is what keeps Σd² well-defined even
+    * when rows DUPLICATE on every attribute (independent tie-breaks
+    * would let the two engines pair the duplicates' ranks differently
+    * — measured on lineitem, whose (orderkey, linenumber) is not
+    * unique). Σd² and n fold as BIGINTs — associative, partition-
+    * invariant — and rho is ONE closing double division, so the only
+    * float op happens once per group on exact integer inputs.
+    *
+    * Movement: two rank windows on the SAME group key (one exchange —
+    * the second window reuses the partitioning, sort only) + one
+    * map-side-combined aggregate. Null rows in either measure drop
+    * first (a null has no rank). Groups with n < 2 report null rho.
+    * Overflow bound: Σd² < n³ and the denominator is n³−n, so BIGINT
+    * holds up to n ≈ 2×10⁶ rows PER GROUP — beyond that, sample
+    * within the group first (rank statistics converge fast; the
+    * Theil–Sen cap discipline applies). */
+  def spearmanBy(df: DataFrame, key: String, x: Column, y: Column,
+                 id: Column): DataFrame = {
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(col(key), x.as("__x"), y.as("__y"), id.as("__id"))
+    val wx = Window.partitionBy(col(key))
+      .orderBy(col("__x").asc, col("__y").asc, col("__id").asc)
+    val ranked = base
+      .withColumn("__rx", row_number().over(wx).cast("long"))
+    val wy = Window.partitionBy(col(key))
+      .orderBy(col("__y").asc, col("__rx").asc)
+    ranked
+      .withColumn("__ry", row_number().over(wy).cast("long"))
+      .withColumn("__d2",
+        (col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(col("__d2")).as("sum_d2"))
+      .withColumn("rho", when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(round(lit(1.0) -
+          (lit(6.0) * col("sum_d2").cast("double")) /
+            (col("n") * (col("n") * col("n") - 1)).cast("double"), 6)))
+      .orderBy(col(key))
+  }
+
   /** Sorted distinct domain (D3/O3: pickers, app.py:53-59). */
   def distinctDomain(df: DataFrame, key: String): DataFrame =
     df.select(col(key)).distinct().orderBy(col(key))

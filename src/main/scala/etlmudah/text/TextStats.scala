@@ -2115,4 +2115,42 @@ object TextStats {
       .orderBy(desc("rank"), col("word"))
       .limit(topK)
   }
+
+  /** Unicode SCRIPT profile — the multilingual-curation readout next
+    * to langid (q22): per document, character counts in three script
+    * blocks (Basic Latin letters, Cyrillic U+0400–U+04FF, CJK Unified
+    * U+4E00–U+9FFF) and the dominant script, rolled up per (slice,
+    * dominant). Corpus routing by writing system is the first split a
+    * multilingual pipeline makes — cheaper and more robust than model
+    * langid at the script grain (Cyrillic vs Latin never needs an
+    * n-gram model).
+    *
+    * Counts are `length(regexp_replace(text, [^block], ''))` — BMP
+    * blocks only, so UTF-16 length equals codepoint count and the
+    * same regex runs on both engines. Dominance is max count with the
+    * FIXED tie order latin > cyrillic > cjk; all-zero (no letters in
+    * any block) reports 'none'. One projection + one map-side-combined
+    * aggregate; the regexes are per-row codegen, no explode. */
+  def scriptProfile(df: DataFrame, textCol: String,
+                    sliceCol: String): DataFrame = {
+    def cnt(block: String) = length(
+      regexp_replace(col(textCol), s"[^$block]", "")).cast("long")
+    val profiled = df
+      .withColumn("__lat", cnt("A-Za-z"))
+      .withColumn("__cyr", cnt("Ѐ-ӿ"))
+      .withColumn("__cjk", cnt("一-鿿"))
+      .withColumn("__dom",
+        when(col("__lat") === 0 && col("__cyr") === 0 &&
+          col("__cjk") === 0, "none")
+        .when(col("__lat") >= col("__cyr") &&
+          col("__lat") >= col("__cjk"), "latin")
+        .when(col("__cyr") >= col("__cjk"), "cyrillic")
+        .otherwise("cjk"))
+    profiled.groupBy(col(sliceCol), col("__dom").as("dominant"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__lat")).as("n_latin"),
+        sum(col("__cyr")).as("n_cyrillic"),
+        sum(col("__cjk")).as("n_cjk"))
+      .orderBy(col(sliceCol), col("dominant"))
+  }
 }

@@ -3620,6 +3620,32 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // Unicode SCRIPT profile over a deterministically multilingualized
+    // corpus (the q252 damage discipline: closed-form Cyrillic/CJK/
+    // digit-only variants both engines synthesize identically) — the
+    // writing-system router a multilingual pipeline splits on first
+    "q285_script_profile" -> ((s, dir) =>
+      TextStats.scriptProfile(
+        Tables.documents(s, dir).select(col("source"),
+          when(col("doc_id") % 7 === 0,
+            repeat(lit("ж"), (col("doc_id") % 5 + 1).cast("int")))
+          .when(col("doc_id") % 7 === 1,
+            repeat(lit("中"), (col("doc_id") % 4 + 1).cast("int")))
+          .when(col("doc_id") % 7 === 2, lit("12345 !?"))
+          .otherwise(concat(col("text"),
+            repeat(lit("ж"), (col("doc_id") % 4).cast("int"))))
+          .as("text")),
+        "text", "source")),
+
+    // Spearman rank correlation per return flag — the monotone-
+    // association readout next to q12's Pearson, EXACT on the integer
+    // lattice: row_number ranks over a strict total order, Σd² as
+    // BIGINT, one closing double division per group
+    "q284_spearman_by_flag" -> ((s, dir) =>
+      Analytics.spearmanBy(Tables.lineitem(s, dir), "l_returnflag",
+        col("l_quantity"), col("l_extendedprice"),
+        col("l_orderkey") * 100 + col("l_linenumber"))),
+
     // Rendezvous (HRW) shard placement + the 8→9 reshard transition
     // matrix: the output itself EXHIBITS the minimal-movement
     // invariant — every off-diagonal row lands on the new shard 8,
@@ -9808,6 +9834,64 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // script replay: same closed-form damage, same block regexes with
+    // the 'g' flag (DuckDB replaces first-match by default), same
+    // fixed latin > cyrillic > cjk tie order
+    "q285_script_profile" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN repeat('ж', (doc_id % 5 + 1)::INT)
+        |         WHEN doc_id % 7 = 1
+        |           THEN repeat('中', (doc_id % 4 + 1)::INT)
+        |         WHEN doc_id % 7 = 2 THEN '12345 !?'
+        |         ELSE text || repeat('ж', (doc_id % 4)::INT)
+        |    END AS t
+        |  FROM documents),
+        |p AS (SELECT source,
+        |    length(regexp_replace(t, '[^A-Za-z]', '', 'g'))::BIGINT
+        |      AS lat,
+        |    length(regexp_replace(t, '[^Ѐ-ӿ]', '', 'g'))::BIGINT AS cyr,
+        |    length(regexp_replace(t, '[^一-鿿]', '', 'g'))::BIGINT
+        |      AS cjk
+        |  FROM d),
+        |c AS (SELECT source, lat, cyr, cjk,
+        |    CASE WHEN lat = 0 AND cyr = 0 AND cjk = 0 THEN 'none'
+        |         WHEN lat >= cyr AND lat >= cjk THEN 'latin'
+        |         WHEN cyr >= cjk THEN 'cyrillic'
+        |         ELSE 'cjk' END AS dominant
+        |  FROM p)
+        |SELECT source, dominant, count(*) AS n_docs,
+        |  sum(lat)::BIGINT AS n_latin, sum(cyr)::BIGINT AS n_cyrillic,
+        |  sum(cjk)::BIGINT AS n_cjk
+        |FROM c GROUP BY 1, 2
+        |ORDER BY source, dominant""".stripMargin,
+
+    // Spearman replay: identical rank construction — rx over
+    // (x, y, id), ry over (y, rx): ry's tie-break is rx itself, so
+    // fully-duplicate rows cannot pair differently across engines
+    "q284_spearman_by_flag" ->
+      """WITH b AS (SELECT l_returnflag AS k, l_quantity AS x,
+        |    l_extendedprice AS y,
+        |    l_orderkey * 100 + l_linenumber AS id
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r1 AS (SELECT k, y,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY x ASC, y ASC, id ASC)::BIGINT AS rx
+        |  FROM b),
+        |r AS (SELECT k, rx,
+        |    row_number() OVER (PARTITION BY k ORDER BY y ASC, rx ASC)
+        |      ::BIGINT AS ry
+        |  FROM r1),
+        |a AS (SELECT k, count(*)::BIGINT AS n,
+        |    sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+        |  FROM r GROUP BY 1)
+        |SELECT k AS l_returnflag, n, sum_d2,
+        |  CASE WHEN n < 2 THEN NULL
+        |    ELSE round(1.0 - (6.0 * sum_d2::DOUBLE)
+        |      / ((n * (n * n - 1))::DOUBLE), 6) END AS rho
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     // rendezvous replay: argmax by hex md5 DESC per candidate range —
     // the definitional row_number formulation of the same argmax

@@ -633,6 +633,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(w.getLong(0) == 4L && w.getDouble(1) == 2.0)
   }
 
+  test("spearmanBy: monotone = 1, reversed = -1, hand Σd², n<2 null, nulls drop") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: y strictly increasing with x -> rho 1 (any nonlinearity ok)
+      ("g1", 1.0, 10.0, 1L), ("g1", 2.0, 100.0, 2L),
+      ("g1", 3.0, 101.0, 3L), ("g1", 4.0, 5000.0, 4L),
+      // g2: perfectly reversed -> rho -1
+      ("g2", 1.0, 9.0, 5L), ("g2", 2.0, 8.0, 6L), ("g2", 3.0, 7.0, 7L),
+      // g3: ranks x=(1,2,3), y=(2,1,3) -> d2 = 1+1+0 = 2,
+      // rho = 1 - 12/24 = 0.5
+      ("g3", 1.0, 5.0, 8L), ("g3", 2.0, 4.0, 9L), ("g3", 3.0, 6.0, 10L),
+      // g4: single row -> null rho
+      ("g4", 1.0, 1.0, 11L)
+    ).toDF("k", "x", "y", "id")
+    val got = Analytics.spearmanBy(df, "k", col("x"), col("y"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("g1") == ((4L, 0L, Some(1.0))))
+    assert(got("g2") == ((3L, 8L, Some(-1.0))))
+    assert(got("g3") == ((3L, 2L, Some(0.5))))
+    assert(got("g4") == ((1L, 0L, None)))
+    // null measures drop before ranking
+    val withNull = Seq(("g", Some(1.0), Some(1.0), 1L),
+      ("g", None, Some(2.0), 2L), ("g", Some(2.0), Some(3.0), 3L))
+      .toDF("k", "x", "y", "id")
+    val n = Analytics.spearmanBy(withNull, "k", col("x"), col("y"),
+      col("id")).collect()(0)
+    assert(n.getLong(1) == 2L && n.getDouble(3) == 1.0)
+    // rows duplicated on EVERY attribute stay deterministic: ry's
+    // tie-break is rx itself, so the duplicate pair aligns (d = 0)
+    // at any partitioning instead of pairing arbitrarily
+    val dup = Seq(("g", 1.0, 9.0, 1L), ("g", 1.0, 9.0, 1L),
+      ("g", 2.0, 3.0, 2L))
+    Seq(1, 4).foreach { parts =>
+      val r = Analytics.spearmanBy(dup.toDF("k", "x", "y", "id")
+          .repartition(parts), "k", col("x"), col("y"), col("id"))
+        .collect()(0)
+      // rx=(1,2,3), y-order: 3 first -> ry=(2,3,1); d2 = 1+1+4 = 6
+      assert(r.getLong(2) == 6L, s"parts=$parts: ${r.getLong(2)}")
+    }
+  }
+
   test("decayedCounts: exact shift weights, half-life boundary, future exclusion, clamp") {
     import spark.implicits._
     val hl = 1000000L                       // 1-second half-life

@@ -1368,4 +1368,25 @@ class TextStatsSpec extends SparkSpec {
         x.getAs[Long]("chars_nfc"))).toSeq
     assert(r == Seq(("s1", 2L, 1L, 23L, 22L), ("s2", 1L, 1L, 5L, 5L)))
   }
+
+  test("scriptProfile: block counts, dominance, latin tie priority, none class") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "hello world"),            // latin 10
+      ("s1", "привет мир"),             // cyrillic 9
+      ("s1", "你好世界"),                // cjk 4
+      ("s1", "abc жжж"),                // tie 3-3 -> latin priority
+      ("s1", "123 !?"),                 // none
+      ("s2", "mixed текст 好")          // latin 5, cyr 5, cjk 1 -> latin
+    ).toDF("source", "text")
+    val got = TextStats.scriptProfile(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("s1", "latin")) == ((2L, 13L, 3L, 0L)))
+    assert(got(("s1", "cyrillic")) == ((1L, 0L, 9L, 0L)))
+    assert(got(("s1", "cjk")) == ((1L, 0L, 0L, 4L)))
+    assert(got(("s1", "none")) == ((1L, 0L, 0L, 0L)))
+    assert(got(("s2", "latin")) == ((1L, 5L, 5L, 1L)))
+    assert(got.size == 5)
+  }
 }

@@ -270,7 +270,14 @@ class PlanShapeSpec extends SparkSpec {
       "q262_mmr_rerank",
       // q263 assembles its one-row report from the single-row estimate
       // and truth frames (the q236 shape)
-      "q263_cms_join_size")
+      "q263_cms_join_size",
+      // q274/q275 carry a single-row global scalar broadcast (the avg
+      // positive balance / the (total, part-count) pair) — the TPC-H
+      // Q22/Q11 scalar-subquery decorrelation shape
+      "q274_dormant_rich_customers", "q275_revenue_share_parts",
+      // q279 runs the MMR-loop shape: a ≤k-row selected-vector
+      // broadcast each greedy round
+      "q279_kcenter_coreset")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
