@@ -124,4 +124,65 @@ object Validate {
     require(parts.nonEmpty, "empty validation suite")
     parts.reduce(_.union(_)).orderBy(col("rule"))
   }
+
+  /** ANTI-ENTROPY bucket checksums — the Merkle-tier replica/copy
+    * verification primitive: fold every row into one of `nBuckets`
+    * fingerprint rows, so two tables (a replica pair, a migrated copy,
+    * a re-run) compare by moving |buckets| rows each instead of
+    * re-reading either table twice. Per bucket three INDEPENDENT
+    * order-invariant fingerprints:
+    *
+    *  - `n` — row count (catches adds/drops),
+    *  - `xor_sig` — bit_xor of the 60-bit row hash (catches value
+    *    changes; XOR alone is blind to a row appearing an EVEN number
+    *    of times, hence the companions),
+    *  - `sum_sig` — sum of the row hash mod 1000003 (a prime well
+    *    under 2⁶³/rows, so the BIGINT sum cannot overflow below
+    *    ~9×10¹² rows per bucket — catches the even-multiplicity
+    *    changes XOR cancels).
+    *
+    * The row hash is the repo's portable md5 discipline (first 15 hex
+    * of md5 over the column values joined on \u0001 with \u0002 as the
+    * NULL sentinel — the separator keeps ("ab","c") and ("a","bc")
+    * distinct, the sentinel keeps NULL distinct from ''), so any engine recomputes the same fingerprints from
+    * the same rows — the checksum table itself is oracle-checkable,
+    * not merely stable. Bucketing is pmod(hash, nBuckets): a diff
+    * localizes damage to buckets, and re-checking reads only the
+    * disagreeing buckets' rows (partition-pruned when the table is
+    * bucket-laid-out). One map-side-combined aggregate per table. */
+  def bucketChecksums(df: DataFrame, cols: Seq[String],
+                      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val joined = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val h = conv(substring(md5(joined.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(pmod(h, lit(nBuckets.toLong)).as("bucket"), h.as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(__h)").as("xor_sig"),
+        sum(col("__h") % 1000003L).as("sum_sig"))
+  }
+
+  /** Compare two tables' [[bucketChecksums]]: full outer on the bucket
+    * id, returns ONLY the disagreeing buckets with both sides'
+    * fingerprints (null side = bucket absent). Empty result == tables
+    * identical as multisets of the checked columns. */
+  def checksumDiff(a: DataFrame, b: DataFrame, cols: Seq[String],
+                   nBuckets: Int = 256): DataFrame = {
+    val ca = bucketChecksums(a, cols, nBuckets)
+      .select(col("bucket"), col("n").as("n_a"),
+        col("xor_sig").as("xor_a"), col("sum_sig").as("sum_a"))
+    val cb = bucketChecksums(b, cols, nBuckets)
+      .select(col("bucket").as("__bb"), col("n").as("n_b"),
+        col("xor_sig").as("xor_b"), col("sum_sig").as("sum_b"))
+    ca.join(cb, col("bucket") === col("__bb"), "full_outer")
+      .select(coalesce(col("bucket"), col("__bb")).as("bucket"),
+        col("n_a"), col("n_b"), col("xor_a"), col("xor_b"),
+        col("sum_a"), col("sum_b"))
+      .filter(!(col("n_a") <=> col("n_b")) ||
+        !(col("xor_a") <=> col("xor_b")) ||
+        !(col("sum_a") <=> col("sum_b")))
+      .orderBy(col("bucket"))
+  }
 }

@@ -3620,6 +3620,27 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // ANTI-ENTROPY replica verification: two order snapshots compare
+    // by 64 checksum rows each (count + bit_xor + mod-prime sum of a
+    // portable row hash per bucket), never by co-shuffling rows — the
+    // Merkle tier of replica repair. The damaged copy (+1.00 on a
+    // sparse key slice) surfaces as exactly the buckets its rows left
+    // and entered; price rides DECIMAL(18,2) so both engines render
+    // the identical string into the hash
+    "q286_replica_checksum_diff" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val a = Tables.orders(s, dir)
+        .withColumn("o_totalprice",
+          col("o_totalprice").cast("decimal(18,2)"))
+        .select(cols.map(col): _*)
+      val b = a.withColumn("o_totalprice",
+        when(col("o_orderkey") % 997 === 0,
+          (col("o_totalprice") + 1).cast("decimal(18,2)"))
+          .otherwise(col("o_totalprice")))
+      etlmudah.quality.Validate.checksumDiff(a, b, cols, nBuckets = 64)
+    }),
+
     // Unicode SCRIPT profile over a deterministically multilingualized
     // corpus (the q252 damage discipline: closed-form Cyrillic/CJK/
     // digit-only variants both engines synthesize identically) — the
@@ -9834,6 +9855,46 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // checksum replay: same row hash (md5 over chr(1)-joined values,
+    // chr(2) null sentinel), same bucket/xor/mod-sum folds on both
+    // snapshots, same full-outer disagreement filter
+    "q286_replica_checksum_diff" ->
+      """WITH a0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        |    o_orderpriority FROM orders),
+        |b0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 997 = 0
+        |      THEN CAST(o_totalprice + 1 AS DECIMAL(18,2))
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority FROM a0),
+        |ha AS (SELECT CAST(('0x' || substr(md5(
+        |      coalesce(o_orderkey::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(o_custkey::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(o_orderstatus, chr(2)) || chr(1) ||
+        |      coalesce(o_totalprice::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(o_orderpriority, chr(2))), 1, 15))
+        |    AS UBIGINT)::BIGINT AS h FROM a0),
+        |hb AS (SELECT CAST(('0x' || substr(md5(
+        |      coalesce(o_orderkey::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(o_custkey::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(o_orderstatus, chr(2)) || chr(1) ||
+        |      coalesce(o_totalprice::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(o_orderpriority, chr(2))), 1, 15))
+        |    AS UBIGINT)::BIGINT AS h FROM b0),
+        |ca AS (SELECT h % 64 AS bucket, count(*)::BIGINT AS n_a,
+        |    bit_xor(h)::BIGINT AS xor_a,
+        |    sum(h % 1000003)::BIGINT AS sum_a FROM ha GROUP BY 1),
+        |cb AS (SELECT h % 64 AS bucket, count(*)::BIGINT AS n_b,
+        |    bit_xor(h)::BIGINT AS xor_b,
+        |    sum(h % 1000003)::BIGINT AS sum_b FROM hb GROUP BY 1)
+        |SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+        |  n_a, n_b, xor_a, xor_b, sum_a, sum_b
+        |FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+        |WHERE n_a IS DISTINCT FROM n_b
+        |   OR xor_a IS DISTINCT FROM xor_b
+        |   OR sum_a IS DISTINCT FROM sum_b
+        |ORDER BY bucket""".stripMargin,
 
     // script replay: same closed-form damage, same block regexes with
     // the 'g' flag (DuckDB replaces first-match by default), same

@@ -69,4 +69,35 @@ class ValidateSpec extends SparkSpec {
       assert(r.isNullAt(5), "a passing rule has no witness")
     }
   }
+
+  test("checksumDiff: identical == empty; value change, dropped row, and even-multiplicity dup all surface") {
+    import spark.implicits._
+    val cols = Seq("id", "v")
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
+      .toDF("id", "v")
+    // identical multisets -> empty diff, at any partitioning
+    assert(Validate.checksumDiff(a, a.repartition(5), cols, 8)
+      .count() == 0L)
+    // a single value change surfaces
+    val changed = Seq((1L, "x"), (2L, "CHANGED"), (3L, "z"), (4L, "w"))
+      .toDF("id", "v")
+    assert(Validate.checksumDiff(a, changed, cols, 8).count() > 0L)
+    // a dropped row surfaces
+    assert(Validate.checksumDiff(a, a.where(col("id") =!= 3L), cols, 8)
+      .count() > 0L)
+    // THE xor blind spot: duplicating a row TWICE cancels in xor —
+    // count and mod-sum must still catch it
+    val dupTwice = a.unionByName(a.where(col("id") === 1L))
+      .unionByName(a.where(col("id") === 1L))
+    val d = Validate.checksumDiff(a, dupTwice, cols, 8).collect()
+    assert(d.nonEmpty, "even-multiplicity dup must surface")
+    assert(d.exists(r => r.getAs[Long]("xor_a") == r.getAs[Long]("xor_b")),
+      "xor alone is blind here — the companions carry the catch")
+    // nulls are distinct from empty strings in the hash
+    val withNull = Seq((1L, Option("x")), (2L, None)).toDF("id", "v")
+    val withEmpty = Seq((1L, Option("x")), (2L, Option("")))
+      .toDF("id", "v")
+    assert(Validate.checksumDiff(withNull, withEmpty, cols, 8)
+      .count() > 0L)
+  }
 }
