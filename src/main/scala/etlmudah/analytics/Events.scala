@@ -1,6 +1,6 @@
 package etlmudah.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -212,5 +212,49 @@ object Events {
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path").asc)
       .limit(topK)
+  }
+
+  /** Time-grid RESAMPLE with forward fill — the gap-filling step every
+    * time-series consumer needs before window math (a sensor that went
+    * quiet, an hourly rollup with dead hours): per key, a dense bucket
+    * grid from the key's first to last observation, each bucket
+    * carrying its LAST observation, empty buckets carrying the most
+    * recent earlier value. `is_observed` distinguishes measured from
+    * filled rows (imputation must stay auditable).
+    *
+    * Determinism: the per-bucket pick is max(struct(ts, value)) — the
+    * latest observation, value as the tie-break for same-microsecond
+    * rows; the fill is `last(value, ignoreNulls) ROWS UNBOUNDED
+    * PRECEDING..CURRENT` over the dense grid — both engine-portable.
+    * Leading buckets before a key's first observation don't exist (the
+    * grid starts AT the first observation, so `value` is never null).
+    *
+    * Movement: one (key, bucket) aggregate, one |keys|-sized span
+    * aggregate whose `sequence()` explode rebuilds the grid (fan-out =
+    * span/step per key — the caller sizes the step to the span the way
+    * q107's densify does), one left join back + one key-partitioned
+    * window. Volume collapses to the bucket grain in the first
+    * map-side combine. */
+  def resampleFill(df: DataFrame, key: String, ts: Column, value: Column,
+                   stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be > 0, got $stepUs")
+    val obs = df
+      .select(col(key), unix_micros(ts).as("__us"), value.as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__b", expr(s"__us div ${stepUs}L"))
+      .groupBy(col(key), col("__b"))
+      .agg(max(struct(col("__us"), col("__v"))).getField("__v").as("__obs"))
+    val grid = obs.groupBy(col(key))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .select(col(key), explode(expr("sequence(__lo, __hi)")).as("__b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    grid.join(obs, Seq(key, "__b"), "left")
+      .withColumn("value", last(col("__obs"), ignoreNulls = true).over(w))
+      .select(col(key), (col("__b") * stepUs).as("bucket_us"),
+        col("value"), col("__obs").isNotNull.as("is_observed"))
+      .orderBy(col(key), col("bucket_us"))
   }
 }

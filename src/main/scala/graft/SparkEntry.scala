@@ -3620,6 +3620,15 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // Time-grid RESAMPLE + forward fill: per event type, a dense
+    // 6-hour bucket grid over the type's observed span, empty buckets
+    // carrying the most recent earlier observation, imputation flagged
+    // — the gap-filling step before any time-series window math
+    "q287_resample_fill" -> ((s, dir) =>
+      etlmudah.analytics.Events.resampleFill(
+        Tables.eventsTyped(s, dir), "event_type", col("ts"),
+        col("value"), stepUs = 21600000000L)),
+
     // ANTI-ENTROPY replica verification: two order snapshots compare
     // by 64 checksum rows each (count + bit_xor + mod-prime sum of a
     // portable row hash per bucket), never by co-shuffling rows — the
@@ -9855,6 +9864,27 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // resample replay: same bucket pick (latest ts, value tie-break),
+    // same dense grid, same IGNORE NULLS forward-fill window
+    "q287_resample_fill" ->
+      """WITH obs AS (SELECT k, b, v FROM (
+        |    SELECT event_type AS k,
+        |      epoch_us(ts) // 21600000000 AS b, value AS v,
+        |      row_number() OVER (
+        |        PARTITION BY event_type, epoch_us(ts) // 21600000000
+        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rk
+        |    FROM events WHERE value IS NOT NULL) t WHERE rk = 1),
+        |sp AS (SELECT k, min(b) AS lo, max(b) AS hi FROM obs
+        |       GROUP BY 1),
+        |g AS (SELECT k, unnest(range(lo, hi + 1)) AS b FROM sp),
+        |j AS (SELECT g.k, g.b, obs.v
+        |      FROM g LEFT JOIN obs ON obs.k = g.k AND obs.b = g.b)
+        |SELECT k AS event_type, (b * 21600000000)::BIGINT AS bucket_us,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  (v IS NOT NULL) AS is_observed
+        |FROM j ORDER BY event_type, bucket_us""".stripMargin,
 
     // checksum replay: same row hash (md5 over chr(1)-joined values,
     // chr(2) null sentinel), same bucket/xor/mod-sum folds on both

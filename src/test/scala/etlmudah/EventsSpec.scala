@@ -155,4 +155,35 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("a>b>a", 2L), ("b>a>b", 1L)), out.toSeq.toString)
   }
+
+  test("resampleFill: dense grid, forward fill flagged, per-bucket last pick, null drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val step = 10L                         // 10-microsecond buckets
+    val df = Seq(
+      // k1: buckets 0 (two obs -> later one wins), 1 empty, 2 empty,
+      //     3 observed; grid must span 0..3 with 1,2 filled from b0
+      ("k1", 3L, Some(1.0)), ("k1", 7L, Some(2.0)),
+      ("k1", 35L, Some(9.0)),
+      // a NULL observation is not an observation
+      ("k1", 16L, None),
+      // k2: a single bucket — grid is that bucket alone
+      ("k2", 100L, Some(5.0))
+    ).toDF("k", "us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Events.resampleFill(df, "k", col("ts"), col("v"), step)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      ("k1", 0L, 2.0, true),    // last obs of bucket 0 (us=7) wins
+      ("k1", 10L, 2.0, false),  // filled (the null obs at us=16 is not observed)
+      ("k1", 20L, 2.0, false),  // filled
+      ("k1", 30L, 9.0, true),
+      ("k2", 100L, 5.0, true)), got.toString)
+    // same-microsecond tie: larger value wins the bucket pick
+    val tie = Seq(("k", 5L, 1.0), ("k", 5L, 4.0)).toDF("k", "us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    assert(Events.resampleFill(tie, "k", col("ts"), col("v"), step)
+      .collect()(0).getDouble(2) == 4.0)
+  }
 }
