@@ -365,6 +365,38 @@ object Analytics {
       .orderBy(col(key))
   }
 
+  /** TRIMMED mean per group — the robust location estimate between
+    * q02's plain mean (outlier-dragged) and q103's median/MAD fence
+    * (outlier-blind): drop everything outside the exact [loQ, hiQ]
+    * percentile band, average what remains. The standard "whale-proof
+    * average" for revenue/latency dashboards.
+    *
+    * Exact percentiles (Spark `percentile` ↔ DuckDB `quantile_cont`,
+    * the established parity); the fence frame is |groups|-sized and
+    * broadcasts back, so the frame is scanned twice and shuffled
+    * never (the q103 movement). At 100 TB swap the exact percentile
+    * for `percentile_approx` — same shape, the documented dial. */
+  def trimmedMeanBy(df: DataFrame, key: String, value: Column,
+                    loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(0 <= loQ && loQ < hiQ && hiQ <= 1, s"bad band [$loQ, $hiQ]")
+    val b = df.select(col(key), value.as("__v"))
+      .filter(col("__v").isNotNull)
+    val fences = b.groupBy(col(key)).agg(
+      percentile(col("__v"), lit(loQ)).as("__lo"),
+      percentile(col("__v"), lit(hiQ)).as("__hi"))
+    b.join(broadcast(fences), Seq(key))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v").between(col("__lo"), col("__hi")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        round(avg(col("__v")), 4).as("mean"),
+        round(avg(when(col("__v").between(col("__lo"), col("__hi")),
+          col("__v"))), 4).as("trimmed_mean"),
+        round(min(col("__lo")), 4).as("lo"),
+        round(min(col("__hi")), 4).as("hi"))
+      .orderBy(col(key))
+  }
+
   /** Sorted distinct domain (D3/O3: pickers, app.py:53-59). */
   def distinctDomain(df: DataFrame, key: String): DataFrame =
     df.select(col(key)).distinct().orderBy(col(key))

@@ -3620,6 +3620,13 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // Trimmed mean per priority — the whale-proof average between
+    // q02's plain mean and q103's median/MAD fence: exact 5%/95%
+    // percentile band per group, average of what remains
+    "q288_trimmed_mean" -> ((s, dir) =>
+      Analytics.trimmedMeanBy(Tables.orders(s, dir), "o_orderpriority",
+        col("o_totalprice"))),
+
     // Time-grid RESAMPLE + forward fill: per event type, a dense
     // 6-hour bucket grid over the type's observed span, empty buckets
     // carrying the most recent earlier observation, imputation flagged
@@ -9864,6 +9871,24 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // trimmed-mean replay: quantile_cont fences (the established
+    // percentile parity), conditional average inside the band
+    "q288_trimmed_mean" ->
+      """WITH f AS (SELECT o_orderpriority AS k,
+        |    quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  sum(CASE WHEN o_totalprice BETWEEN lo AND hi
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  round(avg(o_totalprice), 4) AS mean,
+        |  round(avg(CASE WHEN o_totalprice BETWEEN lo AND hi
+        |      THEN o_totalprice END), 4) AS trimmed_mean,
+        |  round(min(lo), 4) AS lo, round(min(hi), 4) AS hi
+        |FROM orders JOIN f ON o_orderpriority = k
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // resample replay: same bucket pick (latest ts, value tie-break),
     // same dense grid, same IGNORE NULLS forward-fill window

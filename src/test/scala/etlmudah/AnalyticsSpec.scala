@@ -676,6 +676,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("trimmedMeanBy: whale dropped, band edges inclusive, null drop") {
+    import spark.implicits._
+    // 1..10 plus a whale: p05/p95 of 1..10,1000 cut the whale; the
+    // plain mean is dragged, the trimmed mean is not
+    val df = ((1 to 10).map(i => ("g", i.toDouble)) :+ (("g", 1000.0)))
+      .toDF("k", "v")
+    val r = Analytics.trimmedMeanBy(df, "k", col("v"), 0.05, 0.95)
+      .collect()(0)
+    assert(r.getLong(1) == 11L)
+    assert(r.getLong(2) < 11L, "the whale must fall outside the band")
+    assert(r.getDouble(4) < 10.0, "trimmed mean is whale-proof")
+    assert(r.getDouble(3) > 90.0, "plain mean is dragged")
+    // full band keeps everything: trimmed == plain
+    val all = Analytics.trimmedMeanBy(df, "k", col("v"), 0.0, 1.0)
+      .collect()(0)
+    assert(all.getLong(2) == 11L && all.getDouble(3) == all.getDouble(4))
+    // nulls drop before fences and counts
+    val withNull = Seq(("g", Some(1.0)), ("g", None), ("g", Some(3.0)))
+      .toDF("k", "v")
+    assert(Analytics.trimmedMeanBy(withNull, "k", col("v"))
+      .collect()(0).getLong(1) == 2L)
+  }
+
   test("decayedCounts: exact shift weights, half-life boundary, future exclusion, clamp") {
     import spark.implicits._
     val hl = 1000000L                       // 1-second half-life
