@@ -748,6 +748,39 @@ object Streaming {
       }
   }
 
+  /** STREAM–STREAM event-time interval join — last-click attribution
+    * computed between two LIVE streams (the q68/q84 as-of shape moved
+    * to the streaming tier): each purchase joins the clicks of the
+    * same user that happened within `windowUs` BEFORE it. Both sides
+    * carry watermarks, and the join condition bounds event-time
+    * distance from BOTH directions, which is exactly what lets Spark
+    * expire state: a click older than (purchase watermark − window)
+    * can never match again and drops from the state store — bounded
+    * state on unbounded streams, the thing an unconstrained
+    * stream-stream join cannot promise.
+    *
+    * Returns the joined frame (one row per qualifying click-purchase
+    * pair; downstream picks last-touch with a batch window if needed).
+    * Inner join: late rows beyond the watermark drop on arrival, so
+    * re-delivery converges. Timestamps compare as TimestampType on the
+    * micros lattice — no float time anywhere. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      userCol: String, tsCol: String,
+                      windowUs: Long, lateness: String = "10 minutes")
+      : DataFrame = {
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val c = clicks
+      .select(col(userCol).as("c_user"), col(tsCol).as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    val p = purchases
+      .select(col(userCol).as("p_user"), col(tsCol).as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowUs MICROSECOND"))
+  }
+
   /** Continuous TOP-K leaderboard — the `graft_topk` bounded heap
     * ([[etlmudah.analytics.Analytics.topNPerGroupAgg]]) run as a sink,
     * exercising its MERGEABILITY the way [[heavyHitterSink]] exercises

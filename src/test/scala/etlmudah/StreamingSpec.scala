@@ -375,6 +375,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("attributionJoin: stream-stream interval join == the batch join over the same frames") {
+    val out = Files.createTempDirectory("stream_ssjoin").toString
+    val src = s"$out/src"
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(src)
+    // batch truth: the identical interval join on the static frames
+    // (sf0.001 events store TIMESTAMP_NTZ; UTC session makes the cast
+    // the identity on the underlying micros — the Tables.eventsTyped
+    // convention)
+    val st = spark.read.parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val bc = st.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val bp = st.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val win = 3600000000L
+    val batch = bc.join(bp, col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $win MICROSECOND"))
+      .select(col("c_user"), unix_micros(col("c_ts")),
+        unix_micros(col("p_ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(batch.nonEmpty, "fixture must produce attribution pairs")
+    def runOnce(tag: String): Set[(Long, Long, Long)] = {
+      val ev = Streaming.readEvents(spark, src, maxFilesPerTrigger = 1)
+      // lateness beyond the corpus span: the files arrive in random
+      // event-time order, and this pin is about JOIN algebra, not
+      // late-drop policy (the watermark bound is the state story)
+      val j = Streaming.attributionJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"),
+        "user_id", "ts", win, lateness = "60 days")
+      val q = j.select(col("c_user"), unix_micros(col("c_ts")).as("cus"),
+          unix_micros(col("p_ts")).as("pus"))
+        .writeStream.format("parquet")
+        .option("path", s"$out/joined_$tag")
+        .option("checkpointLocation", s"$out/cp_$tag")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      spark.read.parquet(s"$out/joined_$tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    }
+    assert(runOnce("a") == batch, "streamed join must equal the batch join")
+    assert(runOnce("b") == batch, "a fresh checkpoint converges too")
+  }
+
   test("topkSink: streamed leaderboard == one-shot batch top-k exactly, re-run converges") {
     import etlmudah.analytics.Analytics
     val out = Files.createTempDirectory("stream_topk").toString
