@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, GramSumsAgg, JaroWinkler, NfcNormalize, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, NfcNormalize, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -144,6 +144,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fold_accents"),
+      new ExpressionInfo(classOf[FoldAccents].getName,
+        "graft_fold_accents"),
+      (children: Seq[Expression]) => FoldAccents(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),

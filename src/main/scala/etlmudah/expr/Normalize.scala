@@ -33,6 +33,71 @@ object NfcNormalizeFn {
   }
 }
 
+/** Accent folding — NFD decomposition with combining marks stripped
+  * (café → cafe, Ångström → Angstrom): the diacritic-insensitive
+  * matching/dedup key next to [[NfcNormalizeFn]]'s canonicalization.
+  * Deliberately NOT transliteration: base letters without combining-
+  * mark decompositions (œ, ß, đ) pass through — which is exactly
+  * DuckDB's `strip_accents` semantics, so the oracle replays the fold
+  * verbatim (parity spot-checked across the Latin-1/Extended fixture
+  * family). Same zero-allocation fast path: an input with no
+  * combining marks after the NFD quick-check returns untouched. */
+object FoldAccentsFn {
+  def fold(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val nfd =
+      if (Normalizer.isNormalized(str, Normalizer.Form.NFD)) str
+      else Normalizer.normalize(str, Normalizer.Form.NFD)
+    var hasMark = false
+    var i = 0
+    while (i < nfd.length && !hasMark) {
+      val t = Character.getType(nfd.charAt(i))
+      hasMark = t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK ||
+        t == Character.ENCLOSING_MARK
+      i += 1
+    }
+    if (!hasMark) {
+      if (nfd eq str) s else UTF8String.fromString(nfd)
+    } else {
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var j = 0
+      while (j < nfd.length) {
+        val c = nfd.charAt(j)
+        val t = Character.getType(c)
+        if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.append(c)
+        j += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+}
+
+/** Native expression `graft_fold_accents(string)` — see
+  * [[FoldAccentsFn]]. Null in, null out. */
+case class FoldAccents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fold_accents expects string, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fold_accents"
+
+  override def nullSafeEval(input: Any): Any =
+    FoldAccentsFn.fold(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"etlmudah.expr.FoldAccentsFn.fold($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FoldAccents = copy(child = newChild)
+}
+
 /** Native expression `graft_nfc(string)` — see [[NfcNormalizeFn]].
   * Null in, null out (UnaryExpression default). */
 case class NfcNormalize(child: Expression) extends UnaryExpression {

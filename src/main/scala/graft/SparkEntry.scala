@@ -3620,6 +3620,29 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // Accent-fold dedup keys: each doc spawns a composed (U+00E9) and
+    // a decomposed (e + U+0301) accented variant — two DISTINCT raw
+    // strings that graft_fold_accents collapses to one key (the
+    // diacritic-insensitive matching tier next to q252's NFC); the
+    // report counts raw vs folded variants per source, exhibiting the
+    // 2:1 collapse wherever the text carries an 'e'
+    "q289_accent_fold_keys" -> ((s, dir) => {
+      val vs = Tables.documents(s, dir).select(col("source"),
+          col("doc_id"), explode(array(
+            replace(col("text"), lit("e"), lit("é")),
+            replace(col("text"), lit("e"), lit("é")))).as("t"))
+        .select(col("source"), col("doc_id"), col("t"),
+          expr("graft_fold_accents(t)").as("f"))
+      vs.groupBy(col("source"), col("doc_id"))
+        .agg(countDistinct(col("t")).as("ndr"),
+          countDistinct(col("f")).as("ndf"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ndr")).as("raw_variants"),
+          sum(col("ndf")).as("folded_variants"))
+        .orderBy(col("source"))
+    }),
+
     // Trimmed mean per priority — the whale-proof average between
     // q02's plain mean and q103's median/MAD fence: exact 5%/95%
     // percentile band per group, average of what remains
@@ -9871,6 +9894,23 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // accent-fold replay: same two variants (composed via the literal,
+    // decomposed via chr(769)), DuckDB's own strip_accents as the fold
+    // (parity with NFD-strip spot-checked across the Latin fixtures)
+    "q289_accent_fold_keys" ->
+      """WITH v AS (SELECT source, doc_id,
+        |    unnest([replace(text, 'e', 'é'),
+        |            replace(text, 'e', 'e' || chr(769))]) AS t
+        |  FROM documents),
+        |d AS (SELECT source, doc_id,
+        |    count(DISTINCT t)::BIGINT AS ndr,
+        |    count(DISTINCT strip_accents(t))::BIGINT AS ndf
+        |  FROM v GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(ndr)::BIGINT AS raw_variants,
+        |  sum(ndf)::BIGINT AS folded_variants
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
 
     // trimmed-mean replay: quantile_cont fences (the established
     // percentile parity), conditional average inside the band

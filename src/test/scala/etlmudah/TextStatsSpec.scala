@@ -1355,6 +1355,23 @@ class TextStatsSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("graft_fold_accents: composed and decomposed fold to the same key; non-mark letters pass; null-safe") {
+    import spark.implicits._
+    def fold(s: String): String =
+      Seq(s).toDF("t")
+        .select(call_function("graft_fold_accents", col("t")))
+        .collect().head.getString(0)
+    assert(fold("café") == "cafe")            // composed
+    assert(fold("café") == "cafe")           // decomposed
+    assert(fold("Ångström") == "Angstrom")
+    // NOT transliteration: no combining-mark decomposition -> pass
+    assert(fold("œuvre straße") == "œuvre straße")
+    assert(fold("plain ascii") == "plain ascii")
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(call_function("graft_fold_accents", col("t"))).collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("nfcAudit: per-slice change counts and codepoint deltas") {
     import spark.implicits._
     val docs = Seq(

@@ -32,6 +32,9 @@ class ContractSpec extends AnyFunSuite {
       "SELECT graft_gram(array(CAST(id AS DOUBLE), 1.0D), 2, 1024) " +
         "FROM range(10)",
       "SELECT graft_nfc('cafe\u0301')",
+      "SELECT graft_fold_accents('caf\u00e9')",
+      "SELECT graft_topk(CAST(id AS DOUBLE), CAST(id AS STRING), 3) " +
+        "FROM range(10)",
       "SELECT graft_bmp_stats(graft_bmp_resize(" +
         "graft_fake_bmp24(1L, 4L, 4L), 2)).n_px",
       "SELECT graft_wav_features(" +
