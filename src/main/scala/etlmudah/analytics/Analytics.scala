@@ -397,6 +397,26 @@ object Analytics {
       .orderBy(col(key))
   }
 
+  /** Deterministic ORDERED string aggregation (SQL `string_agg(v, sep
+    * ORDER BY ...)`, Spark's missing built-in): `collect_list` alone
+    * is ARRIVAL-ordered — a shuffle or AQE re-plan reorders it run to
+    * run — so the list collects (orderKey, value) structs and sorts
+    * INSIDE the row before joining. The order columns must totally
+    * order each group's rows (`value` itself is the usual final
+    * tie-break) or the result is still ambiguous.
+    *
+    * One map-side-combined aggregate; the per-group sort is in-row
+    * over that group's own elements. Groups must fit a row (strings
+    * cap at JVM array limits) — cap with topNPerGroupAgg first when a
+    * group can run hot. */
+  def orderedConcat(value: Column, order: Seq[Column],
+                    sep: String): Column = {
+    val sorted = array_sort(collect_list(struct(
+      order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+        value.cast("string").as("__v"): _*)))
+    array_join(transform(sorted, x => x.getField("__v")), sep)
+  }
+
   /** Sorted distinct domain (D3/O3: pickers, app.py:53-59). */
   def distinctDomain(df: DataFrame, key: String): DataFrame =
     df.select(col(key)).distinct().orderBy(col(key))

@@ -3620,6 +3620,20 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // Ordered string aggregation (string_agg ORDER BY, Spark's missing
+    // built-in, made deterministic): each customer's order history as
+    // a date-ordered key list — collect_list sorts INSIDE the row, so
+    // no shuffle or AQE re-plan can reorder it
+    "q290_order_history_concat" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Analytics.orderedConcat(col("o_orderkey"),
+            Seq(unix_micros(col("o_orderdate").cast("timestamp")),
+              col("o_orderkey")),
+            ",").as("history"))
+        .orderBy(col("o_custkey"))),
+
     // Accent-fold dedup keys: each doc spawns a composed (U+00E9) and
     // a decomposed (e + U+0301) accented variant — two DISTINCT raw
     // strings that graft_fold_accents collapses to one key (the
@@ -9894,6 +9908,15 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // string_agg replay: DuckDB's native ordered aggregation with the
+    // identical (date, key) total order
+    "q290_order_history_concat" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  string_agg(o_orderkey::VARCHAR, ','
+        |    ORDER BY epoch_us(o_orderdate), o_orderkey) AS history
+        |FROM orders GROUP BY 1
+        |ORDER BY o_custkey""".stripMargin,
 
     // accent-fold replay: same two variants (composed via the literal,
     // decomposed via chr(769)), DuckDB's own strip_accents as the fold

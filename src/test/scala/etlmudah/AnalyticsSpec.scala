@@ -676,6 +676,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("orderedConcat: order is the struct sort, not arrival; partitioning cannot matter") {
+    import spark.implicits._
+    val rows = Seq(("g", 3L, "c"), ("g", 1L, "a"), ("g", 2L, "b"),
+      ("g", 1L, "a2"), ("h", 9L, "z"))
+    Seq(1, 5).foreach { parts =>
+      val got = rows.toDF("k", "o", "v").repartition(parts)
+        .groupBy(col("k"))
+        .agg(Analytics.orderedConcat(col("v"),
+          Seq(col("o"), col("v")), "|").as("s"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("g" -> "a|a2|b|c", "h" -> "z"), s"parts=$parts")
+    }
+  }
+
   test("trimmedMeanBy: whale dropped, band edges inclusive, null drop") {
     import spark.implicits._
     // 1..10 plus a whale: p05/p95 of 1..10,1000 cut the whale; the
