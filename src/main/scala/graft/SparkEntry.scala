@@ -3620,6 +3620,58 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // N-way membership matrix (the Venn/UpSet table): per user, WHICH
+    // event types they touched, rolled up per exact combination — the
+    // cross-source overlap readout q133's pairwise matrix cannot give
+    // (combinations, not pairs). One user-keyed aggregate + one
+    // |combinations|-grain aggregate; the combo key is the sorted
+    // member list, so both engines render it identically
+    // (the %17 slice keeps per-user coverage PARTIAL — over the full
+    // log every user hits all five types and the table degenerates to
+    // one row)
+    "q291_event_type_venn" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") % 17 === 0)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("__types"))
+        .groupBy(array_join(col("__types"), "+").as("combo"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("combo").asc)),
+
+    // MULTI-TOUCH attribution credit: each purchase splits one unit of
+    // credit equally across the SAME user's clicks in the hour before
+    // it (the fractional-credit sibling of q68's last-touch as-of) —
+    // per-pair credit rounds at 6dp IN-ENGINE so both engines fold the
+    // identical doubles; users ranked by credit earned
+    "q292_multi_touch_credit" -> ((s, dir) => {
+      val ev = Tables.eventsTyped(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"),
+          col("event_id").as("c_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("us").as("p_us"),
+          col("event_id").as("p_id"))
+      val pairs = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("c_us") <= col("p_us") &&
+          col("c_us") >= col("p_us") - 3600000000L)
+      val perPurchase = pairs.groupBy(col("p_id").as("pp"))
+        .agg(count(lit(1)).as("n_touch"))
+      // per-pair credit on the micro-unit INTEGER lattice (1e6 div
+      // n_touch — truncating, exact): the per-user sum is a BIGINT
+      // fold no addition order can drift, where summing rounded
+      // doubles is one ulp from a 6dp boundary flip
+      pairs.join(perPurchase, col("p_id") === col("pp"))
+        .select(col("c_user"), col("c_id"),
+          expr("1000000L div n_touch").as("credit_micro"))
+        .groupBy(col("c_user"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("credit_micro")).as("credit_micro"))
+        .orderBy(col("credit_micro").desc, col("c_user").asc)
+    }),
+
     // Ordered string aggregation (string_agg ORDER BY, Spark's missing
     // built-in, made deterministic): each customer's order history as
     // a date-ordered key list — collect_list sorts INSIDE the row, so
@@ -9908,6 +9960,33 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // Venn replay: same sorted-member combo key, same two grains
+    "q291_event_type_venn" ->
+      """WITH u AS (SELECT user_id,
+        |    list_sort(list(DISTINCT event_type)) AS types
+        |  FROM events WHERE event_id % 17 = 0 GROUP BY 1)
+        |SELECT list_aggregate(types, 'string_agg', '+') AS combo,
+        |  count(*) AS n_users
+        |FROM u GROUP BY 1
+        |ORDER BY n_users DESC, combo ASC""".stripMargin,
+
+    // multi-touch replay: same interval pairs, same per-purchase
+    // touch counts, same 6dp per-pair credit
+    "q292_multi_touch_credit" ->
+      """WITH c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us,
+        |    event_id AS c_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_us,
+        |    event_id AS p_id FROM events WHERE event_type = 'purchase'),
+        |pairs AS (SELECT * FROM c JOIN p ON c_user = p_user
+        |  AND c_us <= p_us AND c_us >= p_us - 3600000000),
+        |pt AS (SELECT p_id AS pp, count(*)::BIGINT AS n_touch
+        |  FROM pairs GROUP BY 1)
+        |SELECT c_user, count(*) AS n_pairs,
+        |  sum(1000000 // n_touch)::BIGINT AS credit_micro
+        |FROM pairs JOIN pt ON p_id = pp
+        |GROUP BY 1
+        |ORDER BY credit_micro DESC, c_user ASC""".stripMargin,
 
     // string_agg replay: DuckDB's native ordered aggregation with the
     // identical (date, key) total order
