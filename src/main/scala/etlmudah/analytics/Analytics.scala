@@ -417,6 +417,49 @@ object Analytics {
     array_join(transform(sorted, x => x.getField("__v")), sep)
   }
 
+  /** Exact MODE per group (most frequent value, ties to the SMALLEST
+    * value — a total order, so the answer is partition-invariant):
+    * two stacked aggregates — (key, value) counts, then a struct-max
+    * argmax per key. Never a window: the value-count frame is the
+    * group's distinct values, map-side combined, and the argmax is
+    * one more combine — the whole thing is two exchanges of
+    * aggregate-grain rows. */
+  def modeBy(df: DataFrame, key: String, value: Column): DataFrame =
+    df.filter(value.isNotNull)
+      .groupBy(col(key), value.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(key))
+      .agg(max(struct(col("__c"), (-col("__v")).as("__nv")))
+        .getField("__c").as("n_mode"),
+        (-max(struct(col("__c"), (-col("__v")).as("__nv")))
+          .getField("__nv")).as("mode"))
+      .select(col(key), col("mode"), col("n_mode"))
+      .orderBy(col(key))
+
+  /** Smoothed TARGET ENCODING per category (the feature-engineering
+    * standard for high-cardinality categoricals — micro track: Micci-
+    * Barreca, SIGKDD Expl. 2001): enc = (sum_cat + m·globalMean) /
+    * (n_cat + m), shrinking small categories toward the global mean.
+    * Sums fold on the DECIMAL lattice (order-independent); the global
+    * mean and each encoding are single closing double divisions from
+    * exact inputs, so both engines compute identical doubles. One
+    * category-keyed aggregate + a single-row global broadcast. */
+  def targetEncodeBy(df: DataFrame, key: String, target: Column,
+                     m: Double = 10.0): DataFrame = {
+    val t = target.cast("decimal(18,2)")
+    val cat = df.filter(t.isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(t).as("__s"))
+    val g = cat.agg(sum(col("n")).as("__gn"), sum(col("__s")).as("__gs"))
+    cat.crossJoin(broadcast(g))
+      .select(col(key), col("n"),
+        round((col("__s").cast("double") +
+          lit(m) * (col("__gs").cast("double") /
+            col("__gn").cast("double"))) /
+          (col("n").cast("double") + lit(m)), 6).as("encoding"))
+      .orderBy(col(key))
+  }
+
   /** Sorted distinct domain (D3/O3: pickers, app.py:53-59). */
   def distinctDomain(df: DataFrame, key: String): DataFrame =
     df.select(col(key)).distinct().orderBy(col(key))

@@ -3620,6 +3620,49 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // Exact MODE per return flag (most frequent quantity, ties to the
+    // smallest value): two stacked aggregates, never a window
+    "q293_mode_quantity" -> ((s, dir) =>
+      Analytics.modeBy(Tables.lineitem(s, dir), "l_returnflag",
+        col("l_quantity"))),
+
+    // Smoothed TARGET ENCODING (Micci-Barreca): priority categories
+    // encoded by shrunken mean order value — DECIMAL-lattice sums,
+    // single closing double divisions, one global broadcast row
+    "q294_target_encoding" -> ((s, dir) =>
+      Analytics.targetEncodeBy(Tables.orders(s, dir), "o_orderpriority",
+        col("o_totalprice"), m = 10.0)),
+
+    // 2-D histogram grid (the dashboard heatmap): quantity x price
+    // bins by integral floor division, one aggregate — the 2-D twin
+    // of q07's 1-D histogram
+    "q295_qty_price_heatmap" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(expr("cast(floor((l_quantity - 1) / 5.0) as long)")
+            .as("q_bin"),
+          expr("cast(floor(l_extendedprice / 10000.0) as long)")
+            .as("p_bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum((col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"))
+        .orderBy(col("q_bin"), col("p_bin"))),
+
+    // Explicit GROUPING SETS (the grain mix rollup/cube cannot give:
+    // (priority, status), (priority), (status) — no grand total), with
+    // grouping_id disambiguating NULL-as-rolled-up from NULL data
+    "q296_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("total"))
+        .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)),
+
     // N-way membership matrix (the Venn/UpSet table): per user, WHICH
     // event types they touched, rolled up per exact combination — the
     // cross-source overlap readout q133's pairwise matrix cannot give
@@ -9960,6 +10003,49 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // mode replay: the row_number argmax definition (n DESC, v ASC)
+    "q293_mode_quantity" ->
+      """WITH c AS (SELECT l_returnflag AS k, l_quantity AS v,
+        |    count(*)::BIGINT AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2)
+        |SELECT k AS l_returnflag, v AS mode, n AS n_mode
+        |FROM (SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY n DESC, v ASC) AS rk FROM c) t
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    // encoding replay: DECIMAL sums, the same two closing divisions
+    "q294_target_encoding" ->
+      """WITH cat AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT sum(n)::BIGINT AS gn, sum(s) AS gs FROM cat)
+        |SELECT o_orderpriority, n,
+        |  round((s::DOUBLE + 10.0 * (gs::DOUBLE / gn::DOUBLE))
+        |    / (n::DOUBLE + 10.0), 6) AS encoding
+        |FROM cat, g ORDER BY o_orderpriority""".stripMargin,
+
+    // heatmap replay: identical integral bins, decimal revenue
+    "q295_qty_price_heatmap" ->
+      """SELECT floor((l_quantity - 1) / 5.0)::BIGINT AS q_bin,
+        |  floor(l_extendedprice / 10000.0)::BIGINT AS p_bin,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY q_bin, p_bin""".stripMargin,
+
+    // grouping-sets replay: DuckDB native GROUPING SETS + GROUPING()
+    // (Spark's grouping_id over two cols == 2*g(a) + g(b))
+    "q296_grouping_sets" ->
+      """SELECT (2 * grouping(o_orderpriority)
+        |    + grouping(o_orderstatus))::BIGINT AS gid,
+        |  o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus))
+        |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     // Venn replay: same sorted-member combo key, same two grains
     "q291_event_type_venn" ->
