@@ -676,6 +676,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("modeBy: frequency argmax, ties to the smallest value, nulls out") {
+    import spark.implicits._
+    val df = Seq(("g", Some(3.0)), ("g", Some(3.0)), ("g", Some(1.0)),
+      ("g", Some(1.0)), ("g", Some(2.0)), ("g", None),
+      ("h", Some(9.0))).toDF("k", "v")
+    val got = Analytics.modeBy(df, "k", col("v")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // g: 1.0 and 3.0 both appear twice -> tie to the smaller (1.0)
+    assert(got == Map("g" -> ((1.0, 2L)), "h" -> ((9.0, 1L))))
+  }
+
+  test("targetEncodeBy: small categories shrink toward the global mean") {
+    import spark.implicits._
+    // global mean = 55; big category (n=100, mean 10) barely moves,
+    // tiny category (n=1, mean 100) shrinks hard
+    val rows = (1 to 100).map(_ => ("big", 10.0)) :+ (("tiny", 100.0))
+    val df = rows.toDF("k", "t")
+    val got = Analytics.targetEncodeBy(df, "k", col("t"), m = 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val gmean = (100 * 10.0 + 100.0) / 101.0
+    assert(math.abs(got("big") - 10.0) < 1.0)
+    assert(got("tiny") > gmean - 1 && got("tiny") < 100.0,
+      s"tiny=${got("tiny")} must sit between its own mean and the global")
+    // exact closed form replayed
+    assert(got("tiny") ==
+      BigDecimal((100.0 + 10.0 * gmean) / 11.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("orderedConcat: order is the struct sort, not arrival; partitioning cannot matter") {
     import spark.implicits._
     val rows = Seq(("g", 3L, "c"), ("g", 1L, "a"), ("g", 2L, "b"),
