@@ -3620,6 +3620,59 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // NULL REPAIR by group median (the imputation step of every
+    // feature pipeline, audited): prices nulled on a closed-form key
+    // slice, refilled with the exact per-priority median, the report
+    // carrying n_imputed and the post-repair sum so silent imputation
+    // drift is impossible. Median ↔ quantile_cont (the established
+    // percentile parity); the filled column sums on a DECIMAL(18,4)
+    // lattice (medians of 2dp values carry ≤3dp — the 4th-digit cast
+    // never sits on a rounding boundary)
+    "q297_impute_nulls" -> ((s, dir) => {
+      val damaged = Tables.orders(s, dir)
+        .withColumn("price",
+          when(col("o_orderkey") % 13 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+      val med = damaged.groupBy(col("o_orderpriority").as("mk"))
+        .agg(percentile(col("price"), lit(0.5)).as("med"))
+      damaged.join(broadcast(med), col("o_orderpriority") === col("mk"))
+        .withColumn("filled", coalesce(col("price"), col("med")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("price").isNull, 1L).otherwise(0L))
+            .as("n_imputed"),
+          round(min(col("med")), 4).as("median_used"),
+          round(sum(col("filled").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_filled"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Z-SCORE scaler audit (the feature-standardization fit): per-
+    // group mean/std from DECIMAL-lattice moments (sum, sum-of-
+    // squares exact; mean, variance, sqrt are closing IEEE ops both
+    // engines compute identically from the same integers) + the
+    // |z| > 3 outlier count from a second broadcast-moments pass
+    "q298_zscore_audit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,4)").as("__x"))
+      val mom = li.groupBy(col("l_returnflag").as("mk"))
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
+          sum(col("__x") * col("__x")).as("__q"))
+        .select(col("mk"), col("n"),
+          (col("__s").cast("double") / col("n")).as("__mean"),
+          sqrt(col("__q").cast("double") / col("n") -
+            (col("__s").cast("double") / col("n")) *
+              (col("__s").cast("double") / col("n"))).as("__std"))
+      li.join(broadcast(mom), col("l_returnflag") === col("mk"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("__mean")), 6).as("mean"),
+          round(min(col("__std")), 6).as("std"),
+          sum(when(abs(col("__x").cast("double") - col("__mean")) >
+            lit(3.0) * col("__std"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact MODE per return flag (most frequent quantity, ties to the
     // smallest value): two stacked aggregates, never a window
     "q293_mode_quantity" -> ((s, dir) =>
@@ -10003,6 +10056,48 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // imputation replay: same damage, quantile_cont median, same
+    // decimal fill-sum
+    "q297_impute_nulls" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |         ELSE o_totalprice END AS price
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority AS mk,
+        |    quantile_cont(price, 0.5) AS med
+        |  FROM d GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_imputed,
+        |  round(min(med), 4) AS median_used,
+        |  CAST(round(sum(CAST(coalesce(price, med) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_filled
+        |FROM d JOIN m ON o_orderpriority = mk
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // z-score replay: identical decimal moments + the same closing
+    // IEEE mean/variance/sqrt tree, same 3-sigma count
+    "q298_zscore_audit" ->
+      """WITH x AS (SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS v
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag AS mk, count(*)::BIGINT AS n,
+        |    -- the DECIMAL(19,4) cast forces int128 multiply lanes
+        |    -- (DuckDB's 18-digit decimals multiply in int64 and
+        |    -- overflow); the product is the same exact value Spark's
+        |    -- (18,4)x(18,4) -> (37,8) computes
+        |    sum(v) AS s, sum(CAST(v AS DECIMAL(19,4)) * v) AS q
+        |  FROM x GROUP BY 1),
+        |mm AS (SELECT mk, n, s::DOUBLE / n AS mean,
+        |    sqrt(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+        |      AS std
+        |  FROM m)
+        |SELECT l_returnflag, count(*) AS n,
+        |  round(min(mean), 6) AS mean, round(min(std), 6) AS std,
+        |  sum(CASE WHEN abs(v::DOUBLE - mean) > 3.0 * std
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM x JOIN mm ON l_returnflag = mk
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     // mode replay: the row_number argmax definition (n DESC, v ASC)
     "q293_mode_quantity" ->
