@@ -275,4 +275,52 @@ object Sketches {
         col("s"), col("raw_est"))
       .orderBy(col("grp"))
   }
+
+  /** PORTABLE approximate quantiles per group — the oracle-checkable
+    * tier of the approx-percentile family (Spark's
+    * `percentile_approx` rides an engine-internal KLL-style sketch no
+    * other system replays; this one is a fixed-width value lattice,
+    * so every estimate is exact integer arithmetic both engines
+    * reproduce): values bucket at `floor(v / width)`, one cumulative
+    * window over the per-(group, bucket) counts, and quantile q‰ is
+    * the FIRST bucket whose cumulative count reaches
+    * ceil(n·q/1000) — thresholds as `(n·q + 999) div 1000`, pure
+    * BIGINT, no float rank anywhere. Error is bounded by `width` by
+    * construction (the estimate is the bucket's lower edge), which is
+    * the honest contract: the caller picks the resolution, and the
+    * sketch size is the group's OCCUPIED bucket count.
+    *
+    * Movement: volume collapses to the (group, bucket) grain in the
+    * first map-side combine; the window and the final fold run on
+    * that bucket frame only. The mergeable form is the bucket-count
+    * table itself — per-shard tables add, the CMS/HLL sink discipline
+    * applies unchanged. */
+  def latticeQuantiles(df: DataFrame, key: String, value: Column,
+                       width: Double, qsPerMille: Seq[Int]): DataFrame = {
+    require(width > 0, s"width must be > 0, got $width")
+    require(qsPerMille.nonEmpty &&
+      qsPerMille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be 1..1000 per-mille, got $qsPerMille")
+    val buckets = df.filter(value.isNotNull)
+      .groupBy(col(key),
+        floor(value / lit(width)).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+    val cum = buckets
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val qCols = qsPerMille.flatMap { q =>
+      val hit = col("__cum") >= expr(s"(__n * ${q}L + 999L) div 1000L")
+      Seq(min(when(hit, col("__b"))).as(s"q${q}_bucket"),
+        (min(when(hit, col("__b"))) * width).as(s"q${q}_est"))
+    }
+    cum.groupBy(col(key))
+      .agg(min(col("__n")).as("n"), qCols: _*)
+      .orderBy(col(key))
+  }
 }

@@ -3620,6 +3620,17 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // PORTABLE approximate quantiles (the oracle-checkable twin of
+    // percentile_approx, whose internal sketch no other engine
+    // replays): fixed-width value lattice + integer-threshold rank
+    // picks — error bounded by the width, every estimate exact
+    // integer arithmetic. q52/q79's approx dial, made verifiable
+    "q299_lattice_quantiles" -> ((s, dir) =>
+      etlmudah.scale.Sketches.latticeQuantiles(
+        Tables.lineitem(s, dir), "l_returnflag",
+        col("l_extendedprice"), width = 1000.0,
+        qsPerMille = Seq(250, 500, 750, 990))),
+
     // NULL REPAIR by group median (the imputation step of every
     // feature pipeline, audited): prices nulled on a closed-form key
     // slice, refilled with the exact per-priority median, the report
@@ -10056,6 +10067,40 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // lattice-quantile replay: same buckets, same cumulative window,
+    // same integer thresholds
+    "q299_lattice_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |    floor(l_extendedprice / 1000.0)::BIGINT AS bu,
+        |    count(*)::BIGINT AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cu AS (SELECT k, bu, c,
+        |    sum(c) OVER (PARTITION BY k ORDER BY bu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY k)::BIGINT AS n
+        |  FROM b)
+        |SELECT k AS l_returnflag, min(n) AS n,
+        |  min(CASE WHEN cum >= (n * 250 + 999) // 1000 THEN bu END)
+        |    AS q250_bucket,
+        |  min(CASE WHEN cum >= (n * 250 + 999) // 1000 THEN bu END)
+        |    * 1000.0 AS q250_est,
+        |  min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN bu END)
+        |    AS q500_bucket,
+        |  min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN bu END)
+        |    * 1000.0 AS q500_est,
+        |  min(CASE WHEN cum >= (n * 750 + 999) // 1000 THEN bu END)
+        |    AS q750_bucket,
+        |  min(CASE WHEN cum >= (n * 750 + 999) // 1000 THEN bu END)
+        |    * 1000.0 AS q750_est,
+        |  min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN bu END)
+        |    AS q990_bucket,
+        |  min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN bu END)
+        |    * 1000.0 AS q990_est
+        |FROM cu GROUP BY k
+        |ORDER BY l_returnflag""".stripMargin,
 
     // imputation replay: same damage, quantile_cont median, same
     // decimal fill-sum

@@ -189,4 +189,36 @@ class SketchesSpec extends SparkSpec {
     assert(dis.getAs[Long]("true_join_size") == 0L)
     assert(dis.isNullAt(dis.fieldIndex("overestimate_ratio")))
   }
+
+  test("latticeQuantiles: rank convention, width-bounded error, partition invariance") {
+    import spark.implicits._
+    // 100 values 0..99, width 10 -> buckets 0..9 with 10 each.
+    // q500: thresh = ceil(100*0.5) = 50 -> first cum >= 50 is bucket 4
+    // (cum 50); q250 -> thresh 25 -> bucket 2 (cum 30); q990 ->
+    // thresh 99 -> bucket 9
+    val rows = (0 until 100).map(i => ("g", i.toDouble))
+    Seq(1, 7).foreach { parts =>
+      val r = Sketches.latticeQuantiles(
+          rows.toDF("k", "v").repartition(parts), "k", col("v"),
+          width = 10.0, qsPerMille = Seq(250, 500, 990))
+        .collect()(0)
+      assert(r.getAs[Long]("n") == 100L)
+      assert(r.getAs[Long]("q250_bucket") == 2L, s"parts=$parts")
+      assert(r.getAs[Long]("q500_bucket") == 4L)
+      assert(r.getAs[Long]("q990_bucket") == 9L)
+      assert(r.getAs[Double]("q500_est") == 40.0)
+    }
+    // width-bounded error vs the exact quantile: |est - exact| <= width
+    val exact = rows.map(_._2).sorted.apply(49)          // 49.0
+    val est = Sketches.latticeQuantiles(rows.toDF("k", "v"), "k",
+        col("v"), 10.0, Seq(500)).collect()(0)
+      .getAs[Double]("q500_est")
+    assert(math.abs(est - exact) <= 10.0)
+    // single-value group: every quantile is its bucket
+    val one = Sketches.latticeQuantiles(
+        Seq(("s", 42.0)).toDF("k", "v"), "k", col("v"), 10.0,
+        Seq(1, 1000)).collect()(0)
+    assert(one.getAs[Long]("q1_bucket") == 4L &&
+      one.getAs[Long]("q1000_bucket") == 4L)
+  }
 }
