@@ -3620,6 +3620,35 @@ object SparkEntry {
         .orderBy(col("value").desc, col("l_partkey").asc)
     }),
 
+    // THE CURATION FUNNEL as one declarative plan (the capstone
+    // composition): length gate -> exact dedup -> blocklist ->
+    // per-source cap, each stage reported with survivors and token
+    // mass. q92's filterFunnel is the ONE-PASS version for predicate
+    // rules; this funnel includes non-predicate stages (dedup's keyed
+    // window, the cap's stratum window) that genuinely need their own
+    // exchanges — per-stage counts re-derive each frame, the honest
+    // cost of auditing a staged pipeline
+    "q300_curation_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val s1 = docs.filter(
+        TextStats.tokenCount(col("text")).between(30, 100000))
+      val s2 = Dedup.exactDedup(s1, "text", "doc_id")
+      val s3 = s2.filter(
+        regexp_count(col("text"), lit("(?i)\\bslow\\b")) <= 2)
+      val s4 = Sampling.capPerStratum(s3, "doc_id", "source",
+        cap = 50, salt = "funnel")
+      def st(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(TextStats.tokenCount(col("text"))).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_rows"), col("n_tokens"))
+      st("0_all", docs)
+        .unionByName(st("1_length", s1))
+        .unionByName(st("2_dedup", s2))
+        .unionByName(st("3_blocklist", s3))
+        .unionByName(st("4_cap", s4))
+        .orderBy(col("stage"))
+    }),
+
     // PORTABLE approximate quantiles (the oracle-checkable twin of
     // percentile_approx, whose internal sketch no other engine
     // replays): fixed-width value lattice + integer-threshold rank
@@ -10067,6 +10096,34 @@ object SparkEntry {
         |FROM pp, t
         |WHERE val * np * 2 > tv * 3
         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    // funnel replay: the q19 token count, the q24 fingerprint window,
+    // the q202 blocklist rule, and the q89 cap window chained
+    "q300_curation_funnel" ->
+      """WITH d0 AS (SELECT doc_id, source, text,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt
+        |  FROM documents),
+        |s1 AS (SELECT * FROM d0 WHERE nt BETWEEN 30 AND 100000),
+        |s2 AS (SELECT * FROM s1
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) = 1),
+        |s3 AS (SELECT * FROM s2
+        |  WHERE len(regexp_extract_all(text, '(?i)\bslow\b')) <= 2),
+        |s4 AS (SELECT * FROM s3
+        |  QUALIFY row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR
+        |      || 'funnel'), 1, 8)) AS UBIGINT) / 4294967296.0 ASC,
+        |      doc_id ASC) <= 50)
+        |SELECT '0_all' AS stage, count(*) AS n_rows,
+        |  sum(nt)::BIGINT AS n_tokens FROM d0
+        |UNION ALL SELECT '1_length', count(*), sum(nt)::BIGINT FROM s1
+        |UNION ALL SELECT '2_dedup', count(*), sum(nt)::BIGINT FROM s2
+        |UNION ALL SELECT '3_blocklist', count(*), sum(nt)::BIGINT
+        |  FROM s3
+        |UNION ALL SELECT '4_cap', count(*), sum(nt)::BIGINT FROM s4
+        |ORDER BY stage""".stripMargin,
 
     // lattice-quantile replay: same buckets, same cumulative window,
     // same integer thresholds

@@ -277,7 +277,10 @@ class PlanShapeSpec extends SparkSpec {
       "q274_dormant_rich_customers", "q275_revenue_share_parts",
       // q279 runs the MMR-loop shape: a ≤k-row selected-vector
       // broadcast each greedy round
-      "q279_kcenter_coreset")
+      "q279_kcenter_coreset",
+      // q294's build side is the single-row (global sum, global n)
+      // frame — the target-encoding prior broadcast
+      "q294_target_encoding")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
