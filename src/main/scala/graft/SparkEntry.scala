@@ -3426,8 +3426,11 @@ object SparkEntry {
           col("l_partkey") === col("p_partkey"))
       val minOffer = offers.groupBy(col("p_partkey").as("mp"))
         .agg(min(col("unit_price")).as("min_price"))
+      // the min side is |filtered parts|-bounded — broadcast it so the
+      // offers frame is never exchanged for the join-back (without the
+      // hint Catalyst sort-merges on (partkey, price) at local stats)
       offers
-        .join(minOffer, col("p_partkey") === col("mp") &&
+        .join(broadcast(minOffer), col("p_partkey") === col("mp") &&
           col("unit_price") === col("min_price"))
         .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
