@@ -3413,13 +3413,14 @@ object SparkEntry {
     // subquery decorrelated into a per-part aggregate joined back on
     // equality — ties kept, never a per-row subquery. The per-part min
     // is map-side combinable (one exchange on p_partkey); unit price
-    // rounds to 4dp BEFORE the min so the equality join-back compares
-    // the identical double on both engines
+    // stays the RAW IEEE quotient — bit-identical on both engines,
+    // where a 4dp display rounding diverges (Spark rounds the exact
+    // decimal expansion HALF_UP, DuckDB nearbyints the scaled double —
+    // measured one-ulp disagreement at sf0.001)
     "q266_min_unit_price_supplier" -> ((s, dir) => {
       val offers = Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey"),
-          round(col("l_extendedprice") / col("l_quantity"), 4)
-            .as("unit_price"))
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
         .join(Tables.part(s, dir)
             .filter(col("p_size").between(10, 15) &&
               col("p_type") === "STANDARD"),
@@ -9947,7 +9948,7 @@ object SparkEntry {
     "q266_min_unit_price_supplier" ->
       """WITH offers AS (
         |  SELECT l_partkey, l_suppkey,
-        |    round(l_extendedprice / l_quantity, 4) AS unit_price
+        |    l_extendedprice / l_quantity AS unit_price
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD'),
