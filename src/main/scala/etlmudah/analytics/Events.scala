@@ -241,7 +241,14 @@ object Events {
     val obs = df
       .select(col(key), unix_micros(ts).as("__us"), value.as("__v"))
       .filter(col("__v").isNotNull)
-      .withColumn("__b", expr(s"__us div ${stepUs}L"))
+      // FLOOR division on the integer lattice: Spark's `div`
+      // truncates toward zero, but the oracle's `//` floors, and the
+      // two differ by one bucket for pre-1970 (negative-micros)
+      // timestamps. pmod is non-negative, so (us - pmod) is an exact
+      // step multiple and the quotient is the floor — no double
+      // round-trip (exact past 2^53 too).
+      .withColumn("__b",
+        expr(s"(__us - pmod(__us, ${stepUs}L)) div ${stepUs}L"))
       .groupBy(col(key), col("__b"))
       .agg(max(struct(col("__us"), col("__v"))).getField("__v").as("__obs"))
     val grid = obs.groupBy(col(key))

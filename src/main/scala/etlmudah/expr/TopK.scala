@@ -1,7 +1,6 @@
 package etlmudah.expr
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
 
@@ -30,8 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Order is the STRICT total order (score DESC, tag ASC): ties on
   * score break on the tag string, which makes the top-k SET (and
   * hence the result) independent of partitioning and arrival order —
-  * the property the oracle needs. Callers who want numeric tag order
-  * zero-pad the tag. Null score or null tag rows are skipped.
+  * the property the oracle needs. Tag order is UTF-8 BINARY order
+  * (`UTF8String.binaryCompare`), i.e. code-point order — identical to
+  * Spark SQL string ORDER BY and DuckDB, NOT `java.lang.String
+  * .compareTo`'s UTF-16 code-unit order (which sorts supplementary-
+  * plane tags before U+E000..U+FFFF and would silently pick a
+  * different top-k than the row_number-window oracle). Callers who
+  * want numeric tag order zero-pad the tag. Null score or null tag
+  * rows are skipped.
   *
   * Result: array<struct<score:double, tag:string>> sorted strong→weak
   * (score DESC, tag ASC) — explode with posexplode for (rank, row)s.
@@ -79,7 +84,8 @@ case class TopKAgg(
     val s = scoreExpr.eval(input)
     val t = tagExpr.eval(input)
     if (s != null && t != null)
-      h.offer(s.asInstanceOf[Double], t.asInstanceOf[UTF8String].toString)
+      // clone(): eval may hand back a pointer into a reused row buffer
+      h.offer(s.asInstanceOf[Double], t.asInstanceOf[UTF8String].clone())
     h
   }
 
@@ -91,14 +97,13 @@ case class TopKAgg(
   override def eval(h: TopKAgg.Heap): Any = {
     val sorted = h.drainSorted()
     new GenericArrayData(sorted.map { case (s, t) =>
-      new GenericInternalRow(Array[Any](s, UTF8String.fromString(t)))
+      new GenericInternalRow(Array[Any](s, t))
     })
   }
 
   override def serialize(h: TopKAgg.Heap): Array[Byte] = {
     val elems = new mutable.ArrayBuffer[(Double, Array[Byte])](h.size)
-    h.foreachUnordered((s, t) =>
-      elems += ((s, t.getBytes(StandardCharsets.UTF_8))))
+    h.foreachUnordered((s, t) => elems += ((s, t.getBytes)))
     val bb = ByteBuffer.allocate(
       4 + elems.iterator.map(e => 12 + e._2.length).sum)
     bb.putInt(elems.length)
@@ -117,7 +122,7 @@ case class TopKAgg(
       val s = bb.getDouble
       val tb = new Array[Byte](bb.getInt)
       bb.get(tb)
-      h.offer(s, new String(tb, StandardCharsets.UTF_8))
+      h.offer(s, UTF8String.fromBytes(tb))
       i += 1
     }
     h
@@ -138,23 +143,25 @@ object TopKAgg {
     * the WEAKEST element under the result order (score DESC, tag ASC),
     * so a stronger arrival replaces the root in O(log k) and a weaker
     * one is rejected after one root comparison. Doubles compare via
-    * `java.lang.Double.compare` (a total order — no NaN surprises). */
+    * `java.lang.Double.compare` (a total order — no NaN surprises);
+    * tags via `UTF8String.binaryCompare` (UTF-8 byte = code-point
+    * order, the engine/oracle string order). */
   final class Heap(k: Int) {
     private val scores = new Array[Double](k)
-    private val tags = new Array[String](k)
+    private val tags = new Array[UTF8String](k)
     private var n = 0
 
     def size: Int = n
 
     /** a strictly weaker than b under the RESULT order? (weaker =
-      * smaller score, or equal score and lexicographically later tag) */
-    private def weaker(sa: Double, ta: String, sb: Double, tb: String)
-        : Boolean = {
+      * smaller score, or equal score and binary-later tag) */
+    private def weaker(sa: Double, ta: UTF8String, sb: Double,
+        tb: UTF8String): Boolean = {
       val c = java.lang.Double.compare(sa, sb)
-      c < 0 || (c == 0 && ta.compareTo(tb) > 0)
+      c < 0 || (c == 0 && ta.binaryCompare(tb) > 0)
     }
 
-    def offer(s: Double, t: String): Unit = {
+    def offer(s: Double, t: UTF8String): Unit = {
       if (n < k) {
         // grow: sift the new leaf up while weaker than its parent
         var i = n
@@ -187,20 +194,20 @@ object TopKAgg {
       val t = tags(i); tags(i) = tags(j); tags(j) = t
     }
 
-    def foreachUnordered(f: (Double, String) => Unit): Unit = {
+    def foreachUnordered(f: (Double, UTF8String) => Unit): Unit = {
       var i = 0
       while (i < n) { f(scores(i), tags(i)); i += 1 }
     }
 
     /** Elements strong→weak (score DESC, tag ASC) — the result order. */
-    def drainSorted(): Array[(Double, String)] = {
-      val out = new Array[(Double, String)](n)
+    def drainSorted(): Array[(Double, UTF8String)] = {
+      val out = new Array[(Double, UTF8String)](n)
       var i = 0
       while (i < n) { out(i) = (scores(i), tags(i)); i += 1 }
       scala.util.Sorting.stableSort(out,
-        (a: (Double, String), b: (Double, String)) => {
+        (a: (Double, UTF8String), b: (Double, UTF8String)) => {
           val c = java.lang.Double.compare(b._1, a._1)
-          c < 0 || (c == 0 && a._2.compareTo(b._2) < 0)
+          c < 0 || (c == 0 && a._2.binaryCompare(b._2) < 0)
         })
       out
     }

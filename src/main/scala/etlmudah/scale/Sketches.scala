@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * sketch itself is part of the verified contract.
   *
   * Reference surface: the frequency-table / top-K analytics tier
-  * (`analysis.py` value_counts, `dashboard.py` top-N charts) at the
-  * scale where exact per-key aggregation state is the bottleneck. */
+  * (`streamlit/pages/market_overview.py:34,68` value_counts head-N
+  * charts, `:157` top-model counts) at the scale where exact per-key
+  * aggregation state is the bottleneck. */
 object Sketches {
 
   /** The SQL-side twin of the aggregate's internal bucket hash: hex

@@ -3582,19 +3582,25 @@ object SparkEntry {
         .limit(20)
     }),
 
-    // TPC-H Q22 shape (dormant rich customers): global scalar (avg
-    // positive balance) broadcast as ONE row, anti join against the
-    // recent-order keys, per-nation rollup of who's left
+    // TPC-H Q22 shape (dormant rich customers): global scalar (sum +
+    // count of positive balances) broadcast as ONE row, anti join
+    // against the recent-order keys, per-nation rollup of who's left.
+    // The above-average cut is the cross-multiplied EXACT comparison
+    // bal*n > sum on the DECIMAL(18,2) lattice — never a float
+    // average, whose partition-order-dependent fold could flip a
+    // borderline customer in the last ulp across SFs/partitionings
     "q274_dormant_rich_customers" -> ((s, dir) => {
       val avgBal = Tables.customer(s, dir)
         .filter(col("c_acctbal") > 0)
-        .agg(avg(col("c_acctbal")).as("ab"))
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("sb"),
+          count(lit(1)).as("nb"))
       val recent = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
         .select(col("o_custkey"))
       Tables.customer(s, dir)
         .crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("ab"))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("nb") >
+          col("sb"))
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
@@ -9943,8 +9949,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // Q2 shape: the correlated min decorrelated exactly as the engine
-    // does it — 4dp-rounded unit price, per-part min, equality join
-    // back with ties kept, DISTINCT collapsing repeat quotes
+    // does it — the unit price is the RAW IEEE quotient (both engines
+    // divide the same two parquet doubles, so the bits agree; rounding
+    // it was the parity seam commit 02cdb06 removed), per-part min,
+    // equality join back with ties kept, DISTINCT collapsing repeat
+    // quotes
     "q266_min_unit_price_supplier" ->
       """WITH offers AS (
         |  SELECT l_partkey, l_suppkey,
@@ -10074,14 +10083,20 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     // Q22 shape: above-average balance AND no recent orders, rolled
-    // up per nation; balances fold on the DECIMAL(18,2) lattice
+    // up per nation; balances fold on the DECIMAL(18,2) lattice and
+    // the above-average cut is the exact cross-multiply bal*n > sum
+    // (the DECIMAL(19,0) cast forces int128 multiply in DuckDB)
     "q274_dormant_rich_customers" ->
-      """SELECT n_name, count(*) AS numcust,
+      """WITH ab AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sb,
+        |         CAST(count(*) AS DECIMAL(19,0)) AS nb
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
         | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
         |FROM customer
         | JOIN nation ON c_nationkey = n_nationkey
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-        |                   WHERE c_acctbal > 0)
+        | CROSS JOIN ab
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * nb > sb
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '1999-01-01')
