@@ -1076,158 +1076,51 @@ object Streaming {
           .partitionBy("batch_id").parquet(tmp))
     }
 
-  /** Batch-begin recovery for the per-bucket swap used by [[upsertSink]]:
-    * a bucket's live directory is absent ONLY between its two renames —
-    * at that point the whole `__tmp` tree was fully written (buckets
-    * rename only after the one write job completes), so `__tmp`'s copy
-    * is the newest complete state; `__old`'s is the pre-swap fallback.
-    * With every live bucket present, leftover `__tmp`/`__old` trees are
-    * a torn write / a finished swap's residue — drop both. */
+  /** Batch-begin recovery for the per-bucket swap used by
+    * [[upsertSink]] — delegates to the shared bucketed-base protocol
+    * ([[etlmudah.load.BucketedBase.recoverSwaps]]; invariants
+    * documented there). Kept as the streaming-facing name because the
+    * sink docs and StreamingSpec's torn-layout rehearsals speak in
+    * terms of it. */
   private[streaming] def recoverBucketSwaps(
-      fs: org.apache.hadoop.fs.FileSystem, basePath: String): Unit = {
-    val oldRoot = new org.apache.hadoop.fs.Path(basePath + "__old")
-    val tmpRoot = new org.apache.hadoop.fs.Path(basePath + "__tmp")
-    if (fs.exists(oldRoot)) {
-      fs.listStatus(oldRoot).foreach { st =>
-        val name = st.getPath.getName   // "bucket=<k>"
-        val live = new org.apache.hadoop.fs.Path(s"$basePath/$name")
-        val tmpB = new org.apache.hadoop.fs.Path(s"$tmpRoot/$name")
-        if (!fs.exists(live)) {
-          if (fs.exists(tmpB)) fs.rename(tmpB, live)
-          else fs.rename(st.getPath, live)
-        }
-      }
-    }
-    if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
-    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
-  }
+      fs: org.apache.hadoop.fs.FileSystem, basePath: String): Unit =
+    etlmudah.load.BucketedBase.recoverSwaps(fs, basePath)
 
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge
     * to the same state, matching the reference's ON CONFLICT idempotency
     * (dag.py:259-265).
     *
-    * The base is laid out as `bucket=<k>` partitions, k =
-    * `pmod(xxhash64(event_id), numBuckets)`, and a batch REWRITES ONLY
-    * THE BUCKETS ITS KEYS TOUCH: the merge reads just those bucket
-    * directories (partition pruning by construction), merges the batch
-    * in with one keyed window, writes the merged buckets to a `__tmp`
-    * tree in a single job, and swaps each bucket in via the three-rename
-    * protocol (live bucket aside to `__old/bucket=k`, `__tmp/bucket=k`
-    * in, drop `__old`). Untouched buckets are never read or written —
-    * per-batch write cost is O(|batch| x bucket fanout), not O(|base|):
-    * at a 100 TB base with 12-hourly batches the full-table rewrite the
-    * previous version did per batch is the scale killer; size
-    * `numBuckets` so |base|/numBuckets is a comfortable rewrite unit
-    * (a few GB).
+    * The heavy lifting — bucket=<k> layout, touched-bucket pruning,
+    * the one-job `__tmp` write, the three-rename swap, torn-swap
+    * recovery, and the bucket-count manifest — is the shared
+    * [[etlmudah.load.BucketedBase]] protocol (one implementation for
+    * the batch load path and this sink; full scale/crash story in its
+    * object doc). This sink adds only the streaming specifics: the
+    * monotone `batch_ts = batchId` stamp that makes replays
+    * last-writer-wins no-ops, and the foreachBatch plumbing.
     *
-    * Crash safety: [[recoverBucketSwaps]] at batch start restores any
-    * bucket caught between its two renames (the only window where a
-    * live bucket is absent; `__tmp` is complete there because renames
-    * begin only after the write job finishes). A crash part-way through
-    * the bucket renames leaves some buckets new and some old — the
-    * re-delivered batch recovers any torn bucket, re-merges, and
-    * converges, because merging the same rows twice under
-    * last-writer-wins is a no-op (torn layouts exercised in
-    * StreamingSpec). */
+    * Per-batch write cost is O(|batch| x bucket fanout), not O(|base|):
+    * at a 100 TB base with 12-hourly batches a full-table rewrite per
+    * batch is the scale killer; size `numBuckets` so |base|/numBuckets
+    * is a comfortable rewrite unit (a few GB).
+    *
+    * Crash safety: recovery at batch start restores any bucket caught
+    * between its two renames; a crash part-way through the renames
+    * leaves some buckets new and some old — the re-delivered batch
+    * recovers any torn bucket, re-merges, and converges, because
+    * merging the same rows twice under last-writer-wins is a no-op
+    * (torn layouts exercised in StreamingSpec). */
   def upsertSink(events: DataFrame, basePath: String, checkpoint: String,
                  numBuckets: Int = 32):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // Hadoop FileSystem API, not java.io.File: the sink must run
-        // against HDFS/object-store paths, not just the local FS
-        val conf = spark.sparkContext.hadoopConfiguration
-        val baseRoot = new org.apache.hadoop.fs.Path(basePath)
-        val fs = baseRoot.getFileSystem(conf)
-        recoverBucketSwaps(fs, basePath)
-        // bucket-count MANIFEST: the layout's bucket count is part of
-        // the base's on-disk identity — a restart with a different
-        // numBuckets would merge keys against the wrong bucket and
-        // leave duplicate event_ids across layouts with no error. The
-        // manifest turns that silent corruption into a hard failure.
-        val manifest = new org.apache.hadoop.fs.Path(
-          s"$basePath/_graft_num_buckets")
-        def readManifest(): Option[String] =
-          if (!fs.exists(manifest)) None
-          else {
-            val in = fs.open(manifest)
-            Some(try scala.io.Source.fromInputStream(in).mkString.trim
-              finally in.close())
-          }
-        // a torn manifest (crash between create and write under the old
-        // protocol) must name the file and the remedy, not surface as a
-        // bare NumberFormatException from "".toInt on every restart
-        def checkManifest(raw: String): Unit = {
-          val persisted = raw.toIntOption.getOrElse(sys.error(
-            s"upsertSink manifest $manifest is empty/unparseable " +
-              s"('$raw') — a previous writer crashed mid-publish; delete " +
-              "it if the base layout is known-good, or rebuild the base"))
-          require(persisted == numBuckets,
-            s"upsertSink base $basePath is laid out with numBuckets=" +
-              s"$persisted; restarting with numBuckets=$numBuckets would " +
-              "split keys across bucket layouts")
-        }
-        readManifest() match {
-          case Some(raw) => checkManifest(raw)
-          case None =>
-            fs.mkdirs(baseRoot)
-            // UNIQUE temp + rename, then read back: a crash mid-write
-            // leaves only an orphan temp, never a live-but-empty
-            // manifest; a fixed temp name would let a racing starter
-            // truncate this writer's bytes mid-publish. The rename is
-            // not checked — whether ours or a racer's landed, the
-            // read-back verifies the LIVE value, so a racer publishing
-            // a DIFFERENT bucket count fails this batch instead of
-            // silently splitting the layout.
-            val mTmp = new org.apache.hadoop.fs.Path(
-              s"$basePath/._graft_num_buckets." +
-                java.util.UUID.randomUUID().toString.take(8))
-            val mOut = fs.create(mTmp, false)
-            try mOut.write(numBuckets.toString.getBytes("UTF-8"))
-            finally mOut.close()
-            if (!fs.rename(mTmp, manifest)) fs.delete(mTmp, false)
-            checkManifest(readManifest().getOrElse(sys.error(
-              s"upsertSink manifest publish failed: $manifest")))
-        }
-        val stamped = batch
-          .withColumn("batch_ts", lit(batchId))
-          .withColumn("bucket",
-            pmod(xxhash64(col("event_id")), lit(numBuckets.toLong)).cast("int"))
-        // bounded driver collect: <= numBuckets values
-        val touched = stamped.select("bucket").distinct()
-          .collect().map(_.getInt(0)).sorted
-        if (touched.nonEmpty) {
-          val liveDirs = touched.map(b => s"$basePath/bucket=$b")
-            .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-          val touchedBase =
-            if (liveDirs.isEmpty) stamped.limit(0)
-            else spark.read.option("basePath", basePath)
-              .parquet(liveDirs.toIndexedSeq: _*)
-              .withColumn("bucket", col("bucket").cast("int"))
-          val merged = Upsert.upsert(touchedBase, stamped, Seq("event_id"),
-            Seq(col("batch_ts").desc, col("event_id").asc))
-          val tmpRoot = new org.apache.hadoop.fs.Path(basePath + "__tmp")
-          val oldRoot = new org.apache.hadoop.fs.Path(basePath + "__old")
-          if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
-          // one job writes every touched bucket; renames start only
-          // after it completes, so __tmp is all-or-nothing per batch
-          merged.write.mode("overwrite")
-            .partitionBy("bucket").parquet(tmpRoot.toString)
-          fs.mkdirs(baseRoot)
-          fs.mkdirs(oldRoot)
-          touched.foreach { b =>
-            val live = new org.apache.hadoop.fs.Path(s"$basePath/bucket=$b")
-            val tmpB = new org.apache.hadoop.fs.Path(s"$tmpRoot/bucket=$b")
-            val oldB = new org.apache.hadoop.fs.Path(s"$oldRoot/bucket=$b")
-            if (fs.exists(live)) fs.rename(live, oldB)
-            if (fs.exists(tmpB)) fs.rename(tmpB, live)
-          }
-          fs.delete(oldRoot, true)
-          fs.delete(tmpRoot, true)
-        }
+        val stamped = batch.withColumn("batch_ts", lit(batchId))
+        etlmudah.load.BucketedBase.merge(stamped, basePath,
+          Seq("event_id"),
+          Seq(col("batch_ts").desc, col("event_id").asc), numBuckets)
         ()
       }
 }

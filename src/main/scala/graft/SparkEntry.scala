@@ -280,7 +280,12 @@ object SparkEntry {
     s.read.parquet(attemptPath)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ Round11.queries
+
+  // lazy: entries reference helper SQL vals defined later in the file
+  private lazy val baseQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — global scalar aggregates (headline metrics)
     "q01_headline_orders" -> ((s, dir) =>
       Analytics.headlineMetrics(Tables.orders(s, dir), "o_totalprice")),
@@ -4594,7 +4599,10 @@ object SparkEntry {
       |  JOIN embeddings e ON e.vec_id = c.vec_id
       |  JOIN embeddings p ON p.vec_id = c.probe_id)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ Round11.oracleSql
+
+  // lazy: forward-references monthlyCentsSql / bm25SearchSql below
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q26_simhash_near_dups" -> simhashOracleSql,
     "q130_minhash_portable" -> minhashPortableSql(8, 4, 0.7),
     "q209_banded_recall_curve" -> bandedRecallSql(8, 4, 0.02),

@@ -91,6 +91,84 @@ class UpsertSpec extends SparkSpec {
       3L -> "unchanged", 4L -> "deleted", 5L -> "inserted"))
   }
 
+  // ---- BucketedBase: the bucket-pruned batch MERGE persist path ----
+
+  private def fileFingerprints(dir: java.io.File): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> ((f.length(), f.lastModified()))).toMap
+  }
+
+  test("BucketedBase: merge result equals in-memory upsert; untouched bucket FILES survive by identity") {
+    val root = java.nio.file.Files.createTempDirectory("bucketed_base").toString
+    val base = s"$root/t"
+    val buckets = 16
+    // seed: 200 keys spread over all 16 buckets
+    val seed = frame((0L until 200L).map(k => (k, s"v$k", 1L)))
+    val st0 = BucketedBase.merge(seed, base, Seq("id"),
+      Seq(col("batch_ts").desc), buckets)
+    assert(st0.numBuckets == buckets)
+    // batch: 3 keys — touches at most 3 buckets
+    val batch = frame(Seq((7L, "v7b", 2L), (7000L, "new", 2L), (42L, "v42b", 2L)))
+    val touchedExpected = batch
+      .withColumn("b", BucketedBase.bucketOf(Seq("id"), buckets))
+      .select("b").distinct().collect().map(_.getInt(0)).toSet
+    val before = fileFingerprints(new java.io.File(base))
+    val st1 = BucketedBase.merge(batch, base, Seq("id"),
+      Seq(col("batch_ts").desc), buckets)
+    assert(st1.touchedBuckets.toSet == touchedExpected)
+    assert(st1.rewrittenFraction <= 3.0 / buckets)
+    // THE PIN: every parquet file in an untouched bucket is the SAME
+    // file — same path, same length, same mtime — merge never read or
+    // rewrote it
+    val after = fileFingerprints(new java.io.File(base))
+    val untouchedDirs = (0 until buckets).toSet.diff(touchedExpected)
+      .map(b => s"$base/bucket=$b/")
+    def untouched(m: Map[String, (Long, Long)]) =
+      m.filter { case (p, _) => untouchedDirs.exists(p.contains) }
+    assert(untouched(before).nonEmpty)
+    assert(untouched(before) == untouched(after))
+    // and the touched buckets DID change
+    assert(before.keySet != after.keySet ||
+      before.exists { case (p, fp) => after.get(p).exists(_ != fp) })
+    // correctness: read-back equals the in-memory merge
+    val got = asMap(BucketedBase.read(spark, base).select("id", "payload"))
+    val want = asMap(Upsert.upsert(seed, batch, Seq("id"),
+      Seq(col("batch_ts").desc)))
+    assert(got == want)
+    // idempotency: re-merging the same batch changes nothing
+    BucketedBase.merge(batch, base, Seq("id"),
+      Seq(col("batch_ts").desc), buckets)
+    assert(asMap(BucketedBase.read(spark, base).select("id", "payload")) == want)
+  }
+
+  test("BucketedBase: mismatched numBuckets is a hard failure; torn swap recovers") {
+    val root = java.nio.file.Files.createTempDirectory("bucketed_base2").toString
+    val base = s"$root/t"
+    BucketedBase.merge(frame(Seq((1L, "a", 1L), (2L, "b", 1L))), base,
+      Seq("id"), Seq(col("batch_ts").desc), 8)
+    val ex = intercept[Exception] {
+      BucketedBase.merge(frame(Seq((3L, "c", 2L))), base,
+        Seq("id"), Seq(col("batch_ts").desc), 4)
+    }
+    assert(ex.getMessage.contains("numBuckets"))
+    // torn swap: live bucket moved aside to __old (crash between the
+    // two renames, no __tmp) — recovery at next merge restores it
+    val dirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("bucket=")).sortBy(_.getName)
+    val victim = dirs.head
+    val oldRoot = new java.io.File(base + "__old")
+    oldRoot.mkdirs()
+    java.nio.file.Files.move(victim.toPath,
+      new java.io.File(oldRoot, victim.getName).toPath)
+    BucketedBase.merge(frame(Seq((1L, "a2", 3L))), base,
+      Seq("id"), Seq(col("batch_ts").desc), 8)
+    assert(!oldRoot.exists())
+    val got = asMap(BucketedBase.read(spark, base).select("id", "payload"))
+    assert(got == Map(1L -> "a2", 2L -> "b"))
+  }
+
   test("mergeAggState: merged == from-scratch recompute; boundary retractions flag needs_rescan") {
     import spark.implicits._
     // base: g1 = {1, 5, 9}, g2 = {2, 4}, g3 = {7}, g4 = {3, 6}

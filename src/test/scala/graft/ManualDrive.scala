@@ -224,6 +224,36 @@ object ManualDrive {
         "doc_id", "source", Seq("n_tokens", "n_chars"))
       .show(5)
 
+    // R11. BucketedBase batch MERGE: measured rewritten fraction at
+    // three batch sizes against a 256-bucket orders base (sf0.01)
+    println("== BucketedBase rewritten-fraction measurement")
+    locally {
+      import etlmudah.load.BucketedBase
+      val sf01 = "/root/testdata/sf0.01"
+      val root = Files.createTempDirectory("bb_measure").toString
+      val base = s"$root/orders"
+      val orders = etlmudah.Tables.orders(spark, sf01)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val nb = 256
+      val t0 = System.nanoTime
+      BucketedBase.merge(orders.withColumn("batch_ts", lit(1L)), base,
+        Seq("o_orderkey"), Seq(col("batch_ts").desc), nb)
+      println(f"seed 15k rows into $nb buckets: ${(System.nanoTime-t0)/1e9}%.2f s")
+      Seq(1000, 100, 10).foreach { mod =>
+        val batch = orders.filter(col("o_orderkey") % mod === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1)
+          .withColumn("batch_ts", lit(2L))
+        val n = batch.count()
+        val t1 = System.nanoTime
+        val st = BucketedBase.merge(batch, base, Seq("o_orderkey"),
+          Seq(col("batch_ts").desc), nb)
+        println(f"batch keys=$n%5d -> touched ${st.touchedBuckets.size}%3d/$nb buckets " +
+          f"(rewritten fraction ${st.rewrittenFraction}%.3f, ${(System.nanoTime-t1)/1e9}%.2f s)")
+      }
+
     spark.stop()
+
+    }
+
   }
 }
