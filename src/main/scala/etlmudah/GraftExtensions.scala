@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, NfcNormalize, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -97,6 +97,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_wav_features(media, thresh[, maxSamples])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_png_stats"),
+      new ExpressionInfo(classOf[PngPixelStats].getName, "graft_png_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => PngPixelStats(c)
+        case Seq(c, m) if m.foldable =>
+          PngPixelStats(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_png_stats(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_png_ahash"),
+      new ExpressionInfo(classOf[PngAHash].getName, "graft_png_ahash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => PngAHash(c)
+        case Seq(c, m) if m.foldable =>
+          PngAHash(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_png_ahash(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_png_to_bmp24"),
+      new ExpressionInfo(classOf[PngToBmp24].getName, "graft_png_to_bmp24"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => PngToBmp24(c)
+        case Seq(c, m) if m.foldable =>
+          PngToBmp24(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_png_to_bmp24(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_png24"),
+      new ExpressionInfo(classOf[FakePng24].getName, "graft_fake_png24"),
+      (children: Seq[Expression]) =>
+        FakePng24(children.head, children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_wav16"),
       new ExpressionInfo(classOf[FakeWav16].getName, "graft_fake_wav16"),

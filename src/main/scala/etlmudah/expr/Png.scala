@@ -1,0 +1,498 @@
+package etlmudah.expr
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** REAL PNG pixel decode for the dominant web image format —
+  * non-interlaced 8-bit truecolor (color type 2), which is pure JDK
+  * machinery: IDAT is a zlib stream (`java.util.zip.Inflater`, the
+  * same class `compressionRatio` already leans on) and the per-
+  * scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) reverse
+  * with byte arithmetic. Extends the real-pixel tier (BMP 24bpp,
+  * `Bmp.scala`) from the uncompressed family to a COMPRESSED one, and
+  * feeds the same cross-format perceptual-hash dedup grid.
+  *
+  * Reference surface: the image-ingest slice of the multimodal
+  * substitution (`multimodal/Multimodal.scala:10-16`); the decoders
+  * here replace the stub for this family the way `BmpPixelStatsFn`
+  * did for BI_RGB.
+  *
+  * Accept contract (the BMP `parse` discipline — every gate runs
+  * before any pixel read): 8-byte signature, chunk walk with length/
+  * CRC32 verification on EVERY chunk, IHDR first with bit depth 8 /
+  * color type 2 / compression 0 / filter 0 / interlace 0, positive
+  * dims with w*h <= maxPixels (gated BEFORE inflating, so a hostile
+  * IHDR cannot zip-bomb), IDAT inflating to EXACTLY h*(1+3w) bytes,
+  * IEND present. Anything else — truncated blob, interlaced or
+  * 16-bit or palette/gray/alpha layout, CRC mismatch, short or
+  * over-long inflate — yields null, never a partial statistic.
+  *
+  * Orientation convention: PNG file order is visual top-down; the
+  * perceptual hash is defined over the VISUAL image with the
+  * `BmpPixelStatsFn.ahash` convention (grid row gi samples visual row
+  * h-1-gi*h/8), so the same picture hashes IDENTICALLY whether it
+  * arrived as a PNG or as a (bottom-up or top-down) 24bpp BMP —
+  * cross-format near-dup groups just work (pinned by PngSpec and the
+  * q305 oracle).
+  */
+object PngFn {
+
+  /** Output schema — the q224 stats family in the format's native
+    * channel order (PNG stores R,G,B). */
+  val schema: StructType = StructType(Seq(
+    StructField("width", LongType), StructField("height", LongType),
+    StructField("n_px", LongType),
+    StructField("r_min", IntegerType), StructField("r_max", IntegerType),
+    StructField("r_sum", LongType), StructField("r_mean", DoubleType),
+    StructField("g_min", IntegerType), StructField("g_max", IntegerType),
+    StructField("g_sum", LongType), StructField("g_mean", DoubleType),
+    StructField("b_min", IntegerType), StructField("b_max", IntegerType),
+    StructField("b_sum", LongType), StructField("b_mean", DoubleType)))
+
+  private val SIG = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** Decoded image: interleaved RGB rows, top-down visual order,
+    * 3*w bytes per row (no filter bytes, no padding). */
+  private[expr] final class Decoded(val w: Int, val h: Int,
+                                    val rgb: Array[Byte])
+
+  /** Full accept gate + inflate + unfilter; null unless EXACTLY
+    * decodable (see object doc). */
+  private[expr] def decode(bytes: Array[Byte],
+                           maxPixels: Int): Decoded = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+        u8(i + 3)
+    if (bytes.length < 8) return null
+    var k = 0
+    while (k < 8) { if (u8(k) != SIG(k)) return null; k += 1 }
+    // chunk walk: bounds-check every read; verify every CRC
+    var pos = 8
+    var w = 0; var h = 0
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new CRC32()
+    while (!sawIend) {
+      if (pos + 8 > bytes.length) return null
+      val len = be32(pos)
+      if (len < 0L || len > Int.MaxValue - 12 ||
+        pos + 12 + len > bytes.length) return null
+      val l = len.toInt
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      crc.reset()
+      crc.update(bytes, pos + 4, 4 + l)
+      if (crc.getValue != be32(pos + 8 + l)) return null
+      if (!sawIhdr) {
+        if (typ != "IHDR" || l != 13) return null
+        val d = pos + 8
+        val ww = be32(d); val hh = be32(d + 4)
+        val bitDepth = u8(d + 8); val colorType = u8(d + 9)
+        val comp = u8(d + 10); val filt = u8(d + 11)
+        val interlace = u8(d + 12)
+        if (ww < 1L || hh < 1L || ww * hh > maxPixels ||
+          bitDepth != 8 || colorType != 2 || comp != 0 || filt != 0 ||
+          interlace != 0) return null
+        w = ww.toInt; h = hh.toInt
+        sawIhdr = true
+      } else typ match {
+        case "IDAT" => idat.write(bytes, pos + 8, l)
+        case "IEND" => if (l != 0) return null else sawIend = true
+        case "IHDR" => return null
+        case _ => () // ancillary chunks skipped (CRC already checked)
+      }
+      pos += 12 + l
+    }
+    // inflate to EXACTLY the filtered-scanline volume (the maxPixels
+    // gate above bounds this allocation)
+    val rowBytes = 1 + 3 * w
+    val filtered = new Array[Byte](rowBytes * h)
+    val inf = new Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < filtered.length && !inf.finished()) {
+        val n = inf.inflate(filtered, got, filtered.length - got)
+        if (n == 0 && inf.needsInput()) return null // short stream
+        got += n
+      }
+      if (got != filtered.length) return null
+      // a stream with MORE pixels than IHDR declared is malformed too
+      if (!inf.finished() &&
+        inf.inflate(new Array[Byte](1)) != 0) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // unfilter (RFC 2083 §6.4-6.9); bpp = 3; a = left, b = up,
+    // c = upper-left, all from the RECONSTRUCTED bytes
+    val rgb = new Array[Byte](3 * w * h)
+    var v = 0
+    while (v < h) {
+      val ft = filtered(v * rowBytes) & 0xFF
+      if (ft > 4) return null
+      val src = v * rowBytes + 1
+      val dst = v * 3 * w
+      val prev = dst - 3 * w
+      var i = 0
+      while (i < 3 * w) {
+        val x = filtered(src + i) & 0xFF
+        val a = if (i >= 3) rgb(dst + i - 3) & 0xFF else 0
+        val b = if (v > 0) rgb(prev + i) & 0xFF else 0
+        val c = if (v > 0 && i >= 3) rgb(prev + i - 3) & 0xFF else 0
+        val rec = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a
+                 else if (pb <= pc) b else c)
+        }
+        rgb(dst + i) = (rec & 0xFF).toByte
+        i += 1
+      }
+      v += 1
+    }
+    new Decoded(w, h, rgb)
+  }
+
+  def stats(bytes: Array[Byte], maxPixels: Int): InternalRow = {
+    val d = decode(bytes, maxPixels)
+    if (d == null) return null
+    val npx = d.w.toLong * d.h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var nr = 255; var ng = 255; var nb = 255
+    var xr = 0; var xg = 0; var xb = 0
+    var i = 0
+    while (i < d.rgb.length) {
+      val r = d.rgb(i) & 0xFF
+      val g = d.rgb(i + 1) & 0xFF
+      val b = d.rgb(i + 2) & 0xFF
+      sr += r; sg += g; sb += b
+      if (r < nr) nr = r; if (r > xr) xr = r
+      if (g < ng) ng = g; if (g > xg) xg = g
+      if (b < nb) nb = b; if (b > xb) xb = b
+      i += 3
+    }
+    val n = npx.toDouble
+    new GenericInternalRow(Array[Any](
+      d.w.toLong, d.h.toLong, npx,
+      nr, xr, sr, BmpPixelStatsFn.round6(sr / n),
+      ng, xg, sg, BmpPixelStatsFn.round6(sg / n),
+      nb, xb, sb, BmpPixelStatsFn.round6(sb / n)))
+  }
+
+  /** Perceptual average hash, IDENTICAL grid/packing/compare to
+    * [[BmpPixelStatsFn.ahash]] (brightness = R+G+B is channel-order-
+    * free; grid row gi samples VISUAL row h-1-gi*h/8 — see the
+    * orientation note in the object doc), so PNG and BMP encodings of
+    * one picture land in one dedup group. */
+  def ahash(bytes: Array[Byte], maxPixels: Int): InternalRow = {
+    val d = decode(bytes, maxPixels)
+    if (d == null) return null
+    val cell = new Array[Long](64)
+    var total = 0L
+    var gi = 0
+    while (gi < 8) {
+      val v = d.h - 1 - gi * d.h / 8   // visual-hash convention
+      var gj = 0
+      while (gj < 8) {
+        val c = gj * d.w / 8
+        val p = (v * d.w + c) * 3
+        val s = (d.rgb(p) & 0xFF) + (d.rgb(p + 1) & 0xFF) +
+          (d.rgb(p + 2) & 0xFF)
+        cell(gi * 8 + gj) = s.toLong
+        total += s
+        gj += 1
+      }
+      gi += 1
+    }
+    var w0 = 0L; var w1 = 0L
+    var k = 0
+    while (k < 64) {
+      if (cell(k) * 64 > total) {
+        if (k < 32) w0 |= 1L << k else w1 |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](w0, w1))
+  }
+
+  /** TRANSCODE to a canonical bottom-up BI_RGB 24bpp BMP (visual
+    * image preserved: BMP file row fr takes PNG row h-1-fr, channels
+    * reordered RGB -> BGR). Composes the whole BMP kernel family onto
+    * PNG inputs: resize, stats, ahash — `graft_bmp_resize(
+    * graft_png_to_bmp24(x), f)` is the PNG thumbnail path. Null iff
+    * the PNG is not exactly decodable. */
+  def toBmp24(bytes: Array[Byte], maxPixels: Int): Array[Byte] = {
+    val d = decode(bytes, maxPixels)
+    if (d == null) return null
+    val stride = (d.w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + stride * d.h)
+    def putLe32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xFF).toByte
+      out(i + 1) = ((v >> 8) & 0xFF).toByte
+      out(i + 2) = ((v >> 16) & 0xFF).toByte
+      out(i + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length.toLong)
+    putLe32(10, 54L)
+    putLe32(14, 40L)
+    putLe32(18, d.w.toLong)
+    putLe32(22, d.h.toLong)       // positive = bottom-up
+    out(26) = 1
+    out(28) = 24
+    putLe32(30, 0L)
+    putLe32(34, (stride * d.h).toLong)
+    var fr = 0
+    while (fr < d.h) {
+      val v = d.h - 1 - fr
+      val row = 54 + fr * stride
+      var c = 0
+      while (c < d.w) {
+        val p = (v * d.w + c) * 3
+        out(row + c * 3) = d.rgb(p + 2)     // B
+        out(row + c * 3 + 1) = d.rgb(p + 1) // G
+        out(row + c * 3 + 2) = d.rgb(p)     // R
+        c += 1
+      }
+      fr += 1
+    }
+    out
+  }
+
+  /** Synthesize a COMPLETE non-interlaced 8-bit truecolor PNG whose
+    * VISUAL image equals `BmpPixelStatsFn.synth(seed, w, h)`'s: PNG
+    * row v (top-down) carries the BMP's bottom-up file row h-1-v, so
+    * with fr = h-1-v the channels are
+    *
+    *   R = floorMod(seed*13 + fr*7 + c*3, 256)
+    *   G = floorMod(seed*11 + fr*5 + c*2, 256)
+    *   B = floorMod(seed*7  + fr*3 + c,   256)
+    *
+    * — and every ORDER-INDEPENDENT statistic (sums/min/max over the
+    * whole image) replays with the q224 oracle's formulas unchanged
+    * (summing over fr is summing over v). Scanline v is filtered with
+    * type v % 5, so a multi-row image exercises None, Sub, Up,
+    * Average AND Paeth — the decode roundtrip proves all five filter
+    * reversals, not just the trivial one. */
+  def synth(seed: Long, width: Long, height: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width * height <= (1 << 20),
+      s"fake PNG dims out of range: ${width}x$height")
+    val w = width.toInt
+    val h = height.toInt
+    val raw = new Array[Byte](3 * w * h)   // RGB rows, top-down
+    var v = 0
+    while (v < h) {
+      val fr = h - 1 - v
+      var c = 0
+      while (c < w) {
+        val p = (v * w + c) * 3
+        raw(p) = Math.floorMod(seed * 13 + fr * 7 + c * 3, 256L).toByte
+        raw(p + 1) = Math.floorMod(seed * 11 + fr * 5 + c * 2, 256L).toByte
+        raw(p + 2) = Math.floorMod(seed * 7 + fr * 3 + c, 256L).toByte
+        c += 1
+      }
+      v += 1
+    }
+    // filter each scanline with type v % 5 (encode = raw minus the
+    // predictor over RAW neighbors, RFC 2083 §6.3)
+    val rowBytes = 1 + 3 * w
+    val filtered = new Array[Byte](rowBytes * h)
+    v = 0
+    while (v < h) {
+      val ft = v % 5
+      filtered(v * rowBytes) = ft.toByte
+      val dst = v * rowBytes + 1
+      val src = v * 3 * w
+      val prev = src - 3 * w
+      var i = 0
+      while (i < 3 * w) {
+        val x = raw(src + i) & 0xFF
+        val a = if (i >= 3) raw(src + i - 3) & 0xFF else 0
+        val b = if (v > 0) raw(prev + i) & 0xFF else 0
+        val cc = if (v > 0 && i >= 3) raw(prev + i - 3) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - cc
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+        }
+        filtered(dst + i) = ((x - pred) & 0xFF).toByte
+        i += 1
+      }
+      v += 1
+    }
+    val def1 = new Deflater()
+    val zs = try {
+      def1.setInput(filtered); def1.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!def1.finished()) buf.write(tmp, 0, def1.deflate(tmp))
+      buf.toByteArray
+    } finally def1.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(x: Long): Array[Byte] = Array(
+        ((x >> 24) & 0xFF).toByte, ((x >> 16) & 0xFF).toByte,
+        ((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte)
+      val t = typ.getBytes("US-ASCII")
+      out.write(be32(data.length.toLong), 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xFF).toByte; ihdr(1) = ((w >> 16) & 0xFF).toByte
+    ihdr(2) = ((w >> 8) & 0xFF).toByte; ihdr(3) = (w & 0xFF).toByte
+    ihdr(4) = ((h >> 24) & 0xFF).toByte; ihdr(5) = ((h >> 16) & 0xFF).toByte
+    ihdr(6) = ((h >> 8) & 0xFF).toByte; ihdr(7) = (h & 0xFF).toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zs)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}
+
+/** Native Catalyst expression `graft_png_stats(binary[, maxPixels])` —
+  * see [[PngFn.stats]]. */
+case class PngPixelStats(child: Expression, maxPixels: Int = 4096)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_png_stats expects binary, got ${child.dataType.sql}")
+
+  override def dataType: DataType = PngFn.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    PngFn.stats(input.asInstanceOf[Array[Byte]], maxPixels)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = etlmudah.expr.PngFn.stats($c, $maxPixels);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PngPixelStats = copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_png_ahash(binary[, maxPixels])` —
+  * see [[PngFn.ahash]]; struct(h0, h1) packed exactly like
+  * [[BmpAHash]] so cross-format Hamming/grouping tiers compose. */
+case class PngAHash(child: Expression, maxPixels: Int = 4096)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_png_ahash expects binary, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h0", LongType), StructField("h1", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_ahash"
+
+  override def nullSafeEval(input: Any): Any =
+    PngFn.ahash(input.asInstanceOf[Array[Byte]], maxPixels)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = etlmudah.expr.PngFn.ahash($c, $maxPixels);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PngAHash = copy(child = newChild)
+}
+
+/** Native expression `graft_png_to_bmp24(binary[, maxPixels])` — see
+  * [[PngFn.toBmp24]]. */
+case class PngToBmp24(child: Expression, maxPixels: Int = 4096)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_png_to_bmp24 expects binary, got ${child.dataType.sql}")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_to_bmp24"
+
+  override def nullSafeEval(input: Any): Any =
+    PngFn.toBmp24(input.asInstanceOf[Array[Byte]], maxPixels)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = etlmudah.expr.PngFn.toBmp24($c, $maxPixels);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PngToBmp24 = copy(child = newChild)
+}
+
+/** Native fixture generator `graft_fake_png24(seed, width, height)` —
+  * see [[PngFn.synth]]; the [[FakeBmp24]] pattern for the compressed
+  * family. */
+case class FakePng24(first: Expression, second: Expression,
+                     third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType ||
+      c.dataType == IntegerType || c.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_fake_png24 expects (bigint, bigint, bigint), got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fake_png24"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(s: Any, w: Any, h: Any): Any =
+    PngFn.synth(asLong(s), asLong(w), asLong(h))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h) =>
+      s"${ev.value} = etlmudah.expr.PngFn.synth((long)$s, " +
+        s"(long)$w, (long)$h);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): FakePng24 =
+    FakePng24(f, s, t)
+}

@@ -397,6 +397,35 @@ object Multimodal {
     call_function("graft_fake_bmp24", seed.cast("long"),
       width.cast("long"), height.cast("long"))
 
+  /** REAL PNG pixel statistics — non-interlaced 8-bit truecolor
+    * decode via JDK Inflater + RFC 2083 filter reversal (native
+    * `graft_png_stats`; see [[etlmudah.expr.PngFn]] for the exact
+    * accept/null contract). Extends the real-pixel tier to the
+    * dominant COMPRESSED web format. */
+  def pngPixelStats(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_png_stats", media, lit(maxPixels))
+
+  /** Perceptual average hash of a decodable PNG — same grid, packing,
+    * and VISUAL-orientation convention as [[bmpAHash]], so one picture
+    * hashes identically across formats and cross-format dedup groups
+    * compose (native `graft_png_ahash`). */
+  def pngAHash(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_png_ahash", media, lit(maxPixels))
+
+  /** Transcode a decodable PNG to a canonical bottom-up 24bpp BMP —
+    * composes the whole BMP kernel family (resize/stats/ahash) onto
+    * PNG inputs (native `graft_png_to_bmp24`). */
+  def pngToBmp24(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_png_to_bmp24", media, lit(maxPixels))
+
+  /** Synthesize a COMPLETE 8-bit truecolor PNG (native
+    * `graft_fake_png24`; see [[etlmudah.expr.PngFn.synth]] — same
+    * VISUAL image as [[fakeBmp24]] for the same seed, scanline
+    * filters cycle through all five RFC 2083 types). */
+  def fakePng24(seed: Column, width: Column, height: Column): Column =
+    call_function("graft_fake_png24", seed.cast("long"),
+      width.cast("long"), height.cast("long"))
+
   /** REAL 16-bit-PCM WAV SAMPLE statistics — the audio twin of
     * [[bmpPixelStats]] (native `graft_wav_stats`; see
     * [[etlmudah.expr.WavSampleStatsFn]]): clipping peak, min/max,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import etlmudah.Tables
 import etlmudah.load.BucketedBase
+import etlmudah.multimodal.Multimodal
 
 /** Round-11 registry tier — appended to [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] (the registry is split per-round from here
@@ -112,6 +113,84 @@ object Round11 {
         .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
           col("p_type").asc, col("p_size").asc)
     }),
+
+    // REAL PNG pixel statistics — the q224 discipline carried to the
+    // dominant COMPRESSED web format: non-interlaced 8-bit truecolor
+    // decode is JDK Inflater + RFC 2083 filter reversal (native
+    // graft_png_stats; scanline filters cycle all five types in the
+    // synth, so a green row proves every filter reversal). Pixels are
+    // closed-form in (doc_id, fr, c); every fifth blob truncates to
+    // 40 bytes to prove partial PNGs yield null, never a partial
+    // statistic. The oracle replays the pixel rule over a
+    // generate-series — never parses a byte.
+    "q304_png_pixel_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 4 + 1).cast("int")
+      val hg = (id % 3 + 1).cast("int")
+      val blob = Multimodal.fakePng24(id, wg, hg)
+      val maimed = when(id % 5 === 0, substring(blob, 1, 40)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(wg.as("w"), hg.as("h"),
+          Multimodal.pngPixelStats(maimed).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_imgs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"))
+        .orderBy(col("w"), col("h"))
+    }),
+
+    // CROSS-FORMAT image dedup on real pixels: consecutive docs share
+    // a seed (q227's planting), but here the EVEN doc renders the
+    // image as a 24bpp BMP and the ODD doc as a truecolor PNG — the
+    // perceptual hash is defined over the VISUAL image with one
+    // orientation convention across formats, so every planted pair
+    // still lands in one group. The oracle is q227's verbatim (the
+    // q203 must-land-identically discipline): a green row proves the
+    // PNG decode + hash equals the BMP path bit for bit.
+    "q305_cross_format_ahash_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 2")
+      val wg = (seed % 4 + 1).cast("int")
+      val hg = (seed % 3 + 1).cast("int")
+      val ah = when(col("doc_id") % 2 === 0,
+        Multimodal.bmpAHash(Multimodal.fakeBmp24(seed, wg, hg)))
+        .otherwise(Multimodal.pngAHash(Multimodal.fakePng24(seed, wg, hg)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    }),
+
+    // PNG THUMBNAIL path: transcode (graft_png_to_bmp24) composes the
+    // whole BMP kernel family onto PNG inputs — decode→canonical
+    // BMP→box-filter resize→stats. Same visual image as q264's BMP
+    // fixtures, so its oracle lands verbatim (q203 discipline): a
+    // green row proves the transcode is byte-faithful through resize.
+    "q306_png_transcode_resize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          (col("doc_id") % 8 + 2).as("w"),
+          ((col("doc_id") * 3) % 8 + 2).as("h"))
+        .select(col("doc_id"), col("w"), col("h"),
+          expr("graft_bmp_stats(graft_bmp_resize(graft_png_to_bmp24(" +
+            "graft_fake_png24(doc_id, w, h)), 2))").as("st"))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("st.width").as("ow"), col("st.height").as("oh"),
+          col("st.n_px"),
+          col("st.b_min"), col("st.b_max"), col("st.b_sum"),
+          col("st.g_min"), col("st.g_max"), col("st.g_sum"),
+          col("st.r_min"), col("st.r_max"), col("st.r_sum"))
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -164,5 +243,101 @@ object Round11 {
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC,
         |  p_size ASC""".stripMargin,
+
+    // q224's grid replay with PNG channel order (the synth's closed
+    // form is indexed by BMP file row fr; summing over fr == summing
+    // over the PNG's visual rows, so the formulas carry unchanged)
+    "q304_png_pixel_stats" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 4 + 1)::INT AS w,
+        |    (doc_id % 3 + 1)::INT AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (d.doc_id*13 + fr.fr*7 + c.c*3) % 256 AS r,
+        |    (d.doc_id*11 + fr.fr*5 + c.c*2) % 256 AS g,
+        |    (d.doc_id*7 + fr.fr*3 + c.c) % 256 AS b
+        |  FROM d, range(0, 3) fr(fr), range(0, 4) c(c)
+        |  WHERE d.doc_id % 5 <> 0 AND fr.fr < d.h AND c.c < d.w),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(r)::INT AS r_min, max(r)::INT AS r_max,
+        |    sum(r)::BIGINT AS r_sum,
+        |    min(g)::INT AS g_min, max(g)::INT AS g_max,
+        |    sum(g)::BIGINT AS g_sum,
+        |    min(b)::INT AS b_min, max(b)::INT AS b_max,
+        |    sum(b)::BIGINT AS b_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.w, d.h, count(*) AS n_imgs,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_px)::BIGINT AS n_px,
+        |  min(st.r_min) AS r_min, max(st.r_max) AS r_max,
+        |  sum(st.r_sum)::BIGINT AS r_sum,
+        |  min(st.g_min) AS g_min, max(st.g_max) AS g_max,
+        |  sum(st.g_sum)::BIGINT AS g_sum,
+        |  min(st.b_min) AS b_min, max(st.b_max) AS b_max,
+        |  sum(st.b_sum)::BIGINT AS b_sum
+        |FROM d LEFT JOIN st USING (doc_id)
+        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
+
+    // q227's oracle VERBATIM (the q203 must-land-identically
+    // discipline): the mixed BMP/PNG rendering must produce the same
+    // dedup-group histogram as the all-BMP tier, because the hash is
+    // defined over the visual image independent of container format
+    "q305_cross_format_ahash_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 2 AS seed FROM documents),
+        |dd AS (SELECT DISTINCT seed, (seed % 4 + 1) AS w,
+        |    (seed % 3 + 1) AS h FROM d),
+        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
+        |    (dd.seed*7 + ((gi.i*dd.h)//8)*3 + ((gj.j*dd.w)//8)) % 256
+        |  + (dd.seed*11 + ((gi.i*dd.h)//8)*5 + ((gj.j*dd.w)//8)*2) % 256
+        |  + (dd.seed*13 + ((gi.i*dd.h)//8)*7 + ((gj.j*dd.w)//8)*3) % 256
+        |    AS s
+        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
+        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
+        |hw AS (SELECT px.seed,
+        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
+        |      ELSE 0 END)::BIGINT AS h0,
+        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
+        |      ELSE 0 END)::BIGINT AS h1
+        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
+        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
+        |grp AS (SELECT h0, h1, count(*) AS group_size
+        |  FROM doc GROUP BY h0, h1)
+        |SELECT group_size, count(*) AS n_groups,
+        |  sum(group_size)::BIGINT AS n_docs
+        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
+
+    // q264's oracle VERBATIM: the PNG→BMP transcode is byte-faithful,
+    // so decode→transcode→resize→stats must land exactly where the
+    // native-BMP pipeline does
+    "q306_png_transcode_resize" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 8 + 2)::BIGINT AS w,
+        |    ((doc_id * 3) % 8 + 2)::BIGINT AS h
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
+        |cells AS (
+        |  SELECT o.doc_id, oy.x AS oy, ox.x AS ox,
+        |    (sum((o.doc_id*7 + (oy.x*2 + dy.x)*3 + (ox.x*2 + dx.x))
+        |      % 256) // 4)::INT AS b,
+        |    (sum((o.doc_id*11 + (oy.x*2 + dy.x)*5 + (ox.x*2 + dx.x)*2)
+        |      % 256) // 4)::INT AS g,
+        |    (sum((o.doc_id*13 + (oy.x*2 + dy.x)*7 + (ox.x*2 + dx.x)*3)
+        |      % 256) // 4)::INT AS r
+        |  FROM o, range(0, 4) oy(x), range(0, 4) ox(x),
+        |       range(0, 2) dy(x), range(0, 2) dx(x)
+        |  WHERE oy.x < o.oh AND ox.x < o.ow
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(b)::INT AS b_min, max(b)::INT AS b_max,
+        |    sum(b)::BIGINT AS b_sum,
+        |    min(g)::INT AS g_min, max(g)::INT AS g_max,
+        |    sum(g)::BIGINT AS g_sum,
+        |    min(r)::INT AS r_min, max(r)::INT AS r_max,
+        |    sum(r)::BIGINT AS r_sum
+        |  FROM cells GROUP BY 1)
+        |SELECT o.doc_id, o.w, o.h, o.ow, o.oh, st.n_px,
+        |  st.b_min, st.b_max, st.b_sum, st.g_min, st.g_max, st.g_sum,
+        |  st.r_min, st.r_max, st.r_sum
+        |FROM o JOIN st USING (doc_id)
+        |ORDER BY o.doc_id""".stripMargin,
   )
 }
