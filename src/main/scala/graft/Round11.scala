@@ -191,6 +191,36 @@ object Round11 {
           col("st.g_min"), col("st.g_max"), col("st.g_sum"),
           col("st.r_min"), col("st.r_max"), col("st.r_sum"))
         .orderBy(col("doc_id"))),
+
+    // FULL Public-Suffix-List registered-domain resolution — the
+    // production eTLD+1 tier (Web.pslRegisteredDomain) registered with
+    // the q226 rule-table-as-CTE discipline: a PSL snapshot carrying
+    // every rule kind (plain, longest-match plain pair co.uk/uk,
+    // wildcard *.ck, exception !www.ck, comments/blanks) resolves
+    // synthesized hosts covering all resolution branches — longest
+    // match, wildcard +1, exception-wins, default-* fallback, and
+    // bare-public-suffix -> null. The oracle replays parse +
+    // candidate-suffix explosion + longest-match in SQL label algebra.
+    "q307_psl_registered_domain" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq("// test PSL snapshot", "", "com", "co.uk", "uk",
+        "org", "*.ck", "!www.ck").toDF("rule")
+      val subs = array(lit("www"), lit("a"), lit("blog"), lit("shop"),
+        lit("x9"))
+      val names = array(lit("foo"), lit("bar"), lit("baz"), lit("qux"))
+      val sufs = array(lit("com"), lit("co.uk"), lit("ck"),
+        lit("www.ck"), lit("example"), lit("org"), lit("uk"))
+      val host = when(col("doc_id") % 11 === 0, lit("co.uk"))
+        .when(col("doc_id") % 13 === 0, lit("ck"))
+        .otherwise(concat_ws(".",
+          element_at(subs, (col("doc_id") % 5 + 1).cast("int")),
+          element_at(names, (col("doc_id") % 4 + 1).cast("int")),
+          element_at(sufs, (col("doc_id") % 7 + 1).cast("int"))))
+      etlmudah.web.Web.pslRegisteredDomain(
+          Tables.documents(s, dir).select(host.as("host")), "host", rules)
+        .select(col("host"), col("domain")).distinct()
+        .orderBy(col("host"), col("domain"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,5 +369,60 @@ object Round11 {
         |  st.r_min, st.r_max, st.r_sum
         |FROM o JOIN st USING (doc_id)
         |ORDER BY o.doc_id""".stripMargin,
+
+    // PSL resolution replayed in label algebra: parse rules into
+    // (kind, key, klab), explode each host's candidate suffixes,
+    // equi-match plain/exception on the suffix and wildcard on its
+    // tail, exception wins else longest, default * = 1 label,
+    // registered domain = public suffix + 1 (null when the host IS a
+    // public suffix)
+    "q307_psl_registered_domain" ->
+      """WITH hosts0 AS (SELECT DISTINCT CASE
+        |    WHEN doc_id % 11 = 0 THEN 'co.uk'
+        |    WHEN doc_id % 13 = 0 THEN 'ck'
+        |    ELSE list_extract(['www','a','blog','shop','x9'],
+        |        (doc_id % 5 + 1)::INT)
+        |      || '.' || list_extract(['foo','bar','baz','qux'],
+        |        (doc_id % 4 + 1)::INT)
+        |      || '.' || list_extract(
+        |        ['com','co.uk','ck','www.ck','example','org','uk'],
+        |        (doc_id % 7 + 1)::INT)
+        |  END AS host FROM documents),
+        |rules(raw) AS (VALUES ('com'), ('co.uk'), ('uk'), ('org'),
+        |  ('*.ck'), ('!www.ck')),
+        |pr AS (SELECT
+        |    CASE WHEN raw LIKE '!%' THEN 'e'
+        |         WHEN raw LIKE '*.%' THEN 'w' ELSE 'p' END AS kind,
+        |    regexp_replace(raw, '^(!|\*\.)', '') AS key
+        |  FROM rules),
+        |pr2 AS (SELECT kind, key,
+        |    len(string_split(key, '.'))::INT AS klab FROM pr),
+        |hl AS (SELECT host, string_split(host, '.') AS labs,
+        |    len(string_split(host, '.'))::INT AS nlab FROM hosts0),
+        |cand AS (SELECT host, k.k,
+        |    array_to_string(list_slice(labs, nlab - k.k::INT + 1, nlab),
+        |      '.') AS suffix,
+        |    CASE WHEN k.k >= 2 THEN array_to_string(
+        |      list_slice(labs, nlab - k.k::INT + 2, nlab), '.')
+        |      ELSE '' END AS tail
+        |  FROM hl, range(1, 9) k(k) WHERE k.k <= nlab),
+        |pe AS (SELECT host, kind,
+        |    CASE WHEN kind = 'e' THEN klab - 1 ELSE klab END AS pslab
+        |  FROM cand JOIN pr2 ON suffix = key AND kind <> 'w'),
+        |wd AS (SELECT host, kind, klab + 1 AS pslab
+        |  FROM cand JOIN pr2 ON tail = key AND kind = 'w'
+        |  WHERE tail <> ''),
+        |best AS (SELECT host,
+        |    coalesce(max(CASE WHEN kind = 'e' THEN pslab END),
+        |             max(CASE WHEN kind <> 'e' THEN pslab END)) AS pslab
+        |  FROM (SELECT * FROM pe UNION ALL SELECT * FROM wd)
+        |  GROUP BY host),
+        |res AS (SELECT h.host, coalesce(b.pslab, 1) AS pslab, h.nlab,
+        |    h.labs
+        |  FROM hl h LEFT JOIN best b USING (host))
+        |SELECT host, CASE WHEN nlab > pslab THEN
+        |    array_to_string(list_slice(labs, nlab - pslab::INT, nlab), '.')
+        |  END AS domain
+        |FROM res ORDER BY host, domain""".stripMargin,
   )
 }
