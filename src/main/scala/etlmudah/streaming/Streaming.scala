@@ -1086,6 +1086,122 @@ object Streaming {
       fs: org.apache.hadoop.fs.FileSystem, basePath: String): Unit =
     etlmudah.load.BucketedBase.recoverSwaps(fs, basePath)
 
+  /** WATERMARK-LATENESS AUDIT — the operational blind spot the plain
+    * watermarked aggregation leaves open: `withWatermark` + windowed
+    * agg silently DROPS rows later than the watermark (documented at
+    * the top of this file), and at 100 TB "silently" means nobody can
+    * say how much data the pipeline lost or prove it was negligible.
+    * This sink computes the same hourly counts as [[hourlyCounts]]
+    * but classifies every row against the watermark FIRST: on-time
+    * rows feed the counts, late rows are COUNTED AND QUARANTINED with
+    * event-time evidence (ts, the watermark that rejected them, how
+    * late they were) — the decontaminationSink never-silently-dropped
+    * contract applied to time instead of contamination.
+    *
+    * Watermark semantics mirror the engine's: the watermark used for
+    * batch N is max(event time over batches < N) − `latenessUs`
+    * (Spark computes it from data seen through the previous batch),
+    * rows with ts strictly below it are late, and the first batch can
+    * never be late. The watermark state is a one-row parquet
+    * maintained by [[swapIn]]; late rows advance it too (they pass
+    * the watermark node in the engine as well).
+    *
+    * Idempotency/crash story (the hllDistinctSink conventions):
+    * per-batch count PARTIALS and late rows land under
+    * `batch_id=<n>` partitions via dynamic overwrite, so a
+    * re-delivered batch rewrites its own partitions; the watermark
+    * update is a monotone max (replay-safe); partials compact every
+    * `compactEvery` batches through the recoverable swap; the report
+    * (hour_us, event_type, cnt, sum_value) is the sum of partials,
+    * republished per batch via [[swapIn]]. A batch re-delivered
+    * AFTER its watermark update replays against the newer watermark
+    * and may classify strictly MORE rows late — exactly the engine's
+    * monotone-watermark behavior — and rewrites counts and quarantine
+    * partitions consistently from that one classification.
+    *
+    * At scale: the classification is a per-row comparison against one
+    * broadcast scalar; partials collapse to the (hour, type) grain
+    * map-side; nothing joins corpus-sized state. */
+  def latenessAuditSink(events: DataFrame, countsPath: String,
+                        latePath: String, statePath: String,
+                        checkpoint: String,
+                        latenessUs: Long = 7200000000L,
+                        compactEvery: Int = 100):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(latenessUs >= 0, s"latenessUs must be >= 0, got $latenessUs")
+    val partialsPath = statePath + "__partials"
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(fs, statePath)
+        val wmUs: Long =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            spark.read.parquet(statePath).collect()(0).getLong(0)
+          else Long.MinValue
+        val b = batch.withColumn("__us", unix_micros(col("ts"))).persist()
+        try {
+          b.filter(col("__us") < wmUs)
+            .select(col("event_id"), col("event_type"),
+              col("__us").as("ts_us"), lit(wmUs).as("watermark_us"),
+              (lit(wmUs) - col("__us")).as("late_by_us"),
+              lit(batchId).as("batch_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(latePath)
+          b.filter(col("__us") >= wmUs)
+            // integer `div` truncates; event time is post-1970 here so
+            // truncate == floor (the resampleFill pmod guard is for
+            // generic signed inputs)
+            .groupBy(expr("__us div 3600000000L").as("__hr"),
+              col("event_type"))
+            .agg(count(lit(1)).as("cnt"), sum(col("value")).as("value_sum"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(partialsPath)
+          if (batchId > 0 && batchId % compactEvery == 0) {
+            val compacted = spark.read.parquet(partialsPath)
+              .withColumn("batch_id",
+                greatest(col("batch_id"), lit(batchId - 1)))
+              .groupBy(col("batch_id"), col("__hr"), col("event_type"))
+              .agg(sum(col("cnt")).as("cnt"),
+                sum(col("value_sum")).as("value_sum"))
+              .select(col("__hr"), col("event_type"), col("cnt"),
+                col("value_sum"), col("batch_id"))
+              .localCheckpoint(true)
+            swapIn(fs, partialsPath)(tmp =>
+              compacted.write.mode("overwrite")
+                .partitionBy("batch_id").parquet(tmp))
+          }
+          val report = spark.read.parquet(partialsPath)
+            .groupBy(col("__hr"), col("event_type"))
+            .agg(sum(col("cnt")).as("cnt"),
+              round(sum(col("value_sum")), 2).as("sum_value"))
+            .select((col("__hr") * 3600000000L).as("hour_us"),
+              col("event_type"), col("cnt"), col("sum_value"))
+          recoverSwap(fs, countsPath)
+          swapIn(fs, countsPath)(tmp =>
+            report.write.mode("overwrite").parquet(tmp))
+          // monotone watermark advance LAST: a crash before this point
+          // replays the batch against the same watermark it first saw
+          val mx = b.agg(max(col("__us"))).collect()(0)
+          if (!mx.isNullAt(0)) {
+            val newWm = math.max(wmUs, mx.getLong(0) - latenessUs)
+            if (newWm > wmUs) {
+              import spark.implicits._
+              swapIn(fs, statePath)(tmp =>
+                Seq(newWm).toDF("wm_us").coalesce(1)
+                  .write.mode("overwrite").parquet(tmp))
+            }
+          }
+        } finally b.unpersist()
+        ()
+      }
+  }
+
   /** Idempotent micro-batch upsert: each batch merges into the parquet
     * base last-writer-wins (S8 semantics); re-delivered batches converge
     * to the same state, matching the reference's ON CONFLICT idempotency

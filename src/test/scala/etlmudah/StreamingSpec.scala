@@ -1311,4 +1311,98 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.length >= 1 &&
       flagged.forall(_.getString(1) == "mismatch"), flagged.mkString(","))
   }
+
+  test("latenessAuditSink: stream == batch on the on-time slice; late rows quarantined with evidence; re-run converges") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("stream_late").toString
+    val src = s"$out/src"
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def ev(id: Long, h: Int, m: Int, typ: String, v: Double) =
+      (id, ts(h, m), id % 7, typ, v, "{}")
+    def frame(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    // batch 1: 10:00-11:59 — first batch, NOTHING can be late
+    val b1 = Seq(ev(1, 10, 0, "view", 1.0), ev(2, 10, 30, "click", 2.0),
+      ev(3, 11, 59, "view", 3.0), ev(4, 5, 0, "view", 9.0))
+    // after b1: watermark = 11:59 - 2h = 09:59
+    // batch 2: 12:30 on-time; 09:58 and 07:00 LATE; 10:00 exactly-at-
+    //          watermark+1min on-time
+    val b2 = Seq(ev(10, 12, 30, "click", 4.0), ev(11, 9, 58, "view", 5.0),
+      ev(12, 7, 0, "click", 6.0), ev(13, 10, 0, "view", 7.0))
+    stageParquet(frame(b1), src, "f1.parquet")
+    Thread.sleep(1100)
+    stageParquet(frame(b2), src, "f2.parquet")
+    def runOnce(cp: String): Unit = {
+      val q = Streaming.latenessAuditSink(
+          Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+          s"$out/counts", s"$out/late", s"$out/wm", cp,
+          latenessUs = 7200000000L, compactEvery = 2)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+    }
+    runOnce(s"$out/cp1")
+    // LATE rows: exactly 11 and 12, with event-time evidence
+    val late = spark.read.parquet(s"$out/late")
+      .orderBy("event_id").collect()
+    assert(late.map(_.getLong(0)).toSeq == Seq(11L, 12L), late.mkString(","))
+    val wm959 = frame(Seq(ev(0, 9, 59, "x", 0))).select(
+      unix_micros(col("ts").cast("timestamp"))).collect()(0).getLong(0)
+    late.foreach { r =>
+      assert(r.getAs[Long]("watermark_us") == wm959)
+      assert(r.getAs[Long]("late_by_us") ==
+        wm959 - r.getAs[Long]("ts_us"), r.toString)
+      assert(r.getAs[Long]("late_by_us") > 0)
+    }
+    // counts report == batch aggregate over the ON-TIME slice only
+    val onTime = frame(b1 ++ Seq(ev(10, 12, 30, "click", 4.0),
+      ev(13, 10, 0, "view", 7.0)))
+    def expected = onTime
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("hour_us", "event_type").collect().toSeq
+    def streamed = spark.read.parquet(s"$out/counts")
+      .orderBy("hour_us", "event_type").collect().toSeq
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+    // crash replay: drop the LAST batch's commit (Spark re-delivers
+    // only an uncommitted FINAL batch) — batch 2 replays against the
+    // watermark its own first delivery advanced (12:30 - 2h = 10:30),
+    // so its 10:00 row NOW quarantines too (the engine's monotone-
+    // watermark behavior) and its count/quarantine partitions are
+    // rewritten consistently from that one classification
+    dropCommit(s"$out/cp1", 1)
+    runOnce(s"$out/cp1")
+    val lateReplayed = spark.read.parquet(s"$out/late")
+      .orderBy("event_id").collect()
+    assert(lateReplayed.map(_.getLong(0)).toSeq == Seq(11L, 12L, 13L),
+      lateReplayed.mkString(","))
+    val expected2 = onTime.filter(col("event_id") =!= 13L)
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("hour_us", "event_type").collect().toSeq
+    assert(streamed == expected2)
+    // fresh full re-run — clean checkpoint AND clean sink state (the
+    // watermark lives with the SINK's state, so reusing it replays
+    // against the advanced watermark by design, like any restarted
+    // engine stream keeps its checkpointed watermark) — converges to
+    // the first-run verdicts and counts
+    val q2 = Streaming.latenessAuditSink(
+        Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+        s"$out/counts2", s"$out/late2", s"$out/wm2", s"$out/cp2",
+        latenessUs = 7200000000L, compactEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitDrained(q2)
+    assert(spark.read.parquet(s"$out/late2")
+      .orderBy("event_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(11L, 12L))
+    assert(spark.read.parquet(s"$out/counts2")
+      .orderBy("hour_us", "event_type").collect().toSeq == expected)
+  }
 }
