@@ -234,25 +234,68 @@ object Similarity {
     * corpus shuffle; full vectors are fetched for |probes| x candK
     * rows only. Both top-k windows are probe-keyed, so
     * InferWindowGroupLimit prunes per-partition before the exchange
-    * (the q210 pin). */
+    * (the q210 pin).
+    *
+    * `bitsPerDim = 2` is the 128-BIT SIGNATURE DIAL: each dimension
+    * contributes a THERMOMETER code over its corpus-wide exact
+    * quartiles — bit 2d = (x > q25_d), bit 2d+1 = (x > q75_d) — a
+    * 2-level scalar quantization whose Hamming distance tracks
+    * per-dim rank displacement instead of bare sign agreement
+    * (sign bits saturate when a dimension is mostly one-signed; the
+    * quartile cuts split every dimension 25/50/25 BY CONSTRUCTION).
+    * Still fully oracle-replayable: thresholds are exact percentiles
+    * (the established `percentile` ↔ `quantile_cont` parity), the
+    * packing stays integer bit arithmetic. Storage is dims/4 bytes
+    * per vector (16x cut at float32). The threshold fit is one exact-
+    * percentile pass over (dim, x) pairs — at corpus scale fit it on
+    * a sample (the q284 sample-first dial); the thresholds are 2·dims
+    * doubles broadcast as a |dims|-row table either way. Measured
+    * recall lift vs the 64-bit sign tier: q229 vs q308. */
   def binaryHammingTopK(embeddings: DataFrame, idCol: String,
                         vecCol: String, dims: Int = 64, nprobe: Int = 5,
-                        candK: Int = 50, k: Int = 10): DataFrame = {
-    require(dims % 32 == 0, s"dims must be a multiple of 32, got $dims")
+                        candK: Int = 50, k: Int = 10,
+                        bitsPerDim: Int = 1): DataFrame = {
+    require(bitsPerDim == 1 || bitsPerDim == 2,
+      s"bitsPerDim must be 1 (sign) or 2 (quartile thermometer), got $bitsPerDim")
+    require(dims * bitsPerDim % 32 == 0,
+      s"dims*bitsPerDim must be a multiple of 32, got ${dims * bitsPerDim}")
     import org.apache.spark.sql.expressions.Window
-    val words = dims / 32
+    val words = dims * bitsPerDim / 32
     def bc(c: Column): Column = call_function("bit_count", c)
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val ex = vecs.select(col("id"), posexplode(col("vec")).as(Seq("d0", "x")))
     // one conditional sum per 32-bit word (the lshPortablePairs
     // projection-aggregate idiom — flat expressions, no lambda nest)
-    val wordAggs = (0 until words).map { wi =>
-      sum(when(col("d0") >= wi * 32 && col("d0") < (wi + 1) * 32 &&
-          col("x") > 0f,
-        expr(s"shiftleft(1L, int(d0 - ${wi * 32}))")).otherwise(0L))
-        .as(s"w$wi")
-    }
-    val sig = ex.groupBy(col("id")).agg(wordAggs.head, wordAggs.tail: _*)
+    val sigRows =
+      if (bitsPerDim == 1) {
+        val wordAggs = (0 until words).map { wi =>
+          sum(when(col("d0") >= wi * 32 && col("d0") < (wi + 1) * 32 &&
+              col("x") > 0f,
+            expr(s"shiftleft(1L, int(d0 - ${wi * 32}))")).otherwise(0L))
+            .as(s"w$wi")
+        }
+        ex.groupBy(col("id")).agg(wordAggs.head, wordAggs.tail: _*)
+      } else {
+        // per-dim exact quartiles -> |dims|-row broadcast; 16 dims per
+        // 32-bit word (2 bits each)
+        val th = ex.groupBy(col("d0")).agg(
+          percentile(col("x"), lit(0.25)).as("t25"),
+          percentile(col("x"), lit(0.75)).as("t75"))
+        val perWord = 32 / bitsPerDim
+        val wordAggs = (0 until words).map { wi =>
+          sum(when(col("d0") >= wi * perWord &&
+              col("d0") < (wi + 1) * perWord,
+            when(col("x").cast("double") > col("t25"),
+              expr(s"shiftleft(1L, int(2*(d0 - ${wi * perWord})))"))
+              .otherwise(0L) +
+            when(col("x").cast("double") > col("t75"),
+              expr(s"shiftleft(1L, int(2*(d0 - ${wi * perWord}) + 1))"))
+              .otherwise(0L)).otherwise(0L)).as(s"w$wi")
+        }
+        ex.join(broadcast(th), Seq("d0"))
+          .groupBy(col("id")).agg(wordAggs.head, wordAggs.tail: _*)
+      }
+    val sig = sigRows
       .localCheckpoint(true) // staged once; probe and corpus sides share it
     val probes = md5ProbePick(embeddings, idCol, nprobe)
     val probeSig = sig.join(broadcast(probes), col("id") === col("probe_id"))
@@ -293,10 +336,11 @@ object Similarity {
     * row per probe: (probe_id, n_hits, recall). */
   def binaryRecallReport(embeddings: DataFrame, idCol: String,
                          vecCol: String, dims: Int = 64, nprobe: Int = 5,
-                         candK: Int = 50, k: Int = 10): DataFrame = {
+                         candK: Int = 50, k: Int = 10,
+                         bitsPerDim: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bin = binaryHammingTopK(embeddings, idCol, vecCol, dims, nprobe,
-        candK, k)
+        candK, k, bitsPerDim)
       .select(col("probe_id"), col("vec_id"))
     val probes = md5ProbePick(embeddings, idCol, nprobe)
     val pvecs = embeddings

