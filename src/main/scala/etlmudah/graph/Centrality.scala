@@ -187,6 +187,57 @@ object Centrality {
     * thresholded core is still wedge-heavy, sample wedges upstream
     * (Seshadhri et al. 2013) — approximation is a caller decision, not
     * something this operator does silently. */
+  /** k-CORE peel (Seidman 1983; the Batagelj–Zaveršnik peel made
+    * bulk-synchronous): repeatedly drop nodes whose degree WITHIN the
+    * surviving subgraph is < k, `rounds` times; returns the survivors
+    * with their in-core degree. Bulk peeling converges in at most
+    * O(peel depth) rounds — callers size `rounds` to reach the
+    * fixpoint (CentralitySpec pins that one extra round is a no-op at
+    * the registered setting, the pageRankInt bounded-iteration
+    * contract), and the serial unroll is exactly what the oracle
+    * replays round by round.
+    *
+    * Input `pairs(u, v)`: undirected simple edges (self-loops dropped,
+    * both orientations derived here). Scale shape per round: one
+    * degree aggregate over the symmetrized edge frame restricted to
+    * the alive set by two semi-joins — the alive frame broadcasts
+    * below `broadcastNodeThreshold` (the labelPropagation discipline),
+    * so the edge table is never shuffled by the loop; the edge frame
+    * is materialized once. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 4,
+            localEdgeThreshold: Long = 500000L,
+            broadcastNodeThreshold: Long = 10000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = pairs.select(col("u").cast("long").as("src"),
+        col("v").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val local = sym.count() <= localEdgeThreshold
+    def pin(df: DataFrame): DataFrame =
+      (if (local) df.coalesce(1) else df).localCheckpoint(true)
+    val nodes = pin(sym.select(col("src").as("node")).distinct())
+    val n = nodes.count()
+    def small(df: DataFrame): DataFrame =
+      if (!local && n <= broadcastNodeThreshold) broadcast(df) else df
+    var alive = nodes
+    def degrees(a: DataFrame): DataFrame = sym
+      .join(small(a.select(col("node").as("src"))), Seq("src"), "left_semi")
+      .join(small(a.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var it = 0
+    while (it < rounds) {
+      alive = pin(degrees(alive).filter(col("deg") >= k)
+        .select(col("node")))
+      it += 1
+    }
+    degrees(alive).select(col("node"), col("deg").as("core_degree"))
+      .orderBy(col("node"))
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))

@@ -220,6 +220,39 @@ object Joins {
     * canonical id first (collapsing exact dupes is the exact-dedup
     * tier's job) — linking raw rows re-compares every identical name
     * pair, |dup-class|² times the work for zero information. */
+  /** Blocked EDIT-DISTANCE record linkage — [[fuzzyLinkPairs]]'s
+    * Levenshtein sibling for typo-class matching (JW favors shared
+    * prefixes; edit distance counts actual keystrokes). Same
+    * first-token blocking and block-size cap; two pruning tiers the
+    * JW metric cannot offer run BEFORE the O(n·m) DP: the length
+    * lower bound (|len_a − len_b| ≤ maxDist — a cheap codegen'd
+    * comparison that kills most candidates) and the engine's
+    * threshold-bounded `levenshtein(a, b, maxDist)` (banded DP that
+    * abandons a pair the moment its distance exceeds the cap,
+    * returning −1). Both engines implement classic Levenshtein, so
+    * the distances — and the row set — replay exactly. */
+  def editLinkPairs(df: DataFrame, idCol: String, nameCol: String,
+                    maxDist: Int, maxBlockSize: Long = 10000L): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      split(col(nameCol), " ").getItem(0).as("block"))
+    val small = keyed.join(
+      keyed.groupBy("block").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBlockSize).select("block"),
+      Seq("block"))
+    val a = small.select(col("block"), col("id").as("id_a"), col("name").as("name_a"))
+    val b = small.select(col("block"), col("id").as("id_b"), col("name").as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("edit_dist").cast("long").as("edit_dist"))
+      .orderBy(col("edit_dist"), col("id_a"), col("id_b"))
+  }
+
   def fuzzyLinkPairs(df: DataFrame, idCol: String, nameCol: String,
                      minSim: Double, maxBlockSize: Long = 10000L): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),

@@ -47,4 +47,48 @@ object Privacy {
         (col("class_size") * col("n_classes")).as("n_rows"),
         col("min_l"))
       .orderBy(col("class_size"))
+
+  /** t-CLOSENESS report (Li–Li–Venkatasubramanian 2007, the refinement
+    * past l-diversity: a class can be diverse yet still leak if its
+    * sensitive MIX differs sharply from the table's): per
+    * quasi-identifier class, the total-variation distance between the
+    * class's sensitive-value distribution and the global one —
+    * tv = ½ Σ_s |p_class(s) − p_global(s)| ∈ [0, 1]; a (k, t) policy
+    * reads its violators off `tv_distance > t` directly.
+    *
+    * Exactness: the distance is computed on the INTEGER lattice —
+    * Σ_s |cnt_cs·N − cnt_s·n_c| as exact DECIMAL (classes missing a
+    * sensitive value contribute their full cnt_s·n_c term via the
+    * class × sensitive-domain grid), with ONE closing double division
+    * by 2·n_c·N — never a sum of per-term float ratios, whose
+    * accumulation order would smear the last ulp.
+    *
+    * Scale: one (QI, sensitive) aggregate collapses the table; the
+    * sensitive-domain margin and the grand total broadcast; the grid
+    * is |classes| × |sensitive domain| rows (the sensitive domain of
+    * a privacy audit is small by construction — it is an attribute
+    * column, not a key). */
+  def tClosenessReport(df: DataFrame, qiCols: Seq[String],
+                       sensitiveCol: String): DataFrame = {
+    val qi = qiCols.map(col)
+    val cs = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__cs"))
+    val classes = cs.groupBy(qi: _*).agg(sum(col("__cs")).as("class_size"))
+    val margin = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__s"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    classes.crossJoin(broadcast(margin))
+      .join(cs, qiCols :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("__cs"))
+      .crossJoin(broadcast(tot))
+      .groupBy((qi :+ col("class_size") :+ col("__n")): _*)
+      .agg(sum(abs(
+        col("__cs").cast("decimal(19,0)") * col("__n") -
+          col("__s").cast("decimal(19,0)") * col("class_size")))
+        .as("__num"))
+      .select(qi :+ col("class_size") :+
+        round(col("__num").cast("double") /
+          (lit(2.0) * col("class_size") * col("__n")), 6)
+          .as("tv_distance"): _*)
+      .orderBy(qi: _*)
+  }
 }

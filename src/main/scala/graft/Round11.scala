@@ -235,6 +235,147 @@ object Round11 {
       etlmudah.scale.Similarity.binaryRecallReport(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         dims = 64, nprobe = 5, candK = 50, k = 10, bitsPerDim = 2)),
+
+    // k-CORE of the co-purchase graph (Seidman 1983): bulk peel of
+    // nodes with in-subgraph degree < 3, 10 rounds (fixpoint at 9 on
+    // this graph — CentralitySpec pins the extra round as a no-op);
+    // survivors reported with their in-core degree. The oracle
+    // replays the peel round by round (the HITS/LPA step-unroll
+    // discipline) over the q220 staged co-edge graph.
+    "q309_k_core" -> ((s, dir) =>
+      etlmudah.graph.Centrality.kCore(
+        SparkEntry.stagedCoEdges(s, dir)
+          .filter(col("src") < col("dst") && col("weight") >= 2L)
+          .select(col("src").as("u"), col("dst").as("v")),
+        k = 3, rounds = 10)),
+
+    // t-CLOSENESS audit (Li et al. 2007) of the customer export:
+    // per-nation total-variation distance between the nation's
+    // market-segment mix and the global mix — the leak l-diversity
+    // misses (a class can be fully diverse yet sharply skewed). The
+    // distance folds on the integer lattice (|cnt_cs*N - cnt_s*n_c|
+    // summed as DECIMAL, absent cells contributing their full margin
+    // term) with ONE closing double division.
+    "q310_t_closeness" -> ((s, dir) =>
+      etlmudah.quality.Privacy.tClosenessReport(
+        Tables.customer(s, dir), Seq("c_nationkey"), "c_mktsegment")),
+
+    // Blocked EDIT-DISTANCE linkage over the distinct part-name
+    // entity table — q219's typo-class sibling: first-token blocks,
+    // the |len diff| <= maxDist lower bound prunes before the DP, the
+    // engine's threshold-banded levenshtein(a, b, 2) confirms. Both
+    // engines implement classic Levenshtein, so distances and the row
+    // set replay exactly. maxDist = 3: within a first-token block the
+    // second word varies, and the closest in-block pairs on this
+    // vocabulary sit at distance 3 (measured; 2 would be vacuous).
+    "q311_edit_link_parts" -> ((s, dir) =>
+      etlmudah.joins.Joins.editLinkPairs(
+        Tables.part(s, dir).groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("part_id")),
+        "part_id", "p_name", maxDist = 3)),
+
+    // HIERARCHICAL ratio-to-parent rollup: revenue per nation with
+    // its share of the parent region AND the region's share of the
+    // grand total — the drill-down readout (share-of-parent at every
+    // level) as two stacked aggregates + broadcast join-backs, no
+    // window over the fact table. Shares are exact-decimal
+    // cross-ratios with one closing double division each.
+    "q312_ratio_to_parent" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("nat_rev"))
+      val reg = rev.groupBy(col("n_regionkey"))
+        .agg(sum(col("nat_rev")).as("reg_rev"))
+      val tot = reg.agg(sum(col("reg_rev")).as("tot_rev"))
+      rev.join(broadcast(reg), Seq("n_regionkey"))
+        .crossJoin(broadcast(tot))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"),
+          round(col("nat_rev"), 2).cast("double").as("nation_revenue"),
+          round(col("nat_rev").cast("double") /
+            col("reg_rev").cast("double"), 6).as("share_of_region"),
+          round(col("reg_rev").cast("double") /
+            col("tot_rev").cast("double"), 6).as("region_share_of_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // HILL tail-index estimate (Hill 1975) of the co-purchase degree
+    // distribution — the "is this graph power-law?" readout behind
+    // hub-guard sizing (q64's salted-star threshold): alpha-hat =
+    // 1 + n / sum(ln(d_i / d_min)) over degrees >= d_min. Each log
+    // term quantizes to BIGINT micro-nats (floor(ln*1e6), the q177
+    // lattice) so the SUM is exact integer arithmetic — never a
+    // partition-order float fold — with one closing division.
+    "q313_degree_tail_index" -> ((s, dir) => {
+      val dmin = 5L
+      val e = SparkEntry.stagedCoEdges(s, dir)
+        .filter(col("src") < col("dst") && col("weight") >= 2L)
+      val deg = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= dmin)
+        .select(floor(log(col("deg").cast("double") / dmin) * 1e6)
+          .cast("long").as("__t"))
+        .agg(count(lit(1)).as("n_tail"), sum(col("__t")).as("__s"))
+        .select(col("n_tail"),
+          round(lit(1.0) + col("n_tail") * lit(1e6) /
+            col("__s").cast("double"), 6).as("alpha_hat"))
+    }),
+
+    // DAY-OF-WEEK seasonal profile per event type: the periodic-mean
+    // index (dow mean / overall mean) behind seasonal adjustment —
+    // exact-decimal value sums, BIGINT counts, index as the
+    // cross-ratio sum_dow*n_all / (n_dow*sum_all) with one closing
+    // double division (never mean/mean).
+    "q314_dow_seasonal_index" -> ((s, dir) => {
+      val ev = Tables.eventsTyped(s, dir)
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+          col("value").cast("decimal(18,6)").as("v"))
+      val cell = ev.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("vsum"))
+      val all = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_all"), sum(col("v")).as("vsum_all"))
+      cell.join(broadcast(all), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n"),
+          round(col("vsum"), 2).cast("double").as("sum_value"),
+          round((col("vsum") * col("n_all")).cast("double") /
+            (col("vsum_all") * col("n")).cast("double"), 6)
+            .as("seasonal_index"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // TWO-PROPORTION z-test (the A/B readout beside q118's Wilson CI
+    // and q249's Welch t): purchase-event share, arms split by
+    // user_id parity. All inputs are exact BIGINT counts; the z
+    // statistic is one closing expression over them, written
+    // identically on both engines (single-row math, no folds).
+    "q315_two_proportion_z" -> ((s, dir) => {
+      val ev = Tables.eventsTyped(s, dir)
+        .select((col("user_id") % 2 === 0).as("arm_a"),
+          (col("event_type") === "purchase").cast("long").as("hit"))
+      ev.agg(
+          sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm_a"), col("hit")).otherwise(0L)).as("x_a"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("arm_a"), col("hit")).otherwise(0L)).as("x_b"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          round(col("x_a").cast("double") / col("n_a"), 6).as("p_a"),
+          round(col("x_b").cast("double") / col("n_b"), 6).as("p_b"),
+          round(
+            (col("x_a").cast("double") / col("n_a") -
+              col("x_b").cast("double") / col("n_b")) /
+            sqrt(((col("x_a") + col("x_b")).cast("double") /
+              (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("x_a") + col("x_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+            .as("z"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -502,5 +643,151 @@ object Round11 {
          |FROM pr LEFT JOIN h USING (probe_id)
          |ORDER BY probe_id""".stripMargin
     },
+
+    // k-core peel unrolled round by round (the q260 step-replay
+    // discipline) over the q220 co-edge graph; final degrees over the
+    // surviving set
+    "q309_k_core" -> {
+      // AS MATERIALIZED: each a(i-1) is referenced TWICE per round —
+      // DuckDB's CTE inlining would otherwise expand the chain
+      // exponentially (2^10 copies of the base self-join)
+      def round(i: Int) =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT s.src AS node, count(*) AS deg FROM sym s
+           |  JOIN a${i - 1} x ON x.node = s.src
+           |  JOIN a${i - 1} y ON y.node = s.dst GROUP BY 1),
+           |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+         |        UNION ALL SELECT v, u FROM e0),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+         |${(1 to 10).map(round).mkString(",\n")}
+         |SELECT s.src AS node, count(*)::BIGINT AS core_degree
+         |FROM sym s
+         |JOIN a10 x ON x.node = s.src
+         |JOIN a10 y ON y.node = s.dst
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
+    // t-closeness: integer-lattice TV distance with the class x
+    // segment grid (absent cells carry their full margin term), one
+    // closing double division per class
+    "q310_t_closeness" ->
+      """WITH cs AS (SELECT c_nationkey, c_mktsegment,
+        |    count(*)::BIGINT AS cs FROM customer GROUP BY 1, 2),
+        |cl AS (SELECT c_nationkey, sum(cs)::BIGINT AS class_size
+        |  FROM cs GROUP BY 1),
+        |sm AS (SELECT c_mktsegment, count(*)::BIGINT AS s
+        |  FROM customer GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n FROM customer),
+        |grid AS (SELECT cl.c_nationkey, cl.class_size, sm.c_mktsegment,
+        |    sm.s, coalesce(cs.cs, 0)::BIGINT AS cs, t.n
+        |  FROM cl CROSS JOIN sm CROSS JOIN t
+        |  LEFT JOIN cs ON cs.c_nationkey = cl.c_nationkey
+        |    AND cs.c_mktsegment = sm.c_mktsegment)
+        |SELECT c_nationkey, class_size,
+        |  round(sum(abs(cs::DECIMAL(19,0) * n - s::DECIMAL(19,0)
+        |      * class_size))::DOUBLE
+        |    / (2.0 * class_size * n), 6) AS tv_distance
+        |FROM grid GROUP BY c_nationkey, class_size, n
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // edit-distance linkage: same blocking/length-bound/threshold in
+    // SQL; DuckDB levenshtein is the same classic DP
+    "q311_edit_link_parts" ->
+      """WITH ent AS (SELECT min(p_partkey) AS part_id, p_name
+        |  FROM part GROUP BY p_name),
+        |k AS (SELECT part_id AS id, p_name AS name,
+        |    string_split(p_name, ' ')[1] AS block FROM ent),
+        |ok AS (SELECT block FROM k GROUP BY block
+        |       HAVING count(*) <= 10000),
+        |s AS (SELECT k.* FROM k JOIN ok USING (block))
+        |SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a,
+        |  b.name AS name_b, levenshtein(a.name, b.name)::BIGINT AS edit_dist
+        |FROM s a JOIN s b ON a.block = b.block AND a.id < b.id
+        |WHERE abs(len(a.name) - len(b.name)) <= 3
+        |  AND levenshtein(a.name, b.name) <= 3
+        |ORDER BY edit_dist, id_a, id_b""".stripMargin,
+
+    // two stacked rollups + exact-decimal cross-ratios
+    "q312_ratio_to_parent" ->
+      """WITH rev AS (SELECT n_regionkey, n_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS nat_rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |reg AS (SELECT n_regionkey, sum(nat_rev) AS reg_rev
+        |  FROM rev GROUP BY 1),
+        |t AS (SELECT sum(reg_rev) AS tot_rev FROM reg)
+        |SELECT r_name, n_name,
+        |  CAST(round(nat_rev, 2) AS DOUBLE) AS nation_revenue,
+        |  round(nat_rev::DOUBLE / reg_rev::DOUBLE, 6) AS share_of_region,
+        |  round(reg_rev::DOUBLE / tot_rev::DOUBLE, 6)
+        |    AS region_share_of_total
+        |FROM rev JOIN reg USING (n_regionkey)
+        |CROSS JOIN t
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // Hill estimator on the micro-nat integer lattice: per-term
+    // floor(ln(d/dmin)*1e6) BIGINT, exact sum, one closing division
+    "q313_degree_tail_index" ->
+      """WITH e0 AS (
+        |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |terms AS (SELECT
+        |    CAST(floor(ln(deg::DOUBLE / 5) * 1000000) AS BIGINT) AS t
+        |  FROM deg WHERE deg >= 5)
+        |SELECT count(*)::BIGINT AS n_tail,
+        |  round(1.0 + count(*) * 1000000.0 / sum(t)::DOUBLE, 6)
+        |    AS alpha_hat
+        |FROM terms""".stripMargin,
+
+    // dow profile: Spark dayofweek is 1=Sunday..7, DuckDB's is
+    // 0=Sunday..6 — hence the +1; index = the exact cross-ratio
+    "q314_dow_seasonal_index" ->
+      """WITH ev AS (SELECT event_type,
+        |    (dayofweek(ts) + 1)::INT AS dow,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |cell AS (SELECT event_type, dow, count(*)::BIGINT AS n,
+        |    sum(v) AS vsum FROM ev GROUP BY 1, 2),
+        |alls AS (SELECT event_type, count(*)::BIGINT AS n_all,
+        |    sum(v) AS vsum_all FROM ev GROUP BY 1)
+        |SELECT cell.event_type, dow, n,
+        |  CAST(round(vsum, 2) AS DOUBLE) AS sum_value,
+        |  round((vsum * n_all)::DOUBLE / (vsum_all * n)::DOUBLE, 6)
+        |    AS seasonal_index
+        |FROM cell JOIN alls USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // z from exact counts, the closing expression written identically
+    "q315_two_proportion_z" ->
+      """WITH c AS (SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |        THEN 1 ELSE 0 END)::BIGINT AS x_a,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+        |        THEN 1 ELSE 0 END)::BIGINT AS x_b
+        |  FROM events)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  round(x_a::DOUBLE / n_a, 6) AS p_a,
+        |  round(x_b::DOUBLE / n_b, 6) AS p_b,
+        |  round((x_a::DOUBLE / n_a - x_b::DOUBLE / n_b)
+        |    / sqrt(((x_a + x_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        |FROM c""".stripMargin,
   )
 }

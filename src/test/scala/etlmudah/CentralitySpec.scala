@@ -434,4 +434,62 @@ class CentralitySpec extends SparkSpec {
     // 1 is the only hub (max ⇒ scale), 2 the only authority
     assert(one == Map(1L -> ((1000000L, 0L)), 2L -> ((0L, 1000000L))))
   }
+
+  /** Serial bulk-synchronous k-core peel — the documented recurrence. */
+  private def serialKCore(edges: Seq[(Long, Long)], k: Int,
+                          rounds: Int): Map[Long, Int] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2).distinct
+    var alive = sym.map(_._1).toSet
+    def degrees(a: Set[Long]): Map[Long, Int] =
+      sym.filter(e => a(e._1) && a(e._2)).groupBy(_._1)
+        .map { case (n, es) => n -> es.size }
+    for (_ <- 1 to rounds)
+      alive = degrees(alive).filter(_._2 >= k).keySet
+    degrees(alive)
+  }
+
+  test("kCore: clique survives, tail peels, extra round is a no-op, serial replay at any partitioning") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + a pendant chain 4-5-6 + triangle {7,8,9}
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(7L,8L),(8L,9L),(7L,9L))
+    def run(k: Int, rounds: Int, parts: Int) =
+      Centrality.kCore(edges.toDF("u", "v").repartition(parts), k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    // k=3: only the 4-clique survives (triangle degree 2 < 3)
+    assert(run(3, 3, 1) == Map(1L->3, 2L->3, 3L->3, 4L->3))
+    // k=2: clique + triangle survive, chain peels (5 then 6... 6 first)
+    val k2 = Map(1L->3, 2L->3, 3L->3, 4L->3, 7L->2, 8L->2, 9L->2)
+    assert(run(2, 3, 4) == k2)
+    // extra rounds past the fixpoint change nothing
+    assert(run(2, 6, 2) == k2)
+    // seeded random graphs: distributed == serial replay, any partitioning
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val es = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2)
+      val k = 2 + rnd.nextInt(3)
+      val rounds = 8
+      val got = Centrality.kCore(
+        es.toDF("u", "v").repartition(1 + rnd.nextInt(5)), k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == serialKCore(es, k, rounds), s"k=$k es=$es")
+    }
+  }
+
+  test("kCore: registered q309 setting reaches fixpoint (round 10 is a no-op) on sf0.001") {
+    val edges = Centrality.cooccurrenceEdges(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        "l_orderkey", "l_partkey")
+      .filter(col("src") < col("dst") && col("weight") >= 2L)
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true)
+    val at10 = Centrality.kCore(edges, 3, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at12 = Centrality.kCore(edges, 3, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at10 == at12)
+    assert(at10.forall(_._2 >= 3))
+  }
 }

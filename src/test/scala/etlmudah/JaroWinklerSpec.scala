@@ -73,4 +73,23 @@ class JaroWinklerSpec extends SparkSpec {
     assert(capped.isEmpty,
       s"capped run must drop the oversized block whole: ${capped.toSeq}")
   }
+
+  test("editLinkPairs: blocked Levenshtein with length-bound prune; threshold exact") {
+    import spark.implicits._
+    val ents = Seq((1L, "small bolt"), (2L, "small bolz"),
+      (3L, "small bort"), (4L, "small ring"), (5L, "large bolt"),
+      (6L, "small boltzzz")).toDF("id", "name")
+    val out = etlmudah.joins.Joins.editLinkPairs(ents, "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // within-block only; dist("small bolt","small bolz")=1,
+    // ("small bolt","small bort")=1, ("small bolz","small bort")=2... wait
+    // bolz -> bort: z->t and l->r = 2; ring is 3+ away from all;
+    // "small boltzzz" is length-pruned (len diff 3 > 2) against bolt
+    assert(out.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got ${out.toSeq}")
+    assert(out.forall(p => p._3 >= 1 && p._3 <= 2))
+    // the distances themselves
+    val m = out.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1L && m((1L, 3L)) == 1L && m((2L, 3L)) == 2L)
+  }
 }

@@ -37,4 +37,34 @@ class PrivacySpec extends SparkSpec {
     // the two null-nat rows are ONE class of size 2; the other size 1
     assert(r == Seq((1L, 1L), (2L, 1L)))
   }
+
+  test("tClosenessReport: hand-computed TV distances incl. a class missing a sensitive value") {
+    import spark.implicits._
+    // global: x=5, y=3, z=2 over N=10
+    // class 1 (n=6): x=4, y=2, z=0
+    //   tv = 0.5*(|4/6-5/10| + |2/6-3/10| + |0-2/10|)
+    //      = 0.5*(1/6 + 1/30 + 1/5) = 0.2
+    // class 2 (n=4): x=1, y=1, z=2
+    //   tv = 0.5*(|1/4-1/2| + |1/4-3/10| + |1/2-1/5|) = 0.3
+    val df = (Seq.fill(4)((1, "x")) ++ Seq.fill(2)((1, "y")) ++
+      Seq((2, "x"), (2, "y"), (2, "z"), (2, "z"))).toDF("cls", "s")
+    val r = Privacy.tClosenessReport(df, Seq("cls"), "s").collect()
+      .map(x => (x.getInt(0), x.getAs[Long]("class_size"),
+        x.getAs[Double]("tv_distance"))).toSeq
+    assert(r == Seq((1, 6L, 0.2), (2, 4L, 0.3)), r.toString)
+  }
+
+  test("tClosenessReport: identical mix everywhere -> 0; disjoint -> (N-n)/N") {
+    import spark.implicits._
+    val same = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y")).toDF("cls", "s")
+    assert(Privacy.tClosenessReport(same, Seq("cls"), "s").collect()
+      .forall(_.getAs[Double]("tv_distance") == 0.0))
+    // fully disjoint sensitive values: tv = 1 - n_c/N
+    val disj = Seq((1, "x"), (1, "x"), (2, "y"), (2, "y"),
+      (2, "y"), (2, "y")).toDF("cls", "s")
+    val r = Privacy.tClosenessReport(disj, Seq("cls"), "s").collect()
+      .map(x => (x.getInt(0), x.getAs[Double]("tv_distance"))).toMap
+    assert(r == Map(1 -> (1.0 - 2.0 / 6), 2 -> (1.0 - 4.0 / 6))
+      || r == Map(1 -> 0.666667, 2 -> 0.333333), r.toString)
+  }
 }

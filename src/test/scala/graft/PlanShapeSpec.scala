@@ -243,8 +243,15 @@ class PlanShapeSpec extends SparkSpec {
       // q225's build side is the nprobe-row packed-signature set (the
       // q115/q210 bounded-probe broadcast, scanned against 8-byte-per-
       // vector signatures); q229 carries it twice (binary tier + the
-      // exact ground-truth scan it is measured against)
+      // exact ground-truth scan it is measured against); q308 is
+      // q229's shape at the 128-bit thermometer dial (same bounded
+      // |probes|-row signature broadcast on both sides)
       "q225_binary_hamming_topk", "q229_binary_recall",
+      "q308_binary_recall_128",
+      // q310's grid build crosses the |classes| frame with the
+      // |sensitive-domain| margin (an attribute domain, small by
+      // construction) and the single-row grand total — both broadcast
+      "q310_t_closeness",
       // q231's build side is the single-row count-min grid (one
       // array<bigint> of depth*width) broadcast onto the topN winners
       "q231_cms_heavy_hitters",
