@@ -252,6 +252,9 @@ class PlanShapeSpec extends SparkSpec {
       // |sensitive-domain| margin (an attribute domain, small by
       // construction) and the single-row grand total — both broadcast
       "q310_t_closeness",
+      // q312 crosses the |nations| rollup with the single-row grand
+      // total (the q06 percent-of-total shape at the region grain)
+      "q312_ratio_to_parent",
       // q231's build side is the single-row count-min grid (one
       // array<bigint> of depth*width) broadcast onto the topN winners
       "q231_cms_heavy_hitters",
