@@ -1276,4 +1276,117 @@ object Analytics {
         .as("t_stat"),
       when(ok, round(dfW, 6)).as("df_welch"))
   }
+
+
+  /** GINI COEFFICIENT of a per-entity value frame — the revenue/token
+    * concentration readout (G = 0 perfect equality, -> 1 one entity
+    * holds everything): G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+    * with ranks i = 1..n ascending by (value, id) — the id tie-break
+    * makes the rank (and hence G under ties) deterministic.
+    *
+    * Exactness: values ride a DECIMAL(18,2) lattice, rank products
+    * accumulate as DECIMAL (rank ≤ n fits the 38-digit headroom at
+    * any realistic entity count), ONE closing double division.
+    *
+    * Scale: the input is already the per-entity AGGREGATE (grain
+    * |entities|, not the fact table); the single rank window runs
+    * over that bounded frame — the q284 frame-grain discipline. */
+  def giniCoefficient(df: DataFrame, idCol: String,
+                      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("__id"),
+      value.cast("decimal(18,2)").as("__x"))
+    v.withColumn("__i", row_number().over(
+        Window.orderBy(col("__x").asc, col("__id").asc)))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__i").cast("decimal(19,0)")).as("__six"))
+      .select(col("n"),
+        round(col("__sx"), 2).cast("double").as("total"),
+        round((lit(2).cast("decimal(19,0)") * col("__six") -
+          (col("n") + 1).cast("decimal(19,0)") * col("__sx"))
+          .cast("double") /
+          (col("n").cast("double") * col("__sx").cast("double")), 6)
+          .as("gini"))
+  }
+
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * feature-selection / dependence screen: per (x, y) cell the
+    * pointwise MI ln(c_xy·N / (c_x·c_y)) and its contribution
+    * c_xy/N · pmi to the total. Each cell's log quantizes to a
+    * nano-nat BIGINT (floor(ln·1e9), the q313 lattice) and is
+    * weighted by the EXACT cell count, so the MI total is integer
+    * arithmetic with one closing division — never an
+    * accumulation-order float fold.
+    *
+    * Scale: one (x, y) aggregate collapses the table; margins and the
+    * total broadcast; the cell frame is |domain(x)|·|domain(y)| rows
+    * (categorical domains — tiny by assumption; guard upstream if a
+    * column is really a key). */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val cell = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = df.groupBy(col(xCol)).agg(count(lit(1)).as("__nx"))
+    val my = df.groupBy(col(yCol)).agg(count(lit(1)).as("__ny"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    cell.join(broadcast(mx), Seq(xCol))
+      .join(broadcast(my), Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("__pmi_q",
+        floor(log(col("n_xy").cast("double") * col("__n") /
+          (col("__nx").cast("double") * col("__ny"))) * 1e9)
+          .cast("long"))
+      .select(col(xCol), col(yCol), col("n_xy"),
+        round(col("__pmi_q").cast("double") / 1e9, 6).as("pmi_nats"),
+        (col("n_xy") * col("__pmi_q")).as("contrib_q"),
+        col("__n"))
+      .select(col(xCol), col(yCol), col("n_xy"), col("pmi_nats"),
+        round(col("contrib_q").cast("double") /
+          (col("__n").cast("double") * 1e9), 9).as("mi_contrib_nats"))
+      .orderBy(col(xCol), col(yCol))
+  }
+
+  /** KAPLAN–MEIER product-limit survival estimate over (duration,
+    * event) rows — event = 1 an observed event at that duration,
+    * 0 right-censored there (still at risk through it, the standard
+    * deaths-before-censorings tie convention). One row per distinct
+    * OBSERVED-EVENT duration t: at-risk n_t (durations ≥ t), events
+    * d_t, and S(t) = Π_{u ≤ t} (1 − d_u/n_u).
+    *
+    * Determinism: each factor's log quantizes to a nano-nat BIGINT
+    * (floor(ln((n−d)/n)·1e9)) and the running product is the EXACT
+    * integer cumulative sum of those, exponentiated once per output
+    * row — the accumulation order can't smear anything. n_t == d_t
+    * (everyone remaining dies at t) emits S(t) = 0 exactly.
+    *
+    * Scale: one duration-grain aggregate collapses the cohort; both
+    * windows (reverse cumulative at-risk, forward cumulative log)
+    * run over the |distinct durations| frame only. */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__all"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("n_risk", sum(col("__all")).over(wDesc))
+      .withColumn("__lnq",
+        when(col("n_risk") === col("d"), lit(null).cast("long"))
+          .otherwise(floor(log((col("n_risk") - col("d"))
+            .cast("double") / col("n_risk")) * 1e9).cast("long")))
+      .withColumn("__zero",
+        max((col("n_risk") === col("d") && col("d") > 0).cast("int"))
+          .over(wAsc))
+      .withColumn("__cum", sum(col("__lnq")).over(wAsc))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        when(col("__zero") === 1, lit(0.0))
+          .otherwise(round(exp(col("__cum").cast("double") / 1e9), 6))
+          .as("survival"))
+      .orderBy(col("t"))
+  }
 }

@@ -264,4 +264,42 @@ object Events {
         col("value"), col("__obs").isNotNull.as("is_observed"))
       .orderBy(col(key), col("bucket_us"))
   }
+
+
+  /** TIME-WEIGHTED AVERAGE (TWAP) per key — the metric a plain AVG
+    * gets wrong on irregularly sampled series (a value that held for
+    * an hour must weigh 60x one that held a minute): each observation
+    * carries forward to the next (LOCF), twap = Σ v_i·(t_{i+1}−t_i)
+    * / (t_n − t_0). Keys with fewer than two observations have no
+    * span and are omitted.
+    *
+    * Exactness: values on a DECIMAL(18,6) lattice x exact micro
+    * intervals (the DECIMAL(19,0) cast keeps the product on the
+    * int128-safe grid), one closing double division per key.
+    *
+    * Scale: one keyed window (the lead) + one keyed aggregate — the
+    * same single exchange as any per-key rollup; no global state.
+    * Same-microsecond ties order by value (the q284 one-canonical-
+    * ordering lesson): with distinct values at one instant, which one
+    * "held" the zero-length interval must not depend on partitioning. */
+  def twap(df: DataFrame, key: String, ts: Column,
+           value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__us").asc, col("__v").asc)
+    df.select(col(key), unix_micros(ts).as("__us"),
+        value.cast("decimal(18,6)").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__nxt", lead(col("__us"), 1).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col("__us")) - min(col("__us"))).as("span_us"),
+        sum(col("__v") * (col("__nxt") - col("__us"))
+          .cast("decimal(19,0)")).as("__area"))
+      .filter(col("span_us") > 0)
+      .select(col(key), col("n_obs"), col("span_us"),
+        round(col("__area").cast("double") /
+          col("span_us").cast("double"), 6).as("twap"))
+      .orderBy(col(key))
+  }
 }

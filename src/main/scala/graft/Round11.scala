@@ -349,6 +349,91 @@ object Round11 {
         .orderBy(col("event_type"), col("dow"))
     }),
 
+    // CROSS-TABLE RECONCILIATION audit: does the denormalized order
+    // total agree with its lines? Parent-child consistency is the
+    // first integrity sweep a warehouse runs; here it HONESTLY finds
+    // that the synthetic o_totalprice is unrelated to the lineitem
+    // sum (plus 257 orders with no lines at all) and reports the
+    // deviation spectrum. Every class boundary is an EXACT decimal
+    // comparison (|d| cross-multiplied against the total — no float
+    // ratio), so the histogram replays bit-for-bit.
+    "q316_order_line_reconciliation" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("lsum"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("otot"))
+      val d = col("otot") - col("lsum")
+      val ad = abs(d)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("status",
+          when(col("lsum").isNull, "no_lines")
+            .when(ad <= lit(0.01), "match_1c")
+            .when(ad * 10 <= col("otot"), "within_10pct")
+            .when(ad * 2 <= col("otot"), "within_50pct")
+            .when(ad <= col("otot"), "within_100pct")
+            .otherwise("over_100pct"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(coalesce(ad, lit(0).cast("decimal(18,2)"))), 2)
+            .cast("double").as("sum_abs_dev"))
+        .orderBy(col("status"))
+    }),
+
+    // KAPLAN–MEIER reorder-gap survival: durations = day gaps between
+    // a customer's consecutive orders (events), plus the open gap
+    // from the last order to the corpus horizon (right-censored) —
+    // the time-to-reorder curve with censoring handled properly
+    // (dropping open gaps would bias survival LOW). Factor logs ride
+    // the nano-nat BIGINT lattice, so the running product is exact
+    // integer arithmetic with one exp per output row.
+    "q317_reorder_survival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("cust"),
+        to_date(col("o_orderdate")).as("d"), col("o_orderkey"))
+      val w = Window.partitionBy(col("cust"))
+        .orderBy(col("d").asc, col("o_orderkey").asc)
+      val horizon = o.agg(max(col("d")).as("__md"))
+      val spans = o.withColumn("__nd", lead(col("d"), 1).over(w))
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("__nd").isNotNull, datediff(col("__nd"), col("d")))
+            .otherwise(datediff(col("__md"), col("d"))).as("dur"),
+          when(col("__nd").isNotNull, 1).otherwise(0).as("ev"))
+      etlmudah.analytics.Analytics.kaplanMeier(spans, "dur", "ev")
+    }),
+
+    // GINI concentration of customer revenue (the Lorenz readout
+    // behind "top X% of customers carry Y%"): ranks over the
+    // |customers| aggregate, rank-weighted sums on the DECIMAL
+    // lattice, one closing division.
+    "q318_revenue_gini" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.giniCoefficient(
+        Tables.orders(s, dir).groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .as("rev")),
+        "o_custkey", col("rev"))),
+
+    // MUTUAL INFORMATION event_type x day-of-week — the dependence
+    // screen feature selection runs before keeping a column; per-cell
+    // PMI + nano-nat lattice contributions (q313 discipline; the MI
+    // total is the exact integer sum of the contribution column).
+    "q319_type_dow_mi" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.mutualInformation(
+        Tables.eventsTyped(s, dir)
+          .select(col("event_type"), dayofweek(col("ts")).as("dow")),
+        "event_type", "dow")),
+
+    // TIME-WEIGHTED AVERAGE value per user over the event stream —
+    // the LOCF integral a plain AVG gets wrong on irregular
+    // sampling; exact decimal x micro-interval products, one closing
+    // division per user. Top 50 spans for a bounded, fully-ordered
+    // output.
+    "q320_user_value_twap" -> ((s, dir) =>
+      etlmudah.analytics.Events.twap(
+        Tables.eventsTyped(s, dir), "user_id", col("ts"), col("value"))
+        .orderBy(col("user_id")).limit(50)),
+
     // TWO-PROPORTION z-test (the A/B readout beside q118's Wilson CI
     // and q249's Welch t): purchase-event share, arms split by
     // user_id parity. All inputs are exact BIGINT counts; the z
@@ -770,6 +855,118 @@ object Round11 {
         |    AS seasonal_index
         |FROM cell JOIN alls USING (event_type)
         |ORDER BY event_type, dow""".stripMargin,
+
+    // deviation classes as exact decimal cross-multiplied comparisons
+    "q316_order_line_reconciliation" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS lsum
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS otot, lsum,
+        |    abs(CAST(o_totalprice AS DECIMAL(18,2)) - lsum) AS ad
+        |  FROM orders LEFT JOIN l ON o_orderkey = l_orderkey)
+        |SELECT CASE
+        |    WHEN lsum IS NULL THEN 'no_lines'
+        |    WHEN ad <= 0.01 THEN 'match_1c'
+        |    WHEN ad * 10 <= otot THEN 'within_10pct'
+        |    WHEN ad * 2 <= otot THEN 'within_50pct'
+        |    WHEN ad <= otot THEN 'within_100pct'
+        |    ELSE 'over_100pct' END AS status,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(coalesce(ad, CAST(0 AS DECIMAL(18,2)))), 2)
+        |    AS DOUBLE) AS sum_abs_dev
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // KM replay: duration frame via the same keyed lead window, then
+    // reverse-cumulative at-risk, nano-nat log lattice, forward
+    // cumulative sum, exp per output row
+    "q317_reorder_survival" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+        |    CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders),
+        |mx AS (SELECT max(d) AS md FROM o),
+        |g AS (SELECT cust, d,
+        |    lead(d) OVER (PARTITION BY cust ORDER BY d, o_orderkey)
+        |      AS nd FROM o),
+        |dur AS (SELECT
+        |    CASE WHEN nd IS NULL THEN date_diff('day', d, md)
+        |         ELSE date_diff('day', d, nd) END::BIGINT AS t,
+        |    CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+        |  FROM g, mx),
+        |agg AS (SELECT t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS al
+        |  FROM dur GROUP BY 1),
+        |r AS (SELECT t, d,
+        |    sum(al) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |      ::BIGINT AS n_risk
+        |  FROM agg),
+        |l2 AS (SELECT t, d, n_risk,
+        |    CASE WHEN n_risk = d THEN NULL
+        |      ELSE CAST(floor(ln((n_risk - d)::DOUBLE / n_risk) * 1e9)
+        |        AS BIGINT) END AS lnq,
+        |    CASE WHEN n_risk = d AND d > 0 THEN 1 ELSE 0 END AS dead
+        |  FROM r),
+        |c AS (SELECT t, d, n_risk,
+        |    sum(lnq) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+        |      AS cum,
+        |    max(dead) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+        |      AS z
+        |  FROM l2)
+        |SELECT t, n_risk, d AS n_events,
+        |  CASE WHEN z = 1 THEN 0.0
+        |       ELSE round(exp(cum::DOUBLE / 1e9), 6) END AS survival
+        |FROM c WHERE d > 0 ORDER BY t""".stripMargin,
+
+    // Gini: rank-weighted decimal sums, one closing division
+    "q318_revenue_gini" ->
+      """WITH rev AS (SELECT o_custkey AS id,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT x, row_number() OVER (ORDER BY x ASC, id ASC)
+        |    AS i FROM rev)
+        |SELECT count(*)::BIGINT AS n,
+        |  CAST(round(sum(x), 2) AS DOUBLE) AS total,
+        |  round((2::DECIMAL(19,0) * sum(x * i::DECIMAL(19,0))
+        |      - (count(*) + 1)::DECIMAL(19,0) * sum(x))::DOUBLE
+        |    / (count(*)::DOUBLE * sum(x)::DOUBLE), 6) AS gini
+        |FROM rk""".stripMargin,
+
+    // MI cells: +1 aligns DuckDB's 0-based Sunday with Spark's
+    // 1-based; nano-nat PMI lattice, contribution = exact count x
+    // quantized log over N*1e9
+    "q319_type_dow_mi" ->
+      """WITH ev AS (SELECT event_type,
+        |    (dayofweek(ts) + 1)::INT AS dow FROM events),
+        |cell AS (SELECT event_type, dow, count(*)::BIGINT AS n_xy
+        |  FROM ev GROUP BY 1, 2),
+        |mx AS (SELECT event_type, count(*)::BIGINT AS nx FROM ev
+        |  GROUP BY 1),
+        |my AS (SELECT dow, count(*)::BIGINT AS ny FROM ev GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n FROM ev),
+        |q AS (SELECT cell.event_type, cell.dow, n_xy,
+        |    CAST(floor(ln(n_xy::DOUBLE * n / (nx::DOUBLE * ny)) * 1e9)
+        |      AS BIGINT) AS pmi_q, n
+        |  FROM cell JOIN mx USING (event_type) JOIN my USING (dow)
+        |  CROSS JOIN t)
+        |SELECT event_type, dow, n_xy,
+        |  round(pmi_q::DOUBLE / 1e9, 6) AS pmi_nats,
+        |  round((n_xy * pmi_q)::DOUBLE / (n::DOUBLE * 1e9), 9)
+        |    AS mi_contrib_nats
+        |FROM q ORDER BY event_type, dow""".stripMargin,
+
+    // TWAP: LOCF integral on the decimal x micro lattice
+    "q320_user_value_twap" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |led AS (SELECT user_id, us, v,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, v) AS nxt
+        |  FROM ev),
+        |agg AS (SELECT user_id, count(*)::BIGINT AS n_obs,
+        |    (max(us) - min(us))::BIGINT AS span_us,
+        |    sum(v * (nxt - us)::DECIMAL(19,0)) AS area
+        |  FROM led GROUP BY 1)
+        |SELECT user_id, n_obs, span_us,
+        |  round(area::DOUBLE / span_us::DOUBLE, 6) AS twap
+        |FROM agg WHERE span_us > 0
+        |ORDER BY user_id LIMIT 50""".stripMargin,
 
     // z from exact counts, the closing expression written identically
     "q315_two_proportion_z" ->

@@ -771,4 +771,53 @@ class AnalyticsSpec extends SparkSpec {
       .collect()(0)
     assert(z.getLong(1) == 1L && z.getLong(2) == 0L)
   }
+
+  test("giniCoefficient: equality -> 0; single holder -> (n-1)/n; hand case") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val eq = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("id", "v")
+    assert(Analytics.giniCoefficient(eq, "id", col("v"))
+      .collect()(0).getAs[Double]("gini") == 0.0)
+    val one = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 10.0))
+      .toDF("id", "v")
+    assert(Analytics.giniCoefficient(one, "id", col("v"))
+      .collect()(0).getAs[Double]("gini") == 0.75)
+    // hand case: x = (1,2,3,4): G = (2*(1+4+9+16) - 5*10)/(4*10) = 0.25
+    val h = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    assert(Analytics.giniCoefficient(h, "id", col("v"))
+      .collect()(0).getAs[Double]("gini") == 0.25)
+  }
+
+  test("mutualInformation: independence -> ~0; identity -> ln 2; contributions sum to MI") {
+    import spark.implicits._
+    // independent 2x2 uniform: every pmi exactly ln(1) = 0
+    val ind = Seq(("a", 0), ("a", 1), ("b", 0), ("b", 1)).toDF("x", "y")
+    val ri = Analytics.mutualInformation(ind, "x", "y").collect()
+    assert(ri.length == 4 && ri.forall(_.getAs[Double]("pmi_nats") == 0.0))
+    // identity: X == Y over 2 values -> each cell pmi = ln 2, MI = ln 2
+    val dep = Seq(("a", 0), ("a", 0), ("b", 1), ("b", 1)).toDF("x", "y")
+    val rd = Analytics.mutualInformation(dep, "x", "y").collect()
+    assert(rd.length == 2)
+    rd.foreach(r => assert(math.abs(
+      r.getAs[Double]("pmi_nats") - math.log(2)) < 1e-6))
+    val mi = rd.map(_.getAs[Double]("mi_contrib_nats")).sum
+    assert(math.abs(mi - math.log(2)) < 1e-6, mi.toString)
+  }
+
+  test("kaplanMeier: textbook ladder with censoring and a terminal zero") {
+    import spark.implicits._
+    // durations: 1(ev), 2(ev), 2(cens), 3(ev)
+    // t=1: n=4, d=1, S=0.75; t=2: n=3, d=1, S=0.5; t=3: n=1=d, S=0
+    val df = Seq((1L, 1), (2L, 1), (2L, 0), (3L, 1)).toDF("dur", "ev")
+    val r = Analytics.kaplanMeier(df, "dur", "ev").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_risk"),
+        x.getAs[Long]("n_events"), x.getAs[Double]("survival")))
+    assert(r.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5),
+      (3L, 1L, 1L, 0.0)), r.mkString(","))
+    // censored-only durations emit no row but stay in the risk set
+    val c = Seq((1L, 1), (5L, 0), (9L, 1)).toDF("dur", "ev")
+    val rc = Analytics.kaplanMeier(c, "dur", "ev").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_risk")))
+    assert(rc.toSeq == Seq((1L, 3L), (9L, 1L)), rc.mkString(","))
+  }
 }

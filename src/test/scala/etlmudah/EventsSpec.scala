@@ -186,4 +186,21 @@ class EventsSpec extends SparkSpec {
     assert(Events.resampleFill(tie, "k", col("ts"), col("v"), step)
       .collect()(0).getDouble(2) == 4.0)
   }
+
+  test("twap: LOCF integral, not the plain average; single-event keys omitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:00:10"), 4.0),
+      (1L, ts("2024-01-01 00:00:30"), 99.0),   // last value carries 0 time
+      (2L, ts("2024-01-01 00:00:00"), 7.0)     // single event: no span
+    ).toDF("k", "t", "v")
+    val r = Events.twap(df, "k", col("t"), col("v")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // (1*10s + 4*20s) / 30s = 3.0 — far from avg(1,4,99)
+    assert(row.getLong(0) == 1L && row.getAs[Double]("twap") == 3.0 &&
+      row.getAs[Long]("span_us") == 30000000L, row.toString)
+  }
 }

@@ -255,6 +255,12 @@ class PlanShapeSpec extends SparkSpec {
       // q312 crosses the |nations| rollup with the single-row grand
       // total (the q06 percent-of-total shape at the region grain)
       "q312_ratio_to_parent",
+      // q319's cell frame (|domain(x)| x |domain(y)|) crosses the
+      // single-row grand total — the q99 normalizer shape
+      "q319_type_dow_mi",
+      // q317 crosses the per-order span frame with the single-row
+      // corpus horizon (max order date) for the censoring bound
+      "q317_reorder_survival",
       // q231's build side is the single-row count-min grid (one
       // array<bigint> of depth*width) broadcast onto the topN winners
       "q231_cms_heavy_hitters",
