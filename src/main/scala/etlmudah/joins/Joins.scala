@@ -1,6 +1,6 @@
 package etlmudah.joins
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join builders (SURVEY.md §2.3) for the star schema testdata.
@@ -220,6 +220,21 @@ object Joins {
     * canonical id first (collapsing exact dupes is the exact-dedup
     * tier's job) — linking raw rows re-compares every identical name
     * pair, |dup-class|² times the work for zero information. */
+  /** Great-circle distance in km (haversine, R = 6371): the geo-join
+    * primitive under nearest-dim-fetch / radius-gate shapes (S13's
+    * distance leg). A pure codegen'd trig chain per row — both
+    * engines evaluate the identical expression tree, and callers
+    * round the result (3dp ~ meter precision) so a last-ulp libm
+    * difference cannot flip a value. */
+  def haversineKm(lat1: Column, lon1: Column,
+                  lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = sin(dLat) * sin(dLat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)
+    lit(2.0 * 6371.0) * asin(sqrt(a))
+  }
+
   /** Blocked EDIT-DISTANCE record linkage — [[fuzzyLinkPairs]]'s
     * Levenshtein sibling for typo-class matching (JW favors shared
     * prefixes; edit distance counts actual keystrokes). Same

@@ -434,6 +434,158 @@ object Round11 {
         Tables.eventsTyped(s, dir), "user_id", col("ts"), col("value"))
         .orderBy(col("user_id")).limit(50)),
 
+    // GEO nearest-neighbor over the nation dimension: closed-form
+    // synthetic coordinates (the fakeUrl discipline for geography),
+    // haversine distance as one codegen'd trig chain, nearest by
+    // (rounded km, key) over the broadcast 25x25 pair grid — the
+    // S13 geo tier's distance leg. 3dp rounding (~meters) keeps a
+    // last-ulp libm difference from ever flipping a value.
+    "q321_nearest_nation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def coords(prefix: String) = Tables.nation(s, dir).select(
+        col("n_nationkey").as(s"${prefix}key"),
+        col("n_name").as(s"${prefix}name"),
+        (col("n_nationkey") * 37 % 140 - 70 + lit(0.5)).as(s"${prefix}lat"),
+        (col("n_nationkey") * 73 % 360 - 180 + lit(0.5)).as(s"${prefix}lon"))
+      val a = coords("a_")
+      val b = coords("b_")
+      val pairs = a.crossJoin(broadcast(b))
+        .filter(col("a_key") =!= col("b_key"))
+        .withColumn("dist_km", round(etlmudah.joins.Joins.haversineKm(
+          col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")), 3))
+      pairs.withColumn("__r", row_number().over(
+          Window.partitionBy(col("a_key"))
+            .orderBy(col("dist_km").asc, col("b_key").asc)))
+        .filter(col("__r") === 1)
+        .select(col("a_key").as("nationkey"), col("a_name").as("n_name"),
+          col("b_key").as("nearest_key"), col("b_name").as("nearest_name"),
+          col("dist_km"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // LORENZ decile ladder (q318's curve form): customers ranked into
+    // revenue deciles, each decile's exact-decimal revenue and the
+    // cumulative share FROM THE TOP — "the top 10% carry X%". ntile
+    // and both cumulative sums run over the |customers| aggregate
+    // only (the q73/q284 frame-grain discipline).
+    "q322_lorenz_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val deciled = rev.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("rev").desc, col("o_custkey").asc)))
+      val byDecile = deciled
+        .withColumn("decile", col("decile").cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("drev"))
+      val tot = byDecile.agg(sum(col("drev")).as("trev"))
+      byDecile.crossJoin(broadcast(tot))
+        .withColumn("__cum", sum(col("drev")).over(
+          Window.orderBy(col("decile").asc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("decile"), col("n_cust"),
+          round(col("drev"), 2).cast("double").as("decile_revenue"),
+          round(col("__cum").cast("double") / col("trev").cast("double"), 6)
+            .as("cum_share_from_top"))
+        .orderBy(col("decile"))
+    }),
+
+    // MATCH-KEY normalization dedup: three deterministically "messy"
+    // variants of every distinct part name (case, doubled whitespace,
+    // accents + punctuation) collapse to ONE canonical key through
+    // the composed pipeline nfc -> accent-fold -> lower -> non-
+    // alnum-squash -> trim (graft_nfc / graft_fold_accents, DuckDB
+    // nfc_normalize / strip_accents). Proof shape: every key groups
+    // exactly 3 variants and the key count equals the entity count —
+    // over- OR under-merging breaks one of the two rows.
+    "q323_match_key_dedup" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      val variants = names.select(explode(array(
+        col("p_name"),
+        upper(regexp_replace(col("p_name"), " ", "   ")),
+        concat(regexp_replace(col("p_name"), "e", "é"), lit("!!"))))
+        .as("messy"))
+      val key = trim(regexp_replace(
+        lower(call_function("graft_fold_accents",
+          call_function("graft_nfc", col("messy")))),
+        "[^a-z0-9]+", " "))
+      variants.select(key.as("match_key"))
+        .groupBy(col("match_key")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("group_size"))
+    }),
+
+    // NEXT-EVENT prediction eval: first-order transition argmax
+    // trained on the first half of January, accuracy measured on
+    // consecutive test-half pairs — the sequence-model eval loop
+    // (train/score split, argmax with deterministic ties, exact-count
+    // accuracy) as one declarative plan.
+    "q324_next_event_accuracy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cut = lit("2024-01-16").cast("timestamp")
+      val ev = Tables.eventsTyped(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("prev"), col("next_type"))
+      val train = pairsOf(ev.filter(col("ts") < cut))
+        .groupBy(col("prev"), col("next_type"))
+        .agg(count(lit(1)).as("c"))
+      val model = train.withColumn("__r", row_number().over(
+          Window.partitionBy(col("prev"))
+            .orderBy(col("c").desc, col("next_type").asc)))
+        .filter(col("__r") === 1)
+        .select(col("prev"), col("next_type").as("predicted"))
+      pairsOf(ev.filter(col("ts") >= cut))
+        .join(broadcast(model), Seq("prev"), "left")
+        .groupBy(col("prev"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("next_type") === col("predicted"), 1L)
+            .otherwise(0L)).as("n_correct"),
+          first(col("predicted")).as("predicted"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_pairs"), 6))
+        .orderBy(col("prev"))
+    }),
+
+    // DEGREE ASSORTATIVITY (Newman 2002) of the co-purchase graph:
+    // Pearson r of endpoint degrees over every directed edge — do
+    // hubs link hubs? Sums ride DECIMAL(38,0) (degree products
+    // overflow int64 at web scale), one closing double chain written
+    // identically on both engines.
+    "q325_degree_assortativity" -> ((s, dir) => {
+      val e = SparkEntry.stagedCoEdges(s, dir)
+        .filter(col("src") < col("dst") && col("weight") >= 2L)
+        .select(col("src"), col("dst"))
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val xy = sym
+        .join(deg.select(col("node").as("src"), col("deg").as("dx")),
+          Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
+          Seq("dst"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val db = (name: String) => col(name).cast("double")
+      xy.agg(count(lit(1)).as("n"),
+          sum(d(col("dx"))).as("sx"), sum(d(col("dy"))).as("sy"),
+          sum(d(col("dx")) * d(col("dy"))).as("sxy"),
+          sum(d(col("dx")) * d(col("dx"))).as("sxx"),
+          sum(d(col("dy")) * d(col("dy"))).as("syy"))
+        .select(col("n"),
+          // closing chain in double from EXACT decimal sums, written
+          // identically in the oracle (single-row math, no folds)
+          round((db("n") * db("sxy") - db("sx") * db("sy")) /
+            sqrt(db("n") * db("sxx") - db("sx") * db("sx")) /
+            sqrt(db("n") * db("syy") - db("sy") * db("sy")), 6)
+            .as("assortativity"))
+    }),
+
     // TWO-PROPORTION z-test (the A/B readout beside q118's Wilson CI
     // and q249's Welch t): purchase-event share, arms split by
     // user_id parity. All inputs are exact BIGINT counts; the z
@@ -967,6 +1119,120 @@ object Round11 {
         |  round(area::DOUBLE / span_us::DOUBLE, 6) AS twap
         |FROM agg WHERE span_us > 0
         |ORDER BY user_id LIMIT 50""".stripMargin,
+
+    // haversine replayed verbatim; 3dp km rounding absorbs libm ulps
+    "q321_nearest_nation" ->
+      """WITH c AS (SELECT n_nationkey AS k, n_name AS nm,
+        |    (n_nationkey * 37) % 140 - 70 + 0.5 AS lat,
+        |    (n_nationkey * 73) % 360 - 180 + 0.5 AS lon
+        |  FROM nation),
+        |p AS (SELECT a.k AS ak, a.nm AS anm, b.k AS bk, b.nm AS bnm,
+        |    round(2.0 * 6371.0 * asin(sqrt(
+        |      sin(radians(b.lat - a.lat) / 2) *
+        |        sin(radians(b.lat - a.lat) / 2)
+        |      + cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |        sin(radians(b.lon - a.lon) / 2) *
+        |        sin(radians(b.lon - a.lon) / 2))), 3) AS dist_km
+        |  FROM c a CROSS JOIN c b WHERE a.k <> b.k)
+        |SELECT ak AS nationkey, anm AS n_name, bk AS nearest_key,
+        |  bnm AS nearest_name, dist_km
+        |FROM (SELECT *, row_number() OVER (PARTITION BY ak
+        |    ORDER BY dist_km ASC, bk ASC) AS r FROM p)
+        |WHERE r = 1 ORDER BY nationkey""".stripMargin,
+
+    // deciles + cumulative-from-top on the decimal lattice
+    "q322_lorenz_deciles" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |dc AS (SELECT rev, ntile(10) OVER (ORDER BY rev DESC,
+        |    o_custkey ASC) AS decile FROM rev),
+        |bd AS (SELECT decile, count(*)::BIGINT AS n_cust,
+        |    sum(rev) AS drev FROM dc GROUP BY 1),
+        |t AS (SELECT sum(drev) AS trev FROM bd)
+        |SELECT decile, n_cust,
+        |  CAST(round(drev, 2) AS DOUBLE) AS decile_revenue,
+        |  round(sum(drev) OVER (ORDER BY decile ASC
+        |      ROWS UNBOUNDED PRECEDING)::DOUBLE / trev::DOUBLE, 6)
+        |    AS cum_share_from_top
+        |FROM bd CROSS JOIN t ORDER BY decile""".stripMargin,
+
+    // the same three messy variants and the same normalization
+    // pipeline via DuckDB's nfc_normalize + strip_accents (the 'g'
+    // regexp flag — DuckDB defaults to first-match-only)
+    "q323_match_key_dedup" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |v AS (
+        |  SELECT p_name AS messy FROM names
+        |  UNION ALL
+        |  SELECT upper(replace(p_name, ' ', '   ')) FROM names
+        |  UNION ALL
+        |  SELECT replace(p_name, 'e', 'é') || '!!' FROM names),
+        |k AS (SELECT trim(regexp_replace(
+        |    lower(strip_accents(nfc_normalize(messy))),
+        |    '[^a-z0-9]+', ' ', 'g')) AS match_key FROM v),
+        |g AS (SELECT match_key, count(*)::BIGINT AS group_size
+        |  FROM k GROUP BY 1)
+        |SELECT group_size, count(*)::BIGINT AS n_keys
+        |FROM g GROUP BY 1 ORDER BY group_size""".stripMargin,
+
+    // train/test split on the timestamp, argmax with (count DESC,
+    // type ASC) ties, exact-count accuracy
+    "q324_next_event_accuracy" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id, ts FROM events),
+        |tr AS (SELECT event_type AS prev,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS next_type
+        |  FROM ev WHERE ts < TIMESTAMP '2024-01-16'),
+        |trc AS (SELECT prev, next_type, count(*)::BIGINT AS c
+        |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |model AS (SELECT prev, next_type AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prev
+        |      ORDER BY c DESC, next_type ASC) AS r FROM trc)
+        |  WHERE r = 1),
+        |te AS (SELECT event_type AS prev,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS next_type
+        |  FROM ev WHERE ts >= TIMESTAMP '2024-01-16'),
+        |sc AS (SELECT te.prev, te.next_type, m.predicted
+        |  FROM te LEFT JOIN model m ON m.prev = te.prev
+        |  WHERE te.next_type IS NOT NULL)
+        |SELECT prev, count(*)::BIGINT AS n_pairs,
+        |  sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_correct,
+        |  any_value(predicted) AS predicted,
+        |  round(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+        |    ::DOUBLE / count(*), 6) AS accuracy
+        |FROM sc GROUP BY 1 ORDER BY prev""".stripMargin,
+
+    // Newman r over directed edges: exact decimal sums, one closing
+    // double chain written identically
+    "q325_degree_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u AS src, v AS dst FROM e0
+        |        UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym
+        |  GROUP BY 1),
+        |xy AS (SELECT dx.deg AS x, dy.deg AS y
+        |  FROM sym JOIN deg dx ON dx.node = sym.src
+        |  JOIN deg dy ON dy.node = sym.dst),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x::DECIMAL(19,0)) AS sx, sum(y::DECIMAL(19,0)) AS sy,
+        |    sum(x::DECIMAL(19,0) * y::DECIMAL(19,0)) AS sxy,
+        |    sum(x::DECIMAL(19,0) * x::DECIMAL(19,0)) AS sxx,
+        |    sum(y::DECIMAL(19,0) * y::DECIMAL(19,0)) AS syy
+        |  FROM xy)
+        |SELECT n,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    / sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE), 6)
+        |    AS assortativity
+        |FROM s""".stripMargin,
 
     // z from exact counts, the closing expression written identically
     "q315_two_proportion_z" ->

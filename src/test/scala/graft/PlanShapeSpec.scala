@@ -261,6 +261,10 @@ class PlanShapeSpec extends SparkSpec {
       // q317 crosses the per-order span frame with the single-row
       // corpus horizon (max order date) for the censoring bound
       "q317_reorder_survival",
+      // q322 crosses the 10-row decile frame with the single-row
+      // grand total (the q06 share shape); q321 crosses the two
+      // 25-row nation coordinate frames (bounded dimension grid)
+      "q322_lorenz_deciles", "q321_nearest_nation",
       // q231's build side is the single-row count-min grid (one
       // array<bigint> of depth*width) broadcast onto the topN winners
       "q231_cms_heavy_hitters",
