@@ -434,6 +434,112 @@ object Round11 {
         Tables.eventsTyped(s, dir), "user_id", col("ts"), col("value"))
         .orderBy(col("user_id")).limit(50)),
 
+    // CHANGEPOINT split (binary-segmentation step 1): the day k
+    // maximizing the CUSUM deviation of the daily order-count series,
+    // on the integer lattice — T_k = n*prefix_k - k*total is exact
+    // BIGINT, argmax ties break on the earlier day; before/after
+    // means close with one division each. Windows run over the
+    // |days| aggregate only.
+    "q326_changepoint_split" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wAsc = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val t = daily
+        .withColumn("k", row_number().over(Window.orderBy(col("day").asc)))
+        .withColumn("pref", sum(col("x")).over(wAsc))
+        .crossJoin(broadcast(daily.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("tot"))))
+        .withColumn("t_k", col("n") * col("pref") - col("k") * col("tot"))
+      t.filter(col("k") < col("n"))   // a split needs both sides non-empty
+        .withColumn("__r", row_number().over(Window.orderBy(
+          abs(col("t_k")).desc, col("day").asc)))
+        .filter(col("__r") === 1)
+        .select(unix_micros(col("day").cast("timestamp"))
+            .as("split_day_us"),
+          col("k").cast("long").as("n_days_before"),
+          (col("n") - col("k")).as("n_days_after"), col("t_k"),
+          round(col("pref").cast("double") / col("k"), 6)
+            .as("mean_before"),
+          round((col("tot") - col("pref")).cast("double") /
+            (col("n") - col("k")), 6).as("mean_after"))
+    }),
+
+    // READABILITY profile per source (Flesch reading ease from EXACT
+    // integer totals): words = whitespace tokens, sentences =
+    // [.!?]+ runs floored at 1, syllables = vowel-group runs — the
+    // standard heuristic proxies, all three regexp_count aggregates,
+    // with the 206.835 - 1.015*(W/S) - 84.6*(Syl/W) closing chain
+    // written identically on both engines from the summed integers.
+    "q327_readability_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"),
+          (regexp_count(trim(col("text")), lit("\\s+")) + 1).as("w"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .as("s"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).as("syl"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+          sum(col("s")).as("sentences"), sum(col("syl")).as("syllables"))
+        .withColumn("flesch", round(lit(206.835) -
+          lit(1.015) * col("words").cast("double") /
+            col("sentences").cast("double") -
+          lit(84.6) * col("syllables").cast("double") /
+            col("words").cast("double"), 4))
+        .orderBy(col("source"))
+    }),
+
+    // ENTITY RESOLUTION end to end: the q311 edit-distance pairs
+    // close transitively into entity groups (connected components,
+    // the q64 pointer-jumping machinery) with the canonical member =
+    // min id — fuzzy-pairs -> entities is the step record linkage
+    // actually ships. The oracle replays CC as a recursive
+    // reachability CTE over the same levenshtein pair set.
+    "q328_entity_groups" -> ((s, dir) => {
+      val ents = Tables.part(s, dir).groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("part_id"))
+      val pairs = etlmudah.joins.Joins.editLinkPairs(
+        ents, "part_id", "p_name", maxDist = 3)
+      etlmudah.scale.Dedup.dupClusters(
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("doc_id").as("part_id"), col("cluster_id"),
+          col("cluster_size"))
+        .join(ents.select(col("part_id").as("cluster_id"),
+          col("p_name").as("canonical_name")), Seq("cluster_id"))
+        .select(col("part_id"), col("cluster_id"), col("cluster_size"),
+          col("canonical_name"))
+        .orderBy(col("part_id"))
+    }),
+
+    // POINT-IN-TIME lookup against the SCD2 history (the warehouse
+    // read path q74's build exists for): deterministic probe times
+    // (each user's mid-corpus instants) resolve to the version valid
+    // AT that instant — from_us <= t < coalesce(to_us, inf), the
+    // half-open validity convention scd2History writes.
+    "q329_point_in_time_lookup" -> ((s, dir) => {
+      val hist = etlmudah.load.Upsert.scd2History(
+          Tables.eventsTyped(s, dir).filter(col("user_id") < 5),
+          "user_id", "ts", Seq("event_type"))
+        .select(col("user_id").as("h_uid"), col("event_type"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"))
+      val probes = Tables.eventsTyped(s, dir)
+        .filter(col("user_id") < 5)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("__mn"),
+          max(unix_micros(col("ts"))).as("__mx"))
+        .select(col("user_id"),
+          expr("(__mn + __mx) div 2").as("probe_us"))
+      probes.join(hist, col("user_id") === col("h_uid") &&
+          col("probe_us") >= col("from_us") &&
+          (col("to_us").isNull || col("probe_us") < col("to_us")))
+        .select(col("user_id"), col("probe_us"), col("event_type"),
+          col("from_us"), col("to_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // GEO nearest-neighbor over the nation dimension: closed-form
     // synthetic coordinates (the fakeUrl discipline for geography),
     // haversine distance as one codegen'd trig chain, nearest by
@@ -1119,6 +1225,96 @@ object Round11 {
         |  round(area::DOUBLE / span_us::DOUBLE, 6) AS twap
         |FROM agg WHERE span_us > 0
         |ORDER BY user_id LIMIT 50""".stripMargin,
+
+    // CUSUM argmax on the integer lattice; ties to the earlier day
+    "q326_changepoint_split" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    count(*)::BIGINT AS x FROM orders GROUP BY 1),
+        |t AS (SELECT day,
+        |    row_number() OVER (ORDER BY day ASC) AS k,
+        |    sum(x) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING)
+        |      ::BIGINT AS pref
+        |  FROM daily),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS tot
+        |  FROM daily),
+        |s AS (SELECT day, k, pref, n, tot,
+        |    n * pref - k * tot AS t_k FROM t CROSS JOIN m
+        |  WHERE k < n)
+        |SELECT epoch_us(day::TIMESTAMP) AS split_day_us,
+        |  k::BIGINT AS n_days_before,
+        |  (n - k)::BIGINT AS n_days_after, t_k,
+        |  round(pref::DOUBLE / k, 6) AS mean_before,
+        |  round((tot - pref)::DOUBLE / (n - k), 6) AS mean_after
+        |FROM (SELECT *, row_number() OVER (ORDER BY abs(t_k) DESC,
+        |    day ASC) AS r FROM s)
+        |WHERE r = 1""".stripMargin,
+
+    // three integer proxies summed per source, one closing chain
+    "q327_readability_by_source" ->
+      """WITH d AS (SELECT source,
+        |    (len(regexp_extract_all(trim(text), '\s+')) + 1)::BIGINT
+        |      AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+        |      AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+        |      AS syl
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(*) AS n_docs, sum(w)::BIGINT AS words,
+        |  sum(s)::BIGINT AS sentences, sum(syl)::BIGINT AS syllables,
+        |  round(206.835 - 1.015 * sum(w)::DOUBLE / sum(s)::DOUBLE
+        |    - 84.6 * sum(syl)::DOUBLE / sum(w)::DOUBLE, 4) AS flesch
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // the q311 pair set closed transitively by a recursive
+    // reachability CTE (the q64 discipline); canonical = min id
+    "q328_entity_groups" ->
+      """WITH RECURSIVE ent AS (SELECT min(p_partkey) AS id,
+        |    p_name AS name FROM part GROUP BY p_name),
+        |k AS (SELECT id, name, string_split(name, ' ')[1] AS block
+        |  FROM ent),
+        |ok AS (SELECT block FROM k GROUP BY block
+        |       HAVING count(*) <= 10000),
+        |sblk AS (SELECT k.* FROM k JOIN ok USING (block)),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sblk a JOIN sblk b ON a.block = b.block AND a.id < b.id
+        |  WHERE abs(len(a.name) - len(b.name)) <= 3
+        |    AND levenshtein(a.name, b.name) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id AS n, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.n, e.dst FROM reach JOIN edges e
+        |    ON e.src = reach.r),
+        |cc AS (SELECT n AS part_id, min(r) AS cluster_id FROM reach
+        |  GROUP BY n)
+        |SELECT cc.part_id, cc.cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  e.name AS canonical_name
+        |FROM cc JOIN ent e ON e.id = cc.cluster_id
+        |ORDER BY cc.part_id""".stripMargin,
+
+    // SCD2 build replayed (the q74 lag/lead construction) + the
+    // half-open as-of probe
+    "q329_point_in_time_lookup" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id < 5),
+        |marked AS (SELECT user_id, event_type, us,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |      OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |hist0 AS (SELECT user_id, event_type, us AS from_us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us) AS to_us
+        |  FROM marked WHERE chg = 1),
+        |probes AS (SELECT user_id,
+        |    (min(us) + max(us)) // 2 AS probe_us
+        |  FROM ev GROUP BY 1)
+        |SELECT p.user_id, p.probe_us, h.event_type, h.from_us, h.to_us
+        |FROM probes p JOIN hist0 h ON h.user_id = p.user_id
+        |  AND p.probe_us >= h.from_us
+        |  AND (h.to_us IS NULL OR p.probe_us < h.to_us)
+        |ORDER BY p.user_id""".stripMargin,
 
     // haversine replayed verbatim; 3dp km rounding absorbs libm ulps
     "q321_nearest_nation" ->

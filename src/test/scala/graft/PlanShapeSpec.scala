@@ -265,6 +265,9 @@ class PlanShapeSpec extends SparkSpec {
       // grand total (the q06 share shape); q321 crosses the two
       // 25-row nation coordinate frames (bounded dimension grid)
       "q322_lorenz_deciles", "q321_nearest_nation",
+      // q326 crosses the |days| daily aggregate with the single-row
+      // (n, total) frame for the exact CUSUM lattice
+      "q326_changepoint_split",
       // q231's build side is the single-row count-min grid (one
       // array<bigint> of depth*width) broadcast onto the topN winners
       "q231_cms_heavy_hitters",
