@@ -434,6 +434,120 @@ object Round11 {
         Tables.eventsTyped(s, dir), "user_id", col("ts"), col("value"))
         .orderBy(col("user_id")).limit(50)),
 
+    // CUPED variance reduction (Deng et al. 2013 — the standard
+    // experimentation adjustment): per-user pre-period value sum is
+    // the covariate, post-period sum the metric; theta = pooled
+    // cov(x,y)/var(x); adjusted arm mean = ybar_arm − theta*(xbar_arm
+    // − xbar). Every moment is an exact DECIMAL sum over the |users|
+    // frame ((19,6) casts keep cross-products on the int128 grid);
+    // theta / adjusted means / the rho^2 variance-reduction close in
+    // one double chain written identically on both engines.
+    "q330_cuped_adjustment" -> ((s, dir) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val per = Tables.eventsTyped(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts") < cut,
+            col("value").cast("decimal(18,6)"))),
+            lit(0).cast("decimal(18,6)")).as("x"),
+          coalesce(sum(when(col("ts") >= cut,
+            col("value").cast("decimal(18,6)"))),
+            lit(0).cast("decimal(18,6)")).as("y"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,6)")
+      val pooled = per.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d19(col("x")) * d19(col("y"))).as("sxy"),
+        sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+        sum(d19(col("y")) * d19(col("y"))).as("syy"))
+      val db = (name: String) => col(name).cast("double")
+      val theta = (db("n") * db("sxy") - db("sx") * db("sy")) /
+        (db("n") * db("sxx") - db("sx") * db("sx"))
+      val rho2 = (db("n") * db("sxy") - db("sx") * db("sy")) *
+        (db("n") * db("sxy") - db("sx") * db("sy")) /
+        ((db("n") * db("sxx") - db("sx") * db("sx")) *
+          (db("n") * db("syy") - db("sy") * db("sy")))
+      per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+        .crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n_users"),
+          round(db("ay") / db("n_users"), 6).as("mean_y"),
+          round(db("ay") / db("n_users") - theta *
+            (db("ax") / db("n_users") - db("sx") / db("n")), 6)
+            .as("adj_mean_y"),
+          round(theta, 6).as("theta"),
+          round(rho2, 6).as("var_reduction"))
+        .orderBy(col("arm"))
+    }),
+
+    // MANN–WHITNEY U (tie-corrected) — the rank-based two-sample test
+    // beside q254's KS and q249's Welch: URGENT vs LOW order values
+    // on the whole-dollar lattice. 2·U_a folds as an EXACT sum over
+    // the |distinct values| frame (each a-row beats every b strictly
+    // below + half the ties: na_v·(2·cumb_below + nb_v)); the tie
+    // term sum(t^3−t) is exact too; z closes in one chain.
+    "q331_mann_whitney_u" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select((col("o_orderpriority") === "1-URGENT").as("is_a"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+      val byV = o.groupBy(col("v")).agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na_v"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb_v"))
+      val w = Window.orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val agg = byV
+        .withColumn("cumb", coalesce(sum(col("nb_v")).over(w), lit(0L)))
+        .agg(
+          sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
+          sum(d(col("na_v")) *
+            (d(col("cumb")) * 2 + d(col("nb_v")))).as("u2_a"),
+          sum(d(col("na_v") + col("nb_v")) *
+            d(col("na_v") + col("nb_v")) *
+            d(col("na_v") + col("nb_v")) -
+            d(col("na_v") + col("nb_v"))).as("tie_t3"))
+      val db = (name: String) => col(name).cast("double")
+      agg.select(col("n_a"), col("n_b"),
+        // exact decimal fold, BIGINT presentation (fits: 2U <= na*2N)
+        col("u2_a").cast("long").as("u2_a"),
+        round((db("u2_a") - db("n_a") * db("n_b")) /
+          (lit(2.0) * sqrt(db("n_a") * db("n_b") / 12.0 *
+            ((db("n_a") + db("n_b") + 1.0) - db("tie_t3") /
+              ((db("n_a") + db("n_b")) *
+                (db("n_a") + db("n_b") - 1.0))))), 6).as("z"))
+    }),
+
+    // GRAPH RECIPROCITY + density of the directed host link graph —
+    // the health stats a crawl-graph audit leads with (how mutual is
+    // the linking?). Distinct directed pairs; reciprocated = the
+    // reversed pair exists (one self-semi-join); density over
+    // n·(n−1). All exact integers, two closing divisions.
+    "q332_host_reciprocity" -> ((s, dir) => {
+      val e = SparkEntry.stagedHostEdges(s, dir)
+        .select(col("src_host"), col("dst_host")).distinct()
+        .filter(col("src_host") =!= col("dst_host"))
+        .localCheckpoint(true)
+      val recip = e.join(
+        e.select(col("dst_host").as("src_host"),
+          col("src_host").as("dst_host")),
+        Seq("src_host", "dst_host"), "left_semi")
+      val nodes = e.select(col("src_host").as("h"))
+        .unionByName(e.select(col("dst_host").as("h"))).distinct()
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+        .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_hosts"))))
+        .select(col("n_hosts"), col("n_edges"), col("n_recip"),
+          round(col("n_recip").cast("double") / col("n_edges"), 6)
+            .as("reciprocity"),
+          round(col("n_edges").cast("double") /
+            (col("n_hosts").cast("double") *
+              (col("n_hosts").cast("double") - 1.0)), 6).as("density"))
+    }),
+
     // CHANGEPOINT split (binary-segmentation step 1): the day k
     // maximizing the CUSUM deviation of the daily order-count series,
     // on the integer lattice — T_k = n*prefix_k - k*total is exact
@@ -1225,6 +1339,107 @@ object Round11 {
         |  round(area::DOUBLE / span_us::DOUBLE, 6) AS twap
         |FROM agg WHERE span_us > 0
         |ORDER BY user_id LIMIT 50""".stripMargin,
+
+    // CUPED replay: same per-user conditional decimal sums, pooled
+    // moments, and the identical closing chain
+    "q330_cuped_adjustment" ->
+      """WITH per AS (SELECT user_id,
+        |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,6)) END),
+        |      CAST(0 AS DECIMAL(18,6))) AS x,
+        |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,6)) END),
+        |      CAST(0 AS DECIMAL(18,6))) AS y,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS sxy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |      AS sxx,
+        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS syy
+        |  FROM per),
+        |a AS (SELECT arm, count(*)::BIGINT AS n_users, sum(x) AS ax,
+        |    sum(y) AS ay FROM per GROUP BY 1)
+        |SELECT arm, n_users,
+        |  round(ay::DOUBLE / n_users::DOUBLE, 6) AS mean_y,
+        |  round(ay::DOUBLE / n_users::DOUBLE -
+        |    ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |     (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) *
+        |    (ax::DOUBLE / n_users::DOUBLE - sx::DOUBLE / n::DOUBLE), 6)
+        |    AS adj_mean_y,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+        |    AS theta,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+        |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |     (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+        |    AS var_reduction
+        |FROM a CROSS JOIN p ORDER BY arm""".stripMargin,
+
+    // MW-U replay: same value lattice, strictly-below cumulative,
+    // exact 2U and tie sums, identical z chain
+    "q331_mann_whitney_u" ->
+      """WITH o AS (SELECT o_orderpriority = '1-URGENT' AS is_a,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |byv AS (SELECT v,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na_v,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS nb_v
+        |  FROM o GROUP BY 1),
+        |c AS (SELECT v, na_v, nb_v,
+        |    coalesce(sum(nb_v) OVER (ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM byv),
+        |s AS (SELECT sum(na_v)::BIGINT AS n_a, sum(nb_v)::BIGINT AS n_b,
+        |    sum(na_v::DECIMAL(19,0) *
+        |      (cumb::DECIMAL(19,0) * 2 + nb_v::DECIMAL(19,0))) AS u2_a,
+        |    sum((na_v + nb_v)::DECIMAL(19,0) *
+        |      (na_v + nb_v)::DECIMAL(19,0) *
+        |      (na_v + nb_v)::DECIMAL(19,0) -
+        |      (na_v + nb_v)::DECIMAL(19,0)) AS tie_t3
+        |  FROM c)
+        |SELECT n_a, n_b, u2_a::BIGINT AS u2_a,
+        |  round((u2_a::DOUBLE - n_a::DOUBLE * n_b::DOUBLE) /
+        |    (2.0 * sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0 *
+        |      ((n_a::DOUBLE + n_b::DOUBLE + 1.0) - tie_t3::DOUBLE /
+        |        ((n_a::DOUBLE + n_b::DOUBLE) *
+        |         (n_a::DOUBLE + n_b::DOUBLE - 1.0))))), 6) AS z
+        |FROM s""".stripMargin,
+
+    // reciprocity over the q222 edge CTEs (distinct directed pairs)
+    "q332_host_reciprocity" -> {
+      val host = (j: String) =>
+        s"['www.','blog.',''][(($j) % 3 + 1)::INT] || 'd' || " +
+          s"(($j) % 7)::VARCHAR || '.' || " +
+          s"['com','org','co.uk','com.my'][(($j) % 4 + 1)::INT]"
+      s"""WITH hh AS (SELECT doc_id,
+         |    ${host("doc_id")} AS hsrc,
+         |    ${host("doc_id + 1")} AS h1,
+         |    ${host("3 * doc_id + 5")} AS h2
+         |  FROM documents),
+         |le AS (SELECT hsrc AS src_host, h1 AS dst_host FROM hh
+         |       UNION ALL SELECT hsrc, h2 FROM hh),
+         |e AS (SELECT DISTINCT src_host, dst_host FROM le
+         |      WHERE src_host <> dst_host),
+         |r AS (SELECT count(*)::BIGINT AS n_recip FROM e a
+         |      WHERE EXISTS (SELECT 1 FROM e b
+         |        WHERE b.src_host = a.dst_host
+         |          AND b.dst_host = a.src_host)),
+         |nn AS (SELECT count(*)::BIGINT AS n_hosts FROM (
+         |    SELECT src_host AS h FROM e
+         |    UNION SELECT dst_host FROM e)),
+         |ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+         |SELECT n_hosts, n_edges, n_recip,
+         |  round(n_recip::DOUBLE / n_edges::DOUBLE, 6) AS reciprocity,
+         |  round(n_edges::DOUBLE /
+         |    (n_hosts::DOUBLE * (n_hosts::DOUBLE - 1.0)), 6) AS density
+         |FROM ne CROSS JOIN r CROSS JOIN nn""".stripMargin
+    },
 
     // CUSUM argmax on the integer lattice; ties to the earlier day
     "q326_changepoint_split" ->

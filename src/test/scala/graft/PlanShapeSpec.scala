@@ -268,6 +268,9 @@ class PlanShapeSpec extends SparkSpec {
       // q326 crosses the |days| daily aggregate with the single-row
       // (n, total) frame for the exact CUSUM lattice
       "q326_changepoint_split",
+      // q330/q332 cross bounded frames with single-row moment/count
+      // frames (pooled CUPED moments; edge/node/recip counts)
+      "q330_cuped_adjustment", "q332_host_reciprocity",
       // q231's build side is the single-row count-min grid (one
       // array<bigint> of depth*width) broadcast onto the topN winners
       "q231_cms_heavy_hitters",
