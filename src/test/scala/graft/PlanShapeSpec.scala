@@ -69,6 +69,31 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q302: Q20 decorrelation plans two semi-joins, the name prefix pushed to the part scan") {
+    val plan = planOf("q302_excess_stock_suppliers")
+    assert("LeftSemi".r.findAllIn(plan).length >= 2, plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    val part = scansOf("q302_excess_stock_suppliers")
+      .find(_.schema.fieldNames.contains("p_name")).get
+    assert(part.metadata("PushedFilters")
+      .contains("StringStartsWith(p_name,red)"),
+      part.metadata("PushedFilters"))
+  }
+
+  test("q304: PNG decode tier reads doc_id alone — blobs synthesize in the projection") {
+    assert(scansOf("q304_png_pixel_stats").forall(
+      _.schema.fieldNames.toSeq == Seq("doc_id")),
+      "documents scan must prune to doc_id")
+  }
+
+  test("q309: the k-core loop joins only by semi-join — the edge table never widens") {
+    val plan = planOf("q309_k_core")
+    assert(plan.contains("LeftSemi"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("q283: rendezvous placement is one scan + projection + aggregate — no join, no window") {
     val plan = planOf("q283_rendezvous_reshard")
     assert(!plan.contains("Join") && !plan.contains("Window"),
