@@ -49,6 +49,14 @@ import org.apache.spark.sql.functions._
   * Sizing: pick `numBuckets` so |base|/numBuckets is a comfortable
   * rewrite unit (a few GB); at 100 TB that is O(10^4–10^5) buckets,
   * far below any filesystem's directory-count comfort zone.
+  *
+  * Concurrency contract: ONE writer per base at a time (the standard
+  * contract of any non-transactional table layout — the streaming
+  * sink serializes via its checkpoint; batch callers serialize via
+  * their scheduler). Concurrent merges could interleave bucket
+  * renames; the manifest protocol only hardens the bucket-COUNT
+  * identity, not row-level isolation. Readers are safe at any point:
+  * every live bucket directory is always a complete parquet table.
   */
 object BucketedBase {
 

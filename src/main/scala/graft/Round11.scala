@@ -434,6 +434,41 @@ object Round11 {
         Tables.eventsTyped(s, dir), "user_id", col("ts"), col("value"))
         .orderBy(col("user_id")).limit(50)),
 
+    // DISTRIBUTION-FREE median CI (binomial order statistics, normal
+    // approximation) — the bootstrap-free sibling of q237: ranks
+    // l = max(1, floor((n − 1.96·√n)/2)) and
+    // u = min(n, ceil((n + 1.96·√n)/2) + 1) bracket the median at
+    // ~95%; the bracketing VALUES resolve on the whole-dollar lattice
+    // via the cumulative distinct-value frame (smallest v with
+    // cum ≥ rank). The rank chain is the only float math and is
+    // written identically on both engines; everything else is exact.
+    "q333_median_order_stat_ci" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.orders(s, dir)
+        .select(floor(col("o_totalprice")).cast("long").as("v"))
+      val byV = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("v").asc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val n = v.agg(count(lit(1)).as("n"))
+      val lo = greatest(lit(1L),
+        floor((col("n") - lit(1.96) * sqrt(col("n"))) / 2).cast("long"))
+      val hi = least(col("n"),
+        (ceil((col("n") + lit(1.96) * sqrt(col("n"))) / 2) + 1)
+          .cast("long"))
+      byV.crossJoin(broadcast(n.select(col("n"), lo.as("lo_rank"),
+          hi.as("hi_rank"))))
+        .agg(first(col("n")).as("n"),
+          first(col("lo_rank")).as("lo_rank"),
+          first(col("hi_rank")).as("hi_rank"),
+          min(when(col("cum") >= col("lo_rank"), col("v"))).as("ci_lo"),
+          min(when(col("cum") >= col("hi_rank"), col("v"))).as("ci_hi"))
+        .crossJoin(broadcast(Tables.orders(s, dir)
+          .agg(percentile(col("o_totalprice"), lit(0.5)).as("median"))))
+        .select(col("n"), col("lo_rank"), col("hi_rank"),
+          round(col("median"), 4).as("median"), col("ci_lo"), col("ci_hi"))
+    }),
+
     // CUPED variance reduction (Deng et al. 2013 — the standard
     // experimentation adjustment): per-user pre-period value sum is
     // the covariate, post-period sum the metric; theta = pooled
@@ -1339,6 +1374,30 @@ object Round11 {
         |  round(area::DOUBLE / span_us::DOUBLE, 6) AS twap
         |FROM agg WHERE span_us > 0
         |ORDER BY user_id LIMIT 50""".stripMargin,
+
+    // order-stat CI replay: same rank chain, same lattice cumulative
+    "q333_median_order_stat_ci" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders),
+        |byv AS (SELECT v, count(*)::BIGINT AS c FROM v GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v ASC
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM byv),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        |rk AS (SELECT n,
+        |    greatest(1, CAST(floor((n - 1.96 * sqrt(n)) / 2) AS BIGINT))
+        |      AS lo_rank,
+        |    least(n, CAST(ceil((n + 1.96 * sqrt(n)) / 2) AS BIGINT) + 1)
+        |      AS hi_rank
+        |  FROM nn),
+        |ci AS (SELECT rk.n, rk.lo_rank, rk.hi_rank,
+        |    min(CASE WHEN cum >= lo_rank THEN v END) AS ci_lo,
+        |    min(CASE WHEN cum >= hi_rank THEN v END) AS ci_hi
+        |  FROM cum CROSS JOIN rk GROUP BY 1, 2, 3),
+        |md AS (SELECT quantile_cont(o_totalprice, 0.5) AS median
+        |  FROM orders)
+        |SELECT n, lo_rank, hi_rank, round(median, 4) AS median,
+        |  ci_lo, ci_hi
+        |FROM ci CROSS JOIN md""".stripMargin,
 
     // CUPED replay: same per-user conditional decimal sums, pooled
     // moments, and the identical closing chain

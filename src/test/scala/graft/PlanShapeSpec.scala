@@ -296,6 +296,9 @@ class PlanShapeSpec extends SparkSpec {
       // q330/q332 cross bounded frames with single-row moment/count
       // frames (pooled CUPED moments; edge/node/recip counts)
       "q330_cuped_adjustment", "q332_host_reciprocity",
+      // q333 crosses the distinct-value lattice frame with the
+      // single-row rank frame, then the single-row exact median
+      "q333_median_order_stat_ci",
       // q231's build side is the single-row count-min grid (one
       // array<bigint> of depth*width) broadcast onto the topN winners
       "q231_cms_heavy_hitters",
