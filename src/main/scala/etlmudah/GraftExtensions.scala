@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -97,6 +97,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_wav_features(media, thresh[, maxSamples])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_avi_meta"),
+      new ExpressionInfo(classOf[AviMeta].getName, "graft_avi_meta"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => AviMeta(c)
+        case Seq(c, m) if m.foldable =>
+          AviMeta(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_avi_meta(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_avi_frame_stats"),
+      new ExpressionInfo(classOf[AviFrameStats].getName,
+        "graft_avi_frame_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, k) => AviFrameStats(c, k)
+        case Seq(c, k, m) if m.foldable =>
+          AviFrameStats(c, k, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_avi_frame_stats(media, frameIdx[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_avi_frame_ahash"),
+      new ExpressionInfo(classOf[AviFrameAHash].getName,
+        "graft_avi_frame_ahash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, k) => AviFrameAHash(c, k)
+        case Seq(c, k, m) if m.foldable =>
+          AviFrameAHash(c, k, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_avi_frame_ahash(media, frameIdx[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_avi"),
+      new ExpressionInfo(classOf[FakeAvi].getName, "graft_fake_avi"),
+      (children: Seq[Expression]) =>
+        FakeAvi(children.head, children(1), children(2), children(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_png_stats"),
       new ExpressionInfo(classOf[PngPixelStats].getName, "graft_png_stats"),

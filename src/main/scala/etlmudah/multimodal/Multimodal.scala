@@ -397,6 +397,39 @@ object Multimodal {
     call_function("graft_fake_bmp24", seed.cast("long"),
       width.cast("long"), height.cast("long"))
 
+  /** AVI container metadata for the uncompressed 'vids'/DIB family
+    * (native `graft_avi_meta`; see [[etlmudah.expr.AviFn]] for the
+    * exact accept/null contract): struct(width, height, n_frames,
+    * us_per_frame). */
+  def aviMeta(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_avi_meta", media, lit(maxPixels))
+
+  /** REAL per-frame pixel statistics of an uncompressed AVI — the
+    * FRAME-SAMPLE leg of the multimodal tier (native
+    * `graft_avi_frame_stats`): frame bodies are BMP pixel arrays, so
+    * the schema and channel order match [[bmpPixelStats]]. */
+  def aviFrameStats(media: Column, frameIdx: Column,
+                    maxPixels: Int = 4096): Column =
+    call_function("graft_avi_frame_stats", media,
+      frameIdx.cast("long"), lit(maxPixels))
+
+  /** Per-frame perceptual hash — same grid/packing/orientation
+    * convention as [[bmpAHash]]/[[pngAHash]], so a picture hashes
+    * identically as a BMP, a PNG, or an AVI frame (native
+    * `graft_avi_frame_ahash`). */
+  def aviFrameAHash(media: Column, frameIdx: Column,
+                    maxPixels: Int = 4096): Column =
+    call_function("graft_avi_frame_ahash", media,
+      frameIdx.cast("long"), lit(maxPixels))
+
+  /** Synthesize a COMPLETE uncompressed AVI whose frame k carries the
+    * pixels of `fakeBmp24(seed + k, w, h)` (native `graft_fake_avi`;
+    * see [[etlmudah.expr.AviFn.synth]]). */
+  def fakeAvi(seed: Column, width: Column, height: Column,
+              nFrames: Column): Column =
+    call_function("graft_fake_avi", seed.cast("long"),
+      width.cast("long"), height.cast("long"), nFrames.cast("long"))
+
   /** REAL PNG pixel statistics — non-interlaced 8-bit truecolor
     * decode via JDK Inflater + RFC 2083 filter reversal (native
     * `graft_png_stats`; see [[etlmudah.expr.PngFn]] for the exact

@@ -434,6 +434,69 @@ object Round11 {
         Tables.eventsTyped(s, dir), "user_id", col("ts"), col("value"))
         .orderBy(col("user_id")).limit(50)),
 
+    // VIDEO FRAME SAMPLING on real bytes — the last multimodal verb:
+    // per doc a synthetic uncompressed AVI (RIFF 'vids'/DIB, 24bpp
+    // BI_RGB frames — real container, real pixel payload) is sampled
+    // UNIFORMLY (frame j·n div 3 for j = 0,1,2 — the standard k-of-n
+    // plan) and each sampled frame's pixel statistics aggregate per
+    // dimension class. Every 7th blob truncates to prove partial
+    // videos null whole, never a partial statistic. Frame k's pixels
+    // are the shifted-seed BMP closed form, so the oracle replays the
+    // whole pipeline over a (doc x sample x row x col) grid — never
+    // parsing a byte.
+    "q334_video_frame_sample" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 4 + 1).cast("int")
+      val hg = (id % 3 + 1).cast("int")
+      val nf = (id % 5 + 2)
+      val blob = Multimodal.fakeAvi(id, wg, hg, nf)
+      val maimed = when(id % 7 === 0, substring(blob, 1, 60)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(id, wg.as("w"), hg.as("h"), maimed.as("avi"))
+        .select(col("w"), col("h"), col("doc_id"),
+          explode(sequence(lit(0L), lit(2L))).as("j"), col("avi"))
+        .select(col("w"), col("h"),
+          Multimodal.aviFrameStats(col("avi"),
+            expr("j * (doc_id % 5 + 2) div 3")).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_samples"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"))
+        .orderBy(col("w"), col("h"))
+    }),
+
+    // CROSS-CONTAINER image dedup: q227's planted pairs rendered
+    // through THREE containers by doc_id % 3 — 24bpp BMP, truecolor
+    // PNG, or frame 0 of a single-frame uncompressed AVI. One visual
+    // hash convention across all three, so the dedup-group histogram
+    // must land exactly on q227's oracle (the q203 discipline, now
+    // across image AND video containers).
+    "q335_cross_container_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 2")
+      val wg = (seed % 4 + 1).cast("int")
+      val hg = (seed % 3 + 1).cast("int")
+      val ah = when(col("doc_id") % 3 === 0,
+        Multimodal.bmpAHash(Multimodal.fakeBmp24(seed, wg, hg)))
+        .when(col("doc_id") % 3 === 1,
+          Multimodal.pngAHash(Multimodal.fakePng24(seed, wg, hg)))
+        .otherwise(Multimodal.aviFrameAHash(
+          Multimodal.fakeAvi(seed, wg, hg, lit(1)), lit(0)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    }),
+
     // DISTRIBUTION-FREE median CI (binomial order statistics, normal
     // approximation) — the bootstrap-free sibling of q237: ranks
     // l = max(1, floor((n − 1.96·√n)/2)) and
@@ -1374,6 +1437,73 @@ object Round11 {
         |  round(area::DOUBLE / span_us::DOUBLE, 6) AS twap
         |FROM agg WHERE span_us > 0
         |ORDER BY user_id LIMIT 50""".stripMargin,
+
+    // frame-sample replay: sampled index j*(n) div 3, shifted-seed
+    // pixel rule over the (doc x sample x row x col) grid; %7 maim
+    "q334_video_frame_sample" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 4 + 1)::INT AS w,
+        |    (doc_id % 3 + 1)::INT AS h, (doc_id % 5 + 2) AS nf
+        |  FROM documents),
+        |sks AS (SELECT DISTINCT d.doc_id, d.w, d.h,
+        |    (d.doc_id + (j.j * d.nf) // 3) AS sk
+        |  FROM d, range(0, 3) j(j) WHERE d.doc_id % 7 <> 0),
+        |px AS (SELECT k.doc_id, k.w, k.h, k.sk,
+        |    k.sk * 7 + fr.fr * 3 + c.c AS bb,
+        |    k.sk * 11 + fr.fr * 5 + c.c * 2 AS gg,
+        |    k.sk * 13 + fr.fr * 7 + c.c * 3 AS rr
+        |  FROM sks k, range(0, 3) fr(fr), range(0, 4) c(c)
+        |  WHERE fr.fr < k.h AND c.c < k.w),
+        |st AS (SELECT doc_id, w, h, sk, count(*)::BIGINT AS n_px,
+        |    min(bb % 256)::INT AS b_min, max(bb % 256)::INT AS b_max,
+        |    sum(bb % 256)::BIGINT AS b_sum,
+        |    min(gg % 256)::INT AS g_min, max(gg % 256)::INT AS g_max,
+        |    sum(gg % 256)::BIGINT AS g_sum,
+        |    min(rr % 256)::INT AS r_min, max(rr % 256)::INT AS r_max,
+        |    sum(rr % 256)::BIGINT AS r_sum
+        |  FROM px GROUP BY doc_id, w, h, sk),
+        |samples AS (SELECT d.doc_id, d.w, d.h,
+        |    (d.doc_id + (j.j * d.nf) // 3) AS sk
+        |  FROM d, range(0, 3) j(j))
+        |SELECT s.w, s.h, count(*) AS n_samples,
+        |  count(st.n_px)::BIGINT AS n_decoded,
+        |  sum(st.n_px)::BIGINT AS n_px,
+        |  min(st.b_min) AS b_min, max(st.b_max) AS b_max,
+        |  sum(st.b_sum)::BIGINT AS b_sum,
+        |  min(st.g_min) AS g_min, max(st.g_max) AS g_max,
+        |  sum(st.g_sum)::BIGINT AS g_sum,
+        |  min(st.r_min) AS r_min, max(st.r_max) AS r_max,
+        |  sum(st.r_sum)::BIGINT AS r_sum
+        |FROM samples s LEFT JOIN st
+        |  ON st.doc_id = s.doc_id AND st.sk = s.sk
+        |GROUP BY s.w, s.h ORDER BY s.w, s.h""".stripMargin,
+
+    // q227's oracle verbatim a second time: three containers, one
+    // histogram (the q305 discipline extended to video)
+    "q335_cross_container_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 2 AS seed FROM documents),
+        |dd AS (SELECT DISTINCT seed, (seed % 4 + 1) AS w,
+        |    (seed % 3 + 1) AS h FROM d),
+        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
+        |    (dd.seed*7 + ((gi.i*dd.h)//8)*3 + ((gj.j*dd.w)//8)) % 256
+        |  + (dd.seed*11 + ((gi.i*dd.h)//8)*5 + ((gj.j*dd.w)//8)*2) % 256
+        |  + (dd.seed*13 + ((gi.i*dd.h)//8)*7 + ((gj.j*dd.w)//8)*3) % 256
+        |    AS s
+        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
+        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
+        |hw AS (SELECT px.seed,
+        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
+        |      ELSE 0 END)::BIGINT AS h0,
+        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
+        |      ELSE 0 END)::BIGINT AS h1
+        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
+        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
+        |grp AS (SELECT h0, h1, count(*) AS group_size
+        |  FROM doc GROUP BY h0, h1)
+        |SELECT group_size, count(*) AS n_groups,
+        |  sum(group_size)::BIGINT AS n_docs
+        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
 
     // order-stat CI replay: same rank chain, same lattice cumulative
     "q333_median_order_stat_ci" ->
