@@ -99,7 +99,10 @@ object AviFn {
     }
     if (w <= 0L || h <= 0L || nFrames <= 0L || usPf <= 0L ||
       !vidsOk || !strfOk || moviOff < 0L) return null
-    if (w * h > maxPixels) return null
+    // gate each dim BEFORE the multiply: w/h are le32 Longs (to
+    // 2^32-1) and w*h can overflow Long negative, bypassing the cap
+    // (stride/frameBytes then wrap and the frame loops mis-index)
+    if (w > maxPixels || h > maxPixels || w * h > maxPixels) return null
     // verify the movi chunk ladder: exactly nFrames '00db' frames of
     // exactly stride*h bytes each
     val stride = (w * 3 + 3) / 4 * 4

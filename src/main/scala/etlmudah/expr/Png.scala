@@ -95,7 +95,11 @@ object PngFn {
         val bitDepth = u8(d + 8); val colorType = u8(d + 9)
         val comp = u8(d + 10); val filt = u8(d + 11)
         val interlace = u8(d + 12)
-        if (ww < 1L || hh < 1L || ww * hh > maxPixels ||
+        // gate each dim BEFORE the multiply: ww/hh are unsigned-32
+        // Longs (to 2^32-1) and ww*hh can overflow Long negative,
+        // bypassing the pixel cap (then rowBytes*h Int math wraps)
+        if (ww < 1L || hh < 1L ||
+          ww > maxPixels || hh > maxPixels || ww * hh > maxPixels ||
           bitDepth != 8 || colorType != 2 || comp != 0 || filt != 0 ||
           interlace != 0) return null
         w = ww.toInt; h = hh.toInt

@@ -1162,7 +1162,16 @@ object Streaming {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(partialsPath)
-          if (batchId > 0 && batchId % compactEvery == 0) {
+          // an all-late (or empty) first batch writes ZERO partition
+          // dirs under dynamic overwrite — reading the bare directory
+          // back would fail schema inference and wedge the stream on
+          // every restart (same empty batch re-delivered, same crash).
+          // Data exists iff at least one batch_id=... partition does.
+          val pHadoop = new org.apache.hadoop.fs.Path(partialsPath)
+          val partialsHasData = fs.exists(pHadoop) &&
+            fs.listStatus(pHadoop).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+          if (partialsHasData && batchId > 0 && batchId % compactEvery == 0) {
             val compacted = spark.read.parquet(partialsPath)
               .withColumn("batch_id",
                 greatest(col("batch_id"), lit(batchId - 1)))
@@ -1176,15 +1185,17 @@ object Streaming {
               compacted.write.mode("overwrite")
                 .partitionBy("batch_id").parquet(tmp))
           }
-          val report = spark.read.parquet(partialsPath)
-            .groupBy(col("__hr"), col("event_type"))
-            .agg(sum(col("cnt")).as("cnt"),
-              round(sum(col("value_sum")), 2).as("sum_value"))
-            .select((col("__hr") * 3600000000L).as("hour_us"),
-              col("event_type"), col("cnt"), col("sum_value"))
-          recoverSwap(fs, countsPath)
-          swapIn(fs, countsPath)(tmp =>
-            report.write.mode("overwrite").parquet(tmp))
+          if (partialsHasData) {
+            val report = spark.read.parquet(partialsPath)
+              .groupBy(col("__hr"), col("event_type"))
+              .agg(sum(col("cnt")).as("cnt"),
+                round(sum(col("value_sum")), 2).as("sum_value"))
+              .select((col("__hr") * 3600000000L).as("hour_us"),
+                col("event_type"), col("cnt"), col("sum_value"))
+            recoverSwap(fs, countsPath)
+            swapIn(fs, countsPath)(tmp =>
+              report.write.mode("overwrite").parquet(tmp))
+          }
           // monotone watermark advance LAST: a crash before this point
           // replays the batch against the same watermark it first saw
           val mx = b.agg(max(col("__us"))).collect()(0)

@@ -537,7 +537,11 @@ object Round11 {
     // the covariate, post-period sum the metric; theta = pooled
     // cov(x,y)/var(x); adjusted arm mean = ybar_arm − theta*(xbar_arm
     // − xbar). Every moment is an exact DECIMAL sum over the |users|
-    // frame ((19,6) casts keep cross-products on the int128 grid);
+    // frame ((19,6)x(18,6) products are (38,12) — exact at Spark's
+    // 38-digit cap; (19,6)x(19,6) needs 39 so Spark rounds the scale
+    // to 11 while DuckDB keeps 12, and (18,6)x(18,6) overflows
+    // DuckDB's int64 physical path — the asymmetric cast is the one
+    // shape exact on BOTH engines);
     // theta / adjusted means / the rho^2 variance-reduction close in
     // one double chain written identically on both engines.
     "q330_cuped_adjustment" -> ((s, dir) => {
@@ -554,11 +558,12 @@ object Round11 {
         .withColumn("arm",
           when(col("user_id") % 2 === 0, "A").otherwise("B"))
       val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,6)")
+      val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,6)")
       val pooled = per.agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(d19(col("x")) * d19(col("y"))).as("sxy"),
-        sum(d19(col("x")) * d19(col("x"))).as("sxx"),
-        sum(d19(col("y")) * d19(col("y"))).as("syy"))
+        sum(d19(col("x")) * d18(col("y"))).as("sxy"),
+        sum(d19(col("x")) * d18(col("x"))).as("sxx"),
+        sum(d19(col("y")) * d18(col("y"))).as("syy"))
       val db = (name: String) => col(name).cast("double")
       val theta = (db("n") * db("sxy") - db("sx") * db("sy")) /
         (db("n") * db("sxx") - db("sx") * db("sx"))
@@ -1542,11 +1547,11 @@ object Round11 {
         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
         |  FROM events GROUP BY user_id),
         |p AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(18,6)))
         |      AS sxy,
-        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(18,6)))
         |      AS sxx,
-        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(18,6)))
         |      AS syy
         |  FROM per),
         |a AS (SELECT arm, count(*)::BIGINT AS n_users, sum(x) AS ax,

@@ -75,6 +75,27 @@ class AviSpec extends SparkSpec {
     // oversize gate before any frame walk
     assert(AviFn.meta(AviFn.synth(1L, 10, 10, 1), 99) == null)
     assert(AviFn.meta(AviFn.synth(1L, 10, 10, 1), 100) != null)
+    // unsigned-32 dims whose Long product overflows negative: patch
+    // avih AND strf to the same huge dims (so the strf cross-check
+    // passes and the DIMENSION gate is what must reject) — must null,
+    // never wrap stride/frameBytes into mis-indexed frame walks
+    def withDims(wv: Long, hv: Long): Array[Byte] = {
+      val b = good.clone()
+      val av = find(b, "avih"); val sf = find(b, "strf")
+      var i = 0
+      while (i < 4) {
+        b(av + 8 + 32 + i) = ((wv >> (8 * i)) & 0xFF).toByte
+        b(av + 8 + 36 + i) = ((hv >> (8 * i)) & 0xFF).toByte
+        b(sf + 8 + 4 + i) = ((wv >> (8 * i)) & 0xFF).toByte
+        b(sf + 8 + 8 + i) = ((hv >> (8 * i)) & 0xFF).toByte
+        i += 1
+      }
+      b
+    }
+    assert(AviFn.meta(withDims(0xFFFFFFFFL, 0xFFFFFFFFL), 4096) == null)
+    assert(AviFn.meta(withDims(0x80000000L, 0x80000000L), 4096) == null)
+    assert(AviFn.meta(withDims(0xFFFFFFFFL, 1L), 4096) == null)
+    assert(AviFn.meta(withDims(1L, 0xFFFFFFFFL), 4096) == null)
     assert(AviFn.meta(Array.emptyByteArray, 4096) == null)
   }
 

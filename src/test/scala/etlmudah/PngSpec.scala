@@ -104,6 +104,31 @@ class PngSpec extends SparkSpec {
     // oversized: maxPixels gate fires before any inflate
     assert(PngFn.stats(PngFn.synth(1L, 10, 10), 99) == null)
     assert(PngFn.stats(PngFn.synth(1L, 10, 10), 100) != null)
+    // unsigned-32 dims whose Long product overflows negative (CRC
+    // fixed so the DIMENSION gate is what rejects, not the checksum):
+    // must null, never wrap into a negative-size allocation
+    def withIhdrDims(ww: Long, hh: Long): Array[Byte] = {
+      val b = good.clone()
+      var i = 0
+      while (i < 4) {
+        b(16 + i) = ((ww >> (24 - 8 * i)) & 0xFF).toByte
+        b(20 + i) = ((hh >> (24 - 8 * i)) & 0xFF).toByte
+        i += 1
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 4 + 13)
+      val cv = crc.getValue
+      i = 0
+      while (i < 4) {
+        b(8 + 8 + 13 + i) = ((cv >> (24 - 8 * i)) & 0xFF).toByte
+        i += 1
+      }
+      b
+    }
+    assert(PngFn.stats(withIhdrDims(0xFFFFFFFFL, 0xFFFFFFFFL), 4096) == null)
+    assert(PngFn.stats(withIhdrDims(0x80000000L, 0x80000000L), 4096) == null)
+    assert(PngFn.stats(withIhdrDims(0xFFFFFFFFL, 1L), 4096) == null)
+    assert(PngFn.stats(withIhdrDims(1L, 0xFFFFFFFFL), 4096) == null)
     // garbage
     assert(PngFn.stats(Array.fill[Byte](64)(0x42), 4096) == null)
     assert(PngFn.stats(Array.emptyByteArray, 4096) == null)

@@ -1405,4 +1405,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/counts2")
       .orderBy("hour_us", "event_type").collect().toSeq == expected)
   }
+
+  test("latenessAuditSink: an EMPTY first micro-batch is a no-op, not a wedge") {
+    // an empty batch writes ZERO partition dirs under dynamic
+    // overwrite; reading the bare partials dir back used to fail
+    // schema inference and crash the stream on every restart (the
+    // same empty batch re-delivered forever)
+    import spark.implicits._
+    val out = Files.createTempDirectory("stream_late_empty").toString
+    val src = s"$out/src"
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def frame(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    stageParquet(frame(Seq.empty), src, "f0.parquet") // EMPTY first file
+    Thread.sleep(1100)
+    stageParquet(frame(Seq((1L, ts(10, 0), 1L, "view", 1.0, "{}"),
+      (2L, ts(10, 30), 2L, "click", 2.0, "{}"))), src, "f1.parquet")
+    val q = Streaming.latenessAuditSink(
+        Streaming.readEvents(spark, src, maxFilesPerTrigger = 1),
+        s"$out/counts", s"$out/late", s"$out/wm", s"$out/cp",
+        latenessUs = 7200000000L, compactEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitDrained(q)
+    val counts = spark.read.parquet(s"$out/counts")
+      .orderBy("hour_us", "event_type").collect()
+    assert(counts.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("click", 1L), ("view", 1L)), counts.mkString(","))
+  }
 }
