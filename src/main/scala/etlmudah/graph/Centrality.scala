@@ -209,6 +209,28 @@ object Centrality {
             broadcastNodeThreshold: Long = 10000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val (nodes, degrees, pin) =
+      peelSetup(pairs, localEdgeThreshold, broadcastNodeThreshold)
+    var alive = nodes
+    var it = 0
+    while (it < rounds) {
+      alive = pin(degrees(alive).filter(col("deg") >= k)
+        .select(col("node")))
+      it += 1
+    }
+    degrees(alive).select(col("node"), col("deg").as("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  /** Shared peel plumbing for the core family: symmetrize + simple-ify
+    * the edge list once, pin it, and hand back (alive-nodes frame,
+    * in-subgraph-degree fn, pin fn). Same layout thresholds as
+    * [[kCore]]: the edge frame is materialized ONCE and never
+    * reshuffled by the loops; alive frames broadcast into the two
+    * semi-joins below `broadcastNodeThreshold`. */
+  private def peelSetup(pairs: DataFrame, localEdgeThreshold: Long,
+                        broadcastNodeThreshold: Long):
+      (DataFrame, DataFrame => DataFrame, DataFrame => DataFrame) = {
     val e = pairs.select(col("u").cast("long").as("src"),
         col("v").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -223,18 +245,109 @@ object Centrality {
     val n = nodes.count()
     def small(df: DataFrame): DataFrame =
       if (!local && n <= broadcastNodeThreshold) broadcast(df) else df
-    var alive = nodes
     def degrees(a: DataFrame): DataFrame = sym
       .join(small(a.select(col("node").as("src"))), Seq("src"), "left_semi")
       .join(small(a.select(col("node").as("dst"))), Seq("dst"), "left_semi")
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    var it = 0
-    while (it < rounds) {
-      alive = pin(degrees(alive).filter(col("deg") >= k)
-        .select(col("node")))
-      it += 1
+    (nodes, degrees, pin)
+  }
+
+  /** ADAPTIVE k-core: the innermost non-empty core at or below `kMax` —
+    * peel at kMax; if the fixpoint is empty, retry at kMax−1, down to
+    * k=1 (whose core is all of `sym`'s nodes, so the result is never
+    * vacuous on a non-empty graph). Survivors carry their in-core
+    * degree plus the `k_used` that produced them. This is the
+    * SF-robust form of [[kCore]]: a thinning graph (the co-purchase
+    * weight≥2 graph empties its 3-core as SF grows) degrades to the
+    * densest core that EXISTS instead of returning zero rows.
+    *
+    * Scale shape: identical to [[kCore]] per round; at most `kMax`
+    * peels, each early-exiting on a driver-side fixpoint count (one
+    * scalar per round). The descending order means the common dense
+    * case pays exactly one peel. */
+  def kCoreAdaptive(pairs: DataFrame, kMax: Int, rounds: Int = 10,
+                    localEdgeThreshold: Long = 500000L,
+                    broadcastNodeThreshold: Long = 10000000L): DataFrame = {
+    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val (nodes, degrees, pin) =
+      peelSetup(pairs, localEdgeThreshold, broadcastNodeThreshold)
+    var k = kMax
+    while (k >= 1) {
+      var alive = nodes
+      var prev = -1L
+      var cnt = alive.count()
+      var it = 0
+      while (it < rounds && cnt != prev) {
+        prev = cnt
+        alive = pin(degrees(alive).filter(col("deg") >= k)
+          .select(col("node")))
+        cnt = alive.count()
+        it += 1
+      }
+      if (cnt > 0 || k == 1)
+        return degrees(alive)
+          .select(col("node"), col("deg").as("core_degree"),
+            lit(k).cast("long").as("k_used"))
+          .orderBy(col("node"))
+      k -= 1
     }
-    degrees(alive).select(col("node"), col("deg").as("core_degree"))
+    throw new IllegalStateException("unreachable: k=1 always returns")
+  }
+
+  /** FULL coreness decomposition (Seidman ladder iterated à la
+    * Batagelj–Zaveršnik 2003, bulk-synchronous): core number per node
+    * — the largest k whose k-core contains it. Levels ascend from k=1
+    * (whose fixpoint is every node of the simple graph); each level
+    * peels the PREVIOUS level's fixpoint to its own fixpoint
+    * (driver-detected via one scalar count per round), and
+    * coreness(v) = max level whose fixpoint kept v. Returns
+    * (node, coreness) ordered by node; the degeneracy is
+    * max(coreness).
+    *
+    * Scale shape: per round identical to [[kCore]] (one degree
+    * aggregate over the pinned edge frame restricted by two
+    * semi-joins); total rounds = Σ per-level peel depths ≤ degeneracy
+    * × max depth — measured 10–53 on the co-purchase graphs. The
+    * 100 TB dial for high-degeneracy graphs is the h-index fixpoint
+    * iteration (Lü et al. 2016), which converges in O(iterations ×
+    * one windowed aggregate) independent of the ladder height — a
+    * caller decision, not a silent substitution. `maxLevels` /
+    * `maxRoundsPerLevel` are hard caps (bounded-iteration contract);
+    * exceeding them throws rather than silently truncating. */
+  def coreness(pairs: DataFrame, maxLevels: Int = 64,
+               maxRoundsPerLevel: Int = 64,
+               localEdgeThreshold: Long = 500000L,
+               broadcastNodeThreshold: Long = 10000000L): DataFrame = {
+    val (nodes, degrees, pin) =
+      peelSetup(pairs, localEdgeThreshold, broadcastNodeThreshold)
+    var alive = nodes
+    var cnt = alive.count()
+    var k = 1
+    var acc: DataFrame = null
+    while (cnt > 0) {
+      if (k > maxLevels) throw new IllegalStateException(
+        s"coreness ladder exceeded maxLevels=$maxLevels")
+      var prev = -1L
+      var it = 0
+      while (cnt != prev) {
+        if (it >= maxRoundsPerLevel) throw new IllegalStateException(
+          s"level $k exceeded maxRoundsPerLevel=$maxRoundsPerLevel")
+        prev = cnt
+        alive = pin(degrees(alive).filter(col("deg") >= k)
+          .select(col("node")))
+        cnt = alive.count()
+        it += 1
+      }
+      if (cnt > 0) {
+        val lvl = alive.withColumn("k", lit(k).cast("long"))
+        acc = if (acc == null) lvl else acc.unionByName(lvl)
+      }
+      k += 1
+    }
+    if (acc == null)
+      return nodes.select(col("node"), lit(1L).as("coreness")).limit(0)
+    acc.groupBy(col("node")).agg(max(col("k")).as("coreness"))
       .orderBy(col("node"))
   }
 

@@ -236,18 +236,22 @@ object Round11 {
         Tables.embeddings(s, dir), "vec_id", "embedding",
         dims = 64, nprobe = 5, candK = 50, k = 10, bitsPerDim = 2)),
 
-    // k-CORE of the co-purchase graph (Seidman 1983): bulk peel of
-    // nodes with in-subgraph degree < 3, 10 rounds (fixpoint at 9 on
-    // this graph — CentralitySpec pins the extra round as a no-op);
-    // survivors reported with their in-core degree. The oracle
-    // replays the peel round by round (the HITS/LPA step-unroll
-    // discipline) over the q220 staged co-edge graph.
+    // k-CORE of the co-purchase graph (Seidman 1983), ADAPTIVE form:
+    // the innermost non-empty core at or below k=3 — the weight≥2
+    // co-edge graph THINS as SF grows (3-core: 200 nodes at sf0.001,
+    // 1055 at sf0.01, EMPTY at sf0.1 where the 2-core holds 18), so a
+    // fixed k=3 made the sf0.1 parity leg vacuous. Peel at k=3 to the
+    // driver-counted fixpoint; if empty, retry k=2, then k=1 (never
+    // vacuous on a non-empty graph). Survivors reported with in-core
+    // degree + the k that produced them. The oracle replays ALL THREE
+    // candidate peels round by round (the HITS/LPA step-unroll
+    // discipline) and selects by the same first-non-empty rule.
     "q309_k_core" -> ((s, dir) =>
-      etlmudah.graph.Centrality.kCore(
+      etlmudah.graph.Centrality.kCoreAdaptive(
         SparkEntry.stagedCoEdges(s, dir)
           .filter(col("src") < col("dst") && col("weight") >= 2L)
           .select(col("src").as("u"), col("dst").as("v")),
-        k = 3, rounds = 10)),
+        kMax = 3, rounds = 10)),
 
     // t-CLOSENESS audit (Li et al. 2007) of the customer export:
     // per-nation total-variation distance between the nation's
@@ -1204,19 +1208,22 @@ object Round11 {
          |ORDER BY probe_id""".stripMargin
     },
 
-    // k-core peel unrolled round by round (the q260 step-replay
-    // discipline) over the q220 co-edge graph; final degrees over the
-    // surviving set
+    // adaptive k-core: ALL THREE candidate peels (k=3,2,1) unrolled
+    // round by round (the q260 step-replay discipline) over the q220
+    // co-edge graph; the first-non-empty rule picks the served
+    // fixpoint, final degrees over it
     "q309_k_core" -> {
       // AS MATERIALIZED: each a(i-1) is referenced TWICE per round —
       // DuckDB's CTE inlining would otherwise expand the chain
       // exponentially (2^10 copies of the base self-join)
-      def round(i: Int) =
-        s"""d$i AS MATERIALIZED (
+      def round(k: Int, i: Int) = {
+        val p = if (i == 1) "a0" else s"a${k}_${i - 1}"
+        s"""d${k}_$i AS MATERIALIZED (
            |  SELECT s.src AS node, count(*) AS deg FROM sym s
-           |  JOIN a${i - 1} x ON x.node = s.src
-           |  JOIN a${i - 1} y ON y.node = s.dst GROUP BY 1),
-           |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3)""".stripMargin
+           |  JOIN $p x ON x.node = s.src
+           |  JOIN $p y ON y.node = s.dst GROUP BY 1),
+           |a${k}_$i AS MATERIALIZED (SELECT node FROM d${k}_$i WHERE deg >= $k)""".stripMargin
+      }
       s"""WITH e0 AS MATERIALIZED (
          |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
          |  FROM lineitem a JOIN lineitem b
@@ -1225,11 +1232,24 @@ object Round11 {
          |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
          |        UNION ALL SELECT v, u FROM e0),
          |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
-         |${(1 to 10).map(round).mkString(",\n")}
-         |SELECT s.src AS node, count(*)::BIGINT AS core_degree
+         |${(1 to 10).map(round(3, _)).mkString(",\n")},
+         |${(1 to 10).map(round(2, _)).mkString(",\n")},
+         |${(1 to 2).map(round(1, _)).mkString(",\n")},
+         |ku AS MATERIALIZED (SELECT CASE
+         |    WHEN (SELECT count(*) FROM a3_10) > 0 THEN 3
+         |    WHEN (SELECT count(*) FROM a2_10) > 0 THEN 2
+         |    ELSE 1 END AS k),
+         |fin AS MATERIALIZED (
+         |  SELECT node FROM a3_10 WHERE (SELECT k FROM ku) = 3
+         |  UNION ALL
+         |  SELECT node FROM a2_10 WHERE (SELECT k FROM ku) = 2
+         |  UNION ALL
+         |  SELECT node FROM a1_2 WHERE (SELECT k FROM ku) = 1)
+         |SELECT s.src AS node, count(*)::BIGINT AS core_degree,
+         |  (SELECT k FROM ku)::BIGINT AS k_used
          |FROM sym s
-         |JOIN a10 x ON x.node = s.src
-         |JOIN a10 y ON y.node = s.dst
+         |JOIN fin x ON x.node = s.src
+         |JOIN fin y ON y.node = s.dst
          |GROUP BY 1 ORDER BY node""".stripMargin
     },
 

@@ -281,7 +281,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ Round11.queries
+    baseQueries ++ Round11.queries ++ Round12.queries
 
   // lazy: entries reference helper SQL vals defined later in the file
   private lazy val baseQueries
@@ -4599,7 +4599,7 @@ object SparkEntry {
       |  JOIN embeddings e ON e.vec_id = c.vec_id
       |  JOIN embeddings p ON p.vec_id = c.probe_id)""".stripMargin
 
-  def oracleSql: Map[String, String] = baseOracleSql ++ Round11.oracleSql
+  def oracleSql: Map[String, String] = baseOracleSql ++ Round11.oracleSql ++ Round12.oracleSql
 
   // lazy: forward-references monthlyCentsSql / bm25SearchSql below
   private lazy val baseOracleSql: Map[String, String] = Map(

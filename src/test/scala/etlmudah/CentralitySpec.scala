@@ -478,6 +478,96 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  /** Serial peel to fixpoint at k (no round budget). */
+  private def serialFixpoint(edges: Seq[(Long, Long)], k: Int): Set[Long] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2).distinct
+    def degrees(a: Set[Long]): Map[Long, Int] =
+      sym.filter(e => a(e._1) && a(e._2)).groupBy(_._1)
+        .map { case (n, es) => n -> es.size }
+    var alive = sym.map(_._1).toSet
+    var prev = Set.empty[Long]
+    while (alive != prev) {
+      prev = alive
+      alive = degrees(alive).filter(_._2 >= k).keySet
+    }
+    alive
+  }
+
+  /** Serial coreness: max k whose k-core fixpoint keeps the node. */
+  private def serialCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    var k = 1
+    var acc = Map.empty[Long, Long]
+    var core = serialFixpoint(edges, k)
+    while (core.nonEmpty) {
+      acc = acc ++ core.map(_ -> k.toLong)
+      k += 1
+      core = serialFixpoint(edges, k)
+    }
+    acc
+  }
+
+  test("kCoreAdaptive: serves the innermost non-empty core at or below kMax") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + pendant chain 4-5-6 + triangle {7,8,9}
+    val full = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(7L,8L),(8L,9L),(7L,9L))
+    def run(edges: Seq[(Long, Long)], kMax: Int) =
+      Centrality.kCoreAdaptive(edges.toDF("u", "v"), kMax, rounds = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a 3-core exists: identical to kCore(k=3), k_used = 3
+    assert(run(full, 3).toSet ==
+      Set((1L,3L,3L), (2L,3L,3L), (3L,3L,3L), (4L,3L,3L)))
+    // no 3-core (triangle + chain only): degrades to the 2-core
+    val tri = Seq((4L,5L),(5L,6L),(7L,8L),(8L,9L),(7L,9L))
+    assert(run(tri, 3).toSet ==
+      Set((7L,2L,2L), (8L,2L,2L), (9L,2L,2L)))
+    // pure chain: even the 2-core is empty — k=1 keeps everything
+    val chain = Seq((4L,5L),(5L,6L))
+    assert(run(chain, 3).toSet ==
+      Set((4L,1L,1L), (5L,2L,1L), (6L,1L,1L)))
+  }
+
+  test("coreness: known decomposition + serial replay at any partitioning") {
+    import spark.implicits._
+    val full = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(7L,8L),(8L,9L),(7L,9L))
+    def run(edges: Seq[(Long, Long)], parts: Int) =
+      Centrality.coreness(edges.toDF("u", "v").repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // clique nodes coreness 3, triangle 2, chain tail 1
+    assert(run(full, 3) == Map(1L->3L, 2L->3L, 3L->3L, 4L->3L,
+      5L->1L, 6L->1L, 7L->2L, 8L->2L, 9L->2L))
+    // seeded random graphs: distributed ladder == serial ladder
+    val rnd = new scala.util.Random(12)
+    (1 to 5).foreach { _ =>
+      val es = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2)
+      val got = run(es, 1 + rnd.nextInt(5))
+      assert(got == serialCoreness(es), s"es=$es")
+    }
+  }
+
+  test("coreness: per-level fixpoints on sf0.001 — degeneracy core == kCore at the same k") {
+    val edges = Centrality.cooccurrenceEdges(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        "l_orderkey", "l_partkey")
+      .filter(col("src") < col("dst") && col("weight") >= 2L)
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true)
+    val cn = Centrality.coreness(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val degeneracy = cn.values.max
+    // the nodes at max coreness ARE kCore's fixpoint at that k (run
+    // kCore past its measured depth so it is at ITS fixpoint too)
+    val atK = Centrality.kCore(edges, degeneracy.toInt, rounds = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(cn.filter(_._2 == degeneracy).keySet == atK)
+    // and every node of the simple graph got a core number >= 1
+    assert(cn.values.forall(_ >= 1L))
+  }
+
   test("kCore: registered q309 setting reaches fixpoint (round 10 is a no-op) on sf0.001") {
     val edges = Centrality.cooccurrenceEdges(
         spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),

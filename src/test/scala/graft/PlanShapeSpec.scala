@@ -94,6 +94,13 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q336: the coreness ladder closes as one grouped max over pinned level frames — no window, no wide join") {
+    val plan = planOf("q336_coreness")
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("q283: rendezvous placement is one scan + projection + aggregate — no join, no window") {
     val plan = planOf("q283_rendezvous_reshard")
     assert(!plan.contains("Join") && !plan.contains("Window"),
