@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeJpeg, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -169,6 +169,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FakePng24].getName, "graft_fake_png24"),
       (children: Seq[Expression]) =>
         FakePng24(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jpeg_stats"),
+      new ExpressionInfo(classOf[JpegPixelStats].getName, "graft_jpeg_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => JpegPixelStats(c)
+        case Seq(c, m) if m.foldable =>
+          JpegPixelStats(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_jpeg_stats(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jpeg_ahash"),
+      new ExpressionInfo(classOf[JpegAHash].getName, "graft_jpeg_ahash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => JpegAHash(c)
+        case Seq(c, m) if m.foldable =>
+          JpegAHash(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_jpeg_ahash(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jpeg_to_bmp24"),
+      new ExpressionInfo(classOf[JpegToBmp24].getName, "graft_jpeg_to_bmp24"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => JpegToBmp24(c)
+        case Seq(c, m) if m.foldable =>
+          JpegToBmp24(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_jpeg_to_bmp24(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_jpeg"),
+      new ExpressionInfo(classOf[FakeJpeg].getName, "graft_fake_jpeg"),
+      (children: Seq[Expression]) =>
+        FakeJpeg(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_bmp_blocks"),
+      new ExpressionInfo(classOf[FakeBmpBlocks].getName,
+        "graft_fake_bmp_blocks"),
+      (children: Seq[Expression]) =>
+        FakeBmpBlocks(children.head, children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_wav16"),
       new ExpressionInfo(classOf[FakeWav16].getName, "graft_fake_wav16"),

@@ -291,6 +291,54 @@ object BmpPixelStatsFn {
     }
     out
   }
+
+  /** Synthesize a COMPLETE bottom-up 24bpp BMP carrying the BLOCK-
+    * CONSTANT image of [[JpegFn.synth]]: visual pixel (y top-down, x)
+    * has R = G = B = floorMod(seed*17 + (y div 8)*5 + (x div 8)*3,
+    * 256) — i.e. [[JpegFn.blockVal]](seed, y div 8, x div 8). The
+    * lossless cross-format twin for the JPEG tier: a baseline JPEG
+    * cannot carry the per-pixel [[synth]] image exactly (the DCT
+    * quantizes), but DC-only blocks ARE exactly this closed form, so
+    * BMP-vs-JPEG parity runs on real decoded pixels through two
+    * fully independent decode paths. */
+  def synthBlocks(seed: Long, width: Long, height: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width * height <= (1 << 20),
+      s"fake BMP dims out of range: ${width}x$height")
+    val w = width.toInt
+    val h = height.toInt
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + stride * h)
+    def putLe32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xFF).toByte
+      out(i + 1) = ((v >> 8) & 0xFF).toByte
+      out(i + 2) = ((v >> 16) & 0xFF).toByte
+      out(i + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length.toLong)
+    putLe32(10, 54L)
+    putLe32(14, 40L)
+    putLe32(18, w.toLong)
+    putLe32(22, h.toLong)
+    out(26) = 1
+    out(28) = 24
+    putLe32(30, 0L)
+    putLe32(34, (stride * h).toLong)
+    var fr = 0
+    while (fr < h) {
+      val y = h - 1 - fr // bottom-up file row fr is visual row y
+      val row = 54 + fr * stride
+      var c = 0
+      while (c < w) {
+        val v = JpegFn.blockVal(seed, y / 8, c / 8).toByte
+        val p = row + c * 3
+        out(p) = v; out(p + 1) = v; out(p + 2) = v
+        c += 1
+      }
+      fr += 1
+    }
+    out
+  }
 }
 
 /** Native Catalyst expression `graft_bmp_stats(binary[, maxPixels])` —
@@ -431,4 +479,40 @@ case class FakeBmp24(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): FakeBmp24 =
     FakeBmp24(f, s, t)
+}
+
+/** Native expression `graft_fake_bmp_blocks(seed, w, h)` — see
+  * [[BmpPixelStatsFn.synthBlocks]]; the lossless twin of the JPEG
+  * tier's block-constant image. */
+case class FakeBmpBlocks(first: Expression, second: Expression,
+                         third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType ||
+      c.dataType == IntegerType || c.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_fake_bmp_blocks expects (bigint, bigint, bigint), got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fake_bmp_blocks"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(s: Any, w: Any, h: Any): Any =
+    BmpPixelStatsFn.synthBlocks(asLong(s), asLong(w), asLong(h))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h) =>
+      s"${ev.value} = etlmudah.expr.BmpPixelStatsFn.synthBlocks((long)$s, " +
+        s"(long)$w, (long)$h);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): FakeBmpBlocks =
+    FakeBmpBlocks(f, s, t)
 }

@@ -459,6 +459,45 @@ object Multimodal {
     call_function("graft_fake_png24", seed.cast("long"),
       width.cast("long"), height.cast("long"))
 
+  /** REAL baseline-JPEG pixel statistics — full entropy decode
+    * (Huffman + dequant + IDCT + JFIF color transform) via the native
+    * `graft_jpeg_stats`; see [[etlmudah.expr.JpegFn]] for the exact
+    * accept/null contract (baseline SOF0, 8-bit, 4:4:4 or grayscale
+    * only — progressive/subsampled inputs null whole). Closes the
+    * image half of the lossy-codec substitution. */
+  def jpegPixelStats(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_jpeg_stats", media, lit(maxPixels))
+
+  /** Perceptual average hash of a decodable baseline JPEG — same
+    * grid, packing, and VISUAL-orientation convention as
+    * [[bmpAHash]]/[[pngAHash]]/[[aviFrameAHash]], so one picture
+    * hashes identically across all four containers (native
+    * `graft_jpeg_ahash`). */
+  def jpegAHash(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_jpeg_ahash", media, lit(maxPixels))
+
+  /** Transcode a decodable baseline JPEG to a canonical bottom-up
+    * 24bpp BMP — composes the whole BMP kernel family
+    * (resize/stats/ahash) onto JPEG inputs (native
+    * `graft_jpeg_to_bmp24`). */
+  def jpegToBmp24(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_jpeg_to_bmp24", media, lit(maxPixels))
+
+  /** Synthesize a COMPLETE baseline JFIF with DC-only 4:4:4 blocks
+    * and neutral chroma (native `graft_fake_jpeg`; see
+    * [[etlmudah.expr.JpegFn.synth]] for the block-constant closed
+    * form oracles replay). */
+  def fakeJpeg(seed: Column, width: Column, height: Column): Column =
+    call_function("graft_fake_jpeg", seed.cast("long"),
+      width.cast("long"), height.cast("long"))
+
+  /** Synthesize a 24bpp BMP carrying the SAME block-constant image as
+    * [[fakeJpeg]] (native `graft_fake_bmp_blocks`) — the lossless
+    * cross-format twin for JPEG parity tiers. */
+  def fakeBmpBlocks(seed: Column, width: Column, height: Column): Column =
+    call_function("graft_fake_bmp_blocks", seed.cast("long"),
+      width.cast("long"), height.cast("long"))
+
   /** REAL 16-bit-PCM WAV SAMPLE statistics — the audio twin of
     * [[bmpPixelStats]] (native `graft_wav_stats`; see
     * [[etlmudah.expr.WavSampleStatsFn]]): clipping peak, min/max,

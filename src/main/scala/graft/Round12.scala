@@ -28,7 +28,90 @@ object Round12 {
       etlmudah.graph.Centrality.coreness(
         SparkEntry.stagedCoEdges(s, dir)
           .filter(col("src") < col("dst") && col("weight") >= 2L)
-          .select(col("src").as("u"), col("dst").as("v"))))
+          .select(col("src").as("u"), col("dst").as("v")))),
+
+    // REAL baseline-JPEG pixel decode (JpegFn: full T.81 baseline —
+    // marker walk, DQT, canonical DHT, entropy decode with byte
+    // stuffing, DC prediction + magnitude categories, AC run/size,
+    // dequant, IDCT, JFIF color transform) over synthesized DC-only
+    // 4:4:4 streams whose decoded image is the block-constant closed
+    // form (flat-block IDCT is exact: dc = 8·(v−128) decodes to v on
+    // any conforming decoder; neutral chroma returns Y unchanged), so
+    // the oracle replays per-pixel values WITHOUT parsing a byte —
+    // the q304 discipline extended to the entropy-coded family. Every
+    // 5th blob is maimed to a 40-byte prefix: decode must null whole,
+    // never a partial statistic. Dims 4–16 × 3–11 cross MCU edges, so
+    // the partial-block crop path is on the oracle surface.
+    "q337_jpeg_pixel_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 13 + 4).cast("int")
+      val hg = (id % 9 + 3).cast("int")
+      val blob = etlmudah.multimodal.Multimodal.fakeJpeg(id, wg, hg)
+      val maimed = when(id % 5 === 0, substring(blob, 1, 40)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(wg.as("w"), hg.as("h"),
+          etlmudah.multimodal.Multimodal.jpegPixelStats(maimed).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_imgs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"))
+        .orderBy(col("w"), col("h"))
+    }),
+
+    // CROSS-FORMAT dedup across the LOSSY boundary — q335's planting
+    // with the fourth container: consecutive docs share a seed, the
+    // EVEN doc renders the block-constant image as a 24bpp BMP
+    // (graft_fake_bmp_blocks, raw byte path) and the ODD doc as a
+    // baseline JPEG (full entropy decode path); one visual image, two
+    // fully independent decoders, one perceptual hash — every planted
+    // pair must land in one group. The oracle replays the hash bit
+    // for bit from the block closed form (q305 discipline).
+    "q338_cross_format_jpeg_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 2")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val ah = when(col("doc_id") % 2 === 0,
+        M.bmpAHash(M.fakeBmpBlocks(seed, wg, hg)))
+        .otherwise(M.jpegAHash(M.fakeJpeg(seed, wg, hg)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    }),
+
+    // JPEG THUMBNAIL path: decode → canonical BMP transcode →
+    // box-filter resize → stats (the q306 composition for the lossy
+    // family). The oracle box-filters the block closed form — floor
+    // mean over each 2×2 window, windows crossing an 8-pixel block
+    // edge mix two constants, so the resize arithmetic is genuinely
+    // on the oracle surface.
+    "q339_jpeg_transcode_resize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          (col("doc_id") % 8 + 2).as("w"),
+          ((col("doc_id") * 3) % 8 + 2).as("h"))
+        .select(col("doc_id"), col("w"), col("h"),
+          expr("graft_bmp_stats(graft_bmp_resize(graft_jpeg_to_bmp24(" +
+            "graft_fake_jpeg(doc_id, w, h)), 2))").as("st"))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("st.width").as("ow"), col("st.height").as("oh"),
+          col("st.n_px"),
+          col("st.b_min"), col("st.b_max"), col("st.b_sum"),
+          col("st.g_min"), col("st.g_max"), col("st.g_sum"),
+          col("st.r_min"), col("st.r_max"), col("st.r_sum"))
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -69,6 +152,89 @@ object Round12 {
          |  $levels)
          |SELECT node, max(k)::BIGINT AS coreness
          |FROM lev GROUP BY node ORDER BY node""".stripMargin
-    }
+    },
+
+    // JPEG stats replayed from the block-constant closed form
+    // (R = G = B = (seed*17 + (y div 8)*5 + (x div 8)*3) mod 256 at
+    // visual pixel (y, x)) — the oracle never parses a byte
+    "q337_jpeg_pixel_stats" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 13 + 4)::INT AS w,
+        |    (doc_id % 9 + 3)::INT AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (d.doc_id*17 + (fr.fr//8)*5 + (c.c//8)*3) % 256 AS v
+        |  FROM d, range(0, 11) fr(fr), range(0, 16) c(c)
+        |  WHERE d.doc_id % 5 <> 0 AND fr.fr < d.h AND c.c < d.w),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(v)::INT AS v_min, max(v)::INT AS v_max,
+        |    sum(v)::BIGINT AS v_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.w, d.h, count(*) AS n_imgs,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_px)::BIGINT AS n_px,
+        |  min(st.v_min) AS r_min, max(st.v_max) AS r_max,
+        |  sum(st.v_sum)::BIGINT AS r_sum,
+        |  min(st.v_min) AS g_min, max(st.v_max) AS g_max,
+        |  sum(st.v_sum)::BIGINT AS g_sum,
+        |  min(st.v_min) AS b_min, max(st.v_max) AS b_max,
+        |  sum(st.v_sum)::BIGINT AS b_sum
+        |FROM d LEFT JOIN st USING (doc_id)
+        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
+
+    // the perceptual hash replayed bit for bit from the block closed
+    // form (q305's discipline): grid cell (gi, gj) samples VISUAL row
+    // h-1-gi*h/8, column gj*w/8; brightness = 3·v (gray); bit set on
+    // the exact cross-multiplied cell*64 > total
+    "q338_cross_format_jpeg_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 2 AS seed FROM documents),
+        |dd AS (SELECT DISTINCT seed, (seed % 13 + 4) AS w,
+        |    (seed % 9 + 3) AS h FROM d),
+        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
+        |    3 * ((dd.seed*17 + ((dd.h - 1 - (gi.i*dd.h)//8)//8)*5
+        |      + (((gj.j*dd.w)//8)//8)*3) % 256) AS s
+        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
+        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
+        |hw AS (SELECT px.seed,
+        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
+        |      ELSE 0 END)::BIGINT AS h0,
+        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
+        |      ELSE 0 END)::BIGINT AS h1
+        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
+        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
+        |grp AS (SELECT h0, h1, count(*) AS group_size
+        |  FROM doc GROUP BY h0, h1)
+        |SELECT group_size, count(*) AS n_groups,
+        |  sum(group_size)::BIGINT AS n_docs
+        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
+
+    // box-filtered block closed form: each 2x2 output window floor-
+    // means the constants it covers (windows crossing an 8-px block
+    // edge mix two constants — q306's cells discipline)
+    "q339_jpeg_transcode_resize" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 8 + 2)::BIGINT AS w,
+        |    ((doc_id * 3) % 8 + 2)::BIGINT AS h
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
+        |cells AS (
+        |  -- resize walks BMP FILE rows; the transcode is bottom-up,
+        |  -- so input file row fr carries VISUAL row h-1-fr
+        |  SELECT o.doc_id, oy.x AS oy, ox.x AS ox,
+        |    (sum((o.doc_id*17 + ((o.h - 1 - (oy.x*2 + dy.x))//8)*5
+        |      + ((ox.x*2 + dx.x)//8)*3) % 256) // 4)::INT AS v
+        |  FROM o, range(0, 4) oy(x), range(0, 4) ox(x),
+        |       range(0, 2) dy(x), range(0, 2) dx(x)
+        |  WHERE oy.x < o.oh AND ox.x < o.ow
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(v)::INT AS v_min, max(v)::INT AS v_max,
+        |    sum(v)::BIGINT AS v_sum
+        |  FROM cells GROUP BY 1)
+        |SELECT o.doc_id, o.w, o.h, o.ow, o.oh, st.n_px,
+        |  st.v_min AS b_min, st.v_max AS b_max, st.v_sum AS b_sum,
+        |  st.v_min AS g_min, st.v_max AS g_max, st.v_sum AS g_sum,
+        |  st.v_min AS r_min, st.v_max AS r_max, st.v_sum AS r_sum
+        |FROM o JOIN st USING (doc_id)
+        |ORDER BY o.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,273 @@
+package etlmudah.expr
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import etlmudah.multimodal.Multimodal
+
+/** Pins the baseline-JPEG decode tier: the DC-only closed form
+  * (synth → decode returns exactly the block-constant image), stats
+  * against brute-force, cross-format hash parity with the
+  * block-constant BMP twin through two independent decode paths,
+  * transcode composition, the general-IDCT path against a direct
+  * double-precision reference, and hostile fixtures. */
+class JpegSpec extends SparkSpec {
+
+  private def blockVal(seed: Long, by: Int, bx: Int): Int =
+    Math.floorMod(seed * 17 + by * 5 + bx * 3, 256L).toInt
+
+  test("synth -> stats equals the block-constant brute force, dims across MCU edges") {
+    for (seed <- Seq(0L, 1L, 7L, 41L); (w, h) <- Seq(
+        (1, 1), (7, 5), (8, 8), (9, 3), (16, 17), (24, 11))) {
+      val st = JpegFn.stats(JpegFn.synth(seed, w, h), 4096)
+      assert(st != null, s"seed=$seed ${w}x$h must decode")
+      // brute force over the closed form (R = G = B = blockVal)
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield blockVal(seed, y / 8, x / 8)
+      assert(st.getLong(0) == w && st.getLong(1) == h &&
+        st.getLong(2) == w.toLong * h)
+      for (ch <- 0 until 3) {
+        val base = 3 + ch * 4
+        assert(st.getInt(base) == vals.min, s"min ch=$ch $seed ${w}x$h")
+        assert(st.getInt(base + 1) == vals.max)
+        assert(st.getLong(base + 2) == vals.map(_.toLong).sum)
+      }
+    }
+  }
+
+  test("cross-format: JPEG ahash == block-BMP ahash through two independent decoders") {
+    for (seed <- Seq(0L, 3L, 12L, 99L); (w, h) <- Seq(
+        (8, 8), (9, 12), (17, 10), (24, 24))) {
+      val ja = JpegFn.ahash(JpegFn.synth(seed, w, h), 4096)
+      val ba = BmpPixelStatsFn.ahash(
+        BmpPixelStatsFn.synthBlocks(seed, w, h), 4096)
+      assert(ja != null && ba != null)
+      assert(ja.getLong(0) == ba.getLong(0) &&
+        ja.getLong(1) == ba.getLong(1),
+        s"containers disagree seed=$seed ${w}x$h")
+      // and the stats agree too (same pixels, channel order aside:
+      // gray image, so all channels equal)
+      val js = JpegFn.stats(JpegFn.synth(seed, w, h), 4096)
+      val bs = BmpPixelStatsFn.stats(
+        BmpPixelStatsFn.synthBlocks(seed, w, h), 4096)
+      assert(js.getLong(5) == bs.getLong(5)) // r_sum == b_sum (gray)
+    }
+  }
+
+  test("transcode composes: jpeg->bmp24 then the BMP kernels equal the native path") {
+    for (seed <- Seq(2L, 8L); (w, h) <- Seq((9, 12), (16, 8))) {
+      val jp = JpegFn.synth(seed, w, h)
+      val tb = JpegFn.toBmp24(jp, 4096)
+      assert(tb != null)
+      val sb = BmpPixelStatsFn.stats(tb, 4096)
+      val sp = JpegFn.stats(jp, 4096)
+      assert(sb != null && sb.getLong(0) == w && sb.getLong(1) == h)
+      // BMP stats are B,G,R order; JPEG stats R,G,B — gray so equal
+      assert(sb.getLong(5) == sp.getLong(13))
+      assert(sb.getLong(9) == sp.getLong(9))
+      assert(sb.getLong(13) == sp.getLong(5))
+      val hb = BmpPixelStatsFn.ahash(tb, 4096)
+      val hj = JpegFn.ahash(jp, 4096)
+      assert(hb.getLong(0) == hj.getLong(0) &&
+        hb.getLong(1) == hj.getLong(1))
+      // resize composes on the transcoded output
+      val rz = BmpPixelStatsFn.resize(tb, 2, 4096)
+      val sr = BmpPixelStatsFn.stats(rz, 4096)
+      assert(sr != null && sr.getLong(0) == w / 2 && sr.getLong(1) == h / 2)
+    }
+  }
+
+  test("general IDCT path: AC-bearing blocks match a direct double-precision reference") {
+    // hand-build a single-MCU grayscale JPEG carrying known
+    // coefficients, decode it, and compare every sample against the
+    // textbook 2-D IDCT computed independently here
+    def cos(x: Int, u: Int): Double =
+      math.cos((2 * x + 1) * u * math.Pi / 16) *
+        (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    def refIdct(coef: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8)
+          s += cos(x, u) * cos(y, v) * coef(v * 8 + u)
+        val p = math.floor(s / 4.0 + 0.5).toInt + 128
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+      }
+      out
+    }
+    // encoder for one 8x8 grayscale block with arbitrary natural-order
+    // coefficients (quant all ones): DC cat table = Annex K, AC table
+    // with EOB, ZRL and sizes 1..10 under run 0..3 is overkill — use
+    // the library's own synth for the container and splice? no:
+    // build a minimal stream with a 4-bit-indexable AC table instead.
+    // Simpler: encode AC coefficients via the SEQUENTIAL spec path
+    // using a custom AC Huffman table that contains exactly the
+    // (run,size) symbols we emit, in canonical order.
+    val coef = new Array[Int](64)
+    coef(0) = 8 * 20 // DC: flat 20 above mid-gray
+    coef(1) = 37     // (v=0,u=1)
+    coef(8) = -22    // (v=1,u=0)
+    coef(2 * 8 + 3) = 11
+    coef(7 * 8 + 7) = -3
+    // zigzag positions of the AC coefficients we set
+    val zig = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    // emit (run, size, bits) per nonzero AC in zigzag order
+    case class Sym(rs: Int, bits: Int, nbits: Int)
+    var run = 0
+    val syms = scala.collection.mutable.ArrayBuffer[Sym]()
+    for (k <- 1 until 64) {
+      val v = coef(zig(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { syms += Sym(0xF0, 0, 0); run -= 16 }
+        var s = 0; var a = math.abs(v)
+        while (a > 0) { s += 1; a >>= 1 }
+        syms += Sym((run << 4) | s,
+          if (v > 0) v else v + (1 << s) - 1, s)
+        run = 0
+      }
+    }
+    syms += Sym(0x00, 0, 0) // EOB
+    // canonical AC table over the distinct symbols used (sorted):
+    // all at length ceil(log2(n)) via a simple bits vector
+    val used = syms.map(_.rs).distinct.sorted
+    var len = 1
+    while ((1 << len) < used.size + 1) len += 1 // +1 keeps all-ones free
+    val acBits = Array.fill(17)(0); acBits(len) = used.size
+    val acCode = used.zipWithIndex.toMap
+    // DC Annex K codes
+    val dcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = (0 to 11).toArray
+    def canon(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = Map.newBuilder[Int, (Int, Int)]
+      for (l <- 1 to 16) {
+        for (_ <- 0 until bits(l)) {
+          m += vals(k) -> ((code, l)); code += 1; k += 1
+        }
+        code <<= 1
+      }
+      m.result()
+    }
+    val dcC = canon(dcBits, dcVals)
+    val acC = canon(acBits, used.toArray)
+    val out = new java.io.ByteArrayOutputStream()
+    def mk(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, b: Array[Int]): Unit = {
+      mk(m); val l = b.length + 2
+      out.write((l >> 8) & 0xFF); out.write(l & 0xFF); b.foreach(out.write)
+    }
+    mk(0xD8)
+    seg(0xDB, Array(0x00) ++ Array.fill(64)(1))
+    seg(0xC0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(0xC4, Array(0x00) ++ dcBits.drop(1) ++ dcVals)
+    seg(0xC4, Array(0x10) ++ acBits.drop(1) ++ used)
+    seg(0xDA, Array(1, 1, 0x00, 0, 63, 0))
+    var buf = 0; var cnt = 0
+    def put(code: Int, n: Int): Unit = {
+      for (i <- (n - 1) to 0 by -1) {
+        buf = (buf << 1) | ((code >> i) & 1); cnt += 1
+        if (cnt == 8) {
+          out.write(buf); if (buf == 0xFF) out.write(0); buf = 0; cnt = 0
+        }
+      }
+    }
+    // DC
+    var s = 0; var a = math.abs(coef(0))
+    while (a > 0) { s += 1; a >>= 1 }
+    val (dcw, dcl) = dcC(s)
+    put(dcw, dcl)
+    if (s > 0) put(if (coef(0) > 0) coef(0) else coef(0) + (1 << s) - 1, s)
+    syms.foreach { sy =>
+      val (cw, cl) = acC(sy.rs); put(cw, cl)
+      if (sy.nbits > 0) put(sy.bits, sy.nbits)
+    }
+    if (cnt > 0) put((1 << (8 - cnt)) - 1, 8 - cnt)
+    mk(0xD9)
+    val st = JpegFn.stats(out.toByteArray, 4096)
+    assert(st != null, "AC-bearing stream must decode")
+    val ref = refIdct(coef)
+    assert(st.getLong(2) == 64)
+    for (ch <- 0 until 3) { // grayscale replicated to RGB
+      val base = 3 + ch * 4
+      assert(st.getInt(base) == ref.min, s"ch=$ch min")
+      assert(st.getInt(base + 1) == ref.max, s"ch=$ch max")
+      assert(st.getLong(base + 2) == ref.map(_.toLong).sum, s"ch=$ch sum")
+    }
+  }
+
+  test("hostile fixtures null cleanly — never a partial statistic") {
+    val good = JpegFn.synth(5L, 9, 12)
+    assert(JpegFn.stats(good, 4096) != null)
+    // truncated: every prefix of a valid file
+    for (cut <- Seq(0, 1, 2, 4, 20, good.length / 2, good.length - 1))
+      assert(JpegFn.stats(good.take(cut), 4096) == null, s"cut=$cut")
+    // bad signature
+    val badSig = good.clone(); badSig(1) = 0x00
+    assert(JpegFn.stats(badSig, 4096) == null)
+    // progressive (SOF2) and other non-baseline frames
+    def find(b: Array[Byte], m: Int): Int =
+      (0 until b.length - 1).find(i =>
+        (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == m).getOrElse(-1)
+    val sof = find(good, 0xC0)
+    for (bad <- Seq(0xC2, 0xC1, 0xC3, 0xC9, 0xCB)) {
+      val b = good.clone(); b(sof + 1) = bad.toByte
+      assert(JpegFn.stats(b, 4096) == null, f"SOF$bad%02X")
+    }
+    // 4:2:0 / 4:2:2 sampling factors on component 1
+    for (hv <- Seq(0x22, 0x21, 0x12)) {
+      val b = good.clone(); b(sof + 11) = hv.toByte
+      assert(JpegFn.stats(b, 4096) == null, f"sampling $hv%02X")
+    }
+    // 16-bit sample precision
+    val b16 = good.clone(); b16(sof + 4) = 16
+    assert(JpegFn.stats(b16, 4096) == null)
+    // oversize gate (9*12=108 pixels)
+    assert(JpegFn.stats(JpegFn.synth(5L, 9, 12), 107) == null)
+    assert(JpegFn.stats(JpegFn.synth(5L, 9, 12), 108) != null)
+    // truncated entropy stream: chop mid-scan, keep EOI
+    val eoi = Array(0xFF.toByte, 0xD9.toByte)
+    assert(JpegFn.stats(good.dropRight(8).dropRight(2) ++ eoi, 4096) == null)
+    // trailing garbage after EOI
+    assert(JpegFn.stats(good ++ Array[Byte](0, 1, 2), 4096) == null)
+    // corrupt a DHT: zero value count
+    val dht = find(good, 0xC4)
+    val bd = good.clone()
+    for (i <- 0 until 16) bd(dht + 5 + i) = 0
+    assert(JpegFn.stats(bd, 4096) == null)
+    // garbage / empty
+    assert(JpegFn.stats(Array.fill[Byte](64)(0x42), 4096) == null)
+    assert(JpegFn.stats(Array.emptyByteArray, 4096) == null)
+  }
+
+  test("registered SQL functions: end-to-end over a frame, codegen path") {
+    import spark.implicits._
+    val df = (0L until 40L).toDF("id").select(col("id"),
+      Multimodal.fakeJpeg(col("id"), (col("id") % 13 + 4),
+        (col("id") % 9 + 3)).as("jpg"),
+      Multimodal.fakeBmpBlocks(col("id"), (col("id") % 13 + 4),
+        (col("id") % 9 + 3)).as("bmp"))
+    val out = df.select(
+      Multimodal.jpegPixelStats(col("jpg")).as("js"),
+      Multimodal.jpegAHash(col("jpg")).as("jh"),
+      Multimodal.bmpAHash(col("bmp")).as("bh"),
+      Multimodal.bmpPixelStats(
+        Multimodal.jpegToBmp24(col("jpg"))).as("ts"))
+      .collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(3))
+      assert(r.getStruct(1) == r.getStruct(2),
+        "jpeg/bmp ahash must agree through the SQL surface")
+    }
+    // null propagation on garbage
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "jpg")
+      .select(Multimodal.jpegPixelStats(col("jpg")).as("s"),
+        Multimodal.jpegAHash(col("jpg")).as("h")).collect().head
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+}

@@ -94,6 +94,12 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q337: the JPEG decode tier prunes the documents scan to doc_id alone") {
+    assert(scansOf("q337_jpeg_pixel_stats").forall(
+      _.schema.fieldNames.toSeq == Seq("doc_id")),
+      "documents scan must prune to doc_id")
+  }
+
   test("q336: the coreness ladder closes as one grouped max over pinned level frames — no window, no wide join") {
     val plan = planOf("q336_coreness")
     assert(!plan.contains("Window"), plan.take(1200))
