@@ -1310,6 +1310,108 @@ object Analytics {
           .as("gini"))
   }
 
+  /** [[giniCoefficient]]'s 100 TB tier — the SAME number (bit for
+    * bit) without the single-reducer global rank window. The q79
+    * bucketing dial applied to the rank itself: entities bucket by
+    * exact percentile boundaries (one aggregate, broadcast scalars),
+    * the rank window runs PARTITIONED per bucket, and the global rank
+    * is the bucket's cumulative offset plus the local rank — a
+    * distributed prefix sum.
+    *
+    * Why this is EXACT and not an approximation: bucket is a function
+    * of the value alone, so a tie group (equal values) never spans
+    * buckets, and every value in bucket k is strictly below every
+    * value in bucket k+1 (x in k fails x ≥ b_k; y in k+1 passes) —
+    * so offset+local reproduces the global (value, id) ranking up to
+    * a permutation WITHIN tie groups, and Σ i·x_i is invariant under
+    * within-tie permutations (constant x across the group, same rank
+    * positions). Same DECIMAL lattice and closing chain as the exact
+    * tier. Partition sizes are |entities|/buckets — size `buckets`
+    * so each fits a reducer; boundaries flip to `approx_percentile`
+    * at extreme cardinality exactly as [[quantileBuckets]] documents
+    * (bucketing stays exact either way; only balance shifts). */
+  def giniCoefficientBucketed(df: DataFrame, idCol: String,
+                              value: Column,
+                              buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "need at least 2 buckets")
+    val v = df.select(col(idCol).as("__id"),
+      value.cast("decimal(18,2)").as("__x"))
+    val vd = col("__x").cast("double")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = v.agg(percentile(vd, typedlit(qs)).as("__bs"))
+      .select((1 until buckets).map(i =>
+        element_at(col("__bs"), i).as(s"__b$i")): _*)
+    val bucket = (1 until buckets)
+      .map(i => when(vd >= col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    val bucketed = v.join(broadcast(bounds))
+      .select(col("__id"), col("__x"), bucket.cast("int").as("__bk"))
+    // per-bucket offsets: a window over the <= `buckets`-row summary
+    val offs = bucketed.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__bk").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val ranked = bucketed
+      .join(broadcast(offs), Seq("__bk"))
+      .withColumn("__i", (col("__off") + row_number().over(
+        Window.partitionBy(col("__bk"))
+          .orderBy(col("__x").asc, col("__id").asc)))
+        .cast("decimal(19,0)"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__i")).as("__six"))
+      .select(col("n"),
+        round(col("__sx"), 2).cast("double").as("total"),
+        round((lit(2).cast("decimal(19,0)") * col("__six") -
+          (col("n") + 1).cast("decimal(19,0)") * col("__sx"))
+          .cast("double") /
+          (col("n").cast("double") * col("__sx").cast("double")), 6)
+          .as("gini"))
+  }
+
+  /** Value-bucketed Lorenz ladder — the 100 TB twin of the ntile
+    * decile ladder (q322): buckets come from exact percentile
+    * BOUNDARIES (one aggregate, broadcast scalars, no global window),
+    * so tie groups stay together (ntile splits them to equalize
+    * counts — the two tiers legitimately differ exactly there, which
+    * is why this twin reports boundary-bucketed shares rather than
+    * claiming ntile equality). Cumulative share runs over the
+    * ≤`buckets`-row summary only. Buckets ascend by value; share is
+    * reported cumulative FROM THE TOP (the "top X% carry Y%"
+    * readout). */
+  def lorenzBinned(df: DataFrame, idCol: String, value: Column,
+                   buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "need at least 2 buckets")
+    val v = df.select(col(idCol).as("__id"),
+      value.cast("decimal(18,2)").as("__x"))
+    val vd = col("__x").cast("double")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = v.agg(percentile(vd, typedlit(qs)).as("__bs"))
+      .select((1 until buckets).map(i =>
+        element_at(col("__bs"), i).as(s"__b$i")): _*)
+    val bucket = (1 until buckets)
+      .map(i => when(vd >= col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    val byB = v.join(broadcast(bounds))
+      .select(bucket.cast("long").as("bucket"), col("__x"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("__x")).as("__brev"))
+    val tot = byB.agg(sum(col("__brev")).as("__trev"))
+    byB.crossJoin(broadcast(tot))
+      .withColumn("__cumTop", sum(col("__brev")).over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bucket"), col("n_cust"),
+        round(col("__brev"), 2).cast("double").as("bucket_revenue"),
+        round(col("__cumTop").cast("double") /
+          col("__trev").cast("double"), 6).as("cum_share_from_top"))
+      .orderBy(col("bucket"))
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — the
     * feature-selection / dependence screen: per (x, y) cell the
     * pointwise MI ln(c_xy·N / (c_x·c_y)) and its contribution

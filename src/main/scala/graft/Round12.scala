@@ -111,7 +111,37 @@ object Round12 {
           col("st.b_min"), col("st.b_max"), col("st.b_sum"),
           col("st.g_min"), col("st.g_max"), col("st.g_sum"),
           col("st.r_min"), col("st.r_max"), col("st.r_sum"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // GINI, 100 TB tier — q318's number BIT FOR BIT without the
+    // single-reducer global rank window: entities bucket by exact
+    // percentile boundaries (broadcast scalars), ranks run
+    // PARTITIONED per bucket, global rank = bucket offset + local
+    // rank (a distributed prefix sum). Exact, not approximate: tie
+    // groups never span buckets and Σ i·x is invariant under
+    // within-tie permutation (Analytics.giniCoefficientBucketed doc).
+    // The oracle is q318's VERBATIM (the q203 must-land-identically
+    // discipline) — a green row proves the dial changes the PLAN,
+    // not the statistic.
+    "q340_gini_bucketed" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.giniCoefficientBucketed(
+        Tables.orders(s, dir).groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .as("rev")),
+        "o_custkey", col("rev"), buckets = 32)),
+
+    // LORENZ ladder, 100 TB tier — value-boundary buckets instead of
+    // q322's global ntile window (ntile splits tie groups to equalize
+    // counts; boundary buckets keep them together — the two tiers
+    // legitimately differ exactly there, so this twin carries its own
+    // oracle: the q79 quantile_cont boundary replay). Cumulative
+    // share runs over the 10-row summary only.
+    "q341_lorenz_binned" -> ((s, dir) =>
+      etlmudah.analytics.Analytics.lorenzBinned(
+        Tables.orders(s, dir).groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .as("rev")),
+        "o_custkey", col("rev"), buckets = 10))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -235,6 +265,43 @@ object Round12 {
         |  st.v_min AS g_min, st.v_max AS g_max, st.v_sum AS g_sum,
         |  st.v_min AS r_min, st.v_max AS r_max, st.v_sum AS r_sum
         |FROM o JOIN st USING (doc_id)
-        |ORDER BY o.doc_id""".stripMargin
+        |ORDER BY o.doc_id""".stripMargin,
+
+    // q318's oracle VERBATIM: the bucketed plan must land on the
+    // identical Gini
+    "q340_gini_bucketed" ->
+      """WITH rev AS (SELECT o_custkey AS id,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT x, row_number() OVER (ORDER BY x ASC, id ASC)
+        |    AS i FROM rev)
+        |SELECT count(*)::BIGINT AS n,
+        |  CAST(round(sum(x), 2) AS DOUBLE) AS total,
+        |  round((2::DECIMAL(19,0) * sum(x * i::DECIMAL(19,0))
+        |      - (count(*) + 1)::DECIMAL(19,0) * sum(x))::DOUBLE
+        |    / (count(*)::DOUBLE * sum(x)::DOUBLE), 6) AS gini
+        |FROM rk""".stripMargin,
+
+    // boundary-bucketed Lorenz replay: quantile_cont boundaries (the
+    // q79 percentile parity), cumulative-from-top over the summary
+    "q341_lorenz_binned" -> {
+      val cmp = (1 to 9).map(i => s"(v >= bs[$i])::INT").mkString(" + ")
+      s"""WITH rev AS (SELECT o_custkey,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+         |  FROM orders GROUP BY 1),
+         |b AS (SELECT quantile_cont(x::DOUBLE,
+         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM rev),
+         |t0 AS (SELECT x::DOUBLE AS v, x,
+         |    (1 + $cmp)::BIGINT AS bucket FROM rev, b),
+         |bd AS (SELECT bucket, count(*)::BIGINT AS n_cust,
+         |    sum(x) AS brev FROM t0 GROUP BY 1),
+         |t AS (SELECT sum(brev) AS trev FROM bd)
+         |SELECT bucket, n_cust,
+         |  CAST(round(brev, 2) AS DOUBLE) AS bucket_revenue,
+         |  round(sum(brev) OVER (ORDER BY bucket DESC
+         |      ROWS UNBOUNDED PRECEDING)::DOUBLE / trev::DOUBLE, 6)
+         |    AS cum_share_from_top
+         |FROM bd CROSS JOIN t ORDER BY bucket""".stripMargin
+    }
   )
 }

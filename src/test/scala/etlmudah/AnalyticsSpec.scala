@@ -788,6 +788,30 @@ class AnalyticsSpec extends SparkSpec {
       .collect()(0).getAs[Double]("gini") == 0.25)
   }
 
+  test("giniCoefficientBucketed == giniCoefficient bit for bit on random tied frames, any bucket count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      // heavy ties on purpose: values drawn from a small lattice, so
+      // tie groups straddle would-be bucket boundaries if they could
+      val n = 50 + rnd.nextInt(150)
+      val rows = (1L to n.toLong).map(i =>
+        (i, (rnd.nextInt(12) * 25).toDouble + rnd.nextInt(3)))
+      val df = rows.toDF("id", "v").repartition(1 + rnd.nextInt(5))
+      val exact = Analytics.giniCoefficient(df, "id", col("v"))
+        .collect()(0)
+      for (b <- Seq(2, 7, 32)) {
+        val got = Analytics.giniCoefficientBucketed(df, "id", col("v"), b)
+          .collect()(0)
+        assert(got.getLong(0) == exact.getLong(0) &&
+          got.getDouble(1) == exact.getDouble(1) &&
+          got.getDouble(2) == exact.getDouble(2),
+          s"trial=$trial b=$b got=$got exact=$exact")
+      }
+    }
+  }
+
   test("mutualInformation: independence -> ~0; identity -> ln 2; contributions sum to MI") {
     import spark.implicits._
     // independent 2x2 uniform: every pmi exactly ln(1) = 0

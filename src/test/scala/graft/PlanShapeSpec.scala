@@ -94,6 +94,26 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q340/q341: the concentration-statistic scale tiers run NO unpartitioned entity-frame window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q340_gini_bucketed", "q341_lorenz_binned")) {
+      val wins = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.sparkPlan
+        .collect { case w: WindowExec => w }
+      // q340's rank window partitions by bucket; its offset window and
+      // q341's cumulative window run over the <=|buckets|-row summary
+      // (child plan already aggregated) — neither ranks the raw
+      // entity frame globally
+      val global = wins.filter(_.partitionSpec.isEmpty)
+      assert(global.forall(w =>
+        w.child.find(_.isInstanceOf[
+          org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+          .isDefined),
+        s"$q has a global window over a non-aggregated frame:\n" +
+          global.map(_.toString).mkString)
+    }
+  }
+
   test("q337: the JPEG decode tier prunes the documents scan to doc_id alone") {
     assert(scansOf("q337_jpeg_pixel_stats").forall(
       _.schema.fieldNames.toSeq == Seq("doc_id")),
