@@ -781,6 +781,50 @@ object Streaming {
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowUs MICROSECOND"))
   }
 
+  /** WATERMARKED LEFT-OUTER stream-stream interval join — the
+    * "purchases with or without a preceding click" readout
+    * [[attributionJoin]] cannot express: every purchase emits, either
+    * joined to each qualifying click of the same user within
+    * `windowUs` BEFORE it, or exactly once NULL-PADDED when the
+    * engine proves no click can arrive anymore (the null row is
+    * emitted ON STATE EVICTION — once the watermark passes the
+    * purchase's match window, not speculatively, so a late-but-
+    * in-watermark click can never contradict an already-emitted null).
+    *
+    * Same bounded-state story as the inner form: both sides carry
+    * watermarks and the condition bounds event-time distance from
+    * both directions, so click state older than (watermark − window)
+    * and purchase state older than the watermark expire. The
+    * OPERATIONAL caveat the spec pins: null-padded results for a
+    * purchase surface only AFTER a later batch advances the watermark
+    * past its window — a drained stream holds the tail's verdicts
+    * until more data (or a heartbeat event) arrives. That is the
+    * engine's correctness guarantee, not a defect: emitting the null
+    * early could be contradicted by an in-watermark click.
+    *
+    * Returns (p_user, p_ts, c_ts nullable); timestamps compare as
+    * TimestampType on the micros lattice. */
+  def attributionJoinLeftOuter(purchases: DataFrame, clicks: DataFrame,
+                               userCol: String, tsCol: String,
+                               windowUs: Long,
+                               lateness: String = "10 minutes")
+      : DataFrame = {
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val p = purchases
+      .select(col(userCol).as("p_user"), col(tsCol).as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val c = clicks
+      .select(col(userCol).as("c_user"), col(tsCol).as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    p.join(c,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") -
+            expr(s"INTERVAL $windowUs MICROSECOND"),
+        "left_outer")
+      .select(col("p_user"), col("p_ts"), col("c_ts"))
+  }
+
   /** Continuous TOP-K leaderboard — the `graft_topk` bounded heap
     * ([[etlmudah.analytics.Analytics.topNPerGroupAgg]]) run as a sink,
     * exercising its MERGEABILITY the way [[heavyHitterSink]] exercises

@@ -13,6 +13,58 @@ import etlmudah.Tables
   * one closing double op per group. */
 object Round12 {
 
+  /** Stage the events table into one file per event-time DAY, give the
+    * files a deterministically SCRAMBLED arrival order (mtime follows
+    * ord = (day mod 7)·100 + day — the file source feeds oldest-mtime
+    * first), and run [[etlmudah.streaming.Streaming.latenessAuditSink]]
+    * over them once (done-marker memoized per corpus): a later batch
+    * carrying an earlier day arrives BELOW the watermark the
+    * higher days advanced, so the sink's on-time/late split is a
+    * deterministic function of the ladder — which is exactly what
+    * q342/q343's oracles replay in SQL (running-max watermark over the
+    * batch order, one row per quarantined event). */
+  private def stagedLatenessAudit(s: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import etlmudah.streaming.Streaming
+    val root = s"/tmp/graft_sink_q342_v1_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new Path(s"$root/_done")
+    if (fs.exists(done)) return root
+    fs.delete(new Path(root), true)
+    val src = s"$root/src"
+    fs.mkdirs(new Path(src))
+    val ev = Tables.eventsTyped(s, dir)
+    val days = ev.select(dayofmonth(col("ts")).as("d")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: <= 31 day keys
+    days.foreach { d =>
+      val ord = (d % 7) * 100 + d
+      val tmp = s"$root/tmp_d$d"
+      ev.filter(dayofmonth(col("ts")) === d).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new Path(src, f"b$ord%04d.parquet"))
+      fs.delete(new Path(tmp), true)
+    }
+    val base = 1700000000000L
+    days.sortBy(d => (d % 7) * 100 + d).zipWithIndex.foreach {
+      case (d, i) =>
+        val ord = (d % 7) * 100 + d
+        fs.setTimes(new Path(src, f"b$ord%04d.parquet"),
+          base + i * 2000L, -1)
+    }
+    val q = Streaming.latenessAuditSink(
+        Streaming.readEvents(s, src, maxFilesPerTrigger = 1),
+        s"$root/counts", s"$root/late", s"$root/wm", s"$root/cp",
+        latenessUs = 7200000000L, compactEvery = 8)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    fs.create(done).close()
+    root
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // FULL coreness decomposition (Batagelj–Zaveršnik via the iterated
@@ -141,7 +193,40 @@ object Round12 {
         Tables.orders(s, dir).groupBy(col("o_custkey"))
           .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
             .as("rev")),
-        "o_custkey", col("rev"), buckets = 10))
+        "o_custkey", col("rev"), buckets = 10)),
+
+    // LATENESS-AUDIT SINK batch twin, END-TO-END (the q301 discipline
+    // for the streaming tier): the real sink runs over a
+    // deterministically scrambled day-batch ladder on disk, and this
+    // row reads back its COUNTS report — the hourly on-time slice.
+    // The oracle replays the whole micro-batch ledger in SQL: batch
+    // order = (day mod 7, day), watermark before a batch = running
+    // max of earlier batches' max event time minus 2h, on-time = not
+    // below that watermark. Counts only (exact BIGINT lattice — the
+    // report's double value_sum stays out of the oracle surface by
+    // the float-fold ban).
+    "q342_lateness_audit_counts" -> ((s, dir) => {
+      val root = stagedLatenessAudit(s, dir)
+      s.read.parquet(s"$root/counts")
+        .select(col("hour_us").cast("long").as("hour_us"),
+          col("event_type"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("hour_us"), col("event_type"))
+    }),
+
+    // the QUARANTINE side of the same run: every late row with its
+    // event-time evidence (ts, the exact watermark that condemned it,
+    // late_by_us, and the 0-based batch index it arrived in) — the
+    // oracle derives all four from the same SQL ledger replay
+    "q343_lateness_audit_quarantine" -> ((s, dir) => {
+      val root = stagedLatenessAudit(s, dir)
+      s.read.parquet(s"$root/late")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("ts_us").cast("long").as("ts_us"),
+          col("watermark_us").cast("long").as("watermark_us"),
+          col("late_by_us").cast("long").as("late_by_us"),
+          col("batch_id").cast("long").as("batch_id"))
+        .orderBy(col("event_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -302,6 +387,51 @@ object Round12 {
          |      ROWS UNBOUNDED PRECEDING)::DOUBLE / trev::DOUBLE, 6)
          |    AS cum_share_from_top
          |FROM bd CROSS JOIN t ORDER BY bucket""".stripMargin
-    }
+    },
+
+    // the micro-batch ledger replayed in SQL: batch order
+    // (day mod 7, day); watermark BEFORE a batch = running max of
+    // earlier batches' max(us) minus 2h; hourly counts over the
+    // on-time slice
+    "q342_lateness_audit_counts" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, event_type,
+        |    day(ts) AS d FROM events),
+        |dd AS (SELECT DISTINCT d FROM ev),
+        |ord AS (SELECT d, (d % 7) * 100 + d AS o FROM dd),
+        |mx AS (SELECT d, max(us) AS mxus FROM ev GROUP BY d),
+        |wm AS (SELECT ord.d,
+        |    max(mxus) OVER (ORDER BY ord.o ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - 7200000000 AS wm
+        |  FROM ord JOIN mx USING (d)),
+        |cls AS (SELECT ev.us, ev.event_type,
+        |    (wm.wm IS NOT NULL AND ev.us < wm.wm) AS late
+        |  FROM ev JOIN wm USING (d))
+        |SELECT (us // 3600000000) * 3600000000 AS hour_us, event_type,
+        |  count(*)::BIGINT AS cnt
+        |FROM cls WHERE NOT late
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same ledger, the condemned rows: evidence columns exactly as
+    // the sink quarantines them
+    "q343_lateness_audit_quarantine" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us,
+        |    day(ts) AS d FROM events),
+        |dd AS (SELECT DISTINCT d FROM ev),
+        |ord AS (SELECT d, (d % 7) * 100 + d AS o FROM dd),
+        |mx AS (SELECT d, max(us) AS mxus FROM ev GROUP BY d),
+        |wm AS (SELECT ord.d,
+        |    (row_number() OVER (ORDER BY ord.o ASC))::BIGINT - 1
+        |      AS batch_id,
+        |    max(mxus) OVER (ORDER BY ord.o ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - 7200000000 AS wm
+        |  FROM ord JOIN mx USING (d))
+        |SELECT ev.event_id, ev.us AS ts_us,
+        |  wm.wm AS watermark_us, wm.wm - ev.us AS late_by_us,
+        |  wm.batch_id
+        |FROM ev JOIN wm USING (d)
+        |WHERE wm.wm IS NOT NULL AND ev.us < wm.wm
+        |ORDER BY ev.event_id""".stripMargin
   )
 }

@@ -424,6 +424,106 @@ class StreamingSpec extends SparkSpec {
     assert(runOnce("b") == batch, "a fresh checkpoint converges too")
   }
 
+  test("attributionJoinLeftOuter: stream == batch on closed windows INCLUDING the null-padded rows; re-run converges") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("stream_louter").toString
+    val src = s"$out/src"
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def ev(id: Long, u: Long, h: Int, m: Int, typ: String) =
+      (id, ts(h, m), u, typ, 1.0, "{}")
+    def frame(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    // u1: click then purchase inside the 1h window -> matched pair
+    // u2: purchase, no click at all -> null-padded
+    // u3: click 90min before the purchase (outside window) -> null-padded
+    // u4: click AFTER the purchase -> null-padded
+    // u5: two clicks in window -> two joined rows
+    val data = Seq(
+      ev(1, 1, 10, 0, "click"), ev(2, 1, 10, 30, "purchase"),
+      ev(3, 2, 10, 15, "purchase"),
+      ev(4, 3, 9, 0, "click"), ev(5, 3, 10, 30, "purchase"),
+      ev(6, 4, 10, 40, "click"), ev(7, 4, 10, 20, "purchase"),
+      ev(8, 5, 10, 5, "click"), ev(9, 5, 10, 10, "click"),
+      ev(10, 5, 10, 45, "purchase"))
+    // heartbeat batches: advance the watermark far past every window
+    // (eviction emits the null rows), then once more so the final
+    // trigger flushes state the previous watermark expired
+    val hb1 = Seq(ev(90, 99, 20, 0, "click"))
+    val hb2 = Seq(ev(91, 99, 21, 0, "click"))
+    stageParquet(frame(data), src, "f1.parquet")
+    Thread.sleep(1100)
+    stageParquet(frame(hb1), src, "f2.parquet")
+    Thread.sleep(1100)
+    stageParquet(frame(hb2), src, "f3.parquet")
+    val win = 3600000000L
+    def runOnce(tag: String): Set[(Long, Long, Option[Long])] = {
+      val evs = Streaming.readEvents(spark, src, maxFilesPerTrigger = 1)
+      val j = Streaming.attributionJoinLeftOuter(
+        evs.where(col("event_type") === "purchase"),
+        evs.where(col("event_type") === "click"),
+        "user_id", "ts", win, lateness = "10 minutes")
+      val q = j.select(col("p_user"), unix_micros(col("p_ts")).as("pus"),
+          unix_micros(col("c_ts")).as("cus"))
+        .writeStream.format("parquet")
+        .option("path", s"$out/joined_$tag")
+        .option("checkpointLocation", s"$out/cp_$tag")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      spark.read.parquet(s"$out/joined_$tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    }
+    // batch truth: the identical LEFT OUTER interval join on the
+    // static frames, restricted to the non-heartbeat users (their
+    // windows are all closed by the heartbeat watermark)
+    val st = frame(data).withColumn("ts", col("ts").cast("timestamp"))
+    val bp = st.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val bc = st.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = bp.join(bc, col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $win MICROSECOND"),
+        "left_outer")
+      .select(col("p_user"), unix_micros(col("p_ts")),
+        unix_micros(col("c_ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // the fixture must exercise BOTH join outcomes
+    assert(batch.exists(_._3.isEmpty) && batch.exists(_._3.nonEmpty))
+    assert(batch.count(_._3.isEmpty) == 3, batch.toString) // u2, u3, u4
+    val streamed = runOnce("a")
+    assert(streamed == batch,
+      s"stream=$streamed\nbatch=$batch")
+    // crash replay: re-deliver the final heartbeat batch — the
+    // parquet sink's commit log dedupes, state eviction re-converges
+    dropCommit(s"$out/cp_a", 2)
+    // SAME topology as runOnce (one shared file source feeding both
+    // sides — the checkpoint records exactly one source)
+    val evs2 = Streaming.readEvents(spark, src, maxFilesPerTrigger = 1)
+    val q2 = Streaming.attributionJoinLeftOuter(
+        evs2.where(col("event_type") === "purchase"),
+        evs2.where(col("event_type") === "click"),
+        "user_id", "ts", win, lateness = "10 minutes")
+      .select(col("p_user"), unix_micros(col("p_ts")).as("pus"),
+        unix_micros(col("c_ts")).as("cus"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/joined_a")
+      .option("checkpointLocation", s"$out/cp_a")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitDrained(q2)
+    assert(spark.read.parquet(s"$out/joined_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet == batch,
+      "re-delivered final batch must converge")
+    // fresh full re-run converges too
+    assert(runOnce("b") == batch)
+  }
+
   test("topkSink: streamed leaderboard == one-shot batch top-k exactly, re-run converges") {
     import etlmudah.analytics.Analytics
     val out = Files.createTempDirectory("stream_topk").toString
