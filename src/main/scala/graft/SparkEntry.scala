@@ -30,7 +30,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     statsByNation(spark, "/root/testdata/sf0.001")
 
-  private def statsByNation(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def statsByNation(s: SparkSession, dir: String): DataFrame = {
     val star = Joins.lineitemStar(
       Tables.lineitem(s, dir), Tables.orders(s, dir),
       Tables.customer(s, dir), Tables.nation(s, dir))
@@ -47,7 +47,7 @@ object SparkEntry {
     * every downstream oracle is unchanged; q63 keeps
     * `exactJaccardPairs` as the exact-tier definition and q108 is the
     * prefix tier's own oracle. Tier pinned in PlanShapeSpec. */
-  private val clusterPairsMinJaccard = 0.8
+  private[graft] val clusterPairsMinJaccard = 0.8
   private[graft] def clusterPairs(docs: DataFrame): DataFrame =
     Dedup.prefixJaccardPairs(docs, "text", "doc_id",
       minJaccard = clusterPairsMinJaccard)
@@ -56,7 +56,7 @@ object SparkEntry {
     * on any change to the miner's algorithm, and the mining parameters
     * ride the tag — a parameter or code change re-mines instead of
     * silently reusing a stale artifact from a previous round. */
-  private val clusterPairsTag =
+  private[graft] val clusterPairsTag =
     s"prefixJaccardPairs:v1:minJaccard=$clusterPairsMinJaccard"
 
   /** The pair table STAGED once per corpus and reused by every
@@ -85,7 +85,7 @@ object SparkEntry {
     * benchmarking the live training loop every round (the q108/q165
     * discipline), and q205 trains live on its train split — the
     * holdout protocol it demonstrates. */
-  private val lrWeightsTag = "lrw-v1-b16-s3-lr0.02-y-spark"
+  private[graft] val lrWeightsTag = "lrw-v1-b16-s3-lr0.02-y-spark"
   private[graft] def stagedLrWeights(s: SparkSession, dir: String): DataFrame =
     stagedArtifact(s, dir, lrWeightsTag, "lrw")(
       etlmudah.text.TextStats.trainHashedLogReg(
@@ -106,7 +106,7 @@ object SparkEntry {
     * Built from codepoint escapes so no source-encoding round trip can
     * alter the bytes; interpolated into BOTH the Spark lambda and the
     * DuckDB oracle so the two sides inject identical damage. */
-  private val mojibakeSuffix =
+  private[graft] val mojibakeSuffix =
     " caf\u00C3\u00A9 \u00E2\u20AC\u0153quote \u00C2 nb"
 
   /** Deterministic NON-NFC suffix for q252 (the q212 dirty-synthesis
@@ -116,9 +116,9 @@ object SparkEntry {
     * doc is changed and the length delta is closed-form. Codepoint
     * escapes only; interpolated into BOTH engines so the injected
     * damage is identical. */
-  private val nfcSuffix = " cafe\u0301 A\u030A \u212B"
+  private[graft] val nfcSuffix = " cafe\u0301 A\u030A \u212B"
 
-  private val portableSigTag = "psig-v1-n3-k128"
+  private[graft] val portableSigTag = "psig-v1-n3-k128"
   private[graft] def stagedPortableSigs(s: SparkSession, dir: String): DataFrame =
     stagedArtifact(s, dir, portableSigTag, "psig")(
       Dedup.minhashPortableSigTable(Tables.documents(s, dir),
@@ -132,7 +132,7 @@ object SparkEntry {
     * whole-corpus table serves the pair self-join AND every train/ref
     * split. q165 still runs the miner itself (its oracle row
     * benchmarks the mining cost every round, the q108 discipline). */
-  private val winnowFpTag = "wfp-v1-k3-w4"
+  private[graft] val winnowFpTag = "wfp-v1-k3-w4"
   private[graft] def stagedWinnowFps(s: SparkSession, dir: String): DataFrame =
     stagedArtifact(s, dir, winnowFpTag, "wfp")(
       Dedup.winnowFingerprints(Tables.documents(s, dir), "text", "doc_id",
@@ -151,7 +151,7 @@ object SparkEntry {
     * undirected weight-thresholded pair view is a pure filter (src <
     * dst keeps exactly one direction, and both directions carry equal
     * weights by construction). */
-  private val coEdgeTag = "coedge-v1-orderkey-partkey"
+  private[graft] val coEdgeTag = "coedge-v1-orderkey-partkey"
   private[graft] def stagedCoEdges(s: SparkSession, dir: String): DataFrame =
     stagedArtifact(s, dir, coEdgeTag, "coedge", "lineitem.parquet")(
       etlmudah.graph.Centrality.cooccurrenceEdges(
@@ -162,7 +162,7 @@ object SparkEntry {
     * the synthetic pages (its oracle row benchmarks href extraction +
     * edge aggregation + ranking every round); q223's curation funnel
     * consumes this artifact and pays only the rank loop + the gate. */
-  private val hostEdgeTag = "hedge-v1-links2"
+  private[graft] val hostEdgeTag = "hedge-v1-links2"
   private[graft] def stagedHostEdges(s: SparkSession, dir: String): DataFrame =
     stagedArtifact(s, dir, hostEdgeTag, "hedge") {
       import etlmudah.web.Web
@@ -175,7 +175,7 @@ object SparkEntry {
         "url", "page")
     }
 
-  private val winnowPairTag = "wpair-v1-k3-w4-ms2-df50"
+  private[graft] val winnowPairTag = "wpair-v1-k3-w4-ms2-df50"
   private[graft] def stagedWinnowPairs(s: SparkSession, dir: String): DataFrame =
     stagedArtifact(s, dir, winnowPairTag, "wpair")(
       Dedup.winnowSharedPairsFromFps(stagedWinnowFps(s, dir),
@@ -190,7 +190,7 @@ object SparkEntry {
     * body): a live attempt dir is never deleted, so racing writers and
     * mid-scan readers are always safe; `_SUCCESS` inside the pointed
     * attempt guards completeness. */
-  private def stagedArtifact(s: SparkSession, dir: String, tag: String,
+  private[graft] def stagedArtifact(s: SparkSession, dir: String, tag: String,
                              prefix: String,
                              srcTable: String = "documents.parquet")
                             (build: => DataFrame): DataFrame = {
@@ -281,10 +281,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ Round11.queries ++ Round12.queries
+    baseQueries ++ RoundsA.queries ++ RoundsB.queries ++ Round11.queries ++ Round12.queries
 
   // lazy: entries reference helper SQL vals defined later in the file
-  private lazy val baseQueries
+  private[graft] lazy val baseQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — global scalar aggregates (headline metrics)
     "q01_headline_orders" -> ((s, dir) =>
@@ -414,48 +414,6 @@ object SparkEntry {
           sum(col("o_orderkey")).as("key_sum"))
         .orderBy(col("change"))
     }),
-
-    // TPC-H Q5-shaped local-supplier volume: a 6-table join (customer,
-    // orders, lineitem, supplier, nation, region) with the
-    // same-nation residual — the join-reordering stress query. The
-    // plan is declared flat and Catalyst orders it: dims broadcast,
-    // fact tables hash-join on their keys, the year filter pushes to
-    // the orders scan
-    // TPC-H Q3 shape (shipping priority): segment-filtered customers x
-    // orders placed before the cut x lineitems shipped after it — the
-    // unshipped-revenue backlog per order, top 10. Date literals (not
-    // functions) so both scans keep their PushedFilters
-    "q183_shipping_priority" -> ((s, dir) =>
-      Tables.customer(s, dir)
-        .filter(col("c_mktsegment") === "BUILDING")
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
-        .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
-        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
-        .groupBy(col("o_orderkey"), col("o_orderdate")).agg(
-          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderdate").asc,
-          col("o_orderkey").asc)
-        .limit(10)),
-
-    // TPC-H Q10 shape (returned-item ranking): customers ranked by
-    // revenue they returned in one quarter — the churn-investigation
-    // join (customer x orders x returned lineitems x nation), top 20
-    "q184_returned_customers" -> ((s, dir) =>
-      Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
-        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
-        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_returnflag") === "R")
-        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("n_name")).agg(
-          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("revenue").desc, col("c_custkey").asc)
-        .limit(20)),
 
     "q143_local_supplier_volume" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -624,18 +582,6 @@ object SparkEntry {
         .groupBy(col("lang"), col("pred_lang").as("pred"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"), col("pred"))),
-
-    // Cavnar–Trenkle rank-profile n-gram classification (the classic
-    // n-gram language-ID algorithm, demonstrated with source as the
-    // category): top-20 char-trigram profiles per class, out-of-place
-    // distance, min-distance assignment — deterministic, so the whole
-    // pipeline re-derives in SQL
-    "q167_rank_profile_classify" -> ((s, dir) =>
-      TextStats.rankProfileClassify(Tables.documents(s, dir), "text",
-          "doc_id", "source", topV = 20)
-        .select(col("id").as("doc_id"), col("actual"), col("predicted"),
-          col("distance"))
-        .orderBy(col("doc_id"))),
 
     // document fingerprinting (rolling-hash dedup key)
     "q23_fingerprint_collisions" -> ((s, dir) =>
@@ -877,68 +823,6 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
         "embedding", simThreshold = 0.35, nlist = 8)),
 
-    // PORTABLE SemDeDup twin at q100's parameters (threshold 0.35,
-    // nlist=8): the q158 deterministic centroid pick + 6dp cosine
-    // replace the trained quantizer, so the cluster-then-drop pipeline
-    // re-derives in SQL end-to-end — the semantic-dedup tier's oracle
-    // row (q100 keeps the trained quantizer for list balance)
-    "q164_semantic_dedup_portable" -> ((s, dir) =>
-      Similarity.semanticDedupPortable(Tables.embeddings(s, dir),
-        "vec_id", "embedding", simThreshold = 0.35, nlist = 8)),
-
-    // winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, the
-    // MOSS selection rule): trigram hashes, windows of 4, rightmost-min
-    // per window — the classic guarantee-bearing fingerprint sampler
-    // (any shared run of >= w+k-1 tokens yields a shared fingerprint
-    // at ~2/(w+1) density); portable md5 lane so DuckDB re-derives
-    // every selection
-    "q165_winnow_fingerprints" -> ((s, dir) =>
-      Dedup.winnowFingerprints(Tables.documents(s, dir), "text", "doc_id",
-          k = 3, w = 4)
-        .select(col("id").as("doc_id"), col("pos").cast("bigint").as("pos"),
-          col("fp"))
-        .orderBy(col("doc_id"), col("pos"))),
-
-    // the winnow dedup application: doc pairs sharing >= 2 selected
-    // fingerprints (hot fingerprints with df > 50 dropped before the
-    // inverted-index join — the banded tiers' bucket cap); fingerprints
-    // come from the staged artifact, mined once per corpus
-    "q166_winnow_shared_pairs" -> ((s, dir) =>
-      Dedup.winnowSharedPairsFromFps(stagedWinnowFps(s, dir),
-          minShared = 2L, maxDf = 50L)
-        .select(col("id_a"), col("id_b"), col("shared"))),
-
-    // sparse TF-IDF cosine similarity: term-keyed sparse dot product
-    // over q57's weights, stopword-grade terms (df > 10% of corpus)
-    // capped out before the pair join, norms over the surviving terms
-    "q169_tfidf_cosine_pairs" -> ((s, dir) =>
-      TextStats.tfidfCosinePairs(Tables.documents(s, dir), "text", "doc_id",
-        minCosine = 0.5, maxDfFrac = 0.1)),
-
-    // winnow dup clusters: the q64 pipeline with winnow shared-pair
-    // candidates — fingerprint-selected pairs feed the same pointer-
-    // jumping connected components, proving the tiers compose; pairs
-    // come from the staged artifact (q166 keeps benchmarking the join
-    // itself, the q64/q108 split)
-    "q170_winnow_dup_clusters" -> ((s, dir) =>
-      Dedup.dupClusters(
-        stagedWinnowPairs(s, dir).select(col("id_a"), col("id_b")))),
-
-    // winnow-fingerprint DECONTAMINATION (even-id train vs odd-id ref,
-    // the q157 split): train/ref pairs sharing >= 2 selected
-    // fingerprints, boilerplate fingerprints capped across both
-    // corpora. Selection is per-document, so splitting the staged
-    // whole-corpus fingerprint table equals winnowing each side — the
-    // same subset-stability the oracle SQL already relies on
-    "q168_winnow_decontamination" -> ((s, dir) => {
-      val fps = stagedWinnowFps(s, dir)
-      Dedup.winnowCrossPairsFromFps(
-          fps.filter(col("id") % 2 === 0),
-          fps.filter(col("id") % 2 === 1),
-          minShared = 2L, maxDf = 50L)
-        .select(col("train_id"), col("ref_id"), col("shared"))
-    }),
-
     // IVF ANN: k-means coarse quantizer + probe-limited refine (no SQL
     // oracle: k-means assignment has no DuckDB twin; recall-verified in
     // SimilaritySpec)
@@ -986,23 +870,6 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    // ORC round-trip (the columnar interchange tier q44/q116 cover for
-    // text formats): write zstd ORC, read back, aggregate — types
-    // survive exactly, so the oracle is the source table itself
-    "q181_orc_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_sink_q181_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-      etlmudah.sinks.Writers.writeOrc(
-        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
-        out)
-      s.read.orc(out)
-        .groupBy(col("o_orderpriority")).agg(
-          count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
-          min(col("o_orderkey")).as("min_key"),
-          max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -1098,22 +965,6 @@ object SparkEntry {
       TextStats.gopherStats(Tables.documents(s, dir), "text", "doc_id",
         sliceCol = "source", minTokens = 30)),
 
-    // unigram-LM log-prob scoring per source (the perplexity-filter
-    // proxy): LM trained on the corpus itself, docs scored by mean
-    // token log-probability
-    // cross-source rank-ensemble calibration: three deterministic
-    // integer signals (token/char/distinct-type counts) percentile-
-    // ranked WITHIN source, averaged into one unit-free keep/drop
-    // ordering — integer-exact 6dp (score6), no engine-round seam
-    "q207_rank_ensemble" -> ((s, dir) =>
-      TextStats.rankEnsemble(
-        Tables.documents(s, dir)
-          .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-          .withColumn("n_chars", length(col("text")).cast("long"))
-          .withColumn("n_types",
-            size(array_distinct(TextStats.tokens(col("text")))).cast("long")),
-        "doc_id", "source", Seq("n_tokens", "n_chars", "n_types"))),
-
     "q99_unigram_logprob" -> ((s, dir) =>
       TextStats.unigramScore(Tables.documents(s, dir), "text", "doc_id",
         sliceCol = "source")),
@@ -1157,21 +1008,6 @@ object SparkEntry {
     "q106_bigram_logprob" -> ((s, dir) =>
       TextStats.bigramScore(Tables.documents(s, dir), "text", "doc_id",
         sliceCol = "source")),
-
-    // interpolated Kneser-Ney bigram scoring per source — q106 with
-    // the production smoothing: absolute discount 0.75 + continuation
-    // probability (how many contexts a word follows), the formulation
-    // real perplexity filters run
-    "q188_kneser_ney_logprob" -> ((s, dir) =>
-      TextStats.knBigramScore(Tables.documents(s, dir), "text", "doc_id",
-        sliceCol = "source")),
-
-    // CCNet-style perplexity buckets per source: rank docs by the KN
-    // score and split into head/middle/tail tiles — the keep/drop
-    // grain real curation pipelines use (Wenzek et al. 2020)
-    "q189_perplexity_buckets" -> ((s, dir) =>
-      TextStats.knPerplexityBuckets(Tables.documents(s, dir), "text",
-        "doc_id", sliceCol = "source")),
 
     // hourly volume anomalies per event type: z-score vs the trailing
     // 24-hour baseline (the ingestion spike/outage monitor)
@@ -1243,29 +1079,6 @@ object SparkEntry {
       Dedup.minhashPortablePairs(Tables.documents(s, dir), "text", "doc_id",
         shingleN = 3, k = 8, bands = 4, minJaccard = 0.7)),
 
-    // THEORETICAL banding S-curve table (MMDS ch.3): catch probability
-    // for every factorization of a 16-hash budget over a jaccard grid
-    // — the design table q209's measured curve confirms; pure
-    // driver-side computation (the q146 precedent), multiply-chain
-    // arithmetic so both engines produce bit-identical doubles
-    // NOTE on numbering: q215 was retired during round 8 (a draft
-    // PSI-drift variant superseded by q211 before it ever shipped a
-    // row); the id is left unused so recorded CORRECTNESS/BENCH
-    // histories never alias two different queries under one name.
-    "q214_banding_design" -> ((s, dir) =>
-      Dedup.bandingDesignTable(s, k = 16)),
-
-    // banded-tier recall CURVE: the portable MinHash candidate set
-    // measured against exact-Jaccard ground truth per similarity
-    // decile — SCALE.md's recall evidence promoted to a hash-checked
-    // query (run on an audit slice at corpus scale). The 0.02 gate
-    // deliberately includes the background-noise deciles so the row
-    // set shows BOTH curve ends: ~0 recall on unrelated pairs (banding
-    // correctly ignores them) and 1.0 on the near-dup decile
-    "q209_banded_recall_curve" -> ((s, dir) =>
-      Dedup.bandedRecallReport(Tables.documents(s, dir), "text", "doc_id",
-        shingleN = 3, k = 8, bands = 4, gate = 0.02)),
-
     // q25's production parameters (k=128, b=32, j>=0.8) through the
     // portable md5-60bit hash family: the flagship banded near-dup tier
     // itself gains a hash-checked oracle row (q25's xxhash64 tier stays
@@ -1313,273 +1126,6 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // one-sided winnow decontamination SCREEN (the decontaminationSink
-    // batch twin): every-tenth doc is the static reference corpus, the
-    // rest arrive for screening; the df cap runs on the REFERENCE side
-    // only, so verdicts are independent of arrival batching
-    "q172_winnow_screen_ref" -> ((s, dir) => {
-      val fps = stagedWinnowFps(s, dir)
-      Dedup.winnowScreenAgainstRef(
-          fps.filter(col("id") % 10 =!= 0),
-          fps.filter(col("id") % 10 === 0),
-          minShared = 2L, maxDf = 50L)
-        .select(col("id").as("doc_id"), col("ref_id"), col("shared"))
-        .orderBy(col("doc_id"), col("ref_id"))
-    }),
-
-    // BMP PIXEL statistics — the first REAL pixel decode (24bpp
-    // BI_RGB is pure byte arithmetic; the native graft_bmp_stats
-    // expression walks the padded-stride rows): per-doc synthetic
-    // BMPs whose pixel rule is closed-form in (doc_id, row, col),
-    // every doc_id%5==0 blob truncated mid-header to prove truncation
-    // yields null (counted, never a partial stat). The oracle replays
-    // the statistics from the generation rule over a lateral
-    // generate-series grid — it never parses a byte, so a green row
-    // pins header validation, stride padding, channel order, and the
-    // exact sums/mins/maxs cross-engine
-    "q224_bmp_pixel_stats" -> ((s, dir) => {
-      val id = col("doc_id")
-      val wg = (id % 4 + 1).cast("int")
-      val hg = (id % 3 + 1).cast("int")
-      val blob = Multimodal.fakeBmp24(id, wg, hg)
-      val maimed = when(id % 5 === 0, substring(blob, 1, 40)).otherwise(blob)
-      Tables.documents(s, dir)
-        .select(wg.as("w"), hg.as("h"),
-          Multimodal.bmpPixelStats(maimed).as("st"))
-        .groupBy(col("w"), col("h")).agg(
-          count(lit(1)).as("n_imgs"),
-          count(col("st")).as("n_decoded"),
-          sum(col("st.n_px")).as("n_px"),
-          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
-          sum(col("st.b_sum")).as("b_sum"),
-          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
-          sum(col("st.g_sum")).as("g_sum"),
-          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
-          sum(col("st.r_sum")).as("r_sum"))
-        .orderBy(col("w"), col("h"))
-    }),
-
-    // WAV SAMPLE statistics — the audio twin of q224: 16-bit PCM
-    // samples decode with pure byte arithmetic (native
-    // graft_wav_stats), giving the clipping peak / DC offset / RMS
-    // energy audio curation actually computes. Samples are
-    // closed-form in (doc_id, index); every seventh blob truncates
-    // mid-data to prove partial audio yields null, never a partial
-    // statistic. The oracle replays the sample rule over a
-    // generate-series — never parses a byte
-    "q230_wav_sample_stats" -> ((s, dir) => {
-      val id = col("doc_id")
-      val ch = (id % 2 + 1)
-      val nf = (id % 3 + 1) * 4
-      val blob = Multimodal.fakeWav16(id, ch, lit(8000L), nf)
-      val maimed = when(id % 7 === 0, substring(blob, 1, 50)).otherwise(blob)
-      Tables.documents(s, dir)
-        .select(ch.cast("int").as("channels_gen"),
-          Multimodal.wavSampleStats(maimed).as("st"))
-        .groupBy(col("channels_gen")).agg(
-          count(lit(1)).as("n_docs"),
-          count(col("st")).as("n_decoded"),
-          sum(col("st.n_samples")).as("n_samples"),
-          max(col("st.peak")).as("peak"),
-          min(col("st.s_min")).as("s_min"),
-          max(col("st.s_max")).as("s_max"),
-          sum(col("st.s_sum")).as("s_sum"),
-          sum(col("st.sq_sum")).as("sq_sum"))
-        .orderBy(col("channels_gen"))
-    }),
-
-    // IMAGE near-dup dedup on REAL pixels: perceptual average hash
-    // (8x8 nearest-neighbor grid over the decoded 24bpp rows,
-    // brightness-vs-grid-mean bits, exact cross-multiplied compare)
-    // grouped for duplicate images — consecutive docs share a seed,
-    // so every synthetic image arrives (at least) twice and the
-    // planted pairs MUST land in one group. The oracle replays the
-    // whole hash from the pixel rule (grid indices are integer
-    // division) — never parses a byte
-    "q227_image_ahash_dedup" -> ((s, dir) => {
-      val seed = expr("doc_id div 2")
-      val blob = Multimodal.fakeBmp24(seed,
-        (seed % 4 + 1).cast("int"), (seed % 3 + 1).cast("int"))
-      Tables.documents(s, dir)
-        .select(Multimodal.bmpAHash(blob).as("ah"))
-        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
-        .agg(count(lit(1)).as("group_size"))
-        .groupBy(col("group_size")).agg(
-          count(lit(1)).as("n_groups"),
-          sum(col("group_size")).as("n_docs"))
-        .orderBy(col("group_size"))
-    }),
-
-    // BMP/TIFF header ROUND TRIP — closes the raster-header set:
-    // per doc the builder cycles modern BMP (signed LE32 dims) /
-    // legacy BITMAPCOREHEADER (LE16) / little-endian TIFF (IFD walk,
-    // SHORT values) / big-endian TIFF (SHORT + LONG values); the
-    // oracle computes expected dims directly, so a green row proves
-    // both DIB layouts and both TIFF byte orders decode exactly
-    "q185_bmp_tiff_roundtrip" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val variant = element_at(array(lit("bmp"), lit("bmpcore"),
-        lit("tiffii"), lit("tiffmm")), (col("doc_id") % 4 + 1).cast("int"))
-      val w = (col("doc_id") % 512 + 16).cast("int")
-      val h = ((col("doc_id") * 11) % 512 + 16).cast("int")
-      // blob materialized as its own projection first (the q163 lesson)
-      docs.select(col("doc_id"),
-          Multimodal.fakeMediaHeader(variant, w, h).as("blob"))
-        .select(col("doc_id"), Multimodal.mediaMeta(col("blob")).as("m"))
-        .select(col("doc_id"), col("m.format").as("format"),
-          col("m.width").cast("bigint").as("width"),
-          col("m.height").cast("bigint").as("height"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // MP4 (ISO-BMFF) video header ROUND TRIP — the video leg of the
-    // media-metadata set: a valid MP4 head (ftyp + free + moov with
-    // mvhd, an audio trak the track selection must SKIP, and the video
-    // trak with a trailing stub child) is synthesized per doc cycling
-    // the v0/v1 box layouts, parsed back by the two bounded box walks
-    // (Multimodal.videoMeta), and duration_ms derives integer-exactly.
-    // Runs on a FIXED doc_id%5 slice (ids alternate parity, so both
-    // box-version layouts stay covered): this tier exists to keep the
-    // interpreted HOF walk's ~2ms/row cost measured next to q203's
-    // expression tier — a bounded slice benchmarks that cost honestly
-    // without spending 8s of every bench pass on the known-slow path;
-    // the corpus-wide decode is q203's job (identity-pinned to this)
-    "q186_video_meta_roundtrip" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
-      val variant = element_at(array(lit("v0"), lit("v1")),
-        (col("doc_id") % 2 + 1).cast("int"))
-      val w = (col("doc_id") % 512 + 16).cast("int")
-      val h = ((col("doc_id") * 7) % 512 + 16).cast("int")
-      val dur = (col("doc_id") * 13 + 600).cast("long")
-      // blob materialized as its own projection first (the q163 lesson)
-      docs.select(col("doc_id"),
-          Multimodal.fakeMp4Header(variant, w, h, lit(600), dur).as("blob"))
-        .select(col("doc_id"), Multimodal.videoMeta(col("blob")).as("m"))
-        .select(col("doc_id"), col("m.format").as("format"),
-          col("m.width").as("width"), col("m.height").as("height"),
-          expr("m.duration * 1000 div m.timescale").as("duration_ms"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // the SCALE tier of q186: the same box walk as a mapPartitions
-    // byte-array codec (~µs/row vs the interpreted HOF's ~2 ms/row),
-    // against q186's oracle verbatim — a green row pins the two tiers
-    // equal cross-engine; MultimodalSpec pins them equal on the
-    // hostile fixture grid too
-    "q203_video_meta_fast" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val variant = element_at(array(lit("v0"), lit("v1")),
-        (col("doc_id") % 2 + 1).cast("int"))
-      val w = (col("doc_id") % 512 + 16).cast("int")
-      val h = ((col("doc_id") * 7) % 512 + 16).cast("int")
-      val dur = (col("doc_id") * 13 + 600).cast("long")
-      Multimodal.videoMetaScan(
-          docs.select(col("doc_id"),
-            Multimodal.fakeMp4Header(variant, w, h, lit(600), dur)
-              .as("blob")),
-          "blob", "doc_id")
-        .select(col("id").as("doc_id"), col("format"), col("width"),
-          col("height"),
-          expr("duration * 1000 div timescale").as("duration_ms"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // MP3 audio header ROUND TRIP — the compressed-audio sibling of
-    // q163: an ID3v2-tagged Layer III stream head is synthesized per
-    // doc (pad sizes cross the 128-byte syncsafe carry; version,
-    // bitrate index, sample-rate index, and channel mode all cycle
-    // independently), parsed back by pure bit arithmetic
-    "q187_mp3_meta_roundtrip" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ver = element_at(array(lit("1"), lit("2"), lit("2.5")),
-        (col("doc_id") % 3 + 1).cast("int"))
-      val br = (col("doc_id") % 14 + 1).cast("int")
-      val sr = floor((col("doc_id") % 9) / 3).cast("int")
-      val mono = (col("doc_id") % 2).cast("int")
-      val pad = ((col("doc_id") * 37) % 300).cast("int")
-      docs.select(col("doc_id"),
-          Multimodal.fakeMp3Header(ver, br, sr, mono, pad).as("blob"))
-        .select(col("doc_id"), Multimodal.mp3Meta(col("blob")).as("m"))
-        .select(col("doc_id"), col("m.format").as("format"),
-          col("m.mpeg_version").as("mpeg_version"),
-          col("m.layer").cast("bigint").as("layer"),
-          col("m.bitrate_kbps").cast("bigint").as("bitrate_kbps"),
-          col("m.sample_rate_hz").as("sample_rate_hz"),
-          col("m.channels").cast("bigint").as("channels"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // FLAC STREAMINFO ROUND TRIP — the lossless leg of the audio set:
-    // rate (20 bits), channels (3), bits/sample (5), and total
-    // samples (36) are packed across byte seams, so a green row
-    // proves the bit surgery exact on both encode and decode;
-    // total samples crosses 32 bits on odd doc_ids
-    "q191_flac_meta_roundtrip" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ch = (col("doc_id") % 8 + 1).cast("int")
-      val rate = element_at(array(lit(8000L), lit(22050L), lit(44100L),
-        lit(96000L), lit(655350L)), (col("doc_id") % 5 + 1).cast("int"))
-      val bits = element_at(array(lit(8), lit(12), lit(16), lit(24), lit(32)),
-        (col("doc_id") % 5 + 1).cast("int"))
-      val n = col("doc_id") * 977L + (col("doc_id") % 2) * 4294967296L
-      docs.select(col("doc_id"),
-          Multimodal.fakeFlacHeader(ch, rate, bits, n).as("blob"))
-        .select(col("doc_id"), Multimodal.flacMeta(col("blob")).as("m"))
-        .select(col("doc_id"), col("m.format").as("format"),
-          col("m.channels").cast("bigint").as("channels"),
-          col("m.sample_rate_hz").as("sample_rate_hz"),
-          col("m.bits_per_sample").cast("bigint").as("bits_per_sample"),
-          col("m.total_samples").as("total_samples"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Ogg identification-header ROUND TRIP — the audio container the
-    // WAV/MP3/FLAC decoders don't cover: a valid first page (BOS flag,
-    // one-packet segment table) is synthesized per doc alternating
-    // Vorbis and Opus; the decoder skips the page header via the
-    // segment count and dispatches the codec on first-packet magic
-    "q195_ogg_meta_roundtrip" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val codec = element_at(array(lit("vorbis"), lit("opus")),
-        (col("doc_id") % 2 + 1).cast("int"))
-      val ch = (col("doc_id") % 2 + 1).cast("int")
-      val rate = element_at(array(lit(8000L), lit(44100L), lit(48000L)),
-        (col("doc_id") % 3 + 1).cast("int"))
-      val preSkip = (col("doc_id") % 1000 + 1).cast("int")
-      // blob materialized as its own projection first (the q163 lesson)
-      docs.select(col("doc_id"),
-          Multimodal.fakeOggHeader(codec, ch, rate, preSkip).as("blob"))
-        .select(col("doc_id"), Multimodal.oggMeta(col("blob")).as("m"))
-        .select(col("doc_id"), col("m.format").as("format"),
-          col("m.channels").cast("bigint").as("channels"),
-          col("m.sample_rate_hz").as("sample_rate_hz"),
-          col("m.pre_skip_samples").cast("bigint").as("pre_skip_samples"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // WebP header ROUND TRIP — q155 for the fourth dominant web
-    // format: a valid WebP (RIFF) header is synthesized per doc
-    // cycling the VP8 (lossy 14-bit dims) / VP8L (lossless packed
-    // 14+14-bit) / VP8X (extended 24-bit canvas) variants, then parsed
-    // back by the byte-arithmetic decoder; the oracle computes the
-    // expected dimensions directly, so a green row proves every
-    // variant's bit layout encodes and decodes exactly
-    "q171_webp_meta_roundtrip" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val variant = element_at(array(lit("vp8"), lit("vp8l"), lit("vp8x")),
-        (col("doc_id") % 3 + 1).cast("int"))
-      val w = (col("doc_id") % 512 + 16).cast("int")
-      val h = ((col("doc_id") * 7) % 512 + 16).cast("int")
-      // blob materialized as its own projection first (the q163 lesson)
-      docs.select(col("doc_id"),
-          Multimodal.fakeWebpHeader(variant, w, h).as("blob"))
-        .select(col("doc_id"), Multimodal.mediaMeta(col("blob")).as("m"))
-        .select(col("doc_id"), col("m.format").as("format"),
-          col("m.width").cast("bigint").as("width"),
-          col("m.height").cast("bigint").as("height"))
-        .orderBy(col("doc_id"))
-    }),
-
     // PORTABLE hyperplane LSH (the q152 move applied to embedding ANN):
     // integer md5-lattice hyperplanes + floor-quantized coordinates make
     // buckets, candidate set, and the 6dp exact-cosine refine
@@ -1616,87 +1162,6 @@ object SparkEntry {
       Similarity.ivfAssignPortable(Tables.embeddings(s, dir),
         "vec_id", "embedding", nlist = 8)),
 
-    // cluster-balanced DIVERSITY sample: q158's portable assignment +
-    // the q89 md5-ordered cap, composed — dense semantic regions
-    // contribute at most perCluster docs, sparse regions keep all;
-    // the whole pipeline (pick, argmax, cap) replays in SQL
-    "q208_cluster_balanced_sample" -> ((s, dir) =>
-      etlmudah.scale.Sampling.clusterBalancedSample(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        nlist = 8, perCluster = 32, salt = "cbs")),
-
-    // Matryoshka truncation fidelity: top-k on the 16-dim embedding
-    // prefix vs full 64-dim ground truth, overlap per probe — the
-    // evaluation that must sit next to a truncate-and-serve ANN dial
-    // BINARY QUANTIZATION serving tier, oracle-checked end to end:
-    // sign-bit packed signatures (32x storage cut), Hamming-distance
-    // candidates via bit_count(xor) — exact integer bit arithmetic
-    // cross-engine — and the exact 6dp cosine rerank on only the
-    // candK survivors; both top-k windows probe-keyed
-    "q225_binary_hamming_topk" -> ((s, dir) =>
-      etlmudah.scale.Similarity.binaryHammingTopK(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        dims = 64, nprobe = 5, candK = 50, k = 10)),
-
-    // the binary tier's recall@10 at the production candK=50 dial —
-    // deterministic end to end, so the metric itself hash-checks
-    "q229_binary_recall" -> ((s, dir) =>
-      etlmudah.scale.Similarity.binaryRecallReport(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        dims = 64, nprobe = 5, candK = 50, k = 10)),
-
-    "q210_matryoshka_recall" -> ((s, dir) =>
-      Similarity.matryoshkaRecall(Tables.embeddings(s, dir),
-        "vec_id", "embedding", dPrime = 16, k = 10, nProbes = 10)),
-
-    // SEMANTIC drift gate: even-id vecs = reference snapshot, odd-id =
-    // current; both assigned to the reference's q158 centroids, PSI
-    // over the cluster shares — topical drift the scalar stats miss
-    "q211_semantic_drift_psi" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.semanticDriftPsi(
-        emb.filter(col("vec_id") % 2 === 0),
-        emb.filter(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", nlist = 8)
-    }),
-
-    // PORTABLE Product-Quantization encode (Jégou et al. — the memory
-    // answer for billion-vector ANN; int8 (q77) compresses 4x, PQ 32x):
-    // md5-ranked codebook pick per subspace, integer-lattice argmin-L2
-    // assignment with lowest-code ties — every step BIGINT-exact, so
-    // the full encode gains a hash-checked oracle row
-    "q177_pq_codes" -> ((s, dir) =>
-      Similarity.pqEncodePortable(Tables.embeddings(s, dir),
-        "vec_id", "embedding", m = 8, codes = 16)),
-
-    // PQ Asymmetric Distance Computation top-k (the FAISS serving
-    // path): per-probe (sub, code) lookup table broadcast, corpus
-    // scored by m table lookups — no vector moves to score a
-    // candidate; integer-exact, oracle re-derives pick/encode/LUT/rank
-    "q178_pq_adc_topk" -> ((s, dir) =>
-      Similarity.pqAdcTopK(Tables.embeddings(s, dir),
-        "vec_id", "embedding", nprobe = 5, k = 10, m = 8, codes = 16)),
-
-    // IVF-PQ COMPOSED (FAISS IndexIVFPQ, the billion-vector serving
-    // path): q158's coarse lists prune candidates to each probe's 2
-    // closest lists, q178's ADC LUT ranks only those — the oracle pins
-    // the property neither tier alone checks: a vector outside the
-    // probed lists never appears, however close its ADC distance
-    "q179_ivfpq_topk" -> ((s, dir) =>
-      Similarity.ivfPqTopK(Tables.embeddings(s, dir),
-        "vec_id", "embedding", nlist = 8, nprobeLists = 2,
-        nprobe = 5, k = 10, m = 8, codes = 16)),
-
-    // hashed-feature linear quality scorer (the fastText/FineWeb-Edu
-    // model-gate SHAPE): md5-lattice weights over hashed-trick token
-    // buckets, BIGINT sum, one division — a trained model drops in as
-    // a broadcast weight table; the oracle re-derives every score
-    "q180_quality_scorer" -> ((s, dir) =>
-      etlmudah.text.TextStats.hashedLinearScore(
-          Tables.documents(s, dir), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("n_tokens"), col("score"))
-        .orderBy(col("doc_id"))),
-
     // duplicate-span strip APPLIED (q88's removal step, Lee et al.
     // ExactSubstr at 8-gram granularity): every non-first occurrence
     // of a duplicated 8-token span drops its tokens, docs reassemble
@@ -1708,28 +1173,6 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
-    // BPE tokenizer training on-engine (rows-only: iterative,
-    // data-dependent argmax per round — not SQL-expressible; serial
-    // replay in TextStatsSpec is the correctness gate). nMerges=16
-    // keeps the bench round count honest while exercising the loop
-    "q161_bpe_merges" -> ((s, dir) =>
-      TextStats.bpeMerges(Tables.documents(s, dir), "text",
-          nMerges = 16)
-        .orderBy(col("rank"))),
-
-    // BPE APPLY: merges learned on the even-id train split segment the
-    // odd-id held-out split — per-source fertility report (rows-only:
-    // consumes the iterative trainer's model; serial replay in
-    // TextStatsSpec). The <= nMerges-row collect IS the model.
-    "q162_bpe_segment_report" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val merges = TextStats.bpeMerges(
-          docs.filter(col("doc_id") % 2 === 0), "text", nMerges = 16)
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      TextStats.bpeSegmentReport(
-        docs.filter(col("doc_id") % 2 === 1), "text", "source", merges)
-    }),
-
     // token-level sequence packing (GPT-style): concatenate the corpus
     // in doc_id order, chop into 2048-token packs, one row per
     // (doc, pack) span — boundary-straddling docs split across packs;
@@ -1739,39 +1182,6 @@ object SparkEntry {
         Tables.documents(s, dir)
           .select(col("doc_id"), TextStats.tokenCount(col("text")).as("tok")),
         "doc_id", "tok", ctxLen = 2048)),
-
-    // WAV (RIFF) audio header ROUND TRIP — the audio sibling of q155:
-    // a valid PCM WAV header (odd-sized LIST filler between WAVE and
-    // fmt, so the pad-byte chunk walk is exercised; data declared
-    // last) is synthesized per doc, parsed back by the byte-arithmetic
-    // chunk walker (Multimodal.audioMeta), and duration derives from
-    // the recovered fields with integer-exact math
-    "q163_audio_meta_roundtrip" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ch = (col("doc_id") % 2 + 1).cast("int")
-      val rate = element_at(array(lit(8000L), lit(16000L), lit(22050L),
-        lit(44100L), lit(48000L)), (col("doc_id") % 5 + 1).cast("int"))
-      val bits = element_at(array(lit(8), lit(16), lit(24), lit(32)),
-        (col("doc_id") % 4 + 1).cast("int"))
-      val db = (col("doc_id") % 100000L + 1000L).cast("long")
-      // the blob is materialized as its OWN projection before the
-      // decoder touches it — in production the binary column is a scan
-      // attribute, and inlining the synth tree instead makes the walk's
-      // every byte read re-evaluate the whole unhex(concat(...)) build
-      // (measured 50x slower); CollapseProject keeps the split because
-      // the alias is non-cheap and multiply-referenced
-      docs.select(col("doc_id"),
-          Multimodal.fakeWavHeader(ch, rate, bits, db).as("blob"))
-        .select(col("doc_id"), Multimodal.audioMeta(col("blob")).as("m"))
-        .select(col("doc_id"), col("m.format").as("format"),
-          col("m.channels").cast("bigint").as("channels"),
-          col("m.sample_rate_hz").as("sample_rate_hz"),
-          col("m.bits_per_sample").cast("bigint").as("bits_per_sample"),
-          col("m.data_bytes").as("data_bytes"))
-        .withColumn("duration_ms", expr(
-          "data_bytes * 8000 div (sample_rate_hz * channels * bits_per_sample)"))
-        .orderBy(col("doc_id"))
-    }),
 
     // set op INTERSECT (SURVEY §2.5): customers present in BOTH the
     // urgent-order and the high-order cohort. Spark's intersect plans
@@ -1846,66 +1256,6 @@ object SparkEntry {
     "q141_event_transitions" -> ((s, dir) =>
       etlmudah.analytics.Events.transitionMatrix(Tables.eventsTyped(s, dir),
         "ts", "user_id", "event_type", "event_id")),
-
-    // top event PATHS (q141 extended from bigrams to trigram paths):
-    // the most common 3-step event-type sequences per user stream
-    "q213_event_paths" -> ((s, dir) =>
-      etlmudah.analytics.Events.eventPaths(Tables.eventsTyped(s, dir),
-        "ts", "user_id", "event_type", "event_id", len = 3, topK = 20)),
-
-    // integer-lattice PageRank over the part co-purchase graph (parts
-    // sharing an order link both ways, weight = co-occurrence count):
-    // BIGINT-exact teleport/damping arithmetic — Spark `div` and DuckDB
-    // `//` agree on non-negatives — so the oracle replays all 3
-    // unrolled rounds and hash-matches, no epsilon envelope
-    "q218_part_pagerank" -> ((s, dir) =>
-      etlmudah.graph.Centrality.pageRankInt(
-        etlmudah.graph.Centrality.cooccurrenceEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"),
-        iters = 3)),
-
-    // per-part triangle participation over the REPEAT-co-purchase graph
-    // (weight >= 2, the significance prefilter): degree-ordered
-    // orientation generates each triangle exactly once via equi-joins
-    // only — the clustering-vs-star diagnostic on affinity graphs.
-    // Consumes the staged edge artifact (q218 benchmarks the live
-    // mine); src < dst keeps one direction of the symmetric edges,
-    // which IS cooccurrencePairs' output by construction
-    "q220_part_triangles" -> ((s, dir) =>
-      etlmudah.graph.Centrality.triangleStats(
-        stagedCoEdges(s, dir)
-          .filter(col("src") < col("dst") && col("weight") >= 2L)
-          .select(col("src").as("u"), col("dst").as("v")))),
-
-    // TextRank keywords: the graph tier composed with the text tier —
-    // PageRank over the undirected word-adjacency graph on md5-60bit
-    // word ids; vocab-sized iteration regardless of corpus size
-    "q221_textrank_keywords" -> ((s, dir) =>
-      TextStats.textRankKeywords(Tables.documents(s, dir),
-        "text", "doc_id", iters = 3, topK = 20)),
-
-    // blocked fuzzy record linkage over the DISTINCT part-name entity
-    // table (canonical id = min partkey per name): first-token
-    // blocking, native codegen'd graft_jaro_winkler refine, threshold
-    // on the ROUNDED sim so the DuckDB twin (its own
-    // jaro_winkler_similarity, convention spec-pinned) keeps the
-    // identical row set
-    "q219_fuzzy_link_parts" -> ((s, dir) =>
-      etlmudah.joins.Joins.fuzzyLinkPairs(
-        Tables.part(s, dir).groupBy(col("p_name"))
-          .agg(min(col("p_partkey")).as("id")),
-        "id", "p_name", minSim = 0.85)),
-
-    // mojibake (encoding-damage) scan per source: deterministic damage
-    // injected on every third doc (the q176 dirty-synthesis precedent),
-    // lead-character markers counted by one codegen'd regexp_count
-    "q212_mojibake_scan" -> ((s, dir) => {
-      val dirty = when(col("doc_id") % 3 === 0,
-        concat(col("text"), lit(mojibakeSuffix))).otherwise(col("text"))
-      TextStats.mojibakeScan(
-        Tables.documents(s, dir).withColumn("text", dirty),
-        "text", "doc_id", "source")
-    }),
 
     // t-digest decile calibration vs exact percentiles (no SQL oracle:
     // the sketch has no DuckDB twin; envelope spec'd in AnalyticsSpec)
@@ -1994,33 +1344,6 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(TextStats.tokenCount(col("text"))).as("sum_tokens"))
         .orderBy(col("split"), col("source"))
-    }),
-
-    // WEB-CURATION composite (q114's composition proof for the round-8
-    // web tier): unicode normalize -> hashed-model score gate -> exact
-    // dedup on the CLEANED text -> per-registered-domain cap -> domain
-    // report. Every stage is deterministic/portable, so the WHOLE
-    // chain carries ONE oracle — min/max score are order statistics of
-    // 6dp-rounded per-doc values, exact cross-engine (an avg would
-    // re-introduce float summation order)
-    "q182_web_curation" -> ((s, dir) => {
-      val base = Tables.documents(s, dir)
-        .withColumn("url",
-          etlmudah.web.Web.fakeUrl(col("doc_id"), col("source")))
-        .withColumn("clean_text", TextStats.cleanText(col("text")))
-      val gate = TextStats.hashedLinearScore(base, "clean_text", "doc_id")
-        .filter(col("score") >= -0.01)
-        .select(col("id").as("doc_id"), col("score"))
-      val deduped = Dedup.exactDedup(base.join(gate, Seq("doc_id")),
-        "clean_text", "doc_id")
-      etlmudah.web.Web.domainCap(deduped, "url", "doc_id", cap = 10,
-          salt = "webcur")
-        .groupBy(col("domain")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(TextStats.tokenCount(col("clean_text"))).as("n_tokens"),
-          min(col("score")).as("min_score"),
-          max(col("score")).as("max_score"))
-        .orderBy(col("domain"))
     }),
 
     // PMI collocations: bigrams beating the independence expectation
@@ -2257,373 +1580,6 @@ object SparkEntry {
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("source"))),
 
-    // per-REGISTERED-DOMAIN curation report (the FineWeb/RefinedWeb
-    // grain): synthetic URLs (testdata has no url column — the
-    // fakeMediaHeader precedent) -> host regexp -> eTLD+1 via the
-    // multi-suffix heuristic -> one domain-keyed aggregate; the share
-    // window runs over the aggregated (domain-sized) frame. A green
-    // row proves host parsing AND suffix normalization replay exactly
-    "q174_domain_stats" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      etlmudah.web.Web.domainStats(
-        docs.withColumn("url",
-          etlmudah.web.Web.fakeUrl(col("doc_id"), col("source"))),
-        "url", "text")
-    }),
-
-    // per-registered-domain document cap (q89's quota at the domain
-    // grain RefinedWeb actually uses): md5-uniform deterministic order
-    // through the same capPerStratum window
-    "q175_domain_cap" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      etlmudah.web.Web.domainCap(
-          docs.withColumn("url",
-            etlmudah.web.Web.fakeUrl(col("doc_id"), col("source"))),
-          "url", "doc_id", cap = 10)
-        .groupBy(col("domain")).agg(
-          count(lit(1)).as("n_kept"),
-          sum(col("doc_id")).as("id_sum"))
-        .orderBy(col("domain"))
-    }),
-
-    // URL canonicalization ROUND TRIP — the dedup key web pipelines
-    // group on: per doc, TWO messy spellings of the same page (upper
-    // case + www + :443 + shuffled params + a tracking param + a
-    // fragment + trailing slash vs a plain form with a different
-    // tracking param) both canonicalize; the oracle carries the
-    // CLOSED-FORM clean URL, so a green row proves every rule —
-    // case, www, default port, param filter+sort, fragment, slash —
-    // lands exactly, and both_agree proves the variants collide
-    "q190_url_canonical_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val id = col("doc_id")
-      val suffix = element_at(
-        array(lit("com"), lit("org"), lit("co.uk"), lit("com.my")),
-        (id % 4 + 1).cast("int"))
-      val base = concat(lit("d"), (id % 7).cast("string"), lit("."), suffix)
-      val messyA = concat(lit("HTTPS://WWW."), upper(base), lit(":443/p/"),
-        id.cast("string"), lit("/?b=2&utm_source="), col("source"),
-        lit("&a=1#sec"))
-      val messyB = concat(lit("https://"), base, lit("/p/"),
-        id.cast("string"), lit("?a=1&b=2&fbclid=x"))
-      docs.select(id,
-          etlmudah.web.Web.canonicalUrl(messyA).as("canonical"),
-          (etlmudah.web.Web.canonicalUrl(messyA) ===
-            etlmudah.web.Web.canonicalUrl(messyB)).as("both_agree"))
-        .orderBy(id)
-    }),
-
-    // HTML -> text extraction (the first transform of every web-crawl
-    // corpus): each doc's text wrapped in a deterministic synthetic
-    // page — style + script-with-hostile-body + comment + entities +
-    // block/inline tags — then pushed through all five htmlToText
-    // passes; the oracle replays synthesis AND extraction pass by
-    // pass, so a green row proves the element drops, the block-tag
-    // newlines, the tag strip, the entity decode ORDER (&amp; last),
-    // and the whitespace collapse all land engine-exactly
-    "q192_html_to_text" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      docs.select(col("doc_id"),
-          etlmudah.web.Web.htmlToText(
-            etlmudah.web.Web.fakeHtml(col("doc_id"), col("text")))
-            .as("clean_text"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // crawl-policy gate: the robots meta directives of each synthetic
-    // page (noindex/none pages asked not to be kept — the compliance
-    // filter run before any content processing); the oracle carries
-    // the CLOSED-FORM expected directives, so a green row proves the
-    // extraction (both attribute orders, case fold, word-boundary
-    // noindex test) without ever replicating the parser
-    "q196_robots_policy" -> ((s, dir) => {
-      val id = col("doc_id")
-      val robots = element_at(array(lit("noindex, follow"),
-        lit("index, follow"), lit("NONE"), lit(null).cast("string")),
-        (id % 4 + 1).cast("int"))
-      Tables.documents(s, dir)
-        .select(id, etlmudah.web.Web.fakeHtml(id, col("text"), robots)
-          .as("page"))
-        .select(id,
-          etlmudah.web.Web.metaRobots(col("page")).as("robots_directives"),
-          etlmudah.web.Web.metaNoindex(col("page")).as("noindex"))
-        .orderBy(id)
-    }),
-
-    // blocklist / safety-wordlist gate (the C4 "bad words" scan):
-    // per-(source, fired-term-set) doc counts and total hits; term
-    // matching is case-insensitive on word boundaries, the fired set
-    // is lowercased+sorted verdict text — fully engine-portable, so
-    // the oracle replays the scan with the identical pattern
-    "q193_blocklist_scan" -> ((s, dir) => {
-      val terms = Seq("spark", "slow")
-      Tables.documents(s, dir).select(col("source"),
-          TextStats.blocklistHitCount(col("text"), terms).as("n_hits"),
-          TextStats.blocklistTermsHit(col("text"), terms).as("terms_hit"))
-        .groupBy(col("source"), col("terms_hit"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
-        .orderBy(col("source"), col("terms_hit"))
-    }),
-
-    // ON-ENGINE CLASSIFIER TRAINING, oracle-checked: 3 full-batch
-    // logistic-regression steps over hash-trick token features with
-    // every gradient a 6dp-scaled BIGINT sum and every float tree
-    // fixed — the oracle replays the ENTIRE training loop (w0=0 ->
-    // p=0.5 -> gradient -> update, x3) and must land on bit-identical
-    // weights; labels are the deterministic contains('spark') rule
-    "q198_hashed_lr_train" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("y", col("text").contains("spark").cast("int"))
-      TextStats.trainHashedLogReg(docs, "text", "doc_id", "y",
-          buckets = 16, steps = 3, lr = 0.02)
-        .orderBy(col("bucket"))
-    }),
-
-    // the trained model CONSUMED (hashedLinearScore's promised
-    // "trained model drops in"): q198's weights score every doc; the
-    // per-label min/max of the 6dp scores are order statistics (exact
-    // cross-engine, the q182 discipline) and show the separation the
-    // 3 steps learned
-    "q199_lr_train_score" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("y", col("text").contains("spark").cast("int"))
-      val w = stagedLrWeights(s, dir)
-      TextStats.scoreWithWeights(docs, "text", "doc_id", w, buckets = 16)
-        .join(docs.select(col("doc_id").as("id"), col("y")), Seq("id"))
-        .groupBy(col("y")).agg(
-          count(lit(1)).as("n_docs"),
-          min(col("score")).as("min_score"),
-          max(col("score")).as("max_score"))
-        .orderBy(col("y"))
-    }),
-
-    // HOLDOUT evaluation — the proper protocol composed from existing
-    // tiers: q49's md5 split partitions the corpus, training sees ONLY
-    // the train split, and AUC is measured on the untouched test
-    // split; the whole protocol (split -> ladder-on-train ->
-    // score-test -> integer AUC) replays in the oracle, so even the
-    // generalization measurement is hash-checked
-    "q205_lr_holdout_auc" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("y", col("text").contains("spark").cast("int"))
-      val split = etlmudah.scale.Sampling.hashSplit(docs, "doc_id",
-        Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
-      val train = split.filter(col("split") === "train")
-      val test = split.filter(col("split") === "test")
-      val w = TextStats.trainHashedLogReg(train, "text", "doc_id", "y",
-        buckets = 16, steps = 3, lr = 0.02)
-      val scored = TextStats.scoreWithWeights(test, "text", "doc_id", w,
-          buckets = 16)
-        .join(test.select(col("doc_id").as("id"), col("y")), Seq("id"))
-      Analytics.binaryAuc(scored, "score", "y")
-        .select(lit("holdout").as("eval_split"), col("n_pos"), col("n_neg"),
-          col("auc"))
-    }),
-
-    // CALIBRATION table of the trained model (the reliability-diagram
-    // data, completing the eval suite: q198 train, q200 loss, q201
-    // AUC): deciles over (score, id) — deterministic ties, the q189
-    // ntile discipline — with observed positive rate per decile; a
-    // healthy ranking model shows pos_rate rising with the decile
-    "q204_lr_calibration" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("y", col("text").contains("spark").cast("int"))
-      val w = stagedLrWeights(s, dir)
-      val scored = TextStats.scoreWithWeights(docs, "text", "doc_id", w,
-          buckets = 16)
-        .join(docs.select(col("doc_id").as("id"), col("y")), Seq("id"))
-      Analytics.calibrationTable(scored, "score", "y", "id", bins = 10)
-    }),
-
-    // WEB-CURATION v2 — the round's new tiers COMPOSED in one
-    // statement: synthetic page (with robots meta) -> metaNoindex
-    // policy filter -> htmlToText extraction -> blocklist gate on the
-    // EXTRACTED text -> hashed-model score gate -> per-domain cap ->
-    // domain report. The oracle carries the CLOSED-FORM extracted text
-    // (q190 style: the extractor is never replicated, only its known
-    // answer on the synthetic page), replays robots policy from the
-    // doc_id rule, and re-derives blocklist/score/cap — a green row
-    // proves the WHOLE funnel lands engine-exactly
-    "q202_web_curation_v2" -> ((s, dir) => {
-      import etlmudah.web.Web
-      val docs = Tables.documents(s, dir)
-      val id = col("doc_id")
-      val robots = element_at(array(lit("noindex, follow"),
-        lit("index, follow"), lit("NONE"), lit(null).cast("string")),
-        (id % 4 + 1).cast("int"))
-      val pages = docs.select(id, col("source"), col("text"),
-        Web.fakeHtml(id, col("text"), robots).as("page"))
-      val extracted = pages
-        .filter(!Web.metaNoindex(col("page")))
-        .withColumn("etext", Web.htmlToText(col("page")))
-      val gated = extracted
-        .filter(TextStats.blocklistHitCount(col("etext"), Seq("slow")) <= 2)
-      val scored = TextStats.hashedLinearScore(gated, "etext", "doc_id")
-        .select(col("id").as("doc_id"), col("score"))
-      val kept = gated.join(scored, Seq("doc_id"))
-        .filter(col("score") >= -0.005)
-        .withColumn("url", Web.fakeUrl(id, col("source")))
-      Web.domainCap(kept, "url", "doc_id", cap = 5, salt = "wc2")
-        .groupBy(col("domain")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(TextStats.tokenCount(col("etext"))).as("n_tokens"),
-          min(col("score")).as("min_score"),
-          max(col("score")).as("max_score"))
-        .orderBy(col("domain"))
-    }),
-
-    // robots.txt PATH-rule gate (RFC 9309): per-host Allow/Disallow
-    // path rules with * wildcards and $ anchors, longest-match wins,
-    // allow wins ties, no-rule hosts default allowed. The rule set is
-    // a deterministic literal table over the synthetic URL space, so
-    // the oracle replays rule compilation (escape chain -> LIKE) and
-    // resolution verbatim — a green row pins precedence, wildcard,
-    // anchor, and default semantics cross-engine
-    "q226_robots_path_gate" -> ((s, dir) => {
-      import etlmudah.web.Web
-      import s.implicits._
-      val id = col("doc_id")
-      val rules = Seq(
-        ("www.d1.org", "disallow", "/src"),      // broad block...
-        ("www.d1.org", "allow", "/src3"),        // ...longer allow wins
-        ("blog.d2.com", "disallow", "/*/1*"),    // wildcard mid-pattern
-        ("www.d3.org", "disallow", "/*/45$"),    // anchored exact doc
-        ("www.d4.com.my", "allow", "/"),         // explicit allow-all...
-        ("www.d4.com.my", "disallow", "/src9"))  // ...longer disallow wins
-        .toDF("host", "directive", "path")
-      val pages = Tables.documents(s, dir)
-        .select(id, Web.fakeUrl(id, col("source")).as("url"))
-      Web.robotsPathGate(pages, "url", "doc_id", rules)
-        .select(lower(Web.urlHost(col("url"))).as("host"),
-          col("crawl_allowed"))
-        .groupBy(col("host")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("crawl_allowed").cast("int")).cast("long").as("n_allowed"))
-        .orderBy(col("host"))
-    }),
-
-    // ANCHOR-TEXT profile per target domain — the second link-graph
-    // curation signal (what other pages CALL a domain): anchors are
-    // injected closed-form (term cycles on doc_id per link slot), so
-    // the oracle carries the known (target host, term) pairs and
-    // replays the domain CASE + count + top-k window; the extractor
-    // (paired regexp groups zipped in match order) is never replicated
-    "q228_anchor_text_profile" -> ((s, dir) => {
-      import etlmudah.web.Web
-      val id = col("doc_id")
-      val words = array(lit("great"), lit("cheap"), lit("fast"), lit("new"))
-      val anchors = array(
-        element_at(words, ((id + 1) % 4 + 1).cast("int")),
-        element_at(words, ((id + 2) % 4 + 1).cast("int")))
-      val pages = Tables.documents(s, dir).select(
-        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
-          Web.fakeLinkUrls(id), anchors).as("page"))
-      Web.anchorTermProfile(pages, "page", topK = 3)
-    }),
-
-    // HOST LINK-GRAPH centrality — the CommonCrawl/FineWeb curation
-    // prior (rank hosts, then select documents): absolute hrefs are
-    // extracted from the synthetic pages (closed-form link injection:
-    // each page links the fakeHosts of docId+1 and 3*docId+5, so the
-    // oracle carries the KNOWN targets and never replicates the
-    // extractor), host->host edges aggregate, and the integer-lattice
-    // PageRank runs 3 BIGINT-exact rounds on md5-60bit host ids — the
-    // oracle replays them unrolled and hash-matches. Mines LIVE (the
-    // q218 discipline); q223 consumes the staged edge artifact
-    "q222_host_link_rank" -> ((s, dir) => {
-      import etlmudah.web.Web
-      val id = col("doc_id")
-      val pages = Tables.documents(s, dir).select(
-        Web.fakeUrl(id, col("source")).as("url"),
-        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
-          Web.fakeLinkUrls(id)).as("page"))
-      Web.hostRank(Web.hostLinkEdges(pages, "url", "page"), iters = 3)
-    }),
-
-    // WEB-CURATION v3 — the link-graph prior JOINED INTO the funnel
-    // (FineWeb: rank hosts by centrality BEFORE selecting documents):
-    // staged host edges -> integer PageRank -> keep hosts ranking
-    // above the uniform baseline (rank > scale div |hosts|, exact
-    // BIGINT — a host with any in-link endorsement clears it, a
-    // no-in-link host's 0.15 teleport floor cannot) -> extraction ->
-    // per-domain cap -> domain report carrying the centrality
-    // evidence (max host rank per domain). The gate's |hosts| count
-    // rides ONE window over the AGGREGATED rank frame, never the
-    // corpus; the kept-host table broadcasts into the page join
-    "q223_web_curation_v3" -> ((s, dir) => {
-      import etlmudah.web.Web
-      import org.apache.spark.sql.expressions.Window
-      val id = col("doc_id")
-      val pages = Tables.documents(s, dir).select(
-        id, col("source"),
-        Web.fakeUrl(id, col("source")).as("url"),
-        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
-          Web.fakeLinkUrls(id)).as("page"))
-        .withColumn("host", Web.urlHost(col("url")))
-      val kept = Web.hostRank(stagedHostEdges(s, dir), iters = 3)
-        .withColumn("nh", count(lit(1)).over(Window.partitionBy()))
-        .filter(col("rank") > expr("1000000000000L div nh"))
-        .select(col("host"), col("rank"))
-      val gated = pages.join(broadcast(kept), Seq("host"))
-        .withColumn("etext", Web.htmlToText(col("page")))
-      Web.domainCap(gated, "url", "doc_id", cap = 5, salt = "wc3")
-        .groupBy(col("domain")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(TextStats.tokenCount(col("etext"))).as("n_tokens"),
-          max(col("rank")).as("max_host_rank"))
-        .orderBy(col("domain"))
-    }),
-
-    // EXACT model evaluation: Mann–Whitney AUC (average-rank ties,
-    // BIGINT rank sums, one final division) of the trained q198 model
-    // vs the untrained md5-lattice baseline on the same labels — the
-    // eval metric itself is oracle-checked, and the row pair SHOWS the
-    // training lifted AUC above the unsupervised baseline
-    "q201_model_auc_eval" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("y", col("text").contains("spark").cast("int"))
-      val labels = docs.select(col("doc_id").as("id"), col("y"))
-      val w = stagedLrWeights(s, dir)
-      val trained = TextStats.scoreWithWeights(docs, "text", "doc_id", w,
-          buckets = 16)
-        .join(labels, Seq("id"))
-      val baseline = TextStats.hashedLinearScore(docs, "text", "doc_id")
-        .join(labels, Seq("id"))
-      Analytics.binaryAuc(trained, "score", "y")
-        .select(lit("trained").as("model"), col("n_pos"), col("n_neg"),
-          col("auc"))
-        .unionByName(Analytics.binaryAuc(baseline, "score", "y")
-          .select(lit("untrained").as("model"), col("n_pos"), col("n_neg"),
-            col("auc")))
-        .orderBy(col("model"))
-    }),
-
-    // q198's convergence DIAGNOSTIC: per-step total cross-entropy as a
-    // 6dp-scaled BIGINT sum (order-independent), one row per step plus
-    // the trained-weights row — the oracle replays the ladder and the
-    // loss expression, so even "is the loss falling" is hash-checked
-    "q200_lr_loss_curve" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("y", col("text").contains("spark").cast("int"))
-      TextStats.trainHashedLogRegLoss(docs, "text", "doc_id", "y",
-          buckets = 16, steps = 3, lr = 0.02)
-        .orderBy(col("step"))
-    }),
-
-    // the SCALE tier of q193 (mapPartitions token-set membership —
-    // O(text) per row, constant in blocklist size) producing q193's
-    // exact aggregate against q193's exact oracle: a green row pins
-    // the whole-token == word-boundary-regex equivalence cross-engine
-    "q197_blocklist_scan_large" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextStats.blocklistScanLarge(docs, "text", "doc_id",
-          Seq("spark", "slow"))
-        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
-        .groupBy(col("source"), col("terms_hit"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
-        .orderBy(col("source"), col("terms_hit"))
-    }),
-
     // weighted sampling without replacement (A-Res): 50 winners by
     // ln(u)/n_chars — long docs proportionally likelier, deterministic
     "q90_weighted_sample" -> ((s, dir) =>
@@ -2666,26 +1622,6 @@ object SparkEntry {
           budget = 5000000L, defaultWeight = 0.01)
         .orderBy(col("source"))),
 
-    // Flesch reading-ease per doc: the rule-based readability tier
-    // next to the trained quality scorer; three codegen'd regexp
-    // counts, score left UNROUNDED (identical IEEE tree both engines)
-    "q217_readability" -> ((s, dir) =>
-      TextStats.readability(Tables.documents(s, dir), "text", "doc_id")
-        .withColumnRenamed("id", "doc_id")),
-
-    // epoch-CAPPED mixture plan (q137 with the Muennighoff repetition
-    // ceiling): exact closed-form water-filling — integer 1:2:3:4
-    // weight parts cycling by source index, 4-epoch cap, BIGINT-exact
-    // saturation prefix and allocations; at the gate SF the 80k budget
-    // saturates part of the order so both branches are exercised
-    "q216_epoch_plan" -> ((s, dir) =>
-      etlmudah.scale.Sampling.epochPlan(
-        Tables.documents(s, dir)
-          .withColumn("n_tokens", TextStats.tokenCount(col("text"))),
-        "source", "n_tokens",
-        (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toLong).toMap,
-        budget = 80000L, maxEpochs = 4)),
-
     // token-balanced shard export: distributed prefix sum (range
     // partition -> parallel local cumsums -> bounded bucket-offset
     // window) assigns ~50k-char shards; per-shard manifest is the
@@ -2698,17 +1634,6 @@ object SparkEntry {
           sum(col("n_chars")).as("shard_chars"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-        .orderBy(col("shard"))),
-
-    // export MANIFEST over q138's shard assignment: per-shard count,
-    // unit total, key range, and an order-independent 48-bit-md5-lane
-    // id-set checksum — the integrity artifact a consumer verifies a
-    // multi-TB export against (Writers.verifyShardedExport recomputes
-    // this exact frame from the data files); every column including
-    // the checksum re-derived by the oracle
-    "q194_shard_manifest" -> ((s, dir) =>
-      etlmudah.sinks.Writers.shardManifest(Tables.documents(s, dir),
-          "doc_id", "n_chars", shardBudget = 50000L)
         .orderBy(col("shard"))),
 
     // adaptive per-source quality floor: drop each source's bottom
@@ -2794,28 +1719,11 @@ object SparkEntry {
       Dedup.exactJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
         minJaccard = 0.8)),
 
-    // FUZZY dedup refine: character-level edit similarity over
-    // shingle-gated candidates — order-exact where Jaccard is
-    // order-blind (a paragraph shuffle scores jaccard ~1 but low
-    // edit_sim); banded DP bounded by the candidate tier
-    "q173_edit_similarity_pairs" -> ((s, dir) =>
-      Dedup.editSimilarityPairs(Tables.documents(s, dir), "text", "doc_id",
-        jaccardGate = 0.3, minEditSim = 0.98)),
-
     // duplicate-cluster assignment: connected components over the
     // near-dup pair graph (prefix tier — identical pair set to q63's
     // exact tier); cluster_id = min doc_id (canonical survivor)
     "q64_dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(stagedClusterPairs(s, dir))),
-
-    // contrastive triplet mining for retriever training: per anchor,
-    // best near-dup positive (jac >= 0.8) + best HARD negative (the
-    // below-threshold pairs the same inverted index surfaces); the
-    // low negLo is a demo dial — at scale feed tripletsFromPairs a
-    // staged banded pair table
-    "q206_contrastive_triplets" -> ((s, dir) =>
-      Dedup.contrastiveTriplets(Tables.documents(s, dir), "text",
-        "doc_id", posMin = 0.8, negLo = 0.005)),
 
     // exact-tier decontamination (oracle-checkable twin of q47): train =
     // even doc ids, reference = odd doc ids, inverted-index exact Jaccard
@@ -2956,21 +1864,6 @@ object SparkEntry {
     "q79_price_deciles_scale" -> ((s, dir) =>
       Analytics.quantileBuckets(Tables.orders(s, dir), col("o_totalprice"), 10)),
 
-    // unicode cleanup ladder APPLIED (the normalize step q120's
-    // diagnostics recommend): dirty text synthesized per doc — control
-    // chars, curly quotes, doubled spaces, en dash, NBSP — then pushed
-    // through all three cleanText passes; the oracle replays synthesis
-    // AND cleaning, so a green row proves the control-class regex, the
-    // translate fold, and the whitespace collapse match engine-exactly
-    "q176_text_clean" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val dirty = concat(lit("\u0007 \u201C"),
-        regexp_replace(col("text"), " ", "  "),
-        lit("\u201D \u2013 \u00A0end\u0001"))
-      docs.select(col("doc_id"), TextStats.cleanText(dirty).as("clean_text"))
-        .orderBy(col("doc_id"))
-    }),
-
     // PII redaction applied (the scrub step q59 diagnoses): per-source
     // docs-touched and characters removed
     "q72_pii_redact" -> ((s, dir) =>
@@ -3076,1118 +1969,13 @@ object SparkEntry {
           round(avg(col("n")).over(w.rowsBetween(-2, 0)), 4).as("ma3"))
         .orderBy(col("yyyymm"))
     }),
-
-    // COUNT-MIN SKETCH heavy hitters (Cormode-Muthukrishnan): a
-    // mergeable fixed-memory frequency grid (TypedImperativeAggregate
-    // graft_cms — one 4x32 grid per partition over the exchange, never
-    // the keys) probed for the exact top-15 (mktsegment, nation) pairs.
-    // The bucket hash is the portable md5-lane discipline, so the
-    // oracle replays EVERY counter and estimate exactly: n_est >=
-    // n_exact always, and at width 32 over ~125 keys collisions are
-    // certain — nonzero overcounts are part of the checked result
-    "q231_cms_heavy_hitters" -> ((s, dir) => {
-      val keyed = Tables.customer(s, dir).select(
-        concat(col("c_mktsegment"), lit("#"),
-          col("c_nationkey").cast("string")).as("seg"))
-      etlmudah.scale.Sketches.cmsHeavyHitters(
-        keyed, "seg", depth = 4, width = 32, topN = 15)
-    }),
-
-    // EXACT-INTEGER distributed PCA, part 1: the top principal
-    // component of the embedding corpus — one graft_gram pass (33 KB
-    // buffer per partition over the exchange, vector rows never
-    // shuffle), exact integer centering, then a 3-step lattice power
-    // iteration on the driver over the provably bounded d^2 collect.
-    // The oracle replays the ENTIRE chain — quantize, Gram, center,
-    // rescale, iterate — as an unrolled CTE, integers end to end (the
-    // PageRank/LR-trainer discipline applied to spectra)
-    "q232_pca_top_component" -> ((s, dir) =>
-      etlmudah.scale.Spectral.pcaTopComponent(
-        Tables.embeddings(s, dir), "embedding", dims = 64)),
-
-    // part 2: every vector's exact lattice projection onto that
-    // component, top-10 by |projection| — the component rides the plan
-    // as a literal array (zero joins; pure codegen'd expression work
-    // over one scan)
-    "q233_pca_projection_topk" -> ((s, dir) =>
-      etlmudah.scale.Spectral.pcaProjectionTopK(
-        Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64)),
-
-    // Declarative VALIDATION suite over a deliberately perturbed
-    // orders frame (the maimed-blob discipline: failures are planted
-    // closed-form in o_orderkey, so the oracle replays the exact
-    // perturbation AND the report). Six rules across all three tiers:
-    // four row rules in ONE scan (two fail, two pass), one uniqueness
-    // rule (a duplicated key slice), one FK rule (a shifted custkey
-    // slice). Witnesses are minimal-as-string — deterministic on both
-    // engines
-    "q234_validation_report" -> ((s, dir) => {
-      import etlmudah.quality.Validate
-      import etlmudah.quality.Validate.{FkRule, RowRule, UniqueRule}
-      val k = col("o_orderkey")
-      val maimed = Tables.orders(s, dir)
-        .withColumn("o_totalprice", when(k % 97 === 0, -col("o_totalprice"))
-          .otherwise(col("o_totalprice")))
-        .withColumn("o_orderpriority", when(k % 101 === 0, lit("9-BOGUS"))
-          .otherwise(col("o_orderpriority")))
-        .withColumn("o_custkey", when(k % 499 === 0,
-          col("o_custkey") + 1000000L).otherwise(col("o_custkey")))
-      val withDups = maimed.union(maimed.where(k % 1000 === 0))
-      Validate.report(withDups, "o_orderkey",
-        rowRules = Seq(
-          RowRule("price_positive", col("o_totalprice") > 0),
-          RowRule("priority_known", col("o_orderpriority").isin(
-            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
-          RowRule("status_known", col("o_orderstatus").isin("P", "O", "F")),
-          RowRule("date_in_range", col("o_orderdate").between(
-            to_timestamp(lit("1992-01-01")), to_timestamp(lit("2001-12-31"))))),
-        uniqueRules = Seq(UniqueRule("orderkey_unique", Seq("o_orderkey"))),
-        fkRules = Seq(FkRule("custkey_covered", "o_custkey",
-          Tables.customer(s, dir), "c_custkey")))
-    }),
-
-    // S9++ — Z-ORDER (Morton) clustered layout round-trip: write
-    // orders z-ordered on (o_totalprice, o_custkey) — ONE range
-    // exchange on the interleaved z-value — read back a slice
-    // predicated on BOTH columns (each prunes files independently;
-    // the multi-column pruning itself is pinned in WritersSpec),
-    // aggregate. The oracle sees only values: layout must never
-    // change results
-    "q235_zorder_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_sink_q235_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-      etlmudah.sinks.Writers.writeZOrdered(
-        Tables.orders(s, dir), out,
-        Seq("o_totalprice", "o_custkey"), files = 16)
-      s.read.parquet(out)
-        .filter(col("o_totalprice").between(50000, 150000) &&
-          col("o_custkey") < 500)
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            .as("sum_price"),
-          min(col("o_orderkey")).as("min_key"),
-          max(col("o_orderkey")).as("max_key"))
-    }),
-
-    // PORTABLE HyperLogLog distinct-count sketch (Flajolet et al.
-    // 2007), the distinct twin of q231's CMS and the oracle-checked
-    // counterpart of q54's engine-private approx_count_distinct:
-    // registers ride the md5-lane discipline with an exact integer
-    // bit-length ladder (no log anywhere), the register sum is held
-    // on a power-of-two lattice, and even the raw estimate is a
-    // deterministic double both engines compute identically. COMPOSED
-    // from built-ins — one map-side-combined groupBy MAX, no custom
-    // aggregate needed. n_true joins on as a single broadcast row
-    "q236_hll_distinct_sketch" -> ((s, dir) => {
-      val orders = Tables.orders(s, dir)
-      val rep = etlmudah.scale.Sketches.hllReport(orders, "o_custkey", b = 6)
-      val truth = orders.agg(
-        count_distinct(col("o_custkey")).as("n_true"))
-      rep.crossJoin(broadcast(truth))
-    }),
-
-    // POISSON-BOOTSTRAP confidence interval (Chamandy et al. 2012) for
-    // mean(o_totalprice): 200 replicates of the Poisson(1)-weighted
-    // mean — weights invert the exact integer CDF thresholds against
-    // the (id, rep) md5 lane, values fold as DECIMAL, the percentile
-    // is nearest-rank over the 200-row replicate frame. Resampling at
-    // corpus scale as ONE map-side-combined aggregate; every weight,
-    // mean, and rank replays in SQL
-    "q237_bootstrap_mean_ci" -> ((s, dir) =>
-      etlmudah.scale.Sampling.bootstrapMeanCi(
-        Tables.orders(s, dir), "o_orderkey", "o_totalprice", reps = 200)),
-
-    // UNIGRAM-LATTICE Viterbi tokenizer (Kudo 2018 — the SentencePiece
-    // family, the second tokenizer family next to BPE): texts are
-    // PLANTED as closed-form concatenations of vocabulary pieces (plus
-    // an off-vocab '!' every fifth doc), with super-additive weights
-    // and boundary-unambiguous pieces making the planted segmentation
-    // uniquely optimal — so the oracle carries the KNOWN pieces (the
-    // fakeLinkUrls discipline) while ViterbiProps separately proves the
-    // DP optimal against brute-force enumeration on random inputs
-    "q238_viterbi_segmentation" -> ((s, dir) => {
-      val ps = array(lit("foo"), lit("bar"), lit("qux"), lit("zz"))
-      val id = col("doc_id")
-      val text = concat(
-        element_at(ps, (id % 4 + 1).cast("int")),
-        element_at(ps, ((id * 2 + 1) % 4 + 1).cast("int")),
-        when(id % 5 === 0, lit("!")).otherwise(lit("")),
-        element_at(ps, ((id + 3) % 4 + 1).cast("int")))
-      val vocab = Seq("foo" -> 9000L, "bar" -> 9000L,
-        "qux" -> 9000L, "zz" -> 4000L)
-      Tables.documents(s, dir)
-        .select(explode(
-          etlmudah.text.TextStats.viterbiSegment(text, vocab)).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .orderBy(col("token"))
-    }),
-
-    // EXACT closed-form OLS: price ~ quantity over lineitem. The five
-    // moment sums fold as DECIMAL(38,0) on integer-cent lattices (no
-    // float addition anywhere, order-independent at any n); slope /
-    // intercept / r2 are single double divisions of exact decimals,
-    // operand order mirrored in the oracle (HUGEINT there — the same
-    // exact integers), so even the doubles hash-match
-    "q239_linear_fit" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.linearFit(
-        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice")),
-
-    // HLL UNION ALGEBRA: per-priority distinct-customer sketches plus
-    // their max-merge (grp = '__all__') — the merge of per-group
-    // sketches IS the sketch of the union, exactly; customers overlap
-    // across priorities, so the merged estimate sits well below the
-    // per-group sum (the union, not the total). One register pass
-    // feeds both tiers; every register and estimate replays in SQL
-    "q240_hll_union" -> ((s, dir) =>
-      etlmudah.scale.Sketches.hllUnionReport(
-        Tables.orders(s, dir), "o_custkey", "o_orderpriority", b = 6)),
-
-    // PERSONALIZED (topic-sensitive) host rank — Haveliwala 2002 over
-    // the staged host link graph: all teleport mass pinned to the
-    // '.com' seed hosts, so rank measures PROXIMITY TO THE TRUSTED SET
-    // (the seed-expansion prior of curated crawls), not global
-    // centrality. Same integer lattice, same warm staged-edge path as
-    // q223; the oracle replays the full 3-round seeded chain unrolled
-    "q241_personalized_host_rank" -> ((s, dir) => {
-      import etlmudah.web.Web
-      val edges = stagedHostEdges(s, dir)
-      val seeds = edges.select(col("src_host").as("host"))
-        .union(edges.select(col("dst_host").as("host"))).distinct()
-        .where(col("host").endsWith(".com"))
-      Web.hostRankSeeded(edges, seeds, iters = 3)
-    }),
-
-    // DELETE-ONE-GROUP JACKKNIFE standard error of mean(o_totalprice)
-    // over the priority groups — the bootstrap's (q237) resampling-free
-    // sibling for naturally sharded data: leave-one-group-out means
-    // need only the |G| per-group sums (one aggregate), variance rides
-    // the exact integer identity G*sum(t^2)-(sum t)^2 on a re-quantized
-    // micro-lattice, and the single sqrt runs on an exact operand —
-    // every number including the se hash-matches
-    "q242_jackknife_se" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.jackknifeMeanByGroup(
-        Tables.orders(s, dir), "o_totalprice", "o_orderpriority")),
-
-    // BENFORD first-digit audit of o_totalprice — the classic
-    // fabricated-data screen: observed first-significant-digit shares
-    // against the fixed log10(1 + 1/d) expectation (6dp literals — no
-    // log function crosses an engine boundary) with per-digit
-    // chi-square terms, all on the 9-row aggregated frame
-    "q243_benford_digits" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.benfordReport(
-        Tables.orders(s, dir), "o_totalprice")),
-
-    // q239's exact OLS PER GROUP: one trend line per l_returnflag —
-    // the same decimal moment fold, map-side combined per group, one
-    // exchange of |groups| moment rows
-    "q244_linear_fit_by_flag" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.linearFitBy(
-        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
-        Seq("l_returnflag"))),
-
-    // HLL OVERLAP via inclusion-exclusion: how many customers the
-    // URGENT and LOW priority tiers SHARE, estimated from three
-    // sketches (A, B, and their exact max-merge union) without
-    // co-shuffling keys; the exact intersection rides alongside as the
-    // audit tier. Every register and every estimate replays in SQL
-    "q245_hll_overlap" -> ((s, dir) => {
-      val orders = Tables.orders(s, dir)
-      etlmudah.scale.Sketches.hllOverlapReport(
-        orders.where(col("o_orderpriority") === "1-URGENT"),
-        orders.where(col("o_orderpriority") === "5-LOW"),
-        "o_custkey", b = 6)
-    }),
-
-    // EXACT 2-D skyline of the part catalog (maximize p_size, minimize
-    // p_retailprice): the undominated price-performance frontier. The
-    // engine runs the distributed bucket-sweep (grid exchange + two
-    // RANGE-frame windows + a |buckets|-row broadcast summary); the
-    // oracle runs the quadratic NOT-EXISTS definition — same set by
-    // the dominance algebra, wildly different plans
-    "q246_skyline_parts" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.skyline2d(
-        Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
-        "p_size", "p_retailprice")
-        .select(col("p_partkey"), col("p_size"),
-          round(col("p_retailprice"), 2).as("price_2"))
-        .orderBy(col("p_size"), col("price_2"), col("p_partkey"))),
-
-    // gaps-and-islands: each customer's distinct active order-months
-    // collapse into maximal consecutive runs; output is the
-    // streak-length distribution (the retention-continuity readout)
-    "q247_order_streaks" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.activityIslands(
-        Tables.orders(s, dir), "o_custkey", "o_orderdate")),
-
-    // k-anonymity / l-diversity audit of the customer export: QI =
-    // (nation, segment), sensitive = the in-debt flag; one row per
-    // equivalence-class size with the worst sensitive diversity
-    "q248_k_anonymity" -> ((s, dir) =>
-      etlmudah.quality.Privacy.kAnonymityReport(
-        Tables.customer(s, dir).withColumn("in_debt",
-          (col("c_acctbal") < 0).cast("int")),
-        Seq("c_nationkey", "c_mktsegment"), "in_debt")),
-
-    // Welch two-sample t-test: does mean order value differ between
-    // URGENT and LOW priority? Lattice-exact moments, one pass
-    "q249_welch_ttest" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.welchTTest(Tables.orders(s, dir),
-        "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")),
-
-    // pairwise association rules over order baskets: support /
-    // directed confidences / lift from DISTINCT-basket counts, top 20
-    // by lift — the co-purchase graph's complements/substitutes readout
-    "q250_association_rules" -> ((s, dir) =>
-      etlmudah.graph.Centrality.associationRules(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
-        minSupport = 3L, k = 20)),
-
-    // chi-square term-label feature selection: terms most associated
-    // with lang='en' by the 2x2 presence chi-square over doc counts
-    "q251_chi2_terms" -> ((s, dir) =>
-      TextStats.chiSquareTerms(Tables.documents(s, dir), "text", "doc_id",
-        col("lang") === "en", minDf = 5L, k = 25)),
-
-    // NFC normalization audit per source over deterministically
-    // damaged text (every doc gets the same 3-composition suffix):
-    // graft_nfc vs DuckDB's nfc_normalize, doc-change counts and
-    // codepoint-length deltas must agree exactly
-    "q252_nfc_audit" -> ((s, dir) =>
-      TextStats.nfcAudit(
-        Tables.documents(s, dir)
-          .where(col("text").isNotNull)
-          .withColumn("text", concat(col("text"), lit(nfcSuffix))),
-        "text", "source")),
-
-    // Theil-Sen robust slope + Mann-Kendall S per priority over the
-    // monthly revenue series (exact-cent lattice): the spike-tolerant
-    // twin of q244's OLS
-    "q253_theil_sen_trend" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.theilSenBy(
-        monthlyCents(s, dir), "m", "cents", Seq("o_orderpriority"),
-        maxN = 500)),
-
-    // exact two-sample Kolmogorov-Smirnov D between the URGENT and LOW
-    // order-value distributions, on a whole-dollar lattice — integer
-    // numerator max, one closing division
-    "q254_ks_two_sample" -> ((s, dir) => {
-      val orders = Tables.orders(s, dir)
-      etlmudah.analytics.Analytics.ksTest(
-        orders.where(col("o_orderpriority") === "1-URGENT"),
-        orders.where(col("o_orderpriority") === "5-LOW"),
-        "o_totalprice", latticeScale = 1)
-    }),
-
-    // Pearson chi-square independence test: is order priority
-    // associated with order status? Exact-rational cell terms summed
-    // as 6dp DECIMAL (order-independent), plus Cramer's V
-    "q255_chi2_independence" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.chiSquareIndependence(
-        Tables.orders(s, dir), "o_orderpriority", "o_orderstatus")),
-
-    // CUSUM changepoint screen per priority over the same monthly
-    // revenue series as q253: where does the level shift?
-    "q256_cusum_changepoint" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.cusumChangepoint(
-        monthlyCents(s, dir), "m", "cents", Seq("o_orderpriority"))),
-
-    // BM25 retrieval serving tier: "more like doc 0" lexically — doc
-    // 0's distinct tokens as the query, top-15 docs by decimal-summed
-    // per-term scores; the query doc stays in the corpus statistics
-    // but not the results
-    "q257_bm25_search" -> ((s, dir) =>
-      TextStats.bm25Search(Tables.documents(s, dir), "text", "doc_id",
-        doc0Terms(s, dir), k = 15, excludeId = Some(0L))),
-
-    // REAL audio features: zero-crossing count + silence segmentation
-    // over decoded PCM samples (the VAD/trim preprocessing pair) —
-    // every count replayed from the synth closed form via lag/islands
-    "q265_wav_features" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .where(col("doc_id") % 7 === 3)
-        .select(col("doc_id"), expr(
-          "graft_wav_features(graft_fake_wav16(doc_id, 1L, 8000L, " +
-            "doc_id % 50 + 10), 8000)").as("f"))
-        .select(col("doc_id"), col("f.n_samples"), col("f.n_zero_cross"),
-          col("f.n_silent"), col("f.n_silence_runs"),
-          col("f.max_silence_run"))
-        .orderBy(col("doc_id"))),
-
-    // TPC-H Q2 shape (min-cost supplier per part): the correlated MIN
-    // subquery decorrelated into a per-part aggregate joined back on
-    // equality — ties kept, never a per-row subquery. The per-part min
-    // is map-side combinable (one exchange on p_partkey); unit price
-    // stays the RAW IEEE quotient — bit-identical on both engines,
-    // where a 4dp display rounding diverges (Spark rounds the exact
-    // decimal expansion HALF_UP, DuckDB nearbyints the scaled double —
-    // measured one-ulp disagreement at sf0.001)
-    "q266_min_unit_price_supplier" -> ((s, dir) => {
-      val offers = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey"),
-          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
-        .join(Tables.part(s, dir)
-            .filter(col("p_size").between(10, 15) &&
-              col("p_type") === "STANDARD"),
-          col("l_partkey") === col("p_partkey"))
-      val minOffer = offers.groupBy(col("p_partkey").as("mp"))
-        .agg(min(col("unit_price")).as("min_price"))
-      // the min side is |filtered parts|-bounded — broadcast it so the
-      // offers frame is never exchanged for the join-back (without the
-      // hint Catalyst sort-merges on (partkey, price) at local stats)
-      offers
-        .join(broadcast(minOffer), col("p_partkey") === col("mp") &&
-          col("unit_price") === col("min_price"))
-        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
-        .select(col("p_partkey"), col("p_name"), col("min_price"),
-          col("s_name"), col("n_name"), col("s_acctbal"))
-        .distinct()
-        .orderBy(col("s_acctbal").desc, col("p_partkey").asc,
-          col("s_name").asc)
-        .limit(100)
-    }),
-
-    // TPC-H Q7 shape (volume shipping between two nations): the
-    // dual-role nation dim joined once per side under two aliases,
-    // direction kept as (supp_nation, cust_nation) group keys; the
-    // ship-date range pushes to the lineitem scan as literals
-    "q267_nation_trade_flows" -> ((s, dir) => {
-      val n1 = Tables.nation(s, dir).select(
-        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-      val n2 = Tables.nation(s, dir).select(
-        col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
-      Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-        .join(n1, col("s_nationkey") === col("sn_key"))
-        .join(n2, col("c_nationkey") === col("cn_key"))
-        .filter((col("supp_nation") === "NATION_3" &&
-            col("cust_nation") === "NATION_7") ||
-          (col("supp_nation") === "NATION_7" &&
-            col("cust_nation") === "NATION_3"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum((col("l_extendedprice") *
-            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
-            .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-    }),
-
-    // TPC-H Q9 shape (product-line profit by nation and year): name-
-    // filtered parts x their lineitems x supplier nation; profit =
-    // discounted revenue minus a retail-price-proportional cost, both
-    // terms on the DECIMAL(18,4) lattice so the sum is order-
-    // independent across any partitioning
-    "q268_profit_by_nation_year" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .join(Tables.part(s, dir).filter(col("p_name").contains("widget")),
-          col("l_partkey") === col("p_partkey"))
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"),
-          year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(sum((col("l_extendedprice") *
-              (lit(1.0) - col("l_discount"))).cast("decimal(18,4)") -
-            (col("l_quantity") * col("p_retailprice") * lit(0.1))
-              .cast("decimal(18,4)")), 2)
-            .cast("double").as("profit"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("n_name"), col("o_year").desc)),
-
-    // TPC-H Q13 shape (customer order-count distribution): LEFT join
-    // so order-less customers survive as count 0 — the zero bucket is
-    // the point of the query; one exchange per aggregate grain
-    "q269_order_count_distribution" -> ((s, dir) =>
-      Tables.customer(s, dir)
-        .join(Tables.orders(s, dir)
-            .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy(col("c_count"))
-        .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)),
-
-    // TPC-H Q15 shape (top supplier by quarter revenue): the revenue
-    // view reduces first, the global max is ONE broadcast row, and the
-    // winner(s) come back by equality on the rounded double — ties
-    // kept, no window over the full frame
-    "q270_top_supplier_revenue" -> ((s, dir) => {
-      val rev = Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-        .groupBy(col("l_suppkey"))
-        .agg(round(sum((col("l_extendedprice") *
-            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
-          .cast("double").as("total_revenue"))
-      val mx = rev.agg(max(col("total_revenue")).as("mx"))
-      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
-        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-        .orderBy(col("s_suppkey"))
-    }),
-
-    // TPC-H Q17 shape (small-quantity revenue): the per-part AVG
-    // correlated subquery decorrelated into one aggregate joined back
-    // with the 20% threshold in the join condition; single-row answer
-    "q271_small_quantity_revenue" -> ((s, dir) => {
-      val joined = Tables.lineitem(s, dir)
-        .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#12"),
-          col("l_partkey") === col("p_partkey"))
-      val avgq = joined.groupBy(col("p_partkey").as("ap"))
-        .agg(avg(col("l_quantity")).as("avg_qty"))
-      joined.join(avgq, col("p_partkey") === col("ap") &&
-          col("l_quantity") < lit(0.2) * col("avg_qty"))
-        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)"))
-            .cast("double") / lit(7.0), 2).as("avg_yearly"),
-          count(lit(1)).as("n_items"))
-    }),
-
-    // TPC-H Q18 shape (large-volume orders): HAVING sum(qty) > T
-    // reduces lineitem to the rare big orders FIRST, then the small
-    // survivor set joins back to orders and customer
-    "q272_large_orders" -> ((s, dir) => {
-      val big = Tables.lineitem(s, dir)
-        .groupBy(col("l_orderkey").as("bk"))
-        .agg(sum(col("l_quantity")).as("total_qty"))
-        .filter(col("total_qty") > 200)
-      Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
-        .join(big, col("o_orderkey") === col("bk"))
-        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          col("o_totalprice"), col("total_qty"))
-        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
-        .limit(20)
-    }),
-
-    // TPC-H Q21 shape (sole returner): suppliers whose line in a
-    // multi-supplier order was the ONLY returned one — EXISTS becomes
-    // left_semi, NOT EXISTS becomes left_anti, both on the order key
-    // with the supplier inequality as residual; never a row subquery
-    "q273_sole_returner" -> ((s, dir) => {
-      val l1 = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"),
-        col("l_suppkey").as("sk"), col("l_returnflag").as("rf"))
-      val cand = l1.filter(col("rf") === "R")
-      val withOther = cand.join(
-        l1.select(col("ok").as("ok2"), col("sk").as("sk2")),
-        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
-      val sole = withOther.join(
-        cand.select(col("ok").as("ok3"), col("sk").as("sk3")),
-        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
-      sole.join(Tables.supplier(s, dir), col("sk") === col("s_suppkey"))
-        .groupBy(col("s_suppkey"), col("s_name"))
-        .agg(countDistinct(col("ok")).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_suppkey").asc)
-        .limit(20)
-    }),
-
-    // TPC-H Q22 shape (dormant rich customers): global scalar (sum +
-    // count of positive balances) broadcast as ONE row, anti join
-    // against the recent-order keys, per-nation rollup of who's left.
-    // The above-average cut is the cross-multiplied EXACT comparison
-    // bal*n > sum on the DECIMAL(18,2) lattice — never a float
-    // average, whose partition-order-dependent fold could flip a
-    // borderline customer in the last ulp across SFs/partitionings
-    "q274_dormant_rich_customers" -> ((s, dir) => {
-      val avgBal = Tables.customer(s, dir)
-        .filter(col("c_acctbal") > 0)
-        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("sb"),
-          count(lit(1)).as("nb"))
-      val recent = Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
-        .select(col("o_custkey"))
-      Tables.customer(s, dir)
-        .crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal").cast("decimal(18,2)") * col("nb") >
-          col("sb"))
-        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
-        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
-            .cast("double").as("totacctbal"))
-        .orderBy(col("n_name"))
-    }),
-
-    // TPC-H Q11 shape (important stock): per-part revenue vs a global
-    // threshold — parts above 1.5x the MEAN part revenue (relative to
-    // the part-count grain, so the cut is scale-stable at any SF,
-    // unlike TPC-H's 0.0001/SF literal). The comparison is
-    // val*np*2 > tot*3 on the EXACT decimal lattice (no decimal
-    // division anywhere, so there is no rounding convention to align)
-    "q275_revenue_share_parts" -> ((s, dir) => {
-      val perPart = Tables.lineitem(s, dir)
-        .groupBy(col("l_partkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).as("val"))
-      val tot = perPart.agg(sum(col("val")).as("tv"),
-        count(lit(1)).as("np"))
-      perPart.crossJoin(broadcast(tot))
-        .filter(col("val") * col("np") * 2 > col("tv") * 3)
-        .select(col("l_partkey"),
-          round(col("val"), 2).cast("double").as("value"))
-        .orderBy(col("value").desc, col("l_partkey").asc)
-    }),
-
-    // THE CURATION FUNNEL as one declarative plan (the capstone
-    // composition): length gate -> exact dedup -> blocklist ->
-    // per-source cap, each stage reported with survivors and token
-    // mass. q92's filterFunnel is the ONE-PASS version for predicate
-    // rules; this funnel includes non-predicate stages (dedup's keyed
-    // window, the cap's stratum window) that genuinely need their own
-    // exchanges — per-stage counts re-derive each frame, the honest
-    // cost of auditing a staged pipeline
-    "q300_curation_funnel" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val s1 = docs.filter(
-        TextStats.tokenCount(col("text")).between(30, 100000))
-      val s2 = Dedup.exactDedup(s1, "text", "doc_id")
-      val s3 = s2.filter(
-        regexp_count(col("text"), lit("(?i)\\bslow\\b")) <= 2)
-      val s4 = Sampling.capPerStratum(s3, "doc_id", "source",
-        cap = 50, salt = "funnel")
-      def st(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_rows"),
-            sum(TextStats.tokenCount(col("text"))).as("n_tokens"))
-          .select(lit(name).as("stage"), col("n_rows"), col("n_tokens"))
-      st("0_all", docs)
-        .unionByName(st("1_length", s1))
-        .unionByName(st("2_dedup", s2))
-        .unionByName(st("3_blocklist", s3))
-        .unionByName(st("4_cap", s4))
-        .orderBy(col("stage"))
-    }),
-
-    // PORTABLE approximate quantiles (the oracle-checkable twin of
-    // percentile_approx, whose internal sketch no other engine
-    // replays): fixed-width value lattice + integer-threshold rank
-    // picks — error bounded by the width, every estimate exact
-    // integer arithmetic. q52/q79's approx dial, made verifiable
-    "q299_lattice_quantiles" -> ((s, dir) =>
-      etlmudah.scale.Sketches.latticeQuantiles(
-        Tables.lineitem(s, dir), "l_returnflag",
-        col("l_extendedprice"), width = 1000.0,
-        qsPerMille = Seq(250, 500, 750, 990))),
-
-    // NULL REPAIR by group median (the imputation step of every
-    // feature pipeline, audited): prices nulled on a closed-form key
-    // slice, refilled with the exact per-priority median, the report
-    // carrying n_imputed and the post-repair sum so silent imputation
-    // drift is impossible. Median ↔ quantile_cont (the established
-    // percentile parity); the filled column sums on a DECIMAL(18,4)
-    // lattice (medians of 2dp values carry ≤3dp — the 4th-digit cast
-    // never sits on a rounding boundary)
-    "q297_impute_nulls" -> ((s, dir) => {
-      val damaged = Tables.orders(s, dir)
-        .withColumn("price",
-          when(col("o_orderkey") % 13 === 0, lit(null).cast("double"))
-            .otherwise(col("o_totalprice")))
-      val med = damaged.groupBy(col("o_orderpriority").as("mk"))
-        .agg(percentile(col("price"), lit(0.5)).as("med"))
-      damaged.join(broadcast(med), col("o_orderpriority") === col("mk"))
-        .withColumn("filled", coalesce(col("price"), col("med")))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("price").isNull, 1L).otherwise(0L))
-            .as("n_imputed"),
-          round(min(col("med")), 4).as("median_used"),
-          round(sum(col("filled").cast("decimal(18,4)")), 2)
-            .cast("double").as("sum_filled"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    // Z-SCORE scaler audit (the feature-standardization fit): per-
-    // group mean/std from DECIMAL-lattice moments (sum, sum-of-
-    // squares exact; mean, variance, sqrt are closing IEEE ops both
-    // engines compute identically from the same integers) + the
-    // |z| > 3 outlier count from a second broadcast-moments pass
-    "q298_zscore_audit" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
-        col("l_extendedprice").cast("decimal(18,4)").as("__x"))
-      val mom = li.groupBy(col("l_returnflag").as("mk"))
-        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
-          sum(col("__x") * col("__x")).as("__q"))
-        .select(col("mk"), col("n"),
-          (col("__s").cast("double") / col("n")).as("__mean"),
-          sqrt(col("__q").cast("double") / col("n") -
-            (col("__s").cast("double") / col("n")) *
-              (col("__s").cast("double") / col("n"))).as("__std"))
-      li.join(broadcast(mom), col("l_returnflag") === col("mk"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          round(min(col("__mean")), 6).as("mean"),
-          round(min(col("__std")), 6).as("std"),
-          sum(when(abs(col("__x").cast("double") - col("__mean")) >
-            lit(3.0) * col("__std"), 1L).otherwise(0L)).as("n_outliers"))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    // Exact MODE per return flag (most frequent quantity, ties to the
-    // smallest value): two stacked aggregates, never a window
-    "q293_mode_quantity" -> ((s, dir) =>
-      Analytics.modeBy(Tables.lineitem(s, dir), "l_returnflag",
-        col("l_quantity"))),
-
-    // Smoothed TARGET ENCODING (Micci-Barreca): priority categories
-    // encoded by shrunken mean order value — DECIMAL-lattice sums,
-    // single closing double divisions, one global broadcast row
-    "q294_target_encoding" -> ((s, dir) =>
-      Analytics.targetEncodeBy(Tables.orders(s, dir), "o_orderpriority",
-        col("o_totalprice"), m = 10.0)),
-
-    // 2-D histogram grid (the dashboard heatmap): quantity x price
-    // bins by integral floor division, one aggregate — the 2-D twin
-    // of q07's 1-D histogram
-    "q295_qty_price_heatmap" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(expr("cast(floor((l_quantity - 1) / 5.0) as long)")
-            .as("q_bin"),
-          expr("cast(floor(l_extendedprice / 10000.0) as long)")
-            .as("p_bin"))
-        .agg(count(lit(1)).as("n"),
-          round(sum((col("l_extendedprice") *
-            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
-            .cast("double").as("revenue"))
-        .orderBy(col("q_bin"), col("p_bin"))),
-
-    // Explicit GROUPING SETS (the grain mix rollup/cube cannot give:
-    // (priority, status), (priority), (status) — no grand total), with
-    // grouping_id disambiguating NULL-as-rolled-up from NULL data
-    "q296_grouping_sets" -> ((s, dir) =>
-      Tables.orders(s, dir)
-        .groupingSets(
-          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
-            Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
-          col("o_orderpriority"), col("o_orderstatus"))
-        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double").as("total"))
-        .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
-          col("o_orderstatus").asc_nulls_first)),
-
-    // N-way membership matrix (the Venn/UpSet table): per user, WHICH
-    // event types they touched, rolled up per exact combination — the
-    // cross-source overlap readout q133's pairwise matrix cannot give
-    // (combinations, not pairs). One user-keyed aggregate + one
-    // |combinations|-grain aggregate; the combo key is the sorted
-    // member list, so both engines render it identically
-    // (the %17 slice keeps per-user coverage PARTIAL — over the full
-    // log every user hits all five types and the table degenerates to
-    // one row)
-    "q291_event_type_venn" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .filter(col("event_id") % 17 === 0)
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_set(col("event_type"))).as("__types"))
-        .groupBy(array_join(col("__types"), "+").as("combo"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy(col("n_users").desc, col("combo").asc)),
-
-    // MULTI-TOUCH attribution credit: each purchase splits one unit of
-    // credit equally across the SAME user's clicks in the hour before
-    // it (the fractional-credit sibling of q68's last-touch as-of) —
-    // per-pair credit rounds at 6dp IN-ENGINE so both engines fold the
-    // identical doubles; users ranked by credit earned
-    "q292_multi_touch_credit" -> ((s, dir) => {
-      val ev = Tables.eventsTyped(s, dir)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"), col("event_id"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("us").as("c_us"),
-          col("event_id").as("c_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("us").as("p_us"),
-          col("event_id").as("p_id"))
-      val pairs = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("c_us") <= col("p_us") &&
-          col("c_us") >= col("p_us") - 3600000000L)
-      val perPurchase = pairs.groupBy(col("p_id").as("pp"))
-        .agg(count(lit(1)).as("n_touch"))
-      // per-pair credit on the micro-unit INTEGER lattice (1e6 div
-      // n_touch — truncating, exact): the per-user sum is a BIGINT
-      // fold no addition order can drift, where summing rounded
-      // doubles is one ulp from a 6dp boundary flip
-      pairs.join(perPurchase, col("p_id") === col("pp"))
-        .select(col("c_user"), col("c_id"),
-          expr("1000000L div n_touch").as("credit_micro"))
-        .groupBy(col("c_user"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("credit_micro")).as("credit_micro"))
-        .orderBy(col("credit_micro").desc, col("c_user").asc)
-    }),
-
-    // Ordered string aggregation (string_agg ORDER BY, Spark's missing
-    // built-in, made deterministic): each customer's order history as
-    // a date-ordered key list — collect_list sorts INSIDE the row, so
-    // no shuffle or AQE re-plan can reorder it
-    "q290_order_history_concat" -> ((s, dir) =>
-      Tables.orders(s, dir)
-        .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          Analytics.orderedConcat(col("o_orderkey"),
-            Seq(unix_micros(col("o_orderdate").cast("timestamp")),
-              col("o_orderkey")),
-            ",").as("history"))
-        .orderBy(col("o_custkey"))),
-
-    // Accent-fold dedup keys: each doc spawns a composed (U+00E9) and
-    // a decomposed (e + U+0301) accented variant — two DISTINCT raw
-    // strings that graft_fold_accents collapses to one key (the
-    // diacritic-insensitive matching tier next to q252's NFC); the
-    // report counts raw vs folded variants per source, exhibiting the
-    // 2:1 collapse wherever the text carries an 'e'
-    "q289_accent_fold_keys" -> ((s, dir) => {
-      val vs = Tables.documents(s, dir).select(col("source"),
-          col("doc_id"), explode(array(
-            replace(col("text"), lit("e"), lit("é")),
-            replace(col("text"), lit("e"), lit("é")))).as("t"))
-        .select(col("source"), col("doc_id"), col("t"),
-          expr("graft_fold_accents(t)").as("f"))
-      vs.groupBy(col("source"), col("doc_id"))
-        .agg(countDistinct(col("t")).as("ndr"),
-          countDistinct(col("f")).as("ndf"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("ndr")).as("raw_variants"),
-          sum(col("ndf")).as("folded_variants"))
-        .orderBy(col("source"))
-    }),
-
-    // Trimmed mean per priority — the whale-proof average between
-    // q02's plain mean and q103's median/MAD fence: exact 5%/95%
-    // percentile band per group, average of what remains
-    "q288_trimmed_mean" -> ((s, dir) =>
-      Analytics.trimmedMeanBy(Tables.orders(s, dir), "o_orderpriority",
-        col("o_totalprice"))),
-
-    // Time-grid RESAMPLE + forward fill: per event type, a dense
-    // 6-hour bucket grid over the type's observed span, empty buckets
-    // carrying the most recent earlier observation, imputation flagged
-    // — the gap-filling step before any time-series window math
-    "q287_resample_fill" -> ((s, dir) =>
-      etlmudah.analytics.Events.resampleFill(
-        Tables.eventsTyped(s, dir), "event_type", col("ts"),
-        col("value"), stepUs = 21600000000L)),
-
-    // ANTI-ENTROPY replica verification: two order snapshots compare
-    // by 64 checksum rows each (count + bit_xor + mod-prime sum of a
-    // portable row hash per bucket), never by co-shuffling rows — the
-    // Merkle tier of replica repair. The damaged copy (+1.00 on a
-    // sparse key slice) surfaces as exactly the buckets its rows left
-    // and entered; price rides DECIMAL(18,2) so both engines render
-    // the identical string into the hash
-    "q286_replica_checksum_diff" -> ((s, dir) => {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderpriority")
-      val a = Tables.orders(s, dir)
-        .withColumn("o_totalprice",
-          col("o_totalprice").cast("decimal(18,2)"))
-        .select(cols.map(col): _*)
-      val b = a.withColumn("o_totalprice",
-        when(col("o_orderkey") % 997 === 0,
-          (col("o_totalprice") + 1).cast("decimal(18,2)"))
-          .otherwise(col("o_totalprice")))
-      etlmudah.quality.Validate.checksumDiff(a, b, cols, nBuckets = 64)
-    }),
-
-    // Unicode SCRIPT profile over a deterministically multilingualized
-    // corpus (the q252 damage discipline: closed-form Cyrillic/CJK/
-    // digit-only variants both engines synthesize identically) — the
-    // writing-system router a multilingual pipeline splits on first
-    "q285_script_profile" -> ((s, dir) =>
-      TextStats.scriptProfile(
-        Tables.documents(s, dir).select(col("source"),
-          when(col("doc_id") % 7 === 0,
-            repeat(lit("ж"), (col("doc_id") % 5 + 1).cast("int")))
-          .when(col("doc_id") % 7 === 1,
-            repeat(lit("中"), (col("doc_id") % 4 + 1).cast("int")))
-          .when(col("doc_id") % 7 === 2, lit("12345 !?"))
-          .otherwise(concat(col("text"),
-            repeat(lit("ж"), (col("doc_id") % 4).cast("int"))))
-          .as("text")),
-        "text", "source")),
-
-    // Spearman rank correlation per return flag — the monotone-
-    // association readout next to q12's Pearson, EXACT on the integer
-    // lattice: row_number ranks over a strict total order, Σd² as
-    // BIGINT, one closing double division per group
-    "q284_spearman_by_flag" -> ((s, dir) =>
-      Analytics.spearmanBy(Tables.lineitem(s, dir), "l_returnflag",
-        col("l_quantity"), col("l_extendedprice"),
-        col("l_orderkey") * 100 + col("l_linenumber"))),
-
-    // Rendezvous (HRW) shard placement + the 8→9 reshard transition
-    // matrix: the output itself EXHIBITS the minimal-movement
-    // invariant — every off-diagonal row lands on the new shard 8,
-    // nothing migrates laterally between surviving shards (the
-    // property a mod-hash reshard, which remaps ~all keys, cannot
-    // give). Assignment is a pure per-row projection, codegen'd
-    "q283_rendezvous_reshard" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          Sampling.rendezvousShard(col("doc_id"), 8).as("shard_8"),
-          Sampling.rendezvousShard(col("doc_id"), 9).as("shard_9"))
-        .groupBy(col("shard_8"), col("shard_9"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("shard_8"), col("shard_9"))),
-
-    // Time-decayed popularity (trending event types): halving per
-    // elapsed 7-day half-life on the EXACT 2^40 lattice — the
-    // recency-weighted count exp(-λ·age) approximates, with a BIGINT
-    // sum both engines fold identically; asOf is a fixed literal past
-    // the data's end so the query is a pure function of the table
-    "q282_decayed_popularity" -> ((s, dir) =>
-      Analytics.decayedCounts(Tables.eventsTyped(s, dir), "event_type",
-        col("ts"), asOfUs = 1706745600000000L,          // 2024-02-01 UTC
-        halfLifeUs = 604800000000L)),                   // 7 days
-
-    // CRAWL FRONTIER: bounded-hop BFS from a trusted seed-host set
-    // over the link graph — the breadth layer of seed expansion next
-    // to q241's proximity ranking. Seeds = the 'www.d0.*' hosts (a
-    // closed-form predicate both engines replay); depth = shortest
-    // hops, layers unrolled in the oracle
-    "q281_crawl_frontier" -> ((s, dir) => {
-      import etlmudah.web.Web
-      val id = col("doc_id")
-      val pages = Tables.documents(s, dir).select(
-        Web.fakeUrl(id, col("source")).as("url"),
-        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
-          Web.fakeLinkUrls(id)).as("page"))
-      val edges = Web.hostLinkEdges(pages, "url", "page")
-      val seeds = edges.select(col("src_host").as("host"))
-        .union(edges.select(col("dst_host").as("host"))).distinct()
-        .where(col("host").startsWith("www.d0."))
-      Web.crawlFrontier(edges, seeds, maxHops = 2)
-    }),
-
-    // INCREMENTAL VIEW MAINTENANCE of a per-customer aggregate: fold
-    // an insert+retraction delta into the standing (n, sum, min, max)
-    // state WITHOUT rescanning the base — count/sum self-maintain,
-    // min/max self-maintain under inserts only, and a retraction at
-    // the stored boundary reports needs_rescan instead of a silently
-    // stale extreme (the Gupta–Mumick split). Merge cost is
-    // O(|delta| + |state|), independent of base size
-    "q280_incremental_agg_state" -> ((s, dir) => {
-      val orders = Tables.orders(s, dir)
-      val v = col("o_totalprice").cast("decimal(18,2)")
-      val base = orders.filter(col("o_orderkey") % 10 =!= 7)
-      val state = Upsert.aggState(base, Seq("o_custkey"), v)
-      val delta = orders.filter(col("o_orderkey") % 10 === 7)
-          .select(col("o_custkey"), v.as("__v"), lit(1).as("__op"))
-        .unionByName(base.filter(col("o_orderkey") % 10 === 3)
-          .select(col("o_custkey"), v.as("__v"), lit(-1).as("__op")))
-      Upsert.mergeAggState(state, delta, Seq("o_custkey"),
-          col("__v"), col("__op"))
-        .select(col("o_custkey"), col("n"),
-          round(col("sum_v"), 2).cast("double").as("sum_v"),
-          col("min_v").cast("double").as("min_v"),
-          col("max_v").cast("double").as("max_v"),
-          col("needs_rescan"))
-        .orderBy(col("o_custkey"))
-    }),
-
-    // k-center greedy coreset (farthest-point sampling, Gonzalez
-    // 1985): the diverse-subset pick for training-data selection —
-    // coverage-only, where q262's MMR trades against relevance. The
-    // oracle unrolls every greedy round; coverage is the selection-
-    // time max-cosine evidence (null for the min-id seed)
-    "q279_kcenter_coreset" -> ((s, dir) =>
-      Similarity.kCenterSelect(
-        Tables.embeddings(s, dir)
-          .where(col("vec_id") < 60L)
-          .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        k = 8)),
-
-    // HITS hubs & authorities over the host link graph (Kleinberg
-    // 1999) — the directory-vs-destination split next to q222's
-    // PageRank: L∞-renormalized integer half-rounds, every one of
-    // which the oracle unrolls on the same md5-60bit host ids
-    "q278_host_hits" -> ((s, dir) => {
-      import etlmudah.web.Web
-      val id = col("doc_id")
-      val pages = Tables.documents(s, dir).select(
-        Web.fakeUrl(id, col("source")).as("url"),
-        Web.fakeHtml(id, col("text"), lit(null).cast("string"),
-          Web.fakeLinkUrls(id)).as("page"))
-      Web.hostHits(Web.hostLinkEdges(pages, "url", "page"), iters = 2)
-    }),
-
-    // Ranked top-N per group WITHOUT a window (the 100 TB dial for
-    // q17's shape): the `graft_topk` bounded-heap aggregate partial-
-    // aggregates map-side, so the exchange carries at most k rows per
-    // (group x partition) instead of the whole frame through a sort.
-    // The tag zero-pads so its string order IS the numeric order; the
-    // oracle is the window DEFINITION itself over the same aggregate
-    "q277_topk_per_nation" -> ((s, dir) => {
-      val rev = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), col("c_custkey"))
-        .agg(round(sum((col("l_extendedprice") *
-            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
-          .cast("double").as("revenue"))
-      Analytics.topNPerGroupAgg(rev, Seq("n_name"), col("revenue"),
-          lpad(col("c_custkey").cast("string"), 8, "0"), 3)
-        .select(col("n_name"), col("rank"),
-          col("tag").cast("long").as("c_custkey"),
-          col("score").as("revenue"))
-        .orderBy(col("n_name"), col("rank"))
-    }),
-
-    // TPC-H Q19 shape (disjunctive band join): OR-of-conjunctions as
-    // the join residual with the part-side prefilter OR'd from the
-    // per-branch part predicates so the scan still prunes; one row out
-    "q276_disjunctive_band_join" -> ((s, dir) => {
-      val branch1 = col("p_brand") === "Brand#2" &&
-        col("p_size").between(1, 10) && col("l_quantity").between(1, 11)
-      val branch2 = col("p_brand") === "Brand#13" &&
-        col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
-      val branch3 = col("p_brand") === "Brand#24" &&
-        col("p_size").between(1, 50) && col("l_quantity").between(20, 30)
-      Tables.lineitem(s, dir)
-        .join(Tables.part(s, dir),
-          col("l_partkey") === col("p_partkey") &&
-            (branch1 || branch2 || branch3))
-        .agg(round(sum((col("l_extendedprice") *
-            (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")), 2)
-            .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-    }),
-
-    // REAL image resize: 24bpp BMP box-filter 2x downscale (the
-    // brief's multimodal resize step) — synth -> graft_bmp_resize ->
-    // graft_bmp_stats, with every output byte replayed by the oracle
-    // from the synth closed form (floor block means)
-    "q264_bmp_resize_stats" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .where(col("doc_id") % 7 === 0)
-        .select(col("doc_id"),
-          (col("doc_id") % 8 + 2).as("w"),
-          ((col("doc_id") * 3) % 8 + 2).as("h"))
-        .select(col("doc_id"), col("w"), col("h"),
-          expr("graft_bmp_stats(graft_bmp_resize(" +
-            "graft_fake_bmp24(doc_id, w, h), 2))").as("st"))
-        .select(col("doc_id"), col("w"), col("h"),
-          col("st.width").as("ow"), col("st.height").as("oh"),
-          col("st.n_px"),
-          col("st.b_min"), col("st.b_max"), col("st.b_sum"),
-          col("st.g_min"), col("st.g_max"), col("st.g_sum"),
-          col("st.r_min"), col("st.r_max"), col("st.r_sum"))
-        .orderBy(col("doc_id"))),
-
-    // CMS join-size estimation: |events ⋈ orders on user/cust key|
-    // predicted from two grids without moving either table's keys —
-    // the optimizer question answered sketch-side; exact join size
-    // rides alongside as the audit tier
-    "q263_cms_join_size" -> ((s, dir) =>
-      etlmudah.scale.Sketches.cmsJoinSizeEstimate(
-        Tables.events(s, dir), "user_id",
-        Tables.orders(s, dir), "o_custkey",
-        depth = 4, width = 256)),
-
-    // token-weighted char-length percentiles per source: the percentile
-    // of the document the typical TOKEN lives in (vs q08's row grain) —
-    // exact lower weighted quantiles on BIGINT lattices, no
-    // interpolation convention to align across engines
-    "q261_weighted_quantiles" -> ((s, dir) =>
-      etlmudah.analytics.Analytics.weightedQuantilesBy(
-        Tables.documents(s, dir)
-          .withColumn("bpeish", TextStats.tokenCountBpeIsh(col("text"))),
-        "n_chars", "bpeish", Seq("source"), qs = Seq(0.25, 0.5, 0.75, 0.9))),
-
-    // MMR diverse re-ranking of q27's semantic candidates: top-50 by
-    // cosine to vec 0, greedily re-ranked to 10 results trading
-    // relevance against redundancy at lambda=0.7; all 10 greedy rounds
-    // replay unrolled in the oracle
-    "q262_mmr_rerank" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val q = emb.where(col("vec_id") === 0L)
-        .select(col("embedding").as("__qv"))
-      val cand = emb.where(col("vec_id") =!= 0L)
-        .join(broadcast(q))
-        .select(col("vec_id").as("id"),
-          round(Similarity.cosineFast(col("embedding"), col("__qv")), 6)
-            .as("score"),
-          col("embedding").as("vec"))
-        .orderBy(col("score").desc, col("id").asc)
-        .limit(50)
-      Similarity.mmrSelect(cand, k = 10, lambda = 0.7)
-    }),
-
-    // label-propagation communities over the staged co-purchase graph
-    // (q220's exact pair view): 3 deterministic synchronous rounds,
-    // community = surviving label; output is the community-size table
-    "q260_label_propagation" -> ((s, dir) =>
-      etlmudah.graph.Centrality.labelPropagation(
-        stagedCoEdges(s, dir)
-          .filter(col("src") < col("dst") && col("weight") >= 2L)
-          .select(col("src").as("u"), col("dst").as("v"), col("weight")),
-        iters = 3)
-        .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("label"))),
-
-    // INTERVAL OVERLAP JOIN (bin expansion — never a nested-loop range
-    // join): user activity sessions (30-min gap rule, the q42
-    // construction on an epoch-micros lattice) joined against nightly
-    // 00:00-02:00 UTC maintenance windows; per-window session and user
-    // counts. Bin width = 1 h, the session-scale dial
-    "q259_interval_join_sessions" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.eventsTyped(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-      val sess = ev
-        .withColumn("__new",
-          when(col("us") - lag(col("us"), 1).over(w) < 1800000000L, 0L)
-            .otherwise(1L))
-        .withColumn("__sid", sum(col("__new")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("__sid"))
-        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
-        .select(col("user_id"), col("s_us"), col("e_us"))
-      val dayUs = 86400000000L
-      val wins = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
-        .select(explode(sequence(
-          expr(s"lo div ${dayUs}L * ${dayUs}L"),
-          expr(s"hi div ${dayUs}L * ${dayUs}L"),
-          lit(dayUs))).as("w0"))
-        .select(col("w0"), (col("w0") + lit(7199999999L)).as("w1"))
-      Joins.intervalJoin(sess, wins, "s_us", "e_us", "w0", "w1",
-          binWidth = 3600000000L)
-        .groupBy(col("w0"))
-        .agg(count(lit(1)).as("n_sessions"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("w0"))
-    }),
-
-    // hybrid retrieval: the SAME "more like doc 0" question asked
-    // lexically (BM25 top-50) and semantically (exact cosine top-50
-    // over the aligned embedding table), fused by reciprocal-rank
-    // fusion with the canonical c=60
-    "q258_hybrid_rrf" -> ((s, dir) => {
-      val lex = TextStats.bm25Search(Tables.documents(s, dir), "text",
-        "doc_id", doc0Terms(s, dir), k = 50, excludeId = Some(0L))
-        .select(col("id"), col("score"))
-      val sem = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
-        "vec_id", "embedding", queryId = 0L, k = 50)
-        .select(col("vec_id").as("id"), col("cos_sim").as("score"))
-      Similarity.rrfFuse(lex, sem, k = 15)
-    }),
   )
 
   /** q257/q258's literal query: doc 0's distinct whitespace tokens —
     * ONE bounded driver read (a single row), the q27 query-vector
     * discipline carried to the lexical tier. The split mirrors
     * [[etlmudah.text.TextStats.tokens]] exactly. */
-  private def doc0Terms(s: SparkSession, dir: String): Seq[String] =
+  private[graft] def doc0Terms(s: SparkSession, dir: String): Seq[String] =
     Tables.documents(s, dir).where(col("doc_id") === 0L)
       .select(col("text")).head().getString(0)
       .trim.split("\\s+").toSeq.distinct
@@ -4195,7 +1983,7 @@ object SparkEntry {
   /** Shared q253/q257 input: the exact-cent monthly revenue series per
     * priority — one map-side-combined aggregate, BIGINT lattice so the
     * trend/changepoint statistics replay engine-exactly. */
-  private def monthlyCents(s: SparkSession, dir: String): DataFrame =
+  private[graft] def monthlyCents(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .where(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
       .groupBy(col("o_orderpriority"),
@@ -4205,10 +1993,10 @@ object SparkEntry {
         .cast("long")).as("cents"))
 
   /** Stopword list shared by quality/text queries (and their oracles). */
-  private val qualityStops = Seq("the", "a", "of", "and", "to")
+  private[graft] val qualityStops = Seq("the", "a", "of", "and", "to")
 
   /** Marker lists for the langid heuristic; first lang wins ties. */
-  private val langMarkers = Seq(
+  private[graft] val langMarkers = Seq(
     "en" -> Seq("the", "a", "of"),
     "de" -> Seq("der", "die", "und"),
     "es" -> Seq("el", "la", "los"),
@@ -4218,7 +2006,7 @@ object SparkEntry {
   /** q26's oracle, generated: 60 per-bit vote sums over md5-prefix token
     * hashes, packed to a BIGINT, 4x15-bit chunk banding, hamming refine —
     * the exact computation `Dedup.simhashNearDups(portable = true)` runs. */
-  private val simhashOracleSql: String = {
+  private[graft] val simhashOracleSql: String = {
     val votes = (0 until 60).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(", ")
@@ -4260,7 +2048,7 @@ object SparkEntry {
     * with the rightmost-min selection encoded as a plain min() over the
     * sortable key h || lpad(1e9 - pos). Mirrors
     * [[etlmudah.scale.Dedup.winnowFingerprints]] at k=3, w=4. */
-  private def winnowSelSql: String =
+  private[graft] def winnowSelSql: String =
     """WITH tokarr AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
       |  FROM documents),
@@ -4286,7 +2074,7 @@ object SparkEntry {
       |    substr(sk, 1, 8) AS fp
       |  FROM win WHERE rn >= 4 OR rn = total)""".stripMargin
 
-  private def minhashPortableSql(k: Int, bands: Int, minJ: Double): String = {
+  private[graft] def minhashPortableSql(k: Int, bands: Int, minJ: Double): String = {
     val rpb = k / bands
     // four 32-bit hex lanes per md5: hash i = seed i/4, lane i%4 (hex
     // chars 1-8 / 9-16 / 17-24 / 25-32); the min runs on the fixed-width
@@ -4336,7 +2124,7 @@ object SparkEntry {
     * parses them as DECIMAL) — the same IEEE operation sequence the
     * engine's fold performs, so every double is bit-identical; 6dp via
     * floor(x*1e6 + 0.5), never an engine round(). */
-  private def bandingDesignSql(k: Int, jGrid: Seq[Double]): String = {
+  private[graft] def bandingDesignSql(k: Int, jGrid: Seq[Double]): String = {
     val rows = for {
       b <- 1 to k if k % b == 0
       r = k / b
@@ -4359,7 +2147,7 @@ object SparkEntry {
     * `gate`) and the banded candidate set (seeded-md5 lane mins, band
     * equality), then true pairs group by jaccard decile with a
     * found-by-banding left join. */
-  private def bandedRecallSql(k: Int, bands: Int, gate: Double): String = {
+  private[graft] def bandedRecallSql(k: Int, bands: Int, gate: Double): String = {
     val rpb = k / bands
     val mins = (0 until k).map(i =>
       s"min(substr(md5('${i / 4}:' || g), ${1 + 8 * (i % 4)}, 8)) AS m$i")
@@ -4410,7 +2198,7 @@ object SparkEntry {
     * `Dedup.minhashPortableCrossPairs` verbatim: same seeded-md5 lane
     * mins, band equality BETWEEN the two corpora's signatures instead
     * of a self-join, exact-Jaccard refine over the candidate set. */
-  private def minhashPortableCrossSql(k: Int, bands: Int,
+  private[graft] def minhashPortableCrossSql(k: Int, bands: Int,
                                       minJ: Double): String = {
     val rpb = k / bands
     val mins = (0 until k).map(i =>
@@ -4455,7 +2243,7 @@ object SparkEntry {
   /** DuckDB closed form of [[etlmudah.web.Web.fakeHost]] applied to the
     * BIGINT expression `j` — the host-arithmetic building block the
     * q222/q223 oracles use to carry the KNOWN link targets. */
-  private def duckFakeHost(j: String): String =
+  private[graft] def duckFakeHost(j: String): String =
     s"['www.','blog.',''][(($j) % 3 + 1)::INT] || 'd' || " +
       s"(($j) % 7)::VARCHAR || '.' || " +
       s"['com','org','co.uk','com.my'][(($j) % 4 + 1)::INT]"
@@ -4466,7 +2254,7 @@ object SparkEntry {
     * integer-lattice PageRank rounds (the q218 CTE shape verbatim) ->
     * `hostrank(host, rank)`. Also exposes `hh(doc_id, hsrc)` so q223
     * can key pages to their host without re-deriving it. */
-  private val duckHostRankCtes: String =
+  private[graft] val duckHostRankCtes: String =
     s"""hh AS (SELECT doc_id,
        |    ${duckFakeHost("doc_id")} AS hsrc,
        |    ${duckFakeHost("doc_id + 1")} AS h1,
@@ -4529,7 +2317,7 @@ object SparkEntry {
     * `v3(i, v)` (the iterate), `wf(i, w)` (one more mat-vec for the
     * Rayleigh pair), and `ray(num, den)`; `q(vec_id, i, qv)` stays
     * visible for the projection oracle. */
-  private val duckPcaCtes: String =
+  private[graft] val duckPcaCtes: String =
     """q AS (SELECT vec_id,
       |    generate_subscripts(embedding, 1) - 1 AS i,
       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
@@ -4570,7 +2358,7 @@ object SparkEntry {
     * Hamming, the (hamming, id) candidate window at candK=50, and the
     * exact rerank — ends with `rr(probe_id, vec_id, hamming, cos_sim)`
     * and exposes `pr(probe_id)`. */
-  private val duckBinaryRerankCtes: String =
+  private[graft] val duckBinaryRerankCtes: String =
     """e AS (SELECT vec_id, unnest(embedding) AS x,
       |    generate_subscripts(embedding, 1) - 1 AS d0 FROM embeddings),
       |sig AS (SELECT vec_id,
@@ -4599,15 +2387,12 @@ object SparkEntry {
       |  JOIN embeddings e ON e.vec_id = c.vec_id
       |  JOIN embeddings p ON p.vec_id = c.probe_id)""".stripMargin
 
-  def oracleSql: Map[String, String] = baseOracleSql ++ Round11.oracleSql ++ Round12.oracleSql
+  def oracleSql: Map[String, String] = baseOracleSql ++ RoundsA.oracleSql ++ RoundsB.oracleSql ++ Round11.oracleSql ++ Round12.oracleSql
 
   // lazy: forward-references monthlyCentsSql / bm25SearchSql below
-  private lazy val baseOracleSql: Map[String, String] = Map(
+  private[graft] lazy val baseOracleSql: Map[String, String] = Map(
     "q26_simhash_near_dups" -> simhashOracleSql,
     "q130_minhash_portable" -> minhashPortableSql(8, 4, 0.7),
-    "q209_banded_recall_curve" -> bandedRecallSql(8, 4, 0.02),
-    "q214_banding_design" ->
-      bandingDesignSql(16, (1 to 9).map(_ / 10.0)),
     "q152_near_dup_pairs_portable" -> minhashPortableSql(128, 32, 0.8),
     "q157_decontamination_portable" -> minhashPortableCrossSql(128, 32, 0.8),
 
@@ -4680,187 +2465,6 @@ object SparkEntry {
         |    - greatest(strt, pack_id * 2048) AS n_tokens
         |FROM p ORDER BY doc_id, pack_id""".stripMargin,
 
-    // WAV round trip: the oracle computes the expected header fields
-    // directly from doc_id, so a green row proves encode -> chunk-walk
-    // parse recovers channels/rate/bits/data bytes exactly (including
-    // the odd-LIST pad skip), and the duration math agrees integer-for-
-    // integer across engines
-    "q163_audio_meta_roundtrip" ->
-      """SELECT doc_id, 'wav' AS format,
-        |  (doc_id % 2 + 1)::BIGINT AS channels,
-        |  list_extract([8000,16000,22050,44100,48000],
-        |    (doc_id % 5 + 1)::INT)::BIGINT AS sample_rate_hz,
-        |  list_extract([8,16,24,32],
-        |    (doc_id % 4 + 1)::INT)::BIGINT AS bits_per_sample,
-        |  (doc_id % 100000 + 1000)::BIGINT AS data_bytes,
-        |  ((doc_id % 100000 + 1000) * 8000) //
-        |    (list_extract([8000,16000,22050,44100,48000],
-        |       (doc_id % 5 + 1)::INT)
-        |     * (doc_id % 2 + 1)
-        |     * list_extract([8,16,24,32], (doc_id % 4 + 1)::INT))
-        |    AS duration_ms
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // portable SemDeDup: deterministic centroid pick + argmax-cosine
-    // assignment (the q158 construct), then the non-iterative
-    // within-cluster drop rule — b drops iff some cluster-mate a < b
-    // has 6dp-rounded cosine >= 0.35; kept_by is the most-similar such
-    // mate (ties -> lowest id)
-    "q164_semantic_dedup_portable" ->
-      """WITH c AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
-        |scored AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |      c.cvec::DOUBLE[]), 6) AS cs
-        |  FROM embeddings e CROSS JOIN c),
-        |assigned AS (
-        |  SELECT vec_id, embedding, cid FROM (
-        |    SELECT vec_id, embedding, cid,
-        |      row_number() OVER (PARTITION BY vec_id
-        |                         ORDER BY cs DESC, cid ASC) AS rn
-        |    FROM scored) WHERE rn = 1),
-        |pairs AS (
-        |  SELECT b.vec_id, a.vec_id AS keep_id,
-        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |      b.embedding::DOUBLE[]), 6) AS cos
-        |  FROM assigned a JOIN assigned b
-        |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
-        |SELECT vec_id, keep_id AS kept_by, cos AS max_cos FROM (
-        |  SELECT vec_id, keep_id, cos,
-        |    row_number() OVER (PARTITION BY vec_id
-        |                       ORDER BY cos DESC, keep_id ASC) AS rn
-        |  FROM pairs WHERE cos >= 0.35)
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-
-    // winnowing: trigram md5-lane hashes, trailing windows of 4,
-    // rightmost-min selection. The sortable key h || lpad(1e9 - pos)
-    // encodes (hash asc, pos desc) so a plain min() replicates the
-    // robust-winnowing tie-break; rn >= w admits every full window,
-    // rn = total admits the short-doc whole-doc window
-    "q165_winnow_fingerprints" ->
-      (winnowSelSql + """
-        |SELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin),
-
-    // Cavnar–Trenkle: char-trigram counts per doc (one lateral offset
-    // scan), class counts summed FROM the doc counts, both rank
-    // profiles top-20 with (count desc, gram asc) ties, out-of-place
-    // distance with topV penalty for absent grams, min-distance class
-    // (ties -> class asc)
-    "q167_rank_profile_classify" ->
-      """WITH base AS (
-        |  SELECT doc_id, source AS cls, lower(text) AS t FROM documents
-        |  WHERE len(lower(text)) >= 3),
-        |g AS (
-        |  SELECT doc_id, cls, substr(t, i::INT, 3) AS g
-        |  FROM (SELECT doc_id, cls, t,
-        |          unnest(generate_series(1, len(t) - 2)) AS i
-        |        FROM base)),
-        |dg AS (SELECT doc_id, cls, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
-        |cg AS (SELECT cls, g, sum(c) AS c FROM dg GROUP BY 1, 2),
-        |cp AS (
-        |  SELECT cls AS pcls, g, row_number() OVER (
-        |    PARTITION BY cls ORDER BY c DESC, g ASC) AS crank
-        |  FROM cg QUALIFY crank <= 20),
-        |dp AS (
-        |  SELECT doc_id, cls AS actual, g, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY c DESC, g ASC) AS drank
-        |  FROM dg QUALIFY drank <= 20),
-        |classes AS (SELECT DISTINCT pcls FROM cp),
-        |dist AS (
-        |  SELECT dp.doc_id, dp.actual, classes.pcls,
-        |    sum(coalesce(abs(dp.drank - cp.crank), 20))::BIGINT AS distance
-        |  FROM dp CROSS JOIN classes
-        |  LEFT JOIN cp ON cp.pcls = classes.pcls AND cp.g = dp.g
-        |  GROUP BY 1, 2, 3)
-        |SELECT doc_id, actual, pcls AS predicted, distance FROM (
-        |  SELECT doc_id, actual, pcls, distance, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY distance ASC, pcls ASC) AS rn
-        |  FROM dist) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "q166_winnow_shared_pairs" ->
-      (winnowSelSql + """,
-        |fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
-        |dfc AS (SELECT fp, count(*) AS fp_df FROM fpd GROUP BY fp),
-        |cold AS (
-        |  SELECT f.doc_id, f.fp FROM fpd f JOIN dfc USING (fp)
-        |  WHERE fp_df <= 50)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin),
-
-    // sparse tf-idf cosine: q57's weight formula, df-capped terms,
-    // term-keyed dot product, norms over surviving terms only
-    "q169_tfidf_cosine_pairs" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-        |w AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n::DOUBLE / dfreq.df) AS w
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
-        |  WHERE dfreq.df <= ceil(n.n * 0.1)),
-        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
-        |dots AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
-        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
-        |FROM dots JOIN nrm na ON na.doc_id = id_a
-        |          JOIN nrm nb ON nb.doc_id = id_b
-        |WHERE dot / (na.nrm * nb.nrm) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // winnow dup clusters: winnow pairs (the q166 CTEs) symmetrized to
-    // edges, transitive closure via the recursive reach CTE, min-id
-    // cluster labels — q64's oracle shape over the fingerprint tier
-    "q170_winnow_dup_clusters" ->
-      (winnowSelSql.replace("WITH tokarr", "WITH RECURSIVE tokarr") + """,
-        |fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
-        |dfc AS (SELECT fp, count(*) AS fp_df FROM fpd GROUP BY fp),
-        |cold AS (
-        |  SELECT f.doc_id, f.fp FROM fpd f JOIN dfc USING (fp)
-        |  WHERE fp_df <= 50),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach AS (
-        |  SELECT id AS n, id AS r FROM nodes
-        |  UNION
-        |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-        |cc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n)
-        |SELECT doc_id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        |FROM cc ORDER BY doc_id""".stripMargin),
-
-    // winnow decontamination: selection is per-doc, so winnowing the
-    // whole corpus then splitting even/odd equals winnowing each side;
-    // the df cap counts docs across BOTH corpora
-    "q168_winnow_decontamination" ->
-      (winnowSelSql + """,
-        |fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
-        |dfc AS (SELECT fp, count(*) AS fp_df FROM fpd GROUP BY fp),
-        |cold AS (
-        |  SELECT f.doc_id, f.fp FROM fpd f JOIN dfc USING (fp)
-        |  WHERE fp_df <= 50)
-        |SELECT t.doc_id AS train_id, r.doc_id AS ref_id,
-        |  count(*) AS shared
-        |FROM cold t JOIN cold r
-        |  ON t.fp = r.fp AND t.doc_id % 2 = 0 AND r.doc_id % 2 = 1
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY train_id, ref_id""".stripMargin),
-
     "q158_ivf_assign_portable" ->
       """WITH c AS (
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -4877,324 +2481,6 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, cid AS centroid_id, cs AS cos_sim
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-
-    // q158's assignment CTEs + the q89 md5-uniform cap window — the
-    // full cluster-then-cap pipeline replayed
-    "q208_cluster_balanced_sample" ->
-      """WITH c AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
-        |scored AS (
-        |  SELECT e.vec_id, c.cid,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |      c.cvec::DOUBLE[]), 6) AS cs
-        |  FROM embeddings e CROSS JOIN c),
-        |assign AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id
-        |                         ORDER BY cs DESC, cid ASC) AS rn
-        |    FROM scored) WHERE rn = 1),
-        |u AS (
-        |  SELECT vec_id, cid,
-        |    CAST(('0x' || substr(md5(vec_id::VARCHAR || 'cbs'), 1, 8))
-        |      AS UBIGINT) / 4294967296.0 AS u
-        |  FROM assign),
-        |r AS (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY cid
-        |                       ORDER BY u ASC, vec_id ASC) AS pick_rank
-        |  FROM u)
-        |SELECT vec_id, cid AS centroid_id, pick_rank::BIGINT AS pick_rank
-        |FROM r WHERE pick_rank <= 32 ORDER BY vec_id""".stripMargin,
-
-    // reference-side (even-id) md5 centroid pick, both snapshots
-    // assigned by q158's argmax CTEs, q142's PSI arithmetic over the
-    // cluster-share counts
-    "q211_semantic_drift_psi" ->
-      """WITH ref AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
-        |cur AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
-        |c AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM ref
-        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
-        |sb AS (
-        |  SELECT e.vec_id, c.cid,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |      c.cvec::DOUBLE[]), 6) AS cs
-        |  FROM ref e CROSS JOIN c),
-        |ab AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id
-        |                         ORDER BY cs DESC, cid ASC) AS rn
-        |    FROM sb) WHERE rn = 1),
-        |sn AS (
-        |  SELECT e.vec_id, c.cid,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |      c.cvec::DOUBLE[]), 6) AS cs
-        |  FROM cur e CROSS JOIN c),
-        |an AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id
-        |                         ORDER BY cs DESC, cid ASC) AS rn
-        |    FROM sn) WHERE rn = 1),
-        |u AS (
-        |  SELECT cid AS bin, 1::BIGINT AS b, 0::BIGINT AS n FROM ab
-        |  UNION ALL
-        |  SELECT cid, 0, 1 FROM an),
-        |cnt AS (SELECT bin, sum(b)::BIGINT AS n_base,
-        |  sum(n)::BIGINT AS n_next FROM u GROUP BY bin),
-        |p AS (SELECT bin, n_base, n_next,
-        |  greatest(n_base::DOUBLE / (sum(n_base) OVER ())::DOUBLE,
-        |    1e-6::DOUBLE) AS pb,
-        |  greatest(n_next::DOUBLE / (sum(n_next) OVER ())::DOUBLE,
-        |    1e-6::DOUBLE) AS pn
-        |  FROM cnt)
-        |SELECT bin, n_base, n_next, round(pb, 6) AS p_base,
-        |  round(pn, 6) AS p_next,
-        |  round((pn - pb) * ln(pn / pb), 6) AS psi_term
-        |FROM p ORDER BY bin""".stripMargin,
-
-    // truncated-prefix vs full-dim top-10 overlap per probe: probes =
-    // 10 largest-md5 ids (the q178 pick), both ranks order by
-    // (6dp cosine desc, id) — list slicing replays the engine's
-    // slice(vec, 1, 16) projection
-    // the full serving path replayed: identical sign packing (strict
-    // x > 0, per-32-bit words), identical md5 probe pick, bit_count
-    // over xor Hamming, the same (hamming, id) candidate window, and
-    // DuckDB's own list_cosine_similarity for the rerank
-    "q225_binary_hamming_topk" ->
-      s"""WITH $duckBinaryRerankCtes
-         |SELECT probe_id, vec_id, hamming, cos_sim, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_sim DESC, vec_id ASC)::BIGINT AS rank FROM rr)
-         |WHERE rank <= 10
-         |ORDER BY probe_id, rank""".stripMargin,
-
-    // q225's chain to its top-10, the exact top-10 replayed per probe,
-    // and the intersection count — the recall METRIC hash-checked
-    "q229_binary_recall" ->
-      s"""WITH $duckBinaryRerankCtes,
-         |bin AS (SELECT probe_id, vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM rr)
-         |  WHERE rk <= 10),
-         |ex AS (SELECT probe_id, vec_id FROM (
-         |    SELECT p.probe_id, em.vec_id,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(list_cosine_similarity(
-         |          em.embedding::DOUBLE[], pe.embedding::DOUBLE[]), 6)
-         |          DESC, em.vec_id ASC) AS rk
-         |    FROM pr p
-         |    JOIN embeddings pe ON pe.vec_id = p.probe_id
-         |    CROSS JOIN embeddings em WHERE em.vec_id <> p.probe_id)
-         |  WHERE rk <= 10),
-         |h AS (SELECT bin.probe_id, count(*)::BIGINT AS n_hits
-         |  FROM bin JOIN ex USING (probe_id, vec_id) GROUP BY 1)
-         |SELECT pr.probe_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-         |  round(coalesce(h.n_hits, 0)::DOUBLE / 10, 6) AS recall
-         |FROM pr LEFT JOIN h USING (probe_id)
-         |ORDER BY probe_id""".stripMargin,
-
-    "q210_matryoshka_recall" ->
-      """WITH p AS (
-        |  SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
-        |  ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 10),
-        |s AS (
-        |  SELECT p.probe_id, e.vec_id AS id,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |      p.pvec::DOUBLE[]), 6) AS cf,
-        |    round(list_cosine_similarity(e.embedding[1:16]::DOUBLE[],
-        |      p.pvec[1:16]::DOUBLE[]), 6) AS ct
-        |  FROM embeddings e CROSS JOIN p
-        |  WHERE e.vec_id <> p.probe_id),
-        |rf AS (
-        |  SELECT probe_id, id FROM (
-        |    SELECT probe_id, id,
-        |      row_number() OVER (PARTITION BY probe_id
-        |                         ORDER BY cf DESC, id ASC) AS r
-        |    FROM s) WHERE r <= 10),
-        |rt AS (
-        |  SELECT probe_id, id FROM (
-        |    SELECT probe_id, id,
-        |      row_number() OVER (PARTITION BY probe_id
-        |                         ORDER BY ct DESC, id ASC) AS r
-        |    FROM s) WHERE r <= 10)
-        |SELECT f.probe_id, 10::BIGINT AS k,
-        |  sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-        |    AS overlap,
-        |  round(sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-        |    / 10, 6) AS recall
-        |FROM rf f LEFT JOIN rt t
-        |  ON t.probe_id = f.probe_id AND t.id = f.id
-        |GROUP BY f.probe_id ORDER BY f.probe_id""".stripMargin,
-
-    // PQ encode replay: md5-ranked 16-vector codebook (code = rank-1),
-    // integer subspace coordinates ((p-1)//8, (p-1)%8), BIGINT squared
-    // distances, argmin with lowest-code ties
-    "q177_pq_codes" ->
-      """WITH sx AS (
-        |  SELECT vec_id, ((generate_subscripts(embedding, 1) - 1) // 8) AS sub,
-        |    ((generate_subscripts(embedding, 1) - 1) % 8) AS pos,
-        |    CAST(floor(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS xq
-        |  FROM embeddings),
-        |pick AS (
-        |  SELECT vec_id AS code_src,
-        |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code
-        |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        |cb AS (
-        |  SELECT p.code, s.sub, s.pos, s.xq AS cq
-        |  FROM pick p JOIN sx s ON s.vec_id = p.code_src),
-        |scored AS (
-        |  SELECT s.vec_id, s.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS sqd
-        |  FROM sx s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
-        |  GROUP BY 1, 2, 3),
-        |best AS (
-        |  SELECT vec_id, sub, code, sqd,
-        |    row_number() OVER (PARTITION BY vec_id, sub
-        |                       ORDER BY sqd ASC, code ASC) AS rn
-        |  FROM scored)
-        |SELECT vec_id, sub, code, sqd FROM best WHERE rn = 1
-        |ORDER BY vec_id, sub""".stripMargin,
-
-    // ADC replay: q177's encode CTEs + the probe LUT (5 largest-md5
-    // probes, exact subvectors x codebook) + per-probe ranking
-    "q178_pq_adc_topk" ->
-      """WITH sx AS (
-        |  SELECT vec_id, ((generate_subscripts(embedding, 1) - 1) // 8) AS sub,
-        |    ((generate_subscripts(embedding, 1) - 1) % 8) AS pos,
-        |    CAST(floor(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS xq
-        |  FROM embeddings),
-        |pick AS (
-        |  SELECT vec_id AS code_src,
-        |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code
-        |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        |cb AS (
-        |  SELECT p.code, s.sub, s.pos, s.xq AS cq
-        |  FROM pick p JOIN sx s ON s.vec_id = p.code_src),
-        |scored AS (
-        |  SELECT s.vec_id, s.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS sqd
-        |  FROM sx s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
-        |  GROUP BY 1, 2, 3),
-        |enc AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT vec_id, sub, code,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |                         ORDER BY sqd ASC, code ASC) AS rn
-        |    FROM scored) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS probe_id FROM embeddings
-        |  ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 5),
-        |lut AS (
-        |  SELECT s.vec_id AS probe_id, c.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS lut
-        |  FROM sx s JOIN probes pr ON pr.probe_id = s.vec_id
-        |            JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
-        |  GROUP BY 1, 2, 3),
-        |adc AS (
-        |  SELECT l.probe_id, e.vec_id, sum(l.lut)::BIGINT AS adc_dist
-        |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
-        |  GROUP BY 1, 2)
-        |SELECT probe_id, rank, vec_id, adc_dist FROM (
-        |  SELECT probe_id, vec_id, adc_dist,
-        |    row_number() OVER (PARTITION BY probe_id
-        |                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
-        |  FROM adc) WHERE rank <= 10
-        |ORDER BY probe_id, rank""".stripMargin,
-
-    // IVF-PQ replay: q158's centroid/assignment CTEs + q177's encode
-    // CTEs + q178's probe LUT, composed — candidates restricted to
-    // each probe's 2 best lists before the ADC ranking
-    "q179_ivfpq_topk" ->
-      """WITH c AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
-        |lists AS (
-        |  SELECT vec_id AS id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |          c.cvec::DOUBLE[]), 6) DESC, c.cid ASC) AS rn
-        |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
-        |sx AS (
-        |  SELECT vec_id, ((generate_subscripts(embedding, 1) - 1) // 8) AS sub,
-        |    ((generate_subscripts(embedding, 1) - 1) % 8) AS pos,
-        |    CAST(floor(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS xq
-        |  FROM embeddings),
-        |pick AS (
-        |  SELECT vec_id AS code_src,
-        |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code
-        |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        |cb AS (
-        |  SELECT p.code, s.sub, s.pos, s.xq AS cq
-        |  FROM pick p JOIN sx s ON s.vec_id = p.code_src),
-        |scored AS (
-        |  SELECT s.vec_id, s.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS sqd
-        |  FROM sx s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
-        |  GROUP BY 1, 2, 3),
-        |enc AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT vec_id, sub, code,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |                         ORDER BY sqd ASC, code ASC) AS rn
-        |    FROM scored) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS probe_id FROM embeddings
-        |  ORDER BY md5(vec_id::VARCHAR) DESC, vec_id DESC LIMIT 5),
-        |plists AS (
-        |  SELECT probe_id, cid FROM (
-        |    SELECT p.probe_id, c.cid,
-        |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
-        |        round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |          c.cvec::DOUBLE[]), 6) DESC, c.cid ASC) AS lrn
-        |    FROM probes p JOIN embeddings e ON e.vec_id = p.probe_id
-        |    CROSS JOIN c) WHERE lrn <= 2),
-        |lut AS (
-        |  SELECT s.vec_id AS probe_id, c.sub, c.code,
-        |    sum((s.xq - c.cq) * (s.xq - c.cq))::BIGINT AS lut
-        |  FROM sx s JOIN probes pr ON pr.probe_id = s.vec_id
-        |            JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
-        |  GROUP BY 1, 2, 3),
-        |cand AS (
-        |  SELECT pl.probe_id, l.id, l.cid FROM lists l
-        |  JOIN plists pl ON pl.cid = l.cid),
-        |adc AS (
-        |  SELECT cd.probe_id, cd.id, cd.cid, sum(l.lut)::BIGINT AS adc_dist
-        |  FROM cand cd JOIN enc e ON e.vec_id = cd.id
-        |  JOIN lut l ON l.probe_id = cd.probe_id
-        |            AND l.sub = e.sub AND l.code = e.code
-        |  GROUP BY 1, 2, 3)
-        |SELECT probe_id, rank, vec_id, list_id, adc_dist FROM (
-        |  SELECT probe_id, id AS vec_id, cid AS list_id, adc_dist,
-        |    row_number() OVER (PARTITION BY probe_id
-        |                       ORDER BY adc_dist ASC, id ASC) AS rank
-        |  FROM adc) WHERE rank <= 10
-        |ORDER BY probe_id, rank""".stripMargin,
-
-    // scorer replay: hash-trick bucket and md5-lattice weight per
-    // token, BIGINT sum, one rounded division
-    "q180_quality_scorer" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS t
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5('w:q:' ||
-        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000 AS w
-        |  FROM tok)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  CASE WHEN sum(w) >= 0
-        |    THEN floor((abs(sum(w) * 1000) * 2 + count(*)) / (count(*) * 2))
-        |    ELSE -floor((abs(sum(w) * 1000) * 2 + count(*)) / (count(*) * 2))
-        |    END / 1000000.0 AS score
-        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Cross-corpus exact Jaccard (decontamination, oracle tier): same
     // shingle CTEs as q63, split even/odd, two-sided inverted-index join.
@@ -5468,37 +2754,6 @@ object SparkEntry {
         | JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation sn ON s_nationkey = sn.n_nationkey
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
-
-    // Q3 shape: same exact-decimal revenue construct as q143
-    "q183_shipping_priority" ->
-      """SELECT o_orderkey,
-        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-        | o_orderdate
-        |FROM customer
-        | JOIN orders ON c_custkey = o_custkey
-        | JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1997-06-01'
-        |  AND l_shipdate > TIMESTAMP '1997-06-01'
-        |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
-        |LIMIT 10""".stripMargin,
-
-    // Q10 shape: returned-revenue ranking, same decimal construct
-    "q184_returned_customers" ->
-      """SELECT c_custkey, c_name, n_name,
-        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-        | count(*) AS n_items
-        |FROM customer
-        | JOIN orders ON c_custkey = o_custkey
-        | JOIN lineitem ON l_orderkey = o_orderkey
-        | JOIN nation ON c_nationkey = n_nationkey
-        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-        |  AND o_orderdate < TIMESTAMP '1997-04-01'
-        |  AND l_returnflag = 'R'
-        |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue DESC, c_custkey ASC
-        |LIMIT 20""".stripMargin,
 
     "q143_local_supplier_volume" ->
       """SELECT r_name, n_name, count(*) AS n_items,
@@ -5847,200 +3102,6 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
-    // one-sided screen: winnow CTEs + reference-side df cap + inverted
-    // join — the decontaminationSink's per-batch computation replayed
-    // over the whole corpus
-    "q172_winnow_screen_ref" ->
-      (winnowSelSql + """,
-        |fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
-        |ref AS (SELECT doc_id, fp FROM fpd WHERE doc_id % 10 = 0),
-        |arriving AS (SELECT doc_id, fp FROM fpd WHERE doc_id % 10 <> 0),
-        |refdf AS (SELECT fp, count(*) AS fp_df FROM ref GROUP BY fp),
-        |refcold AS (
-        |  SELECT r.fp, r.doc_id AS ref_id FROM ref r JOIN refdf USING (fp)
-        |  WHERE fp_df <= 50)
-        |SELECT a.doc_id, c.ref_id, count(*) AS shared
-        |FROM arriving a JOIN refcold c USING (fp)
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY doc_id, ref_id""".stripMargin),
-
-    // the sample rule replayed over a generate-series, truncated docs
-    // excluded by the same %7 rule, per-clip stats re-aggregated per
-    // generated channel count
-    "q230_wav_sample_stats" ->
-      """WITH d AS (SELECT doc_id, (doc_id % 2 + 1)::INT AS ch,
-        |    (doc_id % 3 + 1) * 4 AS nf FROM documents),
-        |s AS (SELECT d.doc_id, d.ch,
-        |    ((d.doc_id * 31 + i.i * 17) % 65536) - 32768 AS v
-        |  FROM d, range(0, 24) i(i)
-        |  WHERE i.i < d.nf * d.ch AND d.doc_id % 7 <> 0),
-        |st AS (SELECT doc_id, ch, count(*)::BIGINT AS n_samples,
-        |    max(abs(v))::INT AS peak, min(v)::INT AS s_min,
-        |    max(v)::INT AS s_max,
-        |    sum(v)::BIGINT AS s_sum, sum(v * v)::BIGINT AS sq_sum
-        |  FROM s GROUP BY 1, 2)
-        |SELECT d.ch AS channels_gen, count(*) AS n_docs,
-        |  count(st.doc_id)::BIGINT AS n_decoded,
-        |  sum(st.n_samples)::BIGINT AS n_samples,
-        |  max(st.peak) AS peak, min(st.s_min) AS s_min,
-        |  max(st.s_max) AS s_max,
-        |  sum(st.s_sum)::BIGINT AS s_sum,
-        |  sum(st.sq_sum)::BIGINT AS sq_sum
-        |FROM d LEFT JOIN st USING (doc_id)
-        |GROUP BY d.ch ORDER BY channels_gen""".stripMargin,
-
-    // the aHash replayed from the pixel rule: 8x8 grid cells sample
-    // pixel (gi*h//8, gj*w//8), brightness = the three closed-form
-    // channels summed, bit = cell*64 > grid total (exact BIGINT), two
-    // 32-bit words — then the same group-size histogram
-    "q227_image_ahash_dedup" ->
-      """WITH d AS (SELECT doc_id, doc_id // 2 AS seed FROM documents),
-        |dd AS (SELECT DISTINCT seed, (seed % 4 + 1) AS w,
-        |    (seed % 3 + 1) AS h FROM d),
-        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
-        |    (dd.seed*7 + ((gi.i*dd.h)//8)*3 + ((gj.j*dd.w)//8)) % 256
-        |  + (dd.seed*11 + ((gi.i*dd.h)//8)*5 + ((gj.j*dd.w)//8)*2) % 256
-        |  + (dd.seed*13 + ((gi.i*dd.h)//8)*7 + ((gj.j*dd.w)//8)*3) % 256
-        |    AS s
-        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
-        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
-        |hw AS (SELECT px.seed,
-        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
-        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
-        |      ELSE 0 END)::BIGINT AS h0,
-        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
-        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
-        |      ELSE 0 END)::BIGINT AS h1
-        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
-        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
-        |grp AS (SELECT h0, h1, count(*) AS group_size
-        |  FROM doc GROUP BY h0, h1)
-        |SELECT group_size, count(*) AS n_groups,
-        |  sum(group_size)::BIGINT AS n_docs
-        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
-
-    // the pixel rule replayed over a correlated generate-series grid
-    // (doc x row x col), truncated docs excluded by the same %5 rule,
-    // per-image stats re-aggregated per (w, h) — no byte parsing
-    "q224_bmp_pixel_stats" ->
-      """WITH d AS (SELECT doc_id, (doc_id % 4 + 1)::INT AS w,
-        |    (doc_id % 3 + 1)::INT AS h FROM documents),
-        |px AS (SELECT d.doc_id,
-        |    (d.doc_id*7 + fr.fr*3 + c.c) % 256 AS b,
-        |    (d.doc_id*11 + fr.fr*5 + c.c*2) % 256 AS g,
-        |    (d.doc_id*13 + fr.fr*7 + c.c*3) % 256 AS r
-        |  FROM d, range(0, 3) fr(fr), range(0, 4) c(c)
-        |  WHERE d.doc_id % 5 <> 0 AND fr.fr < d.h AND c.c < d.w),
-        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
-        |    min(b)::INT AS b_min, max(b)::INT AS b_max,
-        |    sum(b)::BIGINT AS b_sum,
-        |    min(g)::INT AS g_min, max(g)::INT AS g_max,
-        |    sum(g)::BIGINT AS g_sum,
-        |    min(r)::INT AS r_min, max(r)::INT AS r_max,
-        |    sum(r)::BIGINT AS r_sum
-        |  FROM px GROUP BY doc_id)
-        |SELECT d.w, d.h, count(*) AS n_imgs,
-        |  count(st.doc_id)::BIGINT AS n_decoded,
-        |  sum(st.n_px)::BIGINT AS n_px,
-        |  min(st.b_min) AS b_min, max(st.b_max) AS b_max,
-        |  sum(st.b_sum)::BIGINT AS b_sum,
-        |  min(st.g_min) AS g_min, max(st.g_max) AS g_max,
-        |  sum(st.g_sum)::BIGINT AS g_sum,
-        |  min(st.r_min) AS r_min, max(st.r_max) AS r_max,
-        |  sum(st.r_sum)::BIGINT AS r_sum
-        |FROM d LEFT JOIN st USING (doc_id)
-        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
-
-    // BMP/TIFF round trip: every variant decodes to the synthesized
-    // dimensions; format name derives from the variant cycle
-    "q185_bmp_tiff_roundtrip" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 4 IN (0, 1) THEN 'bmp' ELSE 'tiff' END AS format,
-        |  (doc_id % 512 + 16)::BIGINT AS width,
-        |  ((doc_id * 11) % 512 + 16)::BIGINT AS height
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // MP4 round trip: both box-version layouts decode to the
-    // synthesized track dims and movie duration; the oracle recomputes
-    // them from doc_id, duration_ms via DuckDB integer division
-    "q186_video_meta_roundtrip" ->
-      """SELECT doc_id, 'mp4' AS format,
-        |  (doc_id % 512 + 16)::BIGINT AS width,
-        |  ((doc_id * 7) % 512 + 16)::BIGINT AS height,
-        |  ((doc_id * 13 + 600) * 1000) // 600 AS duration_ms
-        |FROM documents WHERE doc_id % 5 = 0
-        |ORDER BY doc_id""".stripMargin,
-
-    // q186's oracle verbatim — the scale tier must land identically
-    "q203_video_meta_fast" ->
-      """SELECT doc_id, 'mp4' AS format,
-        |  (doc_id % 512 + 16)::BIGINT AS width,
-        |  ((doc_id * 7) % 512 + 16)::BIGINT AS height,
-        |  ((doc_id * 13 + 600) * 1000) // 600 AS duration_ms
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // MP3 round trip: the oracle carries the Layer III bitrate and
-    // sample-rate tables as list literals — a green row proves the
-    // bit-field extraction and both per-version tables are exact
-    "q187_mp3_meta_roundtrip" ->
-      """SELECT doc_id, 'mp3' AS format,
-        |  CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END
-        |    AS mpeg_version,
-        |  3::BIGINT AS layer,
-        |  (CASE WHEN doc_id % 3 = 0 THEN list_extract(
-        |      [32,40,48,56,64,80,96,112,128,160,192,224,256,320], doc_id % 14 + 1)
-        |    ELSE list_extract(
-        |      [8,16,24,32,40,48,56,64,80,96,112,128,144,160], doc_id % 14 + 1)
-        |  END)::BIGINT AS bitrate_kbps,
-        |  (CASE doc_id % 3
-        |    WHEN 0 THEN list_extract([44100,48000,32000], (doc_id % 9) // 3 + 1)
-        |    WHEN 1 THEN list_extract([22050,24000,16000], (doc_id % 9) // 3 + 1)
-        |    ELSE list_extract([11025,12000,8000], (doc_id % 9) // 3 + 1)
-        |  END)::BIGINT AS sample_rate_hz,
-        |  (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END)::BIGINT AS channels
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // FLAC round trip: the oracle recomputes every packed field from
-    // doc_id in closed form
-    "q191_flac_meta_roundtrip" ->
-      """SELECT doc_id, 'flac' AS format,
-        |  (doc_id % 8 + 1)::BIGINT AS channels,
-        |  list_extract([8000,22050,44100,96000,655350],
-        |    doc_id % 5 + 1)::BIGINT AS sample_rate_hz,
-        |  list_extract([8,12,16,24,32], doc_id % 5 + 1)::BIGINT
-        |    AS bits_per_sample,
-        |  (doc_id * 977 + (doc_id % 2) * 4294967296)::BIGINT
-        |    AS total_samples
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // Ogg round trip: expected codec/params computed directly from
-    // doc_id (the q191 pattern); pre-skip is Opus-only by spec
-    "q195_ogg_meta_roundtrip" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'ogg-vorbis'
-        |       ELSE 'ogg-opus' END AS format,
-        |  (doc_id % 2 + 1)::BIGINT AS channels,
-        |  list_extract([8000,44100,48000], doc_id % 3 + 1)::BIGINT
-        |    AS sample_rate_hz,
-        |  CASE WHEN doc_id % 2 = 0 THEN NULL
-        |       ELSE (doc_id % 1000 + 1) END::BIGINT AS pre_skip_samples
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // WebP round trip: every variant decodes to the same synthesized
-    // dimensions, so the oracle computes them directly from doc_id —
-    // a green row proves all three variant bit layouts are exact
-    "q171_webp_meta_roundtrip" ->
-      """SELECT doc_id, 'webp' AS format,
-        |  (doc_id % 512 + 16)::BIGINT AS width,
-        |  ((doc_id * 7) % 512 + 16)::BIGINT AS height
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
     // portable hyperplane LSH: the weight lattice, quantized projection
     // sums, band buckets, and candidate pairs re-derive from md5 +
     // integer arithmetic; the refine is the q136 portable cosine. Every
@@ -6092,15 +3153,6 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-        | FROM orders GROUP BY o_orderpriority
-        | ORDER BY o_orderpriority""".stripMargin,
-
-    // ORC is lossless: the round-trip aggregate must equal the same
-    // aggregate straight off the source table
-    "q181_orc_roundtrip" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         | FROM orders GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
 
@@ -6296,76 +3348,6 @@ object SparkEntry {
         | round(min(doc_lp), 6) AS min_logprob,
         | round(max(doc_lp), 6) AS max_logprob
         |FROM doc GROUP BY source ORDER BY source""".stripMargin,
-
-    // Kneser-Ney: same CTE ladder as q106 plus the continuation
-    // counts; the P expression is parenthesized IDENTICALLY to the
-    // Spark side so both engines run the same float tree over the
-    // same exact-integer counts
-    "q188_kneser_ney_logprob" ->
-      """WITH tok AS (SELECT doc_id, source,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
-        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
-        |      AS pos
-        |  FROM documents),
-        |bg AS (SELECT a.doc_id, a.source, a.t AS prev, b.t AS cur
-        |  FROM tok a JOIN tok b
-        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        |tf AS (SELECT doc_id, source, prev, cur, count(*)::BIGINT AS m
-        |  FROM bg GROUP BY doc_id, source, prev, cur),
-        |big AS (SELECT prev, cur, sum(m)::BIGINT AS c2
-        |  FROM tf GROUP BY prev, cur),
-        |ctx AS (SELECT prev, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1f
-        |  FROM big GROUP BY prev),
-        |cont AS (SELECT cur, count(*)::BIGINT AS n1b FROM big GROUP BY cur),
-        |tot AS (SELECT count(*)::BIGINT AS b FROM big),
-        |doc AS (SELECT doc_id, source,
-        |    round(sum(m * ln((c2 - 0.75) / c1
-        |      + ((0.75 * n1f) / c1) * (CAST(n1b AS DOUBLE) / b)))
-        |      / sum(m), 6) AS doc_lp
-        |  FROM tf JOIN big USING (prev, cur) JOIN ctx USING (prev)
-        |    JOIN cont USING (cur) CROSS JOIN tot
-        |  GROUP BY doc_id, source)
-        |SELECT source, count(*)::BIGINT AS n_docs,
-        | round(avg(doc_lp), 4) AS avg_logprob,
-        | round(min(doc_lp), 6) AS min_logprob,
-        | round(max(doc_lp), 6) AS max_logprob
-        |FROM doc GROUP BY source ORDER BY source""".stripMargin,
-
-    // perplexity buckets: q188's doc CTE + an ntile window; the 6dp
-    // doc_lp round happens BEFORE the ordering and ties break by
-    // doc_id, so bucket assignment is deterministic cross-engine
-    "q189_perplexity_buckets" ->
-      """WITH tok AS (SELECT doc_id, source,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS t,
-        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
-        |      AS pos
-        |  FROM documents),
-        |bg AS (SELECT a.doc_id, a.source, a.t AS prev, b.t AS cur
-        |  FROM tok a JOIN tok b
-        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        |tf AS (SELECT doc_id, source, prev, cur, count(*)::BIGINT AS m
-        |  FROM bg GROUP BY doc_id, source, prev, cur),
-        |big AS (SELECT prev, cur, sum(m)::BIGINT AS c2
-        |  FROM tf GROUP BY prev, cur),
-        |ctx AS (SELECT prev, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1f
-        |  FROM big GROUP BY prev),
-        |cont AS (SELECT cur, count(*)::BIGINT AS n1b FROM big GROUP BY cur),
-        |tot AS (SELECT count(*)::BIGINT AS b FROM big),
-        |doc AS (SELECT doc_id, source,
-        |    round(sum(m * ln((c2 - 0.75) / c1
-        |      + ((0.75 * n1f) / c1) * (CAST(n1b AS DOUBLE) / b)))
-        |      / sum(m), 6) AS doc_lp
-        |  FROM tf JOIN big USING (prev, cur) JOIN ctx USING (prev)
-        |    JOIN cont USING (cur) CROSS JOIN tot
-        |  GROUP BY doc_id, source),
-        |bk AS (SELECT source, doc_lp, ntile(3) OVER
-        |    (PARTITION BY source ORDER BY doc_lp DESC, doc_id) AS bucket
-        |  FROM doc)
-        |SELECT source, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
-        | round(avg(doc_lp), 4) AS avg_logprob,
-        | round(min(doc_lp), 6) AS min_logprob,
-        | round(max(doc_lp), 6) AS max_logprob
-        |FROM bk GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     // trailing-window z from exact integer window sums (sum x, sum
     // x^2) — the variance expression is ONE fixed double formula in
@@ -6706,77 +3688,6 @@ object SparkEntry {
         | sum(n_tokens)::BIGINT AS sum_tokens
         |FROM surv JOIN sp USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // the whole curation chain replayed: q176's clean passes, q180's
-    // scorer, q114's fingerprint-dedup CTE on the cleaned text, then
-    // q174/q175's domain CTEs and quota window (salt 'webcur')
-    "q182_web_curation" ->
-      """WITH base AS (
-        |  SELECT doc_id, source,
-        |    'https://' || ['www.','blog.',''][(doc_id % 3 + 1)::INT] ||
-        |    'd' || (doc_id % 7)::VARCHAR || '.' ||
-        |    ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
-        |    '/' || source || '/' || doc_id::VARCHAR AS url,
-        |    trim(regexp_replace(
-        |      translate(
-        |        regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-        |        chr(8220)||chr(8221)||chr(8216)||chr(8217)||chr(8211)||chr(8212)||chr(160),
-        |        '""''''-- '),
-        |      '\s+', ' ', 'g')) AS clean_text
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(clean_text), '\s+')) AS t
-        |  FROM base),
-        |wts AS (
-        |  SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5('w:q:' ||
-        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000 AS w
-        |  FROM tok),
-        |sc AS (
-        |  SELECT doc_id, CASE WHEN sum(w) >= 0
-        |    THEN floor((abs(sum(w) * 1000) * 2 + count(*)) / (count(*) * 2))
-        |    ELSE -floor((abs(sum(w) * 1000) * 2 + count(*)) / (count(*) * 2))
-        |    END / 1000000.0 AS score
-        |  FROM wts GROUP BY doc_id),
-        |gated AS (
-        |  SELECT b.*, s.score FROM base b JOIN sc s USING (doc_id)
-        |  WHERE s.score >= -0.01),
-        |ded AS (
-        |  SELECT min(doc_id) AS doc_id FROM gated
-        |  GROUP BY md5(regexp_replace(lower(trim(clean_text)), '\s+', ' ', 'g'))),
-        |surv AS (SELECT g.* FROM gated g JOIN ded USING (doc_id)),
-        |hd AS (
-        |  SELECT doc_id, clean_text, score,
-        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host
-        |  FROM surv),
-        |ad AS (
-        |  SELECT doc_id, clean_text, score, host,
-        |    string_split(lower(host), '.') AS arr,
-        |    len(string_split(lower(host), '.')) AS n
-        |  FROM hd),
-        |dm AS (
-        |  SELECT doc_id, clean_text, score,
-        |    CASE WHEN n <= 2 THEN lower(host)
-        |         WHEN (arr[n-1] || '.' || arr[n]) IN
-        |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
-        |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
-        |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
-        |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
-        |         ELSE arr[n-1] || '.' || arr[n] END AS domain
-        |  FROM ad),
-        |k AS (
-        |  SELECT domain, doc_id, clean_text, score,
-        |    row_number() OVER (PARTITION BY domain
-        |      ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'webcur'), 1, 8))
-        |        AS UBIGINT) / 4294967296.0 ASC, doc_id ASC) AS rn
-        |  FROM dm)
-        |SELECT domain, count(*) AS n_docs,
-        |  sum(len(string_split_regex(trim(clean_text), '\s+')))::BIGINT AS n_tokens,
-        |  min(score) AS min_score, max(score) AS max_score
-        |FROM k WHERE rn <= 10
-        |GROUP BY domain ORDER BY domain""".stripMargin,
 
     // PMI spelled as a fixed sum of ln's on exact integer counts (a
     // product form would exceed double exactness on corpus totals)
@@ -7268,866 +4179,6 @@ object SparkEntry {
         |               WHEN 'fr' THEN 0.25 ELSE 0.1 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
-    // replay: synth URL -> host regexp -> eTLD+1 CASE -> aggregate.
-    // url canonicalization: the oracle carries the CLOSED-FORM clean
-    // URL (never replicating the parser), so the hash compare proves
-    // every canonicalization rule exactly
-    "q190_url_canonical_dedup" ->
-      """SELECT doc_id,
-        |  'https://d' || (doc_id % 7)::VARCHAR || '.' ||
-        |  ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
-        |  '/p/' || doc_id::VARCHAR || '?a=1&b=2' AS canonical,
-        |  TRUE AS both_agree
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // Replays fakeHtml synthesis + all five htmlToText passes with the
-    // same regexes (RE2 and Java agree on every construct used: inline
-    // (?is), non-greedy, \b, explicit whitespace classes). Entity
-    // decode order matches the Spark side exactly — &amp; LAST.
-    "q192_html_to_text" ->
-      """WITH page AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc ' || doc_id::VARCHAR ||
-        |    '</title><style type="text/css">body { color:#333; }</style>' ||
-        |    '<script>var x = 1 < 2 && "</scr" + "junk";</script>' ||
-        |    '</head><body><!-- crawl ' || doc_id::VARCHAR ||
-        |    ' --><h1>Title &amp; Doc ' || doc_id::VARCHAR ||
-        |    '</h1><p>Lead&nbsp;para  &lt;kept&gt;.</p><div class="b">' || text ||
-        |    '</div><ul><li>item&#39;s one</li><li>item &quot;two&quot;</li>' ||
-        |    '</ul><em>fine</em>print</body></html>' AS h
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(h,
-        |  '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS h FROM page),
-        |s2 AS (SELECT doc_id, regexp_replace(h,
-        |  '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS h FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(h,
-        |  '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(h,
-        |  '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>',
-        |  chr(10), 'g') AS h FROM s3),
-        |s5 AS (SELECT doc_id, regexp_replace(h,
-        |  '(?s)<[^>]*>', ' ', 'g') AS h FROM s4),
-        |s6 AS (SELECT doc_id,
-        |  replace(replace(replace(replace(replace(replace(replace(h,
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-        |    '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS h FROM s5),
-        |s7 AS (SELECT doc_id, regexp_replace(h,
-        |  '[ \t\r\f]+', ' ', 'g') AS h FROM s6),
-        |s8 AS (SELECT doc_id, regexp_replace(h,
-        |  ' ?\n ?', chr(10), 'g') AS h FROM s7),
-        |s9 AS (SELECT doc_id, regexp_replace(h,
-        |  '\n+', chr(10), 'g') AS h FROM s8)
-        |SELECT doc_id, trim(h, ' ' || chr(10)) AS clean_text
-        |FROM s9 ORDER BY doc_id""".stripMargin,
-
-    // Closed-form expected directives per doc_id — the q190 oracle
-    // style: extraction logic never replicated, only its answer
-    "q196_robots_policy" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'noindex, follow'
-        |                  WHEN 1 THEN 'index, follow'
-        |                  WHEN 2 THEN 'none' ELSE '' END AS robots_directives,
-        |  doc_id % 4 IN (0, 2) AS noindex
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // The identical (?i)\b(\Q..\E|..)\b pattern — \Q..\E quoting is
-    // shared, and \b agrees on this pure-ASCII corpus (Java's \b is
-    // Unicode-aware, RE2's ASCII — the seam is documented at the
-    // operator and never touches ASCII text). The coalesce matches
-    // Spark's '' clean verdict: DuckDB's list chain yields NULL, not
-    // '', on the empty match list.
-    "q193_blocklist_scan" ->
-      """WITH s AS (
-        |  SELECT source,
-        |    len(regexp_extract_all(text,
-        |      '(?i)\b(\Qspark\E|\Qslow\E)\b', 1)) AS hits,
-        |    coalesce(array_to_string(list_sort(list_distinct(list_transform(
-        |      regexp_extract_all(text, '(?i)\b(\Qspark\E|\Qslow\E)\b', 1),
-        |      x -> lower(x)))), ','), '') AS terms_hit
-        |  FROM documents)
-        |SELECT source, terms_hit, count(*) AS n_docs,
-        |  CAST(sum(hits) AS BIGINT) AS n_hits
-        |FROM s GROUP BY source, terms_hit
-        |ORDER BY source, terms_hit""".stripMargin,
-
-    // The full 3-step training loop replayed: z (BIGINT), p (fixed
-    // float tree), gradient (round to 6dp-scaled BIGINT), update
-    // (both engines round-to-integer the identical double). A hash
-    // match means DuckDB re-trained the model to the same weights.
-    "q198_hashed_lr_train" ->
-      """WITH yl AS (SELECT doc_id,
-        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
-        |  FROM documents),
-        |tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
-        |x AS (SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 16 AS b,
-        |    count(*)::BIGINT AS x
-        |  FROM tok GROUP BY 1, 2),
-        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
-        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
-        |p1 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
-        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g1 AS (SELECT x.b,
-        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
-        |w1 AS (SELECT bl.b,
-        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
-        |p2 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
-        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g2 AS (SELECT x.b,
-        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
-        |w2 AS (SELECT bl.b,
-        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
-        |p3 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
-        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g3 AS (SELECT x.b,
-        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
-        |w3 AS (SELECT bl.b,
-        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b))
-        |SELECT b AS bucket, w6, w6::DOUBLE / 1000000.0 AS w
-        |FROM w3 ORDER BY bucket""".stripMargin,
-
-    // q49's split bounds gate every CTE: the ladder sees only u<0.8
-    // docs (nn counts them), scoring/AUC see only u>=0.9 docs
-    "q205_lr_holdout_auc" ->
-      """WITH uu AS (SELECT doc_id,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |    AS UBIGINT) / 4294967296.0 AS u FROM documents),
-        |yl AS (SELECT doc_id,
-        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
-        |  FROM documents),
-        |tr AS (SELECT d.doc_id, d.text FROM documents d
-        |  JOIN uu USING (doc_id) WHERE uu.u < 0.8),
-        |te AS (SELECT d.doc_id, d.text FROM documents d
-        |  JOIN uu USING (doc_id) WHERE uu.u >= 0.9 AND uu.u < 1.0),
-        |tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM tr),
-        |x AS (SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 16 AS b,
-        |    count(*)::BIGINT AS x
-        |  FROM tok GROUP BY 1, 2),
-        |nn AS (SELECT count(*)::DOUBLE AS n FROM tr),
-        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
-        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
-        |p1 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
-        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g1 AS (SELECT x.b,
-        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
-        |w1 AS (SELECT bl.b,
-        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
-        |p2 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
-        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g2 AS (SELECT x.b,
-        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
-        |w2 AS (SELECT bl.b,
-        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
-        |p3 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
-        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g3 AS (SELECT x.b,
-        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
-        |w3 AS (SELECT bl.b,
-        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
-        |tokt AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM te),
-        |xt AS (SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 16 AS b,
-        |    count(*)::BIGINT AS x
-        |  FROM tokt GROUP BY 1, 2),
-        |sct AS (SELECT xt.doc_id,
-        |    CASE WHEN sum(xt.x * w3.w6) >= 0
-        |    THEN floor((abs(sum(xt.x * w3.w6)) * 2 + sum(xt.x)) /
-        |      (sum(xt.x) * 2))
-        |    ELSE -floor((abs(sum(xt.x * w3.w6)) * 2 + sum(xt.x)) /
-        |      (sum(xt.x) * 2)) END / 1000000.0 AS score
-        |  FROM xt JOIN w3 USING (b) GROUP BY 1),
-        |pert AS (SELECT sct.score AS s, count(*)::BIGINT AS n,
-        |    sum(yl.y)::BIGINT AS n1
-        |  FROM sct JOIN yl USING (doc_id) GROUP BY 1),
-        |rkt AS (SELECT s, n, n1, coalesce(sum(n) OVER (ORDER BY s
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-        |    AS cb FROM pert),
-        |aggt AS (SELECT sum(n1)::BIGINT AS n_pos,
-        |    (sum(n) - sum(n1))::BIGINT AS n_neg,
-        |    sum(n1 * (2 * cb + n + 1))::BIGINT AS s_sum FROM rkt)
-        |SELECT 'holdout' AS eval_split, n_pos, n_neg,
-        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |    round((s_sum - n_pos * (n_pos + 1))::DOUBLE /
-        |      (2.0 * (n_pos * n_neg)::DOUBLE), 6) END AS auc
-        |FROM aggt""".stripMargin,
-
-    // q198's ladder -> trained scores -> the identical ntile window
-    // ((score, doc_id) order) -> per-decile observed positive rate
-    "q204_lr_calibration" ->
-      """WITH yl AS (SELECT doc_id,
-        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
-        |  FROM documents),
-        |tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
-        |x AS (SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 16 AS b,
-        |    count(*)::BIGINT AS x
-        |  FROM tok GROUP BY 1, 2),
-        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
-        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
-        |p1 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
-        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g1 AS (SELECT x.b,
-        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
-        |w1 AS (SELECT bl.b,
-        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
-        |p2 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
-        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g2 AS (SELECT x.b,
-        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
-        |w2 AS (SELECT bl.b,
-        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
-        |p3 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
-        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g3 AS (SELECT x.b,
-        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
-        |w3 AS (SELECT bl.b,
-        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
-        |sc AS (SELECT x.doc_id, yl.y,
-        |    CASE WHEN sum(x.x * w3.w6) >= 0
-        |    THEN floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
-        |      (sum(x.x) * 2))
-        |    ELSE -floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
-        |      (sum(x.x) * 2)) END / 1000000.0 AS score
-        |  FROM x JOIN w3 USING (b) JOIN yl USING (doc_id)
-        |  GROUP BY x.doc_id, yl.y),
-        |nt AS (SELECT y, score,
-        |    ntile(10) OVER (ORDER BY score ASC, doc_id ASC) AS bin
-        |  FROM sc)
-        |SELECT bin, count(*) AS n_docs, sum(y)::BIGINT AS n_pos,
-        |  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
-        |  min(score) AS lo_score, max(score) AS hi_score
-        |FROM nt GROUP BY bin ORDER BY bin""".stripMargin,
-
-    // identical rule table + the same compile chain (escape -> LIKE
-    // ESCAPE) + row_number resolution (prec DESC, allow DESC — the
-    // lexicographic-max twin of Spark's max(struct)) + default-allow
-    // left join, over the closed-form URL space
-    "q226_robots_path_gate" ->
-      s"""WITH rules(host, directive, path) AS (VALUES
-         |    ('www.d1.org', 'disallow', '/src'),
-         |    ('www.d1.org', 'allow', '/src3'),
-         |    ('blog.d2.com', 'disallow', '/*/1*'),
-         |    ('www.d3.org', 'disallow', '/*/45$$'),
-         |    ('www.d4.com.my', 'allow', '/'),
-         |    ('www.d4.com.my', 'disallow', '/src9')),
-         |r0 AS (SELECT lower(host) AS rh,
-         |    CASE WHEN lower(directive) = 'allow' THEN 1 ELSE 0 END
-         |      AS allow,
-         |    path AS p,
-         |    right(path, 1) = '$$' AS anch
-         |  FROM rules),
-         |r AS (SELECT rh, allow,
-         |    length(body) AS prec,
-         |    replace(replace(replace(replace(body,
-         |      '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
-         |      || CASE WHEN anch THEN '' ELSE '%' END AS lik
-         |  FROM (SELECT *, CASE WHEN anch
-         |      THEN substring(p, 1, length(p) - 1) ELSE p END AS body
-         |    FROM r0)),
-         |u AS (SELECT doc_id,
-         |    'https://' || ${duckFakeHost("doc_id")} ||
-         |    '/' || source || '/' || doc_id::VARCHAR AS url
-         |  FROM documents),
-         |pp AS (SELECT doc_id,
-         |    lower(regexp_extract(url,
-         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS h,
-         |    CASE WHEN regexp_extract(url,
-         |        '^[^:/?#]+://[^/?#]*([^?#]*)', 1) = '' THEN '/'
-         |      ELSE regexp_extract(url,
-         |        '^[^:/?#]+://[^/?#]*([^?#]*)', 1) END AS path
-         |  FROM u),
-         |v AS (SELECT doc_id, allow FROM (
-         |    SELECT pp.doc_id, r.allow,
-         |      row_number() OVER (PARTITION BY pp.doc_id
-         |        ORDER BY r.prec DESC, r.allow DESC) AS rn
-         |    FROM pp JOIN r ON pp.h = r.rh
-         |      AND pp.path LIKE r.lik ESCAPE '\\')
-         |  WHERE rn = 1)
-         |SELECT pp.h AS host, count(*) AS n_docs,
-         |  sum(CASE WHEN coalesce(v.allow, 1) = 1 THEN 1 ELSE 0 END)::BIGINT
-         |    AS n_allowed
-         |FROM pp LEFT JOIN v USING (doc_id)
-         |GROUP BY pp.h ORDER BY host""".stripMargin,
-
-    // the known (target host, anchor term) pairs from the doc_id
-    // rules + the q202 domain CASE + the same count/top-k window
-    "q228_anchor_text_profile" ->
-      s"""WITH l AS (
-         |  SELECT ${duckFakeHost("doc_id + 1")} AS host,
-         |    ['great','cheap','fast','new'][((doc_id + 1) % 4 + 1)::INT]
-         |      AS term
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT ${duckFakeHost("3 * doc_id + 5")},
-         |    ['great','cheap','fast','new'][((doc_id + 2) % 4 + 1)::INT]
-         |  FROM documents),
-         |d AS (SELECT host, term, string_split(host, '.') AS arr,
-         |    len(string_split(host, '.')) AS n FROM l),
-         |r AS (SELECT term,
-         |    CASE WHEN n <= 2 THEN host
-         |         WHEN (arr[n-1] || '.' || arr[n]) IN
-         |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
-         |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
-         |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
-         |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
-         |         ELSE arr[n-1] || '.' || arr[n] END AS domain
-         |  FROM d),
-         |g AS (SELECT domain, term, count(*)::BIGINT AS n_links
-         |  FROM r GROUP BY 1, 2)
-         |SELECT domain, term, n_links, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY domain
-         |    ORDER BY n_links DESC, term ASC)::BIGINT AS rank FROM g)
-         |WHERE rank <= 3
-         |ORDER BY domain, rank""".stripMargin,
-
-    // known link targets from the doc_id rule + the q218 unrolled
-    // rounds over md5-60bit host ids — the extractor is never
-    // replicated, only its closed-form answer on the synthetic pages
-    "q222_host_link_rank" ->
-      s"""WITH $duckHostRankCtes
-         |SELECT host, rank FROM hostrank
-         |ORDER BY rank DESC, host""".stripMargin,
-
-    // the rank CTEs + the above-uniform gate (exact BIGINT, |hosts|
-    // window) + closed-form extracted text (q202's, extended by the
-    // anchor texts the link block adds) + the q202 domain/cap replay —
-    // the centrality-gated funnel re-derived end to end
-    "q223_web_curation_v3" ->
-      s"""WITH $duckHostRankCtes,
-         |kh AS (SELECT host, rank FROM (
-         |    SELECT host, rank, count(*) OVER () AS nh FROM hostrank) t
-         |  WHERE rank > 1000000000000 // nh),
-         |g AS (SELECT d.doc_id, d.source, d.text, kh.rank
-         |  FROM documents d
-         |  JOIN hh ON d.doc_id = hh.doc_id
-         |  JOIN kh ON kh.host = hh.hsrc),
-         |ex AS (SELECT doc_id, source, rank,
-         |    'Doc ' || doc_id::VARCHAR || chr(10) ||
-         |    'Title & Doc ' || doc_id::VARCHAR || chr(10) ||
-         |    'Lead para <kept>.' || chr(10) || text || chr(10) ||
-         |    'item''s one' || chr(10) || 'item "two"' || chr(10) ||
-         |    'fine print rel frag out out' AS etext
-         |  FROM g),
-         |u AS (SELECT doc_id, etext, rank,
-         |    'https://' || ${duckFakeHost("doc_id")} ||
-         |    '/' || source || '/' || doc_id::VARCHAR AS url
-         |  FROM ex),
-         |h AS (SELECT *, regexp_extract(url,
-         |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM u),
-         |d AS (SELECT *, string_split(lower(host), '.') AS arr,
-         |    len(string_split(lower(host), '.')) AS n FROM h),
-         |r AS (SELECT doc_id, etext, rank,
-         |    CASE WHEN n <= 2 THEN lower(host)
-         |         WHEN (arr[n-1] || '.' || arr[n]) IN
-         |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
-         |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
-         |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
-         |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
-         |         ELSE arr[n-1] || '.' || arr[n] END AS domain
-         |  FROM d),
-         |k AS (SELECT *, row_number() OVER (PARTITION BY domain
-         |    ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'wc3'), 1, 8))
-         |      AS UBIGINT) / 4294967296.0 ASC, doc_id ASC) AS rn
-         |  FROM r)
-         |SELECT domain, count(*) AS n_docs,
-         |  sum(len(string_split_regex(trim(etext), '\\s+')))::BIGINT
-         |    AS n_tokens,
-         |  max(rank) AS max_host_rank
-         |FROM k WHERE rn <= 5
-         |GROUP BY domain ORDER BY domain""".stripMargin,
-
-    // closed-form extracted text + doc_id robots rule + the q193/q180/
-    // q175 replays chained — the funnel re-derived end to end
-    "q202_web_curation_v2" ->
-      """WITH kept0 AS (SELECT doc_id, source, text FROM documents
-        |               WHERE doc_id % 4 NOT IN (0, 2)),
-        |ex AS (SELECT doc_id, source,
-        |    'Doc ' || doc_id::VARCHAR || chr(10) ||
-        |    'Title & Doc ' || doc_id::VARCHAR || chr(10) ||
-        |    'Lead para <kept>.' || chr(10) || text || chr(10) ||
-        |    'item''s one' || chr(10) || 'item "two"' || chr(10) ||
-        |    'fine print' AS etext
-        |  FROM kept0),
-        |bl AS (SELECT * FROM ex
-        |  WHERE len(regexp_extract_all(etext,
-        |    '(?i)\b(\Qslow\E)\b', 1)) <= 2),
-        |tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(etext), '\s+')) AS t FROM bl),
-        |sc AS (SELECT doc_id,
-        |    CASE WHEN sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
-        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000) >= 0
-        |    THEN floor((abs(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
-        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000) * 1000) * 2 + count(*)) / (count(*) * 2))
-        |    ELSE -floor((abs(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
-        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000) * 1000) * 2 + count(*)) / (count(*) * 2))
-        |    END / 1000000.0 AS score
-        |  FROM tok GROUP BY doc_id),
-        |g AS (SELECT bl.doc_id, bl.source, bl.etext, sc.score
-        |  FROM bl JOIN sc USING (doc_id) WHERE sc.score >= -0.005),
-        |u AS (SELECT doc_id, etext, score,
-        |    'https://' || ['www.','blog.',''][(doc_id % 3 + 1)::INT] ||
-        |    'd' || (doc_id % 7)::VARCHAR || '.' ||
-        |    ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
-        |    '/' || source || '/' || doc_id::VARCHAR AS url
-        |  FROM g),
-        |h AS (SELECT *, regexp_extract(url,
-        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM u),
-        |d AS (SELECT *, string_split(lower(host), '.') AS arr,
-        |    len(string_split(lower(host), '.')) AS n FROM h),
-        |r AS (SELECT doc_id, etext, score,
-        |    CASE WHEN n <= 2 THEN lower(host)
-        |         WHEN (arr[n-1] || '.' || arr[n]) IN
-        |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
-        |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
-        |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
-        |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
-        |         ELSE arr[n-1] || '.' || arr[n] END AS domain
-        |  FROM d),
-        |k AS (SELECT *, row_number() OVER (PARTITION BY domain
-        |    ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'wc2'), 1, 8))
-        |      AS UBIGINT) / 4294967296.0 ASC, doc_id ASC) AS rn
-        |  FROM r)
-        |SELECT domain, count(*) AS n_docs,
-        |  sum(len(string_split_regex(trim(etext), '\s+')))::BIGINT
-        |    AS n_tokens,
-        |  min(score) AS min_score, max(score) AS max_score
-        |FROM k WHERE rn <= 5
-        |GROUP BY domain ORDER BY domain""".stripMargin,
-
-    // q198's ladder -> trained scores -> the integer AUC formula,
-    // plus q180's scorer through the SAME formula; ranks derive from
-    // cumulative counts over the distinct-score frame
-    "q201_model_auc_eval" ->
-      """WITH yl AS (SELECT doc_id,
-        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
-        |  FROM documents),
-        |tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
-        |x AS (SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 16 AS b,
-        |    count(*)::BIGINT AS x
-        |  FROM tok GROUP BY 1, 2),
-        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
-        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
-        |p1 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
-        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g1 AS (SELECT x.b,
-        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
-        |w1 AS (SELECT bl.b,
-        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
-        |p2 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
-        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g2 AS (SELECT x.b,
-        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
-        |w2 AS (SELECT bl.b,
-        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
-        |p3 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
-        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g3 AS (SELECT x.b,
-        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
-        |w3 AS (SELECT bl.b,
-        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
-        |sct AS (SELECT x.doc_id,
-        |    CASE WHEN sum(x.x * w3.w6) >= 0
-        |    THEN floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
-        |      (sum(x.x) * 2))
-        |    ELSE -floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
-        |      (sum(x.x) * 2)) END / 1000000.0 AS score
-        |  FROM x JOIN w3 USING (b) GROUP BY 1),
-        |scu AS (SELECT doc_id, count(*) AS n_tokens,
-        |    CASE WHEN sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
-        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000) >= 0
-        |    THEN floor((abs(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
-        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000) * 1000) * 2 + count(*)) / (count(*) * 2))
-        |    ELSE -floor((abs(sum(CAST(CAST(('0x' || substr(md5('w:q:' ||
-        |      (CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |        % 1024)::VARCHAR), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2001 - 1000) * 1000) * 2 + count(*)) / (count(*) * 2))
-        |    END / 1000000.0 AS score
-        |  FROM tok GROUP BY doc_id),
-        |pert AS (SELECT sct.score AS s, count(*)::BIGINT AS n,
-        |    sum(yl.y)::BIGINT AS n1
-        |  FROM sct JOIN yl USING (doc_id) GROUP BY 1),
-        |rkt AS (SELECT s, n, n1, coalesce(sum(n) OVER (ORDER BY s
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-        |    AS cb FROM pert),
-        |aggt AS (SELECT sum(n1)::BIGINT AS n_pos,
-        |    (sum(n) - sum(n1))::BIGINT AS n_neg,
-        |    sum(n1 * (2 * cb + n + 1))::BIGINT AS s_sum FROM rkt),
-        |peru AS (SELECT scu.score AS s, count(*)::BIGINT AS n,
-        |    sum(yl.y)::BIGINT AS n1
-        |  FROM scu JOIN yl USING (doc_id) GROUP BY 1),
-        |rku AS (SELECT s, n, n1, coalesce(sum(n) OVER (ORDER BY s
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-        |    AS cb FROM peru),
-        |aggu AS (SELECT sum(n1)::BIGINT AS n_pos,
-        |    (sum(n) - sum(n1))::BIGINT AS n_neg,
-        |    sum(n1 * (2 * cb + n + 1))::BIGINT AS s_sum FROM rku)
-        |SELECT * FROM (
-        |  SELECT 'trained' AS model, n_pos, n_neg,
-        |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |      round((s_sum - n_pos * (n_pos + 1))::DOUBLE /
-        |        (2.0 * (n_pos * n_neg)::DOUBLE), 6) END AS auc
-        |  FROM aggt
-        |  UNION ALL
-        |  SELECT 'untrained', n_pos, n_neg,
-        |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |      round((s_sum - n_pos * (n_pos + 1))::DOUBLE /
-        |        (2.0 * (n_pos * n_neg)::DOUBLE), 6) END
-        |  FROM aggu)
-        |ORDER BY model""".stripMargin,
-
-    // q198's ladder + per-step loss rows; ln/exp trees fixed, the
-    // per-doc losses rounded to 6dp-scaled BIGINTs before summing
-    "q200_lr_loss_curve" ->
-      """WITH yl AS (SELECT doc_id,
-        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
-        |  FROM documents),
-        |tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
-        |x AS (SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 16 AS b,
-        |    count(*)::BIGINT AS x
-        |  FROM tok GROUP BY 1, 2),
-        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
-        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
-        |p1 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
-        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g1 AS (SELECT x.b,
-        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
-        |w1 AS (SELECT bl.b,
-        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
-        |p2 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
-        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g2 AS (SELECT x.b,
-        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
-        |w2 AS (SELECT bl.b,
-        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
-        |p3 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
-        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g3 AS (SELECT x.b,
-        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
-        |w3 AS (SELECT bl.b,
-        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
-        |p4 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w3.w6)::BIGINT AS z6
-        |        FROM x JOIN w3 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |ls AS (
-        |  SELECT 1 AS step, sum(round(-(p1.y *
-        |    ln(least(greatest(p1.p, 1e-9), 1.0 - 1e-9)) +
-        |    (1 - p1.y) * ln(1.0 -
-        |    least(greatest(p1.p, 1e-9), 1.0 - 1e-9)))
-        |    * 1000000.0))::BIGINT AS loss6
-        |  FROM p1
-        |  UNION ALL
-        |  SELECT 2, sum(round(-(p2.y *
-        |    ln(least(greatest(p2.p, 1e-9), 1.0 - 1e-9)) +
-        |    (1 - p2.y) * ln(1.0 -
-        |    least(greatest(p2.p, 1e-9), 1.0 - 1e-9)))
-        |    * 1000000.0))::BIGINT FROM p2
-        |  UNION ALL
-        |  SELECT 3, sum(round(-(p3.y *
-        |    ln(least(greatest(p3.p, 1e-9), 1.0 - 1e-9)) +
-        |    (1 - p3.y) * ln(1.0 -
-        |    least(greatest(p3.p, 1e-9), 1.0 - 1e-9)))
-        |    * 1000000.0))::BIGINT FROM p3
-        |  UNION ALL
-        |  SELECT 4, sum(round(-(p4.y *
-        |    ln(least(greatest(p4.p, 1e-9), 1.0 - 1e-9)) +
-        |    (1 - p4.y) * ln(1.0 -
-        |    least(greatest(p4.p, 1e-9), 1.0 - 1e-9)))
-        |    * 1000000.0))::BIGINT FROM p4)
-        |SELECT step, loss6, loss6::DOUBLE / 1000000.0 AS loss
-        |FROM ls ORDER BY step""".stripMargin,
-
-    // q198's ladder + the scoring join; min/max are order statistics
-    // of the 6dp scores, so the report is exact cross-engine
-    "q199_lr_train_score" ->
-      """WITH yl AS (SELECT doc_id,
-        |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
-        |  FROM documents),
-        |tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
-        |x AS (SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 16 AS b,
-        |    count(*)::BIGINT AS x
-        |  FROM tok GROUP BY 1, 2),
-        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-        |bl AS (SELECT range::BIGINT AS b FROM range(0, 16)),
-        |w0 AS (SELECT b, 0::BIGINT AS w6 FROM bl),
-        |p1 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w0.w6)::BIGINT AS z6
-        |        FROM x JOIN w0 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g1 AS (SELECT x.b,
-        |    sum(round((p1.p - p1.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p1 USING (doc_id) GROUP BY 1),
-        |w1 AS (SELECT bl.b,
-        |    round((coalesce(w0.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g1.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w0 USING (b) LEFT JOIN g1 USING (b)),
-        |p2 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w1.w6)::BIGINT AS z6
-        |        FROM x JOIN w1 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g2 AS (SELECT x.b,
-        |    sum(round((p2.p - p2.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p2 USING (doc_id) GROUP BY 1),
-        |w2 AS (SELECT bl.b,
-        |    round((coalesce(w1.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g2.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w1 USING (b) LEFT JOIN g2 USING (b)),
-        |p3 AS (SELECT z.doc_id, yl.y,
-        |    1.0/(1.0 + exp(-((z.z6)::DOUBLE / 1000000.0))) AS p
-        |  FROM (SELECT x.doc_id, sum(x.x * w2.w6)::BIGINT AS z6
-        |        FROM x JOIN w2 USING (b) GROUP BY 1) z
-        |  JOIN yl USING (doc_id)),
-        |g3 AS (SELECT x.b,
-        |    sum(round((p3.p - p3.y) * x.x * 1000000.0))::BIGINT AS g6
-        |  FROM x JOIN p3 USING (doc_id) GROUP BY 1),
-        |w3 AS (SELECT bl.b,
-        |    round((coalesce(w2.w6, 0)::DOUBLE / 1000000.0 -
-        |      0.02 * ((coalesce(g3.g6, 0)::DOUBLE / 1000000.0) /
-        |        (SELECT n FROM nn))) * 1000000.0)::BIGINT AS w6
-        |  FROM bl LEFT JOIN w2 USING (b) LEFT JOIN g3 USING (b)),
-        |sc AS (SELECT x.doc_id,
-        |    CASE WHEN sum(x.x * w3.w6) >= 0
-        |    THEN floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
-        |      (sum(x.x) * 2))
-        |    ELSE -floor((abs(sum(x.x * w3.w6)) * 2 + sum(x.x)) /
-        |      (sum(x.x) * 2)) END / 1000000.0 AS score
-        |  FROM x JOIN w3 USING (b) GROUP BY 1)
-        |SELECT yl.y, count(*) AS n_docs,
-        |  min(sc.score) AS min_score,
-        |  max(sc.score) AS max_score
-        |FROM sc JOIN yl USING (doc_id)
-        |GROUP BY 1 ORDER BY y""".stripMargin,
-
-    // q193's oracle verbatim: the large tier must produce the
-    // IDENTICAL aggregate (whole-token == word-boundary equivalence)
-    "q197_blocklist_scan_large" ->
-      """WITH s AS (
-        |  SELECT source,
-        |    len(regexp_extract_all(text,
-        |      '(?i)\b(\Qspark\E|\Qslow\E)\b', 1)) AS hits,
-        |    coalesce(array_to_string(list_sort(list_distinct(list_transform(
-        |      regexp_extract_all(text, '(?i)\b(\Qspark\E|\Qslow\E)\b', 1),
-        |      x -> lower(x)))), ','), '') AS terms_hit
-        |  FROM documents)
-        |SELECT source, terms_hit, count(*) AS n_docs,
-        |  CAST(sum(hits) AS BIGINT) AS n_hits
-        |FROM s GROUP BY source, terms_hit
-        |ORDER BY source, terms_hit""".stripMargin,
-
-    // The suffix IN list mirrors Web.DefaultMultiSuffixes verbatim
-    "q174_domain_stats" ->
-      """WITH u AS (
-        |  SELECT doc_id, source, text,
-        |    'https://' || ['www.','blog.',''][(doc_id % 3 + 1)::INT] ||
-        |    'd' || (doc_id % 7)::VARCHAR || '.' ||
-        |    ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
-        |    '/' || source || '/' || doc_id::VARCHAR AS url
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, text,
-        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host
-        |  FROM u),
-        |d AS (
-        |  SELECT doc_id, text, host, string_split(lower(host), '.') AS arr,
-        |    len(string_split(lower(host), '.')) AS n
-        |  FROM h),
-        |r AS (
-        |  SELECT doc_id, text, host,
-        |    CASE WHEN n <= 2 THEN lower(host)
-        |         WHEN (arr[n-1] || '.' || arr[n]) IN
-        |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
-        |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
-        |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
-        |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
-        |         ELSE arr[n-1] || '.' || arr[n] END AS domain
-        |  FROM d)
-        |SELECT domain, count(*) AS n_docs,
-        |  count(DISTINCT host) AS n_hosts,
-        |  sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens,
-        |  round(count(*)::DOUBLE / (sum(count(*)) OVER ()), 6) AS doc_share
-        |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
-
-    // same URL/domain CTEs; then q89's md5-uniform quota window at the
-    // domain grain (salt 'domcap')
-    "q175_domain_cap" ->
-      """WITH u AS (
-        |  SELECT doc_id, source,
-        |    'https://' || ['www.','blog.',''][(doc_id % 3 + 1)::INT] ||
-        |    'd' || (doc_id % 7)::VARCHAR || '.' ||
-        |    ['com','org','co.uk','com.my'][(doc_id % 4 + 1)::INT] ||
-        |    '/' || source || '/' || doc_id::VARCHAR AS url
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host
-        |  FROM u),
-        |d AS (
-        |  SELECT doc_id, host, string_split(lower(host), '.') AS arr,
-        |    len(string_split(lower(host), '.')) AS n
-        |  FROM h),
-        |r AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n <= 2 THEN lower(host)
-        |         WHEN (arr[n-1] || '.' || arr[n]) IN
-        |           ('co.uk','ac.uk','gov.uk','org.uk','com.my','gov.my',
-        |            'edu.my','org.my','com.au','net.au','org.au','co.jp',
-        |            'ne.jp','or.jp','com.br','com.cn','com.sg','co.in','co.kr')
-        |           THEN arr[n-2] || '.' || arr[n-1] || '.' || arr[n]
-        |         ELSE arr[n-1] || '.' || arr[n] END AS domain
-        |  FROM d),
-        |k AS (
-        |  SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
-        |    ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'domcap'), 1, 8))
-        |      AS UBIGINT) / 4294967296.0 ASC, doc_id ASC) AS rn
-        |  FROM r)
-        |SELECT domain, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
-        |FROM k WHERE rn <= 10
-        |GROUP BY domain ORDER BY domain""".stripMargin,
-
     "q89_source_cap" ->
       """WITH u AS (SELECT source, doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8)) AS UBIGINT)
@@ -8139,81 +4190,6 @@ object SparkEntry {
         |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
         |FROM r WHERE rn <= 15
         |GROUP BY source ORDER BY source""".stripMargin,
-
-    // same integer counts (DuckDB regexp_matches runs RE2 over the
-    // same patterns), same double expression tree over them
-    "q217_readability" ->
-      """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
-        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
-        |    AS n_sentences,
-        |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
-        |    AS n_syllables,
-        |  206.835::DOUBLE
-        |    - 1.015::DOUBLE *
-        |      (len(string_split_regex(trim(text), '\s+'))::DOUBLE
-        |       / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
-        |    - 84.6::DOUBLE *
-        |      (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
-        |       / len(string_split_regex(trim(text), '\s+'))::DOUBLE)
-        |    AS fre
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // water-filling replay: same ratio order (cap/w double + source
-    // tie-break), same cross-multiplied BIGINT saturation prefix, same
-    // integer divisions — '//' is DuckDB's integral division, DIV's twin
-    "q216_epoch_plan" ->
-      """WITH per AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT
-        |      AS tokens
-        |  FROM documents GROUP BY 1),
-        |base AS (
-        |  SELECT source, n_docs, tokens,
-        |    ((CAST(substr(source, 4) AS INT) % 4) + 1)::BIGINT AS weight,
-        |    (tokens * 4)::BIGINT AS cap_tokens
-        |  FROM per),
-        |ord AS (
-        |  SELECT *, CASE WHEN weight > 0
-        |    THEN cap_tokens::DOUBLE / weight END AS ratio FROM base),
-        |c AS (
-        |  SELECT *,
-        |    coalesce(sum(cap_tokens) OVER wb, 0)::BIGINT AS capB,
-        |    coalesce(sum(weight) OVER wb, 0)::BIGINT AS wB,
-        |    (sum(weight) OVER ())::BIGINT AS wT
-        |  FROM ord
-        |  WINDOW wb AS (ORDER BY ratio ASC NULLS LAST, source
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |m AS (
-        |  SELECT *, CASE WHEN weight * (80000 - capB) >=
-        |    cap_tokens * (wT - wB) THEN 1 ELSE 0 END AS ok FROM c),
-        |sat AS (
-        |  SELECT *, min(ok) OVER (ORDER BY ratio ASC NULLS LAST, source
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
-        |    AS saturated
-        |  FROM m),
-        |fin AS (
-        |  SELECT *,
-        |    coalesce(sum(CASE WHEN saturated THEN cap_tokens END)
-        |      OVER (), 0)::BIGINT AS capSat,
-        |    coalesce(sum(CASE WHEN NOT saturated THEN weight END)
-        |      OVER (), 0)::BIGINT AS wUnsat
-        |  FROM sat),
-        |alloc AS (
-        |  SELECT source, n_docs, tokens, weight, cap_tokens, saturated,
-        |    (CASE WHEN saturated THEN cap_tokens
-        |          WHEN wUnsat > 0
-        |            THEN (weight * (80000 - capSat)) // wUnsat
-        |          ELSE 0 END)::BIGINT AS alloc_tokens
-        |  FROM fin)
-        |SELECT source, n_docs, tokens, weight, cap_tokens, saturated,
-        |  alloc_tokens,
-        |  CASE WHEN tokens > 0 THEN
-        |    ((alloc_tokens // tokens) * 1000000 +
-        |     ((alloc_tokens - (alloc_tokens // tokens) * tokens)
-        |       * 2000000 + tokens) // (tokens * 2))::DOUBLE / 1000000.0
-        |  END AS epochs
-        |FROM alloc ORDER BY source""".stripMargin,
 
     // every arithmetic term cast to DOUBLE so both engines run the
     // identical IEEE ops (DuckDB literals are DECIMAL by default)
@@ -8243,21 +4219,6 @@ object SparkEntry {
         |    AS shard,
         |  count(*) AS n_docs, sum(n_chars)::BIGINT AS shard_chars,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
-
-    // q138's cumsum + the 48-bit md5-lane checksum re-derived in SQL
-    // (the '0x'||hex UBIGINT cast is the hashUniform precedent)
-    "q194_shard_manifest" ->
-      """WITH c AS (SELECT doc_id, n_chars,
-        |  sum(n_chars) OVER (ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
-        |  FROM documents)
-        |SELECT CAST(floor((cum - n_chars)::DOUBLE / 50000::DOUBLE) AS BIGINT)
-        |    AS shard,
-        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS n_units,
-        |  min(doc_id) AS first_key, max(doc_id) AS last_key,
-        |  CAST(sum(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))
-        |    AS UBIGINT)) AS BIGINT) AS id_checksum
         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // rank-based drop: rn > floor(0.1*n) with both factors DOUBLE so
@@ -8355,127 +4316,6 @@ object SparkEntry {
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // q63's shingle/inverted-index CTEs at the 0.005 negative gate,
-    // symmetrized; per (anchor, class) the row_number pick orders on
-    // the 6dp-ROUNDED jaccard + partner id — the Spark side's exact
-    // selection key — and only anchors with both legs survive
-    "q206_contrastive_triplets" ->
-      """WITH tokarr AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
-        |  FROM tokarr),
-        |grams AS (
-        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
-        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-        |short AS (
-        |  SELECT doc_id, array_to_string(arr, ' ') AS g
-        |  FROM tokarr WHERE len(arr) < 3),
-        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jac
-        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
-        |             JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.005),
-        |sym AS (SELECT id_a AS anchor, id_b AS other, jac FROM p
-        |        UNION ALL SELECT id_b, id_a, jac FROM p),
-        |best AS (
-        |  SELECT anchor, other, jac, jac >= 0.8 AS is_pos,
-        |    row_number() OVER (PARTITION BY anchor, jac >= 0.8
-        |                       ORDER BY jac DESC, other) AS rn
-        |  FROM sym)
-        |SELECT p.anchor, p.other AS pos_id, p.jac AS pos_sim,
-        |  n.other AS neg_id, n.jac AS neg_sim
-        |FROM best p JOIN best n ON p.anchor = n.anchor
-        |WHERE p.is_pos AND p.rn = 1 AND NOT n.is_pos AND n.rn = 1
-        |ORDER BY p.anchor""".stripMargin,
-
-    // three integer signals ranked per source ((rn-1)/(n-1), id
-    // tie-break), 6dp via the integer-exact score6 replay (floor of
-    // the half-offset quotient — never an engine round()), ensemble =
-    // score6 over the summed scaled ranks
-    "q207_rank_ensemble" ->
-      """WITH m AS (
-        |  SELECT doc_id, source,
-        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
-        |    length(text)::BIGINT AS n_chars,
-        |    len(list_distinct(string_split_regex(trim(text), '\s+')))::BIGINT
-        |      AS n_types
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
-        |      - 1 AS a1,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
-        |      - 1 AS a2,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_types, doc_id)
-        |      - 1 AS a3,
-        |    greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS d
-        |  FROM m),
-        |r6 AS (
-        |  SELECT doc_id AS id, source,
-        |    floor((a1 * 2000000 + d) / (d * 2)) AS r1,
-        |    floor((a2 * 2000000 + d) / (d * 2)) AS r2,
-        |    floor((a3 * 2000000 + d) / (d * 2)) AS r3
-        |  FROM r)
-        |SELECT id, source,
-        |  r1 / 1000000.0 AS r_n_tokens,
-        |  r2 / 1000000.0 AS r_n_chars,
-        |  r3 / 1000000.0 AS r_n_types,
-        |  floor(((r1 + r2 + r3) * 2 + 3) / 6) / 1000000.0 AS ensemble
-        |FROM r6 ORDER BY id""".stripMargin,
-
-    // same shingle/inverted-index CTEs as q63 at the lower 0.3 gate,
-    // then DuckDB's own levenshtein refines: edit_sim =
-    // 1 - lev/max(len). The oracle needs no band/length prunes —
-    // they are exact necessary conditions of the final filter (the
-    // Spark side carries +1 slack so 6dp boundary pairs always reach
-    // the exact comparison both engines share)
-    "q173_edit_similarity_pairs" ->
-      """WITH tokarr AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
-        |  FROM tokarr),
-        |grams AS (
-        |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
-        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-        |short AS (
-        |  SELECT doc_id, array_to_string(arr, ' ') AS g
-        |  FROM tokarr WHERE len(arr) < 3),
-        |sh AS (SELECT * FROM grams UNION SELECT * FROM short),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
-        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
-        |             JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.3)
-        |SELECT c.id_a, c.id_b, c.jaccard,
-        |  CASE WHEN greatest(length(da.text), length(db.text)) = 0 THEN 1.0
-        |       ELSE round(1.0 - levenshtein(da.text, db.text)::DOUBLE /
-        |              greatest(length(da.text), length(db.text)), 6) END
-        |    AS edit_sim
-        |FROM cand c
-        |JOIN documents da ON da.doc_id = c.id_a
-        |JOIN documents db ON db.doc_id = c.id_b
-        |WHERE CASE WHEN greatest(length(da.text), length(db.text)) = 0 THEN 1.0
-        |       ELSE round(1.0 - levenshtein(da.text, db.text)::DOUBLE /
-        |              greatest(length(da.text), length(db.text)), 6) END >= 0.98
-        |ORDER BY id_a, id_b""".stripMargin,
-
     // same shingle/inverted-index CTEs as q63; the final select reports
     // both containment directions and thresholds on their max
     "q140_containment_pairs" ->
@@ -8517,198 +4357,6 @@ object SparkEntry {
         |  round(m.n::DOUBLE / r.row_n::DOUBLE, 6) AS p
         |FROM m JOIN r USING (from_event)
         |ORDER BY from_event, to_event""".stripMargin,
-
-    // q141's window extended to two leads; same (ts, event_id) ordering
-    "q213_event_paths" ->
-      """WITH s AS (
-        |  SELECT event_type AS s0,
-        |    lead(event_type, 1) OVER w AS s1,
-        |    lead(event_type, 2) OVER w AS s2
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
-        |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
-        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
-
-    // the same orientation replayed in SQL: tuple-compare picks each
-    // edge's (degree, node)-smaller endpoint, the wedge filter orders
-    // endpoints by the SAME key (carried dt), closure is an equi-join
-    // on the oriented pair — triangles counted exactly once
-    "q220_part_triangles" ->
-      """WITH e AS (
-        |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |deg AS (
-        |  SELECT node, count(*)::BIGINT AS d FROM (
-        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-        |  GROUP BY 1),
-        |o AS (
-        |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
-        |         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t,
-        |         CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dt
-        |  FROM e JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
-        |tri AS (
-        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
-        |  FROM o e1 JOIN o e2 ON e1.s = e2.s
-        |   AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
-        |  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
-        |pern AS (
-        |  SELECT node, count(*)::BIGINT AS triangles FROM (
-        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
-        |    UNION ALL SELECT c FROM tri)
-        |  GROUP BY 1)
-        |SELECT d.node, d.d AS degree,
-        |       COALESCE(p.triangles, 0)::BIGINT AS triangles
-        |FROM deg d LEFT JOIN pern p USING (node)
-        |ORDER BY triangles DESC, node""".stripMargin,
-
-    // q218's unrolled rounds over the word-adjacency graph: same
-    // tokenizer as every text oracle, same md5-60bit ids as the
-    // portable simhash twin, same BIGINT lattice arithmetic
-    "q221_textrank_keywords" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
-        |  FROM documents),
-        |adj AS (
-        |  SELECT least(a.w, b.w) AS cu, greatest(a.w, b.w) AS cv,
-        |         count(*)::BIGINT AS weight
-        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |  WHERE a.w <> b.w GROUP BY 1, 2),
-        |e AS (
-        |  SELECT CAST(('0x' || substr(md5(cu),1,15)) AS UBIGINT)::BIGINT AS src,
-        |         CAST(('0x' || substr(md5(cv),1,15)) AS UBIGINT)::BIGINT AS dst,
-        |         weight FROM adj
-        |  UNION ALL
-        |  SELECT CAST(('0x' || substr(md5(cv),1,15)) AS UBIGINT)::BIGINT,
-        |         CAST(('0x' || substr(md5(cu),1,15)) AS UBIGINT)::BIGINT,
-        |         weight FROM adj),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
-        |ew AS (
-        |  SELECT e.src, e.dst, e.weight, o.outw
-        |  FROM e JOIN (SELECT src, sum(weight)::BIGINT AS outw
-        |               FROM e GROUP BY 1) o USING (src)),
-        |r0 AS (SELECT node,
-        |         (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank
-        |       FROM nodes),
-        |r1 AS (SELECT nd.node,
-        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
-        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
-        |       FROM nodes nd LEFT JOIN (
-        |         SELECT ew.dst AS node,
-        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
-        |         FROM ew JOIN r0 r ON ew.src = r.node GROUP BY 1) c
-        |         USING (node)),
-        |r2 AS (SELECT nd.node,
-        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
-        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
-        |       FROM nodes nd LEFT JOIN (
-        |         SELECT ew.dst AS node,
-        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
-        |         FROM ew JOIN r1 r ON ew.src = r.node GROUP BY 1) c
-        |         USING (node)),
-        |r3 AS (SELECT nd.node,
-        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
-        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
-        |       FROM nodes nd LEFT JOIN (
-        |         SELECT ew.dst AS node,
-        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
-        |         FROM ew JOIN r2 r ON ew.src = r.node GROUP BY 1) c
-        |         USING (node)),
-        |words AS (SELECT DISTINCT w AS word,
-        |    CAST(('0x' || substr(md5(w),1,15)) AS UBIGINT)::BIGINT AS node
-        |  FROM tok)
-        |SELECT wd.word, r3.rank FROM r3 JOIN words wd USING (node)
-        |ORDER BY rank DESC, word LIMIT 20""".stripMargin,
-
-    // DuckDB's own jaro_winkler_similarity IS the oracle — the native
-    // expression's convention (match window, integer transposition
-    // halving, strict 0.7 boost gate, empty->0) is pinned to it by
-    // JaroWinklerSpec fixtures; same entity table, blocking, cap, and
-    // rounded-threshold filter
-    "q219_fuzzy_link_parts" ->
-      """WITH ent AS (
-        |  SELECT p_name AS name, min(p_partkey)::BIGINT AS id
-        |  FROM part GROUP BY 1),
-        |k AS (SELECT id, name, string_split(name, ' ')[1] AS block
-        |      FROM ent),
-        |s AS (SELECT k.* FROM k JOIN (
-        |        SELECT block FROM k GROUP BY block
-        |        HAVING count(*) <= 10000) b USING (block))
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       a.name AS name_a, b.name AS name_b,
-        |       round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_sim
-        |FROM s a JOIN s b ON a.block = b.block AND a.id < b.id
-        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.85
-        |ORDER BY jw_sim DESC, id_a, id_b""".stripMargin,
-
-    // the 3 PageRank rounds unrolled as CTEs: same co-occurrence
-    // self-join, same BIGINT lattice (10^12), same truncating `//` per
-    // edge — every intermediate is ::BIGINT-cast so DuckDB's HUGEINT
-    // sums can't drift the schema
-    "q218_part_pagerank" ->
-      """WITH e AS (
-        |  SELECT a.l_partkey::BIGINT AS src, b.l_partkey::BIGINT AS dst,
-        |         count(*)::BIGINT AS weight
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-        |  GROUP BY 1, 2),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
-        |ew AS (
-        |  SELECT e.src, e.dst, e.weight, o.outw
-        |  FROM e JOIN (SELECT src, sum(weight)::BIGINT AS outw
-        |               FROM e GROUP BY 1) o USING (src)),
-        |r0 AS (SELECT node,
-        |         (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank
-        |       FROM nodes),
-        |r1 AS (SELECT nd.node,
-        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
-        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
-        |       FROM nodes nd LEFT JOIN (
-        |         SELECT ew.dst AS node,
-        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
-        |         FROM ew JOIN r0 r ON ew.src = r.node GROUP BY 1) c
-        |         USING (node)),
-        |r2 AS (SELECT nd.node,
-        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
-        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
-        |       FROM nodes nd LEFT JOIN (
-        |         SELECT ew.dst AS node,
-        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
-        |         FROM ew JOIN r1 r ON ew.src = r.node GROUP BY 1) c
-        |         USING (node)),
-        |r3 AS (SELECT nd.node,
-        |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn))
-        |          + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
-        |       FROM nodes nd LEFT JOIN (
-        |         SELECT ew.dst AS node,
-        |                sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
-        |         FROM ew JOIN r2 r ON ew.src = r.node GROUP BY 1) c
-        |         USING (node))
-        |SELECT node, rank FROM r3 ORDER BY rank DESC, node""".stripMargin,
-
-    // identical damage injection (the shared mojibakeSuffix literal)
-    // and the IDENTICAL marker pattern (TextStats.mojibakeMarkers
-    // interpolated) — RE2 counts the same non-overlapping matches
-    "q212_mojibake_scan" ->
-      s"""WITH d AS (
-        |  SELECT source,
-        |    CASE WHEN doc_id % 3 = 0 THEN text || '$mojibakeSuffix'
-        |         ELSE text END AS t
-        |  FROM documents),
-        |h AS (SELECT source,
-        |  len(regexp_extract_all(t, '${TextStats.mojibakeMarkers}'))
-        |    AS hits FROM d)
-        |SELECT source AS slice, count(*) AS n_docs,
-        |  sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
-        |  sum(hits)::BIGINT AS n_hits,
-        |  round(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::DOUBLE
-        |    / count(*), 6) AS flagged_share
-        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // Connected components over the exact near-dup pair graph via a
     // recursive reachability CTE; cluster_id = min reachable doc_id.
@@ -8994,25 +4642,6 @@ object SparkEntry {
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
     },
 
-    // dirty synthesis via chr() codes (8220/8221 curly doubles,
-    // 8216/8217 curly singles, 8211/8212 dashes, 160 NBSP), then the
-    // three cleanText passes with the same RE2-compatible classes
-    "q176_text_clean" ->
-      """WITH dirty AS (
-        |  SELECT doc_id,
-        |    chr(7) || ' ' || chr(8220) || replace(text, ' ', '  ') ||
-        |    chr(8221) || ' ' || chr(8211) || ' ' || chr(160) || 'end' || chr(1)
-        |      AS d
-        |  FROM documents)
-        |SELECT doc_id,
-        |  trim(regexp_replace(
-        |    translate(
-        |      regexp_replace(d, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-        |      chr(8220)||chr(8221)||chr(8216)||chr(8217)||chr(8211)||chr(8212)||chr(160),
-        |      '""''''-- '),
-        |    '\s+', ' ', 'g')) AS clean_text
-        |FROM dirty ORDER BY doc_id""".stripMargin,
-
     // Same regexes as the Spark side; DuckDB regexp_replace needs the
     // explicit 'g' flag to match Spark's global-replace default.
     "q72_pii_redact" ->
@@ -9093,1798 +4722,6 @@ object SparkEntry {
         | round(avg(n) OVER (ORDER BY yyyymm
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
         |FROM monthly ORDER BY yyyymm""".stripMargin,
-
-    // Full count-min grid replay: bucket d of a key is md5 hex lane d
-    // mod width (the portable lane discipline); a bucket's counter is
-    // a plain GROUP BY count; the estimate is the min over the key's
-    // four counters. Nothing about the sketch is approximate to the
-    // oracle — only to the keys it summarizes.
-    "q231_cms_heavy_hitters" ->
-      """WITH k AS (
-        |  SELECT c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS key
-        |  FROM customer),
-        |g AS (
-        |  SELECT r.d,
-        |    CAST(CAST(('0x' || substr(md5(key), 8 * r.d + 1, 8)) AS UBIGINT)
-        |      % 32 AS BIGINT) AS bucket,
-        |    count(*) AS cnt
-        |  FROM k CROSS JOIN range(4) r(d) GROUP BY 1, 2),
-        |e AS (
-        |  SELECT key, count(*) AS n_exact FROM k GROUP BY 1
-        |  ORDER BY n_exact DESC, key ASC LIMIT 15),
-        |est AS (
-        |  SELECT e.key, e.n_exact, min(g.cnt) AS n_est
-        |  FROM e CROSS JOIN range(4) r(d)
-        |  JOIN g ON g.d = r.d AND g.bucket =
-        |    CAST(CAST(('0x' || substr(md5(e.key), 8 * r.d + 1, 8)) AS UBIGINT)
-        |      % 32 AS BIGINT)
-        |  GROUP BY 1, 2)
-        |SELECT key, n_exact, n_est, n_est - n_exact AS overcount
-        |FROM est ORDER BY n_exact DESC, key ASC""".stripMargin,
-
-    "q232_pca_top_component" ->
-      s"""WITH $duckPcaCtes
-         |SELECT v3.i::BIGINT AS idx, v3.v AS v,
-         |  (SELECT num FROM ray) AS ray_num,
-         |  (SELECT den FROM ray) AS ray_den
-         |FROM v3 ORDER BY idx""".stripMargin,
-
-    "q233_pca_projection_topk" ->
-      s"""WITH $duckPcaCtes
-         |SELECT q.vec_id, sum(q.qv * v3.v)::BIGINT AS proj
-         |FROM q JOIN v3 ON v3.i = q.i
-         |GROUP BY 1 ORDER BY abs(sum(q.qv * v3.v)) DESC, q.vec_id ASC
-         |LIMIT 10""".stripMargin,
-
-    // The validation report replayed rule by rule: same planted
-    // perturbations, same null-is-failure convention (NOT coalesce(p,
-    // false)), same minimal-as-string witnesses.
-    "q234_validation_report" ->
-      """WITH m AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
-        |         ELSE o_totalprice END AS p,
-        |    CASE WHEN o_orderkey % 101 = 0 THEN '9-BOGUS'
-        |         ELSE o_orderpriority END AS prio,
-        |    CASE WHEN o_orderkey % 499 = 0 THEN o_custkey + 1000000
-        |         ELSE o_custkey END AS ck,
-        |    o_orderstatus AS st, o_orderdate AS d
-        |  FROM orders),
-        |w AS (SELECT * FROM m
-        |      UNION ALL SELECT * FROM m WHERE o_orderkey % 1000 = 0),
-        |rowr AS (
-        |  SELECT 'price_positive' AS rule, 'row' AS kind,
-        |    count(*)::BIGINT AS n_checked,
-        |    sum(CASE WHEN NOT coalesce(p > 0, false) THEN 1 ELSE 0 END)
-        |      ::BIGINT AS n_failed,
-        |    min(CASE WHEN NOT coalesce(p > 0, false)
-        |      THEN CAST(o_orderkey AS VARCHAR) END) AS example
-        |  FROM w
-        |  UNION ALL
-        |  SELECT 'priority_known', 'row', count(*)::BIGINT,
-        |    sum(CASE WHEN NOT coalesce(prio IN ('1-URGENT', '2-HIGH',
-        |      '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), false)
-        |      THEN 1 ELSE 0 END)::BIGINT,
-        |    min(CASE WHEN NOT coalesce(prio IN ('1-URGENT', '2-HIGH',
-        |      '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), false)
-        |      THEN CAST(o_orderkey AS VARCHAR) END)
-        |  FROM w
-        |  UNION ALL
-        |  SELECT 'status_known', 'row', count(*)::BIGINT,
-        |    sum(CASE WHEN NOT coalesce(st IN ('P', 'O', 'F'), false)
-        |      THEN 1 ELSE 0 END)::BIGINT,
-        |    min(CASE WHEN NOT coalesce(st IN ('P', 'O', 'F'), false)
-        |      THEN CAST(o_orderkey AS VARCHAR) END)
-        |  FROM w
-        |  UNION ALL
-        |  SELECT 'date_in_range', 'row', count(*)::BIGINT,
-        |    sum(CASE WHEN NOT coalesce(d BETWEEN TIMESTAMP '1992-01-01'
-        |      AND TIMESTAMP '2001-12-31', false) THEN 1 ELSE 0 END)::BIGINT,
-        |    min(CASE WHEN NOT coalesce(d BETWEEN TIMESTAMP '1992-01-01'
-        |      AND TIMESTAMP '2001-12-31', false)
-        |      THEN CAST(o_orderkey AS VARCHAR) END)
-        |  FROM w),
-        |uq AS (
-        |  SELECT 'orderkey_unique' AS rule, 'unique' AS kind,
-        |    sum(c)::BIGINT AS n_checked, sum(c - 1)::BIGINT AS n_failed,
-        |    min(CASE WHEN c > 1 THEN k END) AS example
-        |  FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS c
-        |        FROM w GROUP BY 1)),
-        |fk AS (
-        |  SELECT 'custkey_covered' AS rule, 'fk' AS kind,
-        |    count(*)::BIGINT AS n_checked,
-        |    sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
-        |      AS n_failed,
-        |    min(CASE WHEN c_custkey IS NULL THEN CAST(ck AS VARCHAR) END)
-        |      AS example
-        |  FROM w LEFT JOIN customer ON ck = c_custkey
-        |  WHERE ck IS NOT NULL)
-        |SELECT rule, kind, n_checked, n_failed,
-        |  round(n_failed::DOUBLE / n_checked::DOUBLE, 6) AS fail_rate,
-        |  example
-        |FROM (SELECT * FROM rowr UNION ALL SELECT * FROM uq
-        |      UNION ALL SELECT * FROM fk)
-        |ORDER BY rule""".stripMargin,
-
-    "q235_zorder_roundtrip" ->
-      """SELECT count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |   AS sum_price,
-        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-        |FROM orders
-        |WHERE o_totalprice BETWEEN 50000 AND 150000
-        |  AND o_custkey < 500""".stripMargin,
-
-    // HLL register replay: md5 lane -> (bucket, suffix) bit split,
-    // rho via the same exact >=2^k comparison ladder, per-bucket MAX,
-    // then the lattice fold at the fixed cap 2^27. The estimate's
-    // double arithmetic is written operand-for-operand like the Spark
-    // side (every input exact), so it hash-matches too.
-    "q236_hll_distinct_sketch" -> {
-      val ladder = (0 until 26).map(k =>
-        s"(CASE WHEN suffix >= ${1L << k} THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH h AS (
-         |  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
-         |    1, 8)) AS UBIGINT)::BIGINT AS lane
-         |  FROM orders),
-         |r AS (SELECT lane >> 26 AS bucket,
-         |             lane & 67108863 AS suffix FROM h),
-         |regs AS (SELECT bucket,
-         |    max(26 - ($ladder) + 1)::BIGINT AS reg
-         |  FROM r GROUP BY 1),
-         |agg AS (SELECT count(*)::BIGINT AS n_obs,
-         |    max(reg)::BIGINT AS maxreg,
-         |    sum(1::BIGINT << CAST(27 - reg AS INT))::BIGINT AS s_cap
-         |  FROM regs)
-         |SELECT 64::BIGINT AS m,
-         |  (64 - n_obs)::BIGINT AS n_zero,
-         |  maxreg,
-         |  (s_cap + (64 - n_obs) * (1::BIGINT << 27))::BIGINT AS s,
-         |  round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE
-         |      / 64.0::DOUBLE) * 4096.0::DOUBLE
-         |    * pow(2.0::DOUBLE, 27.0::DOUBLE)
-         |    / (s_cap + (64 - n_obs) * (1::BIGINT << 27)), 4) AS raw_est,
-         |  (SELECT count(DISTINCT o_custkey)::BIGINT FROM orders)
-         |    AS n_true
-         |FROM agg""".stripMargin
-    },
-
-    // Poisson-bootstrap replay: same 16-bit thresholds (shared
-    // constants — no drift possible), same block/lane hash layout
-    // (one md5 per (row, block) feeding eight replicate lanes), same
-    // decimal folds, same nearest-rank pick over the (mu, rep)-ordered
-    // replicate frame.
-    "q237_bootstrap_mean_ci" -> {
-      val ladder = etlmudah.scale.Sampling.poissonThresholds16.map(t =>
-        s"(CASE WHEN lane >= $t THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH blks AS (SELECT i AS blk FROM range(25) t(i)),
-         |hx AS (
-         |  SELECT b.blk AS blk,
-         |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
-         |      AS v,
-         |    md5(CAST(o_orderkey AS VARCHAR) || '#'
-         |      || CAST(b.blk AS VARCHAR)) AS hex
-         |  FROM orders CROSS JOIN blks b),
-         |lanes AS (
-         |  SELECT hx.blk * 8 + l.lane AS rep, hx.v,
-         |    CAST(('0x' || substr(hx.hex, l.lane * 4 + 1, 4))
-         |      AS UBIGINT)::BIGINT AS lane
-         |  FROM hx CROSS JOIN range(8) l(lane)
-         |  WHERE hx.blk * 8 + l.lane < 200),
-         |w AS (SELECT rep, v, ($ladder)::BIGINT AS wt FROM lanes),
-         |m AS (
-         |  SELECT rep,
-         |    CAST(sum(wt * v) AS DOUBLE)
-         |      / (100.0::DOUBLE * CAST(sum(wt) AS DOUBLE)) AS mu
-         |  FROM w GROUP BY 1),
-         |rk AS (SELECT mu, row_number() OVER (ORDER BY mu ASC, rep ASC)
-         |         AS rn FROM m)
-         |SELECT (SELECT count(*)::BIGINT FROM orders) AS n,
-         |  (SELECT round(CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE)
-         |        * 100) AS BIGINT)) AS DOUBLE)
-         |      / (100.0::DOUBLE * CAST(count(*) AS DOUBLE)), 6)
-         |   FROM orders) AS point_est,
-         |  (SELECT round(mu, 6) FROM rk WHERE rn = 5) AS ci_lo,
-         |  (SELECT round(mu, 6) FROM rk WHERE rn = 195) AS ci_hi,
-         |  200::BIGINT AS reps""".stripMargin
-    },
-
-    // Viterbi oracle: the planted construction re-derived closed-form
-    // — the oracle never runs a DP, it carries the pieces the uniquely
-    // optimal segmentation must produce.
-    "q238_viterbi_segmentation" ->
-      """WITH d AS (
-        |  SELECT doc_id % 4 AS a, (doc_id * 2 + 1) % 4 AS b,
-        |    (doc_id + 3) % 4 AS c, doc_id % 5 = 0 AS bang
-        |  FROM documents),
-        |toks AS (
-        |  SELECT (['foo','bar','qux','zz'])[a + 1] AS token FROM d
-        |  UNION ALL
-        |  SELECT (['foo','bar','qux','zz'])[b + 1] FROM d
-        |  UNION ALL
-        |  SELECT (['foo','bar','qux','zz'])[c + 1] FROM d
-        |  UNION ALL
-        |  SELECT '!' FROM d WHERE bang)
-        |SELECT token, count(*) AS n FROM toks
-        |GROUP BY 1 ORDER BY token""".stripMargin,
-
-    // OLS replay on HUGEINT (the same exact integers Spark holds as
-    // DECIMAL(38,0) — DuckDB's decimal multiply caps combined width,
-    // HUGEINT is its native 128-bit exact lane), double steps mirrored
-    // operand for operand.
-    "q239_linear_fit" ->
-      """WITH q AS (
-        |  SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT)
-        |      AS x,
-        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
-        |      AS y
-        |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-        |m AS (
-        |  SELECT count(*)::HUGEINT AS n,
-        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
-        |    sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy,
-        |    sum(y * y)::HUGEINT AS syy
-        |  FROM q),
-        |c AS (
-        |  SELECT CAST(n AS BIGINT) AS n,
-        |    n * sxy - sx * sy AS cov_n,
-        |    n * sxx - sx * sx AS var_x,
-        |    sy * sxx - sx * sxy AS int_n,
-        |    n * syy - sy * sy AS var_y
-        |  FROM m)
-        |SELECT n,
-        |  round(CAST(cov_n AS DOUBLE) / CAST(var_x AS DOUBLE)
-        |    * (100.0::DOUBLE / 100.0::DOUBLE), 6) AS slope,
-        |  round(CAST(int_n AS DOUBLE) / CAST(var_x AS DOUBLE)
-        |    / 100.0::DOUBLE, 6) AS intercept,
-        |  round(CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)
-        |    / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 6) AS r2
-        |FROM c""".stripMargin,
-
-    // q236's register replay grouped by priority, plus the '__all__'
-    // tier from a per-bucket MAX over the same register frame — the
-    // union algebra replayed, not assumed.
-    "q240_hll_union" -> {
-      val ladder = (0 until 26).map(k =>
-        s"(CASE WHEN suffix >= ${1L << k} THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH h AS (
-         |  SELECT o_orderpriority AS grp,
-         |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
-         |      1, 8)) AS UBIGINT)::BIGINT AS lane
-         |  FROM orders),
-         |r AS (SELECT grp, lane >> 26 AS bucket,
-         |             lane & 67108863 AS suffix FROM h),
-         |regs AS (SELECT grp, bucket,
-         |    max(26 - ($ladder) + 1)::BIGINT AS reg
-         |  FROM r GROUP BY 1, 2),
-         |tiers AS (
-         |  SELECT grp, count(*)::BIGINT AS n_obs, max(reg)::BIGINT
-         |      AS maxreg,
-         |    sum(1::BIGINT << CAST(27 - reg AS INT))::BIGINT AS s_cap
-         |  FROM regs GROUP BY 1
-         |  UNION ALL
-         |  SELECT '__all__', count(*)::BIGINT, max(reg)::BIGINT,
-         |    sum(1::BIGINT << CAST(27 - reg AS INT))::BIGINT
-         |  FROM (SELECT bucket, max(reg) AS reg FROM regs GROUP BY 1))
-         |SELECT grp, 64::BIGINT AS m,
-         |  (64 - n_obs)::BIGINT AS n_zero, maxreg,
-         |  (s_cap + (64 - n_obs) * (1::BIGINT << 27))::BIGINT AS s,
-         |  round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE
-         |      / 64.0::DOUBLE) * 4096.0::DOUBLE
-         |    * pow(2.0::DOUBLE, 27.0::DOUBLE)
-         |    / (s_cap + (64 - n_obs) * (1::BIGINT << 27)), 4) AS raw_est
-         |FROM tiers ORDER BY grp""".stripMargin
-    },
-
-    // Seeded-teleport replay: same edge/node/outw chain as q222's
-    // oracle, with r0 and the per-round teleport term gated on seed
-    // membership (host LIKE '%.com') and normalized by |S| not |V|.
-    "q241_personalized_host_rank" ->
-      s"""WITH hh AS (SELECT doc_id,
-         |    ${duckFakeHost("doc_id")} AS hsrc,
-         |    ${duckFakeHost("doc_id + 1")} AS h1,
-         |    ${duckFakeHost("3 * doc_id + 5")} AS h2
-         |  FROM documents),
-         |le AS (SELECT hsrc AS src_host, h1 AS dst_host FROM hh
-         |       UNION ALL SELECT hsrc, h2 FROM hh),
-         |e0 AS (SELECT src_host, dst_host, count(*)::BIGINT AS weight
-         |       FROM le WHERE src_host <> dst_host GROUP BY 1, 2),
-         |e AS (SELECT
-         |    CAST(('0x' || substr(md5(src_host),1,15)) AS UBIGINT)::BIGINT
-         |      AS src,
-         |    CAST(('0x' || substr(md5(dst_host),1,15)) AS UBIGINT)::BIGINT
-         |      AS dst,
-         |    weight FROM e0),
-         |hosts AS (SELECT host,
-         |    CAST(('0x' || substr(md5(host),1,15)) AS UBIGINT)::BIGINT
-         |      AS node
-         |  FROM (SELECT src_host AS host FROM e0
-         |        UNION SELECT dst_host FROM e0)),
-         |seedn AS (SELECT DISTINCT node FROM hosts
-         |          WHERE host LIKE '%.com'),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |ns AS (SELECT count(*)::BIGINT AS n FROM nodes
-         |       WHERE node IN (SELECT node FROM seedn)),
-         |ew AS (
-         |  SELECT e.src, e.dst, e.weight, o.outw
-         |  FROM e JOIN (SELECT src, sum(weight)::BIGINT AS outw
-         |               FROM e GROUP BY 1) o USING (src)),
-         |r0 AS (SELECT node,
-         |    (CASE WHEN node IN (SELECT node FROM seedn)
-         |      THEN 1000000000000 // (SELECT n FROM ns)
-         |      ELSE 0 END)::BIGINT AS rank
-         |  FROM nodes),
-         |r1 AS (SELECT nd.node,
-         |    (CASE WHEN nd.node IN (SELECT node FROM seedn)
-         |      THEN (15 * 1000000000000) // (100 * (SELECT n FROM ns))
-         |      ELSE 0 END
-         |     + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT ew.dst AS node,
-         |           sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
-         |    FROM ew JOIN r0 r ON ew.src = r.node GROUP BY 1) c
-         |    USING (node)),
-         |r2 AS (SELECT nd.node,
-         |    (CASE WHEN nd.node IN (SELECT node FROM seedn)
-         |      THEN (15 * 1000000000000) // (100 * (SELECT n FROM ns))
-         |      ELSE 0 END
-         |     + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT ew.dst AS node,
-         |           sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
-         |    FROM ew JOIN r1 r ON ew.src = r.node GROUP BY 1) c
-         |    USING (node)),
-         |r3 AS (SELECT nd.node,
-         |    (CASE WHEN nd.node IN (SELECT node FROM seedn)
-         |      THEN (15 * 1000000000000) // (100 * (SELECT n FROM ns))
-         |      ELSE 0 END
-         |     + (85 * COALESCE(c.c, 0)) // 100)::BIGINT AS rank
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT ew.dst AS node,
-         |           sum((r.rank * ew.weight) // ew.outw)::BIGINT AS c
-         |    FROM ew JOIN r2 r ON ew.src = r.node GROUP BY 1) c
-         |    USING (node))
-         |SELECT hosts.host, hosts.host LIKE '%.com' AS is_seed, r3.rank
-         |FROM r3 JOIN hosts USING (node)
-         |ORDER BY rank DESC, host""".stripMargin,
-
-    // Jackknife replay: per-group cent sums, the guarded leave-one-out
-    // double, the micro-lattice re-quantization, and the exact integer
-    // variance identity on HUGEINT — every double step mirrored.
-    "q242_jackknife_se" ->
-      """WITH g AS (
-        |  SELECT o_orderpriority AS grp, count(*)::BIGINT AS n_g,
-        |    sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
-        |      ::BIGINT AS s_g
-        |  FROM orders GROUP BY 1),
-        |t AS (
-        |  SELECT grp, n_g, s_g,
-        |    (SELECT sum(n_g)::BIGINT FROM g) AS bign,
-        |    (SELECT sum(s_g)::BIGINT FROM g) AS bigs,
-        |    (SELECT count(*)::BIGINT FROM g) AS ng
-        |  FROM g),
-        |t2 AS (
-        |  SELECT *, CAST(round(
-        |    (CASE WHEN bign > n_g THEN
-        |       CAST(bigs - s_g AS DOUBLE)
-        |         / (100.0::DOUBLE * CAST(bign - n_g AS DOUBLE))
-        |     ELSE 0.0::DOUBLE END) * CAST(10000 AS DOUBLE))
-        |    AS BIGINT) AS t_g
-        |  FROM t),
-        |agg AS (
-        |  SELECT max(bign) AS n, max(ng) AS n_groups, max(bigs) AS bigs,
-        |    sum(t_g)::HUGEINT AS st,
-        |    sum(t_g::HUGEINT * t_g::HUGEINT)::HUGEINT AS stt
-        |  FROM t2)
-        |SELECT n, n_groups,
-        |  round(CAST(bigs AS DOUBLE)
-        |    / (100.0::DOUBLE * CAST(n AS DOUBLE)), 6) AS point_est,
-        |  round(sqrt(CAST(n_groups::HUGEINT * stt - st * st AS DOUBLE)
-        |      * CAST(n_groups - 1 AS DOUBLE))
-        |    / CAST(n_groups AS DOUBLE) / 10000.0::DOUBLE, 6) AS jk_se
-        |FROM agg""".stripMargin,
-
-    // Benford replay: same exact digit extraction (floor -> BIGINT ->
-    // first char), same fixed 6dp expected shares, chi terms mirrored.
-    "q243_benford_digits" -> {
-      val shares = etlmudah.analytics.Analytics.benfordShares
-        .zipWithIndex.map { case (v, i) => s"($v)" }.mkString(", ")
-      s"""WITH d AS (
-         |  SELECT CAST(substr(CAST(CAST(floor(abs(
-         |      CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS VARCHAR),
-         |      1, 1) AS INT) AS digit
-         |  FROM orders
-         |  WHERE o_totalprice IS NOT NULL
-         |    AND abs(CAST(o_totalprice AS DOUBLE)) >= 1.0),
-         |counts AS (SELECT digit, count(*)::BIGINT AS n FROM d
-         |           GROUP BY 1),
-         |t AS (SELECT digit, n,
-         |        (SELECT sum(n)::BIGINT FROM counts) AS total
-         |      FROM counts),
-         |b AS (SELECT digit, n, total,
-         |    round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
-         |    ([$shares])[digit] AS benford
-         |  FROM t)
-         |SELECT digit, n, share, benford,
-         |  round((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * benford)
-         |    * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * benford)
-         |    / (CAST(total AS DOUBLE) * benford), 6) AS chi_term
-         |FROM b ORDER BY digit""".stripMargin
-    },
-
-    // The grouped OLS replay — q239's chain with a GROUP BY key.
-    "q244_linear_fit_by_flag" ->
-      """WITH q AS (
-        |  SELECT l_returnflag,
-        |    CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS x,
-        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
-        |      AS y
-        |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-        |m AS (
-        |  SELECT l_returnflag, count(*)::HUGEINT AS n,
-        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
-        |    sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy,
-        |    sum(y * y)::HUGEINT AS syy
-        |  FROM q GROUP BY 1),
-        |c AS (
-        |  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |    n * sxy - sx * sy AS cov_n,
-        |    n * sxx - sx * sx AS var_x,
-        |    sy * sxx - sx * sxy AS int_n,
-        |    n * syy - sy * sy AS var_y
-        |  FROM m)
-        |SELECT l_returnflag, n,
-        |  round(CAST(cov_n AS DOUBLE) / CAST(var_x AS DOUBLE)
-        |    * (100.0::DOUBLE / 100.0::DOUBLE), 6) AS slope,
-        |  round(CAST(int_n AS DOUBLE) / CAST(var_x AS DOUBLE)
-        |    / 100.0::DOUBLE, 6) AS intercept,
-        |  round(CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)
-        |    / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 6) AS r2
-        |FROM c ORDER BY l_returnflag""".stripMargin,
-
-    // Inclusion-exclusion replay: q236's register/estimate chain run
-    // for A, B, and their per-bucket-MAX merge; the exact intersection
-    // is one distinct-join count.
-    "q245_hll_overlap" -> {
-      val ladder = (0 until 26).map(k =>
-        s"(CASE WHEN suffix >= ${1L << k} THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      def regs(tag: String, pred: String): String =
-        s"""r$tag AS (SELECT bucket, max(26 - ($ladder) + 1)::BIGINT AS reg
-           |  FROM (SELECT lane >> 26 AS bucket, lane & 67108863 AS suffix
-           |        FROM (SELECT CAST(('0x' ||
-           |            substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
-           |            AS UBIGINT)::BIGINT AS lane
-           |          FROM orders WHERE $pred))
-           |  GROUP BY 1)""".stripMargin
-      def est(tag: String): String =
-        s"""e$tag AS (SELECT round(0.7213::DOUBLE / (1.0::DOUBLE
-           |    + 1.079::DOUBLE / 64.0::DOUBLE) * 4096.0::DOUBLE
-           |    * pow(2.0::DOUBLE, 27.0::DOUBLE)
-           |    / (sum(1::BIGINT << CAST(27 - reg AS INT))::BIGINT
-           |       + (64 - count(*)) * (1::BIGINT << 27)), 4) AS est
-           |  FROM r$tag)""".stripMargin
-      s"""WITH ${regs("a", "o_orderpriority = '1-URGENT'")},
-         |${regs("b", "o_orderpriority = '5-LOW'")},
-         |ru AS (SELECT bucket, max(reg) AS reg
-         |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
-         |  GROUP BY 1),
-         |${est("a")},
-         |${est("b")},
-         |${est("u")},
-         |truth AS (
-         |  SELECT count(*)::BIGINT AS n_true_overlap FROM (
-         |    SELECT DISTINCT o_custkey FROM orders
-         |    WHERE o_orderpriority = '1-URGENT'
-         |    INTERSECT
-         |    SELECT DISTINCT o_custkey FROM orders
-         |    WHERE o_orderpriority = '5-LOW'))
-         |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
-         |  round(ea.est + eb.est - eu.est, 4) AS est_overlap,
-         |  truth.n_true_overlap
-         |FROM ea, eb, eu, truth""".stripMargin
-    },
-
-    // The skyline DEFINITION (quadratic NOT-EXISTS domination): the
-    // engine's bucket-sweep must produce exactly this set.
-    "q246_skyline_parts" ->
-      """SELECT p.p_partkey, p.p_size,
-        |  round(p.p_retailprice, 2) AS price_2
-        |FROM part p
-        |WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
-        |  AND NOT EXISTS (
-        |    SELECT 1 FROM part q
-        |    WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
-        |      AND q.p_size >= p.p_size
-        |      AND q.p_retailprice <= p.p_retailprice
-        |      AND (q.p_size > p.p_size
-        |        OR q.p_retailprice < p.p_retailprice))
-        |ORDER BY p_size, price_2, p_partkey""".stripMargin,
-
-    // row_number-difference run collapse, replayed verbatim.
-    "q247_order_streaks" ->
-      """WITH mo AS (
-        |  SELECT DISTINCT o_custkey AS k,
-        |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT
-        |      AS m
-        |  FROM orders
-        |  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL),
-        |runs AS (
-        |  SELECT k,
-        |    m - row_number() OVER (PARTITION BY k ORDER BY m) AS grp
-        |  FROM mo),
-        |islands AS (
-        |  SELECT k, grp, count(*)::BIGINT AS island_len
-        |  FROM runs GROUP BY 1, 2)
-        |SELECT island_len, count(*)::BIGINT AS n_islands,
-        |  count(DISTINCT k)::BIGINT AS n_keys
-        |FROM islands GROUP BY 1 ORDER BY island_len""".stripMargin,
-
-    "q248_k_anonymity" ->
-      """WITH cls AS (
-        |  SELECT c_nationkey, c_mktsegment,
-        |    count(*)::BIGINT AS class_size,
-        |    count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
-        |      ::BIGINT AS l_div
-        |  FROM customer GROUP BY 1, 2)
-        |SELECT class_size, count(*)::BIGINT AS n_classes,
-        |  (class_size * count(*))::BIGINT AS n_rows,
-        |  min(l_div)::BIGINT AS min_l
-        |FROM cls GROUP BY 1 ORDER BY class_size""".stripMargin,
-
-    // Welch replay on the same integer-cent lattice; expression trees
-    // mirrored so the float closed forms agree bit-for-bit.
-    "q249_welch_ttest" ->
-      """WITH q AS (
-        |  SELECT o_orderpriority AS g,
-        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
-        |      AS x
-        |  FROM orders WHERE o_totalprice IS NOT NULL),
-        |m AS (
-        |  SELECT
-        |    sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
-        |      AS n_a,
-        |    sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n_b,
-        |    sum(CASE WHEN g = '1-URGENT' THEN x END)::HUGEINT AS sx_a,
-        |    sum(CASE WHEN g = '1-URGENT' THEN x * x END)::HUGEINT
-        |      AS sxx_a,
-        |    sum(CASE WHEN g = '5-LOW' THEN x END)::HUGEINT AS sx_b,
-        |    sum(CASE WHEN g = '5-LOW' THEN x * x END)::HUGEINT AS sxx_b
-        |  FROM q),
-        |c AS (
-        |  SELECT n_a, n_b,
-        |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a,
-        |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_b,
-        |    CAST(n_a::HUGEINT * sxx_a - sx_a * sx_a AS DOUBLE)
-        |      / CAST(n_a * (n_a - 1) AS DOUBLE) / 10000.0 AS var_a,
-        |    CAST(n_b::HUGEINT * sxx_b - sx_b * sx_b AS DOUBLE)
-        |      / CAST(n_b * (n_b - 1) AS DOUBLE) / 10000.0 AS var_b
-        |  FROM m),
-        |s AS (
-        |  SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
-        |    var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)
-        |      AS se2
-        |  FROM c)
-        |SELECT n_a, n_b,
-        |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
-        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
-        |    round((mean_a - mean_b) / sqrt(se2), 6) END AS t_stat,
-        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
-        |    round(se2 * se2 / (
-        |      var_a * var_a / CAST(n_a * n_a * (n_a - 1) AS DOUBLE) +
-        |      var_b * var_b / CAST(n_b * n_b * (n_b - 1) AS DOUBLE)),
-        |      6) END AS df_welch
-        |FROM s""".stripMargin,
-
-    // support/confidence/lift from DISTINCT-basket counts.
-    "q250_association_rules" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS g, l_partkey::BIGINT AS item
-        |  FROM lineitem
-        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-        |pairs AS (
-        |  SELECT a.item AS u, b.item AS v, count(*)::BIGINT AS co_support
-        |  FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |marg AS (SELECT item, count(*)::BIGINT AS n FROM items
-        |         GROUP BY 1),
-        |tot AS (SELECT count(DISTINCT g)::BIGINT AS n_baskets FROM items)
-        |SELECT u, v, co_support, mu.n AS n_u, mv.n AS n_v, n_baskets,
-        |  round(CAST(co_support AS DOUBLE) / CAST(n_baskets AS DOUBLE),
-        |    6) AS support,
-        |  round(CAST(co_support AS DOUBLE) / CAST(mu.n AS DOUBLE), 6)
-        |    AS conf_u_v,
-        |  round(CAST(co_support AS DOUBLE) / CAST(mv.n AS DOUBLE), 6)
-        |    AS conf_v_u,
-        |  round(CAST(co_support AS DOUBLE) * CAST(n_baskets AS DOUBLE)
-        |    / (CAST(mu.n AS DOUBLE) * CAST(mv.n AS DOUBLE)), 6) AS lift
-        |FROM pairs
-        |JOIN marg mu ON pairs.u = mu.item
-        |JOIN marg mv ON pairs.v = mv.item
-        |CROSS JOIN tot
-        |ORDER BY lift DESC, u, v LIMIT 20""".stripMargin,
-
-    // 2x2 presence chi-square over per-document term counts; HUGEINT
-    // cells mirror the engine's DECIMAL(38,0) fold.
-    "q251_chi2_terms" ->
-      """WITH tot AS (
-        |  SELECT count(*)::BIGINT AS n_docs,
-        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
-        |      AS n_pos
-        |  FROM documents),
-        |dt AS (
-        |  SELECT DISTINCT doc_id, (lang = 'en') AS y,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |pt AS (
-        |  SELECT term, count(*)::BIGINT AS df_term,
-        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS df_pos
-        |  FROM dt GROUP BY 1 HAVING count(*) >= 5),
-        |cells AS (
-        |  SELECT term, df_term, df_pos,
-        |    df_pos::HUGEINT AS a, (df_term - df_pos)::HUGEINT AS b,
-        |    (n_pos - df_pos)::HUGEINT AS c,
-        |    (n_docs - n_pos - df_term + df_pos)::HUGEINT AS d,
-        |    n_docs::HUGEINT AS n
-        |  FROM pt CROSS JOIN tot)
-        |SELECT term, df_term, df_pos,
-        |  CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0 THEN
-        |    round(CAST(n * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
-        |      / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE),
-        |      6) END AS chi2
-        |FROM cells
-        |ORDER BY chi2 DESC NULLS LAST, term LIMIT 25""".stripMargin,
-
-    // nfc_normalize is DuckDB's own NFC — the engine's graft_nfc must
-    // agree on every changed-doc count and codepoint length.
-    "q252_nfc_audit" ->
-      s"""WITH d AS (
-         |  SELECT source, text || '$nfcSuffix' AS t
-         |  FROM documents WHERE text IS NOT NULL),
-         |n AS (SELECT source, t, nfc_normalize(t) AS nf FROM d)
-         |SELECT source AS slice, count(*)::BIGINT AS n_docs,
-         |  sum(CASE WHEN t <> nf THEN 1 ELSE 0 END)::BIGINT
-         |    AS n_changed,
-         |  sum(length(t))::BIGINT AS chars_raw,
-         |  sum(length(nf))::BIGINT AS chars_nfc
-         |FROM n GROUP BY 1 ORDER BY slice""".stripMargin,
-
-    // Theil-Sen/Mann-Kendall replay: identical md5-ranked cap, pair
-    // join, exact-int slopes, interpolated median.
-    "q253_theil_sen_trend" ->
-      s"""WITH series AS ($monthlyCentsSql),
-         |capped AS (
-         |  SELECT g, m AS x, cents AS y FROM (
-         |    SELECT g, m, cents, row_number() OVER (PARTITION BY g
-         |      ORDER BY md5(CAST(m AS VARCHAR) || '|' ||
-         |        CAST(cents AS VARCHAR)), m) AS r
-         |    FROM series) WHERE r <= 500),
-         |pairs AS (
-         |  SELECT a.g, (b.y - a.y) AS dy, (b.x - a.x) AS dx
-         |  FROM capped a JOIN capped b ON a.g = b.g AND a.x < b.x),
-         |agg AS (
-         |  SELECT g, count(*)::BIGINT AS n_pairs,
-         |    sum(sign(dy))::BIGINT AS mk_s,
-         |    round(quantile_cont(CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE),
-         |      0.5), 6) AS slope_med
-         |  FROM pairs GROUP BY g),
-         |npts AS (SELECT g, count(*)::BIGINT AS n_points FROM capped
-         |         GROUP BY g)
-         |SELECT npts.g AS o_orderpriority, n_points, n_pairs, mk_s,
-         |  slope_med
-         |FROM agg JOIN npts ON agg.g = npts.g
-         |ORDER BY o_orderpriority""".stripMargin,
-
-    // KS replay: distinct-lattice frame, integer deviation numerator,
-    // one division; argmax value with min-v tie-break.
-    "q254_ks_two_sample" ->
-      """WITH la AS (
-        |  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 1) AS BIGINT)
-        |    AS v
-        |  FROM orders
-        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL),
-        |lb AS (
-        |  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 1) AS BIGINT)
-        |    AS v
-        |  FROM orders
-        |  WHERE o_orderpriority = '5-LOW' AND o_totalprice IS NOT NULL),
-        |ca AS (SELECT v, count(*)::BIGINT AS na FROM la GROUP BY 1),
-        |cb AS (SELECT v, count(*)::BIGINT AS nb FROM lb GROUP BY 1),
-        |m AS (
-        |  SELECT coalesce(ca.v, cb.v) AS v,
-        |    coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb
-        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
-        |c AS (
-        |  SELECT v,
-        |    sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND CURRENT ROW)::BIGINT AS cma,
-        |    sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND CURRENT ROW)::BIGINT AS cmb,
-        |    (SELECT sum(na) FROM m)::BIGINT AS ta,
-        |    (SELECT sum(nb) FROM m)::BIGINT AS tb
-        |  FROM m),
-        |d AS (SELECT v, abs(cma * tb - cmb * ta)::BIGINT AS dev, ta, tb
-        |      FROM c)
-        |SELECT max(ta) AS n_a, max(tb) AS n_b,
-        |  CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN
-        |    round(CAST(max(dev) AS DOUBLE)
-        |      / CAST(max(ta) * max(tb) AS DOUBLE), 6) END AS d_stat,
-        |  (SELECT min(v) FROM d
-        |   WHERE dev = (SELECT max(dev) FROM d)) AS d_at
-        |FROM d""".stripMargin,
-
-    // chi-square independence replay: HUGEINT cells, 6dp DECIMAL term
-    // sum (order-independent), mirrored Cramer's V.
-    "q255_chi2_independence" ->
-      """WITH observed AS (
-        |  SELECT o_orderpriority AS a, o_orderstatus AS b,
-        |    count(*)::BIGINT AS o
-        |  FROM orders
-        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
-        |  GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT da.a, db.b
-        |  FROM (SELECT DISTINCT a FROM observed) da
-        |  CROSS JOIN (SELECT DISTINCT b FROM observed) db),
-        |cells AS (
-        |  SELECT grid.a, grid.b, coalesce(o, 0)::BIGINT AS o
-        |  FROM grid LEFT JOIN observed
-        |    ON grid.a = observed.a AND grid.b = observed.b),
-        |t AS (
-        |  SELECT a, b, o,
-        |    sum(o) OVER (PARTITION BY a)::HUGEINT AS rt,
-        |    sum(o) OVER (PARTITION BY b)::HUGEINT AS ct,
-        |    sum(o) OVER ()::HUGEINT AS n
-        |  FROM cells),
-        |terms AS (
-        |  SELECT n,
-        |    CAST(round(CAST((o::HUGEINT * n - rt * ct)
-        |        * (o::HUGEINT * n - rt * ct) AS DOUBLE)
-        |      / CAST(n * rt * ct AS DOUBLE), 6) AS DECIMAL(20,6)) AS term
-        |  FROM t),
-        |rc AS (SELECT count(DISTINCT a)::BIGINT AS r,
-        |              count(DISTINCT b)::BIGINT AS c FROM cells),
-        |s AS (SELECT CAST(max(n) AS BIGINT) AS n,
-        |             CAST(sum(term) AS DOUBLE) AS chi2 FROM terms)
-        |SELECT n, r, c, (r - 1) * (c - 1) AS dof, chi2,
-        |  CASE WHEN n > 0 AND least(r, c) > 1 THEN
-        |    round(sqrt(chi2 / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6)
-        |  END AS cramers_v
-        |FROM s CROSS JOIN rc""".stripMargin,
-
-    // CUSUM replay: cumulative-share deviation on the exact lattice,
-    // min-t argmax tie-break.
-    "q256_cusum_changepoint" ->
-      s"""WITH series AS ($monthlyCentsSql),
-         |sc AS (
-         |  SELECT g, m, cents,
-         |    sum(cents) OVER (PARTITION BY g ORDER BY m
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
-         |    row_number() OVER (PARTITION BY g ORDER BY m) AS i,
-         |    count(*) OVER (PARTITION BY g) AS n,
-         |    sum(cents) OVER (PARTITION BY g) AS tot
-         |  FROM series),
-         |d AS (
-         |  SELECT g, m, abs(s * n - tot * i)::BIGINT AS dev,
-         |    n::BIGINT AS n, tot::BIGINT AS tot
-         |  FROM sc),
-         |best AS (SELECT g, max(n) AS n_points, max(tot) AS y_total,
-         |                max(dev) AS dn
-         |         FROM d GROUP BY g),
-         |pick AS (
-         |  SELECT d.g, min(d.m) AS t_star
-         |  FROM d JOIN best ON d.g = best.g AND d.dev = best.dn
-         |  GROUP BY d.g)
-         |SELECT best.g AS o_orderpriority, n_points, y_total,
-         |  CASE WHEN y_total <> 0 THEN
-         |    round(CAST(dn AS DOUBLE) / (CAST(n_points AS DOUBLE)
-         |      * CAST(abs(y_total) AS DOUBLE)), 6) END AS d_stat,
-         |  t_star
-         |FROM best JOIN pick ON best.g = pick.g
-         |ORDER BY o_orderpriority""".stripMargin,
-
-    // BM25 serving replay off the shared retrieval ladder.
-    "q257_bm25_search" ->
-      s"""WITH $bm25SearchSql
-         |SELECT id, terms_hit, score FROM agg
-         |ORDER BY score DESC, id LIMIT 15""".stripMargin,
-
-    // hybrid RRF replay: lexical ladder + q27's cosine scan, both
-    // ranked (score desc, id), rank-filtered to each retriever's
-    // top-50, full-outer fused at c=60.
-    "q258_hybrid_rrf" ->
-      s"""WITH $bm25SearchSql,
-         |lexr AS (
-         |  SELECT id, row_number() OVER (ORDER BY score DESC, id)
-         |    ::BIGINT AS rank_a
-         |  FROM agg),
-         |lex AS (SELECT id, rank_a FROM lexr WHERE rank_a <= 50),
-         |semscore AS (
-         |  SELECT vec_id AS id,
-         |    round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
-         |      AS score
-         |  FROM embeddings, (SELECT embedding::DOUBLE[] AS qv
-         |    FROM embeddings WHERE vec_id = 0) q
-         |  WHERE vec_id <> 0),
-         |semr AS (
-         |  SELECT id, row_number() OVER (ORDER BY score DESC, id)
-         |    ::BIGINT AS rank_b
-         |  FROM semscore),
-         |sem AS (SELECT id, rank_b FROM semr WHERE rank_b <= 50),
-         |fused AS (
-         |  SELECT coalesce(lex.id, sem.id) AS id, rank_a, rank_b,
-         |    round(coalesce(1.0 / (60 + rank_a), 0.0) +
-         |      coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf
-         |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
-         |SELECT id, rank_a, rank_b, rrf FROM fused
-         |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
-
-    // wav-feature replay: samples from the synth closed form (doc_id
-    // >= 0, so SQL % equals floorMod), crossings via lag, silence
-    // runs via the islands trick over silent rows only.
-    "q265_wav_features" ->
-      """WITH d AS (SELECT doc_id, (doc_id % 50 + 10)::BIGINT AS nf
-        |  FROM documents WHERE doc_id % 7 = 3),
-        |s AS (SELECT d.doc_id, i.x AS i,
-        |    ((d.doc_id * 31 + i.x * 17) % 65536 - 32768)::BIGINT AS v
-        |  FROM d, range(0, 60) i(x) WHERE i.x < d.nf),
-        |f AS (SELECT doc_id, i, v,
-        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
-        |    CASE WHEN abs(v) <= 8000 THEN 1 ELSE 0 END AS sil
-        |  FROM s),
-        |runs AS (SELECT doc_id, i,
-        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
-        |      AS grp
-        |  FROM f WHERE sil = 1),
-        |runagg AS (SELECT doc_id, count(*)::BIGINT AS rl FROM runs
-        |           GROUP BY doc_id, grp),
-        |rstats AS (SELECT doc_id, count(*)::BIGINT AS n_runs,
-        |             max(rl)::BIGINT AS max_run
-        |           FROM runagg GROUP BY doc_id),
-        |base AS (SELECT doc_id, count(*)::BIGINT AS n_samples,
-        |    sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
-        |      THEN 1 ELSE 0 END)::BIGINT AS n_zero_cross,
-        |    sum(sil)::BIGINT AS n_silent
-        |  FROM f GROUP BY doc_id)
-        |SELECT b.doc_id, n_samples, n_zero_cross, n_silent,
-        |  coalesce(r.n_runs, 0)::BIGINT AS n_silence_runs,
-        |  coalesce(r.max_run, 0)::BIGINT AS max_silence_run
-        |FROM base b LEFT JOIN rstats r USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Q2 shape: the correlated min decorrelated exactly as the engine
-    // does it — the unit price is the RAW IEEE quotient (both engines
-    // divide the same two parquet doubles, so the bits agree; rounding
-    // it was the parity seam commit 02cdb06 removed), per-part min,
-    // equality join back with ties kept, DISTINCT collapsing repeat
-    // quotes
-    "q266_min_unit_price_supplier" ->
-      """WITH offers AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    l_extendedprice / l_quantity AS unit_price
-        |  FROM lineitem
-        |  JOIN part ON l_partkey = p_partkey
-        |  WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD'),
-        |mo AS (SELECT l_partkey AS mp, min(unit_price) AS min_price
-        |       FROM offers GROUP BY 1)
-        |SELECT DISTINCT p_partkey, p_name, min_price, s_name, n_name,
-        |  s_acctbal
-        |FROM offers
-        | JOIN mo ON l_partkey = mp AND unit_price = min_price
-        | JOIN part ON l_partkey = p_partkey
-        | JOIN supplier ON l_suppkey = s_suppkey
-        | JOIN nation ON s_nationkey = n_nationkey
-        |ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
-        |LIMIT 100""".stripMargin,
-
-    // Q7 shape: both directions between the two nations, grouped by
-    // (supp_nation, cust_nation, ship year)
-    "q267_nation_trade_flows" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        | year(l_shipdate)::BIGINT AS l_year,
-        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-        | count(*) AS n_items
-        |FROM lineitem
-        | JOIN orders ON l_orderkey = o_orderkey
-        | JOIN customer ON o_custkey = c_custkey
-        | JOIN supplier ON l_suppkey = s_suppkey
-        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-        |GROUP BY 1, 2, 3
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
-
-    // Q9 shape: profit = discounted revenue − retail-proportional
-    // cost, both terms on the DECIMAL(18,4) lattice
-    "q268_profit_by_nation_year" ->
-      """SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
-        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
-        |   - CAST(l_quantity * p_retailprice * 0.1 AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit,
-        | count(*) AS n_items
-        |FROM lineitem
-        | JOIN part ON l_partkey = p_partkey
-        | JOIN orders ON l_orderkey = o_orderkey
-        | JOIN supplier ON l_suppkey = s_suppkey
-        | JOIN nation ON s_nationkey = n_nationkey
-        |WHERE p_name LIKE '%widget%'
-        |GROUP BY 1, 2
-        |ORDER BY n_name, o_year DESC""".stripMargin,
-
-    // Q13 shape: LEFT join so order-less customers land in the zero
-    // bucket; count(o_orderkey) skips the null padding
-    "q269_order_count_distribution" ->
-      """WITH pc AS (
-        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
-        |  FROM customer
-        |  LEFT JOIN orders ON c_custkey = o_custkey
-        |    AND o_orderpriority <> '4-NOT SPECIFIED'
-        |  GROUP BY 1)
-        |SELECT c_count, count(*) AS custdist
-        |FROM pc GROUP BY 1
-        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
-
-    // Q15 shape: quarter revenue per supplier, winner(s) by equality
-    // with the scalar max — ties kept
-    "q270_top_supplier_revenue" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey,
-        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |    AND l_shipdate < TIMESTAMP '1997-04-01'
-        |  GROUP BY 1)
-        |SELECT s_suppkey, s_name, total_revenue
-        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
-        |ORDER BY s_suppkey""".stripMargin,
-
-    // Q17 shape: per-part avg-quantity threshold, single-row answer;
-    // 0.2 multiplies as a DOUBLE on both engines
-    "q271_small_quantity_revenue" ->
-      """WITH j AS (
-        |  SELECT l_partkey, l_quantity, l_extendedprice
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE p_brand = 'Brand#12'),
-        |aq AS (SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty
-        |       FROM j GROUP BY 1)
-        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
-        |  count(*) AS n_items
-        |FROM j JOIN aq ON l_partkey = ap
-        |  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
-
-    // Q18 shape: big orders first (HAVING over lineitem), join back
-    "q272_large_orders" ->
-      """WITH big AS (
-        |  SELECT l_orderkey AS bk, sum(l_quantity) AS total_qty
-        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
-        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
-        |FROM customer
-        | JOIN orders ON c_custkey = o_custkey
-        | JOIN big ON o_orderkey = bk
-        |ORDER BY total_qty DESC, o_orderkey ASC
-        |LIMIT 20""".stripMargin,
-
-    // Q21 shape: EXISTS other-supplier line, NOT EXISTS other-supplier
-    // returned line; distinct orders per supplier
-    "q273_sole_returner" ->
-      """SELECT s_suppkey, s_name,
-        |  count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
-        |FROM lineitem l1
-        | JOIN supplier ON l1.l_suppkey = s_suppkey
-        |WHERE l1.l_returnflag = 'R'
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey
-        |      AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey
-        |      AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_returnflag = 'R')
-        |GROUP BY 1, 2
-        |ORDER BY numwait DESC, s_suppkey ASC
-        |LIMIT 20""".stripMargin,
-
-    // Q22 shape: above-average balance AND no recent orders, rolled
-    // up per nation; balances fold on the DECIMAL(18,2) lattice and
-    // the above-average cut is the exact cross-multiply bal*n > sum
-    // (the DECIMAL(19,0) cast forces int128 multiply in DuckDB)
-    "q274_dormant_rich_customers" ->
-      """WITH ab AS (
-        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sb,
-        |         CAST(count(*) AS DECIMAL(19,0)) AS nb
-        |  FROM customer WHERE c_acctbal > 0)
-        |SELECT n_name, count(*) AS numcust,
-        | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
-        |FROM customer
-        | JOIN nation ON c_nationkey = n_nationkey
-        | CROSS JOIN ab
-        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * nb > sb
-        |  AND NOT EXISTS (SELECT 1 FROM orders
-        |    WHERE o_custkey = c_custkey
-        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
-        |GROUP BY 1
-        |ORDER BY n_name""".stripMargin,
-
-    // Q11 shape: parts above 1.5x the mean part revenue —
-    // val*np*2 > tot*3 on the exact decimal lattice, no division
-    "q275_revenue_share_parts" ->
-      """WITH pp AS (
-        |  SELECT l_partkey,
-        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS val
-        |  FROM lineitem GROUP BY 1),
-        |t AS (SELECT sum(val) AS tv, count(*) AS np FROM pp)
-        |SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS value
-        |FROM pp, t
-        |WHERE val * np * 2 > tv * 3
-        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
-
-    // funnel replay: the q19 token count, the q24 fingerprint window,
-    // the q202 blocklist rule, and the q89 cap window chained
-    "q300_curation_funnel" ->
-      """WITH d0 AS (SELECT doc_id, source, text,
-        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt
-        |  FROM documents),
-        |s1 AS (SELECT * FROM d0 WHERE nt BETWEEN 30 AND 100000),
-        |s2 AS (SELECT * FROM s1
-        |  QUALIFY row_number() OVER (
-        |    PARTITION BY md5(regexp_replace(lower(trim(text)),
-        |      '\s+', ' ', 'g'))
-        |    ORDER BY doc_id) = 1),
-        |s3 AS (SELECT * FROM s2
-        |  WHERE len(regexp_extract_all(text, '(?i)\bslow\b')) <= 2),
-        |s4 AS (SELECT * FROM s3
-        |  QUALIFY row_number() OVER (PARTITION BY source
-        |    ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR
-        |      || 'funnel'), 1, 8)) AS UBIGINT) / 4294967296.0 ASC,
-        |      doc_id ASC) <= 50)
-        |SELECT '0_all' AS stage, count(*) AS n_rows,
-        |  sum(nt)::BIGINT AS n_tokens FROM d0
-        |UNION ALL SELECT '1_length', count(*), sum(nt)::BIGINT FROM s1
-        |UNION ALL SELECT '2_dedup', count(*), sum(nt)::BIGINT FROM s2
-        |UNION ALL SELECT '3_blocklist', count(*), sum(nt)::BIGINT
-        |  FROM s3
-        |UNION ALL SELECT '4_cap', count(*), sum(nt)::BIGINT FROM s4
-        |ORDER BY stage""".stripMargin,
-
-    // lattice-quantile replay: same buckets, same cumulative window,
-    // same integer thresholds
-    "q299_lattice_quantiles" ->
-      """WITH b AS (SELECT l_returnflag AS k,
-        |    floor(l_extendedprice / 1000.0)::BIGINT AS bu,
-        |    count(*)::BIGINT AS c
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
-        |  GROUP BY 1, 2),
-        |cu AS (SELECT k, bu, c,
-        |    sum(c) OVER (PARTITION BY k ORDER BY bu
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      ::BIGINT AS cum,
-        |    sum(c) OVER (PARTITION BY k)::BIGINT AS n
-        |  FROM b)
-        |SELECT k AS l_returnflag, min(n) AS n,
-        |  min(CASE WHEN cum >= (n * 250 + 999) // 1000 THEN bu END)
-        |    AS q250_bucket,
-        |  min(CASE WHEN cum >= (n * 250 + 999) // 1000 THEN bu END)
-        |    * 1000.0 AS q250_est,
-        |  min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN bu END)
-        |    AS q500_bucket,
-        |  min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN bu END)
-        |    * 1000.0 AS q500_est,
-        |  min(CASE WHEN cum >= (n * 750 + 999) // 1000 THEN bu END)
-        |    AS q750_bucket,
-        |  min(CASE WHEN cum >= (n * 750 + 999) // 1000 THEN bu END)
-        |    * 1000.0 AS q750_est,
-        |  min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN bu END)
-        |    AS q990_bucket,
-        |  min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN bu END)
-        |    * 1000.0 AS q990_est
-        |FROM cu GROUP BY k
-        |ORDER BY l_returnflag""".stripMargin,
-
-    // imputation replay: same damage, quantile_cont median, same
-    // decimal fill-sum
-    "q297_impute_nulls" ->
-      """WITH d AS (SELECT o_orderpriority,
-        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
-        |         ELSE o_totalprice END AS price
-        |  FROM orders),
-        |m AS (SELECT o_orderpriority AS mk,
-        |    quantile_cont(price, 0.5) AS med
-        |  FROM d GROUP BY 1)
-        |SELECT o_orderpriority, count(*) AS n,
-        |  sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_imputed,
-        |  round(min(med), 4) AS median_used,
-        |  CAST(round(sum(CAST(coalesce(price, med) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_filled
-        |FROM d JOIN m ON o_orderpriority = mk
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
-
-    // z-score replay: identical decimal moments + the same closing
-    // IEEE mean/variance/sqrt tree, same 3-sigma count
-    "q298_zscore_audit" ->
-      """WITH x AS (SELECT l_returnflag,
-        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS v
-        |  FROM lineitem),
-        |m AS (SELECT l_returnflag AS mk, count(*)::BIGINT AS n,
-        |    -- the DECIMAL(19,4) cast forces int128 multiply lanes
-        |    -- (DuckDB's 18-digit decimals multiply in int64 and
-        |    -- overflow); the product is the same exact value Spark's
-        |    -- (18,4)x(18,4) -> (37,8) computes
-        |    sum(v) AS s, sum(CAST(v AS DECIMAL(19,4)) * v) AS q
-        |  FROM x GROUP BY 1),
-        |mm AS (SELECT mk, n, s::DOUBLE / n AS mean,
-        |    sqrt(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
-        |      AS std
-        |  FROM m)
-        |SELECT l_returnflag, count(*) AS n,
-        |  round(min(mean), 6) AS mean, round(min(std), 6) AS std,
-        |  sum(CASE WHEN abs(v::DOUBLE - mean) > 3.0 * std
-        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
-        |FROM x JOIN mm ON l_returnflag = mk
-        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
-
-    // mode replay: the row_number argmax definition (n DESC, v ASC)
-    "q293_mode_quantity" ->
-      """WITH c AS (SELECT l_returnflag AS k, l_quantity AS v,
-        |    count(*)::BIGINT AS n
-        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2)
-        |SELECT k AS l_returnflag, v AS mode, n AS n_mode
-        |FROM (SELECT *, row_number() OVER (PARTITION BY k
-        |    ORDER BY n DESC, v ASC) AS rk FROM c) t
-        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
-
-    // encoding replay: DECIMAL sums, the same two closing divisions
-    "q294_target_encoding" ->
-      """WITH cat AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
-        |  FROM orders GROUP BY 1),
-        |g AS (SELECT sum(n)::BIGINT AS gn, sum(s) AS gs FROM cat)
-        |SELECT o_orderpriority, n,
-        |  round((s::DOUBLE + 10.0 * (gs::DOUBLE / gn::DOUBLE))
-        |    / (n::DOUBLE + 10.0), 6) AS encoding
-        |FROM cat, g ORDER BY o_orderpriority""".stripMargin,
-
-    // heatmap replay: identical integral bins, decimal revenue
-    "q295_qty_price_heatmap" ->
-      """SELECT floor((l_quantity - 1) / 5.0)::BIGINT AS q_bin,
-        |  floor(l_extendedprice / 10000.0)::BIGINT AS p_bin,
-        |  count(*) AS n,
-        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem GROUP BY 1, 2
-        |ORDER BY q_bin, p_bin""".stripMargin,
-
-    // grouping-sets replay: DuckDB native GROUPING SETS + GROUPING()
-    // (Spark's grouping_id over two cols == 2*g(a) + g(b))
-    "q296_grouping_sets" ->
-      """SELECT (2 * grouping(o_orderpriority)
-        |    + grouping(o_orderstatus))::BIGINT AS gid,
-        |  o_orderpriority, o_orderstatus, count(*) AS n,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-        |  (o_orderpriority), (o_orderstatus))
-        |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
-        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
-
-    // Venn replay: same sorted-member combo key, same two grains
-    "q291_event_type_venn" ->
-      """WITH u AS (SELECT user_id,
-        |    list_sort(list(DISTINCT event_type)) AS types
-        |  FROM events WHERE event_id % 17 = 0 GROUP BY 1)
-        |SELECT list_aggregate(types, 'string_agg', '+') AS combo,
-        |  count(*) AS n_users
-        |FROM u GROUP BY 1
-        |ORDER BY n_users DESC, combo ASC""".stripMargin,
-
-    // multi-touch replay: same interval pairs, same per-purchase
-    // touch counts, same 6dp per-pair credit
-    "q292_multi_touch_credit" ->
-      """WITH c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us,
-        |    event_id AS c_id FROM events WHERE event_type = 'click'),
-        |p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_us,
-        |    event_id AS p_id FROM events WHERE event_type = 'purchase'),
-        |pairs AS (SELECT * FROM c JOIN p ON c_user = p_user
-        |  AND c_us <= p_us AND c_us >= p_us - 3600000000),
-        |pt AS (SELECT p_id AS pp, count(*)::BIGINT AS n_touch
-        |  FROM pairs GROUP BY 1)
-        |SELECT c_user, count(*) AS n_pairs,
-        |  sum(1000000 // n_touch)::BIGINT AS credit_micro
-        |FROM pairs JOIN pt ON p_id = pp
-        |GROUP BY 1
-        |ORDER BY credit_micro DESC, c_user ASC""".stripMargin,
-
-    // string_agg replay: DuckDB's native ordered aggregation with the
-    // identical (date, key) total order
-    "q290_order_history_concat" ->
-      """SELECT o_custkey, count(*) AS n_orders,
-        |  string_agg(o_orderkey::VARCHAR, ','
-        |    ORDER BY epoch_us(o_orderdate), o_orderkey) AS history
-        |FROM orders GROUP BY 1
-        |ORDER BY o_custkey""".stripMargin,
-
-    // accent-fold replay: same two variants (composed via the literal,
-    // decomposed via chr(769)), DuckDB's own strip_accents as the fold
-    // (parity with NFD-strip spot-checked across the Latin fixtures)
-    "q289_accent_fold_keys" ->
-      """WITH v AS (SELECT source, doc_id,
-        |    unnest([replace(text, 'e', 'é'),
-        |            replace(text, 'e', 'e' || chr(769))]) AS t
-        |  FROM documents),
-        |d AS (SELECT source, doc_id,
-        |    count(DISTINCT t)::BIGINT AS ndr,
-        |    count(DISTINCT strip_accents(t))::BIGINT AS ndf
-        |  FROM v GROUP BY 1, 2)
-        |SELECT source, count(*) AS n_docs,
-        |  sum(ndr)::BIGINT AS raw_variants,
-        |  sum(ndf)::BIGINT AS folded_variants
-        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
-
-    // trimmed-mean replay: quantile_cont fences (the established
-    // percentile parity), conditional average inside the band
-    "q288_trimmed_mean" ->
-      """WITH f AS (SELECT o_orderpriority AS k,
-        |    quantile_cont(o_totalprice, 0.05) AS lo,
-        |    quantile_cont(o_totalprice, 0.95) AS hi
-        |  FROM orders GROUP BY 1)
-        |SELECT o_orderpriority, count(*) AS n,
-        |  sum(CASE WHEN o_totalprice BETWEEN lo AND hi
-        |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-        |  round(avg(o_totalprice), 4) AS mean,
-        |  round(avg(CASE WHEN o_totalprice BETWEEN lo AND hi
-        |      THEN o_totalprice END), 4) AS trimmed_mean,
-        |  round(min(lo), 4) AS lo, round(min(hi), 4) AS hi
-        |FROM orders JOIN f ON o_orderpriority = k
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-
-    // resample replay: same bucket pick (latest ts, value tie-break),
-    // same dense grid, same IGNORE NULLS forward-fill window
-    "q287_resample_fill" ->
-      """WITH obs AS (SELECT k, b, v FROM (
-        |    SELECT event_type AS k,
-        |      epoch_us(ts) // 21600000000 AS b, value AS v,
-        |      row_number() OVER (
-        |        PARTITION BY event_type, epoch_us(ts) // 21600000000
-        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rk
-        |    FROM events WHERE value IS NOT NULL) t WHERE rk = 1),
-        |sp AS (SELECT k, min(b) AS lo, max(b) AS hi FROM obs
-        |       GROUP BY 1),
-        |g AS (SELECT k, unnest(range(lo, hi + 1)) AS b FROM sp),
-        |j AS (SELECT g.k, g.b, obs.v
-        |      FROM g LEFT JOIN obs ON obs.k = g.k AND obs.b = g.b)
-        |SELECT k AS event_type, (b * 21600000000)::BIGINT AS bucket_us,
-        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-        |  (v IS NOT NULL) AS is_observed
-        |FROM j ORDER BY event_type, bucket_us""".stripMargin,
-
-    // checksum replay: same row hash (md5 over chr(1)-joined values,
-    // chr(2) null sentinel), same bucket/xor/mod-sum folds on both
-    // snapshots, same full-outer disagreement filter
-    "q286_replica_checksum_diff" ->
-      """WITH a0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-        |    o_orderpriority FROM orders),
-        |b0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 997 = 0
-        |      THEN CAST(o_totalprice + 1 AS DECIMAL(18,2))
-        |      ELSE o_totalprice END AS o_totalprice,
-        |    o_orderpriority FROM a0),
-        |ha AS (SELECT CAST(('0x' || substr(md5(
-        |      coalesce(o_orderkey::VARCHAR, chr(2)) || chr(1) ||
-        |      coalesce(o_custkey::VARCHAR, chr(2)) || chr(1) ||
-        |      coalesce(o_orderstatus, chr(2)) || chr(1) ||
-        |      coalesce(o_totalprice::VARCHAR, chr(2)) || chr(1) ||
-        |      coalesce(o_orderpriority, chr(2))), 1, 15))
-        |    AS UBIGINT)::BIGINT AS h FROM a0),
-        |hb AS (SELECT CAST(('0x' || substr(md5(
-        |      coalesce(o_orderkey::VARCHAR, chr(2)) || chr(1) ||
-        |      coalesce(o_custkey::VARCHAR, chr(2)) || chr(1) ||
-        |      coalesce(o_orderstatus, chr(2)) || chr(1) ||
-        |      coalesce(o_totalprice::VARCHAR, chr(2)) || chr(1) ||
-        |      coalesce(o_orderpriority, chr(2))), 1, 15))
-        |    AS UBIGINT)::BIGINT AS h FROM b0),
-        |ca AS (SELECT h % 64 AS bucket, count(*)::BIGINT AS n_a,
-        |    bit_xor(h)::BIGINT AS xor_a,
-        |    sum(h % 1000003)::BIGINT AS sum_a FROM ha GROUP BY 1),
-        |cb AS (SELECT h % 64 AS bucket, count(*)::BIGINT AS n_b,
-        |    bit_xor(h)::BIGINT AS xor_b,
-        |    sum(h % 1000003)::BIGINT AS sum_b FROM hb GROUP BY 1)
-        |SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
-        |  n_a, n_b, xor_a, xor_b, sum_a, sum_b
-        |FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
-        |WHERE n_a IS DISTINCT FROM n_b
-        |   OR xor_a IS DISTINCT FROM xor_b
-        |   OR sum_a IS DISTINCT FROM sum_b
-        |ORDER BY bucket""".stripMargin,
-
-    // script replay: same closed-form damage, same block regexes with
-    // the 'g' flag (DuckDB replaces first-match by default), same
-    // fixed latin > cyrillic > cjk tie order
-    "q285_script_profile" ->
-      """WITH d AS (SELECT source,
-        |    CASE WHEN doc_id % 7 = 0
-        |           THEN repeat('ж', (doc_id % 5 + 1)::INT)
-        |         WHEN doc_id % 7 = 1
-        |           THEN repeat('中', (doc_id % 4 + 1)::INT)
-        |         WHEN doc_id % 7 = 2 THEN '12345 !?'
-        |         ELSE text || repeat('ж', (doc_id % 4)::INT)
-        |    END AS t
-        |  FROM documents),
-        |p AS (SELECT source,
-        |    length(regexp_replace(t, '[^A-Za-z]', '', 'g'))::BIGINT
-        |      AS lat,
-        |    length(regexp_replace(t, '[^Ѐ-ӿ]', '', 'g'))::BIGINT AS cyr,
-        |    length(regexp_replace(t, '[^一-鿿]', '', 'g'))::BIGINT
-        |      AS cjk
-        |  FROM d),
-        |c AS (SELECT source, lat, cyr, cjk,
-        |    CASE WHEN lat = 0 AND cyr = 0 AND cjk = 0 THEN 'none'
-        |         WHEN lat >= cyr AND lat >= cjk THEN 'latin'
-        |         WHEN cyr >= cjk THEN 'cyrillic'
-        |         ELSE 'cjk' END AS dominant
-        |  FROM p)
-        |SELECT source, dominant, count(*) AS n_docs,
-        |  sum(lat)::BIGINT AS n_latin, sum(cyr)::BIGINT AS n_cyrillic,
-        |  sum(cjk)::BIGINT AS n_cjk
-        |FROM c GROUP BY 1, 2
-        |ORDER BY source, dominant""".stripMargin,
-
-    // Spearman replay: identical rank construction — rx over
-    // (x, y, id), ry over (y, rx): ry's tie-break is rx itself, so
-    // fully-duplicate rows cannot pair differently across engines
-    "q284_spearman_by_flag" ->
-      """WITH b AS (SELECT l_returnflag AS k, l_quantity AS x,
-        |    l_extendedprice AS y,
-        |    l_orderkey * 100 + l_linenumber AS id
-        |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-        |r1 AS (SELECT k, y,
-        |    row_number() OVER (PARTITION BY k
-        |      ORDER BY x ASC, y ASC, id ASC)::BIGINT AS rx
-        |  FROM b),
-        |r AS (SELECT k, rx,
-        |    row_number() OVER (PARTITION BY k ORDER BY y ASC, rx ASC)
-        |      ::BIGINT AS ry
-        |  FROM r1),
-        |a AS (SELECT k, count(*)::BIGINT AS n,
-        |    sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2
-        |  FROM r GROUP BY 1)
-        |SELECT k AS l_returnflag, n, sum_d2,
-        |  CASE WHEN n < 2 THEN NULL
-        |    ELSE round(1.0 - (6.0 * sum_d2::DOUBLE)
-        |      / ((n * (n * n - 1))::DOUBLE), 6) END AS rho
-        |FROM a ORDER BY l_returnflag""".stripMargin,
-
-    // rendezvous replay: argmax by hex md5 DESC per candidate range —
-    // the definitional row_number formulation of the same argmax
-    "q283_rendezvous_reshard" ->
-      """WITH a AS (SELECT doc_id, s AS shard_8 FROM (
-        |    SELECT d.doc_id, r.s, row_number() OVER (
-        |      PARTITION BY d.doc_id
-        |      ORDER BY md5(d.doc_id::VARCHAR || ':' || r.s::VARCHAR)
-        |        DESC, r.s) AS rk
-        |    FROM documents d, range(0, 8) r(s)) t WHERE rk = 1),
-        |b AS (SELECT doc_id, s AS shard_9 FROM (
-        |    SELECT d.doc_id, r.s, row_number() OVER (
-        |      PARTITION BY d.doc_id
-        |      ORDER BY md5(d.doc_id::VARCHAR || ':' || r.s::VARCHAR)
-        |        DESC, r.s) AS rk
-        |    FROM documents d, range(0, 9) r(s)) t WHERE rk = 1)
-        |SELECT shard_8, shard_9, count(*) AS n_docs
-        |FROM a JOIN b USING (doc_id)
-        |GROUP BY 1, 2
-        |ORDER BY shard_8, shard_9""".stripMargin,
-
-    // decay replay: identical bucket/shift arithmetic — age div
-    // half-life clamped at 62, 2^40 >> bucket, BIGINT sum
-    "q282_decayed_popularity" ->
-      """SELECT event_type, count(*) AS n,
-        |  sum(1099511627776::BIGINT >> least(
-        |    (1706745600000000 - epoch_us(ts)) // 604800000000,
-        |    62))::BIGINT AS decayed
-        |FROM events
-        |WHERE epoch_us(ts) <= 1706745600000000
-        |GROUP BY 1
-        |ORDER BY decayed DESC, event_type ASC""".stripMargin,
-
-    // BFS replay: the q222 edge CTEs on host STRINGS (ids are engine-
-    // internal — reachability needs no hashing), two unrolled layers:
-    // seeds at 0, new dsts at 1, new dsts of layer 1 at 2
-    "q281_crawl_frontier" ->
-      s"""WITH hh AS (SELECT doc_id,
-         |    ${duckFakeHost("doc_id")} AS hsrc,
-         |    ${duckFakeHost("doc_id + 1")} AS h1,
-         |    ${duckFakeHost("3 * doc_id + 5")} AS h2
-         |  FROM documents),
-         |le AS (SELECT hsrc AS src_host, h1 AS dst_host FROM hh
-         |       UNION ALL SELECT hsrc, h2 FROM hh),
-         |e0 AS (SELECT DISTINCT src_host, dst_host
-         |       FROM le WHERE src_host <> dst_host),
-         |v0 AS (SELECT host FROM (
-         |    SELECT src_host AS host FROM e0
-         |    UNION SELECT dst_host FROM e0)
-         |  WHERE host LIKE 'www.d0.%'),
-         |f1 AS (SELECT DISTINCT e0.dst_host AS host
-         |  FROM e0 JOIN v0 ON e0.src_host = v0.host
-         |  WHERE e0.dst_host NOT IN (SELECT host FROM v0)),
-         |f2 AS (SELECT DISTINCT e0.dst_host AS host
-         |  FROM e0 JOIN f1 ON e0.src_host = f1.host
-         |  WHERE e0.dst_host NOT IN (SELECT host FROM v0)
-         |    AND e0.dst_host NOT IN (SELECT host FROM f1))
-         |SELECT host, 0::BIGINT AS depth FROM v0
-         |UNION ALL SELECT host, 1 FROM f1
-         |UNION ALL SELECT host, 2 FROM f2
-         |ORDER BY depth, host""".stripMargin,
-
-    // IVM replay: state from the base slice, the signed delta
-    // aggregate, and the merge algebra spelled out — the boundary-hit
-    // rule (del_min <= min_v OR del_max >= max_v, or a new group with
-    // any retraction) nulls min/max and raises needs_rescan
-    "q280_incremental_agg_state" ->
-      """WITH base AS (SELECT o_custkey,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v, o_orderkey
-        |  FROM orders WHERE o_orderkey % 10 <> 7),
-        |st AS (SELECT o_custkey, count(*)::BIGINT AS n, sum(v) AS sum_v,
-        |    min(v) AS min_v, max(v) AS max_v FROM base GROUP BY 1),
-        |delta AS (
-        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
-        |    1 AS op FROM orders WHERE o_orderkey % 10 = 7
-        |  UNION ALL
-        |  SELECT o_custkey, v, -1 FROM base WHERE o_orderkey % 10 = 3),
-        |da AS (SELECT o_custkey, sum(op)::BIGINT AS dn,
-        |    sum(op * v) AS dsum,
-        |    min(CASE WHEN op > 0 THEN v END) AS ins_min,
-        |    max(CASE WHEN op > 0 THEN v END) AS ins_max,
-        |    min(CASE WHEN op < 0 THEN v END) AS del_min,
-        |    max(CASE WHEN op < 0 THEN v END) AS del_max
-        |  FROM delta GROUP BY 1),
-        |m AS (SELECT coalesce(st.o_custkey, da.o_custkey) AS o_custkey,
-        |    (coalesce(st.n, 0) + coalesce(da.dn, 0))::BIGINT AS n,
-        |    CASE WHEN st.sum_v IS NULL THEN da.dsum
-        |         WHEN da.dsum IS NULL THEN st.sum_v
-        |         ELSE st.sum_v + da.dsum END AS sum_v,
-        |    (da.del_min IS NOT NULL AND (st.min_v IS NULL
-        |      OR da.del_min <= st.min_v
-        |      OR da.del_max >= st.max_v)) AS dirty,
-        |    st.min_v, st.max_v, da.ins_min, da.ins_max
-        |  FROM st FULL OUTER JOIN da ON st.o_custkey = da.o_custkey)
-        |SELECT o_custkey, n, CAST(round(sum_v, 2) AS DOUBLE) AS sum_v,
-        |  CAST(CASE WHEN dirty THEN NULL
-        |    WHEN min_v IS NULL THEN ins_min
-        |    WHEN ins_min IS NULL THEN min_v
-        |    ELSE least(min_v, ins_min) END AS DOUBLE) AS min_v,
-        |  CAST(CASE WHEN dirty THEN NULL
-        |    WHEN max_v IS NULL THEN ins_max
-        |    WHEN ins_max IS NULL THEN max_v
-        |    ELSE greatest(max_v, ins_max) END AS DOUBLE) AS max_v,
-        |  dirty AS needs_rescan
-        |FROM m WHERE n > 0
-        |ORDER BY o_custkey""".stripMargin,
-
-    // k-center replay: seed = min id, then 7 unrolled greedy rounds,
-    // each picking the (min max-cosine, min id) candidate — every CTE
-    // MATERIALIZED (the q262 discipline: selR is referenced 3x by
-    // round R+1, inlined CTEs would re-evaluate exponentially)
-    "q279_kcenter_coreset" -> {
-      val rounds = (2 to 8).map { r =>
-        s"""m$r AS MATERIALIZED (
-           |  SELECT c2.id,
-           |    max(round(list_cosine_similarity(c2.vec, s.vec), 6))
-           |      AS msim
-           |  FROM cand c2, cand s
-           |  WHERE s.id IN (SELECT id FROM sel${r - 1})
-           |    AND c2.id NOT IN (SELECT id FROM sel${r - 1})
-           |  GROUP BY c2.id),
-           |s$r AS MATERIALIZED (
-           |  SELECT $r::BIGINT AS rank, id, msim AS coverage
-           |  FROM m$r ORDER BY msim ASC, id ASC LIMIT 1),
-           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
-           |          UNION ALL SELECT * FROM s$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH cand AS MATERIALIZED (
-         |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec
-         |  FROM embeddings WHERE vec_id < 60),
-         |s1 AS MATERIALIZED (SELECT 1::BIGINT AS rank, min(id) AS id,
-         |    NULL::DOUBLE AS coverage FROM cand),
-         |sel1 AS MATERIALIZED (SELECT * FROM s1),
-         |$rounds
-         |SELECT rank, id, coverage FROM sel8 ORDER BY rank""".stripMargin
-    },
-
-    // HITS replay: the q222 edge CTEs + two unrolled (auth, hub)
-    // half-round pairs, each L∞-renormalized with `//` (== Spark div
-    // on the non-negative lattice); h0 = scale on every node
-    "q278_host_hits" ->
-      s"""WITH hh AS (SELECT doc_id,
-         |    ${duckFakeHost("doc_id")} AS hsrc,
-         |    ${duckFakeHost("doc_id + 1")} AS h1,
-         |    ${duckFakeHost("3 * doc_id + 5")} AS h2
-         |  FROM documents),
-         |le AS (SELECT hsrc AS src_host, h1 AS dst_host FROM hh
-         |       UNION ALL SELECT hsrc, h2 FROM hh),
-         |e0 AS (SELECT src_host, dst_host, count(*)::BIGINT AS weight
-         |       FROM le WHERE src_host <> dst_host GROUP BY 1, 2),
-         |e AS (SELECT
-         |    CAST(('0x' || substr(md5(src_host),1,15)) AS UBIGINT)::BIGINT AS src,
-         |    CAST(('0x' || substr(md5(dst_host),1,15)) AS UBIGINT)::BIGINT AS dst,
-         |    weight FROM e0),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |h0 AS (SELECT node, 1000000::BIGINT AS hub FROM nodes),
-         |a1r AS (SELECT nd.node, COALESCE(m.m, 0)::BIGINT AS raw
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.dst AS node, sum(h.hub * e.weight)::BIGINT AS m
-         |    FROM e JOIN h0 h ON e.src = h.node GROUP BY 1) m
-         |  USING (node)),
-         |a1 AS (SELECT node, CASE WHEN (SELECT max(raw) FROM a1r) > 0
-         |    THEN (raw * 1000000) // (SELECT max(raw) FROM a1r)
-         |    ELSE 0 END::BIGINT AS auth FROM a1r),
-         |h1r AS (SELECT nd.node, COALESCE(m.m, 0)::BIGINT AS raw
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.src AS node, sum(a.auth * e.weight)::BIGINT AS m
-         |    FROM e JOIN a1 a ON e.dst = a.node GROUP BY 1) m
-         |  USING (node)),
-         |h1 AS (SELECT node, CASE WHEN (SELECT max(raw) FROM h1r) > 0
-         |    THEN (raw * 1000000) // (SELECT max(raw) FROM h1r)
-         |    ELSE 0 END::BIGINT AS hub FROM h1r),
-         |a2r AS (SELECT nd.node, COALESCE(m.m, 0)::BIGINT AS raw
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.dst AS node, sum(h.hub * e.weight)::BIGINT AS m
-         |    FROM e JOIN h1 h ON e.src = h.node GROUP BY 1) m
-         |  USING (node)),
-         |a2 AS (SELECT node, CASE WHEN (SELECT max(raw) FROM a2r) > 0
-         |    THEN (raw * 1000000) // (SELECT max(raw) FROM a2r)
-         |    ELSE 0 END::BIGINT AS auth FROM a2r),
-         |h2r AS (SELECT nd.node, COALESCE(m.m, 0)::BIGINT AS raw
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.src AS node, sum(a.auth * e.weight)::BIGINT AS m
-         |    FROM e JOIN a2 a ON e.dst = a.node GROUP BY 1) m
-         |  USING (node)),
-         |h2 AS (SELECT node, CASE WHEN (SELECT max(raw) FROM h2r) > 0
-         |    THEN (raw * 1000000) // (SELECT max(raw) FROM h2r)
-         |    ELSE 0 END::BIGINT AS hub FROM h2r),
-         |hosts AS (SELECT host,
-         |    CAST(('0x' || substr(md5(host),1,15)) AS UBIGINT)::BIGINT AS node
-         |  FROM (SELECT src_host AS host FROM e0
-         |        UNION SELECT dst_host FROM e0))
-         |SELECT hosts.host, h2.hub, a2.auth
-         |FROM hosts JOIN h2 USING (node) JOIN a2 USING (node)
-         |ORDER BY auth DESC, host ASC""".stripMargin,
-
-    // the window DEFINITION of graft_topk's bounded heap: row_number
-    // over (revenue DESC, zero-padded key ASC), rank <= 3
-    "q277_topk_per_nation" ->
-      """WITH rev AS (
-        |  SELECT n_name, c_custkey,
-        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-        |  FROM lineitem
-        |   JOIN orders ON l_orderkey = o_orderkey
-        |   JOIN customer ON o_custkey = c_custkey
-        |   JOIN nation ON c_nationkey = n_nationkey
-        |  GROUP BY 1, 2),
-        |r AS (SELECT n_name, c_custkey, revenue,
-        |    row_number() OVER (PARTITION BY n_name
-        |      ORDER BY revenue DESC,
-        |        lpad(c_custkey::VARCHAR, 8, '0') ASC) AS rk
-        |  FROM rev)
-        |SELECT n_name, rk::BIGINT AS rank, c_custkey, revenue
-        |FROM r WHERE rk <= 3
-        |ORDER BY n_name, rank""".stripMargin,
-
-    // Q19 shape: OR-of-conjunctions join residual, one row out
-    "q276_disjunctive_band_join" ->
-      """SELECT
-        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-        | count(*) AS n_items
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
-        |       AND l_quantity BETWEEN 1 AND 11)
-        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
-        |       AND l_quantity BETWEEN 10 AND 20)
-        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 50
-        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
-
-    // resize replay: the q224 closed form pushed through the box
-    // filter — every output pixel is the floor mean of its 2x2 block,
-    // generated per (oy, ox, dy, dx) and aggregated per channel.
-    "q264_bmp_resize_stats" ->
-      """WITH d AS (SELECT doc_id, (doc_id % 8 + 2)::BIGINT AS w,
-        |    ((doc_id * 3) % 8 + 2)::BIGINT AS h
-        |  FROM documents WHERE doc_id % 7 = 0),
-        |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
-        |cells AS (
-        |  SELECT o.doc_id, oy.x AS oy, ox.x AS ox,
-        |    (sum((o.doc_id*7 + (oy.x*2 + dy.x)*3 + (ox.x*2 + dx.x))
-        |      % 256) // 4)::INT AS b,
-        |    (sum((o.doc_id*11 + (oy.x*2 + dy.x)*5 + (ox.x*2 + dx.x)*2)
-        |      % 256) // 4)::INT AS g,
-        |    (sum((o.doc_id*13 + (oy.x*2 + dy.x)*7 + (ox.x*2 + dx.x)*3)
-        |      % 256) // 4)::INT AS r
-        |  FROM o, range(0, 4) oy(x), range(0, 4) ox(x),
-        |       range(0, 2) dy(x), range(0, 2) dx(x)
-        |  WHERE oy.x < o.oh AND ox.x < o.ow
-        |  GROUP BY 1, 2, 3),
-        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
-        |    min(b)::INT AS b_min, max(b)::INT AS b_max,
-        |    sum(b)::BIGINT AS b_sum,
-        |    min(g)::INT AS g_min, max(g)::INT AS g_max,
-        |    sum(g)::BIGINT AS g_sum,
-        |    min(r)::INT AS r_min, max(r)::INT AS r_max,
-        |    sum(r)::BIGINT AS r_sum
-        |  FROM cells GROUP BY 1)
-        |SELECT o.doc_id, o.w, o.h, o.ow, o.oh, st.n_px,
-        |  st.b_min, st.b_max, st.b_sum, st.g_min, st.g_max, st.g_sum,
-        |  st.r_min, st.r_max, st.r_sum
-        |FROM o JOIN st USING (doc_id)
-        |ORDER BY o.doc_id""".stripMargin,
-
-    // CM inner-product replay: q231's exact bucket layout on both
-    // keys, per-depth-row dot products, min — against the exact
-    // keyed-count join.
-    "q263_cms_join_size" ->
-      """WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
-        |kb AS (SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders),
-        |ga AS (
-        |  SELECT r.d,
-        |    CAST(CAST(('0x' || substr(md5(key), 8 * r.d + 1, 8))
-        |      AS UBIGINT) % 256 AS BIGINT) AS bucket,
-        |    count(*)::BIGINT AS cnt
-        |  FROM ka CROSS JOIN range(4) r(d) GROUP BY 1, 2),
-        |gb AS (
-        |  SELECT r.d,
-        |    CAST(CAST(('0x' || substr(md5(key), 8 * r.d + 1, 8))
-        |      AS UBIGINT) % 256 AS BIGINT) AS bucket,
-        |    count(*)::BIGINT AS cnt
-        |  FROM kb CROSS JOIN range(4) r(d) GROUP BY 1, 2),
-        |dots AS (
-        |  SELECT ga.d, sum(ga.cnt * gb.cnt)::BIGINT AS dot
-        |  FROM ga JOIN gb ON ga.d = gb.d AND ga.bucket = gb.bucket
-        |  GROUP BY 1),
-        |est AS (SELECT min(dot)::BIGINT AS est_join_size FROM dots),
-        |truth AS (
-        |  SELECT coalesce(sum(na * nb), 0)::BIGINT AS true_join_size
-        |  FROM (SELECT key, count(*)::BIGINT AS na FROM ka GROUP BY 1) a
-        |  JOIN (SELECT key, count(*)::BIGINT AS nb FROM kb GROUP BY 1) b
-        |    USING (key))
-        |SELECT est_join_size, true_join_size,
-        |  CASE WHEN true_join_size > 0 THEN
-        |    round(CAST(est_join_size AS DOUBLE)
-        |      / CAST(true_join_size AS DOUBLE), 4) END
-        |    AS overestimate_ratio
-        |FROM est CROSS JOIN truth""".stripMargin,
-
-    // weighted-quantile replay: identical distinct-value collapse,
-    // BIGINT cumulative fold, q*W threshold on exact operands.
-    "q261_weighted_quantiles" -> {
-      val bpeish =
-        """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"""
-      def pick(q: String, name: String) =
-        s"""min(CASE WHEN CAST(cw AS DOUBLE) >= $q * CAST(tw AS DOUBLE)
-           |    THEN v END) AS $name""".stripMargin
-      s"""WITH vw AS (
-         |  SELECT source, n_chars::BIGINT AS v,
-         |    sum($bpeish::BIGINT)::BIGINT AS w
-         |  FROM documents
-         |  WHERE n_chars IS NOT NULL AND $bpeish > 0
-         |  GROUP BY 1, 2),
-         |cum AS (
-         |  SELECT source, v,
-         |    sum(w) OVER (PARTITION BY source ORDER BY v
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-         |      AS cw,
-         |    sum(w) OVER (PARTITION BY source)::BIGINT AS tw
-         |  FROM vw)
-         |SELECT source, max(tw) AS total_w,
-         |  ${pick("0.25", "wq_25")},
-         |  ${pick("0.5", "wq_50")},
-         |  ${pick("0.75", "wq_75")},
-         |  ${pick("0.9", "wq_90")}
-         |FROM cum GROUP BY source ORDER BY source""".stripMargin
-    },
-
-    // MMR replay: the 10 greedy rounds unrolled — each round the
-    // remaining candidates' 6dp max-sim to the selected set, the same
-    // lambda*score - (1.0-lambda)*msim tree, argmax with id tie-break.
-    "q262_mmr_rerank" -> {
-      // every CTE MATERIALIZED: inlined CTEs re-evaluate per reference,
-      // and each selR is referenced 3x by round R+1 — unmaterialized,
-      // the 10-round ladder explodes 3^9-fold
-      val rounds = (2 to 10).map { r =>
-        s"""m$r AS MATERIALIZED (
-           |  SELECT c2.id,
-           |    max(round(list_cosine_similarity(c2.vec, s.vec), 6))
-           |      AS msim
-           |  FROM cand c2, cand s
-           |  WHERE s.id IN (SELECT id FROM sel${r - 1})
-           |    AND c2.id NOT IN (SELECT id FROM sel${r - 1})
-           |  GROUP BY c2.id),
-           |s$r AS MATERIALIZED (
-           |  SELECT $r::BIGINT AS rank, c.id,
-           |    round(0.7 * c.score - (1.0 - 0.7) * m.msim, 6) AS mmr
-           |  FROM cand c JOIN m$r m ON c.id = m.id
-           |  ORDER BY mmr DESC, c.id LIMIT 1),
-           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
-           |          UNION ALL SELECT * FROM s$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH cand AS MATERIALIZED (
-         |  SELECT vec_id AS id,
-         |    round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
-         |      AS score,
-         |    embedding::DOUBLE[] AS vec
-         |  FROM embeddings, (SELECT embedding::DOUBLE[] AS qv
-         |    FROM embeddings WHERE vec_id = 0) q
-         |  WHERE vec_id <> 0
-         |  ORDER BY score DESC, id LIMIT 50),
-         |s1 AS MATERIALIZED (SELECT 1::BIGINT AS rank, id,
-         |    round(0.7 * score, 6) AS mmr
-         |  FROM cand ORDER BY mmr DESC, id LIMIT 1),
-         |sel1 AS MATERIALIZED (SELECT * FROM s1),
-         |$rounds
-         |SELECT rank, id, mmr FROM sel10 ORDER BY rank""".stripMargin
-    },
-
-    // LPA replay: q220's exact pair CTE, then the three synchronous
-    // rounds unrolled (the q218 PageRank-unroll discipline) — weighted
-    // neighbor-label argmax with (ws DESC, label ASC) row_number.
-    "q260_label_propagation" -> {
-      def round(i: Int) =
-        s"""c$i AS (SELECT sym.dst AS node, l${i - 1}.label,
-           |  sum(sym.w)::BIGINT AS ws
-           |  FROM sym JOIN l${i - 1} ON l${i - 1}.node = sym.src
-           |  GROUP BY 1, 2),
-           |l$i AS (SELECT node, label FROM (
-           |  SELECT node, label, row_number() OVER (PARTITION BY node
-           |    ORDER BY ws DESC, label ASC) AS rk
-           |  FROM c$i) WHERE rk = 1)""".stripMargin
-      s"""WITH e0 AS (
-         |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v,
-         |    count(*)::BIGINT AS w
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |sym AS (SELECT u AS src, v AS dst, w FROM e0
-         |        UNION ALL SELECT v, u, w FROM e0),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
-         |SELECT label, count(*)::BIGINT AS n_nodes FROM l3
-         |GROUP BY 1 ORDER BY label""".stripMargin
-    },
-
-    // overlap join replay: the bin machinery is engine-internal — the
-    // oracle states the DEFINITION (range predicates over sessions x
-    // generated windows), which the bin-expansion plan must reproduce.
-    "q259_interval_join_sessions" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-        |marked AS (SELECT user_id, us,
-        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
-        |      IS NULL
-        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-        |      >= 1800000000
-        |  THEN 1 ELSE 0 END AS new_session FROM ev),
-        |sess0 AS (SELECT user_id, us,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY us
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked),
-        |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
-        |  FROM sess0 GROUP BY 1, 2),
-        |bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
-        |wins AS (SELECT w0, w0 + 7199999999 AS w1 FROM (
-        |  SELECT unnest(generate_series(
-        |    lo // 86400000000 * 86400000000,
-        |    hi // 86400000000 * 86400000000,
-        |    86400000000)) AS w0 FROM bounds)),
-        |pairs AS (SELECT user_id, w0 FROM sess JOIN wins
-        |  ON sess.s_us <= wins.w1 AND wins.w0 <= sess.e_us)
-        |SELECT w0, count(*)::BIGINT AS n_sessions,
-        |  count(DISTINCT user_id)::BIGINT AS n_users
-        |FROM pairs GROUP BY 1 ORDER BY w0""".stripMargin,
   )
 
   /** The q257 lexical-retrieval CTE ladder (through the per-doc
@@ -10893,7 +4730,7 @@ object SparkEntry {
     * [[etlmudah.text.TextStats.bm25Search]]: q131's exact idf/tfnorm
     * expression text, per-term 4dp round, DECIMAL sum, query-doc
     * excluded from results only. */
-  private val bm25SearchSql: String =
+  private[graft] val bm25SearchSql: String =
     """qterms AS (
       |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+'))
       |    AS term
@@ -10926,7 +4763,7 @@ object SparkEntry {
 
   /** The q253/q256 series CTE body — kept in ONE place so the Spark
     * helper and both oracles cannot drift. */
-  private val monthlyCentsSql: String =
+  private[graft] val monthlyCentsSql: String =
     """SELECT o_orderpriority AS g,
       |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
       |    sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
