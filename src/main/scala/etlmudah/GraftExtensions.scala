@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeJpeg, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeJpeg, FakeMjpegAvi, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -134,6 +134,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FakeAvi].getName, "graft_fake_avi"),
       (children: Seq[Expression]) =>
         FakeAvi(children.head, children(1), children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_mjpeg_avi"),
+      new ExpressionInfo(classOf[FakeMjpegAvi].getName,
+        "graft_fake_mjpeg_avi"),
+      (children: Seq[Expression]) =>
+        FakeMjpegAvi(children.head, children(1), children(2), children(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_png_stats"),
       new ExpressionInfo(classOf[PngPixelStats].getName, "graft_png_stats"),

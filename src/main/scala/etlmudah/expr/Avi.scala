@@ -17,9 +17,17 @@ import org.apache.spark.sql.types._
   * BMP kernel family applies per frame.
   *
   * Reference surface: the frame-sampling leg of the multimodal
-  * substitution (`multimodal/Multimodal.scala:10-16`); compressed
-  * codecs stay in the documented stub, exactly as JPEG does beside
-  * the real BMP/PNG tiers.
+  * substitution (`multimodal/Multimodal.scala:10-16`).
+  *
+  * MJPEG tier: the same container with an 'MJPG'-compressed 'vids'
+  * stream — each movi chunk is '00dc' carrying ONE complete baseline
+  * JFIF, decoded per sampled frame by [[JpegFn]] (the real
+  * entropy-decode path), with the frame's dims REQUIRED to match the
+  * container's. One registered function family serves both codecs:
+  * meta/frameStats/frameAhash branch on the strf compression fourcc,
+  * so a frame-sampling query is codec-transparent. A chunk whose
+  * JPEG payload does not decode exactly (or lies about dims) nulls
+  * that frame, never a partial statistic.
   *
   * Accept contract (the Bmp/Png discipline — every gate before any
   * pixel read): 'RIFF' + 'AVI ' signature, chunk walk with bounds
@@ -52,6 +60,7 @@ object AviFn {
       return null
     var w = -1L; var h = -1L; var nFrames = -1L; var usPf = -1L
     var strfOk = false; var vidsOk = false
+    var codec = -1L // 0 = uncompressed DIB, 1 = MJPG
     var moviOff = -1L; var moviEnd = -1L
     var pos = 12
     while (pos + 8 <= bytes.length) {
@@ -77,12 +86,17 @@ object AviFn {
               case "strh" if csz >= 8 =>
                 if (fcc(p + 8) == "vids") vidsOk = true
               case "strf" if csz >= 40 =>
-                // BITMAPINFOHEADER: gate 24bpp BI_RGB, dims match avih
+                // BITMAPINFOHEADER: gate 24bpp, BI_RGB or 'MJPG'
+                // compression, dims match avih
                 val bw = le32(p + 8 + 4)
                 val bh = le32(p + 8 + 8)
                 val bpp = u8(p + 8 + 14) | (u8(p + 8 + 15) << 8)
                 val comp = le32(p + 8 + 16)
-                strfOk = bpp == 24 && comp == 0L && bw == w && bh == h
+                codec =
+                  if (comp == 0L) 0L
+                  else if (comp == 0x47504A4DL) 1L // 'MJPG'
+                  else -1L
+                strfOk = bpp == 24 && codec >= 0L && bw == w && bh == h
               case "LIST" => // nested strl under hdrl: descend in place
                 p += 4        // re-walk from the list type as a chunk
               case _ => ()
@@ -103,8 +117,10 @@ object AviFn {
     // 2^32-1) and w*h can overflow Long negative, bypassing the cap
     // (stride/frameBytes then wrap and the frame loops mis-index)
     if (w > maxPixels || h > maxPixels || w * h > maxPixels) return null
-    // verify the movi chunk ladder: exactly nFrames '00db' frames of
-    // exactly stride*h bytes each
+    // verify the movi chunk ladder: exactly nFrames frames — DIB
+    // ('00db', each exactly stride*h bytes) or MJPG ('00dc', each a
+    // non-empty payload whose JPEG validity is gated per sampled
+    // frame at decode time)
     val stride = (w * 3 + 3) / 4 * 4
     val frameBytes = stride * h
     var p = moviOff
@@ -112,13 +128,36 @@ object AviFn {
     while (p + 8 <= moviEnd) {
       def fcc2(i: Long): String = new String(bytes, i.toInt, 4, "US-ASCII")
       val csz = le32(p.toInt + 4)
-      if (fcc2(p) != "00db" || csz != frameBytes ||
-        p + 8 + csz > moviEnd) return null
+      val okChunk =
+        if (codec == 0L) fcc2(p) == "00db" && csz == frameBytes
+        else fcc2(p) == "00dc" && csz >= 4
+      if (!okChunk || p + 8 + csz > moviEnd) return null
       seen += 1
       p += 8 + csz + (csz & 1)
     }
     if (seen != nFrames) return null
-    Array(w, h, nFrames, usPf, moviOff)
+    Array(w, h, nFrames, usPf, moviOff, codec)
+  }
+
+  /** (offset, size) of MJPG frame k's JPEG payload, or null — a
+    * bounded chunk walk (sizes vary, unlike the DIB stride ladder).
+    * `moviEnd` is implied by the already-verified ladder: walking k
+    * verified chunks cannot leave it. */
+  private def mjpegFrame(bytes: Array[Byte], moviOff: Long, n: Long,
+                         k: Long): Array[Long] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    if (k < 0 || k >= n) return null
+    var p = moviOff
+    var i = 0L
+    while (i < k) {
+      val csz = le32(p.toInt + 4)
+      p += 8 + csz + (csz & 1)
+      i += 1
+    }
+    Array(p + 8, le32(p.toInt + 4))
   }
 
   /** struct(width, height, n_frames, us_per_frame) or null. */
@@ -128,12 +167,25 @@ object AviFn {
     else new GenericInternalRow(Array[Any](p(0), p(1), p(2), p(3)))
   }
 
-  /** Offset of frame k's pixel array, or -1. */
+  /** Offset of DIB frame k's pixel array, or -1. */
   private def frameOffset(p: Array[Long], k: Long): Long = {
-    val Array(w, h, n, _, movi) = p
+    val Array(w, h, n, _, movi, _) = p
     if (k < 0 || k >= n) return -1L
     val stride = (w * 3 + 3) / 4 * 4
     movi + k * (8 + stride * h) + 8
+  }
+
+  /** Decode MJPG frame k to top-down RGB, with the container-dims
+    * cross-check; null on any payload the JPEG tier rejects. */
+  private def mjpegDecoded(bytes: Array[Byte], p: Array[Long], k: Long,
+                           maxPixels: Int): JpegFn.Decoded = {
+    val Array(w, h, n, _, movi, _) = p
+    val fb = mjpegFrame(bytes, movi, n, k)
+    if (fb == null) return null
+    val slice = java.util.Arrays.copyOfRange(
+      bytes, fb(0).toInt, (fb(0) + fb(1)).toInt)
+    val d = JpegFn.decode(slice, maxPixels)
+    if (d == null || d.w != w || d.h != h) null else d
   }
 
   /** Per-frame pixel statistics — [[BmpPixelStatsFn.schema]] (the
@@ -142,9 +194,34 @@ object AviFn {
     def u8(i: Int): Int = bytes(i) & 0xFF
     val p = parse(bytes, maxPixels)
     if (p == null) return null
+    if (p(5) == 1L) { // MJPG: real entropy decode, stats in BGR order
+      val d = mjpegDecoded(bytes, p, k, maxPixels)
+      if (d == null) return null
+      val npx = d.w.toLong * d.h
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var nb = 255; var ng = 255; var nr = 255
+      var xb = 0; var xg = 0; var xr = 0
+      var i = 0
+      while (i < d.rgb.length) {
+        val r = d.rgb(i) & 0xFF
+        val g = d.rgb(i + 1) & 0xFF
+        val b = d.rgb(i + 2) & 0xFF
+        sb += b; sg += g; sr += r
+        if (b < nb) nb = b; if (b > xb) xb = b
+        if (g < ng) ng = g; if (g > xg) xg = g
+        if (r < nr) nr = r; if (r > xr) xr = r
+        i += 3
+      }
+      val nn = npx.toDouble
+      return new GenericInternalRow(Array[Any](
+        d.w.toLong, d.h.toLong, npx,
+        nb, xb, sb, BmpPixelStatsFn.round6(sb / nn),
+        ng, xg, sg, BmpPixelStatsFn.round6(sg / nn),
+        nr, xr, sr, BmpPixelStatsFn.round6(sr / nn)))
+    }
     val off = frameOffset(p, k)
     if (off < 0) return null
-    val Array(w, h, _, _, _) = p
+    val Array(w, h, _, _, _, _) = p
     val stride = (w * 3 + 3) / 4 * 4
     var sb = 0L; var sg = 0L; var sr = 0L
     var nb = 255; var ng = 255; var nr = 255
@@ -181,9 +258,39 @@ object AviFn {
     def u8(i: Int): Int = bytes(i) & 0xFF
     val p = parse(bytes, maxPixels)
     if (p == null) return null
+    if (p(5) == 1L) { // MJPG: decode, then the VISUAL-hash convention
+      val d = mjpegDecoded(bytes, p, k, maxPixels)
+      if (d == null) return null
+      val cell = new Array[Long](64)
+      var total = 0L
+      var gi = 0
+      while (gi < 8) {
+        val v = d.h - 1 - gi * d.h / 8 // top-down rgb: mirror like PNG
+        var gj = 0
+        while (gj < 8) {
+          val c = gj * d.w / 8
+          val q = (v * d.w + c) * 3
+          val s = (d.rgb(q) & 0xFF) + (d.rgb(q + 1) & 0xFF) +
+            (d.rgb(q + 2) & 0xFF)
+          cell(gi * 8 + gj) = s.toLong
+          total += s
+          gj += 1
+        }
+        gi += 1
+      }
+      var w0 = 0L; var w1 = 0L
+      var kk = 0
+      while (kk < 64) {
+        if (cell(kk) * 64 > total) {
+          if (kk < 32) w0 |= 1L << kk else w1 |= 1L << (kk - 32)
+        }
+        kk += 1
+      }
+      return new GenericInternalRow(Array[Any](w0, w1))
+    }
     val off = frameOffset(p, k)
     if (off < 0) return null
-    val Array(w, h, _, _, _) = p
+    val Array(w, h, _, _, _, _) = p
     val stride = (w * 3 + 3) / 4 * 4
     val cell = new Array[Long](64)
     var total = 0L
@@ -290,6 +397,77 @@ object AviFn {
       }
       p += frameBytes
       k += 1
+    }
+    out
+  }
+
+  /** Synthesize a COMPLETE MJPEG AVI: same container as [[synth]] but
+    * an 'MJPG'-compressed 'vids' stream whose movi list carries
+    * `nFrames` '00dc' chunks, chunk k = `JpegFn.synth(seed + k, w, h)`
+    * — a complete baseline JFIF per frame, so frame k's decoded image
+    * is the [[JpegFn.blockVal]] closed form at seed + k (shifted one
+    * seed per frame, the [[synth]] convention moved to the
+    * entropy-coded codec). Odd-sized payloads get the RIFF pad
+    * byte. */
+  def synthMjpeg(seed: Long, width: Long, height: Long,
+                 nFrames: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && nFrames >= 1 &&
+      width * height * nFrames <= (1 << 22),
+      s"fake MJPEG AVI dims out of range: ${width}x$height x$nFrames")
+    val w = width.toInt; val h = height.toInt; val n = nFrames.toInt
+    val frames = (0 until n).map(k => JpegFn.synth(seed + k, w, h))
+    val bufSize = frames.map(_.length).max
+    val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val strlSz = 4 + 8 + 56 + 8 + 40
+    val hdrlSz = 4 + 8 + 56 + 8 + strlSz
+    val moviSz = 4 + moviBody
+    val riffSz = 4 + 8 + hdrlSz + 8 + moviSz
+    val out = new Array[Byte](8 + riffSz)
+    var p = 0
+    def put4(s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(p) = s.charAt(i).toByte; p += 1; i += 1 }
+    }
+    def le32(v: Long): Unit = {
+      out(p) = (v & 0xFF).toByte
+      out(p + 1) = ((v >> 8) & 0xFF).toByte
+      out(p + 2) = ((v >> 16) & 0xFF).toByte
+      out(p + 3) = ((v >> 24) & 0xFF).toByte
+      p += 4
+    }
+    put4("RIFF"); le32(riffSz); put4("AVI ")
+    put4("LIST"); le32(hdrlSz); put4("hdrl")
+    put4("avih"); le32(56)
+    le32(40000L)            // dwMicroSecPerFrame (25 fps)
+    le32(0); le32(0); le32(0)
+    le32(n)                 // dwTotalFrames
+    le32(0); le32(1)        // dwInitialFrames, dwStreams
+    le32(bufSize)           // dwSuggestedBufferSize
+    le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0)   // reserved
+    put4("LIST"); le32(strlSz); put4("strl")
+    put4("strh"); le32(56)
+    put4("vids"); put4("MJPG")
+    le32(0); le32(0)
+    le32(0)
+    le32(1); le32(25L)
+    le32(0); le32(n)
+    le32(bufSize); le32(0xFFFFFFFFL)
+    le32(0)
+    le32(0); le32(0)
+    put4("strf"); le32(40)
+    le32(40); le32(w); le32(h)
+    out(p) = 1; p += 2      // planes = 1 (LE16)
+    out(p) = 24; p += 2     // bpp = 24 (LE16)
+    put4("MJPG")            // biCompression
+    le32(bufSize)
+    le32(0); le32(0); le32(0); le32(0)
+    put4("LIST"); le32(moviSz); put4("movi")
+    frames.foreach { f =>
+      put4("00dc"); le32(f.length.toLong)
+      System.arraycopy(f, 0, out, p, f.length)
+      p += f.length
+      if ((f.length & 1) == 1) { out(p) = 0; p += 1 }
     }
     out
   }
@@ -436,4 +614,40 @@ case class FakeAvi(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression,
       o: Expression): FakeAvi = FakeAvi(f, s, t, o)
+}
+
+/** `graft_fake_mjpeg_avi(seed, w, h, nFrames)` — see
+  * [[AviFn.synthMjpeg]]; the entropy-coded twin of [[FakeAvi]]. */
+case class FakeMjpegAvi(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c =>
+      c.dataType == LongType || c.dataType == IntegerType ||
+        c.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_fake_mjpeg_avi expects (bigint, bigint, bigint, bigint)")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "graft_fake_mjpeg_avi"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(s: Any, w: Any, h: Any, n: Any): Any =
+    AviFn.synthMjpeg(asLong(s), asLong(w), asLong(h), asLong(n))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h, n) =>
+      s"${ev.value} = etlmudah.expr.AviFn.synthMjpeg((long)$s, " +
+        s"(long)$w, (long)$h, (long)$n);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      o: Expression): FakeMjpegAvi = FakeMjpegAvi(f, s, t, o)
 }

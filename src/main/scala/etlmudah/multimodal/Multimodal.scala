@@ -430,6 +430,16 @@ object Multimodal {
     call_function("graft_fake_avi", seed.cast("long"),
       width.cast("long"), height.cast("long"), nFrames.cast("long"))
 
+  /** Synthesize a COMPLETE MJPEG AVI whose frame k is the baseline
+    * JFIF `fakeJpeg(seed + k, w, h)` (native `graft_fake_mjpeg_avi`;
+    * see [[etlmudah.expr.AviFn.synthMjpeg]]) — the same aviMeta /
+    * aviFrameStats / aviFrameAHash surface decodes it through the
+    * real JPEG entropy path. */
+  def fakeMjpegAvi(seed: Column, width: Column, height: Column,
+                   nFrames: Column): Column =
+    call_function("graft_fake_mjpeg_avi", seed.cast("long"),
+      width.cast("long"), height.cast("long"), nFrames.cast("long"))
+
   /** REAL PNG pixel statistics — non-interlaced 8-bit truecolor
     * decode via JDK Inflater + RFC 2083 filter reversal (native
     * `graft_png_stats`; see [[etlmudah.expr.PngFn]] for the exact

@@ -195,6 +195,43 @@ object Round12 {
             .as("rev")),
         "o_custkey", col("rev"), buckets = 10)),
 
+    // MJPEG VIDEO FRAME SAMPLING — the q334 plan over the
+    // entropy-coded codec the JPEG tier unlocked: per doc a synthetic
+    // MJPEG AVI ('MJPG' vids stream, each movi chunk a complete
+    // baseline JFIF), sampled uniformly (frame j·n div 3) through the
+    // SAME registered function family as the uncompressed tier —
+    // frame k decodes via the real Huffman+IDCT path and its image is
+    // the block closed form at seed doc_id + k, which the oracle
+    // replays per sample. Every 7th container is maimed: decode nulls
+    // whole. Dims 4–16 × 3–11 cross MCU edges.
+    "q344_mjpeg_frame_sample" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 13 + 4).cast("int")
+      val hg = (id % 9 + 3).cast("int")
+      val nf = (id % 5 + 2)
+      val M = etlmudah.multimodal.Multimodal
+      val blob = M.fakeMjpegAvi(id, wg, hg, nf)
+      val maimed = when(id % 7 === 0, substring(blob, 1, 60)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(id, wg.as("w"), hg.as("h"), maimed.as("avi"))
+        .select(col("w"), col("h"), col("doc_id"),
+          explode(sequence(lit(0L), lit(2L))).as("j"), col("avi"))
+        .select(col("w"), col("h"),
+          M.aviFrameStats(col("avi"),
+            expr("j * (doc_id % 5 + 2) div 3")).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_samples"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"))
+        .orderBy(col("w"), col("h"))
+    }),
+
     // LATENESS-AUDIT SINK batch twin, END-TO-END (the q301 discipline
     // for the streaming tier): the real sink runs over a
     // deterministically scrambled day-batch ladder on disk, and this
@@ -388,6 +425,37 @@ object Round12 {
          |    AS cum_share_from_top
          |FROM bd CROSS JOIN t ORDER BY bucket""".stripMargin
     },
+
+    // MJPEG sampling replayed from the block closed form at seed
+    // doc_id + sampled-frame-index (gray frames: all channels carry
+    // the same numbers)
+    "q344_mjpeg_frame_sample" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 13 + 4)::INT AS w,
+        |    (doc_id % 9 + 3)::INT AS h, (doc_id % 5 + 2) AS nf
+        |  FROM documents),
+        |sm AS (SELECT d.*, j.j,
+        |    (j.j * d.nf) // 3 AS fk FROM d, range(0, 3) j(j)),
+        |px AS (SELECT sm.doc_id, sm.j,
+        |    ((sm.doc_id + sm.fk)*17 + (fr.fr//8)*5 + (c.c//8)*3) % 256
+        |      AS v
+        |  FROM sm, range(0, 11) fr(fr), range(0, 16) c(c)
+        |  WHERE sm.doc_id % 7 <> 0 AND fr.fr < sm.h AND c.c < sm.w),
+        |st AS (SELECT doc_id, j, count(*)::BIGINT AS n_px,
+        |    min(v)::INT AS v_min, max(v)::INT AS v_max,
+        |    sum(v)::BIGINT AS v_sum
+        |  FROM px GROUP BY 1, 2)
+        |SELECT d.w, d.h, count(*) AS n_samples,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_px)::BIGINT AS n_px,
+        |  min(st.v_min) AS b_min, max(st.v_max) AS b_max,
+        |  sum(st.v_sum)::BIGINT AS b_sum,
+        |  min(st.v_min) AS g_min, max(st.v_max) AS g_max,
+        |  sum(st.v_sum)::BIGINT AS g_sum,
+        |  min(st.v_min) AS r_min, max(st.v_max) AS r_max,
+        |  sum(st.v_sum)::BIGINT AS r_sum
+        |FROM d CROSS JOIN range(0, 3) j(j)
+        |LEFT JOIN st ON st.doc_id = d.doc_id AND st.j = j.j
+        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
 
     // the micro-batch ledger replayed in SQL: batch order
     // (day mod 7, day); watermark BEFORE a batch = running max of
