@@ -82,6 +82,22 @@ object Round12 {
           .filter(col("src") < col("dst") && col("weight") >= 2L)
           .select(col("src").as("u"), col("dst").as("v")))),
 
+    // CORENESS, 100 TB tier — q336's numbers via the H-INDEX FIXPOINT
+    // (Lü et al. 2016: iterating c <- H(neighbor c) from the degrees
+    // converges exactly to the core number). The ladder pays
+    // Σ peel-depth rounds (10–53 measured, grows with degeneracy);
+    // this pays one edge join + one degree-bounded per-node window
+    // per iteration, 2–4 iterations measured — the plan that holds
+    // when the degeneracy is deep. Oracle = q336's VERBATIM (the
+    // q340 dial discipline: the tier changes the PLAN, not the
+    // statistic); CentralitySpec pins hIndex == ladder on random
+    // graphs.
+    "q345_coreness_hindex" -> ((s, dir) =>
+      etlmudah.graph.Centrality.corenessHIndex(
+        SparkEntry.stagedCoEdges(s, dir)
+          .filter(col("src") < col("dst") && col("weight") >= 2L)
+          .select(col("src").as("u"), col("dst").as("v")))),
+
     // REAL baseline-JPEG pixel decode (JpegFn: full T.81 baseline —
     // marker walk, DQT, canonical DHT, entropy decode with byte
     // stuffing, DC prediction + magnitude categories, AC run/size,
@@ -266,15 +282,9 @@ object Round12 {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
-
-    // coreness ladder unrolled level by level, round by round (the
-    // q309 step-replay discipline; AS MATERIALIZED because each alive
-    // set is referenced twice per round). 20 levels × 16 rounds
-    // covers the measured worst case (sf0.001: degeneracy 16, deepest
-    // level drains in 13 rounds); extra rounds/levels are no-ops on
-    // an already-fixed set.
-    "q336_coreness" -> {
+  /** The full coreness-ladder unroll (shared by q336 and its q345
+    * h-index dial twin — the identical-statistic discipline). */
+  private lazy val corenessLadderSql: String = {
       val R = 16
       def round(k: Int, i: Int) = {
         val p = if (k == 1 && i == 1) "a0"
@@ -304,7 +314,21 @@ object Round12 {
          |  $levels)
          |SELECT node, max(k)::BIGINT AS coreness
          |FROM lev GROUP BY node ORDER BY node""".stripMargin
-    },
+    }
+
+  def oracleSql: Map[String, String] = Map(
+
+    // coreness ladder unrolled level by level, round by round (the
+    // q309 step-replay discipline; AS MATERIALIZED because each alive
+    // set is referenced twice per round). 20 levels × 16 rounds
+    // covers the measured worst case (sf0.001: degeneracy 16, deepest
+    // level drains in 13 rounds); extra rounds/levels are no-ops on
+    // an already-fixed set.
+    "q336_coreness" -> corenessLadderSql,
+
+    // q336's oracle VERBATIM: the h-index fixpoint must land on the
+    // identical decomposition
+    "q345_coreness_hindex" -> corenessLadderSql,
 
     // JPEG stats replayed from the block-constant closed form
     // (R = G = B = (seed*17 + (y div 8)*5 + (x div 8)*3) mod 256 at

@@ -549,6 +549,25 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  test("corenessHIndex == coreness ladder on known and random graphs (the Lü et al. fixpoint theorem, pinned)") {
+    import spark.implicits._
+    val full = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(7L,8L),(8L,9L),(7L,9L))
+    def hx(edges: Seq[(Long, Long)], parts: Int) =
+      Centrality.corenessHIndex(edges.toDF("u", "v").repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ladder(edges: Seq[(Long, Long)]) =
+      Centrality.coreness(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hx(full, 3) == ladder(full))
+    val rnd = new scala.util.Random(14)
+    (1 to 5).foreach { _ =>
+      val es = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2)
+      assert(hx(es, 1 + rnd.nextInt(5)) == ladder(es), s"es=$es")
+    }
+  }
+
   test("coreness: per-level fixpoints on sf0.001 — degeneracy core == kCore at the same k") {
     val edges = Centrality.cooccurrenceEdges(
         spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
