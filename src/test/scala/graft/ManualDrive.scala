@@ -92,6 +92,25 @@ object ManualDrive {
     println(s"counts rows=${counts.count()} (stream survived the empty batch)")
     counts.orderBy("hour_us", "event_type").show(5, false)
 
+    // 4. round-12 tier smoke: coreness (ladder + h-index dial land
+    //    identically), adaptive k-core, JPEG decode, MJPEG sampling,
+    //    bucketed Gini == exact Gini
+    println("== coreness ladder vs h-index dial (sf0.001)")
+    val cl = SparkEntry.queries("q336_coreness")(spark, sf).collect()
+    val ch = SparkEntry.queries("q345_coreness_hindex")(spark, sf).collect()
+    println(s"ladder rows=${cl.length} hindex rows=${ch.length} " +
+      s"identical=${cl.map(_.toSeq).toSeq == ch.map(_.toSeq).toSeq}")
+    println("== adaptive k-core (sf0.001)")
+    SparkEntry.queries("q309_k_core")(spark, sf).show(3)
+    println("== JPEG pixel stats + MJPEG frame sampling (sf0.001)")
+    SparkEntry.queries("q337_jpeg_pixel_stats")(spark, sf).show(3)
+    SparkEntry.queries("q344_mjpeg_frame_sample")(spark, sf).show(3)
+    println("== gini exact vs bucketed (sf0.001)")
+    val ge = SparkEntry.queries("q318_revenue_gini")(spark, sf).collect()
+    val gb = SparkEntry.queries("q340_gini_bucketed")(spark, sf).collect()
+    println(s"exact=${ge.head} bucketed=${gb.head} " +
+      s"identical=${ge.head.toSeq == gb.head.toSeq}")
+
     spark.stop()
     println("== drive done")
   }

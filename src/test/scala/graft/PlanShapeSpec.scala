@@ -367,7 +367,11 @@ class PlanShapeSpec extends SparkSpec {
       "q279_kcenter_coreset",
       // q294's build side is the single-row (global sum, global n)
       // frame — the target-encoding prior broadcast
-      "q294_target_encoding")
+      "q294_target_encoding",
+      // q340/q341 carry the single-row percentile-BOUNDARY broadcast
+      // (the q79 bucketing shape) — the exact point of the scale
+      // tier: a ≤buckets-row frame replaces the global rank window
+      "q340_gini_bucketed", "q341_lorenz_binned")
     // these train a model; no single plan to inspect
     val skip = Set("q33_ml_importances", "q81_ml_predict_one")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
