@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeJpeg, FakeMjpegAvi, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeMjpegAvi, FlacFeatures, FlacSampleStats, FlacToWav16, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -216,6 +216,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_fake_bmp_blocks"),
       (children: Seq[Expression]) =>
         FakeBmpBlocks(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_flac_stats"),
+      new ExpressionInfo(classOf[FlacSampleStats].getName, "graft_flac_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => FlacSampleStats(c)
+        case Seq(c, m) if m.foldable =>
+          FlacSampleStats(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_flac_stats(media[, maxSamples])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_flac_features"),
+      new ExpressionInfo(classOf[FlacFeatures].getName,
+        "graft_flac_features"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, t) if t.foldable =>
+          FlacFeatures(c, t.eval().asInstanceOf[Number].intValue)
+        case Seq(c, t, m) if t.foldable && m.foldable =>
+          FlacFeatures(c, t.eval().asInstanceOf[Number].intValue,
+            m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_flac_features(media, thresh[, maxSamples])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_flac_to_wav16"),
+      new ExpressionInfo(classOf[FlacToWav16].getName,
+        "graft_flac_to_wav16"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => FlacToWav16(c)
+        case Seq(c, m) if m.foldable =>
+          FlacToWav16(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_flac_to_wav16(media[, maxSamples])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_flac"),
+      new ExpressionInfo(classOf[FakeFlac].getName, "graft_fake_flac"),
+      (children: Seq[Expression]) =>
+        FakeFlac(children.head, children(1), children(2), children(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_wav16"),
       new ExpressionInfo(classOf[FakeWav16].getName, "graft_fake_wav16"),

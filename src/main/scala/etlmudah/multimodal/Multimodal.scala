@@ -518,6 +518,36 @@ object Multimodal {
   def wavSampleStats(media: Column, maxSamples: Int = 65536): Column =
     call_function("graft_wav_stats", media, lit(maxSamples))
 
+  /** REAL FLAC sample statistics — lossless entropy decode (Rice
+    * residuals + fixed predictors, CRC-verified) via the native
+    * `graft_flac_stats`; see [[etlmudah.expr.FlacFn]]. Output schema
+    * IDENTICAL to [[wavSampleStats]] — compressed audio lands on the
+    * raw tier's closed forms. */
+  def flacSampleStats(media: Column, maxSamples: Int = 65536): Column =
+    call_function("graft_flac_stats", media, lit(maxSamples))
+
+  /** VAD features over a decodable FLAC (native
+    * `graft_flac_features`) — [[wavFeatures]]'s semantics verbatim on
+    * the compressed family. */
+  def flacFeatures(media: Column, thresh: Int,
+                   maxSamples: Int = 65536): Column =
+    call_function("graft_flac_features", media, lit(thresh),
+      lit(maxSamples))
+
+  /** Transcode a decodable FLAC to a canonical 16-bit PCM WAV
+    * (native `graft_flac_to_wav16`) — composes the whole WAV kernel
+    * family onto FLAC inputs. */
+  def flacToWav16(media: Column, maxSamples: Int = 65536): Column =
+    call_function("graft_flac_to_wav16", media, lit(maxSamples))
+
+  /** Synthesize a COMPLETE FLAC stream carrying [[fakeWav16]]'s exact
+    * sample closed form, Rice-compressed for real (native
+    * `graft_fake_flac`; see [[etlmudah.expr.FlacFn.synth]]). */
+  def fakeFlac(seed: Column, channels: Column, rate: Column,
+               frames: Column): Column =
+    call_function("graft_fake_flac", seed.cast("long"),
+      channels.cast("long"), rate.cast("long"), frames.cast("long"))
+
   /** Synthesize a COMPLETE 16-bit PCM WAV (native `graft_fake_wav16`;
     * see [[etlmudah.expr.WavSampleStatsFn.synth]] for the closed-form
     * sample rule the q230 oracle replays). */

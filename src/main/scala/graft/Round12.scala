@@ -248,6 +248,48 @@ object Round12 {
         .orderBy(col("w"), col("h"))
     }),
 
+    // REAL FLAC sample decode — the audio twin of PNG-beside-BMP:
+    // lossless Rice-coded residuals + fixed predictors + CRC-verified
+    // frames decode to EXACTLY the raw samples, so compressed audio
+    // lands on the WAV tier's closed forms. Same shape as q230 (same
+    // dims, same maiming), and the ORACLE IS q230's VERBATIM — a
+    // green row proves the entropy decoder reproduces the raw tier
+    // bit for bit (the q305/q340 must-land-identically discipline).
+    "q346_flac_sample_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ch = (id % 2 + 1)
+      val nf = (id % 3 + 1) * 4
+      val M = etlmudah.multimodal.Multimodal
+      val blob = M.fakeFlac(id, ch, lit(8000L), nf)
+      val maimed = when(id % 7 === 0, substring(blob, 1, 50)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(ch.cast("int").as("channels_gen"),
+          M.flacSampleStats(maimed).as("st"))
+        .groupBy(col("channels_gen")).agg(
+          count(lit(1)).as("n_docs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_samples")).as("n_samples"),
+          max(col("st.peak")).as("peak"),
+          min(col("st.s_min")).as("s_min"),
+          max(col("st.s_max")).as("s_max"),
+          sum(col("st.s_sum")).as("s_sum"),
+          sum(col("st.sq_sum")).as("sq_sum"))
+        .orderBy(col("channels_gen"))
+    }),
+
+    // the VAD pair on the compressed family — q265's query shape and
+    // ORACLE VERBATIM over FLAC inputs (zero-crossings, silence runs)
+    "q347_flac_vad_features" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), expr(
+          "graft_flac_features(graft_fake_flac(doc_id, 1L, 8000L, " +
+            "doc_id % 50 + 10), 8000)").as("f"))
+        .select(col("doc_id"), col("f.n_samples"), col("f.n_zero_cross"),
+          col("f.n_silent"), col("f.n_silence_runs"),
+          col("f.max_silence_run"))
+        .orderBy(col("doc_id"))),
+
     // LATENESS-AUDIT SINK batch twin, END-TO-END (the q301 discipline
     // for the streaming tier): the real sink runs over a
     // deterministically scrambled day-batch ladder on disk, and this
@@ -480,6 +522,62 @@ object Round12 {
         |FROM d CROSS JOIN range(0, 3) j(j)
         |LEFT JOIN st ON st.doc_id = d.doc_id AND st.j = j.j
         |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
+
+    // q230's oracle VERBATIM: the FLAC entropy decode must land on
+    // the raw WAV closed form exactly
+    "q346_flac_sample_stats" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 2 + 1)::INT AS ch,
+        |    (doc_id % 3 + 1) * 4 AS nf FROM documents),
+        |s AS (SELECT d.doc_id, d.ch,
+        |    ((d.doc_id * 31 + i.i * 17) % 65536) - 32768 AS v
+        |  FROM d, range(0, 24) i(i)
+        |  WHERE i.i < d.nf * d.ch AND d.doc_id % 7 <> 0),
+        |st AS (SELECT doc_id, ch, count(*)::BIGINT AS n_samples,
+        |    max(abs(v))::INT AS peak, min(v)::INT AS s_min,
+        |    max(v)::INT AS s_max,
+        |    sum(v)::BIGINT AS s_sum, sum(v * v)::BIGINT AS sq_sum
+        |  FROM s GROUP BY 1, 2)
+        |SELECT d.ch AS channels_gen, count(*) AS n_docs,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_samples)::BIGINT AS n_samples,
+        |  max(st.peak) AS peak, min(st.s_min) AS s_min,
+        |  max(st.s_max) AS s_max,
+        |  sum(st.s_sum)::BIGINT AS s_sum,
+        |  sum(st.sq_sum)::BIGINT AS sq_sum
+        |FROM d LEFT JOIN st USING (doc_id)
+        |GROUP BY d.ch ORDER BY channels_gen""".stripMargin,
+
+    // q265's oracle VERBATIM: the VAD features replay identically
+    // through the compressed path
+    "q347_flac_vad_features" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 50 + 10)::BIGINT AS nf
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |s AS (SELECT d.doc_id, i.x AS i,
+        |    ((d.doc_id * 31 + i.x * 17) % 65536 - 32768)::BIGINT AS v
+        |  FROM d, range(0, 60) i(x) WHERE i.x < d.nf),
+        |f AS (SELECT doc_id, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+        |    CASE WHEN abs(v) <= 8000 THEN 1 ELSE 0 END AS sil
+        |  FROM s),
+        |runs AS (SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS grp
+        |  FROM f WHERE sil = 1),
+        |runagg AS (SELECT doc_id, count(*)::BIGINT AS rl FROM runs
+        |           GROUP BY doc_id, grp),
+        |rstats AS (SELECT doc_id, count(*)::BIGINT AS n_runs,
+        |             max(rl)::BIGINT AS max_run
+        |           FROM runagg GROUP BY doc_id),
+        |base AS (SELECT doc_id, count(*)::BIGINT AS n_samples,
+        |    sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_zero_cross,
+        |    sum(sil)::BIGINT AS n_silent
+        |  FROM f GROUP BY doc_id)
+        |SELECT b.doc_id, n_samples, n_zero_cross, n_silent,
+        |  coalesce(r.n_runs, 0)::BIGINT AS n_silence_runs,
+        |  coalesce(r.max_run, 0)::BIGINT AS max_silence_run
+        |FROM base b LEFT JOIN rstats r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the micro-batch ledger replayed in SQL: batch order
     // (day mod 7, day); watermark BEFORE a batch = running max of
