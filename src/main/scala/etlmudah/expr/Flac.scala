@@ -20,9 +20,15 @@ import org.apache.spark.sql.types._
   * orders, zigzag), fixed-predictor reconstruction, and the CRC-16
   * frame footer.
   *
+  * Stereo decorrelation is REAL: left/side, right/side and mid/side
+  * channel assignments decode (the side channel carries bps+1 bits
+  * per the spec; mid/side reconstructs via m' = (m<<1)|(s&1),
+  * L = (m'+s)>>1, R = (m'−s)>>1), and synth cycles all four
+  * assignments so every reconstruction path is on the oracle
+  * surface.
+  *
   * Scope gates (anything else nulls whole, never a partial
-  * statistic): 16-bit samples, independent channel assignment
-  * (stereo decorrelation rejected), fixed blocking strategy,
+  * statistic): 16-bit samples, fixed blocking strategy,
   * frame sample-rate code 0 (from STREAMINFO), no wasted bits, no
   * LPC subframes, no Rice escape codes; both CRCs verified; the
   * stream must carry exactly STREAMINFO's total samples and end at
@@ -167,7 +173,12 @@ object FlacFn {
         val ssCode = (u8(pos + 3) >> 1) & 7
         if ((u8(pos + 3) & 1) != 0) return null
         if (srCode != 0) return null            // STREAMINFO rate only
-        if (chAsgn != ch - 1) return null       // independent channels
+        // channel assignment: independent (0..7) or, for stereo, the
+        // decorrelated pairs 8 = left/side, 9 = right/side,
+        // 10 = mid/side (side channel carries bps+1 bits)
+        val decor = chAsgn >= 8 && chAsgn <= 10
+        if (decor && ch != 2) return null
+        if (!decor && chAsgn != ch - 1) return null
         if (ssCode != 0 && ssCode != 4) return null // 16-bit
         pos += 4
         // UTF-8-style coded frame number
@@ -211,11 +222,18 @@ object FlacFn {
         val chBuf = Array.ofDim[Int](ch, blockSize)
         var c = 0
         while (c < ch) {
+          // side channels carry one extra bit (the spec's bps+1)
+          val sb =
+            if (!decor) 16
+            else if (chAsgn == 8) (if (c == 0) 16 else 17)
+            else if (chAsgn == 9) (if (c == 0) 17 else 16)
+            else (if (c == 0) 16 else 17)
+          val lo = -(1L << (sb - 1)); val hi = (1L << (sb - 1)) - 1
           if (br.bits(1) != 0) return null
           val typ = br.bits(6)
           if (br.bits(1) != 0) return null // wasted bits unsupported
           val buf = chBuf(c)
-          def signed16(): Int = (br.bits(16) << 16) >> 16
+          def signed16(): Int = (br.bits(sb) << (32 - sb)) >> (32 - sb)
           if (typ == 0) { // CONSTANT
             val v = signed16()
             java.util.Arrays.fill(buf, v)
@@ -259,7 +277,7 @@ object FlacFn {
                   case 4 => res + 4L * buf(i - 1) - 6L * buf(i - 2) +
                     4L * buf(i - 3) - buf(i - 4)
                 }
-                if (s < -32768L || s > 32767L) return null
+                if (s < lo || s > hi) return null
                 buf(i) = s.toInt
                 i += 1
                 j += 1
@@ -275,6 +293,24 @@ object FlacFn {
           crc16(bytes, frameStart, pos) != ((u8(pos) << 8) | u8(pos + 1)))
           return null
         pos += 2
+        // undo stereo decorrelation (integer-exact reconstructions)
+        if (decor) {
+          var i = 0
+          while (i < blockSize) {
+            val a = chBuf(0)(i); val b = chBuf(1)(i)
+            val (l, r) = chAsgn match {
+              case 8 => (a.toLong, a.toLong - b)            // left/side
+              case 9 => (b.toLong + a, b.toLong)            // side/right
+              case _ =>                                      // mid/side
+                val mp = (a.toLong << 1) | (b & 1L)
+                ((mp + b) >> 1, (mp - b) >> 1)
+            }
+            if (l < -32768L || l > 32767L ||
+              r < -32768L || r > 32767L) return null
+            chBuf(0)(i) = l.toInt; chBuf(1)(i) = r.toInt
+            i += 1
+          }
+        }
         // interleave
         var i = 0
         while (i < blockSize) {
@@ -453,7 +489,17 @@ object FlacFn {
       f.write(0xFF); f.write(0xF8)            // sync + fixed strategy
       val bsCode = if (curBs == bs) 1 else 7
       f.write((bsCode << 4) | 0)              // rate code 0
-      f.write(((ch - 1) << 4) | (4 << 1))     // independent, 16-bit
+      // stereo streams cycle all four channel assignments so every
+      // decorrelation reconstruction is on the oracle surface
+      val chAsgn =
+        if (ch != 2) ch - 1
+        else (frameIdx % 4) match {
+          case 0 => 1   // independent
+          case 1 => 8   // left/side
+          case 2 => 9   // right/side
+          case _ => 10  // mid/side
+        }
+      f.write((chAsgn << 4) | (4 << 1))       // assignment, 16-bit
       // UTF-8-style frame number
       if (frameIdx < 0x80) f.write(frameIdx.toInt)
       else if (frameIdx < 0x800) {
@@ -470,15 +516,33 @@ object FlacFn {
       val bw = new BitWriter(f)
       var c = 0
       while (c < ch) {
-        val s = Array.tabulate(curBs)(i => sample((base + i) * ch + c))
+        val raw = Array.tabulate(curBs)(i => sample((base + i) * ch + c))
+        // decorrelated channel derivation (encoder side)
+        val (s, sb): (Array[Int], Int) =
+          if (chAsgn < 8) (raw, 16)
+          else {
+            val l = Array.tabulate(curBs)(i => sample((base + i) * ch))
+            val r = Array.tabulate(curBs)(i => sample((base + i) * ch + 1))
+            chAsgn match {
+              case 8 => if (c == 0) (l, 16)
+                        else (Array.tabulate(curBs)(i => l(i) - r(i)), 17)
+              case 9 => if (c == 0)
+                          (Array.tabulate(curBs)(i => l(i) - r(i)), 17)
+                        else (r, 16)
+              case _ => if (c == 0)
+                          (Array.tabulate(curBs)(i => (l(i) + r(i)) >> 1), 16)
+                        else (Array.tabulate(curBs)(i => l(i) - r(i)), 17)
+            }
+          }
+        val mask = (1L << sb) - 1
         if (frameIdx % 4 == 3) {
           bw.put(0L, 1); bw.put(1L, 6); bw.put(0L, 1) // VERBATIM
-          s.foreach(v => bw.put((v & 0xFFFF).toLong, 16))
+          s.foreach(v => bw.put(v & mask, sb))
         } else {
           val order = math.min(((frameIdx + c) % 3).toInt, curBs - 1)
           bw.put(0L, 1); bw.put((8 + order).toLong, 6); bw.put(0L, 1)
           var i = 0
-          while (i < order) { bw.put((s(i) & 0xFFFF).toLong, 16); i += 1 }
+          while (i < order) { bw.put(s(i) & mask, sb); i += 1 }
           val res = (order until curBs).map { i =>
             order match {
               case 0 => s(i).toLong

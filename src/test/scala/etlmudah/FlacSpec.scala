@@ -24,7 +24,11 @@ class FlacSpec extends SparkSpec {
   }
 
   test("toWav16 reproduces the raw WAV synth byte for byte") {
-    for (seed <- Seq(3L, 12L); ch <- Seq(1L, 2L); frames <- Seq(70L, 500L)) {
+    // frames=1000 -> 6 frames: stereo streams cycle ALL FOUR channel
+    // assignments (independent, left/side, right/side, mid/side), so
+    // byte-equality here pins every decorrelation reconstruction
+    for (seed <- Seq(3L, 12L); ch <- Seq(1L, 2L);
+         frames <- Seq(70L, 500L, 1000L)) {
       val wav = FlacFn.toWav16(FlacFn.synth(seed, ch, 8000L, frames), 1 << 20)
       val raw = WavSampleStatsFn.synth(seed, ch, 8000L, frames)
       assert(wav != null && java.util.Arrays.equals(wav, raw),
