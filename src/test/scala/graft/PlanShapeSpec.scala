@@ -96,7 +96,9 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q340/q341: the concentration-statistic scale tiers run NO unpartitioned entity-frame window") {
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("q340_gini_bucketed", "q341_lorenz_binned")) {
+    // q345's rank windows partition by node (degree-bounded frames)
+    for (q <- Seq("q340_gini_bucketed", "q341_lorenz_binned",
+        "q345_coreness_hindex")) {
       val wins = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.sparkPlan
         .collect { case w: WindowExec => w }
