@@ -351,6 +351,60 @@ object Centrality {
       .orderBy(col("node"))
   }
 
+  /** k-TRUSS peel (Cohen 2008) — the EDGE-support cousin of the
+    * k-core: repeatedly drop edges lying in fewer than k−2 triangles
+    * WITHIN the surviving subgraph, `rounds` times (bulk-synchronous;
+    * fixpoint measured at ≤2 rounds on the co-purchase graphs —
+    * callers size `rounds` past it, the kCore discipline). The truss
+    * is the standard community-core readout: k-core keeps hubs with
+    * many arbitrary neighbors, k-truss keeps edges EMBEDDED in
+    * triangle-dense neighborhoods — spam stars die, cliques survive.
+    * Returns the surviving edges with their in-truss support,
+    * ordered (u, v).
+    *
+    * Per round: symmetrize the surviving edge frame, count each
+    * edge's common neighbors via two equi-joins (edge ⋈ adjacency on
+    * u ⋈ adjacency on (v, w)) and filter. Scale shape: the wedge join
+    * is the triangle-counting cost — on graphs whose thresholded core
+    * is wedge-heavy, the degree-ordered orientation
+    * ([[triangleCounts]]'s Schank–Wagner plan, each triangle generated
+    * once and exploded to its three edges) is the documented dial;
+    * this bulk form keeps every join an EQUI-join either way. */
+  def kTruss(pairs: DataFrame, k: Int, rounds: Int = 4,
+             localEdgeThreshold: Long = 500000L): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = pairs.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val local = e.count() <= localEdgeThreshold
+    def pin(df: DataFrame): DataFrame =
+      (if (local) df.coalesce(1) else df).localCheckpoint(true)
+    var cur = pin(e)
+    var sup: DataFrame = null
+    var it = 0
+    while (it < rounds) {
+      val sym = pin(cur.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(cur.select(col("v").as("a"), col("u").as("b"))))
+      sup = cur
+        .join(sym.select(col("a").as("u"), col("b").as("w")), Seq("u"))
+        .join(sym.select(col("a").as("v"), col("b").as("w")),
+          Seq("v", "w"), "left_semi")
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+      cur = pin(sup.filter(col("support") >= k - 2)
+        .select(col("u"), col("v")))
+      it += 1
+    }
+    sup.join(cur, Seq("u", "v"), "left_semi")
+      .select(col("u"), col("v"), col("support"))
+      .orderBy(col("u"), col("v"))
+  }
+
   /** [[coreness]]'s 100 TB tier — the SAME numbers via the H-INDEX
     * FIXPOINT (Lü, Zhou, Zhang & Stanley 2016, "The H-index of a
     * network node": iterating c ← H(neighbor c values) from the

@@ -98,6 +98,21 @@ object Round12 {
           .filter(col("src") < col("dst") && col("weight") >= 2L)
           .select(col("src").as("u"), col("dst").as("v")))),
 
+    // k-TRUSS of the co-purchase graph (Cohen 2008) — the EDGE-support
+    // sibling of q309/q336: keep edges lying in ≥ k−2 triangles
+    // within the surviving subgraph (k=3: every edge must close at
+    // least one triangle — spam stars die, cliques survive). Fixpoint
+    // measured at ≤2 rounds on all three SFs (2387 / 273 / 18
+    // surviving edges — non-vacuous everywhere); 4 rounds registered,
+    // the extra rounds no-ops. The oracle unrolls the peel round by
+    // round (the q309 discipline).
+    "q348_k_truss" -> ((s, dir) =>
+      etlmudah.graph.Centrality.kTruss(
+        SparkEntry.stagedCoEdges(s, dir)
+          .filter(col("src") < col("dst") && col("weight") >= 2L)
+          .select(col("src").as("u"), col("dst").as("v")),
+        k = 3, rounds = 4)),
+
     // REAL baseline-JPEG pixel decode (JpegFn: full T.81 baseline —
     // marker walk, DQT, canonical DHT, entropy decode with byte
     // stuffing, DC prediction + magnitude categories, AC run/size,
@@ -522,6 +537,30 @@ object Round12 {
         |FROM d CROSS JOIN range(0, 3) j(j)
         |LEFT JOIN st ON st.doc_id = d.doc_id AND st.j = j.j
         |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
+
+    // truss peel unrolled round by round; each round's support join
+    // and the alive sets are double-referenced -> AS MATERIALIZED
+    "q348_k_truss" -> {
+      def round(i: Int) =
+        s"""s$i AS MATERIALIZED (SELECT u AS a, v AS b FROM c${i - 1}
+           |       UNION ALL SELECT v, u FROM c${i - 1}),
+           |t$i AS MATERIALIZED (
+           |  SELECT c.u, c.v, count(*) AS sup FROM c${i - 1} c
+           |  JOIN s$i s1 ON s1.a = c.u
+           |  JOIN s$i s2 ON s2.a = c.v AND s2.b = s1.b
+           |  GROUP BY 1, 2),
+           |c$i AS MATERIALIZED (SELECT u, v FROM t$i WHERE sup >= 1)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |c0 AS MATERIALIZED (SELECT u, v FROM e0),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT t4.u, t4.v, t4.sup::BIGINT AS support
+         |FROM t4 JOIN c4 USING (u, v)
+         |ORDER BY t4.u, t4.v""".stripMargin
+    },
 
     // q230's oracle VERBATIM: the FLAC entropy decode must land on
     // the raw WAV closed form exactly

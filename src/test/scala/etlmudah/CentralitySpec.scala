@@ -549,6 +549,55 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  /** Serial k-truss peel to fixpoint: drop edges with < k−2 common
+    * neighbors within the surviving edge set. */
+  private def serialKTruss(edges: Seq[(Long, Long)],
+                           k: Int): Map[(Long, Long), Int] = {
+    var cur = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct.toSet
+    def supports(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (n, ps) => n -> ps.map(_._2).toSet }
+      es.iterator.map { case (u, v) =>
+        (u, v) -> (adj(u) & adj(v)).size
+      }.toMap
+    }
+    var prev = Set.empty[(Long, Long)]
+    while (cur != prev) {
+      prev = cur
+      cur = supports(cur).filter(_._2 >= k - 2).keySet
+    }
+    supports(cur)
+  }
+
+  test("kTruss: clique survives, star dies, serial replay at any partitioning") {
+    import spark.implicits._
+    // 4-clique + a star at 10 (no triangles) + a triangle
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (10L,11L),(10L,12L),(10L,13L),(7L,8L),(8L,9L),(7L,9L))
+    def run(es: Seq[(Long, Long)], k: Int, parts: Int) =
+      Centrality.kTruss(es.toDF("u", "v").repartition(parts), k, rounds = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt)
+        .toMap
+    // k=3: every clique/triangle edge survives, the star vanishes
+    val k3 = run(edges, 3, 3)
+    assert(k3.keySet == Set((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),
+      (3L,4L),(7L,8L),(8L,9L),(7L,9L)))
+    assert(k3((1L,2L)) == 2 && k3((7L,8L)) == 1) // in-truss supports
+    // k=4: only the 4-clique (every edge in 2 triangles)
+    assert(run(edges, 4, 2).keySet ==
+      Set((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+    // seeded random graphs: distributed == serial fixpoint
+    val rnd = new scala.util.Random(15)
+    (1 to 5).foreach { _ =>
+      val es = Seq.fill(70)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter(e => e._1 != e._2)
+      val k = 3 + rnd.nextInt(2)
+      val got = run(es, k, 1 + rnd.nextInt(5))
+      assert(got == serialKTruss(es, k), s"k=$k es=$es")
+    }
+  }
+
   test("corenessHIndex == coreness ladder on known and random graphs (the Lü et al. fixpoint theorem, pinned)") {
     import spark.implicits._
     val full = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
