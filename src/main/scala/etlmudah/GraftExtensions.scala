@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeMjpegAvi, FlacFeatures, FlacSampleStats, FlacToWav16, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeMjpegAvi, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, GifAHash, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -216,6 +216,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_fake_bmp_blocks"),
       (children: Seq[Expression]) =>
         FakeBmpBlocks(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gif_stats"),
+      new ExpressionInfo(classOf[GifPixelStats].getName, "graft_gif_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => GifPixelStats(c)
+        case Seq(c, m) if m.foldable =>
+          GifPixelStats(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_gif_stats(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gif_ahash"),
+      new ExpressionInfo(classOf[GifAHash].getName, "graft_gif_ahash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => GifAHash(c)
+        case Seq(c, m) if m.foldable =>
+          GifAHash(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_gif_ahash(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gif_to_bmp24"),
+      new ExpressionInfo(classOf[GifToBmp24].getName, "graft_gif_to_bmp24"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => GifToBmp24(c)
+        case Seq(c, m) if m.foldable =>
+          GifToBmp24(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_gif_to_bmp24(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_gif"),
+      new ExpressionInfo(classOf[FakeGif].getName, "graft_fake_gif"),
+      (children: Seq[Expression]) =>
+        FakeGif(children.head, children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_flac_stats"),
       new ExpressionInfo(classOf[FlacSampleStats].getName, "graft_flac_stats"),

@@ -518,6 +518,32 @@ object Multimodal {
   def wavSampleStats(media: Column, maxSamples: Int = 65536): Column =
     call_function("graft_wav_stats", media, lit(maxSamples))
 
+  /** REAL GIF pixel statistics — LZW dictionary decode (variable-
+    * width codes, clear/EOI, sub-block ladder) via the native
+    * `graft_gif_stats`; see [[etlmudah.expr.GifFn]]. The THIRD
+    * compression family on the image tier beside PNG's zlib and
+    * JPEG's Huffman-DCT. */
+  def gifPixelStats(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_gif_stats", media, lit(maxPixels))
+
+  /** Perceptual average hash of a decodable GIF — the shared visual
+    * convention, so one picture hashes identically through all four
+    * image containers (native `graft_gif_ahash`). */
+  def gifAHash(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_gif_ahash", media, lit(maxPixels))
+
+  /** Transcode a decodable GIF to a canonical bottom-up 24bpp BMP
+    * (native `graft_gif_to_bmp24`). */
+  def gifToBmp24(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_gif_to_bmp24", media, lit(maxPixels))
+
+  /** Synthesize a COMPLETE GIF89a carrying the block-constant closed
+    * form through REAL LZW compression (native `graft_fake_gif`; see
+    * [[etlmudah.expr.GifFn.synth]]). */
+  def fakeGif(seed: Column, width: Column, height: Column): Column =
+    call_function("graft_fake_gif", seed.cast("long"),
+      width.cast("long"), height.cast("long"))
+
   /** REAL FLAC sample statistics — lossless entropy decode (Rice
     * residuals + fixed predictors, CRC-verified) via the native
     * `graft_flac_stats`; see [[etlmudah.expr.FlacFn]]. Output schema

@@ -263,6 +263,60 @@ object Round12 {
         .orderBy(col("w"), col("h"))
     }),
 
+    // REAL GIF pixel decode — LZW dictionary coding, the THIRD
+    // compression family on the image tier (PNG = zlib, JPEG =
+    // Huffman-DCT): variable-width codes, clear/EOI, sub-block
+    // ladder, 256-gray palette. Lossless, so the q337 block closed
+    // form replays verbatim; every 5th blob maimed nulls whole.
+    "q349_gif_pixel_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 13 + 4).cast("int")
+      val hg = (id % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val blob = M.fakeGif(id, wg, hg)
+      val maimed = when(id % 5 === 0, substring(blob, 1, 40)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(wg.as("w"), hg.as("h"),
+          M.gifPixelStats(maimed).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_imgs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"))
+        .orderBy(col("w"), col("h"))
+    }),
+
+    // THREE-DECODER dedup on one visual image: doc_id mod 3 renders
+    // the block-constant picture as a raw-path BMP, a baseline JPEG
+    // (Huffman-DCT), or an LZW GIF — three fully independent decode
+    // pipelines, one perceptual hash, every planted triple in one
+    // group. Oracle replays the hash from the closed form (q338's
+    // discipline with a three-way split).
+    "q350_cross_container_lzw_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 3")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val ah = when(col("doc_id") % 3 === 0,
+        M.bmpAHash(M.fakeBmpBlocks(seed, wg, hg)))
+        .when(col("doc_id") % 3 === 1,
+          M.jpegAHash(M.fakeJpeg(seed, wg, hg)))
+        .otherwise(M.gifAHash(M.fakeGif(seed, wg, hg)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    }),
+
     // REAL FLAC sample decode — the audio twin of PNG-beside-BMP:
     // lossless Rice-coded residuals + fixed predictors + CRC-verified
     // frames decode to EXACTLY the raw samples, so compressed audio
@@ -561,6 +615,56 @@ object Round12 {
          |FROM t4 JOIN c4 USING (u, v)
          |ORDER BY t4.u, t4.v""".stripMargin
     },
+
+    // q337's pixel-rule oracle VERBATIM (lossless LZW lands on the
+    // identical block closed form)
+    "q349_gif_pixel_stats" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 13 + 4)::INT AS w,
+        |    (doc_id % 9 + 3)::INT AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (d.doc_id*17 + (fr.fr//8)*5 + (c.c//8)*3) % 256 AS v
+        |  FROM d, range(0, 11) fr(fr), range(0, 16) c(c)
+        |  WHERE d.doc_id % 5 <> 0 AND fr.fr < d.h AND c.c < d.w),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(v)::INT AS v_min, max(v)::INT AS v_max,
+        |    sum(v)::BIGINT AS v_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.w, d.h, count(*) AS n_imgs,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_px)::BIGINT AS n_px,
+        |  min(st.v_min) AS r_min, max(st.v_max) AS r_max,
+        |  sum(st.v_sum)::BIGINT AS r_sum,
+        |  min(st.v_min) AS g_min, max(st.v_max) AS g_max,
+        |  sum(st.v_sum)::BIGINT AS g_sum,
+        |  min(st.v_min) AS b_min, max(st.v_max) AS b_max,
+        |  sum(st.v_sum)::BIGINT AS b_sum
+        |FROM d LEFT JOIN st USING (doc_id)
+        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
+
+    // the q338 hash replay with the three-way seed split
+    "q350_cross_container_lzw_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 3 AS seed FROM documents),
+        |dd AS (SELECT DISTINCT seed, (seed % 13 + 4) AS w,
+        |    (seed % 9 + 3) AS h FROM d),
+        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
+        |    3 * ((dd.seed*17 + ((dd.h - 1 - (gi.i*dd.h)//8)//8)*5
+        |      + (((gj.j*dd.w)//8)//8)*3) % 256) AS s
+        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
+        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
+        |hw AS (SELECT px.seed,
+        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
+        |      ELSE 0 END)::BIGINT AS h0,
+        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
+        |      ELSE 0 END)::BIGINT AS h1
+        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
+        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
+        |grp AS (SELECT h0, h1, count(*) AS group_size
+        |  FROM doc GROUP BY h0, h1)
+        |SELECT group_size, count(*) AS n_groups,
+        |  sum(group_size)::BIGINT AS n_docs
+        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
 
     // q230's oracle VERBATIM: the FLAC entropy decode must land on
     // the raw WAV closed form exactly
