@@ -152,6 +152,36 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.dupSurvivorsBy(clusters, scores, "doc_id", "score").count() == 0)
   }
 
+  test("round-12 operators tolerate empty and degenerate input") {
+    import etlmudah.graph.Centrality
+    import etlmudah.analytics.Analytics
+    val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+    // graph family on empty/self-loop-only graphs: empty, no throw
+    assert(Centrality.coreness(noEdges).count() == 0)
+    assert(Centrality.corenessHIndex(noEdges).count() == 0)
+    assert(Centrality.kCoreAdaptive(noEdges, 3).count() == 0)
+    assert(Centrality.kTruss(noEdges, 3).count() == 0)
+    val selfOnly = Seq((1L, 1L), (2L, 2L)).toDF("u", "v")
+    assert(Centrality.coreness(selfOnly).count() == 0)
+    assert(Centrality.kTruss(selfOnly, 3).count() == 0)
+    // one edge: both nodes coreness 1, adaptive serves k=1, truss empty
+    val one = Seq((1L, 2L)).toDF("u", "v")
+    assert(Centrality.coreness(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 2L -> 1L))
+    assert(Centrality.kCoreAdaptive(one, 3).collect()
+      .map(_.getLong(2)).toSeq == Seq(1L, 1L))
+    assert(Centrality.kTruss(one, 3).count() == 0)
+    // concentration dials on tiny frames: single entity, uniform ties
+    val solo = Seq((1L, 10.0)).toDF("id", "v")
+    val gs = Analytics.giniCoefficientBucketed(solo, "id", col("v"), 4)
+      .collect()(0)
+    assert(gs.getLong(0) == 1L && gs.getDouble(2) == 0.0)
+    val ties = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("id", "v")
+    assert(Analytics.giniCoefficientBucketed(ties, "id", col("v"), 8)
+      .collect()(0).getDouble(2) == 0.0)
+    assert(Analytics.lorenzBinned(ties, "id", col("v"), 10).count() >= 1)
+  }
+
   test("this session's operators tolerate empty and degenerate input") {
     import etlmudah.analytics.Events
     import java.sql.Timestamp

@@ -116,10 +116,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q337: the JPEG decode tier prunes the documents scan to doc_id alone") {
-    assert(scansOf("q337_jpeg_pixel_stats").forall(
-      _.schema.fieldNames.toSeq == Seq("doc_id")),
-      "documents scan must prune to doc_id")
+  test("q337/q349/q350: the entropy-decode tiers prune the documents scan to doc_id alone") {
+    for (q <- Seq("q337_jpeg_pixel_stats", "q349_gif_pixel_stats",
+        "q350_cross_container_lzw_dedup"))
+      assert(scansOf(q).forall(
+        _.schema.fieldNames.toSeq == Seq("doc_id")),
+        s"$q: documents scan must prune to doc_id")
   }
 
   test("q336: the coreness ladder closes as one grouped max over pinned level frames — no window, no wide join") {
