@@ -168,12 +168,13 @@ object GifFn {
                   dictSize += 1
                 }
               }
-              // the decoder's dictionary LAGS the encoder's by one
-              // entry (the encoder adds after each emission; the
-              // decoder reconstructs that entry only on the NEXT
-              // code), so it must widen one entry EARLY — the classic
-              // LZW-GIF synchronization
-              if (dictSize == (1 << codeLen) - 1 && codeLen < 12)
+              // GIF uses the LATE ("deferred") width change: the
+              // decoder widens only once its own dictionary actually
+              // fills the current width (post-add dictSize == 2^len)
+              // — giflib (++RunningCode > MaxCode1), stb_image
+              // ((avail & codemask) == 0) and every browser agree.
+              // (TIFF's LZW is the one that changes a code early.)
+              if (dictSize == (1 << codeLen) && codeLen < 12)
                 codeLen += 1
               prev = code
             }
@@ -369,9 +370,13 @@ object GifFn {
         } else {
           dict.put(key, Integer.valueOf(dictSize))
           dictSize += 1
-          // width bump MUST mirror the decoder's rule exactly (both
-          // test the post-add dictSize), or the streams desynchronize
-          if (dictSize == (1 << codeLen) && codeLen < 12) codeLen += 1
+          // late-change synchronization: the decoder's dictionary
+          // LAGS this one by one entry (it reconstructs entry k only
+          // while processing code k+1), so the encoder widens one
+          // entry AFTER the decoder's 2^len boundary — giflib applies
+          // the same lag by checking the pre-add count at emit time
+          if (dictSize == (1 << codeLen) + 1 && codeLen < 12)
+            codeLen += 1
         }
         cur = nb
       }

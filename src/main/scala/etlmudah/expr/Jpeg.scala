@@ -421,6 +421,9 @@ object JpegFn {
         rgb(3 * i) = clamp255(y + ((91881 * cr + 32768) >> 16)).toByte
         rgb(3 * i + 1) = clamp255(
           y - ((22554 * cb + 46802 * cr + 32768) >> 16)).toByte
+        // 116130 = libjpeg FIX(1.77200) = (INT32)(1.772*65536 + 0.5)
+        // = (INT32)(116130.292) — NOT 116131 (1.772*65536 is
+        // 116129.792, which half-up-rounds to 116130)
         rgb(3 * i + 2) = clamp255(y + ((116130 * cb + 32768) >> 16)).toByte
         i += 1
       }

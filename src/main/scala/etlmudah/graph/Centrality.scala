@@ -385,12 +385,11 @@ object Centrality {
     def pin(df: DataFrame): DataFrame =
       (if (local) df.coalesce(1) else df).localCheckpoint(true)
     var cur = pin(e)
-    var sup: DataFrame = null
     var it = 0
     while (it < rounds) {
       val sym = pin(cur.select(col("u").as("a"), col("v").as("b"))
         .unionByName(cur.select(col("v").as("a"), col("u").as("b"))))
-      sup = cur
+      val sup = cur
         .join(sym.select(col("a").as("u"), col("b").as("w")), Seq("u"))
         .join(sym.select(col("a").as("v"), col("b").as("w")),
           Seq("v", "w"), "left_semi")
@@ -400,8 +399,24 @@ object Centrality {
         .select(col("u"), col("v")))
       it += 1
     }
-    sup.join(cur, Seq("u", "v"), "left_semi")
-      .select(col("u"), col("v"), col("support"))
+    // Report support recomputed ONCE over the FINAL surviving edge
+    // set, so the value always describes the returned truss — even
+    // when `rounds` undershoots the fixpoint (where the start-of-
+    // round support would describe the penultimate set). At a
+    // fixpoint the recompute is numerically a no-op. Left join +
+    // coalesce keeps survivors whose support dropped to 0 visible
+    // rather than silently dropping them.
+    val symF = pin(cur.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(cur.select(col("v").as("a"), col("u").as("b"))))
+    val supF = cur
+      .join(symF.select(col("a").as("u"), col("b").as("w")), Seq("u"))
+      .join(symF.select(col("a").as("v"), col("b").as("w")),
+        Seq("v", "w"), "left_semi")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("support"))
+    cur.join(supF, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
       .orderBy(col("u"), col("v"))
   }
 

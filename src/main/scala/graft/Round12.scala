@@ -60,7 +60,11 @@ object Round12 {
         s"$root/counts", s"$root/late", s"$root/wm", s"$root/cp",
         latenessUs = 7200000000L, compactEvery = 8)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(600000)
+    // memoize ONLY a completed run: a timed-out awaitTermination must
+    // retry next invocation, never serve truncated counts forever
+    require(q.awaitTermination(600000),
+      "lateness-audit staged sink did not finish within 600s; " +
+        "not writing the _done memo")
     fs.create(done).close()
     root
   }
@@ -610,10 +614,10 @@ object Round12 {
          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |c0 AS MATERIALIZED (SELECT u, v FROM e0),
-         |${(1 to 4).map(round).mkString(",\n")}
-         |SELECT t4.u, t4.v, t4.sup::BIGINT AS support
-         |FROM t4 JOIN c4 USING (u, v)
-         |ORDER BY t4.u, t4.v""".stripMargin
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT c4.u, c4.v, coalesce(t5.sup, 0)::BIGINT AS support
+         |FROM c4 LEFT JOIN t5 USING (u, v)
+         |ORDER BY c4.u, c4.v""".stripMargin
     },
 
     // q337's pixel-rule oracle VERBATIM (lossless LZW lands on the

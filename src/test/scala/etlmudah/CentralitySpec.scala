@@ -598,6 +598,27 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  test("kTruss under-sized rounds: support describes the RETURNED edge set, not the penultimate one") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + triangles (3,4,5) and (4,5,6). For k=4 the
+    // peel cascades: round 1 kills (3,5),(5,6),(4,6); round 2 kills
+    // (4,5) (its supporting triangles are gone). With rounds=1 the
+    // returned set still contains (4,5) — its support must be the
+    // RECOMPUTED 0 over the survivors, not the stale pre-peel 2.
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (3L,5L),(4L,5L),(4L,6L),(5L,6L))
+    val one = Centrality.kTruss(edges.toDF("u", "v"), k = 4, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(one((4L, 5L)) == 0L, "stale penultimate support leaked")
+    assert(one((1L, 2L)) == 2L && one((3L, 4L)) == 2L)
+    // and at the fixpoint the recompute is a no-op vs the serial peel
+    val fx = Centrality.kTruss(edges.toDF("u", "v"), k = 4, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt)
+      .toMap
+    assert(fx == serialKTruss(edges, 4))
+  }
+
   test("corenessHIndex == coreness ladder on known and random graphs (the Lü et al. fixpoint theorem, pinned)") {
     import spark.implicits._
     val full = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),

@@ -270,4 +270,18 @@ class JpegSpec extends SparkSpec {
         Multimodal.jpegAHash(col("jpg")).as("h")).collect().head
     assert(bad.isNullAt(0) && bad.isNullAt(1))
   }
+
+  test("JFIF color-transform constants are libjpeg's FIX() values exactly") {
+    // libjpeg jdcolor.c: FIX(x) = (INT32)(x * 65536 + 0.5). Note
+    // FIX(1.77200) is 116130, NOT 116131: 1.772*65536 = 116129.792.
+    def fix(x: Double): Int = (x * 65536 + 0.5).toInt
+    assert(fix(1.40200) == 91881)   // Cr -> R
+    assert(fix(0.34414) == 22554)   // Cb -> G
+    assert(fix(0.71414) == 46802)   // Cr -> G
+    assert(fix(1.77200) == 116130)  // Cb -> B
+    // and a chroma-bearing decode exercises them end-to-end: a
+    // synthetic 4:4:4 JPEG with NON-neutral constant chroma must land
+    // on the same fixed-point transform applied to the closed form
+    // (guarded by the existing chroma tests; this pins the constants)
+  }
 }
