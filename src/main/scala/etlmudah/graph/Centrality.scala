@@ -433,14 +433,18 @@ object Centrality {
     * co-purchase graphs vs the ladder's 10–53).
     *
     * Per-iteration shape: edges join the current (node, c) frame on
-    * the NEIGHBOR side only, then one window partitioned BY NODE
-    * ranks neighbor values descending — partition size = degree, so
-    * hot-node skew is the documented hazard (same hub-guard dial as
-    * the q313 tail-index evidence); no global window anywhere.
-    * H(v) = max over rank r of min(r, c_r) computed as a bounded
-    * per-partition aggregate. Fixpoint detected by a driver-side
-    * changed-count scalar; `maxIters` is the hard cap (bounded-
-    * iteration contract — exceeding throws, never truncates). */
+    * the NEIGHBOR side only, then aggregate to a per-(node, value)
+    * HISTOGRAM (hash aggregate with map-side partial combine — a
+    * celebrity node's adjacency is split across executors before any
+    * per-node work), then one cumulative fold over the <= |distinct
+    * c| histogram rows per node. NO window ever touches the raw
+    * adjacency: the count-threshold identity H(v) = max k with >= k
+    * neighbors of value >= k replaces the per-neighbor ranking, so
+    * the hot-node ceiling of the ranked form is engineered away, not
+    * just documented. No global window anywhere. Fixpoint detected by
+    * a driver-side changed-count scalar; `maxIters` is the hard cap
+    * (bounded-iteration contract — exceeding throws, never
+    * truncates). */
   def corenessHIndex(pairs: DataFrame, maxIters: Int = 64,
                      localEdgeThreshold: Long = 500000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -462,15 +466,7 @@ object Centrality {
     while (changed > 0) {
       if (it >= maxIters) throw new IllegalStateException(
         s"h-index iteration exceeded maxIters=$maxIters")
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("__nc").desc, col("dst").asc)
-      val next = pin(sym
-        .join(c.select(col("node").as("dst"), col("c").as("__nc")),
-          Seq("dst"))
-        .withColumn("__r", row_number().over(w))
-        .groupBy(col("src").as("node"))
-        .agg(max(least(col("__r").cast("long"), col("__nc")))
-          .as("c")))
+      val next = pin(hIndexStep(sym, c))
       changed = next.join(c.select(col("node"), col("c").as("__prev")),
           Seq("node"))
         .filter(col("c") =!= col("__prev")).count()
@@ -479,6 +475,35 @@ object Centrality {
     }
     c.select(col("node"), col("c").as("coreness"))
       .orderBy(col("node"))
+  }
+
+  /** One h-index relaxation step: c'(v) = H over v's neighbor values.
+    * H(v) = max k with >= k neighbors of value >= k, computed WITHOUT
+    * ranking the raw adjacency: aggregate to a per-(node, value)
+    * HISTOGRAM first (hash aggregate — map-side partial combine
+    * splits a celebrity node's adjacency across executors), then one
+    * cumulative fold over the <= |distinct c| histogram rows per
+    * node. H = max over distinct values v' of min(v', ccnt(v')) where
+    * ccnt(v') = #neighbors with c >= v' — equal to the classic ranked
+    * form: any feasible k has ccnt(k) >= k and the smallest distinct
+    * value v' >= k gives min(v', ccnt(v')) >= min(v', k) = k;
+    * conversely every min(v', ccnt(v')) is itself feasible (k <= v'
+    * implies ccnt(k) >= ccnt(v') >= k). The only window runs over the
+    * AGGREGATED histogram (PlanShapeSpec pins this), so the hot-node
+    * partition is bounded by its distinct neighbor-value count, not
+    * its degree. */
+  def hIndexStep(sym: DataFrame, c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src")).orderBy(col("__nc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sym
+      .join(c.select(col("node").as("dst"), col("c").as("__nc")),
+        Seq("dst"))
+      .groupBy(col("src"), col("__nc"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__ccnt", sum(col("__cnt")).over(w))
+      .groupBy(col("src").as("node"))
+      .agg(max(least(col("__nc"), col("__ccnt"))).as("c"))
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {

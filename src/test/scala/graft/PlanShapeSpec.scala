@@ -116,6 +116,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q345: the h-index step windows ONLY the aggregated histogram — never a raw adjacency partition") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import spark.implicits._
+    val sym = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val c = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("node", "c")
+    val wins = etlmudah.graph.Centrality.hIndexStep(sym, c)
+      .queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "step must fold the histogram via a window")
+    assert(wins.forall(w =>
+      w.child.find(_.isInstanceOf[BaseAggregateExec]).isDefined),
+      "h-index window must sit ABOVE the per-(node,value) aggregate — " +
+        "a window over the raw adjacency reintroduces the hot-node " +
+        "ceiling:\n" + wins.map(_.toString).mkString)
+  }
+
   test("q337/q349/q350: the entropy-decode tiers prune the documents scan to doc_id alone") {
     for (q <- Seq("q337_jpeg_pixel_stats", "q349_gif_pixel_stats",
         "q350_cross_container_lzw_dedup"))
