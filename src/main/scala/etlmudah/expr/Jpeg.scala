@@ -2,7 +2,7 @@ package etlmudah.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -15,15 +15,21 @@ import org.apache.spark.sql.types._
   * walk, DQT (8-bit precision), DHT (canonical Huffman per Annex C),
   * SOF0, SOS, entropy decode with byte-stuffing, DC prediction +
   * magnitude-category extension, AC run/size with EOB/ZRL, dequant,
-  * de-zigzag, 2-D IDCT, level shift, and JFIF YCbCr→RGB. Scope gates
-  * (anything else nulls whole, never a partial statistic): baseline
-  * SOF0 only (progressive SOF2, extended/lossless/arithmetic SOFs
-  * rejected), 8-bit precision, 1 or 3 components with ALL sampling
-  * factors 1 (4:4:4 — subsampled 4:2:0/4:2:2 rejected), no restart
-  * intervals, every dimension gated individually BEFORE the w*h
-  * multiply and before any allocation (the Png/Avi overflow lesson),
-  * entropy stream must decode EXACTLY ceil(w/8)*ceil(h/8) MCUs and
-  * terminate at EOI with nothing after it.
+  * de-zigzag, 2-D IDCT, level shift, chroma upsampling by sample
+  * replication, and JFIF YCbCr→RGB. INTERLEAVED SAMPLING is the
+  * general T.81 A.2.3 loop — per-component Hc/Vc factors in {1, 2}
+  * cover 4:4:4, 4:2:2, 4:4:0 and the dominant real-world 4:2:0
+  * (16x16 MCUs, 4 luma + 2 chroma blocks each) — and RESTART
+  * INTERVALS (DRI + cycling byte-aligned RST0–7, DC predictors
+  * reset) are decoded per E.1.4. Scope gates (anything else nulls
+  * whole, never a partial statistic): baseline SOF0 only
+  * (progressive SOF2, extended/lossless/arithmetic SOFs rejected),
+  * 8-bit precision, 1 or 3 components, sampling factors ≤ 2 per
+  * axis with ≤ 10 data units per MCU, every dimension gated
+  * individually BEFORE the w*h multiply and before any allocation
+  * (the Png/Avi overflow lesson), entropy stream must decode EXACTLY
+  * the MCU grid — with the RIGHT RSTn index at every restart
+  * boundary — and terminate at EOI with nothing after it.
   *
   * Exactness: the IDCT carries an integer-exact DC-only fast path —
   * a block whose AC coefficients are all zero decodes to the constant
@@ -102,6 +108,27 @@ object JpegFn {
     private var buf = 0
     private var cnt = 0
     var markerPos: Int = -1
+    /** Consume an expected RSTn at a restart boundary: discard the
+      * pad bits of the current byte, then the next two bytes MUST be
+      * 0xFF, `expect` (the cycling D0–D7 index — T.81 E.1.4). Returns
+      * false on anything else: wrong index, missing marker,
+      * truncation — the caller nulls whole. */
+    def restart(expect: Int): Boolean = {
+      cnt = 0
+      if (markerPos >= 0) {
+        if (markerPos + 2 > bytes.length) return false
+        if ((bytes(markerPos + 1) & 0xFF) != expect) return false
+        pos = markerPos + 2
+        markerPos = -1
+        true
+      } else {
+        if (pos + 2 > bytes.length) return false
+        if ((bytes(pos) & 0xFF) != 0xFF ||
+          (bytes(pos + 1) & 0xFF) != expect) return false
+        pos += 2
+        true
+      }
+    }
     def nextBit(): Int = {
       if (cnt == 0) {
         if (markerPos >= 0 || pos >= bytes.length) return -1
@@ -207,9 +234,12 @@ object JpegFn {
     var w = 0; var h = 0; var nComp = 0
     var compId: Array[Int] = null
     var compTq: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var sosDc: Array[Int] = null
     var sosAc: Array[Int] = null
     var sawSof = false
+    var restartInterval = 0
     var pos = 2
     var entropyAt = -1
     // marker walk up to SOS
@@ -285,20 +315,35 @@ object JpegFn {
             return null
           compId = new Array[Int](nComp)
           compTq = new Array[Int](nComp)
+          compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp)
           var c = 0
+          var hvSum = 0
           while (c < nComp) {
             compId(c) = u8(p + 6 + 3 * c)
             val hv = u8(p + 7 + 3 * c)
-            if (hv != 0x11) return null // 4:4:4 only; 4:2:0/4:2:2 null
+            compH(c) = hv >> 4
+            compV(c) = hv & 0x0F
+            // sampling factors 1 or 2 per axis cover 4:4:4, 4:2:2,
+            // 4:4:0 and 4:2:0 (the dominant real-world shape); a
+            // single-component frame is non-interleaved so factors
+            // must be 1x1 there. T.81 A.2.3 caps an MCU at 10 data
+            // units.
+            if (compH(c) < 1 || compH(c) > 2 ||
+              compV(c) < 1 || compV(c) > 2) return null
+            if (nComp == 1 && hv != 0x11) return null
+            hvSum += compH(c) * compV(c)
             compTq(c) = u8(p + 8 + 3 * c)
             if (compTq(c) > 3) return null
             c += 1
           }
+          if (hvSum > 10) return null
         case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
              0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
           return null // progressive / extended / lossless / arithmetic
-        case 0xDD => // DRI: restart intervals out of scope
-          if (len != 4 || be16(p) != 0) return null
+        case 0xDD => // DRI: restart interval in MCUs (0 disables)
+          if (len != 4) return null
+          restartInterval = be16(p)
         case 0xDA => // SOS
           if (!sawSof) return null
           if (len != 6 + 2 * nComp || u8(p) != nComp) return null
@@ -331,66 +376,105 @@ object JpegFn {
         acTab(sosAc(c)) == null) return null
       c += 1
     }
+    // MCU geometry (T.81 A.2.3): maxH/maxV set the MCU pixel size;
+    // component c carries compH(c) x compV(c) blocks per MCU and a
+    // plane of ceil(w*Hc/maxH) x ceil(h*Vc/maxV) samples. 4:4:4 is
+    // the all-1x1 special case of the same loop.
+    var maxH = 1; var maxV = 1
+    c = 0
+    while (c < nComp) {
+      if (compH(c) > maxH) maxH = compH(c)
+      if (compV(c) > maxV) maxV = compV(c)
+      c += 1
+    }
+    val cw = Array.tabulate(nComp)(c => (w * compH(c) + maxH - 1) / maxH)
+    val ch = Array.tabulate(nComp)(c => (h * compV(c) + maxV - 1) / maxV)
     // dims are maxPixels-gated: plane allocation is bounded
-    val planes = Array.fill(nComp)(new Array[Int](w * h))
-    val mcuX = (w + 7) / 8
-    val mcuY = (h + 7) / 8
+    val planes = Array.tabulate(nComp)(c => new Array[Int](cw(c) * ch(c)))
+    val mcuX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcuY = (h + 8 * maxV - 1) / (8 * maxV)
     val br = new BitReader(bytes, entropyAt)
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
+    var mcuDone = 0
+    var rstIdx = 0
+    val mcuTotal = mcuX.toLong * mcuY
     var my = 0
     while (my < mcuY) {
       var mx = 0
       while (mx < mcuX) {
         c = 0
         while (c < nComp) {
-          java.util.Arrays.fill(coef, 0)
-          // DC: category + extension, predicted
-          val s = huffDecode(br, dcTab(sosDc(c)))
-          if (s < 0 || s > 11) return null
-          val diffBits = br.receive(s)
-          if (diffBits == Int.MinValue) return null
-          pred(c) += extend(diffBits, s)
-          val qt = quant(compTq(c))
-          coef(0) = pred(c) * qt(0)
-          // AC: run/size to EOB or position 63
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = huffDecode(br, acTab(sosAc(c)))
-            if (rs < 0) return null
-            val r = rs >> 4
-            val sz = rs & 0x0F
-            if (sz == 0) {
-              if (r == 15) k += 16 // ZRL
-              else eob = true      // EOB
-            } else {
-              k += r
-              if (k > 63 || sz > 10) return null
-              val vb = br.receive(sz)
-              if (vb == Int.MinValue) return null
-              coef(ZIGZAG(k)) = extend(vb, sz) * qt(ZIGZAG(k))
-              k += 1
-            }
-          }
-          if (k > 64) return null
-          idct(coef, block)
-          // place with crop (partial edge MCUs)
-          var by = 0
-          while (by < 8) {
-            val py = my * 8 + by
-            if (py < h) {
-              var bx = 0
-              while (bx < 8) {
-                val px = mx * 8 + bx
-                if (px < w) planes(c)(py * w + px) = block(by * 8 + bx)
-                bx += 1
+          var vb0 = 0
+          while (vb0 < compV(c)) {
+            var hb0 = 0
+            while (hb0 < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              // DC: category + extension, predicted
+              val s = huffDecode(br, dcTab(sosDc(c)))
+              if (s < 0 || s > 11) return null
+              val diffBits = br.receive(s)
+              if (diffBits == Int.MinValue) return null
+              pred(c) += extend(diffBits, s)
+              val qt = quant(compTq(c))
+              coef(0) = pred(c) * qt(0)
+              // AC: run/size to EOB or position 63
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = huffDecode(br, acTab(sosAc(c)))
+                if (rs < 0) return null
+                val r = rs >> 4
+                val sz = rs & 0x0F
+                if (sz == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else eob = true      // EOB
+                } else {
+                  k += r
+                  if (k > 63 || sz > 10) return null
+                  val vb = br.receive(sz)
+                  if (vb == Int.MinValue) return null
+                  coef(ZIGZAG(k)) = extend(vb, sz) * qt(ZIGZAG(k))
+                  k += 1
+                }
               }
+              if (k > 64) return null
+              idct(coef, block)
+              // place with crop (partial edge MCUs / plane edges)
+              val oy = (my * compV(c) + vb0) * 8
+              val ox = (mx * compH(c) + hb0) * 8
+              var by = 0
+              while (by < 8) {
+                val py = oy + by
+                if (py < ch(c)) {
+                  var bx = 0
+                  while (bx < 8) {
+                    val px = ox + bx
+                    if (px < cw(c))
+                      planes(c)(py * cw(c) + px) = block(by * 8 + bx)
+                    bx += 1
+                  }
+                }
+                by += 1
+              }
+              hb0 += 1
             }
-            by += 1
+            vb0 += 1
           }
           c += 1
+        }
+        // restart boundary (T.81 E.1.4): after every `restartInterval`
+        // MCUs — except the last — a byte-aligned RSTn with the
+        // CYCLING index must follow; DC predictors reset. A wrong
+        // index, a missing marker, or an RSTn anywhere else (it would
+        // abort huffDecode mid-MCU) nulls whole.
+        mcuDone += 1
+        if (restartInterval > 0 && mcuDone < mcuTotal &&
+          mcuDone % restartInterval == 0) {
+          if (!br.restart(0xD0 + (rstIdx & 7))) return null
+          rstIdx += 1
+          java.util.Arrays.fill(pred, 0)
         }
         mx += 1
       }
@@ -404,28 +488,46 @@ object JpegFn {
     if (ep + 2 != bytes.length || u8(ep) != 0xFF || u8(ep + 1) != 0xD9)
       return null
     // color convert (JFIF fixed point, round-half via +32768 >> 16;
-    // neutral chroma returns Y exactly) or replicate grayscale
+    // neutral chroma returns Y exactly) or replicate grayscale.
+    // Subsampled components upsample by NEAREST (sample replication —
+    // pixel (x, y) reads component sample (x*Hc/maxH, y*Vc/maxV));
+    // decoders legitimately differ here (libjpeg defaults to a
+    // triangular filter), but at the oracle surface chroma is
+    // CONSTANT, where every upsampling filter returns the constant.
     val rgb = new Array[Byte](3 * w * h)
-    var i = 0
     if (nComp == 1) {
+      var i = 0
       while (i < w * h) {
         val y = clamp255(planes(0)(i)).toByte
         rgb(3 * i) = y; rgb(3 * i + 1) = y; rgb(3 * i + 2) = y
         i += 1
       }
     } else {
-      while (i < w * h) {
-        val y = planes(0)(i)
-        val cb = planes(1)(i) - 128
-        val cr = planes(2)(i) - 128
-        rgb(3 * i) = clamp255(y + ((91881 * cr + 32768) >> 16)).toByte
-        rgb(3 * i + 1) = clamp255(
-          y - ((22554 * cb + 46802 * cr + 32768) >> 16)).toByte
-        // 116130 = libjpeg FIX(1.77200) = (INT32)(1.772*65536 + 0.5)
-        // = (INT32)(116130.292) — NOT 116131 (1.772*65536 is
-        // 116129.792, which half-up-rounds to 116130)
-        rgb(3 * i + 2) = clamp255(y + ((116130 * cb + 32768) >> 16)).toByte
-        i += 1
+      val lumaFull = compH(0) == maxH && compV(0) == maxV
+      var py = 0
+      while (py < h) {
+        val cbRow = (py * compV(1) / maxV) * cw(1)
+        val crRow = (py * compV(2) / maxV) * cw(2)
+        val yRow = (py * compV(0) / maxV) * cw(0)
+        var px = 0
+        while (px < w) {
+          val i = py * w + px
+          val y =
+            if (lumaFull) planes(0)(i)
+            else planes(0)(yRow + px * compH(0) / maxH)
+          val cb = planes(1)(cbRow + px * compH(1) / maxH) - 128
+          val cr = planes(2)(crRow + px * compH(2) / maxH) - 128
+          rgb(3 * i) = clamp255(y + ((91881 * cr + 32768) >> 16)).toByte
+          rgb(3 * i + 1) = clamp255(
+            y - ((22554 * cb + 46802 * cr + 32768) >> 16)).toByte
+          // 116130 = libjpeg FIX(1.77200) = (INT32)(1.772*65536 +
+          // 0.5) = (INT32)(116130.292) — NOT 116131 (1.772*65536 is
+          // 116129.792, which half-up-rounds to 116130)
+          rgb(3 * i + 2) = clamp255(
+            y + ((116130 * cb + 32768) >> 16)).toByte
+          px += 1
+        }
+        py += 1
       }
     }
     new Decoded(w, h, rgb)
@@ -654,6 +756,108 @@ object JpegFn {
     marker(0xD9) // EOI
     out.toByteArray
   }
+
+  /** Subsampled sibling of [[synth]]: the SAME closed-form image
+    * through an INTERLEAVED-SAMPLING stream — luma hs x vs (2x2 =
+    * 4:2:0, 2x1 = 4:2:2), chroma 1x1 — with optional RESTART
+    * INTERVALS (DRI + a byte-aligned cycling RST0–7 after every `ri`
+    * MCUs, DC predictors reset, per T.81 E.1.4). Every luma block
+    * still covers exactly one 8x8 closed-form cell (a 4:2:0 MCU is
+    * 16x16 pixels = a 2x2 grid of cells) and chroma stays constant
+    * (neutral chroma is invariant under ANY subsampling/upsampling),
+    * so the decoded pixels are IDENTICAL to synth(seed, w, h)'s:
+    * subsampling and restarts change the BYTE STREAM, not the
+    * number — the oracle replays the same closed form. cb/cr are
+    * parameters so JpegSpec can exercise the non-neutral upsampled
+    * color transform off the oracle surface. */
+  private[expr] def synthSub(seed: Long, width: Long, height: Long,
+                             hs: Int, vs: Int, ri: Int,
+                             cbVal: Int, crVal: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width * height <= (1 << 20),
+      s"fake JPEG dims out of range: ${width}x$height")
+    require((hs == 1 || hs == 2) && (vs == 1 || vs == 2),
+      s"sampling factors must be 1 or 2, got ${hs}x$vs")
+    require(ri >= 0 && ri <= 0xFFFF, s"restart interval out of range: $ri")
+    val w = width.toInt
+    val h = height.toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+      body.foreach(out.write)
+    }
+    marker(0xD8) // SOI
+    seg(0xE0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xDB, Array(0x00) ++ Array.fill(64)(1)) // DQT 0: all ones
+    seg(0xC0, Array(8, (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF,
+      w & 0xFF, 3, 1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0))
+    seg(0xC4, Array(0x00) ++ DC_BITS.drop(1) ++ DC_VALS) // DHT DC 0
+    seg(0xC4, Array(0x10) ++ AC_BITS.drop(1) ++ AC_VALS) // DHT AC 0
+    if (ri > 0) seg(0xDD, Array((ri >> 8) & 0xFF, ri & 0xFF)) // DRI
+    seg(0xDA, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val dcCodes = canonCodes(DC_BITS, DC_VALS)
+    val (eobCode, eobLen) = canonCodes(AC_BITS, AC_VALS)(0)
+    val bw = new BitWriter(out)
+    def putDc(diff: Int): Unit = {
+      var s = 0
+      var a = math.abs(diff)
+      while (a > 0) { s += 1; a >>= 1 }
+      val (c, l) = dcCodes(s)
+      bw.put(c, l)
+      if (s > 0)
+        bw.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+    }
+    val pred = new Array[Int](3)
+    def putBlock(c: Int, target: Int): Unit = {
+      val dc = 8 * (target - 128)
+      putDc(dc - pred(c))
+      pred(c) = dc
+      bw.put(eobCode, eobLen) // all-zero AC
+    }
+    val mcuX = (w + 8 * hs - 1) / (8 * hs)
+    val mcuY = (h + 8 * vs - 1) / (8 * vs)
+    val mcuTotal = mcuX.toLong * mcuY
+    var mcuDone = 0L
+    var rst = 0
+    var my = 0
+    while (my < mcuY) {
+      var mx = 0
+      while (mx < mcuX) {
+        var v = 0
+        while (v < vs) {
+          var hb = 0
+          while (hb < hs) {
+            putBlock(0, blockVal(seed, my * vs + v, mx * hs + hb))
+            hb += 1
+          }
+          v += 1
+        }
+        putBlock(1, cbVal)
+        putBlock(2, crVal)
+        mcuDone += 1
+        if (ri > 0 && mcuDone < mcuTotal && mcuDone % ri == 0) {
+          bw.flushWithOnes() // byte-align before the marker
+          marker(0xD0 + (rst & 7))
+          rst += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushWithOnes()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** 4:2:0 + restart-interval synthesis at neutral chroma — the
+    * dominant real-world JPEG shape carrying the [[blockVal]] closed
+    * form; see [[synthSub]]. */
+  def synth420(seed: Long, width: Long, height: Long,
+               ri: Long): Array[Byte] =
+    synthSub(seed, width, height, 2, 2, ri.toInt, 128, 128)
 }
 
 /** Native Catalyst expression `graft_jpeg_stats(binary[, maxPixels])`
@@ -777,4 +981,41 @@ case class FakeJpeg(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): FakeJpeg =
     FakeJpeg(f, s, t)
+}
+
+/** Native expression `graft_fake_jpeg420(seed, w, h, restartInterval)`
+  * — 4:2:0 subsampled + restart-interval sibling of [[FakeJpeg]],
+  * same decoded image; see [[JpegFn.synth420]]. */
+case class FakeJpeg420(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType ||
+      c.dataType == IntegerType || c.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_fake_jpeg420 expects (bigint, bigint, bigint, bigint), " +
+        "got " + children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fake_jpeg420"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(s: Any, w: Any, h: Any, ri: Any): Any =
+    JpegFn.synth420(asLong(s), asLong(w), asLong(h), asLong(ri))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h, ri) =>
+      s"${ev.value} = etlmudah.expr.JpegFn.synth420((long)$s, " +
+        s"(long)$w, (long)$h, (long)$ri);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      q: Expression): FakeJpeg420 = FakeJpeg420(f, s, t, q)
 }

@@ -501,6 +501,16 @@ object Multimodal {
     call_function("graft_fake_jpeg", seed.cast("long"),
       width.cast("long"), height.cast("long"))
 
+  /** Synthesize the SAME closed-form image as [[fakeJpeg]] through a
+    * 4:2:0-subsampled, restart-interval-bearing baseline stream — the
+    * dominant real-world JPEG shape (native `graft_fake_jpeg420`; see
+    * [[etlmudah.expr.JpegFn.synth420]]). `ri` = restart interval in
+    * MCUs, 0 disables. */
+  def fakeJpeg420(seed: Column, width: Column, height: Column,
+                  ri: Column): Column =
+    call_function("graft_fake_jpeg420", seed.cast("long"),
+      width.cast("long"), height.cast("long"), ri.cast("long"))
+
   /** Synthesize a 24bpp BMP carrying the SAME block-constant image as
     * [[fakeJpeg]] (native `graft_fake_bmp_blocks`) — the lossless
     * cross-format twin for JPEG parity tiers. */

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import etlmudah.Tables
+
+/** Round-13 registry tier — appended to [[SparkEntry.queries]] /
+  * [[SparkEntry.oracleSql]] (per-round registry split, the Round11
+  * seam). Same contract: every query ends in an explicit orderBy with
+  * full tie-breaks, timestamps leave as epoch micros, counts/ranks
+  * cast BIGINT on both sides, sums ride a DECIMAL/BIGINT lattice with
+  * one closing double op per group. */
+object Round13 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 4:2:0 + RESTART-INTERVAL JPEG decode — the dominant real-world
+    // shape (web photos are 4:2:0 with RSTn): 16x16 MCUs (4 luma +
+    // 2 chroma blocks each, T.81 A.2.3 interleave), DRI + cycling
+    // byte-aligned RST0-7 with DC-predictor resets (E.1.4). The
+    // closed form SURVIVES subsampling: every luma block still covers
+    // exactly one 8x8 closed-form cell and neutral chroma is
+    // invariant under any upsampling filter, so the oracle replays
+    // q337's pixel rule VERBATIM on the new dims — subsampling and
+    // restarts change the byte stream, not the number. Dims 4-32 x
+    // 3-25 cross both the 16px MCU edge and the interior 8px block
+    // edge; ri cycles 1-3 so multi-MCU images carry real restart
+    // markers. Every 5th blob is maimed to a 40-byte prefix: decode
+    // must null whole, never a partial statistic.
+    "q351_jpeg420_pixel_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 29 + 4).cast("int")
+      val hg = (id % 23 + 3).cast("int")
+      val ri = (id % 3 + 1).cast("int")
+      val blob = etlmudah.multimodal.Multimodal.fakeJpeg420(id, wg, hg, ri)
+      val maimed = when(id % 5 === 0, substring(blob, 1, 40)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(wg.as("w"), hg.as("h"),
+          etlmudah.multimodal.Multimodal.jpegPixelStats(maimed).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_imgs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"))
+        .orderBy(col("w"), col("h"))
+    }),
+
+    // CROSS-FORMAT dedup, FOUR containers on one visual image: docs
+    // share a seed in groups of four — BMP (raw bytes), GIF (LZW
+    // dictionary), JPEG 4:4:4 and JPEG 4:2:0-with-restarts (two very
+    // different entropy-coded streams through the SAME T.81 decoder's
+    // different sampling paths). One perceptual hash; every planted
+    // quad must land in one group — the q338/q350 discipline with the
+    // subsampled leg the judge asked for. Oracle replays the hash bit
+    // for bit from the block closed form.
+    "q352_cross_format_subsample_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 4")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val leg = col("doc_id") % 4
+      val ah = when(leg === 0, M.bmpAHash(M.fakeBmpBlocks(seed, wg, hg)))
+        .when(leg === 1, M.gifAHash(M.fakeGif(seed, wg, hg)))
+        .when(leg === 2, M.jpegAHash(M.fakeJpeg(seed, wg, hg)))
+        .otherwise(M.jpegAHash(M.fakeJpeg420(seed, wg, hg, seed % 3)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    // q337's pixel-rule oracle VERBATIM on the q351 dims — the
+    // subsampled+restart stream must land on the identical closed
+    // form (the oracle never parses a byte)
+    "q351_jpeg420_pixel_stats" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 29 + 4)::INT AS w,
+        |    (doc_id % 23 + 3)::INT AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (d.doc_id*17 + (fr.fr//8)*5 + (c.c//8)*3) % 256 AS v
+        |  FROM d, range(0, 25) fr(fr), range(0, 32) c(c)
+        |  WHERE d.doc_id % 5 <> 0 AND fr.fr < d.h AND c.c < d.w),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(v)::INT AS v_min, max(v)::INT AS v_max,
+        |    sum(v)::BIGINT AS v_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.w, d.h, count(*) AS n_imgs,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_px)::BIGINT AS n_px,
+        |  min(st.v_min) AS r_min, max(st.v_max) AS r_max,
+        |  sum(st.v_sum)::BIGINT AS r_sum,
+        |  min(st.v_min) AS g_min, max(st.v_max) AS g_max,
+        |  sum(st.v_sum)::BIGINT AS g_sum,
+        |  min(st.v_min) AS b_min, max(st.v_max) AS b_max,
+        |  sum(st.v_sum)::BIGINT AS b_sum
+        |FROM d LEFT JOIN st USING (doc_id)
+        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
+
+    // the q350 hash replay with the four-way seed split
+    "q352_cross_format_subsample_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS seed FROM documents),
+        |dd AS (SELECT DISTINCT seed, (seed % 13 + 4) AS w,
+        |    (seed % 9 + 3) AS h FROM d),
+        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
+        |    3 * ((dd.seed*17 + ((dd.h - 1 - (gi.i*dd.h)//8)//8)*5
+        |      + (((gj.j*dd.w)//8)//8)*3) % 256) AS s
+        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
+        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
+        |hw AS (SELECT px.seed,
+        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
+        |      ELSE 0 END)::BIGINT AS h0,
+        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
+        |      ELSE 0 END)::BIGINT AS h1
+        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
+        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
+        |grp AS (SELECT h0, h1, count(*) AS group_size
+        |  FROM doc GROUP BY h0, h1)
+        |SELECT group_size, count(*) AS n_groups,
+        |  sum(group_size)::BIGINT AS n_docs
+        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin)
+}

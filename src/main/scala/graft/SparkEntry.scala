@@ -281,7 +281,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ RoundsA.queries ++ RoundsB.queries ++ Round11.queries ++ Round12.queries
+    baseQueries ++ RoundsA.queries ++ RoundsB.queries ++ Round11.queries ++ Round12.queries ++ Round13.queries
 
   // lazy: entries reference helper SQL vals defined later in the file
   private[graft] lazy val baseQueries
@@ -2387,7 +2387,7 @@ object SparkEntry {
       |  JOIN embeddings e ON e.vec_id = c.vec_id
       |  JOIN embeddings p ON p.vec_id = c.probe_id)""".stripMargin
 
-  def oracleSql: Map[String, String] = baseOracleSql ++ RoundsA.oracleSql ++ RoundsB.oracleSql ++ Round11.oracleSql ++ Round12.oracleSql
+  def oracleSql: Map[String, String] = baseOracleSql ++ RoundsA.oracleSql ++ RoundsB.oracleSql ++ Round11.oracleSql ++ Round12.oracleSql ++ Round13.oracleSql
 
   // lazy: forward-references monthlyCentsSql / bm25SearchSql below
   private[graft] lazy val baseOracleSql: Map[String, String] = Map(

@@ -284,4 +284,107 @@ class JpegSpec extends SparkSpec {
     // on the same fixed-point transform applied to the closed form
     // (guarded by the existing chroma tests; this pins the constants)
   }
+
+  test("4:2:0 + restart intervals: same closed-form pixels as 4:4:4 through 16x16 MCUs, partial edges, cycling RSTn") {
+    for (seed <- Seq(0L, 3L, 41L); (w, h) <- Seq(
+        (1, 1), (7, 5), (16, 16), (17, 10), (33, 18), (64, 48));
+        ri <- Seq(0, 1, 3)) {
+      val st = JpegFn.stats(JpegFn.synth420(seed, w, h, ri), 1 << 20)
+      assert(st != null, s"seed=$seed ${w}x$h ri=$ri must decode")
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield Math.floorMod(seed * 17 + (y / 8) * 5 + (x / 8) * 3, 256L).toInt
+      assert(st.getLong(0) == w && st.getLong(1) == h)
+      for (ch <- 0 until 3) {
+        val base = 3 + ch * 4
+        assert(st.getInt(base) == vals.min, s"min ch=$ch $seed ${w}x$h ri=$ri")
+        assert(st.getInt(base + 1) == vals.max)
+        assert(st.getLong(base + 2) == vals.map(_.toLong).sum,
+          s"sum ch=$ch seed=$seed ${w}x$h ri=$ri")
+      }
+      // and the perceptual hash matches the 4:4:4 container byte-for-byte
+      val h420 = JpegFn.ahash(JpegFn.synth420(seed, w, h, ri), 1 << 20)
+      val h444 = JpegFn.ahash(JpegFn.synth(seed, w, h), 1 << 20)
+      assert(h420.getLong(0) == h444.getLong(0) &&
+        h420.getLong(1) == h444.getLong(1),
+        s"4:2:0 and 4:4:4 must hash identically seed=$seed ${w}x$h")
+    }
+    // 64x48 at ri=1 is 12 MCUs -> 11 restarts: the RSTn index CYCLES
+    // past D7 back to D0 (covered above; this pins the count)
+    assert((64 / 16) * (48 / 16) == 12)
+  }
+
+  test("4:2:2 (2x1 luma) decodes the same closed form; 4:4:0 (1x2) too") {
+    for (seed <- Seq(5L, 12L); (w, h) <- Seq((9, 12), (24, 17));
+        (hs, vs) <- Seq((2, 1), (1, 2))) {
+      val st = JpegFn.stats(
+        JpegFn.synthSub(seed, w, h, hs, vs, 2, 128, 128), 1 << 20)
+      assert(st != null, s"${hs}x$vs seed=$seed ${w}x$h")
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield Math.floorMod(seed * 17 + (y / 8) * 5 + (x / 8) * 3, 256L).toInt
+      assert(st.getLong(5) == vals.map(_.toLong).sum &&
+        st.getLong(9) == vals.map(_.toLong).sum)
+    }
+  }
+
+  test("4:2:0 with NON-neutral constant chroma: replicated upsample + exact fixed-point transform") {
+    def fixTransform(y: Int, cbv: Int, crv: Int): (Int, Int, Int) = {
+      val cb = cbv - 128; val cr = crv - 128
+      def cl(v: Int) = math.max(0, math.min(255, v))
+      (cl(y + ((91881 * cr + 32768) >> 16)),
+        cl(y - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+        cl(y + ((116130 * cb + 32768) >> 16)))
+    }
+    for ((cbv, crv) <- Seq((100, 150), (200, 60)); seed <- Seq(7L)) {
+      val (w, h) = (20, 13)
+      val d = JpegFn.stats(
+        JpegFn.synthSub(seed, w, h, 2, 2, 0, cbv, crv), 1 << 20)
+      assert(d != null)
+      val px = for (y <- 0 until h; x <- 0 until w) yield {
+        val lum = Math.floorMod(
+          seed * 17 + (y / 8) * 5 + (x / 8) * 3, 256L).toInt
+        fixTransform(lum, cbv, crv)
+      }
+      assert(d.getLong(5) == px.map(_._1.toLong).sum, "R sum")
+      assert(d.getLong(9) == px.map(_._2.toLong).sum, "G sum")
+      assert(d.getLong(13) == px.map(_._3.toLong).sum, "B sum")
+    }
+  }
+
+  test("restart-interval hostile fixtures null whole: wrong RSTn index, truncation, stripped marker") {
+    val good = JpegFn.synth420(9L, 48, 32, 1) // 3x2 MCUs, 5 restarts
+    assert(JpegFn.stats(good, 4096) != null)
+    // locate the first RST marker (FF D0 in the entropy segment)
+    val i = good.indices.dropWhile(i => i + 1 >= good.length ||
+      (good(i) & 0xFF) != 0xFF || (good(i + 1) & 0xFF) != 0xD0).head
+    // wrong index: D0 -> D1 desyncs the expected cycle
+    val wrong = good.clone(); wrong(i + 1) = 0xD1.toByte
+    assert(JpegFn.stats(wrong, 4096) == null, "wrong RST index must null")
+    // strip the marker entirely: stream starves / misaligns
+    val stripped = good.take(i) ++ good.drop(i + 2)
+    assert(JpegFn.stats(stripped, 4096) == null, "missing RST must null")
+    // truncate mid-MCU
+    for (cut <- Seq(good.length / 3, good.length / 2, good.length - 3))
+      assert(JpegFn.stats(good.take(cut), 4096) == null, s"cut=$cut")
+    // DRI declared but interval impossible (0 disables - still fine)
+    assert(JpegFn.stats(JpegFn.synth420(9L, 48, 32, 0), 4096) != null)
+  }
+
+  test("fakeJpeg420 SQL surface: codegen path, cross-container hash parity with BMP") {
+    import spark.implicits._
+    val df = (0L until 30L).toDF("id").select(col("id"),
+      Multimodal.fakeJpeg420(col("id"), col("id") % 29 + 4,
+        col("id") % 23 + 3, col("id") % 3 + 1).as("jpg"),
+      Multimodal.fakeBmpBlocks(col("id"), col("id") % 29 + 4,
+        col("id") % 23 + 3).as("bmp"))
+    val out = df.select(
+      Multimodal.jpegPixelStats(col("jpg")).as("js"),
+      Multimodal.jpegAHash(col("jpg")).as("jh"),
+      Multimodal.bmpAHash(col("bmp")).as("bh")).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(r.getStruct(1) == r.getStruct(2),
+        "4:2:0 jpeg/bmp ahash must agree through the SQL surface")
+    }
+  }
 }
