@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeMjpegAvi, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, GifAHash, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeMjpegAvi, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -253,6 +253,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_gif_to_bmp24(media[, maxPixels])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gif_anim_meta"),
+      new ExpressionInfo(classOf[GifAnimMeta].getName,
+        "graft_gif_anim_meta"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => GifAnimMeta(c)
+        case Seq(c, m) if m.foldable =>
+          GifAnimMeta(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_gif_anim_meta(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gif_frame_stats"),
+      new ExpressionInfo(classOf[GifFrameStats].getName,
+        "graft_gif_frame_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, k) => GifFrameStats(c, k)
+        case Seq(c, k, m) if m.foldable =>
+          GifFrameStats(c, k, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_gif_frame_stats(media, frameIdx[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_anim_gif"),
+      new ExpressionInfo(classOf[FakeAnimGif].getName,
+        "graft_fake_anim_gif"),
+      (children: Seq[Expression]) =>
+        FakeAnimGif(children.head, children(1), children(2),
+          children(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_gif"),
       new ExpressionInfo(classOf[FakeGif].getName, "graft_fake_gif"),

@@ -554,6 +554,32 @@ object Multimodal {
     call_function("graft_fake_gif", seed.cast("long"),
       width.cast("long"), height.cast("long"))
 
+  /** Animated-GIF container metadata: struct(width, height,
+    * n_frames) or null (native `graft_gif_anim_meta`; see
+    * [[etlmudah.expr.GifFn.animMeta]]) — the [[aviMeta]] sibling for
+    * the third frame-sampling container. */
+  def gifAnimMeta(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_gif_anim_meta", media, lit(maxPixels))
+
+  /** Pixel statistics of animated-GIF frame k — shallow container
+    * walk, only the SAMPLED frame pays the LZW decode (native
+    * `graft_gif_frame_stats`; see [[etlmudah.expr.GifFn
+    * .frameStats]]). */
+  def gifFrameStats(media: Column, frameIdx: Column,
+                    maxPixels: Int = 4096): Column =
+    call_function("graft_gif_frame_stats", media,
+      frameIdx.cast("long"), lit(maxPixels))
+
+  /** Synthesize a COMPLETE animated GIF89a — graphic-control blocks +
+    * per-frame LZW images, frame k carrying the closed form at
+    * seed+k, the [[fakeMjpegAvi]] convention (native
+    * `graft_fake_anim_gif`; see [[etlmudah.expr.GifFn
+    * .synthAnim]]). */
+  def fakeAnimGif(seed: Column, width: Column, height: Column,
+                  nFrames: Column): Column =
+    call_function("graft_fake_anim_gif", seed.cast("long"),
+      width.cast("long"), height.cast("long"), nFrames.cast("long"))
+
   /** REAL FLAC sample statistics — lossless entropy decode (Rice
     * residuals + fixed predictors, CRC-verified) via the native
     * `graft_flac_stats`; see [[etlmudah.expr.FlacFn]]. Output schema

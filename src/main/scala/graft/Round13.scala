@@ -77,6 +77,44 @@ object Round13 {
           count(lit(1)).as("n_groups"),
           sum(col("group_size")).as("n_docs"))
         .orderBy(col("group_size"))
+    }),
+
+    // ANIMATED-GIF FRAME SAMPLING — the THIRD frame-sampling
+    // container beside DIB-AVI (q334) and MJPEG-AVI (q344): GIF89a
+    // graphic-control blocks + per-frame LZW image descriptors,
+    // sampled uniformly (frame j·n div 3) through graft_gif_frame_
+    // stats — the container walk is O(bytes), ONLY the sampled frame
+    // pays the LZW decode. Frame k's image is the closed form at
+    // seed doc_id + k — the SAME pixel rule as q344, so the oracle is
+    // q344's VERBATIM (the q340/q345 identical-statistic discipline
+    // across CONTAINERS: the container changes, the number doesn't).
+    // Every 7th container is maimed: decode nulls whole.
+    "q353_gif_anim_frame_sample" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 13 + 4).cast("int")
+      val hg = (id % 9 + 3).cast("int")
+      val nf = (id % 5 + 2)
+      val M = etlmudah.multimodal.Multimodal
+      val blob = M.fakeAnimGif(id, wg, hg, nf)
+      val maimed = when(id % 7 === 0, substring(blob, 1, 60)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(id, wg.as("w"), hg.as("h"), maimed.as("gif"))
+        .select(col("w"), col("h"), col("doc_id"),
+          explode(sequence(lit(0L), lit(2L))).as("j"), col("gif"))
+        .select(col("w"), col("h"),
+          M.gifFrameStats(col("gif"),
+            expr("j * (doc_id % 5 + 2) div 3")).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_samples"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"))
+        .orderBy(col("w"), col("h"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -130,5 +168,12 @@ object Round13 {
         |  FROM doc GROUP BY h0, h1)
         |SELECT group_size, count(*) AS n_groups,
         |  sum(group_size)::BIGINT AS n_docs
-        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin)
+        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
+
+    // q344's oracle VERBATIM — same dims, frame counts, maim mod,
+    // sampling rule, and per-frame pixel rule (closed form at
+    // seed + sampled index): the animated-GIF container must land on
+    // the MJPEG-AVI number exactly
+    "q353_gif_anim_frame_sample" ->
+      Round12.oracleSql("q344_mjpeg_frame_sample"))
 }

@@ -397,4 +397,95 @@ class GifSpec extends SparkSpec {
     assert(GifFn.stats(unhex(interopEarly), 4096) == null,
       "an early-width-change stream desyncs and must null whole")
   }
+
+  test("animated tier: synthAnim -> frame k equals the closed form at seed+k; meta counts frames") {
+    for (seed <- Seq(0L, 9L, 33L); (w, h) <- Seq((7, 5), (17, 10));
+        nf <- Seq(1L, 2L, 5L)) {
+      val blob = GifFn.synthAnim(seed, w, h, nf)
+      val meta = GifFn.animMeta(blob, 4096)
+      assert(meta != null && meta.getLong(0) == w &&
+        meta.getLong(1) == h && meta.getLong(2) == nf)
+      for (k <- 0L until nf) {
+        val st = GifFn.frameStats(blob, k, 4096)
+        assert(st != null, s"frame $k of $nf seed=$seed")
+        val vals = for (y <- 0 until h; x <- 0 until w)
+          yield blockVal(seed + k, y / 8, x / 8)
+        assert(st.getLong(2) == w.toLong * h)
+        for (ch <- 0 until 3) {
+          val base = 3 + ch * 4
+          assert(st.getInt(base) == vals.min && st.getInt(base + 1) == vals.max)
+          assert(st.getLong(base + 2) == vals.map(_.toLong).sum,
+            s"sum frame=$k seed=$seed ${w}x$h nf=$nf ch=$ch")
+        }
+      }
+      // out-of-range frames null, never wrap
+      assert(GifFn.frameStats(blob, nf, 4096) == null)
+      assert(GifFn.frameStats(blob, -1L, 4096) == null)
+    }
+    // a SINGLE-image synth() is a valid 1-frame animation (the walk
+    // and the single-image gate agree on the container grammar)
+    val one = GifFn.synth(5L, 9, 12)
+    assert(GifFn.animMeta(one, 4096).getLong(2) == 1L)
+  }
+
+  test("animated tier: cross-container sampling parity with MJPEG-AVI on the same pixel rule") {
+    // frame k of BOTH containers carries blockVal(seed+k, ...): the
+    // q344/q353 sampling tiers replay ONE oracle
+    for (seed <- Seq(3L, 21L); (w, h) <- Seq((9, 12), (16, 8)); k <- 0 to 2) {
+      val g = GifFn.frameStats(GifFn.synthAnim(seed, w, h, 4), k, 4096)
+      val a = AviFn.frameStats(AviFn.synthMjpeg(seed, w, h, 4), k, 4096)
+      assert(g != null && a != null)
+      // schemas differ in channel ORDER (GIF RGB vs AVI BGR) but the
+      // image is gray: every channel-sum must agree
+      assert(g.getLong(5) == a.getLong(5),
+        s"gif/mjpeg frame sums disagree seed=$seed k=$k")
+      assert(g.getLong(2) == a.getLong(2))
+    }
+  }
+
+  test("animated tier hostile fixtures: truncation, maimed control block, bad later frame all null whole") {
+    val good = GifFn.synthAnim(7L, 12, 9, 3)
+    assert(GifFn.animMeta(good, 4096) != null)
+    for (cut <- Seq(0, 14, 100, good.length / 2, good.length - 1)) {
+      assert(GifFn.animMeta(good.take(cut), 4096) == null, s"cut=$cut")
+      assert(GifFn.frameStats(good.take(cut), 0, 4096) == null, s"cut=$cut")
+    }
+    // corrupt the SECOND frame's LZW body: frame 0 still parses
+    // shallowly but the container is intact — only decoding frame 1
+    // hits the damage and nulls; the walk itself stays honest
+    def findFrames(b: Array[Byte]): Seq[Int] =
+      (13 + 768 until b.length).filter(i => (b(i) & 0xFF) == 0x2C)
+    val frames = findFrames(good)
+    assert(frames.length >= 3)
+    val corr = good.clone()
+    corr(frames(1) + 15) = (corr(frames(1) + 15) ^ 0x55).toByte
+    assert(GifFn.frameStats(corr, 1, 4096) == null,
+      "corrupted sampled frame must null")
+    // maim a graphic-control block length: the extension ladder
+    // desyncs and the whole container nulls
+    val gce = (13 + 768 until good.length).find(i =>
+      (good(i) & 0xFF) == 0x21 && (good(i + 1) & 0xFF) == 0xF9).get
+    val bad = good.clone(); bad(gce + 2) = 9 // claims 9-byte body
+    assert(GifFn.animMeta(bad, 4096) == null)
+    // oversize pixel gate applies to the shared dims
+    assert(GifFn.animMeta(good, 107) == null)
+  }
+
+  test("animated tier SQL surface: meta + sampled frame stats, codegen path") {
+    import spark.implicits._
+    val df = (0L until 25L).toDF("id").select(col("id"),
+      Multimodal.fakeAnimGif(col("id"), col("id") % 13 + 4,
+        col("id") % 9 + 3, col("id") % 5 + 2).as("gif"))
+    val out = df.select(
+      Multimodal.gifAnimMeta(col("gif")).as("m"),
+      Multimodal.gifFrameStats(col("gif"), col("id") % 2).as("st"))
+      .collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      assert(!r.isNullAt(0))
+      val nf = r.getStruct(0).getLong(2)
+      assert(nf >= 2 && nf <= 6)
+      assert(!r.isNullAt(1))
+    }
+  }
 }
