@@ -20,9 +20,10 @@ import org.apache.spark.sql.types._
   * against maxPixels BEFORE the multiply and any allocation,
   * extensions skipped by their sub-block ladder, exactly ONE image
   * whose descriptor is full-screen at (0,0) with no local color
-  * table and no interlace, LZW stream decoding to EXACTLY w·h
-  * indices (every index inside the palette), the 0x3B trailer, and
-  * nothing after it. Anything else — truncated blob, interlace,
+  * table (sequential OR interlaced — the four-pass appendix-E row
+  * permutation is undone after decode), LZW stream decoding to
+  * EXACTLY w·h indices (every index inside the palette), the 0x3B
+  * trailer, and nothing after it. Anything else — truncated blob,
   * local palettes, over/under-long LZW output, code past the
   * dictionary, missing trailer — nulls whole, never a partial
   * statistic.
@@ -63,7 +64,8 @@ object GifFn {
     val iw = le16(pos + 5); val ih = le16(pos + 7)
     val ip = u8(pos + 9)
     if (left != 0 || top != 0 || iw != w || ih != h ||
-      (ip & 0x80) != 0 || (ip & 0x40) != 0) return -1
+      (ip & 0x80) != 0) return -1
+    val interlaced = (ip & 0x40) != 0
     pos += 10
     if (pos >= bytes.length) return -1
     val mcs = u8(pos); pos += 1
@@ -154,6 +156,26 @@ object GifFn {
     if (pos >= bytes.length || u8(pos) != 0) return -1
     pos += 1
     if (out != idx.length) return -1
+    if (interlaced) {
+      // GIF89a interlace (appendix E): rows are STORED in four
+      // passes — 0,8,16.. / 4,12.. / 2,6,10.. / 1,3,5.. — a pure row
+      // permutation of the already-decoded indices
+      val tmp = new Array[Int](idx.length)
+      System.arraycopy(idx, 0, tmp, 0, idx.length)
+      var sr = 0
+      var pass = 0
+      val starts = Array(0, 4, 2, 1)
+      val steps = Array(8, 8, 4, 2)
+      while (pass < 4) {
+        var dr = starts(pass)
+        while (dr < h) {
+          System.arraycopy(tmp, sr * w, idx, dr * w, w)
+          sr += 1
+          dr += steps(pass)
+        }
+        pass += 1
+      }
+    }
     pos
   }
 
@@ -170,7 +192,7 @@ object GifFn {
     val iw = le16(pos + 5); val ih = le16(pos + 7)
     val ip = u8(pos + 9)
     if (left != 0 || top != 0 || iw != w || ih != h ||
-      (ip & 0x80) != 0 || (ip & 0x40) != 0) return -1
+      (ip & 0x80) != 0) return -1 // interlace OK: a row permutation
     pos += 10
     if (pos >= bytes.length) return -1
     val mcs = u8(pos); pos += 1
@@ -370,10 +392,29 @@ object GifFn {
     * closed form at `seed` — shared by [[synth]] (single image) and
     * [[synthAnim]] (one call per frame at seed+k). */
   private def writeImage(out: java.io.ByteArrayOutputStream, seed: Long,
-                         w: Int, h: Int): Unit = {
+                         w: Int, h: Int,
+                         interlaced: Boolean = false): Unit = {
     def le16(v: Int): Unit = { out.write(v & 0xFF); out.write(v >> 8) }
     out.write(0x2C) // image descriptor
-    le16(0); le16(0); le16(w); le16(h); out.write(0)
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0)
+    // stored-row -> visual-row map: identity when sequential, the
+    // four-pass appendix-E schedule when interlaced
+    val rowOf = new Array[Int](h)
+    if (interlaced) {
+      var sr = 0
+      var pass = 0
+      val starts = Array(0, 4, 2, 1)
+      val steps = Array(8, 8, 4, 2)
+      while (pass < 4) {
+        var dr = starts(pass)
+        while (dr < h) { rowOf(sr) = dr; sr += 1; dr += steps(pass) }
+        pass += 1
+      }
+    } else {
+      var r = 0
+      while (r < h) { rowOf(r) = r; r += 1 }
+    }
     val mcs = 8
     out.write(mcs)
     val clear = 1 << mcs
@@ -397,7 +438,7 @@ object GifFn {
     var dictSize = eoi + 1
     putCode(clear)
     def pix(k: Int): Int = {
-      val y = k / w; val x = k % w
+      val y = rowOf(k / w); val x = k % w
       JpegFn.blockVal(seed, y / 8, x / 8)
     }
     var cur = pix(0)
@@ -442,6 +483,30 @@ object GifFn {
       off += n
     }
     out.write(0) // block terminator
+  }
+
+  /** INTERLACED sibling of [[synth]]: the IDENTICAL visual image with
+    * rows stored in the four-pass GIF89a appendix-E schedule — a pure
+    * row permutation, so every statistic AND the row-sensitive
+    * perceptual hash must land exactly where the sequential container
+    * does. */
+  def synthInterlaced(seed: Long, width: Long,
+                      height: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width * height <= (1 << 20),
+      s"fake GIF dims out of range: ${width}x$height")
+    val w = width.toInt
+    val h = height.toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write(v >> 8) }
+    le16(w); le16(h)
+    out.write(0x80 | 7) // global table, 256 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    writeImage(out, seed, w, h, interlaced = true)
+    out.write(0x3B) // trailer
+    out.toByteArray
   }
 
   // --- animated tier -----------------------------------------------
@@ -813,4 +878,39 @@ case class FakeAnimGif(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression,
       q: Expression): FakeAnimGif = FakeAnimGif(f, s, t, q)
+}
+
+/** Native expression `graft_fake_gif_interlaced(seed, w, h)` — see
+  * [[GifFn.synthInterlaced]]. */
+case class FakeGifInterlaced(first: Expression, second: Expression,
+                             third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType ||
+      c.dataType == IntegerType || c.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_fake_gif_interlaced expects (bigint, bigint, bigint), got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fake_gif_interlaced"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(s: Any, w: Any, h: Any): Any =
+    GifFn.synthInterlaced(asLong(s), asLong(w), asLong(h))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h) =>
+      s"${ev.value} = etlmudah.expr.GifFn.synthInterlaced((long)$s, " +
+        s"(long)$w, (long)$h);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): FakeGifInterlaced =
+    FakeGifInterlaced(f, s, t)
 }

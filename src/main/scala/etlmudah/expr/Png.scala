@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 
 /** REAL PNG pixel decode for the dominant web image format —
-  * non-interlaced 8-bit truecolor (color type 2), which is pure JDK
-  * machinery: IDAT is a zlib stream (`java.util.zip.Inflater`, the
+  * 8-bit truecolor (color type 2), sequential OR Adam7-interlaced,
+  * which is pure JDK machinery: IDAT is a zlib stream (`java.util.zip.Inflater`, the
   * same class `compressionRatio` already leans on) and the per-
   * scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) reverse
   * with byte arithmetic. Extends the real-pixel tier (BMP 24bpp,
@@ -25,12 +25,16 @@ import org.apache.spark.sql.types._
   * Accept contract (the BMP `parse` discipline — every gate runs
   * before any pixel read): 8-byte signature, chunk walk with length/
   * CRC32 verification on EVERY chunk, IHDR first with bit depth 8 /
-  * color type 2 / compression 0 / filter 0 / interlace 0, positive
-  * dims with w*h <= maxPixels (gated BEFORE inflating, so a hostile
-  * IHDR cannot zip-bomb), IDAT inflating to EXACTLY h*(1+3w) bytes,
-  * IEND present. Anything else — truncated blob, interlaced or
-  * 16-bit or palette/gray/alpha layout, CRC mismatch, short or
-  * over-long inflate — yields null, never a partial statistic.
+  * color type 2 / compression 0 / filter 0 / interlace 0 or 1
+  * (Adam7: seven independently-filtered pass sub-images, RFC 2083
+  * §8.2 — a pure pixel permutation of the sequential layout, empty
+  * passes contributing no bytes), positive dims with w*h <=
+  * maxPixels (gated BEFORE inflating, so a hostile IHDR cannot
+  * zip-bomb), IDAT inflating to EXACTLY the per-layout filtered
+  * volume, IEND present. Anything else — truncated blob, 16-bit or
+  * palette/gray/alpha layout, CRC mismatch, short or over-long
+  * inflate, a truncated interlace pass — yields null, never a
+  * partial statistic.
   *
   * Orientation convention: PNG file order is visual top-down; the
   * perceptual hash is defined over the VISUAL image with the
@@ -75,6 +79,7 @@ object PngFn {
     // chunk walk: bounds-check every read; verify every CRC
     var pos = 8
     var w = 0; var h = 0
+    var adam7 = false
     var sawIhdr = false; var sawIend = false
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new CRC32()
@@ -101,8 +106,9 @@ object PngFn {
         if (ww < 1L || hh < 1L ||
           ww > maxPixels || hh > maxPixels || ww * hh > maxPixels ||
           bitDepth != 8 || colorType != 2 || comp != 0 || filt != 0 ||
-          interlace != 0) return null
+          interlace > 1) return null
         w = ww.toInt; h = hh.toInt
+        adam7 = interlace == 1
         sawIhdr = true
       } else typ match {
         case "IDAT" => idat.write(bytes, pos + 8, l)
@@ -113,9 +119,21 @@ object PngFn {
       pos += 12 + l
     }
     // inflate to EXACTLY the filtered-scanline volume (the maxPixels
-    // gate above bounds this allocation)
+    // gate above bounds this allocation): one filter byte per
+    // scanline — per PASS sub-image when Adam7-interlaced (empty
+    // passes contribute no bytes at all, RFC 2083 §8.2)
     val rowBytes = 1 + 3 * w
-    val filtered = new Array[Byte](rowBytes * h)
+    var filtLen = 0
+    if (adam7) {
+      var pass = 0
+      while (pass < 7) {
+        val pw = passW(w, pass)
+        val ph = passH(h, pass)
+        if (pw > 0 && ph > 0) filtLen += ph * (1 + 3 * pw)
+        pass += 1
+      }
+    } else filtLen = rowBytes * h
+    val filtered = new Array[Byte](filtLen)
     val inf = new Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -132,18 +150,69 @@ object PngFn {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // unfilter (RFC 2083 §6.4-6.9); bpp = 3; a = left, b = up,
-    // c = upper-left, all from the RECONSTRUCTED bytes
     val rgb = new Array[Byte](3 * w * h)
+    if (!adam7) {
+      if (!unfilter(filtered, 0, w, h, rgb)) return null
+    } else {
+      // Adam7 (RFC 2083 §8.2): seven independently-filtered pass
+      // sub-images; each unfilters against its OWN previous scanline,
+      // then scatters to (ys + r*ystep, xs + c*xstep) — a pure pixel
+      // permutation of the already-decoded data
+      var off = 0
+      var pass = 0
+      while (pass < 7) {
+        val pw = passW(w, pass)
+        val ph = passH(h, pass)
+        if (pw > 0 && ph > 0) {
+          val sub = new Array[Byte](3 * pw * ph)
+          if (!unfilter(filtered, off, pw, ph, sub)) return null
+          off += ph * (1 + 3 * pw)
+          var r = 0
+          while (r < ph) {
+            val py = A7_YS(pass) + r * A7_YSTEP(pass)
+            var c = 0
+            while (c < pw) {
+              val px = A7_XS(pass) + c * A7_XSTEP(pass)
+              val d = (py * w + px) * 3
+              val sp = (r * pw + c) * 3
+              rgb(d) = sub(sp); rgb(d + 1) = sub(sp + 1)
+              rgb(d + 2) = sub(sp + 2)
+              c += 1
+            }
+            r += 1
+          }
+        }
+        pass += 1
+      }
+    }
+    new Decoded(w, h, rgb)
+  }
+
+  /** Adam7 pass geometry (RFC 2083 §8.2). */
+  private val A7_XS = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7_YS = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7_XSTEP = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7_YSTEP = Array(8, 8, 8, 4, 4, 2, 2)
+  private def passW(w: Int, p: Int): Int =
+    if (w > A7_XS(p)) (w - A7_XS(p) + A7_XSTEP(p) - 1) / A7_XSTEP(p) else 0
+  private def passH(h: Int, p: Int): Int =
+    if (h > A7_YS(p)) (h - A7_YS(p) + A7_YSTEP(p) - 1) / A7_YSTEP(p) else 0
+
+  /** Unfilter one (sub-)image of pw x ph scanlines starting at `off`
+    * (RFC 2083 §6.4-6.9); bpp = 3; a = left, b = up, c = upper-left,
+    * all from the RECONSTRUCTED bytes of the SAME (sub-)image. */
+  private def unfilter(filtered: Array[Byte], off: Int, pw: Int,
+                       ph: Int, rgb: Array[Byte]): Boolean = {
+    val rowBytes = 1 + 3 * pw
     var v = 0
-    while (v < h) {
-      val ft = filtered(v * rowBytes) & 0xFF
-      if (ft > 4) return null
-      val src = v * rowBytes + 1
-      val dst = v * 3 * w
-      val prev = dst - 3 * w
+    while (v < ph) {
+      val ft = filtered(off + v * rowBytes) & 0xFF
+      if (ft > 4) return false
+      val src = off + v * rowBytes + 1
+      val dst = v * 3 * pw
+      val prev = dst - 3 * pw
       var i = 0
-      while (i < 3 * w) {
+      while (i < 3 * pw) {
         val x = filtered(src + i) & 0xFF
         val a = if (i >= 3) rgb(dst + i - 3) & 0xFF else 0
         val b = if (v > 0) rgb(prev + i) & 0xFF else 0
@@ -166,7 +235,7 @@ object PngFn {
       }
       v += 1
     }
-    new Decoded(w, h, rgb)
+    true
   }
 
   def stats(bytes: Array[Byte], maxPixels: Int): InternalRow = {
@@ -377,6 +446,122 @@ object PngFn {
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
+
+  /** ADAM7-INTERLACED sibling of [[synth]]: the IDENTICAL visual
+    * image stored as seven independently-filtered pass sub-images
+    * (RFC 2083 §8.2) — a pure pixel permutation, so every statistic
+    * AND the row-sensitive perceptual hash must land exactly where
+    * the sequential container does. Pass scanline r is filtered with
+    * type r % 5 against PASS-LOCAL neighbors, so all five filter
+    * reversals run inside every non-trivial pass. */
+  def synthInterlaced(seed: Long, width: Long,
+                      height: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width * height <= (1 << 20),
+      s"fake PNG dims out of range: ${width}x$height")
+    val w = width.toInt
+    val h = height.toInt
+    val raw = new Array[Byte](3 * w * h) // full image, RGB top-down
+    var v = 0
+    while (v < h) {
+      val fr = h - 1 - v
+      var c = 0
+      while (c < w) {
+        val p = (v * w + c) * 3
+        raw(p) = Math.floorMod(seed * 13 + fr * 7 + c * 3, 256L).toByte
+        raw(p + 1) = Math.floorMod(seed * 11 + fr * 5 + c * 2, 256L).toByte
+        raw(p + 2) = Math.floorMod(seed * 7 + fr * 3 + c, 256L).toByte
+        c += 1
+      }
+      v += 1
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    var pass = 0
+    while (pass < 7) {
+      val pw = passW(w, pass)
+      val ph = passH(h, pass)
+      if (pw > 0 && ph > 0) {
+        // gather the pass sub-image, then filter it pass-locally
+        val sub = new Array[Byte](3 * pw * ph)
+        var r = 0
+        while (r < ph) {
+          val py = A7_YS(pass) + r * A7_YSTEP(pass)
+          var c = 0
+          while (c < pw) {
+            val px = A7_XS(pass) + c * A7_XSTEP(pass)
+            val sp = (r * pw + c) * 3
+            val gp = (py * w + px) * 3
+            sub(sp) = raw(gp); sub(sp + 1) = raw(gp + 1)
+            sub(sp + 2) = raw(gp + 2)
+            c += 1
+          }
+          r += 1
+        }
+        r = 0
+        while (r < ph) {
+          val ft = r % 5
+          filtered.write(ft)
+          val src = r * 3 * pw
+          val prev = src - 3 * pw
+          var i = 0
+          while (i < 3 * pw) {
+            val x = sub(src + i) & 0xFF
+            val a = if (i >= 3) sub(src + i - 3) & 0xFF else 0
+            val b = if (r > 0) sub(prev + i) & 0xFF else 0
+            val cc = if (r > 0 && i >= 3) sub(prev + i - 3) & 0xFF else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case 4 =>
+                val pp = a + b - cc
+                val pa = math.abs(pp - a)
+                val pb = math.abs(pp - b)
+                val pc = math.abs(pp - cc)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+            }
+            filtered.write((x - pred) & 0xFF)
+            i += 1
+          }
+          r += 1
+        }
+      }
+      pass += 1
+    }
+    val def1 = new Deflater()
+    val zs = try {
+      def1.setInput(filtered.toByteArray); def1.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!def1.finished()) buf.write(tmp, 0, def1.deflate(tmp))
+      buf.toByteArray
+    } finally def1.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(x: Long): Array[Byte] = Array(
+        ((x >> 24) & 0xFF).toByte, ((x >> 16) & 0xFF).toByte,
+        ((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte)
+      val t = typ.getBytes("US-ASCII")
+      out.write(be32(data.length.toLong), 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xFF).toByte; ihdr(1) = ((w >> 16) & 0xFF).toByte
+    ihdr(2) = ((w >> 8) & 0xFF).toByte; ihdr(3) = (w & 0xFF).toByte
+    ihdr(4) = ((h >> 24) & 0xFF).toByte; ihdr(5) = ((h >> 16) & 0xFF).toByte
+    ihdr(6) = ((h >> 8) & 0xFF).toByte; ihdr(7) = (h & 0xFF).toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 1
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zs)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }
 
 /** Native Catalyst expression `graft_png_stats(binary[, maxPixels])` —
@@ -499,4 +684,39 @@ case class FakePng24(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): FakePng24 =
     FakePng24(f, s, t)
+}
+
+/** Native expression `graft_fake_png_interlaced(seed, w, h)` — see
+  * [[PngFn.synthInterlaced]]. */
+case class FakePngInterlaced(first: Expression, second: Expression,
+                             third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType ||
+      c.dataType == IntegerType || c.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_fake_png_interlaced expects (bigint, bigint, bigint), got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fake_png_interlaced"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(s: Any, w: Any, h: Any): Any =
+    PngFn.synthInterlaced(asLong(s), asLong(w), asLong(h))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h) =>
+      s"${ev.value} = etlmudah.expr.PngFn.synthInterlaced((long)$s, " +
+        s"(long)$w, (long)$h);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): FakePngInterlaced =
+    FakePngInterlaced(f, s, t)
 }

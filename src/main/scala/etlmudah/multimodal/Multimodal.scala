@@ -554,6 +554,25 @@ object Multimodal {
     call_function("graft_fake_gif", seed.cast("long"),
       width.cast("long"), height.cast("long"))
 
+  /** Synthesize the SAME visual image as [[fakeGif]] with rows stored
+    * in the four-pass GIF89a interlace schedule (native
+    * `graft_fake_gif_interlaced`; see [[etlmudah.expr.GifFn
+    * .synthInterlaced]]) — a pure row permutation the decoder must
+    * undo exactly. */
+  def fakeGifInterlaced(seed: Column, width: Column,
+                        height: Column): Column =
+    call_function("graft_fake_gif_interlaced", seed.cast("long"),
+      width.cast("long"), height.cast("long"))
+
+  /** Synthesize the SAME visual image as [[fakePng24]] as an ADAM7-
+    * interlaced stream (native `graft_fake_png_interlaced`; see
+    * [[etlmudah.expr.PngFn.synthInterlaced]]) — seven independently-
+    * filtered pass sub-images the decoder must re-scatter exactly. */
+  def fakePngInterlaced(seed: Column, width: Column,
+                        height: Column): Column =
+    call_function("graft_fake_png_interlaced", seed.cast("long"),
+      width.cast("long"), height.cast("long"))
+
   /** Animated-GIF container metadata: struct(width, height,
     * n_frames) or null (native `graft_gif_anim_meta`; see
     * [[etlmudah.expr.GifFn.animMeta]]) — the [[aviMeta]] sibling for

@@ -115,6 +115,57 @@ object Round13 {
           min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
           sum(col("st.r_sum")).as("r_sum"))
         .orderBy(col("w"), col("h"))
+    }),
+
+    // ADAM7 INTERLACE on the dedup surface — a pure pixel PERMUTATION
+    // is invisible to sums/min/max, so the oracle-checked readout is
+    // the ROW-SENSITIVE perceptual hash: docs in triples share a
+    // seed, rendered as BMP / sequential PNG / Adam7 PNG (seven
+    // independently-filtered pass sub-images the decoder must
+    // re-scatter exactly); every planted triple must land in one hash
+    // group. Dims 4-16 x 3-11, so pass degeneracy (empty passes at
+    // small dims) is on the oracle surface too.
+    "q354_png_adam7_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 3")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val leg = col("doc_id") % 3
+      val ah = when(leg === 0, M.bmpAHash(M.fakeBmp24(seed, wg, hg)))
+        .when(leg === 1, M.pngAHash(M.fakePng24(seed, wg, hg)))
+        .otherwise(M.pngAHash(M.fakePngInterlaced(seed, wg, hg)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    }),
+
+    // INTERLACED GIF on the same discipline: pairs share a seed,
+    // rendered sequential vs four-pass interlaced (appendix-E row
+    // permutation); the row-sensitive hash must group every pair.
+    // Same seed split, dims and hash rule as q338 — the oracle is
+    // q338's VERBATIM (the hash replay doesn't care WHICH containers
+    // carried the image, only that both land on the closed form).
+    "q355_gif_interlaced_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 2")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val ah = when(col("doc_id") % 2 === 0,
+        M.gifAHash(M.fakeGif(seed, wg, hg)))
+        .otherwise(M.gifAHash(M.fakeGifInterlaced(seed, wg, hg)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -175,5 +226,40 @@ object Round13 {
     // seed + sampled index): the animated-GIF container must land on
     // the MJPEG-AVI number exactly
     "q353_gif_anim_frame_sample" ->
-      Round12.oracleSql("q344_mjpeg_frame_sample"))
+      Round12.oracleSql("q344_mjpeg_frame_sample"),
+
+    // the q305 hash replay (PNG/BMP pixel rule, FILE row fr =
+    // (gi*h)//8 because the visual-hash row h-1-gi*h/8 is file row
+    // gi*h/8) with the three-way seed split and the q351-tier dims
+    "q354_png_adam7_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 3 AS seed FROM documents),
+        |dd AS (SELECT DISTINCT seed, (seed % 13 + 4) AS w,
+        |    (seed % 9 + 3) AS h FROM d),
+        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
+        |    (dd.seed*7 + ((gi.i*dd.h)//8)*3 + ((gj.j*dd.w)//8)) % 256
+        |  + (dd.seed*11 + ((gi.i*dd.h)//8)*5 + ((gj.j*dd.w)//8)*2) % 256
+        |  + (dd.seed*13 + ((gi.i*dd.h)//8)*7 + ((gj.j*dd.w)//8)*3) % 256
+        |    AS s
+        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
+        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
+        |hw AS (SELECT px.seed,
+        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
+        |      ELSE 0 END)::BIGINT AS h0,
+        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
+        |      ELSE 0 END)::BIGINT AS h1
+        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
+        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
+        |grp AS (SELECT h0, h1, count(*) AS group_size
+        |  FROM doc GROUP BY h0, h1)
+        |SELECT group_size, count(*) AS n_groups,
+        |  sum(group_size)::BIGINT AS n_docs
+        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
+
+    // q338's oracle VERBATIM — same seed split, dims and hash rule;
+    // the hash replay doesn't care which containers carried the
+    // image, only that both legs land on the closed form
+    "q355_gif_interlaced_dedup" ->
+      Round12.oracleSql("q338_cross_format_jpeg_dedup"))
 }

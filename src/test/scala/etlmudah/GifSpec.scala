@@ -73,11 +73,19 @@ class GifSpec extends SparkSpec {
     // bad signature / version
     val badSig = good.clone(); badSig(0) = 'X'.toByte
     assert(GifFn.stats(badSig, 4096) == null)
-    // interlace flag on the image descriptor
     def find2c(b: Array[Byte]): Int =
       (13 + 768 until b.length).find(i => (b(i) & 0xFF) == 0x2C).get
+    // flipping the interlace flag on a sequential stream is
+    // UNDETECTABLE (it reads as a legitimately interlaced image of
+    // permuted rows): permutation-invariant stats are unchanged, and
+    // the decode stays non-null — pinned so the gate never silently
+    // over-rejects
     val il = good.clone(); il(find2c(il) + 9) = 0x40.toByte
-    assert(GifFn.stats(il, 4096) == null)
+    val ilSt = GifFn.stats(il, 4096)
+    val goodSt = GifFn.stats(good, 4096)
+    assert(ilSt != null && ilSt.getLong(5) == goodSt.getLong(5) &&
+      ilSt.getInt(3) == goodSt.getInt(3) &&
+      ilSt.getInt(4) == goodSt.getInt(4))
     // local-color-table flag
     val lc = good.clone(); lc(find2c(lc) + 9) = 0x80.toByte
     assert(GifFn.stats(lc, 4096) == null)
@@ -487,5 +495,25 @@ class GifSpec extends SparkSpec {
       assert(nf >= 2 && nf <= 6)
       assert(!r.isNullAt(1))
     }
+  }
+
+  test("interlaced tier: four-pass row permutation undone exactly — pixels, hash, transcode all match sequential") {
+    for (seed <- Seq(0L, 6L, 29L); (w, h) <- Seq(
+        (1, 1), (5, 1), (7, 3), (9, 12), (17, 10), (16, 29), (40, 40))) {
+      val si = GifFn.synthInterlaced(seed, w, h)
+      val sq = GifFn.synth(seed, w, h)
+      val di = GifFn.toBmp24(si, 4096)
+      val dq = GifFn.toBmp24(sq, 4096)
+      assert(di != null && dq != null, s"seed=$seed ${w}x$h")
+      assert(java.util.Arrays.equals(di, dq),
+        s"interlaced decode must be the IDENTICAL image seed=$seed ${w}x$h")
+      val hi = GifFn.ahash(si, 4096)
+      val hq = GifFn.ahash(sq, 4096)
+      assert(hi.getLong(0) == hq.getLong(0) && hi.getLong(1) == hq.getLong(1))
+    }
+    // truncated interlaced stream nulls whole
+    val g = GifFn.synthInterlaced(3L, 16, 29)
+    for (cut <- Seq(20, g.length / 2, g.length - 2))
+      assert(GifFn.stats(g.take(cut), 4096) == null, s"cut=$cut")
   }
 }

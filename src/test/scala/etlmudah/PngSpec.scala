@@ -162,4 +162,39 @@ class PngSpec extends SparkSpec {
       .collect().head
     assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
+
+  test("Adam7 tier: seven-pass scatter undone exactly — pixels, hash, transcode all match sequential") {
+    // dims chosen so passes degenerate every way: single pixel (only
+    // pass 1), w or h <= 4 (passes 2/3 empty), odd sizes, and a case
+    // where all seven passes are non-trivial
+    for (seed <- Seq(0L, 4L, 77L); (w, h) <- Seq(
+        (1, 1), (2, 1), (1, 2), (4, 3), (3, 4), (5, 5), (8, 8),
+        (9, 12), (17, 10), (23, 31))) {
+      val si = PngFn.synthInterlaced(seed, w, h)
+      val sq = PngFn.synth(seed, w, h)
+      val di = PngFn.toBmp24(si, 4096)
+      val dq = PngFn.toBmp24(sq, 4096)
+      assert(di != null && dq != null, s"seed=$seed ${w}x$h")
+      assert(java.util.Arrays.equals(di, dq),
+        s"Adam7 decode must be the IDENTICAL image seed=$seed ${w}x$h")
+      val hi = PngFn.ahash(si, 4096)
+      val hq = PngFn.ahash(sq, 4096)
+      assert(hi.getLong(0) == hq.getLong(0) && hi.getLong(1) == hq.getLong(1))
+    }
+    // hostile: truncated pass data (short inflate) and interlace > 1
+    val g = PngFn.synthInterlaced(5L, 17, 10)
+    for (cut <- Seq(40, g.length / 2, g.length - 5))
+      assert(PngFn.stats(g.take(cut), 4096) == null, s"cut=$cut")
+    // corrupt the IHDR interlace byte to 2 (and re-CRC): must null
+    val bad = g.clone()
+    bad(8 + 8 + 12) = 2 // IHDR data byte 12 (interlace)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bad, 12, 4 + 13)
+    val cv = crc.getValue
+    bad(8 + 8 + 13) = ((cv >> 24) & 0xFF).toByte
+    bad(8 + 8 + 14) = ((cv >> 16) & 0xFF).toByte
+    bad(8 + 8 + 15) = ((cv >> 8) & 0xFF).toByte
+    bad(8 + 8 + 16) = (cv & 0xFF).toByte
+    assert(PngFn.stats(bad, 4096) == null, "interlace=2 must null")
+  }
 }
