@@ -420,6 +420,80 @@ object Centrality {
       .orderBy(col("u"), col("v"))
   }
 
+  /** [[kTruss]]'s wedge-heavy-graph dial — the SAME numbers via the
+    * Schank–Wagner DEGREE-ORDERED ORIENTATION (the [[triangleStats]]
+    * plan): each round orients every surviving edge from its lower-
+    * degree endpoint (ties by id), enumerates each triangle exactly
+    * ONCE as a wedge at its lowest vertex closed by an oriented edge,
+    * then credits the triangle to its three edges. Support values are
+    * identical to the symmetric-adjacency count — a triangle is a
+    * triangle — but the wedge fan-out is bounded by the ORIENTED
+    * out-degree (O(sqrt(m)) on any graph, Schank & Wagner 2005)
+    * instead of the raw degree, so a celebrity hub no longer
+    * quadratically explodes the wedge join. Registered as an
+    * identical-statistic twin: q356's oracle is q348's VERBATIM (the
+    * q340/q345 dial discipline — the plan changes, the number
+    * doesn't). Same under-sized-`rounds` contract as [[kTruss]]:
+    * support is recomputed over the RETURNED edge set. */
+  def kTrussOriented(pairs: DataFrame, k: Int, rounds: Int = 4,
+                     localEdgeThreshold: Long = 500000L): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = pairs.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val local = e.count() <= localEdgeThreshold
+    def pin(df: DataFrame): DataFrame =
+      (if (local) df.coalesce(1) else df).localCheckpoint(true)
+    // support over `cur` via once-per-triangle oriented enumeration;
+    // returns (u, v, support) for EVERY cur edge (0 when none)
+    def supports(cur: DataFrame): DataFrame = {
+      val deg = cur.select(col("u").as("node"))
+        .unionByName(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = (col("du") < col("dv")) ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = cur
+        .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+        .select(when(keep, col("u")).otherwise(col("v")).as("s"),
+          when(keep, col("v")).otherwise(col("u")).as("t"),
+          when(keep, col("dv")).otherwise(col("du")).as("dt"))
+        .localCheckpoint(true)
+      val wedges = oriented
+        .select(col("s"), col("t").as("t1"), col("dt").as("dt1"))
+        .join(oriented.select(col("s"), col("t").as("t2"),
+          col("dt").as("dt2")), Seq("s"))
+        .filter(col("dt1") < col("dt2") ||
+          (col("dt1") === col("dt2") && col("t1") < col("t2")))
+      val tri = wedges.join(
+        oriented.select(col("s").as("t1"), col("t").as("t2")),
+        Seq("t1", "t2"))
+      val credited = tri.select(col("s").as("a"), col("t1").as("b"))
+        .unionByName(tri.select(col("s").as("a"), col("t2").as("b")))
+        .unionByName(tri.select(col("t1").as("a"), col("t2").as("b")))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("__sup"))
+      cur.join(credited, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("__sup"), lit(0L)).as("support"))
+    }
+    var cur = pin(e)
+    var it = 0
+    while (it < rounds) {
+      cur = pin(supports(cur).filter(col("support") >= k - 2)
+        .select(col("u"), col("v")))
+      it += 1
+    }
+    supports(cur).orderBy(col("u"), col("v"))
+  }
+
   /** [[coreness]]'s 100 TB tier — the SAME numbers via the H-INDEX
     * FIXPOINT (Lü, Zhou, Zhang & Stanley 2016, "The H-index of a
     * network node": iterating c ← H(neighbor c values) from the

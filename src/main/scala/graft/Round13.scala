@@ -117,6 +117,19 @@ object Round13 {
         .orderBy(col("w"), col("h"))
     }),
 
+    // k-TRUSS ORIENTATION DIAL (Schank–Wagner 2005): q348's statistic
+    // through the once-per-triangle degree-ordered wedge enumeration —
+    // the wedge fan-out is bounded by the oriented out-degree
+    // (O(sqrt m)) instead of the raw degree, so a celebrity hub can't
+    // quadratically explode the join. Identical-statistic twin: the
+    // oracle is q348's VERBATIM (the q340/q345 dial discipline).
+    "q356_k_truss_oriented" -> ((s, dir) =>
+      etlmudah.graph.Centrality.kTrussOriented(
+        SparkEntry.stagedCoEdges(s, dir)
+          .filter(col("src") < col("dst") && col("weight") >= 2L)
+          .select(col("src").as("u"), col("dst").as("v")),
+        k = 3, rounds = 4)),
+
     // ADAM7 INTERLACE on the dedup surface — a pure pixel PERMUTATION
     // is invisible to sums/min/max, so the oracle-checked readout is
     // the ROW-SENSITIVE perceptual hash: docs in triples share a
@@ -227,6 +240,11 @@ object Round13 {
     // the MJPEG-AVI number exactly
     "q353_gif_anim_frame_sample" ->
       Round12.oracleSql("q344_mjpeg_frame_sample"),
+
+    // q348's oracle VERBATIM: the oriented enumeration must land on
+    // the symmetric-adjacency truss exactly
+    "q356_k_truss_oriented" ->
+      Round12.oracleSql("q348_k_truss"),
 
     // the q305 hash replay (PNG/BMP pixel rule, FILE row fr =
     // (gi*h)//8 because the visual-hash row h-1-gi*h/8 is file row

@@ -619,6 +619,41 @@ class CentralitySpec extends SparkSpec {
     assert(fx == serialKTruss(edges, 4))
   }
 
+  test("kTrussOriented == kTruss bit-for-bit: the degree-ordered orientation changes the plan, not the number") {
+    import spark.implicits._
+    def m(r: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      r.collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    def both(es: Seq[(Long, Long)], k: Int, rounds: Int, parts: Int) = {
+      val df = es.toDF("u", "v").repartition(parts)
+      (m(Centrality.kTruss(df, k, rounds)),
+        m(Centrality.kTrussOriented(df, k, rounds)))
+    }
+    // clique + star + triangle (the kTruss fixture), at the fixpoint
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (10L,11L),(10L,12L),(10L,13L),(7L,8L),(8L,9L),(7L,9L))
+    for (k <- Seq(3, 4)) {
+      val (a, b) = both(edges, k, 6, 3)
+      assert(a == b, s"k=$k")
+    }
+    // UNDER-sized rounds: the recomputed-support contract must agree
+    // too (cascading peel fixture from the kTruss rounds test)
+    val cascade = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (3L,5L),(4L,5L),(4L,6L),(5L,6L))
+    val (a1, b1) = both(cascade, 4, 1, 2)
+    assert(a1 == b1 && a1((4L, 5L)) == 0L)
+    // seeded random graphs incl. a hot star (the orientation's reason
+    // to exist): equality at every partitioning
+    val rnd = new scala.util.Random(29)
+    (1 to 4).foreach { _ =>
+      val es = Seq.fill(80)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+        .filter(e => e._1 != e._2) ++ (1L to 12L).map(i => (0L, 100L + i))
+      val k = 3 + rnd.nextInt(2)
+      val (a, b) = both(es, k, 5, 1 + rnd.nextInt(4))
+      assert(a == b, s"k=$k es=$es")
+    }
+  }
+
   test("corenessHIndex == coreness ladder on known and random graphs (the Lü et al. fixpoint theorem, pinned)") {
     import spark.implicits._
     val full = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
