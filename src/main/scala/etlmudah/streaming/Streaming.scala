@@ -825,6 +825,45 @@ object Streaming {
       .select(col("p_user"), col("p_ts"), col("c_ts"))
   }
 
+  /** WATERMARKED FULL-OUTER stream-stream interval join — the last
+    * standard join shape beside the inner (q84 twin) and left-outer
+    * forms: every purchase emits (joined or null-padded once its
+    * match window closes) AND every click emits (joined or
+    * null-padded once no future purchase can reach back to it —
+    * its own window end is c_ts + windowUs). BOTH eviction
+    * directions null-pad, so the output carries both key columns:
+    * (p_user, p_ts, c_user, c_ts), exactly one side null on an
+    * unmatched row.
+    *
+    * Same bounded-state argument as [[attributionJoinLeftOuter]]:
+    * watermarks on both sides + a condition bounding event-time
+    * distance in both directions lets the engine expire click state
+    * older than (watermark − window) and purchase state older than
+    * the watermark. Same operational caveat, now in BOTH directions:
+    * a null verdict surfaces only after a LATER batch advances the
+    * watermark past the row's window — early emission could be
+    * contradicted by an in-watermark arrival on the other side. */
+  def attributionJoinFullOuter(purchases: DataFrame, clicks: DataFrame,
+                               userCol: String, tsCol: String,
+                               windowUs: Long,
+                               lateness: String = "10 minutes")
+      : DataFrame = {
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val p = purchases
+      .select(col(userCol).as("p_user"), col(tsCol).as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val c = clicks
+      .select(col(userCol).as("c_user"), col(tsCol).as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    p.join(c,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") -
+            expr(s"INTERVAL $windowUs MICROSECOND"),
+        "full_outer")
+      .select(col("p_user"), col("p_ts"), col("c_user"), col("c_ts"))
+  }
+
   /** Continuous TOP-K leaderboard — the `graft_topk` bounded heap
     * ([[etlmudah.analytics.Analytics.topNPerGroupAgg]]) run as a sink,
     * exercising its MERGEABILITY the way [[heavyHitterSink]] exercises

@@ -13,7 +13,121 @@ import etlmudah.Tables
   * one closing double op per group. */
 object Round13 {
 
+  /** Heartbeat user id — far outside the data's id space; its rows
+    * exist only to drive the watermark and are excluded from the
+    * readout and the oracle. */
+  private val HbUser = 999999999L
+
+  /** Stage click/purchase events into a 4-file user-bucket ladder
+    * plus TWO far-future heartbeat files (each carrying BOTH event
+    * types — the global watermark is the MIN across the two sides'
+    * watermarks, so a one-sided heartbeat would pin the other side at
+    * the data's tail and late windows would never close), then run
+    * the REAL [[etlmudah.streaming.Streaming.attributionJoinFullOuter]]
+    * over the ladder once (done-marker memoized per corpus, only on a
+    * finished run — the q342 discipline). Heartbeat 1 sits 10 days
+    * past the data (every real window closes with margin, so the
+    * oracle needs no watermark arithmetic at all); heartbeat 2 is the
+    * extra trigger that flushes the state heartbeat 1's watermark
+    * evicted. */
+  private def stagedFullOuterJoin(s: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import etlmudah.streaming.Streaming
+    val root = s"/tmp/graft_sink_q357_v1_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new Path(s"$root/_done")
+    if (fs.exists(done)) return root
+    fs.delete(new Path(root), true)
+    val src = s"$root/src"
+    fs.mkdirs(new Path(src))
+    val ev = Tables.eventsTyped(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+    // ONE bounded driver scalar: the data's max event time, placing
+    // the heartbeats
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    def stageFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new Path(src, s"$name.parquet"))
+      fs.delete(new Path(tmp), true)
+    }
+    // one file per event-time DAY, arriving IN CHRONOLOGICAL ORDER —
+    // unlike q342's deliberately scrambled ladder, nothing here may
+    // arrive below the watermark (a late row would DROP on arrival
+    // and the batch-join oracle would overcount). Bounded driver
+    // collect: <= 31 day keys.
+    val days = ev.select(dayofmonth(col("ts")).as("d")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    days.foreach { d =>
+      stageFile(ev.filter(dayofmonth(col("ts")) === d), f"b$d%02d")
+    }
+    def hb(name: String, atUs: Long): Unit =
+      stageFile(ev.limit(1).select(
+        lit(9000000000L).as("event_id"),
+        timestamp_micros(lit(atUs)).cast(ev.schema("ts").dataType).as("ts"),
+        lit(HbUser).as("user_id"), lit("click").as("event_type"))
+        .unionByName(ev.limit(1).select(
+          lit(9000000001L).as("event_id"),
+          timestamp_micros(lit(atUs)).cast(ev.schema("ts").dataType).as("ts"),
+          lit(HbUser).as("user_id"), lit("purchase").as("event_type"))),
+        name)
+    val day = 86400000000L
+    hb("hb1", maxUs + 10 * day)
+    hb("hb2", maxUs + 11 * day)
+    // deterministic arrival order (FileStreamSource feeds oldest
+    // mtime first)
+    val names = days.map(d => f"b$d%02d") ++ Seq("hb1", "hb2")
+    names.zipWithIndex.foreach { case (n, i) =>
+      fs.setTimes(new Path(src, s"$n.parquet"), 1700000000000L + i * 2000L, -1)
+    }
+    val evs = Streaming.readEvents(s, src, maxFilesPerTrigger = 1)
+    val q = Streaming.attributionJoinFullOuter(
+        evs.where(col("event_type") === "purchase"),
+        evs.where(col("event_type") === "click"),
+        "user_id", "ts", windowUs = 3600000000L,
+        lateness = "10 minutes")
+      .select(col("p_user"), unix_micros(col("p_ts")).as("p_us"),
+        col("c_user"), unix_micros(col("c_ts")).as("c_us"))
+      .writeStream.format("parquet")
+      .option("path", s"$root/joined")
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(600000),
+      "full-outer staged stream did not finish within 600s; " +
+        "not writing the _done memo")
+    fs.create(done).close()
+    root
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // STREAM-STREAM FULL-OUTER interval join, END-TO-END ORACLED (the
+    // q342 discipline): the REAL watermarked streaming join runs once
+    // over a deterministically staged ladder (4 user-bucket batches +
+    // 2 two-sided far-future heartbeats), its parquet output is read
+    // back, heartbeat rows drop, and the oracle replays the join as a
+    // plain batch FULL OUTER in SQL — legitimate because the
+    // heartbeats close EVERY real window with 10 days of margin, so
+    // the eventually-emitted set is exactly the batch join, matched
+    // pairs and both null-padded directions included. Completes the
+    // stream-stream join-shape family: inner (q84 twin), left-outer
+    // (round 12), full-outer (here).
+    "q357_stream_full_outer_join" -> ((s, dir) => {
+      val root = stagedFullOuterJoin(s, dir)
+      s.read.parquet(s"$root/joined")
+        .filter(coalesce(col("p_user"), col("c_user")) =!= HbUser)
+        .orderBy(coalesce(col("p_user"), col("c_user")),
+          coalesce(col("p_us"), lit(-1L)),
+          coalesce(col("c_us"), lit(-1L)))
+        .select(col("p_user"), col("p_us"), col("c_user"), col("c_us"))
+    }),
 
     // 4:2:0 + RESTART-INTERVAL JPEG decode — the dominant real-world
     // shape (web photos are 4:2:0 with RSTn): 16x16 MCUs (4 luma +
@@ -182,6 +296,24 @@ object Round13 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // plain batch FULL OUTER interval join — the staged heartbeats
+    // closed every real window with 10 days of margin, so the
+    // stream's eventually-emitted set IS the batch join (matched
+    // pairs + both null-padded directions); sort keys coalesced so
+    // both engines order nulls identically
+    "q357_stream_full_outer_join" ->
+      """WITH p AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id AS p_user, epoch_us(p.ts) AS p_us,
+        |    c.user_id AS c_user, epoch_us(c.ts) AS c_us
+        |  FROM p FULL OUTER JOIN c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |   AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        |SELECT p_user, p_us, c_user, c_us FROM j
+        |ORDER BY coalesce(p_user, c_user), coalesce(p_us, -1),
+        |  coalesce(c_us, -1)""".stripMargin,
 
     // q337's pixel-rule oracle VERBATIM on the q351 dims — the
     // subsampled+restart stream must land on the identical closed

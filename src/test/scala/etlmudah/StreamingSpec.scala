@@ -524,6 +524,112 @@ class StreamingSpec extends SparkSpec {
     assert(runOnce("b") == batch)
   }
 
+  test("attributionJoinFullOuter: stream == batch on closed windows, null pads in BOTH directions; re-run converges") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("stream_fouter").toString
+    val src = s"$out/src"
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def ev(id: Long, u: Long, h: Int, m: Int, typ: String) =
+      (id, ts(h, m), u, typ, 1.0, "{}")
+    def frame(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    // u1: matched pair; u2: purchase, no click -> purchase-side null;
+    // u3: click 90min early -> BOTH sides null-pad; u4: click after
+    // the purchase -> both null-pad; u5: two clicks in window -> two
+    // joined rows; u6: click with NO purchase at all -> click-side null
+    val data = Seq(
+      ev(1, 1, 10, 0, "click"), ev(2, 1, 10, 30, "purchase"),
+      ev(3, 2, 10, 15, "purchase"),
+      ev(4, 3, 9, 0, "click"), ev(5, 3, 10, 30, "purchase"),
+      ev(6, 4, 10, 40, "click"), ev(7, 4, 10, 20, "purchase"),
+      ev(8, 5, 10, 5, "click"), ev(9, 5, 10, 10, "click"),
+      ev(10, 5, 10, 45, "purchase"),
+      ev(11, 6, 11, 0, "click"))
+    // heartbeats: one to advance the watermark far past every real
+    // window (incl. click windows c_ts + 1h), one more trigger to
+    // flush the evicted state. The GLOBAL watermark is the MIN across
+    // both sides' watermarks (multipleWatermarkPolicy=min), so the
+    // heartbeat must ride BOTH event types — a click-only heartbeat
+    // pins the purchase watermark at the real data's tail and the
+    // late click windows never close
+    val hb1 = Seq(ev(90, 99, 20, 0, "click"), ev(92, 99, 20, 0, "purchase"))
+    val hb2 = Seq(ev(91, 99, 21, 0, "click"), ev(93, 99, 21, 0, "purchase"))
+    stageParquet(frame(data), src, "f1.parquet")
+    Thread.sleep(1100)
+    stageParquet(frame(hb1), src, "f2.parquet")
+    Thread.sleep(1100)
+    stageParquet(frame(hb2), src, "f3.parquet")
+    val win = 3600000000L
+    type Row4 = (Option[Long], Option[Long], Option[Long], Option[Long])
+    def read4(path: String): Set[Row4] =
+      spark.read.parquet(path).collect().map { r =>
+        def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (g(0), g(1), g(2), g(3))
+      }.filter(t => t._1.getOrElse(0L) < 90 && t._3.getOrElse(0L) < 90)
+        .toSet
+    def runOnce(tag: String): Set[Row4] = {
+      val evs = Streaming.readEvents(spark, src, maxFilesPerTrigger = 1)
+      val q = Streaming.attributionJoinFullOuter(
+        evs.where(col("event_type") === "purchase"),
+        evs.where(col("event_type") === "click"),
+        "user_id", "ts", win, lateness = "10 minutes")
+        .select(col("p_user"), unix_micros(col("p_ts")).as("pus"),
+          col("c_user"), unix_micros(col("c_ts")).as("cus"))
+        .writeStream.format("parquet")
+        .option("path", s"$out/joined_$tag")
+        .option("checkpointLocation", s"$out/cp_$tag")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      read4(s"$out/joined_$tag")
+    }
+    // batch truth: the identical FULL OUTER interval join on the
+    // static frames (heartbeat users excluded — their windows are
+    // the ones holding the stream's tail open by design)
+    val st = frame(data).withColumn("ts", col("ts").cast("timestamp"))
+    val bp = st.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val bc = st.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = bp.join(bc, col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $win MICROSECOND"),
+        "full_outer")
+      .select(col("p_user"), unix_micros(col("p_ts")),
+        col("c_user"), unix_micros(col("c_ts")))
+      .collect().map { r =>
+        def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (g(0), g(1), g(2), g(3))
+      }.toSet
+    // fixture exercises all three outcomes
+    assert(batch.exists(t => t._1.nonEmpty && t._3.nonEmpty))
+    assert(batch.count(t => t._3.isEmpty) == 3, batch.toString) // u2 u3 u4
+    assert(batch.count(t => t._1.isEmpty) == 3, batch.toString) // u3 u4 u6
+    val streamed = runOnce("a")
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // crash replay: re-deliver the final heartbeat batch; SAME
+    // topology (one shared source feeding both sides)
+    dropCommit(s"$out/cp_a", 2)
+    val evs2 = Streaming.readEvents(spark, src, maxFilesPerTrigger = 1)
+    val q2 = Streaming.attributionJoinFullOuter(
+        evs2.where(col("event_type") === "purchase"),
+        evs2.where(col("event_type") === "click"),
+        "user_id", "ts", win, lateness = "10 minutes")
+      .select(col("p_user"), unix_micros(col("p_ts")).as("pus"),
+        col("c_user"), unix_micros(col("c_ts")).as("cus"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/joined_a")
+      .option("checkpointLocation", s"$out/cp_a")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitDrained(q2)
+    assert(read4(s"$out/joined_a") == batch,
+      "re-delivered final batch must converge")
+    assert(runOnce("b") == batch)
+  }
+
   test("topkSink: streamed leaderboard == one-shot batch top-k exactly, re-run converges") {
     import etlmudah.analytics.Analytics
     val out = Files.createTempDirectory("stream_topk").toString
