@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeMjpegAvi, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakePngInterlaced, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeMjpegAvi, FakeMp3L1, Mp3L1Stats, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakePngInterlaced, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -275,6 +275,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_gif_frame_stats(media, frameIdx[, maxPixels])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mp3l1_stats"),
+      new ExpressionInfo(classOf[Mp3L1Stats].getName, "graft_mp3l1_stats"),
+      (children: Seq[Expression]) =>
+        Mp3L1Stats(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_mp3l1"),
+      new ExpressionInfo(classOf[FakeMp3L1].getName, "graft_fake_mp3l1"),
+      (children: Seq[Expression]) =>
+        FakeMp3L1(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_gif_interlaced"),
       new ExpressionInfo(classOf[FakeGifInterlaced].getName,

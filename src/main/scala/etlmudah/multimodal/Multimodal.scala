@@ -1078,6 +1078,25 @@ object Multimodal {
       lit("00" * 16)))                               // md5 filler
   }
 
+  /** MPEG-1 Layer I BITSTREAM statistics — the losslessly-specified
+    * integer surface (frame walk, allocations, scalefactor indices,
+    * the 12x32 requantized sample-code grid) via the native
+    * `graft_mp3l1_stats`; see [[etlmudah.expr.Mp3L1Fn]]. The PCM
+    * synthesis stage is scoped OUT by spec design: ISO/IEC 11172-4
+    * defines decoder compliance as an RMS error bound, so conforming
+    * decoders legitimately differ at the PCM LSB and no bit-exact
+    * closed form exists (the recorded closure of the lossy-audio
+    * item — the integer surface below is the maximal exact one). */
+  def mp3L1Stats(media: Column, maxFrames: Int = 4096): Column =
+    call_function("graft_mp3l1_stats", media, lit(maxFrames.toLong))
+
+  /** Synthesize VALID mono Layer I frames carrying closed-form
+    * allocations/scalefactors/sample codes (native `graft_fake_mp3l1`;
+    * see [[etlmudah.expr.Mp3L1Fn.synth]]). */
+  def fakeMp3L1(seed: Column, nFrames: Column): Column =
+    call_function("graft_fake_mp3l1", seed.cast("long"),
+      nFrames.cast("long"))
+
   /** Synthesize a VALID MP3 stream head — the encode half of the
     * [[mp3Meta]] round trip: an ID3v2.3 tag of `id3Pad` zero bytes
     * (its size field syncsafe-encoded, so pads >= 128 exercise the

@@ -248,12 +248,12 @@ object Round12 {
       val blob = M.fakeMjpegAvi(id, wg, hg, nf)
       val maimed = when(id % 7 === 0, substring(blob, 1, 60)).otherwise(blob)
       Tables.documents(s, dir)
-        .select(id, wg.as("w"), hg.as("h"), maimed.as("avi"))
-        .select(col("w"), col("h"), col("doc_id"),
+        .select(id, wg.as("w"), hg.as("h"), nf.as("nf"), maimed.as("avi"))
+        .select(col("w"), col("h"), col("nf"),
           explode(sequence(lit(0L), lit(2L))).as("j"), col("avi"))
         .select(col("w"), col("h"),
           M.aviFrameStats(col("avi"),
-            expr("j * (doc_id % 5 + 2) div 3")).as("st"))
+            expr("j * nf div 3")).as("st"))
         .groupBy(col("w"), col("h")).agg(
           count(lit(1)).as("n_samples"),
           count(col("st")).as("n_decoded"),

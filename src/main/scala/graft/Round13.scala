@@ -18,8 +18,8 @@ object Round13 {
     * readout and the oracle. */
   private val HbUser = 999999999L
 
-  /** Stage click/purchase events into a 4-file user-bucket ladder
-    * plus TWO far-future heartbeat files (each carrying BOTH event
+  /** Stage click/purchase events into a chronological one-file-per-
+    * DAY ladder plus TWO far-future heartbeat files (each carrying BOTH event
     * types — the global watermark is the MIN across the two sides'
     * watermarks, so a one-sided heartbeat would pin the other side at
     * the data's tail and late windows would never close), then run
@@ -110,8 +110,8 @@ object Round13 {
 
     // STREAM-STREAM FULL-OUTER interval join, END-TO-END ORACLED (the
     // q342 discipline): the REAL watermarked streaming join runs once
-    // over a deterministically staged ladder (4 user-bucket batches +
-    // 2 two-sided far-future heartbeats), its parquet output is read
+    // over a chronologically staged day ladder (+ 2 two-sided
+    // far-future heartbeats), its parquet output is read
     // back, heartbeat rows drop, and the oracle replays the join as a
     // plain batch FULL OUTER in SQL — legitimate because the
     // heartbeats close EVERY real window with 10 days of margin, so
@@ -212,12 +212,11 @@ object Round13 {
       val blob = M.fakeAnimGif(id, wg, hg, nf)
       val maimed = when(id % 7 === 0, substring(blob, 1, 60)).otherwise(blob)
       Tables.documents(s, dir)
-        .select(id, wg.as("w"), hg.as("h"), maimed.as("gif"))
-        .select(col("w"), col("h"), col("doc_id"),
+        .select(id, wg.as("w"), hg.as("h"), nf.as("nf"), maimed.as("gif"))
+        .select(col("w"), col("h"), col("nf"),
           explode(sequence(lit(0L), lit(2L))).as("j"), col("gif"))
         .select(col("w"), col("h"),
-          M.gifFrameStats(col("gif"),
-            expr("j * (doc_id % 5 + 2) div 3")).as("st"))
+          M.gifFrameStats(col("gif"), expr("j * nf div 3")).as("st"))
         .groupBy(col("w"), col("h")).agg(
           count(lit(1)).as("n_samples"),
           count(col("st")).as("n_decoded"),
@@ -243,6 +242,37 @@ object Round13 {
           .filter(col("src") < col("dst") && col("weight") >= 2L)
           .select(col("src").as("u"), col("dst").as("v")),
         k = 3, rounds = 4)),
+
+    // MPEG-1 LAYER I BITSTREAM tier — the honest closure of the last
+    // lossy-audio gap: the full frame walk + allocations + scalefactor
+    // indices + the 12x32 requantized sample-code grid, i.e. the
+    // LOSSLESSLY-SPECIFIED integer surface of the format (conforming
+    // decoders must agree bit for bit, so the closed-form oracle
+    // discipline applies). The PCM synthesis stage is scoped OUT by
+    // spec design: ISO/IEC 11172-4 defines compliance as an RMS error
+    // bound, so no input has a bit-exact cross-decoder PCM closed
+    // form (recorded in Mp3L1Fn's scaladoc). Every 7th blob is maimed
+    // to a 40-byte prefix: decode nulls whole.
+    "q358_mp3_layer1_bitstream" -> ((s, dir) => {
+      val id = col("doc_id")
+      val nf = (id % 3 + 1)
+      val M = etlmudah.multimodal.Multimodal
+      val blob = M.fakeMp3L1(id, nf)
+      val maimed = when(id % 7 === 0, substring(blob, 1, 40)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(nf.as("nf_gen"), M.mp3L1Stats(maimed).as("st"))
+        .groupBy(col("nf_gen")).agg(
+          count(lit(1)).as("n_docs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_frames")).as("n_frames"),
+          sum(col("st.n_sb_alloc")).as("n_sb_alloc"),
+          sum(col("st.scf_sum")).as("scf_sum"),
+          sum(col("st.n_samples")).as("n_samples"),
+          min(col("st.code_min")).as("code_min"),
+          max(col("st.code_max")).as("code_max"),
+          sum(col("st.code_sum")).as("code_sum"))
+        .orderBy(col("nf_gen"))
+    }),
 
     // ADAM7 INTERLACE on the dedup surface — a pure pixel PERMUTATION
     // is invisible to sums/min/max, so the oracle-checked readout is
@@ -372,6 +402,45 @@ object Round13 {
     // the MJPEG-AVI number exactly
     "q353_gif_anim_frame_sample" ->
       Round12.oracleSql("q344_mjpeg_frame_sample"),
+
+    // the Layer I integer surface replayed arithmetically: alloc(sb)
+    // = (seed+sb)%4+1 so nb = (seed+sb)%4+2 bits; scf(fr,sb) =
+    // (seed*3+fr*7+sb*5)%63; code(fr,s,sb) =
+    // (seed*31+fr*17+s*13+sb*11) mod 2^nb — the oracle never parses
+    // a byte
+    "q358_mp3_layer1_bitstream" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nf FROM documents),
+        |ok AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
+        |scf AS (SELECT ok.doc_id,
+        |    sum((ok.doc_id*3 + fr.f*7 + sb.b*5) % 63)::BIGINT AS scf_sum,
+        |    count(*)::BIGINT AS n_sb
+        |  FROM ok, range(0, 3) fr(f), range(0, 32) sb(b)
+        |  WHERE fr.f < ok.nf GROUP BY 1),
+        |cd AS (SELECT ok.doc_id, count(*)::BIGINT AS n_samples,
+        |    min((ok.doc_id*31 + fr.f*17 + s.s*13 + sb.b*11)
+        |      % (1::BIGINT << ((ok.doc_id + sb.b) % 4 + 2)::INT))::INT
+        |      AS code_min,
+        |    max((ok.doc_id*31 + fr.f*17 + s.s*13 + sb.b*11)
+        |      % (1::BIGINT << ((ok.doc_id + sb.b) % 4 + 2)::INT))::INT
+        |      AS code_max,
+        |    sum((ok.doc_id*31 + fr.f*17 + s.s*13 + sb.b*11)
+        |      % (1::BIGINT << ((ok.doc_id + sb.b) % 4 + 2)::INT))::BIGINT
+        |      AS code_sum
+        |  FROM ok, range(0, 3) fr(f), range(0, 12) s(s), range(0, 32) sb(b)
+        |  WHERE fr.f < ok.nf GROUP BY 1),
+        |per AS (SELECT ok.doc_id, ok.nf::BIGINT AS fr_cnt, scf.scf_sum,
+        |    scf.n_sb, cd.n_samples, cd.code_min, cd.code_max, cd.code_sum
+        |  FROM ok JOIN scf USING (doc_id) JOIN cd USING (doc_id))
+        |SELECT d.nf AS nf_gen, count(*) AS n_docs,
+        |  count(per.doc_id)::BIGINT AS n_decoded,
+        |  sum(per.fr_cnt)::BIGINT AS n_frames,
+        |  sum(per.n_sb)::BIGINT AS n_sb_alloc,
+        |  sum(per.scf_sum)::BIGINT AS scf_sum,
+        |  sum(per.n_samples)::BIGINT AS n_samples,
+        |  min(per.code_min) AS code_min, max(per.code_max) AS code_max,
+        |  sum(per.code_sum)::BIGINT AS code_sum
+        |FROM d LEFT JOIN per USING (doc_id)
+        |GROUP BY d.nf ORDER BY nf_gen""".stripMargin,
 
     // q348's oracle VERBATIM: the oriented enumeration must land on
     // the symmetric-adjacency truss exactly
