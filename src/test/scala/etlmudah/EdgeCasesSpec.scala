@@ -182,6 +182,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Analytics.lorenzBinned(ties, "id", col("v"), 10).count() >= 1)
   }
 
+  test("round-13 operators tolerate empty and degenerate input") {
+    import etlmudah.graph.Centrality
+    import etlmudah.expr.{GifFn, JpegFn, Mp3L1Fn}
+    val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+    val selfOnly = Seq((1L, 1L), (2L, 2L)).toDF("u", "v")
+    val one = Seq((1L, 2L)).toDF("u", "v")
+    // oriented truss on empty/self-loop/single-edge graphs: empty
+    assert(Centrality.kTrussOriented(noEdges, 3).count() == 0)
+    assert(Centrality.kTrussOriented(selfOnly, 3).count() == 0)
+    assert(Centrality.kTrussOriented(one, 3).count() == 0)
+    // a lone triangle survives k=3 with support 1 on every edge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    assert(Centrality.kTrussOriented(tri, 3).collect()
+      .map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L))
+    // degenerate media: 1x1 images through every new synth/decode
+    assert(JpegFn.stats(JpegFn.synth420(0L, 1, 1, 1), 16) != null)
+    assert(GifFn.stats(GifFn.synthInterlaced(0L, 1, 1), 16) != null)
+    val anim1 = GifFn.synthAnim(0L, 1, 1, 1)
+    assert(GifFn.animMeta(anim1, 16).getLong(2) == 1L)
+    assert(GifFn.frameStats(anim1, 0, 16) != null)
+    // single Layer I frame, and the smallest nontrivial restart grid
+    assert(Mp3L1Fn.stats(Mp3L1Fn.synth(0L, 1), 4096) != null)
+    assert(JpegFn.stats(JpegFn.synth420(3L, 17, 17, 1), 4096) != null)
+  }
+
   test("this session's operators tolerate empty and degenerate input") {
     import etlmudah.analytics.Events
     import java.sql.Timestamp
