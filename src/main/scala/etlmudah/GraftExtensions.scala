@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeMjpegAvi, FakeMp3L1, Mp3L1Stats, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakePngInterlaced, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeJpegProg420, FakeMjpegAvi, FakeMp3L1, Mp3L1Stats, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakePngInterlaced, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -210,6 +210,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FakeJpeg].getName, "graft_fake_jpeg"),
       (children: Seq[Expression]) =>
         FakeJpeg(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_jpeg_prog420"),
+      new ExpressionInfo(classOf[FakeJpegProg420].getName,
+        "graft_fake_jpeg_prog420"),
+      (children: Seq[Expression]) =>
+        FakeJpegProg420(children.head, children(1), children(2),
+          children(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_jpeg420"),
       new ExpressionInfo(classOf[FakeJpeg420].getName,

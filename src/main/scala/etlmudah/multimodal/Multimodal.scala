@@ -573,6 +573,16 @@ object Multimodal {
     call_function("graft_fake_png_interlaced", seed.cast("long"),
       width.cast("long"), height.cast("long"))
 
+  /** Synthesize the SAME closed-form image as [[fakeJpeg420]] through
+    * a PROGRESSIVE (SOF2) seven-scan successive-approximation script
+    * — interleaved DC first + three raw-bit refinements + per-
+    * component EOB-run AC scans (native `graft_fake_jpeg_prog420`;
+    * see [[etlmudah.expr.JpegFn.synthProgressive420]]). */
+  def fakeJpegProg420(seed: Column, width: Column, height: Column,
+                      ri: Column): Column =
+    call_function("graft_fake_jpeg_prog420", seed.cast("long"),
+      width.cast("long"), height.cast("long"), ri.cast("long"))
+
   /** Animated-GIF container metadata: struct(width, height,
     * n_frames) or null (native `graft_gif_anim_meta`; see
     * [[etlmudah.expr.GifFn.animMeta]]) — the [[aviMeta]] sibling for

@@ -243,6 +243,64 @@ object Round13 {
           .select(col("src").as("u"), col("dst").as("v")),
         k = 3, rounds = 4)),
 
+    // PROGRESSIVE JPEG (SOF2) — the LAST common real-world JPEG shape
+    // after round 13 closed 4:2:0+RSTn: the full T.81 G.1/G.2
+    // multi-scan decode (spectral selection + successive
+    // approximation: interleaved DC first at Al=3, three raw-bit DC
+    // refinements with GENUINELY varying bits — the DC quant step is
+    // 8 so the quantized DC is exactly v-128 — and per-component
+    // EOB-run AC scans), 4:2:0-subsampled WITH restart intervals.
+    // Progressive and sequential streams carrying the same
+    // coefficients decode to identical pixels by construction, so
+    // the oracle is q351's VERBATIM (the identical-statistic
+    // discipline applied to SCAN SCRIPTS). Every 5th blob maimed.
+    "q359_jpeg_progressive_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 29 + 4).cast("int")
+      val hg = (id % 23 + 3).cast("int")
+      val ri = (id % 3 + 1).cast("int")
+      val blob =
+        etlmudah.multimodal.Multimodal.fakeJpegProg420(id, wg, hg, ri)
+      val maimed = when(id % 5 === 0, substring(blob, 1, 40)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(wg.as("w"), hg.as("h"),
+          etlmudah.multimodal.Multimodal.jpegPixelStats(maimed).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_imgs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"))
+        .orderBy(col("w"), col("h"))
+    }),
+
+    // the q338 discipline with the PROGRESSIVE leg: pairs share a
+    // seed, even docs raw BMP, odd docs progressive-4:2:0-with-
+    // restarts JPEG — the most structurally different pair of
+    // containers yet (raw bytes vs seven entropy-coded scans); every
+    // planted pair must hash-group whole. Oracle = q338's VERBATIM.
+    "q360_cross_format_progressive_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 2")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val ah = when(col("doc_id") % 2 === 0,
+        M.bmpAHash(M.fakeBmpBlocks(seed, wg, hg)))
+        .otherwise(M.jpegAHash(M.fakeJpegProg420(seed, wg, hg, seed % 3)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    }),
+
     // MPEG-1 LAYER I BITSTREAM tier — the honest closure of the last
     // lossy-audio gap: the full frame walk + allocations + scalefactor
     // indices + the 12x32 requantized sample-code grid, i.e. the
@@ -325,6 +383,32 @@ object Round13 {
         .orderBy(col("group_size"))
     }))
 
+  /** q351's pixel-rule oracle — shared VERBATIM with q359 (the
+    * progressive scan script must land on the identical closed
+    * form). */
+  private lazy val q351Sql: String =
+    """WITH d AS (SELECT doc_id, (doc_id % 29 + 4)::INT AS w,
+        |    (doc_id % 23 + 3)::INT AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (d.doc_id*17 + (fr.fr//8)*5 + (c.c//8)*3) % 256 AS v
+        |  FROM d, range(0, 25) fr(fr), range(0, 32) c(c)
+        |  WHERE d.doc_id % 5 <> 0 AND fr.fr < d.h AND c.c < d.w),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(v)::INT AS v_min, max(v)::INT AS v_max,
+        |    sum(v)::BIGINT AS v_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.w, d.h, count(*) AS n_imgs,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_px)::BIGINT AS n_px,
+        |  min(st.v_min) AS r_min, max(st.v_max) AS r_max,
+        |  sum(st.v_sum)::BIGINT AS r_sum,
+        |  min(st.v_min) AS g_min, max(st.v_max) AS g_max,
+        |  sum(st.v_sum)::BIGINT AS g_sum,
+        |  min(st.v_min) AS b_min, max(st.v_max) AS b_max,
+        |  sum(st.v_sum)::BIGINT AS b_sum
+        |FROM d LEFT JOIN st USING (doc_id)
+        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // plain batch FULL OUTER interval join — the staged heartbeats
@@ -348,28 +432,7 @@ object Round13 {
     // q337's pixel-rule oracle VERBATIM on the q351 dims — the
     // subsampled+restart stream must land on the identical closed
     // form (the oracle never parses a byte)
-    "q351_jpeg420_pixel_stats" ->
-      """WITH d AS (SELECT doc_id, (doc_id % 29 + 4)::INT AS w,
-        |    (doc_id % 23 + 3)::INT AS h FROM documents),
-        |px AS (SELECT d.doc_id,
-        |    (d.doc_id*17 + (fr.fr//8)*5 + (c.c//8)*3) % 256 AS v
-        |  FROM d, range(0, 25) fr(fr), range(0, 32) c(c)
-        |  WHERE d.doc_id % 5 <> 0 AND fr.fr < d.h AND c.c < d.w),
-        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
-        |    min(v)::INT AS v_min, max(v)::INT AS v_max,
-        |    sum(v)::BIGINT AS v_sum
-        |  FROM px GROUP BY doc_id)
-        |SELECT d.w, d.h, count(*) AS n_imgs,
-        |  count(st.doc_id)::BIGINT AS n_decoded,
-        |  sum(st.n_px)::BIGINT AS n_px,
-        |  min(st.v_min) AS r_min, max(st.v_max) AS r_max,
-        |  sum(st.v_sum)::BIGINT AS r_sum,
-        |  min(st.v_min) AS g_min, max(st.v_max) AS g_max,
-        |  sum(st.v_sum)::BIGINT AS g_sum,
-        |  min(st.v_min) AS b_min, max(st.v_max) AS b_max,
-        |  sum(st.v_sum)::BIGINT AS b_sum
-        |FROM d LEFT JOIN st USING (doc_id)
-        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
+    "q351_jpeg420_pixel_stats" -> q351Sql,
 
     // the q350 hash replay with the four-way seed split
     "q352_cross_format_subsample_dedup" ->
@@ -402,6 +465,15 @@ object Round13 {
     // the MJPEG-AVI number exactly
     "q353_gif_anim_frame_sample" ->
       Round12.oracleSql("q344_mjpeg_frame_sample"),
+
+    // q351's oracle VERBATIM: the seven-scan successive-approximation
+    // script must land on the identical closed form — the scan script
+    // changes the byte stream, not the number
+    "q359_jpeg_progressive_stats" -> q351Sql,
+
+    // q338's oracle VERBATIM (hash replay is container-blind)
+    "q360_cross_format_progressive_dedup" ->
+      Round12.oracleSql("q338_cross_format_jpeg_dedup"),
 
     // the Layer I integer surface replayed arithmetically: alloc(sb)
     // = (seed+sb)%4+1 so nb = (seed+sb)%4+2 bits; scf(fr,sb) =

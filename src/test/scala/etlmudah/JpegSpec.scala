@@ -387,4 +387,155 @@ class JpegSpec extends SparkSpec {
         "4:2:0 jpeg/bmp ahash must agree through the SQL surface")
     }
   }
+
+  test("progressive (SOF2): seven-scan successive approximation decodes the IDENTICAL image as sequential") {
+    for (seed <- Seq(0L, 3L, 41L); (w, h) <- Seq(
+        (1, 1), (7, 5), (16, 16), (17, 10), (33, 18), (64, 48));
+        (hs, vs) <- Seq((1, 1), (2, 2)); ri <- Seq(0, 2)) {
+      val prog = JpegFn.synthProg(seed, w, h, hs, vs, ri, 128, 128)
+      val seqn = JpegFn.synthSub(seed, w, h, hs, vs, ri, 128, 128)
+      val dp = JpegFn.toBmp24(prog, 1 << 20)
+      val ds = JpegFn.toBmp24(seqn, 1 << 20)
+      assert(dp != null && ds != null, s"seed=$seed ${w}x$h ${hs}x$vs ri=$ri")
+      assert(java.util.Arrays.equals(dp, ds),
+        s"progressive != sequential seed=$seed ${w}x$h ${hs}x$vs ri=$ri")
+    }
+    // non-neutral chroma through the progressive path too
+    val p2 = JpegFn.toBmp24(JpegFn.synthProg(7L, 20, 13, 2, 2, 0, 100, 150), 4096)
+    val s2 = JpegFn.toBmp24(JpegFn.synthSub(7L, 20, 13, 2, 2, 0, 100, 150), 4096)
+    assert(p2 != null && java.util.Arrays.equals(p2, s2))
+  }
+
+  test("progressive AC refinement: hand-built value-bearing scans equal the baseline stream of the same coefficients") {
+    // one 8x8 grayscale block; FINAL coefficients DC=51, zz1=+5,
+    // zz2=-3, zz3=+1 decoded two ways: a baseline single scan, and a
+    // four-scan successive approximation where zz3 is a NEW
+    // coefficient placed DURING AC refinement (the correction-bit
+    // path a DC-only synth never drives). Key spec asymmetry
+    // exercised: the DC point transform is an ARITHMETIC shift, the
+    // AC one is SIGN-MAGNITUDE (toward zero), so -3 at Al=1 codes as
+    // -1 and refines -2 -> -3 away from zero.
+    class BW { // MSB-first with byte stuffing
+      val out = new java.io.ByteArrayOutputStream()
+      private var buf = 0; private var cnt = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          buf = (buf << 1) | ((code >> i) & 1); cnt += 1
+          if (cnt == 8) {
+            out.write(buf); if (buf == 0xFF) out.write(0)
+            buf = 0; cnt = 0
+          }
+          i -= 1
+        }
+      }
+      def flush(): Array[Byte] = {
+        if (cnt > 0) put((1 << (8 - cnt)) - 1, 8 - cnt)
+        out.toByteArray
+      }
+    }
+    val acSyms = Seq(0x00, 0x01, 0x02, 0x11) // 3-bit canonical codes
+    val acCode = acSyms.zipWithIndex.map { case (v, i) => v -> i }.toMap
+    def headTo(sofMarker: Int): java.io.ByteArrayOutputStream = {
+      val o = new java.io.ByteArrayOutputStream()
+      def m(x: Int) = { o.write(0xFF); o.write(x) }
+      def seg(x: Int, b: Seq[Int]) = {
+        m(x); o.write(0); o.write(b.length + 2); b.foreach(o.write)
+      }
+      m(0xD8)
+      seg(0xDB, Seq(0x00) ++ Seq.fill(64)(1))
+      seg(sofMarker, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+      seg(0xC4, Seq(0x00) ++ // DC: 12 categories as 4-bit codes
+        Seq(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ (0 to 11))
+      seg(0xC4, Seq(0x10) ++ // AC: 4 symbols as 3-bit codes
+        Seq(0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ acSyms)
+      o
+    }
+    def putDc(bw: BW, diff: Int): Unit = {
+      var s0 = 0; var a = math.abs(diff)
+      while (a > 0) { s0 += 1; a >>= 1 }
+      bw.put(s0, 4)
+      if (s0 > 0) bw.put(if (diff > 0) diff else diff + (1 << s0) - 1, s0)
+    }
+    def sos(o: java.io.ByteArrayOutputStream, ss: Int, se: Int,
+            ahal: Int): Unit = {
+      o.write(0xFF); o.write(0xDA)
+      o.write(0); o.write(8)
+      Seq(1, 1, 0x00, ss, se, ahal).foreach(o.write)
+    }
+    // ---- baseline: one full scan carrying the FINAL coefficients
+    // (the 4-symbol AC table covers categories 1-2 and EOB, so the
+    // fixture uses DC=51, zz1=+2, zz2=-3, zz3=+1)
+    val base2 = headTo(0xC0)
+    sos(base2, 0, 63, 0)
+    locally {
+      val bw = new BW
+      putDc(bw, 51)
+      bw.put(acCode(0x02), 3); bw.put(2, 2)  // zz1 = +2 (cat 2: 10)
+      bw.put(acCode(0x02), 3); bw.put(0, 2)  // zz2 = -3 (cat 2: 00)
+      bw.put(acCode(0x01), 3); bw.put(1, 1)  // zz3 = +1 (cat 1: 1)
+      bw.put(acCode(0x00), 3)                // EOB
+      val b = bw.flush(); base2.write(b, 0, b.length)
+    }
+    base2.write(0xFF); base2.write(0xD9)
+    val dBase = JpegFn.decode(base2.toByteArray, 4096)
+    assert(dBase != null, "hand-built baseline must decode")
+    // ---- progressive, same coefficients:
+    val prog = headTo(0xC2)
+    sos(prog, 0, 0, 0x01) // DC first, Al=1: 51>>1 = 25
+    locally { val bw = new BW; putDc(bw, 25)
+      val b = bw.flush(); prog.write(b, 0, b.length) }
+    sos(prog, 0, 0, 0x10) // DC refine to Al=0: bit0(51) = 1
+    locally { val bw = new BW; bw.put(1, 1)
+      val b = bw.flush(); prog.write(b, 0, b.length) }
+    sos(prog, 1, 63, 0x01) // AC first, Al=1 (sign-magnitude):
+    locally {
+      val bw = new BW
+      bw.put(acCode(0x01), 3); bw.put(1, 1) // zz1: +2 -> +1 (cat 1: 1)
+      bw.put(acCode(0x01), 3); bw.put(0, 1) // zz2: -3 -> -1 (cat 1: 0)
+      bw.put(acCode(0x00), 3)               // EOB (zz3 invisible at Al=1)
+      val b = bw.flush(); prog.write(b, 0, b.length)
+    }
+    sos(prog, 1, 63, 0x10) // AC refine to Al=0
+    locally {
+      val bw = new BW
+      // place NEW +1: symbol (r=0, s=1), sign bit, then the advance
+      // walks zz1 (nonzero history: correction bit 0 keeps +2) and
+      // zz2 (nonzero history: correction bit 1 refines -2 -> -3),
+      // landing the new +1 at zz3 — then EOB covers the rest
+      bw.put(acCode(0x01), 3)
+      bw.put(1, 1) // sign: +1
+      bw.put(0, 1) // zz1 correction: 2 stays 2
+      bw.put(1, 1) // zz2 correction: -2 -> -3
+      bw.put(acCode(0x00), 3)
+      val b = bw.flush(); prog.write(b, 0, b.length)
+    }
+    prog.write(0xFF); prog.write(0xD9)
+    val dProg = JpegFn.decode(prog.toByteArray, 4096)
+    assert(dProg != null, "hand-built progressive must decode")
+    assert(java.util.Arrays.equals(dProg.rgb, dBase.rgb),
+      "progressive refinement must reconstruct the baseline coefficients exactly")
+  }
+
+  test("progressive hostile fixtures: incomplete scripts and illegal scans null whole") {
+    val good = JpegFn.synthProgressive420(9L, 33, 18, 2)
+    assert(JpegFn.stats(good, 4096) != null)
+    // truncation anywhere
+    for (cut <- Seq(0, 20, 200, good.length / 2, good.length - 3))
+      assert(JpegFn.stats(good.take(cut), 4096) == null, s"cut=$cut")
+    // drop the LAST scan (find the final SOS, cut there, re-append
+    // EOI): the AC band of the last component never reaches Al=0 ->
+    // the completeness gate must null, never render a half image
+    val sosAt = (0 until good.length - 1).filter(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xDA)
+    assert(sosAt.length == 7, s"expected 7 scans, got ${sosAt.length}")
+    val dropped = good.take(sosAt.last) ++ Array(0xFF.toByte, 0xD9.toByte)
+    assert(JpegFn.stats(dropped, 4096) == null,
+      "incomplete successive-approximation script must null")
+    // duplicated first scan (Ah=0 over an already-covered band)
+    val dup = good.take(sosAt(1)) ++ good.slice(sosAt(0), sosAt(1)) ++
+      good.drop(sosAt(1))
+    assert(JpegFn.stats(dup, 4096) == null, "re-covered band must null")
+    assert(JpegFn.stats(JpegFn.synthProgressive420(9L, 33, 18, 0), 4096) != null)
+  }
 }

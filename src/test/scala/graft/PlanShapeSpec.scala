@@ -137,7 +137,9 @@ class PlanShapeSpec extends SparkSpec {
   test("q337/q349/q350: the entropy-decode tiers prune the documents scan to doc_id alone") {
     for (q <- Seq("q337_jpeg_pixel_stats", "q349_gif_pixel_stats",
         "q350_cross_container_lzw_dedup", "q351_jpeg420_pixel_stats",
-        "q352_cross_format_subsample_dedup"))
+        "q352_cross_format_subsample_dedup",
+        "q359_jpeg_progressive_stats",
+        "q360_cross_format_progressive_dedup"))
       assert(scansOf(q).forall(
         _.schema.fieldNames.toSeq == Seq("doc_id")),
         s"$q: documents scan must prune to doc_id")
