@@ -8,14 +8,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-/** REAL PNG pixel decode for the dominant web image format —
-  * 8-bit truecolor (color type 2), sequential OR Adam7-interlaced,
-  * which is pure JDK machinery: IDAT is a zlib stream (`java.util.zip.Inflater`, the
+/** REAL PNG pixel decode for the dominant web image format — ALL
+  * FIVE 8-bit sample layouts (RFC 2083 §4.1.1: color type 0
+  * grayscale, 2 truecolor, 3 palette-indexed, 4 grayscale+alpha,
+  * 6 truecolor+alpha), sequential OR Adam7-interlaced, which is pure
+  * JDK machinery: IDAT is a zlib stream (`java.util.zip.Inflater`, the
   * same class `compressionRatio` already leans on) and the per-
   * scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) reverse
-  * with byte arithmetic. Extends the real-pixel tier (BMP 24bpp,
-  * `Bmp.scala`) from the uncompressed family to a COMPRESSED one, and
-  * feeds the same cross-format perceptual-hash dedup grid.
+  * with byte arithmetic at the layout's bytes-per-pixel. Extends the
+  * real-pixel tier (BMP 24bpp, `Bmp.scala`) from the uncompressed
+  * family to a COMPRESSED one, and feeds the same cross-format
+  * perceptual-hash dedup grid.
   *
   * Reference surface: the image-ingest slice of the multimodal
   * substitution (`multimodal/Multimodal.scala:10-16`); the decoders
@@ -25,16 +28,29 @@ import org.apache.spark.sql.types._
   * Accept contract (the BMP `parse` discipline — every gate runs
   * before any pixel read): 8-byte signature, chunk walk with length/
   * CRC32 verification on EVERY chunk, IHDR first with bit depth 8 /
-  * color type 2 / compression 0 / filter 0 / interlace 0 or 1
-  * (Adam7: seven independently-filtered pass sub-images, RFC 2083
-  * §8.2 — a pure pixel permutation of the sequential layout, empty
-  * passes contributing no bytes), positive dims with w*h <=
+  * color type in {0,2,3,4,6} / compression 0 / filter 0 / interlace
+  * 0 or 1 (Adam7: seven independently-filtered pass sub-images, RFC
+  * 2083 §8.2 — a pure pixel permutation of the sequential layout,
+  * empty passes contributing no bytes), positive dims with w*h <=
   * maxPixels (gated BEFORE inflating, so a hostile IHDR cannot
   * zip-bomb), IDAT inflating to EXACTLY the per-layout filtered
-  * volume, IEND present. Anything else — truncated blob, 16-bit or
-  * palette/gray/alpha layout, CRC mismatch, short or over-long
-  * inflate, a truncated interlace pass — yields null, never a
-  * partial statistic.
+  * volume, IEND present. Palette discipline per §4.1.2: color type 3
+  * REQUIRES one PLTE before the first IDAT (length a positive
+  * multiple of 3, <= 256 entries; any index past the last entry
+  * nulls the image); PLTE is FORBIDDEN for color types 0/4; for
+  * types 2/6 a well-formed PLTE is the spec's optional suggested-
+  * quantization palette — CRC-checked then ignored. Anything else —
+  * truncated blob, 16-bit depth, CRC mismatch, short or over-long
+  * inflate, a truncated interlace pass, duplicate/misplaced PLTE —
+  * yields null, never a partial statistic.
+  *
+  * Alpha convention (types 4/6): PNG samples are NON-premultiplied
+  * (§10.8), so the color channels are well-defined without
+  * compositing; the 24bpp canonical readout takes them as stored and
+  * DROPS alpha — the exact, lossless-for-color choice (compositing
+  * against a background would destroy channel closed forms). tRNS is
+  * ancillary and skipped like every other ancillary chunk, which is
+  * consistent with the same convention (it only adds alpha).
   *
   * Orientation convention: PNG file order is visual top-down; the
   * perceptual hash is defined over the VISUAL image with the
@@ -79,8 +95,10 @@ object PngFn {
     // chunk walk: bounds-check every read; verify every CRC
     var pos = 8
     var w = 0; var h = 0
+    var colorType = -1; var bpp = 0
     var adam7 = false
     var sawIhdr = false; var sawIend = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new CRC32()
     while (!sawIend) {
@@ -97,7 +115,7 @@ object PngFn {
         if (typ != "IHDR" || l != 13) return null
         val d = pos + 8
         val ww = be32(d); val hh = be32(d + 4)
-        val bitDepth = u8(d + 8); val colorType = u8(d + 9)
+        val bitDepth = u8(d + 8); colorType = u8(d + 9)
         val comp = u8(d + 10); val filt = u8(d + 11)
         val interlace = u8(d + 12)
         // gate each dim BEFORE the multiply: ww/hh are unsigned-32
@@ -105,31 +123,49 @@ object PngFn {
         // bypassing the pixel cap (then rowBytes*h Int math wraps)
         if (ww < 1L || hh < 1L ||
           ww > maxPixels || hh > maxPixels || ww * hh > maxPixels ||
-          bitDepth != 8 || colorType != 2 || comp != 0 || filt != 0 ||
+          bitDepth != 8 || comp != 0 || filt != 0 ||
           interlace > 1) return null
+        bpp = colorType match {
+          case 0 => 1 // grayscale
+          case 2 => 3 // truecolor
+          case 3 => 1 // palette index
+          case 4 => 2 // grayscale + alpha
+          case 6 => 4 // truecolor + alpha
+          case _ => return null
+        }
         w = ww.toInt; h = hh.toInt
         adam7 = interlace == 1
         sawIhdr = true
       } else typ match {
         case "IDAT" => idat.write(bytes, pos + 8, l)
+        case "PLTE" =>
+          // §4.1.2: one PLTE, before the first IDAT, 1..256 entries;
+          // forbidden for grayscale layouts; for 2/6 it's the
+          // optional suggested-quantization palette (checked above
+          // for CRC like every chunk, then ignored)
+          if (plte != null || idat.size() > 0 ||
+            l < 3 || l > 768 || l % 3 != 0 ||
+            colorType == 0 || colorType == 4) return null
+          plte = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + l)
         case "IEND" => if (l != 0) return null else sawIend = true
         case "IHDR" => return null
         case _ => () // ancillary chunks skipped (CRC already checked)
       }
       pos += 12 + l
     }
+    if (colorType == 3 && plte == null) return null
     // inflate to EXACTLY the filtered-scanline volume (the maxPixels
     // gate above bounds this allocation): one filter byte per
     // scanline — per PASS sub-image when Adam7-interlaced (empty
     // passes contribute no bytes at all, RFC 2083 §8.2)
-    val rowBytes = 1 + 3 * w
+    val rowBytes = 1 + bpp * w
     var filtLen = 0
     if (adam7) {
       var pass = 0
       while (pass < 7) {
         val pw = passW(w, pass)
         val ph = passH(h, pass)
-        if (pw > 0 && ph > 0) filtLen += ph * (1 + 3 * pw)
+        if (pw > 0 && ph > 0) filtLen += ph * (1 + bpp * pw)
         pass += 1
       }
     } else filtLen = rowBytes * h
@@ -150,9 +186,9 @@ object PngFn {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    val rgb = new Array[Byte](3 * w * h)
+    val raw = new Array[Byte](bpp * w * h)
     if (!adam7) {
-      if (!unfilter(filtered, 0, w, h, rgb)) return null
+      if (!unfilter(filtered, 0, w, h, bpp, raw)) return null
     } else {
       // Adam7 (RFC 2083 §8.2): seven independently-filtered pass
       // sub-images; each unfilters against its OWN previous scanline,
@@ -164,19 +200,19 @@ object PngFn {
         val pw = passW(w, pass)
         val ph = passH(h, pass)
         if (pw > 0 && ph > 0) {
-          val sub = new Array[Byte](3 * pw * ph)
-          if (!unfilter(filtered, off, pw, ph, sub)) return null
-          off += ph * (1 + 3 * pw)
+          val sub = new Array[Byte](bpp * pw * ph)
+          if (!unfilter(filtered, off, pw, ph, bpp, sub)) return null
+          off += ph * (1 + bpp * pw)
           var r = 0
           while (r < ph) {
             val py = A7_YS(pass) + r * A7_YSTEP(pass)
             var c = 0
             while (c < pw) {
               val px = A7_XS(pass) + c * A7_XSTEP(pass)
-              val d = (py * w + px) * 3
-              val sp = (r * pw + c) * 3
-              rgb(d) = sub(sp); rgb(d + 1) = sub(sp + 1)
-              rgb(d + 2) = sub(sp + 2)
+              val d = (py * w + px) * bpp
+              val sp = (r * pw + c) * bpp
+              var ch = 0
+              while (ch < bpp) { raw(d + ch) = sub(sp + ch); ch += 1 }
               c += 1
             }
             r += 1
@@ -184,6 +220,53 @@ object PngFn {
         }
         pass += 1
       }
+    }
+    // expand the layout's samples to canonical interleaved RGB
+    // (alpha dropped — see the object doc's alpha convention)
+    val n = w * h
+    val rgb = colorType match {
+      case 2 => raw
+      case 0 =>
+        val out = new Array[Byte](3 * n)
+        var i = 0
+        while (i < n) {
+          val v = raw(i)
+          out(i * 3) = v; out(i * 3 + 1) = v; out(i * 3 + 2) = v
+          i += 1
+        }
+        out
+      case 3 =>
+        val entries = plte.length / 3
+        val out = new Array[Byte](3 * n)
+        var i = 0
+        while (i < n) {
+          val idx = raw(i) & 0xFF
+          if (idx >= entries) return null // §4.1.2: out-of-range index
+          out(i * 3) = plte(idx * 3)
+          out(i * 3 + 1) = plte(idx * 3 + 1)
+          out(i * 3 + 2) = plte(idx * 3 + 2)
+          i += 1
+        }
+        out
+      case 4 =>
+        val out = new Array[Byte](3 * n)
+        var i = 0
+        while (i < n) {
+          val v = raw(i * 2)
+          out(i * 3) = v; out(i * 3 + 1) = v; out(i * 3 + 2) = v
+          i += 1
+        }
+        out
+      case _ => // 6: RGBA
+        val out = new Array[Byte](3 * n)
+        var i = 0
+        while (i < n) {
+          out(i * 3) = raw(i * 4)
+          out(i * 3 + 1) = raw(i * 4 + 1)
+          out(i * 3 + 2) = raw(i * 4 + 2)
+          i += 1
+        }
+        out
     }
     new Decoded(w, h, rgb)
   }
@@ -199,24 +282,25 @@ object PngFn {
     if (h > A7_YS(p)) (h - A7_YS(p) + A7_YSTEP(p) - 1) / A7_YSTEP(p) else 0
 
   /** Unfilter one (sub-)image of pw x ph scanlines starting at `off`
-    * (RFC 2083 §6.4-6.9); bpp = 3; a = left, b = up, c = upper-left,
-    * all from the RECONSTRUCTED bytes of the SAME (sub-)image. */
+    * (RFC 2083 §6.4-6.9) at the layout's bytes-per-pixel; a = left,
+    * b = up, c = upper-left, all from the RECONSTRUCTED bytes of the
+    * SAME (sub-)image. */
   private def unfilter(filtered: Array[Byte], off: Int, pw: Int,
-                       ph: Int, rgb: Array[Byte]): Boolean = {
-    val rowBytes = 1 + 3 * pw
+                       ph: Int, bpp: Int, out: Array[Byte]): Boolean = {
+    val rowBytes = 1 + bpp * pw
     var v = 0
     while (v < ph) {
       val ft = filtered(off + v * rowBytes) & 0xFF
       if (ft > 4) return false
       val src = off + v * rowBytes + 1
-      val dst = v * 3 * pw
-      val prev = dst - 3 * pw
+      val dst = v * bpp * pw
+      val prev = dst - bpp * pw
       var i = 0
-      while (i < 3 * pw) {
+      while (i < bpp * pw) {
         val x = filtered(src + i) & 0xFF
-        val a = if (i >= 3) rgb(dst + i - 3) & 0xFF else 0
-        val b = if (v > 0) rgb(prev + i) & 0xFF else 0
-        val c = if (v > 0 && i >= 3) rgb(prev + i - 3) & 0xFF else 0
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+        val b = if (v > 0) out(prev + i) & 0xFF else 0
+        val c = if (v > 0 && i >= bpp) out(prev + i - bpp) & 0xFF else 0
         val rec = ft match {
           case 0 => x
           case 1 => x + a
@@ -230,7 +314,7 @@ object PngFn {
             x + (if (pa <= pb && pa <= pc) a
                  else if (pb <= pc) b else c)
         }
-        rgb(dst + i) = (rec & 0xFF).toByte
+        out(dst + i) = (rec & 0xFF).toByte
         i += 1
       }
       v += 1
@@ -442,6 +526,136 @@ object PngFn {
     ihdr(6) = ((h >> 8) & 0xFF).toByte; ihdr(7) = (h & 0xFF).toByte
     ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
     chunk("IHDR", ihdr)
+    chunk("IDAT", zs)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** ONE GRAY VISUAL IMAGE through any of the five 8-bit sample
+    * layouts (colorType in {0,2,3,4,6}): luminance
+    *
+    *   L = floorMod(seed*11 + fr*5 + c*2, 256)   (fr = h-1-v)
+    *
+    * — [[synth]]'s G-channel formula — rendered as grayscale (type
+    * 0), truecolor R=G=B=L (2), palette indices through an IDENTITY
+    * grayscale PLTE entry j = (j,j,j) (3), gray+alpha (4) or RGBA
+    * (6), with a varying alpha plane A = floorMod(seed*5 + fr*2 + c,
+    * 256) on the alpha layouts (dropped by the canonical readout, so
+    * EVERY layout decodes to the identical RGB image — one ahash, one
+    * stats row, five byte streams). Scanline v is filtered with type
+    * v % 5 at the layout's bpp, so all five filter reversals run at
+    * every bytes-per-pixel. */
+  def synthTyped(seed: Long, width: Long, height: Long,
+                 colorType: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width * height <= (1 << 20),
+      s"fake PNG dims out of range: ${width}x$height")
+    val bpp = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case 4 => 2
+      case 6 => 4
+      case _ => throw new IllegalArgumentException(
+        s"fake PNG color type must be one of 0/2/3/4/6: $colorType")
+    }
+    val w = width.toInt
+    val h = height.toInt
+    val raw = new Array[Byte](bpp * w * h) // layout samples, top-down
+    var v = 0
+    while (v < h) {
+      val fr = h - 1 - v
+      var c = 0
+      while (c < w) {
+        val lum = Math.floorMod(seed * 11 + fr * 5 + c * 2, 256L).toByte
+        val alpha = Math.floorMod(seed * 5 + fr * 2 + c, 256L).toByte
+        val p = (v * w + c) * bpp
+        colorType match {
+          case 0 => raw(p) = lum
+          case 2 => raw(p) = lum; raw(p + 1) = lum; raw(p + 2) = lum
+          case 3 => raw(p) = lum // identity gray palette: index == L
+          case 4 => raw(p) = lum; raw(p + 1) = alpha
+          case _ =>
+            raw(p) = lum; raw(p + 1) = lum; raw(p + 2) = lum
+            raw(p + 3) = alpha
+        }
+        c += 1
+      }
+      v += 1
+    }
+    // filter each scanline with type v % 5 at this layout's bpp
+    val rowBytes = 1 + bpp * w
+    val filtered = new Array[Byte](rowBytes * h)
+    v = 0
+    while (v < h) {
+      val ft = v % 5
+      filtered(v * rowBytes) = ft.toByte
+      val dst = v * rowBytes + 1
+      val src = v * bpp * w
+      val prev = src - bpp * w
+      var i = 0
+      while (i < bpp * w) {
+        val x = raw(src + i) & 0xFF
+        val a = if (i >= bpp) raw(src + i - bpp) & 0xFF else 0
+        val b = if (v > 0) raw(prev + i) & 0xFF else 0
+        val cc = if (v > 0 && i >= bpp) raw(prev + i - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - cc
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+        }
+        filtered(dst + i) = ((x - pred) & 0xFF).toByte
+        i += 1
+      }
+      v += 1
+    }
+    val def1 = new Deflater()
+    val zs = try {
+      def1.setInput(filtered); def1.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!def1.finished()) buf.write(tmp, 0, def1.deflate(tmp))
+      buf.toByteArray
+    } finally def1.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(x: Long): Array[Byte] = Array(
+        ((x >> 24) & 0xFF).toByte, ((x >> 16) & 0xFF).toByte,
+        ((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte)
+      val t = typ.getBytes("US-ASCII")
+      out.write(be32(data.length.toLong), 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xFF).toByte; ihdr(1) = ((w >> 16) & 0xFF).toByte
+    ihdr(2) = ((w >> 8) & 0xFF).toByte; ihdr(3) = (w & 0xFF).toByte
+    ihdr(4) = ((h >> 24) & 0xFF).toByte; ihdr(5) = ((h >> 16) & 0xFF).toByte
+    ihdr(6) = ((h >> 8) & 0xFF).toByte; ihdr(7) = (h & 0xFF).toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    if (colorType == 3) {
+      val p = new Array[Byte](768)
+      var j = 0
+      while (j < 256) {
+        p(j * 3) = j.toByte; p(j * 3 + 1) = j.toByte
+        p(j * 3 + 2) = j.toByte
+        j += 1
+      }
+      chunk("PLTE", p)
+    }
     chunk("IDAT", zs)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -719,4 +933,41 @@ case class FakePngInterlaced(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): FakePngInterlaced =
     FakePngInterlaced(f, s, t)
+}
+
+/** Native fixture generator `graft_fake_png_typed(seed, w, h,
+  * colorType)` — see [[PngFn.synthTyped]]: one gray visual image
+  * through any of the five 8-bit sample layouts. */
+case class FakePngTyped(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType ||
+      c.dataType == IntegerType || c.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_fake_png_typed expects (bigint, bigint, bigint, bigint), " +
+        "got " + children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fake_png_typed"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(s: Any, w: Any, h: Any, ct: Any): Any =
+    PngFn.synthTyped(asLong(s), asLong(w), asLong(h), asLong(ct))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h, ct) =>
+      s"${ev.value} = etlmudah.expr.PngFn.synthTyped((long)$s, " +
+        s"(long)$w, (long)$h, (long)$ct);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      q: Expression): FakePngTyped = FakePngTyped(f, s, t, q)
 }

@@ -440,10 +440,11 @@ object Multimodal {
     call_function("graft_fake_mjpeg_avi", seed.cast("long"),
       width.cast("long"), height.cast("long"), nFrames.cast("long"))
 
-  /** REAL PNG pixel statistics — non-interlaced 8-bit truecolor
-    * decode via JDK Inflater + RFC 2083 filter reversal (native
-    * `graft_png_stats`; see [[etlmudah.expr.PngFn]] for the exact
-    * accept/null contract). Extends the real-pixel tier to the
+  /** REAL PNG pixel statistics — all five 8-bit sample layouts
+    * (gray / truecolor / palette / gray+alpha / RGBA), sequential or
+    * Adam7-interlaced, via JDK Inflater + RFC 2083 filter reversal
+    * (native `graft_png_stats`; see [[etlmudah.expr.PngFn]] for the
+    * exact accept/null contract). Extends the real-pixel tier to the
     * dominant COMPRESSED web format. */
   def pngPixelStats(media: Column, maxPixels: Int = 4096): Column =
     call_function("graft_png_stats", media, lit(maxPixels))
@@ -572,6 +573,17 @@ object Multimodal {
                         height: Column): Column =
     call_function("graft_fake_png_interlaced", seed.cast("long"),
       width.cast("long"), height.cast("long"))
+
+  /** Synthesize ONE gray visual image (L = (seed*11 + fr*5 + c*2) %
+    * 256) through any of PNG's five 8-bit sample layouts — colorType
+    * 0 gray / 2 truecolor / 3 identity-gray palette / 4 gray+alpha /
+    * 6 RGBA (native `graft_fake_png_typed`; see
+    * [[etlmudah.expr.PngFn.synthTyped]]): five byte streams, one
+    * decoded image. */
+  def fakePngTyped(seed: Column, width: Column, height: Column,
+                   colorType: Column): Column =
+    call_function("graft_fake_png_typed", seed.cast("long"),
+      width.cast("long"), height.cast("long"), colorType.cast("long"))
 
   /** Synthesize the SAME closed-form image as [[fakeJpeg420]] through
     * a PROGRESSIVE (SOF2) seven-scan successive-approximation script

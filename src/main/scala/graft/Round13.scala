@@ -381,6 +381,68 @@ object Round13 {
           count(lit(1)).as("n_groups"),
           sum(col("group_size")).as("n_docs"))
         .orderBy(col("group_size"))
+    }),
+
+    // PNG SAMPLE LAYOUTS on the dedup surface — ONE gray visual
+    // image through ALL FIVE 8-bit layouts (color type 0 grayscale /
+    // 2 truecolor R=G=B / 3 palette indices through an identity-gray
+    // PLTE / 4 gray+alpha / 6 RGBA, the alpha planes varying and
+    // dropped by the canonical readout): five structurally different
+    // byte streams (different bpp filter arithmetic, a palette
+    // indirection, alpha interleaving), one decoded RGB image, one
+    // row-sensitive perceptual hash — every planted quintet must land
+    // in one group. The within-container sibling of the q352/q360
+    // cross-format discipline: here the CONTAINER stays PNG and the
+    // SAMPLE LAYOUT varies.
+    "q361_png_color_type_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 5")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val leg = col("doc_id") % 5
+      val ct = when(leg === 0, 0).when(leg === 1, 2)
+        .when(leg === 2, 3).when(leg === 3, 4).otherwise(6)
+      val ah = M.pngAHash(M.fakePngTyped(seed, wg, hg, ct))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    }),
+
+    // …and on the STATS surface: per-doc layout rotation over the
+    // four NEW layouts (0/3/4/6 — type 2 is the q224/q305 back
+    // catalog), every 5th blob maimed to a 60-byte prefix (decode
+    // nulls whole — for type 3 that also severs the PLTE the layout
+    // REQUIRES). The decoded image depends only on doc_id, never on
+    // the layout, so the oracle replays the L formula with no
+    // layout term at all — four decode paths, one arithmetic rule.
+    "q362_png_color_type_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 13 + 4).cast("int")
+      val hg = (id % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val leg = id % 4
+      val ct = when(leg === 0, 0).when(leg === 1, 3)
+        .when(leg === 2, 4).otherwise(6)
+      val blob = M.fakePngTyped(id, wg, hg, ct)
+      val maimed = when(id % 5 === 0, substring(blob, 1, 60)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(wg.as("w"), hg.as("h"), M.pngPixelStats(maimed).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_imgs"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"))
+        .orderBy(col("w"), col("h"))
     }))
 
   /** q351's pixel-rule oracle — shared VERBATIM with q359 (the
@@ -552,5 +614,61 @@ object Round13 {
     // the hash replay doesn't care which containers carried the
     // image, only that both legs land on the closed form
     "q355_gif_interlaced_dedup" ->
-      Round12.oracleSql("q338_cross_format_jpeg_dedup"))
+      Round12.oracleSql("q338_cross_format_jpeg_dedup"),
+
+    // the q354 hash-replay shape on the GRAY closed form: all five
+    // sample layouts decode to R=G=B=L, so grid brightness is
+    // s = 3*L with file row fr = (gi*h)//8 (the visual-hash row
+    // convention) — the layout term does not appear at all, which IS
+    // the point: five byte streams, one number
+    "q361_png_color_type_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 5 AS seed FROM documents),
+        |dd AS (SELECT DISTINCT seed, (seed % 13 + 4) AS w,
+        |    (seed % 9 + 3) AS h FROM d),
+        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
+        |    3 * ((dd.seed*11 + ((gi.i*dd.h)//8)*5 + ((gj.j*dd.w)//8)*2)
+        |      % 256) AS s
+        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
+        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
+        |hw AS (SELECT px.seed,
+        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
+        |      ELSE 0 END)::BIGINT AS h0,
+        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
+        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
+        |      ELSE 0 END)::BIGINT AS h1
+        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
+        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
+        |grp AS (SELECT h0, h1, count(*) AS group_size
+        |  FROM doc GROUP BY h0, h1)
+        |SELECT group_size, count(*) AS n_groups,
+        |  sum(group_size)::BIGINT AS n_docs
+        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
+
+    // the q351 stats-replay shape on the same gray closed form: the
+    // per-doc layout rotation (0/3/4/6) is invisible to the oracle
+    // because every layout decodes to the identical image — the SQL
+    // carries the maim rule and the L formula, nothing else
+    "q362_png_color_type_stats" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 13 + 4)::INT AS w,
+        |    (doc_id % 9 + 3)::INT AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (d.doc_id*11 + fr.fr*5 + c.c*2) % 256 AS v
+        |  FROM d, range(0, 11) fr(fr), range(0, 16) c(c)
+        |  WHERE d.doc_id % 5 <> 0 AND fr.fr < d.h AND c.c < d.w),
+        |st AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+        |    min(v)::INT AS v_min, max(v)::INT AS v_max,
+        |    sum(v)::BIGINT AS v_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.w, d.h, count(*) AS n_imgs,
+        |  count(st.doc_id)::BIGINT AS n_decoded,
+        |  sum(st.n_px)::BIGINT AS n_px,
+        |  min(st.v_min) AS r_min, max(st.v_max) AS r_max,
+        |  sum(st.v_sum)::BIGINT AS r_sum,
+        |  min(st.v_min) AS g_min, max(st.v_max) AS g_max,
+        |  sum(st.v_sum)::BIGINT AS g_sum,
+        |  min(st.v_min) AS b_min, max(st.v_max) AS b_max,
+        |  sum(st.v_sum)::BIGINT AS b_sum
+        |FROM d LEFT JOIN st USING (doc_id)
+        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin)
 }

@@ -82,8 +82,11 @@ class PngSpec extends SparkSpec {
     // corrupt a pixel byte inside IDAT: CRC must catch it
     val badCrc = good.clone(); badCrc(45) = (badCrc(45) ^ 0x5A).toByte
     assert(PngFn.stats(badCrc, 4096) == null)
-    // interlaced / 16-bit / palette / RGBA headers (fix the CRC so the
-    // gate that rejects them is the FIELD check, not the checksum)
+    // lying IHDR headers (CRC fixed so the checksum is not what
+    // rejects): 16-bit depth fails the field gate; a palette/RGBA/
+    // interlaced claim over this truecolor-sequential stream fails
+    // the missing-PLTE or exact-inflate-volume gate — every layout
+    // decodes ONLY when the stream genuinely carries it
     def withIhdrByte(off: Int, v: Byte): Array[Byte] = {
       val b = good.clone()
       b(8 + 8 + off) = v   // sig(8) + len+type(8) + IHDR data offset
@@ -275,5 +278,189 @@ class PngSpec extends SparkSpec {
     val st = PngFn.stats(unhexP(a7InterlacedHex), 4096)
     assert(st.getLong(5) == 19562L && st.getLong(9) == 17965L &&
       st.getLong(13) == 18273L)
+  }
+
+  // ---- color-type tier: all five 8-bit sample layouts ----
+
+  /** Split a well-formed PNG into (sig, chunks) for surgical
+    * rearrangement; each chunk keeps its raw 12+len bytes. */
+  private def pngChunks(b: Array[Byte]): Seq[Array[Byte]] = {
+    def be32(i: Int): Int =
+      ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+    var pos = 8
+    val out = Seq.newBuilder[Array[Byte]]
+    while (pos < b.length) {
+      val l = be32(pos)
+      out += java.util.Arrays.copyOfRange(b, pos, pos + 12 + l)
+      pos += 12 + l
+    }
+    out.result()
+  }
+
+  private def rebuild(chunks: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(unhexP("89504e470d0a1a0a"), 0, 8)
+    chunks.foreach(c => out.write(c, 0, c.length))
+    out.toByteArray
+  }
+
+  private def mkChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val l = data.length
+    out.write(Array(((l >> 24) & 0xFF).toByte, ((l >> 16) & 0xFF).toByte,
+      ((l >> 8) & 0xFF).toByte, (l & 0xFF).toByte), 0, 4)
+    val t = typ.getBytes("US-ASCII")
+    out.write(t, 0, 4)
+    out.write(data, 0, l)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    val cv = crc.getValue
+    out.write(Array(((cv >> 24) & 0xFF).toByte, ((cv >> 16) & 0xFF).toByte,
+      ((cv >> 8) & 0xFF).toByte, (cv & 0xFF).toByte), 0, 4)
+    out.toByteArray
+  }
+
+  private def chunkType(c: Array[Byte]): String =
+    new String(c, 4, 4, "US-ASCII")
+
+  test("color-type tier: one gray image through all five layouts — identical pixels, hash, canonical bytes") {
+    for (seed <- Seq(0L, 9L, 321L, 100003L); (w, h) <- Seq(
+        (1, 1), (4, 3), (5, 7), (8, 8), (13, 11))) {
+      val legs = Seq(0L, 2L, 3L, 4L, 6L)
+        .map(ct => PngFn.synthTyped(seed, w, h, ct))
+      val dec = legs.map(PngFn.decode(_, 4096))
+      assert(dec.forall(_ != null), s"seed=$seed ${w}x$h all legs decode")
+      // brute-force closed form: every layout lands on R=G=B=L
+      for (v <- 0 until h; c <- 0 until w) {
+        val fr = h - 1 - v
+        val lum = Math.floorMod(seed * 11 + fr * 5 + c * 2, 256L).toInt
+        dec.zip(Seq(0, 2, 3, 4, 6)).foreach { case (d, ct) =>
+          val p = (v * w + c) * 3
+          assert((d.rgb(p) & 0xFF) == lum && (d.rgb(p + 1) & 0xFF) == lum &&
+            (d.rgb(p + 2) & 0xFF) == lum,
+            s"ct=$ct seed=$seed ${w}x$h px($v,$c)")
+        }
+      }
+      // canonical 24bpp bytes identical across the five layouts
+      val bmps = legs.map(PngFn.toBmp24(_, 4096))
+      assert(bmps.forall(b =>
+        b != null && java.util.Arrays.equals(b, bmps.head)),
+        s"canonical BMP bytes must agree seed=$seed ${w}x$h")
+      // one ahash for all five byte streams
+      val hs = legs.map(PngFn.ahash(_, 4096))
+      assert(hs.forall(x => x.getLong(0) == hs.head.getLong(0) &&
+        x.getLong(1) == hs.head.getLong(1)))
+    }
+  }
+
+  test("palette decode: NON-trivial permuted palette against brute force; out-of-range index nulls") {
+    // hand-built type-3 stream with a 40-entry non-gray palette —
+    // the identity-gray palette of synthTyped can't catch a lookup
+    // that ignores the PLTE, this can
+    val w = 9; val h = 6; val entries = 40
+    val plte = new Array[Byte](entries * 3)
+    for (j <- 0 until entries) {
+      plte(j * 3) = ((j * 31 + 7) % 256).toByte
+      plte(j * 3 + 1) = ((j * 97 + 3) % 256).toByte
+      plte(j * 3 + 2) = ((j * 13 + 11) % 256).toByte
+    }
+    def mkPalettePng(idx: (Int, Int) => Int): Array[Byte] = {
+      val filtered = new java.io.ByteArrayOutputStream()
+      for (v <- 0 until h) {
+        filtered.write(0) // filter None: indices are raw bytes
+        for (c <- 0 until w) filtered.write(idx(v, c))
+      }
+      val d = new java.util.zip.Deflater()
+      d.setInput(filtered.toByteArray); d.finish()
+      val zs = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!d.finished()) zs.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      val ihdr = new Array[Byte](13)
+      ihdr(3) = w.toByte; ihdr(7) = h.toByte
+      ihdr(8) = 8; ihdr(9) = 3
+      rebuild(Seq(mkChunk("IHDR", ihdr), mkChunk("PLTE", plte),
+        mkChunk("IDAT", zs.toByteArray), mkChunk("IEND",
+          Array.emptyByteArray)))
+    }
+    val good = mkPalettePng((v, c) => (v * w + c) % entries)
+    val d = PngFn.decode(good, 4096)
+    assert(d != null)
+    for (v <- 0 until h; c <- 0 until w) {
+      val j = (v * w + c) % entries
+      val p = (v * w + c) * 3
+      assert((d.rgb(p) & 0xFF) == (j * 31 + 7) % 256 &&
+        (d.rgb(p + 1) & 0xFF) == (j * 97 + 3) % 256 &&
+        (d.rgb(p + 2) & 0xFF) == (j * 13 + 11) % 256,
+        s"palette lookup px($v,$c)")
+    }
+    // §4.1.2: any index past the last PLTE entry nulls the image
+    assert(PngFn.decode(mkPalettePng((v, c) =>
+      if (v == 3 && c == 4) entries else (v * w + c) % entries),
+      4096) == null, "out-of-range palette index must null")
+  }
+
+  test("PLTE discipline hostiles: missing, duplicate, misplaced, malformed, forbidden") {
+    val pal = PngFn.synthTyped(7L, 6, 5, 3L)
+    assert(PngFn.stats(pal, 4096) != null)
+    val cs = pngChunks(pal)
+    val Seq(ihdr, plte, idat, iend) = cs: @unchecked
+    assert(chunkType(plte) == "PLTE")
+    // type 3 without PLTE
+    assert(PngFn.stats(rebuild(Seq(ihdr, idat, iend)), 4096) == null)
+    // duplicate PLTE
+    assert(PngFn.stats(rebuild(Seq(ihdr, plte, plte, idat, iend)),
+      4096) == null)
+    // PLTE after the first IDAT
+    assert(PngFn.stats(rebuild(Seq(ihdr, idat, plte, iend)),
+      4096) == null)
+    // malformed PLTE lengths: not a multiple of 3, empty, oversized
+    assert(PngFn.stats(rebuild(Seq(ihdr,
+      mkChunk("PLTE", new Array[Byte](100)), idat, iend)), 4096) == null)
+    assert(PngFn.stats(rebuild(Seq(ihdr,
+      mkChunk("PLTE", Array.emptyByteArray), idat, iend)), 4096) == null)
+    assert(PngFn.stats(rebuild(Seq(ihdr,
+      mkChunk("PLTE", new Array[Byte](771)), idat, iend)), 4096) == null)
+    // PLTE is FORBIDDEN for grayscale layouts (types 0 and 4)...
+    for (ct <- Seq(0L, 4L)) {
+      val g = pngChunks(PngFn.synthTyped(7L, 6, 5, ct))
+      assert(PngFn.stats(rebuild(g.head +: plte +: g.tail), 4096) == null,
+        s"PLTE must be rejected for color type $ct")
+    }
+    // ...but is the spec's optional suggested palette for 2 and 6 —
+    // well-formed PLTE accepted and ignored, corrupt PLTE still nulls
+    for (ct <- Seq(2L, 6L)) {
+      val full = PngFn.synthTyped(7L, 6, 5, ct)
+      val g = pngChunks(full)
+      val withP = rebuild(g.head +: plte +: g.tail)
+      val st = PngFn.stats(withP, 4096)
+      val st0 = PngFn.stats(full, 4096)
+      assert(st != null && st.getLong(5) == st0.getLong(5),
+        s"suggested PLTE must be ignored for color type $ct")
+      val badCrc = withP.clone()
+      val plteDataOff = 8 + ihdr.length + 8
+      badCrc(plteDataOff) = (badCrc(plteDataOff) ^ 0x55).toByte
+      assert(PngFn.stats(badCrc, 4096) == null,
+        "corrupt PLTE CRC must still null")
+    }
+    // truncation ladder over the palette stream
+    for (cut <- Seq(20, 40, pal.length / 2, pal.length - 3))
+      assert(PngFn.stats(pal.take(cut), 4096) == null, s"cut=$cut")
+  }
+
+  test("color-type tier through the SQL surface: five layouts, one hash group") {
+    import spark.implicits._
+    val df = (0L until 50L).toDF("id")
+      .select(expr("id div 5").as("seed"), (col("id") % 5).as("leg"))
+      .select(Multimodal.pngAHash(Multimodal.fakePngTyped(
+        col("seed"), (col("seed") % 6 + 3), (col("seed") % 4 + 2),
+        when(col("leg") === 0, 0).when(col("leg") === 1, 2)
+          .when(col("leg") === 2, 3).when(col("leg") === 3, 4)
+          .otherwise(6))).as("ah"))
+      .groupBy(col("ah.h0"), col("ah.h1"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(df.forall(_.getLong(2) % 5 == 0),
+      "every layout quintet must land in one hash group")
   }
 }
