@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeJpegProg420, FakeMjpegAvi, FakeMp3L1, Mp3L1Stats, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakePngInterlaced, FakePngTyped, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeJpegProg420, FakeMjpegAvi, FakeMp3L1, Mp3L1Stats, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakePng16, FakePngInterlaced, FakePngTyped, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -310,6 +310,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_fake_png_typed"),
       (children: Seq[Expression]) =>
         FakePngTyped(children.head, children(1), children(2),
+          children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_png16"),
+      new ExpressionInfo(classOf[FakePng16].getName,
+        "graft_fake_png16"),
+      (children: Seq[Expression]) =>
+        FakePng16(children.head, children(1), children(2),
           children(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_anim_gif"),

@@ -9,9 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 
 /** REAL PNG pixel decode for the dominant web image format — ALL
-  * FIVE 8-bit sample layouts (RFC 2083 §4.1.1: color type 0
-  * grayscale, 2 truecolor, 3 palette-indexed, 4 grayscale+alpha,
-  * 6 truecolor+alpha), sequential OR Adam7-interlaced, which is pure
+  * FIVE sample layouts (RFC 2083 §4.1.1: color type 0 grayscale, 2
+  * truecolor, 3 palette-indexed, 4 grayscale+alpha, 6 truecolor+
+  * alpha) at bit depth 8 AND — for the non-palette layouts — bit
+  * depth 16, sequential OR Adam7-interlaced, which is pure
   * JDK machinery: IDAT is a zlib stream (`java.util.zip.Inflater`, the
   * same class `compressionRatio` already leans on) and the per-
   * scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) reverse
@@ -39,10 +40,17 @@ import org.apache.spark.sql.types._
   * multiple of 3, <= 256 entries; any index past the last entry
   * nulls the image); PLTE is FORBIDDEN for color types 0/4; for
   * types 2/6 a well-formed PLTE is the spec's optional suggested-
-  * quantization palette — CRC-checked then ignored. Anything else —
-  * truncated blob, 16-bit depth, CRC mismatch, short or over-long
-  * inflate, a truncated interlace pass, duplicate/misplaced PLTE —
-  * yields null, never a partial statistic.
+  * quantization palette — CRC-checked then ignored. 16-bit samples
+  * are big-endian (§2.1); filters reverse at the byte stride (§6.2:
+  * bpp is BYTES per complete pixel) and the canonical 8-bit readout
+  * takes each sample's HIGH byte — libpng's default reduction
+  * (png_set_strip_16), exact whenever the low byte repeats the high
+  * one (v = L·257, where strip and scale-by-255/65535 agree); a
+  * 16-bit palette claim is illegal per §4.1.1 and nulls. Anything
+  * else — truncated blob, depths other than 8/16, CRC mismatch,
+  * short or over-long inflate, a truncated interlace pass,
+  * duplicate/misplaced PLTE — yields null, never a partial
+  * statistic.
   *
   * Alpha convention (types 4/6): PNG samples are NON-premultiplied
   * (§10.8), so the color channels are well-defined without
@@ -95,7 +103,7 @@ object PngFn {
     // chunk walk: bounds-check every read; verify every CRC
     var pos = 8
     var w = 0; var h = 0
-    var colorType = -1; var bpp = 0
+    var colorType = -1; var bpp = 0; var deep = false
     var adam7 = false
     var sawIhdr = false; var sawIend = false
     var plte: Array[Byte] = null
@@ -123,8 +131,9 @@ object PngFn {
         // bypassing the pixel cap (then rowBytes*h Int math wraps)
         if (ww < 1L || hh < 1L ||
           ww > maxPixels || hh > maxPixels || ww * hh > maxPixels ||
-          bitDepth != 8 || comp != 0 || filt != 0 ||
+          (bitDepth != 8 && bitDepth != 16) || comp != 0 || filt != 0 ||
           interlace > 1) return null
+        deep = bitDepth == 16
         bpp = colorType match {
           case 0 => 1 // grayscale
           case 2 => 3 // truecolor
@@ -133,6 +142,10 @@ object PngFn {
           case 6 => 4 // truecolor + alpha
           case _ => return null
         }
+        // §4.1.1: palette indices exist only at depths 1/2/4/8 — a
+        // 16-bit type-3 claim is illegal, not merely unsupported
+        if (deep && colorType == 3) return null
+        if (deep) bpp *= 2 // filter stride is BYTES per pixel (§6.2)
         w = ww.toInt; h = hh.toInt
         adam7 = interlace == 1
         sawIhdr = true
@@ -221,16 +234,27 @@ object PngFn {
         pass += 1
       }
     }
+    // 16-bit depths reduce to 8 by taking each big-endian sample's
+    // HIGH byte — libpng's default reduction (png_set_strip_16),
+    // exact whenever the low byte repeats the high one (v = L*257,
+    // where strip and scale-by-255/65535 agree); documented, not
+    // silent: the stats tier is defined over the 8-bit canonical
+    val raw8 = if (!deep) raw else {
+      val half = new Array[Byte](raw.length / 2)
+      var i = 0
+      while (i < half.length) { half(i) = raw(2 * i); i += 1 }
+      half
+    }
     // expand the layout's samples to canonical interleaved RGB
     // (alpha dropped — see the object doc's alpha convention)
     val n = w * h
     val rgb = colorType match {
-      case 2 => raw
+      case 2 => raw8
       case 0 =>
         val out = new Array[Byte](3 * n)
         var i = 0
         while (i < n) {
-          val v = raw(i)
+          val v = raw8(i)
           out(i * 3) = v; out(i * 3 + 1) = v; out(i * 3 + 2) = v
           i += 1
         }
@@ -240,7 +264,7 @@ object PngFn {
         val out = new Array[Byte](3 * n)
         var i = 0
         while (i < n) {
-          val idx = raw(i) & 0xFF
+          val idx = raw8(i) & 0xFF
           if (idx >= entries) return null // §4.1.2: out-of-range index
           out(i * 3) = plte(idx * 3)
           out(i * 3 + 1) = plte(idx * 3 + 1)
@@ -252,7 +276,7 @@ object PngFn {
         val out = new Array[Byte](3 * n)
         var i = 0
         while (i < n) {
-          val v = raw(i * 2)
+          val v = raw8(i * 2)
           out(i * 3) = v; out(i * 3 + 1) = v; out(i * 3 + 2) = v
           i += 1
         }
@@ -261,9 +285,9 @@ object PngFn {
         val out = new Array[Byte](3 * n)
         var i = 0
         while (i < n) {
-          out(i * 3) = raw(i * 4)
-          out(i * 3 + 1) = raw(i * 4 + 1)
-          out(i * 3 + 2) = raw(i * 4 + 2)
+          out(i * 3) = raw8(i * 4)
+          out(i * 3 + 1) = raw8(i * 4 + 1)
+          out(i * 3 + 2) = raw8(i * 4 + 2)
           i += 1
         }
         out
@@ -661,6 +685,120 @@ object PngFn {
     out.toByteArray
   }
 
+  /** 16-BIT sibling of [[synthTyped]] (colorType in {0,2,4,6} — §4.1.1
+    * forbids 16-bit palettes): the IDENTICAL gray visual image with
+    * each 8-bit sample widened to the big-endian 16-bit value whose
+    * HIGH byte is L and whose LOW byte is an independently varying
+    * plane Lo = floorMod(seed*3 + fr + c*5, 256) — so the strip-16
+    * readout reproduces the 8-bit legs exactly while the byte stream
+    * genuinely exercises the doubled filter stride (scanline v again
+    * filtered with type v % 5, now at 2·channels bytes per pixel). */
+  def synth16(seed: Long, width: Long, height: Long,
+              colorType: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width * height <= (1 << 20),
+      s"fake PNG dims out of range: ${width}x$height")
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => throw new IllegalArgumentException(
+        s"fake 16-bit PNG color type must be one of 0/2/4/6: $colorType")
+    }
+    val bpp = channels * 2
+    val w = width.toInt
+    val h = height.toInt
+    val raw = new Array[Byte](bpp * w * h) // big-endian 16-bit samples
+    var v = 0
+    while (v < h) {
+      val fr = h - 1 - v
+      var c = 0
+      while (c < w) {
+        val lum = Math.floorMod(seed * 11 + fr * 5 + c * 2, 256L).toByte
+        val lo = Math.floorMod(seed * 3 + fr + c * 5, 256L).toByte
+        val alpha = Math.floorMod(seed * 5 + fr * 2 + c, 256L).toByte
+        val p = (v * w + c) * bpp
+        // per-channel (hi, lo) pairs; alpha rides (alpha, lo)
+        var ch = 0
+        while (ch < channels) {
+          val isAlpha = (colorType == 4 && ch == 1) ||
+            (colorType == 6 && ch == 3)
+          raw(p + ch * 2) = if (isAlpha) alpha else lum
+          raw(p + ch * 2 + 1) = lo
+          ch += 1
+        }
+        c += 1
+      }
+      v += 1
+    }
+    val rowBytes = 1 + bpp * w
+    val filtered = new Array[Byte](rowBytes * h)
+    v = 0
+    while (v < h) {
+      val ft = v % 5
+      filtered(v * rowBytes) = ft.toByte
+      val dst = v * rowBytes + 1
+      val src = v * bpp * w
+      val prev = src - bpp * w
+      var i = 0
+      while (i < bpp * w) {
+        val x = raw(src + i) & 0xFF
+        val a = if (i >= bpp) raw(src + i - bpp) & 0xFF else 0
+        val b = if (v > 0) raw(prev + i) & 0xFF else 0
+        val cc = if (v > 0 && i >= bpp) raw(prev + i - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - cc
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+        }
+        filtered(dst + i) = ((x - pred) & 0xFF).toByte
+        i += 1
+      }
+      v += 1
+    }
+    val def1 = new Deflater()
+    val zs = try {
+      def1.setInput(filtered); def1.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!def1.finished()) buf.write(tmp, 0, def1.deflate(tmp))
+      buf.toByteArray
+    } finally def1.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(x: Long): Array[Byte] = Array(
+        ((x >> 24) & 0xFF).toByte, ((x >> 16) & 0xFF).toByte,
+        ((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte)
+      val t = typ.getBytes("US-ASCII")
+      out.write(be32(data.length.toLong), 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xFF).toByte; ihdr(1) = ((w >> 16) & 0xFF).toByte
+    ihdr(2) = ((w >> 8) & 0xFF).toByte; ihdr(3) = (w & 0xFF).toByte
+    ihdr(4) = ((h >> 24) & 0xFF).toByte; ihdr(5) = ((h >> 16) & 0xFF).toByte
+    ihdr(6) = ((h >> 8) & 0xFF).toByte; ihdr(7) = (h & 0xFF).toByte
+    ihdr(8) = 16; ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zs)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** ADAM7-INTERLACED sibling of [[synth]]: the IDENTICAL visual
     * image stored as seven independently-filtered pass sub-images
     * (RFC 2083 §8.2) — a pure pixel permutation, so every statistic
@@ -970,4 +1108,42 @@ case class FakePngTyped(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression,
       q: Expression): FakePngTyped = FakePngTyped(f, s, t, q)
+}
+
+/** Native fixture generator `graft_fake_png16(seed, w, h, colorType)`
+  * — see [[PngFn.synth16]]: the 16-bit-depth sibling of
+  * [[FakePngTyped]] (colorType in {0,2,4,6}), same gray visual image
+  * under the strip-16 readout. */
+case class FakePng16(first: Expression, second: Expression,
+                     third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType ||
+      c.dataType == IntegerType || c.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_fake_png16 expects (bigint, bigint, bigint, bigint), " +
+        "got " + children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fake_png16"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(s: Any, w: Any, h: Any, ct: Any): Any =
+    PngFn.synth16(asLong(s), asLong(w), asLong(h), asLong(ct))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h, ct) =>
+      s"${ev.value} = etlmudah.expr.PngFn.synth16((long)$s, " +
+        s"(long)$w, (long)$h, (long)$ct);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      q: Expression): FakePng16 = FakePng16(f, s, t, q)
 }

@@ -585,6 +585,17 @@ object Multimodal {
     call_function("graft_fake_png_typed", seed.cast("long"),
       width.cast("long"), height.cast("long"), colorType.cast("long"))
 
+  /** 16-bit-depth sibling of [[fakePngTyped]] (colorType 0/2/4/6 —
+    * the spec forbids 16-bit palettes): the SAME gray visual image,
+    * every sample widened to big-endian 16 bits with an independently
+    * varying low byte, so the strip-16 readout reproduces the 8-bit
+    * legs exactly (native `graft_fake_png16`; see
+    * [[etlmudah.expr.PngFn.synth16]]). */
+  def fakePng16(seed: Column, width: Column, height: Column,
+                colorType: Column): Column =
+    call_function("graft_fake_png16", seed.cast("long"),
+      width.cast("long"), height.cast("long"), colorType.cast("long"))
+
   /** Synthesize the SAME closed-form image as [[fakeJpeg420]] through
     * a PROGRESSIVE (SOF2) seven-scan successive-approximation script
     * — interleaved DC first + three raw-bit refinements + per-

@@ -443,6 +443,34 @@ object Round13 {
           min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
           sum(col("st.b_sum")).as("b_sum"))
         .orderBy(col("w"), col("h"))
+    }),
+
+    // BIT DEPTH 16 on the same discipline: quintets share a seed —
+    // one 8-bit truecolor leg plus 16-bit gray / truecolor /
+    // gray+alpha / RGBA legs (big-endian samples, an independently
+    // varying low-byte plane, filters at the DOUBLED byte stride);
+    // the strip-16 readout (libpng png_set_strip_16) lands every leg
+    // on the identical gray image, so the oracle is q361's VERBATIM —
+    // the identical-statistic discipline applied to BIT DEPTH.
+    "q363_png_bit_depth_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 5")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val leg = col("doc_id") % 5
+      val ct16 = when(leg === 1, 0).when(leg === 2, 2)
+        .when(leg === 3, 4).otherwise(6)
+      val ah = when(leg === 0,
+        M.pngAHash(M.fakePngTyped(seed, wg, hg, lit(2))))
+        .otherwise(M.pngAHash(M.fakePng16(seed, wg, hg, ct16)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
     }))
 
   /** q351's pixel-rule oracle — shared VERBATIM with q359 (the
@@ -621,29 +649,7 @@ object Round13 {
     // s = 3*L with file row fr = (gi*h)//8 (the visual-hash row
     // convention) — the layout term does not appear at all, which IS
     // the point: five byte streams, one number
-    "q361_png_color_type_dedup" ->
-      """WITH d AS (SELECT doc_id, doc_id // 5 AS seed FROM documents),
-        |dd AS (SELECT DISTINCT seed, (seed % 13 + 4) AS w,
-        |    (seed % 9 + 3) AS h FROM d),
-        |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
-        |    3 * ((dd.seed*11 + ((gi.i*dd.h)//8)*5 + ((gj.j*dd.w)//8)*2)
-        |      % 256) AS s
-        |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
-        |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
-        |hw AS (SELECT px.seed,
-        |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
-        |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
-        |      ELSE 0 END)::BIGINT AS h0,
-        |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
-        |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
-        |      ELSE 0 END)::BIGINT AS h1
-        |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
-        |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
-        |grp AS (SELECT h0, h1, count(*) AS group_size
-        |  FROM doc GROUP BY h0, h1)
-        |SELECT group_size, count(*) AS n_groups,
-        |  sum(group_size)::BIGINT AS n_docs
-        |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin,
+    "q361_png_color_type_dedup" -> oracleSqlQ361,
 
     // the q351 stats-replay shape on the same gray closed form: the
     // per-doc layout rotation (0/3/4/6) is invisible to the oracle
@@ -670,5 +676,37 @@ object Round13 {
         |  min(st.v_min) AS b_min, max(st.v_max) AS b_max,
         |  sum(st.v_sum)::BIGINT AS b_sum
         |FROM d LEFT JOIN st USING (doc_id)
-        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin)
+        |GROUP BY d.w, d.h ORDER BY d.w, d.h""".stripMargin,
+
+    // q361's oracle VERBATIM — same seed split, dims and hash rule;
+    // the bit depth changes the byte stream (doubled filter stride,
+    // a live low-byte plane), never the number
+    "q363_png_bit_depth_dedup" -> oracleSqlQ361)
+
+  /** q361's hash-replay oracle — shared VERBATIM with q363 (the
+    * 16-bit legs must land on the identical gray closed form under
+    * the strip-16 readout). */
+  private lazy val oracleSqlQ361: String =
+    """WITH d AS (SELECT doc_id, doc_id // 5 AS seed FROM documents),
+      |dd AS (SELECT DISTINCT seed, (seed % 13 + 4) AS w,
+      |    (seed % 9 + 3) AS h FROM d),
+      |px AS (SELECT dd.seed, gi.i AS gi, gj.j AS gj,
+      |    3 * ((dd.seed*11 + ((gi.i*dd.h)//8)*5 + ((gj.j*dd.w)//8)*2)
+      |      % 256) AS s
+      |  FROM dd, range(0, 8) gi(i), range(0, 8) gj(j)),
+      |tot AS (SELECT seed, sum(s)::BIGINT AS t FROM px GROUP BY seed),
+      |hw AS (SELECT px.seed,
+      |    sum(CASE WHEN px.gi*8 + px.gj < 32 AND px.s*64 > tot.t
+      |      THEN (1::BIGINT << (px.gi*8 + px.gj)::INT)
+      |      ELSE 0 END)::BIGINT AS h0,
+      |    sum(CASE WHEN px.gi*8 + px.gj >= 32 AND px.s*64 > tot.t
+      |      THEN (1::BIGINT << (px.gi*8 + px.gj - 32)::INT)
+      |      ELSE 0 END)::BIGINT AS h1
+      |  FROM px JOIN tot USING (seed) GROUP BY px.seed),
+      |doc AS (SELECT d.doc_id, hw.h0, hw.h1 FROM d JOIN hw USING (seed)),
+      |grp AS (SELECT h0, h1, count(*) AS group_size
+      |  FROM doc GROUP BY h0, h1)
+      |SELECT group_size, count(*) AS n_groups,
+      |  sum(group_size)::BIGINT AS n_docs
+      |FROM grp GROUP BY group_size ORDER BY group_size""".stripMargin
 }

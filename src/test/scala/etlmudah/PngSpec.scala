@@ -449,6 +449,66 @@ class PngSpec extends SparkSpec {
       assert(PngFn.stats(pal.take(cut), 4096) == null, s"cut=$cut")
   }
 
+  test("16-bit tier: strip-16 readout reproduces the 8-bit legs; stride, semantics and hostiles") {
+    // every 16-bit layout decodes to the same canonical bytes as the
+    // 8-bit gray image (low-byte plane varies independently, so the
+    // doubled filter stride is genuinely exercised)
+    for (seed <- Seq(0L, 9L, 321L); (w, h) <- Seq(
+        (1, 1), (4, 3), (5, 7), (8, 8), (13, 11))) {
+      val ref = PngFn.toBmp24(PngFn.synthTyped(seed, w, h, 2L), 4096)
+      for (ct <- Seq(0L, 2L, 4L, 6L)) {
+        val b16 = PngFn.synth16(seed, w, h, ct)
+        val d = PngFn.toBmp24(b16, 4096)
+        assert(d != null && java.util.Arrays.equals(d, ref),
+          s"16-bit ct=$ct seed=$seed ${w}x$h must strip to the 8-bit image")
+      }
+    }
+    // strip semantics pinned on a value where strip and scale differ:
+    // gray 1x1 sample 0x01FF — strip (>>8) gives 1, scale-by-
+    // 255/65535 would give 2; the readout is DEFINED as strip
+    val one = {
+      val filtered = Array[Byte](0, 0x01, 0xFF.toByte)
+      val d = new java.util.zip.Deflater()
+      d.setInput(filtered); d.finish()
+      val zs = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](64)
+      while (!d.finished()) zs.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      val ihdr = new Array[Byte](13)
+      ihdr(3) = 1; ihdr(7) = 1; ihdr(8) = 16; ihdr(9) = 0
+      rebuild(Seq(mkChunk("IHDR", ihdr),
+        mkChunk("IDAT", zs.toByteArray),
+        mkChunk("IEND", Array.emptyByteArray)))
+    }
+    val st = PngFn.stats(one, 4096)
+    assert(st != null && st.getInt(3) == 1 && st.getLong(5) == 1L,
+      "strip-16 must take the HIGH byte (libpng png_set_strip_16)")
+    // hostiles: 16-bit palette claim is illegal; odd depths null;
+    // truncation ladder
+    val pal16 = {
+      val g = pngChunks(PngFn.synthTyped(7L, 6, 5, 3L))
+      val ihdr = g.head.clone()
+      ihdr(8 + 8) = 16 // depth byte inside the IHDR chunk data
+      val fixed = mkChunk("IHDR",
+        java.util.Arrays.copyOfRange(ihdr, 8, 8 + 13))
+      rebuild(fixed +: g.tail)
+    }
+    assert(PngFn.stats(pal16, 4096) == null, "16-bit palette must null")
+    val g16 = PngFn.synth16(5L, 6, 6, 2L)
+    assert(PngFn.stats(g16, 4096) != null)
+    for (cut <- Seq(20, 40, g16.length / 2, g16.length - 3))
+      assert(PngFn.stats(g16.take(cut), 4096) == null, s"cut=$cut")
+    // depth 4 (legal PNG, outside this tier's scope) nulls cleanly
+    val d4 = {
+      val g = pngChunks(g16)
+      val ihdr = g.head.clone()
+      ihdr(8 + 8) = 4
+      rebuild(mkChunk("IHDR",
+        java.util.Arrays.copyOfRange(ihdr, 8, 8 + 13)) +: g.tail)
+    }
+    assert(PngFn.stats(d4, 4096) == null)
+  }
+
   test("color-type tier through the SQL surface: five layouts, one hash group") {
     import spark.implicits._
     val df = (0L until 50L).toDF("id")
