@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeJpegProg420, FakeMjpegAvi, FakeMp3L1, Mp3L1Stats, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakePng16, FakePngInterlaced, FakePngTyped, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{ApngFrameStats, ApngMeta, AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeJpegProg420, FakeMjpegAvi, FakeMp3L1, Mp3L1Stats, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakeApng, FakePng16, FakePngInterlaced, FakePngTyped, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -317,6 +317,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_fake_png16"),
       (children: Seq[Expression]) =>
         FakePng16(children.head, children(1), children(2),
+          children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_apng_meta"),
+      new ExpressionInfo(classOf[ApngMeta].getName, "graft_apng_meta"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => ApngMeta(c)
+        case Seq(c, m) if m.foldable =>
+          ApngMeta(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_apng_meta(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_apng_frame_stats"),
+      new ExpressionInfo(classOf[ApngFrameStats].getName,
+        "graft_apng_frame_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, k) => ApngFrameStats(c, k)
+        case Seq(c, k, m) if m.foldable =>
+          ApngFrameStats(c, k, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_apng_frame_stats(media, frameIdx[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_apng"),
+      new ExpressionInfo(classOf[FakeApng].getName, "graft_fake_apng"),
+      (children: Seq[Expression]) =>
+        FakeApng(children.head, children(1), children(2),
           children(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_anim_gif"),

@@ -799,6 +799,315 @@ object PngFn {
     out.toByteArray
   }
 
+  // --- animated tier (APNG) ----------------------------------------
+
+  /** Parsed APNG: canvas dims + per-frame zlib byte ranges
+    * ((offset, len) pairs, flattened) — frame bodies are NOT
+    * inflated here; the walk is O(bytes) and only the SAMPLED frame
+    * pays the inflate (the [[AviFn]]/[[GifFn]] sampling
+    * discipline). */
+  private[expr] final class Apng(val w: Int, val h: Int,
+                                 val frames: Array[Array[Int]])
+
+  /** Accept gate for the ANIMATED tier — the FOURTH frame-sampling
+    * container beside DIB-AVI, MJPEG-AVI and animated GIF: the
+    * standard APNG chunk grammar (acTL before the first IDAT; one
+    * fcTL per frame; frame 0 carried by IDAT, later frames by fdAT;
+    * ONE sequence-number counter across fcTL AND fdAT, starting 0,
+    * strictly in chunk order) with every chunk CRC-verified and the
+    * same pre-inflate dim gates as [[decode]]. Scope gates,
+    * documented like the GIF animated tier's palette form: frames
+    * are 8-bit truecolor sequential, full-canvas (x=y=0, frame dims
+    * = canvas dims), dispose_op 0 and blend_op 0 — each frame is a
+    * complete image, which is what makes per-frame closed forms
+    * replayable; offset/disposal compositing variants null whole.
+    * An APNG whose IDAT is not part of the animation (no leading
+    * fcTL) also nulls — every registered fixture animates its first
+    * frame. */
+  private[expr] def parseApng(bytes: Array[Byte],
+                              maxPixels: Int): Apng = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+        u8(i + 3)
+    if (bytes.length < 8) return null
+    var k = 0
+    while (k < 8) { if (u8(k) != SIG(k)) return null; k += 1 }
+    var pos = 8
+    var w = 0; var h = 0
+    var sawIhdr = false; var sawIend = false
+    var numFrames = -1
+    var expectSeq = 0L
+    var sawIdat = false; var sawFdat = false
+    var open = false // an fcTL has announced the next frame
+    val frames = Array.newBuilder[Array[Int]]
+    var cur = Array.newBuilder[Int]
+    var curHasData = false
+    var nDone = 0
+    val crc = new CRC32()
+    while (!sawIend) {
+      if (pos + 8 > bytes.length) return null
+      val len = be32(pos)
+      if (len < 0L || len > Int.MaxValue - 12 ||
+        pos + 12 + len > bytes.length) return null
+      val l = len.toInt
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      crc.reset()
+      crc.update(bytes, pos + 4, 4 + l)
+      if (crc.getValue != be32(pos + 8 + l)) return null
+      if (!sawIhdr) {
+        if (typ != "IHDR" || l != 13) return null
+        val d = pos + 8
+        val ww = be32(d); val hh = be32(d + 4)
+        if (ww < 1L || hh < 1L ||
+          ww > maxPixels || hh > maxPixels || ww * hh > maxPixels ||
+          u8(d + 8) != 8 || u8(d + 9) != 2 || u8(d + 10) != 0 ||
+          u8(d + 11) != 0 || u8(d + 12) != 0) return null
+        w = ww.toInt; h = hh.toInt
+        sawIhdr = true
+      } else typ match {
+        case "acTL" =>
+          // once, before any image data or frame control
+          if (numFrames >= 0 || sawIdat || open || l != 8) return null
+          val nf = be32(pos + 8)
+          if (nf < 1L || nf > 4096L) return null
+          numFrames = nf.toInt
+        case "fcTL" =>
+          if (numFrames < 0 || l != 26) return null
+          val d = pos + 8
+          if (be32(d) != expectSeq) return null // one shared counter
+          expectSeq += 1
+          // full-canvas, no offset, dispose 0, blend 0 (scope gate)
+          if (be32(d + 4) != w || be32(d + 8) != h ||
+            be32(d + 12) != 0L || be32(d + 16) != 0L ||
+            u8(d + 24) != 0 || u8(d + 25) != 0) return null
+          if (open) { // close the previous frame
+            if (!curHasData) return null
+            frames += cur.result(); nDone += 1
+          }
+          cur = Array.newBuilder[Int]; curHasData = false
+          open = true
+        case "IDAT" =>
+          // frame 0's stream; must be announced by the FIRST fcTL
+          // and precede every fdAT
+          if (numFrames < 0 || !open || sawFdat || nDone > 0)
+            return null
+          sawIdat = true
+          cur += (pos + 8); cur += l; curHasData = true
+        case "fdAT" =>
+          if (numFrames < 0 || !open || !sawIdat || l < 5) return null
+          if (be32(pos + 8) != expectSeq) return null
+          expectSeq += 1
+          sawFdat = true
+          cur += (pos + 12); cur += (l - 4); curHasData = true
+        case "IEND" =>
+          if (l != 0) return null
+          sawIend = true
+        case "IHDR" => return null
+        case "PLTE" => return null // type-2 animated scope
+        case _ => () // ancillary chunks skipped (CRC checked)
+      }
+      pos += 12 + l
+    }
+    if (numFrames < 1 || !open || !curHasData) return null
+    frames += cur.result(); nDone += 1
+    if (nDone != numFrames) return null
+    new Apng(w, h, frames.result())
+  }
+
+  /** struct(width, height, n_frames) or null — the
+    * [[GifFn.animMeta]] sibling for the APNG container. */
+  def apngMeta(bytes: Array[Byte], maxPixels: Int): InternalRow = {
+    val a = parseApng(bytes, maxPixels)
+    if (a == null) null
+    else new GenericInternalRow(Array[Any](
+      a.w.toLong, a.h.toLong, a.frames.length.toLong))
+  }
+
+  /** Frame k's pixel statistics ([[schema]], RGB order) — the APNG
+    * sibling of [[GifFn.frameStats]]: the container walk is shallow,
+    * ONLY frame k's zlib ranges are concatenated and inflated (to
+    * EXACTLY the filtered volume, unfiltered at bpp 3). Null on a
+    * hostile container or k out of range — never a partial
+    * statistic. */
+  def apngFrameStats(bytes: Array[Byte], k: Long,
+                     maxPixels: Int): InternalRow = {
+    val a = parseApng(bytes, maxPixels)
+    if (a == null || k < 0 || k >= a.frames.length) return null
+    val ranges = a.frames(k.toInt)
+    var total = 0
+    var i = 1
+    while (i < ranges.length) { total += ranges(i); i += 2 }
+    val z = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < ranges.length) {
+      System.arraycopy(bytes, ranges(i), z, off, ranges(i + 1))
+      off += ranges(i + 1)
+      i += 2
+    }
+    val filtered = new Array[Byte]((1 + 3 * a.w) * a.h)
+    val inf = new Inflater()
+    try {
+      inf.setInput(z)
+      var got = 0
+      while (got < filtered.length && !inf.finished()) {
+        val n = inf.inflate(filtered, got, filtered.length - got)
+        if (n == 0 && inf.needsInput()) return null
+        got += n
+      }
+      if (got != filtered.length) return null
+      if (!inf.finished() &&
+        inf.inflate(new Array[Byte](1)) != 0) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    val rgb = new Array[Byte](3 * a.w * a.h)
+    if (!unfilter(filtered, 0, a.w, a.h, 3, rgb)) return null
+    val npx = a.w.toLong * a.h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var nr = 255; var ng = 255; var nb = 255
+    var xr = 0; var xg = 0; var xb = 0
+    i = 0
+    while (i < rgb.length) {
+      val r = rgb(i) & 0xFF
+      val g = rgb(i + 1) & 0xFF
+      val b = rgb(i + 2) & 0xFF
+      sr += r; sg += g; sb += b
+      if (r < nr) nr = r; if (r > xr) xr = r
+      if (g < ng) ng = g; if (g > xg) xg = g
+      if (b < nb) nb = b; if (b > xb) xb = b
+      i += 3
+    }
+    val n = npx.toDouble
+    new GenericInternalRow(Array[Any](
+      a.w.toLong, a.h.toLong, npx,
+      nr, xr, sr, BmpPixelStatsFn.round6(sr / n),
+      ng, xg, sg, BmpPixelStatsFn.round6(sg / n),
+      nb, xb, sb, BmpPixelStatsFn.round6(sb / n)))
+  }
+
+  /** Synthesize a COMPLETE APNG: `nFrames` full-canvas 8-bit
+    * truecolor frames (acTL, per-frame fcTL with the shared
+    * sequence counter, frame 0 as IDAT, later frames as fdAT),
+    * frame k carrying the [[JpegFn.blockVal]] closed form at seed+k
+    * replicated to R=G=B — the [[GifFn.synthAnim]]/
+    * [[AviFn.synthMjpeg]] convention, so sampling tiers replay ONE
+    * pixel rule across all four frame-sampling containers. Scanline
+    * v of every frame is filtered with type v % 5. */
+  def synthApng(seed: Long, width: Long, height: Long,
+                nFrames: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width * height <= (1 << 20),
+      s"fake APNG dims out of range: ${width}x$height")
+    require(nFrames >= 1 && nFrames <= 64,
+      s"fake APNG frame count out of range: $nFrames")
+    val w = width.toInt
+    val h = height.toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(x: Long): Array[Byte] = Array(
+        ((x >> 24) & 0xFF).toByte, ((x >> 16) & 0xFF).toByte,
+        ((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte)
+      val t = typ.getBytes("US-ASCII")
+      out.write(be32(data.length.toLong), 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    def be32a(x: Long): Array[Byte] = Array(
+      ((x >> 24) & 0xFF).toByte, ((x >> 16) & 0xFF).toByte,
+      ((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte)
+    val ihdr = new Array[Byte](13)
+    System.arraycopy(be32a(w.toLong), 0, ihdr, 0, 4)
+    System.arraycopy(be32a(h.toLong), 0, ihdr, 4, 4)
+    ihdr(8) = 8; ihdr(9) = 2
+    chunk("IHDR", ihdr)
+    chunk("acTL", be32a(nFrames) ++ be32a(0L)) // loop forever
+    var seq = 0L
+    def fctl(): Unit = {
+      val d = new java.io.ByteArrayOutputStream()
+      d.write(be32a(seq), 0, 4); seq += 1
+      d.write(be32a(w.toLong), 0, 4)
+      d.write(be32a(h.toLong), 0, 4)
+      d.write(be32a(0L), 0, 4) // x
+      d.write(be32a(0L), 0, 4) // y
+      d.write(Array[Byte](0, 4, 0, 100), 0, 4) // 4/100 s delay
+      d.write(0) // dispose none
+      d.write(0) // blend source
+      chunk("fcTL", d.toByteArray)
+    }
+    def frameZ(fk: Long): Array[Byte] = {
+      val rowBytes = 1 + 3 * w
+      val raw = new Array[Byte](3 * w * h)
+      var v = 0
+      while (v < h) {
+        var c = 0
+        while (c < w) {
+          val p = (v * w + c) * 3
+          val g = JpegFn.blockVal(seed + fk, v / 8, c / 8).toByte
+          raw(p) = g; raw(p + 1) = g; raw(p + 2) = g
+          c += 1
+        }
+        v += 1
+      }
+      val filtered = new Array[Byte](rowBytes * h)
+      v = 0
+      while (v < h) {
+        val ft = v % 5
+        filtered(v * rowBytes) = ft.toByte
+        val dst = v * rowBytes + 1
+        val src = v * 3 * w
+        val prev = src - 3 * w
+        var i = 0
+        while (i < 3 * w) {
+          val x = raw(src + i) & 0xFF
+          val a = if (i >= 3) raw(src + i - 3) & 0xFF else 0
+          val b = if (v > 0) raw(prev + i) & 0xFF else 0
+          val cc = if (v > 0 && i >= 3) raw(prev + i - 3) & 0xFF else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - cc
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - b)
+              val pc = math.abs(p - cc)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+          }
+          filtered(dst + i) = ((x - pred) & 0xFF).toByte
+          i += 1
+        }
+        v += 1
+      }
+      val def1 = new Deflater()
+      try {
+        def1.setInput(filtered); def1.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!def1.finished()) buf.write(tmp, 0, def1.deflate(tmp))
+        buf.toByteArray
+      } finally def1.end()
+    }
+    var fk = 0L
+    while (fk < nFrames) {
+      fctl()
+      val z = frameZ(fk)
+      if (fk == 0L) chunk("IDAT", z)
+      else {
+        chunk("fdAT", be32a(seq) ++ z); seq += 1
+      }
+      fk += 1
+    }
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** ADAM7-INTERLACED sibling of [[synth]]: the IDENTICAL visual
     * image stored as seven independently-filtered pass sub-images
     * (RFC 2083 §8.2) — a pure pixel permutation, so every statistic
@@ -1146,4 +1455,111 @@ case class FakePng16(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression,
       q: Expression): FakePng16 = FakePng16(f, s, t, q)
+}
+
+/** Native expression `graft_apng_meta(binary[, maxPixels])` — see
+  * [[PngFn.apngMeta]]; the [[GifAnimMeta]] sibling for the APNG
+  * container. */
+case class ApngMeta(child: Expression, maxPixels: Int = 4096)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_apng_meta expects binary, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType), StructField("height", LongType),
+    StructField("n_frames", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_apng_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    PngFn.apngMeta(input.asInstanceOf[Array[Byte]], maxPixels)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = etlmudah.expr.PngFn.apngMeta($c, $maxPixels);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ApngMeta = copy(child = newChild)
+}
+
+/** Native expression `graft_apng_frame_stats(binary, frameIdx
+  * [, maxPixels])` — see [[PngFn.apngFrameStats]]; [[PngFn.schema]]
+  * (RGB order, the [[PngPixelStats]] convention). */
+case class ApngFrameStats(left: Expression, right: Expression,
+                          maxPixels: Int = 4096)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((left.dataType == BinaryType || left.dataType == NullType) &&
+      (right.dataType == LongType || right.dataType == IntegerType ||
+        right.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_apng_frame_stats expects (binary, bigint), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def dataType: DataType = PngFn.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_apng_frame_stats"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(b: Any, k: Any): Any =
+    PngFn.apngFrameStats(b.asInstanceOf[Array[Byte]], asLong(k),
+      maxPixels)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, k) => s"""
+      ${ev.value} = etlmudah.expr.PngFn.apngFrameStats($b, (long)$k, $maxPixels);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ApngFrameStats =
+    copy(left = l, right = r)
+}
+
+/** Native expression `graft_fake_apng(seed, w, h, nFrames)` — see
+  * [[PngFn.synthApng]]. */
+case class FakeApng(first: Expression, second: Expression,
+                    third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType ||
+      c.dataType == IntegerType || c.dataType == NullType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_fake_apng expects (bigint, bigint, bigint, bigint), " +
+        "got " + children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fake_apng"
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def nullSafeEval(s: Any, w: Any, h: Any, nf: Any): Any =
+    PngFn.synthApng(asLong(s), asLong(w), asLong(h), asLong(nf))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h, nf) =>
+      s"${ev.value} = etlmudah.expr.PngFn.synthApng((long)$s, " +
+        s"(long)$w, (long)$h, (long)$nf);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      q: Expression): FakeApng = FakeApng(f, s, t, q)
 }

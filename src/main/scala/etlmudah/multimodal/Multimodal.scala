@@ -596,6 +596,30 @@ object Multimodal {
     call_function("graft_fake_png16", seed.cast("long"),
       width.cast("long"), height.cast("long"), colorType.cast("long"))
 
+  /** APNG container metadata — struct(width, height, n_frames) or
+    * null (native `graft_apng_meta`; see
+    * [[etlmudah.expr.PngFn.parseApng]] for the accept contract). */
+  def apngMeta(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_apng_meta", media, lit(maxPixels))
+
+  /** Frame k's pixel statistics from an APNG — the fourth
+    * frame-sampling container beside DIB-AVI, MJPEG-AVI and animated
+    * GIF; ONLY the sampled frame pays the inflate (native
+    * `graft_apng_frame_stats`). */
+  def apngFrameStats(media: Column, frameIdx: Column,
+                     maxPixels: Int = 4096): Column =
+    call_function("graft_apng_frame_stats", media,
+      frameIdx.cast("long"), lit(maxPixels))
+
+  /** Synthesize a COMPLETE APNG whose frame k carries the SAME
+    * closed form as [[fakeAnimGif]]/[[fakeMjpegAvi]] frame k (native
+    * `graft_fake_apng`; see [[etlmudah.expr.PngFn.synthApng]]) — one
+    * pixel rule across all four frame-sampling containers. */
+  def fakeApng(seed: Column, width: Column, height: Column,
+               nFrames: Column): Column =
+    call_function("graft_fake_apng", seed.cast("long"),
+      width.cast("long"), height.cast("long"), nFrames.cast("long"))
+
   /** Synthesize the SAME closed-form image as [[fakeJpeg420]] through
     * a PROGRESSIVE (SOF2) seven-scan successive-approximation script
     * — interleaved DC first + three raw-bit refinements + per-

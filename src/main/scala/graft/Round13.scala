@@ -471,6 +471,42 @@ object Round13 {
           count(lit(1)).as("n_groups"),
           sum(col("group_size")).as("n_docs"))
         .orderBy(col("group_size"))
+    }),
+
+    // APNG FRAME SAMPLING — the FOURTH frame-sampling container
+    // beside DIB-AVI (q334), MJPEG-AVI (q344) and animated GIF
+    // (q353): acTL/fcTL/fdAT chunk grammar with the shared sequence
+    // counter, frame 0 in IDAT, later frames in fdAT; the container
+    // walk is O(bytes) and ONLY the sampled frame pays the inflate.
+    // Frame k carries the block closed form at seed doc_id + k — the
+    // SAME pixel rule as q344/q353, so the oracle is q344's VERBATIM
+    // (the identical-statistic discipline across a fourth container).
+    // Every 7th container is maimed: decode nulls whole.
+    "q364_apng_frame_sample" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wg = (id % 13 + 4).cast("int")
+      val hg = (id % 9 + 3).cast("int")
+      val nf = (id % 5 + 2)
+      val M = etlmudah.multimodal.Multimodal
+      val blob = M.fakeApng(id, wg, hg, nf)
+      val maimed = when(id % 7 === 0, substring(blob, 1, 60)).otherwise(blob)
+      Tables.documents(s, dir)
+        .select(id, wg.as("w"), hg.as("h"), nf.as("nf"), maimed.as("apng"))
+        .select(col("w"), col("h"), col("nf"),
+          explode(sequence(lit(0L), lit(2L))).as("j"), col("apng"))
+        .select(col("w"), col("h"),
+          M.apngFrameStats(col("apng"), expr("j * nf div 3")).as("st"))
+        .groupBy(col("w"), col("h")).agg(
+          count(lit(1)).as("n_samples"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.n_px")).as("n_px"),
+          min(col("st.b_min")).as("b_min"), max(col("st.b_max")).as("b_max"),
+          sum(col("st.b_sum")).as("b_sum"),
+          min(col("st.g_min")).as("g_min"), max(col("st.g_max")).as("g_max"),
+          sum(col("st.g_sum")).as("g_sum"),
+          min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
+          sum(col("st.r_sum")).as("r_sum"))
+        .orderBy(col("w"), col("h"))
     }))
 
   /** q351's pixel-rule oracle — shared VERBATIM with q359 (the
@@ -681,7 +717,14 @@ object Round13 {
     // q361's oracle VERBATIM — same seed split, dims and hash rule;
     // the bit depth changes the byte stream (doubled filter stride,
     // a live low-byte plane), never the number
-    "q363_png_bit_depth_dedup" -> oracleSqlQ361)
+    "q363_png_bit_depth_dedup" -> oracleSqlQ361,
+
+    // q344's oracle VERBATIM — frame k of the APNG carries the same
+    // block closed form as MJPEG-AVI's and animated GIF's frame k;
+    // the container changes (zlib-filtered truecolor vs JPEG scans
+    // vs LZW indices), the number doesn't
+    "q364_apng_frame_sample" ->
+      Round12.oracleSql("q344_mjpeg_frame_sample"))
 
   /** q361's hash-replay oracle — shared VERBATIM with q363 (the
     * 16-bit legs must land on the identical gray closed form under

@@ -509,6 +509,87 @@ class PngSpec extends SparkSpec {
     assert(PngFn.stats(d4, 4096) == null)
   }
 
+  test("APNG tier: frame sampling against the block closed form; cross-container parity; hostiles") {
+    // per-frame brute force: frame k carries blockVal(seed+k) on
+    // every channel
+    for (seed <- Seq(0L, 9L, 321L); (w, h) <- Seq((4, 3), (13, 11));
+         nf <- Seq(1L, 2L, 5L)) {
+      val apng = PngFn.synthApng(seed, w, h, nf)
+      val meta = PngFn.apngMeta(apng, 4096)
+      assert(meta != null && meta.getLong(0) == w &&
+        meta.getLong(1) == h && meta.getLong(2) == nf)
+      for (k <- 0L until nf) {
+        val st = PngFn.apngFrameStats(apng, k, 4096)
+        assert(st != null, s"seed=$seed ${w}x$h frame $k")
+        val px = for (v <- 0 until h; c <- 0 until w)
+          yield Math.floorMod((seed + k) * 17 + (v / 8) * 5 +
+            (c / 8) * 3, 256L).toInt
+        assert(st.getLong(2) == w.toLong * h)
+        for (ch <- 0 until 3) {
+          assert(st.getInt(3 + ch * 4) == px.min &&
+            st.getInt(4 + ch * 4) == px.max &&
+            st.getLong(5 + ch * 4) == px.map(_.toLong).sum,
+            s"channel $ch seed=$seed frame $k")
+        }
+      }
+      // out-of-range frame index nulls
+      assert(PngFn.apngFrameStats(apng, nf, 4096) == null)
+      assert(PngFn.apngFrameStats(apng, -1L, 4096) == null)
+      // cross-container parity: animated GIF frame k of the same
+      // seed carries the identical statistics (the q344/q353/q364
+      // one-pixel-rule discipline)
+      val gif = GifFn.synthAnim(seed, w, h, nf)
+      for (k <- 0L until nf) {
+        val sa = PngFn.apngFrameStats(apng, k, 4096)
+        val sg = GifFn.frameStats(gif, k, 4096)
+        for (f <- 0 until 15)
+          assert(sa.get(f, null) == sg.get(f, null),
+            s"cross-container field $f seed=$seed frame $k")
+      }
+    }
+    // hostiles — every gate fails CLOSED
+    val good = PngFn.synthApng(7L, 9, 6, 3L)
+    assert(PngFn.apngMeta(good, 4096) != null)
+    for (cut <- Seq(0, 8, 20, 40, good.length / 3, good.length / 2,
+        good.length - 3))
+      assert(PngFn.apngMeta(good.take(cut), 4096) == null, s"cut=$cut")
+    // a plain (non-animated) PNG is not an APNG
+    assert(PngFn.apngMeta(PngFn.synth(7L, 9, 6), 4096) == null)
+    // ...and an APNG still decodes as a plain PNG (frame 0 is the
+    // default image; acTL/fcTL/fdAT are ancillary to a plain decoder)
+    val asPlain = PngFn.stats(good, 4096)
+    val frame0 = PngFn.apngFrameStats(good, 0L, 4096)
+    assert(asPlain != null && asPlain.getLong(5) == frame0.getLong(5),
+      "plain decode must see exactly frame 0")
+    // corrupt one fdAT byte: chunk CRC rejects the container
+    val cs = pngChunks(good)
+    val fdatIdx = cs.indexWhere(chunkType(_) == "fdAT")
+    assert(fdatIdx > 0)
+    val bad = good.clone()
+    var off = 8
+    for (i <- 0 until fdatIdx) off += cs(i).length
+    bad(off + 8 + 6) = (bad(off + 8 + 6) ^ 0x3C).toByte
+    assert(PngFn.apngMeta(bad, 4096) == null)
+    // re-CRC'd structural lies: wrong fdAT sequence number, offset
+    // fcTL, non-zero dispose, num_frames mismatch
+    def patched(ci: Int, dataOff: Int, v: Byte): Array[Byte] = {
+      val c = cs(ci).clone()
+      c(8 + dataOff) = v
+      rebuild(cs.updated(ci, mkChunk(chunkType(c),
+        java.util.Arrays.copyOfRange(c, 8, c.length - 4))))
+    }
+    val fctlIdx = cs.indexWhere(chunkType(_) == "fcTL")
+    assert(PngFn.apngMeta(patched(fdatIdx, 3, 99), 4096) == null,
+      "wrong fdAT sequence must null")
+    assert(PngFn.apngMeta(patched(fctlIdx, 15, 1), 4096) == null,
+      "x-offset fcTL must null")
+    assert(PngFn.apngMeta(patched(fctlIdx, 24, 1), 4096) == null,
+      "dispose_op 1 must null (scope gate)")
+    val actlIdx = cs.indexWhere(chunkType(_) == "acTL")
+    assert(PngFn.apngMeta(patched(actlIdx, 3, 9), 4096) == null,
+      "acTL frame count mismatch must null")
+  }
+
   test("color-type tier through the SQL surface: five layouts, one hash group") {
     import spark.implicits._
     val df = (0L until 50L).toDF("id")
