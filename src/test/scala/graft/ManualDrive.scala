@@ -111,6 +111,38 @@ object ManualDrive {
     println(s"exact=${ge.head} bucketed=${gb.head} " +
       s"identical=${ge.head.toSeq == gb.head.toSeq}")
 
+    // 5. round-13 PNG tier smoke: one gray image through five sample
+    //    layouts + a 16-bit leg land on ONE hash; APNG frame sampling
+    //    equals the animated-GIF statistics on the shared pixel rule
+    println("== PNG color-type/bit-depth quintets (one hash group each)")
+    val quint = (0L until 12L).toDF("id")
+      .select(expr("id div 6").as("seed"), (col("id") % 6).as("leg"))
+      .select(when(col("leg") === 0,
+        Multimodal.pngAHash(Multimodal.fakePngTyped(col("seed"), lit(9),
+          lit(7), lit(0))))
+        .when(col("leg") === 1, Multimodal.pngAHash(
+          Multimodal.fakePngTyped(col("seed"), lit(9), lit(7), lit(2))))
+        .when(col("leg") === 2, Multimodal.pngAHash(
+          Multimodal.fakePngTyped(col("seed"), lit(9), lit(7), lit(3))))
+        .when(col("leg") === 3, Multimodal.pngAHash(
+          Multimodal.fakePngTyped(col("seed"), lit(9), lit(7), lit(6))))
+        .when(col("leg") === 4, Multimodal.pngAHash(
+          Multimodal.fakePng16(col("seed"), lit(9), lit(7), lit(2))))
+        .otherwise(Multimodal.pngAHash(
+          Multimodal.fakePng16(col("seed"), lit(9), lit(7), lit(6))))
+        .as("ah"))
+      .groupBy(col("ah")).agg(count(lit(1)).as("n"))
+    quint.show(false)
+    // ahash is brightness-shift-invariant, so nearby seeds may merge
+    // legitimately — the invariant is that no sextet ever SPLITS
+    println("all sextets whole: " +
+      quint.collect().forall(_.getLong(1) % 6L == 0L))
+    println("== APNG vs animated-GIF frame sampling (sf0.001)")
+    val ap = SparkEntry.queries("q364_apng_frame_sample")(spark, sf).collect()
+    val gg = SparkEntry.queries("q353_gif_anim_frame_sample")(spark, sf).collect()
+    println(s"apng rows=${ap.length} gif rows=${gg.length} " +
+      s"identical=${ap.map(_.toSeq).toSeq == gg.map(_.toSeq).toSeq}")
+
     spark.stop()
     println("== drive done")
   }
