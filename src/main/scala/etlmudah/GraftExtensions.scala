@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import etlmudah.expr.{ApngFrameStats, ApngMeta, AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeJpegProg420, FakeMjpegAvi, FakeMp3L1, Mp3L1Stats, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakeApng, FakePng16, FakePngInterlaced, FakePngTyped, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
+import etlmudah.expr.{ApngFrameStats, ApngMeta, AviFrameAHash, AviFrameStats, AviMeta, BmpAHash, BmpPixelStats, BmpResize, BpeFold, CosineSimilarity, CountMinSketchAgg, FakeAvi, FakeBmp24, FakeBmpBlocks, FakeFlac, FakeJpeg, FakeJpeg420, FakeJpegProg420, FakeMjpegAvi, FakeMp3L1, Mp3L1Stats, FakeGif, FlacFeatures, FlacSampleStats, FlacToWav16, FakeAnimGif, FakeGifInterlaced, FakeApng, FakePng16, FakePngInterlaced, FakePngTyped, GifAHash, GifAnimMeta, GifFrameStats, GifPixelStats, GifToBmp24, FakePng24, FakeWav16, FoldAccents, GramSumsAgg, JaroWinkler, JpegAHash, JpegPixelStats, JpegToBmp24, NfcNormalize, PngAHash, PngPixelStats, PngToBmp24, TiffAHash, TiffPixelStats, TiffToBmp24, FakeTiff, TopKAgg, UnigramViterbi, WavFeatures, WavSampleStats}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions. Enable with:
@@ -344,6 +344,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FakeApng].getName, "graft_fake_apng"),
       (children: Seq[Expression]) =>
         FakeApng(children.head, children(1), children(2),
+          children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tiff_stats"),
+      new ExpressionInfo(classOf[TiffPixelStats].getName,
+        "graft_tiff_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => TiffPixelStats(c)
+        case Seq(c, m) if m.foldable =>
+          TiffPixelStats(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_tiff_stats(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tiff_ahash"),
+      new ExpressionInfo(classOf[TiffAHash].getName, "graft_tiff_ahash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => TiffAHash(c)
+        case Seq(c, m) if m.foldable =>
+          TiffAHash(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_tiff_ahash(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tiff_to_bmp24"),
+      new ExpressionInfo(classOf[TiffToBmp24].getName,
+        "graft_tiff_to_bmp24"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => TiffToBmp24(c)
+        case Seq(c, m) if m.foldable =>
+          TiffToBmp24(c, m.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_tiff_to_bmp24(media[, maxPixels])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fake_tiff"),
+      new ExpressionInfo(classOf[FakeTiff].getName, "graft_fake_tiff"),
+      (children: Seq[Expression]) =>
+        FakeTiff(children.head, children(1), children(2),
           children(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_fake_anim_gif"),

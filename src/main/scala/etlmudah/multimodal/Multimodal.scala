@@ -620,6 +620,32 @@ object Multimodal {
     call_function("graft_fake_apng", seed.cast("long"),
       width.cast("long"), height.cast("long"), nFrames.cast("long"))
 
+  /** REAL TIFF pixel statistics — baseline TIFF 6.0 RGB, BOTH byte
+    * orders, uncompressed strips (native `graft_tiff_stats`; see
+    * [[etlmudah.expr.TiffFn]] for the accept/null contract). */
+  def tiffPixelStats(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_tiff_stats", media, lit(maxPixels))
+
+  /** Perceptual average hash of a decodable TIFF — identical
+    * grid/packing/orientation to [[bmpAHash]]/[[pngAHash]], so one
+    * picture hashes the same across every format tier (native
+    * `graft_tiff_ahash`). */
+  def tiffAHash(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_tiff_ahash", media, lit(maxPixels))
+
+  /** Transcode a decodable TIFF to the canonical bottom-up 24bpp BMP
+    * (native `graft_tiff_to_bmp24`). */
+  def tiffToBmp24(media: Column, maxPixels: Int = 4096): Column =
+    call_function("graft_tiff_to_bmp24", media, lit(maxPixels))
+
+  /** Synthesize a COMPLETE baseline TIFF in either byte order
+    * carrying the [[fakeBmpBlocks]] visual image (native
+    * `graft_fake_tiff`; see [[etlmudah.expr.TiffFn.synth]]). */
+  def fakeTiff(seed: Column, width: Column, height: Column,
+               bigEndian: Column): Column =
+    call_function("graft_fake_tiff", seed.cast("long"),
+      width.cast("long"), height.cast("long"), bigEndian.cast("long"))
+
   /** Synthesize the SAME closed-form image as [[fakeJpeg420]] through
     * a PROGRESSIVE (SOF2) seven-scan successive-approximation script
     * — interleaved DC first + three raw-bit refinements + per-

@@ -507,6 +507,32 @@ object Round13 {
           min(col("st.r_min")).as("r_min"), max(col("st.r_max")).as("r_max"),
           sum(col("st.r_sum")).as("r_sum"))
         .orderBy(col("w"), col("h"))
+    }),
+
+    // TIFF on the cross-format dedup surface — the q338 discipline
+    // with the BYTE-ORDER axis: pairs share a seed, even docs raw
+    // BMP, odd docs baseline TIFF whose byte order ALTERNATES by
+    // seed parity (II little-endian / MM big-endian — the same
+    // numbers through two different multi-byte readers and a real
+    // multi-strip ledger); every planted pair must hash-group whole.
+    // Oracle = q338's VERBATIM (the hash replay doesn't care which
+    // container — or which endianness — carried the image).
+    "q365_tiff_cross_format_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 2")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val ah = when(col("doc_id") % 2 === 0,
+        M.bmpAHash(M.fakeBmpBlocks(seed, wg, hg)))
+        .otherwise(M.tiffAHash(M.fakeTiff(seed, wg, hg, seed % 2)))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
     }))
 
   /** q351's pixel-rule oracle — shared VERBATIM with q359 (the
@@ -724,7 +750,12 @@ object Round13 {
     // the container changes (zlib-filtered truecolor vs JPEG scans
     // vs LZW indices), the number doesn't
     "q364_apng_frame_sample" ->
-      Round12.oracleSql("q344_mjpeg_frame_sample"))
+      Round12.oracleSql("q344_mjpeg_frame_sample"),
+
+    // q338's oracle VERBATIM — same seed split, dims and hash rule;
+    // neither the container nor its byte order appears in the replay
+    "q365_tiff_cross_format_dedup" ->
+      Round12.oracleSql("q338_cross_format_jpeg_dedup"))
 
   /** q361's hash-replay oracle — shared VERBATIM with q363 (the
     * 16-bit legs must land on the identical gray closed form under
