@@ -533,6 +533,33 @@ object Round13 {
           count(lit(1)).as("n_groups"),
           sum(col("group_size")).as("n_docs"))
         .orderBy(col("group_size"))
+    }),
+
+    // TIFF COMPRESSION on the dedup surface: quads share a seed —
+    // uncompressed LE, LZW+predictor LE, LZW+predictor BE (the §13
+    // EARLY-width-change dictionary coder whose convention is the
+    // exact counterpoint to GIF's, proven against an independent
+    // libtiff-rule interop fixture), and PackBits BE (§9 RLE). Four
+    // different byte streams — two entropy codings × two byte
+    // orders — one decoded image, one hash; every planted quad lands
+    // whole. The oracle is the q338 hash replay on the 4-way split.
+    "q366_tiff_compression_dedup" -> ((s, dir) => {
+      val seed = expr("doc_id div 4")
+      val wg = (seed % 13 + 4).cast("int")
+      val hg = (seed % 9 + 3).cast("int")
+      val M = etlmudah.multimodal.Multimodal
+      val leg = col("doc_id") % 4
+      val mode = when(leg === 0, 0).when(leg === 1, 2)
+        .when(leg === 2, 3).otherwise(5)
+      val ah = M.tiffAHash(M.fakeTiff(seed, wg, hg, mode))
+      Tables.documents(s, dir)
+        .select(ah.as("ah"))
+        .groupBy(col("ah.h0").as("h0"), col("ah.h1").as("h1"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
     }))
 
   /** q351's pixel-rule oracle — shared VERBATIM with q359 (the
@@ -755,7 +782,13 @@ object Round13 {
     // q338's oracle VERBATIM — same seed split, dims and hash rule;
     // neither the container nor its byte order appears in the replay
     "q365_tiff_cross_format_dedup" ->
-      Round12.oracleSql("q338_cross_format_jpeg_dedup"))
+      Round12.oracleSql("q338_cross_format_jpeg_dedup"),
+
+    // the q338 block-form hash replay on the 4-way seed split — the
+    // compression/endianness legs never appear in the SQL
+    "q366_tiff_compression_dedup" ->
+      Round12.oracleSql("q338_cross_format_jpeg_dedup")
+        .replace("doc_id // 2 AS seed", "doc_id // 4 AS seed"))
 
   /** q361's hash-replay oracle — shared VERBATIM with q363 (the
     * 16-bit legs must land on the identical gray closed form under

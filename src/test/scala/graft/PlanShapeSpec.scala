@@ -142,7 +142,7 @@ class PlanShapeSpec extends SparkSpec {
         "q360_cross_format_progressive_dedup",
         "q361_png_color_type_dedup", "q362_png_color_type_stats",
         "q363_png_bit_depth_dedup", "q364_apng_frame_sample",
-        "q365_tiff_cross_format_dedup"))
+        "q365_tiff_cross_format_dedup", "q366_tiff_compression_dedup"))
       assert(scansOf(q).forall(
         _.schema.fieldNames.toSeq == Seq("doc_id")),
         s"$q: documents scan must prune to doc_id")
