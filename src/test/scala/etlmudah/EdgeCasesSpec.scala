@@ -205,6 +205,18 @@ class EdgeCasesSpec extends SparkSpec {
     // single Layer I frame, and the smallest nontrivial restart grid
     assert(Mp3L1Fn.stats(Mp3L1Fn.synth(0L, 1), 4096) != null)
     assert(JpegFn.stats(JpegFn.synth420(3L, 17, 17, 1), 4096) != null)
+    // late-session tiers: 1x1 through every layout, depth, frame
+    // count, byte order and compression mode
+    import etlmudah.expr.{PngFn, TiffFn}
+    for (ct <- Seq(0L, 2L, 3L, 4L, 6L))
+      assert(PngFn.stats(PngFn.synthTyped(0L, 1, 1, ct), 16) != null)
+    for (ct <- Seq(0L, 2L, 4L, 6L))
+      assert(PngFn.stats(PngFn.synth16(0L, 1, 1, ct), 16) != null)
+    val ap1 = PngFn.synthApng(0L, 1, 1, 1)
+    assert(PngFn.apngMeta(ap1, 16).getLong(2) == 1L)
+    assert(PngFn.apngFrameStats(ap1, 0, 16) != null)
+    for (mode <- 0L to 5L)
+      assert(TiffFn.stats(TiffFn.synth(0L, 1, 1, mode), 16) != null)
   }
 
   test("this session's operators tolerate empty and degenerate input") {

@@ -205,6 +205,11 @@ class TiffSpec extends SparkSpec {
     val out = new Array[Byte](3)
     assert(TiffFn.packBitsStrip(withNoop, 0, withNoop.length, out, 0, 3))
     assert(out.toSeq == Seq[Byte]('A', 'B', 'B'))
+    // empty-payload edges: LZW of zero bytes is Clear+EOI and
+    // roundtrips to zero bytes; PackBits of zero bytes is zero bytes
+    val z0 = TiffFn.lzwCompress(Array.emptyByteArray)
+    assert(TiffFn.lzwStrip(z0, 0, z0.length, Array.emptyByteArray, 0, 0))
+    assert(TiffFn.packBitsCompress(Array.emptyByteArray, 3).isEmpty)
   }
 
   private val lzwEarlyHex: String =
