@@ -1,24 +1,54 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
-/** Dev-only: print join/exchange/scan skeleton lines of named queries. */
+
+/** Dev-only plan + exclusive-timing dump for specific registered queries:
+  * `sbt "Test/runMain graft.PlanDump sfDir outDir reps q1 q2 ..."` —
+  * writes each query's `.explain("formatted")` to `outDir/<name>.txt`
+  * and prints per-rep wall seconds measured with the noop sink (forces
+  * every column, unlike count(), per the optimization guide §1.4).
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val dir = args(0)
+    val outDir = args(1)
+    val reps = args(2).toInt
+    val names = args.drop(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "etlmudah.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.codegen.maxFields", "512")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- args) {
-      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan.toString
-      println(s"== $q")
-      plan.linesIterator.filter(l =>
-        l.contains("Join") || l.contains("Exchange") ||
-        l.contains("Window") || l.contains("HashAggregate") ||
-        l.contains("PushedFilters") || l.contains("Sort ")).foreach(l =>
-        println(l.replaceAll("#\\d+L?", "").take(160)))
+    Files.createDirectories(Paths.get(outDir))
+    // session warmup so the first query doesn't absorb codegen cold-start
+    spark.range(1 << 20).selectExpr("sum(id)")
+      .write.format("noop").mode("overwrite").save()
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      Files.writeString(Paths.get(s"$outDir/$name.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      spark.sparkContext.setJobDescription(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => println(s"ERR $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.sparkContext.setJobDescription(null)
+      println(f"TIME $name min=${times.min}%.3f " +
+        times.map(t => f"$t%.2f").mkString(" "))
     }
+    spark.stop()
   }
 }
