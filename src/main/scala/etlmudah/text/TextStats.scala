@@ -1,6 +1,6 @@
 package etlmudah.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -1806,7 +1806,8 @@ object TextStats {
     *
     * Returns (rank, left, right, merged, freq), rank = merge order. */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int = 50,
-                minPairFreq: Long = 2L, maxBatch: Int = 16): DataFrame = {
+                minPairFreq: Long = 2L, maxBatch: Int = 16,
+                driverVocabThreshold: Long = 65536L): DataFrame = {
     // maxBatch = 0 would accept empty batches and spin the round loop
     // forever; the upper bound keeps the 4*maxBatch+1 collect limit a
     // sane driver allocation (and trivially overflow-free)
@@ -1823,13 +1824,30 @@ object TextStats {
           i => col("w").substr(i, lit(1))).as("syms"),
         col("cnt"))
       .localCheckpoint(true)
+    val nVocab = vocab.count()
+    // A vocabulary at or below `driverVocabThreshold` rows drives the
+    // whole merge loop ON THE DRIVER from one bounded collect: below
+    // 65536 rows the distributed loop would run single-task rounds
+    // anyway (the `parts` sizing below), so every round still pays
+    // plan + schedule + checkpoint for driver-scale work — measured 80
+    // Spark jobs / ~9 s for a 31-word bench vocabulary vs ~0.1 s
+    // locally (optimization guide §1.2: fix the algorithm's shape
+    // before per-task work). The collect is Heaps-law-bounded and
+    // capped by the threshold (~tens of MB worst case). Web-scale
+    // vocabularies take the distributed loop unchanged. Both paths
+    // share the SAME fold kernel ([[etlmudah.expr.BpeFoldFn]]) and the
+    // same UTF8String binary compare the engine sorts by, so the merge
+    // tables are identical — pinned by a TextStatsSpec equality test
+    // (threshold = 0 forces the distributed path).
+    if (nVocab <= driverVocabThreshold)
+      return bpeMergesDriver(spark, vocab, nMerges, minPairFreq, maxBatch)
     // size the ROUND parallelism to the vocabulary, not the corpus: a
     // bench-scale vocab collapses to one task per round (the loop cost
     // is otherwise pure empty-partition scheduling x rounds), while a
     // web-scale vocabulary keeps cluster width. One bounded count job.
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
-      vocab.count() / 65536L)).toInt
+      nVocab / 65536L)).toInt
     vocab = vocab.repartition(parts).localCheckpoint(true)
     // adjacent-pair counts of a (syms, cnt) frame, optionally negated —
     // the building block of the INCREMENTAL pair frame below
@@ -1923,6 +1941,92 @@ object TextStats {
         // separate materialization, and the plan cannot grow across
         // rounds because each round re-roots at its own checkpoint
         vocab = foldedAll.select(col("__new").as("syms"), col("cnt"))
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "freq")
+  }
+
+  /** The [[bpeMerges]] driver fast path: the exact same
+    * argmax/batch-walk/trim/fold sequence over a collected
+    * (syms, cnt) vocabulary. Pair counts are recomputed per round
+    * (the distributed loop's incremental frame maintains precisely
+    * these counts, so the recount is the same table); ordering uses
+    * UTF8String.compareTo — the binary comparison the engine's
+    * `orderBy` on StringType performs — and the batch is applied by
+    * the SAME [[etlmudah.expr.BpeFoldFn.fold]] kernel the distributed
+    * path codegens, so the two paths cannot drift. */
+  private def bpeMergesDriver(spark: SparkSession, vocab: DataFrame,
+                              nMerges: Int, minPairFreq: Long,
+                              maxBatch: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    var words: Array[(Array[UTF8String], Long)] = vocab.collect().map { r =>
+      (r.getSeq[String](0).map(UTF8String.fromString).toArray, r.getLong(1))
+    }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var continue = true
+    while (continue && rank < nMerges) {
+      val cnt =
+        scala.collection.mutable.LinkedHashMap.empty[(UTF8String, UTF8String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      // same view the distributed TakeOrdered produces: (freq desc,
+      // l asc, r asc) binary order, first 4*maxBatch+1 rows
+      val top = cnt.iterator
+        .map { case ((l, r), f) => (l, r, f) }
+        .toArray
+        .sortWith { case ((l1, r1, f1), (l2, r2, f2)) =>
+          if (f1 != f2) f1 > f2
+          else {
+            val c = l1.compareTo(l2)
+            if (c != 0) c < 0 else r1.compareTo(r2) < 0
+          }
+        }
+        .take(4 * maxBatch + 1)
+      if (top.isEmpty || top.head._3 < minPairFreq) continue = false
+      else {
+        val sides = scala.collection.mutable.Set.empty[UTF8String]
+        val mrgd = scala.collection.mutable.Set.empty[UTF8String]
+        var k = 0
+        var open = true
+        while (open && k < top.length &&
+               k < math.min(maxBatch, nMerges - rank)) {
+          val (l, r, f) = top(k)
+          if (f < minPairFreq) open = false
+          else if (sides(l) || sides(r) || mrgd(l) || mrgd(r) ||
+            sides(UTF8String.concat(l, r))) open = false
+          else {
+            sides += l; sides += r; mrgd += UTF8String.concat(l, r); k += 1
+          }
+        }
+        while (k >= 2 && k < top.length && top(k - 1)._3 == top(k)._3)
+          k -= 1
+        val batch = top.take(k)
+        batch.foreach { case (l, r, f) =>
+          merges += ((rank, l.toString, r.toString,
+            UTF8String.concat(l, r).toString, f))
+          rank += 1
+        }
+        val leftsAd =
+          new GenericArrayData(batch.map(_._1.asInstanceOf[Any]))
+        val rightsAd =
+          new GenericArrayData(batch.map(_._2.asInstanceOf[Any]))
+        words = words.map { case (syms, c) =>
+          val folded = etlmudah.expr.BpeFoldFn.fold(
+            new GenericArrayData(syms.asInstanceOf[Array[Any]]),
+            leftsAd, rightsAd)
+          (folded.toArray[UTF8String](
+            org.apache.spark.sql.types.StringType), c)
+        }
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "merged", "freq")

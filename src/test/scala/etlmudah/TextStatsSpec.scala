@@ -728,6 +728,18 @@ class TextStatsSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("bpeMerges: driver fast path equals the distributed loop bit for bit") {
+    // the default threshold routes bench-scale vocabularies to the
+    // driver loop; threshold 0 forces the distributed rounds — the two
+    // must produce the identical merge table on the same corpus
+    val docs = etlmudah.Tables.documents(spark, sf0001)
+    def run(threshold: Long) = TextStats.bpeMerges(docs, "text",
+        nMerges = 12, driverVocabThreshold = threshold)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(run(65536L) == run(0L))
+  }
+
   test("bpeMerges: maxBatch = 0 is rejected, not an infinite round loop") {
     import spark.implicits._
     val df = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
@@ -925,8 +937,10 @@ class TextStatsSpec extends SparkSpec {
     def countJobs(mb: Int): (Int, Seq[(Int, String)]) = {
       spark.sparkContext.addSparkListener(listener)
       jobs = 0
+      // threshold 0 forces the distributed loop — this test is about
+      // THAT loop's batching; small vocabs normally drive locally
       val out = TextStats.bpeMerges(df, "text", nMerges = 10,
-          minPairFreq = 2L, maxBatch = mb)
+          minPairFreq = 2L, maxBatch = mb, driverVocabThreshold = 0L)
         .collect().map(r => (r.getInt(0), r.getString(3))).toSeq
       Thread.sleep(500) // listener events are async; let the bus drain
       spark.sparkContext.removeSparkListener(listener)
