@@ -2147,12 +2147,18 @@ object TextStats {
       .localCheckpoint(true) // feeds the class profile AND the doc profile
     val classCounts = docCounts.groupBy(col("cls"), col("g"))
       .agg(sum(col("c")).as("c"))
+    // materialized: the profile is <= topV x |classes| rows but its
+    // subtree (class aggregate + rank window over the checkpointed doc
+    // counts) would otherwise evaluate TWICE — once under each of the
+    // two broadcasts below (`classes` and the profile join); broadcast
+    // subtrees are not exchange-reused (measured ~1s of the q167 tail)
     val classProf = classCounts
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("cls"))
           .orderBy(col("c").desc, col("g").asc)))
       .filter(col("crank") <= topV)
       .select(col("cls").as("pcls"), col("g"), col("crank"))
+      .localCheckpoint(true)
     val docProf = docCounts
       .withColumn("drank", row_number().over(
         Window.partitionBy(col("id"))
