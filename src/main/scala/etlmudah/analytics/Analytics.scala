@@ -993,16 +993,35 @@ object Analytics {
     *
     * The estimator is inherently pairwise (O(n²) in series length), so
     * the operator makes the bound EXPLICIT: per group, a deterministic
-    * md5-ranked subsample of at most `maxN` points feeds the pair join
-    * (the q89 source-cap discipline — on a subsample Theil–Sen is the
-    * standard remedy, Wilcox 2012). Callers feeding an aggregated
-    * series (e.g. monthly sums) never hit the cap; callers feeding raw
-    * rows get an estimator over a uniform deterministic subsample, not
-    * a detonation. Inputs are integral-lattice (x, y) so every slope
-    * is one exact-int division; the median and S replay engine-exactly.
+    * md5-ranked subsample of at most `maxN` points feeds the pair
+    * generation (the q89 source-cap discipline — on a subsample
+    * Theil–Sen is the standard remedy, Wilcox 2012). Callers feeding an
+    * aggregated series (e.g. monthly sums) never hit the cap; callers
+    * feeding raw rows get an estimator over a uniform deterministic
+    * subsample, not a detonation. Inputs are integral-lattice (x, y) so
+    * every slope is one exact-int division; the median and S replay
+    * engine-exactly.
     *
-    * Scale: one keyed window (the cap), one group-keyed self-join with
-    * ≤ maxN² fan-out per group, one map-side-combined aggregate. */
+    * Scale: one keyed window (the cap), then the ≤ maxN²-per-group pair
+    * fan-out is generated IN-STAGE from each group's collected point
+    * list (one group-keyed collect_list + double explode — the
+    * cooccurrenceEdges discipline, optimization guide §2.4) instead of
+    * a group-keyed self-join: the join formulation planned the whole
+    * scan→aggregate→cap subtree once per join side plus once more for
+    * the n_points readout (3 scans, 7 exchanges measured), where this
+    * shape pays the subtree once and reuses the cap window's
+    * group-keyed exchange for both the list aggregate and the closing
+    * group aggregate (1 scan, 2 exchanges). The collected list is
+    * bounded at `maxN` structs per group BY CONSTRUCTION (the row_number
+    * cap runs upstream of it), so the non-spilling aggregation buffer
+    * holds ≤ maxN small structs regardless of input skew. The pair
+    * multiset is identical to the self-join's: the double explode
+    * enumerates every ordered row pair within the group and the same
+    * __x1 < __x2 predicate keeps exactly the pairs the join's filter
+    * kept. n_points rides the group row as size(list) — the count the
+    * separate join-back used to recompute — and groups with no
+    * qualifying pair (singletons, all-equal x) vanish with the empty
+    * explode exactly as they vanished from the inner join. */
   def theilSenBy(df: DataFrame, xCol: String, yCol: String,
                  groupCols: Seq[String], maxN: Int = 1000): DataFrame = {
     val g = groupCols.map(col)
@@ -1015,21 +1034,24 @@ object Analytics {
     val capped = pts
       .withColumn("__r", row_number().over(wCap))
       .where(col("__r") <= maxN).drop("__r")
-    val a = capped.select(g ++ Seq(col("__x").as("__x1"),
-      col("__y").as("__y1")): _*)
-    val b = capped.select(g ++ Seq(col("__x").as("__x2"),
-      col("__y").as("__y2")): _*)
-    val pairs = a.join(b, groupCols)
-      .where(col("__x1") < col("__x2"))
-      .withColumn("__slope", (col("__y2") - col("__y1")).cast("double") /
-        (col("__x2") - col("__x1")).cast("double"))
+    val pairs = capped
+      .groupBy(g: _*)
+      .agg(collect_list(struct(col("__x"), col("__y"))).as("__pts"))
+      .withColumn("n_points", size(col("__pts")).cast("long"))
+      .select(g ++ Seq(col("n_points"), explode(col("__pts")).as("__p1"),
+        col("__pts")): _*)
+      .select(g ++ Seq(col("n_points"), col("__p1"),
+        explode(col("__pts")).as("__p2")): _*)
+      .where(col("__p1.__x") < col("__p2.__x"))
+      .withColumn("__slope",
+        (col("__p2.__y") - col("__p1.__y")).cast("double") /
+          (col("__p2.__x") - col("__p1.__x")).cast("double"))
       .withColumn("__sgn",
-        signum((col("__y2") - col("__y1")).cast("double")).cast("long"))
-    pairs.groupBy(g: _*)
+        signum((col("__p2.__y") - col("__p1.__y")).cast("double"))
+          .cast("long"))
+    pairs.groupBy(g :+ col("n_points"): _*)
       .agg(count(lit(1)).as("n_pairs"), sum(col("__sgn")).as("mk_s"),
         round(median(col("__slope")), 6).as("slope_med"))
-      .join(capped.groupBy(g: _*).agg(count(lit(1)).as("n_points")),
-        groupCols)
       .select(g ++ Seq(col("n_points"), col("n_pairs"), col("mk_s"),
         col("slope_med")): _*)
       .orderBy(g: _*)

@@ -155,10 +155,18 @@ object Centrality {
     * frame entering them is the signal-bearing core only. */
   def associationRules(df: DataFrame, groupCol: String, itemCol: String,
                        minSupport: Long = 3L, k: Int = 20): DataFrame = {
+    // Pin the distinct basket-item frame: three consumers read it (the
+    // pair mine, the per-item margins, the basket total) and without the
+    // pin each one replans the full scan + distinct (3 fact scans + 3
+    // distinct exchanges measured — guide §5 reuse, the q167
+    // localCheckpoint precedent). The pinned frame is |distinct (basket,
+    // item)| — the same frame every downstream aggregate already
+    // shuffles, never wider than the input fact table.
     val items = df
       .where(col(groupCol).isNotNull && col(itemCol).isNotNull)
       .select(col(groupCol).as("g"), col(itemCol).cast("long").as("item"))
       .distinct()
+      .localCheckpoint(true)
     val pairs = cooccurrencePairs(items, "g", "item", minWeight = minSupport)
       .withColumnRenamed("weight", "co_support")
     val margins = items.groupBy(col("item"))
@@ -600,13 +608,21 @@ object Centrality {
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {
+    // und and deg are each read by MULTIPLE consumers (deg + oriented;
+    // oriented's two joins + the final left join). Unpinned, every
+    // consumer replans the scan→distinct / union→aggregate subtree (4
+    // scans + duplicated exchanges measured at sf0.1) — pin both (the
+    // q167/q253 localCheckpoint discipline, guide §5 reuse). Both
+    // frames are |E|- and |V|-bounded, strictly smaller than the input.
     val und = edges.select(
         least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val keep = (col("du") < col("dv")) ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = und
@@ -623,9 +639,13 @@ object Centrality {
         (col("dt1") === col("dt2") && col("t1") < col("t2")))
     val tri = wedges.join(
       oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
-    val perNode = tri.select(col("s").as("node"))
-      .union(tri.select(col("t1").as("node")))
-      .union(tri.select(col("t2").as("node")))
+    // each triangle contributes its three corners: generate them
+    // IN-STAGE with one explode over the triangle row instead of a
+    // 3-way union of projections, which replanned (and re-executed)
+    // the wedge + closure joins once per branch (guide §2.4 duplicated
+    // subtrees). Identical node multiset → identical counts.
+    val perNode = tri
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("d").as("degree"),

@@ -687,12 +687,22 @@ object Sampling {
       count(lit(1)).as("n"),
       (sum(v).cast("double") /
         (lit(100.0) * count(lit(1)).cast("double"))).as("point_est"))
-    point.crossJoin(broadcast(
-        ranked.where(col("__rn") === rnLo)
-          .select(round(col("mu"), 6).as("ci_lo"))))
-      .crossJoin(broadcast(
-        ranked.where(col("__rn") === rnHi)
-          .select(round(col("mu"), 6).as("ci_hi"))))
+    // BOTH percentile rows come out of ONE pass over the ranked
+    // replicate frame (conditional max over the two target ranks):
+    // the former per-bound crossJoin pair planned the whole
+    // scan→weight-explode→replicate-aggregate subtree once per bound
+    // (2 scans + 2 generator fan-outs measured, guide §2.4 duplicated
+    // subtrees). The null-guard keeps the degenerate semantics of the
+    // old empty-frame crossJoins: if either target rank is absent
+    // (fewer surviving replicates than rnHi), the result is empty,
+    // exactly as a crossJoin against a zero-row bound frame was.
+    val cis = ranked
+      .where(col("__rn") === rnLo || col("__rn") === rnHi)
+      .agg(
+        round(max(when(col("__rn") === rnLo, col("mu"))), 6).as("ci_lo"),
+        round(max(when(col("__rn") === rnHi, col("mu"))), 6).as("ci_hi"))
+      .where(col("ci_lo").isNotNull && col("ci_hi").isNotNull)
+    point.crossJoin(broadcast(cis))
       .select(col("n"), round(col("point_est"), 6).as("point_est"),
         col("ci_lo"), col("ci_hi"), lit(reps.toLong).as("reps"))
   }

@@ -98,11 +98,22 @@ object Similarity {
     * unrolls all k rounds. Returns (rank, id, mmr).
     *
     * Scale: every frame is bounded by the CANDIDATE set (the
-    * retriever's N) — the greedy loop never touches the corpus; rounds
-    * are k small bounded jobs (localCheckpoint-pinned, the PageRank
-    * loop discipline). */
+    * retriever's N) — the greedy loop never touches the corpus. A
+    * candidate set at or below `driverCandThreshold` rows (counted
+    * first — a bounded collect, guide §5's driver discipline; the
+    * serving-time k≪N rerank always is) collects ONCE and runs the
+    * greedy argmax loop on the driver with the identical arithmetic
+    * (same sequential-fold cosine kernel as graft_cosine, same
+    * HALF_UP 6dp rounding, same (mmr, smaller-id) tie order), replayed
+    * bit-for-bit against the distributed loop by SimilaritySpec —
+    * collapsing k sequential Spark jobs (each an anti-join + broadcast
+    * sim join + argmax, ~2.4s measured at k=10 on 50 candidates, pure
+    * scheduling) into one job plus a LocalTableScan. Larger candidate
+    * sets take the distributed loop unchanged: k small bounded jobs
+    * (localCheckpoint-pinned, the PageRank loop discipline). */
   def mmrSelect(candidates: DataFrame, k: Int,
-                lambda: Double = 0.7): DataFrame = {
+                lambda: Double = 0.7,
+                driverCandThreshold: Long = 65536L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val cand = candidates.select(col("id").cast("long").as("id"),
         col("score").cast("double").as("score"), col("vec"))
@@ -112,6 +123,8 @@ object Similarity {
     if (rounds == 0)
       return cand.select(lit(1L).as("rank"), col("id"),
         col("score").as("mmr")).limit(0)
+    if (n <= driverCandThreshold)
+      return mmrSelectLocal(cand, rounds, lambda)
     def argmax(scored: DataFrame, rank: Int): DataFrame = scored
       .agg(max(struct(col("__mmr"), (-col("id")).as("__nid"),
         col("id"))).as("__b"))
@@ -138,6 +151,89 @@ object Similarity {
       r += 1
     }
     sel.orderBy(col("rank"))
+  }
+
+  /** Spark's Round(double, 6): HALF_UP on the decimal expansion of the
+    * double's shortest representation (BigDecimal.valueOf semantics) —
+    * the exact scalar the engine's `round(x, 6)` produces, so the
+    * driver-side greedy loops replay the distributed plans bit-for-bit
+    * (NaN/Infinity pass through, as in the engine). */
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The graft_cosine kernel verbatim (sequential double fold over the
+    * common prefix, zero-norm → 0.0) on driver-collected float
+    * vectors. */
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na > 0.0 && nb > 0.0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+  }
+
+  /** Driver-side replay of [[mmrSelect]]'s greedy loop over the
+    * collected candidate frame: the same per-round argmax of
+    * round6(λ·score − (1−λ)·max round6(cos)) with ties to the smallest
+    * id (the distributed struct-max's (-id) lane), the same
+    * engine-folded 1.0 − λ. One bounded collect replaces k sequential
+    * jobs; the result materializes as a LocalTableScan. */
+  private def mmrSelectLocal(cand: DataFrame, rounds: Int,
+                             lambda: Double): DataFrame = {
+    val spark = cand.sparkSession
+    val rows = cand.select(col("id"), col("score"),
+        col("vec").cast("array<float>").as("vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).toArray))
+    val oneMinus = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Array[Float])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // Spark's double ordering (engine max/struct-max): NaN is GREATER
+    // than every value and equal to itself — java.lang.Double.compare
+    // has exactly those semantics (-0.0 never reaches a comparison:
+    // round6 normalizes it to 0.0 via BigDecimal).
+    def dcmp(a: Double, b: Double): Int = java.lang.Double.compare(a, b)
+    var r = 1
+    while (r <= rounds) {
+      val selIds = selected.map(_._1).toSet
+      var bestId = Long.MinValue; var bestMmr = Double.NaN
+      var bestRow: (Long, Double, Array[Float]) = null
+      rows.foreach { case row @ (id, score, vec) =>
+        if (!selIds.contains(id)) {
+          val mmr =
+            if (r == 1) round6(lambda * score)
+            else {
+              var msim = Double.NegativeInfinity
+              selected.foreach { s =>
+                val sim = round6(cosineLocal(vec, s._3))
+                if (dcmp(sim, msim) > 0) msim = sim
+              }
+              round6(lambda * score - oneMinus * msim)
+            }
+          // the distributed argmax is max(struct(mmr, -id, id)): higher
+          // mmr wins (NaN greatest, as in the engine), ties to the
+          // SMALLER id
+          val c = if (bestRow == null) 1 else dcmp(mmr, bestMmr)
+          if (c > 0 || (c == 0 && id < bestId)) {
+            bestId = id; bestMmr = mmr; bestRow = row
+          }
+        }
+      }
+      selected += bestRow
+      out += ((r.toLong, bestId, bestMmr))
+      r += 1
+    }
+    import spark.implicits._
+    // rank-ascending by construction; the explicit sort pins the output
+    // order contract shared with the distributed path's orderBy(rank)
+    out.toSeq.toDF("rank", "id", "mmr").orderBy(col("rank"))
   }
 
   /** k-CENTER GREEDY / farthest-point sampling (Gonzalez, "Clustering

@@ -4,9 +4,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Cross-run staged artifacts (co-purchase edges, minhash/winnow
+    // fingerprints, LR weights, ...) are keyed on the corpus identity and
+    // REUSED across bench invocations; clearing the stage root up front
+    // makes every bench run pay each stage build exactly once, inside the
+    // first timed query that needs it — measurement honesty, not a code
+    // path change (consumers rebuild transparently via stagedArtifact).
+    locally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stage"))
+    }
+    // AQE coalescing sized by BYTES, not by the session's core count:
+    // parallelismFirst=true (the default) refuses to coalesce below
+    // local[$cpus]'s parallelism, so every tiny post-shuffle frame in the
+    // iterative/fan-out queries still schedules $cpus tasks — the
+    // anti-scaling small-task storm of the round-13 scaling block (guide
+    // §2.2: "fewer, larger reduce partitions ... let AQE coalesce").
+    // The advisory size is data-derived and env-overridable; at cluster
+    // scale partitions sit at/above the advisory anyway, so the setting
+    // is a no-op there and only trims degenerate small frames.
+    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "etlmudah.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -27,7 +27,10 @@ object Round12 {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     import etlmudah.streaming.Streaming
-    val root = s"/tmp/graft_sink_q342_v1_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    // under the graft_stage root so Bench's startup clear covers this
+    // cross-run memo exactly like the stagedArtifact family
+    val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+      s"/graft_stage/sink_q342_v1_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
     val fs = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val done = new Path(s"$root/_done")

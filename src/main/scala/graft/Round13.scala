@@ -34,7 +34,11 @@ object Round13 {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     import etlmudah.streaming.Streaming
-    val root = s"/tmp/graft_sink_q357_v1_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    // under the graft_stage root so Bench's startup clear covers this
+    // cross-run memo exactly like the stagedArtifact family (v2: the
+    // layout adds the compacted read copy below)
+    val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+      s"/graft_stage/sink_q357_v2_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
     val fs = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val done = new Path(s"$root/_done")
@@ -102,6 +106,13 @@ object Round13 {
     require(q.awaitTermination(600000),
       "full-outer staged stream did not finish within 600s; " +
         "not writing the _done memo")
+    // COMPACT the micro-batch sink for its readers: AvailableNow at
+    // maxFilesPerTrigger=1 leaves one tiny file per (batch, partition)
+    // (~1000 files at sf0.1 — 5.3s/read measured, pure listing+footer
+    // overhead, guide §6 small files). The stream is complete, so one
+    // plain rewrite preserves the committed row set exactly.
+    s.read.parquet(s"$root/joined").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/joined_compact")
     fs.create(done).close()
     root
   }
@@ -121,7 +132,7 @@ object Round13 {
     // (round 12), full-outer (here).
     "q357_stream_full_outer_join" -> ((s, dir) => {
       val root = stagedFullOuterJoin(s, dir)
-      s.read.parquet(s"$root/joined")
+      s.read.parquet(s"$root/joined_compact")
         .filter(coalesce(col("p_user"), col("c_user")) =!= HbUser)
         .orderBy(coalesce(col("p_user"), col("c_user")),
           coalesce(col("p_us"), lit(-1L)),

@@ -181,6 +181,47 @@ class AnalyticsSpec extends SparkSpec {
       capped.getAs[Long]("n_pairs") == 3)
   }
 
+  test("theilSenBy: in-stage pair generation equals the self-join formulation; " +
+       "pairless groups vanish") {
+    import spark.implicits._
+    // multi-group lattice series incl. a singleton group (no pair) and
+    // an all-equal-x group (pairs filtered): both must yield NO row,
+    // exactly as the old inner self-join dropped them
+    val rows =
+      (1L to 40L).map(i => ("a", i % 7, (i * 31) % 23)) ++
+      (1L to 25L).map(i => ("b", i % 5, (i * 17) % 11)) ++
+      Seq(("solo", 1L, 5L)) ++
+      Seq(("flatx", 2L, 1L), ("flatx", 2L, 9L), ("flatx", 2L, 4L))
+    val df = rows.toDF("g", "x", "y")
+    val got = Analytics.theilSenBy(df, "x", "y", Seq("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got.map(_._1) == Seq("a", "b"), got.toString)
+    // the old formulation, inlined: group-keyed self-join + count join
+    val capped = df.select(col("g"), col("x").cast("long").as("__x"),
+      col("y").cast("long").as("__y"))
+    val a = capped.select(col("g"), col("__x").as("__x1"),
+      col("__y").as("__y1"))
+    val b = capped.select(col("g"), col("__x").as("__x2"),
+      col("__y").as("__y2"))
+    val pairs = a.join(b, Seq("g")).where(col("__x1") < col("__x2"))
+      .withColumn("__slope", (col("__y2") - col("__y1")).cast("double") /
+        (col("__x2") - col("__x1")).cast("double"))
+      .withColumn("__sgn",
+        signum((col("__y2") - col("__y1")).cast("double")).cast("long"))
+    val old = pairs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__sgn")).as("mk_s"),
+        round(median(col("__slope")), 6).as("slope_med"))
+      .join(capped.groupBy(col("g")).agg(count(lit(1)).as("n_points")),
+        Seq("g"))
+      .select(col("g"), col("n_points"), col("n_pairs"), col("mk_s"),
+        col("slope_med"))
+      .orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == old, s"got=$got old=$old")
+  }
+
   test("ksTest: exact D on the lattice; identical samples give D=0") {
     import spark.implicits._
     val a = Seq(1.0, 1.0, 2.0).toDF("v")

@@ -513,13 +513,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "ranks 1..n")
     assert(r.head.getAs[Double]("mmr") == 0.63)   // 0.7 * 0.9
     assert(r(1).getAs[Double]("mmr") == 0.35)     // 0.7*0.5 - 0.3*0
-    // exact-duplicate scores tie-break by id
+    // exact-duplicate scores tie-break by id — on BOTH loop drivers
     val ties = Seq((7L, 0.5, a), (5L, 0.5, a)).toDF("id", "score", "vec")
-    val t = Similarity.mmrSelect(ties, k = 1).collect()
-    assert(t.head.getLong(1) == 5L)
+    for (thr <- Seq(65536L, 0L)) {
+      val t = Similarity.mmrSelect(ties, k = 1,
+        driverCandThreshold = thr).collect()
+      assert(t.head.getLong(1) == 5L, s"threshold=$thr")
+    }
     // empty candidates -> empty result, no crash
     assert(Similarity.mmrSelect(cand.where(col("id") > 99), k = 3)
       .count() == 0)
+  }
+
+  test("mmrSelect: driver fast path equals the distributed loop bit for bit") {
+    import spark.implicits._
+    // deterministic pseudo-random candidates: enough rows, repeated
+    // scores (forcing id tie-breaks) and non-trivial vectors so the
+    // greedy trajectory exercises real redundancy trade-offs
+    val cand = (1L to 40L).map { i =>
+      val vec = Array.tabulate(8)(j =>
+        (((i * 31 + j * 17) % 13) - 6).toFloat / 7f)
+      (i, ((i * 37) % 10).toDouble / 10.0, vec)
+    }.toDF("id", "score", "vec")
+    def run(threshold: Long) = Similarity.mmrSelect(cand, k = 10,
+        lambda = 0.7, driverCandThreshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(run(65536L) == run(0L))
   }
 
   test("kCenterSelect: greedy farthest-point replay; clusters covered before depth") {

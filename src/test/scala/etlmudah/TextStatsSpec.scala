@@ -749,6 +749,13 @@ class TextStatsSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxBatch"), ex.getMessage)
   }
 
+  // the planted edge-corpus tests run through BOTH loop drivers: the
+  // default threshold exercises the driver fast path, threshold 0 forces
+  // the distributed incremental pair-frame loop — the adversarial
+  // cases (conflict fallback, tie trim, multi-accept batches) must hold
+  // on the trickier distributed code too, not just the local replay
+  private val bpePaths = Seq("driver" -> 65536L, "distributed" -> 0L)
+
   test("bpeMerges: interacting top pairs fall back to one accept; equals serial replay") {
     import spark.implicits._
     // (y,z) f=15 dominates; (x,y) f=10 SHARES y -> the batch walk must
@@ -756,12 +763,16 @@ class TextStatsSpec extends SparkSpec {
     // recount — a batch of both would count (x,y) against pre-merge text
     val text = (Seq.fill(10)("xyz") ++ Seq.fill(5)("yz")).mkString(" ")
     val df = Seq((1L, text)).toDF("doc_id", "text")
-    val got = TextStats.bpeMerges(df, "text", nMerges = 6, minPairFreq = 2L)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4))).toSeq
-    val counts = Map("xyz" -> 10L, "yz" -> 5L)
-    assert(got == serialBpe(counts, 6, 2L), got.toString)
-    assert(got.head._2 == "y" && got.head._3 == "z", got.head.toString)
+    for ((label, thr) <- bpePaths) {
+      val got = TextStats.bpeMerges(df, "text", nMerges = 6,
+          minPairFreq = 2L, driverVocabThreshold = thr)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val counts = Map("xyz" -> 10L, "yz" -> 5L)
+      assert(got == serialBpe(counts, 6, 2L), s"[$label] $got")
+      assert(got.head._2 == "y" && got.head._3 == "z",
+        s"[$label] ${got.head}")
+    }
   }
 
   test("bpeMerges: equal-freq accept tied with a rejected conflicting pair is trimmed; equals serial replay") {
@@ -773,11 +784,14 @@ class TextStatsSpec extends SparkSpec {
     val text = (Seq.fill(6)("ab") ++ Seq.fill(5)("cd") ++
       Seq.fill(5)("de")).mkString(" ")
     val df = Seq((1L, text)).toDF("doc_id", "text")
-    val got = TextStats.bpeMerges(df, "text", nMerges = 5, minPairFreq = 2L)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4))).toSeq
-    val counts = Map("ab" -> 6L, "cd" -> 5L, "de" -> 5L)
-    assert(got == serialBpe(counts, 5, 2L), got.toString)
+    for ((label, thr) <- bpePaths) {
+      val got = TextStats.bpeMerges(df, "text", nMerges = 5,
+          minPairFreq = 2L, driverVocabThreshold = thr)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val counts = Map("ab" -> 6L, "cd" -> 5L, "de" -> 5L)
+      assert(got == serialBpe(counts, 5, 2L), s"[$label] $got")
+    }
   }
 
   test("bpeMerges: a multi-accept batch equals maxBatch=1 driving and the serial replay") {
@@ -788,16 +802,18 @@ class TextStatsSpec extends SparkSpec {
     val words = ('a' to 'j').zipWithIndex.map { case (c, i) =>
       Seq.fill(20 - i)(s"$c$c") }
     val df = Seq((1L, words.flatten.mkString(" "))).toDF("doc_id", "text")
-    def run(mb: Int) = TextStats.bpeMerges(df, "text", nMerges = 10,
-        minPairFreq = 2L, maxBatch = mb)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4))).toSeq
-    val batched = run(16)
-    assert(batched == run(1), batched.toString)
-    val counts = ('a' to 'j').zipWithIndex
-      .map { case (c, i) => s"$c$c" -> (20 - i).toLong }.toMap
-    assert(batched == serialBpe(counts, 10, 2L), batched.toString)
-    assert(batched.length == 10)
+    for ((label, thr) <- bpePaths) {
+      def run(mb: Int) = TextStats.bpeMerges(df, "text", nMerges = 10,
+          minPairFreq = 2L, maxBatch = mb, driverVocabThreshold = thr)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val batched = run(16)
+      assert(batched == run(1), s"[$label] $batched")
+      val counts = ('a' to 'j').zipWithIndex
+        .map { case (c, i) => s"$c$c" -> (20 - i).toLong }.toMap
+      assert(batched == serialBpe(counts, 10, 2L), s"[$label] $batched")
+      assert(batched.length == 10)
+    }
   }
 
   test("tfidfCosinePairs: identical docs hit 1.0, disjoint never pair, hot terms capped") {

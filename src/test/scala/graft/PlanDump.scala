@@ -38,15 +38,19 @@ object PlanDump {
         df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       spark.sparkContext.setJobDescription(name)
-      val times = (1 to reps).map { _ =>
+      // a failed rep's (typically short) wall time must NOT enter the
+      // reported min — it would skew before/after comparisons
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => println(s"ERR $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => println(s"ERR $name: $e"); false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       spark.sparkContext.setJobDescription(null)
-      println(f"TIME $name min=${times.min}%.3f " +
+      if (times.isEmpty) println(s"TIME $name FAILED (no successful rep)")
+      else println(f"TIME $name min=${times.min}%.3f " +
         times.map(t => f"$t%.2f").mkString(" "))
     }
     spark.stop()
