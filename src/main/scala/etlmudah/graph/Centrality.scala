@@ -562,16 +562,27 @@ object Centrality {
     // c0 = degree
     var c = pin(sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("c")))
+    // Fixpoint check WITHOUT a per-round join: the relaxation is
+    // pointwise MONOTONE NON-INCREASING (H(v) <= deg(v) gives
+    // c1 <= c0; H is monotone in its neighbor values, so c_t <= c_{t-1}
+    // inductively — Lü et al. 2016's convergence argument), and every
+    // round emits the same node set (each node with an edge appears as
+    // src in sym). Under pointwise c' <= c, sum(c') = sum(c) iff
+    // c' = c everywhere — so one bounded sum scalar per round replaces
+    // the former next-vs-prev join + filter + count.
+    def sumOf(df: DataFrame): Long =  // coalesce: empty graph sums to 0
+      df.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    var cSum = sumOf(c)
     var it = 0
-    var changed = 1L
-    while (changed > 0) {
+    var changed = true
+    while (changed) {
       if (it >= maxIters) throw new IllegalStateException(
         s"h-index iteration exceeded maxIters=$maxIters")
       val next = pin(hIndexStep(sym, c))
-      changed = next.join(c.select(col("node"), col("c").as("__prev")),
-          Seq("node"))
-        .filter(col("c") =!= col("__prev")).count()
+      val nextSum = sumOf(next)
+      changed = nextSum != cSum
       c = next
+      cSum = nextSum
       it += 1
     }
     c.select(col("node"), col("c").as("coreness"))

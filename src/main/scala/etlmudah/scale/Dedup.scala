@@ -533,12 +533,17 @@ object Dedup {
     // shingle hash as the deterministic tiebreak
     val wRk = Window.partitionBy(col("id"))
       .orderBy(col("__df").asc, col("shingle").asc)
+    // materialized: BOTH sides of the candidate self-join read the
+    // prefix table — unpinned, the hot/cold join + double window
+    // subtree replans once per side (plan twins measured); the frame
+    // is the prefix FRACTION of the already-checkpointed shingle rows
     val prefix = shHot.unionByName(shCold)
       .withColumn("__n", count(lit(1)).over(wN))
       .withColumn("__rk", row_number().over(wRk))
       .filter(col("__rk") <=
         col("__n") - ceil(lit(minJaccard) * col("__n") - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"), col("__rk"), col("__n"))
+      .localCheckpoint(true)
     // every epsilon below LOOSENS a necessary condition (false admits
     // are re-checked by verify; false prunes would break recall)
     val tFrac = minJaccard / (1.0 + minJaccard)

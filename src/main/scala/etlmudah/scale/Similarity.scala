@@ -1198,6 +1198,9 @@ object Similarity {
       .select(col("id").as("qid"), col("vec").as("qvec"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
+    // pinned: BOTH method legs below join against the exact top-k —
+    // unpinned, each leg replans the |probes| x corpus brute-force
+    // scan (guide §5 reuse); the pinned frame is <= |probes| x k rows
     val exact = vecs.join(broadcast(probes))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nid"),
@@ -1205,6 +1208,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"))
+      .localCheckpoint(true)
     def recallOf(method: String, approx: DataFrame): DataFrame =
       exact
         .join(approx.select(col("qid"), col("nid"), lit(1L).as("__hit")),

@@ -2116,15 +2116,21 @@ object TextStats {
     * Deterministic end to end, so an external engine replays profiles,
     * ranks, and distances exactly.
     *
-    * Scale shape: one explode of char offsets (text length−2 rows per
-    * doc) feeding a map-side-combined (id, gram) count — exchange-free
-    * above the id repartition, since id-partitioning clusters every
-    * finer key; class counts aggregate FROM the checkpointed doc
-    * counts (the corpus-scale explode runs ONCE — re-deriving the
-    * class branch from the grams instead measured ~2x slower under
-    * the bench harness: the explode is the dominant cost and runs
-    * twice, while the per-doc count materialization it avoids is
-    * cheap); both rank windows run over Heaps-law-bounded count
+    * Scale shape: the per-(id, gram) counts come from ONE native pass
+    * per document (`graft_char_ngram_counts` — a custom Expression,
+    * the graft_cosine precedent) instead of the former
+    * explode(offsets)+substr+count pipeline: that shape paid
+    * O(text²) code-point steps per doc in substr's prefix re-walks,
+    * materialized one row per CHAR POSITION, and re-hashed all of
+    * them in a corpus-char-scale aggregate (~2.4s of q167's sf0.1
+    * tail measured, optimization guide §1.2 step 2 per-task work);
+    * the single pass emits each doc's DISTINCT grams pre-counted, so
+    * no corpus-scale aggregate (or the id repartition that made it
+    * exchange-free) exists at all. Counts per (id, gram) are exact by
+    * construction — a doc's rows live in one source row. Class counts
+    * aggregate FROM the checkpointed doc counts (re-deriving the
+    * class branch from the text instead would decode the corpus
+    * twice); both rank windows run over Heaps-law-bounded count
     * tables; the distance join fans each doc's topV rows out by
     * |classes| (a broadcast) and probes the class profiles (topV ×
     * |classes| rows, broadcast). Documents shorter than 3 characters
@@ -2137,13 +2143,12 @@ object TextStats {
       .select(col(idCol).as("id"), col(classCol).as("cls"),
         lower(col(textCol)).as("t"))
       .filter(length(col("t")) >= 3)
-      .repartition(col("id"))
-    val grams = base
+    val docCounts = base
       .select(col("id"), col("cls"),
-        explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
-      .select(col("id"), col("cls"), col("t").substr(col("i"), lit(3)).as("g"))
-    val docCounts = grams.groupBy(col("id"), col("cls"), col("g"))
-      .agg(count(lit(1)).as("c"))
+        explode(call_function("graft_char_ngram_counts", col("t"), lit(3)))
+          .as("gc"))
+      .select(col("id"), col("cls"), col("gc.g").as("g"),
+        col("gc.c").as("c"))
       .localCheckpoint(true) // feeds the class profile AND the doc profile
     val classCounts = docCounts.groupBy(col("cls"), col("g"))
       .agg(sum(col("c")).as("c"))
@@ -2165,20 +2170,40 @@ object TextStats {
           .orderBy(col("c").desc, col("g").asc)))
       .filter(col("drank") <= topV)
       .select(col("id"), col("cls").as("actual"), col("g"), col("drank"))
-    val classes = classProf.select(col("pcls")).distinct()
-    val dist = docProf
-      .crossJoin(broadcast(classes))
-      .join(broadcast(classProf), Seq("pcls", "g"), "left")
-      .groupBy(col("id"), col("actual"), col("pcls"))
-      .agg(sum(coalesce(abs(col("drank") - col("crank")),
-        lit(topV.toLong))).as("distance"))
-    dist
-      .groupBy(col("id"), col("actual"))
-      .agg(min_by(struct(col("pcls"), col("distance")),
-        struct(col("distance"), col("pcls"))).as("best"))
+      .localCheckpoint(true) // feeds the hits join, n_d, and the no-hit rescue
+    // SPARSE distance: join doc grams to the profiles they actually HIT
+    // (on g alone) instead of fanning every doc profile out by
+    // |classes| and left-probing (the former crossJoin moved
+    // |docs|·topV·|classes| rows through the distance aggregate —
+    // guide §2.3 shuffle fewer rows). Algebra: with n_d = |doc profile|
+    // and h = hits on class c,
+    //   dist(d, c) = Σ_hits |drank−crank| + (n_d − h)·topV
+    // and |drank−crank| ≤ topV−1, so ANY class with h ≥ 1 satisfies
+    // dist ≤ n_d·topV − h < n_d·topV — STRICTLY below every zero-hit
+    // class's distance (exactly n_d·topV). The argmin therefore never
+    // needs zero-hit classes unless the document hits NO profile at
+    // all, in which case every class ties at n_d·topV and the old
+    // (distance, pcls) tie-break picks the alphabetically first class
+    // — the rescue branch below reproduces that literally.
+    val nD = docProf.groupBy(col("id"), col("actual"))
+      .agg(count(lit(1)).as("__nd"))
+    val hits = docProf
+      .join(broadcast(classProf), Seq("g"))
+      .groupBy(col("id"), col("pcls"))
+      .agg(sum(abs(col("drank") - col("crank"))).as("__s"),
+        count(lit(1)).as("__h"))
+    val bestHit = hits
+      .groupBy(col("id"))
+      .agg(min(struct((col("__s") - col("__h") * topV.toLong).as("__adj"),
+        col("pcls"))).as("__b"))
+    val firstClass = classProf.select(col("pcls")).distinct()
+      .agg(min(col("pcls")).as("__c0"))
+    nD.join(bestHit, Seq("id"), "left")
+      .crossJoin(broadcast(firstClass))
       .select(col("id"), col("actual"),
-        col("best.pcls").as("predicted"),
-        col("best.distance").cast("long").as("distance"))
+        coalesce(col("__b.pcls"), col("__c0")).as("predicted"),
+        (coalesce(col("__b.__adj"), lit(0L)) +
+          col("__nd") * topV.toLong).cast("long").as("distance"))
       .orderBy(col("id"))
   }
 

@@ -968,7 +968,13 @@ import etlmudah.joins.Joins
         Web.fakeUrl(id, col("source")).as("url"),
         Web.fakeHtml(id, col("text"), lit(null).cast("string"),
           Web.fakeLinkUrls(id)).as("page"))
+      // pinned: the HTML-parse edge mine is read FIVE times downstream
+      // (crawlFrontier's e + its 2-way hosts union, plus both seed
+      // projections) — unpinned, each one replans the corpus-scale
+      // parse (8 scans measured, guide §5 reuse); the edge frame is
+      // host-level, far smaller than the corpus
       val edges = Web.hostLinkEdges(pages, "url", "page")
+        .localCheckpoint(true)
       val seeds = edges.select(col("src_host").as("host"))
         .union(edges.select(col("dst_host").as("host"))).distinct()
         .where(col("host").startsWith("www.d0."))

@@ -1025,6 +1025,34 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("charNgramCounts: native single pass equals explode+substr+count, incl. astral code points") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "hello world"),
+      (2L, "ab"),                 // shorter than n -> no grams
+      (3L, "ααβγ😀😀x"), // multi-byte + astral
+      (4L, "aaaa"),               // overlapping repeats
+      (5L, ""))
+    val df = rows.toDF("id", "t")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("id"), col("g")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val native = canon(df.select(col("id"),
+        explode(call_function("graft_char_ngram_counts", col("t"), lit(3)))
+          .as("gc"))
+      .select(col("id"), col("gc.g").as("g"), col("gc.c").as("c")))
+    val composed = canon(df
+      .filter(length(col("t")) >= 3)
+      .select(col("id"),
+        explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
+      .select(col("id"), col("t").substr(col("i"), lit(3)).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c")))
+    assert(native == composed, s"native=$native composed=$composed")
+    assert(native.exists(_._1 == 3L), "astral-plane row must produce grams")
+    assert(!native.exists(r => r._1 == 2L || r._1 == 5L),
+      "sub-n rows must vanish")
+  }
+
   test("blocklistScan: word boundaries, case folding, regex-metachar terms, verdict text") {
     import spark.implicits._
     val docs = Seq(
