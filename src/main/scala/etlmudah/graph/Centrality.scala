@@ -27,12 +27,17 @@ object Centrality {
     * (parts in one order, tokens in one doc, hosts on one page) get a
     * DIRECTED edge each way, weighted by the number of co-occurrences.
     *
-    * Scale shape: the self-join keys on the group column, so the
-    * shuffle is one exchange of the item table each side and the
-    * fan-out per group is degree², bounded by the per-group item count
-    * (TPC-H orders hold ≤ 7 lineitems; web pages hold tens of links) —
-    * never corpus-quadratic. The weight aggregate map-side combines on
-    * (src, dst). */
+    * Scale shape: ONE exchange keyed on the group, pair fan-out
+    * generated in-stage from each group's collected item list, weight
+    * aggregate map-side combined on (src, dst). API contract: the
+    * per-group collect_list buffer does NOT spill — callers must feed
+    * groups whose item count is row-bounded (TPC-H orders hold ≤ 7
+    * lineitems; web pages hold tens of links). That is the same bound
+    * the former self-join's degree² fan-out already imposed (any group
+    * of k items produces k² pair rows downstream regardless of
+    * formulation), so a group small enough to mine at all is small
+    * enough to collect; for inputs with unbounded groups, cap or
+    * threshold the group upstream (the q89 source-cap discipline). */
   def cooccurrenceEdges(df: DataFrame, groupCol: String,
                         itemCol: String): DataFrame = {
     // One exchange keyed on the group, then the pair fan-out is generated

@@ -533,17 +533,20 @@ object Dedup {
     // shingle hash as the deterministic tiebreak
     val wRk = Window.partitionBy(col("id"))
       .orderBy(col("__df").asc, col("shingle").asc)
-    // materialized: BOTH sides of the candidate self-join read the
-    // prefix table — unpinned, the hot/cold join + double window
-    // subtree replans once per side (plan twins measured); the frame
-    // is the prefix FRACTION of the already-checkpointed shingle rows
+    // NOT materialized (tried round 14, reverted): pinning the prefix
+    // table halves the PRINTED plan (both candidate-join sides carry
+    // the hot/cold+window subtree), but the subtree sits over the
+    // checkpointed `sh` RDD whose exchanges canonicalize — runtime
+    // reuse already dedupes it, so the eager checkpoint only added its
+    // own materialization (no bench win) and hid the hot-broadcast /
+    // no-shingle-window shape from the plan pins that guard this
+    // operator's skew story.
     val prefix = shHot.unionByName(shCold)
       .withColumn("__n", count(lit(1)).over(wN))
       .withColumn("__rk", row_number().over(wRk))
       .filter(col("__rk") <=
         col("__n") - ceil(lit(minJaccard) * col("__n") - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"), col("__rk"), col("__n"))
-      .localCheckpoint(true)
     // every epsilon below LOOSENS a necessary condition (false admits
     // are re-checked by verify; false prunes would break recall)
     val tFrac = minJaccard / (1.0 + minJaccard)

@@ -19,21 +19,20 @@ object Bench {
       rm(new java.io.File(
         s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stage"))
     }
-    // AQE coalescing sized by BYTES, not by the session's core count:
-    // parallelismFirst=true (the default) refuses to coalesce below
-    // local[$cpus]'s parallelism, so every tiny post-shuffle frame in the
-    // iterative/fan-out queries still schedules $cpus tasks — the
-    // anti-scaling small-task storm of the round-13 scaling block (guide
-    // §2.2: "fewer, larger reduce partitions ... let AQE coalesce").
-    // The advisory size is data-derived and env-overridable; at cluster
-    // scale partitions sit at/above the advisory anyway, so the setting
-    // is a no-op there and only trims degenerate small frames.
-    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "64m")
+    // NOTE (measured, round 14): byte-sized AQE coalescing
+    // (parallelismFirst=false + a 64m advisory) was tried here to kill
+    // the small-task storms of the round-13 scaling block and REVERTED:
+    // at sf0.1 it coalesces every post-shuffle frame to ~1 partition and
+    // serializes genuinely CPU-bound reduce work — full bench 239 s ->
+    // 307 s, the fixed-work shuffle probe alone 0.42 s -> 1.26 s while
+    // the cpu/scan probes stayed flat. The guide §2.2 advice targets
+    // clusters with far more partitions than cores; at local[$cpus] with
+    // shuffle.partitions=$cpus the default parallelism-first behavior is
+    // the right one, and the anti-scaling tail is fixed where it
+    // belongs, in the operators (see OPTIMIZATION_r14.md).
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "etlmudah.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
